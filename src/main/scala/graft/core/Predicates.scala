@@ -1,0 +1,183 @@
+package graft.core
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** DNF predicate language, equivalent in semantics to the reference's
+  * `List[List[(col, op, value)]]` predicates
+  * (kartothek/serialization/_generic.py:29-34,95-103) with its null rules
+  * (_generic.py:477-521): `== null` matches nulls, `!= null` matches
+  * non-nulls, `in [.., null, ..]` matches nulls, and ordering ops reject
+  * null values (_generic.py:204-213).
+  *
+  * Compiled to a single Catalyst [[Column]] so Spark's built-in pushdown
+  * (partition pruning + Parquet row-group stats + residual re-filter) does
+  * the heavy lifting — no custom execution machinery needed.
+  */
+sealed abstract class PredOp(val sym: String)
+object PredOp {
+  case object Eq extends PredOp("==")
+  case object Ne extends PredOp("!=")
+  case object Lt extends PredOp("<")
+  case object Le extends PredOp("<=")
+  case object Gt extends PredOp(">")
+  case object Ge extends PredOp(">=")
+  case object In extends PredOp("in")
+  val all: Seq[PredOp] = Seq(Eq, Ne, Lt, Le, Gt, Ge, In)
+  def fromString(s: String): PredOp =
+    all.find(_.sym == s).getOrElse(throw new IllegalArgumentException(s"Unknown predicate op: $s"))
+}
+
+/** One `(column, op, value)` literal. `value` is a plain Scala value
+  * (String, Long, Double, Boolean, java.sql.Date/Timestamp, null) or, for
+  * [[PredOp.In]], a `Seq[Any]`.
+  */
+final case class PredLiteral(col: String, op: PredOp, value: Any) {
+  import PredOp._
+
+  /** Well-formedness per _generic.py:169-213. */
+  def check(): Unit = op match {
+    case In =>
+      require(value == null || value.isInstanceOf[Seq[_]],
+        s"'in' predicate on '$col' requires a Seq value, got: $value")
+    case Lt | Le | Gt | Ge =>
+      require(value != null,
+        s"Malformed predicate: ordering op '${op.sym}' on '$col' does not permit null values")
+    case _ => ()
+  }
+
+  def toColumn: Column = {
+    check()
+    val c = col_(col)
+    op match {
+      case Eq => if (value == null) c.isNull else c === lit(value)
+      case Ne => if (value == null) c.isNotNull else c =!= lit(value)
+      case Lt => c < lit(value)
+      case Le => c <= lit(value)
+      case Gt => c > lit(value)
+      case Ge => c >= lit(value)
+      case In =>
+        val vs = value.asInstanceOf[Seq[Any]]
+        if (vs == null || vs.isEmpty) lit(false)
+        else {
+          val (nulls, nonNull) = vs.partition(_ == null)
+          val base =
+            if (nonNull.isEmpty) lit(false)
+            else c.isin(nonNull: _*)
+          if (nulls.nonEmpty) base || c.isNull else base
+        }
+    }
+  }
+  private def col_(name: String): Column = org.apache.spark.sql.functions.col(s"`$name`")
+}
+
+/** A disjunction of conjunctions of literals. Empty disjunction ⇒ true
+  * (no filtering), matching the reference's `predicates=None`.
+  */
+final case class Predicates(disjunction: Seq[Seq[PredLiteral]]) {
+
+  def isEmpty: Boolean = disjunction.isEmpty
+
+  def check(): Unit = {
+    require(disjunction.forall(_.nonEmpty),
+      "Malformed predicates: conjunctions must be non-empty (_generic.py:95-103)")
+    disjunction.foreach(_.foreach(_.check()))
+  }
+
+  /** All column names referenced (≙ columns_in_predicates, _generic.py:216-234). */
+  def columns: Set[String] = disjunction.flatten.map(_.col).toSet
+
+  /** Compile to one Catalyst Column; Predicates.empty compiles to lit(true). */
+  def toColumn: Column = {
+    check()
+    if (disjunction.isEmpty) lit(true)
+    else disjunction.map(conj => conj.map(_.toColumn).reduce(_ && _)).reduce(_ || _)
+  }
+
+  /** Keep only literals touching `cols`; a conjunction with no surviving
+    * literal becomes unconditionally true (⇒ whole predicate true), matching
+    * filter_predicates_by_column (_generic.py:237-271).
+    * Returns None when the restricted predicate is vacuously true.
+    */
+  def restrictToColumns(cols: Set[String]): Option[Predicates] = {
+    if (disjunction.isEmpty) return None
+    val restricted = disjunction.map(_.filter(l => cols.contains(l.col)))
+    if (restricted.exists(_.isEmpty)) None
+    else Some(Predicates(restricted))
+  }
+
+  /** Split each conjunction into (partition-key literals, payload literals)
+    * ≙ metapartition.py:642-710. Only valid for a single-conjunction or when
+    * the caller handles per-conjunction pruning (we prune per conjunction and
+    * union file sets).
+    */
+  def splitPerConjunction(partCols: Set[String]): Seq[(Seq[PredLiteral], Seq[PredLiteral])] =
+    disjunction.map(conj => conj.partition(l => partCols.contains(l.col)))
+
+  /** Evaluate literals against a plain value map (driver-side partition-key
+    * pruning, ≙ evaluating key predicates on the 1-row DF in
+    * metapartition.py:670-710). Missing column ⇒ literal is indeterminate ⇒
+    * keep (true).
+    */
+  def matchesValues(values: Map[String, Any]): Boolean = {
+    if (disjunction.isEmpty) return true
+    disjunction.exists(conj => conj.forall { l =>
+      values.get(l.col) match {
+        case None    => true
+        case Some(v) => Predicates.evalLiteral(l, v)
+      }
+    })
+  }
+
+  def and(other: Predicates): Predicates =
+    if (disjunction.isEmpty) other
+    else if (other.disjunction.isEmpty) this
+    else Predicates(for (a <- disjunction; b <- other.disjunction) yield a ++ b)
+}
+
+object Predicates {
+  val empty: Predicates = Predicates(Nil)
+
+  /** Convenience builder mirroring the reference's nested-list literal form:
+    * Predicates.of(Seq(("p","==",1), ("x",">",5)))  — one conjunction.
+    */
+  def of(conjunctions: Seq[(String, String, Any)]*): Predicates =
+    Predicates(conjunctions.map(_.map { case (c, o, v) => PredLiteral(c, PredOp.fromString(o), v) }))
+
+  def evalLiteral(l: PredLiteral, v: Any): Boolean = {
+    import PredOp._
+    l.op match {
+      case Eq => if (l.value == null) v == null else v != null && compare(v, l.value) == 0
+      case Ne => if (l.value == null) v != null else v != null && compare(v, l.value) != 0
+      case Lt => v != null && compare(v, l.value) < 0
+      case Le => v != null && compare(v, l.value) <= 0
+      case Gt => v != null && compare(v, l.value) > 0
+      case Ge => v != null && compare(v, l.value) >= 0
+      case In =>
+        val vs = l.value.asInstanceOf[Seq[Any]]
+        vs.exists(x => if (x == null) v == null else v != null && compare(v, x) == 0)
+    }
+  }
+
+  /** Loose cross-numeric-type comparison for driver-side partition values
+    * (decoded from strings) vs predicate values.
+    */
+  private def compare(a: Any, b: Any): Int = (a, b) match {
+    case (x: String, y: String) => x.compareTo(y)
+    case (x, y: String) => x.toString.compareTo(y)
+    case (x: String, y) =>
+      // partition values decoded from paths are strings; try numeric compare
+      try java.lang.Double.compare(x.toDouble, toDouble(y))
+      catch { case _: NumberFormatException => x.compareTo(y.toString) }
+    case (x, y) => java.lang.Double.compare(toDouble(x), toDouble(y))
+  }
+
+  private def toDouble(v: Any): Double = v match {
+    case n: Number => n.doubleValue()
+    case b: Boolean => if (b) 1d else 0d
+    case d: java.sql.Date => d.getTime.toDouble
+    case t: java.sql.Timestamp => t.getTime.toDouble
+    case s: String => s.toDouble
+    case other => throw new NumberFormatException(s"not numeric: $other")
+  }
+}

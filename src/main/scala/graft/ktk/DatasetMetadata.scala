@@ -1,0 +1,122 @@
+package graft.ktk
+
+import com.fasterxml.jackson.databind.{DeserializationFeature, ObjectMapper}
+import com.fasterxml.jackson.module.scala.DefaultScalaModule
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.types.{DataType, StructType}
+
+import graft.core.UrlCodec
+
+/** Dataset catalog metadata, the Spark-side equivalent of
+  * `DatasetMetadataBase` (kartothek/core/dataset.py:62-96): uuid, explicit
+  * partition list (label → relative file path), partition keys, secondary
+  * index registry, schema (`_common_metadata` equivalent, stored as Spark
+  * StructType JSON), and free-form user metadata.
+  *
+  * Storage layout (≙ docs/spec/storage_layout.rst):
+  * {{{
+  *   <base>/<uuid>.by-dataset-metadata.json        // THE single-blob commit point
+  *   <base>/<uuid>/table/<k1>=<v1>/.../part-*.parquet
+  *   <base>/<uuid>/indices/<column>.parquet        // (value, partitions array<string>)
+  * }}}
+  */
+final case class DatasetMetadata(
+    uuid: String,
+    metadataVersion: Int = 4,
+    partitionKeys: Seq[String] = Nil,
+    // label (relative file path under <uuid>/table/) → byte size
+    partitions: Map[String, Long] = Map.empty,
+    // indexed column → relative index file path under <uuid>/indices/
+    indices: Map[String, String] = Map.empty,
+    schemaJson: String = "",
+    metadata: Map[String, String] = Map.empty) {
+
+  def schema: StructType = DataType.fromJson(schemaJson).asInstanceOf[StructType]
+
+  def tableDir(base: String): String = s"$base/$uuid/table"
+
+  def fileFor(base: String, label: String): String = s"${tableDir(base)}/$label"
+
+  /** Decode the Hive-style key=value pairs of one partition label. */
+  def partitionValues(label: String): Map[String, String] =
+    UrlCodec.decodePartitionPath(label).toMap
+
+  def indexPath(base: String, column: String): String =
+    s"$base/$uuid/indices/${indices(column)}"
+}
+
+object DatasetMetadata {
+  val Suffix = ".by-dataset-metadata.json"
+
+  private val mapper: ObjectMapper = {
+    val m = new ObjectMapper()
+    m.registerModule(DefaultScalaModule)
+    m.configure(DeserializationFeature.FAIL_ON_UNKNOWN_PROPERTIES, false)
+    m
+  }
+
+  def metadataKey(base: String, uuid: String): String = s"$base/$uuid$Suffix"
+
+  def fs(spark: SparkSession, path: String): FileSystem =
+    new Path(path).getFileSystem(hadoopConf(spark))
+
+  private def hadoopConf(spark: SparkSession): Configuration =
+    spark.sessionState.newHadoopConf()
+
+  /** Single-put commit (≙ store_dataset_from_partitions' one-blob write,
+    * io_components/write.py:232-241): serialize to a temp key then rename —
+    * atomic on HDFS/local; on S3A a rename is copy+delete but readers still
+    * see either the old or the new complete blob (last-writer-wins, same
+    * guarantee as the reference).
+    */
+  def store(spark: SparkSession, base: String, md: DatasetMetadata): Unit = {
+    val key = new Path(metadataKey(base, md.uuid))
+    val filesystem = fs(spark, base)
+    val tmp = new Path(key.getParent, s".${key.getName}.tmp")
+    val out = filesystem.create(tmp, true)
+    try out.write(mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(md))
+    finally out.close()
+    if (filesystem.exists(key)) filesystem.delete(key, false)
+    if (!filesystem.rename(tmp, key))
+      throw new java.io.IOException(s"Failed to commit dataset metadata at $key")
+  }
+
+  def load(spark: SparkSession, base: String, uuid: String): DatasetMetadata = {
+    val key = new Path(metadataKey(base, uuid))
+    val filesystem = fs(spark, base)
+    if (!filesystem.exists(key))
+      throw new NoSuchElementException(s"Dataset '$uuid' not found at $key")
+    val in = filesystem.open(key)
+    try mapper.readValue(in: java.io.InputStream, classOf[DatasetMetadata])
+    finally in.close()
+  }
+
+  def exists(spark: SparkSession, base: String, uuid: String): Boolean =
+    fs(spark, base).exists(new Path(metadataKey(base, uuid)))
+
+  /** List dataset uuids under a base path (≙ cube discovery's store scan,
+    * api/discover.py:87-190).
+    */
+  def listDatasets(spark: SparkSession, base: String): Seq[String] = {
+    val dir = new Path(base)
+    val filesystem = fs(spark, base)
+    if (!filesystem.exists(dir)) Nil
+    else filesystem.listStatus(dir).toSeq
+      .map(_.getPath.getName)
+      .filter(_.endsWith(Suffix))
+      .map(_.dropRight(Suffix.length))
+      .sorted
+  }
+
+  /** Delete dataset: files and indices first, metadata blob LAST, preserving
+    * the reference's ordering guarantee (io_components/delete.py:8-26) —
+    * a dataset is discoverable only while fully present.
+    */
+  def delete(spark: SparkSession, base: String, uuid: String): Unit = {
+    val filesystem = fs(spark, base)
+    filesystem.delete(new Path(s"$base/$uuid"), true)
+    filesystem.delete(new Path(metadataKey(base, uuid)), false)
+  }
+}

@@ -1,0 +1,442 @@
+package graft.ktk
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, Row, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.core.{Predicates, SchemaUtil, UrlCodec}
+
+/** The dataset engine: store / read / update / index / GC over partitioned
+  * Parquet with a single-blob metadata commit.
+  *
+  * Spark-first re-expression of the reference's io layer:
+  *  - store      ≙ store_dataframes_as_dataset (io/eager.py:589-876) +
+  *                 write pipeline sort→partition_on→index→commit
+  *                 (io_components/write.py:53-243)
+  *  - readTable  ≙ read_table / dispatch_metapartitions_from_factory
+  *                 (io/eager.py:344-425, io_components/read.py:75-178)
+  *  - update     ≙ update_dataset_from_dataframes w/ delete_scope
+  *                 (io_components/update.py:23-57)
+  *  - indices    ≙ ExplicitSecondaryIndex build/merge/query
+  *                 (core/index.py, metapartition.py:1370-1420)
+  *  - gc         ≙ garbage_collect_dataset (io_components/gc.py:8-55)
+  *
+  * Planning (metadata load, partition pruning, index semi-join) is driver-side
+  * over small data, exactly like the reference; bulk work is plain DataFrame
+  * jobs so Catalyst/Tungsten/AQE handle projection pushdown, row-group
+  * pruning, codegen and spill. At cluster scale the driver only ever holds
+  * the file listing and index value→labels maps — both O(metadata), not
+  * O(data).
+  */
+object Ktk {
+
+  val IndexDirName = "indices"
+
+  // ---------------------------------------------------------------- store
+
+  /** Write a DataFrame as a new dataset. Pipeline: normalize schema →
+    * sortWithinPartitions(sortBy) for tight row-group stats
+    * (≙ sort_partitions_by, io_components/write.py:82-83) → Hive-layout
+    * partitionBy → build secondary indices → single-blob metadata commit.
+    */
+  def store(
+      spark: SparkSession,
+      base: String,
+      uuid: String,
+      df: DataFrame,
+      partitionOn: Seq[String] = Nil,
+      sortBy: Seq[String] = Nil,
+      secondaryIndices: Seq[String] = Nil,
+      overwrite: Boolean = false,
+      userMetadata: Map[String, String] = Map.empty): DatasetMetadata = {
+
+    if (!overwrite && DatasetMetadata.exists(spark, base, uuid))
+      throw new IllegalStateException(s"Dataset '$uuid' already exists (pass overwrite=true)")
+    partitionOn.foreach(c => require(df.columns.contains(c), s"partition_on column '$c' missing"))
+
+    val normalized = SchemaUtil.normalize(df, partitionOn)
+    val sorted =
+      if (sortBy.nonEmpty) normalized.sortWithinPartitions(sortBy.map(c => col(s"`$c`")): _*)
+      else normalized
+
+    val tableDir = s"$base/$uuid/table"
+    val writer = sorted.write.mode(SaveMode.Overwrite)
+    (if (partitionOn.nonEmpty) writer.partitionBy(partitionOn: _*) else writer).parquet(tableDir)
+
+    commitAfterWrite(spark, base, uuid, partitionOn, secondaryIndices,
+      normalized.schema, userMetadata)
+  }
+
+  /** List written files, reject null partition values (kartothek's
+    * partition_on null check, metapartition.py:1447-1453 — Spark encodes a
+    * null key as `__HIVE_DEFAULT_PARTITION__`, which we detect for free from
+    * the listing instead of paying a validation scan), then build indices and
+    * commit.
+    */
+  private def commitAfterWrite(
+      spark: SparkSession,
+      base: String,
+      uuid: String,
+      partitionKeys: Seq[String],
+      secondaryIndices: Seq[String],
+      schema: StructType,
+      userMetadata: Map[String, String]): DatasetMetadata = {
+
+    val tableDir = s"$base/$uuid/table"
+    val partitions = listDataFiles(spark, tableDir)
+    if (partitions.keys.exists(_.contains("__HIVE_DEFAULT_PARTITION__"))) {
+      DatasetMetadata.fs(spark, base).delete(new Path(s"$base/$uuid"), true)
+      throw new IllegalArgumentException(
+        s"Original dataframe size does not match a row-count-preserving partition_on: " +
+          s"null values in partition columns ${partitionKeys.mkString(",")} are not allowed")
+    }
+
+    val md0 = DatasetMetadata(
+      uuid = uuid, partitionKeys = partitionKeys, partitions = partitions,
+      schemaJson = schema.json, metadata = userMetadata)
+
+    val indices = secondaryIndices.map { c =>
+      require(schema.fieldNames.contains(c), s"index column '$c' not in schema")
+      buildIndex(spark, base, md0, c)
+      c -> s"$c.parquet"
+    }.toMap
+
+    val md = md0.copy(indices = indices)
+    DatasetMetadata.store(spark, base, md)
+    md
+  }
+
+  /** Relative-file-path label → size, from a recursive listing. */
+  private def listDataFiles(spark: SparkSession, tableDir: String): Map[String, Long] = {
+    val fs = DatasetMetadata.fs(spark, tableDir)
+    val root = fs.makeQualified(new Path(tableDir))
+    if (!fs.exists(root)) return Map.empty
+    val prefix = root.toString + "/"
+    val it = fs.listFiles(root, true)
+    val out = Map.newBuilder[String, Long]
+    while (it.hasNext) {
+      val st = it.next()
+      val name = st.getPath.getName
+      if (st.isFile && !name.startsWith("_") && !name.startsWith("."))
+        out += st.getPath.toString.stripPrefix(prefix) -> st.getLen
+    }
+    out.result()
+  }
+
+  // ---------------------------------------------------------------- indices
+
+  /** Build one secondary index as a Parquet table `(value, partitions:
+    * array<string>)` — the Spark-native form of ExplicitSecondaryIndex
+    * storage (core/index.py:899-955). One shuffle agg over only the indexed
+    * column + file name; Parquet column pruning keeps the scan narrow.
+    */
+  def buildIndex(spark: SparkSession, base: String, md: DatasetMetadata, column: String): Unit = {
+    val tableDir = md.tableDir(base)
+    val df = spark.read.option("basePath", tableDir).parquet(
+      md.partitions.keys.toSeq.sorted.map(l => s"$tableDir/$l"): _*)
+    val labeled = df.select(col(s"`$column`").as("value"), fileLabel.as("label"))
+    indexFromPairs(labeled)
+      .write.mode(SaveMode.Overwrite)
+      .parquet(s"$base/${md.uuid}/$IndexDirName/$column.parquet")
+  }
+
+  /** Partition label of the current input file: the URI path after the last
+    * `/table/` segment. input_file_name() returns a `file:///…`/`s3a://…`
+    * URI whose prefix form differs from Hadoop's qualified path, so we anchor
+    * on the layout's fixed `/table/` component instead of prefix-stripping.
+    */
+  private def fileLabel: org.apache.spark.sql.Column =
+    regexp_replace(input_file_name(), lit("^.*/table/"), lit(""))
+
+  /** (value,label) pairs → deterministic (value, partitions) index rows. */
+  private def indexFromPairs(pairs: DataFrame): DataFrame =
+    pairs
+      .where(col("value").isNotNull) // nulls are not indexable (core/index.py:83-86)
+      .groupBy("value")
+      .agg(sort_array(collect_set(col("label"))).as("partitions"))
+      .sortWithinPartitions("value")
+
+  def loadIndex(spark: SparkSession, base: String, md: DatasetMetadata, column: String): DataFrame =
+    spark.read.parquet(md.indexPath(base, column))
+
+  /** Distinct indexed values (≙ IndexBase.observed_values). */
+  def observedValues(spark: SparkSession, base: String, md: DatasetMetadata, column: String): DataFrame =
+    loadIndex(spark, base, md, column).select(col("value"))
+
+  /** ≙ dataset.query / get_indices_as_dataframe (core/dataset.py:392-516):
+    * labels matching the predicates using ONLY partition keys + secondary
+    * indices. Per conjunction: intersect per-column label sets (the
+    * index-intersection join, smallest-first is irrelevant at driver scale);
+    * union across conjunctions.
+    */
+  def queryLabels(
+      spark: SparkSession,
+      base: String,
+      md: DatasetMetadata,
+      predicates: Predicates): Seq[String] = {
+    val all = md.partitions.keys.toSeq.sorted
+    if (predicates.isEmpty) return all
+    val indexed = md.indices.keySet
+    val partCols = md.partitionKeys.toSet
+
+    // cache index lookups per (column): load flat (value,label) view once
+    val flatIndex = scala.collection.mutable.Map.empty[String, Seq[(Any, String)]]
+    def indexPairs(c: String): Seq[(Any, String)] =
+      flatIndex.getOrElseUpdate(c, {
+        loadIndex(spark, base, md, c)
+          .select(col("value"), explode(col("partitions")).as("label"))
+          .collect().toSeq.map(r => (r.get(0), r.getString(1)))
+      })
+
+    val surviving = predicates.splitPerConjunction(partCols).zip(predicates.disjunction).flatMap {
+      case ((partLits, _), conj) =>
+        // 1. partition-key pruning from decoded labels (PartitionIndex)
+        val afterPart = all.filter { label =>
+          val values = md.partitionValues(label)
+          Predicates(Seq(partLits)).matchesValues(values)
+        }
+        // 2. secondary-index pruning
+        val idxLits = conj.filter(l => indexed.contains(l.col) && !partCols.contains(l.col))
+        idxLits.foldLeft(afterPart.toSet) { (labels, lit) =>
+          val matching = indexPairs(lit.col).collect {
+            case (v, label) if Predicates.evalLiteral(lit, v) => label
+          }.toSet
+          labels intersect matching
+        }
+    }.toSet
+    all.filter(surviving.contains)
+  }
+
+  // ---------------------------------------------------------------- read
+
+  /** Read a dataset as one DataFrame with DNF predicate pushdown:
+    * driver-side label pruning (partition keys + secondary indices) picks the
+    * file list, then a vanilla multi-file Parquet scan gets Catalyst column
+    * pruning + row-group stats pushdown, and the exact residual filter is
+    * re-applied (≙ the reference's three-stage filter,
+    * serialization/_parquet.py:186-274).
+    */
+  def readTable(
+      spark: SparkSession,
+      base: String,
+      uuid: String,
+      columns: Seq[String] = Nil,
+      predicates: Predicates = Predicates.empty,
+      dispatchBy: Seq[String] = Nil): DataFrame = {
+    val md = DatasetMetadata.load(spark, base, uuid)
+    readTableWithMetadata(spark, base, md, columns, predicates, dispatchBy)
+  }
+
+  def readTableWithMetadata(
+      spark: SparkSession,
+      base: String,
+      md: DatasetMetadata,
+      columns: Seq[String] = Nil,
+      predicates: Predicates = Predicates.empty,
+      dispatchBy: Seq[String] = Nil): DataFrame = {
+    val labels = queryLabels(spark, base, md, predicates)
+    val tableDir = md.tableDir(base)
+    val schema = md.schema
+
+    val base0: DataFrame =
+      if (labels.isEmpty) {
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+      } else {
+        // explicit schema: stable types + partition-column reconstruction
+        spark.read
+          .option("basePath", tableDir)
+          .schema(schema)
+          .parquet(labels.map(l => s"$tableDir/$l"): _*)
+      }
+
+    val filtered =
+      if (predicates.isEmpty) base0 else base0.filter(predicates.toColumn)
+    val ordered = filtered.select(schema.fieldNames.map(c => col(s"`$c`")).toIndexedSeq: _*)
+    val projected =
+      if (columns.isEmpty) ordered
+      else {
+        val missing = columns.filterNot(schema.fieldNames.contains)
+        require(missing.isEmpty, s"Columns not in dataset: ${missing.mkString(",")}")
+        ordered.select(columns.map(c => col(s"`$c`")): _*)
+      }
+    if (dispatchBy.nonEmpty) projected.repartition(dispatchBy.map(c => col(s"`$c`")): _*)
+    else projected
+  }
+
+  /** Iterator backend (≙ io/iter.py) — lazy per-partition pull. */
+  def readTableAsIterator(
+      spark: SparkSession,
+      base: String,
+      uuid: String,
+      columns: Seq[String] = Nil,
+      predicates: Predicates = Predicates.empty): Iterator[Row] = {
+    import scala.jdk.CollectionConverters._
+    readTable(spark, base, uuid, columns, predicates).toLocalIterator().asScala
+  }
+
+  // ---------------------------------------------------------------- update
+
+  /** Incremental update in ONE metadata commit (≙ update_dataset_from_dataframes,
+    * io_components/update.py:23-57): append `newData` as new files, drop
+    * partitions matched by `deleteScope` (a predicate over partition-key
+    * columns), merge secondary indices incrementally, single blob put.
+    * Existing partition files are immutable — deletion is logical first
+    * (metadata), physical cleanup via [[garbageCollect]].
+    */
+  def update(
+      spark: SparkSession,
+      base: String,
+      uuid: String,
+      newData: Option[DataFrame],
+      deleteScope: Predicates = Predicates.empty,
+      sortBy: Seq[String] = Nil): DatasetMetadata = {
+
+    val md = DatasetMetadata.load(spark, base, uuid)
+    val tableDir = md.tableDir(base)
+
+    // 1. which existing labels survive the delete scope?
+    val deleted: Set[String] =
+      if (deleteScope.isEmpty) Set.empty
+      else {
+        deleteScope.columns.foreach(c => require(md.partitionKeys.contains(c),
+          s"delete_scope column '$c' must be a partition key"))
+        md.partitions.keySet.filter(l => deleteScope.matchesValues(md.partitionValues(l)))
+      }
+
+    // 2. append new files
+    val before = md.partitions.keySet
+    newData.foreach { df =>
+      SchemaUtil.validateCompatible(md.schema, SchemaUtil.normalizeSchema(df.schema, md.partitionKeys))
+      val normalized = SchemaUtil.normalize(df, md.partitionKeys)
+      val sorted =
+        if (sortBy.nonEmpty) normalized.sortWithinPartitions(sortBy.map(c => col(s"`$c`")): _*)
+        else normalized
+      val writer = sorted.write.mode(SaveMode.Append)
+      (if (md.partitionKeys.nonEmpty) writer.partitionBy(md.partitionKeys: _*) else writer)
+        .parquet(tableDir)
+    }
+    val allNow = listDataFiles(spark, tableDir)
+    val newLabels = allNow.keySet -- before
+    if (newLabels.exists(_.contains("__HIVE_DEFAULT_PARTITION__")))
+      throw new IllegalArgumentException("null values in partition columns are not allowed")
+
+    val finalPartitions = allNow.filter { case (l, _) => !deleted.contains(l) && (before.contains(l) || newLabels.contains(l)) }
+
+    // 3. incremental index merge (≙ update_indices, io_components/write.py:283-309):
+    //    keep surviving labels of the old index, union the new files' pairs.
+    val md1 = md.copy(partitions = finalPartitions)
+    md.indices.keys.foreach { c =>
+      val fsPath = md.indexPath(base, c)
+      val old = spark.read.parquet(fsPath)
+        .select(col("value"), explode(col("partitions")).as("label"))
+        .where(col("label").isin(finalPartitions.keys.toSeq.filter(before.contains): _*))
+      val fresh =
+        if (newLabels.isEmpty) old.limit(0)
+        else
+          spark.read.option("basePath", tableDir).parquet(newLabels.toSeq.map(l => s"$tableDir/$l"): _*)
+            .select(col(s"`$c`").as("value"), fileLabel.as("label"))
+      val tmpOut = s"$base/${md.uuid}/$IndexDirName/.$c.parquet.new"
+      indexFromPairs(old.unionByName(fresh)).write.mode(SaveMode.Overwrite).parquet(tmpOut)
+      val fsys = DatasetMetadata.fs(spark, base)
+      fsys.delete(new Path(fsPath), true)
+      fsys.rename(new Path(tmpOut), new Path(fsPath))
+    }
+
+    DatasetMetadata.store(spark, base, md1)
+    md1
+  }
+
+  // ---------------------------------------------------------------- gc / copy
+
+  /** Delete files under the dataset dir not referenced by metadata
+    * (≙ garbage_collect_dataset, io_components/gc.py:8-55).
+    * Returns deleted keys.
+    */
+  def garbageCollect(spark: SparkSession, base: String, uuid: String): Seq[String] = {
+    val md = DatasetMetadata.load(spark, base, uuid)
+    val fs = DatasetMetadata.fs(spark, base)
+    val tableRoot = fs.makeQualified(new Path(md.tableDir(base)))
+    val referenced = md.partitions.keySet
+    val deleted = Seq.newBuilder[String]
+    if (fs.exists(tableRoot)) {
+      val prefix = tableRoot.toString + "/"
+      val it = fs.listFiles(tableRoot, true)
+      val toDelete = scala.collection.mutable.ArrayBuffer.empty[Path]
+      while (it.hasNext) {
+        val st = it.next()
+        val rel = st.getPath.toString.stripPrefix(prefix)
+        val name = st.getPath.getName
+        if (st.isFile && !name.startsWith("_") && !name.startsWith(".") && !referenced.contains(rel))
+          toDelete += st.getPath
+      }
+      toDelete.foreach { p => fs.delete(p, false); deleted += p.toString }
+    }
+    // index files not in the registry
+    val idxRoot = fs.makeQualified(new Path(s"$base/$uuid/$IndexDirName"))
+    if (fs.exists(idxRoot)) {
+      val valid = md.indices.values.toSet
+      fs.listStatus(idxRoot).foreach { st =>
+        if (!valid.contains(st.getPath.getName) && !st.getPath.getName.startsWith(".")) {
+          fs.delete(st.getPath, true); deleted += st.getPath.toString
+        }
+      }
+    }
+    deleted.result()
+  }
+
+  /** Copy a dataset to a new uuid (≙ copy_dataset + modify_uuid,
+    * io/eager.py:946-1007, core/dataset.py:956-993).
+    */
+  def copyDataset(spark: SparkSession, base: String, fromUuid: String, toUuid: String): DatasetMetadata = {
+    val md = DatasetMetadata.load(spark, base, fromUuid)
+    val fs = DatasetMetadata.fs(spark, base)
+    val conf = spark.sessionState.newHadoopConf()
+    org.apache.hadoop.fs.FileUtil.copy(
+      fs, new Path(s"$base/$fromUuid"), fs, new Path(s"$base/$toUuid"), false, true, conf)
+    val md2 = md.copy(uuid = toUuid)
+    DatasetMetadata.store(spark, base, md2)
+    md2
+  }
+
+  // ---------------------------------------------------------------- stats
+
+  /** Per-file Parquet footer stats (≙ get_parquet_metadata,
+    * metapartition.py:1720-1771): rows, row groups, size. Footer reads are
+    * distributed via mapPartitions over the file list — no data scan.
+    */
+  def parquetStats(spark: SparkSession, base: String, uuid: String): DataFrame = {
+    val md = DatasetMetadata.load(spark, base, uuid)
+    val tableDir = md.tableDir(base)
+    val files = md.partitions.keys.toSeq.sorted.map(l => s"$tableDir/$l")
+    val serializableConf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sessionState.newHadoopConf())
+    import spark.implicits._
+    spark.sparkContext.parallelize(files, math.max(1, math.min(files.size, 32)))
+      .mapPartitions { it =>
+        val conf = serializableConf.value
+        it.map { f =>
+          val p = new Path(f)
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf)
+          val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          try {
+            val fm = reader.getFooter.getBlocks
+            val rows = fm.stream().mapToLong(_.getRowCount).sum()
+            (f, fm.size(), rows)
+          } finally reader.close()
+        }
+      }.toDF("file", "row_groups", "rows")
+  }
+
+  /** Content hash per group (≙ hash_dataset, io/dask/dataframe.py:577-649):
+    * order-independent per-group sum of row hashes.
+    */
+  def hashDataset(df: DataFrame, groupKeys: Seq[String]): DataFrame = {
+    val payload = df.columns.toSeq
+    val h = xxhash64(payload.map(c => col(s"`$c`")): _*)
+    if (groupKeys.isEmpty)
+      df.agg(sum(h).as("hash"))
+    else
+      df.groupBy(groupKeys.map(c => col(s"`$c`")): _*).agg(sum(h).as("hash"))
+  }
+}

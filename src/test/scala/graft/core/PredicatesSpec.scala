@@ -1,0 +1,70 @@
+package graft.core
+
+import graft.SparkSpec
+
+/** DNF semantics matrix from the reference's filter tests
+  * (tests/serialization/test_filter.py, _generic.py:477-521).
+  */
+class PredicatesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def df = Seq(
+    (1, Some("a"), Some(1.0)),
+    (2, Some("b"), None),
+    (3, None, Some(3.0)),
+    (4, Some("d"), Some(4.0))
+  ).toDF("id", "s", "x")
+
+  private def ids(p: Predicates): Seq[Int] =
+    df.filter(p.toColumn).select("id").collect().map(_.getInt(0)).sorted.toSeq
+
+  test("== on value excludes nulls") {
+    ids(Predicates.of(Seq(("s", "==", "a")))) shouldBe Seq(1)
+  }
+  test("== null matches nulls") {
+    ids(Predicates.of(Seq(("s", "==", null)))) shouldBe Seq(3)
+  }
+  test("!= null matches non-nulls") {
+    ids(Predicates.of(Seq(("s", "!=", null)))) shouldBe Seq(1, 2, 4)
+  }
+  test("!= value excludes nulls (pandas semantics)") {
+    ids(Predicates.of(Seq(("s", "!=", "a")))) shouldBe Seq(2, 4)
+  }
+  test("in with null matches nulls") {
+    ids(Predicates.of(Seq(("s", "in", Seq("a", null))))) shouldBe Seq(1, 3)
+  }
+  test("empty in matches nothing") {
+    ids(Predicates.of(Seq(("s", "in", Seq.empty[Any])))) shouldBe Seq()
+  }
+  test("in with duplicates does not duplicate rows") {
+    ids(Predicates.of(Seq(("s", "in", Seq("a", "a"))))) shouldBe Seq(1)
+  }
+  test("ordering op with null value rejects") {
+    an[IllegalArgumentException] should be thrownBy
+      Predicates.of(Seq(("x", ">", null))).toColumn
+  }
+  test("disjunction of conjunctions") {
+    ids(Predicates.of(Seq(("id", "<=", 1)), Seq(("s", "==", "d"), ("x", ">=", 4.0)))) shouldBe Seq(1, 4)
+  }
+  test("ordering excludes nulls") {
+    ids(Predicates.of(Seq(("x", ">", 0.0)))) shouldBe Seq(1, 3, 4)
+  }
+  test("restrictToColumns drops foreign literals; vacuous conj => None") {
+    val p = Predicates.of(Seq(("a", "==", 1), ("b", "==", 2)), Seq(("b", "==", 3)))
+    p.restrictToColumns(Set("a")) shouldBe None // second conj becomes vacuous true
+    val q = Predicates.of(Seq(("a", "==", 1), ("b", "==", 2)))
+    q.restrictToColumns(Set("a")).get shouldBe Predicates.of(Seq(("a", "==", 1)))
+  }
+  test("matchesValues driver-side eval with string-decoded values") {
+    val p = Predicates.of(Seq(("p", "==", 1), ("q", ">", 5)))
+    p.matchesValues(Map("p" -> "1", "q" -> "7")) shouldBe true
+    p.matchesValues(Map("p" -> "2", "q" -> "7")) shouldBe false
+    p.matchesValues(Map("p" -> "1")) shouldBe true // missing col indeterminate => keep
+  }
+  test("urlcodec roundtrip") {
+    val s = "a b/c=д%1"
+    UrlCodec.unquote(UrlCodec.quote(s)) shouldBe s
+    UrlCodec.quote("a b") shouldBe "a%20b"
+    UrlCodec.partitionPath(Seq("p" -> "x y", "q" -> "1")) shouldBe "p=x%20y/q=1"
+  }
+}

@@ -1,0 +1,126 @@
+package graft.ktk
+
+import graft.SparkSpec
+import graft.core.{Predicates, SchemaUtil}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.functions._
+
+/** End-to-end dataset lifecycle: store → read w/ pushdown → index pruning →
+  * update w/ delete_scope → GC. Mirrors the reference's io/testing suites.
+  */
+class KtkSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def sample = Seq(
+    (1, "a", 10.0, "x"),
+    (1, "b", 20.0, "y"),
+    (2, "a", 30.0, "x"),
+    (2, "c", 40.0, "z"),
+    (3, "b", 50.0, "y")
+  ).toDF("p", "l", "target", "tag")
+
+  test("store + read full roundtrip, normalized schema & column order") {
+    val base = tmpDir("ktk")
+    Ktk.store(spark, base, "ds", sample, partitionOn = Seq("p"))
+    val back = Ktk.readTable(spark, base, "ds")
+    // partition keys first, payload alphabetical; ints normalized to long
+    back.columns.toSeq shouldBe Seq("p", "l", "tag", "target")
+    back.schema("p").dataType shouldBe LongType
+    back.count() shouldBe 5
+    back.agg(sum("target")).head.getDouble(0) shouldBe 150.0
+  }
+
+  test("partition pruning reads only matching files") {
+    val base = tmpDir("ktk")
+    val md = Ktk.store(spark, base, "ds", sample, partitionOn = Seq("p"))
+    md.partitions.keySet.exists(_.startsWith("p=1/")) shouldBe true
+    val labels = Ktk.queryLabels(spark, base, md, Predicates.of(Seq(("p", "==", 1))))
+    labels.forall(_.startsWith("p=1/")) shouldBe true
+    val df = Ktk.readTable(spark, base, "ds", predicates = Predicates.of(Seq(("p", "==", 1), ("target", ">", 15.0))))
+    df.select("l").as[String].collect().sorted.toSeq shouldBe Seq("b")
+    // physical check: scan reads only the pruned file list
+    df.inputFiles.forall(_.contains("p=1")) shouldBe true
+  }
+
+  test("secondary index pruning + disjunction union") {
+    val base = tmpDir("ktk")
+    val md = Ktk.store(spark, base, "ds", sample, partitionOn = Seq("p"), secondaryIndices = Seq("tag"))
+    val labels = Ktk.queryLabels(spark, base, md, Predicates.of(Seq(("tag", "==", "z"))))
+    labels.forall(_.startsWith("p=2/")) shouldBe true
+    val df = Ktk.readTable(spark, base, "ds", predicates = Predicates.of(Seq(("tag", "==", "z"))))
+    df.select("l").as[String].collect().toSeq shouldBe Seq("c")
+    // disjunction: union of label sets
+    val both = Ktk.queryLabels(spark, base, md,
+      Predicates.of(Seq(("tag", "==", "z")), Seq(("p", "==", 3))))
+    both.exists(_.startsWith("p=2/")) shouldBe true
+    both.exists(_.startsWith("p=3/")) shouldBe true
+  }
+
+  test("projection validates missing columns") {
+    val base = tmpDir("ktk")
+    Ktk.store(spark, base, "ds", sample, partitionOn = Seq("p"))
+    an[IllegalArgumentException] should be thrownBy
+      Ktk.readTable(spark, base, "ds", columns = Seq("nope"))
+  }
+
+  test("null partition values rejected") {
+    val base = tmpDir("ktk")
+    val bad = Seq((Some(1), "a"), (None, "b")).toDF("p", "v")
+    an[IllegalArgumentException] should be thrownBy
+      Ktk.store(spark, base, "bad", bad, partitionOn = Seq("p"))
+  }
+
+  test("update: append + delete_scope in one commit; index maintained") {
+    val base = tmpDir("ktk")
+    Ktk.store(spark, base, "ds", sample, partitionOn = Seq("p"), secondaryIndices = Seq("tag"))
+    val extra = Seq((4, "d", 60.0, "w"), (1, "e", 70.0, "x")).toDF("p", "l", "target", "tag")
+    Ktk.update(spark, base, "ds", Some(extra), deleteScope = Predicates.of(Seq(("p", "==", 2))))
+    val back = Ktk.readTable(spark, base, "ds")
+    back.select("l").as[String].collect().sorted.toSeq shouldBe Seq("a", "b", "b", "d", "e")
+    // index reflects the post-update state
+    val viaIdx = Ktk.readTable(spark, base, "ds", predicates = Predicates.of(Seq(("tag", "==", "x"))))
+    viaIdx.select("l").as[String].collect().sorted.toSeq shouldBe Seq("a", "e")
+    val gone = Ktk.readTable(spark, base, "ds", predicates = Predicates.of(Seq(("tag", "==", "z"))))
+    gone.count() shouldBe 0
+  }
+
+  test("gc removes unreferenced files only") {
+    val base = tmpDir("ktk")
+    Ktk.store(spark, base, "ds", sample, partitionOn = Seq("p"))
+    Ktk.update(spark, base, "ds", None, deleteScope = Predicates.of(Seq(("p", "==", 2))))
+    val deleted = Ktk.garbageCollect(spark, base, "ds")
+    deleted.nonEmpty shouldBe true
+    deleted.forall(_.contains("p=2")) shouldBe true
+    Ktk.readTable(spark, base, "ds").count() shouldBe 3
+  }
+
+  test("schema validation: incompatible append rejected, all-null compatible") {
+    val base = tmpDir("ktk")
+    Ktk.store(spark, base, "ds", sample, partitionOn = Seq("p"))
+    val wrong = Seq((9, "x", "not-a-double", "t")).toDF("p", "l", "target", "tag")
+    an[IllegalArgumentException] should be thrownBy
+      Ktk.update(spark, base, "ds", Some(wrong))
+    // all-null column is compatible with any concrete type
+    val ref = StructType(Seq(StructField("a", LongType), StructField("b", StringType)))
+    val nul = StructType(Seq(StructField("a", LongType), StructField("b", NullType)))
+    noException should be thrownBy SchemaUtil.validateCompatible(ref, nul)
+    SchemaUtil.mergeSchemas(nul, ref)("b").dataType shouldBe StringType
+  }
+
+  test("copy + delete + list") {
+    val base = tmpDir("ktk")
+    Ktk.store(spark, base, "ds", sample, partitionOn = Seq("p"))
+    Ktk.copyDataset(spark, base, "ds", "ds2")
+    DatasetMetadata.listDatasets(spark, base) shouldBe Seq("ds", "ds2")
+    Ktk.readTable(spark, base, "ds2").count() shouldBe 5
+    DatasetMetadata.delete(spark, base, "ds")
+    DatasetMetadata.listDatasets(spark, base) shouldBe Seq("ds2")
+  }
+
+  test("parquet footer stats") {
+    val base = tmpDir("ktk")
+    Ktk.store(spark, base, "ds", sample, partitionOn = Seq("p"))
+    val stats = Ktk.parquetStats(spark, base, "ds")
+    stats.agg(sum("rows")).head.getLong(0) shouldBe 5
+  }
+}
