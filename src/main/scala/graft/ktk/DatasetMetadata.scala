@@ -28,6 +28,11 @@ final case class DatasetMetadata(
     partitionKeys: Seq[String] = Nil,
     // label (relative file path under <uuid>/table/) → byte size
     partitions: Map[String, Long] = Map.empty,
+    // label → commit sequence number; later commits override earlier ones in
+    // overlay (keep-last) reads. This pins the reference's "later-loaded
+    // partitions win" contract (_group.py:139-144) to commit order, which
+    // Spark's random part-file names cannot provide.
+    partitionSeq: Map[String, Long] = Map.empty,
     // indexed column → relative index file path under <uuid>/indices/
     indices: Map[String, String] = Map.empty,
     schemaJson: String = "",
@@ -38,6 +43,15 @@ final case class DatasetMetadata(
   def tableDir(base: String): String = s"$base/$uuid/table"
 
   def fileFor(base: String, label: String): String = s"${tableDir(base)}/$label"
+
+  def seqOf(label: String): Long =
+    // Jackson deserializes the erased Map[String, Long] values as the
+    // narrowest integral type; widen via Number instead of unboxing
+    Option(partitionSeq).map(_.asInstanceOf[Map[String, Any]]).flatMap(_.get(label)) match {
+      case Some(num: Number) => num.longValue()
+      case Some(other)       => other.toString.toLong
+      case None              => 0L
+    }
 
   /** Decode the Hive-style key=value pairs of one partition label. */
   def partitionValues(label: String): Map[String, String] =

@@ -94,6 +94,7 @@ object Ktk {
 
     val md0 = DatasetMetadata(
       uuid = uuid, partitionKeys = partitionKeys, partitions = partitions,
+      partitionSeq = partitions.keys.map(_ -> 0L).toMap,
       schemaJson = schema.json, metadata = userMetadata)
 
     val indices = secondaryIndices.map { c =>
@@ -234,31 +235,47 @@ object Ktk {
       md: DatasetMetadata,
       columns: Seq[String] = Nil,
       predicates: Predicates = Predicates.empty,
-      dispatchBy: Seq[String] = Nil): DataFrame = {
+      dispatchBy: Seq[String] = Nil,
+      withOverlayOrder: Boolean = false): DataFrame = {
     val labels = queryLabels(spark, base, md, predicates)
     val tableDir = md.tableDir(base)
     val schema = md.schema
 
     val base0: DataFrame =
       if (labels.isEmpty) {
-        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+        val empty = spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+        if (withOverlayOrder) empty.withColumn("__seq", lit(0L)).withColumn("__pos", lit(0L))
+        else empty
       } else {
         // explicit schema: stable types + partition-column reconstruction
-        spark.read
+        val scan = spark.read
           .option("basePath", tableDir)
           .schema(schema)
           .parquet(labels.map(l => s"$tableDir/$l"): _*)
+        if (withOverlayOrder) {
+          // commit-order column: label → partitionSeq via a broadcast map
+          // (metadata-sized), position within file from the hidden _metadata
+          import spark.implicits._
+          val seqDf = broadcast(
+            labels.map(l => (l, md.seqOf(l))).toDF("__label", "__seq"))
+          scan
+            .withColumn("__label", regexp_replace(col("_metadata.file_path"), lit("^.*/table/"), lit("")))
+            .withColumn("__pos", col("_metadata.row_index"))
+            .join(seqDf, Seq("__label"))
+            .drop("__label")
+        } else scan
       }
 
     val filtered =
       if (predicates.isEmpty) base0 else base0.filter(predicates.toColumn)
-    val ordered = filtered.select(schema.fieldNames.map(c => col(s"`$c`")).toIndexedSeq: _*)
+    val extras = if (withOverlayOrder) Seq("__seq", "__pos") else Nil
+    val ordered = filtered.select((schema.fieldNames.toSeq ++ extras).map(c => col(s"`$c`")): _*)
     val projected =
       if (columns.isEmpty) ordered
       else {
         val missing = columns.filterNot(schema.fieldNames.contains)
         require(missing.isEmpty, s"Columns not in dataset: ${missing.mkString(",")}")
-        ordered.select(columns.map(c => col(s"`$c`")): _*)
+        ordered.select((columns ++ extras).map(c => col(s"`$c`")): _*)
       }
     if (dispatchBy.nonEmpty) projected.repartition(dispatchBy.map(c => col(s"`$c`")): _*)
     else projected
@@ -322,10 +339,14 @@ object Ktk {
       throw new IllegalArgumentException("null values in partition columns are not allowed")
 
     val finalPartitions = allNow.filter { case (l, _) => !deleted.contains(l) && (before.contains(l) || newLabels.contains(l)) }
+    val nextSeq = (0L +: md.partitions.keys.toSeq.map(md.seqOf)).max + 1L
+    val finalSeq = finalPartitions.keys.map { l =>
+      l -> (if (newLabels.contains(l)) nextSeq else md.seqOf(l))
+    }.toMap
 
     // 3. incremental index merge (≙ update_indices, io_components/write.py:283-309):
     //    keep surviving labels of the old index, union the new files' pairs.
-    val md1 = md.copy(partitions = finalPartitions)
+    val md1 = md.copy(partitions = finalPartitions, partitionSeq = finalSeq)
     md.indices.keys.foreach { c =>
       val fsPath = md.indexPath(base, c)
       val old = spark.read.parquet(fsPath)

@@ -1,0 +1,130 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines: token counting,
+  * quality scoring, language ID, document fingerprinting. Everything is
+  * built from codegen'd `org.apache.spark.sql.functions` (no UDF on the hot
+  * path except langId's per-row scoring, which is a single pass).
+  */
+object TextAnalysis {
+
+  /** Whitespace token count (non-empty tokens). */
+  def tokenCount(text: Column): Column =
+    size(filter(split(text, "\\s+"), t => length(t) > 0))
+
+  /** BPE-ish subword count estimate: word-pieces + digits + punctuation
+    * runs, via one regexp extraction — a cheap proxy for tokenizer cost.
+    */
+  def subwordCount(text: Column): Column =
+    size(filter(
+      split(text, "(?=[^a-zA-Z0-9])|(?<=[^a-zA-Z0-9])"),
+      t => length(trim(t)) > 0))
+
+  /** Punctuation character ratio. */
+  def punctRatio(text: Column): Column =
+    when(length(text) === 0, lit(0.0))
+      .otherwise(
+        (length(text) - length(regexp_replace(text, "[\\p{Punct}]", ""))).cast("double") /
+          length(text))
+
+  /** Stopword ratio over a fixed English stopword list. */
+  val EnglishStopwords: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it", "that",
+    "for", "on", "with", "as", "at", "by", "be", "this", "are", "was", "from")
+
+  def stopwordRatio(text: Column): Column = {
+    val toks = filter(split(lower(text), "\\s+"), t => length(t) > 0)
+    val stops = filter(toks, t => t.isin(EnglishStopwords.map(lit(_)): _*))
+    when(size(toks) === 0, lit(0.0)).otherwise(size(stops).cast("double") / size(toks))
+  }
+
+  /** Mean token length over whitespace tokens. */
+  def meanTokenLength(text: Column): Column = {
+    val toks = filter(split(text, "\\s+"), t => length(t) > 0)
+    when(size(toks) === 0, lit(0.0))
+      .otherwise(aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") / size(toks))
+  }
+
+  /** Composite quality score in [0,1]: length band + punctuation sanity +
+    * mean-token-length sanity. Deterministic and cheap — the shape of a
+    * C4/Gopher-style rule filter.
+    */
+  def qualityScore(text: Column): Column = {
+    val n = tokenCount(text)
+    val lenScore = when(n >= 10 && n <= 10000, lit(1.0))
+      .when(n >= 3, lit(0.5)).otherwise(lit(0.0))
+    val punct = punctRatio(text)
+    val punctScore = when(punct <= 0.2, lit(1.0)).when(punct <= 0.4, lit(0.5)).otherwise(lit(0.0))
+    val mtl = meanTokenLength(text)
+    val mtlScore = when(mtl >= 3.0 && mtl <= 12.0, lit(1.0)).otherwise(lit(0.5))
+    round((lenScore + punctScore + mtlScore) / 3.0, 4)
+  }
+
+  /** Character n-gram profiles per language for the 5 testdata languages —
+    * a tiny deterministic trigram-frequency heuristic (public-knowledge
+    * n-gram language ID, cf. Cavnar & Trenkle 1994).
+    */
+  private val profiles: Map[String, Seq[String]] = Map(
+    "en" -> Seq(" th", "the", "he ", " an", "and", "nd ", " of", "of ", "ing", "ng "),
+    "de" -> Seq("er ", " de", "der", "ie ", "die", " un", "und", "sch", "ein", "ch "),
+    "fr" -> Seq(" de", "de ", " le", "le ", "es ", "ent", " la", "la ", "ion", "que"),
+    "es" -> Seq(" de", "de ", " la", "la ", "os ", " el", "el ", "ión", "ent", "que"),
+    "zh" -> Seq("的", "是", "了", "在", "我", "有", "和", "就", "不", "人"))
+
+  /** Language ID over the profile table; returns the best-scoring language
+    * code or "und". Single-pass scoring per row.
+    */
+  def langIdUdf: org.apache.spark.sql.expressions.UserDefinedFunction = udf { (text: String) =>
+    if (text == null || text.isEmpty) "und"
+    else {
+      val t = text.toLowerCase
+      // CJK shortcut: any profile char hit dominates
+      val scores = profiles.map { case (lang, grams) =>
+        lang -> grams.map(g => {
+          var c = 0; var i = t.indexOf(g)
+          while (i >= 0) { c += 1; i = t.indexOf(g, i + 1) }
+          c
+        }).sum
+      }
+      val (best, score) = scores.maxBy { case (l, s) => (s, l) }
+      if (score == 0) "und" else best
+    }
+  }
+
+  /** Rolling-hash document fingerprint: xxhash64 over the normalized text —
+    * stable against whitespace runs and case.
+    */
+  def fingerprint(text: Column): Column =
+    xxhash64(lower(regexp_replace(trim(text), "\\s+", " ")))
+
+  /** Winnowing-style robust fingerprint: min shingle hash per document
+    * window band — k minimum hashes of character 8-grams, as an array.
+    */
+  def robustFingerprint(text: Column, k: Int = 4): Column = {
+    val grams = expr(
+      "CASE WHEN length(__norm) < 8 THEN array(__norm) ELSE " +
+        "transform(sequence(1, length(__norm) - 7), i -> substring(__norm, i, 8)) END")
+    // callers must provide __norm; wrapped by [[textStats]]-style helpers
+    slice(array_sort(transform(grams, g => xxhash64(g))), 1, k)
+  }
+
+  /** One-pass document statistics frame: id, token/char counts, ratios,
+    * quality, language guess, fingerprint.
+    */
+  def documentStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    df.select(
+      col(idCol),
+      length(t).as("n_chars"),
+      tokenCount(t).as("n_tokens"),
+      subwordCount(t).as("n_subwords"),
+      round(punctRatio(t), 6).as("punct_ratio"),
+      round(stopwordRatio(t), 6).as("stopword_ratio"),
+      round(meanTokenLength(t), 6).as("mean_token_len"),
+      qualityScore(t).as("quality"),
+      langIdUdf(t).as("lang_guess"),
+      fingerprint(t).as("fingerprint"))
+  }
+}

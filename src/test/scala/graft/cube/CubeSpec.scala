@@ -1,0 +1,89 @@
+package graft.cube
+
+import graft.SparkSpec
+import graft.core.Predicates
+
+/** Cube semantics, mirroring the reference's query_cube fixtures
+  * (kartothek/io/testing/query_cube.py:85-378): fullrange join, sparse outer
+  * (left) join, restrictive inner join, overlay keep-last update-wins.
+  */
+class CubeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val cube = CubeDef(uuidPrefix = "c", dimensionColumns = Seq("x", "y"), partitionColumns = Seq("p"))
+
+  private def seed = Seq(
+    (0, 0, 0, 10.0), (0, 1, 0, 20.0), (1, 0, 1, 30.0), (1, 1, 1, 40.0)
+  ).toDF("x", "y", "p", "v1")
+
+  private def enrich = Seq(
+    (0, 0, 100L), (1, 1, 200L) // sparse: only two cells enriched
+  ).toDF("x", "p", "v2")
+
+  test("build + fullrange query: left join keeps all seed cells") {
+    val base = tmpDir("cube")
+    Cube.build(spark, base, cube, Map("seed" -> seed, "enrich" -> enrich))
+    val out = Cube.query(spark, base, cube)
+    out.columns.toSeq shouldBe Seq("x", "y", "p", "v1", "v2")
+    out.count() shouldBe 4
+    val rows = out.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), if (r.isNullAt(4)) null else r.getLong(4)))
+    rows.toSeq shouldBe Seq(
+      (0L, 0L, 0L, 10.0, 100L), (0L, 1L, 0L, 20.0, 100L),
+      (1L, 0L, 1L, 30.0, 200L), (1L, 1L, 1L, 40.0, 200L))
+  }
+
+  test("condition on enrich exclusive payload makes it restrictive (inner)") {
+    val base = tmpDir("cube")
+    Cube.build(spark, base, cube, Map("seed" -> seed, "enrich" -> Seq((0, 0, 100L)).toDF("x", "p", "v2")))
+    // without condition: left join, all 4 seed rows
+    Cube.query(spark, base, cube).count() shouldBe 4
+    // with condition on v2 (exclusive payload of enrich): inner join
+    val out = Cube.query(spark, base, cube, conditions = Predicates.of(Seq(("v2", ">=", 100))))
+    out.select("x").as[Long].collect().toSeq.sorted shouldBe Seq(0L, 0L)
+  }
+
+  test("conditions prune partitions AND filter payload") {
+    val base = tmpDir("cube")
+    Cube.build(spark, base, cube, Map("seed" -> seed, "enrich" -> enrich))
+    val out = Cube.query(spark, base, cube, conditions = Predicates.of(Seq(("p", "==", 1), ("v1", ">", 35.0))))
+    out.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq shouldBe Seq((1L, 1L))
+  }
+
+  test("overlay keep-last: appended partitions override (update-wins)") {
+    val base = tmpDir("cube")
+    Cube.build(spark, base, cube, Map("seed" -> seed))
+    // re-append cell (0,0,p=0) with a new value; keep-last must pick 99.0
+    Cube.append(spark, base, cube, Map("seed" -> Seq((0, 0, 0, 99.0)).toDF("x", "y", "p", "v1")))
+    val out = Cube.query(spark, base, cube)
+    out.count() shouldBe 4
+    out.filter($"x" === 0 && $"y" === 0).select("v1").as[Double].head() shouldBe 99.0
+  }
+
+  test("payload overlap across datasets is rejected") {
+    val base = tmpDir("cube")
+    an[IllegalArgumentException] should be thrownBy
+      Cube.build(spark, base, cube, Map(
+        "seed" -> seed,
+        "other" -> Seq((0, 0, 5.0)).toDF("x", "p", "v1"))) // v1 already in seed
+  }
+
+  test("duplicate cells on (partition + dims) are rejected") {
+    val base = tmpDir("cube")
+    val dup = Seq((0, 0, 0, 1.0), (0, 0, 0, 2.0)).toDF("x", "y", "p", "v1")
+    an[IllegalArgumentException] should be thrownBy
+      Cube.build(spark, base, cube, Map("seed" -> dup))
+  }
+
+  test("remove partitions by condition") {
+    val base = tmpDir("cube")
+    Cube.build(spark, base, cube, Map("seed" -> seed))
+    Cube.removePartitions(spark, base, cube, Seq("seed"), Predicates.of(Seq(("p", "==", 0))))
+    Cube.query(spark, base, cube).select("p").as[Long].collect().toSeq.distinct shouldBe Seq(1L)
+  }
+
+  test("dedupKeepLast within one file keeps the later row") {
+    val df = Seq((1, "old"), (1, "new"), (2, "only")).toDF("k", "v")
+    val out = Cube.dedupKeepLast(df, Seq("k")).orderBy("k").collect().map(_.getString(1)).toSeq
+    out shouldBe Seq("new", "only")
+  }
+}

@@ -1,0 +1,196 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val doc = "the quick brown fox jumps over the lazy dog and runs far away into the green forest tonight"
+  private val nearDup = doc.replace("green", "dark") // one-word change
+  private val other = "completely different content about spark query engines and columnar storage formats for analytics"
+
+  private def docs = Seq(
+    (0L, doc), (1L, nearDup), (2L, other), (3L, doc) // 3 is exact dup of 0
+  ).toDF("doc_id", "text")
+
+  test("exactByHash keeps the min id per identical text") {
+    val out = Dedup.exactByHash(docs, "doc_id", "text")
+    out.select("doc_id").as[Long].collect().sorted.toSeq shouldBe Seq(0L, 1L, 2L)
+  }
+
+  test("exact (keep-first by order) on key columns") {
+    val df = Seq((1, "b", 2.0), (1, "a", 1.0), (2, "c", 3.0)).toDF("k", "o", "v")
+    val out = Dedup.exact(df, Seq("k"), "o")
+    out.select("v").as[Double].collect().sorted.toSeq shouldBe Seq(1.0, 3.0)
+  }
+
+  test("minhash signatures: identical texts match on all slots, near-dups mostly") {
+    val s1 = Dedup.minhashSignature(doc, 5, 128)
+    val s2 = Dedup.minhashSignature(nearDup, 5, 128)
+    val s3 = Dedup.minhashSignature(other, 5, 128)
+    s1.toSeq shouldBe Dedup.minhashSignature(doc, 5, 128).toSeq // deterministic
+    val sim12 = s1.zip(s2).count { case (a, b) => a == b } / 128.0
+    val sim13 = s1.zip(s3).count { case (a, b) => a == b } / 128.0
+    sim12 should be > 0.6
+    sim13 should be < 0.2
+  }
+
+  test("minhashCandidates finds exact + near dup pairs, not the distinct doc") {
+    val cands = Dedup.minhashCandidates(docs, "doc_id", "text", numHashes = 128, bands = 32)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val pairs = cands.map(c => (c._1, c._2)).toSet
+    pairs should contain((0L, 3L)) // exact dup
+    pairs should contain((0L, 1L)) // near dup
+    cands.find(c => (c._1, c._2) == (0L, 3L)).get._3 shouldBe 1.0
+    pairs should not contain ((0L, 2L))
+  }
+
+  test("minhashDedup drops near+exact dups, keeps distinct docs") {
+    val out = Dedup.minhashDedup(docs, "doc_id", "text", threshold = 0.6)
+    out.select("doc_id").as[Long].collect().sorted.toSeq shouldBe Seq(0L, 2L)
+  }
+
+  test("simhash: near-dups within small hamming distance, found by banding") {
+    val pairs = Dedup.simhashCandidates(docs, "doc_id", "text", maxHamming = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    pairs should contain((0L, 3L))
+    pairs should contain((0L, 1L))
+    pairs should not contain ((0L, 2L))
+  }
+
+  test("ngramJaccard verification on candidate pairs") {
+    val pairs = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("id_a", "id_b")
+    val out = Dedup.ngramJaccard(docs, pairs, "doc_id", "text", n = 3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    out((0L, 3L)) shouldBe 1.0
+    out((0L, 1L)) should be > 0.5
+    out((0L, 2L)) shouldBe 0.0
+  }
+}
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def vecs = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+    (1L, Array(0.9f, 0.1f, 0.0f, 0.0f)), // close to 0
+    (2L, Array(0.0f, 1.0f, 0.0f, 0.0f)), // orthogonal to 0
+    (3L, Array(-1.0f, 0.0f, 0.0f, 0.0f)) // opposite of 0
+  ).toDF("vec_id", "embedding")
+
+  test("cosine column math") {
+    val out = vecs.as("a").crossJoin(vecs.as("b"))
+      .filter($"a.vec_id" === 0 && $"b.vec_id" === 3)
+      .select(Similarity.cosine($"a.embedding", $"b.embedding")).as[Double].head()
+    out shouldBe -1.0 +- 1e-9
+  }
+
+  test("bruteForceTopK ranks the near vector first") {
+    val queries = vecs.filter($"vec_id" === 0)
+      .select($"vec_id".as("query_id"), $"embedding".as("qvec"))
+    val out = Similarity.bruteForceTopK(vecs, queries, "vec_id", "embedding", "query_id", "qvec", 2)
+      .orderBy(desc("cos")).collect()
+    out.map(_.getLong(1)).toSeq shouldBe Seq(1L, 2L)
+  }
+
+  test("radiusSearch returns the set above threshold") {
+    val queries = vecs.filter($"vec_id" === 0)
+      .select($"vec_id".as("query_id"), $"embedding".as("qvec"))
+    val out = Similarity.radiusSearch(vecs, queries, "vec_id", "embedding", "query_id", "qvec", 0.5)
+    out.select("vec_id").as[Long].collect().toSeq shouldBe Seq(1L)
+  }
+
+  test("lsh bucket is deterministic and groups identical vectors") {
+    val b = vecs.withColumn("bucket", Similarity.lshBucket("embedding", 4, 8))
+      .select("vec_id", "bucket").as[(Long, Long)].collect().toMap
+    b(0L) shouldBe b(0L)
+    // identical direction vectors share a bucket
+    val dup = Seq((9L, Array(1.0f, 0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+      .withColumn("bucket", Similarity.lshBucket("embedding", 4, 8))
+      .select("bucket").as[Long].head()
+    dup shouldBe b(0L)
+  }
+
+  test("embeddingNearDupCandidates finds the close pair") {
+    val out = Similarity.embeddingNearDupCandidates(vecs, "vec_id", "embedding", 4, 0.9, bits = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    out should contain((0L, 1L))
+  }
+
+  test("ivfTopK approximates brute force on clustered data") {
+    val clustered = (0 until 40).map { i =>
+      val base = if (i % 2 == 0) Array(1.0f, 0f, 0f, 0f) else Array(0f, 1.0f, 0f, 0f)
+      (i.toLong, base.map(x => x + (i % 5) * 0.01f))
+    }.toDF("vec_id", "embedding")
+    val queries = clustered.filter($"vec_id" === 0)
+      .select($"vec_id".as("query_id"), $"embedding".as("qvec"))
+    val out = Similarity.ivfTopK(clustered, queries, "vec_id", "embedding", "query_id", "qvec",
+      k = 5, nlist = 2, nprobe = 1)
+    // all results from the even (x-axis) cluster
+    out.select("vec_id").as[Long].collect().foreach(id => (id % 2) shouldBe 0L)
+  }
+}
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tokenCount / ratios / quality on hand-checked strings") {
+    val df = Seq((1L, "The quick brown fox."), (2L, ""), (3L, "a!!! b??? c...")).toDF("id", "text")
+    val out = TextAnalysis.documentStats(df, "id", "text").collect().map(r => r.getLong(0) -> r).toMap
+    out(1L).getAs[Int]("n_tokens") shouldBe 4
+    out(2L).getAs[Int]("n_tokens") shouldBe 0
+    out(3L).getAs[Double]("punct_ratio") shouldBe (9.0 / 14) +- 1e-6
+    out(1L).getAs[Double]("stopword_ratio") shouldBe 0.25 +- 1e-6 // "the"
+  }
+
+  test("langId picks the right profile for obvious text") {
+    val df = Seq(
+      (1L, "the cat and the dog are in the house of the king"),
+      (2L, "der hund und die katze sind schön in einem haus"),
+      (3L, "el perro y la casa de la madre en el jardín que"),
+      (4L, "le chien de la maison est dans le jardin avec que"),
+      (5L, "我是中国人我有一个人的")
+    ).toDF("id", "text")
+    val out = df.select($"id", TextAnalysis.langIdUdf($"text").as("l")).as[(Long, String)].collect().toMap
+    out(1L) shouldBe "en"
+    out(2L) shouldBe "de"
+    out(3L) shouldBe "es"
+    out(4L) shouldBe "fr"
+    out(5L) shouldBe "zh"
+  }
+
+  test("fingerprint is whitespace/case robust") {
+    val df = Seq(Tuple1("a  B\tc"), Tuple1("A B C")).toDF("text")
+    val fps = df.select(TextAnalysis.fingerprint($"text")).as[Long].collect()
+    fps(0) shouldBe fps(1)
+  }
+}
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("attachMeta + extractFeatures + frame plan pipeline") {
+    val df = Seq(
+      (1L, Array[Byte](1, 2, 3, 4, 5, 6, 7, 8, 9, 10)),
+      (2L, Array[Byte](-1, -2, -3))
+    ).toDF("id", "blob")
+    val withMeta = Multimodal.attachMeta(df, "blob", "image")
+    // same field names/types (nullability differs for literal-derived fields)
+    withMeta.schema("media_meta").dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
+      .fields.map(f => (f.name, f.dataType)).toSeq shouldBe
+      Multimodal.mediaMetaType.fields.map(f => (f.name, f.dataType)).toSeq
+
+    val feats = Multimodal.extractFeatures(withMeta, "id", "blob")
+    val f1 = feats.filter($"id" === 1).select("features").as[Seq[Double]].head()
+    f1.length shouldBe 8
+    f1 shouldBe Multimodal.decodeFeaturesStub(Array[Byte](1, 2, 3, 4, 5, 6, 7, 8, 9, 10)).toSeq
+
+    val frames = Multimodal.frameSamplePlan(withMeta, everyMs = 10, maxFrames = 4)
+    frames.filter($"id" === 1)
+      .select(org.apache.spark.sql.functions.size($"frame_ts_ms")).as[Int].head() shouldBe 4
+
+    val resized = Multimodal.resizePlan(withMeta, 224, 224)
+    resized.select($"media_meta.width").as[Int].head() shouldBe 224
+  }
+}

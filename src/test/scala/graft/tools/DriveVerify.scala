@@ -50,6 +50,37 @@ object DriveVerify {
       predicates = Predicates.of(Seq(("l_returnflag", "==", "ZZZ")))).count())
     println("== pushdown plan")
     sel.explain("formatted")
+
+    // ---- cube on real tables: orders seed enriched with customer
+    import graft.cube.{Cube, CubeDef}
+    val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    val customer = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+    val cubeBase = java.nio.file.Files.createTempDirectory("verify-cube").toString
+    val cube = CubeDef("tpch", dimensionColumns = Seq("o_custkey", "o_orderkey"),
+      partitionColumns = Seq("bucket"))
+    val seedDf = orders.withColumn("bucket", pmod(col("o_custkey"), lit(4)))
+    val enrichDf = customer.withColumnRenamed("c_custkey", "o_custkey")
+      .withColumn("bucket", pmod(col("o_custkey"), lit(4)))
+    Cube.build(spark, cubeBase, cube, Map("seed" -> seedDf, "cust" -> enrichDf))
+    val cq = Cube.query(spark, cubeBase, cube,
+      conditions = Predicates.of(Seq(("c_mktsegment", "==", "BUILDING"), ("o_totalprice", ">", 100000.0))))
+    val cqExpected = orders.join(customer, orders("o_custkey") === customer("c_custkey"))
+      .filter(col("c_mktsegment") === "BUILDING" && col("o_totalprice") > 100000.0).count()
+    println(s"cube query rows: ${cq.count()} expected $cqExpected")
+
+    // ---- pipeline ops on real documents/embeddings
+    import graft.ops._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val stats = TextAnalysis.documentStats(docs, "doc_id", "text")
+    val langAcc = stats.join(docs, "doc_id")
+      .filter(col("lang_guess") === col("lang")).count().toDouble / docs.count()
+    println(f"langid accuracy on synthetic docs: $langAcc%.2f (word-salad text; en-biased is expected)")
+    val nearDups = Dedup.minhashCandidates(docs, "doc_id", "text").filter(col("est_jaccard") >= 0.7).count()
+    println(s"minhash near-dup pairs at 0.7: $nearDups")
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.limit(3).select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val topk = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", "query_id", "qvec", 5)
+    println(s"ann topk rows: ${topk.count()} (expect 15)")
     spark.stop()
   }
 }
