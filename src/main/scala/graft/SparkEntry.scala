@@ -59,6 +59,15 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("q1_agg")(spark, "/root/testdata/sf0.001")
 
+  /** Pre-build the shared Ktk/cube fixtures (and warm codegen) so Bench
+    * timings measure query cost, not one-time dataset builds.
+    */
+  def warmup(s: SparkSession, dir: String): Unit = {
+    s.range(1000000).groupBy((col("id") % 7).as("k")).count().count()
+    ensureLineitemDs(s, dir)
+    ensureOrdersCube(s, dir)
+  }
+
   // ------------------------------------------------------------------------
   // Query inventory. Naming convention: q_<area>_<operator>.
   // ------------------------------------------------------------------------

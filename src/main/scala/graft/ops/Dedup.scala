@@ -71,16 +71,30 @@ object Dedup {
   }
 
   /** MinHash signature: for each of `numHashes` seeded permutations, the min
-    * over shingle hashes. One pass per row.
+    * over shingle hashes. One pass over the text, zero allocation beyond the
+    * signature — duplicates need no dedup since min(multiset) == min(set).
     */
-  private[ops] def minhashSignature(text: String, k: Int, numHashes: Int): Array[Long] = {
-    val sh = shingles(text, k)
+  def minhashSignature(text: String, k: Int, numHashes: Int): Array[Long] = {
     val sig = Array.fill(numHashes)(Long.MaxValue)
-    sh.foreach { s =>
+    def update(s: Long): Unit = {
       var i = 0
       while (i < numHashes) {
         val h = mix64(s, i + 2)
         if (h < sig(i)) sig(i) = h
+        i += 1
+      }
+    }
+    val norm = text.toLowerCase.replaceAll("\\s+", " ").trim
+    if (norm.length < k) update(mix64(norm.hashCode.toLong, 0))
+    else {
+      val p = 1099511628211L
+      val pk = { var x = 1L; var j = 0; while (j < k) { x *= p; j += 1 }; x }
+      var h = 0L
+      var i = 0
+      while (i < norm.length) {
+        h = h * p + norm.charAt(i)
+        if (i >= k) h -= pk * norm.charAt(i - k)
+        if (i >= k - 1) update(mix64(h, 1))
         i += 1
       }
     }
@@ -108,49 +122,71 @@ object Dedup {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
     val spark = df.sparkSession
-    val sigUdf = udf((t: String) => minhashSignature(if (t == null) "" else t, shingleK, numHashes))
+    // one pass per row: signature + per-band bucket hashes, both primitive
+    val sigUdf = udf { (t: String) =>
+      val sig = minhashSignature(if (t == null) "" else t, shingleK, numHashes)
+      val bandHash = Array.tabulate(bands) { b =>
+        var h = b.toLong
+        var i = 0
+        while (i < rowsPerBand) { h = mix64(h ^ sig(b * rowsPerBand + i), i + 11); i += 1 }
+        h
+      }
+      // b-bit minhash: keep one byte per slot for the verification stage --
+      // 8x smaller shuffle/join payload, estimator bias bounded by 1/256
+      val sigBytes = Array.tabulate(numHashes)(i => (sig(i) & 0xff).toByte)
+      (sigBytes, bandHash)
+    }
 
-    val sigs = df.select(col(idCol).as("id"), sigUdf(col(textCol)).as("sig"))
+    // documents usually arrive as few large files; spread the CPU-bound
+    // signature computation across the cluster before the per-row pass
+    val par = spark.sparkContext.defaultParallelism
+    val sigs = df.select(col(idCol).as("id"), col(textCol).as("__t"))
+      .repartition(par)
+      .select(col("id"), sigUdf(col("__t")).as("s"))
+      .select(col("id"), col("s._1").as("sig"), col("s._2").as("bands"))
 
-    // band bucket keys: hash of each signature slice
-    val banded = sigs.select(
-      col("id"), col("sig"),
-      posexplode(expr(s"transform(sequence(0, ${bands - 1}), b -> xxhash64(b, slice(sig, b * $rowsPerBand + 1, $rowsPerBand)))"))
-        .as(Seq("band", "bucket")))
-
-    val buckets = banded
-      .groupBy("band", "bucket")
-      .agg(collect_list(struct(col("id"), col("sig"))).as("members"))
-      .filter(size(col("members")).between(2, maxBucket))
-
-    // pair expansion + signature-overlap estimate, executor-side
-    val pairUdf = udf((members: Seq[org.apache.spark.sql.Row]) => {
-      val arr = members.map(r => (r.getLong(0), r.getSeq[Long](1))).sortBy(_._1)
-      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+    // candidate generation shuffles ONLY (band, bucket, id) — 24 bytes/row,
+    // never the 8*numHashes-byte signature
+    val banded = sigs.select(col("id"), posexplode(col("bands")).as(Seq("band", "bucket")))
+    val pairUdf = udf((members: Seq[Long]) => {
+      val arr = members.sorted.toArray
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
       var i = 0
       while (i < arr.length) {
         var j = i + 1
-        while (j < arr.length) {
-          val (a, sa) = arr(i); val (b, sb) = arr(j)
-          var m = 0; var t = 0
-          while (t < sa.length) { if (sa(t) == sb(t)) m += 1; t += 1 }
-          out += ((a, b, m.toDouble / sa.length))
-          j += 1
-        }
+        while (j < arr.length) { out += ((arr(i), arr(j))); j += 1 }
         i += 1
       }
       out.toSeq
     })
-    buckets
+    val pairs = banded
+      .groupBy("band", "bucket")
+      .agg(collect_list(col("id")).as("members"))
+      .filter(size(col("members")).between(2, maxBucket))
       .select(explode(pairUdf(col("members"))).as("p"))
-      .select(col("p._1").as("id_a"), col("p._2").as("id_b"), col("p._3").as("est_jaccard"))
-      .groupBy("id_a", "id_b").agg(max("est_jaccard").as("est_jaccard"))
+      .select(col("p._1").as("id_a"), col("p._2").as("id_b"))
+      .distinct()
+
+    // signature-overlap estimate only for surviving candidate pairs
+    val overlapUdf = udf((sa: Array[Byte], sb: Array[Byte]) => {
+      var m = 0; var t = 0
+      while (t < sa.length) { if (sa(t) == sb(t)) m += 1; t += 1 }
+      m.toDouble / sa.length
+    })
+    pairs
+      .join(sigs.select(col("id").as("id_a"), col("sig").as("__sa")), "id_a")
+      .join(sigs.select(col("id").as("id_b"), col("sig").as("__sb")), "id_b")
+      .select(col("id_a"), col("id_b"), overlapUdf(col("__sa"), col("__sb")).as("est_jaccard"))
   }
 
-  /** Near-dedup via MinHash: drop the higher id of every candidate pair at or
-    * above `threshold` (greedy, deterministic; transitive chains collapse to
-    * the minimum id reachable via repeated application — single pass here,
-    * documented approximation of full connected components).
+  /** Near-dedup via MinHash with STAR-shaped bucket verification: within
+    * each LSH bucket only (minId, member) edges are scored — O(n) per bucket
+    * instead of the O(n²) all-pairs expansion, which matters precisely on
+    * duplicate-heavy corpora where dup clusters form giant buckets. A member
+    * whose signature overlap with the bucket representative reaches
+    * `threshold` is dropped (greedy, deterministic; a chain A~B~C where only
+    * B collides with both keeps C as its subgroup's representative —
+    * documented approximation of connected components).
     */
   def minhashDedup(
       df: DataFrame,
@@ -160,8 +196,42 @@ object Dedup {
       shingleK: Int = 5,
       numHashes: Int = 128,
       bands: Int = 32): DataFrame = {
-    val losers = minhashCandidates(df, idCol, textCol, shingleK, numHashes, bands)
-      .filter(col("est_jaccard") >= threshold)
+    val rowsPerBand = numHashes / bands
+    val spark = df.sparkSession
+    val sigUdf = udf { (t: String) =>
+      val sig = minhashSignature(if (t == null) "" else t, shingleK, numHashes)
+      val bandHash = Array.tabulate(bands) { b =>
+        var h = b.toLong
+        var i = 0
+        while (i < rowsPerBand) { h = mix64(h ^ sig(b * rowsPerBand + i), i + 11); i += 1 }
+        h
+      }
+      // b-bit minhash: keep one byte per slot for the verification stage --
+      // 8x smaller shuffle/join payload, estimator bias bounded by 1/256
+      val sigBytes = Array.tabulate(numHashes)(i => (sig(i) & 0xff).toByte)
+      (sigBytes, bandHash)
+    }
+    val sigs = df.select(col(idCol).as("id"), col(textCol).as("__t"))
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("id"), sigUdf(col("__t")).as("s"))
+      .select(col("id"), col("s._1").as("sig"), col("s._2").as("bands"))
+    val banded = sigs.select(col("id"), posexplode(col("bands")).as(Seq("band", "bucket")))
+    // star edges: every member vs the bucket's min id (one window, no UDF)
+    val w = Window.partitionBy("band", "bucket")
+    val edges = banded
+      .withColumn("rep", min(col("id")).over(w))
+      .filter(col("id") =!= col("rep"))
+      .select(col("rep").as("id_a"), col("id").as("id_b"))
+      .distinct()
+    val overlapUdf = udf((sa: Array[Byte], sb: Array[Byte]) => {
+      var m = 0; var t = 0
+      while (t < sa.length) { if (sa(t) == sb(t)) m += 1; t += 1 }
+      m.toDouble / sa.length
+    })
+    val losers = edges
+      .join(sigs.select(col("id").as("id_a"), col("sig").as("__sa")), "id_a")
+      .join(sigs.select(col("id").as("id_b"), col("sig").as("__sb")), "id_b")
+      .filter(overlapUdf(col("__sa"), col("__sb")) >= threshold)
       .select(col("id_b").as(idCol)).distinct()
     df.join(losers, Seq(idCol), "left_anti")
   }
@@ -191,7 +261,9 @@ object Dedup {
     */
   def simhashCandidates(df: DataFrame, idCol: String, textCol: String, maxHamming: Int = 3): DataFrame = {
     val shUdf = udf((t: String) => simhash64(t))
-    val hashes = df.select(col(idCol).as("id"), shUdf(col(textCol)).as("sh"))
+    val hashes = df.select(col(idCol).as("id"), col(textCol).as("__t"))
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .select(col("id"), shUdf(col("__t")).as("sh"))
     val banded = hashes.select(col("id"), col("sh"),
       posexplode(expr("transform(sequence(0,3), b -> (shiftright(sh, b*16) & 65535))")).as(Seq("band", "chunk")))
     val pairs = banded.as("a").join(banded.as("b"),

@@ -56,20 +56,40 @@ object Similarity {
       .select(col(queryIdCol), col(idCol), cosine(col(vecCol), col(queryVecCol)).as("cos"))
       .filter(col(queryIdCol) =!= col(idCol) && col("cos") >= minCosine)
 
-  /** Random-hyperplane LSH signature: `bits` sign bits of dot(v, h_i) with
-    * deterministic pseudo-random hyperplanes derived from (i, dim) — no
-    * stored model, reproducible across runs. Vectors sharing a signature
-    * bucket are near-duplicate candidates.
+  /** Deterministic ±1 hyperplane matrix derived from (i, d) by an avalanche
+    * hash — no stored model, reproducible across runs and engines.
+    */
+  private[ops] def hyperplanes(dim: Int, bits: Int): Array[Array[Double]] =
+    Array.tabulate(bits, dim) { (i, d) =>
+      var x = (i.toLong << 32 | d.toLong) * 0x9E3779B97F4A7C15L
+      x ^= (x >>> 30); x *= 0xBF58476D1CE4E5B9L
+      x ^= (x >>> 27)
+      if (x >= 0) 1.0 else -1.0
+    }
+
+  /** Random-hyperplane LSH signature: `bits` sign bits of dot(v, h_i).
+    * Vectors sharing a signature bucket are near-duplicate candidates.
+    * Implemented as a single-pass Scala UDF over the precomputed plane
+    * matrix — orders of magnitude cheaper than interpreted higher-order
+    * expressions at bits x dim per row.
     */
   def lshBucket(vecColName: String, dim: Int, bits: Int = 16): Column = {
-    // h_i[d] in {-1,+1} from a hash of (i,d): sign bit of xxhash64
-    val planeExprs = (0 until bits).map { i =>
-      val terms = s"aggregate(zip_with(`$vecColName`, sequence(0, ${dim - 1}), " +
-        s"(x, d) -> CAST(x AS DOUBLE) * (CASE WHEN xxhash64($i, d) > 0 THEN 1.0 ELSE -1.0 END)), " +
-        "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
-      s"(CASE WHEN $terms >= 0 THEN ${1L << i}L ELSE 0L END)"
+    val planes = hyperplanes(dim, bits)
+    val f = udf { (v: Seq[Float]) =>
+      var bucket = 0L
+      var i = 0
+      while (i < planes.length) {
+        val p = planes(i)
+        var s = 0.0
+        var d = 0
+        val n = math.min(p.length, v.length)
+        while (d < n) { s += v(d) * p(d); d += 1 }
+        if (s >= 0) bucket |= (1L << i)
+        i += 1
+      }
+      bucket
     }
-    expr(planeExprs.mkString("(", " + ", ")"))
+    f(col(s"`$vecColName`"))
   }
 
   /** Bucketed ANN: group corpus by LSH bucket, search each query only in its
@@ -81,7 +101,8 @@ object Similarity {
       idCol: String, vecCol: String,
       queryIdCol: String, queryVecCol: String,
       k: Int, dim: Int, bits: Int = 12): DataFrame = {
-    val cb = corpus.withColumn("__bucket", lshBucket(vecCol, dim, bits))
+    val par = corpus.sparkSession.sparkContext.defaultParallelism
+    val cb = corpus.repartition(par).withColumn("__bucket", lshBucket(vecCol, dim, bits))
     val qb = queries.withColumn("__bucket", lshBucket(queryVecCol, dim, bits))
     val joined = cb.join(qb.hint("broadcast"), Seq("__bucket"))
       .select(col(queryIdCol), col(idCol), cosine(col(vecCol), col(queryVecCol)).as("cos"))
@@ -96,7 +117,8 @@ object Similarity {
   def embeddingNearDupCandidates(
       corpus: DataFrame, idCol: String, vecCol: String,
       dim: Int, minCosine: Double, bits: Int = 10): DataFrame = {
-    val cb = corpus.withColumn("__bucket", lshBucket(vecCol, dim, bits))
+    val cb = corpus.repartition(corpus.sparkSession.sparkContext.defaultParallelism)
+      .withColumn("__bucket", lshBucket(vecCol, dim, bits))
       .select(col(idCol).as("id"), col(vecCol).as("v"), col("__bucket"))
     cb.as("a").join(cb.as("b"), col("a.__bucket") === col("b.__bucket") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"), cosine(col("a.v"), col("b.v")).as("cos"))
