@@ -406,6 +406,117 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    // -------------------------------------------------- more relational ops
+    "q_csv_roundtrip" -> ((s, dir) => {
+      // CSV sink + scan (≙ serialization/_csv.py): `;`-separated roundtrip
+      val base = scratch(dir)
+      val out = s"$base/region_csv"
+      t(s, dir, "region").write.mode("overwrite").option("sep", ";").option("header", "true").csv(out)
+      s.read.option("sep", ";").option("header", "true")
+        .schema("r_regionkey INT, r_name STRING").csv(out)
+        .withColumn("r_regionkey", col("r_regionkey").cast("long"))
+        .orderBy("r_regionkey")
+    }),
+
+    "q_date_pred" -> ((s, dir) => {
+      // string literal against a timestamp column — predicate value
+      // normalization (≙ core/index.py normalize_value date parsing)
+      val p = Predicates.of(Seq(("l_shipdate", ">=", "2000-06-01"), ("l_shipdate", "<", "2000-08-01")))
+      t(s, dir, "lineitem").filter(p.toColumn)
+        .groupBy("l_returnflag").agg(count(lit(1)).as("n"))
+        .orderBy("l_returnflag")
+    }),
+
+    "q_topk" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("o_totalprice"))
+        .sort(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(20)
+    }),
+
+    "q_window_rank" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      t(s, dir, "orders")
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select(col("o_orderpriority"), col("rnk"), col("o_orderkey"),
+          round(col("o_totalprice"), 2).as("o_totalprice"))
+        .orderBy("o_orderpriority", "rnk")
+    }),
+
+    "q_rollup" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("sum_qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+    }),
+
+    "q_distinct_agg" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(countDistinct(col("l_partkey")).as("distinct_parts"),
+          countDistinct(col("l_suppkey")).as("distinct_supps"))
+        .orderBy("l_returnflag")
+    }),
+
+    "q_semi_join" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val bigParts = t(s, dir, "part").filter(col("p_size") >= 45)
+      li.join(bigParts.hint("broadcast"), li("l_partkey") === bigParts("p_partkey"), "left_semi")
+        .groupBy("l_returnflag").agg(count(lit(1)).as("n"))
+        .orderBy("l_returnflag")
+    }),
+
+    "q_anti_join" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select("c_custkey", "c_mktsegment")
+        .orderBy("c_custkey")
+    }),
+
+    "q_intersect" -> ((s, dir) => {
+      val sup = t(s, dir, "supplier").select(col("s_nationkey").cast("long").as("nk"))
+      val cus = t(s, dir, "customer").select(col("c_nationkey").cast("long").as("nk"))
+      sup.intersect(cus).orderBy("nk")
+    }),
+
+    "q_except" -> ((s, dir) => {
+      val nat = t(s, dir, "nation").select(col("n_nationkey").cast("long").as("nk"))
+      val sup = t(s, dir, "supplier").select(col("s_nationkey").cast("long").as("nk"))
+      nat.except(sup).orderBy("nk")
+    }),
+
+    // -------------------------------------------------- streaming
+    "q_stream_window" -> ((s, dir) => {
+      // Structured Streaming over the events table: windowed count/sum with
+      // Trigger.AvailableNow into a memory sink — the batch-incremental
+      // shape (≙ the reference's closest concept, incremental updates;
+      // SURVEY §2.8) expressed as a real streaming query.
+      import org.apache.spark.sql.streaming.Trigger
+      val name = "ev_" + Integer.toHexString(dir.hashCode)
+      // the streaming source needs a directory; stage the table file into one
+      val stageDir = java.nio.file.Paths.get(scratch(dir), "events_stream")
+      java.nio.file.Files.createDirectories(stageDir)
+      val target = stageDir.resolve("events.parquet")
+      if (!java.nio.file.Files.exists(target))
+        java.nio.file.Files.copy(java.nio.file.Paths.get(s"$dir/events.parquet"), target)
+      val schema = "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING"
+      val stream = s.readStream.schema(schema).parquet(stageDir.toString)
+        .withColumn("tstamp", timestamp_micros((col("ts") / 1000).cast("long")))
+        .withWatermark("tstamp", "1 day")
+        .groupBy(window(col("tstamp"), "1 day"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      val q = stream.writeStream.format("memory").queryName(name)
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(name)
+        .select(to_date(col("window.start")).as("day"), col("event_type"), col("n"), col("sum_value"))
+        .orderBy("day", "event_type")
+    }),
+
     // -------------------------------------------------- maintenance ops
     "q_hash_dataset" -> ((s, dir) => {
       Ktk.hashDataset(t(s, dir, "region"), Seq("r_regionkey"))
@@ -577,6 +688,59 @@ object SparkEntry {
         |        (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))), 6) AS jaccard
         |FROM grams a JOIN mut b ON a.doc_id = b.doc_id
         |ORDER BY 1""".stripMargin,
+
+    "q_csv_roundtrip" ->
+      "SELECT CAST(r_regionkey AS BIGINT) AS r_regionkey, r_name FROM region ORDER BY 1",
+
+    "q_date_pred" ->
+      """SELECT l_returnflag, count(*) AS n FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '2000-06-01' AND l_shipdate < TIMESTAMP '2000-08-01'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_topk" ->
+      """SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice FROM orders
+        |ORDER BY round(o_totalprice, 2) DESC, o_orderkey ASC LIMIT 20""".stripMargin,
+
+    "q_window_rank" ->
+      """SELECT o_orderpriority, rnk, o_orderkey, o_totalprice FROM (
+        |  SELECT o_orderpriority, o_orderkey, round(o_totalprice, 2) AS o_totalprice,
+        |    row_number() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
+        |  FROM orders) WHERE rnk <= 3 ORDER BY 1, 2""".stripMargin,
+
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    "q_distinct_agg" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS distinct_parts,
+        |  count(DISTINCT l_suppkey) AS distinct_supps
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_semi_join" ->
+      """SELECT l_returnflag, count(*) AS n FROM lineitem
+        |WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size >= 45)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_anti_join" ->
+      """SELECT c_custkey, c_mktsegment FROM customer
+        |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+        |ORDER BY 1""".stripMargin,
+
+    "q_intersect" ->
+      """SELECT CAST(s_nationkey AS BIGINT) AS nk FROM supplier
+        |INTERSECT
+        |SELECT CAST(c_nationkey AS BIGINT) AS nk FROM customer ORDER BY 1""".stripMargin,
+
+    "q_except" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS nk FROM nation
+        |EXCEPT
+        |SELECT CAST(s_nationkey AS BIGINT) AS nk FROM supplier ORDER BY 1""".stripMargin,
+
+    "q_stream_window" ->
+      """SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+        |  count(*) AS n, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q_ann_topk" ->
       """SELECT a.vec_id AS query_id, b.vec_id
