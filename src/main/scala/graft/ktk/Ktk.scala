@@ -450,14 +450,14 @@ object Ktk {
   }
 
   /** Content hash per group (≙ hash_dataset, io/dask/dataframe.py:577-649):
-    * order-independent per-group sum of row hashes.
+    * order-independent per-group sum of row hashes, accumulated in decimal
+    * so ANSI mode cannot overflow, folded back to one long.
     */
   def hashDataset(df: DataFrame, groupKeys: Seq[String]): DataFrame = {
     val payload = df.columns.toSeq
-    val h = xxhash64(payload.map(c => col(s"`$c`")): _*)
-    if (groupKeys.isEmpty)
-      df.agg(sum(h).as("hash"))
-    else
-      df.groupBy(groupKeys.map(c => col(s"`$c`")): _*).agg(sum(h).as("hash"))
+    val h = xxhash64(payload.map(c => col(s"`$c`")): _*).cast("decimal(38,0)")
+    val folded = pmod(sum(h), lit(Long.MaxValue).cast("decimal(38,0)")).cast("long").as("hash")
+    if (groupKeys.isEmpty) df.agg(folded)
+    else df.groupBy(groupKeys.map(c => col(s"`$c`")): _*).agg(folded)
   }
 }

@@ -1,0 +1,78 @@
+package graft.ktk
+
+import graft.SparkSpec
+import graft.core.Predicates
+import graft.cube.{Cube, CubeDef}
+import org.apache.spark.sql.functions._
+
+/** Coverage for the remaining io surface: iterator backend, cube extend +
+  * stats, multi-commit overlays, dataset hashing.
+  */
+class KtkMoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("iterator backend yields the same rows as the full read") {
+    val base = tmpDir("ktk")
+    val df = Seq((1, "a"), (2, "b"), (3, "c")).toDF("p", "v")
+    Ktk.store(spark, base, "it", df, partitionOn = Seq("p"))
+    val viaIter = Ktk.readTableAsIterator(spark, base, "it").map(_.getString(1)).toSeq.sorted
+    viaIter shouldBe Seq("a", "b", "c")
+  }
+
+  test("cube extend adds an enrichment dataset; payload overlap still banned") {
+    val base = tmpDir("cube")
+    val cube = CubeDef("x", Seq("k"), Seq("p"))
+    Cube.build(spark, base, cube, Map("seed" -> Seq((1, 0, 10.0), (2, 1, 20.0)).toDF("k", "p", "v")))
+    Cube.extend(spark, base, cube, Map("extra" -> Seq((1, 0, "meta1")).toDF("k", "p", "m")))
+    val out = Cube.query(spark, base, cube)
+    out.columns.toSeq shouldBe Seq("k", "p", "m", "v")
+    out.count() shouldBe 2
+    out.filter($"k" === 1).select("m").as[String].head() shouldBe "meta1"
+    // extending with a payload column the seed already exposes must fail
+    an[IllegalArgumentException] should be thrownBy
+      Cube.extend(spark, base, cube, Map("bad" -> Seq((1, 0, 9.9)).toDF("k", "p", "v")))
+  }
+
+  test("multi-commit overlay: second update wins over first") {
+    val base = tmpDir("cube")
+    val cube = CubeDef("m", Seq("k"), Seq("p"))
+    Cube.build(spark, base, cube, Map("seed" -> Seq((1, 0, "v0")).toDF("k", "p", "v")))
+    Cube.append(spark, base, cube, Map("seed" -> Seq((1, 0, "v1")).toDF("k", "p", "v")))
+    Cube.append(spark, base, cube, Map("seed" -> Seq((1, 0, "v2")).toDF("k", "p", "v")))
+    Cube.query(spark, base, cube).select("v").as[String].head() shouldBe "v2"
+    // commit sequence numbers are monotone in the metadata
+    val md = DatasetMetadata.load(spark, base, "m++seed")
+    md.partitions.keys.map(md.seqOf).toSet shouldBe Set(0L, 1L, 2L)
+  }
+
+  test("collectStats aggregates per cube dataset") {
+    val base = tmpDir("cube")
+    val cube = CubeDef("s", Seq("k"), Seq("p"))
+    Cube.build(spark, base, cube, Map(
+      "seed" -> Seq((1, 0, 1.0), (2, 1, 2.0)).toDF("k", "p", "v"),
+      "e" -> Seq((1, 0, "x")).toDF("k", "p", "w")))
+    val stats = Cube.collectStats(spark, base, cube).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    stats("seed") shouldBe 2
+    stats("e") shouldBe 1
+  }
+
+  test("hashDataset is order-invariant and content-sensitive") {
+    val a = Seq((1, "x"), (2, "y")).toDF("k", "v")
+    val b = Seq((2, "y"), (1, "x")).toDF("k", "v") // same content, other order
+    val c = Seq((1, "x"), (2, "z")).toDF("k", "v")
+    val ha = Ktk.hashDataset(a, Nil).head.getLong(0)
+    Ktk.hashDataset(b, Nil).head.getLong(0) shouldBe ha
+    Ktk.hashDataset(c, Nil).head.getLong(0) should not be ha
+  }
+
+  test("csv roundtrip preserves content with explicit schema") {
+    val base = tmpDir("csv")
+    val df = Seq((1L, "north america"), (2L, "euro;pe")).toDF("id", "name")
+    df.write.option("sep", ";").option("header", "true").option("quote", "\"").csv(s"$base/out")
+    val back = spark.read.option("sep", ";").option("header", "true").option("quote", "\"")
+      .schema("id LONG, name STRING").csv(s"$base/out")
+    back.orderBy("id").collect().map(r => (r.getLong(0), r.getString(1))).toSeq shouldBe
+      Seq((1L, "north america"), (2L, "euro;pe"))
+  }
+}
