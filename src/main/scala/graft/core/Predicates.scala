@@ -138,6 +138,48 @@ final case class Predicates(disjunction: Seq[Seq[PredLiteral]]) {
 object Predicates {
   val empty: Predicates = Predicates(Nil)
 
+  /** Parse a condition string (≙ Conjunction.from_string,
+    * core/cube/conditions.py:662-695): literals `col op value` joined by
+    * `&`; ops `== != <= >= < > in`; `in` takes a bracketed comma list.
+    * Values: int, float, bool, null, `'quoted'` or bare string.
+    * One conjunction per string — combine via [[Predicates.apply]] for
+    * disjunctions.
+    */
+  def parseConjunction(s: String): Seq[PredLiteral] =
+    s.split("&").toSeq.map(_.trim).filter(_.nonEmpty).map { lit =>
+      val m = java.util.regex.Pattern
+        .compile("^(\\S+)\\s*(==|!=|<=|>=|<|>|in)\\s*(.+)$").matcher(lit)
+      require(m.matches(), s"Cannot parse condition literal: '$lit'")
+      val (c, op, raw) = (m.group(1), m.group(2), m.group(3).trim)
+      val value: Any =
+        if (op == "in") {
+          require(raw.startsWith("[") && raw.endsWith("]"), s"'in' needs [..] list: '$lit'")
+          raw.substring(1, raw.length - 1).split(",").toSeq.map(v => parseValue(v.trim))
+        } else parseValue(raw)
+      PredLiteral(c, PredOp.fromString(op), value)
+    }
+
+  def parse(s: String): Predicates =
+    Predicates(s.split("\\|\\|").toSeq.map(_.trim).filter(_.nonEmpty).map(parseConjunction))
+
+  private def parseValue(raw: String): Any = {
+    val unq =
+      if ((raw.startsWith("'") && raw.endsWith("'")) || (raw.startsWith("\"") && raw.endsWith("\"")))
+        return raw.substring(1, raw.length - 1)
+      else raw
+    unq match {
+      case "null"          => null
+      case "true" | "True"   => true
+      case "false" | "False" => false
+      case v =>
+        try v.toLong
+        catch {
+          case _: NumberFormatException =>
+            try v.toDouble catch { case _: NumberFormatException => v }
+        }
+    }
+  }
+
   /** Convenience builder mirroring the reference's nested-list literal form:
     * Predicates.of(Seq(("p","==",1), ("x",">",5)))  — one conjunction.
     */

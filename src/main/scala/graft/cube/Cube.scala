@@ -270,6 +270,19 @@ object Cube {
   def delete(spark: SparkSession, base: String, cube: CubeDef): Unit =
     discover(spark, base, cube).keys.foreach(n => DatasetMetadata.delete(spark, base, cube.uuid(n)))
 
+  /** Copy every cube dataset under a new uuid prefix (≙ copy_cube). */
+  def copy(spark: SparkSession, base: String, cube: CubeDef, toPrefix: String): CubeDef = {
+    val target = cube.copy(uuidPrefix = toPrefix)
+    discover(spark, base, cube).keys.foreach(n =>
+      Ktk.copyDataset(spark, base, cube.uuid(n), target.uuid(n)))
+    target
+  }
+
+  /** Remove untracked files from every cube dataset (≙ cleanup_cube). */
+  def cleanup(spark: SparkSession, base: String, cube: CubeDef): Seq[String] =
+    discover(spark, base, cube).keys.toSeq.sorted
+      .flatMap(n => Ktk.garbageCollect(spark, base, cube.uuid(n)))
+
   /** Footer stats over all cube datasets (≙ collect_stats). */
   def collectStats(spark: SparkSession, base: String, cube: CubeDef): DataFrame = {
     val dfs = discover(spark, base, cube).keys.toSeq.sorted

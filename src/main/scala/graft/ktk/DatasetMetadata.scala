@@ -124,6 +124,18 @@ object DatasetMetadata {
       .sorted
   }
 
+  /** Recursive metadata-dict merge keeping only globally-consistent keys
+    * (≙ combine_metadata, io_components/utils.py:45-118): a key kept only if
+    * every input that has it agrees on the value.
+    */
+  def combineMetadata(metas: Seq[Map[String, String]]): Map[String, String] = {
+    val keys = metas.flatMap(_.keySet).distinct
+    keys.flatMap { k =>
+      val vals = metas.flatMap(_.get(k)).distinct
+      if (vals.size == 1) Some(k -> vals.head) else None
+    }.toMap
+  }
+
   /** Delete dataset: files and indices first, metadata blob LAST, preserving
     * the reference's ordering guarantee (io_components/delete.py:8-26) —
     * a dataset is discoverable only while fully present.

@@ -49,16 +49,26 @@ object Ktk {
       sortBy: Seq[String] = Nil,
       secondaryIndices: Seq[String] = Nil,
       overwrite: Boolean = false,
-      userMetadata: Map[String, String] = Map.empty): DatasetMetadata = {
+      userMetadata: Map[String, String] = Map.empty,
+      bucketBy: Seq[String] = Nil,
+      numBuckets: Int = 32): DatasetMetadata = {
 
     if (!overwrite && DatasetMetadata.exists(spark, base, uuid))
       throw new IllegalStateException(s"Dataset '$uuid' already exists (pass overwrite=true)")
     partitionOn.foreach(c => require(df.columns.contains(c), s"partition_on column '$c' missing"))
 
     val normalized = SchemaUtil.normalize(df, partitionOn)
-    val sorted =
-      if (sortBy.nonEmpty) normalized.sortWithinPartitions(sortBy.map(c => col(s"`$c`")): _*)
+    // hash-bucket shuffle before the write (≙ io/dask/_shuffle.py:23-137):
+    // co-locates rows by bucket key and bounds files-per-partition-dir to
+    // the bucket count — the payload packing of the reference is obsolete,
+    // Tungsten shuffle already serializes+compresses
+    val bucketed =
+      if (bucketBy.nonEmpty)
+        normalized.repartition(numBuckets, (partitionOn ++ bucketBy).map(c => col(s"`$c`")): _*)
       else normalized
+    val sorted =
+      if (sortBy.nonEmpty) bucketed.sortWithinPartitions(sortBy.map(c => col(s"`$c`")): _*)
+      else bucketed
 
     val tableDir = s"$base/$uuid/table"
     val writer = sorted.write.mode(SaveMode.Overwrite)
@@ -366,6 +376,42 @@ object Ktk {
 
     DatasetMetadata.store(spark, base, md1)
     md1
+  }
+
+  /** Register + build a secondary index on an EXISTING dataset
+    * (≙ build_dataset_indices, io/eager.py): index job + metadata commit.
+    */
+  def addIndex(spark: SparkSession, base: String, uuid: String, column: String): DatasetMetadata = {
+    val md = DatasetMetadata.load(spark, base, uuid)
+    require(md.schema.fieldNames.contains(column), s"index column '$column' not in schema")
+    buildIndex(spark, base, md, column)
+    val md2 = md.copy(indices = md.indices + (column -> s"$column.parquet"))
+    DatasetMetadata.store(spark, base, md2)
+    md2
+  }
+
+  /** Dataset-merge join (≙ merge_datasets_as_delayed,
+    * io_components/merge.py:25-128): join two datasets on their shared
+    * columns (pandas-merge semantics: key columns appear once). The
+    * reference aligns partitions by label to co-locate the join; on Spark
+    * bucketing/AQE provide placement, so semantics reduce to a plain join
+    * with both sides' predicates pushed into their own scans.
+    */
+  def mergeDatasets(
+      spark: SparkSession,
+      base: String,
+      leftUuid: String,
+      rightUuid: String,
+      how: String = "inner",
+      predicates: Predicates = Predicates.empty): DataFrame = {
+    val l = DatasetMetadata.load(spark, base, leftUuid)
+    val r = DatasetMetadata.load(spark, base, rightUuid)
+    val shared = (l.schema.fieldNames.toSet intersect r.schema.fieldNames.toSet).toSeq.sorted
+    require(shared.nonEmpty, s"datasets '$leftUuid' and '$rightUuid' share no columns")
+    val lp = predicates.restrictToColumns(l.schema.fieldNames.toSet).getOrElse(Predicates.empty)
+    val rp = predicates.restrictToColumns(r.schema.fieldNames.toSet).getOrElse(Predicates.empty)
+    readTableWithMetadata(spark, base, l, predicates = lp)
+      .join(readTableWithMetadata(spark, base, r, predicates = rp), shared, how)
   }
 
   // ---------------------------------------------------------------- gc / copy

@@ -1,0 +1,116 @@
+package graft.ktk
+
+import graft.SparkSpec
+import graft.core.{PredLiteral, PredOp, Predicates}
+import org.apache.spark.sql.functions._
+
+/** New surface: addIndex, mergeDatasets, bucketed store, metadata combine,
+  * condition parsing, CLI plumbing.
+  */
+class KtkSurfaceSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("addIndex on existing dataset enables pruned reads") {
+    val base = tmpDir("ktk")
+    val df = Seq((1, "a", "x"), (2, "b", "y"), (3, "c", "x")).toDF("p", "v", "tag")
+    Ktk.store(spark, base, "ds", df, partitionOn = Seq("p"))
+    Ktk.addIndex(spark, base, "ds", "tag")
+    val md = DatasetMetadata.load(spark, base, "ds")
+    md.indices.keySet shouldBe Set("tag")
+    val labels = Ktk.queryLabels(spark, base, md, Predicates.of(Seq(("tag", "==", "x"))))
+    labels.size shouldBe 2
+    Ktk.readTable(spark, base, "ds", predicates = Predicates.of(Seq(("tag", "==", "x"))))
+      .select("v").as[String].collect().sorted.toSeq shouldBe Seq("a", "c")
+  }
+
+  test("mergeDatasets joins on shared columns with pushdown per side") {
+    val base = tmpDir("ktk")
+    Ktk.store(spark, base, "l", Seq((1, "a", 1.0), (2, "b", 2.0)).toDF("k", "lv", "x"))
+    Ktk.store(spark, base, "r", Seq((1, "A"), (3, "C")).toDF("k", "rv"))
+    val inner = Ktk.mergeDatasets(spark, base, "l", "r")
+    inner.columns.toSeq.sorted shouldBe Seq("k", "lv", "rv", "x")
+    inner.select("k").as[Long].collect().toSeq shouldBe Seq(1L)
+    val left = Ktk.mergeDatasets(spark, base, "l", "r", how = "left",
+      predicates = Predicates.of(Seq(("x", ">", 0.0))))
+    left.count() shouldBe 2
+  }
+
+  test("bucketed store bounds files per partition and preserves content") {
+    val base = tmpDir("ktk")
+    val df = (0 until 1000).map(i => (i % 2, i.toLong, s"v$i")).toDF("p", "k", "v")
+      .repartition(16) // simulate many input tasks
+    Ktk.store(spark, base, "b", df, partitionOn = Seq("p"), bucketBy = Seq("k"), numBuckets = 4)
+    val md = DatasetMetadata.load(spark, base, "b")
+    // without bucketing this would be up to 16 files per dir; bucketed <= 4
+    md.partitions.keys.groupBy(_.split('/').head).values.foreach(_.size should be <= 4)
+    Ktk.readTable(spark, base, "b").count() shouldBe 1000
+  }
+
+  test("combineMetadata keeps only globally consistent keys") {
+    DatasetMetadata.combineMetadata(Seq(
+      Map("a" -> "1", "b" -> "2"), Map("a" -> "1", "b" -> "3", "c" -> "4"))) shouldBe
+      Map("a" -> "1", "c" -> "4")
+  }
+
+  test("condition-string parser: ops, types, in-lists, disjunction") {
+    Predicates.parse("x > 5 & name == 'a b'") shouldBe
+      Predicates(Seq(Seq(PredLiteral("x", PredOp.Gt, 5L), PredLiteral("name", PredOp.Eq, "a b"))))
+    Predicates.parse("f >= 1.5") shouldBe
+      Predicates(Seq(Seq(PredLiteral("f", PredOp.Ge, 1.5))))
+    Predicates.parse("s in [a, b, 3]") shouldBe
+      Predicates(Seq(Seq(PredLiteral("s", PredOp.In, Seq("a", "b", 3L)))))
+    Predicates.parse("a == null || b != 2") shouldBe
+      Predicates(Seq(Seq(PredLiteral("a", PredOp.Eq, null)), Seq(PredLiteral("b", PredOp.Ne, 2L))))
+  }
+
+  test("cli: info/query/index/cleanup run against a real dataset") {
+    val base = tmpDir("cli")
+    Ktk.store(spark, base, "ds", Seq((1, "a"), (2, "b")).toDF("p", "v"), partitionOn = Seq("p"))
+    graft.tools.Cli.run(spark, Array("list", base))
+    graft.tools.Cli.run(spark, Array("info", base, "ds"))
+    graft.tools.Cli.run(spark, Array("query", base, "ds", "p == 1"))
+    graft.tools.Cli.run(spark, Array("index", base, "ds", "v"))
+    DatasetMetadata.load(spark, base, "ds").indices.keySet shouldBe Set("v")
+    graft.tools.Cli.run(spark, Array("cleanup", base, "ds"))
+    graft.tools.Cli.run(spark, Array("delete", base, "ds"))
+    DatasetMetadata.listDatasets(spark, base) shouldBe Nil
+  }
+
+  test("alltypes roundtrip: normalized schema, values preserved") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("part", IntegerType),
+      StructField("b", BooleanType), StructField("i8", ByteType),
+      StructField("i16", ShortType), StructField("i32", IntegerType),
+      StructField("i64", LongType), StructField("f32", FloatType),
+      StructField("f64", DoubleType), StructField("d", DateType),
+      StructField("ts", TimestampType), StructField("s", StringType),
+      StructField("bin", BinaryType),
+      StructField("arr_i", ArrayType(IntegerType)),
+      StructField("arr_s", ArrayType(StringType))))
+    val rows = Seq(
+      Row(1, true, 1.toByte, 2.toShort, 3, 4L, 1.5f, 2.5, java.sql.Date.valueOf("2018-01-31"),
+        java.sql.Timestamp.valueOf("2018-01-01 12:34:56.789"), "uniçøde",
+        Array[Byte](1, 2, 255.toByte), Seq(1, 2), Seq("x", "y")),
+      Row(2, false, null, null, null, null, null, null, null, null, null, null, null, null))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows), schema)
+    val base = tmpDir("ktk")
+    Ktk.store(spark, base, "all", df, partitionOn = Seq("part"))
+    val back = Ktk.readTable(spark, base, "all")
+    // normalization: ints -> long, floats -> double (incl. array elements)
+    val types = back.schema.fields.map(f => f.name -> f.dataType).toMap
+    types("i8") shouldBe LongType
+    types("i32") shouldBe LongType
+    types("f32") shouldBe DoubleType
+    types("arr_i") shouldBe ArrayType(LongType)
+    val r1 = back.filter(col("part") === 1).head()
+    r1.getAs[Long]("i8") shouldBe 1L
+    r1.getAs[Double]("f32") shouldBe 1.5
+    r1.getAs[String]("s") shouldBe "uniçøde"
+    r1.getAs[Array[Byte]]("bin").toSeq shouldBe Seq[Byte](1, 2, 255.toByte)
+    r1.getAs[Seq[Long]]("arr_i") shouldBe Seq(1L, 2L)
+    r1.getAs[java.sql.Date]("d").toString shouldBe "2018-01-31"
+    assert(back.filter(col("part") === 2).head().isNullAt(back.columns.indexOf("i64")))
+  }
+}
