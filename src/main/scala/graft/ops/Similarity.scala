@@ -22,7 +22,15 @@ object Similarity {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Cosine via the native codegen'd [[graft.functions.CosineSimilarity]]
+    * expression — bit-identical to the composable `dot/(norm*norm)` form
+    * (same sequential double accumulation), ~an order of magnitude faster
+    * than interpreted higher-order lambdas on wide vectors.
+    */
+  def cosine(a: Column, b: Column): Column = graft.functions.CosineSimilarity(a, b)
+
+  /** Composable fallback for non-float arrays. */
+  def cosineHof(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
   /** Brute-force cosine top-k: for each query row (small set — broadcast),
     * scan the corpus once, keep k best per query via window.
