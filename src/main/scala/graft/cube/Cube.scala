@@ -169,11 +169,19 @@ object Cube {
       val wanted =
         if (payload.isEmpty) md.schema.fieldNames.toSeq
         else md.schema.fieldNames.toSeq.filter(c => keyCols.contains(c) || payload.contains(c) || partitionBy.contains(c))
-      val df = Ktk.readTableWithMetadata(spark, base, md, columns = wanted, predicates = preds,
-        withOverlayOrder = true)
-      val dims = (cube.partitionColumns ++ cube.dimensionColumns).filter(schemaCols.contains)
-      dedupKeepLastOrdered(df, dims, Seq(col("__seq").desc, col("__pos").desc))
-        .drop("__seq", "__pos")
+      // single-commit datasets cannot hold overlay duplicates (the write
+      // path rejects duplicate cells per commit) — skip the dedup window,
+      // which removes a whole shuffle per dataset from the plan
+      val multiCommit = md.partitions.keys.map(md.seqOf).toSet.size > 1
+      if (!multiCommit) {
+        Ktk.readTableWithMetadata(spark, base, md, columns = wanted, predicates = preds)
+      } else {
+        val df = Ktk.readTableWithMetadata(spark, base, md, columns = wanted, predicates = preds,
+          withOverlayOrder = true)
+        val dims = (cube.partitionColumns ++ cube.dimensionColumns).filter(schemaCols.contains)
+        dedupKeepLastOrdered(df, dims, Seq(col("__seq").desc, col("__pos").desc))
+          .drop("__seq", "__pos")
+      }
     }
 
     val restrictive = restrictiveDatasets(cube, datasets.map { case (n, md) => n -> md.schema.fieldNames.toSet }, condCols)
