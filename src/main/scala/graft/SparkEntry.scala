@@ -758,6 +758,23 @@ object SparkEntry {
         |  AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.25
         |ORDER BY 1, 2""".stripMargin,
 
+    "q_text_quality" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS n,
+        |    CASE WHEN length(text) = 0 THEN 0.0
+        |      ELSE CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE) / length(text) END AS punct,
+        |    CASE WHEN len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) = 0 THEN 0.0
+        |      ELSE CAST(list_sum(list_transform(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> ''), x -> length(x))) AS DOUBLE)
+        |        / len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) END AS mtl
+        |  FROM documents)
+        |SELECT doc_id, round((
+        |    (CASE WHEN n >= 10 AND n <= 10000 THEN 1.0 WHEN n >= 3 THEN 0.5 ELSE 0.0 END) +
+        |    (CASE WHEN punct <= 0.2 THEN 1.0 WHEN punct <= 0.4 THEN 0.5 ELSE 0.0 END) +
+        |    (CASE WHEN mtl >= 3.0 AND mtl <= 12.0 THEN 1.0 ELSE 0.5 END)
+        |  ) / 3.0, 4) AS quality
+        |FROM m ORDER BY doc_id""".stripMargin,
+
     "q_text_stats" ->
       """SELECT doc_id,
         |  CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS INT) AS n_tokens,

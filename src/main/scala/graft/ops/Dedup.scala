@@ -196,6 +196,48 @@ object Dedup {
       shingleK: Int = 5,
       numHashes: Int = 128,
       bands: Int = 32): DataFrame = {
+    val losers = verifiedStarEdges(df, idCol, textCol, threshold, shingleK, numHashes, bands)
+      .select(col("id_b").as(idCol)).distinct()
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
+  /** MinHash near-dedup with full transitive closure: verified star edges
+    * feed GraphX connected components, and each component keeps its minimum
+    * id. Unlike the single-pass greedy in [[minhashDedup]], a chain A~B~C
+    * collapses to {A} even when A and C never share a bucket. CC is the
+    * reference algorithm for corpus-scale dedup (cf. the dedup pipelines in
+    * public LLM-data literature); GraphX's implementation is iterative
+    * Pregel — bounded by the component diameter, which is tiny for dup
+    * clusters.
+    */
+  def minhashDedupCC(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double = 0.8,
+      shingleK: Int = 5,
+      numHashes: Int = 128,
+      bands: Int = 32): DataFrame = {
+    import org.apache.spark.graphx.{Edge, Graph}
+    val spark = df.sparkSession
+    val verified = verifiedStarEdges(df, idCol, textCol, threshold, shingleK, numHashes, bands)
+    val edgeRdd = verified.select(col("id_a"), col("id_b")).rdd
+      .map(r => Edge(r.getLong(0), r.getLong(1), 1))
+    val graph = Graph.fromEdges(edgeRdd, defaultValue = 1)
+    import spark.implicits._
+    val components = graph.connectedComponents().vertices.toDF("id", "component")
+    // losers: vertices whose component representative (min id) is not itself
+    val losers = components.filter(col("id") =!= col("component"))
+      .select(col("id").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
+  /** Shared LSH star-edge generation + b-bit verification (see
+    * [[minhashDedup]] for the shuffle-shape rationale).
+    */
+  private def verifiedStarEdges(
+      df: DataFrame, idCol: String, textCol: String, threshold: Double,
+      shingleK: Int, numHashes: Int, bands: Int): DataFrame = {
     val rowsPerBand = numHashes / bands
     val spark = df.sparkSession
     val sigUdf = udf { (t: String) =>
@@ -206,8 +248,6 @@ object Dedup {
         while (i < rowsPerBand) { h = mix64(h ^ sig(b * rowsPerBand + i), i + 11); i += 1 }
         h
       }
-      // b-bit minhash: keep one byte per slot for the verification stage --
-      // 8x smaller shuffle/join payload, estimator bias bounded by 1/256
       val sigBytes = Array.tabulate(numHashes)(i => (sig(i) & 0xff).toByte)
       (sigBytes, bandHash)
     }
@@ -216,7 +256,6 @@ object Dedup {
       .select(col("id"), sigUdf(col("__t")).as("s"))
       .select(col("id"), col("s._1").as("sig"), col("s._2").as("bands"))
     val banded = sigs.select(col("id"), posexplode(col("bands")).as(Seq("band", "bucket")))
-    // star edges: every member vs the bucket's min id (one window, no UDF)
     val w = Window.partitionBy("band", "bucket")
     val edges = banded
       .withColumn("rep", min(col("id")).over(w))
@@ -228,12 +267,11 @@ object Dedup {
       while (t < sa.length) { if (sa(t) == sb(t)) m += 1; t += 1 }
       m.toDouble / sa.length
     })
-    val losers = edges
+    edges
       .join(sigs.select(col("id").as("id_a"), col("sig").as("__sa")), "id_a")
       .join(sigs.select(col("id").as("id_b"), col("sig").as("__sb")), "id_b")
       .filter(overlapUdf(col("__sa"), col("__sb")) >= threshold)
-      .select(col("id_b").as(idCol)).distinct()
-    df.join(losers, Seq(idCol), "left_anti")
+      .select(col("id_a"), col("id_b"))
   }
 
   // ---------------------------------------------------------------- simhash

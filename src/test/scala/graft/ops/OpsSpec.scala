@@ -51,6 +51,16 @@ class DedupSpec extends SparkSpec {
     out.select("doc_id").as[Long].collect().sorted.toSeq shouldBe Seq(0L, 2L)
   }
 
+  test("minhashDedupCC collapses transitive duplicate clusters to the min id") {
+    val cluster = Seq(
+      (10L, doc), (11L, doc), (12L, doc),            // identical triple
+      (20L, other), (21L, other),                    // identical pair
+      (30L, "a single short unique document here")   // singleton
+    ).toDF("doc_id", "text")
+    val out = Dedup.minhashDedupCC(cluster, "doc_id", "text", threshold = 0.9)
+    out.select("doc_id").as[Long].collect().sorted.toSeq shouldBe Seq(10L, 20L, 30L)
+  }
+
   test("simhash: near-dups within small hamming distance, found by banding") {
     val pairs = Dedup.simhashCandidates(docs, "doc_id", "text", maxHamming = 6)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
