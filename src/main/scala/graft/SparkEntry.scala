@@ -188,6 +188,16 @@ object SparkEntry {
         .orderBy("l_returnflag")
     }),
 
+    "q_dsv2_scan" -> ((s, dir) => {
+      // the DataSource V2 surface: spark.read.format("graft") with
+      // filter/projection pushdown through Catalyst
+      val base = ensureLineitemDs(s, dir)
+      s.read.format("graft").option("uuid", "lineitem").load(base)
+        .filter(col("l_returnflag") === "A" && col("l_quantity") >= 48.0)
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity")
+    }),
+
     // -------------------------------------------------- joins / cube
     "q_join_left" -> ((s, dir) => {
       val o = t(s, dir, "orders")
@@ -601,6 +611,11 @@ object SparkEntry {
     "q_ktk_dispatch" ->
       """SELECT l_returnflag, round(sum(l_quantity), 2) AS sum_qty
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_dsv2_scan" ->
+      """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, l_quantity
+        |FROM lineitem WHERE l_returnflag = 'A' AND l_quantity >= 48.0
+        |ORDER BY 1, 2, 3""".stripMargin,
 
     "q_join_left" ->
       """SELECT o_orderkey, o_custkey, c_mktsegment, round(o_totalprice, 2) AS o_totalprice

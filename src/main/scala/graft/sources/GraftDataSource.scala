@@ -1,0 +1,129 @@
+package graft.sources
+
+import java.util.{Map => JMap}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.execution.datasources.InMemoryFileIndex
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan
+import org.apache.spark.sql.sources
+import org.apache.spark.sql.sources.{DataSourceRegister, Filter}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.core.{PredLiteral, PredOp, Predicates}
+import graft.ktk.{DatasetMetadata, Ktk}
+
+/** DataSource V2 connector: `spark.read.format("graft").option("uuid", u)
+  * .load(base)` — the optional Catalyst-integrated surface from SURVEY §4.
+  *
+  * Planning: [[SupportsPushDownFilters]] receives Catalyst's pushed filters;
+  * those over partition keys + secondary indices drive the same driver-side
+  * label pruning as [[Ktk.readTable]] (an O(metadata) operation). Execution
+  * then delegates to Spark's own vectorized [[ParquetScan]] over the pruned
+  * in-memory file index, so column pruning, row-group stats pushdown,
+  * whole-stage codegen and AQE all behave exactly as a native parquet scan.
+  * All filters are reported back as residual — Spark re-evaluates them after
+  * the scan, preserving exact semantics.
+  */
+class GraftDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft"
+
+  private def load(options: CaseInsensitiveStringMap): (String, DatasetMetadata) = {
+    val base = Option(options.get("path")).getOrElse(
+      throw new IllegalArgumentException("graft source requires .load(<base path>)"))
+    val uuid = Option(options.get("uuid")).getOrElse(
+      throw new IllegalArgumentException("graft source requires .option(\"uuid\", <dataset>)"))
+    (base, DatasetMetadata.load(SparkSession.active, base, uuid))
+  }
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = load(options)._2.schema
+
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: JMap[String, String]): Table = {
+    val opts = new CaseInsensitiveStringMap(properties)
+    val (base, md) = load(opts)
+    new GraftTable(base, md)
+  }
+
+  override def supportsExternalMetadata(): Boolean = false
+}
+
+final class GraftTable(base: String, md: DatasetMetadata) extends Table with SupportsRead {
+  override def name(): String = s"graft.${md.uuid}"
+  override def schema(): StructType = md.schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftScanBuilder(base, md, options)
+}
+
+final class GraftScanBuilder(base: String, md: DatasetMetadata, options: CaseInsensitiveStringMap)
+    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+
+  private var pushed: Array[Filter] = Array.empty
+  private var requiredSchema: StructType = md.schema
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters
+    // everything stays residual: Spark re-applies exact filters post-scan
+    filters
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(required: StructType): Unit = {
+    // keep metadata-schema field order/types; empty projection (count(*))
+    // keeps zero data columns and lets the parquet reader count rows
+    requiredSchema = StructType(md.schema.fields.filter(f => required.fieldNames.contains(f.name)))
+  }
+
+  /** sources.Filter → single-conjunction [[Predicates]] over prunable
+    * columns only (partition keys + indexed columns); unsupported shapes are
+    * simply not used for pruning.
+    */
+  private def pruningPredicates: Predicates = {
+    val prunable = md.partitionKeys.toSet ++ md.indices.keySet
+    def lit(f: Filter): Option[PredLiteral] = f match {
+      case sources.EqualTo(c, v) if prunable(c)            => Some(PredLiteral(c, PredOp.Eq, v))
+      case sources.GreaterThan(c, v) if prunable(c)        => Some(PredLiteral(c, PredOp.Gt, v))
+      case sources.GreaterThanOrEqual(c, v) if prunable(c) => Some(PredLiteral(c, PredOp.Ge, v))
+      case sources.LessThan(c, v) if prunable(c)           => Some(PredLiteral(c, PredOp.Lt, v))
+      case sources.LessThanOrEqual(c, v) if prunable(c)    => Some(PredLiteral(c, PredOp.Le, v))
+      case sources.In(c, vs) if prunable(c)                => Some(PredLiteral(c, PredOp.In, vs.toSeq))
+      case sources.IsNull(c) if prunable(c)                => Some(PredLiteral(c, PredOp.Eq, null))
+      case sources.IsNotNull(c) if prunable(c)             => Some(PredLiteral(c, PredOp.Ne, null))
+      case _                                               => None
+    }
+    val lits = pushed.flatMap(lit).toSeq
+    if (lits.isEmpty) Predicates.empty else Predicates(Seq(lits))
+  }
+
+  override def build(): Scan = {
+    val spark = SparkSession.active
+    val labels = Ktk.queryLabels(spark, base, md, pruningPredicates)
+    val tableDir = md.tableDir(base)
+    val files = labels.map(l => new Path(s"$tableDir/$l"))
+    val fileIndex = new InMemoryFileIndex(
+      spark, files,
+      Map("basePath" -> tableDir) ++ options.asScala,
+      Some(md.schema))
+    val partCols = md.partitionKeys.toSet
+    val dataSchema = StructType(md.schema.fields.filterNot(f => partCols(f.name)))
+    val readDataSchema = StructType(requiredSchema.fields.filterNot(f => partCols(f.name)))
+    val readPartitionSchema = StructType(requiredSchema.fields.filter(f => partCols(f.name)))
+    val dataFilters = pushed.filter(_.references.forall(c => !partCols(c)))
+    ParquetScan(
+      spark, spark.sessionState.newHadoopConf(), fileIndex,
+      dataSchema, readDataSchema, readPartitionSchema,
+      dataFilters, options,
+      None, Nil, Nil)
+  }
+}

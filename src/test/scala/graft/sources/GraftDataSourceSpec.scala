@@ -1,0 +1,64 @@
+package graft.sources
+
+import graft.SparkSpec
+import graft.ktk.Ktk
+import org.apache.spark.sql.functions._
+
+class GraftDataSourceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def setup(): String = {
+    val base = tmpDir("dsv2")
+    val df = Seq(
+      (1, "a", 10.0, "x"), (1, "b", 20.0, "y"),
+      (2, "c", 30.0, "x"), (3, "d", 40.0, "z")
+    ).toDF("p", "l", "target", "tag")
+    Ktk.store(spark, base, "ds", df, partitionOn = Seq("p"), secondaryIndices = Seq("tag"))
+    base
+  }
+
+  private def read(base: String) =
+    spark.read.format("graft").option("uuid", "ds").load(base)
+
+  test("full scan through the connector matches the dataset") {
+    val base = setup()
+    val df = read(base)
+    df.columns.toSeq shouldBe Seq("p", "l", "tag", "target")
+    df.count() shouldBe 4
+    df.agg(sum("target")).head.getDouble(0) shouldBe 100.0
+  }
+
+  test("partition-key filter prunes files at plan time") {
+    val base = setup()
+    val df = read(base).filter(col("p") === 1)
+    df.count() shouldBe 2
+    df.inputFiles.forall(_.contains("p=1")) shouldBe true
+  }
+
+  test("secondary-index filter prunes files the index rules out") {
+    val base = setup()
+    val df = read(base).filter(col("tag") === "z")
+    df.select("l").as[String].collect().toSeq shouldBe Seq("d")
+    df.inputFiles.forall(_.contains("p=3")) shouldBe true
+  }
+
+  test("projection reaches the parquet reader (pruned read schema)") {
+    val base = setup()
+    val df = read(base).filter(col("p") === 2).select("l")
+    df.as[String].collect().toSeq shouldBe Seq("c")
+    val plan = df.queryExecution.executedPlan.toString
+    plan should include("ReadSchema: struct<l:string>")
+  }
+
+  test("residual filters stay exact (non-prunable predicate)") {
+    val base = setup()
+    read(base).filter(col("target") > 15.0 && col("tag") =!= "z")
+      .select("l").as[String].collect().sorted.toSeq shouldBe Seq("b", "c")
+  }
+
+  test("sql over the connector via temp view") {
+    val base = setup()
+    read(base).createOrReplaceTempView("ds_v")
+    spark.sql("SELECT count(*) FROM ds_v WHERE p = 1").head.getLong(0) shouldBe 2
+  }
+}
