@@ -541,6 +541,33 @@ object SparkEntry {
     })
   )
 
+  /** DuckDB oracle for language ID, GENERATED from the same trigram profile
+    * table the Scala UDF uses — counts per-gram occurrences via
+    * length-difference (profile grams are non-self-overlapping, so this
+    * equals the UDF's overlapping indexOf count), argmax with ties toward
+    * the lexicographically larger language code (= Scala's maxBy on
+    * (score, lang)), score 0 -> 'und'.
+    */
+  private def langIdOracleSql: String = {
+    val langs = TextAnalysis.profiles.keys.toSeq.sorted
+    val scoreExprs = langs.map { l =>
+      val terms = TextAnalysis.profiles(l).map { g =>
+        val esc = g.replace("'", "''")
+        s"(length(t) - length(replace(t, '$esc', ''))) / ${g.length}"
+      }
+      terms.mkString("(", " + ", s") AS score_$l")
+    }
+    val best = langs.map(l => s"score_$l").mkString("greatest(", ", ", ")")
+    val caseArms = langs.sorted.reverse
+      .map(l => s"WHEN score_$l = m THEN '$l'").mkString(" ")
+    s"""WITH lt AS (SELECT doc_id, lower(text) AS t FROM documents),
+       |s AS (SELECT doc_id, ${scoreExprs.mkString(", ")} FROM lt),
+       |g AS (SELECT doc_id, $best AS m, * FROM s)
+       |SELECT lang_guess, count(*) AS n FROM (
+       |  SELECT CASE WHEN m = 0 THEN 'und' $caseArms END AS lang_guess FROM g)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   // ------------------------------------------------------------------------
   // DuckDB oracles. Omitted for hash/LSH-dependent ops (q_dedup_minhash,
   // q_dedup_simhash, q_ann_lsh, q_emb_neardup, q_text_fingerprint,
@@ -789,6 +816,8 @@ object SparkEntry {
         |    (CASE WHEN mtl >= 3.0 AND mtl <= 12.0 THEN 1.0 ELSE 0.5 END)
         |  ) / 3.0, 4) AS quality
         |FROM m ORDER BY doc_id""".stripMargin,
+
+    "q_text_langid" -> langIdOracleSql,
 
     "q_text_stats" ->
       """SELECT doc_id,

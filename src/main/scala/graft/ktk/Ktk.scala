@@ -234,9 +234,20 @@ object Ktk {
       uuid: String,
       columns: Seq[String] = Nil,
       predicates: Predicates = Predicates.empty,
-      dispatchBy: Seq[String] = Nil): DataFrame = {
-    val md = DatasetMetadata.load(spark, base, uuid)
-    readTableWithMetadata(spark, base, md, columns, predicates, dispatchBy)
+      dispatchBy: Seq[String] = Nil,
+      indexOn: Option[String] = None,
+      labelFilter: String => Boolean = _ => true): DataFrame = {
+    val md0 = DatasetMetadata.load(spark, base, uuid)
+    // label_filter hook (≙ io_components/read.py:123-124): restrict the
+    // partition listing before any pruning/planning
+    val md = md0.copy(partitions = md0.partitions.filter { case (l, _) => labelFilter(l) })
+    val df = readTableWithMetadata(spark, base, md, columns, predicates, dispatchBy)
+    // dask_index_on equivalent (io/dask/dataframe.py:160-169): range-
+    // partitioned, sorted-within-partition layout on the index column
+    indexOn match {
+      case Some(c) => df.repartitionByRange(col(s"`$c`")).sortWithinPartitions(col(s"`$c`"))
+      case None    => df
+    }
   }
 
   def readTableWithMetadata(

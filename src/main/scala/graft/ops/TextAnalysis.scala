@@ -66,7 +66,7 @@ object TextAnalysis {
     * a tiny deterministic trigram-frequency heuristic (public-knowledge
     * n-gram language ID, cf. Cavnar & Trenkle 1994).
     */
-  private val profiles: Map[String, Seq[String]] = Map(
+  val profiles: Map[String, Seq[String]] = Map(
     "en" -> Seq(" th", "the", "he ", " an", "and", "nd ", " of", "of ", "ing", "ng "),
     "de" -> Seq("er ", " de", "der", "ie ", "die", " un", "und", "sch", "ein", "ch "),
     "fr" -> Seq(" de", "de ", " le", "le ", "es ", "ent", " la", "la ", "ion", "que"),

@@ -19,6 +19,17 @@ class KtkMoreSpec extends SparkSpec {
     viaIter shouldBe Seq("a", "b", "c")
   }
 
+  test("indexOn yields range-partitioned sorted output; labelFilter restricts listing") {
+    val base = tmpDir("ktk")
+    val df = (0 until 100).map(i => (i % 4, i.toLong)).toDF("p", "k")
+    Ktk.store(spark, base, "ix", df, partitionOn = Seq("p"))
+    val sorted = Ktk.readTable(spark, base, "ix", indexOn = Some("k"))
+    // sorted within partitions, ranges ordered -> global order by k
+    sorted.select("k").as[Long].collect().toSeq shouldBe (0L until 100L)
+    val only0 = Ktk.readTable(spark, base, "ix", labelFilter = _.startsWith("p=0/"))
+    only0.select("p").as[Long].collect().toSet shouldBe Set(0L)
+  }
+
   test("cube extend adds an enrichment dataset; payload overlap still banned") {
     val base = tmpDir("cube")
     val cube = CubeDef("x", Seq("k"), Seq("p"))
