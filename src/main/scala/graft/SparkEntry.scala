@@ -676,7 +676,7 @@ object SparkEntry {
         |ORDER BY 1""".stripMargin,
 
     "q_dup_check" ->
-      """SELECT count(*) AS dup_groups, sum(n) AS dup_rows FROM (
+      """SELECT count(*) AS dup_groups, CAST(sum(n) AS BIGINT) AS dup_rows FROM (
         |  SELECT l_orderkey, l_linenumber, count(*) AS n FROM lineitem
         |  GROUP BY 1, 2 HAVING count(*) > 1)""".stripMargin,
 
@@ -744,7 +744,7 @@ object SparkEntry {
         |ORDER BY round(o_totalprice, 2) DESC, o_orderkey ASC LIMIT 20""".stripMargin,
 
     "q_window_rank" ->
-      """SELECT o_orderpriority, rnk, o_orderkey, o_totalprice FROM (
+      """SELECT o_orderpriority, CAST(rnk AS INT) AS rnk, o_orderkey, o_totalprice FROM (
         |  SELECT o_orderpriority, o_orderkey, round(o_totalprice, 2) AS o_totalprice,
         |    row_number() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
         |  FROM orders) WHERE rnk <= 3 ORDER BY 1, 2""".stripMargin,

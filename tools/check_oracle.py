@@ -60,7 +60,7 @@ def main(sf_dir: str, out_dir: str) -> int:
         # exact compare; report first differing cell
         try:
             import pandas as pd
-            pd.testing.assert_frame_equal(gs, ws, check_dtype=False,
+            pd.testing.assert_frame_equal(gs, ws, check_dtype=True,
                                           check_exact=True)
             print(f"  [MATCH]     {name}: {len(got)} rows")
         except AssertionError as e:
