@@ -53,7 +53,20 @@ object Cube {
       overwrite: Boolean = false): Map[String, DatasetMetadata] = {
     require(data.contains(cube.seedDataset), s"cube build requires seed dataset '${cube.seedDataset}'")
     validate(cube, data, existingPayload = Map.empty)
-    data.map { case (name, df) => name -> storeOne(spark, base, cube, name, df, overwrite) }
+    // rollback on partial failure (≙ cube/write.py:410-461): a cube must
+    // never be discoverable with only some of its datasets committed
+    val written = scala.collection.mutable.ArrayBuffer.empty[String]
+    try {
+      data.map { case (name, df) =>
+        val md = storeOne(spark, base, cube, name, df, overwrite)
+        written += name
+        name -> md
+      }
+    } catch {
+      case e: Throwable =>
+        written.foreach(n => DatasetMetadata.delete(spark, base, cube.uuid(n)))
+        throw e
+    }
   }
 
   /** Add non-seed datasets to an existing cube (≙ extend_cube,
@@ -214,6 +227,31 @@ object Cube {
     if (partitionBy.nonEmpty) ordered.repartition(partitionBy.map(c => col(s"`$c`")): _*)
       .sortWithinPartitions((partitionBy ++ cube.dimensionColumns).map(c => col(s"`$c`")): _*)
     else ordered
+  }
+
+  /** Per-group result splitting (≙ the reference's `partition_by` returning
+    * one DataFrame per group, eager_cube.py:378-386): distinct group tuples
+    * are collected (group count is user-chosen and small by contract), each
+    * group is a filtered view of ONE shared query plan — Spark prunes per
+    * group at execution.
+    */
+  def queryByPartition(
+      spark: SparkSession,
+      base: String,
+      cube: CubeDef,
+      partitionBy: Seq[String],
+      conditions: Predicates = Predicates.empty,
+      payload: Seq[String] = Nil): Seq[(Map[String, Any], DataFrame)] = {
+    require(partitionBy.nonEmpty, "queryByPartition requires partition_by columns")
+    val full = query(spark, base, cube, conditions, payload, partitionBy = Nil)
+    val groups = full.select(partitionBy.map(c => col(s"`$c`")): _*)
+      .distinct().collect()
+      .map(r => partitionBy.zipWithIndex.map { case (c, i) => c -> r.get(i) }.toMap)
+      .sortBy(_.toSeq.sortBy(_._1).map(_._2.toString).mkString("|"))
+    groups.toSeq.map { values =>
+      val cond = values.map { case (c, v) => col(s"`$c`") === lit(v) }.reduce(_ && _)
+      values -> full.filter(cond)
+    }
   }
 
   /** Non-seed datasets restricted on their exclusive payload ⇒ inner-join

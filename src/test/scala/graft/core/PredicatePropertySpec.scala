@@ -54,7 +54,10 @@ class PredicatePropertySpec extends SparkSpec {
     })
 
   private def check(prop: Prop, n: Int = 40): Unit = {
-    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(n), prop)
+    // fixed seed: deterministic across runs (driver CI must not flake)
+    val params = SCTest.Parameters.default.withMinSuccessfulTests(n)
+      .withInitialSeed(org.scalacheck.rng.Seed(42L))
+    val res = SCTest.check(params, prop)
     withClue(res.status.toString) { res.passed shouldBe true }
   }
 

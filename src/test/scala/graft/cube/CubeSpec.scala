@@ -81,6 +81,26 @@ class CubeSpec extends SparkSpec {
     Cube.query(spark, base, cube).select("p").as[Long].collect().toSeq.distinct shouldBe Seq(1L)
   }
 
+  test("failed build rolls back already-written datasets") {
+    val base = tmpDir("cube")
+    val dupEnrich = Seq((0, 0, 1L), (0, 0, 2L)).toDF("x", "p", "v2") // dup cells -> fails
+    an[IllegalArgumentException] should be thrownBy
+      Cube.build(spark, base, cube, Map("seed" -> seed, "enrich" -> dupEnrich))
+    // nothing must remain discoverable
+    Cube.discover(spark, base, cube) shouldBe Map.empty
+  }
+
+  test("queryByPartition yields one frame per group with only that group's rows") {
+    val base = tmpDir("cube")
+    Cube.build(spark, base, cube, Map("seed" -> seed))
+    val groups = Cube.queryByPartition(spark, base, cube, partitionBy = Seq("p"))
+    groups.map(_._1("p")) shouldBe Seq(0L, 1L)
+    groups.foreach { case (values, df) =>
+      df.select("p").as[Long].collect().toSet shouldBe Set(values("p").asInstanceOf[Long])
+    }
+    groups.map(_._2.count()).sum shouldBe 4
+  }
+
   test("dedupKeepLast within one file keeps the later row") {
     val df = Seq((1, "old"), (1, "new"), (2, "only")).toDF("k", "v")
     val out = Cube.dedupKeepLast(df, Seq("k")).orderBy("k").collect().map(_.getString(1)).toSeq
