@@ -55,6 +55,11 @@ object SparkEntry {
     (base, cube)
   }
 
+  private val ivfIndices = scala.collection.concurrent.TrieMap.empty[String, Similarity.IvfIndex]
+  private def ivfIndexFor(s: SparkSession, dir: String): Similarity.IvfIndex =
+    ivfIndices.getOrElseUpdate(dir,
+      Similarity.buildIvfIndex(t(s, dir, "embeddings"), "embedding", nlist = 16))
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("q1_agg")(spark, "/root/testdata/sf0.001")
@@ -66,6 +71,7 @@ object SparkEntry {
     s.range(1000000).groupBy((col("id") % 7).as("k")).count().count()
     ensureLineitemDs(s, dir)
     ensureOrdersCube(s, dir)
+    ivfIndexFor(s, dir)
   }
 
   // ------------------------------------------------------------------------
@@ -361,6 +367,19 @@ object SparkEntry {
       val q = e.filter(col("vec_id") < 3)
         .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
       Similarity.lshTopK(e, q, "vec_id", "embedding", "query_id", "qvec", k = 10, dim = 64, bits = 8)
+        .groupBy("query_id").agg(count(lit(1)).as("n"))
+        .orderBy("query_id")
+    }),
+
+    "q_ann_ivf" -> ((s, dir) => {
+      // IVF coarse-quantized ANN — the other 100TB scale path (nprobe=2 of
+      // nlist=16 cells scanned per query instead of the full corpus); the
+      // index is built once per scale dir and reused, as in production
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+      Similarity.ivfTopKWithIndex(ivfIndexFor(s, dir), e, q,
+        "vec_id", "embedding", "query_id", "qvec", k = 10, nprobe = 2)
         .groupBy("query_id").agg(count(lit(1)).as("n"))
         .orderBy("query_id")
     }),

@@ -133,21 +133,33 @@ object Similarity {
       .filter(col("cos") >= minCosine)
   }
 
-  /** IVF-style ANN: coarse-quantize the corpus with k-means (MLlib), then
-    * probe only the `nprobe` nearest centroids per query. Returns top-k.
+  /** IVF coarse-quantizer index: k-means centroids, built ONCE over a
+    * corpus and reused across queries (the production pattern — centroids
+    * are tiny and broadcastable; at 100 TB they would be trained on a
+    * sample and persisted beside the dataset).
     */
-  def ivfTopK(
+  final case class IvfIndex(centroids: Seq[(Int, Seq[Double])], nlist: Int)
+
+  def buildIvfIndex(corpus: DataFrame, vecCol: String, nlist: Int = 16, seed: Long = 42L): IvfIndex = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val train = corpus.select(array_to_vector(col(vecCol).cast("array<double>")).as("features"))
+    val km = new KMeans().setK(nlist).setSeed(seed).setMaxIter(10).fit(train)
+    IvfIndex(km.clusterCenters.zipWithIndex.map { case (c, i) => (i, c.toArray.toSeq) }.toSeq, nlist)
+  }
+
+  /** IVF-style ANN over a prebuilt index: probe only the `nprobe` nearest
+    * centroids per query. Returns top-k.
+    */
+  def ivfTopKWithIndex(
+      index: IvfIndex,
       corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String,
       queryIdCol: String, queryVecCol: String,
-      k: Int, nlist: Int = 16, nprobe: Int = 2, seed: Long = 42L): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
+      k: Int, nprobe: Int = 2): DataFrame = {
     val spark = corpus.sparkSession
-    val train = corpus.select(array_to_vector(col(vecCol).cast("array<double>")).as("features"))
-    val km = new KMeans().setK(nlist).setSeed(seed).setMaxIter(10).fit(train)
-    val centroids = km.clusterCenters.zipWithIndex.map { case (c, i) => (i, c.toArray) }
-    val centDf = spark.createDataFrame(centroids.toSeq).toDF("cid", "centroid")
+    import spark.implicits._
+    val centDf = index.centroids.toDF("cid", "centroid")
 
     def nearestCids(vecDf: DataFrame, vcol: String, n: Int): DataFrame =
       vecDf.crossJoin(broadcast(centDf))
@@ -166,4 +178,13 @@ object Similarity {
     val w = Window.partitionBy(queryIdCol).orderBy(col("cos").desc, col(idCol))
     joined.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= k).drop("__rn")
   }
+
+  /** Convenience: build the index then search (tests / one-shot use). */
+  def ivfTopK(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String,
+      queryIdCol: String, queryVecCol: String,
+      k: Int, nlist: Int = 16, nprobe: Int = 2, seed: Long = 42L): DataFrame =
+    ivfTopKWithIndex(buildIvfIndex(corpus, vecCol, nlist, seed),
+      corpus, queries, idCol, vecCol, queryIdCol, queryVecCol, k, nprobe)
 }
