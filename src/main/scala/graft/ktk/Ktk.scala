@@ -5,7 +5,7 @@ import org.apache.spark.sql.{DataFrame, Row, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.core.{Predicates, SchemaUtil, UrlCodec}
+import graft.core.{PredLiteral, Predicates, SchemaUtil, UrlCodec}
 
 /** The dataset engine: store / read / update / index / GC over partitioned
   * Parquet with a single-blob metadata commit.
@@ -191,13 +191,19 @@ object Ktk {
     val indexed = md.indices.keySet
     val partCols = md.partitionKeys.toSet
 
-    // cache index lookups per (column): load flat (value,label) view once
-    val flatIndex = scala.collection.mutable.Map.empty[String, Seq[(Any, String)]]
-    def indexPairs(c: String): Seq[(Any, String)] =
-      flatIndex.getOrElseUpdate(c, {
-        loadIndex(spark, base, md, c)
-          .select(col("value"), explode(col("partitions")).as("label"))
-          .collect().toSeq.map(r => (r.get(0), r.getString(1)))
+    // per (column, literal): evaluate the literal INSIDE the index scan —
+    // the predicate pushes into the index parquet (written sorted by value,
+    // so row-group stats prune tightly) and only MATCHING labels come back
+    // to the driver, never the whole index. O(matching labels), not O(index).
+    val lookupCache = scala.collection.mutable.Map.empty[(String, PredLiteral), Set[String]]
+    def matchingLabels(l: PredLiteral): Set[String] =
+      lookupCache.getOrElseUpdate((l.col, l), {
+        val onValue = Predicates(Seq(Seq(l.copy(col = "value"))))
+        loadIndex(spark, base, md, l.col)
+          .filter(onValue.toColumn)
+          .select(explode(col("partitions")).as("label"))
+          .distinct()
+          .collect().map(_.getString(0)).toSet
       })
 
     val surviving = predicates.splitPerConjunction(partCols).zip(predicates.disjunction).flatMap {
@@ -207,14 +213,9 @@ object Ktk {
           val values = md.partitionValues(label)
           Predicates(Seq(partLits)).matchesValues(values)
         }
-        // 2. secondary-index pruning
+        // 2. secondary-index pruning: intersect per-literal label sets
         val idxLits = conj.filter(l => indexed.contains(l.col) && !partCols.contains(l.col))
-        idxLits.foldLeft(afterPart.toSet) { (labels, lit) =>
-          val matching = indexPairs(lit.col).collect {
-            case (v, label) if Predicates.evalLiteral(lit, v) => label
-          }.toSet
-          labels intersect matching
-        }
+        idxLits.foldLeft(afterPart.toSet)((labels, l) => labels intersect matchingLabels(l))
     }.toSet
     all.filter(surviving.contains)
   }
@@ -370,9 +371,13 @@ object Ktk {
     val md1 = md.copy(partitions = finalPartitions, partitionSeq = finalSeq)
     md.indices.keys.foreach { c =>
       val fsPath = md.indexPath(base, c)
+      // surviving-old-labels as a semi-join, not a giant In-list — the label
+      // set is O(partitions) and must never inline into the plan
+      import spark.implicits._
+      val survivingOld = finalPartitions.keys.toSeq.filter(before.contains).toDF("label")
       val old = spark.read.parquet(fsPath)
         .select(col("value"), explode(col("partitions")).as("label"))
-        .where(col("label").isin(finalPartitions.keys.toSeq.filter(before.contains): _*))
+        .join(broadcast(survivingOld), Seq("label"), "left_semi")
       val fresh =
         if (newLabels.isEmpty) old.limit(0)
         else
