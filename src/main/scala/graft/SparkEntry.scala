@@ -305,6 +305,15 @@ object SparkEntry {
         .orderBy("day", "event_type")
     }),
 
+    "q_json_extract" -> ((s, dir) => {
+      // scalar-function surface beyond the reference: JSON prop extraction
+      val ev = t(s, dir, "events")
+      ev.select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .filter(col("k") >= 90)
+        .orderBy("event_id")
+    }),
+
     // -------------------------------------------------- pipeline: dedup
     "q_dedup_exact" -> ((s, dir) => {
       // plant exact duplicates, dedup by content hash keeping min id
@@ -802,6 +811,11 @@ object SparkEntry {
       """SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
         |  count(*) AS n, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_json_extract" ->
+      """SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k
+        |FROM events WHERE CAST(json_extract(props, '$.k') AS BIGINT) >= 90
+        |ORDER BY 1""".stripMargin,
 
     "q_ann_topk" ->
       """SELECT a.vec_id AS query_id, b.vec_id

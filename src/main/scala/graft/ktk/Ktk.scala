@@ -237,12 +237,18 @@ object Ktk {
       predicates: Predicates = Predicates.empty,
       dispatchBy: Seq[String] = Nil,
       indexOn: Option[String] = None,
-      labelFilter: String => Boolean = _ => true): DataFrame = {
+      labelFilter: String => Boolean = _ => true,
+      filterQuery: Option[String] = None): DataFrame = {
+    // predicates XOR filter_query, like the reference (_generic.py:56-66);
+    // filterQuery is strictly more powerful (full Spark SQL expression)
+    require(filterQuery.isEmpty || predicates.isEmpty,
+      "predicates and filterQuery are mutually exclusive")
     val md0 = DatasetMetadata.load(spark, base, uuid)
     // label_filter hook (≙ io_components/read.py:123-124): restrict the
     // partition listing before any pruning/planning
     val md = md0.copy(partitions = md0.partitions.filter { case (l, _) => labelFilter(l) })
-    val df = readTableWithMetadata(spark, base, md, columns, predicates, dispatchBy)
+    val df0 = readTableWithMetadata(spark, base, md, columns, predicates, dispatchBy)
+    val df = filterQuery.map(q => df0.filter(expr(q))).getOrElse(df0)
     // dask_index_on equivalent (io/dask/dataframe.py:160-169): range-
     // partitioned, sorted-within-partition layout on the index column
     indexOn match {

@@ -45,6 +45,8 @@ object Cli {
     case "index" =>
       Ktk.addIndex(spark, args(1), args(2), args(3))
       println(s"indexed ${args(3)}")
+    case "stats" =>
+      Ktk.parquetStats(spark, args(1), args(2)).show(100, truncate = false)
     case "cleanup" =>
       Ktk.garbageCollect(spark, args(1), args(2)).foreach(k => println(s"deleted $k"))
     case "delete" =>

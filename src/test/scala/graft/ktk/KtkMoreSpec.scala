@@ -28,6 +28,11 @@ class KtkMoreSpec extends SparkSpec {
     sorted.select("k").as[Long].collect().toSeq shouldBe (0L until 100L)
     val only0 = Ktk.readTable(spark, base, "ix", labelFilter = _.startsWith("p=0/"))
     only0.select("p").as[Long].collect().toSet shouldBe Set(0L)
+    // filter_query: arbitrary SQL expression; exclusive with predicates
+    Ktk.readTable(spark, base, "ix", filterQuery = Some("k % 10 = 0")).count() shouldBe 10
+    an[IllegalArgumentException] should be thrownBy
+      Ktk.readTable(spark, base, "ix", predicates = graft.core.Predicates.of(Seq(("p", "==", 0))),
+        filterQuery = Some("k > 0"))
   }
 
   test("cube extend adds an enrichment dataset; payload overlap still banned") {
