@@ -251,10 +251,13 @@ object Dedup {
       val sigBytes = Array.tabulate(numHashes)(i => (sig(i) & 0xff).toByte)
       (sigBytes, bandHash)
     }
+    // the signature frame feeds three plan branches (banding + two
+    // verification joins); persist so the CPU-bound UDF runs once
     val sigs = df.select(col(idCol).as("id"), col(textCol).as("__t"))
       .repartition(spark.sparkContext.defaultParallelism)
       .select(col("id"), sigUdf(col("__t")).as("s"))
       .select(col("id"), col("s._1").as("sig"), col("s._2").as("bands"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = sigs.select(col("id"), posexplode(col("bands")).as(Seq("band", "bucket")))
     val w = Window.partitionBy("band", "bucket")
     val edges = banded
