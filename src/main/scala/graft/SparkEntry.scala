@@ -544,7 +544,6 @@ object SparkEntry {
       val schema = "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING"
       val stream = s.readStream.schema(schema).parquet(stageDir.toString)
         .withColumn("tstamp", timestamp_micros((col("ts") / 1000).cast("long")))
-        .withWatermark("tstamp", "1 day")
         .groupBy(window(col("tstamp"), "1 day"), col("event_type"))
         .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
       val q = stream.writeStream.format("memory").queryName(name)
