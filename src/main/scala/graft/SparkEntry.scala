@@ -333,6 +333,17 @@ object SparkEntry {
         .groupBy().agg(count(lit(1)).as("survivors"), min("doc_id").as("min_id"), max("doc_id").as("max_id"))
     }),
 
+    "q_dedup_minhash_cc" -> ((s, dir) => {
+      // transitive-closure dedup: chains A~B~C collapse to one survivor
+      val d = t(s, dir, "documents")
+      val m1 = d.withColumn("doc_id", col("doc_id") + 1000000)
+        .withColumn("text", concat(lit("v1 "), col("text")))
+      val m2 = d.withColumn("doc_id", col("doc_id") + 2000000)
+        .withColumn("text", concat(lit("v2 v2 "), col("text")))
+      Dedup.minhashDedupCC(d.unionByName(m1).unionByName(m2), "doc_id", "text", threshold = 0.6)
+        .groupBy().agg(count(lit(1)).as("survivors"), min("doc_id").as("min_id"), max("doc_id").as("max_id"))
+    }),
+
     "q_dedup_simhash" -> ((s, dir) => {
       val d = t(s, dir, "documents")
       val mutated = d.withColumn("doc_id", col("doc_id") + 1000000)
