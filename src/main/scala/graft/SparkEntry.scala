@@ -204,6 +204,41 @@ object SparkEntry {
         .orderBy("l_orderkey", "l_linenumber", "l_quantity")
     }),
 
+    "q_ktk_bucketed" -> ((s, dir) => {
+      // hash-bucket shuffle write: same content, bounded files per dir
+      val base = scratch(dir)
+      Ktk.store(s, base, "part_bucketed", t(s, dir, "part"),
+        partitionOn = Seq("p_brand"), bucketBy = Seq("p_partkey"), numBuckets = 8,
+        overwrite = true)
+      Ktk.readTable(s, base, "part_bucketed",
+        columns = Seq("p_partkey", "p_brand", "p_retailprice"))
+        .orderBy("p_partkey")
+    }),
+
+    "q_cube_extend" -> ((s, dir) => {
+      // extend an existing cube with a derived enrichment dataset, then
+      // query across all three
+      val base = scratch(dir)
+      val cube = CubeDef("tpchx", dimensionColumns = Seq("o_custkey", "o_orderkey"),
+        partitionColumns = Seq("bucket"))
+      built.getOrElseUpdate(s"$base/cubex", {
+        val seed = t(s, dir, "orders").withColumn("bucket", pmod(col("o_custkey"), lit(4)))
+        Cube.build(s, base, cube, Map("seed" -> seed), overwrite = true)
+        val flags = t(s, dir, "orders")
+          .select(col("o_custkey"), col("o_orderkey"),
+            pmod(col("o_custkey"), lit(4)).as("bucket"),
+            when(col("o_orderpriority") === "1-URGENT", 1L).otherwise(0L).as("is_urgent"))
+        Cube.extend(s, base, cube, Map("flags" -> flags), overwrite = true)
+        ()
+      })
+      Cube.query(s, base, cube,
+        conditions = Predicates.of(Seq(("o_totalprice", ">", 250000.0))),
+        payload = Seq("o_totalprice", "is_urgent"))
+        .select(col("o_custkey"), col("o_orderkey"),
+          round(col("o_totalprice"), 2).as("o_totalprice"), col("is_urgent"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
     // -------------------------------------------------- joins / cube
     "q_join_left" -> ((s, dir) => {
       val o = t(s, dir, "orders")
@@ -694,6 +729,15 @@ object SparkEntry {
         |JOIN customer ON o_custkey = c_custkey
         |WHERE c_mktsegment = 'BUILDING' AND o_orderstatus = 'F'
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_ktk_bucketed" ->
+      """SELECT p_partkey, p_brand, p_retailprice FROM part ORDER BY 1""".stripMargin,
+
+    "q_cube_extend" ->
+      """SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS o_totalprice,
+        |  CAST(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS BIGINT) AS is_urgent
+        |FROM orders WHERE o_totalprice > 250000.0
+        |ORDER BY 1, 2""".stripMargin,
 
     "q_cube_query" ->
       """SELECT o_custkey, o_orderkey, o_custkey % 4 AS bucket,
