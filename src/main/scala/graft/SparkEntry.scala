@@ -608,6 +608,25 @@ object SparkEntry {
         .orderBy("day", "event_type")
     }),
 
+    "q_pipeline_e2e" -> ((s, dir) => {
+      // the composed training-data pipeline: quality-filter -> exact dedup
+      // -> minhash near-dedup -> store as a managed dataset partitioned by
+      // language -> read back stats. Every stage is this engine's surface.
+      val base = scratch(dir)
+      val d = t(s, dir, "documents")
+        .unionByName(t(s, dir, "documents")
+          .withColumn("doc_id", col("doc_id") + 1000000)) // planted exact dups
+      val scored = d.withColumn("quality", TextAnalysis.qualityScore(col("text")))
+        .filter(col("quality") >= 0.5)
+      val exact = Dedup.exactByHash(scored, "doc_id", "text")
+      val near = Dedup.minhashDedup(exact, "doc_id", "text", threshold = 0.9)
+      Ktk.store(s, base, "corpus_clean", near.select("doc_id", "lang", "text", "quality"),
+        partitionOn = Seq("lang"), overwrite = true)
+      Ktk.readTable(s, base, "corpus_clean")
+        .groupBy("lang").agg(count(lit(1)).as("n_docs"))
+        .orderBy("lang")
+    }),
+
     // -------------------------------------------------- maintenance ops
     "q_hash_dataset" -> ((s, dir) => {
       Ktk.hashDataset(t(s, dir, "region"), Seq("r_regionkey"))
