@@ -1,0 +1,53 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+class SessionizeSpec extends SparkSpec {
+  import Sessionize._
+  import spark.implicits._
+
+  test("gap-based sessionization closes sessions across micro-batches") {
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[Event]
+    val sessions = sessionize(input.toDS(), gapMs = 10000)
+
+    val q = sessions.writeStream
+      .format("memory").queryName("sessions_out").outputMode("append").start()
+    try {
+      // batch 1: two events 1s apart (one open session), another user
+      input.addData(Event(1, 0, 1.0), Event(1, 1000, 2.0), Event(2, 500, 5.0))
+      q.processAllAvailable()
+      spark.table("sessions_out").count() shouldBe 0 // nothing closed yet
+
+      // batch 2: user 1 far beyond the gap -> closes the first session
+      input.addData(Event(1, 100000, 7.0))
+      q.processAllAvailable()
+      val closed = spark.table("sessions_out").as[Session].collect()
+      closed.length shouldBe 1
+      closed.head shouldBe Session(1, 0, 1000, 2, 3.0)
+
+      // batch 3: user 2 again within a NEW window far away -> closes user 2's first
+      input.addData(Event(2, 200000, 1.0))
+      q.processAllAvailable()
+      val all = spark.table("sessions_out").as[Session].collect().sortBy(_.userId)
+      all.map(_.userId).toSeq shouldBe Seq(1L, 2L)
+      all(1) shouldBe Session(2, 500, 500, 1, 5.0)
+    } finally q.stop()
+  }
+
+  test("in-batch gap splits emit closed sessions immediately") {
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[Event]
+    val sessions = sessionize(input.toDS(), gapMs = 1000)
+    val q = sessions.writeStream
+      .format("memory").queryName("sessions_out2").outputMode("append").start()
+    try {
+      input.addData(Event(9, 0, 1.0), Event(9, 100, 1.0), Event(9, 5000, 1.0))
+      q.processAllAvailable()
+      val closed = spark.table("sessions_out2").as[Session].collect()
+      closed.toSeq shouldBe Seq(Session(9, 0, 100, 2, 2.0))
+    } finally q.stop()
+  }
+}
