@@ -342,7 +342,7 @@ object SparkEntry {
       // raw long (legacy.parquet.nanosAsLong, set in Verify/Bench); convert
       // nanos -> micros -> timestamp explicitly
       val ev = t(s, dir, "events")
-      val day = to_date(timestamp_micros((col("ts") / 1000).cast("long")))
+      val day = to_date(timestamp_micros(expr("ts DIV 1000")))
       ev.groupBy(day.as("day"), col("event_type"))
         .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
         .orderBy("day", "event_type")
@@ -355,6 +355,36 @@ object SparkEntry {
         get_json_object(col("props"), "$.k").cast("long").as("k"))
         .filter(col("k") >= 90)
         .orderBy("event_id")
+    }),
+
+    "q_stream_sessionize" -> ((s, dir) => {
+      // stateful streaming (flatMapGroupsWithState) sessionization over the
+      // events table, AvailableNow; closed sessions only (Append semantics)
+      import org.apache.spark.sql.streaming.Trigger
+      import graft.streaming.Sessionize
+      val name = "sess_" + Integer.toHexString(dir.hashCode)
+      val stageDir = java.nio.file.Paths.get(scratch(dir), "events_stream")
+      java.nio.file.Files.createDirectories(stageDir)
+      val target = stageDir.resolve("events.parquet")
+      if (!java.nio.file.Files.exists(target))
+        java.nio.file.Files.copy(java.nio.file.Paths.get(s"$dir/events.parquet"), target)
+      val schema = "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING"
+      import s.implicits._
+      val events = s.readStream.schema(schema).parquet(stageDir.toString)
+        // integer division: `/` on longs is double division and loses a ms
+        // at the mantissa edge; DIV matches DuckDB's epoch_ms flooring
+        .select(col("user_id").as("userId"), expr("ts DIV 1000000").as("tsMs"),
+          col("value"))
+        .as[Sessionize.Event]
+      val q = Sessionize.sessionize(events, gapMs = 3600000L)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(name)
+        .select(col("userId").as("user_id"), col("startMs").as("start_ms"),
+          col("endMs").as("end_ms"), col("nEvents").as("n_events"),
+          round(col("sumValue"), 2).as("sum_value"))
+        .orderBy("user_id", "start_ms")
     }),
 
     // -------------------------------------------------- pipeline: dedup
@@ -597,7 +627,7 @@ object SparkEntry {
         java.nio.file.Files.copy(java.nio.file.Paths.get(s"$dir/events.parquet"), target)
       val schema = "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING"
       val stream = s.readStream.schema(schema).parquet(stageDir.toString)
-        .withColumn("tstamp", timestamp_micros((col("ts") / 1000).cast("long")))
+        .withColumn("tstamp", timestamp_micros(expr("ts DIV 1000")))
         .groupBy(window(col("tstamp"), "1 day"), col("event_type"))
         .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
       val q = stream.writeStream.format("memory").queryName(name)
@@ -887,6 +917,20 @@ object SparkEntry {
       """SELECT CAST(n_nationkey AS BIGINT) AS nk FROM nation
         |EXCEPT
         |SELECT CAST(s_nationkey AS BIGINT) AS nk FROM supplier ORDER BY 1""".stripMargin,
+
+    "q_stream_sessionize" ->
+      """WITH e AS (SELECT user_id, epoch_ms(ts) AS ms, value FROM events),
+        |m AS (SELECT user_id, ms, value,
+        |  CASE WHEN lag(ms) OVER w IS NULL OR ms - lag(ms) OVER w > 3600000 THEN 1 ELSE 0 END AS brk
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ms)),
+        |s AS (SELECT user_id, ms, value,
+        |  sum(brk) OVER (PARTITION BY user_id ORDER BY ms ROWS UNBOUNDED PRECEDING) AS sid FROM m),
+        |g AS (SELECT user_id, sid, min(ms) AS start_ms, max(ms) AS end_ms,
+        |  count(*) AS n_events, round(sum(value), 2) AS sum_value
+        |  FROM s GROUP BY 1, 2)
+        |SELECT user_id, start_ms, end_ms, n_events, sum_value FROM g
+        |WHERE sid < (SELECT max(sid) FROM g g2 WHERE g2.user_id = g.user_id)
+        |ORDER BY 1, 2""".stripMargin,
 
     "q_stream_window" ->
       """SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
