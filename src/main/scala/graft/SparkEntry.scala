@@ -348,6 +348,21 @@ object SparkEntry {
         .orderBy("day", "event_type")
     }),
 
+    "q_asof_join" -> ((s, dir) => {
+      // as-of join: each click event picks the user's latest purchase value
+      // at or before it (temporal operator Spark lacks; composed plan, one
+      // keyed shuffle)
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), expr("ts DIV 1000000").as("ms"), col("event_type"), col("value"))
+      val clicks = ev.filter(col("event_type") === "click").select("user_id", "ms", "value")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ms").as("rms"), col("value").as("last_purchase"))
+      graft.ops.Joins.asofJoin(clicks, purchases, Seq("user_id"), "ms", "rms", Seq("last_purchase"))
+        .select(col("user_id"), col("ms"), round(col("value"), 2).as("click_value"),
+          round(col("last_purchase"), 2).as("last_purchase"))
+        .orderBy("user_id", "ms")
+    }),
+
     "q_json_extract" -> ((s, dir) => {
       // scalar-function surface beyond the reference: JSON prop extraction
       val ev = t(s, dir, "events")
@@ -936,6 +951,15 @@ object SparkEntry {
       """SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
         |  count(*) AS n, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_asof_join" ->
+      """WITH e AS (SELECT user_id, epoch_ms(ts) AS ms, event_type, value FROM events),
+        |l AS (SELECT user_id, ms, value FROM e WHERE event_type = 'click'),
+        |r AS (SELECT user_id, ms AS rms, value AS last_purchase FROM e WHERE event_type = 'purchase')
+        |SELECT l.user_id, l.ms, round(l.value, 2) AS click_value,
+        |  round(r.last_purchase, 2) AS last_purchase
+        |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ms >= r.rms
+        |ORDER BY 1, 2""".stripMargin,
 
     "q_json_extract" ->
       """SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k

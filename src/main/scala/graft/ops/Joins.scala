@@ -1,0 +1,63 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal join operators Spark lacks natively, composed from built-ins
+  * (preference (a) of the custom-operator ladder — no custom strategy
+  * needed: the union+carry-forward plan is one shuffle on the join keys).
+  */
+object Joins {
+
+  /** As-of (backward) join: every left row picks the LATEST right row with
+    * `right.ts <= left.ts` for the same keys — the standard event-to-state
+    * join (trades→quotes, events→latest-dimension-version).
+    *
+    * Plan shape: tag both sides, union, one window partitioned by keys
+    * ordered by (ts, side) with right rows sorting before left rows at equal
+    * timestamps (inclusive semantics), carry the right payload forward with
+    * `last(ignoreNulls)`, keep left rows. ONE shuffle on the keys, sorted
+    * within partitions — no range-join explosion, skew bounded by key
+    * cardinality like any keyed window.
+    *
+    * `right` must be unique per (keys, rightTs); pre-aggregate otherwise.
+    */
+  def asofJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTs: String,
+      rightTs: String,
+      payload: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "asofJoin requires join keys")
+    val leftCols = left.columns.toSeq
+    val l = left
+      .withColumn("__ts", col(s"`$leftTs`"))
+      .withColumn("__side", lit(1))
+      .select(
+        (keys.map(c => col(s"`$c`")) ++
+          Seq(col("__ts"), col("__side")) ++
+          leftCols.filterNot(keys.contains).map(c => col(s"`$c`")) ++
+          payload.map(c => lit(null).cast(right.schema(c).dataType).as(s"__p_$c"))): _*)
+    val r = right
+      .withColumn("__ts", col(s"`$rightTs`"))
+      .withColumn("__side", lit(0))
+      .select(
+        (keys.map(c => col(s"`$c`")) ++
+          Seq(col("__ts"), col("__side")) ++
+          leftCols.filterNot(keys.contains).map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+          payload.map(c => col(s"`$c`").as(s"__p_$c"))): _*)
+    val w = Window
+      .partitionBy(keys.map(c => col(s"`$c`")): _*)
+      .orderBy(col("__ts").asc, col("__side").asc) // right (0) before left (1) at ties
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = payload.foldLeft(l.unionByName(r)) { (df, c) =>
+      df.withColumn(s"__p_$c", last(col(s"`__p_$c`"), ignoreNulls = true).over(w))
+    }
+    carried
+      .filter(col("__side") === 1)
+      .select((leftCols.map(c => col(s"`$c`")) ++
+        payload.map(c => col(s"`__p_$c`").as(c))): _*)
+  }
+}

@@ -1,0 +1,34 @@
+package graft.ops
+
+import graft.SparkSpec
+
+class JoinsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("asofJoin picks the latest right row at or before each left ts") {
+    val trades = Seq(
+      ("A", 10L, 100.0), ("A", 25L, 200.0), ("A", 5L, 50.0), ("B", 12L, 99.0)
+    ).toDF("sym", "t", "qty")
+    val quotes = Seq(
+      ("A", 8L, 1.0), ("A", 10L, 2.0), ("A", 20L, 3.0), ("B", 30L, 9.0)
+    ).toDF("sym", "qt", "price")
+
+    val out = Joins.asofJoin(trades, quotes, Seq("sym"), "t", "qt", Seq("price"))
+      .orderBy("sym", "t")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), if (r.isNullAt(3)) null else r.getDouble(3)))
+    out.toSeq shouldBe Seq(
+      ("A", 5L, null),   // before any quote
+      ("A", 10L, 2.0),   // inclusive: quote at exactly t=10 wins
+      ("A", 25L, 3.0),   // latest quote <= 25
+      ("B", 12L, null))  // B's only quote is later
+  }
+
+  test("asofJoin keeps all left columns and rows") {
+    val l = Seq((1L, 100L, "x")).toDF("k", "t", "tag")
+    val r = Seq((1L, 50L, 7.7)).toDF("k", "rt", "v")
+    val out = Joins.asofJoin(l, r, Seq("k"), "t", "rt", Seq("v"))
+    out.columns.toSeq shouldBe Seq("k", "t", "tag", "v")
+    out.collect().head.getDouble(3) shouldBe 7.7
+  }
+}
