@@ -583,6 +583,17 @@ object SparkEntry {
         .orderBy("o_orderpriority", "rnk")
     }),
 
+    "q_quantiles" -> ((s, dir) => {
+      // exact linear-interpolated percentiles per group
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          round(expr("percentile(l_extendedprice, 0.5)"), 2).as("p50"),
+          round(expr("percentile(l_extendedprice, 0.95)"), 2).as("p95"),
+          round(expr("percentile(l_quantity, 0.25)"), 2).as("q25"))
+        .orderBy("l_returnflag")
+    }),
+
     "q_rollup" -> ((s, dir) => {
       t(s, dir, "lineitem")
         .rollup("l_returnflag", "l_linestatus")
@@ -902,6 +913,13 @@ object SparkEntry {
         |  SELECT o_orderpriority, o_orderkey, round(o_totalprice, 2) AS o_totalprice,
         |    row_number() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
         |  FROM orders) WHERE rnk <= 3 ORDER BY 1, 2""".stripMargin,
+
+    "q_quantiles" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_extendedprice, 0.5), 2) AS p50,
+        |  round(quantile_cont(l_extendedprice, 0.95), 2) AS p95,
+        |  round(quantile_cont(l_quantity, 0.25), 2) AS q25
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_rollup" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
