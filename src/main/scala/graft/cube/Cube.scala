@@ -179,9 +179,12 @@ object Cube {
     def loadOne(name: String, md: DatasetMetadata): DataFrame = {
       val schemaCols = md.schema.fieldNames.toSet
       val preds = conditions.restrictToColumns(schemaCols).getOrElse(Predicates.empty)
+      // condition columns are loaded even when outside the requested payload
+      // (the reference filters on any column; projection happens post-filter)
       val wanted =
         if (payload.isEmpty) md.schema.fieldNames.toSeq
-        else md.schema.fieldNames.toSeq.filter(c => keyCols.contains(c) || payload.contains(c) || partitionBy.contains(c))
+        else md.schema.fieldNames.toSeq.filter(c =>
+          keyCols.contains(c) || payload.contains(c) || partitionBy.contains(c) || condCols.contains(c))
       // single-commit datasets cannot hold overlay duplicates (the write
       // path rejects duplicate cells per commit) — skip the dedup window,
       // which removes a whole shuffle per dataset from the plan
@@ -219,11 +222,13 @@ object Cube {
         else payload.distinct.filterNot(keys.contains)
       keys ++ pay
     }
-    val projected = joined.select(outCols.filter(joined.columns.contains).map(c => col(s"`$c`")): _*)
-    // exact residual re-filter across datasets (post-join), then the
-    // reference's output order: dimensions, then partition columns
-    val filtered = if (conditions.isEmpty) projected else projected.filter(conditions.toColumn)
-    val ordered = filtered.sort((cube.dimensionColumns ++ cube.partitionColumns).map(c => col(s"`$c`")): _*)
+    // exact residual re-filter across datasets BEFORE projecting: the
+    // reference allows conditions on columns outside the requested payload
+    // (query/_intention.py condition cols need not be output cols)
+    val filtered = if (conditions.isEmpty) joined else joined.filter(conditions.toColumn)
+    val projected = filtered.select(outCols.filter(joined.columns.contains).map(c => col(s"`$c`")): _*)
+    // the reference's output order: dimensions, then partition columns
+    val ordered = projected.sort((cube.dimensionColumns ++ cube.partitionColumns).map(c => col(s"`$c`")): _*)
     if (partitionBy.nonEmpty) ordered.repartition(partitionBy.map(c => col(s"`$c`")): _*)
       .sortWithinPartitions((partitionBy ++ cube.dimensionColumns).map(c => col(s"`$c`")): _*)
     else ordered
