@@ -311,9 +311,12 @@ object SparkEntry {
     }),
 
     "q_collect_list" -> ((s, dir) => {
+      // scalar (comma-joined) emission: the driver's pandas hash-compare
+      // cannot hash array cells, so the list surface is proven via a sorted
+      // string rendering with an identical DuckDB rendering on the oracle side
       t(s, dir, "nation")
         .groupBy(col("n_regionkey").cast("long").as("n_regionkey"))
-        .agg(sort_array(collect_list(col("n_name"))).as("names"))
+        .agg(concat_ws(",", sort_array(collect_list(col("n_name")))).as("names"))
         .orderBy("n_regionkey")
     }),
 
@@ -846,7 +849,8 @@ object SparkEntry {
         |  GROUP BY 1, 2 HAVING count(*) > 1)""".stripMargin,
 
     "q_collect_list" ->
-      """SELECT CAST(n_regionkey AS BIGINT) AS n_regionkey, list_sort(list(n_name)) AS names
+      """SELECT CAST(n_regionkey AS BIGINT) AS n_regionkey,
+        |  array_to_string(list_sort(list(n_name)), ',') AS names
         |FROM nation GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_union" ->

@@ -200,7 +200,13 @@ object Cube {
       }
     }
 
-    val restrictive = restrictiveDatasets(cube, datasets.map { case (n, md) => n -> md.schema.fieldNames.toSet }, condCols)
+    // restriction mask includes partition_by columns, mirroring
+    // _determine_restrictive_dataset_ids (query/__init__.py:101-138): a
+    // partition_by on a non-seed dataset's exclusive payload forces an inner
+    // join (null groups would be meaningless)
+    val restrictive = restrictiveDatasets(cube,
+      datasets.map { case (n, md) => n -> md.schema.fieldNames.toSet },
+      condCols ++ partitionBy)
     val seed = loadOne(cube.seedDataset, datasets(cube.seedDataset))
     val others = (datasets - cube.seedDataset).toSeq.sortBy(_._1)
 
@@ -226,7 +232,7 @@ object Cube {
     // reference allows conditions on columns outside the requested payload
     // (query/_intention.py condition cols need not be output cols)
     val filtered = if (conditions.isEmpty) joined else joined.filter(conditions.toColumn)
-    val projected = filtered.select(outCols.filter(joined.columns.contains).map(c => col(s"`$c`")): _*)
+    val projected = filtered.select(outCols.filter(filtered.columns.contains).map(c => col(s"`$c`")): _*)
     // the reference's output order: dimensions, then partition columns
     val ordered = projected.sort((cube.dimensionColumns ++ cube.partitionColumns).map(c => col(s"`$c`")): _*)
     if (partitionBy.nonEmpty) ordered.repartition(partitionBy.map(c => col(s"`$c`")): _*)

@@ -80,10 +80,12 @@ object DatasetMetadata {
     spark.sessionState.newHadoopConf()
 
   /** Single-put commit (≙ store_dataset_from_partitions' one-blob write,
-    * io_components/write.py:232-241): serialize to a temp key then rename —
-    * atomic on HDFS/local; on S3A a rename is copy+delete but readers still
-    * see either the old or the new complete blob (last-writer-wins, same
-    * guarantee as the reference).
+    * io_components/write.py:232-241): serialize to a temp key then rename
+    * WITH OVERWRITE (`FileContext.rename(..., Options.Rename.OVERWRITE)`) —
+    * atomic on HDFS/local, so a concurrent reader observes either the
+    * previous or the next complete commit, never an absent dataset
+    * (SPEC.md §commit). On S3A a rename is copy+delete but the blob is still
+    * last-writer-wins, same guarantee as the reference.
     */
   def store(spark: SparkSession, base: String, md: DatasetMetadata): Unit = {
     val key = new Path(metadataKey(base, md.uuid))
@@ -92,9 +94,19 @@ object DatasetMetadata {
     val out = filesystem.create(tmp, true)
     try out.write(mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(md))
     finally out.close()
-    if (filesystem.exists(key)) filesystem.delete(key, false)
-    if (!filesystem.rename(tmp, key))
-      throw new java.io.IOException(s"Failed to commit dataset metadata at $key")
+    try {
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+        key.toUri, hadoopConf(spark))
+      fc.rename(filesystem.makeQualified(tmp), filesystem.makeQualified(key),
+        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    } catch {
+      case _: UnsupportedOperationException =>
+        // object stores without FileContext: non-atomic fallback, still
+        // last-writer-wins at the blob level
+        if (filesystem.exists(key)) filesystem.delete(key, false)
+        if (!filesystem.rename(tmp, key))
+          throw new java.io.IOException(s"Failed to commit dataset metadata at $key")
+    }
   }
 
   def load(spark: SparkSession, base: String, uuid: String): DatasetMetadata = {

@@ -59,13 +59,16 @@ object Ktk {
 
     val normalized = SchemaUtil.normalize(df, partitionOn)
     // hash-bucket shuffle before the write (≙ io/dask/_shuffle.py:23-137):
-    // co-locates rows by bucket key and bounds files-per-partition-dir to
-    // the bucket count — the payload packing of the reference is obsolete,
-    // Tungsten shuffle already serializes+compresses
+    // co-locates rows by a DERIVED bucket id `pmod(hash(bucketBy), numBuckets)`
+    // so files-per-partition-dir stays bounded by the bucket count while the
+    // shuffle itself uses `spark.sql.shuffle.partitions` tasks — bucket count
+    // and write parallelism are decoupled (repartition(numBuckets, ...) would
+    // cap TOTAL write parallelism at numBuckets regardless of cluster size)
     val bucketed =
-      if (bucketBy.nonEmpty)
-        normalized.repartition(numBuckets, (partitionOn ++ bucketBy).map(c => col(s"`$c`")): _*)
-      else normalized
+      if (bucketBy.nonEmpty) {
+        val bucketId = pmod(hash(bucketBy.map(c => col(s"`$c`")): _*), lit(numBuckets))
+        normalized.repartition((partitionOn.map(c => col(s"`$c`")) :+ bucketId): _*)
+      } else normalized
     val sorted =
       if (sortBy.nonEmpty) bucketed.sortWithinPartitions(sortBy.map(c => col(s"`$c`")): _*)
       else bucketed
@@ -213,8 +216,19 @@ object Ktk {
           val values = md.partitionValues(label)
           Predicates(Seq(partLits)).matchesValues(values)
         }
-        // 2. secondary-index pruning: intersect per-literal label sets
-        val idxLits = conj.filter(l => indexed.contains(l.col) && !partCols.contains(l.col))
+        // 2. secondary-index pruning: intersect per-literal label sets.
+        // Null-valued literals are NOT index-prunable: nulls are never
+        // indexed (indexFromPairs drops them), so pruning on `== null` /
+        // `in [.., null, ..]` would silently drop every partition whose
+        // rows hold nulls — leave those literals to the residual filter.
+        def indexPrunable(l: PredLiteral): Boolean = l.op match {
+          case graft.core.PredOp.Eq => l.value != null
+          case graft.core.PredOp.In =>
+            l.value == null || !l.value.asInstanceOf[Seq[Any]].contains(null)
+          case _ => true
+        }
+        val idxLits = conj.filter(l =>
+          indexed.contains(l.col) && !partCols.contains(l.col) && indexPrunable(l))
         idxLits.foldLeft(afterPart.toSet)((labels, l) => labels intersect matchingLabels(l))
     }.toSet
     all.filter(surviving.contains)

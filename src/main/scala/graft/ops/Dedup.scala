@@ -299,20 +299,43 @@ object Dedup {
   /** SimHash candidate pairs with Hamming distance <= maxHamming, found by
     * banding the 64-bit hash into 4 x 16-bit chunks (pigeonhole: any pair
     * with <=3 differing bits shares at least one exact chunk).
+    *
+    * Scale shape: collect-per-bucket with a `maxBucket` cap (the same
+    * salt-or-skip pattern as [[minhashCandidates]]) instead of an unbounded
+    * chunk-equality self-join — a hot 16-bit chunk on a near-duplicate-heavy
+    * corpus can otherwise go quadratic. Only (band, chunk, id, sh) rows
+    * shuffle, once.
     */
-  def simhashCandidates(df: DataFrame, idCol: String, textCol: String, maxHamming: Int = 3): DataFrame = {
+  def simhashCandidates(
+      df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3, maxBucket: Int = 1000): DataFrame = {
     val shUdf = udf((t: String) => simhash64(t))
     val hashes = df.select(col(idCol).as("id"), col(textCol).as("__t"))
       .repartition(df.sparkSession.sparkContext.defaultParallelism)
       .select(col("id"), shUdf(col("__t")).as("sh"))
     val banded = hashes.select(col("id"), col("sh"),
       posexplode(expr("transform(sequence(0,3), b -> (shiftright(sh, b*16) & 65535))")).as(Seq("band", "chunk")))
-    val pairs = banded.as("a").join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.chunk") === col("b.chunk") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).as("hamming"))
+    val pairUdf = udf { (members: Seq[org.apache.spark.sql.Row]) =>
+      val arr = members.map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toArray
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int)]
+      var i = 0
+      while (i < arr.length) {
+        var j = i + 1
+        while (j < arr.length) {
+          out += ((arr(i)._1, arr(j)._1, java.lang.Long.bitCount(arr(i)._2 ^ arr(j)._2)))
+          j += 1
+        }
+        i += 1
+      }
+      out.toSeq
+    }
+    banded.groupBy("band", "chunk")
+      .agg(collect_list(struct(col("id"), col("sh"))).as("members"))
+      .filter(size(col("members")).between(2, maxBucket))
+      .select(explode(pairUdf(col("members"))).as("p"))
+      .select(col("p._1").as("id_a"), col("p._2").as("id_b"), col("p._3").as("hamming"))
       .distinct()
-    pairs.filter(col("hamming") <= maxHamming)
+      .filter(col("hamming") <= maxHamming)
   }
 
   // ------------------------------------------------------- n-gram Jaccard

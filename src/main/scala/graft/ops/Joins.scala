@@ -32,32 +32,37 @@ object Joins {
       payload: Seq[String]): DataFrame = {
     require(keys.nonEmpty, "asofJoin requires join keys")
     val leftCols = left.columns.toSeq
+    // Carry the right side as ONE struct so `last(ignoreNulls)` skips only
+    // genuinely absent right rows, never a present row whose payload happens
+    // to be NULL — and so all payload columns always come from the SAME
+    // right row (per-column carries could mix rows when values are null).
+    val payloadStruct = struct(payload.map(c => col(s"`$c`").as(c)): _*)
+    val payloadType = org.apache.spark.sql.types.StructType(
+      payload.map(c => right.schema(c).copy(name = c)))
     val l = left
       .withColumn("__ts", col(s"`$leftTs`"))
       .withColumn("__side", lit(1))
       .select(
         (keys.map(c => col(s"`$c`")) ++
           Seq(col("__ts"), col("__side")) ++
-          leftCols.filterNot(keys.contains).map(c => col(s"`$c`")) ++
-          payload.map(c => lit(null).cast(right.schema(c).dataType).as(s"__p_$c"))): _*)
+          leftCols.filterNot(keys.contains).map(c => col(s"`$c`")) :+
+          lit(null).cast(payloadType).as("__p")): _*)
     val r = right
       .withColumn("__ts", col(s"`$rightTs`"))
       .withColumn("__side", lit(0))
       .select(
         (keys.map(c => col(s"`$c`")) ++
           Seq(col("__ts"), col("__side")) ++
-          leftCols.filterNot(keys.contains).map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-          payload.map(c => col(s"`$c`").as(s"__p_$c"))): _*)
+          leftCols.filterNot(keys.contains).map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+          payloadStruct.as("__p")): _*)
     val w = Window
       .partitionBy(keys.map(c => col(s"`$c`")): _*)
       .orderBy(col("__ts").asc, col("__side").asc) // right (0) before left (1) at ties
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = payload.foldLeft(l.unionByName(r)) { (df, c) =>
-      df.withColumn(s"__p_$c", last(col(s"`__p_$c`"), ignoreNulls = true).over(w))
-    }
-    carried
+    l.unionByName(r)
+      .withColumn("__p", last(col("__p"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
       .select((leftCols.map(c => col(s"`$c`")) ++
-        payload.map(c => col(s"`__p_$c`").as(c))): _*)
+        payload.map(c => col(s"`__p`.`$c`").as(c))): _*)
   }
 }

@@ -121,15 +121,50 @@ object Similarity {
 
   /** Embedding near-duplicate pairs: all corpus pairs with cosine >=
     * threshold, found via LSH buckets (only within-bucket pairs are scored).
+    *
+    * Scale shape: collect-per-bucket with a hard `maxBucket` cap (the same
+    * salt-or-skip pattern as [[Dedup.minhashCandidates]]) so a pathological
+    * hot bucket on a duplicate-heavy corpus cannot trigger an unbounded
+    * quadratic self-join — oversized buckets are skipped, not exploded.
+    * Only (bucket, id, vector) rows shuffle, once.
     */
   def embeddingNearDupCandidates(
       corpus: DataFrame, idCol: String, vecCol: String,
-      dim: Int, minCosine: Double, bits: Int = 10): DataFrame = {
+      dim: Int, minCosine: Double, bits: Int = 10, maxBucket: Int = 1000): DataFrame = {
     val cb = corpus.repartition(corpus.sparkSession.sparkContext.defaultParallelism)
       .withColumn("__bucket", lshBucket(vecCol, dim, bits))
       .select(col(idCol).as("id"), col(vecCol).as("v"), col("__bucket"))
-    cb.as("a").join(cb.as("b"), col("a.__bucket") === col("b.__bucket") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), cosine(col("a.v"), col("b.v")).as("cos"))
+    // within-bucket pair scoring as a bounded kernel: members sorted by id,
+    // cosine computed pairwise in one pass (O(maxBucket²·dim) worst case,
+    // bounded by the cap)
+    val pairUdf = udf { (members: Seq[org.apache.spark.sql.Row]) =>
+      val arr = members.map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1).toArray
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+      var i = 0
+      while (i < arr.length) {
+        var j = i + 1
+        while (j < arr.length) {
+          val (a, b) = (arr(i)._2, arr(j)._2)
+          var dotp = 0.0; var na = 0.0; var nb = 0.0
+          var d = 0
+          val lim = math.min(a.length, b.length)
+          while (d < lim) {
+            dotp += a(d).toDouble * b(d); na += a(d).toDouble * a(d); nb += b(d).toDouble * b(d)
+            d += 1
+          }
+          val cos = if (na == 0.0 || nb == 0.0) 0.0 else dotp / (math.sqrt(na) * math.sqrt(nb))
+          out += ((arr(i)._1, arr(j)._1, cos))
+          j += 1
+        }
+        i += 1
+      }
+      out.toSeq
+    }
+    cb.groupBy("__bucket")
+      .agg(collect_list(struct(col("id"), col("v"))).as("members"))
+      .filter(size(col("members")).between(2, maxBucket))
+      .select(explode(pairUdf(col("members"))).as("p"))
+      .select(col("p._1").as("id_a"), col("p._2").as("id_b"), col("p._3").as("cos"))
       .filter(col("cos") >= minCosine)
   }
 
@@ -148,6 +183,30 @@ object Similarity {
     IvfIndex(km.clusterCenters.zipWithIndex.map { case (c, i) => (i, c.toArray.toSeq) }.toSeq, nlist)
   }
 
+  /** Nearest-`n` centroid ids per vector as a single-pass kernel over the
+    * closure-captured (task-broadcast) centroid matrix — the scale-safe
+    * assignment plan: a NARROW map over the corpus, zero shuffle, zero row
+    * amplification. (The naive alternative — crossJoin×nlist then a
+    * row_number window — amplifies the corpus nlist× and shuffles all of it
+    * just to argmin a handful of distances.)
+    */
+  private def nearestCidsUdf(centroids: Seq[(Int, Seq[Double])], n: Int) = {
+    val cids = centroids.map(_._1).toArray
+    val cents = centroids.map(_._2.toArray).toArray
+    udf { (v: Seq[Float]) =>
+      val dists = Array.tabulate(cents.length) { i =>
+        val c = cents(i)
+        var s = 0.0
+        var d = 0
+        val lim = math.min(c.length, v.length)
+        while (d < lim) { val diff = v(d) - c(d); s += diff * diff; d += 1 }
+        (s, cids(i))
+      }
+      dists.sortInPlace()
+      dists.take(math.min(n, dists.length)).map(_._2).toSeq
+    }
+  }
+
   /** IVF-style ANN over a prebuilt index: probe only the `nprobe` nearest
     * centroids per query. Returns top-k.
     */
@@ -157,18 +216,9 @@ object Similarity {
       idCol: String, vecCol: String,
       queryIdCol: String, queryVecCol: String,
       k: Int, nprobe: Int = 2): DataFrame = {
-    val spark = corpus.sparkSession
-    import spark.implicits._
-    val centDf = index.centroids.toDF("cid", "centroid")
-
     def nearestCids(vecDf: DataFrame, vcol: String, n: Int): DataFrame =
-      vecDf.crossJoin(broadcast(centDf))
-        .withColumn("dist", aggregate(
-          zip_with(col(vcol).cast("array<double>"), col("centroid"), (x, y) => (x - y) * (x - y)),
-          lit(0.0), (a, x) => a + x))
-        .withColumn("__rn", row_number().over(
-          Window.partitionBy(vecDf.columns.head).orderBy(col("dist"), col("cid"))))
-        .filter(col("__rn") <= n).drop("__rn", "dist", "centroid")
+      vecDf.withColumn("cid",
+        explode(nearestCidsUdf(index.centroids, n)(col(s"`$vcol`"))))
 
     val corpusAssigned = nearestCids(corpus.select(col(idCol), col(vecCol)), vecCol, 1)
     val queryAssigned = nearestCids(queries.select(col(queryIdCol), col(queryVecCol)), queryVecCol, nprobe)

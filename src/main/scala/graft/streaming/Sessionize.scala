@@ -33,13 +33,21 @@ object Sessionize {
       .flatMapGroupsWithState[SessionState, Session](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         case (userId, evts, state: GroupState[SessionState]) =>
+          // materializes ONE key's events of ONE micro-batch — bounded by
+          // batch granularity (per-key per-batch volume), not stream length
           val sorted = evts.toSeq.sortBy(_.tsMs)
           val closed = Seq.newBuilder[Session]
           var cur = state.getOption
           sorted.foreach { e =>
             cur match {
               case Some(s) if e.tsMs - s.endMs <= gapMs =>
-                cur = Some(s.copy(endMs = e.tsMs, n = s.n + 1, sum = s.sum + e.value))
+                // min/max merge: a late event from a later micro-batch that
+                // falls inside the carried session must never REWIND its end
+                // (or move its start forward)
+                cur = Some(s.copy(
+                  startMs = math.min(s.startMs, e.tsMs),
+                  endMs = math.max(s.endMs, e.tsMs),
+                  n = s.n + 1, sum = s.sum + e.value))
               case Some(s) =>
                 closed += Session(userId, s.startMs, s.endMs, s.n, s.sum)
                 cur = Some(SessionState(e.tsMs, e.tsMs, 1, e.value))

@@ -42,6 +42,15 @@ class CubeSpec extends SparkSpec {
     out.select("x").as[Long].collect().toSeq.sorted shouldBe Seq(0L, 0L)
   }
 
+  test("condition on a column outside an explicit payload filters rows, stays out of output") {
+    val base = tmpDir("cube")
+    Cube.build(spark, base, cube, Map("seed" -> seed, "enrich" -> enrich))
+    val out = Cube.query(spark, base, cube,
+      conditions = Predicates.of(Seq(("v2", ">=", 150))), payload = Seq("v1"))
+    out.columns.toSeq shouldBe Seq("x", "y", "p", "v1")
+    out.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq shouldBe Seq((1L, 0L), (1L, 1L))
+  }
+
   test("conditions prune partitions AND filter payload") {
     val base = tmpDir("cube")
     Cube.build(spark, base, cube, Map("seed" -> seed, "enrich" -> enrich))

@@ -63,6 +63,28 @@ class KtkSpec extends SparkSpec {
       Ktk.readTable(spark, base, "ds", columns = Seq("nope"))
   }
 
+  test("== null predicate on an indexed column keeps partitions holding nulls") {
+    val base = tmpDir("ktk")
+    val data = Seq(
+      (1, "a", Option("x")), (1, "b", Option.empty[String]), (2, "c", Option("y"))
+    ).toDF("p", "l", "tag")
+    Ktk.store(spark, base, "ds", data, partitionOn = Seq("p"), secondaryIndices = Seq("tag"))
+    // nulls are never indexed, so index pruning must SKIP the null literal
+    // (not prune p=1, whose file holds the null row) and leave it to the
+    // residual filter
+    val rows = Ktk.readTable(spark, base, "ds",
+      predicates = graft.core.Predicates.of(Seq(("tag", "==", null))))
+    rows.select("l").as[String].collect().toSeq shouldBe Seq("b")
+    // `in` lists containing null are equally non-prunable
+    val rows2 = Ktk.readTable(spark, base, "ds",
+      predicates = graft.core.Predicates.of(Seq(("tag", "in", Seq(null, "y")))))
+    rows2.select("l").as[String].collect().sorted.toSeq shouldBe Seq("b", "c")
+    // != null stays prunable and correct
+    val rows3 = Ktk.readTable(spark, base, "ds",
+      predicates = graft.core.Predicates.of(Seq(("tag", "!=", null))))
+    rows3.select("l").as[String].collect().sorted.toSeq shouldBe Seq("a", "c")
+  }
+
   test("null partition values rejected") {
     val base = tmpDir("ktk")
     val bad = Seq((Some(1), "a"), (None, "b")).toDF("p", "v")

@@ -31,4 +31,25 @@ class JoinsSpec extends SparkSpec {
     out.columns.toSeq shouldBe Seq("k", "t", "tag", "v")
     out.collect().head.getDouble(3) shouldBe 7.7
   }
+
+  test("asofJoin: a right row with NULL payload wins over an earlier non-null row") {
+    val l = Seq((1L, 100L), (1L, 200L)).toDF("k", "t")
+    val r = Seq((1L, 50L, Some(7.7)), (1L, 150L, Option.empty[Double])).toDF("k", "rt", "v")
+    val out = Joins.asofJoin(l, r, Seq("k"), "t", "rt", Seq("v")).orderBy("t").collect()
+    out(0).getDouble(2) shouldBe 7.7
+    // the latest right row at t<=200 is rt=150 whose payload is NULL — it is
+    // the as-of match and must NOT be skipped in favor of the rt=50 value
+    out(1).isNullAt(2) shouldBe true
+  }
+
+  test("asofJoin: all payload columns come from the SAME right row") {
+    val l = Seq((1L, 200L)).toDF("k", "t")
+    val r = Seq(
+      (1L, 50L, Some("a"), Option.empty[String]),
+      (1L, 150L, Option.empty[String], Some("b"))).toDF("k", "rt", "p1", "p2")
+    val out = Joins.asofJoin(l, r, Seq("k"), "t", "rt", Seq("p1", "p2")).collect().head
+    // match is the rt=150 row: (null, "b") — never the cross-row mix ("a", "b")
+    out.isNullAt(2) shouldBe true
+    out.getString(3) shouldBe "b"
+  }
 }

@@ -37,6 +37,26 @@ class SessionizeSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("late cross-batch event never rewinds the carried session end") {
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[Event]
+    val sessions = sessionize(input.toDS(), gapMs = 10000)
+    val q = sessions.writeStream
+      .format("memory").queryName("sessions_out3").outputMode("append").start()
+    try {
+      input.addData(Event(7, 0, 1.0), Event(7, 1000, 1.0))
+      q.processAllAvailable()
+      // a LATE event (ts=500 < carried endMs=1000) merges without rewinding
+      input.addData(Event(7, 500, 1.0))
+      q.processAllAvailable()
+      // far event closes the session: end must still be 1000, not 500
+      input.addData(Event(7, 100000, 1.0))
+      q.processAllAvailable()
+      val closed = spark.table("sessions_out3").as[Session].collect()
+      closed.toSeq shouldBe Seq(Session(7, 0, 1000, 3, 3.0))
+    } finally q.stop()
+  }
+
   test("in-batch gap splits emit closed sessions immediately") {
     implicit val sql = spark.sqlContext
     val input = MemoryStream[Event]
