@@ -223,6 +223,26 @@ object SparkEntry {
         .orderBy("p_partkey")
     }),
 
+    "q_ktk_interop" -> ((s, dir) => {
+      // reference-layout interop: write the v4 migration layout once per
+      // scale dir (JSON metadata + files dicts + embedded index), then read
+      // it back with partition-key AND secondary-index pruning
+      val base = scratch(dir)
+      built.getOrElseUpdate(s"$base/interop", {
+        graft.ktk.KartothekInterop.write(s, base, "orders_v4", t(s, dir, "orders"),
+          partitionOn = Seq("o_orderstatus"), secondaryIndices = Seq("o_orderpriority"),
+          overwrite = true)
+        ()
+      })
+      val ds = graft.ktk.KartothekInterop.load(s, base, "orders_v4")
+      graft.ktk.KartothekInterop.readTable(s, base, ds,
+        columns = Seq("o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice"),
+        predicates = Predicates.of(Seq(("o_orderstatus", "==", "F"),
+          ("o_orderpriority", "==", "1-URGENT"), ("o_totalprice", ">", 150000.0))))
+        .withColumn("o_totalprice", round(col("o_totalprice"), 2))
+        .orderBy("o_orderkey")
+    }),
+
     "q_cube_extend" -> ((s, dir) => {
       // extend an existing cube with a derived enrichment dataset, then
       // query across all three
@@ -280,6 +300,20 @@ object SparkEntry {
         .select(col("o_custkey"), col("o_orderkey"), col("bucket"),
           round(col("o_totalprice"), 2).as("o_totalprice"), col("c_mktsegment"),
           round(col("c_acctbal"), 2).as("c_acctbal"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
+    "q_cube_interval" -> ((s, dir) => {
+      // typed condition sugar: C("col").inInterval(lo, hi) & C("col") === v
+      // compiled to the shared DNF predicate core
+      import graft.core.C
+      val (base, cube) = ensureOrdersCube(s, dir)
+      Cube.query(s, base, cube,
+        conditions = (C("o_totalprice").inInterval(100000.0, 200000.0) &
+          (C("c_mktsegment") === "MACHINERY")).toPredicates,
+        payload = Seq("o_totalprice", "c_mktsegment"))
+        .select(col("o_custkey"), col("o_orderkey"),
+          round(col("o_totalprice"), 2).as("o_totalprice"), col("c_mktsegment"))
         .orderBy("o_custkey", "o_orderkey")
     }),
 
@@ -694,9 +728,11 @@ object SparkEntry {
     }),
 
     "q_footer_stats" -> ((s, dir) => {
+      // footer-derived row count must equal the logical count — an exact
+      // oracle; file count is layout-dependent and covered by ScalaTest
       val base = ensureLineitemDs(s, dir)
       Ktk.parquetStats(s, base, "lineitem")
-        .groupBy().agg(sum("rows").as("total_rows"), count(lit(1)).as("n_files"))
+        .groupBy().agg(sum("rows").as("total_rows"))
     })
   )
 
@@ -728,10 +764,12 @@ object SparkEntry {
   }
 
   // ------------------------------------------------------------------------
-  // DuckDB oracles. Omitted for hash/LSH-dependent ops (q_dedup_minhash,
-  // q_dedup_simhash, q_ann_lsh, q_emb_neardup, q_text_fingerprint,
-  // q_hash_dataset, q_multimodal, q_footer_stats) → rows-only check; their
-  // exact semantics are covered by ScalaTest oracles with planted data.
+  // DuckDB oracles. Omitted ONLY for genuinely hash/LSH-seeded ops whose
+  // output depends on the engine's own hash family (q_dedup_minhash/_cc,
+  // q_dedup_simhash, q_ann_lsh, q_ann_ivf, q_emb_neardup, q_hash_dataset,
+  // q_pipeline_e2e via its minhash stage, q_multimodal via the stub codec)
+  // → rows-only check; their exact semantics are covered by ScalaTest
+  // oracles with planted data.
   // ------------------------------------------------------------------------
 
   def oracleSql: Map[String, String] = Map(
@@ -819,6 +857,12 @@ object SparkEntry {
     "q_ktk_bucketed" ->
       """SELECT p_partkey, p_brand, p_retailprice FROM part ORDER BY 1""".stripMargin,
 
+    "q_ktk_interop" ->
+      """SELECT o_orderkey, o_orderstatus, o_orderpriority, round(o_totalprice, 2) AS o_totalprice
+        |FROM orders
+        |WHERE o_orderstatus = 'F' AND o_orderpriority = '1-URGENT' AND o_totalprice > 150000.0
+        |ORDER BY 1""".stripMargin,
+
     "q_cube_extend" ->
       """SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS o_totalprice,
         |  CAST(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS BIGINT) AS is_urgent
@@ -830,6 +874,12 @@ object SparkEntry {
         |  round(o_totalprice, 2) AS o_totalprice, c_mktsegment, round(c_acctbal, 2) AS c_acctbal
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |WHERE c_mktsegment = 'BUILDING' AND o_totalprice > 100000.0
+        |ORDER BY 1, 2""".stripMargin,
+
+    "q_cube_interval" ->
+      """SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS o_totalprice, c_mktsegment
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE o_totalprice >= 100000.0 AND o_totalprice < 200000.0 AND c_mktsegment = 'MACHINERY'
         |ORDER BY 1, 2""".stripMargin,
 
     "q_cube_left" ->
@@ -1022,6 +1072,20 @@ object SparkEntry {
         |FROM m ORDER BY doc_id""".stripMargin,
 
     "q_text_langid" -> langIdOracleSql,
+
+    // fingerprint = xxhash64 over the normalized text, so distinct
+    // fingerprints == distinct normalized strings (modulo a 2^-64 collision)
+    // — the normalization is mirrored verbatim on the DuckDB side
+    "q_text_fingerprint" ->
+      """WITH u AS (
+        |  SELECT text FROM documents
+        |  UNION ALL
+        |  SELECT regexp_replace(upper(text), ' ', '  ', 'g') AS text FROM documents)
+        |SELECT count(DISTINCT lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS distinct_fps
+        |FROM u""".stripMargin,
+
+    "q_footer_stats" ->
+      "SELECT count(*) AS total_rows FROM lineitem",
 
     "q_text_stats" ->
       """SELECT doc_id,

@@ -1,0 +1,337 @@
+package graft.ktk
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.{Msgpack, PredLiteral, PredOp, Predicates, UrlCodec}
+
+/** Interop with datasets written by the REFERENCE implementation — the
+  * kartothek v4 on-disk format (docs/spec/storage_layout.rst:18-56,
+  * core/dataset.py:566-674 `load_from_store`): a
+  * `<uuid>.by-dataset-metadata.json` (or `.msgpack.zstd`) blob holding
+  * explicit partitions as per-table `files` dicts, partition values encoded
+  * in the file-key path, and secondary indices either embedded
+  * (value → labels, core/dataset.py `from_v2`) or external
+  * (`indices/<col>/<ts>.by-dataset-index.parquet` with columns
+  * `(<col>, partition: list<string>)`, core/index.py:670-727).
+  *
+  * Migration is the first thing a real user does — this module makes a
+  * reference-written dataset directly queryable (predicate pushdown
+  * included) and can write the same layout back for the reverse path.
+  */
+object KartothekInterop {
+
+  val JsonSuffix = ".by-dataset-metadata.json"
+  val MsgpackSuffix = ".by-dataset-metadata.msgpack.zstd"
+
+  /** Parsed v4 metadata. `partitions`: label → (table → store key). */
+  final case class V4Dataset(
+      uuid: String,
+      metadataVersion: Int,
+      partitionKeys: Seq[String],
+      partitions: Map[String, Map[String, String]],
+      embeddedIndices: Map[String, Map[String, Seq[String]]],
+      externalIndices: Map[String, String],
+      metadata: Map[String, String]) {
+
+    def tables: Seq[String] =
+      partitions.values.headOption.map(_.keys.toSeq.sorted).getOrElse(Nil)
+
+    /** Partition key=value pairs of one label, decoded from its file-key
+      * path (the reference encodes values in the key, quote_indices →
+      * `core/utils.py`).
+      */
+    def partitionValues(label: String, table: String): Map[String, String] = {
+      val key = partitions(label)(table)
+      val marker = s"/$table/"
+      val idx = key.indexOf(marker)
+      if (idx < 0) Map.empty
+      else {
+        val rel = key.substring(idx + marker.length)
+        val dirs = rel.split("/").dropRight(1).mkString("/")
+        if (dirs.isEmpty) Map.empty else UrlCodec.decodePartitionPath(dirs).toMap
+      }
+    }
+  }
+
+  // ------------------------------------------------------------------ load
+
+  private val mapper = new ObjectMapper()
+
+  private def readBlob(spark: SparkSession, path: Path): Array[Byte] = {
+    val fs = DatasetMetadata.fs(spark, path.toString)
+    val in = fs.open(path)
+    try {
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](64 * 1024)
+      var n = in.read(buf)
+      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+      out.toByteArray
+    } finally in.close()
+  }
+
+  /** Load v4 metadata: JSON first, then the msgpack.zstd variant — the same
+    * fallback order as the reference (core/dataset.py:591-605).
+    */
+  def load(spark: SparkSession, base: String, uuid: String): V4Dataset = {
+    val fs = DatasetMetadata.fs(spark, base)
+    val jsonKey = new Path(s"$base/$uuid$JsonSuffix")
+    val packKey = new Path(s"$base/$uuid$MsgpackSuffix")
+    val tree: Any =
+      if (fs.exists(jsonKey)) toScala(mapper.readTree(readBlob(spark, jsonKey)))
+      else if (fs.exists(packKey)) {
+        val raw = com.github.luben.zstd.Zstd.decompress(
+          readBlob(spark, packKey), 64 * 1024 * 1024)
+        Msgpack.unpack(raw)
+      } else
+        throw new NoSuchElementException(
+          s"Kartothek dataset '$uuid' not found: tried $jsonKey and $packKey")
+    fromTree(tree.asInstanceOf[Map[String, Any]])
+  }
+
+  private def toScala(n: com.fasterxml.jackson.databind.JsonNode): Any = {
+    import scala.jdk.CollectionConverters._
+    if (n.isObject) n.properties().asScala.map(e => e.getKey -> toScala(e.getValue)).toMap
+    else if (n.isArray) n.elements().asScala.map(toScala).toSeq
+    else if (n.isTextual) n.asText()
+    else if (n.isIntegralNumber) n.asLong()
+    else if (n.isNumber) n.asDouble()
+    else if (n.isBoolean) n.asBoolean()
+    else null
+  }
+
+  private def fromTree(m: Map[String, Any]): V4Dataset = {
+    def str(v: Any): String = v.toString
+    val version = m.get("dataset_metadata_version").map(_.toString.toInt).getOrElse(4)
+    require(version == 4, s"unsupported kartothek metadata version $version (only v4)")
+    val uuid = str(m("dataset_uuid"))
+    val partitionKeys = m.get("partition_keys").map(_.asInstanceOf[Seq[Any]].map(str)).getOrElse(Nil)
+    val partitions = m.get("partitions").map(_.asInstanceOf[Map[String, Any]].map {
+      case (label, pd) =>
+        val files = pd.asInstanceOf[Map[String, Any]]
+          .getOrElse("files", Map.empty[String, Any]).asInstanceOf[Map[String, Any]]
+        label -> files.map { case (t, k) => t -> str(k) }
+    }).getOrElse(Map.empty)
+    val (embedded, external) = m.get("indices")
+      .map(_.asInstanceOf[Map[String, Any]]).getOrElse(Map.empty)
+      .partitionMap {
+        case (c, s: String) => Right(c -> s)
+        case (c, d) => Left(c -> d.asInstanceOf[Map[String, Any]].map {
+          case (v, labels) => v -> labels.asInstanceOf[Seq[Any]].map(str)
+        })
+      }
+    val meta = m.get("metadata").map(_.asInstanceOf[Map[String, Any]]
+      .map { case (k, v) => k -> (if (v == null) null else v.toString) }).getOrElse(Map.empty)
+    V4Dataset(uuid, version, partitionKeys, partitions,
+      embedded.toMap, external.toMap, meta)
+  }
+
+  // ------------------------------------------------------------------ read
+
+  /** Labels surviving the predicates, using partition-key decoding plus
+    * embedded/external secondary indices — the same three-stage pruning as
+    * [[Ktk.queryLabels]], over the reference's own metadata structures.
+    * Null-valued literals skip index pruning (nulls are never indexed).
+    */
+  def queryLabels(
+      spark: SparkSession,
+      base: String,
+      ds: V4Dataset,
+      table: String,
+      predicates: Predicates): Seq[String] = {
+    val all = ds.partitions.keys.toSeq.sorted
+    if (predicates.isEmpty) return all
+    val partCols = ds.partitionKeys.toSet
+    val indexedCols = ds.embeddedIndices.keySet ++ ds.externalIndices.keySet
+
+    def indexPrunable(l: PredLiteral): Boolean = l.op match {
+      case PredOp.Eq => l.value != null
+      case PredOp.In => l.value == null || !l.value.asInstanceOf[Seq[Any]].contains(null)
+      case _         => true
+    }
+
+    val externalCache = scala.collection.mutable.Map.empty[(String, PredLiteral), Set[String]]
+    def matchingLabels(l: PredLiteral): Set[String] =
+      ds.embeddedIndices.get(l.col) match {
+        case Some(dct) =>
+          dct.collect { case (v, labels) if Predicates.evalLiteral(l, v) => labels }
+            .flatten.toSet
+        case None =>
+          externalCache.getOrElseUpdate((l.col, l), {
+            val onValue = Predicates(Seq(Seq(l.copy(col = "value"))))
+            spark.read.parquet(s"$base/${ds.externalIndices(l.col)}")
+              .select(col(s"`${l.col}`").as("value"), col("partition"))
+              .filter(onValue.toColumn)
+              .select(explode(col("partition")).as("label"))
+              .distinct().collect().map(_.getString(0)).toSet
+          })
+      }
+
+    val surviving = predicates.splitPerConjunction(partCols).zip(predicates.disjunction).flatMap {
+      case ((partLits, _), conj) =>
+        val afterPart = all.filter { label =>
+          Predicates(Seq(partLits)).matchesValues(ds.partitionValues(label, table))
+        }
+        val idxLits = conj.filter(l =>
+          indexedCols.contains(l.col) && !partCols.contains(l.col) && indexPrunable(l))
+        idxLits.foldLeft(afterPart.toSet)((labels, l) => labels intersect matchingLabels(l))
+    }.toSet
+    all.filter(surviving.contains)
+  }
+
+  /** Read one table of a reference-written dataset as a DataFrame:
+    * driver-side label pruning picks the explicit file list, a basePath
+    * Parquet scan reconstructs the partition columns from the key=value
+    * dirs (the reference stores them only in the path), and the exact
+    * residual filter is re-applied.
+    */
+  def readTable(
+      spark: SparkSession,
+      base: String,
+      ds: V4Dataset,
+      table: String = "table",
+      columns: Seq[String] = Nil,
+      predicates: Predicates = Predicates.empty): DataFrame = {
+    require(ds.partitions.nonEmpty, s"kartothek dataset '${ds.uuid}' has no partitions")
+    ds.partitions.find(!_._2.contains(table)).foreach { case (l, _) =>
+      throw new IllegalArgumentException(s"partition '$l' has no file for table '$table'")
+    }
+    val tableDir = s"$base/${ds.uuid}/$table"
+    val labels = queryLabels(spark, base, ds, table, predicates)
+    val files =
+      if (labels.nonEmpty) labels.map(l => s"$base/${ds.partitions(l)(table)}")
+      else ds.partitions.keys.toSeq.sorted.map(l => s"$base/${ds.partitions(l)(table)}")
+    val scan = spark.read.option("basePath", tableDir).parquet(files: _*)
+    // pruned-to-nothing: keep the schema, emit no rows
+    val base0 = if (labels.isEmpty) scan.filter(lit(false)) else scan
+    val filtered = if (predicates.isEmpty) base0 else base0.filter(predicates.toColumn)
+    if (columns.isEmpty) filtered
+    else {
+      val missing = columns.filterNot(filtered.columns.contains)
+      require(missing.isEmpty, s"Columns not in dataset: ${missing.mkString(",")}")
+      filtered.select(columns.map(c => col(s"`$c`")): _*)
+    }
+  }
+
+  // ----------------------------------------------------------------- write
+
+  /** Write a DataFrame in the reference's v4 layout (the reverse migration
+    * path): Hive-style key=value dirs under `<uuid>/<table>/`, a
+    * `_common_metadata` schema blob, embedded value→labels indices, and the
+    * `<uuid>.by-dataset-metadata.json` blob — loadable by the reference's
+    * `DatasetMetadata.load_from_store`.
+    */
+  def write(
+      spark: SparkSession,
+      base: String,
+      uuid: String,
+      df: DataFrame,
+      table: String = "table",
+      partitionOn: Seq[String] = Nil,
+      secondaryIndices: Seq[String] = Nil,
+      overwrite: Boolean = false): V4Dataset = {
+    val fs = DatasetMetadata.fs(spark, base)
+    val jsonKey = new Path(s"$base/$uuid$JsonSuffix")
+    if (fs.exists(jsonKey)) {
+      require(overwrite, s"Kartothek dataset '$uuid' already exists")
+      fs.delete(new Path(s"$base/$uuid"), true)
+      fs.delete(jsonKey, false)
+    }
+    val tableDir = s"$base/$uuid/$table"
+    val writer = df.write.mode(SaveMode.Overwrite)
+    (if (partitionOn.nonEmpty) writer.partitionBy(partitionOn: _*) else writer).parquet(tableDir)
+
+    // enumerate written files: label = relative path under <uuid>/<table>/
+    val root = fs.makeQualified(new Path(tableDir))
+    val prefix = root.toString + "/"
+    val it = fs.listFiles(root, true)
+    val labels = scala.collection.mutable.ArrayBuffer.empty[String]
+    while (it.hasNext) {
+      val st = it.next()
+      val name = st.getPath.getName
+      if (st.isFile && !name.startsWith("_") && !name.startsWith("."))
+        labels += st.getPath.toString.stripPrefix(prefix)
+    }
+    writeCommonMetadata(spark, tableDir, labels.headOption.map(l => s"$tableDir/$l"))
+
+    // embedded indices: value → labels (the v4 `from_v2` dict form)
+    val indices: Map[String, Map[String, Seq[String]]] = secondaryIndices.map { c =>
+      val scan = spark.read.option("basePath", tableDir)
+        .parquet(labels.toSeq.map(l => s"$tableDir/$l"): _*)
+      val pairs = scan
+        .select(col(s"`$c`").cast("string").as("value"),
+          regexp_replace(input_file_name(), lit(s"^.*/$table/"), lit("")).as("label"))
+        .where(col("value").isNotNull)
+        .groupBy("value").agg(sort_array(collect_set(col("label"))).as("labels"))
+        .collect()
+        .map(r => r.getString(0) -> r.getSeq[String](1).toSeq).toMap
+      c -> pairs
+    }.toMap
+
+    val ds = V4Dataset(
+      uuid = uuid, metadataVersion = 4, partitionKeys = partitionOn,
+      partitions = labels.toSeq.sorted.map(l =>
+        l -> Map(table -> s"$uuid/$table/$l")).toMap,
+      embeddedIndices = indices, externalIndices = Map.empty,
+      metadata = Map.empty)
+    storeJson(spark, base, ds, table)
+    ds
+  }
+
+  private def storeJson(spark: SparkSession, base: String, ds: V4Dataset, table: String): Unit = {
+    val node = mapper.createObjectNode()
+    node.put("dataset_metadata_version", ds.metadataVersion)
+    node.put("dataset_uuid", ds.uuid)
+    val metaNode = node.putObject("metadata")
+    ds.metadata.foreach { case (k, v) => metaNode.put(k, v) }
+    val pk = node.putArray("partition_keys")
+    ds.partitionKeys.foreach(pk.add)
+    val parts = node.putObject("partitions")
+    ds.partitions.toSeq.sortBy(_._1).foreach { case (label, files) =>
+      val f = parts.putObject(label).putObject("files")
+      files.foreach { case (t, k) => f.put(t, k) }
+    }
+    if (ds.embeddedIndices.nonEmpty) {
+      val idx = node.putObject("indices")
+      ds.embeddedIndices.toSeq.sortBy(_._1).foreach { case (c, dct) =>
+        val cNode = idx.putObject(c)
+        dct.toSeq.sortBy(_._1).foreach { case (v, labels) =>
+          val arr = cNode.putArray(v)
+          labels.foreach(arr.add)
+        }
+      }
+    }
+    val fs = DatasetMetadata.fs(spark, base)
+    val out = fs.create(new Path(s"$base/${ds.uuid}$JsonSuffix"), true)
+    try out.write(mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(node))
+    finally out.close()
+  }
+
+  /** `_common_metadata`: a footer-only Parquet file carrying the table
+    * schema (≙ core/common_metadata.py store_schema_metadata), produced by
+    * copying the schema + key-value metadata of one written data file.
+    */
+  private def writeCommonMetadata(
+      spark: SparkSession, tableDir: String, firstFile: Option[String]): Unit =
+    firstFile.foreach { f =>
+      import scala.jdk.CollectionConverters._
+      val conf = spark.sessionState.newHadoopConf()
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(new Path(f), conf)
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      val (schema, kv) =
+        try {
+          val fm = reader.getFooter.getFileMetaData
+          (fm.getSchema, fm.getKeyValueMetaData)
+        } finally reader.close()
+      val w = new org.apache.parquet.hadoop.ParquetFileWriter(
+        org.apache.parquet.hadoop.util.HadoopOutputFile.fromPath(
+          new Path(s"$tableDir/_common_metadata"), conf),
+        schema, org.apache.parquet.hadoop.ParquetFileWriter.Mode.OVERWRITE,
+        org.apache.parquet.hadoop.ParquetWriter.DEFAULT_BLOCK_SIZE,
+        org.apache.parquet.hadoop.ParquetWriter.MAX_PADDING_SIZE_DEFAULT)
+      w.start()
+      w.end(kv.asScala.toMap.asJava)
+    }
+}

@@ -190,7 +190,7 @@ object Ktk {
       md: DatasetMetadata,
       predicates: Predicates): Seq[String] = {
     val all = md.partitions.keys.toSeq.sorted
-    if (predicates.isEmpty) return all
+    if (predicates.isEmpty || all.isEmpty) return all
     val indexed = md.indices.keySet
     val partCols = md.partitionKeys.toSet
 
@@ -414,6 +414,128 @@ object Ktk {
     md1
   }
 
+  // ------------------------------------------------------- two-phase write
+
+  /** Phase 1 of the external-committer workflow (≙
+    * create_empty_dataset_header, io/eager.py:642-714): commit a dataset
+    * header — schema, partition keys, index registry — with NO partitions.
+    * N independent jobs can then [[writePartition]] against it and a single
+    * coordinator [[commit]]s once.
+    */
+  def createEmpty(
+      spark: SparkSession,
+      base: String,
+      uuid: String,
+      schema: StructType,
+      partitionOn: Seq[String] = Nil,
+      secondaryIndices: Seq[String] = Nil,
+      overwrite: Boolean = false,
+      userMetadata: Map[String, String] = Map.empty): DatasetMetadata = {
+    if (!overwrite && DatasetMetadata.exists(spark, base, uuid))
+      throw new IllegalStateException(s"Dataset '$uuid' already exists (pass overwrite=true)")
+    partitionOn.foreach(c => require(schema.fieldNames.contains(c), s"partition_on column '$c' missing"))
+    secondaryIndices.foreach(c => require(schema.fieldNames.contains(c), s"index column '$c' not in schema"))
+    val normalized = SchemaUtil.normalizeSchema(schema, partitionOn)
+    val md = DatasetMetadata(
+      uuid = uuid, partitionKeys = partitionOn,
+      indices = secondaryIndices.map(c => c -> s"$c.parquet").toMap,
+      schemaJson = normalized.json, metadata = userMetadata)
+    DatasetMetadata.store(spark, base, md)
+    md
+  }
+
+  /** Phase 2 (≙ write_single_partition, io/eager.py:717-773): write one
+    * batch of files into the dataset directory WITHOUT touching the
+    * metadata blob — invisible to readers until [[commit]]. Returns the new
+    * labels to hand to the committer. Safe to run from many jobs
+    * concurrently: file names are unique per write, and only [[commit]]
+    * mutates metadata.
+    */
+  def writePartition(
+      spark: SparkSession,
+      base: String,
+      uuid: String,
+      df: DataFrame,
+      sortBy: Seq[String] = Nil): Seq[String] = {
+    val md = DatasetMetadata.load(spark, base, uuid)
+    val tableDir = md.tableDir(base)
+    val before = listDataFiles(spark, tableDir).keySet
+    SchemaUtil.validateCompatible(md.schema, SchemaUtil.normalizeSchema(df.schema, md.partitionKeys))
+    val normalized = SchemaUtil.normalize(df, md.partitionKeys)
+    val sorted =
+      if (sortBy.nonEmpty) normalized.sortWithinPartitions(sortBy.map(c => col(s"`$c`")): _*)
+      else normalized
+    val writer = sorted.write.mode(SaveMode.Append)
+    (if (md.partitionKeys.nonEmpty) writer.partitionBy(md.partitionKeys: _*) else writer)
+      .parquet(tableDir)
+    val newLabels = (listDataFiles(spark, tableDir).keySet -- before).toSeq.sorted
+    if (newLabels.exists(_.contains("__HIVE_DEFAULT_PARTITION__")))
+      throw new IllegalArgumentException("null values in partition columns are not allowed")
+    newLabels
+  }
+
+  /** Phase 3 (≙ commit_dataset, io/eager.py:433-527): register the labels
+    * produced by [[writePartition]] calls (plus an optional delete scope
+    * over partition keys), build or merge secondary indices, and publish
+    * everything in ONE metadata put — readers see the union atomically.
+    */
+  def commit(
+      spark: SparkSession,
+      base: String,
+      uuid: String,
+      newLabels: Seq[String],
+      deleteScope: Predicates = Predicates.empty): DatasetMetadata = {
+    val md = DatasetMetadata.load(spark, base, uuid)
+    val tableDir = md.tableDir(base)
+    val allNow = listDataFiles(spark, tableDir)
+    newLabels.foreach(l => require(allNow.contains(l), s"label '$l' not found under $tableDir"))
+
+    val deleted: Set[String] =
+      if (deleteScope.isEmpty) Set.empty
+      else {
+        deleteScope.columns.foreach(c => require(md.partitionKeys.contains(c),
+          s"delete_scope column '$c' must be a partition key"))
+        md.partitions.keySet.filter(l => deleteScope.matchesValues(md.partitionValues(l)))
+      }
+    val keepOld = md.partitions.keySet -- deleted
+    val finalPartitions = allNow.filter { case (l, _) =>
+      keepOld.contains(l) || newLabels.contains(l)
+    }
+    val nextSeq = (0L +: md.partitions.keys.toSeq.map(md.seqOf)).max + 1L
+    val finalSeq = finalPartitions.keys.map { l =>
+      l -> (if (newLabels.contains(l)) nextSeq else md.seqOf(l))
+    }.toMap
+    val md1 = md.copy(partitions = finalPartitions, partitionSeq = finalSeq)
+
+    // indices: first commit builds from scratch; later commits merge
+    // incrementally exactly like [[update]]
+    md.indices.keys.foreach { c =>
+      val fsPath = md.indexPath(base, c)
+      val fsys = DatasetMetadata.fs(spark, base)
+      if (!fsys.exists(new Path(fsPath))) {
+        if (finalPartitions.nonEmpty) buildIndex(spark, base, md1, c)
+      } else {
+        import spark.implicits._
+        val survivingOld = keepOld.toSeq.filter(finalPartitions.contains).toDF("label")
+        val old = spark.read.parquet(fsPath)
+          .select(col("value"), explode(col("partitions")).as("label"))
+          .join(broadcast(survivingOld), Seq("label"), "left_semi")
+        val fresh =
+          if (newLabels.isEmpty) old.limit(0)
+          else
+            spark.read.option("basePath", tableDir).parquet(newLabels.map(l => s"$tableDir/$l"): _*)
+              .select(col(s"`$c`").as("value"), fileLabel.as("label"))
+        val tmpOut = s"$base/${md.uuid}/$IndexDirName/.$c.parquet.new"
+        indexFromPairs(old.unionByName(fresh)).write.mode(SaveMode.Overwrite).parquet(tmpOut)
+        fsys.delete(new Path(fsPath), true)
+        fsys.rename(new Path(tmpOut), new Path(fsPath))
+      }
+    }
+
+    DatasetMetadata.store(spark, base, md1)
+    md1
+  }
+
   /** Register + build a secondary index on an EXISTING dataset
     * (≙ build_dataset_indices, io/eager.py): index job + metadata commit.
     */
@@ -432,6 +554,12 @@ object Ktk {
     * reference aligns partitions by label to co-locate the join; on Spark
     * bucketing/AQE provide placement, so semantics reduce to a plain join
     * with both sides' predicates pushed into their own scans.
+    *
+    * `mergeFunc` is the custom merge hook (≙ MetaPartition.merge_dataframes'
+    * `merge_func`, io_components/metapartition.py:983-1064): when given, it
+    * receives the two predicate-filtered DataFrames and fully replaces the
+    * default shared-column join — any Spark combination (asof join, union,
+    * custom keying) plugs in.
     */
   def mergeDatasets(
       spark: SparkSession,
@@ -439,15 +567,21 @@ object Ktk {
       leftUuid: String,
       rightUuid: String,
       how: String = "inner",
-      predicates: Predicates = Predicates.empty): DataFrame = {
+      predicates: Predicates = Predicates.empty,
+      mergeFunc: Option[(DataFrame, DataFrame) => DataFrame] = None): DataFrame = {
     val l = DatasetMetadata.load(spark, base, leftUuid)
     val r = DatasetMetadata.load(spark, base, rightUuid)
-    val shared = (l.schema.fieldNames.toSet intersect r.schema.fieldNames.toSet).toSeq.sorted
-    require(shared.nonEmpty, s"datasets '$leftUuid' and '$rightUuid' share no columns")
     val lp = predicates.restrictToColumns(l.schema.fieldNames.toSet).getOrElse(Predicates.empty)
     val rp = predicates.restrictToColumns(r.schema.fieldNames.toSet).getOrElse(Predicates.empty)
-    readTableWithMetadata(spark, base, l, predicates = lp)
-      .join(readTableWithMetadata(spark, base, r, predicates = rp), shared, how)
+    val leftDf = readTableWithMetadata(spark, base, l, predicates = lp)
+    val rightDf = readTableWithMetadata(spark, base, r, predicates = rp)
+    mergeFunc match {
+      case Some(f) => f(leftDf, rightDf)
+      case None =>
+        val shared = (l.schema.fieldNames.toSet intersect r.schema.fieldNames.toSet).toSeq.sorted
+        require(shared.nonEmpty, s"datasets '$leftUuid' and '$rightUuid' share no columns")
+        leftDf.join(rightDf, shared, how)
+    }
   }
 
   // ---------------------------------------------------------------- gc / copy

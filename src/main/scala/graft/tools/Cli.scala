@@ -5,7 +5,8 @@ import org.apache.spark.sql.SparkSession
 import graft.core.Predicates
 import graft.ktk.{DatasetMetadata, Ktk}
 
-/** Minimal CLI (≙ kartothek/cli: info / query / index / delete / cleanup).
+/** Minimal CLI (≙ kartothek/cli: info / query / index / delete / cleanup /
+  * copy).
   *
   * {{{
   *   runMain graft.tools.Cli info    <base> <uuid>
@@ -14,6 +15,7 @@ import graft.ktk.{DatasetMetadata, Ktk}
   *   runMain graft.tools.Cli cleanup <base> <uuid>
   *   runMain graft.tools.Cli delete  <base> <uuid>
   *   runMain graft.tools.Cli list    <base>
+  *   runMain graft.tools.Cli copy    <base> <uuid> <toUuid>
   * }}}
   */
 object Cli {
@@ -52,6 +54,10 @@ object Cli {
     case "delete" =>
       DatasetMetadata.delete(spark, args(1), args(2))
       println(s"deleted dataset ${args(2)}")
+    case "copy" =>
+      // ≙ `kartothek copy` (kartothek/cli/_copy.py): clone files + metadata
+      Ktk.copyDataset(spark, args(1), args(2), args(3))
+      println(s"copied dataset ${args(2)} -> ${args(3)}")
     case other => throw new IllegalArgumentException(s"unknown command: $other")
   }
 }

@@ -8,6 +8,25 @@ import graft.SparkSpec
 class PredicatesSpec extends SparkSpec {
   import spark.implicits._
 
+  test("C() condition sugar compiles to the DNF predicate core") {
+    val p = ((C("a") === 1) & C("b").inInterval(10, 20)).toPredicates
+    p.disjunction shouldBe Seq(Seq(
+      PredLiteral("a", PredOp.Eq, 1),
+      PredLiteral("b", PredOp.Ge, 10),
+      PredLiteral("b", PredOp.Lt, 20)))
+    // one-sided intervals per conditions.py predicate_part
+    C("x").inInterval(stop = 5).toPredicates.disjunction.head shouldBe
+      Seq(PredLiteral("x", PredOp.Lt, 5))
+    C("x").inInterval(start = 5).toPredicates.disjunction.head shouldBe
+      Seq(PredLiteral("x", PredOp.Ge, 5))
+    an[IllegalArgumentException] should be thrownBy C("x").inInterval()
+    // `|` builds a 2-conjunction disjunction (beyond the reference's C)
+    ((C("a") === 1) | (C("b") > 2)).disjunction.size shouldBe 2
+    // other ops map one-to-one
+    (C("t").isIn(Seq("u", "v"))).toPredicates.disjunction.head.head.op shouldBe PredOp.In
+    (C("t") =!= 3).toPredicates.disjunction.head.head.op shouldBe PredOp.Ne
+  }
+
   private def df = Seq(
     (1, Some("a"), Some(1.0)),
     (2, Some("b"), None),

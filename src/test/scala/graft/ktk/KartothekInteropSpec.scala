@@ -1,0 +1,153 @@
+package graft.ktk
+
+import graft.SparkSpec
+import graft.core.{Msgpack, Predicates}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+
+/** Interop against the reference's v4 storage layout
+  * (docs/spec/storage_layout.rst): fixtures are HAND-BUILT to the spec —
+  * payload files without partition columns under key=value dirs, explicit
+  * `files` dicts in the metadata blob, embedded and external indices —
+  * then loaded and queried through [[KartothekInterop]].
+  */
+class KartothekInteropSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Write `df` as a SINGLE parquet file at exactly `target`. */
+  private def writeOne(df: org.apache.spark.sql.DataFrame, target: String): Unit = {
+    val tmp = tmpDir("interop-one")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val fs = DatasetMetadata.fs(spark, tmp)
+    val part = fs.listStatus(new Path(tmp)).map(_.getPath)
+      .find(p => p.getName.startsWith("part-") && p.getName.endsWith(".parquet")).get
+    fs.mkdirs(new Path(target).getParent)
+    fs.rename(part, new Path(target))
+  }
+
+  /** Hand-build a reference-layout dataset: 3 partitions of p, table
+    * 'table', files dicts, embedded index on 'tag'.
+    */
+  private def buildFixture(base: String, uuid: String, msgpack: Boolean = false): Unit = {
+    writeOne(Seq(("a", 1.0), ("b", 2.0)).toDF("l", "v"), s"$base/$uuid/table/p=1/f1.parquet")
+    writeOne(Seq(("c", 3.0)).toDF("l", "v"), s"$base/$uuid/table/p=2/f2.parquet")
+    writeOne(Seq(("d", 4.0)).toDF("l", "v"), s"$base/$uuid/table/p=3/f3.parquet")
+    val meta: Map[String, Any] = Map(
+      "dataset_metadata_version" -> 4L,
+      "dataset_uuid" -> uuid,
+      "metadata" -> Map("creation_time" -> "2020-01-01 00:00:00"),
+      "partition_keys" -> Seq("p"),
+      "partitions" -> Map(
+        "p=1/f1" -> Map("files" -> Map("table" -> s"$uuid/table/p=1/f1.parquet")),
+        "p=2/f2" -> Map("files" -> Map("table" -> s"$uuid/table/p=2/f2.parquet")),
+        "p=3/f3" -> Map("files" -> Map("table" -> s"$uuid/table/p=3/f3.parquet"))),
+      "indices" -> Map(
+        "tag" -> Map("x" -> Seq("p=1/f1"), "y" -> Seq("p=2/f2", "p=3/f3"))))
+    val fs = DatasetMetadata.fs(spark, base)
+    if (msgpack) {
+      val packed = com.github.luben.zstd.Zstd.compress(Msgpack.pack(meta))
+      val out = fs.create(new Path(s"$base/$uuid${KartothekInterop.MsgpackSuffix}"), true)
+      try out.write(packed) finally out.close()
+    } else {
+      // hand-rolled JSON to stay independent of our own writer
+      def js(v: Any): String = v match {
+        case null => "null"
+        case s: String => "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+        case m: Map[_, _] => m.map { case (k, x) => js(k.toString) + ": " + js(x) }.mkString("{", ", ", "}")
+        case s: Seq[_] => s.map(js).mkString("[", ", ", "]")
+        case other => other.toString
+      }
+      val out = fs.create(new Path(s"$base/$uuid${KartothekInterop.JsonSuffix}"), true)
+      try out.write(js(meta).getBytes("UTF-8")) finally out.close()
+    }
+  }
+
+  test("load + full read of a hand-built reference-layout dataset") {
+    val base = tmpDir("ktkv4")
+    buildFixture(base, "refds")
+    val ds = KartothekInterop.load(spark, base, "refds")
+    ds.metadataVersion shouldBe 4
+    ds.partitionKeys shouldBe Seq("p")
+    ds.tables shouldBe Seq("table")
+    ds.partitions.keySet shouldBe Set("p=1/f1", "p=2/f2", "p=3/f3")
+    val df = KartothekInterop.readTable(spark, base, ds)
+    df.count() shouldBe 4
+    // partition column reconstructed from the path
+    df.columns.toSet shouldBe Set("l", "v", "p")
+    df.filter(col("p") === 1).select("l").as[String].collect().sorted.toSeq shouldBe Seq("a", "b")
+  }
+
+  test("partition-key pruning reads only matching reference files") {
+    val base = tmpDir("ktkv4")
+    buildFixture(base, "refds")
+    val ds = KartothekInterop.load(spark, base, "refds")
+    val df = KartothekInterop.readTable(spark, base, ds,
+      predicates = Predicates.of(Seq(("p", "==", 2))))
+    df.select("l").as[String].collect().toSeq shouldBe Seq("c")
+    df.inputFiles.forall(_.contains("p=2")) shouldBe true
+  }
+
+  test("embedded secondary index prunes labels; nulls skip pruning") {
+    val base = tmpDir("ktkv4")
+    buildFixture(base, "refds")
+    val ds = KartothekInterop.load(spark, base, "refds")
+    val labels = KartothekInterop.queryLabels(spark, base, ds, "table",
+      Predicates.of(Seq(("tag", "==", "x"))))
+    labels shouldBe Seq("p=1/f1")
+    // a null literal on the indexed column must not prune everything
+    KartothekInterop.queryLabels(spark, base, ds, "table",
+      Predicates.of(Seq(("tag", "==", null)))).size shouldBe 3
+  }
+
+  test("external .by-dataset-index.parquet prunes labels") {
+    val base = tmpDir("ktkv4")
+    buildFixture(base, "refds")
+    // replace the embedded index with an external one, reference layout:
+    // indices/<col>/<ts>.by-dataset-index.parquet, columns (col, partition)
+    val idxKey = "refds/indices/tag/2020-01-01T00%3A00%3A00.by-dataset-index.parquet"
+    writeOne(
+      Seq(("x", Seq("p=1/f1")), ("y", Seq("p=2/f2", "p=3/f3"))).toDF("tag", "partition"),
+      s"$base/$idxKey")
+    val ds0 = KartothekInterop.load(spark, base, "refds")
+    val ds = ds0.copy(embeddedIndices = Map.empty, externalIndices = Map("tag" -> idxKey))
+    KartothekInterop.queryLabels(spark, base, ds, "table",
+      Predicates.of(Seq(("tag", "==", "y")))).toSet shouldBe Set("p=2/f2", "p=3/f3")
+  }
+
+  test("msgpack.zstd metadata variant loads identically") {
+    val base = tmpDir("ktkv4")
+    buildFixture(base, "packds", msgpack = true)
+    val ds = KartothekInterop.load(spark, base, "packds")
+    ds.uuid shouldBe "packds"
+    ds.partitions.size shouldBe 3
+    ds.embeddedIndices("tag")("y").toSet shouldBe Set("p=2/f2", "p=3/f3")
+    KartothekInterop.readTable(spark, base, ds).count() shouldBe 4
+  }
+
+  test("msgpack codec roundtrips the metadata value shapes") {
+    val v: Map[String, Any] = Map(
+      "s" -> "täxt", "n" -> 42L, "neg" -> -7L, "big" -> 1234567890123L,
+      "d" -> 1.5, "b" -> true, "nil" -> null,
+      "arr" -> Seq("a", 1L), "nested" -> Map("k" -> Seq("v1", "v2")))
+    Msgpack.unpack(Msgpack.pack(v)) shouldBe v
+  }
+
+  test("write produces a reference-shaped layout that round-trips") {
+    val base = tmpDir("ktkv4")
+    val df = Seq((1, "a", "x", 10.0), (1, "b", "y", 20.0), (2, "c", "x", 30.0))
+      .toDF("p", "l", "tag", "v")
+    KartothekInterop.write(spark, base, "outds", df,
+      partitionOn = Seq("p"), secondaryIndices = Seq("tag"))
+    val fs = DatasetMetadata.fs(spark, base)
+    fs.exists(new Path(s"$base/outds${KartothekInterop.JsonSuffix}")) shouldBe true
+    fs.exists(new Path(s"$base/outds/table/_common_metadata")) shouldBe true
+    val ds = KartothekInterop.load(spark, base, "outds")
+    ds.partitionKeys shouldBe Seq("p")
+    ds.partitions.values.foreach(_.keySet shouldBe Set("table"))
+    ds.embeddedIndices("tag")("x").size shouldBe 2
+    val back = KartothekInterop.readTable(spark, base, ds,
+      predicates = Predicates.of(Seq(("tag", "==", "y"))))
+    back.select("l").as[String].collect().toSeq shouldBe Seq("b")
+    back.inputFiles.forall(_.contains("p=1")) shouldBe true
+  }
+}

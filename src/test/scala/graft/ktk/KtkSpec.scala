@@ -85,6 +85,44 @@ class KtkSpec extends SparkSpec {
     rows3.select("l").as[String].collect().sorted.toSeq shouldBe Seq("a", "c")
   }
 
+  test("two-phase write: partitions from separate jobs, one atomic commit") {
+    val base = tmpDir("ktk")
+    Ktk.createEmpty(spark, base, "tp", sample.schema,
+      partitionOn = Seq("p"), secondaryIndices = Seq("tag"))
+    // header visible, zero partitions, empty read works
+    Ktk.readTable(spark, base, "tp").count() shouldBe 0
+
+    // two independent "jobs" write disjoint slices — still invisible
+    val labels1 = Ktk.writePartition(spark, base, "tp", sample.filter($"p" === 1))
+    val labels2 = Ktk.writePartition(spark, base, "tp", sample.filter($"p" =!= 1))
+    labels1 should not be empty
+    labels2 should not be empty
+    Ktk.readTable(spark, base, "tp").count() shouldBe 0
+
+    // one commit publishes both + builds the registered index
+    Ktk.commit(spark, base, "tp", labels1 ++ labels2)
+    val back = Ktk.readTable(spark, base, "tp")
+    back.count() shouldBe 5
+    // the committed index actually prunes
+    val viaIdx = Ktk.readTable(spark, base, "tp",
+      predicates = graft.core.Predicates.of(Seq(("tag", "==", "z"))))
+    viaIdx.select("l").as[String].collect().toSeq shouldBe Seq("c")
+
+    // a second round: new partition + delete scope in the same commit
+    val labels3 = Ktk.writePartition(spark, base, "tp",
+      Seq((1, "e", 60.0, "w")).toDF("p", "l", "target", "tag"))
+    Ktk.commit(spark, base, "tp", labels3,
+      deleteScope = graft.core.Predicates.of(Seq(("p", "==", 2))))
+    val after = Ktk.readTable(spark, base, "tp")
+    after.select("l").as[String].collect().sorted.toSeq shouldBe Seq("a", "b", "b", "e")
+    // index merged: old p=2 labels gone, new w value present
+    Ktk.readTable(spark, base, "tp",
+      predicates = graft.core.Predicates.of(Seq(("tag", "==", "w"))))
+      .select("l").as[String].collect().toSeq shouldBe Seq("e")
+    Ktk.readTable(spark, base, "tp",
+      predicates = graft.core.Predicates.of(Seq(("tag", "==", "z")))).count() shouldBe 0
+  }
+
   test("null partition values rejected") {
     val base = tmpDir("ktk")
     val bad = Seq((Some(1), "a"), (None, "b")).toDF("p", "v")

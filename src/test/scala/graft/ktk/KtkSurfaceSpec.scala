@@ -33,6 +33,11 @@ class KtkSurfaceSpec extends SparkSpec {
     val left = Ktk.mergeDatasets(spark, base, "l", "r", how = "left",
       predicates = Predicates.of(Seq(("x", ">", 0.0))))
     left.count() shouldBe 2
+    // custom merge_func hook fully replaces the default join
+    val custom = Ktk.mergeDatasets(spark, base, "l", "r",
+      mergeFunc = Some((a, b) => a.crossJoin(b.withColumnRenamed("k", "rk"))))
+    custom.count() shouldBe 4
+    custom.columns.toSet shouldBe Set("k", "lv", "x", "rk", "rv")
   }
 
   test("bucketed store bounds files per partition and preserves content") {
@@ -71,6 +76,9 @@ class KtkSurfaceSpec extends SparkSpec {
     graft.tools.Cli.run(spark, Array("query", base, "ds", "p == 1"))
     graft.tools.Cli.run(spark, Array("index", base, "ds", "v"))
     DatasetMetadata.load(spark, base, "ds").indices.keySet shouldBe Set("v")
+    graft.tools.Cli.run(spark, Array("copy", base, "ds", "ds2"))
+    Ktk.readTable(spark, base, "ds2").count() shouldBe 2
+    graft.tools.Cli.run(spark, Array("delete", base, "ds2"))
     graft.tools.Cli.run(spark, Array("cleanup", base, "ds"))
     graft.tools.Cli.run(spark, Array("delete", base, "ds"))
     DatasetMetadata.listDatasets(spark, base) shouldBe Nil
