@@ -57,8 +57,18 @@ object SparkEntry {
 
   private val ivfIndices = scala.collection.concurrent.TrieMap.empty[String, Similarity.IvfIndex]
   private def ivfIndexFor(s: SparkSession, dir: String): Similarity.IvfIndex =
-    ivfIndices.getOrElseUpdate(dir,
-      Similarity.buildIvfIndex(t(s, dir, "embeddings"), "embedding", nlist = 16))
+    ivfIndices.getOrElseUpdate(dir, {
+      // the quantizer is persisted beside the data and reused across JVMs
+      // (Verify/Bench are separate processes) — the production pattern
+      val base = scratch(dir)
+      try Similarity.loadIvfIndex(s, base, "ivf_centroids")
+      catch {
+        case _: NoSuchElementException =>
+          val idx = Similarity.buildIvfIndex(t(s, dir, "embeddings"), "embedding", nlist = 16)
+          Similarity.saveIvfIndex(s, base, "ivf_centroids", idx)
+          idx
+      }
+    })
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

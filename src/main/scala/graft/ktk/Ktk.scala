@@ -65,10 +65,8 @@ object Ktk {
     // and write parallelism are decoupled (repartition(numBuckets, ...) would
     // cap TOTAL write parallelism at numBuckets regardless of cluster size)
     val bucketed =
-      if (bucketBy.nonEmpty) {
-        val bucketId = pmod(hash(bucketBy.map(c => col(s"`$c`")): _*), lit(numBuckets))
-        normalized.repartition((partitionOn.map(c => col(s"`$c`")) :+ bucketId): _*)
-      } else normalized
+      if (bucketBy.nonEmpty) bucketFrame(normalized, partitionOn, bucketBy, numBuckets)
+      else normalized
     val sorted =
       if (sortBy.nonEmpty) bucketed.sortWithinPartitions(sortBy.map(c => col(s"`$c`")): _*)
       else bucketed
@@ -79,6 +77,17 @@ object Ktk {
 
     commitAfterWrite(spark, base, uuid, partitionOn, secondaryIndices,
       normalized.schema, userMetadata)
+  }
+
+  /** Hash-bucket co-location for the write: shuffle on (partitionOn,
+    * derived bucket id) with `spark.sql.shuffle.partitions` parallelism.
+    * Task count and bucket count stay DECOUPLED — files-per-partition-dir
+    * is bounded by `numBuckets` while the shuffle scales with the cluster.
+    */
+  private[graft] def bucketFrame(
+      df: DataFrame, partitionOn: Seq[String], bucketBy: Seq[String], numBuckets: Int): DataFrame = {
+    val bucketId = pmod(hash(bucketBy.map(c => col(s"`$c`")): _*), lit(numBuckets))
+    df.repartition((partitionOn.map(c => col(s"`$c`")) :+ bucketId): _*)
   }
 
   /** List written files, reject null partition values (kartothek's

@@ -183,6 +183,30 @@ object Similarity {
     IvfIndex(km.clusterCenters.zipWithIndex.map { case (c, i) => (i, c.toArray.toSeq) }.toSeq, nlist)
   }
 
+  /** Persist the IVF quantizer beside the data as a managed Ktk dataset
+    * (columns cid, centroid) — at 100 TB the quantizer is trained once on a
+    * sample and REUSED across jobs; rebuilding k-means per query job would
+    * dominate cost and break result stability.
+    */
+  def saveIvfIndex(
+      spark: org.apache.spark.sql.SparkSession, base: String, uuid: String,
+      index: IvfIndex): Unit = {
+    import spark.implicits._
+    graft.ktk.Ktk.store(spark, base, uuid,
+      index.centroids.toDF("cid", "centroid"), overwrite = true,
+      userMetadata = Map("nlist" -> index.nlist.toString))
+  }
+
+  def loadIvfIndex(
+      spark: org.apache.spark.sql.SparkSession, base: String, uuid: String): IvfIndex = {
+    val md = graft.ktk.DatasetMetadata.load(spark, base, uuid)
+    val rows = graft.ktk.Ktk.readTable(spark, base, uuid).collect()
+    IvfIndex(
+      rows.map(r => (r.getLong(r.fieldIndex("cid")).toInt,
+        r.getSeq[Double](r.fieldIndex("centroid")).toSeq)).toSeq.sortBy(_._1),
+      md.metadata("nlist").toInt)
+  }
+
   /** Nearest-`n` centroid ids per vector as a single-pass kernel over the
     * closure-captured (task-broadcast) centroid matrix — the scale-safe
     * assignment plan: a NARROW map over the corpus, zero shuffle, zero row

@@ -57,4 +57,46 @@ class PlanShapeSpec extends SparkSpec {
     val idx = Ktk.loadIndex(spark, base, md, "tag").filter(col("value") === "t3")
     idx.queryExecution.executedPlan.toString should include("EqualTo(value,t3)")
   }
+
+  test("IVF assignment is a narrow map: one Exchange total, broadcast probe join") {
+    import graft.ops.Similarity
+    val corpus = (0 until 200).map(i =>
+      (i.toLong, Array.tabulate(8)(d => (i % 5 + d).toFloat))).toDF("id", "vec")
+    val queries = (0 until 2).map(i =>
+      (i.toLong + 1000, Array.tabulate(8)(d => (i + d).toFloat))).toDF("qid", "qvec")
+    val index = Similarity.IvfIndex(
+      Seq(0 -> Seq.fill(8)(0.0), 1 -> Seq.fill(8)(3.0), 2 -> Seq.fill(8)(6.0)), 3)
+    val out = Similarity.ivfTopKWithIndex(index, corpus, queries, "id", "vec", "qid", "qvec", k = 5)
+    val plan = out.queryExecution.executedPlan.toString
+    plan should include("BroadcastHashJoin")
+    // the ONLY Exchange is the top-k window on (qid); the corpus is never
+    // shuffled or amplified for centroid assignment
+    "Exchange hashpartitioning".r.findAllIn(plan).size shouldBe 1
+    plan should not include "CartesianProduct"
+  }
+
+  test("capped candidate generation has no self-join (simhash + embedding)") {
+    import graft.ops.{Dedup, Similarity}
+    val docs = (0 until 50).map(i => (i.toLong, s"some text body $i")).toDF("doc_id", "text")
+    val sim = Dedup.simhashCandidates(docs, "doc_id", "text")
+    sim.queryExecution.executedPlan.toString should not include "Join"
+    val emb = (0 until 50).map(i =>
+      (i.toLong, Array.tabulate(8)(d => (i + d).toFloat))).toDF("vec_id", "embedding")
+    val nd = Similarity.embeddingNearDupCandidates(emb, "vec_id", "embedding", dim = 8, minCosine = 0.5)
+    nd.queryExecution.executedPlan.toString should not include "Join"
+  }
+
+  test("bucketed-write shuffle parallelism is decoupled from bucket count") {
+    val df = (0 until 1000).map(i => (i % 2, i.toLong, s"v$i")).toDF("p", "k", "v")
+    // numBuckets=2 but the DECLARED shuffle must still use
+    // spark.sql.shuffle.partitions (AQE may then coalesce small data —
+    // that's the desired behavior, so inspect the pre-AQE plan)
+    val bucketed = Ktk.bucketFrame(df, Seq("p"), Seq("k"), numBuckets = 2)
+    val exchanges = bucketed.queryExecution.sparkPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    exchanges should not be empty
+    exchanges.head.outputPartitioning.numPartitions shouldBe
+      spark.conf.get("spark.sql.shuffle.partitions").toInt
+  }
 }

@@ -140,6 +140,23 @@ class SimilaritySpec extends SparkSpec {
     // all results from the even (x-axis) cluster
     out.select("vec_id").as[Long].collect().foreach(id => (id % 2) shouldBe 0L)
   }
+
+  test("IVF index persists as a managed dataset and round-trips") {
+    val base = tmpDir("ivf")
+    val corpus = (0 until 40).map { i =>
+      (i.toLong, Array.tabulate(4)(d => (i % 3 + d).toFloat))
+    }.toDF("vec_id", "embedding")
+    val built = Similarity.buildIvfIndex(corpus, "embedding", nlist = 3)
+    Similarity.saveIvfIndex(spark, base, "ivf", built)
+    val loaded = Similarity.loadIvfIndex(spark, base, "ivf")
+    loaded.nlist shouldBe built.nlist
+    loaded.centroids.sortBy(_._1) shouldBe built.centroids.sortBy(_._1)
+    // the loaded quantizer drives the same search
+    val queries = corpus.filter($"vec_id" === 0)
+      .select($"vec_id".as("query_id"), $"embedding".as("qvec"))
+    Similarity.ivfTopKWithIndex(loaded, corpus, queries,
+      "vec_id", "embedding", "query_id", "qvec", k = 3).count() shouldBe 3
+  }
 }
 
 class TextAnalysisSpec extends SparkSpec {
