@@ -119,6 +119,31 @@ object Similarity {
     joined.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= k).drop("__rn")
   }
 
+  /** Multi-probe LSH top-k: each query probes its own bucket PLUS every
+    * bucket at Hamming distance 1 in signature space (bits+1 probes) — the
+    * standard recall fix for single-probe LSH (cf. Lv et al., multi-probe
+    * LSH): a near neighbor differing in one hyperplane sign is still found.
+    * The corpus stays single-bucketed and never shuffles more than once;
+    * only the tiny query side fans out ×(bits+1) before the broadcast join.
+    */
+  def lshTopKMultiProbe(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String,
+      queryIdCol: String, queryVecCol: String,
+      k: Int, dim: Int, bits: Int = 12): DataFrame = {
+    val par = corpus.sparkSession.sparkContext.defaultParallelism
+    val cb = corpus.repartition(par).withColumn("__bucket", lshBucket(vecCol, dim, bits))
+    val probes = udf { (b: Long) => b +: Array.tabulate(bits)(i => b ^ (1L << i)).toSeq }
+    val qb = queries.withColumn("__bucket",
+      explode(probes(lshBucket(queryVecCol, dim, bits))))
+    val joined = cb.join(qb.hint("broadcast"), Seq("__bucket"))
+      .select(col(queryIdCol), col(idCol), cosine(col(vecCol), col(queryVecCol)).as("cos"))
+      .filter(col(queryIdCol) =!= col(idCol))
+      .dropDuplicates(queryIdCol, idCol)
+    val w = Window.partitionBy(queryIdCol).orderBy(col("cos").desc, col(idCol))
+    joined.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= k).drop("__rn")
+  }
+
   /** Embedding near-duplicate pairs: all corpus pairs with cosine >=
     * threshold, found via LSH buckets (only within-bucket pairs are scored).
     *

@@ -141,6 +141,23 @@ class SimilaritySpec extends SparkSpec {
     out.select("vec_id").as[Long].collect().foreach(id => (id % 2) shouldBe 0L)
   }
 
+  test("multi-probe LSH finds at least the single-probe candidates") {
+    val corpus = (0 until 200).map { i =>
+      (i.toLong, Array.tabulate(8)(d => math.sin(i * 31 + d * 7).toFloat))
+    }.toDF("vec_id", "embedding")
+    val queries = corpus.filter($"vec_id" < 5)
+      .select($"vec_id".as("query_id"), $"embedding".as("qvec"))
+    val sp = Similarity.lshTopK(corpus, queries, "vec_id", "embedding",
+      "query_id", "qvec", k = 50, dim = 8, bits = 8)
+      .select("query_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val mp = Similarity.lshTopKMultiProbe(corpus, queries, "vec_id", "embedding",
+      "query_id", "qvec", k = 50, dim = 8, bits = 8)
+      .select("query_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // Hamming-1 probing strictly widens the candidate set
+    sp.subsetOf(mp) shouldBe true
+    mp.size should be >= sp.size
+  }
+
   test("IVF index persists as a managed dataset and round-trips") {
     val base = tmpDir("ivf")
     val corpus = (0 until 40).map { i =>

@@ -57,6 +57,28 @@ class SessionizeSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup keeps first occurrence per normalized text within watermark") {
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[(Long, String, java.sql.Timestamp)]
+    // keep event times well above the initial watermark (t=0)
+    val ts = (s: Long) => new java.sql.Timestamp((1000000 + s) * 1000)
+    val out = StreamDedup.dedupStream(
+      input.toDF().toDF("id", "text", "ts"), "text", "ts", "10 minutes")
+    val q = out.writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, "hello world", ts(0)), (2L, "other doc", ts(1)))
+      q.processAllAvailable()
+      spark.table("dedup_out").select("id").as[Long].collect().sorted.toSeq shouldBe Seq(1L, 2L)
+      // normalized dup (case + whitespace runs) in a later batch, still
+      // within the watermark -> suppressed; fresh content -> emitted
+      input.addData((3L, "Hello   WORLD", ts(2)), (4L, "hello world", ts(3)),
+        (5L, "fresh doc", ts(4)))
+      q.processAllAvailable()
+      spark.table("dedup_out").select("id").as[Long].collect().sorted.toSeq shouldBe Seq(1L, 2L, 5L)
+    } finally q.stop()
+  }
+
   test("in-batch gap splits emit closed sessions immediately") {
     implicit val sql = spark.sqlContext
     val input = MemoryStream[Event]
