@@ -254,7 +254,14 @@ object KartothekInterop {
       if (st.isFile && !name.startsWith("_") && !name.startsWith("."))
         labels += st.getPath.toString.stripPrefix(prefix)
     }
-    writeCommonMetadata(spark, tableDir, labels.headOption.map(l => s"$tableDir/$l"))
+    // full schema INCLUDING partition columns (partition keys first, like
+    // the reference's normalize_column_order) — the reference reconstructs
+    // partition-column types from _common_metadata, so they must be present
+    // even though payload files omit them
+    val fullSchema = org.apache.spark.sql.types.StructType(
+      partitionOn.map(df.schema(_)) ++
+        df.schema.fields.filterNot(f => partitionOn.contains(f.name)))
+    writeCommonMetadata(spark, tableDir, fullSchema)
 
     // embedded indices: value → labels (the v4 `from_v2` dict form)
     val indices: Map[String, Map[String, Seq[String]]] = secondaryIndices.map { c =>
@@ -309,29 +316,25 @@ object KartothekInterop {
     finally out.close()
   }
 
-  /** `_common_metadata`: a footer-only Parquet file carrying the table
-    * schema (≙ core/common_metadata.py store_schema_metadata), produced by
-    * copying the schema + key-value metadata of one written data file.
+  /** `_common_metadata`: a schema-only Parquet blob carrying the FULL table
+    * schema, partition columns included (≙ core/common_metadata.py
+    * store_schema_metadata) — produced by writing a zero-row parquet with
+    * that schema and renaming the part file into place.
     */
   private def writeCommonMetadata(
-      spark: SparkSession, tableDir: String, firstFile: Option[String]): Unit =
-    firstFile.foreach { f =>
-      import scala.jdk.CollectionConverters._
-      val conf = spark.sessionState.newHadoopConf()
-      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(new Path(f), conf)
-      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-      val (schema, kv) =
-        try {
-          val fm = reader.getFooter.getFileMetaData
-          (fm.getSchema, fm.getKeyValueMetaData)
-        } finally reader.close()
-      val w = new org.apache.parquet.hadoop.ParquetFileWriter(
-        org.apache.parquet.hadoop.util.HadoopOutputFile.fromPath(
-          new Path(s"$tableDir/_common_metadata"), conf),
-        schema, org.apache.parquet.hadoop.ParquetFileWriter.Mode.OVERWRITE,
-        org.apache.parquet.hadoop.ParquetWriter.DEFAULT_BLOCK_SIZE,
-        org.apache.parquet.hadoop.ParquetWriter.MAX_PADDING_SIZE_DEFAULT)
-      w.start()
-      w.end(kv.asScala.toMap.asJava)
-    }
+      spark: SparkSession, tableDir: String,
+      schema: org.apache.spark.sql.types.StructType): Unit = {
+    val tmp = s"$tableDir/._cm_tmp"
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp)
+    val fs = DatasetMetadata.fs(spark, tableDir)
+    val part = fs.listStatus(new Path(tmp)).map(_.getPath)
+      .find(p => p.getName.startsWith("part-") && p.getName.endsWith(".parquet"))
+      .getOrElse(throw new IllegalStateException(s"no schema part file under $tmp"))
+    val target = new Path(s"$tableDir/_common_metadata")
+    if (fs.exists(target)) fs.delete(target, false)
+    fs.rename(part, target)
+    fs.delete(new Path(tmp), true)
+  }
 }

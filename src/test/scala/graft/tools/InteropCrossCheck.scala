@@ -1,0 +1,53 @@
+package graft.tools
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.core.Predicates
+import graft.ktk.KartothekInterop
+
+/** Scala half of the reference cross-validation (tools/interop_crosscheck.py
+  * is the python half): read the dataset the REFERENCE CODE wrote
+  * (`ref_ds`), validate content + pruning, then write `our_ds` with
+  * [[KartothekInterop.write]] for the reference to load back.
+  * Run: sbt "Test/runMain graft.tools.InteropCrossCheck /tmp/xval"
+  */
+object InteropCrossCheck {
+  def main(args: Array[String]): Unit = {
+    val base = args(0)
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    // ---- read the reference-written dataset
+    val ds = KartothekInterop.load(spark, base, "ref_ds")
+    require(ds.metadataVersion == 4 && ds.partitionKeys == Seq("p"), s"metadata: $ds")
+    require(ds.partitions.size == 3, s"partitions: ${ds.partitions.keySet}")
+    require(ds.externalIndices.contains("tag"), s"indices: $ds")
+    val all = KartothekInterop.readTable(spark, base, ds)
+    require(all.count() == 4, s"rows: ${all.count()}")
+    require(all.columns.toSet == Set("l", "v", "tag", "p"), all.columns.toSeq)
+
+    // partition-key pruning against the reference layout
+    val p2 = KartothekInterop.readTable(spark, base, ds,
+      predicates = Predicates.of(Seq(("p", "==", 2))))
+    require(p2.select("l").as[String].collect().toSeq == Seq("c"), "p=2 content")
+    require(p2.inputFiles.forall(_.contains("p=2")), "p=2 file pruning")
+
+    // EXTERNAL index pruning (the reference's .by-dataset-index.parquet)
+    val labels = KartothekInterop.queryLabels(spark, base, ds, "table",
+      Predicates.of(Seq(("tag", "==", "z"))))
+    require(labels == Seq("p=3/part2"), s"index labels: $labels")
+    val viaIdx = KartothekInterop.readTable(spark, base, ds,
+      predicates = Predicates.of(Seq(("tag", "==", "z"))))
+    require(viaIdx.select("l").as[String].collect().toSeq == Seq("d"), "tag=z content")
+    println("graft read reference-written ref_ds OK (content, partition + external-index pruning)")
+
+    // ---- write our_ds for the reference to load
+    val df = Seq((1, "a", "x", 1.5), (2, "b", "y", 2.5)).toDF("p", "l", "tag", "v")
+    KartothekInterop.write(spark, base, "our_ds", df,
+      partitionOn = Seq("p"), secondaryIndices = Seq("tag"), overwrite = true)
+    println("graft wrote our_ds")
+    spark.stop()
+  }
+}

@@ -1,0 +1,98 @@
+#!/usr/bin/env python3
+"""Cross-validate graft's KartothekInterop against the REFERENCE CODE
+itself (/root/reference, public), run with lightweight shims for its store
+dependencies (simplekv/simplejson/urlquote/...; see tools/ktkshim).
+
+  write <dir>  -- the reference writes a real v4 dataset 'ref_ds' into <dir>
+                  (metadata JSON via DatasetMetadataBuilder, payload parquet
+                  via ParquetSerializer, _common_metadata via
+                  store_schema_metadata, one external secondary index)
+  read  <dir>  -- the reference loads 'our_ds' (written by
+                  graft.ktk.KartothekInterop.write) via
+                  DatasetMetadata.load_from_store and validates metadata,
+                  schema and payload
+
+Driver-side rehearsal only (python is NOT a dependency of the library).
+Full sequence:
+  PYTHONPATH=tools/ktkshim:/root/reference python3 tools/interop_crosscheck.py write /tmp/xval
+  sbt "Test/runMain graft.tools.InteropCrossCheck /tmp/xval"
+  PYTHONPATH=tools/ktkshim:/root/reference python3 tools/interop_crosscheck.py read /tmp/xval
+"""
+import sys
+
+import pandas as pd
+
+from kartothek.core.common_metadata import (
+    make_meta,
+    read_schema_metadata,
+    store_schema_metadata,
+)
+from kartothek.core.dataset import DatasetMetadata, DatasetMetadataBuilder
+from kartothek.core.index import ExplicitSecondaryIndex
+from kartothek.core.partition import Partition
+from kartothek.serialization import ParquetSerializer
+from simplekv import KeyValueStore
+
+
+def write(root):
+    store = KeyValueStore(root)
+    uuid = "ref_ds"
+    ser = ParquetSerializer()
+    parts = {
+        "p=1/part0": pd.DataFrame({"l": ["a", "b"], "v": [1.0, 2.0], "tag": ["x", "y"]}),
+        "p=2/part1": pd.DataFrame({"l": ["c"], "v": [3.0], "tag": ["x"]}),
+        "p=3/part2": pd.DataFrame({"l": ["d"], "v": [4.0], "tag": ["z"]}),
+    }
+    builder = DatasetMetadataBuilder(
+        uuid=uuid, metadata_version=4, partition_keys=["p"],
+        table_meta={"table": make_meta(next(iter(parts.values())), origin="t", partition_keys=["p"])},
+    )
+    index_dct = {}
+    for label, df in parts.items():
+        key = ser.store(store, "{}/table/{}".format(uuid, label), df)
+        builder.add_partition(label, Partition(label, files={"table": key}))
+        for tag in df["tag"]:
+            index_dct.setdefault(tag, set()).add(label)
+    idx = ExplicitSecondaryIndex(
+        column="tag", index_dct={k: sorted(v) for k, v in index_dct.items()})
+    storage_key = idx.store(store, uuid)
+    builder.add_external_index("tag", storage_key)
+    store_schema_metadata(
+        make_meta(next(iter(parts.values())), origin="t", partition_keys=["p"]),
+        uuid, store, "table")
+    meta_key, blob = builder.to_json()
+    store.put(meta_key, blob)
+    print("reference wrote", meta_key, "partitions:", len(parts))
+
+
+def read(root):
+    store = KeyValueStore(root)
+    ds = DatasetMetadata.load_from_store("our_ds", store, load_schema=True,
+                                         load_all_indices=True)
+    assert ds.metadata_version == 4, ds.metadata_version
+    assert ds.partition_keys == ["p"], ds.partition_keys
+    assert len(ds.partitions) == 2, ds.partitions
+    for label, part in ds.partitions.items():
+        assert "table" in part.files, part.files
+        key = part.files["table"]
+        assert store.get(key), key
+    # schema loads from our _common_metadata and has the payload columns
+    fields = {f.name for f in ds.schema.internal()}
+    assert {"l", "tag", "v"} <= fields, fields
+    # our embedded index round-trips through the reference's index class
+    assert "tag" in ds.indices, ds.indices.keys()
+    idx = ds.indices["tag"]
+    labels = idx.query("y")
+    assert len(labels) == 1, labels
+    # the payload parquet is readable by the reference's own serializer,
+    # with predicate pushdown
+    df = ParquetSerializer.restore_dataframe(
+        store, ds.partitions[labels[0]].files["table"],
+        predicates=[[("tag", "==", "y")]])
+    assert list(df["l"]) == ["b"], df
+    print("reference loaded our_ds OK: partitions",
+          sorted(ds.partitions), "index labels for tag=y:", labels)
+
+
+if __name__ == "__main__":
+    {"write": write, "read": read}[sys.argv[1]](sys.argv[2])
