@@ -57,6 +57,28 @@ class SessionizeSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("EventTimeTimeout variant flushes the trailing session of an idle key") {
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[Event]
+    val sessions = sessionizeWithTimeout(input.toDS(), gapMs = 10000, watermarkDelay = "1 second")
+    val q = sessions.writeStream
+      .format("memory").queryName("sessions_to").outputMode("append").start()
+    try {
+      // user 7: two events, then goes idle forever
+      input.addData(Event(7, 1000000, 1.0), Event(7, 1001000, 2.0))
+      q.processAllAvailable()
+      spark.table("sessions_to").count() shouldBe 0
+      // OTHER key's events push the watermark far past 7's gap horizon —
+      // 7's trailing session must flush via timeout, no further 7-events
+      input.addData(Event(8, 2000000, 5.0))
+      q.processAllAvailable()
+      input.addData(Event(8, 3000000, 5.0))
+      q.processAllAvailable()
+      val flushed = spark.table("sessions_to").as[Session].collect().filter(_.userId == 7)
+      flushed.toSeq shouldBe Seq(Session(7, 1000000, 1001000, 2, 3.0))
+    } finally q.stop()
+  }
+
   test("streaming dedup keeps first occurrence per normalized text within watermark") {
     implicit val sql = spark.sqlContext
     val input = MemoryStream[(Long, String, java.sql.Timestamp)]
