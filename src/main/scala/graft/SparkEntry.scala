@@ -498,6 +498,17 @@ object SparkEntry {
         .orderBy("id_a")
     }),
 
+    "q_text_boilerplate" -> ((s, dir) => {
+      // plant identical header/footer lines into EVERY document; removal at
+      // a high doc-frequency threshold must recover the originals exactly,
+      // so the oracle is simply the untouched documents table
+      val d = t(s, dir, "documents").select("doc_id", "text")
+      val planted = d.withColumn("text",
+        concat(lit("BOILERPLATE HEADER LINE\n"), col("text"), lit("\nBOILERPLATE FOOTER LINE")))
+      Dedup.removeBoilerplate(planted, "doc_id", "text", minDocFreq = 400)
+        .orderBy("doc_id")
+    }),
+
     // -------------------------------------------------- pipeline: similarity
     "q_ann_topk" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
@@ -1082,6 +1093,9 @@ object SparkEntry {
         |FROM m ORDER BY doc_id""".stripMargin,
 
     "q_text_langid" -> langIdOracleSql,
+
+    "q_text_boilerplate" ->
+      "SELECT doc_id, text FROM documents ORDER BY 1",
 
     // fingerprint = xxhash64 over the normalized text, so distinct
     // fingerprints == distinct normalized strings (modulo a 2^-64 collision)

@@ -338,6 +338,40 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  // --------------------------------------------------- boilerplate removal
+
+  /** Cross-document boilerplate removal (the CCNet/RefinedWeb pattern): a
+    * LINE whose normalized form appears in >= `minDocFreq` distinct
+    * documents is boilerplate (headers, nav bars, license footers) and is
+    * dropped from EVERY document; all other lines keep their original text
+    * and order.
+    *
+    * Scale shape: two shuffles — a doc-frequency aggregation over 8-byte
+    * line hashes (never the line text), and the per-document reassembly.
+    * The boilerplate key set is small by construction (lines repeated
+    * across >= minDocFreq docs), so AQE turns the anti-join into a
+    * broadcast at runtime. Everything is codegen'd built-ins; no UDF.
+    */
+  def removeBoilerplate(
+      df: DataFrame, idCol: String, textCol: String, minDocFreq: Long): DataFrame = {
+    val others = df.columns.toSeq.filterNot(c => c == idCol || c == textCol)
+    val lines = df.select(
+      (col(idCol) +: others.map(c => col(s"`$c`")) :+
+        posexplode(split(col(s"`$textCol`"), "\n", -1)).as(Seq("__pos", "__line"))): _*)
+      .withColumn("__k", xxhash64(lower(trim(col("__line")))))
+    val boiler = lines
+      .filter(trim(col("__line")) =!= "")
+      .select(col("__k"), col(idCol)).distinct()
+      .groupBy("__k").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") >= minDocFreq)
+      .select("__k")
+    lines.join(boiler, Seq("__k"), "left_anti")
+      .groupBy((col(idCol) +: others.map(c => col(s"`$c`"))): _*)
+      .agg(array_sort(collect_list(struct(col("__pos"), col("__line")))).as("__arr"))
+      .select((col(idCol) +: others.map(c => col(s"`$c`")) :+
+        concat_ws("\n", expr("transform(__arr, x -> x.__line)")).as(textCol)): _*)
+  }
+
   // ------------------------------------------------------- n-gram Jaccard
 
   /** Exact n-gram Jaccard similarity for candidate pairs — the verification

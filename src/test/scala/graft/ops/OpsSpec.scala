@@ -69,6 +69,29 @@ class DedupSpec extends SparkSpec {
     pairs should not contain ((0L, 2L))
   }
 
+  test("removeBoilerplate drops cross-document repeated lines, keeps order and columns") {
+    val docs = Seq(
+      (1L, "en", "HEADER\nalpha beta\ngamma\nFOOTER"),
+      (2L, "de", "header\ndelta\nFOOTER"),
+      (3L, "en", "HEADER\nepsilon\nzeta\nFOOTER")
+    ).toDF("doc_id", "lang", "text")
+    // HEADER appears (case-insensitively) in 3 docs, FOOTER in 3 -> both go
+    val out = Dedup.removeBoilerplate(docs, "doc_id", "text", minDocFreq = 3)
+      .orderBy("doc_id").collect()
+    out.map(_.getString(2)).toSeq shouldBe Seq("alpha beta\ngamma", "delta", "epsilon\nzeta")
+    out.map(_.getString(1)).toSeq shouldBe Seq("en", "de", "en") // other cols survive
+    // below the threshold nothing is removed
+    Dedup.removeBoilerplate(docs, "doc_id", "text", minDocFreq = 4)
+      .orderBy("doc_id").collect().map(_.getString(2)).toSeq shouldBe
+      docs.orderBy("doc_id").collect().map(_.getString(2)).toSeq
+    // empty lines are never counted as boilerplate but keep their place
+    val withEmpty = Seq((1L, "x", "a\n\nb"), (2L, "x", "c\n\nd"), (3L, "x", "e\n\nf"))
+      .toDF("doc_id", "lang", "text")
+    Dedup.removeBoilerplate(withEmpty, "doc_id", "text", minDocFreq = 3)
+      .orderBy("doc_id").collect().map(_.getString(2)).toSeq shouldBe
+      Seq("a\n\nb", "c\n\nd", "e\n\nf")
+  }
+
   test("ngramJaccard verification on candidate pairs") {
     val pairs = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("id_a", "id_b")
     val out = Dedup.ngramJaccard(docs, pairs, "doc_id", "text", n = 3)
