@@ -70,6 +70,11 @@ object SparkEntry {
       }
     })
 
+  private val pqBooks = scala.collection.concurrent.TrieMap.empty[String, Similarity.PqCodebooks]
+  private def pqFor(s: SparkSession, dir: String): Similarity.PqCodebooks =
+    pqBooks.getOrElseUpdate(dir,
+      Similarity.trainPq(t(s, dir, "embeddings"), "embedding", dim = 64, m = 8))
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("q1_agg")(spark, "/root/testdata/sf0.001")
@@ -546,6 +551,19 @@ object SparkEntry {
         .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
       Similarity.ivfTopKWithIndex(ivfIndexFor(s, dir), e, q,
         "vec_id", "embedding", "query_id", "qvec", k = 10, nprobe = 2)
+        .groupBy("query_id").agg(count(lit(1)).as("n"))
+        .orderBy("query_id")
+    }),
+
+    "q_ann_pq" -> ((s, dir) => {
+      // product-quantized ADC search: m-byte codes instead of 256-byte
+      // vectors at scan time — the memory-scale ANN path
+      val e = t(s, dir, "embeddings")
+      val cb = pqFor(s, dir)
+      val q = e.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+      Similarity.pqTopK(Similarity.pqEncode(e, "embedding", cb), q,
+        "vec_id", "query_id", "qvec", cb, k = 10)
         .groupBy("query_id").agg(count(lit(1)).as("n"))
         .orderBy("query_id")
     }),

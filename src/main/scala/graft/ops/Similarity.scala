@@ -278,6 +278,137 @@ object Similarity {
     joined.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= k).drop("__rn")
   }
 
+  // --------------------------------------------------------------- PQ (ADC)
+
+  /** Product-quantization codebooks: `m` subspaces × 256 codes × `dsub`
+    * floats. At 100 TB this is the memory-scale path — a 64-dim float
+    * vector (256 B) compresses to `m` bytes, so a billion-vector corpus
+    * fits in executor memory for scanning; distances come from per-query
+    * lookup tables (asymmetric distance computation, ADC; Jégou et al.,
+    * "Product Quantization for Nearest Neighbor Search").
+    */
+  final case class PqCodebooks(m: Int, dsub: Int, codebooks: Array[Array[Array[Float]]])
+
+  /** Train per-subspace codebooks with driver-side Lloyd's k-means over a
+    * sample (deterministic: seeded sample + farthest-point-ish init by
+    * stride). The sample is tiny relative to any corpus; at full scale
+    * train on `corpus.sample(...)` exactly the same way.
+    */
+  def trainPq(
+      corpus: DataFrame, vecCol: String, dim: Int,
+      m: Int = 8, sampleN: Int = 2000, iters: Int = 15, seed: Long = 42L): PqCodebooks = {
+    require(dim % m == 0, s"m=$m must divide dim=$dim")
+    val dsub = dim / m
+    val sample = corpus.select(col(s"`$vecCol`"))
+      .sample(withReplacement = false, fraction = 1.0, seed = seed)
+      .limit(sampleN).collect().map(_.getSeq[Float](0).toArray)
+    require(sample.nonEmpty, "empty training sample")
+    val codebooks = Array.tabulate(m) { sub =>
+      val pts = sample.map(v => java.util.Arrays.copyOfRange(v, sub * dsub, (sub + 1) * dsub))
+      val k = math.min(256, pts.length)
+      // deterministic stride init over the sample
+      val cents = Array.tabulate(k)(i => pts((i * pts.length) / k).clone())
+      var it = 0
+      while (it < iters) {
+        val sums = Array.fill(k)(new Array[Double](dsub))
+        val counts = new Array[Int](k)
+        pts.foreach { p =>
+          var best = 0; var bestD = Double.MaxValue
+          var c = 0
+          while (c < k) {
+            var d = 0.0; var j = 0
+            while (j < dsub) { val t = p(j) - cents(c)(j); d += t * t; j += 1 }
+            if (d < bestD) { bestD = d; best = c }
+            c += 1
+          }
+          counts(best) += 1
+          var j = 0
+          while (j < dsub) { sums(best)(j) += p(j); j += 1 }
+        }
+        var c = 0
+        while (c < k) {
+          if (counts(c) > 0) {
+            var j = 0
+            while (j < dsub) { cents(c)(j) = (sums(c)(j) / counts(c)).toFloat; j += 1 }
+          }
+          c += 1
+        }
+        it += 1
+      }
+      cents
+    }
+    PqCodebooks(m, dsub, codebooks)
+  }
+
+  /** Encode vectors to `m`-byte PQ codes (a narrow map; the corpus never
+    * shuffles).
+    */
+  def pqEncode(df: DataFrame, vecCol: String, cb: PqCodebooks): DataFrame = {
+    val enc = udf { (v: Seq[Float]) =>
+      val out = new Array[Byte](cb.m)
+      var sub = 0
+      while (sub < cb.m) {
+        val cents = cb.codebooks(sub)
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < cents.length) {
+          var d = 0.0; var j = 0
+          while (j < cb.dsub) {
+            val t = v(sub * cb.dsub + j) - cents(c)(j); d += t * t; j += 1
+          }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        out(sub) = best.toByte
+        sub += 1
+      }
+      out
+    }
+    df.withColumn("__pq", enc(col(s"`$vecCol`")))
+  }
+
+  /** ADC top-k over PQ codes: each query precomputes an m×256 table of
+    * partial squared distances (driver-side, broadcast in the UDF closure);
+    * scoring a corpus row is `m` table lookups over its byte code — no
+    * float vectors are read at scan time. One Exchange (the top-k window).
+    */
+  def pqTopK(
+      encodedCorpus: DataFrame, queries: DataFrame,
+      idCol: String, queryIdCol: String, queryVecCol: String,
+      cb: PqCodebooks, k: Int): DataFrame = {
+    val qs: Array[(Long, Array[Array[Float]])] = queries
+      .select(col(s"`$queryIdCol`").cast("long"), col(s"`$queryVecCol`"))
+      .collect()
+      .map { r =>
+        val v = r.getSeq[Float](1)
+        val table = Array.tabulate(cb.m) { sub =>
+          val cents = cb.codebooks(sub)
+          Array.tabulate(cents.length) { c =>
+            var d = 0.0; var j = 0
+            while (j < cb.dsub) {
+              val t = v(sub * cb.dsub + j) - cents(c)(j); d += t * t; j += 1
+            }
+            d.toFloat
+          }
+        }
+        (r.getLong(0), table)
+      }
+    val score = udf { (code: Array[Byte]) =>
+      qs.toSeq.map { case (qid, table) =>
+        var d = 0.0f
+        var sub = 0
+        while (sub < cb.m) { d += table(sub)(code(sub) & 0xff); sub += 1 }
+        (qid, d)
+      }
+    }
+    val scored = encodedCorpus
+      .select(col(s"`$idCol`"), explode(score(col("__pq"))).as("s"))
+      .select(col("s._1").as(queryIdCol), col(s"`$idCol`"), col("s._2").as("dist"))
+      .filter(col(queryIdCol) =!= col(s"`$idCol`"))
+    val w = Window.partitionBy(queryIdCol).orderBy(col("dist").asc, col(s"`$idCol`"))
+    scored.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= k).drop("__rn")
+  }
+
   /** Convenience: build the index then search (tests / one-shot use). */
   def ivfTopK(
       corpus: DataFrame, queries: DataFrame,

@@ -181,6 +181,23 @@ class SimilaritySpec extends SparkSpec {
     mp.size should be >= sp.size
   }
 
+  test("PQ encode compresses to m bytes; ADC top-k finds same-cluster neighbors") {
+    val clustered = (0 until 40).map { i =>
+      val base = if (i % 2 == 0) Array(1.0f, 0f, 0f, 0f) else Array(0f, 1.0f, 0f, 0f)
+      (i.toLong, base.map(x => x + (i % 5) * 0.01f))
+    }.toDF("vec_id", "embedding")
+    val cb = Similarity.trainPq(clustered, "embedding", dim = 4, m = 2, sampleN = 40)
+    cb.codebooks.length shouldBe 2
+    val encoded = Similarity.pqEncode(clustered, "embedding", cb)
+    encoded.select("__pq").head.getAs[Array[Byte]](0).length shouldBe 2
+    val queries = clustered.filter($"vec_id" === 0)
+      .select($"vec_id".as("query_id"), $"embedding".as("qvec"))
+    val out = Similarity.pqTopK(encoded, queries, "vec_id", "query_id", "qvec", cb, k = 5)
+    out.count() shouldBe 5
+    // all nearest codes come from the even (x-axis) cluster
+    out.select("vec_id").as[Long].collect().foreach(id => (id % 2) shouldBe 0L)
+  }
+
   test("IVF index persists as a managed dataset and round-trips") {
     val base = tmpDir("ivf")
     val corpus = (0 until 40).map { i =>
