@@ -88,8 +88,55 @@ object KartothekInterop {
       } else
         throw new NoSuchElementException(
           s"Kartothek dataset '$uuid' not found: tried $jsonKey and $packKey")
-    fromTree(tree.asInstanceOf[Map[String, Any]])
+    val m = tree.asInstanceOf[Map[String, Any]]
+    val ds = fromTree(m)
+    // explicit_partitions=False datasets carry no "partitions" key — the
+    // reference reconstructs them by listing storage keys
+    // (core/dataset.py:636-645 + _load_partitions_from_filenames:849-861);
+    // same fallback here
+    if (m.contains("partitions")) ds else discoverPartitions(spark, base, ds)
   }
+
+  /** Rebuild the partition map from the file listing: label =
+    * `<k=v dirs>/<filename stem>` per `_get_partition_label`
+    * (core/dataset.py:822-826); partition keys derived from the first
+    * key's `k=v` components when the blob did not declare them.
+    */
+  private def discoverPartitions(
+      spark: SparkSession, base: String, ds: V4Dataset): V4Dataset = {
+    val fs = DatasetMetadata.fs(spark, base)
+    val root = fs.makeQualified(new Path(s"$base/${ds.uuid}"))
+    if (!fs.exists(root)) return ds
+    val prefix = root.toString + "/"
+    val it = fs.listFiles(root, true)
+    val parts = scala.collection.mutable.Map.empty[String, Map[String, String]]
+    while (it.hasNext) {
+      val st = it.next()
+      val rel = st.getPath.toString.stripPrefix(prefix)
+      val name = st.getPath.getName
+      if (st.isFile && rel.endsWith(".parquet") && !rel.startsWith(s"$IndexDirToken/") &&
+        !name.startsWith("_") && !name.startsWith(".") &&
+        !name.endsWith(".by-dataset-index.parquet")) {
+        val segs = rel.split("/")
+        if (segs.length >= 2) {
+          val table = segs.head
+          val dirs = segs.drop(1).dropRight(1)
+          val label = (dirs :+ name.stripSuffix(".parquet")).mkString("/")
+          parts(label) = parts.getOrElse(label, Map.empty) +
+            (table -> s"${ds.uuid}/$rel")
+        }
+      }
+    }
+    val keys =
+      if (ds.partitionKeys.nonEmpty) ds.partitionKeys
+      else parts.headOption.map { case (label, _) =>
+        label.split("/").dropRight(1).toSeq.filter(_.contains('='))
+          .map(s => UrlCodec.unquote(s.substring(0, s.indexOf('='))))
+      }.getOrElse(Nil)
+    ds.copy(partitions = parts.toMap, partitionKeys = keys)
+  }
+
+  private val IndexDirToken = "indices"
 
   private def toScala(n: com.fasterxml.jackson.databind.JsonNode): Any = {
     import scala.jdk.CollectionConverters._

@@ -114,6 +114,23 @@ class KartothekInteropSpec extends SparkSpec {
       Predicates.of(Seq(("tag", "==", "y")))).toSet shouldBe Set("p=2/f2", "p=3/f3")
   }
 
+  test("explicit_partitions=False: partitions discovered from the file listing") {
+    val base = tmpDir("ktkv4")
+    buildFixture(base, "refds")
+    // strip the partitions key (and the index, which references labels)
+    val fs = DatasetMetadata.fs(spark, base)
+    val blob = """{"dataset_metadata_version": 4, "dataset_uuid": "refds",
+                  |"metadata": {}}""".stripMargin
+    val out = fs.create(new Path(s"$base/refds${KartothekInterop.JsonSuffix}"), true)
+    try out.write(blob.getBytes("UTF-8")) finally out.close()
+    val ds = KartothekInterop.load(spark, base, "refds")
+    ds.partitions.keySet shouldBe Set("p=1/f1", "p=2/f2", "p=3/f3")
+    ds.partitionKeys shouldBe Seq("p") // derived from the key structure
+    val df = KartothekInterop.readTable(spark, base, ds,
+      predicates = Predicates.of(Seq(("p", "==", 1))))
+    df.select("l").as[String].collect().sorted.toSeq shouldBe Seq("a", "b")
+  }
+
   test("msgpack.zstd metadata variant loads identically") {
     val base = tmpDir("ktkv4")
     buildFixture(base, "packds", msgpack = true)
