@@ -417,6 +417,21 @@ object SparkEntry {
         .orderBy("user_id", "ms")
     }),
 
+    "q_range_join" -> ((s, dir) => {
+      // interval join: clicks inside each purchase's 1-hour attribution
+      // window (same user) — chunked equi-join, not a nested loop
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), expr("ts DIV 1000000").as("ms"), col("event_type"))
+      val clicks = ev.filter(col("event_type") === "click").select("user_id", "ms")
+      val windows = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ms").as("start_ms"),
+          (col("ms") + 3600000L).as("end_ms"))
+      graft.ops.Joins.rangeJoin(clicks, windows, Seq("user_id"), "ms", "start_ms", "end_ms",
+        chunk = 3600000L)
+        .groupBy("user_id", "start_ms").agg(count(lit(1)).as("n_clicks"))
+        .orderBy("user_id", "start_ms")
+    }),
+
     "q_json_extract" -> ((s, dir) => {
       // scalar-function surface beyond the reference: JSON prop extraction
       val ev = t(s, dir, "events")
@@ -1081,6 +1096,14 @@ object SparkEntry {
         |  round(r.last_purchase, 2) AS last_purchase
         |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ms >= r.rms
         |ORDER BY 1, 2""".stripMargin,
+
+    "q_range_join" ->
+      """WITH e AS (SELECT user_id, epoch_ms(ts) AS ms, event_type FROM events),
+        |c AS (SELECT user_id, ms FROM e WHERE event_type = 'click'),
+        |w AS (SELECT user_id, ms AS start_ms, ms + 3600000 AS end_ms FROM e WHERE event_type = 'purchase')
+        |SELECT w.user_id, w.start_ms, count(*) AS n_clicks
+        |FROM w JOIN c ON w.user_id = c.user_id AND c.ms >= w.start_ms AND c.ms < w.end_ms
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q_json_extract" ->
       """SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k

@@ -65,4 +65,37 @@ object Joins {
       .select((leftCols.map(c => col(s"`$c`")) ++
         payload.map(c => col(s"`__p`.`$c`").as(c))): _*)
   }
+
+  /** Range (interval) join: left rows whose `leftTs` falls in
+    * `[right.startCol, right.endCol)` for the same keys.
+    *
+    * Plan shape: both sides are chunked on a fixed `chunk` granularity —
+    * each left row lands in exactly ONE chunk, each right interval explodes
+    * to its overlapping chunks — then an ordinary hash equi-join on
+    * (keys, chunk) plus the exact residual range filter. This turns the
+    * non-equi condition Spark would execute as a broadcast-nested-loop /
+    * cartesian into one keyed shuffle; chunk amplification is
+    * `interval_length / chunk`, so pick `chunk` near the typical interval
+    * length. No dedup pass is needed: a (left, right) pair can only meet in
+    * the left row's single chunk.
+    */
+  def rangeJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTs: String,
+      startCol: String,
+      endCol: String,
+      chunk: Long): DataFrame = {
+    require(chunk > 0, "chunk must be positive")
+    require(keys.nonEmpty, "rangeJoin requires join keys")
+    val l = left.withColumn("__chunk", expr(s"`$leftTs` DIV $chunk"))
+    val r = right
+      .filter(col(s"`$endCol`") > col(s"`$startCol`")) // empty intervals match nothing
+      .withColumn("__chunk",
+        explode(sequence(expr(s"`$startCol` DIV $chunk"), expr(s"(`$endCol` - 1) DIV $chunk"))))
+    l.join(r, keys :+ "__chunk")
+      .filter(col(s"`$leftTs`") >= col(s"`$startCol`") && col(s"`$leftTs`") < col(s"`$endCol`"))
+      .drop("__chunk")
+  }
 }

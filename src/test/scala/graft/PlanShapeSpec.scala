@@ -86,6 +86,17 @@ class PlanShapeSpec extends SparkSpec {
     nd.queryExecution.executedPlan.toString should not include "Join"
   }
 
+  test("range join plans as a hash equi-join on (keys, chunk), never a nested loop") {
+    val events = (0 until 1000).map(i => (i.toLong % 50, i.toLong * 7)).toDF("k", "t")
+    val intervals = (0 until 100).map(i => (i.toLong % 50, i.toLong * 60, i.toLong * 60 + 120))
+      .toDF("k", "s", "e")
+    val plan = graft.ops.Joins.rangeJoin(events, intervals, Seq("k"), "t", "s", "e", chunk = 100)
+      .queryExecution.executedPlan.toString
+    plan should not include "BroadcastNestedLoopJoin"
+    plan should not include "CartesianProduct"
+    plan should include regex "(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)"
+  }
+
   test("bucketed-write shuffle parallelism is decoupled from bucket count") {
     val df = (0 until 1000).map(i => (i % 2, i.toLong, s"v$i")).toDF("p", "k", "v")
     // numBuckets=2 but the DECLARED shuffle must still use

@@ -42,6 +42,27 @@ class JoinsSpec extends SparkSpec {
     out(1).isNullAt(2) shouldBe true
   }
 
+  test("rangeJoin matches rows inside [start, end) across chunk boundaries") {
+    val events = Seq(
+      (1L, 5L), (1L, 10L), (1L, 19L), (1L, 20L), (1L, 35L), (2L, 10L)
+    ).toDF("k", "t")
+    val intervals = Seq(
+      (1L, 10L, 20L, "A"),  // spans chunks 1..1 at chunk=10
+      (1L, 5L, 36L, "B"),   // spans several chunks
+      (1L, 7L, 7L, "EMPTY"),
+      (2L, 0L, 11L, "C")
+    ).toDF("k", "s", "e", "tag")
+    val out = Joins.rangeJoin(events, intervals, Seq("k"), "t", "s", "e", chunk = 10)
+      .select("k", "t", "tag").collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    out shouldBe Set(
+      (1L, 10L, "A"), (1L, 19L, "A"),              // [10,20): 10 in, 20 out
+      (1L, 5L, "B"), (1L, 10L, "B"), (1L, 19L, "B"), (1L, 20L, "B"), (1L, 35L, "B"),
+      (2L, 10L, "C"))
+    // no duplicate pairs despite multi-chunk intervals
+    Joins.rangeJoin(events, intervals, Seq("k"), "t", "s", "e", chunk = 3)
+      .select("k", "t", "tag").count() shouldBe 8
+  }
+
   test("asofJoin: all payload columns come from the SAME right row") {
     val l = Seq((1L, 200L)).toDF("k", "t")
     val r = Seq(
