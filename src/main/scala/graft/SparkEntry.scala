@@ -417,6 +417,27 @@ object SparkEntry {
         .orderBy("user_id", "ms")
     }),
 
+    "q_salted_join" -> ((s, dir) => {
+      // skew-safe salted join must be result-identical to the plain join
+      val li = t(s, dir, "lineitem").select("l_orderkey", "l_returnflag", "l_extendedprice", "l_discount")
+      val o = t(s, dir, "orders").filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+      graft.ops.Joins.saltedJoin(li, o, Seq("l_orderkey"), salt = 8)
+        .groupBy("l_returnflag", "o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .orderBy("l_returnflag", "o_orderpriority")
+    }),
+
+    "q_grouping_sets" -> ((s, dir) => {
+      // GROUP BY CUBE over two dims (the reference's "cube" is data
+      // modeling; this is the analytic grouping-sets surface)
+      t(s, dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), round(sum("l_extendedprice"), 2).as("sum_price"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+    }),
+
     "q_range_join" -> ((s, dir) => {
       // interval join: clicks inside each purchase's 1-hour attribution
       // window (same user) — chunked equi-join, not a nested loop
@@ -1096,6 +1117,19 @@ object SparkEntry {
         |  round(r.last_purchase, 2) AS last_purchase
         |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ms >= r.rms
         |ORDER BY 1, 2""".stripMargin,
+
+    "q_salted_join" ->
+      """SELECT l_returnflag, o_orderpriority, count(*) AS n,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderstatus = 'F'
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  round(sum(l_extendedprice), 2) AS sum_price
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
 
     "q_range_join" ->
       """WITH e AS (SELECT user_id, epoch_ms(ts) AS ms, event_type FROM events),

@@ -66,6 +66,29 @@ object Joins {
         payload.map(c => col(s"`__p`.`$c`").as(c))): _*)
   }
 
+  /** Skew-safe equi-join: scatter the big side's rows across `salt`
+    * sub-keys (deterministically, from a row hash — safe under task retry)
+    * and replicate the small side once per sub-key, so ONE hot join key
+    * spreads over `salt` tasks instead of melting a single reducer.
+    * Result identical to `big.join(small, keys, how)`; use for the
+    * residual skew AQE's skew-join handling cannot split (e.g. when the
+    * skewed side must aggregate after the join). `how` ∈ inner/left
+    * (big = left side).
+    */
+  def saltedJoin(
+      big: DataFrame,
+      small: DataFrame,
+      keys: Seq[String],
+      salt: Int,
+      how: String = "inner"): DataFrame = {
+    require(salt > 0, "salt must be positive")
+    require(how == "inner" || how == "left", s"saltedJoin supports inner/left, got '$how'")
+    val b = big.withColumn("__salt",
+      pmod(xxhash64(big.columns.map(c => col(s"`$c`")): _*), lit(salt)).cast("int"))
+    val s = small.withColumn("__salt", explode(sequence(lit(0), lit(salt - 1))))
+    b.join(s, keys :+ "__salt", how).drop("__salt")
+  }
+
   /** Range (interval) join: left rows whose `leftTs` falls in
     * `[right.startCol, right.endCol)` for the same keys.
     *

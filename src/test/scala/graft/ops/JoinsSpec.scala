@@ -63,6 +63,17 @@ class JoinsSpec extends SparkSpec {
       .select("k", "t", "tag").count() shouldBe 8
   }
 
+  test("saltedJoin equals the plain join for inner and left") {
+    val big = (0 until 500).map(i => (i.toLong % 3, i.toLong)).toDF("k", "v") // hot keys
+    val small = Seq((0L, "a"), (1L, "b"), (9L, "z")).toDF("k", "name")
+    val plainInner = big.join(small, Seq("k")).collect().map(_.toSeq).toSet
+    Joins.saltedJoin(big, small, Seq("k"), salt = 4)
+      .collect().map(_.toSeq).toSet shouldBe plainInner
+    val plainLeft = big.join(small, Seq("k"), "left").collect().map(_.toSeq).toSet
+    Joins.saltedJoin(big, small, Seq("k"), salt = 4, how = "left")
+      .collect().map(_.toSeq).toSet shouldBe plainLeft
+  }
+
   test("asofJoin: all payload columns come from the SAME right row") {
     val l = Seq((1L, 200L)).toDF("k", "t")
     val r = Seq(
