@@ -665,6 +665,19 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    "q_multimodal_frames" -> ((s, dir) => {
+      // the frame-sampling PLAN layer is pure column math over the typed
+      // metadata (duration derived deterministically from the blob), so it
+      // gets an exact oracle even though the decode kernel is a stub
+      val d = t(s, dir, "documents").filter(col("doc_id") < 100)
+        .select(col("doc_id").as("id"), encode(col("text"), "UTF-8").as("blob"))
+      val withMeta = Multimodal.attachMeta(d, "blob", "video")
+      Multimodal.frameSamplePlan(withMeta, everyMs = 1000, maxFrames = 16)
+        .select(col("id"), size(col("frame_ts_ms")).as("n_frames"),
+          element_at(col("frame_ts_ms"), -1).as("last_ts_ms"))
+        .orderBy("id")
+    }),
+
     // -------------------------------------------------- more relational ops
     "q_csv_roundtrip" -> ((s, dir) => {
       // CSV sink + scan (≙ serialization/_csv.py): `;`-separated roundtrip
@@ -1181,6 +1194,14 @@ object SparkEntry {
 
     "q_text_boilerplate" ->
       "SELECT doc_id, text FROM documents ORDER BY 1",
+
+    "q_multimodal_frames" ->
+      """WITH m AS (
+        |  SELECT doc_id AS id, octet_length(encode(text)) * 8 AS dur
+        |  FROM documents WHERE doc_id < 100),
+        |f AS (SELECT id, least((dur // 1000) + 1, 16) AS nf FROM m)
+        |SELECT id, CAST(nf AS INT) AS n_frames, (nf - 1) * 1000 AS last_ts_ms
+        |FROM f ORDER BY id""".stripMargin,
 
     // fingerprint = xxhash64 over the normalized text, so distinct
     // fingerprints == distinct normalized strings (modulo a 2^-64 collision)
