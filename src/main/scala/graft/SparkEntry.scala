@@ -225,6 +225,23 @@ object SparkEntry {
         .orderBy("l_orderkey", "l_linenumber", "l_quantity")
     }),
 
+    "q_ktk_zonemap" -> ((s, dir) => {
+      // metadata-level data skipping: per-file [min, max] ranges on the
+      // timestamp column answer a range predicate without opening footers
+      val base = scratch(dir)
+      built.getOrElseUpdate(s"$base/zonemap", {
+        Ktk.store(s, base, "li_zoned", t(s, dir, "lineitem"),
+          partitionOn = Seq("l_returnflag"), sortBy = Seq("l_shipdate"),
+          zoneMapFor = Seq("l_shipdate", "l_quantity"), overwrite = true)
+        ()
+      })
+      Ktk.readTable(s, base, "li_zoned",
+        columns = Seq("l_orderkey", "l_linenumber", "l_quantity"),
+        predicates = Predicates.of(Seq(("l_shipdate", ">=", "2000-06-01"),
+          ("l_shipdate", "<", "2000-08-01"), ("l_quantity", ">", 25.0))))
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity")
+    }),
+
     "q_ktk_bucketed" -> ((s, dir) => {
       // hash-bucket shuffle write: same content, bounded files per dir
       // (built once per scale dir; q_ktk_update times the write path)
@@ -951,6 +968,13 @@ object SparkEntry {
         |JOIN customer ON o_custkey = c_custkey
         |WHERE c_mktsegment = 'BUILDING' AND o_orderstatus = 'F'
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_ktk_zonemap" ->
+      """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, l_quantity
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '2000-06-01' AND l_shipdate < TIMESTAMP '2000-08-01'
+        |  AND l_quantity > 25.0
+        |ORDER BY 1, 2, 3""".stripMargin,
 
     "q_ktk_bucketed" ->
       """SELECT p_partkey, p_brand, p_retailprice FROM part ORDER BY 1""".stripMargin,

@@ -204,7 +204,7 @@ object Predicates {
   /** Loose cross-numeric-type comparison for driver-side partition values
     * (decoded from strings) vs predicate values.
     */
-  private def compare(a: Any, b: Any): Int = (a, b) match {
+  private[graft] def compare(a: Any, b: Any): Int = (a, b) match {
     case (x: String, y: String) => x.compareTo(y)
     case (x, y: String) => x.toString.compareTo(y)
     case (x: String, y) =>

@@ -35,6 +35,11 @@ final case class DatasetMetadata(
     partitionSeq: Map[String, Long] = Map.empty,
     // indexed column → relative index file path under <uuid>/indices/
     indices: Map[String, String] = Map.empty,
+    // zone maps: column → label → [min, max] rendered as strings (empty seq
+    // when the column is all-null in that file). Metadata-level data
+    // skipping: files whose range excludes a predicate are never SCHEDULED —
+    // cheaper to maintain than a secondary index, O(#files) blob growth.
+    zoneMaps: Map[String, Map[String, Seq[String]]] = Map.empty,
     schemaJson: String = "",
     metadata: Map[String, String] = Map.empty) {
 

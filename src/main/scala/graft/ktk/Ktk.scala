@@ -51,7 +51,8 @@ object Ktk {
       overwrite: Boolean = false,
       userMetadata: Map[String, String] = Map.empty,
       bucketBy: Seq[String] = Nil,
-      numBuckets: Int = 32): DatasetMetadata = {
+      numBuckets: Int = 32,
+      zoneMapFor: Seq[String] = Nil): DatasetMetadata = {
 
     if (!overwrite && DatasetMetadata.exists(spark, base, uuid))
       throw new IllegalStateException(s"Dataset '$uuid' already exists (pass overwrite=true)")
@@ -76,7 +77,7 @@ object Ktk {
     (if (partitionOn.nonEmpty) writer.partitionBy(partitionOn: _*) else writer).parquet(tableDir)
 
     commitAfterWrite(spark, base, uuid, partitionOn, secondaryIndices,
-      normalized.schema, userMetadata)
+      normalized.schema, userMetadata, zoneMapFor)
   }
 
   /** Hash-bucket co-location for the write: shuffle on (partitionOn,
@@ -103,7 +104,8 @@ object Ktk {
       partitionKeys: Seq[String],
       secondaryIndices: Seq[String],
       schema: StructType,
-      userMetadata: Map[String, String]): DatasetMetadata = {
+      userMetadata: Map[String, String],
+      zoneMapFor: Seq[String] = Nil): DatasetMetadata = {
 
     val tableDir = s"$base/$uuid/table"
     val partitions = listDataFiles(spark, tableDir)
@@ -114,9 +116,12 @@ object Ktk {
           s"null values in partition columns ${partitionKeys.mkString(",")} are not allowed")
     }
 
+    zoneMapFor.foreach(c => require(schema.fieldNames.contains(c),
+      s"zone-map column '$c' not in schema"))
     val md0 = DatasetMetadata(
       uuid = uuid, partitionKeys = partitionKeys, partitions = partitions,
       partitionSeq = partitions.keys.map(_ -> 0L).toMap,
+      zoneMaps = computeZoneMaps(spark, tableDir, partitions.keys.toSeq.sorted, zoneMapFor),
       schemaJson = schema.json, metadata = userMetadata)
 
     val indices = secondaryIndices.map { c =>
@@ -145,6 +150,68 @@ object Ktk {
         out += st.getPath.toString.stripPrefix(prefix) -> st.getLen
     }
     out.result()
+  }
+
+  // -------------------------------------------------------------- zone maps
+
+  /** Per-file min/max for `cols`, rendered as strings (≙ Parquet zone maps
+    * lifted into the catalog): one narrow scan + a label-keyed agg; the
+    * result is O(#files × #cols) — catalog-sized, never data-sized.
+    */
+  private def computeZoneMaps(
+      spark: SparkSession, tableDir: String, labels: Seq[String],
+      cols: Seq[String]): Map[String, Map[String, Seq[String]]] = {
+    if (cols.isEmpty || labels.isEmpty) return Map.empty
+    val scan = spark.read.option("basePath", tableDir)
+      .parquet(labels.map(l => s"$tableDir/$l"): _*)
+    val aggs = cols.flatMap(c => Seq(
+      min(col(s"`$c`")).cast("string").as(s"__min_$c"),
+      max(col(s"`$c`")).cast("string").as(s"__max_$c")))
+    val rows = scan.groupBy(fileLabel.as("__label")).agg(aggs.head, aggs.tail: _*).collect()
+    cols.map { c =>
+      c -> rows.map { r =>
+        val mn = r.getAs[String](s"__min_$c")
+        val mx = r.getAs[String](s"__max_$c")
+        r.getString(0) -> (if (mn == null || mx == null) Seq.empty[String] else Seq(mn, mx))
+      }.toMap
+    }.toMap
+  }
+
+  /** Normalize a value for zone-range comparison: date/timestamp strings
+    * (the rendered form of `cast(ts as string)`) become epoch millis so
+    * they compare numerically with date literals.
+    */
+  private def zoneValue(x: Any): Any = x match {
+    case s: String =>
+      try java.sql.Timestamp.valueOf(s).getTime
+      catch {
+        case _: Exception =>
+          try java.sql.Date.valueOf(s).getTime catch { case _: Exception => s }
+      }
+    case d: java.sql.Date => d.getTime
+    case t: java.sql.Timestamp => t.getTime
+    case other => other
+  }
+
+  private def zoneCmp(a: Any, b: Any): Int =
+    Predicates.compare(zoneValue(a), zoneValue(b))
+
+  /** May rows in [mn, mx] satisfy the literal? CONSERVATIVE: any comparison
+    * failure keeps the file. Stats exclude nulls, so null-matching literals
+    * never prune (handled by the caller).
+    */
+  private def zoneMayMatch(l: PredLiteral, mn: String, mx: String): Boolean = {
+    import graft.core.PredOp._
+    try l.op match {
+      case Eq => zoneCmp(l.value, mn) >= 0 && zoneCmp(l.value, mx) <= 0
+      case Ne => !(zoneCmp(mn, mx) == 0 && zoneCmp(l.value, mn) == 0)
+      case Lt => zoneCmp(mn, l.value) < 0
+      case Le => zoneCmp(mn, l.value) <= 0
+      case Gt => zoneCmp(mx, l.value) > 0
+      case Ge => zoneCmp(mx, l.value) >= 0
+      case In => l.value.asInstanceOf[Seq[Any]]
+        .exists(v => v != null && zoneCmp(v, mn) >= 0 && zoneCmp(v, mx) <= 0)
+    } catch { case _: Exception => true }
   }
 
   // ---------------------------------------------------------------- indices
@@ -238,7 +305,25 @@ object Ktk {
         }
         val idxLits = conj.filter(l =>
           indexed.contains(l.col) && !partCols.contains(l.col) && indexPrunable(l))
-        idxLits.foldLeft(afterPart.toSet)((labels, l) => labels intersect matchingLabels(l))
+        val afterIdx =
+          idxLits.foldLeft(afterPart.toSet)((labels, l) => labels intersect matchingLabels(l))
+        // 3. zone-map pruning: drop files whose [min, max] range excludes
+        // the literal. `indexPrunable` doubles as the null guard — nulls
+        // are invisible to stats, so null-matching literals never prune.
+        // A file with EMPTY stats holds only nulls for that column, which
+        // no non-null-matching literal can satisfy.
+        val zoneLits = conj.filter(l =>
+          md.zoneMaps.contains(l.col) && !partCols.contains(l.col) && indexPrunable(l))
+        zoneLits.foldLeft(afterIdx) { (labels, l) =>
+          val zm = md.zoneMaps(l.col)
+          labels.filter { lbl =>
+            zm.get(lbl) match {
+              case None                  => true // no stats recorded: keep
+              case Some(s) if s.isEmpty  => false // all-null file
+              case Some(s)               => zoneMayMatch(l, s.head, s(1))
+            }
+          }
+        }
     }.toSet
     all.filter(surviving.contains)
   }
@@ -397,7 +482,15 @@ object Ktk {
 
     // 3. incremental index merge (≙ update_indices, io_components/write.py:283-309):
     //    keep surviving labels of the old index, union the new files' pairs.
-    val md1 = md.copy(partitions = finalPartitions, partitionSeq = finalSeq)
+    //    Zone maps merge the same way: surviving labels keep their ranges,
+    //    new labels get freshly computed ones.
+    val freshZones = computeZoneMaps(spark, tableDir, newLabels.toSeq.sorted, md.zoneMaps.keys.toSeq)
+    val mergedZones = md.zoneMaps.map { case (c, perLabel) =>
+      c -> (perLabel.filter { case (l, _) => finalPartitions.contains(l) } ++
+        freshZones.getOrElse(c, Map.empty))
+    }
+    val md1 = md.copy(partitions = finalPartitions, partitionSeq = finalSeq,
+      zoneMaps = mergedZones)
     md.indices.keys.foreach { c =>
       val fsPath = md.indexPath(base, c)
       // surviving-old-labels as a semi-join, not a giant In-list — the label
@@ -439,15 +532,20 @@ object Ktk {
       partitionOn: Seq[String] = Nil,
       secondaryIndices: Seq[String] = Nil,
       overwrite: Boolean = false,
-      userMetadata: Map[String, String] = Map.empty): DatasetMetadata = {
+      userMetadata: Map[String, String] = Map.empty,
+      zoneMapFor: Seq[String] = Nil): DatasetMetadata = {
     if (!overwrite && DatasetMetadata.exists(spark, base, uuid))
       throw new IllegalStateException(s"Dataset '$uuid' already exists (pass overwrite=true)")
     partitionOn.foreach(c => require(schema.fieldNames.contains(c), s"partition_on column '$c' missing"))
-    secondaryIndices.foreach(c => require(schema.fieldNames.contains(c), s"index column '$c' not in schema"))
+    (secondaryIndices ++ zoneMapFor).foreach(c =>
+      require(schema.fieldNames.contains(c), s"index/zone column '$c' not in schema"))
     val normalized = SchemaUtil.normalizeSchema(schema, partitionOn)
     val md = DatasetMetadata(
       uuid = uuid, partitionKeys = partitionOn,
       indices = secondaryIndices.map(c => c -> s"$c.parquet").toMap,
+      // registered zone columns start empty; [[commit]] fills per-label
+      // ranges as partitions publish
+      zoneMaps = zoneMapFor.map(c => c -> Map.empty[String, Seq[String]]).toMap,
       schemaJson = normalized.json, metadata = userMetadata)
     DatasetMetadata.store(spark, base, md)
     md
@@ -514,7 +612,13 @@ object Ktk {
     val finalSeq = finalPartitions.keys.map { l =>
       l -> (if (newLabels.contains(l)) nextSeq else md.seqOf(l))
     }.toMap
-    val md1 = md.copy(partitions = finalPartitions, partitionSeq = finalSeq)
+    val freshZones = computeZoneMaps(spark, tableDir, newLabels.sorted, md.zoneMaps.keys.toSeq)
+    val mergedZones = md.zoneMaps.map { case (c, perLabel) =>
+      c -> (perLabel.filter { case (l, _) => finalPartitions.contains(l) } ++
+        freshZones.getOrElse(c, Map.empty))
+    }
+    val md1 = md.copy(partitions = finalPartitions, partitionSeq = finalSeq,
+      zoneMaps = mergedZones)
 
     // indices: first commit builds from scratch; later commits merge
     // incrementally exactly like [[update]]

@@ -123,6 +123,42 @@ class KtkSpec extends SparkSpec {
       predicates = graft.core.Predicates.of(Seq(("tag", "==", "z")))).count() shouldBe 0
   }
 
+  test("zone maps prune files by min/max range; results stay exact") {
+    val base = tmpDir("ktk")
+    // two partitions, values cluster per partition so ranges are disjoint
+    val data = Seq(
+      (1, 10.0, "a"), (1, 20.0, "b"), (2, 100.0, "c"), (2, 200.0, "d")
+    ).toDF("p", "x", "l")
+    val md = Ktk.store(spark, base, "zm", data, partitionOn = Seq("p"),
+      zoneMapFor = Seq("x"))
+    md.zoneMaps("x").size shouldBe md.partitions.size
+    // x > 50 excludes every p=1 file via its range — without the partition
+    // key appearing in the predicate at all
+    val labels = Ktk.queryLabels(spark, base, md,
+      graft.core.Predicates.of(Seq(("x", ">", 50.0))))
+    labels.forall(_.startsWith("p=2/")) shouldBe true
+    Ktk.readTable(spark, base, "zm",
+      predicates = graft.core.Predicates.of(Seq(("x", ">", 50.0))))
+      .select("l").as[String].collect().sorted.toSeq shouldBe Seq("c", "d")
+    // == inside a pruned range still answers exactly
+    Ktk.readTable(spark, base, "zm",
+      predicates = graft.core.Predicates.of(Seq(("x", "==", 20.0))))
+      .select("l").as[String].collect().toSeq shouldBe Seq("b")
+    // update: appended files get fresh ranges, zone pruning stays correct
+    Ktk.update(spark, base, "zm", Some(Seq((3, 500.0, "e")).toDF("p", "x", "l")))
+    val md2 = DatasetMetadata.load(spark, base, "zm")
+    md2.zoneMaps("x").size shouldBe md2.partitions.size
+    Ktk.readTable(spark, base, "zm",
+      predicates = graft.core.Predicates.of(Seq(("x", ">=", 500.0))))
+      .select("l").as[String].collect().toSeq shouldBe Seq("e")
+    // null semantics: a column with nulls never loses null rows to pruning
+    val withNull = Seq((1, Option(1.0), "a"), (2, Option.empty[Double], "b")).toDF("p", "x", "l")
+    Ktk.store(spark, base, "zmn", withNull, partitionOn = Seq("p"), zoneMapFor = Seq("x"))
+    Ktk.readTable(spark, base, "zmn",
+      predicates = graft.core.Predicates.of(Seq(("x", "==", null))))
+      .select("l").as[String].collect().toSeq shouldBe Seq("b")
+  }
+
   test("null partition values rejected") {
     val base = tmpDir("ktk")
     val bad = Seq((Some(1), "a"), (None, "b")).toDF("p", "v")
