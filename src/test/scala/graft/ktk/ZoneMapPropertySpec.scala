@@ -1,0 +1,70 @@
+package graft.ktk
+
+import graft.SparkSpec
+import graft.core.{PredOp, Predicates}
+import org.apache.spark.sql.functions._
+
+/** Property net for zone-map pruning: for MANY random predicates over
+  * mixed types (double, timestamp, string; with nulls), a zone-mapped
+  * dataset read must return exactly the rows of the raw DataFrame filter —
+  * pruning may only skip files, never rows.
+  */
+class ZoneMapPropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val (base, raw) = {
+    val b = tmpDir("zmprop")
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 300).map { i =>
+      val x = if (rnd.nextInt(10) == 0) None else Some(rnd.nextInt(200) - 100 + rnd.nextDouble())
+      val t = if (rnd.nextInt(12) == 0) None
+        else Some(java.sql.Timestamp.valueOf(
+          f"2021-${1 + rnd.nextInt(12)}%02d-${1 + rnd.nextInt(28)}%02d ${rnd.nextInt(24)}%02d:00:00"))
+      val s = if (rnd.nextInt(15) == 0) None else Some(f"w${rnd.nextInt(40)}%03d")
+      (i.toLong, i % 4, x, t, s)
+    }.toDF("id", "p", "x", "t", "s")
+    Ktk.store(spark, b, "zp", rows, partitionOn = Seq("p"),
+      sortBy = Seq("x"), zoneMapFor = Seq("x", "t", "s"))
+    (b, rows)
+  }
+
+  private def check(preds: Predicates, tag: String): Unit = {
+    val got = Ktk.readTable(spark, base, "zp", predicates = preds)
+      .select("id").as[Long].collect().sorted.toSeq
+    val want = raw.filter(preds.toColumn).select("id").as[Long].collect().sorted.toSeq
+    withClue(s"$tag / $preds: ") { got shouldBe want }
+  }
+
+  test("random single literals over every op and type match the raw filter") {
+    val rnd = new scala.util.Random(11)
+    val ops = Seq("==", "!=", "<", "<=", ">", ">=")
+    for (_ <- 0 until 40) {
+      val (colName, value) = rnd.nextInt(3) match {
+        case 0 => ("x", (rnd.nextInt(220) - 110).toDouble)
+        case 1 => ("t", f"2021-${1 + rnd.nextInt(12)}%02d-${1 + rnd.nextInt(28)}%02d")
+        case _ => ("s", f"w${rnd.nextInt(45)}%03d")
+      }
+      val op = ops(rnd.nextInt(ops.length))
+      check(Predicates.of(Seq((colName, op, value))), s"single-$colName")
+    }
+    // null literals and in-lists (with and without null)
+    check(Predicates.of(Seq(("x", "==", null))), "x-null")
+    check(Predicates.of(Seq(("t", "!=", null))), "t-nonnull")
+    check(Predicates.of(Seq(("s", "in", Seq("w001", "w007", null)))), "s-in-null")
+    check(Predicates.of(Seq(("x", "in", Seq(5.0, -3.0)))), "x-in")
+  }
+
+  test("random conjunctions and disjunctions match the raw filter") {
+    val rnd = new scala.util.Random(13)
+    for (_ <- 0 until 25) {
+      val conj1 = Seq(
+        ("x", ">", (rnd.nextInt(160) - 80).toDouble),
+        ("x", "<", (rnd.nextInt(160)).toDouble))
+      val conj2 = Seq(
+        ("t", ">=", f"2021-${1 + rnd.nextInt(12)}%02d-01"),
+        ("s", "<=", f"w${rnd.nextInt(45)}%03d"))
+      check(Predicates.of(conj1), "range-x")
+      check(Predicates.of(conj1, conj2), "disjunction")
+    }
+  }
+}
