@@ -93,6 +93,7 @@ object SparkEntry {
     queries("q_cube_extend")(s, dir).limit(1).count()
     queries("q_ann_pq")(s, dir).limit(1).count()
     queries("q_ktk_interop")(s, dir).limit(1).count()
+    queries("q_ktk_zonemap")(s, dir).limit(1).count()
   }
 
   // ------------------------------------------------------------------------
