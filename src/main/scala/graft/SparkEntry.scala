@@ -662,6 +662,13 @@ object SparkEntry {
         .orderBy("lang_guess")
     }),
 
+    "q_text_unigram_lp" -> ((s, dir) => {
+      // corpus-derived unigram LM scoring with an exact DuckDB twin
+      TextAnalysis.unigramLogProb(t(s, dir, "documents"), "doc_id", "text")
+        .select(col("doc_id"), round(col("unigram_lp"), 6).as("unigram_lp"))
+        .orderBy("doc_id")
+    }),
+
     "q_text_fingerprint" -> ((s, dir) => {
       // whitespace/case-robust fingerprint: dup-vs-original collide
       val d = t(s, dir, "documents")
@@ -1227,6 +1234,17 @@ object SparkEntry {
         |f AS (SELECT id, least((dur // 1000) + 1, 16) AS nf FROM m)
         |SELECT id, CAST(nf AS INT) AS n_frames, (nf - 1) * 1000 AS last_ts_ms
         |FROM f ORDER BY id""".stripMargin,
+
+    "q_text_unigram_lp" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |    x -> x <> '')) AS tok
+        |  FROM documents),
+        |freq AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY 1),
+        |tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS n, CAST(count(*) AS DOUBLE) AS v FROM freq)
+        |SELECT doc_id, round(avg(log10((cnt + 1.0) / (n + v))), 6) AS unigram_lp
+        |FROM toks JOIN freq USING (tok) CROSS JOIN tot
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // fingerprint = xxhash64 over the normalized text, so distinct
     // fingerprints == distinct normalized strings (modulo a 2^-64 collision)

@@ -93,6 +93,31 @@ object TextAnalysis {
     }
   }
 
+  /** Corpus-unigram log-probability score (the computable analog of
+    * CCNet's KenLM perplexity filter): token frequencies come from the
+    * corpus ITSELF, each document scores as the mean `log10` of its
+    * tokens' add-one-smoothed probabilities — gibberish and
+    * rare-token-heavy documents score low, boilerplate-like ones high.
+    *
+    * Scale shape: the frequency table is (token, count) — vocabulary-sized,
+    * partitioned by token, NEVER broadcast (web-scale vocabularies are
+    * hundreds of millions of rows); scoring is a shuffle join on token
+    * followed by the per-document mean. The two tiny scalars (total count,
+    * vocab size) are the only driver-side values.
+    */
+  def unigramLogProb(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(s"`$idCol`"),
+      explode(filter(split(lower(col(s"`$textCol`")), "\\s+"), t => length(t) > 0)).as("tok"))
+    val freq = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val stats = freq.agg(sum("cnt").cast("double").as("n"), count(lit(1)).cast("double").as("v"))
+      .collect()(0)
+    val denom = stats.getDouble(0) + stats.getDouble(1)
+    toks.join(freq, "tok")
+      .groupBy(col(s"`$idCol`"))
+      .agg(avg(log10((col("cnt") + lit(1.0)) / lit(denom))).as("unigram_lp"))
+  }
+
   /** Rolling-hash document fingerprint: xxhash64 over the normalized text —
     * stable against whitespace runs and case.
     */

@@ -244,6 +244,24 @@ class TextAnalysisSpec extends SparkSpec {
     out(5L) shouldBe "zh"
   }
 
+  test("unigramLogProb: common-token docs score higher than rare-token docs") {
+    val docs = Seq(
+      (1L, "the the the"),     // only the most frequent token
+      (2L, "the quark"),       // one common + one hapax
+      (3L, "zyx")              // lone hapax
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.unigramLogProb(docs, "doc_id", "text")
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getDouble(1)))
+    // corpus: the×4, quark×1, zyx×1 → N=6, V=3, denom=9
+    val pThe = math.log10(5.0 / 9)
+    val pHapax = math.log10(2.0 / 9)
+    out(0)._2 shouldBe pThe +- 1e-12
+    out(1)._2 shouldBe ((pThe + pHapax) / 2) +- 1e-12
+    out(2)._2 shouldBe pHapax +- 1e-12
+    out(0)._2 should be > out(1)._2
+    out(1)._2 should be > out(2)._2
+  }
+
   test("fingerprint is whitespace/case robust") {
     val df = Seq(Tuple1("a  B\tc"), Tuple1("A B C")).toDF("text")
     val fps = df.select(TextAnalysis.fingerprint($"text")).as[Long].collect()
