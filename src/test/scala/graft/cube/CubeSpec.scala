@@ -51,6 +51,16 @@ class CubeSpec extends SparkSpec {
     out.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq shouldBe Seq((1L, 0L), (1L, 1L))
   }
 
+  test("partition_by on an enrich-exclusive payload forces an inner join") {
+    val base = tmpDir("cube")
+    Cube.build(spark, base, cube, Map("seed" -> seed, "enrich" -> Seq((0, 0, 100L)).toDF("x", "p", "v2")))
+    // partitionBy v2 (exclusive to enrich): null groups would be
+    // meaningless, so the join must flip to inner (query/__init__.py:101-138)
+    val out = Cube.query(spark, base, cube, partitionBy = Seq("v2"))
+    out.select("x", "y").collect().map(r => (r.getLong(0), r.getLong(1))).toSet shouldBe
+      Set((0L, 0L), (0L, 1L))
+  }
+
   test("conditions prune partitions AND filter payload") {
     val base = tmpDir("cube")
     Cube.build(spark, base, cube, Map("seed" -> seed, "enrich" -> enrich))

@@ -88,7 +88,7 @@ class KtkSpec extends SparkSpec {
   test("two-phase write: partitions from separate jobs, one atomic commit") {
     val base = tmpDir("ktk")
     Ktk.createEmpty(spark, base, "tp", sample.schema,
-      partitionOn = Seq("p"), secondaryIndices = Seq("tag"))
+      partitionOn = Seq("p"), secondaryIndices = Seq("tag"), zoneMapFor = Seq("target"))
     // header visible, zero partitions, empty read works
     Ktk.readTable(spark, base, "tp").count() shouldBe 0
 
@@ -99,7 +99,7 @@ class KtkSpec extends SparkSpec {
     labels2 should not be empty
     Ktk.readTable(spark, base, "tp").count() shouldBe 0
 
-    // one commit publishes both + builds the registered index
+    // one commit publishes both + builds the registered index and zone map
     Ktk.commit(spark, base, "tp", labels1 ++ labels2)
     val back = Ktk.readTable(spark, base, "tp")
     back.count() shouldBe 5
@@ -107,6 +107,12 @@ class KtkSpec extends SparkSpec {
     val viaIdx = Ktk.readTable(spark, base, "tp",
       predicates = graft.core.Predicates.of(Seq(("tag", "==", "z"))))
     viaIdx.select("l").as[String].collect().toSeq shouldBe Seq("c")
+    // zone map registered at createEmpty is filled at commit and prunes
+    val mdZ = DatasetMetadata.load(spark, base, "tp")
+    mdZ.zoneMaps("target").size shouldBe mdZ.partitions.size
+    Ktk.readTable(spark, base, "tp",
+      predicates = graft.core.Predicates.of(Seq(("target", ">=", 40.0))))
+      .select("l").as[String].collect().sorted.toSeq shouldBe Seq("b", "c")
 
     // a second round: new partition + delete scope in the same commit
     val labels3 = Ktk.writePartition(spark, base, "tp",
