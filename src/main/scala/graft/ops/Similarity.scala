@@ -409,6 +409,66 @@ object Similarity {
     scored.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= k).drop("__rn")
   }
 
+  /** IVF-PQ layout: every corpus vector carries its coarse cell id plus
+    * its m-byte PQ code — the canonical billion-scale ANN storage (FAISS
+    * IVFPQ): the cell id restricts the scan to nprobe cells, the code keeps
+    * per-row cost at m table lookups. One narrow map, no shuffle.
+    */
+  def ivfPqEncode(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      ivf: IvfIndex, cb: PqCodebooks): DataFrame =
+    pqEncode(corpus, vecCol, cb)
+      .withColumn("cid", explode(nearestCidsUdf(ivf.centroids, 1)(col(s"`$vecCol`"))))
+      .select(col(s"`$idCol`"), col("cid"), col("__pq"))
+
+  /** ADC top-k over the IVF-PQ layout: each query probes its `nprobe`
+    * nearest cells and scores ONLY rows in those cells, via its m×256
+    * lookup table. The scan reads (id, cid, code) — 1+m+4 bytes of payload
+    * per row — and the single Exchange is the final top-k window.
+    */
+  def ivfPqTopK(
+      encoded: DataFrame, queries: DataFrame,
+      idCol: String, queryIdCol: String, queryVecCol: String,
+      ivf: IvfIndex, cb: PqCodebooks, k: Int, nprobe: Int = 2): DataFrame = {
+    val cids = ivf.centroids.map(_._1).toArray
+    val cents = ivf.centroids.map(_._2.toArray).toArray
+    val qs: Array[(Long, Set[Int], Array[Array[Float]])] = queries
+      .select(col(s"`$queryIdCol`").cast("long"), col(s"`$queryVecCol`"))
+      .collect()
+      .map { r =>
+        val v = r.getSeq[Float](1)
+        val probes = cents.indices.map { i =>
+          var s = 0.0; var d = 0
+          val lim = math.min(cents(i).length, v.length)
+          while (d < lim) { val t = v(d) - cents(i)(d); s += t * t; d += 1 }
+          (s, cids(i))
+        }.sorted.take(nprobe).map(_._2).toSet
+        val table = Array.tabulate(cb.m) { sub =>
+          val cc = cb.codebooks(sub)
+          Array.tabulate(cc.length) { c =>
+            var d = 0.0; var j = 0
+            while (j < cb.dsub) { val t = v(sub * cb.dsub + j) - cc(c)(j); d += t * t; j += 1 }
+            d.toFloat
+          }
+        }
+        (r.getLong(0), probes, table)
+      }
+    val score = udf { (cid: Int, code: Array[Byte]) =>
+      qs.toSeq.collect { case (qid, probes, table) if probes.contains(cid) =>
+        var d = 0.0f
+        var sub = 0
+        while (sub < cb.m) { d += table(sub)(code(sub) & 0xff); sub += 1 }
+        (qid, d)
+      }
+    }
+    val scored = encoded
+      .select(col(s"`$idCol`"), explode(score(col("cid"), col("__pq"))).as("s"))
+      .select(col("s._1").as(queryIdCol), col(s"`$idCol`"), col("s._2").as("dist"))
+      .filter(col(queryIdCol) =!= col(s"`$idCol`"))
+    val w = Window.partitionBy(queryIdCol).orderBy(col("dist").asc, col(s"`$idCol`"))
+    scored.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= k).drop("__rn")
+  }
+
   /** Convenience: build the index then search (tests / one-shot use). */
   def ivfTopK(
       corpus: DataFrame, queries: DataFrame,

@@ -198,6 +198,24 @@ class SimilaritySpec extends SparkSpec {
     out.select("vec_id").as[Long].collect().foreach(id => (id % 2) shouldBe 0L)
   }
 
+  test("IVF-PQ: probed-cell ADC top-k stays in the query's cluster") {
+    val clustered = (0 until 40).map { i =>
+      val base = if (i % 2 == 0) Array(1.0f, 0f, 0f, 0f) else Array(0f, 1.0f, 0f, 0f)
+      (i.toLong, base.map(x => x + (i % 5) * 0.01f))
+    }.toDF("vec_id", "embedding")
+    val ivf = Similarity.IvfIndex(
+      Seq(0 -> Seq(1.0, 0.0, 0.0, 0.0), 1 -> Seq(0.0, 1.0, 0.0, 0.0)), 2)
+    val cb = Similarity.trainPq(clustered, "embedding", dim = 4, m = 2, sampleN = 40)
+    val encoded = Similarity.ivfPqEncode(clustered, "vec_id", "embedding", ivf, cb)
+    encoded.columns.toSeq shouldBe Seq("vec_id", "cid", "__pq")
+    val queries = clustered.filter($"vec_id" === 0)
+      .select($"vec_id".as("query_id"), $"embedding".as("qvec"))
+    val out = Similarity.ivfPqTopK(encoded, queries,
+      "vec_id", "query_id", "qvec", ivf, cb, k = 5, nprobe = 1)
+    out.count() shouldBe 5
+    out.select("vec_id").as[Long].collect().foreach(id => (id % 2) shouldBe 0L)
+  }
+
   test("IVF index persists as a managed dataset and round-trips") {
     val base = tmpDir("ivf")
     val corpus = (0 until 40).map { i =>
