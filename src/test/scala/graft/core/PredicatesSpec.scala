@@ -8,6 +8,27 @@ import graft.SparkSpec
 class PredicatesSpec extends SparkSpec {
   import spark.implicits._
 
+  test("reference filter edge matrix: bool columns with nulls, typed date literals") {
+    // ≙ tests/serialization/test_filter.py:178-199 (bool + None) and
+    // :128-146 (date literal against a datetime column)
+    val b = Seq((Option(true), 1L), (Option(false), 2L), (Option.empty[Boolean], 3L), (Option(true), 4L))
+      .toDF("b", "i")
+    b.filter(Predicates.of(Seq(("b", "==", true))).toColumn)
+      .select("i").as[Long].collect().sorted.toSeq shouldBe Seq(1L, 4L)
+    // != true excludes nulls (pandas semantics)
+    b.filter(Predicates.of(Seq(("b", "!=", true))).toColumn)
+      .select("i").as[Long].collect().toSeq shouldBe Seq(2L)
+    val ts = Seq(
+      (java.sql.Timestamp.valueOf("2019-01-01 00:00:00"), 1L),
+      (java.sql.Timestamp.valueOf("2019-01-02 00:00:00"), 2L)).toDF("t", "i")
+    // java.sql.Date literal against a timestamp column coerces like the
+    // reference's normalize_value
+    ts.filter(Predicates.of(Seq(("t", "==", java.sql.Date.valueOf("2019-01-01")))).toColumn)
+      .select("i").as[Long].collect().toSeq shouldBe Seq(1L)
+    ts.filter(Predicates.of(Seq(("t", ">", java.sql.Timestamp.valueOf("2019-01-01 12:00:00")))).toColumn)
+      .select("i").as[Long].collect().toSeq shouldBe Seq(2L)
+  }
+
   test("C() condition sugar compiles to the DNF predicate core") {
     val p = ((C("a") === 1) & C("b").inInterval(10, 20)).toPredicates
     p.disjunction shouldBe Seq(Seq(
