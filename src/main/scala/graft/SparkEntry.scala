@@ -92,6 +92,7 @@ object SparkEntry {
     queries("q_ktk_bucketed")(s, dir).limit(1).count()
     queries("q_cube_extend")(s, dir).limit(1).count()
     queries("q_ann_pq")(s, dir).limit(1).count()
+    queries("q_ann_ivfpq")(s, dir).limit(1).count()
     queries("q_ktk_interop")(s, dir).limit(1).count()
     queries("q_ktk_zonemap")(s, dir).limit(1).count()
   }
@@ -628,6 +629,25 @@ object SparkEntry {
       val q = t(s, dir, "embeddings").filter(col("vec_id") < 3)
         .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
       Similarity.pqTopK(codes, q, "vec_id", "query_id", "qvec", cb, k = 10)
+        .groupBy("query_id").agg(count(lit(1)).as("n"))
+        .orderBy("query_id")
+    }),
+
+    "q_ann_ivfpq" -> ((s, dir) => {
+      // the billion-scale composition: coarse cell id + m-byte PQ code per
+      // row, persisted once; queries scan only their probed cells' codes
+      val base = scratch(dir)
+      val cb = pqFor(s, dir)
+      val ivf = ivfIndexFor(s, dir)
+      built.getOrElseUpdate(s"$base/ivfpq", {
+        Similarity.ivfPqEncode(t(s, dir, "embeddings"), "vec_id", "embedding", ivf, cb)
+          .write.mode("overwrite").parquet(s"$base/ivfpq_codes")
+        ()
+      })
+      val codes = s.read.parquet(s"$base/ivfpq_codes")
+      val q = t(s, dir, "embeddings").filter(col("vec_id") < 3)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+      Similarity.ivfPqTopK(codes, q, "vec_id", "query_id", "qvec", ivf, cb, k = 10, nprobe = 2)
         .groupBy("query_id").agg(count(lit(1)).as("n"))
         .orderBy("query_id")
     }),

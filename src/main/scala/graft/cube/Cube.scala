@@ -164,7 +164,11 @@ object Cube {
       cube: CubeDef,
       conditions: Predicates = Predicates.empty,
       payload: Seq[String] = Nil,
-      partitionBy: Seq[String] = Nil): DataFrame = {
+      partitionBy: Seq[String] = Nil,
+      // the reference always returns dimension-ordered output; pipelines
+      // feeding another shuffle can skip the global sort (a full range
+      // exchange at scale) without changing row content
+      sortOutput: Boolean = true): DataFrame = {
 
     val datasets = discover(spark, base, cube)
     require(datasets.contains(cube.seedDataset), s"cube '${cube.uuidPrefix}' has no seed dataset")
@@ -234,7 +238,10 @@ object Cube {
     val filtered = if (conditions.isEmpty) joined else joined.filter(conditions.toColumn)
     val projected = filtered.select(outCols.filter(filtered.columns.contains).map(c => col(s"`$c`")): _*)
     // the reference's output order: dimensions, then partition columns
-    val ordered = projected.sort((cube.dimensionColumns ++ cube.partitionColumns).map(c => col(s"`$c`")): _*)
+    val ordered =
+      if (sortOutput)
+        projected.sort((cube.dimensionColumns ++ cube.partitionColumns).map(c => col(s"`$c`")): _*)
+      else projected
     if (partitionBy.nonEmpty) ordered.repartition(partitionBy.map(c => col(s"`$c`")): _*)
       .sortWithinPartitions((partitionBy ++ cube.dimensionColumns).map(c => col(s"`$c`")): _*)
     else ordered

@@ -61,6 +61,15 @@ class CubeSpec extends SparkSpec {
       Set((0L, 0L), (0L, 1L))
   }
 
+  test("sortOutput=false keeps identical content without the global sort") {
+    val base = tmpDir("cube")
+    Cube.build(spark, base, cube, Map("seed" -> seed, "enrich" -> enrich))
+    val sorted = Cube.query(spark, base, cube).collect().map(_.toSeq).toSet
+    val unsorted = Cube.query(spark, base, cube, sortOutput = false)
+    unsorted.collect().map(_.toSeq).toSet shouldBe sorted
+    unsorted.queryExecution.executedPlan.toString should not include "rangepartitioning"
+  }
+
   test("conditions prune partitions AND filter payload") {
     val base = tmpDir("cube")
     Cube.build(spark, base, cube, Map("seed" -> seed, "enrich" -> enrich))
