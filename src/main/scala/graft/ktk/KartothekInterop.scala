@@ -262,6 +262,65 @@ object KartothekInterop {
     }
   }
 
+  // ----------------------------------------------------------------- adopt
+
+  /** Adopt a reference-written dataset IN PLACE as a graft-managed one —
+    * zero data movement: for the reference's default single table
+    * (`table`, core/naming.py SINGLE_TABLE) the physical layouts coincide,
+    * so adoption just writes a graft metadata blob over the same files,
+    * rebuilds any requested indices in graft's typed parquet form, and can
+    * add zone maps the reference never had. After adoption the FULL Ktk
+    * surface applies: update/delete-scope, GC, two-phase commits, zone
+    * pruning.
+    */
+  def adoptAsGraft(
+      spark: SparkSession,
+      base: String,
+      ds: V4Dataset,
+      secondaryIndices: Seq[String] = Nil,
+      zoneMapFor: Seq[String] = Nil): DatasetMetadata = {
+    val table = "table"
+    ds.partitions.find(!_._2.contains(table)).foreach { case (l, files) =>
+      throw new IllegalArgumentException(
+        s"adoption requires the reference's default single table '$table'; " +
+          s"partition '$l' has tables ${files.keys.mkString(",")}")
+    }
+    // graft and v4 share the metadata key (`<uuid>.by-dataset-metadata.json`)
+    // — adoption REPLACES the v4 blob with the graft blob over the same
+    // files (atomic single put). One-way: use [[write]] for the reverse.
+    val fs = DatasetMetadata.fs(spark, base)
+    val tableDir = s"$base/${ds.uuid}/$table"
+    // our labels are file paths relative to <uuid>/table/
+    val partitions = ds.partitions.values.map { files =>
+      val key = files(table)
+      val label = key.stripPrefix(s"${ds.uuid}/$table/")
+      label -> fs.getFileStatus(new Path(s"$base/$key")).getLen
+    }.toMap
+    // partition-column types normalize to graft's widened forms (they are
+    // path-reconstructed, so the cast is free); PAYLOAD types stay exactly
+    // as the reference wrote them — adoption never rewrites files
+    val inferred = spark.read.option("basePath", tableDir)
+      .parquet(partitions.keys.toSeq.sorted.map(l => s"$tableDir/$l"): _*).schema
+    val schema = org.apache.spark.sql.types.StructType(inferred.map { f =>
+      if (ds.partitionKeys.contains(f.name))
+        f.copy(dataType = graft.core.SchemaUtil.normalizeType(f.dataType))
+      else f
+    })
+    val md0 = DatasetMetadata(
+      uuid = ds.uuid, partitionKeys = ds.partitionKeys, partitions = partitions,
+      partitionSeq = partitions.keys.map(_ -> 0L).toMap,
+      zoneMaps = Ktk.computeZoneMaps(spark, tableDir, partitions.keys.toSeq.sorted, zoneMapFor),
+      schemaJson = schema.json, metadata = ds.metadata)
+    val indices = secondaryIndices.map { c =>
+      require(schema.fieldNames.contains(c), s"index column '$c' not in schema")
+      Ktk.buildIndex(spark, base, md0, c)
+      c -> s"$c.parquet"
+    }.toMap
+    val md = md0.copy(indices = indices)
+    DatasetMetadata.store(spark, base, md)
+    md
+  }
+
   // ----------------------------------------------------------------- write
 
   /** Write a DataFrame in the reference's v4 layout (the reverse migration

@@ -158,7 +158,7 @@ object Ktk {
     * lifted into the catalog): one narrow scan + a label-keyed agg; the
     * result is O(#files × #cols) — catalog-sized, never data-sized.
     */
-  private def computeZoneMaps(
+  private[ktk] def computeZoneMaps(
       spark: SparkSession, tableDir: String, labels: Seq[String],
       cols: Seq[String]): Map[String, Map[String, Seq[String]]] = {
     if (cols.isEmpty || labels.isEmpty) return Map.empty

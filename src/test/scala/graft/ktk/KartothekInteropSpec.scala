@@ -149,6 +149,30 @@ class KartothekInteropSpec extends SparkSpec {
     Msgpack.unpack(Msgpack.pack(v)) shouldBe v
   }
 
+  test("adoptAsGraft: reference dataset becomes fully Ktk-managed in place") {
+    val base = tmpDir("ktkv4")
+    buildFixture(base, "refds")
+    val v4 = KartothekInterop.load(spark, base, "refds")
+    val md = KartothekInterop.adoptAsGraft(spark, base, v4,
+      secondaryIndices = Seq("l"), zoneMapFor = Seq("v"))
+    md.partitions.size shouldBe 3
+    // the full Ktk surface now works over the SAME files
+    val back = Ktk.readTable(spark, base, "refds")
+    back.count() shouldBe 4
+    back.columns.toSet shouldBe Set("l", "v", "p")
+    // typed index rebuilt from data prunes
+    Ktk.readTable(spark, base, "refds",
+      predicates = Predicates.of(Seq(("l", "==", "c"))))
+      .select("v").as[Double].collect().toSeq shouldBe Seq(3.0)
+    // zone maps prune by value range
+    Ktk.queryLabels(spark, base, DatasetMetadata.load(spark, base, "refds"),
+      Predicates.of(Seq(("v", ">=", 4.0)))) shouldBe Seq("p=3/f3.parquet")
+    // incremental update over the adopted dataset
+    Ktk.update(spark, base, "refds",
+      Some(Seq((4, "e", 5.0)).toDF("p", "l", "v")))
+    Ktk.readTable(spark, base, "refds").count() shouldBe 5
+  }
+
   test("write produces a reference-shaped layout that round-trips") {
     val base = tmpDir("ktkv4")
     val df = Seq((1, "a", "x", 10.0), (1, "b", "y", 20.0), (2, "c", "x", 30.0))

@@ -43,6 +43,15 @@ object InteropCrossCheck {
     require(viaIdx.select("l").as[String].collect().toSeq == Seq("d"), "tag=z content")
     println("graft read reference-written ref_ds OK (content, partition + external-index pruning)")
 
+    // ---- adopt the reference-written dataset in place, then manage it
+    val adopted = KartothekInterop.adoptAsGraft(spark, base, ds,
+      secondaryIndices = Seq("tag"), zoneMapFor = Seq("v"))
+    require(adopted.partitions.size == 3, s"adopted: ${adopted.partitions.keySet}")
+    val viaKtk = graft.ktk.Ktk.readTable(spark, base, "ref_ds",
+      predicates = Predicates.of(Seq(("tag", "==", "x"))))
+    require(viaKtk.count() == 2, s"adopted index read: ${viaKtk.count()}")
+    println("graft adopted ref_ds in place (typed index + zone maps over the same files)")
+
     // ---- write our_ds for the reference to load
     val df = Seq((1, "a", "x", 1.5), (2, "b", "y", 2.5)).toDF("p", "l", "tag", "v")
     KartothekInterop.write(spark, base, "our_ds", df,
