@@ -101,6 +101,36 @@ class SessionizeSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming ingest pipeline: dedup then quality filter then windowed counts") {
+    implicit val sql = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    val input = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val ts = (s: Long) => new java.sql.Timestamp((2000000 + s) * 1000)
+    val deduped = StreamDedup.dedupStream(
+      input.toDF().toDF("id", "text", "ts"), "text", "ts", "10 minutes")
+    // chained stateful ops: dedup state feeds a windowed aggregation
+    val out = deduped
+      .withColumn("quality", graft.ops.TextAnalysis.qualityScore(col("text")))
+      .filter(col("quality") >= 0.5)
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n_docs"))
+    val q = out.writeStream.format("memory").queryName("ingest_out")
+      .outputMode("append").start()
+    try {
+      val good = "this is a reasonably long document with enough plain tokens to pass the quality bar"
+      input.addData(
+        (1L, good + " one", ts(0)),
+        (2L, good + "  ONE", ts(1)),   // normalized dup of id=1 -> dropped
+        (3L, "!!!", ts(2)))            // fails the quality filter
+      q.processAllAvailable()
+      // push the watermark past the window so the windowed agg emits
+      input.addData((9L, good + " far away", ts(100000)))
+      q.processAllAvailable()
+      val rows = spark.table("ingest_out").select("n_docs").as[Long].collect()
+      rows.toSeq shouldBe Seq(1L) // only id=1 survived dedup + quality
+    } finally q.stop()
+  }
+
   test("in-batch gap splits emit closed sessions immediately") {
     implicit val sql = spark.sqlContext
     val input = MemoryStream[Event]
