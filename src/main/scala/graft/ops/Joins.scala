@@ -84,7 +84,7 @@ object Joins {
     require(salt > 0, "salt must be positive")
     require(how == "inner" || how == "left", s"saltedJoin supports inner/left, got '$how'")
     val b = big.withColumn("__salt",
-      pmod(xxhash64(big.columns.map(c => col(s"`$c`")): _*), lit(salt)).cast("int"))
+      pmod(xxhash64(big.columns.toSeq.map(c => col(s"`$c`")): _*), lit(salt)).cast("int"))
     val s = small.withColumn("__salt", explode(sequence(lit(0), lit(salt - 1))))
     b.join(s, keys :+ "__salt", how).drop("__salt")
   }
