@@ -95,6 +95,8 @@ object SparkEntry {
     queries("q_ann_ivfpq")(s, dir).limit(1).count()
     queries("q_ktk_interop")(s, dir).limit(1).count()
     queries("q_ktk_zonemap")(s, dir).limit(1).count()
+    queries("q_ktk_twophase")(s, dir).limit(1).count()
+    queries("q_ktk_adopt")(s, dir).limit(1).count()
   }
 
   // ------------------------------------------------------------------------
@@ -257,6 +259,47 @@ object SparkEntry {
       Ktk.readTable(s, base, "part_bucketed",
         columns = Seq("p_partkey", "p_brand", "p_retailprice"))
         .orderBy("p_partkey")
+    }),
+
+    "q_ktk_twophase" -> ((s, dir) => {
+      // external-committer workflow: header first, two independent
+      // partition writes, ONE publishing commit
+      val base = scratch(dir)
+      built.getOrElseUpdate(s"$base/twophase", {
+        val cust = t(s, dir, "customer")
+        Ktk.createEmpty(s, base, "cust_2p", cust.schema,
+          partitionOn = Seq("c_mktsegment"), overwrite = true)
+        val l1 = Ktk.writePartition(s, base, "cust_2p",
+          cust.filter(col("c_custkey") % 2 === 0))
+        val l2 = Ktk.writePartition(s, base, "cust_2p",
+          cust.filter(col("c_custkey") % 2 =!= 0))
+        Ktk.commit(s, base, "cust_2p", l1 ++ l2)
+        ()
+      })
+      Ktk.readTable(s, base, "cust_2p",
+        columns = Seq("c_custkey", "c_mktsegment", "c_acctbal"),
+        predicates = Predicates.of(Seq(("c_mktsegment", "==", "BUILDING"))))
+        .withColumn("c_acctbal", round(col("c_acctbal"), 2))
+        .orderBy("c_custkey")
+    }),
+
+    "q_ktk_adopt" -> ((s, dir) => {
+      // migration: write the reference layout, adopt it in place, then
+      // query through the FULL managed surface with zone-map pruning
+      val base = scratch(dir)
+      built.getOrElseUpdate(s"$base/adopt", {
+        graft.ktk.KartothekInterop.write(s, base, "supplier_v4", t(s, dir, "supplier"),
+          partitionOn = Seq("s_nationkey"), overwrite = true)
+        val v4 = graft.ktk.KartothekInterop.load(s, base, "supplier_v4")
+        graft.ktk.KartothekInterop.adoptAsGraft(s, base, v4, zoneMapFor = Seq("s_acctbal"))
+        ()
+      })
+      Ktk.readTable(s, base, "supplier_v4",
+        columns = Seq("s_suppkey", "s_nationkey", "s_acctbal"),
+        predicates = Predicates.of(Seq(("s_acctbal", ">", 2000.0))))
+        .withColumn("s_acctbal", round(col("s_acctbal"), 2))
+        .withColumn("s_nationkey", col("s_nationkey").cast("long"))
+        .orderBy("s_suppkey")
     }),
 
     "q_ktk_interop" -> ((s, dir) => {
@@ -1006,6 +1049,15 @@ object SparkEntry {
 
     "q_ktk_bucketed" ->
       """SELECT p_partkey, p_brand, p_retailprice FROM part ORDER BY 1""".stripMargin,
+
+    "q_ktk_twophase" ->
+      """SELECT c_custkey, c_mktsegment, round(c_acctbal, 2) AS c_acctbal
+        |FROM customer WHERE c_mktsegment = 'BUILDING' ORDER BY 1""".stripMargin,
+
+    "q_ktk_adopt" ->
+      """SELECT s_suppkey, CAST(s_nationkey AS BIGINT) AS s_nationkey,
+        |  round(s_acctbal, 2) AS s_acctbal
+        |FROM supplier WHERE s_acctbal > 2000.0 ORDER BY 1""".stripMargin,
 
     "q_ktk_interop" ->
       """SELECT o_orderkey, o_orderstatus, o_orderpriority, round(o_totalprice, 2) AS o_totalprice
