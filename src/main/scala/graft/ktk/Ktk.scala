@@ -536,6 +536,10 @@ object Ktk {
       zoneMapFor: Seq[String] = Nil): DatasetMetadata = {
     if (!overwrite && DatasetMetadata.exists(spark, base, uuid))
       throw new IllegalStateException(s"Dataset '$uuid' already exists (pass overwrite=true)")
+    if (overwrite)
+      // clear stale data files too, matching store(overwrite) — otherwise
+      // a later writePartition would append beside invisible leftovers
+      DatasetMetadata.fs(spark, base).delete(new Path(s"$base/$uuid"), true)
     partitionOn.foreach(c => require(schema.fieldNames.contains(c), s"partition_on column '$c' missing"))
     (secondaryIndices ++ zoneMapFor).foreach(c =>
       require(schema.fieldNames.contains(c), s"index/zone column '$c' not in schema"))
