@@ -153,7 +153,13 @@ object KartothekInterop {
     def str(v: Any): String = v.toString
     val version = m.get("dataset_metadata_version").map(_.toString.toInt).getOrElse(4)
     require(version == 4, s"unsupported kartothek metadata version $version (only v4)")
-    val uuid = str(m("dataset_uuid"))
+    val uuid = m.get("dataset_uuid").map(str).getOrElse {
+      if (m.contains("uuid"))
+        throw new IllegalArgumentException(
+          "metadata blob is in GRAFT format, not kartothek v4 — the dataset " +
+            "was likely adopted; read it with Ktk.readTable instead")
+      throw new NoSuchElementException("metadata blob has no dataset_uuid")
+    }
     val partitionKeys = m.get("partition_keys").map(_.asInstanceOf[Seq[Any]].map(str)).getOrElse(Nil)
     val partitions = m.get("partitions").map(_.asInstanceOf[Map[String, Any]].map {
       case (label, pd) =>

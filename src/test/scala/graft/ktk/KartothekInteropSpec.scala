@@ -171,6 +171,11 @@ class KartothekInteropSpec extends SparkSpec {
     Ktk.update(spark, base, "refds",
       Some(Seq((4, "e", 5.0)).toDF("p", "l", "v")))
     Ktk.readTable(spark, base, "refds").count() shouldBe 5
+    // loading an adopted blob as v4 gives a clear error, not a key crash
+    val err = intercept[IllegalArgumentException] {
+      KartothekInterop.load(spark, base, "refds")
+    }
+    err.getMessage should include("GRAFT format")
   }
 
   test("write produces a reference-shaped layout that round-trips") {
