@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.core.Predicates
 import graft.cube.{Cube, CubeDef}
 import graft.ktk.Ktk
-import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{Decontamination, Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
 
 /** Driver contract — one entry per operator of SURVEY.md §2 plus the
   * training-data pipeline operators. Every SQL-expressible query has a
@@ -742,6 +742,53 @@ object SparkEntry {
         .groupBy().agg(countDistinct(col("fp")).as("distinct_fps"))
     }),
 
+    // ------------------------------------- pipeline: sampling / mixture / packing
+    "q_sample_det" -> ((s, dir) => {
+      // deterministic Bernoulli sample — same (seed,key) ⇒ same rows on any engine
+      Sampling.deterministicSample(t(s, dir, "documents"), col("doc_id"), 0.2, seed = "s1")
+        .select("doc_id", "lang").orderBy("doc_id")
+    }),
+
+    "q_sample_strata" -> ((s, dir) => {
+      // per-stratum fractions; membership (not just counts) is oracle-pinned
+      val li = t(s, dir, "lineitem")
+      Sampling.stratifiedSample(li,
+        concat_ws("-", col("l_orderkey"), col("l_linenumber")), col("l_returnflag"),
+        Map("A" -> 0.1, "N" -> 0.05, "R" -> 0.2), seed = "s2")
+        .select("l_orderkey", "l_linenumber", "l_returnflag")
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    "q_mixture" -> ((s, dir) => {
+      // resample the corpus to a uniform language mixture, as large as the
+      // scarcest language allows
+      Sampling.mixtureResample(t(s, dir, "documents"), col("doc_id"), col("lang"),
+        Map("de" -> 0.2, "en" -> 0.2, "es" -> 0.2, "fr" -> 0.2, "zh" -> 0.2), seed = "s3")
+        .select("doc_id", "lang").orderBy("doc_id")
+    }),
+
+    "q_pack_chunk" -> ((s, dir) => {
+      // sequence packing: cut a new pack every 500 tokens in doc_id order
+      // (two-level cumsum — no global window over the corpus)
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+      Sampling.packChunks(d, "doc_id", "n_tokens", budget = 500)
+        .groupBy("pack_id")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("pack_tokens"))
+        .orderBy("pack_id")
+    }),
+
+    "q_decontaminate" -> ((s, dir) => {
+      // benchmark-overlap decontamination: docs sharing ≥3 distinct word
+      // 5-grams with the held-out set (doc_id % 19 == 0)
+      val d = t(s, dir, "documents")
+      val bench = d.filter(col("doc_id") % 19 === 0)
+      Decontamination.contaminationReport(
+        d.filter(col("doc_id") % 19 =!= 0), "doc_id", "text",
+        bench, "text", n = 5, minOverlap = 3)
+        .orderBy("doc_id")
+    }),
+
     // -------------------------------------------------- pipeline: multimodal
     "q_multimodal" -> ((s, dir) => {
       // binary blobs derived deterministically from documents text
@@ -957,6 +1004,28 @@ object SparkEntry {
   // → rows-only check; their exact semantics are covered by ScalaTest
   // oracles with planted data.
   // ------------------------------------------------------------------------
+
+  /** DuckDB twin of [[Sampling.hashUnit]]: value of the first 8 hex chars
+    * of md5(seed:key) as a unit double. DuckDB has no hex→int builtin, so
+    * the value is a strpos polynomial — exact integer arithmetic, then one
+    * double division, matching Spark's conv(substring(md5,1,8),16,10)/2^32
+    * bit for bit.
+    */
+  private def duckU(keyExpr: String, seed: String): String = {
+    val h = s"md5('$seed:' || $keyExpr)"
+    val terms = (1 to 8).map { i =>
+      val pow = 1L << (4 * (8 - i))
+      s"(strpos('0123456789abcdef', substr($h, $i, 1)) - 1) * $pow"
+    }.mkString(" + ")
+    s"(($terms) / 4294967296.0)"
+  }
+
+  /** DuckDB word-n-gram expansion over a token-list column `toks`:
+    * one row per n-gram window (space-joined), for docs with ≥ n tokens.
+    */
+  private def duckNgrams(n: Int): String =
+    s"unnest(list_transform(range(1, len(toks) - ${n - 2}), " +
+      s"i -> array_to_string(toks[i:i+${n - 1}], ' ')))"
 
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->
@@ -1328,6 +1397,57 @@ object SparkEntry {
         |  SELECT regexp_replace(upper(text), ' ', '  ', 'g') AS text FROM documents)
         |SELECT count(DISTINCT lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS distinct_fps
         |FROM u""".stripMargin,
+
+    // sampling/mixture/packing/decontamination: the md5 draw and all
+    // arithmetic are replicated exactly (doubles both sides), so these are
+    // membership-exact, not just count-exact
+    "q_sample_det" ->
+      s"""SELECT doc_id, lang FROM documents
+         |WHERE ${duckU("CAST(doc_id AS VARCHAR)", "s1")} < 0.2::DOUBLE
+         |ORDER BY doc_id""".stripMargin,
+
+    "q_sample_strata" ->
+      s"""SELECT l_orderkey, l_linenumber, l_returnflag FROM lineitem
+         |WHERE ${duckU("CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR)", "s2")} <
+         |  CASE l_returnflag WHEN 'A' THEN 0.1::DOUBLE WHEN 'N' THEN 0.05::DOUBLE
+         |                    WHEN 'R' THEN 0.2::DOUBLE ELSE 0.0::DOUBLE END
+         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_mixture" ->
+      s"""WITH c AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY lang),
+         |w AS (SELECT lang, cnt, 0.2::DOUBLE AS w FROM c
+         |      WHERE lang IN ('de','en','es','fr','zh')),
+         |m AS (SELECT min(floor(cnt / w)) AS n FROM w),
+         |f AS (SELECT w.lang, least(1.0::DOUBLE, m.n * w.w / w.cnt) AS frac FROM w, m)
+         |SELECT d.doc_id, d.lang FROM documents d JOIN f ON d.lang = f.lang
+         |WHERE ${duckU("CAST(d.doc_id AS VARCHAR)", "s3")} < f.frac
+         |ORDER BY d.doc_id""".stripMargin,
+
+    "q_pack_chunk" ->
+      """WITH d AS (
+        |  SELECT doc_id, len(list_filter(regexp_split_to_array(text, '\s+'),
+        |    x -> x <> '')) AS n_tokens
+        |  FROM documents),
+        |r AS (SELECT doc_id, n_tokens,
+        |        sum(n_tokens) OVER (ORDER BY doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+        |      FROM d)
+        |SELECT CAST(floor((run - n_tokens) / 500.0) AS BIGINT) AS pack_id,
+        |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS pack_tokens
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_decontaminate" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+         |    x -> x <> '') AS toks
+         |  FROM documents),
+         |bg AS (SELECT DISTINCT gram FROM (
+         |  SELECT ${duckNgrams(5)} AS gram FROM tok WHERE doc_id % 19 = 0)),
+         |dg AS (SELECT DISTINCT doc_id, gram FROM (
+         |  SELECT doc_id, ${duckNgrams(5)} AS gram FROM tok WHERE doc_id % 19 <> 0))
+         |SELECT dg.doc_id, count(*) AS n_contaminated
+         |FROM dg JOIN bg USING (gram)
+         |GROUP BY 1 HAVING count(*) >= 3 ORDER BY 1""".stripMargin,
 
     "q_footer_stats" ->
       "SELECT count(*) AS total_rows FROM lineitem",

@@ -1,0 +1,61 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Benchmark decontamination for training corpora: flag training documents
+  * sharing word n-grams with an evaluation/benchmark set (the standard
+  * 13-gram-overlap methodology of GPT-3 appx. C / Dolma, here with a
+  * configurable n). Everything is codegen'd built-ins — no UDF.
+  *
+  * Scale shape: the benchmark side is eval-suite-sized (thousands of
+  * documents, millions of distinct grams) and is always broadcast — the
+  * 100 TB corpus side is scanned once, exploded map-side, hash-joined
+  * against the broadcast gram set, and aggregated per document with
+  * map-side partial counts. The corpus never shuffles except on
+  * (doc_id) for the final count, and only for rows that HIT a benchmark
+  * gram — a tiny fraction of the corpus.
+  */
+object Decontamination {
+
+  /** Distinct word n-grams of a document: lowercase, whitespace-split,
+    * windows of n joined by single spaces. Documents shorter than n tokens
+    * produce no grams.
+    */
+  def wordNgrams(text: Column, n: Int): Column = {
+    val toks = filter(split(lower(trim(text)), "\\s+"), t => length(t) > 0)
+    when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(array_distinct(
+        transform(sequence(lit(1), size(toks) - (n - 1)),
+          i => concat_ws(" ", slice(toks, i, lit(n))))))
+  }
+
+  /** Per-document contamination report: documents of `corpus` sharing at
+    * least `minOverlap` distinct `n`-grams with any benchmark document.
+    * Returns (idCol, n_contaminated) — the count of distinct shared grams.
+    */
+  def contaminationReport(corpus: DataFrame, idCol: String, textCol: String,
+                          bench: DataFrame, benchTextCol: String,
+                          n: Int = 13, minOverlap: Int = 1): DataFrame = {
+    val benchGrams = bench
+      .select(explode(wordNgrams(col(benchTextCol), n)).as("gram")).distinct()
+    val docGrams = corpus
+      .select(col(idCol), explode(wordNgrams(col(textCol), n)).as("gram"))
+    // grams are distinct per doc already (wordNgrams dedups) ⇒ plain count
+    docGrams.join(broadcast(benchGrams), "gram")
+      .groupBy(idCol).agg(count(lit(1)).as("n_contaminated"))
+      .filter(col("n_contaminated") >= minOverlap)
+  }
+
+  /** Span-removal variant: null out documents whose contamination exceeds
+    * `maxOverlap` grams (drop), pass the rest through unchanged — the
+    * filter actually applied before training.
+    */
+  def decontaminate(corpus: DataFrame, idCol: String, textCol: String,
+                    bench: DataFrame, benchTextCol: String,
+                    n: Int = 13, maxOverlap: Int = 0): DataFrame = {
+    val contaminated = contaminationReport(corpus, idCol, textCol, bench, benchTextCol, n,
+      minOverlap = maxOverlap + 1).select(col(idCol))
+    corpus.join(contaminated, Seq(idCol), "left_anti")
+  }
+}

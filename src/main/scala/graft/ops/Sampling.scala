@@ -1,0 +1,137 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling / mixture / packing operators for training-data
+  * pipelines. Everything is reproducible across engines and runs: the
+  * "random" draw is `md5(seed:key)` mapped to a unit double, so the same
+  * (seed, key) always lands on the same side of the threshold — on Spark,
+  * on DuckDB, on any engine with md5. That property is what makes
+  * sampled corpora auditable (and what makes these queries exactly
+  * oracle-checkable).
+  *
+  * Scale notes: sampling/mixture are pure map-side filters after a
+  * vocabulary-sized (per-domain) count aggregate — no data shuffle.
+  * Sequence packing avoids the classic global-window scale-killer with a
+  * two-level cumulative sum (per-partition window + a prefix over the
+  * tiny per-partition totals).
+  */
+object Sampling {
+
+  /** Uniform [0,1) draw from md5(seed:key) — first 8 hex chars as a 32-bit
+    * integer over 2^32. Codegen'd (conv/substring/md5 are all built-ins).
+    */
+  def hashUnit(seed: String, key: Column): Column =
+    conv(substring(md5(concat_ws(":", lit(seed), key.cast("string"))), 1, 8), 16, 10)
+      .cast("double") / lit(4294967296.0)
+
+  /** Deterministic Bernoulli sample: keep rows with hashUnit < fraction.
+    * Same (seed, key) ⇒ same decision on every engine and every run.
+    */
+  def deterministicSample(df: DataFrame, key: Column, fraction: Double,
+                          seed: String = "graft"): DataFrame =
+    df.filter(hashUnit(seed, key) < lit(fraction))
+
+  /** Stratified deterministic sample: per-stratum fractions, with a default
+    * for strata not in the map. One map-side filter — no shuffle.
+    */
+  def stratifiedSample(df: DataFrame, key: Column, strata: Column,
+                       fractions: Map[String, Double], default: Double = 0.0,
+                       seed: String = "graft"): DataFrame = {
+    val frac = fractions.foldLeft(lit(default)) { case (acc, (value, f)) =>
+      when(strata === lit(value), lit(f)).otherwise(acc)
+    }
+    df.filter(hashUnit(seed, key) < frac)
+  }
+
+  /** Domain-mixture resampling: downsample each domain so the kept corpus
+    * follows `weights` (e.g. uniform across languages), keeping the corpus
+    * as large as the scarcest domain allows. N = min_g floor(count_g /
+    * w_g); domain g keeps N*w_g rows in expectation via the deterministic
+    * draw. Domains absent from `weights` are dropped.
+    *
+    * Scale shape: the count aggregate produces #domains rows (tiny); it is
+    * broadcast back — the corpus itself is never shuffled, only filtered.
+    */
+  def mixtureResample(df: DataFrame, key: Column, domain: Column,
+                      weights: Map[String, Double],
+                      seed: String = "graft"): DataFrame = {
+    val w = weights.foldLeft(lit(null).cast("double")) { case (acc, (value, f)) =>
+      when(col("__domain") === lit(value), lit(f)).otherwise(acc)
+    }
+    val counts = df.select(domain.as("__domain"))
+      .groupBy("__domain").agg(count(lit(1)).as("__cnt"))
+      .withColumn("__w", w)
+      .filter(col("__w").isNotNull)
+    // N = min_g floor(cnt_g / w_g): the largest total respecting every weight
+    val n = counts.agg(min(floor(col("__cnt") / col("__w"))).as("__n"))
+    val fracs = counts.crossJoin(broadcast(n))
+      .select(col("__domain"),
+        least(lit(1.0), col("__n") * col("__w") / col("__cnt")).as("__frac"))
+    df.withColumn("__domain", domain)
+      .join(broadcast(fracs), "__domain")
+      .filter(hashUnit(seed, key) < col("__frac"))
+      .drop("__domain", "__frac")
+  }
+
+  /** Sequence packing by deterministic chunking: order documents by
+    * `orderCol`, accumulate `tokenCol`, and cut a new pack every `budget`
+    * tokens — each document lands in the pack where its first token falls.
+    * This is the SQL-expressible contract (equal to
+    * `floor((cumsum - tokens) / budget)` over a global ORDER BY).
+    *
+    * Implemented scalably: a naive global window would funnel the corpus
+    * through ONE task. Instead: range-partition by `orderCol`, local
+    * cumulative sums per partition (parallel window), then offset each
+    * partition by the prefix sum of the per-partition totals — a window
+    * over #partitions rows, not #rows.
+    */
+  def packChunks(df: DataFrame, orderCol: String, tokenCol: String,
+                 budget: Long, numPartitions: Int = 0): DataFrame = {
+    val parts = if (numPartitions > 0) numPartitions
+                else df.sparkSession.sessionState.conf.numShufflePartitions
+    val ranged = df.repartitionByRange(parts, col(orderCol))
+      .withColumn("__pid", spark_partition_id())
+    val localW = Window.partitionBy("__pid").orderBy(orderCol)
+    val local = ranged.withColumn("__run", sum(col(tokenCol)).over(localW))
+    // per-partition totals: #partitions rows — the ONLY single-task window
+    val offsetW = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = local.groupBy("__pid").agg(sum(col(tokenCol)).as("__psum"))
+      .withColumn("__offset", coalesce(sum("__psum").over(offsetW), lit(0L)))
+      .select("__pid", "__offset")
+    local.join(broadcast(offsets), "__pid")
+      .withColumn("pack_id",
+        floor((col("__offset") + col("__run") - col(tokenCol)) / lit(budget)))
+      .drop("__pid", "__run", "__offset")
+  }
+
+  /** Greedy first-fit-decreasing packing WITHIN each partition: documents
+    * sorted by descending token count are placed into the first open bin
+    * with room; oversized documents get a singleton bin. Bin ids are
+    * `partitionId * 2^40 + localBin` so they are globally unique without
+    * coordination. This is the non-SQL, higher-utilization variant of
+    * [[packChunks]]; bins never cross partition boundaries, so it scales
+    * embarrassingly.
+    */
+  def packGreedy(df: DataFrame, idCol: String, tokenCol: String,
+                 budget: Long): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val pairs = df.select(col(idCol).cast("long"), col(tokenCol).cast("long"))
+      .as[(Long, Long)]
+    val packed = pairs.mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId().toLong
+      val docs = it.toArray.sortBy { case (id, tok) => (-tok, id) }
+      val binLoad = scala.collection.mutable.ArrayBuffer.empty[Long]
+      docs.iterator.map { case (id, tok) =>
+        var b = binLoad.indexWhere(_ + tok <= budget)
+        if (b < 0) { b = binLoad.length; binLoad += tok } // new bin (oversized ⇒ singleton)
+        else binLoad(b) += tok
+        (id, tok, pid * (1L << 40) + b)
+      }
+    }
+    packed.toDF(idCol, tokenCol, "pack_id")
+  }
+}

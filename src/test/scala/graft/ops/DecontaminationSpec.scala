@@ -1,0 +1,47 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DecontaminationSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("wordNgrams: exact windows, normalized, deduped, short docs empty") {
+    val df = Seq(
+      (1L, "The quick  brown fox jumps"), // double space + case → normalized
+      (2L, "a b"),                        // shorter than n → no grams
+      (3L, "x y z x y z x y z")           // repeated windows dedup
+    ).toDF("id", "text")
+    val got = df.select(col("id"), Decontamination.wordNgrams(col("text"), 3).as("g"))
+      .as[(Long, Seq[String])].collect().toMap
+    got(1L).toSet shouldBe Set("the quick brown", "quick brown fox", "brown fox jumps")
+    got(2L) shouldBe Seq.empty
+    got(3L).toSet shouldBe Set("x y z", "y z x", "z x y")
+  }
+
+  test("contaminationReport counts distinct shared grams per doc") {
+    val bench = Seq((100L, "alpha beta gamma delta epsilon")).toDF("bid", "btext")
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"), // shares 3 distinct 4-grams... plus own
+      (2L, "alpha beta gamma nothing else here"),  // shares 1 (alpha beta gamma ... no, n=4)
+      (3L, "totally clean document with no overlap at all")
+    ).toDF("doc_id", "text")
+    val got = Decontamination.contaminationReport(corpus, "doc_id", "text",
+      bench, "btext", n = 4, minOverlap = 1)
+      .as[(Long, Long)].collect().toMap
+    // bench 4-grams: {a b g d, b g d e}; doc1 contains both, doc2 neither
+    got shouldBe Map(1L -> 2L)
+  }
+
+  test("decontaminate drops flagged docs, keeps the rest intact") {
+    val bench = Seq((100L, "one two three four five six")).toDF("bid", "btext")
+    val corpus = Seq(
+      (1L, "prefix one two three four five six suffix"),
+      (2L, "independent text that shares nothing with the benchmark set")
+    ).toDF("doc_id", "text")
+    val kept = Decontamination.decontaminate(corpus, "doc_id", "text",
+      bench, "btext", n = 5, maxOverlap = 0)
+    kept.select("doc_id").as[Long].collect().toSeq shouldBe Seq(2L)
+    kept.columns.toSeq shouldBe corpus.columns.toSeq
+  }
+}

@@ -1,0 +1,82 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ids = spark.range(0, 2000).toDF("id")
+
+  test("deterministicSample is repeatable and near the target fraction") {
+    val a = Sampling.deterministicSample(ids, col("id"), 0.3, "t1")
+      .select("id").as[Long].collect().sorted.toSeq
+    val b = Sampling.deterministicSample(ids, col("id"), 0.3, "t1")
+      .select("id").as[Long].collect().sorted.toSeq
+    a shouldBe b
+    a.size.toDouble should be(600.0 +- 80.0) // binomial(2000, 0.3)
+  }
+
+  test("different seeds draw different samples; nested fractions nest") {
+    val s1 = Sampling.deterministicSample(ids, col("id"), 0.3, "t1")
+      .select("id").as[Long].collect().toSet
+    val s2 = Sampling.deterministicSample(ids, col("id"), 0.3, "t2")
+      .select("id").as[Long].collect().toSet
+    s1 should not be s2
+    // threshold monotonicity: a 10% sample is a subset of the 30% sample
+    val s1small = Sampling.deterministicSample(ids, col("id"), 0.1, "t1")
+      .select("id").as[Long].collect().toSet
+    s1small.subsetOf(s1) shouldBe true
+  }
+
+  test("stratifiedSample applies per-stratum fractions, default drops") {
+    val df = ids.withColumn("g", when(col("id") % 2 === 0, "even").otherwise("odd"))
+    val out = Sampling.stratifiedSample(df, col("id"), col("g"),
+      Map("even" -> 1.0), default = 0.0, seed = "t1")
+    val got = out.select("id").as[Long].collect()
+    got.forall(_ % 2 == 0) shouldBe true
+    got.length shouldBe 1000 // fraction 1.0 keeps every even row
+  }
+
+  test("mixtureResample hits the target mixture, drops unweighted domains") {
+    val df = ids.withColumn("dom",
+      when(col("id") < 1200, "big").when(col("id") < 1800, "mid").otherwise("tiny"))
+    // uniform target: N = min(floor(1200/.5)=2400, floor(600/.5)=1200) = 1200
+    val out = Sampling.mixtureResample(df, col("id"), col("dom"),
+      Map("big" -> 0.5, "mid" -> 0.5), seed = "t1").cache()
+    val counts = out.groupBy("dom").count().as[(String, Long)].collect().toMap
+    counts.keySet shouldBe Set("big", "mid") // "tiny" dropped
+    counts("mid") shouldBe 600L // frac 1.0: all of the scarcest domain
+    counts("big").toDouble should be(600.0 +- 80.0) // frac 0.5 of 1200
+  }
+
+  test("packChunks equals the naive global cumulative-sum contract") {
+    val df = Seq((1L, 100L), (2L, 300L), (3L, 250L), (4L, 50L), (5L, 400L), (6L, 10L))
+      .toDF("id", "tok")
+    val got = Sampling.packChunks(df, "id", "tok", budget = 500, numPartitions = 3)
+      .select("id", "pack_id").as[(Long, Long)].collect().toMap
+    // cumsum-exclusive: 0,100,400,650,700,1100 → /500 → 0,0,0,1,1,2
+    got shouldBe Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 1L, 5L -> 1L, 6L -> 2L)
+  }
+
+  test("packChunks is partition-count independent") {
+    val df = ids.withColumn("tok", col("id") % 97 + 1)
+    val p1 = Sampling.packChunks(df, "id", "tok", 1000, numPartitions = 1)
+      .select("id", "pack_id").as[(Long, Long)].collect().toMap
+    val p8 = Sampling.packChunks(df, "id", "tok", 1000, numPartitions = 8)
+      .select("id", "pack_id").as[(Long, Long)].collect().toMap
+    p8 shouldBe p1
+  }
+
+  test("packGreedy: bins respect the budget, every doc lands exactly once") {
+    val df = ids.limit(500).withColumn("tok", col("id") % 400 + 50)
+    val out = Sampling.packGreedy(df.repartition(4), "id", "tok", budget = 512)
+      .as[(Long, Long, Long)].collect()
+    out.length shouldBe 500
+    out.map(_._1).distinct.length shouldBe 500
+    val loads = out.groupBy(_._3).map { case (_, rows) => rows.map(_._2).sum }
+    // every multi-doc bin is within budget (oversized singletons impossible
+    // here: max tok 449 < 512)
+    loads.foreach(_ should be <= 512L)
+  }
+}
