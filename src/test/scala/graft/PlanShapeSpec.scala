@@ -97,6 +97,44 @@ class PlanShapeSpec extends SparkSpec {
     plan should include regex "(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)"
   }
 
+  test("decontamination broadcasts the benchmark grams; corpus side never sort-merges") {
+    import graft.ops.Decontamination
+    val corpus = (0 until 200).map(i => (i.toLong, s"word$i alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val bench = Seq((0L, "alpha beta gamma delta epsilon")).toDF("bid", "btext")
+    val plan = Decontamination.contaminationReport(corpus, "doc_id", "text", bench, "btext", n = 4)
+      .queryExecution.executedPlan.toString
+    plan should include("BroadcastHashJoin")
+    plan should not include "SortMergeJoin"
+  }
+
+  test("mixture resampling joins per-domain fractions by broadcast only") {
+    import graft.ops.Sampling
+    val df = (0 until 1000).map(i => (i.toLong, if (i % 3 == 0) "a" else "b")).toDF("id", "dom")
+    val plan = Sampling.mixtureResample(df, col("id"), col("dom"), Map("a" -> 0.5, "b" -> 0.5))
+      .queryExecution.executedPlan.toString
+    plan should include("BroadcastHashJoin")
+    plan should not include "SortMergeJoin"
+  }
+
+  test("packChunks: the only single-partition stage is the #partitions-row offset frame") {
+    import graft.ops.Sampling
+    val df = (0 until 1000).map(i => (i.toLong, (i % 50).toLong)).toDF("id", "tok")
+    val out = Sampling.packChunks(df, "id", "tok", budget = 100, numPartitions = 8)
+    val singles = out.queryExecution.sparkPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+        if e.outputPartitioning.numPartitions == 1 => e
+    }
+    singles.size should be <= 1
+    singles.foreach { e =>
+      // the single-partition exchange feeds the per-partition TOTALS (an
+      // aggregate), never the row-level data path
+      e.collect {
+        case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec => a
+      } should not be empty
+    }
+  }
+
   test("bucketed-write shuffle parallelism is decoupled from bucket count") {
     val df = (0 until 1000).map(i => (i % 2, i.toLong, s"v$i")).toDF("p", "k", "v")
     // numBuckets=2 but the DECLARED shuffle must still use
