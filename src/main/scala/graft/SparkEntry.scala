@@ -759,6 +759,13 @@ object SparkEntry {
         .orderBy("l_orderkey", "l_linenumber")
     }),
 
+    "q_sample_exact" -> ((s, dir) => {
+      // exactly 10 documents per language, engine-reproducibly
+      Sampling.deterministicSampleN(t(s, dir, "documents"), col("doc_id"), 10,
+        groups = Seq("lang"), seed = "s4")
+        .select("doc_id", "lang").orderBy("doc_id")
+    }),
+
     "q_mixture" -> ((s, dir) => {
       // resample the corpus to a uniform language mixture, as large as the
       // scarcest language allows
@@ -1412,6 +1419,13 @@ object SparkEntry {
          |  CASE l_returnflag WHEN 'A' THEN 0.1::DOUBLE WHEN 'N' THEN 0.05::DOUBLE
          |                    WHEN 'R' THEN 0.2::DOUBLE ELSE 0.0::DOUBLE END
          |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_sample_exact" ->
+      s"""WITH r AS (SELECT doc_id, lang,
+         |  row_number() OVER (PARTITION BY lang
+         |    ORDER BY ${duckU("CAST(doc_id AS VARCHAR)", "s4")}, doc_id) AS rn
+         |  FROM documents)
+         |SELECT doc_id, lang FROM r WHERE rn <= 10 ORDER BY doc_id""".stripMargin,
 
     "q_mixture" ->
       s"""WITH c AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY lang),

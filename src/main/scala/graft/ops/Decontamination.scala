@@ -30,18 +30,30 @@ object Decontamination {
           i => concat_ws(" ", slice(toks, i, lit(n))))))
   }
 
+  /** Distinct 64-bit hashes of a document's word n-grams, via the native
+    * codegen'd kernel [[graft.functions.WordNgramHashes]] — one tight-loop
+    * call per document. What flows through the plan (explode, broadcast,
+    * join) is 8-byte longs, a ~5× reduction over gram text; at corpus scale
+    * that is the difference between broadcasting a benchmark gram set and
+    * not.
+    */
+  def wordNgramHashes(text: Column, n: Int): Column =
+    graft.functions.WordNgramHashes(text, n)
+
   /** Per-document contamination report: documents of `corpus` sharing at
     * least `minOverlap` distinct `n`-grams with any benchmark document.
     * Returns (idCol, n_contaminated) — the count of distinct shared grams.
+    * Matching is on 64-bit gram hashes (collision odds ~m²/2⁶⁵ — vanishing
+    * for any real benchmark suite).
     */
   def contaminationReport(corpus: DataFrame, idCol: String, textCol: String,
                           bench: DataFrame, benchTextCol: String,
                           n: Int = 13, minOverlap: Int = 1): DataFrame = {
     val benchGrams = bench
-      .select(explode(wordNgrams(col(benchTextCol), n)).as("gram")).distinct()
+      .select(explode(wordNgramHashes(col(benchTextCol), n)).as("gram")).distinct()
     val docGrams = corpus
-      .select(col(idCol), explode(wordNgrams(col(textCol), n)).as("gram"))
-    // grams are distinct per doc already (wordNgrams dedups) ⇒ plain count
+      .select(col(idCol), explode(wordNgramHashes(col(textCol), n)).as("gram"))
+    // grams are distinct per doc already (wordNgramHashes dedups) ⇒ plain count
     docGrams.join(broadcast(benchGrams), "gram")
       .groupBy(idCol).agg(count(lit(1)).as("n_contaminated"))
       .filter(col("n_contaminated") >= minOverlap)

@@ -46,6 +46,29 @@ object Sampling {
     df.filter(hashUnit(seed, key) < frac)
   }
 
+  /** Exact-size deterministic sample: the `n` rows with the smallest hash
+    * draw, per group when `groups` is non-empty. The "take exactly n"
+    * primitive (Bernoulli gives binomial sizes). Global case plans as a
+    * distributed top-n (TakeOrderedAndProject — per-partition heads merged
+    * on the driver, no single-partition shuffle); grouped case is one
+    * shuffle on the group keys. The (draw, key) sort is a total order, so
+    * results are engine-reproducible.
+    */
+  def deterministicSampleN(df: DataFrame, key: Column, n: Int,
+                           groups: Seq[String] = Nil,
+                           seed: String = "graft"): DataFrame = {
+    val withU = df.withColumn("__u", hashUnit(seed, key)).withColumn("__k", key)
+    val out =
+      if (groups.isEmpty) withU.orderBy(col("__u"), col("__k")).limit(n)
+      else {
+        val w = Window.partitionBy(groups.map(c => col(s"`$c`")): _*)
+          .orderBy(col("__u"), col("__k"))
+        withU.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") <= n).drop("__rn")
+      }
+    out.drop("__u", "__k")
+  }
+
   /** Domain-mixture resampling: downsample each domain so the kept corpus
     * follows `weights` (e.g. uniform across languages), keeping the corpus
     * as large as the scarcest domain allows. N = min_g floor(count_g /

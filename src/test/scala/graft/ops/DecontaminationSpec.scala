@@ -19,6 +19,28 @@ class DecontaminationSpec extends SparkSpec {
     got(3L).toSet shouldBe Set("x y z", "y z x", "z x y")
   }
 
+  test("native kernel agrees with the composable string version") {
+    val df = Seq(
+      (1L, "The quick  brown fox jumps over the lazy dog"),
+      (2L, "a b"),
+      (3L, "x y z x y z x y z"),
+      (4L, "Tabs\tand\nnewlines   mixed  whitespace everywhere okay")
+    ).toDF("id", "text")
+    val both = df.select(
+      col("id"),
+      org.apache.spark.sql.functions.size(
+        Decontamination.wordNgrams(col("text"), 3)).as("n_str"),
+      org.apache.spark.sql.functions.size(
+        Decontamination.wordNgramHashes(col("text"), 3)).as("n_hash"))
+      .as[(Long, Int, Int)].collect()
+    both.foreach { case (_, nStr, nHash) => nHash shouldBe nStr }
+    // shared-gram structure too: two docs sharing a window share a hash
+    val h = df.select(col("id"), explode(Decontamination.wordNgramHashes(col("text"), 3)).as("g"))
+      .as[(Long, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    h(3L).size shouldBe 3
+    (h(1L) intersect h(3L)) shouldBe empty
+  }
+
   test("contaminationReport counts distinct shared grams per doc") {
     val bench = Seq((100L, "alpha beta gamma delta epsilon")).toDF("bid", "btext")
     val corpus = Seq(

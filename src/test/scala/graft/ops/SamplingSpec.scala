@@ -29,6 +29,19 @@ class SamplingSpec extends SparkSpec {
     s1small.subsetOf(s1) shouldBe true
   }
 
+  test("deterministicSampleN takes exactly n per group, repeatably; global plans as top-n") {
+    val df = ids.withColumn("g", (col("id") % 3).cast("string"))
+    val a = Sampling.deterministicSampleN(df, col("id"), 7, groups = Seq("g"), seed = "t1")
+    a.groupBy("g").count().as[(String, Long)].collect().toMap.values.toSet shouldBe Set(7L)
+    val b = Sampling.deterministicSampleN(df, col("id"), 7, groups = Seq("g"), seed = "t1")
+    a.select("id").as[Long].collect().sorted.toSeq shouldBe
+      b.select("id").as[Long].collect().sorted.toSeq
+    // global variant: distributed top-n, never a single-partition sort
+    val g = Sampling.deterministicSampleN(df, col("id"), 25, seed = "t1")
+    g.count() shouldBe 25
+    g.queryExecution.executedPlan.toString should include("TakeOrderedAndProject")
+  }
+
   test("stratifiedSample applies per-stratum fractions, default drops") {
     val df = ids.withColumn("g", when(col("id") % 2 === 0, "even").otherwise("odd"))
     val out = Sampling.stratifiedSample(df, col("id"), col("g"),
