@@ -807,6 +807,18 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    "q_multimodal_decode" -> ((s, dir) => {
+      // REAL codec round-trip: text bytes → grayscale PNG → ImageIO decode;
+      // lossless, so decoded mean luma == byte mean (exact oracle)
+      val enc = udf((text: String) => Multimodal.textToGrayPng(text, 16, 16))
+      val d = t(s, dir, "documents").filter(col("doc_id") < 100)
+        .select(col("doc_id").as("id"), enc(col("text")).as("blob"))
+      Multimodal.extractImageInfo(d, "id", "blob")
+        .select(col("id").as("doc_id"), col("width"), col("height"),
+          round(col("mean_luma"), 6).as("mean_luma"))
+        .orderBy("doc_id")
+    }),
+
     "q_multimodal_frames" -> ((s, dir) => {
       // the frame-sampling PLAN layer is pure column math over the typed
       // metadata (duration derived deterministically from the blob), so it
@@ -1374,6 +1386,19 @@ object SparkEntry {
 
     "q_text_boilerplate" ->
       "SELECT doc_id, text FROM documents ORDER BY 1",
+
+    // lossless PNG round-trip: decoded mean luma == mean of the first 256
+    // UTF-8 bytes (zero-padded) — the byte values come back out of hex()
+    "q_multimodal_decode" ->
+      """WITH b AS (
+        |  SELECT doc_id, substr(hex(encode(text)) || repeat('00', 256), 1, 512) AS hx
+        |  FROM documents WHERE doc_id < 100),
+        |v AS (SELECT doc_id, list_transform(range(1, 257), i ->
+        |    (strpos('0123456789ABCDEF', substr(hx, 2*i - 1, 1)) - 1) * 16 +
+        |    (strpos('0123456789ABCDEF', substr(hx, 2*i, 1)) - 1)) AS bytes FROM b)
+        |SELECT doc_id, CAST(16 AS INT) AS width, CAST(16 AS INT) AS height,
+        |  round(list_sum(bytes) / 256.0 / 255.0, 6) AS mean_luma
+        |FROM v ORDER BY doc_id""".stripMargin,
 
     "q_multimodal_frames" ->
       """WITH m AS (

@@ -313,4 +313,63 @@ class MultimodalSpec extends SparkSpec {
     val resized = Multimodal.resizePlan(withMeta, 224, 224)
     resized.select($"media_meta.width").as[Int].head() shouldBe 224
   }
+
+  test("real PNG codec: lossless gray round-trip, byte-exact mean luma") {
+    val pixels = Array.tabulate(256)(i => (i % 251).toByte)
+    val png = Multimodal.encodeGrayPng(pixels, 16, 16)
+    Multimodal.sniffFormat(png) shouldBe Some("png")
+    val Some((fmt, w, h, luma)) = Multimodal.decodeImageInfo(png)
+    (fmt, w, h) shouldBe ("png", 16, 16)
+    val expected = pixels.map(_ & 0xff).sum / 256.0 / 255.0
+    luma shouldBe expected +- 1e-12
+  }
+
+  test("real resize re-encodes an actual payload with the target dims") {
+    val png = Multimodal.encodeGrayPng(Array.fill(256)(100.toByte), 16, 16)
+    val Some(small) = Multimodal.resizeImage(png, 8, 4, "png")
+    val Some((_, w, h, luma)) = Multimodal.decodeImageInfo(small)
+    (w, h) shouldBe ((8, 4))
+    luma shouldBe 100.0 / 255.0 +- 0.02 // bilinear of a constant image
+  }
+
+  test("real JPEG decode: dims recovered from a JDK-encoded jpeg") {
+    val img = new java.awt.image.BufferedImage(20, 10,
+      java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpeg", out)
+    val Some((fmt, w, h, _)) = Multimodal.decodeImageInfo(out.toByteArray)
+    (fmt, w, h) shouldBe ("jpeg", 20, 10)
+  }
+
+  test("real WAV decode: rate/channels/duration/rms of a generated sine") {
+    val rate = 8000
+    val n = 8000 // 1 second
+    val data = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val s = (math.sin(2 * math.Pi * 440 * i / rate) * 16384).toShort
+      data(2 * i) = (s & 0xff).toByte
+      data(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(rate.toFloat, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, n.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    val Some((gotRate, ch, durMs, rms)) = Multimodal.decodeWavInfo(out.toByteArray)
+    (gotRate, ch, durMs) shouldBe ((8000, 1, 1000L))
+    rms shouldBe (16384.0 / 32768.0 / math.sqrt(2)) +- 0.01
+  }
+
+  test("extractImageInfo: real decode for media, stub fallback for junk") {
+    val png = Multimodal.textToGrayPng("hello world", 16, 16)
+    val df = Seq((1L, png), (2L, Array[Byte](9, 9, 9, 9))).toDF("id", "blob")
+    val rows = Multimodal.extractImageInfo(df, "id", "blob")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    rows(1L).getString(1) shouldBe "png"
+    rows(1L).getInt(2) shouldBe 16
+    rows(2L).isNullAt(1) shouldBe true // junk → stub path
+  }
 }
