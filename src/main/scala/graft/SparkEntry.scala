@@ -97,6 +97,7 @@ object SparkEntry {
     queries("q_ktk_zonemap")(s, dir).limit(1).count()
     queries("q_ktk_twophase")(s, dir).limit(1).count()
     queries("q_ktk_adopt")(s, dir).limit(1).count()
+    queries("q_ktk_compact")(s, dir).limit(1).count()
   }
 
   // ------------------------------------------------------------------------
@@ -281,6 +282,28 @@ object SparkEntry {
         predicates = Predicates.of(Seq(("c_mktsegment", "==", "BUILDING"))))
         .withColumn("c_acctbal", round(col("c_acctbal"), 2))
         .orderBy("c_custkey")
+    }),
+
+    "q_ktk_compact" -> ((s, dir) => {
+      // maintenance: fragmented incremental commits → compact (one atomic
+      // commit, per-seq merge) → GC; reads stay identical throughout
+      val base = scratch(dir)
+      built.getOrElseUpdate(s"$base/compact", {
+        val sup = t(s, dir, "supplier")
+        Ktk.store(s, base, "sup_frag", sup.filter(col("s_suppkey") % 2 === 0).repartition(8),
+          partitionOn = Seq("s_nationkey"), secondaryIndices = Seq("s_name"),
+          overwrite = true)
+        Ktk.update(s, base, "sup_frag",
+          Some(sup.filter(col("s_suppkey") % 2 =!= 0).repartition(8)))
+        Ktk.compact(s, base, "sup_frag", smallFileBytes = 32L << 20)
+        Ktk.garbageCollect(s, base, "sup_frag")
+        ()
+      })
+      Ktk.readTable(s, base, "sup_frag",
+        columns = Seq("s_suppkey", "s_nationkey", "s_acctbal"),
+        predicates = Predicates.of(Seq(("s_nationkey", "in", Seq(0, 1, 2)))))
+        .withColumn("s_acctbal", round(col("s_acctbal"), 2))
+        .orderBy("s_suppkey")
     }),
 
     "q_ktk_adopt" -> ((s, dir) => {
@@ -1141,6 +1164,11 @@ object SparkEntry {
     "q_ktk_twophase" ->
       """SELECT c_custkey, c_mktsegment, round(c_acctbal, 2) AS c_acctbal
         |FROM customer WHERE c_mktsegment = 'BUILDING' ORDER BY 1""".stripMargin,
+
+    "q_ktk_compact" ->
+      """SELECT s_suppkey, CAST(s_nationkey AS BIGINT) AS s_nationkey,
+        |  round(s_acctbal, 2) AS s_acctbal
+        |FROM supplier WHERE s_nationkey IN (0, 1, 2) ORDER BY 1""".stripMargin,
 
     "q_ktk_adopt" ->
       """SELECT s_suppkey, CAST(s_nationkey AS BIGINT) AS s_nationkey,

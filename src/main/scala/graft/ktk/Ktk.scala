@@ -443,7 +443,8 @@ object Ktk {
       uuid: String,
       newData: Option[DataFrame],
       deleteScope: Predicates = Predicates.empty,
-      sortBy: Seq[String] = Nil): DatasetMetadata = {
+      sortBy: Seq[String] = Nil,
+      extraMetadata: Map[String, String] = Map.empty): DatasetMetadata = {
 
     val md = DatasetMetadata.load(spark, base, uuid)
     val tableDir = md.tableDir(base)
@@ -490,28 +491,134 @@ object Ktk {
         freshZones.getOrElse(c, Map.empty))
     }
     val md1 = md.copy(partitions = finalPartitions, partitionSeq = finalSeq,
-      zoneMaps = mergedZones)
+      zoneMaps = mergedZones, metadata = md.metadata ++ extraMetadata)
+    mergeIndicesIncremental(spark, base, md, tableDir,
+      survivingOld = finalPartitions.keys.toSeq.filter(before.contains),
+      newLabels = newLabels.toSeq)
+
+    DatasetMetadata.store(spark, base, md1)
+    md1
+  }
+
+  /** Incremental index merge (≙ update_indices, io_components/write.py:
+    * 283-309): each registered index keeps its surviving labels' pairs and
+    * unions freshly scanned pairs for the new labels. Shared by [[update]]
+    * and [[compact]].
+    */
+  private def mergeIndicesIncremental(
+      spark: SparkSession, base: String, md: DatasetMetadata, tableDir: String,
+      survivingOld: Seq[String], newLabels: Seq[String]): Unit = {
+    import spark.implicits._
+    val fsys = DatasetMetadata.fs(spark, base)
     md.indices.keys.foreach { c =>
       val fsPath = md.indexPath(base, c)
-      // surviving-old-labels as a semi-join, not a giant In-list — the label
-      // set is O(partitions) and must never inline into the plan
-      import spark.implicits._
-      val survivingOld = finalPartitions.keys.toSeq.filter(before.contains).toDF("label")
-      val old = spark.read.parquet(fsPath)
-        .select(col("value"), explode(col("partitions")).as("label"))
-        .join(broadcast(survivingOld), Seq("label"), "left_semi")
-      val fresh =
-        if (newLabels.isEmpty) old.limit(0)
-        else
-          spark.read.option("basePath", tableDir).parquet(newLabels.toSeq.map(l => s"$tableDir/$l"): _*)
-            .select(col(s"`$c`").as("value"), fileLabel.as("label"))
-      val tmpOut = s"$base/${md.uuid}/$IndexDirName/.$c.parquet.new"
-      indexFromPairs(old.unionByName(fresh)).write.mode(SaveMode.Overwrite).parquet(tmpOut)
-      val fsys = DatasetMetadata.fs(spark, base)
-      fsys.delete(new Path(fsPath), true)
-      fsys.rename(new Path(tmpOut), new Path(fsPath))
+      // an index registered at createEmpty has no file until data first lands
+      val oldExists = fsys.exists(new Path(fsPath))
+      if (oldExists || newLabels.nonEmpty) {
+        // surviving-old-labels as a semi-join, not a giant In-list — the label
+        // set is O(partitions) and must never inline into the plan
+        val survivors = survivingOld.toDF("label")
+        def freshPairs = spark.read.option("basePath", tableDir)
+          .parquet(newLabels.map(l => s"$tableDir/$l"): _*)
+          .select(col(s"`$c`").as("value"), fileLabel.as("label"))
+        val pairs = (oldExists, newLabels.nonEmpty) match {
+          case (true, true) =>
+            spark.read.parquet(fsPath)
+              .select(col("value"), explode(col("partitions")).as("label"))
+              .join(broadcast(survivors), Seq("label"), "left_semi")
+              .unionByName(freshPairs)
+          case (true, false) =>
+            spark.read.parquet(fsPath)
+              .select(col("value"), explode(col("partitions")).as("label"))
+              .join(broadcast(survivors), Seq("label"), "left_semi")
+          case (false, _) => freshPairs
+        }
+        val tmpOut = s"$base/${md.uuid}/$IndexDirName/.$c.parquet.new"
+        indexFromPairs(pairs).write.mode(SaveMode.Overwrite).parquet(tmpOut)
+        fsys.delete(new Path(fsPath), true)
+        fsys.rename(new Path(tmpOut), new Path(fsPath))
+      }
+    }
+  }
+
+  /** Small-file compaction: rewrite undersized data files into
+    * ~`targetFileBytes` files and publish ONE atomic metadata commit; the
+    * replaced files become unreferenced (a later [[garbageCollect]] removes
+    * them), so concurrent readers keep a consistent view throughout.
+    *
+    * Victims are grouped by commit sequence and rewritten one job per seq,
+    * with new labels inheriting that seq — overlay keep-last semantics
+    * (which dedup by `partitionSeq`) are preserved exactly; files from
+    * different commits are never merged. At 100 TB this is the routine
+    * maintenance op that keeps scan task counts sane after many
+    * small incremental [[update]]s / streaming batches.
+    */
+  def compact(
+      spark: SparkSession,
+      base: String,
+      uuid: String,
+      smallFileBytes: Long = 32L * 1024 * 1024,
+      targetFileBytes: Long = 128L * 1024 * 1024): DatasetMetadata = {
+
+    val md = DatasetMetadata.load(spark, base, uuid)
+    val tableDir = md.tableDir(base)
+    def dirOf(label: String): String = {
+      val i = label.lastIndexOf('/')
+      if (i < 0) "" else label.substring(0, i)
+    }
+    // compaction victims: small files sharing (partition dir, commit seq)
+    // with at least one other small file — singletons gain nothing.
+    // Sizes come from the live listing (metadata JSON round-trips numbers
+    // as Integer when they fit).
+    val liveSizes = listDataFiles(spark, tableDir)
+    val victimsBySeq: Map[Long, Seq[String]] = md.partitions.keys.toSeq
+      .flatMap(l => liveSizes.get(l).map(l -> _))
+      .filter(_._2 < smallFileBytes)
+      .groupBy { case (l, _) => (dirOf(l), md.seqOf(l)) }
+      .filter(_._2.size >= 2)
+      .toSeq.flatMap { case ((_, seq), fs) => fs.map { case (l, _) => seq -> l } }
+      .groupBy(_._1).map { case (s, ls) => s -> ls.map(_._2).sorted }
+    val victims = victimsBySeq.values.flatten.toSet
+    if (victims.isEmpty) return md
+
+    var before = listDataFiles(spark, tableDir).keySet
+    val newSeqOf = scala.collection.mutable.Map.empty[String, Long]
+    victimsBySeq.toSeq.sortBy(_._1).foreach { case (seq, labels) =>
+      val data = spark.read.option("basePath", tableDir)
+        .parquet(labels.map(l => s"$tableDir/$l"): _*)
+      val totalBytes = labels.map(liveSizes).sum
+      val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
+      val rewritten =
+        if (md.partitionKeys.nonEmpty)
+          data.repartition(nOut, md.partitionKeys.map(c => col(s"`$c`")): _*)
+        else data.repartition(nOut)
+      val writer = rewritten.write.mode(SaveMode.Append)
+      (if (md.partitionKeys.nonEmpty) writer.partitionBy(md.partitionKeys: _*) else writer)
+        .parquet(tableDir)
+      val now = listDataFiles(spark, tableDir).keySet
+      (now -- before).foreach(l => newSeqOf(l) = seq)
+      before = now
     }
 
+    val allNow = listDataFiles(spark, tableDir)
+    val finalPartitions = allNow.filter { case (l, _) =>
+      newSeqOf.contains(l) || (md.partitions.contains(l) && !victims.contains(l))
+    }
+    val finalSeq = finalPartitions.keys.map { l =>
+      l -> newSeqOf.getOrElse(l, md.seqOf(l))
+    }.toMap
+
+    val newLabels = newSeqOf.keys.toSeq.sorted
+    val freshZones = computeZoneMaps(spark, tableDir, newLabels, md.zoneMaps.keys.toSeq)
+    val mergedZones = md.zoneMaps.map { case (c, perLabel) =>
+      c -> (perLabel.filter { case (l, _) => finalPartitions.contains(l) } ++
+        freshZones.getOrElse(c, Map.empty))
+    }
+    val md1 = md.copy(partitions = finalPartitions, partitionSeq = finalSeq,
+      zoneMaps = mergedZones)
+    mergeIndicesIncremental(spark, base, md, tableDir,
+      survivingOld = finalPartitions.keys.toSeq.filterNot(newSeqOf.contains),
+      newLabels = newLabels)
     DatasetMetadata.store(spark, base, md1)
     md1
   }

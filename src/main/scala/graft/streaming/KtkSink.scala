@@ -1,0 +1,50 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.ktk.{DatasetMetadata, Ktk}
+
+/** Structured Streaming sink into a Ktk-managed dataset: every micro-batch
+  * lands as ONE atomic metadata commit ([[Ktk.update]]), and the committed
+  * batch id rides in the same commit — so a batch replayed after a crash
+  * (checkpoint not yet advanced) is detected and skipped. Together with the
+  * single-blob commit point this gives exactly-once TABLE state on top of
+  * Spark's at-least-once foreachBatch contract.
+  *
+  * The target dataset must exist ([[Ktk.createEmpty]] or a prior
+  * [[Ktk.store]]) — schema and partitioning are dataset properties, not
+  * per-batch choices. Many small streaming commits fragment the layout;
+  * run [[Ktk.compact]] on whatever cadence keeps file counts sane.
+  */
+object KtkSink {
+
+  private val BatchKey = "stream.last_batch_id"
+
+  /** Commit one micro-batch exactly once. Public so tests (and external
+    * committers) can drive it without a streaming query.
+    */
+  def commitBatch(batch: DataFrame, base: String, uuid: String, batchId: Long,
+                  sortBy: Seq[String] = Nil): Unit = {
+    val spark = batch.sparkSession
+    val md = DatasetMetadata.load(spark, base, uuid)
+    val alreadyCommitted = md.metadata.get(BatchKey).exists(_.toLong >= batchId)
+    if (!alreadyCommitted) {
+      Ktk.update(spark, base, uuid, Some(batch), sortBy = sortBy,
+        extraMetadata = Map(BatchKey -> batchId.toString))
+      ()
+    }
+  }
+
+  /** Attach the dataset as the sink of a streaming DataFrame. */
+  def writeStream(df: DataFrame, base: String, uuid: String, checkpoint: String,
+                  trigger: Trigger = Trigger.AvailableNow(),
+                  sortBy: Seq[String] = Nil): StreamingQuery =
+    df.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        commitBatch(batch, base, uuid, batchId, sortBy)
+      }
+      .start()
+}

@@ -1,0 +1,68 @@
+package graft.ktk
+
+import graft.SparkSpec
+import graft.core.Predicates
+import org.apache.spark.sql.functions._
+
+class CompactSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def frag(n: Int) = (0 until n).map(i => (i % 3, i.toLong, s"v$i"))
+    .toDF("p", "k", "v")
+
+  test("compact merges small files per partition, one commit, content identical") {
+    val base = tmpDir("compact")
+    // 6 input partitions × 3 key values → many small files per directory
+    Ktk.store(spark, base, "ds", frag(600).repartition(6),
+      partitionOn = Seq("p"), secondaryIndices = Seq("v"), zoneMapFor = Seq("k"))
+    val md0 = DatasetMetadata.load(spark, base, "ds")
+    val beforeFiles = md0.partitions.size
+    beforeFiles should be >= 18 // 6 files in each of 3 dirs
+
+    val beforeRows = Ktk.readTable(spark, base, "ds")
+      .collect().map(_.toString).sorted
+
+    val md1 = Ktk.compact(spark, base, "ds", smallFileBytes = 32 << 20,
+      targetFileBytes = 128 << 20)
+    md1.partitions.size should be < beforeFiles
+    md1.partitions.size shouldBe 3 // one rewritten file per partition dir
+
+    // content identical through every read path
+    Ktk.readTable(spark, base, "ds").collect().map(_.toString).sorted shouldBe beforeRows
+    // index still prunes correctly after the merge
+    val hit = Ktk.readTable(spark, base, "ds",
+      predicates = Predicates.of(Seq(("v", "==", "v7"))))
+    hit.count() shouldBe 1
+    // zone maps rebuilt for the new labels
+    md1.zoneMaps("k").keySet shouldBe md1.partitions.keySet
+    // old files unreferenced → GC removes them, reads still whole
+    Ktk.garbageCollect(spark, base, "ds").size should be >= beforeFiles - 3
+    Ktk.readTable(spark, base, "ds").count() shouldBe 600
+  }
+
+  test("compact never merges across commits: overlay seq preserved") {
+    val base = tmpDir("compactseq")
+    Ktk.store(spark, base, "ds", frag(90).repartition(3), partitionOn = Seq("p"))
+    Ktk.update(spark, base, "ds",
+      Some((600 until 690).map(i => (i % 3, i.toLong, s"u$i")).toDF("p", "k", "v")
+        .repartition(3)))
+    val md0 = DatasetMetadata.load(spark, base, "ds")
+    val seqs0 = md0.partitions.keySet.groupBy(md0.seqOf).view.mapValues(_.size).toMap
+    seqs0.keySet.size shouldBe 2 // two commits
+
+    val md1 = Ktk.compact(spark, base, "ds")
+    // both seq groups still present, each compacted within itself
+    val seqs1 = md1.partitions.keySet.groupBy(md1.seqOf).view.mapValues(_.size).toMap
+    seqs1.keySet shouldBe seqs0.keySet
+    seqs1.values.foreach(n => n should be <= 3)
+    Ktk.readTable(spark, base, "ds").count() shouldBe 180
+  }
+
+  test("compact with nothing to do is a no-op") {
+    val base = tmpDir("compactnoop")
+    Ktk.store(spark, base, "ds", frag(10).coalesce(1), partitionOn = Seq("p"))
+    val md0 = DatasetMetadata.load(spark, base, "ds")
+    val md1 = Ktk.compact(spark, base, "ds")
+    md1.partitions shouldBe md0.partitions
+  }
+}

@@ -1,0 +1,56 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.ktk.{DatasetMetadata, Ktk}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+class KtkSinkSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val schema = StructType(Seq(
+    StructField("p", IntegerType), StructField("k", LongType),
+    StructField("v", StringType)))
+
+  test("streaming micro-batches land as atomic dataset commits") {
+    val base = tmpDir("ktksink")
+    Ktk.createEmpty(spark, base, "stream_ds", schema, partitionOn = Seq("p"),
+      secondaryIndices = Seq("v"))
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Int, Long, String)]
+    val df = mem.toDF().toDF("p", "k", "v")
+    val ckpt = tmpDir("ktksink-ckpt")
+
+    mem.addData((0, 1L, "a"), (1, 2L, "b"))
+    val q1 = KtkSink.writeStream(df, base, "stream_ds", ckpt)
+    q1.awaitTermination()
+    Ktk.readTable(spark, base, "stream_ds").count() shouldBe 2
+
+    // second run over the same checkpoint: only the NEW batch commits
+    mem.addData((0, 3L, "c"))
+    val q2 = KtkSink.writeStream(df, base, "stream_ds", ckpt)
+    q2.awaitTermination()
+    val rows = Ktk.readTable(spark, base, "stream_ds")
+      .select("k", "v").as[(Long, String)].collect().sortBy(_._1).toSeq
+    rows shouldBe Seq((1L, "a"), (2L, "b"), (3L, "c"))
+    // index kept current across streaming commits
+    import graft.core.Predicates
+    Ktk.readTable(spark, base, "stream_ds",
+      predicates = Predicates.of(Seq(("v", "==", "c")))).count() shouldBe 1
+  }
+
+  test("a replayed batch id is committed exactly once") {
+    val base = tmpDir("ktksink2")
+    Ktk.createEmpty(spark, base, "ds", schema, partitionOn = Seq("p"))
+    val batch = Seq((0, 1L, "x"), (1, 2L, "y")).toDF("p", "k", "v")
+    KtkSink.commitBatch(batch, base, "ds", batchId = 0)
+    // crash-replay: same batch id arrives again (checkpoint not advanced)
+    KtkSink.commitBatch(batch, base, "ds", batchId = 0)
+    Ktk.readTable(spark, base, "ds").count() shouldBe 2
+    // next batch id commits normally
+    KtkSink.commitBatch(Seq((0, 3L, "z")).toDF("p", "k", "v"), base, "ds", batchId = 1)
+    Ktk.readTable(spark, base, "ds").count() shouldBe 3
+    DatasetMetadata.load(spark, base, "ds").metadata("stream.last_batch_id") shouldBe "1"
+  }
+}
