@@ -724,6 +724,13 @@ object SparkEntry {
         .groupBy().agg(count(lit(1)).as("pairs"))
     }),
 
+    "q_emb_dedup_cc" -> ((s, dir) => {
+      // transitive-closure embedding dedup (LSH-seeded → rows-only gate)
+      val e = t(s, dir, "embeddings")
+      Similarity.embeddingDedupCC(e, "vec_id", "embedding", dim = 64, minCosine = 0.98, bits = 6)
+        .groupBy().agg(count(lit(1)).as("survivors"))
+    }),
+
     // -------------------------------------------------- pipeline: text
     "q_text_stats" -> ((s, dir) => {
       val d = t(s, dir, "documents")
@@ -752,6 +759,20 @@ object SparkEntry {
       // corpus-derived unigram LM scoring with an exact DuckDB twin
       TextAnalysis.unigramLogProb(t(s, dir, "documents"), "doc_id", "text")
         .select(col("doc_id"), round(col("unigram_lp"), 6).as("unigram_lp"))
+        .orderBy("doc_id")
+    }),
+
+    "q_text_redact" -> ((s, dir) => {
+      // PII scrub over planted emails/IPs/phones; md5 of the cleaned text
+      // pins the whole transformation byte-for-byte against the oracle
+      val d = t(s, dir, "documents").filter(col("doc_id") < 200)
+      val planted = concat(
+        col("text"),
+        lit(" contact user"), col("doc_id"), lit("@mail.example.com from 192.168.1."),
+        pmod(col("doc_id"), lit(200)),
+        lit(" call 555-123-"), lpad(pmod(col("doc_id") * 7, lit(10000)).cast("string"), 4, "0"))
+      d.select(col("doc_id"),
+        md5(TextAnalysis.cleanText(planted)).as("redacted_sig"))
         .orderBy("doc_id")
     }),
 
@@ -1446,6 +1467,21 @@ object SparkEntry {
         |SELECT doc_id, round(avg(log10((cnt + 1.0) / (n + v))), 6) AS unigram_lp
         |FROM toks JOIN freq USING (tok) CROSS JOIN tot
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_text_redact" ->
+      """WITH planted AS (
+        |  SELECT doc_id,
+        |    text || ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example.com from 192.168.1.'
+        |      || CAST(doc_id % 200 AS VARCHAR)
+        |      || ' call 555-123-' || lpad(CAST((doc_id * 7) % 10000 AS VARCHAR), 4, '0') AS t
+        |  FROM documents WHERE doc_id < 200)
+        |SELECT doc_id, md5(
+        |  regexp_replace(regexp_replace(regexp_replace(
+        |    regexp_replace(nfc_normalize(t), '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |    '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b', '<PHONE>', 'g')) AS redacted_sig
+        |FROM planted ORDER BY doc_id""".stripMargin,
 
     // fingerprint = xxhash64 over the normalized text, so distinct
     // fingerprints == distinct normalized strings (modulo a 2^-64 collision)

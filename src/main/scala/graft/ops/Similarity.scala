@@ -193,6 +193,27 @@ object Similarity {
       .filter(col("cos") >= minCosine)
   }
 
+  /** Embedding near-dup FULL dedup with transitive closure: candidate edges
+    * above `minCosine` feed GraphX connected components, each cluster keeps
+    * its minimum id — the embedding analog of [[Dedup.minhashDedupCC]].
+    * A chain A~B~C collapses to {A} even when A and C share no bucket.
+    */
+  def embeddingDedupCC(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      dim: Int, minCosine: Double, bits: Int = 10, maxBucket: Int = 1000): DataFrame = {
+    import org.apache.spark.graphx.{Edge, Graph}
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val edges = embeddingNearDupCandidates(corpus, idCol, vecCol, dim, minCosine, bits, maxBucket)
+      .select(col("id_a"), col("id_b")).rdd
+      .map(r => Edge(r.getLong(0), r.getLong(1), 1))
+    val components = Graph.fromEdges(edges, defaultValue = 1)
+      .connectedComponents().vertices.toDF("id", "component")
+    val losers = components.filter(col("id") =!= col("component"))
+      .select(col("id").as(idCol))
+    corpus.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** IVF coarse-quantizer index: k-means centroids, built ONCE over a
     * corpus and reused across queries (the production pattern — centroids
     * are tiny and broadcastable; at 100 TB they would be trained on a

@@ -118,6 +118,44 @@ object TextAnalysis {
       .agg(avg(log10((col("cnt") + lit(1.0)) / lit(denom))).as("unigram_lp"))
   }
 
+  // ------------------------------------------------- cleaning / redaction
+
+  /** PII redaction patterns, kept to the RE2-compatible subset of Java
+    * regex so external engines (and the DuckDB oracle) replicate the
+    * transformation byte-for-byte. Order matters: emails first (they
+    * contain dots and digits), then IPs, then phone shapes.
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val PhoneRe = "\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b"
+
+  /** Redact emails / IPv4s / phone numbers with typed placeholders — a
+    * Dolma/CCNet-style pre-training scrub, pure codegen'd regexp chain.
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "<EMAIL>"),
+        Ipv4Re, "<IP>"),
+      PhoneRe, "<PHONE>")
+
+  /** Strip non-whitespace C0/DEL control characters (keeps \t \n \r). */
+  def stripControls(text: Column): Column =
+    regexp_replace(text, "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", "")
+
+  /** Unicode NFC normalization (é as one codepoint, not e+combining accent)
+    * — single-pass UDF; no Spark built-in exists.
+    */
+  val nfcNormalizeUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (s: String) =>
+      if (s == null) null
+      else java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC)
+    }
+
+  /** Full cleaning chain: NFC → control-strip → PII redaction. */
+  def cleanText(text: Column): Column =
+    redactPii(stripControls(nfcNormalizeUdf(text)))
+
   /** Rolling-hash document fingerprint: xxhash64 over the normalized text —
     * stable against whitespace runs and case.
     */

@@ -13,6 +13,7 @@ import graft.ktk.{DatasetMetadata, Ktk}
   *   runMain graft.tools.Cli query   <base> <uuid> "<col op value & ...>" [limit]
   *   runMain graft.tools.Cli index   <base> <uuid> <column>
   *   runMain graft.tools.Cli cleanup <base> <uuid>
+  *   runMain graft.tools.Cli compact <base> <uuid>
   *   runMain graft.tools.Cli delete  <base> <uuid>
   *   runMain graft.tools.Cli list    <base>
   *   runMain graft.tools.Cli copy    <base> <uuid> <toUuid>
@@ -51,6 +52,9 @@ object Cli {
       Ktk.parquetStats(spark, args(1), args(2)).show(100, truncate = false)
     case "cleanup" =>
       Ktk.garbageCollect(spark, args(1), args(2)).foreach(k => println(s"deleted $k"))
+    case "compact" =>
+      val md = Ktk.compact(spark, args(1), args(2))
+      println(s"compacted to ${md.partitions.size} files (run cleanup to drop the old ones)")
     case "delete" =>
       DatasetMetadata.delete(spark, args(1), args(2))
       println(s"deleted dataset ${args(2)}")

@@ -280,6 +280,36 @@ class TextAnalysisSpec extends SparkSpec {
     out(1)._2 should be > out(2)._2
   }
 
+  test("redactPii replaces emails, IPs and phone shapes; cleanText normalizes") {
+    val df = Seq(
+      (1L, "mail me at jo.doe+x@corp.example.org today"),
+      (2L, "server 10.0.255.7 port open"),
+      (3L, "call 555-123-4567 or 555 987 6543"),
+      (4L, "nothing sensitive here"),
+      (5L, "combining: é and a  bell") // NFC + control strip
+    ).toDF("id", "text")
+    val got = df.select($"id", TextAnalysis.cleanText($"text").as("t"))
+      .as[(Long, String)].collect().toMap
+    got(1L) shouldBe "mail me at <EMAIL> today"
+    got(2L) shouldBe "server <IP> port open"
+    got(3L) shouldBe "call <PHONE> or <PHONE>"
+    got(4L) shouldBe "nothing sensitive here"
+    got(5L) shouldBe "combining: é and a  bell"
+  }
+
+  test("embeddingDedupCC collapses transitive chains to the min id") {
+    // A~B and B~C are close; A~C less so — CC still collapses all three
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.00f, 0f, 0f)),
+      (2L, Array(1.0f, 0.05f, 0f, 0f)),
+      (3L, Array(1.0f, 0.10f, 0f, 0f)),
+      (4L, Array(0.0f, 0.0f, 1f, 0f)) // far away, survives
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.embeddingDedupCC(vecs, "vec_id", "embedding",
+      dim = 4, minCosine = 0.995, bits = 2, maxBucket = 100)
+    out.select("vec_id").as[Long].collect().sorted.toSeq shouldBe Seq(1L, 4L)
+  }
+
   test("fingerprint is whitespace/case robust") {
     val df = Seq(Tuple1("a  B\tc"), Tuple1("A B C")).toDF("text")
     val fps = df.select(TextAnalysis.fingerprint($"text")).as[Long].collect()
