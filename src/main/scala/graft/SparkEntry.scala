@@ -888,6 +888,28 @@ object SparkEntry {
         .orderBy("r_regionkey")
     }),
 
+    "q_jsonl_roundtrip" -> ((s, dir) => {
+      // JSON-lines sink + scan — the interchange format every training-data
+      // pipeline ingests; schema-pinned read (never schema inference at scale)
+      val base = scratch(dir)
+      val out = s"$base/documents_jsonl"
+      t(s, dir, "documents").write.mode("overwrite").json(out)
+      s.read.schema("doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT")
+        .json(out)
+        .groupBy("lang").agg(count(lit(1)).as("n"), sum("n_chars").as("chars"))
+        .orderBy("lang")
+    }),
+
+    "q_orc_roundtrip" -> ((s, dir) => {
+      // ORC sink + scan (Spark-bundled columnar alternative), pushdown intact
+      val base = scratch(dir)
+      val out = s"$base/nation_orc"
+      t(s, dir, "nation").write.mode("overwrite").orc(out)
+      s.read.orc(out).filter(col("n_regionkey") <= 2)
+        .select("n_nationkey", "n_name", "n_regionkey")
+        .orderBy("n_nationkey")
+    }),
+
     "q_date_pred" -> ((s, dir) => {
       // string literal against a timestamp column — predicate value
       // normalization (≙ core/index.py normalize_value date parsing)
@@ -1497,6 +1519,14 @@ object SparkEntry {
     // sampling/mixture/packing/decontamination: the md5 draw and all
     // arithmetic are replicated exactly (doubles both sides), so these are
     // membership-exact, not just count-exact
+    "q_jsonl_roundtrip" ->
+      """SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q_orc_roundtrip" ->
+      """SELECT n_nationkey, n_name, n_regionkey
+        |FROM nation WHERE n_regionkey <= 2 ORDER BY n_nationkey""".stripMargin,
+
     "q_sample_det" ->
       s"""SELECT doc_id, lang FROM documents
          |WHERE ${duckU("CAST(doc_id AS VARCHAR)", "s1")} < 0.2::DOUBLE
