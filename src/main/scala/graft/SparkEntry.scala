@@ -803,6 +803,14 @@ object SparkEntry {
         .orderBy("l_orderkey", "l_linenumber")
     }),
 
+    "q_sample_split" -> ((s, dir) => {
+      // reproducible train/val/test assignment; per-(split,lang) counts
+      Sampling.hashSplit(t(s, dir, "documents"), col("doc_id"),
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), seed = "s5")
+        .groupBy("split", "lang").agg(count(lit(1)).as("n"))
+        .orderBy("split", "lang")
+    }),
+
     "q_sample_exact" -> ((s, dir) => {
       // exactly 10 documents per language, engine-reproducibly
       Sampling.deterministicSampleN(t(s, dir, "documents"), col("doc_id"), 10,
@@ -1538,6 +1546,17 @@ object SparkEntry {
          |  CASE l_returnflag WHEN 'A' THEN 0.1::DOUBLE WHEN 'N' THEN 0.05::DOUBLE
          |                    WHEN 'R' THEN 0.2::DOUBLE ELSE 0.0::DOUBLE END
          |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    // the range bounds interpolate the SAME Scala double arithmetic the
+    // Spark side uses (0.8+0.1 ≠ 0.9 in binary), so boundary draws agree
+    "q_sample_split" ->
+      s"""WITH s AS (SELECT lang,
+         |  CASE WHEN ${duckU("CAST(doc_id AS VARCHAR)", "s5")} < ${0.8} THEN 'train'
+         |       WHEN ${duckU("CAST(doc_id AS VARCHAR)", "s5")} < ${0.8 + 0.1} THEN 'val'
+         |       WHEN ${duckU("CAST(doc_id AS VARCHAR)", "s5")} < ${0.8 + 0.1 + 0.1} THEN 'test'
+         |  END AS split FROM documents)
+         |SELECT split, lang, count(*) AS n FROM s WHERE split IS NOT NULL
+         |GROUP BY split, lang ORDER BY split, lang""".stripMargin,
 
     "q_sample_exact" ->
       s"""WITH r AS (SELECT doc_id, lang,

@@ -46,6 +46,26 @@ object Sampling {
     df.filter(hashUnit(seed, key) < frac)
   }
 
+  /** Deterministic train/val/test (or any-way) split: the unit draw is cut
+    * into consecutive ranges sized by `splits` fractions (must sum to ≤ 1;
+    * any remainder is dropped). Adds a `split` column — one map-side
+    * projection, no shuffle, engine-reproducible, and stable under corpus
+    * growth: a document's split never changes when other documents are
+    * added or removed.
+    */
+  def hashSplit(df: DataFrame, key: Column, splits: Seq[(String, Double)],
+                seed: String = "graft"): DataFrame = {
+    require(splits.nonEmpty && splits.map(_._2).sum <= 1.0 + 1e-9,
+      "split fractions must sum to <= 1")
+    val u = hashUnit(seed, key)
+    val bounds = splits.scanLeft(0.0) { case (acc, (_, f)) => acc + f }.tail
+    val expr = splits.zip(bounds).reverse
+      .foldLeft(lit(null).cast("string")) { case (acc, ((name, _), hi)) =>
+        when(u < lit(hi), lit(name)).otherwise(acc)
+      }
+    df.withColumn("split", expr).filter(col("split").isNotNull)
+  }
+
   /** Exact-size deterministic sample: the `n` rows with the smallest hash
     * draw, per group when `groups` is non-empty. The "take exactly n"
     * primitive (Bernoulli gives binomial sizes). Global case plans as a

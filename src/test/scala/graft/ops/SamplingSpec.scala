@@ -51,6 +51,22 @@ class SamplingSpec extends SparkSpec {
     got.length shouldBe 1000 // fraction 1.0 keeps every even row
   }
 
+  test("hashSplit: disjoint covering assignment, stable under corpus growth") {
+    val out = Sampling.hashSplit(ids, col("id"),
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), seed = "t1").cache()
+    out.count() shouldBe 2000 // fractions sum to 1 → full cover
+    val counts = out.groupBy("split").count().as[(String, Long)].collect().toMap
+    counts("train").toDouble should be(1600.0 +- 120.0)
+    counts("val").toDouble should be(200.0 +- 60.0)
+    // stability: a doc keeps its split when the corpus doubles
+    val assign1 = out.select("id", "split").as[(Long, String)].collect().toMap
+    val bigger = spark.range(0, 4000).toDF("id")
+    val assign2 = Sampling.hashSplit(bigger, col("id"),
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), seed = "t1")
+      .select("id", "split").as[(Long, String)].collect().toMap
+    assign1.foreach { case (id, sp) => assign2(id) shouldBe sp }
+  }
+
   test("mixtureResample hits the target mixture, drops unweighted domains") {
     val df = ids.withColumn("dom",
       when(col("id") < 1200, "big").when(col("id") < 1800, "mid").otherwise("tiny"))
