@@ -487,6 +487,15 @@ object SparkEntry {
         .orderBy("day", "event_type")
     }),
 
+    "q_resample" -> ((s, dir) => {
+      // 6-hour grid per user with gap-fill + forward fill
+      val ev = t(s, dir, "events")
+        .withColumn("ts_ms", expr("ts DIV 1000000"))
+      graft.ops.TimeSeries.resample(ev, Seq("user_id"), "ts_ms", "value",
+        stepMs = 6L * 3600 * 1000)
+        .orderBy("user_id", "bucket_ms")
+    }),
+
     "q_asof_join" -> ((s, dir) => {
       // as-of join: each click event picks the user's latest purchase value
       // at or before it (temporal operator Spark lacks; composed plan, one
@@ -1290,6 +1299,20 @@ object SparkEntry {
     "q_events_agg" ->
       """SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS n, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_resample" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) // 21600000000 AS b, value FROM events),
+        |agg AS (SELECT user_id, b, count(*) AS n, round(sum(value), 2) AS v
+        |        FROM e GROUP BY 1, 2),
+        |span AS (SELECT user_id, min(b) AS mn, max(b) AS mx FROM agg GROUP BY 1),
+        |grid AS (SELECT user_id, unnest(range(mn, mx + 1)) AS b FROM span),
+        |j AS (SELECT g.user_id, g.b, coalesce(a.n, 0) AS n, a.v
+        |      FROM grid g LEFT JOIN agg a USING (user_id, b))
+        |SELECT user_id, b * 21600000 AS bucket_ms, n, v AS v_sum,
+        |  last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY b
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_ffill
+        |FROM j ORDER BY user_id, b""".stripMargin,
 
     "q_dedup_exact" ->
       """WITH u AS (
