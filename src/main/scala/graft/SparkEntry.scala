@@ -90,6 +90,7 @@ object SparkEntry {
     // build the bucketed / extended-cube / pq-code / interop fixtures so
     // their queries time reads, not one-off writes
     queries("q_ktk_bucketed")(s, dir).limit(1).count()
+    queries("q_spj_merge")(s, dir).limit(1).count()
     queries("q_cube_extend")(s, dir).limit(1).count()
     queries("q_ann_pq")(s, dir).limit(1).count()
     queries("q_ann_ivfpq")(s, dir).limit(1).count()
@@ -260,6 +261,37 @@ object SparkEntry {
       Ktk.readTable(s, base, "part_bucketed",
         columns = Seq("p_partkey", "p_brand", "p_retailprice"))
         .orderBy("p_partkey")
+    }),
+
+    "q_dsv2_agg" -> ((s, dir) => {
+      // count/min/max answered from parquet FOOTERS via DSv2 aggregate
+      // pushdown (AggPushdownSpec pins the PushedAggregation plan) — a
+      // 100 TB count(*) touches no data pages
+      val base = ensureLineitemDs(s, dir)
+      s.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+      s.read.format("graft").option("uuid", "lineitem").load(base)
+        .agg(count(lit(1)).as("cnt"),
+          min(col("l_orderkey")).as("mn_key"), max(col("l_orderkey")).as("mx_key"))
+    }),
+
+    "q_spj_merge" -> ((s, dir) => {
+      // storage-partitioned join: both datasets hive-partitioned on
+      // l_returnflag merge through the keyed DSv2 scan with ZERO shuffle
+      // (KeyGroupedPartitioning; the reference's partition-aligned merge,
+      // io_components/merge.py:25-128). Pinned shuffle-free in SpjSpec.
+      val base = ensureLineitemDs(s, dir)
+      built.getOrElseUpdate(s"$base/li_summary", {
+        val summary = t(s, dir, "lineitem")
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(count(lit(1)).as("grp_cnt"))
+        Ktk.store(s, base, "li_summary", summary,
+          partitionOn = Seq("l_returnflag"), overwrite = true)
+        ()
+      })
+      Ktk.mergeDatasets(s, base, "lineitem", "li_summary", "inner")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          col("l_linestatus"), col("grp_cnt"))
+        .orderBy("l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus")
     }),
 
     "q_ktk_twophase" -> ((s, dir) => {
@@ -1220,6 +1252,19 @@ object SparkEntry {
 
     "q_ktk_bucketed" ->
       """SELECT p_partkey, p_brand, p_retailprice FROM part ORDER BY 1""".stripMargin,
+
+    "q_dsv2_agg" ->
+      """SELECT count(*) AS cnt, min(l_orderkey) AS mn_key, max(l_orderkey) AS mx_key
+        |FROM lineitem""".stripMargin,
+
+    "q_spj_merge" ->
+      """SELECT l.l_orderkey, CAST(l.l_linenumber AS BIGINT) AS l_linenumber,
+        |       l.l_returnflag, l.l_linestatus, s.grp_cnt
+        |FROM lineitem l
+        |JOIN (SELECT l_returnflag, l_linestatus, count(*) AS grp_cnt
+        |      FROM lineitem GROUP BY 1, 2) s
+        |  USING (l_returnflag, l_linestatus)
+        |ORDER BY 1, 2, 3, 4""".stripMargin,
 
     "q_ktk_twophase" ->
       """SELECT c_custkey, c_mktsegment, round(c_acctbal, 2) AS c_acctbal

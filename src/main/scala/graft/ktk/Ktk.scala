@@ -797,8 +797,28 @@ object Ktk {
     val r = DatasetMetadata.load(spark, base, rightUuid)
     val lp = predicates.restrictToColumns(l.schema.fieldNames.toSet).getOrElse(Predicates.empty)
     val rp = predicates.restrictToColumns(r.schema.fieldNames.toSet).getOrElse(Predicates.empty)
-    val leftDf = readTableWithMetadata(spark, base, l, predicates = lp)
-    val rightDf = readTableWithMetadata(spark, base, r, predicates = rp)
+    // Co-partitioned datasets merge as a storage-partitioned join: both
+    // sides read through the keyed DSv2 scan, which reports
+    // KeyGroupedPartitioning over the shared partition columns, so the join
+    // plans with ZERO Exchange — the Spark-native form of the reference's
+    // partition-aligned merge (io_components/merge.py:25-128 zips
+    // equal-labelled partitions pairwise). At 100 TB this is the difference
+    // between shuffling both datasets and shuffling nothing.
+    val colocated = l.partitionKeys.nonEmpty && l.partitionKeys == r.partitionKeys
+    def readSide(md: DatasetMetadata, p: Predicates): DataFrame = {
+      val df =
+        if (colocated) {
+          spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+          spark.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+          // join keys = ALL shared columns, a superset of the partition
+          // keys; co-partitioning on the key subset is still valid
+          spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
+          spark.read.format("graft").option("uuid", md.uuid).option("keyed", "true").load(base)
+        } else readTableWithMetadata(spark, base, md, predicates = p)
+      if (colocated && !p.isEmpty) df.filter(p.toColumn) else df
+    }
+    val leftDf = readSide(l, lp)
+    val rightDf = readSide(r, rp)
     mergeFunc match {
       case Some(f) => f(leftDf, rightDf)
       case None =>

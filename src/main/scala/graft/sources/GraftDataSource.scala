@@ -8,9 +8,10 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.expressions.aggregate.Aggregation
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.execution.datasources.InMemoryFileIndex
-import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan
+import org.apache.spark.sql.execution.datasources.v2.parquet.{ParquetScan, ParquetScanBuilder}
 import org.apache.spark.sql.sources
 import org.apache.spark.sql.sources.{DataSourceRegister, Filter}
 import org.apache.spark.sql.types.StructType
@@ -66,10 +67,12 @@ final class GraftTable(base: String, md: DatasetMetadata) extends Table with Sup
 }
 
 final class GraftScanBuilder(base: String, md: DatasetMetadata, options: CaseInsensitiveStringMap)
-    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates {
 
   private var pushed: Array[Filter] = Array.empty
   private var requiredSchema: StructType = md.schema
+  private var aggPushed = false
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     pushed = filters
@@ -106,24 +109,68 @@ final class GraftScanBuilder(base: String, md: DatasetMetadata, options: CaseIns
     if (lits.isEmpty) Predicates.empty else Predicates(Seq(lits))
   }
 
-  override def build(): Scan = {
-    val spark = SparkSession.active
+  private def prunedFileIndex(spark: SparkSession): InMemoryFileIndex = {
     val labels = Ktk.queryLabels(spark, base, md, pruningPredicates)
     val tableDir = md.tableDir(base)
     val files = labels.map(l => new Path(s"$tableDir/$l"))
-    val fileIndex = new InMemoryFileIndex(
+    new InMemoryFileIndex(
       spark, files,
       Map("basePath" -> tableDir) ++ options.asScala,
       Some(md.schema))
+  }
+
+  /** Aggregate pushdown (MIN/MAX/COUNT, optional GROUP BY on partition
+    * columns) delegates wholesale to Spark's [[ParquetScanBuilder]], whose
+    * reader answers from parquet FOOTER statistics — zero data pages read.
+    * This is the scan-level twin of [[Ktk.footerStats]] (≙ the reference's
+    * get_parquet_metadata, io_components/metapartition.py:1720-1771): a
+    * `SELECT count(*), min(x), max(x)` over a 100 TB dataset touches only
+    * footers. Spark only attempts this when no post-scan filters exist, and
+    * [[AggregatePushDownUtils]] rejects unsupported types/groupings, so
+    * falling back to a normal scan is automatic. Gated by the standard
+    * `spark.sql.parquet.aggregatePushdown` conf (checked by the delegate).
+    */
+  private lazy val innerAggBuilder: ParquetScanBuilder = {
+    val spark = SparkSession.active
+    val partCols = md.partitionKeys.toSet
+    ParquetScanBuilder(
+      spark, prunedFileIndex(spark), md.schema,
+      StructType(md.schema.fields.filterNot(f => partCols(f.name))), options)
+  }
+
+  override def supportCompletePushDown(aggregation: Aggregation): Boolean =
+    pushed.isEmpty && innerAggBuilder.supportCompletePushDown(aggregation)
+
+  override def pushAggregation(aggregation: Aggregation): Boolean = {
+    if (pushed.nonEmpty) return false
+    aggPushed = innerAggBuilder.pushAggregation(aggregation)
+    aggPushed
+  }
+
+  override def build(): Scan = {
+    val spark = SparkSession.active
+    if (aggPushed) {
+      innerAggBuilder.pruneColumns(requiredSchema)
+      return innerAggBuilder.build()
+    }
+    val fileIndex = prunedFileIndex(spark)
     val partCols = md.partitionKeys.toSet
     val dataSchema = StructType(md.schema.fields.filterNot(f => partCols(f.name)))
     val readDataSchema = StructType(requiredSchema.fields.filterNot(f => partCols(f.name)))
     val readPartitionSchema = StructType(requiredSchema.fields.filter(f => partCols(f.name)))
     val dataFilters = pushed.filter(_.references.forall(c => !partCols(c)))
-    ParquetScan(
+    val parquet = ParquetScan(
       spark, spark.sessionState.newHadoopConf(), fileIndex,
       dataSchema, readDataSchema, readPartitionSchema,
       dataFilters, options,
       None, Nil, Nil)
+    // .option("keyed","true"): report KeyGroupedPartitioning over the hive
+    // partition columns for storage-partitioned joins (see GraftKeyedScan).
+    // Only meaningful when the projection retains every partition column
+    // (otherwise the keys can't resolve against the scan output).
+    val keyed = options.getBoolean("keyed", false) &&
+      md.partitionKeys.nonEmpty &&
+      md.partitionKeys.forall(requiredSchema.fieldNames.contains)
+    if (keyed) new GraftKeyedScan(parquet, md.partitionKeys) else parquet
   }
 }

@@ -1,0 +1,86 @@
+package graft.sources
+
+import graft.SparkSpec
+import graft.ktk.Ktk
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+
+/** Storage-partitioned join: merging two datasets co-partitioned on the
+  * same hive columns must plan with ZERO shuffle — Spark groups the keyed
+  * input partitions instead (the reference's partition-aligned merge,
+  * io_components/merge.py:25-128, re-expressed via DSv2
+  * KeyGroupedPartitioning).
+  */
+class SpjSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val base: String = {
+    val b = tmpDir("spj")
+    val facts = (0 until 2000).map(i => (i % 8, i.toLong, i * 1.5)).toDF("p", "k", "x")
+    val dims = (0 until 160).map(i => (i % 8, i.toLong, s"d$i")).toDF("p", "k", "name")
+    Ktk.store(spark, b, "facts", facts, partitionOn = Seq("p"), overwrite = true)
+    Ktk.store(spark, b, "dims", dims, partitionOn = Seq("p"), overwrite = true)
+    b
+  }
+
+  private def withSpjConfs[A](body: => A): A = {
+    val saved = Seq(
+      "spark.sql.adaptive.enabled" -> spark.conf.getOption("spark.sql.adaptive.enabled"),
+      "spark.sql.autoBroadcastJoinThreshold" ->
+        spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold"))
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try body
+    finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
+  test("co-partitioned mergeDatasets joins with zero Exchange") {
+    withSpjConfs {
+      val merged = Ktk.mergeDatasets(spark, base, "facts", "dims", "inner")
+      val shuffles = merged.queryExecution.executedPlan.collect {
+        case e: ShuffleExchangeExec => e
+      }
+      shuffles shouldBe empty
+      merged.queryExecution.executedPlan.toString should include("SortMergeJoin")
+
+      // results identical to a plain (shuffled) join of the raw tables
+      val plain = Ktk.readTable(spark, base, "facts")
+        .join(Ktk.readTable(spark, base, "dims"), Seq("k", "p"), "inner")
+      merged.select("p", "k", "x", "name").collect().toSet shouldBe
+        plain.select("p", "k", "x", "name").collect().toSet
+      merged.count() shouldBe 160
+    }
+  }
+
+  test("keyed scan option alone reports grouped partitions (groupBy on partition col: no shuffle)") {
+    withSpjConfs {
+      val df = spark.read.format("graft").option("uuid", "facts")
+        .option("keyed", "true").load(base)
+      val agg = df.groupBy("p").count()
+      val shuffles = agg.queryExecution.executedPlan.collect {
+        case e: ShuffleExchangeExec => e
+      }
+      shuffles shouldBe empty
+      agg.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap shouldBe
+        (0L until 8L).map(p => p -> 250L).toMap
+    }
+  }
+
+  test("non-keyed scan is unchanged (default path still size-planned)") {
+    val df = spark.read.format("graft").option("uuid", "facts").load(base)
+    df.count() shouldBe 2000
+  }
+
+  test("left merge keeps unmatched fact rows under SPJ") {
+    withSpjConfs {
+      val merged = Ktk.mergeDatasets(spark, base, "facts", "dims", "left")
+      merged.count() shouldBe 2000
+      merged.filter("name IS NULL").count() shouldBe 1840
+      merged.queryExecution.executedPlan.collect {
+        case e: ShuffleExchangeExec => e
+      } shouldBe empty
+    }
+  }
+}
