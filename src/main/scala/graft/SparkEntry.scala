@@ -1042,6 +1042,31 @@ object SparkEntry {
     }),
 
     // -------------------------------------------------- streaming
+    "q_stream_ingest" -> ((s, dir) => {
+      // streaming ingest pipeline: quality gate → exact dedup-on-ingest
+      // (bounded state keyed by an 8-byte content hash, watermark-evicted)
+      // → append sink, then batch analytics over the sink table. The
+      // aggregate is on DISTINCT content, so the result is independent of
+      // which physical duplicate survives (processing order varies across
+      // executors; content identity does not).
+      import org.apache.spark.sql.streaming.Trigger
+      val name = "ingest_" + Integer.toHexString(dir.hashCode)
+      val stageDir = java.nio.file.Paths.get(scratch(dir), "docs_stream")
+      java.nio.file.Files.createDirectories(stageDir)
+      val target = stageDir.resolve("documents.parquet")
+      if (!java.nio.file.Files.exists(target))
+        java.nio.file.Files.copy(java.nio.file.Paths.get(s"$dir/documents.parquet"), target)
+      val schema = "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
+      val stream = s.readStream.schema(schema).parquet(stageDir.toString)
+        .filter(length(col("text")) >= 100)
+        .withColumn("ts", timestamp_seconds(lit(1000000) + col("doc_id")))
+      val deduped = graft.streaming.StreamDedup.dedupStream(stream, "text", "ts", "1 hour")
+      val q = deduped.writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(name).agg(count(lit(1)).as("n_docs"))
+    }),
+
     "q_stream_window" -> ((s, dir) => {
       // Structured Streaming over the events table: windowed count/sum with
       // Trigger.AvailableNow into a memory sink — the batch-incremental
@@ -1455,6 +1480,10 @@ object SparkEntry {
         |SELECT user_id, start_ms, end_ms, n_events, sum_value FROM g
         |WHERE sid < (SELECT max(sid) FROM g g2 WHERE g2.user_id = g.user_id)
         |ORDER BY 1, 2""".stripMargin,
+
+    "q_stream_ingest" ->
+      """SELECT count(DISTINCT lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS n_docs
+        |FROM documents WHERE length(text) >= 100""".stripMargin,
 
     "q_stream_window" ->
       """SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,

@@ -9,7 +9,8 @@ import graft.SparkEntry
 object DumpPlans {
   private val Picked = Seq(
     "q_ktk_pushdown", "q1_agg", "q_ann_ivf", "q_dedup_simhash",
-    "q_range_join", "q_salted_join", "q_ktk_zonemap", "q_ann_pq")
+    "q_range_join", "q_salted_join", "q_ktk_zonemap", "q_ann_pq",
+    "q_spj_merge", "q_dsv2_agg")
 
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
