@@ -40,6 +40,12 @@ final case class DatasetMetadata(
     // skipping: files whose range excludes a predicate are never SCHEDULED —
     // cheaper to maintain than a secondary index, O(#files) blob growth.
     zoneMaps: Map[String, Map[String, Seq[String]]] = Map.empty,
+    // per-file Bloom filters: column → relative sidecar path under
+    // <uuid>/blooms/. Equality/IN data skipping on high-cardinality columns
+    // where zone ranges are too wide and a full secondary index too big:
+    // the sidecar holds one (label, bloom bytes) row per file, the catalog
+    // blob only this registry — probe passes stay distributed.
+    blooms: Map[String, String] = Map.empty,
     schemaJson: String = "",
     metadata: Map[String, String] = Map.empty) {
 
@@ -64,6 +70,14 @@ final case class DatasetMetadata(
 
   def indexPath(base: String, column: String): String =
     s"$base/$uuid/indices/${indices(column)}"
+
+  /** Bloom registry, null-safe against pre-bloom metadata blobs (Jackson
+    * leaves absent fields null rather than applying case-class defaults).
+    */
+  def bloomRegistry: Map[String, String] = Option(blooms).getOrElse(Map.empty)
+
+  def bloomPath(base: String, column: String): String =
+    s"$base/$uuid/blooms/${bloomRegistry(column)}"
 }
 
 object DatasetMetadata {

@@ -52,7 +52,8 @@ object Ktk {
       userMetadata: Map[String, String] = Map.empty,
       bucketBy: Seq[String] = Nil,
       numBuckets: Int = 32,
-      zoneMapFor: Seq[String] = Nil): DatasetMetadata = {
+      zoneMapFor: Seq[String] = Nil,
+      bloomFor: Seq[String] = Nil): DatasetMetadata = {
 
     if (!overwrite && DatasetMetadata.exists(spark, base, uuid))
       throw new IllegalStateException(s"Dataset '$uuid' already exists (pass overwrite=true)")
@@ -77,7 +78,7 @@ object Ktk {
     (if (partitionOn.nonEmpty) writer.partitionBy(partitionOn: _*) else writer).parquet(tableDir)
 
     commitAfterWrite(spark, base, uuid, partitionOn, secondaryIndices,
-      normalized.schema, userMetadata, zoneMapFor)
+      normalized.schema, userMetadata, zoneMapFor, bloomFor)
   }
 
   /** Hash-bucket co-location for the write: shuffle on (partitionOn,
@@ -105,7 +106,8 @@ object Ktk {
       secondaryIndices: Seq[String],
       schema: StructType,
       userMetadata: Map[String, String],
-      zoneMapFor: Seq[String] = Nil): DatasetMetadata = {
+      zoneMapFor: Seq[String] = Nil,
+      bloomFor: Seq[String] = Nil): DatasetMetadata = {
 
     val tableDir = s"$base/$uuid/table"
     val partitions = listDataFiles(spark, tableDir)
@@ -116,8 +118,8 @@ object Ktk {
           s"null values in partition columns ${partitionKeys.mkString(",")} are not allowed")
     }
 
-    zoneMapFor.foreach(c => require(schema.fieldNames.contains(c),
-      s"zone-map column '$c' not in schema"))
+    (zoneMapFor ++ bloomFor).foreach(c => require(schema.fieldNames.contains(c),
+      s"zone-map/bloom column '$c' not in schema"))
     val md0 = DatasetMetadata(
       uuid = uuid, partitionKeys = partitionKeys, partitions = partitions,
       partitionSeq = partitions.keys.map(_ -> 0L).toMap,
@@ -129,8 +131,12 @@ object Ktk {
       buildIndex(spark, base, md0, c)
       c -> s"$c.parquet"
     }.toMap
+    val blooms = bloomFor.map { c =>
+      buildBloom(spark, base, md0, c, partitions.keys.toSeq.sorted)
+      c -> s"$c.parquet"
+    }.toMap
 
-    val md = md0.copy(indices = indices)
+    val md = md0.copy(indices = indices, blooms = blooms)
     DatasetMetadata.store(spark, base, md)
     md
   }
