@@ -30,7 +30,7 @@ object Bench {
       .map { case (name, fn) =>
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() }
+        try SparkEntry.withVolatileConfs(spark) { fn(spark, sfDir).count(); () }
         catch { case e: Throwable =>
           errors += name
           System.err.println(s"[bench] $name failed: ${e.getMessage}")

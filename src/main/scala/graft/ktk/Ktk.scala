@@ -220,6 +220,113 @@ object Ktk {
     } catch { case _: Exception => true }
   }
 
+  // ---------------------------------------------------------------- blooms
+
+  /** Sizing of the per-file Bloom filters. An overfull bloom only raises the
+    * false-positive rate — `mightContain` never false-negatives — so an
+    * underestimate degrades pruning, never correctness. ~120 KB/file/column.
+    */
+  val BloomExpectedItems: Long = 100000L
+  val BloomFpp: Double = 0.01
+
+  /** One (label, bloom bytes) row per data file for `column`: scan only that
+    * column + file name, hash values with xxhash64 (the probe hashes literals
+    * identically), group by file label, fold each group into a Bloom filter.
+    * The shuffle moves (label, long) pairs — O(rows × 8 bytes), never values.
+    * Files with no non-null value get NO row; the probe keeps unknown labels,
+    * so absence is always conservative.
+    */
+  private def bloomPairs(
+      spark: SparkSession, tableDir: String, column: String, labels: Seq[String]): DataFrame = {
+    import spark.implicits._
+    if (labels.isEmpty) return spark.emptyDataset[(String, Array[Byte])].toDF("label", "bloom")
+    spark.read.option("basePath", tableDir)
+      .parquet(labels.map(l => s"$tableDir/$l"): _*)
+      .select(col(s"`$column`").as("v"), fileLabel.as("label"))
+      .where(col("v").isNotNull)
+      .select(col("label"), xxhash64(col("v")).as("h"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .mapGroups { (label, it) =>
+        val bf = org.apache.spark.util.sketch.BloomFilter.create(BloomExpectedItems, BloomFpp)
+        it.foreach { case (_, h) => bf.putLong(h) }
+        val bos = new java.io.ByteArrayOutputStream()
+        bf.writeTo(bos)
+        (label, bos.toByteArray)
+      }
+      .toDF("label", "bloom")
+  }
+
+  /** Build the Bloom sidecar `<uuid>/blooms/<column>.parquet` for the given
+    * labels (equality/IN data skipping on high-cardinality columns where zone
+    * ranges are too wide and a secondary index too big; the catalog blob
+    * carries only the registry entry, the sidecar stays on storage).
+    */
+  private[ktk] def buildBloom(
+      spark: SparkSession, base: String, md: DatasetMetadata, column: String,
+      labels: Seq[String]): Unit =
+    bloomPairs(spark, md.tableDir(base), column, labels)
+      .write.mode(SaveMode.Overwrite)
+      .parquet(s"$base/${md.uuid}/blooms/$column.parquet")
+
+  /** Incremental sidecar merge, same shape as [[mergeIndicesIncremental]]:
+    * surviving labels keep their bloom rows (semi-join, never an inlined
+    * In-list), new labels get freshly built ones.
+    */
+  private def mergeBloomsIncremental(
+      spark: SparkSession, base: String, md: DatasetMetadata, tableDir: String,
+      survivingOld: Seq[String], newLabels: Seq[String]): Unit = {
+    import spark.implicits._
+    val fsys = DatasetMetadata.fs(spark, base)
+    md.bloomRegistry.keys.foreach { c =>
+      val fsPath = md.bloomPath(base, c)
+      val oldExists = fsys.exists(new Path(fsPath))
+      if (oldExists || newLabels.nonEmpty) {
+        val survivors = survivingOld.toDF("label")
+        def fresh = bloomPairs(spark, tableDir, c, newLabels)
+        val rows = (oldExists, newLabels.nonEmpty) match {
+          case (true, true) =>
+            spark.read.parquet(fsPath)
+              .join(broadcast(survivors), Seq("label"), "left_semi")
+              .unionByName(fresh)
+          case (true, false) =>
+            spark.read.parquet(fsPath)
+              .join(broadcast(survivors), Seq("label"), "left_semi")
+          case (false, _) => fresh
+        }
+        val tmpOut = s"$base/${md.uuid}/blooms/.$c.parquet.new"
+        rows.write.mode(SaveMode.Overwrite).parquet(tmpOut)
+        fsys.delete(new Path(fsPath), true)
+        fsys.rename(new Path(tmpOut), new Path(fsPath))
+      }
+    }
+  }
+
+  /** Register + build a Bloom sidecar on an EXISTING dataset (the bloom
+    * analog of [[addIndex]]).
+    */
+  def addBloom(spark: SparkSession, base: String, uuid: String, column: String): DatasetMetadata = {
+    val md = DatasetMetadata.load(spark, base, uuid)
+    require(md.schema.fieldNames.contains(column), s"bloom column '$column' not in schema")
+    buildBloom(spark, base, md, column, md.partitions.keys.toSeq.sorted)
+    val md2 = md.copy(blooms = md.bloomRegistry + (column -> s"$column.parquet"))
+    DatasetMetadata.store(spark, base, md2)
+    md2
+  }
+
+  /** xxhash64 of a predicate literal AT THE COLUMN'S TYPE — must agree
+    * bit-for-bit with the build side's `xxhash64(col)`, so the literal is
+    * cast through the same Catalyst type first. None (= never prune) when
+    * the cast fails or yields null: such a literal cannot be safely probed.
+    */
+  private def literalHash(spark: SparkSession, dt: org.apache.spark.sql.types.DataType,
+      v: Any): Option[Long] =
+    try {
+      val c = lit(v).cast(dt)
+      val r = spark.range(1).select(c.isNull.as("n"), xxhash64(c).as("h")).head()
+      if (r.getBoolean(0)) None else Some(r.getLong(1))
+    } catch { case scala.util.control.NonFatal(_) => None }
+
   // ---------------------------------------------------------------- indices
 
   /** Build one secondary index as a Parquet table `(value, partitions:
@@ -291,6 +398,43 @@ object Ktk {
           .collect().map(_.getString(0)).toSet
       })
 
+    // per (column, literal): probe the bloom sidecar DISTRIBUTED — the UDF
+    // deserializes each file's filter on executors and only (label, hit)
+    // pairs come back, O(#files) strings, never the bloom bytes in bulk.
+    // Returns (labels present in the sidecar, labels that might match);
+    // None = this literal cannot be probed safely → no pruning.
+    val bloomLookupCache =
+      scala.collection.mutable.Map.empty[(String, PredLiteral), Option[(Set[String], Set[String])]]
+    def bloomSets(l: PredLiteral): Option[(Set[String], Set[String])] =
+      bloomLookupCache.getOrElseUpdate((l.col, l), {
+        val sidecar = new Path(md.bloomPath(base, l.col))
+        if (!DatasetMetadata.fs(spark, base).exists(sidecar)) None
+        else {
+          val dt = md.schema(l.col).dataType
+          val vals = l.op match {
+            case graft.core.PredOp.Eq => Seq(l.value)
+            case graft.core.PredOp.In => l.value.asInstanceOf[Seq[Any]].filter(_ != null)
+            case _                    => Seq.empty
+          }
+          val hashes = vals.flatMap(v => literalHash(spark, dt, v))
+          // every literal must hash (a failed cast means we cannot mirror the
+          // build-side hashing for it) or the probe is unsound for this conj
+          if (hashes.isEmpty || hashes.size != vals.size) None
+          else {
+            val hs = hashes.toArray
+            val might = udf { (bytes: Array[Byte]) =>
+              val bf = org.apache.spark.util.sketch.BloomFilter
+                .readFrom(new java.io.ByteArrayInputStream(bytes))
+              hs.exists(bf.mightContainLong)
+            }
+            val rows = spark.read.parquet(sidecar.toString)
+              .select(col("label"), might(col("bloom")).as("m")).collect()
+            Some((rows.map(_.getString(0)).toSet,
+              rows.filter(_.getBoolean(1)).map(_.getString(0)).toSet))
+          }
+        }
+      })
+
     val surviving = predicates.splitPerConjunction(partCols).zip(predicates.disjunction).flatMap {
       case ((partLits, _), conj) =>
         // 1. partition-key pruning from decoded labels (PartitionIndex)
@@ -320,7 +464,7 @@ object Ktk {
         // no non-null-matching literal can satisfy.
         val zoneLits = conj.filter(l =>
           md.zoneMaps.contains(l.col) && !partCols.contains(l.col) && indexPrunable(l))
-        zoneLits.foldLeft(afterIdx) { (labels, l) =>
+        val afterZone = zoneLits.foldLeft(afterIdx) { (labels, l) =>
           val zm = md.zoneMaps(l.col)
           labels.filter { lbl =>
             zm.get(lbl) match {
@@ -328,6 +472,19 @@ object Ktk {
               case Some(s) if s.isEmpty  => false // all-null file
               case Some(s)               => zoneMayMatch(l, s.head, s(1))
             }
+          }
+        }
+        // 4. Bloom pruning: equality/IN literals on bloom-registered columns.
+        // Labels absent from the sidecar are always kept (files written after
+        // the bloom build, or holding only nulls) — absence is conservative.
+        val bloomLits = conj.filter(l =>
+          (l.op == graft.core.PredOp.Eq || l.op == graft.core.PredOp.In) &&
+            md.bloomRegistry.contains(l.col) && !partCols.contains(l.col) && indexPrunable(l))
+        bloomLits.foldLeft(afterZone) { (labels, l) =>
+          bloomSets(l) match {
+            case None                      => labels
+            case Some((present, matching)) =>
+              labels.filter(lbl => !present.contains(lbl) || matching.contains(lbl))
           }
         }
     }.toSet
@@ -501,6 +658,9 @@ object Ktk {
     mergeIndicesIncremental(spark, base, md, tableDir,
       survivingOld = finalPartitions.keys.toSeq.filter(before.contains),
       newLabels = newLabels.toSeq)
+    mergeBloomsIncremental(spark, base, md, tableDir,
+      survivingOld = finalPartitions.keys.toSeq.filter(before.contains),
+      newLabels = newLabels.toSeq)
 
     DatasetMetadata.store(spark, base, md1)
     md1
@@ -623,6 +783,9 @@ object Ktk {
     val md1 = md.copy(partitions = finalPartitions, partitionSeq = finalSeq,
       zoneMaps = mergedZones)
     mergeIndicesIncremental(spark, base, md, tableDir,
+      survivingOld = finalPartitions.keys.toSeq.filterNot(newSeqOf.contains),
+      newLabels = newLabels)
+    mergeBloomsIncremental(spark, base, md, tableDir,
       survivingOld = finalPartitions.keys.toSeq.filterNot(newSeqOf.contains),
       newLabels = newLabels)
     DatasetMetadata.store(spark, base, md1)
@@ -761,6 +924,9 @@ object Ktk {
         fsys.rename(new Path(tmpOut), new Path(fsPath))
       }
     }
+    mergeBloomsIncremental(spark, base, md, tableDir,
+      survivingOld = keepOld.toSeq.filter(finalPartitions.contains),
+      newLabels = newLabels)
 
     DatasetMetadata.store(spark, base, md1)
     md1
@@ -790,6 +956,15 @@ object Ktk {
     * receives the two predicate-filtered DataFrames and fully replaces the
     * default shared-column join — any Spark combination (asof join, union,
     * custom keying) plugs in.
+    *
+    * SIDE EFFECT when both datasets share partition keys: enables the three
+    * SPJ session confs (v2.bucketing.enabled, pushPartValues.enabled,
+    * requireAllClusterKeysForCoPartition=false) and CANNOT restore them —
+    * they must still hold when the caller's action plans the returned
+    * DataFrame. They persist for the session and may change plan selection
+    * for other DSv2 joins; wrap execution in
+    * `SparkEntry.withVolatileConfs` (or save/restore the keys yourself) to
+    * scope them.
     */
   def mergeDatasets(
       spark: SparkSession,

@@ -1,0 +1,99 @@
+package graft.ktk
+
+import graft.SparkSpec
+import graft.core.Predicates
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+
+/** Per-file Bloom sidecar: build at store, prune equality/IN predicates in
+  * queryLabels, stay conservative for unknown labels, merge incrementally on
+  * update. (Data skipping beyond zone maps: high-cardinality equality where
+  * min/max ranges are too wide to exclude anything.)
+  */
+class BloomSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 3 partitions × disjoint id ranges → an id equality predicate should
+  // bloom-prune down to exactly one file
+  private def sample = (0 until 300)
+    .map(i => (i / 100, i.toLong * 7 + 1, s"v$i"))
+    .toDF("p", "id", "payload")
+
+  test("store(bloomFor) writes the sidecar and registers it") {
+    val base = tmpDir("bloom")
+    val md = Ktk.store(spark, base, "ds", sample,
+      partitionOn = Seq("p"), bloomFor = Seq("id"))
+    md.bloomRegistry.keySet shouldBe Set("id")
+    val fs = DatasetMetadata.fs(spark, base)
+    fs.exists(new Path(md.bloomPath(base, "id"))) shouldBe true
+    // one sidecar row per data file
+    spark.read.parquet(md.bloomPath(base, "id")).count() shouldBe md.partitions.size
+  }
+
+  test("equality predicate bloom-prunes to the owning file, results exact") {
+    val base = tmpDir("bloom")
+    val md = Ktk.store(spark, base, "ds", sample, bloomFor = Seq("id"))
+    md.partitionKeys shouldBe empty // no partition keys: only blooms can prune
+    md.partitions.size should be > 1
+    // id = 701 lives in the row (p=1, i=100); no partition/zone info exists
+    val labels = Ktk.queryLabels(spark, base, md, Predicates.of(Seq(("id", "==", 701L))))
+    labels.size should be < md.partitions.size
+    val df = Ktk.readTable(spark, base, "ds", predicates = Predicates.of(Seq(("id", "==", 701L))))
+    df.select("payload").as[String].collect().toSeq shouldBe Seq("v100")
+  }
+
+  test("IN-list prunes to the union of owning files; null in list disables pruning") {
+    val base = tmpDir("bloom")
+    val md = Ktk.store(spark, base, "ds", sample, bloomFor = Seq("id"))
+    val in = Ktk.queryLabels(spark, base, md,
+      Predicates.of(Seq(("id", "in", Seq(1L, 2093L)))))
+    in.size should be < md.partitions.size
+    // a null in the IN list makes the literal non-prunable → all labels kept
+    val withNull = Ktk.queryLabels(spark, base, md,
+      Predicates.of(Seq(("id", "in", Seq(1L, null)))))
+    withNull.size shouldBe md.partitions.size
+  }
+
+  test("absent value prunes every file but a full scan still agrees") {
+    val base = tmpDir("bloom")
+    val md = Ktk.store(spark, base, "ds", sample, bloomFor = Seq("id"))
+    // ids are ≡1 mod 7; 3L is absent — bloom should drop (almost) all files
+    val labels = Ktk.queryLabels(spark, base, md, Predicates.of(Seq(("id", "==", 3L))))
+    labels.size should be < md.partitions.size
+    Ktk.readTable(spark, base, "ds", predicates = Predicates.of(Seq(("id", "==", 3L))))
+      .count() shouldBe 0
+  }
+
+  test("update merges the sidecar: old labels keep rows, new labels get fresh ones") {
+    val base = tmpDir("bloom")
+    Ktk.store(spark, base, "ds", sample, partitionOn = Seq("p"), bloomFor = Seq("id"))
+    val extra = Seq((9, 999999L, "fresh")).toDF("p", "id", "payload")
+    val md1 = Ktk.update(spark, base, "ds", Some(extra))
+    // sidecar now covers every live label (old merged + new built)
+    val rows = spark.read.parquet(md1.bloomPath(base, "id"))
+      .select("label").as[String].collect().toSet
+    rows shouldBe md1.partitions.keySet
+    // the fresh value is findable and prunes to its own file
+    val labels = Ktk.queryLabels(spark, base, md1, Predicates.of(Seq(("id", "==", 999999L))))
+    labels.forall(_.startsWith("p=9/")) shouldBe true
+    Ktk.readTable(spark, base, "ds", predicates = Predicates.of(Seq(("id", "==", 999999L))))
+      .select("payload").as[String].collect().toSeq shouldBe Seq("fresh")
+  }
+
+  test("addBloom retrofits a sidecar onto an existing dataset") {
+    val base = tmpDir("bloom")
+    Ktk.store(spark, base, "ds", sample, partitionOn = Seq("p"))
+    val md = Ktk.addBloom(spark, base, "ds", "payload")
+    md.bloomRegistry.keySet shouldBe Set("payload")
+    val labels = Ktk.queryLabels(spark, base, md, Predicates.of(Seq(("payload", "==", "v250"))))
+    labels.forall(_.startsWith("p=2/")) shouldBe true
+  }
+
+  test("string-typed probe hashes match the build side") {
+    val base = tmpDir("bloom")
+    val md = Ktk.store(spark, base, "ds", sample, bloomFor = Seq("payload"))
+    val df = Ktk.readTable(spark, base, "ds",
+      predicates = Predicates.of(Seq(("payload", "==", "v42"))))
+    df.select("id").as[Long].collect().toSeq shouldBe Seq(42L * 7 + 1)
+  }
+}

@@ -23,12 +23,16 @@ class SpjSpec extends SparkSpec {
   }
 
   private def withSpjConfs[A](body: => A): A = {
-    val saved = Seq(
-      "spark.sql.adaptive.enabled" -> spark.conf.getOption("spark.sql.adaptive.enabled"),
-      "spark.sql.autoBroadcastJoinThreshold" ->
-        spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold"))
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    // self-contained: set the SPJ confs explicitly rather than relying on a
+    // previous mergeDatasets call having leaked them into the shared session
+    val keys = Seq(
+      "spark.sql.adaptive.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true",
+      "spark.sql.requireAllClusterKeysForCoPartition" -> "false")
+    val saved = keys.map { case (k, _) => k -> spark.conf.getOption(k) }
+    keys.foreach { case (k, v) => spark.conf.set(k, v) }
     try body
     finally saved.foreach {
       case (k, Some(v)) => spark.conf.set(k, v)
