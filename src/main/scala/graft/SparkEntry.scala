@@ -829,6 +829,21 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q_text_repetition" -> ((s, dir) => {
+      // Gopher-style repetition filters (Rae et al. 2021 A1.1): duplicate
+      // line / line-char / word-bigram fractions, pure codegen'd array
+      // functions — no shuffle, no UDF. Testdata docs are single-line, so
+      // 3-word lines are derived deterministically (same regexp on the
+      // oracle side) to give the line metrics real duplicates to find.
+      val d = t(s, dir, "documents")
+      val lined = regexp_replace(col("text"), "(\\S+ \\S+ \\S+) ", "$1\n")
+      d.select(col("doc_id"),
+        round(TextAnalysis.dupLineFraction(lined), 6).as("dup_line_frac"),
+        round(TextAnalysis.dupLineCharFraction(lined), 6).as("dup_line_char_frac"),
+        round(TextAnalysis.dupBigramFraction(col("text")), 6).as("dup_bigram_frac"))
+        .orderBy("doc_id")
+    }),
+
     "q_text_langid" -> ((s, dir) => {
       val d = t(s, dir, "documents")
       d.select(col("doc_id"), TextAnalysis.langIdUdf(col("text")).as("lang_guess"))
@@ -1601,6 +1616,30 @@ object SparkEntry {
         |    (CASE WHEN mtl >= 3.0 AND mtl <= 12.0 THEN 1.0 ELSE 0.5 END)
         |  ) / 3.0, 4) AS quality
         |FROM m ORDER BY doc_id""".stripMargin,
+
+    "q_text_repetition" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    regexp_replace(text, '(\S+ \S+ \S+) ', '\1' || chr(10), 'g') AS t,
+        |    list_filter(regexp_split_to_array(lower(text), '\s+'), w -> length(w) > 0) AS w
+        |  FROM documents),
+        |l AS (
+        |  SELECT doc_id, w,
+        |    list_filter(list_transform(string_split(t, chr(10)), x -> trim(x)), x -> length(x) > 0) AS ls
+        |  FROM d),
+        |g AS (
+        |  SELECT doc_id, ls,
+        |    list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1]) AS gs
+        |  FROM l)
+        |SELECT doc_id,
+        |  CASE WHEN len(ls) = 0 THEN 0.0
+        |    ELSE round(1.0 - CAST(len(list_distinct(ls)) AS DOUBLE) / len(ls), 6) END AS dup_line_frac,
+        |  CASE WHEN coalesce(list_sum(list_transform(ls, x -> length(x))), 0) = 0 THEN 0.0
+        |    ELSE round(1.0 - CAST(list_sum(list_transform(list_distinct(ls), x -> length(x))) AS DOUBLE)
+        |      / list_sum(list_transform(ls, x -> length(x))), 6) END AS dup_line_char_frac,
+        |  CASE WHEN len(gs) = 0 THEN 0.0
+        |    ELSE round(1.0 - CAST(len(list_distinct(gs)) AS DOUBLE) / len(gs), 6) END AS dup_bigram_frac
+        |FROM g ORDER BY doc_id""".stripMargin,
 
     "q_text_langid" -> langIdOracleSql,
 

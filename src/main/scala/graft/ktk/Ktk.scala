@@ -53,11 +53,13 @@ object Ktk {
       bucketBy: Seq[String] = Nil,
       numBuckets: Int = 32,
       zoneMapFor: Seq[String] = Nil,
-      bloomFor: Seq[String] = Nil): DatasetMetadata = {
+      bloomFor: Seq[String] = Nil,
+      parquetBloomFor: Seq[String] = Nil): DatasetMetadata = {
 
     if (!overwrite && DatasetMetadata.exists(spark, base, uuid))
       throw new IllegalStateException(s"Dataset '$uuid' already exists (pass overwrite=true)")
     partitionOn.foreach(c => require(df.columns.contains(c), s"partition_on column '$c' missing"))
+    parquetBloomFor.foreach(c => require(df.columns.contains(c), s"parquet-bloom column '$c' missing"))
 
     val normalized = SchemaUtil.normalize(df, partitionOn)
     // hash-bucket shuffle before the write (≙ io/dask/_shuffle.py:23-137):
@@ -74,7 +76,15 @@ object Ktk {
       else bucketed
 
     val tableDir = s"$base/$uuid/table"
-    val writer = sorted.write.mode(SaveMode.Overwrite)
+    // ROW-GROUP-level bloom filters inside the files (parquet-mr native,
+    // applied automatically by the vectorized reader's row-group filtering
+    // on pushed Eq/In) — complements the CATALOG-level sidecars (bloomFor),
+    // which skip whole files before any task is scheduled. At 100 TB the two
+    // compose: sidecars bound the task count, parquet blooms bound pages
+    // read within the survivors.
+    val writer0 = sorted.write.mode(SaveMode.Overwrite)
+    val writer = parquetBloomFor.foldLeft(writer0)((w, c) =>
+      w.option(s"parquet.bloom.filter.enabled#$c", "true"))
     (if (partitionOn.nonEmpty) writer.partitionBy(partitionOn: _*) else writer).parquet(tableDir)
 
     commitAfterWrite(spark, base, uuid, partitionOn, secondaryIndices,
@@ -300,6 +310,23 @@ object Ktk {
         fsys.rename(new Path(tmpOut), new Path(fsPath))
       }
     }
+  }
+
+  /** Register + compute zone maps on an EXISTING dataset (retrofit analog of
+    * [[addIndex]]/[[addBloom]] — the migration path for datasets stored
+    * before zone columns were chosen, or adopted from the reference layout
+    * which has no zone maps). One narrow scan; O(#files × #cols) metadata.
+    */
+  def addZoneMaps(spark: SparkSession, base: String, uuid: String,
+      columns: Seq[String]): DatasetMetadata = {
+    val md = DatasetMetadata.load(spark, base, uuid)
+    columns.foreach(c => require(md.schema.fieldNames.contains(c),
+      s"zone-map column '$c' not in schema"))
+    val fresh = computeZoneMaps(spark, md.tableDir(base),
+      md.partitions.keys.toSeq.sorted, columns)
+    val md2 = md.copy(zoneMaps = md.zoneMaps ++ fresh)
+    DatasetMetadata.store(spark, base, md2)
+    md2
   }
 
   /** Register + build a Bloom sidecar on an EXISTING dataset (the bloom

@@ -173,6 +173,52 @@ object TextAnalysis {
     slice(array_sort(transform(grams, g => xxhash64(g))), 1, k)
   }
 
+  // ------------------------------------------------- repetition (Gopher-style)
+
+  /** Non-empty trimmed lines of a document. */
+  private def docLines(text: Column): Column =
+    filter(transform(split(text, "\n"), l => trim(l)), l => length(l) > 0)
+
+  /** Word bigrams of the lowercased document, as "a b" strings. zip_with
+    * pads the shorter side with null and concat propagates it, so the
+    * trailing partial pair drops out in the filter.
+    */
+  private def wordBigrams(text: Column): Column = {
+    val ws = filter(split(lower(text), "\\s+"), t => length(t) > 0)
+    filter(
+      zip_with(ws, slice(ws, lit(2), greatest(size(ws) - 1, lit(0))),
+        (a, b) => concat(a, lit(" "), b)),
+      g => g.isNotNull)
+  }
+
+  /** Fraction of lines that repeat an earlier line (the Gopher repetition
+    * filter family, Rae et al. 2021 appendix A1.1): `1 - distinct/total`
+    * over trimmed non-empty lines. Pure codegen'd array functions.
+    */
+  def dupLineFraction(text: Column): Column = {
+    val ls = docLines(text)
+    when(size(ls) === 0, lit(0.0))
+      .otherwise(lit(1.0) - size(array_distinct(ls)).cast("double") / size(ls))
+  }
+
+  /** Fraction of line CHARACTERS sitting in duplicate lines — weights the
+    * filter toward big copy-pasted blocks rather than repeated one-liners.
+    */
+  def dupLineCharFraction(text: Column): Column = {
+    val ls = docLines(text)
+    val total = aggregate(ls, lit(0L), (acc, l) => acc + length(l))
+    val distinctChars = aggregate(array_distinct(ls), lit(0L), (acc, l) => acc + length(l))
+    when(total === 0L, lit(0.0))
+      .otherwise(lit(1.0) - distinctChars.cast("double") / total)
+  }
+
+  /** Fraction of word bigrams that repeat an earlier bigram. */
+  def dupBigramFraction(text: Column): Column = {
+    val gs = wordBigrams(text)
+    when(size(gs) === 0, lit(0.0))
+      .otherwise(lit(1.0) - size(array_distinct(gs)).cast("double") / size(gs))
+  }
+
   /** One-pass document statistics frame: id, token/char counts, ratios,
     * quality, language guess, fingerprint.
     */

@@ -5,6 +5,8 @@ import graft.core.Predicates
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.functions._
 
+import scala.jdk.CollectionConverters._
+
 /** Per-file Bloom sidecar: build at store, prune equality/IN predicates in
   * queryLabels, stay conservative for unknown labels, merge incrementally on
   * update. (Data skipping beyond zone maps: high-cardinality equality where
@@ -87,6 +89,26 @@ class BloomSpec extends SparkSpec {
     md.bloomRegistry.keySet shouldBe Set("payload")
     val labels = Ktk.queryLabels(spark, base, md, Predicates.of(Seq(("payload", "==", "v250"))))
     labels.forall(_.startsWith("p=2/")) shouldBe true
+  }
+
+  test("parquetBloomFor writes native row-group bloom filters into the files") {
+    val base = tmpDir("bloom")
+    val md = Ktk.store(spark, base, "ds", sample, parquetBloomFor = Seq("id"))
+    val conf = spark.sessionState.newHadoopConf()
+    val file = md.partitions.keys.head
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      new Path(md.fileFor(base, file)), conf)
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try {
+      val block = reader.getFooter.getBlocks.get(0)
+      val idCol = block.getColumns.asScala.find(_.getPath.toDotString == "id").get
+      // a written bloom filter records a non-negative offset in the footer
+      idCol.getBloomFilterOffset should be >= 0L
+      reader.getBloomFilterDataReader(block).readBloomFilter(idCol) should not be null
+    } finally reader.close()
+    // reads with an Eq pushdown stay exact through the native filter
+    Ktk.readTable(spark, base, "ds", predicates = Predicates.of(Seq(("id", "==", 701L))))
+      .select("payload").as[String].collect().toSeq shouldBe Seq("v100")
   }
 
   test("string-typed probe hashes match the build side") {

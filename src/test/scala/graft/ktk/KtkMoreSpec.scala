@@ -82,6 +82,20 @@ class KtkMoreSpec extends SparkSpec {
     Ktk.hashDataset(c, Nil).head.getLong(0) should not be ha
   }
 
+  test("addZoneMaps retrofits skipping onto an existing dataset") {
+    val base = tmpDir("zones")
+    val df = (0 until 90).map(i => (i / 30, i.toLong, i * 2.0)).toDF("p", "k", "x")
+    Ktk.store(spark, base, "zm", df, partitionOn = Seq("p"))
+    val md = Ktk.addZoneMaps(spark, base, "zm", Seq("k"))
+    md.zoneMaps.keySet shouldBe Set("k")
+    // k ∈ [60, 89] lives only under p=2 → range predicate prunes to it
+    val labels = Ktk.queryLabels(spark, base, md,
+      graft.core.Predicates.of(Seq(("k", ">=", 75L))))
+    labels.forall(_.startsWith("p=2/")) shouldBe true
+    Ktk.readTable(spark, base, "zm",
+      predicates = graft.core.Predicates.of(Seq(("k", ">=", 75L)))).count() shouldBe 15
+  }
+
   test("csv roundtrip preserves content with explicit schema") {
     val base = tmpDir("csv")
     val df = Seq((1L, "north america"), (2L, "euro;pe")).toDF("id", "name")

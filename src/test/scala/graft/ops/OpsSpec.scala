@@ -310,6 +310,30 @@ class TextAnalysisSpec extends SparkSpec {
     out.select("vec_id").as[Long].collect().sorted.toSeq shouldBe Seq(1L, 4L)
   }
 
+  test("repetition fractions: hand-checked duplicate lines and bigrams") {
+    import org.apache.spark.sql.functions.col
+    // 4 lines, "dup line" twice → dup_line_frac 1/4; line chars 8+10+8+7=33,
+    // distinct 25 → char frac 8/33. Bigrams of "a b a b a":
+    // [a b, b a, a b, b a] → 2 distinct of 4 → 0.5
+    val df = Seq(
+      (1L, "dup line\nunique one\ndup line\nanother"),
+      (2L, "a b a b a"),
+      (3L, "")
+    ).toDF("id", "text")
+    val out = df.select(col("id"),
+      TextAnalysis.dupLineFraction(col("text")).as("lf"),
+      TextAnalysis.dupLineCharFraction(col("text")).as("cf"),
+      TextAnalysis.dupBigramFraction(col("text")).as("bf"))
+      .orderBy("id").collect()
+    out(0).getDouble(1) shouldBe 0.25 +- 1e-9
+    out(0).getDouble(2) shouldBe (8.0 / 33.0) +- 1e-9
+    out(1).getDouble(1) shouldBe 0.0
+    out(1).getDouble(3) shouldBe 0.5 +- 1e-9
+    out(2).getDouble(1) shouldBe 0.0
+    out(2).getDouble(2) shouldBe 0.0
+    out(2).getDouble(3) shouldBe 0.0
+  }
+
   test("fingerprint is whitespace/case robust") {
     val df = Seq(Tuple1("a  B\tc"), Tuple1("A B C")).toDF("text")
     val fps = df.select(TextAnalysis.fingerprint($"text")).as[Long].collect()
