@@ -63,6 +63,15 @@ object SparkEntry {
     })
     base
   }
+  private def ensureOrdersBloomDs(s: SparkSession, dir: String): String = {
+    val base = scratch(dir)
+    built.getOrElseUpdate(s"$base/orders_bloom", {
+      Ktk.store(s, base, "orders_bloom", t(s, dir, "orders"),
+        bloomFor = Seq("o_orderkey", "o_custkey"), overwrite = true)
+      ()
+    })
+    base
+  }
   private def ensureOrdersCube(s: SparkSession, dir: String): (String, CubeDef) = {
     val base = scratch(dir)
     val cube = CubeDef("tpch", dimensionColumns = Seq("o_custkey", "o_orderkey"),
@@ -275,16 +284,26 @@ object SparkEntry {
       // key with NO partitioning and NO index — only the blooms prune.
       // At 100 TB this answers point lookups touching O(1) files instead of
       // scanning every footer (BloomSpec pins the pruning itself).
-      val base = scratch(dir)
-      built.getOrElseUpdate(s"$base/orders_bloom", {
-        Ktk.store(s, base, "orders_bloom", t(s, dir, "orders"),
-          bloomFor = Seq("o_orderkey"), overwrite = true)
-        ()
-      })
+      val base = ensureOrdersBloomDs(s, dir)
       Ktk.readTable(s, base, "orders_bloom",
         columns = Seq("o_orderkey", "o_custkey", "o_totalprice"),
         predicates = Predicates.of(Seq(("o_orderkey", "in", Seq(1L, 2L, 3L, 7L)))))
         .withColumn("o_totalprice", round(col("o_totalprice"), 2))
+        .orderBy("o_orderkey")
+    }),
+
+    "q_bloom_semijoin" -> ((s, dir) => {
+      // catalog-level dynamic file pruning: a small dimension filter's keys
+      // prune the fact files through the o_custkey bloom sidecar, then the
+      // residual IN keeps the result exactly the semi join — the 100 TB
+      // dim-filter-then-fact-probe shape without a full fact scan
+      val base = ensureOrdersBloomDs(s, dir)
+      val probe = t(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING" && col("c_custkey") < 40)
+        .select(col("c_custkey"))
+      Ktk.semiJoinRead(s, base, "orders_bloom", "o_custkey", probe)
+        .select(col("o_orderkey"), col("o_custkey"),
+          round(col("o_totalprice"), 2).as("o_totalprice"))
         .orderBy("o_orderkey")
     }),
 
@@ -1333,6 +1352,14 @@ object SparkEntry {
     "q_bloom_prune" ->
       """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice
         |FROM orders WHERE o_orderkey IN (1, 2, 3, 7) ORDER BY 1""".stripMargin,
+
+    "q_bloom_semijoin" ->
+      """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice
+        |FROM orders
+        |WHERE o_custkey IN (
+        |  SELECT c_custkey FROM customer
+        |  WHERE c_mktsegment = 'BUILDING' AND c_custkey < 40)
+        |ORDER BY 1""".stripMargin,
 
     "q_ktk_bucketed" ->
       """SELECT p_partkey, p_brand, p_retailprice FROM part ORDER BY 1""".stripMargin,

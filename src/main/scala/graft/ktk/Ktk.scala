@@ -341,17 +341,21 @@ object Ktk {
     md2
   }
 
-  /** xxhash64 of a predicate literal AT THE COLUMN'S TYPE — must agree
-    * bit-for-bit with the build side's `xxhash64(col)`, so the literal is
-    * cast through the same Catalyst type first. None (= never prune) when
-    * the cast fails or yields null: such a literal cannot be safely probed.
+  /** xxhash64 of predicate literals AT THE COLUMN'S TYPE — must agree
+    * bit-for-bit with the build side's `xxhash64(col)`, so each literal is
+    * cast through the same Catalyst type first. ONE local job hashes the
+    * whole batch (an IN-list must not cost a job per value). None (= never
+    * prune) when any cast fails or yields null: such a literal set cannot
+    * be safely probed.
     */
-  private def literalHash(spark: SparkSession, dt: org.apache.spark.sql.types.DataType,
-      v: Any): Option[Long] =
+  private def literalHashes(spark: SparkSession, dt: org.apache.spark.sql.types.DataType,
+      vals: Seq[Any]): Option[Seq[Long]] =
     try {
-      val c = lit(v).cast(dt)
-      val r = spark.range(1).select(c.isNull.as("n"), xxhash64(c).as("h")).head()
-      if (r.getBoolean(0)) None else Some(r.getLong(1))
+      val arr = array(vals.map(v => lit(v).cast(dt)): _*)
+      val rows = spark.range(1).select(explode(arr).as("v"))
+        .select(col("v").isNull.as("n"), xxhash64(col("v")).as("h")).collect()
+      if (rows.isEmpty || rows.exists(_.getBoolean(0))) None
+      else Some(rows.map(_.getLong(1)).toSeq)
     } catch { case scala.util.control.NonFatal(_) => None }
 
   // ---------------------------------------------------------------- indices
@@ -443,21 +447,21 @@ object Ktk {
             case graft.core.PredOp.In => l.value.asInstanceOf[Seq[Any]].filter(_ != null)
             case _                    => Seq.empty
           }
-          val hashes = vals.flatMap(v => literalHash(spark, dt, v))
           // every literal must hash (a failed cast means we cannot mirror the
           // build-side hashing for it) or the probe is unsound for this conj
-          if (hashes.isEmpty || hashes.size != vals.size) None
-          else {
-            val hs = hashes.toArray
-            val might = udf { (bytes: Array[Byte]) =>
-              val bf = org.apache.spark.util.sketch.BloomFilter
-                .readFrom(new java.io.ByteArrayInputStream(bytes))
-              hs.exists(bf.mightContainLong)
-            }
-            val rows = spark.read.parquet(sidecar.toString)
-              .select(col("label"), might(col("bloom")).as("m")).collect()
-            Some((rows.map(_.getString(0)).toSet,
-              rows.filter(_.getBoolean(1)).map(_.getString(0)).toSet))
+          literalHashes(spark, dt, vals) match {
+            case None => None
+            case Some(hashes) =>
+              val hs = hashes.toArray
+              val might = udf { (bytes: Array[Byte]) =>
+                val bf = org.apache.spark.util.sketch.BloomFilter
+                  .readFrom(new java.io.ByteArrayInputStream(bytes))
+                hs.exists(bf.mightContainLong)
+              }
+              val rows = spark.read.parquet(sidecar.toString)
+                .select(col("label"), might(col("bloom")).as("m")).collect()
+              Some((rows.map(_.getString(0)).toSet,
+                rows.filter(_.getBoolean(1)).map(_.getString(0)).toSet))
           }
         }
       })
@@ -605,6 +609,43 @@ object Ktk {
       }
     if (dispatchBy.nonEmpty) projected.repartition(dispatchBy.map(c => col(s"`$c`")): _*)
     else projected
+  }
+
+  /** Semi-join FILE pruning — the catalog-level analog of Spark's dynamic
+    * file pruning, driven by our own metadata instead of a runtime filter:
+    * when the probe side's distinct keys fit `maxKeys`, collect them and
+    * read with an IN predicate, so `queryLabels` prunes files through every
+    * skipping layer that applies (partition keys, secondary indices, zone
+    * maps, Bloom sidecars) and the residual IN filter keeps the result
+    * EXACTLY the semi join. Oversized key sets fall back to a plain read +
+    * broadcast-or-shuffled left_semi join — correct at any probe size, just
+    * without file-level skipping.
+    *
+    * The classic 100 TB shape: a point-ish dimension filter (thousands of
+    * keys) against a fact table with a Bloom sidecar on the join key touches
+    * only the files that can contain those keys, instead of scheduling a
+    * full fact scan to throw 99.99% of it away at the join.
+    */
+  def semiJoinRead(
+      spark: SparkSession,
+      base: String,
+      uuid: String,
+      column: String,
+      keysDf: DataFrame,
+      maxKeys: Int = 10000,
+      columns: Seq[String] = Nil): DataFrame = {
+    require(columns.isEmpty || columns.contains(column),
+      s"projection must retain join column '$column'")
+    val keyCol = keysDf.columns.head
+    val distinctKeys = keysDf.select(col(s"`$keyCol`")).where(col(s"`$keyCol`").isNotNull).distinct()
+    // cap check collects at most maxKeys+1 rows, never the whole probe side
+    val keys = distinctKeys.limit(maxKeys + 1).collect().map(_.get(0)).toSeq
+    if (keys.size <= maxKeys)
+      readTable(spark, base, uuid, columns = columns,
+        predicates = Predicates(Seq(Seq(PredLiteral(column, graft.core.PredOp.In, keys)))))
+    else
+      readTable(spark, base, uuid, columns = columns)
+        .join(distinctKeys.withColumnRenamed(keyCol, column), Seq(column), "left_semi")
   }
 
   /** Iterator backend (≙ io/iter.py) — lazy per-partition pull. */

@@ -111,6 +111,19 @@ class BloomSpec extends SparkSpec {
       .select("payload").as[String].collect().toSeq shouldBe Seq("v100")
   }
 
+  test("semiJoinRead prunes files via the bloom sidecar and matches a real semi join") {
+    val base = tmpDir("bloom")
+    val md = Ktk.store(spark, base, "ds", sample, bloomFor = Seq("id"))
+    val probe = Seq(701L, 1401L, 701L).toDF("key") // dups + both in p-range 1
+    val out = Ktk.semiJoinRead(spark, base, "ds", "id", probe)
+    out.select("payload").as[String].collect().sorted.toSeq shouldBe Seq("v100", "v200")
+    // file pruning really happened: only the owning files were scanned
+    out.inputFiles.length should be < md.partitions.size
+    // oversized key set falls back to the join path, same result
+    val big = Ktk.semiJoinRead(spark, base, "ds", "id", probe, maxKeys = 1)
+    big.select("payload").as[String].collect().sorted.toSeq shouldBe Seq("v100", "v200")
+  }
+
   test("string-typed probe hashes match the build side") {
     val base = tmpDir("bloom")
     val md = Ktk.store(spark, base, "ds", sample, bloomFor = Seq("payload"))
