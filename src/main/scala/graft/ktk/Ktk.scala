@@ -877,7 +877,8 @@ object Ktk {
       secondaryIndices: Seq[String] = Nil,
       overwrite: Boolean = false,
       userMetadata: Map[String, String] = Map.empty,
-      zoneMapFor: Seq[String] = Nil): DatasetMetadata = {
+      zoneMapFor: Seq[String] = Nil,
+      bloomFor: Seq[String] = Nil): DatasetMetadata = {
     if (!overwrite && DatasetMetadata.exists(spark, base, uuid))
       throw new IllegalStateException(s"Dataset '$uuid' already exists (pass overwrite=true)")
     if (overwrite)
@@ -885,15 +886,16 @@ object Ktk {
       // a later writePartition would append beside invisible leftovers
       DatasetMetadata.fs(spark, base).delete(new Path(s"$base/$uuid"), true)
     partitionOn.foreach(c => require(schema.fieldNames.contains(c), s"partition_on column '$c' missing"))
-    (secondaryIndices ++ zoneMapFor).foreach(c =>
-      require(schema.fieldNames.contains(c), s"index/zone column '$c' not in schema"))
+    (secondaryIndices ++ zoneMapFor ++ bloomFor).foreach(c =>
+      require(schema.fieldNames.contains(c), s"index/zone/bloom column '$c' not in schema"))
     val normalized = SchemaUtil.normalizeSchema(schema, partitionOn)
     val md = DatasetMetadata(
       uuid = uuid, partitionKeys = partitionOn,
       indices = secondaryIndices.map(c => c -> s"$c.parquet").toMap,
-      // registered zone columns start empty; [[commit]] fills per-label
-      // ranges as partitions publish
+      // registered zone/bloom columns start empty; [[commit]] fills ranges
+      // and builds sidecars as partitions publish
       zoneMaps = zoneMapFor.map(c => c -> Map.empty[String, Seq[String]]).toMap,
+      blooms = bloomFor.map(c => c -> s"$c.parquet").toMap,
       schemaJson = normalized.json, metadata = userMetadata)
     DatasetMetadata.store(spark, base, md)
     md
@@ -1102,13 +1104,15 @@ object Ktk {
       }
       toDelete.foreach { p => fs.delete(p, false); deleted += p.toString }
     }
-    // index files not in the registry
-    val idxRoot = fs.makeQualified(new Path(s"$base/$uuid/$IndexDirName"))
-    if (fs.exists(idxRoot)) {
-      val valid = md.indices.values.toSet
-      fs.listStatus(idxRoot).foreach { st =>
-        if (!valid.contains(st.getPath.getName) && !st.getPath.getName.startsWith(".")) {
-          fs.delete(st.getPath, true); deleted += st.getPath.toString
+    // index / bloom sidecar files not in their registries
+    Seq(IndexDirName -> md.indices.values.toSet,
+        "blooms" -> md.bloomRegistry.values.toSet).foreach { case (dir, valid) =>
+      val root = fs.makeQualified(new Path(s"$base/$uuid/$dir"))
+      if (fs.exists(root)) {
+        fs.listStatus(root).foreach { st =>
+          if (!valid.contains(st.getPath.getName) && !st.getPath.getName.startsWith(".")) {
+            fs.delete(st.getPath, true); deleted += st.getPath.toString
+          }
         }
       }
     }

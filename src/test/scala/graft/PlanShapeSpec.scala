@@ -135,6 +135,32 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("repetition metrics are pure codegen'd expressions — no UDF, no shuffle") {
+    import graft.ops.TextAnalysis
+    val docs = (0 until 100).map(i => (i.toLong, s"line a\nline b\nline a word $i")).toDF("id", "text")
+    val out = docs.select(col("id"),
+      TextAnalysis.dupLineFraction(col("text")),
+      TextAnalysis.dupLineCharFraction(col("text")),
+      TextAnalysis.dupBigramFraction(col("text")))
+    val plan = out.queryExecution.executedPlan
+    plan.toString should not include "ScalaUDF"
+    plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    } shouldBe empty
+  }
+
+  test("bloom semi-join read schedules only the pruned file list") {
+    val b = tmpDir("plan-bloom")
+    val df = (0 until 300).map(i => (i.toLong, s"v$i")).toDF("k", "v")
+    val md = Ktk.store(spark, b, "facts", df, bloomFor = Seq("k"))
+    md.partitions.size should be > 1
+    val probe = Seq(5L, 7L).toDF("key")
+    val out = Ktk.semiJoinRead(spark, b, "facts", "k", probe)
+    out.inputFiles.length should be < md.partitions.size
+    // IN residual pushed to parquet on the survivors
+    out.queryExecution.executedPlan.toString should include("In(k, [5,7])")
+  }
+
   test("bucketed-write shuffle parallelism is decoupled from bucket count") {
     val df = (0 until 1000).map(i => (i % 2, i.toLong, s"v$i")).toDF("p", "k", "v")
     // numBuckets=2 but the DECLARED shuffle must still use

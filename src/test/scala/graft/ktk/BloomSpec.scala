@@ -124,6 +124,23 @@ class BloomSpec extends SparkSpec {
     big.select("payload").as[String].collect().sorted.toSeq shouldBe Seq("v100", "v200")
   }
 
+  test("two-phase write builds registered blooms at commit; gc removes unregistered sidecars") {
+    val base = tmpDir("bloom")
+    val fs = DatasetMetadata.fs(spark, base)
+    Ktk.createEmpty(spark, base, "tp", sample.schema, bloomFor = Seq("id"))
+    val l1 = Ktk.writePartition(spark, base, "tp", sample.filter(col("id") < 1000L))
+    val l2 = Ktk.writePartition(spark, base, "tp", sample.filter(col("id") >= 1000L))
+    val md = Ktk.commit(spark, base, "tp", l1 ++ l2)
+    fs.exists(new Path(md.bloomPath(base, "id"))) shouldBe true
+    val labels = Ktk.queryLabels(spark, base, md, Predicates.of(Seq(("id", "==", 701L))))
+    labels.size should be < md.partitions.size
+    // a sidecar whose column was dropped from the registry is garbage
+    val md2 = md.copy(blooms = Map.empty)
+    DatasetMetadata.store(spark, base, md2)
+    val deleted = Ktk.garbageCollect(spark, base, "tp")
+    deleted.exists(_.contains("blooms/id.parquet")) shouldBe true
+  }
+
   test("string-typed probe hashes match the build side") {
     val base = tmpDir("bloom")
     val md = Ktk.store(spark, base, "ds", sample, bloomFor = Seq("payload"))
