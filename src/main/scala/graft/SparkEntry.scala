@@ -726,6 +726,19 @@ object SparkEntry {
         .orderBy("id_a")
     }),
 
+    "q_dedup_paragraph" -> ((s, dir) => {
+      // cross-document paragraph dedup (FineWeb/Dolma pipeline step): only
+      // the globally-first occurrence of each normalized paragraph survives;
+      // docs reduced to nothing drop out. Two bounded shuffles — paragraph
+      // hashes, then doc reassembly — no corpus joins, no driver state.
+      // Single-line testdata gets deterministic 3-word lines first (same
+      // regexp in the oracle).
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"),
+          regexp_replace(col("text"), "(\\S+ \\S+ \\S+) ", "$1\n").as("text"))
+      Dedup.paragraphDedup(d, "doc_id", "text").orderBy("doc_id")
+    }),
+
     "q_text_boilerplate" -> ((s, dir) => {
       // plant identical header/footer lines into EVERY document; removal at
       // a high doc-frequency threshold must recover the originals exactly,
@@ -1643,6 +1656,27 @@ object SparkEntry {
         |    (CASE WHEN mtl >= 3.0 AND mtl <= 12.0 THEN 1.0 ELSE 0.5 END)
         |  ) / 3.0, 4) AS quality
         |FROM m ORDER BY doc_id""".stripMargin,
+
+    "q_dedup_paragraph" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    string_split(regexp_replace(text, '(\S+ \S+ \S+) ', '\1' || chr(10), 'g'), chr(10)) AS ls
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(1, len(ls)+1), i -> {'pos': i, 'para': ls[i]})) AS u
+        |  FROM d),
+        |e AS (
+        |  SELECT doc_id, u.pos AS pos, u.para AS para,
+        |    lower(regexp_replace(trim(u.para), '\s+', ' ', 'g')) AS norm
+        |  FROM p),
+        |k AS (
+        |  SELECT doc_id, pos, para,
+        |    (length(norm) = 0 OR
+        |     row_number() OVER (PARTITION BY norm ORDER BY doc_id, pos) = 1) AS keep
+        |  FROM e)
+        |SELECT doc_id, string_agg(para, chr(10) ORDER BY pos) AS text
+        |FROM k WHERE keep GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q_text_repetition" ->
       """WITH d AS (

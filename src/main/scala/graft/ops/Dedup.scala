@@ -39,6 +39,41 @@ object Dedup {
     df.join(keep, Seq(idCol), "left_semi")
   }
 
+  /** Cross-document PARAGRAPH dedup (the FineWeb/Dolma pipeline step:
+    * boilerplate paragraphs repeat across pages; only the globally-first
+    * occurrence survives). Paragraphs = `sep`-delimited segments; identity =
+    * xxhash64 of the lowercased whitespace-collapsed segment; first = least
+    * (idCol, position). Documents are rebuilt in original paragraph order;
+    * whitespace-only segments always survive (they carry layout, not
+    * content). Returns (idCol, textCol) with the deduped text.
+    *
+    * Scale shape: two shuffles — one window over the 8-byte paragraph hash
+    * (rows carry (id, pos, paragraph), never whole documents), one regroup
+    * by id to reassemble. No driver-side state, no joins against the corpus.
+    */
+  def paragraphDedup(df: DataFrame, idCol: String, textCol: String,
+      sep: String = "\n"): DataFrame = {
+    val paras = df.select(col(idCol),
+        posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+          .as(Seq("__pos", "__para")))
+    val norm = lower(regexp_replace(trim(col("__para")), "\\s+", " "))
+    val isBlank = length(norm) === 0
+    // blank segments survive unconditionally; giving each its own window
+    // partition (keyed by id+pos) keeps the most frequent "paragraph" in any
+    // real corpus — the empty line — from funneling into one skewed task
+    val w = Window.partitionBy(xxhash64(norm),
+        when(isBlank, col(idCol)).otherwise(lit(0L)),
+        when(isBlank, col("__pos")).otherwise(lit(0)))
+      .orderBy(col(idCol), col("__pos"))
+    paras
+      .withColumn("__keep", row_number().over(w) === 1)
+      .filter(col("__keep"))
+      .groupBy(col(idCol))
+      .agg(array_sort(collect_list(struct(col("__pos"), col("__para")))).as("__arr"))
+      .select(col(idCol),
+        concat_ws(sep, transform(col("__arr"), x => x.getField("__para"))).as(textCol))
+  }
+
   // ---------------------------------------------------------------- minhash
 
   /** 64-bit multiply-shift hash family; seeds fixed ⇒ deterministic. */

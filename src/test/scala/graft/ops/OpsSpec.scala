@@ -310,6 +310,23 @@ class TextAnalysisSpec extends SparkSpec {
     out.select("vec_id").as[Long].collect().sorted.toSeq shouldBe Seq(1L, 4L)
   }
 
+  test("paragraphDedup keeps the globally-first occurrence, preserves layout") {
+    import org.apache.spark.sql.functions.col
+    val df = Seq(
+      (1L, "shared header\n\nunique body one"),
+      (2L, "shared header\n\nunique body two"),
+      (3L, "SHARED   header") // normalization: case + whitespace runs
+    ).toDF("id", "text")
+    val out = graft.ops.Dedup.paragraphDedup(df, "id", "text")
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1)))
+    // doc 1 keeps everything; docs 2 and 3 lose the shared paragraph, blank
+    // lines survive as layout
+    out shouldBe Array(
+      (1L, "shared header\n\nunique body one"),
+      (2L, "\nunique body two"))
+    // doc 3 was ONLY the duplicate paragraph → drops out entirely
+  }
+
   test("repetition fractions: hand-checked duplicate lines and bigrams") {
     import org.apache.spark.sql.functions.col
     // 4 lines, "dup line" twice → dup_line_frac 1/4; line chars 8+10+8+7=33,
