@@ -946,6 +946,20 @@ object SparkEntry {
         .select("doc_id", "lang").orderBy("doc_id")
     }),
 
+    "q_sample_shuffle" -> ((s, dir) => {
+      // deterministic epoch permutation: every engine replays the md5-keyed
+      // order bit-for-bit. The op itself is one range-partitioned sort; the
+      // global row_number here only exists so the gate can verify the
+      // PERMUTATION (oracle recomputes it with its own window).
+      import org.apache.spark.sql.expressions.Window
+      val shuffled = Sampling.deterministicShuffle(
+        t(s, dir, "documents"), col("doc_id"), seed = "epoch7")
+      val h = md5(concat_ws(":", lit("epoch7"), col("doc_id").cast("string")))
+      shuffled.select(col("doc_id"),
+          row_number().over(Window.orderBy(h)).cast("long").as("pos"))
+        .orderBy("doc_id")
+    }),
+
     "q_mixture" -> ((s, dir) => {
       // resample the corpus to a uniform language mixture, as large as the
       // scarcest language allows
@@ -1798,6 +1812,11 @@ object SparkEntry {
          |  END AS split FROM documents)
          |SELECT split, lang, count(*) AS n FROM s WHERE split IS NOT NULL
          |GROUP BY split, lang ORDER BY split, lang""".stripMargin,
+
+    "q_sample_shuffle" ->
+      """SELECT doc_id,
+        |  row_number() OVER (ORDER BY md5('epoch7:' || CAST(doc_id AS VARCHAR))) AS pos
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_sample_exact" ->
       s"""WITH r AS (SELECT doc_id, lang,

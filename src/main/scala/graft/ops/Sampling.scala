@@ -34,6 +34,26 @@ object Sampling {
                           seed: String = "graft"): DataFrame =
     df.filter(hashUnit(seed, key) < lit(fraction))
 
+  /** Deterministic global shuffle (epoch permutation for training runs):
+    * order the corpus by md5(seed:key) — a reproducible pseudo-random
+    * permutation that any engine replays bit-for-bit, unlike
+    * `df.orderBy(rand(seed))` whose draw is tied to partitioning. Different
+    * `seed` (e.g. the epoch number) ⇒ an independent permutation; appended
+    * documents slot in without reshuffling the rest's relative order.
+    * Plans as ONE range-partitioned sort: each output partition holds a
+    * contiguous hash range, globally ordered — ready to write as training
+    * shards.
+    */
+  def deterministicShuffle(df: DataFrame, key: Column, seed: String = "graft",
+                           numPartitions: Option[Int] = None): DataFrame = {
+    val h = md5(concat_ws(":", lit(seed), key.cast("string")))
+    val parted = numPartitions match {
+      case Some(n) => df.repartitionByRange(n, h)
+      case None    => df.repartitionByRange(h)
+    }
+    parted.sortWithinPartitions(h)
+  }
+
   /** Stratified deterministic sample: per-stratum fractions, with a default
     * for strata not in the map. One map-side filter — no shuffle.
     */

@@ -67,6 +67,26 @@ class SamplingSpec extends SparkSpec {
     assign1.foreach { case (id, sp) => assign2(id) shouldBe sp }
   }
 
+  test("deterministicShuffle: reproducible permutation, seed-independent orders") {
+    import org.apache.spark.sql.functions.{col, concat_ws, lit, md5}
+    val df = (0L until 500L).toDF("id")
+    def order(seed: String): Seq[Long] =
+      Sampling.deterministicShuffle(df, col("id"), seed, numPartitions = Some(4))
+        .select("id").collect().map(_.getLong(0)).toSeq
+    val e1 = order("epoch1")
+    // a true permutation, identical on replay
+    e1.sorted shouldBe (0L until 500L)
+    order("epoch1") shouldBe e1
+    // another epoch reorders
+    order("epoch2") should not be e1
+    e1 should not be (0L until 500L) // actually shuffled
+    // globally ordered by the hash: collect order == hash-sorted order
+    val expected = df.select(col("id"),
+        md5(concat_ws(":", lit("epoch1"), col("id").cast("string"))).as("h"))
+      .collect().map(r => (r.getString(1), r.getLong(0))).sortBy(_._1).map(_._2).toSeq
+    e1 shouldBe expected
+  }
+
   test("mixtureResample hits the target mixture, drops unweighted domains") {
     val df = ids.withColumn("dom",
       when(col("id") < 1200, "big").when(col("id") < 1800, "mid").otherwise("tiny"))
