@@ -12,6 +12,8 @@ import graft.ktk.{DatasetMetadata, Ktk}
   *   runMain graft.tools.Cli info    <base> <uuid>
   *   runMain graft.tools.Cli query   <base> <uuid> "<col op value & ...>" [limit]
   *   runMain graft.tools.Cli index   <base> <uuid> <column>
+  *   runMain graft.tools.Cli bloom   <base> <uuid> <column>
+  *   runMain graft.tools.Cli zonemap <base> <uuid> <column> [column ...]
   *   runMain graft.tools.Cli cleanup <base> <uuid>
   *   runMain graft.tools.Cli compact <base> <uuid>
   *   runMain graft.tools.Cli delete  <base> <uuid>
@@ -48,6 +50,12 @@ object Cli {
     case "index" =>
       Ktk.addIndex(spark, args(1), args(2), args(3))
       println(s"indexed ${args(3)}")
+    case "bloom" =>
+      Ktk.addBloom(spark, args(1), args(2), args(3))
+      println(s"bloom sidecar built for ${args(3)}")
+    case "zonemap" =>
+      Ktk.addZoneMaps(spark, args(1), args(2), args.drop(3).toSeq)
+      println(s"zone maps computed for ${args.drop(3).mkString(", ")}")
     case "stats" =>
       Ktk.parquetStats(spark, args(1), args(2)).show(100, truncate = false)
     case "cleanup" =>
