@@ -1,0 +1,49 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+/** Property test: Dedup.paragraphDedup must agree with a sequential
+  * reference implementation (walk docs in id order, keep a paragraph iff
+  * its normalized form was never seen before or is blank) on arbitrary
+  * corpora with heavy cross-document repetition.
+  */
+class ParagraphDedupPropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  // small paragraph vocabulary → dense cross-document duplication;
+  // variants differ only in case/whitespace to exercise normalization
+  private val paraGen: Gen[String] = Gen.oneOf(
+    "alpha beta", "ALPHA  beta", "gamma", "  gamma ", "delta epsilon zeta",
+    "unique", "", " ", "eta theta")
+
+  private val docGen: Gen[String] =
+    Gen.chooseNum(0, 6).flatMap(n => Gen.listOfN(n, paraGen)).map(_.mkString("\n"))
+
+  private def norm(p: String): String =
+    p.trim.toLowerCase.replaceAll("\\s+", " ")
+
+  private def reference(docs: Seq[(Long, String)]): Map[Long, String] = {
+    val seen = scala.collection.mutable.HashSet.empty[String]
+    docs.sortBy(_._1).flatMap { case (id, text) =>
+      val kept = text.split("\n", -1).filter { p =>
+        val n = norm(p)
+        n.isEmpty || seen.add(n)
+      }
+      if (kept.isEmpty) None else Some(id -> kept.mkString("\n"))
+    }.toMap
+  }
+
+  test("paragraphDedup equals the sequential first-occurrence reference") {
+    val corpusGen = Gen.chooseNum(1, 12).flatMap(n => Gen.listOfN(n, docGen))
+      .map(_.zipWithIndex.map { case (t, i) => (i.toLong, t) })
+    val prop = Prop.forAll(corpusGen) { corpus =>
+      val df = corpus.toDF("id", "text")
+      val got = Dedup.paragraphDedup(df, "id", "text")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      got == reference(corpus)
+    }
+    val result = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(30), prop)
+    withClue(result.status.toString)(result.passed shouldBe true)
+  }
+}
