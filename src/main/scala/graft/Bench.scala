@@ -28,6 +28,11 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.isEmpty || only(name) }
       .map { case (name, fn) =>
+      // drain garbage from previous queries OUTSIDE the timed region — with
+      // ~90 queries in one JVM, heap pressure otherwise lands collections
+      // inside every rep of later queries and min-of-n stops converging to
+      // the noise floor (isolated runs measured 4-10x lower than in-suite)
+      System.gc()
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         try SparkEntry.withVolatileConfs(spark) { fn(spark, sfDir).count(); () }

@@ -111,7 +111,13 @@ object DatasetMetadata {
     val filesystem = fs(spark, base)
     val tmp = new Path(key.getParent, s".${key.getName}.tmp")
     val out = filesystem.create(tmp, true)
-    try out.write(mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(md))
+    // pretty JSON is a debugging aid; past ~1k partitions the blob is
+    // machine-read only and the indentation roughly doubles its size, so
+    // large catalogs switch to compact form (same Jackson model both ways)
+    val writer =
+      if (md.partitions.size > 1000) mapper.writer()
+      else mapper.writerWithDefaultPrettyPrinter()
+    try out.write(writer.writeValueAsBytes(md))
     finally out.close()
     try {
       val fc = org.apache.hadoop.fs.FileContext.getFileContext(
