@@ -284,7 +284,8 @@ object KartothekInterop {
       base: String,
       ds: V4Dataset,
       secondaryIndices: Seq[String] = Nil,
-      zoneMapFor: Seq[String] = Nil): DatasetMetadata = {
+      zoneMapFor: Seq[String] = Nil,
+      bloomFor: Seq[String] = Nil): DatasetMetadata = {
     val table = "table"
     ds.partitions.find(!_._2.contains(table)).foreach { case (l, files) =>
       throw new IllegalArgumentException(
@@ -322,7 +323,12 @@ object KartothekInterop {
       Ktk.buildIndex(spark, base, md0, c)
       c -> s"$c.parquet"
     }.toMap
-    val md = md0.copy(indices = indices)
+    val blooms = bloomFor.map { c =>
+      require(schema.fieldNames.contains(c), s"bloom column '$c' not in schema")
+      Ktk.buildBloom(spark, base, md0, c, partitions.keys.toSeq.sorted)
+      c -> s"$c.parquet"
+    }.toMap
+    val md = md0.copy(indices = indices, blooms = blooms)
     DatasetMetadata.store(spark, base, md)
     md
   }

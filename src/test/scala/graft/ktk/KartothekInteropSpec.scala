@@ -154,8 +154,12 @@ class KartothekInteropSpec extends SparkSpec {
     buildFixture(base, "refds")
     val v4 = KartothekInterop.load(spark, base, "refds")
     val md = KartothekInterop.adoptAsGraft(spark, base, v4,
-      secondaryIndices = Seq("l"), zoneMapFor = Seq("v"))
+      secondaryIndices = Seq("l"), zoneMapFor = Seq("v"), bloomFor = Seq("l"))
     md.partitions.size shouldBe 3
+    // bloom sidecar built over the adopted files prunes equality lookups
+    md.bloomRegistry.keySet shouldBe Set("l")
+    Ktk.queryLabels(spark, base, md,
+      Predicates.of(Seq(("l", "==", "c")))).size should be < 3
     // the full Ktk surface now works over the SAME files
     val back = Ktk.readTable(spark, base, "refds")
     back.count() shouldBe 4
