@@ -497,11 +497,32 @@ object Ktk {
           md.zoneMaps.contains(l.col) && !partCols.contains(l.col) && indexPrunable(l))
         val afterZone = zoneLits.foldLeft(afterIdx) { (labels, l) =>
           val zm = md.zoneMaps(l.col)
+          // large IN lists (semiJoinRead pushes up to maxKeys values): sort
+          // once, binary-search per file — O(files·log keys), not
+          // O(files·keys), which matters on the driver at catalog scale
+          val check: (String, String) => Boolean = l.op match {
+            case graft.core.PredOp.In =>
+              val sorted =
+                try l.value.asInstanceOf[Seq[Any]].filter(_ != null)
+                  .sortWith(zoneCmp(_, _) < 0).toIndexedSeq
+                catch { case _: Exception => null }
+              if (sorted == null) (mn, mx) => zoneMayMatch(l, mn, mx)
+              else (mn, mx) => try {
+                // least value >= mn, then test <= mx
+                var lo = 0; var hi = sorted.size
+                while (lo < hi) {
+                  val mid = (lo + hi) >>> 1
+                  if (zoneCmp(sorted(mid), mn) < 0) lo = mid + 1 else hi = mid
+                }
+                lo < sorted.size && zoneCmp(sorted(lo), mx) <= 0
+              } catch { case _: Exception => true }
+            case _ => (mn, mx) => zoneMayMatch(l, mn, mx)
+          }
           labels.filter { lbl =>
             zm.get(lbl) match {
               case None                  => true // no stats recorded: keep
               case Some(s) if s.isEmpty  => false // all-null file
-              case Some(s)               => zoneMayMatch(l, s.head, s(1))
+              case Some(s)               => check(s.head, s(1))
             }
           }
         }

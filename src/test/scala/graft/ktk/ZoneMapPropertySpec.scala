@@ -52,6 +52,11 @@ class ZoneMapPropertySpec extends SparkSpec {
     check(Predicates.of(Seq(("t", "!=", null))), "t-nonnull")
     check(Predicates.of(Seq(("s", "in", Seq("w001", "w007", null)))), "s-in-null")
     check(Predicates.of(Seq(("x", "in", Seq(5.0, -3.0)))), "x-in")
+    // large IN list exercises the sorted binary-search zone path
+    val rnd2 = new scala.util.Random(17)
+    val bigIn = Seq.fill(300)((rnd2.nextInt(260) - 130).toDouble).distinct
+    check(Predicates.of(Seq(("x", "in", bigIn))), "x-in-large")
+    check(Predicates.of(Seq(("s", "in", (0 until 200).map(i => f"w${i * 3}%03d")))), "s-in-large")
   }
 
   test("random conjunctions and disjunctions match the raw filter") {
