@@ -16,7 +16,7 @@ class KtkSinkSpec extends SparkSpec {
   test("streaming micro-batches land as atomic dataset commits") {
     val base = tmpDir("ktksink")
     Ktk.createEmpty(spark, base, "stream_ds", schema, partitionOn = Seq("p"),
-      secondaryIndices = Seq("v"))
+      secondaryIndices = Seq("v"), bloomFor = Seq("k"))
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Int, Long, String)]
     val df = mem.toDF().toDF("p", "k", "v")
@@ -38,6 +38,13 @@ class KtkSinkSpec extends SparkSpec {
     import graft.core.Predicates
     Ktk.readTable(spark, base, "stream_ds",
       predicates = Predicates.of(Seq(("v", "==", "c")))).count() shouldBe 1
+    // bloom sidecar merged incrementally on every streaming commit: it
+    // covers all live labels and point lookups still resolve
+    val md = DatasetMetadata.load(spark, base, "stream_ds")
+    spark.read.parquet(md.bloomPath(base, "k"))
+      .select("label").as[String].collect().toSet shouldBe md.partitions.keySet
+    Ktk.readTable(spark, base, "stream_ds",
+      predicates = Predicates.of(Seq(("k", "==", 3L)))).count() shouldBe 1
   }
 
   test("a replayed batch id is committed exactly once") {
