@@ -40,6 +40,9 @@ class BloomSpec extends SparkSpec {
     // id = 701 lives in the row (p=1, i=100); no partition/zone info exists
     val labels = Ktk.queryLabels(spark, base, md, Predicates.of(Seq(("id", "==", 701L))))
     labels.size should be < md.partitions.size
+    // an Int literal on the bigint column hashes through the column type —
+    // same pruning as the Long literal
+    Ktk.queryLabels(spark, base, md, Predicates.of(Seq(("id", "==", 701)))) shouldBe labels
     val df = Ktk.readTable(spark, base, "ds", predicates = Predicates.of(Seq(("id", "==", 701L))))
     df.select("payload").as[String].collect().toSeq shouldBe Seq("v100")
   }
