@@ -391,12 +391,17 @@ object Ktk {
       .agg(sort_array(collect_set(col("label"))).as("partitions"))
       .sortWithinPartitions("value")
 
+  /** The raw index frame. One row per value after [[store]]/[[update]]/
+    * [[compact]]; append-only streaming commits ([[update]] with
+    * `appendSidecars`) may leave a value spread over several rows until the
+    * next [[compact]] — consumers must treat rows per value as a union.
+    */
   def loadIndex(spark: SparkSession, base: String, md: DatasetMetadata, column: String): DataFrame =
     spark.read.parquet(md.indexPath(base, column))
 
   /** Distinct indexed values (≙ IndexBase.observed_values). */
   def observedValues(spark: SparkSession, base: String, md: DatasetMetadata, column: String): DataFrame =
-    loadIndex(spark, base, md, column).select(col("value"))
+    loadIndex(spark, base, md, column).select(col("value")).distinct()
 
   /** ≙ dataset.query / get_indices_as_dataframe (core/dataset.py:392-516):
     * labels matching the predicates using ONLY partition keys + secondary
