@@ -707,6 +707,21 @@ object SparkEntry {
         .groupBy().agg(count(lit(1)).as("survivors"), min("doc_id").as("min_id"), max("doc_id").as("max_id"))
     }),
 
+    "q_dedup_minhash_best" -> ((s, dir) => {
+      // quality-aware survivor policy: each near-dup component keeps its
+      // LONGEST member — the v2-mutated copies are strictly longer than the
+      // originals, so survivors should come from the high-id variants
+      val d = t(s, dir, "documents")
+      val m1 = d.withColumn("doc_id", col("doc_id") + 1000000)
+        .withColumn("text", concat(lit("v1 "), col("text")))
+      val m2 = d.withColumn("doc_id", col("doc_id") + 2000000)
+        .withColumn("text", concat(lit("v2 v2 "), col("text")))
+      Dedup.minhashDedupCCKeepBest(d.unionByName(m1).unionByName(m2),
+          "doc_id", "text", length(col("text")), threshold = 0.6)
+        .groupBy().agg(count(lit(1)).as("survivors"), min("doc_id").as("min_id"),
+          sum(when(col("doc_id") >= 2000000, 1L).otherwise(0L)).as("v2_survivors"))
+    }),
+
     "q_dedup_simhash" -> ((s, dir) => {
       val d = t(s, dir, "documents")
       val mutated = d.withColumn("doc_id", col("doc_id") + 1000000)
@@ -737,6 +752,29 @@ object SparkEntry {
         .select(col("doc_id"),
           regexp_replace(col("text"), "(\\S+ \\S+ \\S+) ", "$1\n").as("text"))
       Dedup.paragraphDedup(d, "doc_id", "text").orderBy("doc_id")
+    }),
+
+    "q_dedup_keepbest" -> ((s, dir) => {
+      // exact-dup groups keep the highest-score copy (ties → least id); the
+      // score varies WITHIN each planted pair (pmod 3), so the survivor set
+      // provably differs from keep-first — some groups keep the copy
+      val d = t(s, dir, "documents")
+      val dup = d.unionByName(d.withColumn("doc_id", col("doc_id") + 1000000))
+      Dedup.exactKeepBest(dup, "doc_id", "text", pmod(col("doc_id"), lit(3)))
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id")
+    }),
+
+    "q_para_frequent" -> ((s, dir) => {
+      // CCNet-style boilerplate rule: a line present in >2 distinct docs is
+      // removed EVERYWHERE (vs q_dedup_paragraph's keep-first). Same 3-word
+      // line split as the oracle; planted header hits every doc and must
+      // vanish from all of them.
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"),
+          concat(lit("SHARED HEADER LINE\n"),
+            regexp_replace(col("text"), "(\\S+ \\S+ \\S+) ", "$1\n")).as("text"))
+      Dedup.paragraphDedupFrequent(d, "doc_id", "text", maxDf = 2L).orderBy("doc_id")
     }),
 
     "q_text_boilerplate" -> ((s, dir) => {
@@ -1691,6 +1729,37 @@ object SparkEntry {
         |  FROM e)
         |SELECT doc_id, string_agg(para, chr(10) ORDER BY pos) AS text
         |FROM k WHERE keep GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_dedup_keepbest" ->
+      """WITH u AS (
+        |  SELECT doc_id, text, lang, n_chars FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, text, lang, n_chars FROM documents)
+        |SELECT doc_id, lang, n_chars FROM u
+        |QUALIFY row_number() OVER (PARTITION BY text ORDER BY (doc_id % 3) DESC, doc_id) = 1
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_para_frequent" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    string_split('SHARED HEADER LINE' || chr(10) ||
+        |      regexp_replace(text, '(\S+ \S+ \S+) ', '\1' || chr(10), 'g'), chr(10)) AS ls
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(1, len(ls)+1), i -> {'pos': i, 'para': ls[i]})) AS u
+        |  FROM d),
+        |e AS (
+        |  SELECT doc_id, u.pos AS pos, u.para AS para,
+        |    lower(regexp_replace(trim(u.para), '\s+', ' ', 'g')) AS norm
+        |  FROM p),
+        |hot AS (
+        |  SELECT norm FROM e WHERE length(norm) > 0
+        |  GROUP BY norm HAVING count(DISTINCT doc_id) > 2)
+        |SELECT doc_id, string_agg(para, chr(10) ORDER BY pos) AS text
+        |FROM e
+        |WHERE length(norm) = 0 OR norm NOT IN (SELECT norm FROM hot)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q_text_repetition" ->
       """WITH d AS (

@@ -39,6 +39,22 @@ object Dedup {
     df.join(keep, Seq(idCol), "left_semi")
   }
 
+  /** Content-hash exact dedup keeping the BEST row per duplicate group
+    * (highest `score`, ties broken by least id) — the "keep the longest /
+    * highest-quality copy" policy real pipelines prefer over keep-first.
+    *
+    * Scale shape: only (hash, id, score) triples go through the window
+    * shuffle; the full rows never move until the final semi-join on id.
+    */
+  def exactKeepBest(df: DataFrame, idCol: String, textCol: String,
+      score: Column): DataFrame = {
+    val slim = df.select(col(idCol), xxhash64(col(textCol)).as("__h"), score.as("__s"))
+    val w = Window.partitionBy("__h").orderBy(col("__s").desc, col(idCol))
+    val keep = slim.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).select(idCol)
+    df.join(keep, Seq(idCol), "left_semi")
+  }
+
   /** Cross-document PARAGRAPH dedup (the FineWeb/Dolma pipeline step:
     * boilerplate paragraphs repeat across pages; only the globally-first
     * occurrence survives). Paragraphs = `sep`-delimited segments; identity =
@@ -68,6 +84,38 @@ object Dedup {
     paras
       .withColumn("__keep", row_number().over(w) === 1)
       .filter(col("__keep"))
+      .groupBy(col(idCol))
+      .agg(array_sort(collect_list(struct(col("__pos"), col("__para")))).as("__arr"))
+      .select(col(idCol),
+        concat_ws(sep, transform(col("__arr"), x => x.getField("__para"))).as(textCol))
+  }
+
+  /** Frequency-threshold paragraph removal (the CCNet/Dolma boilerplate
+    * rule): a paragraph appearing in MORE than `maxDf` distinct documents is
+    * boilerplate — ALL its occurrences are removed (unlike [[paragraphDedup]]
+    * which keeps the first). Whitespace-only segments always survive; docs
+    * reduced to nothing drop out.
+    *
+    * Scale shape: paragraphs shuffle as (id, pos, para, 8-byte hash) once for
+    * the document-frequency count and once for reassembly; the anti-join's
+    * build side holds ONLY the over-threshold hashes — a tiny relation (the
+    * hot boilerplate set) that AQE broadcasts, so the corpus never joins
+    * against itself.
+    */
+  def paragraphDedupFrequent(df: DataFrame, idCol: String, textCol: String,
+      maxDf: Long, sep: String = "\n"): DataFrame = {
+    val paras = df.select(col(idCol),
+        posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+          .as(Seq("__pos", "__para")))
+    val norm = lower(regexp_replace(trim(col("__para")), "\\s+", " "))
+    // null hash for blank segments: never equal in the anti-join ⇒ kept
+    val withH = paras.withColumn("__h",
+      when(length(norm) === 0, lit(null)).otherwise(xxhash64(norm)))
+    val hot = withH.filter(col("__h").isNotNull)
+      .groupBy("__h").agg(countDistinct(col(idCol)).as("__df"))
+      .filter(col("__df") > maxDf)
+      .select("__h")
+    withH.join(hot, Seq("__h"), "left_anti")
       .groupBy(col(idCol))
       .agg(array_sort(collect_list(struct(col("__pos"), col("__para")))).as("__arr"))
       .select(col(idCol),
@@ -264,6 +312,41 @@ object Dedup {
     // losers: vertices whose component representative (min id) is not itself
     val losers = components.filter(col("id") =!= col("component"))
       .select(col("id").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
+  /** [[minhashDedupCC]] with a quality-aware keep policy: each duplicate
+    * component keeps its HIGHEST-`score` member (ties → least id) instead of
+    * the least id. This is how production corpus dedup actually picks
+    * survivors — keep the longest / highest-quality copy of a page, not the
+    * one that happened to sort first.
+    *
+    * Scale shape: identical to [[minhashDedupCC]] plus one window over
+    * (component, id, score) triples — component populations are dup-cluster
+    * sized, never corpus sized.
+    */
+  def minhashDedupCCKeepBest(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      score: Column,
+      threshold: Double = 0.8,
+      shingleK: Int = 5,
+      numHashes: Int = 128,
+      bands: Int = 32): DataFrame = {
+    import org.apache.spark.graphx.{Edge, Graph}
+    val spark = df.sparkSession
+    val verified = verifiedStarEdges(df, idCol, textCol, threshold, shingleK, numHashes, bands)
+    val edgeRdd = verified.select(col("id_a"), col("id_b")).rdd
+      .map(r => Edge(r.getLong(0), r.getLong(1), 1))
+    val graph = Graph.fromEdges(edgeRdd, defaultValue = 1)
+    import spark.implicits._
+    val components = graph.connectedComponents().vertices.toDF("id", "component")
+    val scored = df.select(col(idCol).cast("long").as("id"), score.as("__s"))
+      .join(components, Seq("id"))
+    val w = Window.partitionBy("component").orderBy(col("__s").desc, col("id"))
+    val losers = scored.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") =!= 1).select(col("id").as(idCol))
     df.join(losers, Seq(idCol), "left_anti")
   }
 

@@ -19,6 +19,48 @@ class DedupSpec extends SparkSpec {
     out.select("doc_id").as[Long].collect().sorted.toSeq shouldBe Seq(0L, 1L, 2L)
   }
 
+  test("exactKeepBest keeps the highest score per identical text, ties by min id") {
+    val df = Seq(
+      (0L, doc, 5.0), (3L, doc, 9.0),      // group keeps 3 (higher score)
+      (1L, nearDup, 2.0),                  // singleton survives
+      (2L, other, 1.0), (4L, other, 1.0)   // tie → min id 2
+    ).toDF("doc_id", "text", "score")
+    val out = Dedup.exactKeepBest(df, "doc_id", "text", col("score"))
+    out.select("doc_id").as[Long].collect().sorted.toSeq shouldBe Seq(1L, 2L, 3L)
+  }
+
+  test("paragraphDedupFrequent removes ALL occurrences above the doc-frequency cap") {
+    val df = Seq(
+      (0L, "HOT\nunique a\n\nHOT"),   // HOT twice in one doc counts once
+      (1L, "HOT\nunique b"),
+      (2L, "hot \nunique c"),         // normalization folds into the same key
+      (3L, "warm\nunique d"),
+      (4L, "warm\nunique e")
+    ).toDF("id", "text")
+    val out = Dedup.paragraphDedupFrequent(df, "id", "text", maxDf = 2L)
+      .as[(Long, String)].collect().toMap
+    out(0L) shouldBe "unique a\n"        // HOTs gone, blank line kept
+    out(1L) shouldBe "unique b"
+    out(2L) shouldBe "unique c"
+    out(3L) shouldBe "warm\nunique d"    // df=2 ≤ cap → kept everywhere
+    out(4L) shouldBe "warm\nunique e"
+  }
+
+  test("paragraphDedupFrequent drops docs reduced to nothing") {
+    val df = Seq((0L, "Z"), (1L, "Z"), (2L, "Z"), (3L, "keep")).toDF("id", "text")
+    val out = Dedup.paragraphDedupFrequent(df, "id", "text", maxDf = 2L)
+    out.select("id").as[Long].collect().sorted.toSeq shouldBe Seq(3L)
+  }
+
+  test("minhashDedupCCKeepBest keeps the highest-score member per component") {
+    val df = Seq(
+      (0L, doc, 1.0), (1L, nearDup, 7.0), (3L, doc, 3.0), // one component → 1
+      (2L, other, 0.5)                                    // untouched singleton
+    ).toDF("doc_id", "text", "score")
+    val out = Dedup.minhashDedupCCKeepBest(df, "doc_id", "text", col("score"), threshold = 0.6)
+    out.select("doc_id").as[Long].collect().sorted.toSeq shouldBe Seq(1L, 2L)
+  }
+
   test("exact (keep-first by order) on key columns") {
     val df = Seq((1, "b", 2.0), (1, "a", 1.0), (2, "c", 3.0)).toDF("k", "o", "v")
     val out = Dedup.exact(df, Seq("k"), "o")
