@@ -285,13 +285,20 @@ object Ktk {
     */
   private def mergeBloomsIncremental(
       spark: SparkSession, base: String, md: DatasetMetadata, tableDir: String,
-      survivingOld: Seq[String], newLabels: Seq[String]): Unit = {
+      survivingOld: Seq[String], newLabels: Seq[String],
+      appendOnly: Boolean = false): Unit = {
     import spark.implicits._
     val fsys = DatasetMetadata.fs(spark, base)
     md.bloomRegistry.keys.foreach { c =>
       val fsPath = md.bloomPath(base, c)
       val oldExists = fsys.exists(new Path(fsPath))
-      if (oldExists || newLabels.nonEmpty) {
+      if (appendOnly && oldExists) {
+        // streaming-commit fast path (see mergeIndicesIncremental): new
+        // labels' bloom rows append as extra files, O(new files) per commit
+        if (newLabels.nonEmpty)
+          bloomPairs(spark, tableDir, c, newLabels)
+            .write.mode(SaveMode.Append).parquet(fsPath)
+      } else if (oldExists || newLabels.nonEmpty) {
         val survivors = survivingOld.toDF("label")
         def fresh = bloomPairs(spark, tableDir, c, newLabels)
         val rows = (oldExists, newLabels.nonEmpty) match {
@@ -701,7 +708,8 @@ object Ktk {
       newData: Option[DataFrame],
       deleteScope: Predicates = Predicates.empty,
       sortBy: Seq[String] = Nil,
-      extraMetadata: Map[String, String] = Map.empty): DatasetMetadata = {
+      extraMetadata: Map[String, String] = Map.empty,
+      appendSidecars: Boolean = false): DatasetMetadata = {
 
     val md = DatasetMetadata.load(spark, base, uuid)
     val tableDir = md.tableDir(base)
@@ -749,12 +757,17 @@ object Ktk {
     }
     val md1 = md.copy(partitions = finalPartitions, partitionSeq = finalSeq,
       zoneMaps = mergedZones, metadata = md.metadata ++ extraMetadata)
+    // append-only sidecar maintenance: only meaningful with no deletes —
+    // after a delete the canonical merge must drop the dead labels' rows so
+    // loadIndex/observedValues stay exact (queryLabels alone would tolerate
+    // stale labels via its live-partition intersection)
+    val appendOnly = appendSidecars && deleted.isEmpty
     mergeIndicesIncremental(spark, base, md, tableDir,
       survivingOld = finalPartitions.keys.toSeq.filter(before.contains),
-      newLabels = newLabels.toSeq)
+      newLabels = newLabels.toSeq, appendOnly = appendOnly)
     mergeBloomsIncremental(spark, base, md, tableDir,
       survivingOld = finalPartitions.keys.toSeq.filter(before.contains),
-      newLabels = newLabels.toSeq)
+      newLabels = newLabels.toSeq, appendOnly = appendOnly)
 
     DatasetMetadata.store(spark, base, md1)
     md1
@@ -767,14 +780,25 @@ object Ktk {
     */
   private def mergeIndicesIncremental(
       spark: SparkSession, base: String, md: DatasetMetadata, tableDir: String,
-      survivingOld: Seq[String], newLabels: Seq[String]): Unit = {
+      survivingOld: Seq[String], newLabels: Seq[String],
+      appendOnly: Boolean = false): Unit = {
     import spark.implicits._
     val fsys = DatasetMetadata.fs(spark, base)
     md.indices.keys.foreach { c =>
       val fsPath = md.indexPath(base, c)
       // an index registered at createEmpty has no file until data first lands
       val oldExists = fsys.exists(new Path(fsPath))
-      if (oldExists || newLabels.nonEmpty) {
+      if (appendOnly && oldExists) {
+        // streaming-commit fast path: O(new files), never O(index). New
+        // labels' rows land as EXTRA parquet files in the index dir; a value
+        // may then span several rows until [[compact]] re-canonicalizes
+        // (consumers take the union — see [[loadIndex]]).
+        if (newLabels.nonEmpty)
+          indexFromPairs(spark.read.option("basePath", tableDir)
+              .parquet(newLabels.map(l => s"$tableDir/$l"): _*)
+              .select(col(s"`$c`").as("value"), fileLabel.as("label")))
+            .write.mode(SaveMode.Append).parquet(fsPath)
+      } else if (oldExists || newLabels.nonEmpty) {
         // surviving-old-labels as a semi-join, not a giant In-list — the label
         // set is O(partitions) and must never inline into the plan
         val survivors = survivingOld.toDF("label")

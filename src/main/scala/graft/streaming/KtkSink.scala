@@ -30,8 +30,12 @@ object KtkSink {
     val md = DatasetMetadata.load(spark, base, uuid)
     val alreadyCommitted = md.metadata.get(BatchKey).exists(_.toLong >= batchId)
     if (!alreadyCommitted) {
+      // append-only sidecar maintenance: each commit pays O(batch), not
+      // O(index) — at high batch rates the canonical re-merge would dominate.
+      // [[Ktk.compact]] re-canonicalizes the accumulated sidecar fragments.
       Ktk.update(spark, base, uuid, Some(batch), sortBy = sortBy,
-        extraMetadata = Map(BatchKey -> batchId.toString))
+        extraMetadata = Map(BatchKey -> batchId.toString),
+        appendSidecars = true)
       ()
     }
   }

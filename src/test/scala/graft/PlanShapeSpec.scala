@@ -86,6 +86,32 @@ class PlanShapeSpec extends SparkSpec {
     nd.queryExecution.executedPlan.toString should not include "Join"
   }
 
+  test("exactKeepBest windows over (hash,id,score) triples, full rows only semi-join") {
+    import graft.ops.Dedup
+    val docs = (0 until 200).map(i => (i.toLong, s"body $i " * 20, i % 5))
+      .toDF("doc_id", "text", "score")
+    val qe = Dedup.exactKeepBest(docs, "doc_id", "text", col("score")).queryExecution
+    val plan = qe.executedPlan.toString
+    // survivor selection joins back as a semi-join — duplicates are dropped
+    // without ever shuffling document bodies through the window
+    plan should include regex "(?i)leftsemi"
+    // the window's sort operates on the slim projection, not the text column
+    val windowSort = plan.linesIterator.find(l => l.contains("Sort ") && l.contains("__s"))
+    windowSort.isDefined shouldBe true
+    windowSort.get should not include "text"
+  }
+
+  test("paragraphDedupFrequent anti-joins against only the hot hashes, broadcast") {
+    import graft.ops.Dedup
+    val docs = (0 until 100).map(i => (i.toLong, s"HEADER\nunique line $i"))
+      .toDF("id", "text")
+    val plan = Dedup.paragraphDedupFrequent(docs, "id", "text", maxDf = 2L)
+      .queryExecution.executedPlan.toString
+    // the over-threshold hash set is tiny → must broadcast, never sort-merge
+    plan should include regex "Broadcast.*LeftAnti|LeftAnti.*Broadcast"
+    plan should not include "SortMergeJoin LeftAnti"
+  }
+
   test("range join plans as a hash equi-join on (keys, chunk), never a nested loop") {
     val events = (0 until 1000).map(i => (i.toLong % 50, i.toLong * 7)).toDF("k", "t")
     val intervals = (0 until 100).map(i => (i.toLong % 50, i.toLong * 60, i.toLong * 60 + 120))

@@ -47,6 +47,33 @@ class KtkSinkSpec extends SparkSpec {
       predicates = Predicates.of(Seq(("k", "==", 3L)))).count() shouldBe 1
   }
 
+  test("append-only sidecar commits cost O(batch) and compact re-canonicalizes") {
+    import graft.core.Predicates
+    val base = tmpDir("ktksink3")
+    Ktk.createEmpty(spark, base, "ap", schema, partitionOn = Seq("p"),
+      secondaryIndices = Seq("v"), bloomFor = Seq("k"))
+    // three streaming-style commits, same indexed value "x" in each batch
+    (0 to 2).foreach { b =>
+      KtkSink.commitBatch(Seq((b, b.toLong, "x"), (b, 100L + b, s"u$b"))
+        .toDF("p", "k", "v"), base, "ap", batchId = b)
+    }
+    val md = DatasetMetadata.load(spark, base, "ap")
+    // "x" is spread over one row PER commit (append-only evidence)…
+    Ktk.loadIndex(spark, base, md, "v").filter($"value" === "x").count() shouldBe 3
+    // …while reads stay exact through the union semantics
+    Ktk.readTable(spark, base, "ap",
+      predicates = Predicates.of(Seq(("v", "==", "x")))).count() shouldBe 3
+    Ktk.observedValues(spark, base, md, "v").count() shouldBe 4
+    Ktk.readTable(spark, base, "ap",
+      predicates = Predicates.of(Seq(("k", "==", 101L)))).count() shouldBe 1
+    // compact canonicalizes: one index row per value again
+    Ktk.compact(spark, base, "ap")
+    val md2 = DatasetMetadata.load(spark, base, "ap")
+    Ktk.loadIndex(spark, base, md2, "v").filter($"value" === "x").count() shouldBe 1
+    Ktk.readTable(spark, base, "ap",
+      predicates = Predicates.of(Seq(("v", "==", "x")))).count() shouldBe 3
+  }
+
   test("a replayed batch id is committed exactly once") {
     val base = tmpDir("ktksink2")
     Ktk.createEmpty(spark, base, "ds", schema, partitionOn = Seq("p"))
