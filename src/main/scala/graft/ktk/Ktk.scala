@@ -865,24 +865,58 @@ object Ktk {
     val victims = victimsBySeq.values.flatten.toSet
     if (victims.isEmpty) return md
 
-    var before = listDataFiles(spark, tableDir).keySet
+    // Per-seq rewrites run CONCURRENTLY, each into its own staging dir under
+    // the dataset root (dot-prefixed: invisible to listings and readers),
+    // then files move into the table dir as pure metadata renames. This
+    // keeps compaction wall-time at max-over-groups instead of
+    // sum-over-groups — after a long streaming run there is one group per
+    // micro-batch commit, and the old sequential append + full relisting
+    // per group dominated everything at that cadence.
+    val fsys = DatasetMetadata.fs(spark, base)
+    val stagingRoot = new Path(s"$base/${md.uuid}/.compacting")
+    fsys.delete(stagingRoot, true) // leftovers of a crashed earlier compact
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(8, victimsBySeq.size))
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    val movedBySeq =
+      try Await.result(Future.sequence(victimsBySeq.toSeq.sortBy(_._1).map {
+        case (seq, labels) => Future {
+          val staging = s"$stagingRoot/$seq"
+          val data = spark.read.option("basePath", tableDir)
+            .parquet(labels.map(l => s"$tableDir/$l"): _*)
+          val totalBytes = labels.map(liveSizes).sum
+          val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
+          val rewritten =
+            if (md.partitionKeys.nonEmpty)
+              data.repartition(nOut, md.partitionKeys.map(c => col(s"`$c`")): _*)
+            else data.repartition(nOut)
+          val writer = rewritten.write.mode(SaveMode.Overwrite)
+          (if (md.partitionKeys.nonEmpty) writer.partitionBy(md.partitionKeys: _*) else writer)
+            .parquet(staging)
+          val stPath = fsys.makeQualified(new Path(staging))
+          val prefix = stPath.toString + "/"
+          val it = fsys.listFiles(stPath, true)
+          val moved = Seq.newBuilder[String]
+          while (it.hasNext) {
+            val st = it.next()
+            val name = st.getPath.getName
+            if (st.isFile && !name.startsWith("_") && !name.startsWith(".")) {
+              val rel = st.getPath.toString.stripPrefix(prefix)
+              val dest = new Path(s"$tableDir/$rel")
+              fsys.mkdirs(dest.getParent)
+              fsys.rename(st.getPath, dest)
+              moved += rel
+            }
+          }
+          seq -> moved.result()
+        }
+      }), Duration.Inf)
+      finally { pool.shutdown(); fsys.delete(stagingRoot, true); () }
     val newSeqOf = scala.collection.mutable.Map.empty[String, Long]
-    victimsBySeq.toSeq.sortBy(_._1).foreach { case (seq, labels) =>
-      val data = spark.read.option("basePath", tableDir)
-        .parquet(labels.map(l => s"$tableDir/$l"): _*)
-      val totalBytes = labels.map(liveSizes).sum
-      val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
-      val rewritten =
-        if (md.partitionKeys.nonEmpty)
-          data.repartition(nOut, md.partitionKeys.map(c => col(s"`$c`")): _*)
-        else data.repartition(nOut)
-      val writer = rewritten.write.mode(SaveMode.Append)
-      (if (md.partitionKeys.nonEmpty) writer.partitionBy(md.partitionKeys: _*) else writer)
-        .parquet(tableDir)
-      val now = listDataFiles(spark, tableDir).keySet
-      (now -- before).foreach(l => newSeqOf(l) = seq)
-      before = now
-    }
+    movedBySeq.foreach { case (seq, ls) => ls.foreach(l => newSeqOf(l) = seq) }
 
     val allNow = listDataFiles(spark, tableDir)
     val finalPartitions = allNow.filter { case (l, _) =>

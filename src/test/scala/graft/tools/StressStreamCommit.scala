@@ -1,0 +1,89 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.core.Predicates
+import graft.ktk.{DatasetMetadata, Ktk}
+import graft.streaming.KtkSink
+
+/** Scale probe for streaming-commit sidecar maintenance: a dataset is
+  * pre-seeded with a large committed history (the index/bloom the canonical
+  * merge has to re-read), then a run of small commits is timed in both
+  * maintenance modes. Canonical merge pays O(index) per commit — it re-reads
+  * and rewrites every sidecar — while appendSidecars pays O(batch): per-commit
+  * cost must stay flat as history accumulates, and the final probe proves the
+  * appended fragments still prune and compact re-canonicalizes them.
+  * Run: sbt "Test/runMain graft.tools.StressStreamCommit"
+  */
+object StressStreamCommit {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def time[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val r = f
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+
+    // seed: 800k rows of committed history with a secondary index + bloom —
+    // the sidecar mass a canonical merge must re-chew on every commit
+    val seedN = 800000L
+    def seed(tag: String): String = {
+      val base = java.nio.file.Files.createTempDirectory(s"scommit-$tag").toString
+      val df = spark.range(seedN).toDF("k")
+        .withColumn("v", concat(lit("val-"), pmod(col("k"), lit(50000))))
+      Ktk.store(spark, base, "s", df, secondaryIndices = Seq("v"), bloomFor = Seq("k"))
+      base
+    }
+
+    def batch(b: Long) = spark.range(b * 1000, b * 1000 + 1000).toDF("k")
+      .withColumn("v", concat(lit("batch-"), lit(b), lit("-"), pmod(col("k"), lit(100))))
+
+    val nBatches = 12
+
+    val canonBase = seed("canon")
+    val canonTimes = (0 until nBatches).map { b =>
+      val (_, t) = time(Ktk.update(spark, canonBase, "s", Some(batch(b)),
+        extraMetadata = Map("stream.last_batch_id" -> b.toString)))
+      t
+    }
+
+    val appendBase = seed("append")
+    val appendTimes = (0 until nBatches).map { b =>
+      val (_, t) = time(KtkSink.commitBatch(batch(b), appendBase, "s", batchId = b))
+      t
+    }
+
+    def stats(ts: Seq[Double]) = f"first=${ts.head}%.2f last=${ts.last}%.2f " +
+      f"mean=${ts.sum / ts.size}%.2f s"
+    println(s"canonical merge  per-commit: ${stats(canonTimes)}")
+    println(s"append sidecars  per-commit: ${stats(appendTimes)}")
+    val speedup = canonTimes.sum / appendTimes.sum
+    println(f"append mode is ${speedup}%.1fx faster over $nBatches commits")
+
+    // correctness after the append run: fragments prune, reads stay exact
+    val md = DatasetMetadata.load(spark, appendBase, "s")
+    val hit = Ktk.readTable(spark, appendBase, "s",
+      predicates = Predicates.of(Seq(("v", "==", "batch-7-55")))).count()
+    require(hit > 0, "appended index fragment did not resolve")
+    val labels = Ktk.queryLabels(spark, appendBase, md,
+      Predicates.of(Seq(("k", "==", 7123L))))
+    println(s"bloom probe over appended fragments kept ${labels.size}/${md.partitions.size} files")
+    require(labels.size < md.partitions.size, "bloom fragments did not prune")
+
+    val (_, tc) = time(Ktk.compact(spark, appendBase, "s"))
+    val md2 = DatasetMetadata.load(spark, appendBase, "s")
+    val canonRows = Ktk.loadIndex(spark, appendBase, md2, "v")
+      .groupBy("value").count().filter(col("count") > 1).count()
+    require(canonRows == 0, "compact left multi-row index values")
+    println(f"compact re-canonicalized in $tc%.2f s; total rows preserved: " +
+      s"${Ktk.readTable(spark, appendBase, "s").count()}")
+    require(speedup > 1.5, f"append mode speedup only ${speedup}%.1fx")
+    spark.stop()
+  }
+}
