@@ -998,6 +998,16 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q_budget_select" -> ((s, dir) => {
+      // corpus curation under a fixed training budget: longest docs first
+      // (unique tiebreak on doc_id) until the cumulative char budget is
+      // spent. The kept set is the exact global prefix — computed with the
+      // two-level cumsum, never a single-task global window.
+      Sampling.takeByBudget(t(s, dir, "documents"),
+          Seq(col("n_chars").desc, col("doc_id")), "n_chars", budget = 75000L)
+        .select("doc_id", "n_chars").orderBy("doc_id")
+    }),
+
     "q_mixture" -> ((s, dir) => {
       // resample the corpus to a uniform language mixture, as large as the
       // scarcest language allows
@@ -1886,6 +1896,14 @@ object SparkEntry {
       """SELECT doc_id,
         |  row_number() OVER (ORDER BY md5('epoch7:' || CAST(doc_id AS VARCHAR))) AS pos
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_budget_select" ->
+      """SELECT doc_id, n_chars FROM (
+        |  SELECT doc_id, n_chars,
+        |    sum(n_chars) OVER (ORDER BY n_chars DESC, doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS c
+        |  FROM documents)
+        |WHERE c <= 75000 ORDER BY doc_id""".stripMargin,
 
     "q_sample_exact" ->
       s"""WITH r AS (SELECT doc_id, lang,

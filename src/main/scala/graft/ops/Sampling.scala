@@ -170,6 +170,35 @@ object Sampling {
       .drop("__pid", "__run", "__offset")
   }
 
+  /** Global token-budget selection: rank the corpus by `orderBy` (MUST be a
+    * total order — include a unique tiebreaker like the id column) and keep
+    * the longest ranked prefix whose cumulative `tokenCol` stays within
+    * `budget` (inclusive). This is the "best documents until the token
+    * budget is spent" step of corpus curation under a fixed training budget.
+    *
+    * Same two-level cumulative sum as [[packChunks]]: range-partition on the
+    * rank order, per-partition parallel windows, then a prefix over the
+    * #partitions-row totals frame — the corpus never funnels through one
+    * task. `tokenCol` must be non-negative (cumsum monotone ⇒ the kept set
+    * is a true prefix).
+    */
+  def takeByBudget(df: DataFrame, orderBy: Seq[Column], tokenCol: String,
+                   budget: Long, numPartitions: Int = 0): DataFrame = {
+    val parts = if (numPartitions > 0) numPartitions
+                else df.sparkSession.sessionState.conf.numShufflePartitions
+    val ranged = df.repartitionByRange(parts, orderBy: _*)
+      .withColumn("__pid", spark_partition_id())
+    val localW = Window.partitionBy("__pid").orderBy(orderBy: _*)
+    val local = ranged.withColumn("__run", sum(col(tokenCol)).over(localW))
+    val offsetW = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = local.groupBy("__pid").agg(sum(col(tokenCol)).as("__psum"))
+      .withColumn("__offset", coalesce(sum("__psum").over(offsetW), lit(0L)))
+      .select("__pid", "__offset")
+    local.join(broadcast(offsets), "__pid")
+      .filter(col("__offset") + col("__run") <= budget)
+      .drop("__pid", "__run", "__offset")
+  }
+
   /** Greedy first-fit-decreasing packing WITHIN each partition: documents
     * sorted by descending token count are placed into the first open bin
     * with room; oversized documents get a singleton bin. Bin ids are

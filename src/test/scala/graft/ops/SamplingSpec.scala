@@ -117,6 +117,30 @@ class SamplingSpec extends SparkSpec {
     p8 shouldBe p1
   }
 
+  test("takeByBudget keeps the exact ranked prefix within the budget") {
+    val df = Seq((1L, 100L), (2L, 300L), (3L, 250L), (4L, 50L), (5L, 400L), (6L, 10L))
+      .toDF("id", "tok")
+    // rank by tok desc, id: 5(400),2(700),3(950),1(1050)… budget 1000 keeps 5,2,3
+    val got = Sampling.takeByBudget(df, Seq(col("tok").desc, col("id")), "tok",
+      budget = 1000L, numPartitions = 3)
+    got.select("id").as[Long].collect().sorted.toSeq shouldBe Seq(2L, 3L, 5L)
+    // exact boundary is inclusive: budget 950 still keeps 3
+    Sampling.takeByBudget(df, Seq(col("tok").desc, col("id")), "tok", 950L, 3)
+      .select("id").as[Long].collect().sorted.toSeq shouldBe Seq(2L, 3L, 5L)
+    Sampling.takeByBudget(df, Seq(col("tok").desc, col("id")), "tok", 949L, 3)
+      .select("id").as[Long].collect().sorted.toSeq shouldBe Seq(2L, 5L)
+  }
+
+  test("takeByBudget is partition-count independent") {
+    val df = ids.withColumn("tok", col("id") % 97 + 1)
+    val p1 = Sampling.takeByBudget(df, Seq(col("tok").desc, col("id")), "tok", 20000L, 1)
+      .select("id").as[Long].collect().sorted.toSeq
+    val p8 = Sampling.takeByBudget(df, Seq(col("tok").desc, col("id")), "tok", 20000L, 8)
+      .select("id").as[Long].collect().sorted.toSeq
+    p8 shouldBe p1
+    p1.nonEmpty shouldBe true
+  }
+
   test("packGreedy: bins respect the budget, every doc lands exactly once") {
     val df = ids.limit(500).withColumn("tok", col("id") % 400 + 50)
     val out = Sampling.packGreedy(df.repartition(4), "id", "tok", budget = 512)
