@@ -1008,6 +1008,23 @@ object SparkEntry {
         .select("doc_id", "n_chars").orderBy("doc_id")
     }),
 
+    "q_budget_per_lang" -> ((s, dir) => {
+      // per-language token budgets: each language spends 10k chars on its
+      // own longest-first prefix; hot groups spread over many partitions
+      // (no one-task-per-group window)
+      Sampling.takeByBudgetPerGroup(t(s, dir, "documents"), "lang",
+          Seq(col("n_chars").desc, col("doc_id")), "n_chars", budget = 10000L)
+        .select("doc_id", "lang", "n_chars").orderBy("doc_id")
+    }),
+
+    "q_shard_assign" -> ((s, dir) => {
+      // reproducible training shards: md5-permuted order cut every 20k
+      // chars; any engine replays the same (doc → shard) map bit-for-bit
+      Sampling.shardCorpus(t(s, dir, "documents"), col("doc_id"), "n_chars",
+          shardTokens = 20000L, seed = "epoch0")
+        .select("doc_id", "shard_id").orderBy("doc_id")
+    }),
+
     "q_mixture" -> ((s, dir) => {
       // resample the corpus to a uniform language mixture, as large as the
       // scarcest language allows
@@ -1904,6 +1921,22 @@ object SparkEntry {
         |      ROWS UNBOUNDED PRECEDING) AS c
         |  FROM documents)
         |WHERE c <= 75000 ORDER BY doc_id""".stripMargin,
+
+    "q_budget_per_lang" ->
+      """SELECT doc_id, lang, n_chars FROM (
+        |  SELECT doc_id, lang, n_chars,
+        |    sum(n_chars) OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS c
+        |  FROM documents)
+        |WHERE c <= 10000 ORDER BY doc_id""".stripMargin,
+
+    "q_shard_assign" ->
+      """SELECT doc_id, CAST(floor((c - n_chars) / 20000.0) AS BIGINT) AS shard_id FROM (
+        |  SELECT doc_id, n_chars,
+        |    sum(n_chars) OVER (ORDER BY md5('epoch0:' || CAST(doc_id AS VARCHAR))
+        |      ROWS UNBOUNDED PRECEDING) AS c
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin,
 
     "q_sample_exact" ->
       s"""WITH r AS (SELECT doc_id, lang,

@@ -199,6 +199,47 @@ object Sampling {
       .drop("__pid", "__run", "__offset")
   }
 
+  /** Per-group [[takeByBudget]]: every `groupCol` value (domain, language)
+    * gets the same token budget, spent on its own ranked prefix. The naive
+    * form — one window partitioned by group — funnels each group through a
+    * single task, and real corpora have dominant groups (English is half the
+    * web). Here the range partitioner spreads (group, rank) so a hot group
+    * spans MANY partitions; the offsets frame is #groups × #partitions rows.
+    */
+  def takeByBudgetPerGroup(df: DataFrame, groupCol: String, orderBy: Seq[Column],
+      tokenCol: String, budget: Long, numPartitions: Int = 0): DataFrame = {
+    val parts = if (numPartitions > 0) numPartitions
+                else df.sparkSession.sessionState.conf.numShufflePartitions
+    val g = col(s"`$groupCol`")
+    val ranged = df.repartitionByRange(parts, (g +: orderBy): _*)
+      .withColumn("__pid", spark_partition_id())
+    val localW = Window.partitionBy(g, col("__pid")).orderBy(orderBy: _*)
+    val local = ranged.withColumn("__run", sum(col(tokenCol)).over(localW))
+    val offsetW = Window.partitionBy(groupCol).orderBy("__pid")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = local.groupBy(groupCol, "__pid").agg(sum(col(tokenCol)).as("__psum"))
+      .withColumn("__offset", coalesce(sum(col("__psum")).over(offsetW), lit(0L)))
+      .select(col(s"`$groupCol`"), col("__pid"), col("__offset"))
+    local.join(broadcast(offsets), Seq(groupCol, "__pid"))
+      .filter(col("__offset") + col("__run") <= budget)
+      .drop("__pid", "__run", "__offset")
+  }
+
+  /** Training-shard assignment: a reproducible pseudo-random permutation
+    * ([[deterministicShuffle]]'s md5 order) chunked into ~`shardTokens`-sized
+    * shards ([[packChunks]]). Every engine replays the same (shard, order)
+    * for the same seed — write the result partitioned by `shard_id` and the
+    * training job streams byte-balanced shards in a fixed global order.
+    */
+  def shardCorpus(df: DataFrame, key: Column, tokenCol: String,
+      shardTokens: Long, seed: String = "graft", numPartitions: Int = 0): DataFrame = {
+    val withH = df.withColumn("__shuf",
+      md5(concat_ws(":", lit(seed), key.cast("string"))))
+    packChunks(withH, "__shuf", tokenCol, shardTokens, numPartitions)
+      .withColumnRenamed("pack_id", "shard_id")
+      .drop("__shuf")
+  }
+
   /** Greedy first-fit-decreasing packing WITHIN each partition: documents
     * sorted by descending token count are placed into the first open bin
     * with room; oversized documents get a singleton bin. Bin ids are

@@ -141,6 +141,45 @@ class SamplingSpec extends SparkSpec {
     p1.nonEmpty shouldBe true
   }
 
+  test("takeByBudgetPerGroup spends the budget independently per group") {
+    val df = Seq(
+      ("en", 1L, 600L), ("en", 2L, 300L), ("en", 3L, 200L),  // en keeps 1,2 (900)
+      ("de", 4L, 900L), ("de", 5L, 150L),                    // de keeps 4 (900)
+      ("fr", 6L, 50L)                                        // fr keeps 6
+    ).toDF("lang", "id", "tok")
+    val got = Sampling.takeByBudgetPerGroup(df, "lang",
+      Seq(col("tok").desc, col("id")), "tok", budget = 1000L, numPartitions = 4)
+    got.select("id").as[Long].collect().sorted.toSeq shouldBe Seq(1L, 2L, 4L, 6L)
+  }
+
+  test("takeByBudgetPerGroup is partition-count independent") {
+    val df = ids.withColumn("lang", concat(lit("l"), col("id") % 3))
+      .withColumn("tok", col("id") % 97 + 1)
+    val p1 = Sampling.takeByBudgetPerGroup(df, "lang",
+      Seq(col("tok").desc, col("id")), "tok", 5000L, 1)
+      .select("id").as[Long].collect().sorted.toSeq
+    val p8 = Sampling.takeByBudgetPerGroup(df, "lang",
+      Seq(col("tok").desc, col("id")), "tok", 5000L, 8)
+      .select("id").as[Long].collect().sorted.toSeq
+    p8 shouldBe p1
+  }
+
+  test("shardCorpus shards are token-balanced and reproducible across runs") {
+    val df = ids.limit(800).withColumn("tok", col("id") % 211 + 20)
+    val a = Sampling.shardCorpus(df, col("id"), "tok", shardTokens = 5000L, seed = "e1")
+    val b = Sampling.shardCorpus(df, col("id"), "tok", shardTokens = 5000L, seed = "e1")
+    val mapA = a.select("id", "shard_id").as[(Long, Long)].collect().toMap
+    mapA shouldBe b.select("id", "shard_id").as[(Long, Long)].collect().toMap
+    // every shard except the last carries > 5000 - max(tok) tokens, none
+    // starts past the budget boundary rule (chunking contract)
+    val loads = a.groupBy("shard_id").agg(sum("tok").as("load"))
+      .orderBy("shard_id").select("load").as[Long].collect()
+    loads.dropRight(1).foreach(_ should be > (5000L - 230L))
+    // a different seed yields a different permutation → different sharding
+    val c = Sampling.shardCorpus(df, col("id"), "tok", 5000L, seed = "e2")
+    c.select("id", "shard_id").as[(Long, Long)].collect().toMap should not be mapA
+  }
+
   test("packGreedy: bins respect the budget, every doc lands exactly once") {
     val df = ids.limit(500).withColumn("tok", col("id") % 400 + 50)
     val out = Sampling.packGreedy(df.repartition(4), "id", "tok", budget = 512)
