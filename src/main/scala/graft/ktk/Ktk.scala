@@ -723,8 +723,15 @@ object Ktk {
         md.partitions.keySet.filter(l => deleteScope.matchesValues(md.partitionValues(l)))
       }
 
-    // 2. append new files
-    val before = md.partitions.keySet
+    // 2. append new files. New labels are diffed against the PRE-WRITE
+    //    LISTING, not the referenced set — the dir may hold unreferenced
+    //    leftovers (compacted-away files awaiting gc, failed writes) and
+    //    those must never be resurrected into the commit.
+    val referenced = md.partitions.keySet
+    val preexisting = newData match {
+      case Some(_) => listDataFiles(spark, tableDir).keySet
+      case None    => Set.empty[String] // no write ⇒ no new labels possible
+    }
     newData.foreach { df =>
       SchemaUtil.validateCompatible(md.schema, SchemaUtil.normalizeSchema(df.schema, md.partitionKeys))
       val normalized = SchemaUtil.normalize(df, md.partitionKeys)
@@ -736,11 +743,12 @@ object Ktk {
         .parquet(tableDir)
     }
     val allNow = listDataFiles(spark, tableDir)
-    val newLabels = allNow.keySet -- before
+    val newLabels = if (newData.isEmpty) Set.empty[String]
+                    else allNow.keySet -- preexisting
     if (newLabels.exists(_.contains("__HIVE_DEFAULT_PARTITION__")))
       throw new IllegalArgumentException("null values in partition columns are not allowed")
 
-    val finalPartitions = allNow.filter { case (l, _) => !deleted.contains(l) && (before.contains(l) || newLabels.contains(l)) }
+    val finalPartitions = allNow.filter { case (l, _) => !deleted.contains(l) && (referenced.contains(l) || newLabels.contains(l)) }
     val nextSeq = (0L +: md.partitions.keys.toSeq.map(md.seqOf)).max + 1L
     val finalSeq = finalPartitions.keys.map { l =>
       l -> (if (newLabels.contains(l)) nextSeq else md.seqOf(l))
@@ -763,10 +771,10 @@ object Ktk {
     // stale labels via its live-partition intersection)
     val appendOnly = appendSidecars && deleted.isEmpty
     mergeIndicesIncremental(spark, base, md, tableDir,
-      survivingOld = finalPartitions.keys.toSeq.filter(before.contains),
+      survivingOld = finalPartitions.keys.toSeq.filter(referenced.contains),
       newLabels = newLabels.toSeq, appendOnly = appendOnly)
     mergeBloomsIncremental(spark, base, md, tableDir,
-      survivingOld = finalPartitions.keys.toSeq.filter(before.contains),
+      survivingOld = finalPartitions.keys.toSeq.filter(referenced.contains),
       newLabels = newLabels.toSeq, appendOnly = appendOnly)
 
     DatasetMetadata.store(spark, base, md1)

@@ -20,35 +20,45 @@ import graft.ktk.{DatasetMetadata, Ktk}
 object KtkSink {
 
   private val BatchKey = "stream.last_batch_id"
+  private val SinceCompactKey = "stream.commits_since_compact"
 
   /** Commit one micro-batch exactly once. Public so tests (and external
     * committers) can drive it without a streaming query.
+    *
+    * `compactEvery > 0` enables inline maintenance: every N-th committed
+    * batch triggers [[Ktk.compact]], which merges each commit's small files
+    * to target size and re-canonicalizes the appended sidecar fragments —
+    * the file count a long-running stream accumulates stays bounded without
+    * an external maintenance job.
     */
   def commitBatch(batch: DataFrame, base: String, uuid: String, batchId: Long,
-                  sortBy: Seq[String] = Nil): Unit = {
+                  sortBy: Seq[String] = Nil, compactEvery: Int = 0): Unit = {
     val spark = batch.sparkSession
     val md = DatasetMetadata.load(spark, base, uuid)
     val alreadyCommitted = md.metadata.get(BatchKey).exists(_.toLong >= batchId)
     if (!alreadyCommitted) {
+      val since = md.metadata.get(SinceCompactKey).map(_.toLong).getOrElse(0L) + 1
+      val willCompact = compactEvery > 0 && since >= compactEvery
       // append-only sidecar maintenance: each commit pays O(batch), not
       // O(index) — at high batch rates the canonical re-merge would dominate.
       // [[Ktk.compact]] re-canonicalizes the accumulated sidecar fragments.
       Ktk.update(spark, base, uuid, Some(batch), sortBy = sortBy,
-        extraMetadata = Map(BatchKey -> batchId.toString),
+        extraMetadata = Map(BatchKey -> batchId.toString,
+          SinceCompactKey -> (if (willCompact) "0" else since.toString)),
         appendSidecars = true)
-      ()
+      if (willCompact) { Ktk.compact(spark, base, uuid); () }
     }
   }
 
   /** Attach the dataset as the sink of a streaming DataFrame. */
   def writeStream(df: DataFrame, base: String, uuid: String, checkpoint: String,
                   trigger: Trigger = Trigger.AvailableNow(),
-                  sortBy: Seq[String] = Nil): StreamingQuery =
+                  sortBy: Seq[String] = Nil, compactEvery: Int = 0): StreamingQuery =
     df.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        commitBatch(batch, base, uuid, batchId, sortBy)
+        commitBatch(batch, base, uuid, batchId, sortBy, compactEvery)
       }
       .start()
 }

@@ -86,6 +86,27 @@ class PlanShapeSpec extends SparkSpec {
     nd.queryExecution.executedPlan.toString should not include "Join"
   }
 
+  test("takeByBudgetPerGroup never plans a one-task-per-group window over rows") {
+    import graft.ops.Sampling
+    val df = (0 until 2000).map(i => (i.toLong, s"g${i % 3}", (i % 97).toLong + 1))
+      .toDF("id", "grp", "tok")
+    val out = Sampling.takeByBudgetPerGroup(df, "grp",
+      Seq(col("tok").desc, col("id")), "tok", budget = 5000L, numPartitions = 8)
+    val singles = out.queryExecution.sparkPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+        if e.outputPartitioning.numPartitions == 1 => e
+    }
+    // row-level data goes through the RANGE partitioner on (group, rank);
+    // only the per-(group,pid) TOTALS frame may coalesce below `parts`
+    singles.size should be <= 1
+    singles.foreach { e =>
+      e.collect {
+        case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec => a
+      } should not be empty
+    }
+    out.queryExecution.sparkPlan.toString should include("rangepartitioning")
+  }
+
   test("exactKeepBest windows over (hash,id,score) triples, full rows only semi-join") {
     import graft.ops.Dedup
     val docs = (0 until 200).map(i => (i.toLong, s"body $i " * 20, i % 5))

@@ -74,6 +74,26 @@ class KtkSinkSpec extends SparkSpec {
       predicates = Predicates.of(Seq(("v", "==", "x")))).count() shouldBe 3
   }
 
+  test("compactEvery bounds the file count of a long-running stream") {
+    val base = tmpDir("ktksink4")
+    Ktk.createEmpty(spark, base, "cmp", schema, secondaryIndices = Seq("v"))
+    // 6 batches of 4 files each, maintenance every 3rd commit
+    (0 to 5).foreach { b =>
+      val batch = Seq.tabulate(8)(i => (0, b * 100L + i, s"v$b-$i"))
+        .toDF("p", "k", "v").repartition(4)
+      KtkSink.commitBatch(batch, base, "cmp", batchId = b, compactEvery = 3)
+    }
+    val md = DatasetMetadata.load(spark, base, "cmp")
+    // without maintenance: 24 files; per-seq compaction caps it at one file
+    // per committed batch (seqs never merge — overlay semantics)
+    md.partitions.size should be <= 8
+    md.metadata("stream.commits_since_compact") shouldBe "0"
+    Ktk.readTable(spark, base, "cmp").count() shouldBe 48
+    // index canonical after the last maintenance pass: one row per value
+    Ktk.loadIndex(spark, base, md, "v")
+      .groupBy("value").count().filter($"count" > 1).count() shouldBe 0
+  }
+
   test("a replayed batch id is committed exactly once") {
     val base = tmpDir("ktksink2")
     Ktk.createEmpty(spark, base, "ds", schema, partitionOn = Seq("p"))
