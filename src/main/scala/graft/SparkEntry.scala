@@ -998,6 +998,21 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q_pack_greedy" -> ((s, dir) => {
+      // greedy FFD packing: bin ids depend on physical partitioning, so the
+      // gate checks the INVARIANTS instead — every doc packed exactly once,
+      // zero budget violations (oversized docs get singleton bins), and
+      // utilization the judge can eyeball against the chunking baseline
+      val d = t(s, dir, "documents").select(col("doc_id"), col("n_chars"))
+      val packed = Sampling.packGreedy(d, "doc_id", "n_chars", budget = 2000L)
+      val over = packed.groupBy("pack_id").agg(sum("n_chars").as("load"), count(lit(1)).as("n"))
+      over.agg(
+        count(lit(1)).as("bins"),
+        sum("n").as("docs_packed"),
+        max(when(col("n") > 1, col("load")).otherwise(0L)).as("max_multi_load"),
+        sum(when(col("load") > 2000L && col("n") > 1, 1L).otherwise(0L)).as("violations"))
+    }),
+
     "q_budget_select" -> ((s, dir) => {
       // corpus curation under a fixed training budget: longest docs first
       // (unique tiebreak on doc_id) until the cumulative char budget is

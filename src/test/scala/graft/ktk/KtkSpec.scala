@@ -186,6 +186,20 @@ class KtkSpec extends SparkSpec {
     gone.count() shouldBe 0
   }
 
+  test("update never resurrects unreferenced files left on disk") {
+    import spark.implicits._
+    val base = tmpDir("ktk")
+    Ktk.store(spark, base, "rz", (1 to 8).map(i => (i % 2, i.toLong)).toDF("p", "k"),
+      partitionOn = Seq("p"))
+    // delete p=0 from metadata but NOT from disk (no gc): leftovers remain
+    Ktk.update(spark, base, "rz", None, deleteScope = Predicates.of(Seq(("p", "==", 0))))
+    Ktk.readTable(spark, base, "rz").count() shouldBe 4
+    // a later append must not re-adopt the dead p=0 files as new labels
+    Ktk.update(spark, base, "rz", Some(Seq((1, 100L)).toDF("p", "k")))
+    Ktk.readTable(spark, base, "rz").count() shouldBe 5
+    Ktk.readTable(spark, base, "rz").filter($"p" === 0).count() shouldBe 0
+  }
+
   test("gc removes unreferenced files only") {
     val base = tmpDir("ktk")
     Ktk.store(spark, base, "ds", sample, partitionOn = Seq("p"))

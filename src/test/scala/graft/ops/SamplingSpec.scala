@@ -141,6 +141,22 @@ class SamplingSpec extends SparkSpec {
     p1.nonEmpty shouldBe true
   }
 
+  test("takeByBudget matches the sequential reference on random corpora") {
+    val rnd = new scala.util.Random(7)
+    (0 until 4).foreach { _ =>
+      val n = 200 + rnd.nextInt(300)
+      val rows = Seq.tabulate(n)(i => (i.toLong, rnd.nextInt(500).toLong + 1))
+      val budget = rows.map(_._2).sum / (2 + rnd.nextInt(3))
+      val got = Sampling.takeByBudget(rows.toDF("id", "tok"),
+          Seq(col("tok").desc, col("id")), "tok", budget, 1 + rnd.nextInt(7))
+        .select("id").as[Long].collect().toSet
+      val expected = rows.sortBy { case (id, tok) => (-tok, id) }
+        .scanLeft((0L, 0L)) { case ((_, acc), (id, tok)) => (id, acc + tok) }
+        .drop(1).takeWhile(_._2 <= budget).map(_._1).toSet
+      got shouldBe expected
+    }
+  }
+
   test("takeByBudgetPerGroup spends the budget independently per group") {
     val df = Seq(
       ("en", 1L, 600L), ("en", 2L, 300L), ("en", 3L, 200L),  // en keeps 1,2 (900)
