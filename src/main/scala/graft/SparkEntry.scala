@@ -1293,6 +1293,33 @@ object SparkEntry {
         .orderBy("lang")
     }),
 
+    "q_pipeline_curation" -> ((s, dir) => {
+      // the budgeted-curation pipeline over this round's ops: doc-frequency
+      // paragraph scrub -> keep-best exact dedup (longest copy wins) ->
+      // token-budget selection -> reproducible shard assignment. Output is
+      // self-validating: doc/token totals per stage and shard balance.
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"),
+          concat(lit("CURATION HEADER\n"),
+            regexp_replace(col("text"), "(\\S+ \\S+ \\S+) ", "$1\n")).as("text"))
+        .unionByName(t(s, dir, "documents")
+          .select((col("doc_id") + 2000000).as("doc_id"),
+            concat(lit("CURATION HEADER\n"),
+              regexp_replace(col("text"), "(\\S+ \\S+ \\S+) ", "$1\n")).as("text")))
+      val scrubbed = Dedup.paragraphDedupFrequent(d, "doc_id", "text", maxDf = 2L)
+        .withColumn("tok", TextAnalysis.tokenCount(col("text")))
+      val deduped = Dedup.exactKeepBest(scrubbed, "doc_id", "text", col("tok"))
+      val selected = Sampling.takeByBudget(deduped,
+        Seq(col("tok").desc, col("doc_id")), "tok", budget = 20000L)
+      val sharded = Sampling.shardCorpus(selected, col("doc_id"), "tok",
+        shardTokens = 2000L, seed = "cur0")
+      sharded.groupBy("shard_id").agg(sum("tok").as("load"), count(lit(1)).as("n"))
+        .agg(count(lit(1)).as("shards"),
+          sum("n").as("docs_selected"),
+          sum("load").as("tokens_selected"),
+          max("load").as("max_shard_load"))
+    }),
+
     // -------------------------------------------------- maintenance ops
     "q_hash_dataset" -> ((s, dir) => {
       Ktk.hashDataset(t(s, dir, "region"), Seq("r_regionkey"))
@@ -1952,6 +1979,46 @@ object SparkEntry {
         |      ROWS UNBOUNDED PRECEDING) AS c
         |  FROM documents)
         |ORDER BY doc_id""".stripMargin,
+
+    "q_pipeline_curation" ->
+      """WITH d0 AS (
+        |  SELECT doc_id, 'CURATION HEADER' || chr(10) ||
+        |    regexp_replace(text, '(\S+ \S+ \S+) ', '\1' || chr(10), 'g') AS text
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 2000000 AS doc_id, 'CURATION HEADER' || chr(10) ||
+        |    regexp_replace(text, '(\S+ \S+ \S+) ', '\1' || chr(10), 'g') AS text
+        |  FROM documents),
+        |l0 AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM d0),
+        |p AS (SELECT doc_id,
+        |  unnest(list_transform(range(1, len(ls)+1), i -> {'pos': i, 'para': ls[i]})) AS u
+        |  FROM l0),
+        |e AS (SELECT doc_id, u.pos AS pos, u.para AS para,
+        |  lower(regexp_replace(trim(u.para), '\s+', ' ', 'g')) AS norm FROM p),
+        |hot AS (SELECT norm FROM e WHERE length(norm) > 0
+        |  GROUP BY norm HAVING count(DISTINCT doc_id) > 2),
+        |scrub AS (SELECT doc_id, string_agg(para, chr(10) ORDER BY pos) AS text
+        |  FROM e WHERE length(norm) = 0 OR norm NOT IN (SELECT norm FROM hot)
+        |  GROUP BY doc_id),
+        |tokd AS (SELECT doc_id, text,
+        |  len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS tok
+        |  FROM scrub),
+        |dedup AS (SELECT doc_id, tok FROM tokd
+        |  QUALIFY row_number() OVER (PARTITION BY text ORDER BY tok DESC, doc_id) = 1),
+        |sel AS (SELECT doc_id, tok FROM (
+        |  SELECT doc_id, tok,
+        |    sum(tok) OVER (ORDER BY tok DESC, doc_id ROWS UNBOUNDED PRECEDING) AS c
+        |  FROM dedup) WHERE c <= 20000),
+        |sh AS (SELECT doc_id, tok, CAST(floor((c2 - tok) / 2000.0) AS BIGINT) AS shard_id
+        |  FROM (SELECT doc_id, tok,
+        |    sum(tok) OVER (ORDER BY md5('cur0:' || CAST(doc_id AS VARCHAR))
+        |      ROWS UNBOUNDED PRECEDING) AS c2 FROM sel)),
+        |g AS (SELECT shard_id, sum(tok) AS load, count(*) AS n FROM sh GROUP BY shard_id)
+        |SELECT CAST(count(*) AS BIGINT) AS shards,
+        |  CAST(sum(n) AS BIGINT) AS docs_selected,
+        |  CAST(sum(load) AS BIGINT) AS tokens_selected,
+        |  CAST(max(load) AS BIGINT) AS max_shard_load
+        |FROM g""".stripMargin,
 
     "q_sample_exact" ->
       s"""WITH r AS (SELECT doc_id, lang,
