@@ -1293,6 +1293,18 @@ object SparkEntry {
         .orderBy("lang")
     }),
 
+    "q_sql_surface" -> ((s, dir) => {
+      // the pipeline kernels as PLAIN SQL via SparkSessionExtensions —
+      // one implementation (and its codegen) behind both the Column API
+      // and the SQL surface; the oracle recomputes each in DuckDB
+      graft.functions.GraftExtensions.register(s)
+      t(s, dir, "documents").createOrReplaceTempView("documents_sqlv")
+      s.sql("""SELECT doc_id,
+              |  token_count(text) AS n_tokens,
+              |  round(hash_unit('s9', doc_id), 6) AS h
+              |FROM documents_sqlv ORDER BY doc_id""".stripMargin)
+    }),
+
     "q_pipeline_curation" -> ((s, dir) => {
       // the budgeted-curation pipeline over this round's ops: doc-frequency
       // paragraph scrub -> keep-best exact dedup (longest copy wins) ->
@@ -1979,6 +1991,12 @@ object SparkEntry {
         |      ROWS UNBOUNDED PRECEDING) AS c
         |  FROM documents)
         |ORDER BY doc_id""".stripMargin,
+
+    "q_sql_surface" ->
+      s"""SELECT doc_id,
+         |  CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS INT) AS n_tokens,
+         |  round(${duckU("CAST(doc_id AS VARCHAR)", "s9")}, 6) AS h
+         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_pipeline_curation" ->
       """WITH d0 AS (

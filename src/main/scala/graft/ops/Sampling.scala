@@ -23,8 +23,11 @@ object Sampling {
   /** Uniform [0,1) draw from md5(seed:key) — first 8 hex chars as a 32-bit
     * integer over 2^32. Codegen'd (conv/substring/md5 are all built-ins).
     */
-  def hashUnit(seed: String, key: Column): Column =
-    conv(substring(md5(concat_ws(":", lit(seed), key.cast("string"))), 1, 8), 16, 10)
+  def hashUnit(seed: String, key: Column): Column = hashUnitCol(lit(seed), key)
+
+  /** [[hashUnit]] with a column-valued seed (the SQL-surface form). */
+  def hashUnitCol(seed: Column, key: Column): Column =
+    conv(substring(md5(concat_ws(":", seed, key.cast("string"))), 1, 8), 16, 10)
       .cast("double") / lit(4294967296.0)
 
   /** Deterministic Bernoulli sample: keep rows with hashUnit < fraction.

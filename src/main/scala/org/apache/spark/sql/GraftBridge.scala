@@ -9,4 +9,13 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** EAGER Column → Expression conversion. `expression` wraps the column
+    * node lazily (`ColumnNodeExpression`), which the analyzer will not
+    * descend into when the expression is returned from a FunctionRegistry
+    * builder — eager conversion yields a plain (possibly Unresolved*)
+    * Catalyst tree the analyzer resolves to fixpoint like any SQL macro.
+    */
+  def eagerExpression(c: Column): Expression =
+    classic.ColumnNodeToExpressionConverter(c.node)
 }

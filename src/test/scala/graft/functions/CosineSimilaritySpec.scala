@@ -45,6 +45,30 @@ class CosineSimilaritySpec extends SparkSpec {
     out.getDouble(1) shouldBe 1.0 +- 1e-12
   }
 
+  test("text/sampling functions work from plain SQL and match the Column API") {
+    import graft.ops.{Sampling, TextAnalysis}
+    GraftExtensions.register(spark)
+    Seq((1L, "Hello, world! This is a test line.\nHello again."),
+        (2L, "short"))
+      .toDF("id", "text").createOrReplaceTempView("docs")
+    val sqlOut = spark.sql(
+      """SELECT id, token_count(text) AS tc, quality_score(text) AS q,
+        |  dup_line_fraction(text) AS dlf, redact_pii(text) AS red,
+        |  hash_unit('s1', id) AS h
+        |FROM docs ORDER BY id""".stripMargin).collect()
+    val apiOut = spark.table("docs").select($"id",
+        TextAnalysis.tokenCount($"text").as("tc"),
+        TextAnalysis.qualityScore($"text").as("q"),
+        TextAnalysis.dupLineFraction($"text").as("dlf"),
+        TextAnalysis.redactPii($"text").as("red"),
+        Sampling.hashUnit("s1", $"id").as("h"))
+      .orderBy("id").collect()
+    sqlOut.toSeq shouldBe apiOut.toSeq
+    // the UDF-backed classifier registers too
+    spark.sql("SELECT lang_id('the quick brown fox and the lazy dog')").head
+      .getString(0) should not be empty
+  }
+
   test("codegen actually runs (plan contains the expression inside WholeStageCodegen)") {
     // LocalTableScan constant-folds; force a real columnar scan
     val dir = tmpDir("cos")
