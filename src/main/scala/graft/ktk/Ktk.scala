@@ -850,7 +850,8 @@ object Ktk {
       base: String,
       uuid: String,
       smallFileBytes: Long = 32L * 1024 * 1024,
-      targetFileBytes: Long = 128L * 1024 * 1024): DatasetMetadata = {
+      targetFileBytes: Long = 128L * 1024 * 1024,
+      extraMetadata: Map[String, String] = Map.empty): DatasetMetadata = {
 
     val md = DatasetMetadata.load(spark, base, uuid)
     val tableDir = md.tableDir(base)
@@ -871,7 +872,15 @@ object Ktk {
       .toSeq.flatMap { case ((_, seq), fs) => fs.map { case (l, _) => seq -> l } }
       .groupBy(_._1).map { case (s, ls) => s -> ls.map(_._2).sorted }
     val victims = victimsBySeq.values.flatten.toSet
-    if (victims.isEmpty) return md
+    if (victims.isEmpty) {
+      // nothing to rewrite, but callers piggybacking metadata on the
+      // compaction commit (e.g. the streaming sink's maintenance counter)
+      // still need it persisted.
+      if (extraMetadata.isEmpty) return md
+      val md0 = md.copy(metadata = md.metadata ++ extraMetadata)
+      DatasetMetadata.store(spark, base, md0)
+      return md0
+    }
 
     // Per-seq rewrites run CONCURRENTLY, each into its own staging dir under
     // the dataset root (dot-prefixed: invisible to listings and readers),
@@ -914,8 +923,16 @@ object Ktk {
             if (st.isFile && !name.startsWith("_") && !name.startsWith(".")) {
               val rel = st.getPath.toString.stripPrefix(prefix)
               val dest = new Path(s"$tableDir/$rel")
-              fsys.mkdirs(dest.getParent)
-              fsys.rename(st.getPath, dest)
+              // FileSystem.rename/mkdirs signal failure by returning false,
+              // not throwing. A swallowed false here would let the finally
+              // block delete the staging dir holding the only copy of the
+              // rewritten rows while metadata still commits the move.
+              if (!fsys.mkdirs(dest.getParent))
+                throw new java.io.IOException(
+                  s"compact: mkdirs failed for ${dest.getParent}")
+              if (!fsys.rename(st.getPath, dest))
+                throw new java.io.IOException(
+                  s"compact: rename ${st.getPath} -> $dest failed")
               moved += rel
             }
           }
@@ -941,7 +958,7 @@ object Ktk {
         freshZones.getOrElse(c, Map.empty))
     }
     val md1 = md.copy(partitions = finalPartitions, partitionSeq = finalSeq,
-      zoneMaps = mergedZones)
+      zoneMaps = mergedZones, metadata = md.metadata ++ extraMetadata)
     mergeIndicesIncremental(spark, base, md, tableDir,
       survivingOld = finalPartitions.keys.toSeq.filterNot(newSeqOf.contains),
       newLabels = newLabels)

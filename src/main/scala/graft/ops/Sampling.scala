@@ -218,13 +218,18 @@ object Sampling {
       .withColumn("__pid", spark_partition_id())
     val localW = Window.partitionBy(g, col("__pid")).orderBy(orderBy: _*)
     val local = ranged.withColumn("__run", sum(col(tokenCol)).over(localW))
-    val offsetW = Window.partitionBy(groupCol).orderBy("__pid")
+    // backticked Column form everywhere groupCol appears: a raw-string
+    // reference would resolve a dotted name as a nested-field path.
+    val offsetW = Window.partitionBy(g).orderBy("__pid")
       .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = local.groupBy(groupCol, "__pid").agg(sum(col(tokenCol)).as("__psum"))
+    val offsets = local.groupBy(g, col("__pid")).agg(sum(col(tokenCol)).as("__psum"))
       .withColumn("__offset", coalesce(sum(col("__psum")).over(offsetW), lit(0L)))
-      .select(col(s"`$groupCol`"), col("__pid"), col("__offset"))
-    local.join(broadcast(offsets), Seq(groupCol, "__pid"))
+      .select(g, col("__pid"), col("__offset"))
+    local.join(broadcast(offsets),
+        local(s"`$groupCol`") === offsets(s"`$groupCol`") &&
+          local("__pid") === offsets("__pid"))
       .filter(col("__offset") + col("__run") <= budget)
+      .drop(offsets(s"`$groupCol`"))
       .drop("__pid", "__run", "__offset")
   }
 

@@ -44,9 +44,17 @@ object KtkSink {
       // [[Ktk.compact]] re-canonicalizes the accumulated sidecar fragments.
       Ktk.update(spark, base, uuid, Some(batch), sortBy = sortBy,
         extraMetadata = Map(BatchKey -> batchId.toString,
-          SinceCompactKey -> (if (willCompact) "0" else since.toString)),
+          SinceCompactKey -> since.toString),
         appendSidecars = true)
-      if (willCompact) { Ktk.compact(spark, base, uuid); () }
+      // The counter resets WITH the compaction commit, not before it: if
+      // compact throws after the batch commit above, `since` stays >= the
+      // threshold and the next batch retries the maintenance pass instead
+      // of deferring it a full compactEvery cycle.
+      if (willCompact) {
+        Ktk.compact(spark, base, uuid,
+          extraMetadata = Map(SinceCompactKey -> "0"))
+        ()
+      }
     }
   }
 
