@@ -63,9 +63,11 @@ object Dedup {
     * whitespace-only segments always survive (they carry layout, not
     * content). Returns (idCol, textCol) with the deduped text.
     *
-    * Scale shape: two shuffles — one window over the 8-byte paragraph hash
-    * (rows carry (id, pos, paragraph), never whole documents), one regroup
-    * by id to reassemble. No driver-side state, no joins against the corpus.
+    * Scale shape: a map-side-combining groupBy over the 8-byte paragraph
+    * hash picks winners (one row per distinct hash per map partition
+    * shuffles), the winners semi-join back on (id, pos) — a uniformly
+    * distributed key — and one regroup by id reassembles. No stage keys on
+    * a hot paragraph hash, no driver-side state.
     */
   def paragraphDedup(df: DataFrame, idCol: String, textCol: String,
       sep: String = "\n"): DataFrame = {
@@ -74,16 +76,22 @@ object Dedup {
           .as(Seq("__pos", "__para")))
     val norm = lower(regexp_replace(trim(col("__para")), "\\s+", " "))
     val isBlank = length(norm) === 0
-    // blank segments survive unconditionally; giving each its own window
-    // partition (keyed by id+pos) keeps the most frequent "paragraph" in any
-    // real corpus — the empty line — from funneling into one skewed task
-    val w = Window.partitionBy(xxhash64(norm),
-        when(isBlank, col(idCol)).otherwise(lit(0L)),
-        when(isBlank, col("__pos")).otherwise(lit(0)))
-      .orderBy(col(idCol), col("__pos"))
-    paras
-      .withColumn("__keep", row_number().over(w) === 1)
-      .filter(col("__keep"))
+    // First-occurrence via partial-aggregating groupBy, NOT a window: a
+    // window partitioned by the paragraph hash funnels every occurrence of a
+    // hot paragraph ("Home", cookie banners) into ONE sort task. The groupBy
+    // min(struct(id,pos)) combines map-side — one row per distinct hash per
+    // map partition shuffles — and the winners join back on (id, pos), a
+    // uniformly distributed key, so no stage in the plan keys on the hot
+    // hash at all. Blank segments (null hash) survive unconditionally.
+    val withH = paras.withColumn("__h",
+      when(isBlank, lit(null)).otherwise(xxhash64(norm)))
+    val firsts = withH.filter(col("__h").isNotNull)
+      .groupBy("__h")
+      .agg(min(struct(col(idCol).as("__fid"), col("__pos").as("__fpos"))).as("__f"))
+      .select(col("__f.__fid").as(idCol), col("__f.__fpos").as("__pos"))
+    val keptNonBlank = withH.filter(col("__h").isNotNull)
+      .join(firsts, Seq(idCol, "__pos"), "left_semi")
+    withH.filter(col("__h").isNull).unionByName(keptNonBlank)
       .groupBy(col(idCol))
       .agg(array_sort(collect_list(struct(col("__pos"), col("__para")))).as("__arr"))
       .select(col(idCol),
@@ -377,9 +385,16 @@ object Dedup {
       .select(col("id"), col("s._1").as("sig"), col("s._2").as("bands"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = sigs.select(col("id"), posexplode(col("bands")).as(Seq("band", "bucket")))
-    val w = Window.partitionBy("band", "bucket")
+    // Bucket representative via partial-aggregating groupBy, NOT a window:
+    // a window over (band, bucket) sorts each bucket in ONE task, and a
+    // duplicate-heavy corpus (the target workload) makes a bucket with ~0.9N
+    // ids per band — tens of GB through a single task at 100 TB. The groupBy
+    // min combines map-side, so only one row per (band, bucket) per map
+    // partition shuffles; the join back is AQE-splittable (skew-join) because
+    // the build side carries exactly one row per key.
+    val reps = banded.groupBy("band", "bucket").agg(min(col("id")).as("rep"))
     val edges = banded
-      .withColumn("rep", min(col("id")).over(w))
+      .join(reps, Seq("band", "bucket"))
       .filter(col("id") =!= col("rep"))
       .select(col("rep").as("id_a"), col("id").as("id_b"))
       .distinct()

@@ -122,6 +122,31 @@ class PlanShapeSpec extends SparkSpec {
     windowSort.get should not include "text"
   }
 
+  test("minhash star-edges pick bucket reps via partial agg, never a per-bucket window") {
+    import graft.ops.Dedup
+    val docs = (0 until 100).map(i =>
+      (i.toLong, if (i % 2 == 0) "the same duplicated body" else s"unique text $i"))
+      .toDF("doc_id", "text")
+    val plan = Dedup.minhashDedup(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    // a Window.partitionBy(band,bucket) would sort each bucket in one task —
+    // the giant dup-cluster bucket becomes a single-task funnel at scale
+    plan should not include "Window"
+    // map-side combine: partial min(id) runs before the Exchange
+    plan should include("partial_min")
+  }
+
+  test("paragraphDedup plans no window; winners rejoin on the uniform (id,pos) key") {
+    import graft.ops.Dedup
+    val docs = (0 until 100).map(i => (i.toLong, s"SHARED HEADER\nunique line $i"))
+      .toDF("id", "text")
+    val plan = Dedup.paragraphDedup(docs, "id", "text")
+      .queryExecution.executedPlan.toString
+    plan should not include "Window"
+    plan should include("partial_min")
+    plan should include regex "(?i)leftsemi"
+  }
+
   test("paragraphDedupFrequent anti-joins against only the hot hashes, broadcast") {
     import graft.ops.Dedup
     val docs = (0 until 100).map(i => (i.toLong, s"HEADER\nunique line $i"))

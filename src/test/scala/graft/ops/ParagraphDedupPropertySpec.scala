@@ -46,4 +46,22 @@ class ParagraphDedupPropertySpec extends SparkSpec {
     val result = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(30), prop)
     withClue(result.status.toString)(result.passed shouldBe true)
   }
+
+  test("hot paragraph in 50% of docs: first occurrence survives, result exact") {
+    // the skew case the agg+join shape exists for: one paragraph repeated
+    // across half the corpus must not degrade correctness (and, per the
+    // PlanShapeSpec pin, never funnels through a single window task)
+    val n = 2000
+    val corpus = (0L until n).map { i =>
+      val text = if (i % 2 == 0) s"SHARED COOKIE BANNER\nunique paragraph $i"
+      else s"unique paragraph $i"
+      (i, text)
+    }
+    val df = corpus.toDF("id", "text").repartition(16)
+    val got = Dedup.paragraphDedup(df, "id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    got shouldBe reference(corpus)
+    got(0L) should include("SHARED COOKIE BANNER")
+    got(2L) should not include "SHARED COOKIE BANNER"
+  }
 }
