@@ -35,11 +35,18 @@ final case class DatasetMetadata(
     partitionSeq: Map[String, Long] = Map.empty,
     // indexed column → relative index file path under <uuid>/indices/
     indices: Map[String, String] = Map.empty,
-    // zone maps: column → label → [min, max] rendered as strings (empty seq
-    // when the column is all-null in that file). Metadata-level data
-    // skipping: files whose range excludes a predicate are never SCHEDULED —
-    // cheaper to maintain than a secondary index, O(#files) blob growth.
+    // LEGACY inline zone maps: column → label → [min, max] strings. Older
+    // blobs carry ranges inline; new writes keep the blob O(#files) labels
+    // only and store ranges in the `zones` sidecar registry below. Read
+    // paths honor both; the first update/compact migrates inline → sidecar.
     zoneMaps: Map[String, Map[String, Seq[String]]] = Map.empty,
+    // zone-map sidecar registry: column → relative parquet path under
+    // <uuid>/zones/ holding one (label, mn, mx) row per data file (null
+    // mn/mx = all-null file). Metadata-level range skipping: files whose
+    // [min, max] excludes a predicate are never SCHEDULED. Same pattern as
+    // `blooms` — the catalog blob carries only this registry, so planning
+    // loads stay distributed and the commit object never inlines ranges.
+    zones: Map[String, String] = Map.empty,
     // per-file Bloom filters: column → relative sidecar path under
     // <uuid>/blooms/. Equality/IN data skipping on high-cardinality columns
     // where zone ranges are too wide and a full secondary index too big:
@@ -78,6 +85,19 @@ final case class DatasetMetadata(
 
   def bloomPath(base: String, column: String): String =
     s"$base/$uuid/blooms/${bloomRegistry(column)}"
+
+  /** Zone sidecar registry, null-safe against pre-zones metadata blobs. */
+  def zoneRegistry: Map[String, String] = Option(zones).getOrElse(Map.empty)
+
+  def zonePath(base: String, column: String): String =
+    s"$base/$uuid/zones/${zoneRegistry(column)}"
+
+  /** Legacy inline zone maps, null-safe. */
+  def inlineZoneMaps: Map[String, Map[String, Seq[String]]] =
+    Option(zoneMaps).getOrElse(Map.empty)
+
+  /** All columns with zone-range skipping available (sidecar or legacy). */
+  def zoneColumns: Set[String] = zoneRegistry.keySet ++ inlineZoneMaps.keySet
 }
 
 object DatasetMetadata {

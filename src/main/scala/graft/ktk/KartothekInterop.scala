@@ -316,7 +316,6 @@ object KartothekInterop {
     val md0 = DatasetMetadata(
       uuid = ds.uuid, partitionKeys = ds.partitionKeys, partitions = partitions,
       partitionSeq = partitions.keys.map(_ -> 0L).toMap,
-      zoneMaps = Ktk.computeZoneMaps(spark, tableDir, partitions.keys.toSeq.sorted, zoneMapFor),
       schemaJson = schema.json, metadata = ds.metadata)
     val indices = secondaryIndices.map { c =>
       require(schema.fieldNames.contains(c), s"index column '$c' not in schema")
@@ -328,7 +327,11 @@ object KartothekInterop {
       Ktk.buildBloom(spark, base, md0, c, partitions.keys.toSeq.sorted)
       c -> s"$c.parquet"
     }.toMap
-    val md = md0.copy(indices = indices, blooms = blooms)
+    zoneMapFor.foreach(c => require(schema.fieldNames.contains(c),
+      s"zone-map column '$c' not in schema"))
+    Ktk.buildZoneSidecars(spark, base, md0, zoneMapFor, partitions.keys.toSeq.sorted)
+    val zones = zoneMapFor.map(c => c -> s"$c.parquet").toMap
+    val md = md0.copy(indices = indices, blooms = blooms, zones = zones)
     DatasetMetadata.store(spark, base, md)
     md
   }

@@ -133,7 +133,6 @@ object Ktk {
     val md0 = DatasetMetadata(
       uuid = uuid, partitionKeys = partitionKeys, partitions = partitions,
       partitionSeq = partitions.keys.map(_ -> 0L).toMap,
-      zoneMaps = computeZoneMaps(spark, tableDir, partitions.keys.toSeq.sorted, zoneMapFor),
       schemaJson = schema.json, metadata = userMetadata)
 
     val indices = secondaryIndices.map { c =>
@@ -145,8 +144,10 @@ object Ktk {
       buildBloom(spark, base, md0, c, partitions.keys.toSeq.sorted)
       c -> s"$c.parquet"
     }.toMap
+    buildZoneSidecars(spark, base, md0, zoneMapFor, partitions.keys.toSeq.sorted)
+    val zones = zoneMapFor.map(c => c -> s"$c.parquet").toMap
 
-    val md = md0.copy(indices = indices, blooms = blooms)
+    val md = md0.copy(indices = indices, blooms = blooms, zones = zones)
     DatasetMetadata.store(spark, base, md)
     md
   }
@@ -170,27 +171,122 @@ object Ktk {
 
   // -------------------------------------------------------------- zone maps
 
-  /** Per-file min/max for `cols`, rendered as strings (≙ Parquet zone maps
-    * lifted into the catalog): one narrow scan + a label-keyed agg; the
-    * result is O(#files × #cols) — catalog-sized, never data-sized.
+  /** Per-file min/max for ALL of `cols` from ONE narrow scan: a row per
+    * label with `__min_c`/`__max_c` string columns (≙ Parquet zone maps
+    * lifted into a catalog sidecar). O(#files) rows — catalog-sized, never
+    * data-sized — and it stays DISTRIBUTED: nothing collects to the driver.
     */
-  private[ktk] def computeZoneMaps(
+  private def zoneAggRows(
       spark: SparkSession, tableDir: String, labels: Seq[String],
-      cols: Seq[String]): Map[String, Map[String, Seq[String]]] = {
-    if (cols.isEmpty || labels.isEmpty) return Map.empty
+      cols: Seq[String]): DataFrame = {
     val scan = spark.read.option("basePath", tableDir)
       .parquet(labels.map(l => s"$tableDir/$l"): _*)
     val aggs = cols.flatMap(c => Seq(
       min(col(s"`$c`")).cast("string").as(s"__min_$c"),
       max(col(s"`$c`")).cast("string").as(s"__max_$c")))
-    val rows = scan.groupBy(fileLabel.as("__label")).agg(aggs.head, aggs.tail: _*).collect()
-    cols.map { c =>
-      c -> rows.map { r =>
-        val mn = r.getAs[String](s"__min_$c")
-        val mx = r.getAs[String](s"__max_$c")
+    scan.groupBy(fileLabel.as("label")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Build the zone sidecar `<uuid>/zones/<column>.parquet` for each column:
+    * one (label, mn, mx) row per data file (null mn/mx = all-null file).
+    * All columns share one scan; the catalog blob carries only the registry
+    * entry — same storage pattern as [[buildBloom]], so at millions of files
+    * the commit object never inlines ranges and planning reads stay lazy.
+    */
+  private[ktk] def buildZoneSidecars(
+      spark: SparkSession, base: String, md: DatasetMetadata, cols: Seq[String],
+      labels: Seq[String]): Unit = {
+    if (cols.isEmpty || labels.isEmpty) return
+    val agg = zoneAggRows(spark, md.tableDir(base), labels, cols)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try cols.foreach { c =>
+      agg.select(col("label"), col(s"__min_$c").as("mn"), col(s"__max_$c").as("mx"))
+        .write.mode(SaveMode.Overwrite).parquet(s"$base/${md.uuid}/zones/$c.parquet")
+    } finally { agg.unpersist(); () }
+  }
+
+  /** Incremental zone-sidecar merge, same shape as [[mergeBloomsIncremental]]:
+    * surviving labels keep their rows (semi-join, never an inlined In-list),
+    * new labels get freshly aggregated ones; `appendOnly` is the streaming
+    * fast path (new rows land as extra files, [[compact]] re-canonicalizes).
+    */
+  private def mergeZonesIncremental(
+      spark: SparkSession, base: String, md: DatasetMetadata, tableDir: String,
+      survivingOld: Seq[String], newLabels: Seq[String],
+      appendOnly: Boolean = false): Unit = {
+    import spark.implicits._
+    val cols = md.zoneRegistry.keys.toSeq.sorted
+    if (cols.isEmpty) return
+    val fsys = DatasetMetadata.fs(spark, base)
+    val freshAgg =
+      if (newLabels.isEmpty) None
+      else Some(zoneAggRows(spark, tableDir, newLabels, cols)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    try cols.foreach { c =>
+      val fsPath = md.zonePath(base, c)
+      val oldExists = fsys.exists(new Path(fsPath))
+      def fresh = freshAgg.get.select(col("label"),
+        col(s"__min_$c").as("mn"), col(s"__max_$c").as("mx"))
+      if (appendOnly && oldExists) {
+        if (newLabels.nonEmpty) fresh.write.mode(SaveMode.Append).parquet(fsPath)
+      } else if (oldExists || newLabels.nonEmpty) {
+        val survivors = survivingOld.toDF("label")
+        val rows = (oldExists, newLabels.nonEmpty) match {
+          case (true, true) =>
+            spark.read.parquet(fsPath)
+              .join(broadcast(survivors), Seq("label"), "left_semi")
+              .unionByName(fresh)
+          case (true, false) =>
+            spark.read.parquet(fsPath)
+              .join(broadcast(survivors), Seq("label"), "left_semi")
+          case (false, _) => fresh
+        }
+        val tmpOut = s"$base/${md.uuid}/zones/.$c.parquet.new"
+        rows.write.mode(SaveMode.Overwrite).parquet(tmpOut)
+        fsys.delete(new Path(fsPath), true)
+        if (!fsys.rename(new Path(tmpOut), new Path(fsPath)))
+          throw new java.io.IOException(s"zone sidecar commit failed for '$c'")
+      }
+    } finally freshAgg.foreach { a => a.unpersist(); () }
+  }
+
+  /** Migrate LEGACY inline zone maps (pre-sidecar blobs) to sidecar form:
+    * ranges move out of the blob into `<uuid>/zones/`, the blob keeps only
+    * registry entries. Runs on the first mutating op against an old dataset;
+    * the returned metadata is committed by the caller's single blob put.
+    */
+  private def migrateInlineZones(
+      spark: SparkSession, base: String, md: DatasetMetadata): DatasetMetadata = {
+    val inline = md.inlineZoneMaps
+    if (inline.isEmpty) return md
+    import spark.implicits._
+    inline.toSeq.sortBy(_._1).foreach { case (c, perLabel) =>
+      val rows = perLabel.toSeq.map { case (l, s) =>
+        if (s == null || s.isEmpty) (l, null: String, null: String)
+        else (l, s.head, s(1))
+      }
+      rows.toDF("label", "mn", "mx").repartition(1)
+        .write.mode(SaveMode.Overwrite).parquet(s"$base/${md.uuid}/zones/$c.parquet")
+    }
+    md.copy(zoneMaps = Map.empty,
+      zones = md.zoneRegistry ++ inline.keys.map(c => c -> s"$c.parquet"))
+  }
+
+  /** Materialized zone map of `column` — (label → [min, max] strings, empty
+    * seq = all-null file) — from the sidecar, or the legacy inline form for
+    * pre-sidecar blobs. Catalog-sized; intended for tooling/tests, the read
+    * path probes the sidecar distributed without materializing this.
+    */
+  def zoneMapOf(spark: SparkSession, base: String, md: DatasetMetadata,
+      column: String): Map[String, Seq[String]] = {
+    if (md.zoneRegistry.contains(column)) {
+      val p = new Path(md.zonePath(base, column))
+      if (!DatasetMetadata.fs(spark, base).exists(p)) Map.empty
+      else spark.read.parquet(p.toString).select("label", "mn", "mx").collect().map { r =>
+        val mn = r.getString(1); val mx = r.getString(2)
         r.getString(0) -> (if (mn == null || mx == null) Seq.empty[String] else Seq(mn, mx))
       }.toMap
-    }.toMap
+    } else md.inlineZoneMaps.getOrElse(column, Map.empty)
   }
 
   /** Normalize a value for zone-range comparison: date/timestamp strings
@@ -228,6 +324,29 @@ object Ktk {
       case In => l.value.asInstanceOf[Seq[Any]]
         .exists(v => v != null && zoneCmp(v, mn) >= 0 && zoneCmp(v, mx) <= 0)
     } catch { case _: Exception => true }
+  }
+
+  /** Range check for one literal, closed over for driver or executor use.
+    * Large IN lists (semiJoinRead pushes up to maxKeys values): sort once,
+    * binary-search per file — O(files·log keys), not O(files·keys).
+    */
+  private def zoneCheckFn(l: PredLiteral): (String, String) => Boolean = l.op match {
+    case graft.core.PredOp.In =>
+      val sorted =
+        try l.value.asInstanceOf[Seq[Any]].filter(_ != null)
+          .sortWith(zoneCmp(_, _) < 0).toIndexedSeq
+        catch { case _: Exception => null }
+      if (sorted == null) (mn, mx) => zoneMayMatch(l, mn, mx)
+      else (mn, mx) => try {
+        // least value >= mn, then test <= mx
+        var lo = 0; var hi = sorted.size
+        while (lo < hi) {
+          val mid = (lo + hi) >>> 1
+          if (zoneCmp(sorted(mid), mn) < 0) lo = mid + 1 else hi = mid
+        }
+        lo < sorted.size && zoneCmp(sorted(lo), mx) <= 0
+      } catch { case _: Exception => true }
+    case _ => (mn, mx) => zoneMayMatch(l, mn, mx)
   }
 
   // ---------------------------------------------------------------- blooms
@@ -326,12 +445,11 @@ object Ktk {
     */
   def addZoneMaps(spark: SparkSession, base: String, uuid: String,
       columns: Seq[String]): DatasetMetadata = {
-    val md = DatasetMetadata.load(spark, base, uuid)
+    val md = migrateInlineZones(spark, base, DatasetMetadata.load(spark, base, uuid))
     columns.foreach(c => require(md.schema.fieldNames.contains(c),
       s"zone-map column '$c' not in schema"))
-    val fresh = computeZoneMaps(spark, md.tableDir(base),
-      md.partitions.keys.toSeq.sorted, columns)
-    val md2 = md.copy(zoneMaps = md.zoneMaps ++ fresh)
+    buildZoneSidecars(spark, base, md, columns, md.partitions.keys.toSeq.sorted)
+    val md2 = md.copy(zones = md.zoneRegistry ++ columns.map(c => c -> s"$c.parquet"))
     DatasetMetadata.store(spark, base, md2)
     md2
   }
@@ -478,6 +596,29 @@ object Ktk {
         }
       })
 
+    // per (column, literal): probe the zone sidecar DISTRIBUTED — the range
+    // check evaluates on executors and only (label, may) pairs come back,
+    // O(#files) strings, never the range strings in bulk. Labels absent
+    // from the sidecar are kept by the caller; null mn/mx = all-null file,
+    // which no non-null-matching literal can satisfy.
+    val zoneLookupCache =
+      scala.collection.mutable.Map.empty[(String, PredLiteral), Option[(Set[String], Set[String])]]
+    def zoneSets(l: PredLiteral): Option[(Set[String], Set[String])] =
+      zoneLookupCache.getOrElseUpdate((l.col, l), {
+        val sidecar = new Path(md.zonePath(base, l.col))
+        if (!DatasetMetadata.fs(spark, base).exists(sidecar)) None
+        else {
+          val check = zoneCheckFn(l)
+          val may = udf { (mn: String, mx: String) =>
+            mn != null && mx != null && check(mn, mx)
+          }
+          val rows = spark.read.parquet(sidecar.toString)
+            .select(col("label"), may(col("mn"), col("mx")).as("m")).collect()
+          Some((rows.map(_.getString(0)).toSet,
+            rows.filter(_.getBoolean(1)).map(_.getString(0)).toSet))
+        }
+      })
+
     val surviving = predicates.splitPerConjunction(partCols).zip(predicates.disjunction).flatMap {
       case ((partLits, _), conj) =>
         // 1. partition-key pruning from decoded labels (PartitionIndex)
@@ -503,38 +644,28 @@ object Ktk {
         // 3. zone-map pruning: drop files whose [min, max] range excludes
         // the literal. `indexPrunable` doubles as the null guard — nulls
         // are invisible to stats, so null-matching literals never prune.
-        // A file with EMPTY stats holds only nulls for that column, which
-        // no non-null-matching literal can satisfy.
+        // A file with null/empty stats holds only nulls for that column,
+        // which no non-null-matching literal can satisfy. Sidecar columns
+        // probe DISTRIBUTED (zoneSets above); legacy inline maps evaluate
+        // on the driver.
         val zoneLits = conj.filter(l =>
-          md.zoneMaps.contains(l.col) && !partCols.contains(l.col) && indexPrunable(l))
+          md.zoneColumns.contains(l.col) && !partCols.contains(l.col) && indexPrunable(l))
         val afterZone = zoneLits.foldLeft(afterIdx) { (labels, l) =>
-          val zm = md.zoneMaps(l.col)
-          // large IN lists (semiJoinRead pushes up to maxKeys values): sort
-          // once, binary-search per file — O(files·log keys), not
-          // O(files·keys), which matters on the driver at catalog scale
-          val check: (String, String) => Boolean = l.op match {
-            case graft.core.PredOp.In =>
-              val sorted =
-                try l.value.asInstanceOf[Seq[Any]].filter(_ != null)
-                  .sortWith(zoneCmp(_, _) < 0).toIndexedSeq
-                catch { case _: Exception => null }
-              if (sorted == null) (mn, mx) => zoneMayMatch(l, mn, mx)
-              else (mn, mx) => try {
-                // least value >= mn, then test <= mx
-                var lo = 0; var hi = sorted.size
-                while (lo < hi) {
-                  val mid = (lo + hi) >>> 1
-                  if (zoneCmp(sorted(mid), mn) < 0) lo = mid + 1 else hi = mid
-                }
-                lo < sorted.size && zoneCmp(sorted(lo), mx) <= 0
-              } catch { case _: Exception => true }
-            case _ => (mn, mx) => zoneMayMatch(l, mn, mx)
-          }
-          labels.filter { lbl =>
-            zm.get(lbl) match {
-              case None                  => true // no stats recorded: keep
-              case Some(s) if s.isEmpty  => false // all-null file
-              case Some(s)               => check(s.head, s(1))
+          if (md.zoneRegistry.contains(l.col)) {
+            zoneSets(l) match {
+              case None                      => labels
+              case Some((present, matching)) =>
+                labels.filter(lbl => !present.contains(lbl) || matching.contains(lbl))
+            }
+          } else {
+            val zm = md.inlineZoneMaps(l.col)
+            val check = zoneCheckFn(l)
+            labels.filter { lbl =>
+              zm.get(lbl) match {
+                case None                  => true // no stats recorded: keep
+                case Some(s) if s.isEmpty  => false // all-null file
+                case Some(s)               => check(s.head, s(1))
+              }
             }
           }
         }
@@ -711,7 +842,7 @@ object Ktk {
       extraMetadata: Map[String, String] = Map.empty,
       appendSidecars: Boolean = false): DatasetMetadata = {
 
-    val md = DatasetMetadata.load(spark, base, uuid)
+    val md = migrateInlineZones(spark, base, DatasetMetadata.load(spark, base, uuid))
     val tableDir = md.tableDir(base)
 
     // 1. which existing labels survive the delete scope?
@@ -756,15 +887,9 @@ object Ktk {
 
     // 3. incremental index merge (≙ update_indices, io_components/write.py:283-309):
     //    keep surviving labels of the old index, union the new files' pairs.
-    //    Zone maps merge the same way: surviving labels keep their ranges,
-    //    new labels get freshly computed ones.
-    val freshZones = computeZoneMaps(spark, tableDir, newLabels.toSeq.sorted, md.zoneMaps.keys.toSeq)
-    val mergedZones = md.zoneMaps.map { case (c, perLabel) =>
-      c -> (perLabel.filter { case (l, _) => finalPartitions.contains(l) } ++
-        freshZones.getOrElse(c, Map.empty))
-    }
+    //    Zone and bloom sidecars merge the same way.
     val md1 = md.copy(partitions = finalPartitions, partitionSeq = finalSeq,
-      zoneMaps = mergedZones, metadata = md.metadata ++ extraMetadata)
+      metadata = md.metadata ++ extraMetadata)
     // append-only sidecar maintenance: only meaningful with no deletes —
     // after a delete the canonical merge must drop the dead labels' rows so
     // loadIndex/observedValues stay exact (queryLabels alone would tolerate
@@ -774,6 +899,9 @@ object Ktk {
       survivingOld = finalPartitions.keys.toSeq.filter(referenced.contains),
       newLabels = newLabels.toSeq, appendOnly = appendOnly)
     mergeBloomsIncremental(spark, base, md, tableDir,
+      survivingOld = finalPartitions.keys.toSeq.filter(referenced.contains),
+      newLabels = newLabels.toSeq, appendOnly = appendOnly)
+    mergeZonesIncremental(spark, base, md, tableDir,
       survivingOld = finalPartitions.keys.toSeq.filter(referenced.contains),
       newLabels = newLabels.toSeq, appendOnly = appendOnly)
 
@@ -853,7 +981,7 @@ object Ktk {
       targetFileBytes: Long = 128L * 1024 * 1024,
       extraMetadata: Map[String, String] = Map.empty): DatasetMetadata = {
 
-    val md = DatasetMetadata.load(spark, base, uuid)
+    val md = migrateInlineZones(spark, base, DatasetMetadata.load(spark, base, uuid))
     val tableDir = md.tableDir(base)
     def dirOf(label: String): String = {
       val i = label.lastIndexOf('/')
@@ -952,17 +1080,15 @@ object Ktk {
     }.toMap
 
     val newLabels = newSeqOf.keys.toSeq.sorted
-    val freshZones = computeZoneMaps(spark, tableDir, newLabels, md.zoneMaps.keys.toSeq)
-    val mergedZones = md.zoneMaps.map { case (c, perLabel) =>
-      c -> (perLabel.filter { case (l, _) => finalPartitions.contains(l) } ++
-        freshZones.getOrElse(c, Map.empty))
-    }
     val md1 = md.copy(partitions = finalPartitions, partitionSeq = finalSeq,
-      zoneMaps = mergedZones, metadata = md.metadata ++ extraMetadata)
+      metadata = md.metadata ++ extraMetadata)
     mergeIndicesIncremental(spark, base, md, tableDir,
       survivingOld = finalPartitions.keys.toSeq.filterNot(newSeqOf.contains),
       newLabels = newLabels)
     mergeBloomsIncremental(spark, base, md, tableDir,
+      survivingOld = finalPartitions.keys.toSeq.filterNot(newSeqOf.contains),
+      newLabels = newLabels)
+    mergeZonesIncremental(spark, base, md, tableDir,
       survivingOld = finalPartitions.keys.toSeq.filterNot(newSeqOf.contains),
       newLabels = newLabels)
     DatasetMetadata.store(spark, base, md1)
@@ -1001,9 +1127,9 @@ object Ktk {
     val md = DatasetMetadata(
       uuid = uuid, partitionKeys = partitionOn,
       indices = secondaryIndices.map(c => c -> s"$c.parquet").toMap,
-      // registered zone/bloom columns start empty; [[commit]] fills ranges
-      // and builds sidecars as partitions publish
-      zoneMaps = zoneMapFor.map(c => c -> Map.empty[String, Seq[String]]).toMap,
+      // registered zone/bloom columns start with no sidecar files; [[commit]]
+      // builds them as partitions publish (probes treat absence as keep-all)
+      zones = zoneMapFor.map(c => c -> s"$c.parquet").toMap,
       blooms = bloomFor.map(c => c -> s"$c.parquet").toMap,
       schemaJson = normalized.json, metadata = userMetadata)
     DatasetMetadata.store(spark, base, md)
@@ -1051,7 +1177,7 @@ object Ktk {
       uuid: String,
       newLabels: Seq[String],
       deleteScope: Predicates = Predicates.empty): DatasetMetadata = {
-    val md = DatasetMetadata.load(spark, base, uuid)
+    val md = migrateInlineZones(spark, base, DatasetMetadata.load(spark, base, uuid))
     val tableDir = md.tableDir(base)
     val allNow = listDataFiles(spark, tableDir)
     newLabels.foreach(l => require(allNow.contains(l), s"label '$l' not found under $tableDir"))
@@ -1071,13 +1197,7 @@ object Ktk {
     val finalSeq = finalPartitions.keys.map { l =>
       l -> (if (newLabels.contains(l)) nextSeq else md.seqOf(l))
     }.toMap
-    val freshZones = computeZoneMaps(spark, tableDir, newLabels.sorted, md.zoneMaps.keys.toSeq)
-    val mergedZones = md.zoneMaps.map { case (c, perLabel) =>
-      c -> (perLabel.filter { case (l, _) => finalPartitions.contains(l) } ++
-        freshZones.getOrElse(c, Map.empty))
-    }
-    val md1 = md.copy(partitions = finalPartitions, partitionSeq = finalSeq,
-      zoneMaps = mergedZones)
+    val md1 = md.copy(partitions = finalPartitions, partitionSeq = finalSeq)
 
     // indices: first commit builds from scratch; later commits merge
     // incrementally exactly like [[update]]
@@ -1104,6 +1224,9 @@ object Ktk {
       }
     }
     mergeBloomsIncremental(spark, base, md, tableDir,
+      survivingOld = keepOld.toSeq.filter(finalPartitions.contains),
+      newLabels = newLabels)
+    mergeZonesIncremental(spark, base, md, tableDir,
       survivingOld = keepOld.toSeq.filter(finalPartitions.contains),
       newLabels = newLabels)
 
@@ -1213,9 +1336,10 @@ object Ktk {
       }
       toDelete.foreach { p => fs.delete(p, false); deleted += p.toString }
     }
-    // index / bloom sidecar files not in their registries
+    // index / bloom / zone sidecar files not in their registries
     Seq(IndexDirName -> md.indices.values.toSet,
-        "blooms" -> md.bloomRegistry.values.toSet).foreach { case (dir, valid) =>
+        "blooms" -> md.bloomRegistry.values.toSet,
+        "zones" -> md.zoneRegistry.values.toSet).foreach { case (dir, valid) =>
       val root = fs.makeQualified(new Path(s"$base/$uuid/$dir"))
       if (fs.exists(root)) {
         fs.listStatus(root).foreach { st =>

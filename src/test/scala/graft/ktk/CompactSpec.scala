@@ -34,7 +34,7 @@ class CompactSpec extends SparkSpec {
       predicates = Predicates.of(Seq(("v", "==", "v7"))))
     hit.count() shouldBe 1
     // zone maps rebuilt for the new labels
-    md1.zoneMaps("k").keySet shouldBe md1.partitions.keySet
+    Ktk.zoneMapOf(spark, base, md1, "k").keySet shouldBe md1.partitions.keySet
     // old files unreferenced → GC removes them, reads still whole
     Ktk.garbageCollect(spark, base, "ds").size should be >= beforeFiles - 3
     Ktk.readTable(spark, base, "ds").count() shouldBe 600

@@ -109,7 +109,7 @@ class KtkSpec extends SparkSpec {
     viaIdx.select("l").as[String].collect().toSeq shouldBe Seq("c")
     // zone map registered at createEmpty is filled at commit and prunes
     val mdZ = DatasetMetadata.load(spark, base, "tp")
-    mdZ.zoneMaps("target").size shouldBe mdZ.partitions.size
+    Ktk.zoneMapOf(spark, base, mdZ, "target").size shouldBe mdZ.partitions.size
     Ktk.readTable(spark, base, "tp",
       predicates = graft.core.Predicates.of(Seq(("target", ">=", 40.0))))
       .select("l").as[String].collect().sorted.toSeq shouldBe Seq("b", "c")
@@ -137,7 +137,7 @@ class KtkSpec extends SparkSpec {
     ).toDF("p", "x", "l")
     val md = Ktk.store(spark, base, "zm", data, partitionOn = Seq("p"),
       zoneMapFor = Seq("x"))
-    md.zoneMaps("x").size shouldBe md.partitions.size
+    Ktk.zoneMapOf(spark, base, md, "x").size shouldBe md.partitions.size
     // x > 50 excludes every p=1 file via its range — without the partition
     // key appearing in the predicate at all
     val labels = Ktk.queryLabels(spark, base, md,
@@ -153,7 +153,7 @@ class KtkSpec extends SparkSpec {
     // update: appended files get fresh ranges, zone pruning stays correct
     Ktk.update(spark, base, "zm", Some(Seq((3, 500.0, "e")).toDF("p", "x", "l")))
     val md2 = DatasetMetadata.load(spark, base, "zm")
-    md2.zoneMaps("x").size shouldBe md2.partitions.size
+    Ktk.zoneMapOf(spark, base, md2, "x").size shouldBe md2.partitions.size
     Ktk.readTable(spark, base, "zm",
       predicates = graft.core.Predicates.of(Seq(("x", ">=", 500.0))))
       .select("l").as[String].collect().toSeq shouldBe Seq("e")

@@ -79,7 +79,7 @@ class KtkSurfaceSpec extends SparkSpec {
     graft.tools.Cli.run(spark, Array("bloom", base, "ds", "v"))
     DatasetMetadata.load(spark, base, "ds").bloomRegistry.keySet shouldBe Set("v")
     graft.tools.Cli.run(spark, Array("zonemap", base, "ds", "v"))
-    DatasetMetadata.load(spark, base, "ds").zoneMaps.keySet shouldBe Set("v")
+    DatasetMetadata.load(spark, base, "ds").zoneRegistry.keySet shouldBe Set("v")
     graft.tools.Cli.run(spark, Array("copy", base, "ds", "ds2"))
     Ktk.readTable(spark, base, "ds2").count() shouldBe 2
     graft.tools.Cli.run(spark, Array("delete", base, "ds2"))
