@@ -71,6 +71,16 @@ final case class DatasetMetadata(
       case None              => 0L
     }
 
+  /** Byte size of a partition label, widening-safe like [[seqOf]] (Jackson
+    * narrows integral map values on deserialization).
+    */
+  def sizeOf(label: String): Long =
+    Option(partitions).map(_.asInstanceOf[Map[String, Any]]).flatMap(_.get(label)) match {
+      case Some(num: Number) => num.longValue()
+      case Some(other)       => other.toString.toLong
+      case None              => 0L
+    }
+
   /** Decode the Hive-style key=value pairs of one partition label. */
   def partitionValues(label: String): Map[String, String] =
     UrlCodec.decodePartitionPath(label).toMap

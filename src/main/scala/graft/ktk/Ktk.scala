@@ -854,32 +854,33 @@ object Ktk {
         md.partitions.keySet.filter(l => deleteScope.matchesValues(md.partitionValues(l)))
       }
 
-    // 2. append new files. New labels are diffed against the PRE-WRITE
-    //    LISTING, not the referenced set — the dir may hold unreferenced
-    //    leftovers (compacted-away files awaiting gc, failed writes) and
-    //    those must never be resurrected into the commit.
+    // 2. append new files. New labels come from the write job's own commit
+    //    manifest (ManifestCommitProtocol) — NO directory listing. The dir
+    //    may hold unreferenced leftovers (compacted-away files awaiting gc,
+    //    failed writes); since we never list, they can never be resurrected
+    //    into the commit, and commit cost is O(batch) regardless of how many
+    //    historical files the dataset holds.
     val referenced = md.partitions.keySet
-    val preexisting = newData match {
-      case Some(_) => listDataFiles(spark, tableDir).keySet
-      case None    => Set.empty[String] // no write ⇒ no new labels possible
+    val newFiles: Seq[(String, Long)] = newData match {
+      case None => Nil
+      case Some(df) =>
+        SchemaUtil.validateCompatible(md.schema, SchemaUtil.normalizeSchema(df.schema, md.partitionKeys))
+        val normalized = SchemaUtil.normalize(df, md.partitionKeys)
+        val sorted =
+          if (sortBy.nonEmpty) normalized.sortWithinPartitions(sortBy.map(c => col(s"`$c`")): _*)
+          else normalized
+        ManifestCommitProtocol.collecting(spark) {
+          val writer = sorted.write.mode(SaveMode.Append)
+          (if (md.partitionKeys.nonEmpty) writer.partitionBy(md.partitionKeys: _*) else writer)
+            .parquet(tableDir)
+        }
     }
-    newData.foreach { df =>
-      SchemaUtil.validateCompatible(md.schema, SchemaUtil.normalizeSchema(df.schema, md.partitionKeys))
-      val normalized = SchemaUtil.normalize(df, md.partitionKeys)
-      val sorted =
-        if (sortBy.nonEmpty) normalized.sortWithinPartitions(sortBy.map(c => col(s"`$c`")): _*)
-        else normalized
-      val writer = sorted.write.mode(SaveMode.Append)
-      (if (md.partitionKeys.nonEmpty) writer.partitionBy(md.partitionKeys: _*) else writer)
-        .parquet(tableDir)
-    }
-    val allNow = listDataFiles(spark, tableDir)
-    val newLabels = if (newData.isEmpty) Set.empty[String]
-                    else allNow.keySet -- preexisting
+    val newLabels = newFiles.map(_._1).toSet
     if (newLabels.exists(_.contains("__HIVE_DEFAULT_PARTITION__")))
       throw new IllegalArgumentException("null values in partition columns are not allowed")
 
-    val finalPartitions = allNow.filter { case (l, _) => !deleted.contains(l) && (referenced.contains(l) || newLabels.contains(l)) }
+    val finalPartitions: Map[String, Long] =
+      referenced.filterNot(deleted.contains).map(l => l -> md.sizeOf(l)).toMap ++ newFiles
     val nextSeq = (0L +: md.partitions.keys.toSeq.map(md.seqOf)).max + 1L
     val finalSeq = finalPartitions.keys.map { l =>
       l -> (if (newLabels.contains(l)) nextSeq else md.seqOf(l))
@@ -989,11 +990,10 @@ object Ktk {
     }
     // compaction victims: small files sharing (partition dir, commit seq)
     // with at least one other small file — singletons gain nothing.
-    // Sizes come from the live listing (metadata JSON round-trips numbers
-    // as Integer when they fit).
-    val liveSizes = listDataFiles(spark, tableDir)
+    // Sizes come from the catalog (sizeOf widens Jackson's narrowed
+    // integrals) — no listing of the table dir.
     val victimsBySeq: Map[Long, Seq[String]] = md.partitions.keys.toSeq
-      .flatMap(l => liveSizes.get(l).map(l -> _))
+      .map(l => l -> md.sizeOf(l))
       .filter(_._2 < smallFileBytes)
       .groupBy { case (l, _) => (dirOf(l), md.seqOf(l)) }
       .filter(_._2.size >= 2)
@@ -1032,7 +1032,7 @@ object Ktk {
           val staging = s"$stagingRoot/$seq"
           val data = spark.read.option("basePath", tableDir)
             .parquet(labels.map(l => s"$tableDir/$l"): _*)
-          val totalBytes = labels.map(liveSizes).sum
+          val totalBytes = labels.map(md.sizeOf).sum
           val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
           val rewritten =
             if (md.partitionKeys.nonEmpty)
@@ -1044,7 +1044,7 @@ object Ktk {
           val stPath = fsys.makeQualified(new Path(staging))
           val prefix = stPath.toString + "/"
           val it = fsys.listFiles(stPath, true)
-          val moved = Seq.newBuilder[String]
+          val moved = Seq.newBuilder[(String, Long)]
           while (it.hasNext) {
             val st = it.next()
             val name = st.getPath.getName
@@ -1061,7 +1061,7 @@ object Ktk {
               if (!fsys.rename(st.getPath, dest))
                 throw new java.io.IOException(
                   s"compact: rename ${st.getPath} -> $dest failed")
-              moved += rel
+              moved += (rel -> st.getLen)
             }
           }
           seq -> moved.result()
@@ -1069,12 +1069,13 @@ object Ktk {
       }), Duration.Inf)
       finally { pool.shutdown(); fsys.delete(stagingRoot, true); () }
     val newSeqOf = scala.collection.mutable.Map.empty[String, Long]
-    movedBySeq.foreach { case (seq, ls) => ls.foreach(l => newSeqOf(l) = seq) }
+    movedBySeq.foreach { case (seq, ls) => ls.foreach { case (l, _) => newSeqOf(l) = seq } }
 
-    val allNow = listDataFiles(spark, tableDir)
-    val finalPartitions = allNow.filter { case (l, _) =>
-      newSeqOf.contains(l) || (md.partitions.contains(l) && !victims.contains(l))
-    }
+    // survivors keep their catalog sizes; moved files carry the size
+    // captured during the staging walk — no table-dir relisting
+    val finalPartitions: Map[String, Long] =
+      md.partitions.keys.filterNot(victims.contains)
+        .map(l => l -> md.sizeOf(l)).toMap ++ movedBySeq.flatMap(_._2)
     val finalSeq = finalPartitions.keys.map { l =>
       l -> newSeqOf.getOrElse(l, md.seqOf(l))
     }.toMap
@@ -1151,16 +1152,20 @@ object Ktk {
       sortBy: Seq[String] = Nil): Seq[String] = {
     val md = DatasetMetadata.load(spark, base, uuid)
     val tableDir = md.tableDir(base)
-    val before = listDataFiles(spark, tableDir).keySet
     SchemaUtil.validateCompatible(md.schema, SchemaUtil.normalizeSchema(df.schema, md.partitionKeys))
     val normalized = SchemaUtil.normalize(df, md.partitionKeys)
     val sorted =
       if (sortBy.nonEmpty) normalized.sortWithinPartitions(sortBy.map(c => col(s"`$c`")): _*)
       else normalized
-    val writer = sorted.write.mode(SaveMode.Append)
-    (if (md.partitionKeys.nonEmpty) writer.partitionBy(md.partitionKeys: _*) else writer)
-      .parquet(tableDir)
-    val newLabels = (listDataFiles(spark, tableDir).keySet -- before).toSeq.sorted
+    // labels come from the write job's commit manifest — no directory
+    // listing, so concurrent writePartition jobs never observe each other
+    // and cost stays O(batch) at any historical file count
+    val newFiles = ManifestCommitProtocol.collecting(spark) {
+      val writer = sorted.write.mode(SaveMode.Append)
+      (if (md.partitionKeys.nonEmpty) writer.partitionBy(md.partitionKeys: _*) else writer)
+        .parquet(tableDir)
+    }
+    val newLabels = newFiles.map(_._1).sorted
     if (newLabels.exists(_.contains("__HIVE_DEFAULT_PARTITION__")))
       throw new IllegalArgumentException("null values in partition columns are not allowed")
     newLabels
@@ -1179,8 +1184,17 @@ object Ktk {
       deleteScope: Predicates = Predicates.empty): DatasetMetadata = {
     val md = migrateInlineZones(spark, base, DatasetMetadata.load(spark, base, uuid))
     val tableDir = md.tableDir(base)
-    val allNow = listDataFiles(spark, tableDir)
-    newLabels.foreach(l => require(allNow.contains(l), s"label '$l' not found under $tableDir"))
+    // validate + size ONLY the labels being registered — O(newLabels)
+    // point lookups, never a recursive listing of the table dir
+    val fsys = DatasetMetadata.fs(spark, base)
+    val newSizes: Map[String, Long] = newLabels.map { l =>
+      val p = new Path(s"$tableDir/$l")
+      val st = try fsys.getFileStatus(p) catch {
+        case _: java.io.FileNotFoundException =>
+          throw new IllegalArgumentException(s"label '$l' not found under $tableDir")
+      }
+      l -> st.getLen
+    }.toMap
 
     val deleted: Set[String] =
       if (deleteScope.isEmpty) Set.empty
@@ -1190,9 +1204,8 @@ object Ktk {
         md.partitions.keySet.filter(l => deleteScope.matchesValues(md.partitionValues(l)))
       }
     val keepOld = md.partitions.keySet -- deleted
-    val finalPartitions = allNow.filter { case (l, _) =>
-      keepOld.contains(l) || newLabels.contains(l)
-    }
+    val finalPartitions: Map[String, Long] =
+      keepOld.map(l => l -> md.sizeOf(l)).toMap ++ newSizes
     val nextSeq = (0L +: md.partitions.keys.toSeq.map(md.seqOf)).max + 1L
     val finalSeq = finalPartitions.keys.map { l =>
       l -> (if (newLabels.contains(l)) nextSeq else md.seqOf(l))

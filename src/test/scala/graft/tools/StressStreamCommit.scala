@@ -84,6 +84,33 @@ object StressStreamCommit {
     println(f"compact re-canonicalized in $tc%.2f s; total rows preserved: " +
       s"${Ktk.readTable(spark, appendBase, "s").count()}")
     require(speedup > 1.5, f"append mode speedup only ${speedup}%.1fx")
+
+    // ---- commit cost vs historical file count: labels now come from the
+    // write job's manifest (no table-dir relisting), so an update against a
+    // dataset holding 1200 historical files must cost about the same as one
+    // against 40 files. No sidecars here — isolates the listing/commit path.
+    def seedFiles(tag: String, nFiles: Int): String = {
+      val base = java.nio.file.Files.createTempDirectory(s"histsz-$tag").toString
+      val df = spark.range(nFiles.toLong * 10).toDF("k")
+        .withColumn("v", col("k").cast("string")).repartition(nFiles)
+      Ktk.store(spark, base, "h", df)
+      base
+    }
+    def commitTimes(base: String): Seq[Double] = (0 until 6).map { b =>
+      val (_, t) = time(Ktk.update(spark, base, "h",
+        Some(spark.range(b * 100L, b * 100L + 100).toDF("k")
+          .withColumn("v", col("k").cast("string")))))
+      t
+    }
+    val smallBase = seedFiles("small", 40)
+    val bigBase = seedFiles("big", 1200)
+    val tSmall = commitTimes(smallBase).sum / 6
+    val tBig = commitTimes(bigBase).sum / 6
+    println(f"per-commit: 40-file history $tSmall%.2f s, 1200-file history $tBig%.2f s " +
+      f"(ratio ${tBig / tSmall}%.2f)")
+    require(tBig <= 2.0 * tSmall + 0.25,
+      f"commit time grew with historical file count: $tSmall%.2f -> $tBig%.2f s")
+    println("history-independent commit stress OK")
     spark.stop()
   }
 }
