@@ -388,43 +388,53 @@ object Similarity {
     df.withColumn("__pq", enc(col(s"`$vecCol`")))
   }
 
-  /** ADC top-k over PQ codes: each query precomputes an m×256 table of
-    * partial squared distances (driver-side, broadcast in the UDF closure);
-    * scoring a corpus row is `m` table lookups over its byte code — no
-    * float vectors are read at scan time. One Exchange (the top-k window).
+  /** Per-query ADC lookup table (flattened m×256 floats), computed as a
+    * narrow map over the QUERY frame — the codebooks ride the task closure,
+    * the query set itself never collects to the driver.
+    */
+  private def adcTableUdf(cb: PqCodebooks) = udf { (v: Seq[Float]) =>
+    val flat = new Array[Float](cb.m * 256)
+    var sub = 0
+    while (sub < cb.m) {
+      val cents = cb.codebooks(sub)
+      var c = 0
+      while (c < cents.length) {
+        var d = 0.0; var j = 0
+        while (j < cb.dsub) { val t = v(sub * cb.dsub + j) - cents(c)(j); d += t * t; j += 1 }
+        flat(sub * 256 + c) = d.toFloat
+        c += 1
+      }
+      sub += 1
+    }
+    flat
+  }
+
+  /** ADC distance: m strided lookups into the query's flat table. */
+  private def adcDistUdf(m: Int) = udf { (code: Array[Byte], table: Seq[Float]) =>
+    var d = 0.0f
+    var sub = 0
+    while (sub < m) { d += table(sub * 256 + (code(sub) & 0xff)); sub += 1 }
+    d
+  }
+
+  /** ADC top-k over PQ codes: each query's m×256 lookup table is computed
+    * map-side on the query frame, then JOINED (broadcast) against the
+    * corpus — scoring a (row, query) pair is `m` table lookups, distributed
+    * as ordinary join rows instead of a per-corpus-row loop over the whole
+    * collected query set. Per-row cost stays O(m × queries-matched-here)
+    * and a 100× query batch fans out across the cluster, not into every
+    * row's UDF call. One Exchange (the top-k window).
     */
   def pqTopK(
       encodedCorpus: DataFrame, queries: DataFrame,
       idCol: String, queryIdCol: String, queryVecCol: String,
       cb: PqCodebooks, k: Int): DataFrame = {
-    val qs: Array[(Long, Array[Array[Float]])] = queries
-      .select(col(s"`$queryIdCol`").cast("long"), col(s"`$queryVecCol`"))
-      .collect()
-      .map { r =>
-        val v = r.getSeq[Float](1)
-        val table = Array.tabulate(cb.m) { sub =>
-          val cents = cb.codebooks(sub)
-          Array.tabulate(cents.length) { c =>
-            var d = 0.0; var j = 0
-            while (j < cb.dsub) {
-              val t = v(sub * cb.dsub + j) - cents(c)(j); d += t * t; j += 1
-            }
-            d.toFloat
-          }
-        }
-        (r.getLong(0), table)
-      }
-    val score = udf { (code: Array[Byte]) =>
-      qs.toSeq.map { case (qid, table) =>
-        var d = 0.0f
-        var sub = 0
-        while (sub < cb.m) { d += table(sub)(code(sub) & 0xff); sub += 1 }
-        (qid, d)
-      }
-    }
-    val scored = encodedCorpus
-      .select(col(s"`$idCol`"), explode(score(col("__pq"))).as("s"))
-      .select(col("s._1").as(queryIdCol), col(s"`$idCol`"), col("s._2").as("dist"))
+    val qTables = queries.select(col(s"`$queryIdCol`").cast("long").as(queryIdCol),
+      adcTableUdf(cb)(col(s"`$queryVecCol`")).as("__qt"))
+    val scored = encodedCorpus.select(col(s"`$idCol`"), col("__pq"))
+      .crossJoin(broadcast(qTables))
+      .select(col(queryIdCol), col(s"`$idCol`"),
+        adcDistUdf(cb.m)(col("__pq"), col("__qt")).as("dist"))
       .filter(col(queryIdCol) =!= col(s"`$idCol`"))
     val w = Window.partitionBy(queryIdCol).orderBy(col("dist").asc, col(s"`$idCol`"))
     scored.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= k).drop("__rn")
@@ -444,47 +454,24 @@ object Similarity {
 
   /** ADC top-k over the IVF-PQ layout: each query probes its `nprobe`
     * nearest cells and scores ONLY rows in those cells, via its m×256
-    * lookup table. The scan reads (id, cid, code) — 1+m+4 bytes of payload
-    * per row — and the single Exchange is the final top-k window.
+    * lookup table. Queries are GROUPED BY PROBED CELL and equi-joined to
+    * the corpus on `cid` (broadcast query tables), so a corpus row scores
+    * exactly the queries probing its cell — per-row cost no longer scales
+    * with the total query-batch size. The scan reads (id, cid, code) —
+    * 1+m+4 bytes of payload per row — and the single Exchange is the final
+    * top-k window.
     */
   def ivfPqTopK(
       encoded: DataFrame, queries: DataFrame,
       idCol: String, queryIdCol: String, queryVecCol: String,
       ivf: IvfIndex, cb: PqCodebooks, k: Int, nprobe: Int = 2): DataFrame = {
-    val cids = ivf.centroids.map(_._1).toArray
-    val cents = ivf.centroids.map(_._2.toArray).toArray
-    val qs: Array[(Long, Set[Int], Array[Array[Float]])] = queries
-      .select(col(s"`$queryIdCol`").cast("long"), col(s"`$queryVecCol`"))
-      .collect()
-      .map { r =>
-        val v = r.getSeq[Float](1)
-        val probes = cents.indices.map { i =>
-          var s = 0.0; var d = 0
-          val lim = math.min(cents(i).length, v.length)
-          while (d < lim) { val t = v(d) - cents(i)(d); s += t * t; d += 1 }
-          (s, cids(i))
-        }.sorted.take(nprobe).map(_._2).toSet
-        val table = Array.tabulate(cb.m) { sub =>
-          val cc = cb.codebooks(sub)
-          Array.tabulate(cc.length) { c =>
-            var d = 0.0; var j = 0
-            while (j < cb.dsub) { val t = v(sub * cb.dsub + j) - cc(c)(j); d += t * t; j += 1 }
-            d.toFloat
-          }
-        }
-        (r.getLong(0), probes, table)
-      }
-    val score = udf { (cid: Int, code: Array[Byte]) =>
-      qs.toSeq.collect { case (qid, probes, table) if probes.contains(cid) =>
-        var d = 0.0f
-        var sub = 0
-        while (sub < cb.m) { d += table(sub)(code(sub) & 0xff); sub += 1 }
-        (qid, d)
-      }
-    }
-    val scored = encoded
-      .select(col(s"`$idCol`"), explode(score(col("cid"), col("__pq"))).as("s"))
-      .select(col("s._1").as(queryIdCol), col(s"`$idCol`"), col("s._2").as("dist"))
+    val qTables = queries
+      .select(col(s"`$queryIdCol`").cast("long").as(queryIdCol),
+        adcTableUdf(cb)(col(s"`$queryVecCol`")).as("__qt"),
+        explode(nearestCidsUdf(ivf.centroids, nprobe)(col(s"`$queryVecCol`"))).as("cid"))
+    val scored = encoded.join(broadcast(qTables), Seq("cid"))
+      .select(col(queryIdCol), col(s"`$idCol`"),
+        adcDistUdf(cb.m)(col("__pq"), col("__qt")).as("dist"))
       .filter(col(queryIdCol) =!= col(s"`$idCol`"))
     val w = Window.partitionBy(queryIdCol).orderBy(col("dist").asc, col(s"`$idCol`"))
     scored.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= k).drop("__rn")

@@ -75,6 +75,23 @@ class PlanShapeSpec extends SparkSpec {
     plan should not include "CartesianProduct"
   }
 
+  test("IVF-PQ ADC scoring joins queries by cell — no per-row all-query loop") {
+    import graft.ops.Similarity
+    val corpus = (0 until 64).map(i =>
+      (i.toLong, Array.tabulate(8)(d => (i % 4 * 10 + d).toFloat))).toDF("id", "vec")
+    val queries = (0 until 4).map(i =>
+      (1000L + i, Array.tabulate(8)(d => (i * 10 + d).toFloat))).toDF("qid", "qvec")
+    val ivf = Similarity.buildIvfIndex(corpus, "vec", nlist = 4)
+    val cb = Similarity.trainPq(corpus, "vec", dim = 8, m = 2, sampleN = 64)
+    val encoded = Similarity.ivfPqEncode(corpus, "id", "vec", ivf, cb)
+    val plan = Similarity.ivfPqTopK(encoded, queries, "id", "qid", "qvec", ivf, cb, k = 3)
+      .queryExecution.executedPlan.toString
+    // corpus rows meet ONLY their cell's queries via a broadcast equi-join
+    // on cid; the old shape looped the whole collected query set per row
+    plan should include("BroadcastHashJoin")
+    plan should include regex "(?i)\\[cid"
+  }
+
   test("capped candidate generation has no self-join (simhash + embedding)") {
     import graft.ops.{Dedup, Similarity}
     val docs = (0 until 50).map(i => (i.toLong, s"some text body $i")).toDF("doc_id", "text")

@@ -258,6 +258,34 @@ class SimilaritySpec extends SparkSpec {
     out.select("vec_id").as[Long].collect().foreach(id => (id % 2) shouldBe 0L)
   }
 
+  test("IVF-PQ results are batch-size invariant: 100x queries answer each query identically") {
+    // the cid-join shape must give every query the same answer whether it
+    // arrives alone or in a large batch — and the batch fans out as join
+    // rows (cell-matched pairs), not as per-corpus-row loops over all queries
+    val clustered = (0 until 60).map { i =>
+      val base = if (i % 2 == 0) Array(1.0f, 0f, 0f, 0f) else Array(0f, 1.0f, 0f, 0f)
+      (i.toLong, base.map(x => x + (i % 5) * 0.01f))
+    }.toDF("vec_id", "embedding")
+    val ivf = Similarity.IvfIndex(
+      Seq(0 -> Seq(1.0, 0.0, 0.0, 0.0), 1 -> Seq(0.0, 1.0, 0.0, 0.0)), 2)
+    val cb = Similarity.trainPq(clustered, "embedding", dim = 4, m = 2, sampleN = 60)
+    val encoded = Similarity.ivfPqEncode(clustered, "vec_id", "embedding", ivf, cb)
+    val oneQuery = clustered.filter($"vec_id" === 0)
+      .select($"vec_id".as("query_id"), $"embedding".as("qvec"))
+    val batch = (0 until 200).map { q =>
+      val base = if (q % 2 == 0) Array(1.0f, 0f, 0f, 0f) else Array(0f, 1.0f, 0f, 0f)
+      (1000L + q, base.map(x => x + (q % 7) * 0.005f))
+    }.toDF("query_id", "qvec").unionByName(oneQuery)
+    val solo = Similarity.ivfPqTopK(encoded, oneQuery,
+        "vec_id", "query_id", "qvec", ivf, cb, k = 5, nprobe = 1)
+      .select("query_id", "vec_id", "dist").collect().map(_.toString).sorted
+    val inBatch = Similarity.ivfPqTopK(encoded, batch,
+        "vec_id", "query_id", "qvec", ivf, cb, k = 5, nprobe = 1)
+      .filter($"query_id" === 0)
+      .select("query_id", "vec_id", "dist").collect().map(_.toString).sorted
+    inBatch shouldBe solo
+  }
+
   test("IVF index persists as a managed dataset and round-trips") {
     val base = tmpDir("ivf")
     val corpus = (0 until 40).map { i =>
