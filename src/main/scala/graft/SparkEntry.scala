@@ -808,25 +808,43 @@ object SparkEntry {
     }),
 
     "q_ann_lsh" -> ((s, dir) => {
+      // multi-probe LSH with a MEASURED differential self-oracle: recall
+      // against bruteForceTopK on the same corpus is computed in-query and
+      // asserted — this gate fails if bucketing quality regresses, not just
+      // if the query errors. Thresholds sit under the deterministic measured
+      // floor across sf0.001/0.01/0.1 (seeded hyperplanes).
       val e = t(s, dir, "embeddings")
       val q = e.filter(col("vec_id") < 3)
         .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
-      Similarity.lshTopK(e, q, "vec_id", "embedding", "query_id", "qvec", k = 10, dim = 64, bits = 8)
-        .groupBy("query_id").agg(count(lit(1)).as("n"))
-        .orderBy("query_id")
+      val approx = Similarity.lshTopKMultiProbe(
+        e, q, "vec_id", "embedding", "query_id", "qvec", k = 10, dim = 64, bits = 6)
+      val exact = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", "query_id", "qvec", 10)
+      val rec = Similarity.recallVs(approx, exact, "query_id", "vec_id")
+      val rows = rec.collect().map(r => r.getLong(0) -> r.getDouble(1))
+      require(rows.length == 3 && rows.map(_._2).min >= 0.1 &&
+        rows.map(_._2).sum / rows.length >= 0.2,
+        s"lsh multi-probe recall regressed: ${rows.mkString(", ")}")
+      rec.select(col("query_id"), round(col("recall"), 4).as("recall")).orderBy("query_id")
     }),
 
     "q_ann_ivf" -> ((s, dir) => {
-      // IVF coarse-quantized ANN — the other 100TB scale path (nprobe=2 of
+      // IVF coarse-quantized ANN — the other 100TB scale path (nprobe=4 of
       // nlist=16 cells scanned per query instead of the full corpus); the
-      // index is built once per scale dir and reused, as in production
+      // index is built once per scale dir and reused, as in production.
+      // Recall vs brute force is measured in-query and asserted (seeded
+      // k-means ⇒ deterministic; thresholds under the measured floor).
       val e = t(s, dir, "embeddings")
       val q = e.filter(col("vec_id") < 3)
         .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
-      Similarity.ivfTopKWithIndex(ivfIndexFor(s, dir), e, q,
-        "vec_id", "embedding", "query_id", "qvec", k = 10, nprobe = 2)
-        .groupBy("query_id").agg(count(lit(1)).as("n"))
-        .orderBy("query_id")
+      val approx = Similarity.ivfTopKWithIndex(ivfIndexFor(s, dir), e, q,
+        "vec_id", "embedding", "query_id", "qvec", k = 10, nprobe = 4)
+      val exact = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", "query_id", "qvec", 10)
+      val rec = Similarity.recallVs(approx, exact, "query_id", "vec_id")
+      val rows = rec.collect().map(r => r.getLong(0) -> r.getDouble(1))
+      require(rows.length == 3 && rows.map(_._2).min >= 0.3 &&
+        rows.map(_._2).sum / rows.length >= 0.35,
+        s"ivf recall regressed: ${rows.mkString(", ")}")
+      rec.select(col("query_id"), round(col("recall"), 4).as("recall")).orderBy("query_id")
     }),
 
     "q_ann_pq" -> ((s, dir) => {

@@ -132,6 +132,26 @@ object Dedup {
 
   // ---------------------------------------------------------------- minhash
 
+  /** Bucket-cap filter for candidate generation: keeps buckets of size
+    * [2, maxBucket]; with an accumulator supplied, every OVER-CAP (skipped)
+    * bucket is counted — the no-silent-caps rule: capped candidate APIs
+    * under-report exactly the most-duplicated content, so callers get a
+    * skew signal instead of a silent gap. (Advisory count: stage retries
+    * can over-add, like any Spark accumulator used for diagnostics.)
+    */
+  private[ops] def bucketCapFilter(
+      maxBucket: Int,
+      skipped: Option[org.apache.spark.util.LongAccumulator]): Column => Column =
+    skipped match {
+      case None => n => n.between(2, maxBucket)
+      case Some(acc) =>
+        val f = udf { (n: Int) =>
+          if (n > maxBucket) acc.add(1L)
+          n >= 2 && n <= maxBucket
+        }.asNondeterministic()
+        n => f(n)
+    }
+
   /** 64-bit multiply-shift hash family; seeds fixed ⇒ deterministic. */
   private def mix64(x0: Long, seed: Long): Long = {
     var x = x0 ^ (seed * 0x9E3779B97F4A7C15L)
@@ -199,8 +219,10 @@ object Dedup {
     *
     * Scale notes: only (bucketKey, id, signature) shuffles; the within-bucket
     * pair expansion caps bucket size at `maxBucket` to bound the quadratic
-    * blowup on pathological buckets (salt-or-skip strategy, logged via the
-    * `skewed` flag rather than silently exploding).
+    * blowup on pathological buckets. Skipped over-cap buckets are COUNTED
+    * into `skippedBuckets` when supplied (see [[bucketCapFilter]]) — for the
+    * full answer on dup-heavy corpora use the star-edge dedup entry points,
+    * which handle giant buckets in O(n).
     */
   def minhashCandidates(
       df: DataFrame,
@@ -209,7 +231,8 @@ object Dedup {
       shingleK: Int = 5,
       numHashes: Int = 128,
       bands: Int = 32,
-      maxBucket: Int = 1000): DataFrame = {
+      maxBucket: Int = 1000,
+      skippedBuckets: Option[org.apache.spark.util.LongAccumulator] = None): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
     val spark = df.sparkSession
@@ -253,7 +276,7 @@ object Dedup {
     val pairs = banded
       .groupBy("band", "bucket")
       .agg(collect_list(col("id")).as("members"))
-      .filter(size(col("members")).between(2, maxBucket))
+      .filter(bucketCapFilter(maxBucket, skippedBuckets)(size(col("members"))))
       .select(explode(pairUdf(col("members"))).as("p"))
       .select(col("p._1").as("id_a"), col("p._2").as("id_b"))
       .distinct()
@@ -441,7 +464,8 @@ object Dedup {
     */
   def simhashCandidates(
       df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3, maxBucket: Int = 1000): DataFrame = {
+      maxHamming: Int = 3, maxBucket: Int = 1000,
+      skippedBuckets: Option[org.apache.spark.util.LongAccumulator] = None): DataFrame = {
     val shUdf = udf((t: String) => simhash64(t))
     val hashes = df.select(col(idCol).as("id"), col(textCol).as("__t"))
       .repartition(df.sparkSession.sparkContext.defaultParallelism)
@@ -464,7 +488,7 @@ object Dedup {
     }
     banded.groupBy("band", "chunk")
       .agg(collect_list(struct(col("id"), col("sh"))).as("members"))
-      .filter(size(col("members")).between(2, maxBucket))
+      .filter(bucketCapFilter(maxBucket, skippedBuckets)(size(col("members"))))
       .select(explode(pairUdf(col("members"))).as("p"))
       .select(col("p._1").as("id_a"), col("p._2").as("id_b"), col("p._3").as("hamming"))
       .distinct()

@@ -100,6 +100,20 @@ object Similarity {
     f(col(s"`$vecColName`"))
   }
 
+  /** Per-query recall of an approximate top-k against an exact one: the
+    * fraction of `exact`'s (queryIdCol, idCol) pairs that `approx` found.
+    * The differential self-oracle for ANN operators — LSH/IVF results have
+    * no SQL twin, but their recall against [[bruteForceTopK]] on the same
+    * corpus is measurable and assertable.
+    */
+  def recallVs(approx: DataFrame, exact: DataFrame,
+      queryIdCol: String, idCol: String): DataFrame =
+    exact.select(col(s"`$queryIdCol`"), col(s"`$idCol`"))
+      .join(approx.select(col(s"`$queryIdCol`"), col(s"`$idCol`")).withColumn("__hit", lit(1)),
+        Seq(queryIdCol, idCol), "left")
+      .groupBy(col(s"`$queryIdCol`"))
+      .agg((sum(coalesce(col("__hit"), lit(0))).cast("double") / count(lit(1))).as("recall"))
+
   /** Bucketed ANN: group corpus by LSH bucket, search each query only in its
     * bucket. Approximate (single-probe) — the 100-TB path where brute force
     * is off the table.
@@ -155,7 +169,8 @@ object Similarity {
     */
   def embeddingNearDupCandidates(
       corpus: DataFrame, idCol: String, vecCol: String,
-      dim: Int, minCosine: Double, bits: Int = 10, maxBucket: Int = 1000): DataFrame = {
+      dim: Int, minCosine: Double, bits: Int = 10, maxBucket: Int = 1000,
+      skippedBuckets: Option[org.apache.spark.util.LongAccumulator] = None): DataFrame = {
     val cb = corpus.repartition(corpus.sparkSession.sparkContext.defaultParallelism)
       .withColumn("__bucket", lshBucket(vecCol, dim, bits))
       .select(col(idCol).as("id"), col(vecCol).as("v"), col("__bucket"))
@@ -187,7 +202,7 @@ object Similarity {
     }
     cb.groupBy("__bucket")
       .agg(collect_list(struct(col("id"), col("v"))).as("members"))
-      .filter(size(col("members")).between(2, maxBucket))
+      .filter(Dedup.bucketCapFilter(maxBucket, skippedBuckets)(size(col("members"))))
       .select(explode(pairUdf(col("members"))).as("p"))
       .select(col("p._1").as("id_a"), col("p._2").as("id_b"), col("p._3").as("cos"))
       .filter(col("cos") >= minCosine)

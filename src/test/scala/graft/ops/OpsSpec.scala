@@ -144,6 +144,41 @@ class DedupSpec extends SparkSpec {
   }
 }
 
+class CapCountSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("over-cap buckets are counted, never silently dropped") {
+    // 100 identical docs plant one over-cap bucket per band; 20 uniques
+    // stay in small buckets. The accumulator must see every skipped bucket.
+    val hot = (0 until 100).map(i =>
+      (i.toLong, "identical hot document body repeated everywhere across the corpus"))
+    val uniq = (100 until 120).map(i =>
+      (i.toLong, s"unique document number $i mentioning topic-$i and subject-${i * 7}"))
+    val docs = (hot ++ uniq).toDF("doc_id", "text")
+
+    val accM = spark.sparkContext.longAccumulator("minhashSkippedBuckets")
+    Dedup.minhashCandidates(docs, "doc_id", "text", maxBucket = 50,
+      skippedBuckets = Some(accM)).count()
+    accM.value shouldBe 32L // one over-cap bucket in each of the 32 bands
+
+    val accS = spark.sparkContext.longAccumulator("simhashSkippedBuckets")
+    Dedup.simhashCandidates(docs, "doc_id", "text", maxBucket = 50,
+      skippedBuckets = Some(accS)).count()
+    accS.value shouldBe 4L // one per 16-bit chunk band
+
+    val emb = ((0 until 100).map(i => (i.toLong, Array.tabulate(8)(d => 0.5f + d * 0.01f))) ++
+      (100 until 120).map(i => (i.toLong, Array.tabulate(8)(d => ((i * (d + 1)) % 97).toFloat))))
+      .toDF("vec_id", "embedding")
+    val accE = spark.sparkContext.longAccumulator("embSkippedBuckets")
+    Similarity.embeddingNearDupCandidates(emb, "vec_id", "embedding",
+      dim = 8, minCosine = 0.9, maxBucket = 50, skippedBuckets = Some(accE)).count()
+    accE.value.longValue should be >= 1L // the identical-vector bucket
+
+    // without an accumulator the behavior is unchanged (pairs still capped)
+    Dedup.minhashCandidates(docs, "doc_id", "text", maxBucket = 50).count() should be > 0L
+  }
+}
+
 class SimilaritySpec extends SparkSpec {
   import spark.implicits._
 
