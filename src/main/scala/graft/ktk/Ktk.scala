@@ -242,7 +242,8 @@ object Ktk {
           case (false, _) => fresh
         }
         val tmpOut = s"$base/${md.uuid}/zones/.$c.parquet.new"
-        rows.write.mode(SaveMode.Overwrite).parquet(tmpOut)
+        rows.coalesce(SidecarCanonicalFiles)
+          .write.mode(SaveMode.Overwrite).parquet(tmpOut)
         fsys.delete(new Path(fsPath), true)
         if (!fsys.rename(new Path(tmpOut), new Path(fsPath)))
           throw new java.io.IOException(s"zone sidecar commit failed for '$c'")
@@ -431,11 +432,49 @@ object Ktk {
           case (false, _) => fresh
         }
         val tmpOut = s"$base/${md.uuid}/blooms/.$c.parquet.new"
-        rows.write.mode(SaveMode.Overwrite).parquet(tmpOut)
+        rows.coalesce(SidecarCanonicalFiles)
+          .write.mode(SaveMode.Overwrite).parquet(tmpOut)
         fsys.delete(new Path(fsPath), true)
         fsys.rename(new Path(tmpOut), new Path(fsPath))
       }
     }
+  }
+
+  /** Highest parquet-fragment count across all registered sidecars (index /
+    * bloom / zone). Append-only streaming commits add one fragment set per
+    * batch; this is the signal for re-canonicalization. O(sidecar dirs)
+    * flat listings — never touches the table dir.
+    */
+  def sidecarFragments(spark: SparkSession, base: String, uuid: String): Int = {
+    val md = DatasetMetadata.load(spark, base, uuid)
+    val fsys = DatasetMetadata.fs(spark, base)
+    val paths =
+      md.indices.keys.map(c => md.indexPath(base, c)) ++
+        md.bloomRegistry.keys.map(c => md.bloomPath(base, c)) ++
+        md.zoneRegistry.keys.map(c => md.zonePath(base, c))
+    paths.map { p =>
+      val dir = new Path(p)
+      if (!fsys.exists(dir)) 0
+      else fsys.listStatus(dir).count { st =>
+        val n = st.getPath.getName
+        st.isFile && !n.startsWith("_") && !n.startsWith(".")
+      }
+    }.maxOption.getOrElse(0)
+  }
+
+  /** Re-canonicalize ONLY the sidecars: each index/bloom/zone sidecar is
+    * merged back to one canonical file set (semi-join against live labels,
+    * single rewrite). No data files move, metadata is unchanged — O(sidecar)
+    * cost, so a streaming sink can afford it on a fragment-count trigger
+    * independent of full [[compact]] cadence.
+    */
+  def canonicalizeSidecars(spark: SparkSession, base: String, uuid: String): Unit = {
+    val md = migrateInlineZones(spark, base, DatasetMetadata.load(spark, base, uuid))
+    val tableDir = md.tableDir(base)
+    val live = md.partitions.keys.toSeq.sorted
+    mergeIndicesIncremental(spark, base, md, tableDir, survivingOld = live, newLabels = Nil)
+    mergeBloomsIncremental(spark, base, md, tableDir, survivingOld = live, newLabels = Nil)
+    mergeZonesIncremental(spark, base, md, tableDir, survivingOld = live, newLabels = Nil)
   }
 
   /** Register + compute zone maps on an EXISTING dataset (retrofit analog of
@@ -509,12 +548,21 @@ object Ktk {
     regexp_replace(input_file_name(), lit("^.*/table/"), lit(""))
 
   /** (value,label) pairs → deterministic (value, partitions) index rows. */
-  private def indexFromPairs(pairs: DataFrame): DataFrame =
-    pairs
+  /** Canonical sidecar rewrites bound their output to this many files so
+    * the streaming fragment cap converges (a canonical result wider than
+    * the cap would re-trigger every commit). Files stay value-sorted, so
+    * row-group stats prune regardless of file count.
+    */
+  private[ktk] val SidecarCanonicalFiles = 4
+
+  private def indexFromPairs(pairs: DataFrame, outFiles: Int = 0): DataFrame = {
+    val agg = pairs
       .where(col("value").isNotNull) // nulls are not indexable (core/index.py:83-86)
       .groupBy("value")
       .agg(sort_array(collect_set(col("label"))).as("partitions"))
+    (if (outFiles > 0) agg.repartition(outFiles, col("value")) else agg)
       .sortWithinPartitions("value")
+  }
 
   /** The raw index frame. One row per value after [[store]]/[[update]]/
     * [[compact]]; append-only streaming commits ([[update]] with
@@ -955,7 +1003,8 @@ object Ktk {
           case (false, _) => freshPairs
         }
         val tmpOut = s"$base/${md.uuid}/$IndexDirName/.$c.parquet.new"
-        indexFromPairs(pairs).write.mode(SaveMode.Overwrite).parquet(tmpOut)
+        indexFromPairs(pairs, SidecarCanonicalFiles)
+          .write.mode(SaveMode.Overwrite).parquet(tmpOut)
         fsys.delete(new Path(fsPath), true)
         fsys.rename(new Path(tmpOut), new Path(fsPath))
       }
@@ -1231,7 +1280,8 @@ object Ktk {
             spark.read.option("basePath", tableDir).parquet(newLabels.map(l => s"$tableDir/$l"): _*)
               .select(col(s"`$c`").as("value"), fileLabel.as("label"))
         val tmpOut = s"$base/${md.uuid}/$IndexDirName/.$c.parquet.new"
-        indexFromPairs(old.unionByName(fresh)).write.mode(SaveMode.Overwrite).parquet(tmpOut)
+        indexFromPairs(old.unionByName(fresh), SidecarCanonicalFiles)
+          .write.mode(SaveMode.Overwrite).parquet(tmpOut)
         fsys.delete(new Path(fsPath), true)
         fsys.rename(new Path(tmpOut), new Path(fsPath))
       }

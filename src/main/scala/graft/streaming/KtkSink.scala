@@ -30,9 +30,17 @@ object KtkSink {
     * to target size and re-canonicalizes the appended sidecar fragments —
     * the file count a long-running stream accumulates stays bounded without
     * an external maintenance job.
+    *
+    * `maxSidecarFragments` is the independent safety valve: whenever any
+    * index/bloom/zone sidecar accumulates more than this many fragment
+    * files, [[Ktk.canonicalizeSidecars]] merges the sidecars back to one
+    * canonical file set (O(sidecar), no data-file rewrite) — so sidecar
+    * read fan-in stays bounded even when `compactEvery` is off or its
+    * cadence lags the batch rate.
     */
   def commitBatch(batch: DataFrame, base: String, uuid: String, batchId: Long,
-                  sortBy: Seq[String] = Nil, compactEvery: Int = 0): Unit = {
+                  sortBy: Seq[String] = Nil, compactEvery: Int = 0,
+                  maxSidecarFragments: Int = 64): Unit = {
     val spark = batch.sparkSession
     val md = DatasetMetadata.load(spark, base, uuid)
     val alreadyCommitted = md.metadata.get(BatchKey).exists(_.toLong >= batchId)
@@ -54,6 +62,9 @@ object KtkSink {
         Ktk.compact(spark, base, uuid,
           extraMetadata = Map(SinceCompactKey -> "0"))
         ()
+      } else if (maxSidecarFragments > 0 &&
+          Ktk.sidecarFragments(spark, base, uuid) > maxSidecarFragments) {
+        Ktk.canonicalizeSidecars(spark, base, uuid)
       }
     }
   }
@@ -61,12 +72,13 @@ object KtkSink {
   /** Attach the dataset as the sink of a streaming DataFrame. */
   def writeStream(df: DataFrame, base: String, uuid: String, checkpoint: String,
                   trigger: Trigger = Trigger.AvailableNow(),
-                  sortBy: Seq[String] = Nil, compactEvery: Int = 0): StreamingQuery =
+                  sortBy: Seq[String] = Nil, compactEvery: Int = 0,
+                  maxSidecarFragments: Int = 64): StreamingQuery =
     df.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        commitBatch(batch, base, uuid, batchId, sortBy, compactEvery)
+        commitBatch(batch, base, uuid, batchId, sortBy, compactEvery, maxSidecarFragments)
       }
       .start()
 }

@@ -94,6 +94,32 @@ class KtkSinkSpec extends SparkSpec {
       .groupBy("value").count().filter($"count" > 1).count() shouldBe 0
   }
 
+  test("maxSidecarFragments re-canonicalizes sidecars independent of compactEvery") {
+    val base = tmpDir("ktksink5")
+    Ktk.createEmpty(spark, base, "frag", schema,
+      secondaryIndices = Seq("v"), bloomFor = Seq("k"), zoneMapFor = Seq("k"))
+    // compactEvery off; the fragment cap alone must bound sidecar fan-in
+    (0 to 9).foreach { b =>
+      val batch = Seq.tabulate(4)(i => (0, b * 100L + i, s"v$b-$i")).toDF("p", "k", "v")
+      KtkSink.commitBatch(batch, base, "frag", batchId = b,
+        compactEvery = 0, maxSidecarFragments = 6)
+      // over-cap commits canonicalize back to <= SidecarCanonicalFiles, so
+      // the observable post-commit count never exceeds the cap
+      Ktk.sidecarFragments(spark, base, "frag") should be <= 6
+    }
+    // reads stay exact over canonicalized sidecars
+    Ktk.readTable(spark, base, "frag").count() shouldBe 40
+    import graft.core.Predicates
+    Ktk.readTable(spark, base, "frag",
+      predicates = Predicates.of(Seq(("v", "==", "v7-2")))).count() shouldBe 1
+    Ktk.readTable(spark, base, "frag",
+      predicates = Predicates.of(Seq(("k", "==", 503L)))).count() shouldBe 1
+    // index canonical: one row per value
+    val md = DatasetMetadata.load(spark, base, "frag")
+    Ktk.loadIndex(spark, base, md, "v")
+      .groupBy("value").count().filter($"count" > 1).count() shouldBe 0
+  }
+
   test("a replayed batch id is committed exactly once") {
     val base = tmpDir("ktksink2")
     Ktk.createEmpty(spark, base, "ds", schema, partitionOn = Seq("p"))

@@ -85,6 +85,22 @@ object StressStreamCommit {
       s"${Ktk.readTable(spark, appendBase, "s").count()}")
     require(speedup > 1.5, f"append mode speedup only ${speedup}%.1fx")
 
+    // ---- long run under the fragment cap alone (compactEvery off): sidecar
+    // fragment counts must stay bounded across 40 commits and reads exact
+    val capBase = seed("fragcap")
+    var maxFrag = 0
+    (0 until 40).foreach { b =>
+      KtkSink.commitBatch(batch(100 + b), capBase, "s", batchId = b,
+        compactEvery = 0, maxSidecarFragments = 12)
+      maxFrag = math.max(maxFrag, Ktk.sidecarFragments(spark, capBase, "s"))
+    }
+    println(s"fragment cap long run: max post-commit fragments = $maxFrag")
+    require(maxFrag <= 12, s"sidecar fragments unbounded: $maxFrag")
+    val capHit = Ktk.readTable(spark, capBase, "s",
+      predicates = Predicates.of(Seq(("v", "==", "batch-120-55")))).count()
+    require(capHit > 0, "index row lost across canonicalization passes")
+    println("fragment-cap stress OK")
+
     // ---- commit cost vs historical file count: labels now come from the
     // write job's manifest (no table-dir relisting), so an update against a
     // dataset holding 1200 historical files must cost about the same as one
