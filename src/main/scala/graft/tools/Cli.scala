@@ -11,6 +11,7 @@ import graft.ktk.{DatasetMetadata, Ktk}
   * {{{
   *   runMain graft.tools.Cli info    <base> <uuid>
   *   runMain graft.tools.Cli query   <base> <uuid> "<col op value & ...>" [limit]
+  *   runMain graft.tools.Cli shell   <base> <uuid>     # interactive query REPL
   *   runMain graft.tools.Cli index   <base> <uuid> <column>
   *   runMain graft.tools.Cli bloom   <base> <uuid> <column>
   *   runMain graft.tools.Cli zonemap <base> <uuid> <column> [column ...]
@@ -47,6 +48,9 @@ object Cli {
       val preds = if (args.length > 3 && args(3).nonEmpty) Predicates.parse(args(3)) else Predicates.empty
       val limit = if (args.length > 4) args(4).toInt else 20
       Ktk.readTable(spark, args(1), args(2), predicates = preds).show(limit, truncate = false)
+    case "shell" =>
+      shell(spark, args(1), args(2),
+        new java.io.BufferedReader(new java.io.InputStreamReader(System.in)), System.out)
     case "index" =>
       Ktk.addIndex(spark, args(1), args(2), args(3))
       println(s"indexed ${args(3)}")
@@ -71,5 +75,88 @@ object Cli {
       Ktk.copyDataset(spark, args(1), args(2), args(3))
       println(s"copied dataset ${args(2)} -> ${args(3)}")
     case other => throw new IllegalArgumentException(s"unknown command: $other")
+  }
+
+  /** Interactive query shell (≙ `kartothek query`, cli/_query.py:24-151 —
+    * the prompt-toolkit loop asking conditions then payload columns, re-run
+    * until quit). Line protocol, so it scripts over any stdin/stdout:
+    *
+    * {{{
+    *   <col op value & ...>   set conditions AND run immediately
+    *   cond [expr]            set (or with no arg, clear) conditions
+    *   cols [a,b,...]         set (or clear) payload columns
+    *   limit N                rows to print (default 20)
+    *   run                    execute the current query
+    *   schema | info | help   introspection
+    *   quit | exit | EOF      leave
+    * }}}
+    *
+    * Errors (bad condition syntax, unknown columns) print and the loop
+    * continues — the reference validates interactively the same way.
+    */
+  def shell(spark: SparkSession, base: String, uuid: String,
+      input: java.io.BufferedReader, out: java.io.PrintStream): Unit = {
+    val md = DatasetMetadata.load(spark, base, uuid)
+    out.println(s"dataset ${md.uuid}: ${md.partitions.size} partitions, " +
+      s"columns: ${md.schema.fieldNames.mkString(", ")}")
+    out.println("type a condition (e.g. x > 3 & tag == a), 'help', or 'quit'")
+    var conds = Predicates.empty
+    var condStr = "none"
+    var cols: Seq[String] = Nil
+    var limit = 20
+    def runQuery(): Unit = {
+      val df = Ktk.readTable(spark, base, uuid, columns = cols, predicates = conds)
+      val shown = df.limit(limit).collect()
+      out.println(df.columns.mkString(" | "))
+      shown.foreach(r => out.println(r.toSeq.map(v => if (v == null) "null" else v.toString).mkString(" | ")))
+      out.println(s"(${shown.length} rows, limit $limit, conditions: $condStr, " +
+        s"columns: ${if (cols.isEmpty) "all" else cols.mkString(",")})")
+    }
+    var done = false
+    while (!done) {
+      out.print("graft> "); out.flush()
+      val line = input.readLine()
+      if (line == null) done = true
+      else try {
+        val t = line.trim
+        val (cmd, rest) = t.split("\\s+", 2) match {
+          case Array(c, r) => (c, r.trim)
+          case Array(c)    => (c, "")
+        }
+        cmd match {
+          case "" => ()
+          case "quit" | "exit" => done = true
+          case "help" =>
+            out.println("commands: <condition> | cond [expr] | cols [a,b,...] | " +
+              "limit N | run | schema | info | quit")
+          case "schema" => out.println(md.schema.treeString)
+          case "info" =>
+            out.println(s"uuid: ${md.uuid}")
+            out.println(s"partition keys: ${md.partitionKeys.mkString(", ")}")
+            out.println(s"partitions: ${md.partitions.size}")
+            out.println(s"indices: ${md.indices.keys.toSeq.sorted.mkString(", ")}")
+          case "cond" =>
+            conds = if (rest.isEmpty) Predicates.empty else Predicates.parse(rest)
+            condStr = if (rest.isEmpty) "none" else rest
+            out.println(s"conditions: $condStr")
+          case "cols" =>
+            cols = rest.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+            val missing = cols.filterNot(md.schema.fieldNames.contains)
+            require(missing.isEmpty, s"unknown columns: ${missing.mkString(",")}")
+            out.println(s"columns: ${if (cols.isEmpty) "all" else cols.mkString(",")}")
+          case "limit" =>
+            limit = rest.toInt
+            out.println(s"limit: $limit")
+          case "run" => runQuery()
+          case _ =>
+            conds = Predicates.parse(t)
+            condStr = t
+            runQuery()
+        }
+      } catch {
+        case e: Exception => out.println(s"error: ${e.getMessage}")
+      }
+    }
+    out.println("bye")
   }
 }

@@ -48,17 +48,62 @@ class KartothekInteropSpec extends SparkSpec {
       val packed = com.github.luben.zstd.Zstd.compress(Msgpack.pack(meta))
       val out = fs.create(new Path(s"$base/$uuid${KartothekInterop.MsgpackSuffix}"), true)
       try out.write(packed) finally out.close()
-    } else {
-      // hand-rolled JSON to stay independent of our own writer
-      def js(v: Any): String = v match {
-        case null => "null"
-        case s: String => "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
-        case m: Map[_, _] => m.map { case (k, x) => js(k.toString) + ": " + js(x) }.mkString("{", ", ", "}")
-        case s: Seq[_] => s.map(js).mkString("[", ", ", "]")
-        case other => other.toString
-      }
-      val out = fs.create(new Path(s"$base/$uuid${KartothekInterop.JsonSuffix}"), true)
-      try out.write(js(meta).getBytes("UTF-8")) finally out.close()
+    } else writeJsonBlob(meta, s"$base/$uuid${KartothekInterop.JsonSuffix}")
+  }
+
+  /** Hand-rolled JSON blob writer, independent of our own serializer. */
+  private def writeJsonBlob(meta: Map[String, Any], target: String): Unit = {
+    def js(v: Any): String = v match {
+      case null => "null"
+      case s: String => "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+      case m: Map[_, _] => m.map { case (k, x) => js(k.toString) + ": " + js(x) }.mkString("{", ", ", "}")
+      case s: Seq[_] => s.map(js).mkString("[", ", ", "]")
+      case other => other.toString
+    }
+    val fs = DatasetMetadata.fs(spark, target)
+    val out = fs.create(new Path(target), true)
+    try out.write(js(meta).getBytes("UTF-8")) finally out.close()
+  }
+
+  test("multi-table v4 dataset: each named table reads independently") {
+    // ≙ io_components/metapartition.py:220-333 — one partition may hold a
+    // file per TABLE; each table is its own parquet tree under the uuid
+    val base = tmpDir("ktkv4multi")
+    val uuid = "multids"
+    writeOne(Seq(("a", 1.0), ("b", 2.0)).toDF("l", "v"), s"$base/$uuid/core/p=1/c1.parquet")
+    writeOne(Seq(("c", 3.0)).toDF("l", "v"), s"$base/$uuid/core/p=2/c2.parquet")
+    writeOne(Seq((10L, "x")).toDF("n", "t"), s"$base/$uuid/aux/p=1/a1.parquet")
+    writeOne(Seq((20L, "y")).toDF("n", "t"), s"$base/$uuid/aux/p=2/a2.parquet")
+    writeJsonBlob(Map(
+      "dataset_metadata_version" -> 4L,
+      "dataset_uuid" -> uuid,
+      "partition_keys" -> Seq("p"),
+      "partitions" -> Map(
+        "p=1/f1" -> Map("files" -> Map(
+          "core" -> s"$uuid/core/p=1/c1.parquet",
+          "aux" -> s"$uuid/aux/p=1/a1.parquet")),
+        "p=2/f2" -> Map("files" -> Map(
+          "core" -> s"$uuid/core/p=2/c2.parquet",
+          "aux" -> s"$uuid/aux/p=2/a2.parquet")))),
+      s"$base/$uuid${KartothekInterop.JsonSuffix}")
+
+    val ds = KartothekInterop.load(spark, base, uuid)
+    ds.tables shouldBe Seq("aux", "core")
+    val core = KartothekInterop.readTable(spark, base, ds, table = "core")
+    core.count() shouldBe 3
+    core.columns.toSet shouldBe Set("l", "v", "p")
+    // per-table partition pruning: only p=2's aux file is read
+    val aux = KartothekInterop.readTable(spark, base, ds, table = "aux",
+      predicates = Predicates.of(Seq(("p", "==", 2))))
+    aux.select("n").as[Long].collect().toSeq shouldBe Seq(20L)
+    aux.inputFiles.forall(_.contains("p=2")) shouldBe true
+    // a missing table name fails clearly
+    intercept[IllegalArgumentException] {
+      KartothekInterop.readTable(spark, base, ds, table = "nope")
+    }
+    // in-place adoption stays single-table-only, with a clear error
+    intercept[IllegalArgumentException] {
+      KartothekInterop.adoptAsGraft(spark, base, ds)
     }
   }
 

@@ -88,6 +88,44 @@ class KtkSurfaceSpec extends SparkSpec {
     DatasetMetadata.listDatasets(spark, base) shouldBe Nil
   }
 
+  test("cli shell: scripted interactive query session") {
+    val base = tmpDir("clishell")
+    Ktk.store(spark, base, "sh",
+      Seq((1, "a", 10.0), (1, "b", 20.0), (2, "c", 30.0)).toDF("p", "v", "x"),
+      partitionOn = Seq("p"))
+    val script =
+      """help
+        |info
+        |p == 1
+        |cols v
+        |limit 1
+        |run
+        |cond x >= 30
+        |cols
+        |run
+        |v ~~ bogus syntax
+        |cols nope
+        |quit
+        |""".stripMargin
+    val in = new java.io.BufferedReader(new java.io.StringReader(script))
+    val bos = new java.io.ByteArrayOutputStream()
+    graft.tools.Cli.shell(spark, base, "sh", in,
+      new java.io.PrintStream(bos, true, "UTF-8"))
+    val out = bos.toString("UTF-8")
+    // header + help
+    out should include("dataset sh: ")
+    out should include("commands: <condition>")
+    // bare condition runs immediately: both p=1 rows with all columns
+    out should include("(2 rows, limit 20, conditions: p == 1")
+    // cols+limit narrow the next run to one single-column row
+    out should include("(1 rows, limit 1")
+    // cond+cols-reset: the x >= 30 row with all columns again
+    out should include("(1 rows, limit 1, conditions: x >= 30, columns: all)")
+    out.split("\n").count(_.contains("error: ")) shouldBe 2 // bad syntax + bad column
+    out should include("bye")
+    out.split("\n").count(_.contains("graft>")) should be >= 1
+  }
+
   test("alltypes roundtrip: normalized schema, values preserved") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
