@@ -352,7 +352,8 @@ object KartothekInterop {
       table: String = "table",
       partitionOn: Seq[String] = Nil,
       secondaryIndices: Seq[String] = Nil,
-      overwrite: Boolean = false): V4Dataset = {
+      overwrite: Boolean = false,
+      externalIndices: Seq[String] = Nil): V4Dataset = {
     val fs = DatasetMetadata.fs(spark, base)
     val jsonKey = new Path(s"$base/$uuid$JsonSuffix")
     if (fs.exists(jsonKey)) {
@@ -398,11 +399,39 @@ object KartothekInterop {
       c -> pairs
     }.toMap
 
+    // external indices (core/index.py:670-727 `<uuid>/indices/<col>/<ts>.
+    // by-dataset-index.parquet`, columns (<col>, partition list<string>)):
+    // built DISTRIBUTED and renamed into place — unlike the embedded dict
+    // form, the value set never collects to the driver, so this is the
+    // format for large exports.
+    val extIdx: Map[String, String] = externalIndices.map { c =>
+      val key = s"$uuid/indices/$c/1970-01-01T00%3A00%3A00.000000.by-dataset-index.parquet"
+      val scan = spark.read.option("basePath", tableDir)
+        .parquet(labels.toSeq.map(l => s"$tableDir/$l"): _*)
+      val tmp = s"$base/$uuid/indices/.$c.tmp"
+      scan
+        .select(col(s"`$c`"),
+          regexp_replace(input_file_name(), lit(s"^.*/$table/"), lit("")).as("label"))
+        .where(col(s"`$c`").isNotNull)
+        .groupBy(s"`$c`").agg(sort_array(collect_set(col("label"))).as("partition"))
+        .coalesce(1) // the v4 key names ONE parquet file
+        .write.mode(SaveMode.Overwrite).parquet(tmp)
+      val part = fs.listStatus(new Path(tmp)).map(_.getPath)
+        .find(p => p.getName.startsWith("part-") && p.getName.endsWith(".parquet"))
+        .getOrElse(throw new IllegalStateException(s"external index write for '$c' produced no file"))
+      val dest = new Path(s"$base/$key")
+      fs.mkdirs(dest.getParent)
+      if (!fs.rename(part, dest))
+        throw new java.io.IOException(s"external index rename failed for '$c'")
+      fs.delete(new Path(tmp), true)
+      c -> key
+    }.toMap
+
     val ds = V4Dataset(
       uuid = uuid, metadataVersion = 4, partitionKeys = partitionOn,
       partitions = labels.toSeq.sorted.map(l =>
         l -> Map(table -> s"$uuid/$table/$l")).toMap,
-      embeddedIndices = indices, externalIndices = Map.empty,
+      embeddedIndices = indices, externalIndices = extIdx,
       metadata = Map.empty)
     storeJson(spark, base, ds, table)
     ds
@@ -421,7 +450,7 @@ object KartothekInterop {
       val f = parts.putObject(label).putObject("files")
       files.foreach { case (t, k) => f.put(t, k) }
     }
-    if (ds.embeddedIndices.nonEmpty) {
+    if (ds.embeddedIndices.nonEmpty || ds.externalIndices.nonEmpty) {
       val idx = node.putObject("indices")
       ds.embeddedIndices.toSeq.sortBy(_._1).foreach { case (c, dct) =>
         val cNode = idx.putObject(c)
@@ -429,6 +458,10 @@ object KartothekInterop {
           val arr = cNode.putArray(v)
           labels.foreach(arr.add)
         }
+      }
+      // external form: the index entry is the STRING storage key
+      ds.externalIndices.toSeq.sortBy(_._1).foreach { case (c, key) =>
+        idx.put(c, key); ()
       }
     }
     val fs = DatasetMetadata.fs(spark, base)

@@ -144,6 +144,26 @@ class KartothekInteropSpec extends SparkSpec {
       Predicates.of(Seq(("tag", "==", null)))).size shouldBe 3
   }
 
+  test("write with external indices: distributed build, roundtrip pruning") {
+    val base = tmpDir("ktkv4extw")
+    val df = (0 until 40).map(i => (i % 4, i.toLong, s"t${i % 5}")).toDF("p", "k", "tag")
+    val ds = KartothekInterop.write(spark, base, "extds", df,
+      partitionOn = Seq("p"), externalIndices = Seq("tag"))
+    ds.externalIndices.keySet shouldBe Set("tag")
+    // the blob round-trips the string key and the index file exists
+    val reloaded = KartothekInterop.load(spark, base, "extds")
+    reloaded.externalIndices shouldBe ds.externalIndices
+    DatasetMetadata.fs(spark, base)
+      .exists(new Path(s"$base/${ds.externalIndices("tag")}")) shouldBe true
+    // index pruning through the external file: only labels holding t3
+    val hit = KartothekInterop.readTable(spark, base, reloaded,
+      predicates = Predicates.of(Seq(("tag", "==", "t3"))))
+    hit.count() shouldBe 8
+    val labels = KartothekInterop.queryLabels(spark, base, reloaded, "table",
+      Predicates.of(Seq(("tag", "==", "t3"))))
+    labels.size should be < reloaded.partitions.size
+  }
+
   test("external .by-dataset-index.parquet prunes labels") {
     val base = tmpDir("ktkv4")
     buildFixture(base, "refds")
