@@ -57,6 +57,12 @@ object InteropCrossCheck {
     KartothekInterop.write(spark, base, "our_ds", df,
       partitionOn = Seq("p"), secondaryIndices = Seq("tag"), overwrite = true)
     println("graft wrote our_ds")
+
+    // ---- and the EXTERNAL-index export form (distributed build, the
+    // shape for large datasets) for the reference to load back
+    KartothekInterop.write(spark, base, "our_ds_ext", df,
+      partitionOn = Seq("p"), externalIndices = Seq("tag"), overwrite = true)
+    println("graft wrote our_ds_ext (external index)")
     spark.stop()
   }
 }

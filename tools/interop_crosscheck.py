@@ -93,6 +93,19 @@ def read(root):
     print("reference loaded our_ds OK: partitions",
           sorted(ds.partitions), "index labels for tag=y:", labels)
 
+    # the EXTERNAL-index export form: the reference resolves the storage
+    # key from the blob, loads our .by-dataset-index.parquet, and queries it
+    ds_ext = DatasetMetadata.load_from_store("our_ds_ext", store, load_schema=True,
+                                             load_all_indices=True)
+    assert "tag" in ds_ext.indices, ds_ext.indices.keys()
+    ext_labels = ds_ext.indices["tag"].query("y")
+    assert len(ext_labels) == 1, ext_labels
+    df_ext = ParquetSerializer.restore_dataframe(
+        store, ds_ext.partitions[ext_labels[0]].files["table"],
+        predicates=[[("tag", "==", "y")]])
+    assert list(df_ext["l"]) == ["b"], df_ext
+    print("reference loaded our_ds_ext OK via the external index:", ext_labels)
+
 
 if __name__ == "__main__":
     {"write": write, "read": read}[sys.argv[1]](sys.argv[2])
