@@ -104,31 +104,42 @@ object ManifestCommitProtocol {
     results.put(token, files); ()
   }
 
+  // Serializes in-JVM manifest-collecting writes: the token and protocol
+  // ride SESSION-level confs, which concurrent writer threads sharing one
+  // SparkSession would clobber for each other. (The pre-manifest listing
+  // diff was worse — it silently CLAIMED a concurrent writer's files.)
+  // Multi-driver concurrency — the two-phase committer pattern — is
+  // unaffected: separate JVMs, separate sessions.
+  private val writeLock = new java.util.concurrent.locks.ReentrantLock(true)
+
   /** Run `write` — exactly one df.write action — with this protocol active;
     * returns the (relative label, byte size) pairs the job committed. The
     * previous protocol conf is restored afterwards. Correlation is by a
-    * fresh token, so concurrent writers in one JVM never cross-talk and
-    * commitJob may run on any thread (AQE executes write stages off the
-    * action thread).
+    * fresh token in the job conf, so commitJob may run on any thread (AQE
+    * executes write stages off the action thread); in-JVM concurrent
+    * callers serialize on a fair lock.
     */
   def collecting(spark: SparkSession)(write: => Unit): Seq[(String, Long)] = {
     val protoKey = "spark.sql.sources.commitProtocolClass"
     val token = java.util.UUID.randomUUID().toString
     val tokenConf = TokenKey
-    val prev = spark.conf.getOption(protoKey)
-    spark.conf.set(protoKey, classOf[ManifestCommitProtocol].getName)
-    spark.conf.set(tokenConf, token)
+    writeLock.lock()
     try {
-      write
-      Option(results.get(token)).getOrElse(throw new IllegalStateException(
-        "write action did not report a commit manifest"))
-    } finally {
-      results.remove(token)
-      spark.conf.unset(tokenConf)
-      prev match {
-        case Some(v) => spark.conf.set(protoKey, v)
-        case None    => spark.conf.unset(protoKey)
+      val prev = spark.conf.getOption(protoKey)
+      spark.conf.set(protoKey, classOf[ManifestCommitProtocol].getName)
+      spark.conf.set(tokenConf, token)
+      try {
+        write
+        Option(results.get(token)).getOrElse(throw new IllegalStateException(
+          "write action did not report a commit manifest"))
+      } finally {
+        results.remove(token)
+        spark.conf.unset(tokenConf)
+        prev match {
+          case Some(v) => spark.conf.set(protoKey, v)
+          case None    => spark.conf.unset(protoKey)
+        }
       }
-    }
+    } finally writeLock.unlock()
   }
 }
