@@ -911,6 +911,13 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q_text_vocab" -> ((s, dir) => {
+      // corpus vocabulary extraction: top-50 words with counts — partial
+      // agg + TakeOrdered, deterministic tie-break on the word
+      TextAnalysis.wordFrequencies(t(s, dir, "documents"), "text", k = 50)
+        .withColumn("cnt", col("cnt").cast("long"))
+    }),
+
     "q_text_quality" -> ((s, dir) => {
       val d = t(s, dir, "documents")
       d.select(col("doc_id"), TextAnalysis.qualityScore(col("text")).as("quality"))
@@ -2101,6 +2108,12 @@ object SparkEntry {
 
     "q_footer_stats" ->
       "SELECT count(*) AS total_rows FROM lineitem",
+
+    "q_text_vocab" ->
+      """SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM (
+        |  SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) AS word
+        |  FROM documents)
+        |GROUP BY word ORDER BY cnt DESC, word LIMIT 50""".stripMargin,
 
     "q_text_stats" ->
       """SELECT doc_id,

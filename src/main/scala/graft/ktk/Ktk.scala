@@ -469,7 +469,11 @@ object Ktk {
     * independent of full [[compact]] cadence.
     */
   def canonicalizeSidecars(spark: SparkSession, base: String, uuid: String): Unit = {
-    val md = migrateInlineZones(spark, base, DatasetMetadata.load(spark, base, uuid))
+    val md0 = DatasetMetadata.load(spark, base, uuid)
+    val md = migrateInlineZones(spark, base, md0)
+    // a migration changed the registry — persist it, or gc against the old
+    // blob would reap the freshly written (unregistered) zone sidecars
+    if (md ne md0) DatasetMetadata.store(spark, base, md)
     val tableDir = md.tableDir(base)
     val live = md.partitions.keys.toSeq.sorted
     mergeIndicesIncremental(spark, base, md, tableDir, survivingOld = live, newLabels = Nil)

@@ -118,6 +118,21 @@ object TextAnalysis {
       .agg(avg(log10((col("cnt") + lit(1.0)) / lit(denom))).as("unigram_lp"))
   }
 
+  /** Corpus-wide word frequencies, top `k` (vocabulary extraction — the
+    * stopword-list / tokenizer-audit primitive). Whitespace tokens,
+    * lowercased; ties break on the word for determinism.
+    *
+    * Scale shape: explode → partial-aggregating groupBy (one row per
+    * distinct word per map partition shuffles) → TakeOrdered for the
+    * top-k. No window, no broadcast; vocabulary never collects.
+    */
+  def wordFrequencies(df: DataFrame, textCol: String, k: Int): DataFrame =
+    df.select(explode(filter(split(lower(col(s"`$textCol`")), "\\s+"),
+        t => length(t) > 0)).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("word"))
+      .limit(k)
+
   // ------------------------------------------------- cleaning / redaction
 
   /** PII redaction patterns, kept to the RE2-compatible subset of Java
