@@ -43,15 +43,20 @@ object Dedup {
     * (highest `score`, ties broken by least id) — the "keep the longest /
     * highest-quality copy" policy real pipelines prefer over keep-first.
     *
-    * Scale shape: only (hash, id, score) triples go through the window
-    * shuffle; the full rows never move until the final semi-join on id.
+    * Scale shape: only (hash, id, score) triples move, and the argmax is
+    * two map-side-combining aggregations + a join — NOT a window: a giant
+    * dup group (the case dedup exists for) contributes one row per map
+    * partition to each agg instead of funneling all its triples through a
+    * single window-sort task. Full rows never move until the final
+    * semi-join on id.
     */
   def exactKeepBest(df: DataFrame, idCol: String, textCol: String,
       score: Column): DataFrame = {
     val slim = df.select(col(idCol), xxhash64(col(textCol)).as("__h"), score.as("__s"))
-    val w = Window.partitionBy("__h").orderBy(col("__s").desc, col(idCol))
-    val keep = slim.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1).select(idCol)
+    val best = slim.groupBy("__h").agg(max(col("__s")).as("__s"))
+    val keep = slim.join(best, Seq("__h", "__s"))
+      .groupBy("__h").agg(min(col(idCol)).as(idCol))
+      .select(idCol)
     df.join(keep, Seq(idCol), "left_semi")
   }
 
@@ -352,9 +357,11 @@ object Dedup {
     * survivors — keep the longest / highest-quality copy of a page, not the
     * one that happened to sort first.
     *
-    * Scale shape: identical to [[minhashDedupCC]] plus one window over
-    * (component, id, score) triples — component populations are dup-cluster
-    * sized, never corpus sized.
+    * Scale shape: identical to [[minhashDedupCC]] plus an argmax over
+    * (component, id, score) triples expressed as two map-side-combining
+    * aggregations + a join (same de-skewed shape as [[exactKeepBest]]) —
+    * even a corpus-dominating duplicate component never funnels through a
+    * single window task.
     */
   def minhashDedupCCKeepBest(
       df: DataFrame,
@@ -375,9 +382,12 @@ object Dedup {
     val components = graph.connectedComponents().vertices.toDF("id", "component")
     val scored = df.select(col(idCol).cast("long").as("id"), score.as("__s"))
       .join(components, Seq("id"))
-    val w = Window.partitionBy("component").orderBy(col("__s").desc, col("id"))
-    val losers = scored.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") =!= 1).select(col("id").as(idCol))
+    val best = scored.groupBy("component").agg(max(col("__s")).as("__s"))
+    val winners = scored.join(best, Seq("component", "__s"))
+      .groupBy("component").agg(min(col("id")).as("id"))
+    val losers = scored.select("id", "component")
+      .join(winners.select(col("id")), Seq("id"), "left_anti")
+      .select(col("id").as(idCol))
     df.join(losers, Seq(idCol), "left_anti")
   }
 

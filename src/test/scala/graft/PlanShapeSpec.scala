@@ -124,19 +124,22 @@ class PlanShapeSpec extends SparkSpec {
     out.queryExecution.sparkPlan.toString should include("rangepartitioning")
   }
 
-  test("exactKeepBest windows over (hash,id,score) triples, full rows only semi-join") {
+  test("exactKeepBest picks argmax via partial aggs, no window; rows only semi-join") {
     import graft.ops.Dedup
     val docs = (0 until 200).map(i => (i.toLong, s"body $i " * 20, i % 5))
       .toDF("doc_id", "text", "score")
     val qe = Dedup.exactKeepBest(docs, "doc_id", "text", col("score")).queryExecution
     val plan = qe.executedPlan.toString
     // survivor selection joins back as a semi-join — duplicates are dropped
-    // without ever shuffling document bodies through the window
+    // without ever shuffling document bodies
     plan should include regex "(?i)leftsemi"
-    // the window's sort operates on the slim projection, not the text column
-    val windowSort = plan.linesIterator.find(l => l.contains("Sort ") && l.contains("__s"))
-    windowSort.isDefined shouldBe true
-    windowSort.get should not include "text"
+    // argmax = map-side-combining aggs, never a per-hash window sort (a
+    // giant dup group would funnel through one task)
+    plan should not include "Window"
+    plan should include("partial_max")
+    // the (hash, score) exchanges carry the slim projection, not the bodies
+    plan.linesIterator.filter(_.contains("hashpartitioning(__h"))
+      .foreach(_ should not include "text")
   }
 
   test("minhash star-edges pick bucket reps via partial agg, never a per-bucket window") {
