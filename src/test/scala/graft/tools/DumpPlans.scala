@@ -10,7 +10,8 @@ object DumpPlans {
   private val Picked = Seq(
     "q_ktk_pushdown", "q1_agg", "q_ann_ivf", "q_dedup_simhash",
     "q_range_join", "q_salted_join", "q_ktk_zonemap", "q_ann_pq",
-    "q_spj_merge", "q_dsv2_agg", "q_bloom_semijoin", "q_dedup_paragraph")
+    "q_spj_merge", "q_dsv2_agg", "q_bloom_semijoin", "q_dedup_paragraph",
+    "q_dedup_minhash", "q_ann_ivfpq", "q_dedup_keepbest")
 
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
