@@ -1401,7 +1401,25 @@ object Ktk {
         if (st.isFile && !name.startsWith("_") && !name.startsWith(".") && !referenced.contains(rel))
           toDelete += st.getPath
       }
-      toDelete.foreach { p => fs.delete(p, false); deleted += p.toString }
+      // distribute the deletes: after heavy compaction/streaming churn the
+      // orphan count is O(#historical files), and sequential driver-side
+      // deletes against an object store dominate the maintenance pass
+      if (toDelete.size <= 16)
+        toDelete.foreach { p => fs.delete(p, false); deleted += p.toString }
+      else {
+        val serializableConf = new org.apache.spark.util.SerializableConfiguration(
+          spark.sessionState.newHadoopConf())
+        val paths = toDelete.map(_.toString).toSeq
+        spark.sparkContext.parallelize(paths, math.min(32, 1 + paths.size / 64))
+          .foreachPartition { ps =>
+            val conf = serializableConf.value
+            ps.foreach { s =>
+              val p = new Path(s)
+              p.getFileSystem(conf).delete(p, false); ()
+            }
+          }
+        deleted ++= paths
+      }
     }
     // index / bloom / zone sidecar files not in their registries
     Seq(IndexDirName -> md.indices.values.toSet,
@@ -1420,14 +1438,41 @@ object Ktk {
   }
 
   /** Copy a dataset to a new uuid (≙ copy_dataset + modify_uuid,
-    * io/eager.py:946-1007, core/dataset.py:956-993).
+    * io/eager.py:946-1007, core/dataset.py:956-993). The byte copy runs as
+    * a DISTRIBUTED job over the file list — a driver-side recursive copy of
+    * a 100 TB dataset would take days; this scales with the cluster. The
+    * new metadata blob commits LAST, so the copy is invisible until whole.
     */
   def copyDataset(spark: SparkSession, base: String, fromUuid: String, toUuid: String): DatasetMetadata = {
     val md = DatasetMetadata.load(spark, base, fromUuid)
     val fs = DatasetMetadata.fs(spark, base)
-    val conf = spark.sessionState.newHadoopConf()
-    org.apache.hadoop.fs.FileUtil.copy(
-      fs, new Path(s"$base/$fromUuid"), fs, new Path(s"$base/$toUuid"), false, true, conf)
+    val srcRoot = fs.makeQualified(new Path(s"$base/$fromUuid"))
+    val prefix = srcRoot.toString + "/"
+    val files = scala.collection.mutable.ArrayBuffer.empty[String]
+    if (fs.exists(srcRoot)) {
+      val it = fs.listFiles(srcRoot, true)
+      while (it.hasNext) {
+        val st = it.next()
+        if (st.isFile) files += st.getPath.toString.stripPrefix(prefix)
+      }
+    }
+    val serializableConf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sessionState.newHadoopConf())
+    val srcStr = srcRoot.toString
+    val dstStr = s"$base/$toUuid"
+    if (files.nonEmpty)
+      spark.sparkContext.parallelize(files.toSeq, math.min(32, 1 + files.size / 8))
+        .foreachPartition { rels =>
+          val conf = serializableConf.value
+          rels.foreach { rel =>
+            val src = new Path(s"$srcStr/$rel")
+            val dst = new Path(s"$dstStr/$rel")
+            val sfs = src.getFileSystem(conf)
+            org.apache.hadoop.fs.FileUtil.copy(sfs, src, dst.getFileSystem(conf), dst,
+              false, true, conf)
+            ()
+          }
+        }
     val md2 = md.copy(uuid = toUuid)
     DatasetMetadata.store(spark, base, md2)
     md2

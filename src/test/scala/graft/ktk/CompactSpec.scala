@@ -40,6 +40,18 @@ class CompactSpec extends SparkSpec {
     Ktk.readTable(spark, base, "ds").count() shouldBe 600
   }
 
+  test("gc reaps many orphans through the distributed delete path") {
+    val base = tmpDir("gcmany")
+    // 30 input partitions x 3 dirs -> ~90 small files; compact orphans them
+    Ktk.store(spark, base, "ds", frag(900).repartition(30), partitionOn = Seq("p"))
+    val before = DatasetMetadata.load(spark, base, "ds").partitions.size
+    before should be >= 60
+    Ktk.compact(spark, base, "ds")
+    val deleted = Ktk.garbageCollect(spark, base, "ds")
+    deleted.size should be >= before - 3 // all victims gone, > the 16-file driver cutoff
+    Ktk.readTable(spark, base, "ds").count() shouldBe 900
+  }
+
   test("compact never merges across commits: overlay seq preserved") {
     val base = tmpDir("compactseq")
     Ktk.store(spark, base, "ds", frag(90).repartition(3), partitionOn = Seq("p"))
