@@ -352,11 +352,14 @@ object Ktk {
 
   // ---------------------------------------------------------------- blooms
 
-  /** Sizing of the per-file Bloom filters. An overfull bloom only raises the
-    * false-positive rate — `mightContain` never false-negatives — so an
-    * underestimate degrades pruning, never correctness. ~120 KB/file/column.
+  /** Bloom sizing bounds. Filters are sized to each file's ACTUAL distinct
+    * hash count (clamped to these bounds), so small files don't pay a
+    * fixed ~120 KB and huge files don't blow past the target FPP. An
+    * overfull bloom only raises the false-positive rate — `mightContain`
+    * never false-negatives — so sizing degrades pruning, never correctness.
     */
-  val BloomExpectedItems: Long = 100000L
+  val BloomMinItems: Long = 1000L
+  val BloomMaxItems: Long = 10000000L
   val BloomFpp: Double = 0.01
 
   /** One (label, bloom bytes) row per data file for `column`: scan only that
@@ -378,8 +381,14 @@ object Ktk {
       .as[(String, Long)]
       .groupByKey(_._1)
       .mapGroups { (label, it) =>
-        val bf = org.apache.spark.util.sketch.BloomFilter.create(BloomExpectedItems, BloomFpp)
-        it.foreach { case (_, h) => bf.putLong(h) }
+        // two-pass per file: buffer the 8-byte hashes (bounded by rows per
+        // file), then size the filter to the DISTINCT count — exact FPP
+        // control per file instead of a one-size guess
+        val hs = new java.util.HashSet[java.lang.Long]()
+        it.foreach { case (_, h) => hs.add(h); () }
+        val n = math.min(BloomMaxItems, math.max(BloomMinItems, hs.size.toLong))
+        val bf = org.apache.spark.util.sketch.BloomFilter.create(n, BloomFpp)
+        hs.forEach(h => bf.putLong(h))
         val bos = new java.io.ByteArrayOutputStream()
         bf.writeTo(bos)
         (label, bos.toByteArray)

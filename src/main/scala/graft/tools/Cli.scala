@@ -43,6 +43,9 @@ object Cli {
       println(s"partition keys: ${md.partitionKeys.mkString(", ")}")
       println(s"partitions: ${md.partitions.size}")
       println(s"indices: ${md.indices.keys.toSeq.sorted.mkString(", ")}")
+      println(s"blooms: ${md.bloomRegistry.keys.toSeq.sorted.mkString(", ")}")
+      println(s"zone maps: ${md.zoneRegistry.keys.toSeq.sorted.mkString(", ")}")
+      println(s"sidecar fragments (max): ${Ktk.sidecarFragments(spark, args(1), args(2))}")
       println(s"schema:\n${md.schema.treeString}")
     case "query" =>
       val preds = if (args.length > 3 && args(3).nonEmpty) Predicates.parse(args(3)) else Predicates.empty
