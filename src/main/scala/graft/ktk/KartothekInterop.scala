@@ -488,7 +488,8 @@ object KartothekInterop {
       .getOrElse(throw new IllegalStateException(s"no schema part file under $tmp"))
     val target = new Path(s"$tableDir/_common_metadata")
     if (fs.exists(target)) fs.delete(target, false)
-    fs.rename(part, target)
+    if (!fs.rename(part, target))
+      throw new java.io.IOException(s"rename $part -> $target failed")
     fs.delete(new Path(tmp), true)
   }
 }

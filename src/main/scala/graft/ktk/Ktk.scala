@@ -444,7 +444,11 @@ object Ktk {
         rows.coalesce(SidecarCanonicalFiles)
           .write.mode(SaveMode.Overwrite).parquet(tmpOut)
         fsys.delete(new Path(fsPath), true)
-        fsys.rename(new Path(tmpOut), new Path(fsPath))
+        // FileSystem.rename signals failure by returning false, not throwing;
+        // fail loudly while tmpOut still holds the only copy.
+        if (!fsys.rename(new Path(tmpOut), new Path(fsPath)))
+          throw new java.io.IOException(
+            s"sidecar rename $tmpOut -> $fsPath failed")
       }
     }
   }
@@ -1019,7 +1023,11 @@ object Ktk {
         indexFromPairs(pairs, SidecarCanonicalFiles)
           .write.mode(SaveMode.Overwrite).parquet(tmpOut)
         fsys.delete(new Path(fsPath), true)
-        fsys.rename(new Path(tmpOut), new Path(fsPath))
+        // FileSystem.rename signals failure by returning false, not throwing;
+        // fail loudly while tmpOut still holds the only copy.
+        if (!fsys.rename(new Path(tmpOut), new Path(fsPath)))
+          throw new java.io.IOException(
+            s"sidecar rename $tmpOut -> $fsPath failed")
       }
     }
   }
@@ -1296,7 +1304,11 @@ object Ktk {
         indexFromPairs(old.unionByName(fresh), SidecarCanonicalFiles)
           .write.mode(SaveMode.Overwrite).parquet(tmpOut)
         fsys.delete(new Path(fsPath), true)
-        fsys.rename(new Path(tmpOut), new Path(fsPath))
+        // FileSystem.rename signals failure by returning false, not throwing;
+        // fail loudly while tmpOut still holds the only copy.
+        if (!fsys.rename(new Path(tmpOut), new Path(fsPath)))
+          throw new java.io.IOException(
+            s"sidecar rename $tmpOut -> $fsPath failed")
       }
     }
     mergeBloomsIncremental(spark, base, md, tableDir,
