@@ -777,6 +777,19 @@ object SparkEntry {
       Dedup.paragraphDedupFrequent(d, "doc_id", "text", maxDf = 2L).orderBy("doc_id")
     }),
 
+    "q_para_keepbest" -> ((s, dir) => {
+      // quality-aware paragraph dedup: each duplicated line survives in the
+      // HIGHEST-scored doc (score = doc_id mod 5 — inverts keep-first order,
+      // so the survivor set provably differs from q_dedup_paragraph); ties
+      // → least (doc_id, pos). Same 3-word line split as the oracle.
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"),
+          regexp_replace(col("text"), "(\\S+ \\S+ \\S+) ", "$1\n").as("text"))
+        .withColumn("score", pmod(col("doc_id"), lit(5)).cast("double"))
+      Dedup.paragraphDedupKeepBest(d, "doc_id", "text", "score")
+        .orderBy("doc_id")
+    }),
+
     "q_text_boilerplate" -> ((s, dir) => {
       // plant identical header/footer lines into EVERY document; removal at
       // a high doc-frequency threshold must recover the originals exactly,
@@ -1055,6 +1068,26 @@ object SparkEntry {
       Sampling.takeByBudgetPerGroup(t(s, dir, "documents"), "lang",
           Seq(col("n_chars").desc, col("doc_id")), "n_chars", budget = 10000L)
         .select("doc_id", "lang", "n_chars").orderBy("doc_id")
+    }),
+
+    "q_budget_map" -> ((s, dir) => {
+      // per-language DISTINCT budgets (the real mixture-curation shape):
+      // en gets 5k chars, de 15k, everyone else the 8k default — longest
+      // docs first within each language. Budget lookup is a broadcast map
+      // literal evaluated map-side; no extra join.
+      Sampling.takeByBudgetPerGroupMap(t(s, dir, "documents"), "lang",
+          Seq(col("n_chars").desc, col("doc_id")), "n_chars",
+          budgets = Map("en" -> 5000L, "de" -> 15000L), defaultBudget = 8000L)
+        .select("doc_id", "lang", "n_chars").orderBy("doc_id")
+    }),
+
+    "q_top_n_per_group" -> ((s, dir) => {
+      // per-source contribution cap: no source keeps more than 25 docs
+      // (longest first, doc_id tiebreak). Ranking spreads hot sources over
+      // many range partitions — never one window task per source.
+      Sampling.takeTopNPerGroup(t(s, dir, "documents"), "source",
+          Seq(col("n_chars").desc, col("doc_id")), n = 25L)
+        .select("doc_id", "source", "n_chars").orderBy("doc_id")
     }),
 
     "q_shard_assign" -> ((s, dir) => {
@@ -1845,6 +1878,28 @@ object SparkEntry {
         |QUALIFY row_number() OVER (PARTITION BY text ORDER BY (doc_id % 3) DESC, doc_id) = 1
         |ORDER BY doc_id""".stripMargin,
 
+    "q_para_keepbest" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    string_split(regexp_replace(text, '(\S+ \S+ \S+) ', '\1' || chr(10), 'g'), chr(10)) AS ls
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(1, len(ls)+1), i -> {'pos': i, 'para': ls[i]})) AS u
+        |  FROM d),
+        |e AS (
+        |  SELECT doc_id, u.pos AS pos, u.para AS para,
+        |    lower(regexp_replace(trim(u.para), '\s+', ' ', 'g')) AS norm
+        |  FROM p),
+        |k AS (
+        |  SELECT doc_id, pos, para,
+        |    (length(norm) = 0 OR
+        |     row_number() OVER (PARTITION BY norm
+        |       ORDER BY (doc_id % 5) DESC, doc_id, pos) = 1) AS keep
+        |  FROM e)
+        |SELECT doc_id, string_agg(para, chr(10) ORDER BY pos) AS text
+        |FROM k WHERE keep GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     "q_para_frequent" ->
       """WITH d AS (
         |  SELECT doc_id,
@@ -2008,6 +2063,21 @@ object SparkEntry {
         |      ROWS UNBOUNDED PRECEDING) AS c
         |  FROM documents)
         |WHERE c <= 10000 ORDER BY doc_id""".stripMargin,
+
+    "q_budget_map" ->
+      """SELECT doc_id, lang, n_chars FROM (
+        |  SELECT doc_id, lang, n_chars,
+        |    sum(n_chars) OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS c
+        |  FROM documents)
+        |WHERE c <= (CASE lang WHEN 'en' THEN 5000 WHEN 'de' THEN 15000 ELSE 8000 END)
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_top_n_per_group" ->
+      """SELECT doc_id, source, n_chars FROM documents
+        |QUALIFY row_number() OVER (PARTITION BY source
+        |  ORDER BY n_chars DESC, doc_id) <= 25
+        |ORDER BY doc_id""".stripMargin,
 
     "q_shard_assign" ->
       """SELECT doc_id, CAST(floor((c - n_chars) / 20000.0) AS BIGINT) AS shard_id FROM (

@@ -103,6 +103,43 @@ object Dedup {
         concat_ws(sep, transform(col("__arr"), x => x.getField("__para"))).as(textCol))
   }
 
+  /** Quality-aware cross-document paragraph dedup: of all occurrences of a
+    * normalized paragraph, the one in the highest-`scoreCol` document
+    * survives (ties → least (id, pos)) — the paragraph-level twin of
+    * [[exactKeepBest]], for pipelines that score documents before deduping
+    * and want boilerplate attributed to its best home rather than its
+    * earliest. Whitespace-only segments always survive; docs reduced to
+    * nothing drop out. Returns (idCol, textCol).
+    *
+    * Scale shape: identical to [[paragraphDedup]] — winners are picked by a
+    * map-side-combining `groupBy(hash).agg(min(struct(-score, id, pos)))`
+    * (one row per distinct hash per map partition shuffles), joined back on
+    * the uniformly distributed (id, pos) key; no stage keys on a hot
+    * paragraph hash.
+    */
+  def paragraphDedupKeepBest(df: DataFrame, idCol: String, textCol: String,
+      scoreCol: String, sep: String = "\n"): DataFrame = {
+    val paras = df.select(col(idCol), col(scoreCol).cast("double").as("__score"),
+        posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+          .as(Seq("__pos", "__para")))
+    val norm = lower(regexp_replace(trim(col("__para")), "\\s+", " "))
+    val withH = paras.withColumn("__h",
+      when(length(norm) === 0, lit(null)).otherwise(xxhash64(norm)))
+    // min over (-score, id, pos): highest score wins, ties to least (id,pos)
+    val best = withH.filter(col("__h").isNotNull)
+      .groupBy("__h")
+      .agg(min(struct((-col("__score")).as("__ns"),
+        col(idCol).as("__bid"), col("__pos").as("__bpos"))).as("__b"))
+      .select(col("__b.__bid").as(idCol), col("__b.__bpos").as("__pos"))
+    val keptNonBlank = withH.filter(col("__h").isNotNull)
+      .join(best, Seq(idCol, "__pos"), "left_semi")
+    withH.filter(col("__h").isNull).unionByName(keptNonBlank)
+      .groupBy(col(idCol))
+      .agg(array_sort(collect_list(struct(col("__pos"), col("__para")))).as("__arr"))
+      .select(col(idCol),
+        concat_ws(sep, transform(col("__arr"), x => x.getField("__para"))).as(textCol))
+  }
+
   /** Frequency-threshold paragraph removal (the CCNet/Dolma boilerplate
     * rule): a paragraph appearing in MORE than `maxDf` distinct documents is
     * boilerplate — ALL its occurrences are removed (unlike [[paragraphDedup]]

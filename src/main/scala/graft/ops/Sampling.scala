@@ -210,12 +210,51 @@ object Sampling {
     * spans MANY partitions; the offsets frame is #groups × #partitions rows.
     */
   def takeByBudgetPerGroup(df: DataFrame, groupCol: String, orderBy: Seq[Column],
-      tokenCol: String, budget: Long, numPartitions: Int = 0): DataFrame = {
+      tokenCol: String, budget: Long, numPartitions: Int = 0): DataFrame =
+    takeByBudgetPerGroupExpr(df, groupCol, orderBy, tokenCol, lit(budget),
+      numPartitions)
+
+  /** [[takeByBudgetPerGroup]] with a DISTINCT budget per group (the real
+    * mixture-curation shape: 300B tokens of English, 30B of German, …).
+    * Groups absent from `budgets` get `defaultBudget` (0 = dropped). The
+    * budget lookup is a broadcast map literal evaluated map-side — no extra
+    * join, same two-level cumsum, hot groups still span many partitions.
+    */
+  def takeByBudgetPerGroupMap(df: DataFrame, groupCol: String,
+      orderBy: Seq[Column], tokenCol: String, budgets: Map[String, Long],
+      defaultBudget: Long = 0L, numPartitions: Int = 0): DataFrame = {
+    val budgetExpr =
+      coalesce(element_at(typedLit(budgets), col(s"`$groupCol`").cast("string")),
+        lit(defaultBudget))
+    takeByBudgetPerGroupExpr(df, groupCol, orderBy, tokenCol, budgetExpr,
+      numPartitions)
+  }
+
+  /** Keep at most `n` rows per group, ranked by `orderBy` (per-source /
+    * per-domain caps: "no host contributes more than N pages"). `orderBy`
+    * must be a total order for determinism. The naive
+    * `row_number().over(partitionBy(group))` funnels each group through one
+    * task; this is [[takeByBudgetPerGroup]] with a unit token, so a hot
+    * group's ranking spreads over many range partitions.
+    */
+  def takeTopNPerGroup(df: DataFrame, groupCol: String, orderBy: Seq[Column],
+      n: Long, numPartitions: Int = 0): DataFrame =
+    takeByBudgetPerGroupExpr(df.withColumn("__unit", lit(1L)), groupCol,
+      orderBy, "__unit", lit(n), numPartitions)
+      .drop("__unit")
+
+  private def takeByBudgetPerGroupExpr(df: DataFrame, groupCol: String,
+      orderBy: Seq[Column], tokenCol: String, budget: Column,
+      numPartitions: Int): DataFrame = {
     val parts = if (numPartitions > 0) numPartitions
                 else df.sparkSession.sessionState.conf.numShufflePartitions
     val g = col(s"`$groupCol`")
+    // materialize the budget BEFORE the offsets join: after it both sides
+    // carry groupCol, so a budget expression referencing the group would be
+    // ambiguous there
     val ranged = df.repartitionByRange(parts, (g +: orderBy): _*)
       .withColumn("__pid", spark_partition_id())
+      .withColumn("__budget", budget)
     val localW = Window.partitionBy(g, col("__pid")).orderBy(orderBy: _*)
     val local = ranged.withColumn("__run", sum(col(tokenCol)).over(localW))
     // backticked Column form everywhere groupCol appears: a raw-string
@@ -228,9 +267,9 @@ object Sampling {
     local.join(broadcast(offsets),
         local(s"`$groupCol`") === offsets(s"`$groupCol`") &&
           local("__pid") === offsets("__pid"))
-      .filter(col("__offset") + col("__run") <= budget)
+      .filter(col("__offset") + col("__run") <= col("__budget"))
       .drop(offsets(s"`$groupCol`"))
-      .drop("__pid", "__run", "__offset")
+      .drop("__pid", "__run", "__offset", "__budget")
   }
 
   /** Training-shard assignment: a reproducible pseudo-random permutation

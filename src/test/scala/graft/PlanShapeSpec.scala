@@ -167,6 +167,42 @@ class PlanShapeSpec extends SparkSpec {
     plan should include regex "(?i)leftsemi"
   }
 
+  test("paragraphDedupKeepBest plans no window; same agg+join shape as keep-first") {
+    import graft.ops.Dedup
+    val docs = (0 until 100).map(i => (i.toLong, s"SHARED HEADER\nunique line $i", i % 5))
+      .toDF("id", "text", "score")
+    val plan = Dedup.paragraphDedupKeepBest(docs, "id", "text", "score")
+      .queryExecution.executedPlan.toString
+    plan should not include "Window"
+    plan should include("partial_min")
+    plan should include regex "(?i)leftsemi"
+  }
+
+  test("takeTopNPerGroup and the budget-map variant plan no per-group row window") {
+    import graft.ops.Sampling
+    val df = (0 until 2000).map(i => (i.toLong, s"g${i % 3}", (i % 97).toLong + 1))
+      .toDF("id", "grp", "tok")
+    for (out <- Seq(
+        Sampling.takeTopNPerGroup(df, "grp",
+          Seq(col("tok").desc, col("id")), n = 10L, numPartitions = 8),
+        Sampling.takeByBudgetPerGroupMap(df, "grp",
+          Seq(col("tok").desc, col("id")), "tok", Map("g0" -> 500L),
+          defaultBudget = 100L, numPartitions = 8))) {
+      val singles = out.queryExecution.sparkPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+          if e.outputPartitioning.numPartitions == 1 => e
+      }
+      // only the per-(group,pid) TOTALS frame may coalesce to one partition
+      singles.size should be <= 1
+      singles.foreach { e =>
+        e.collect {
+          case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec => a
+        } should not be empty
+      }
+      out.queryExecution.sparkPlan.toString should include("rangepartitioning")
+    }
+  }
+
   test("paragraphDedupFrequent anti-joins against only the hot hashes, broadcast") {
     import graft.ops.Dedup
     val docs = (0 until 100).map(i => (i.toLong, s"HEADER\nunique line $i"))

@@ -180,6 +180,53 @@ class SamplingSpec extends SparkSpec {
     p8 shouldBe p1
   }
 
+  test("takeByBudgetPerGroupMap applies distinct budgets, default for absent groups") {
+    val df = Seq(
+      ("en", 1L, 600L), ("en", 2L, 300L), ("en", 3L, 200L),  // en budget 900 → 1,2
+      ("de", 4L, 900L), ("de", 5L, 150L),                    // de budget 1100 → 4,5
+      ("fr", 6L, 50L), ("fr", 7L, 40L)                       // default 60 → 6
+    ).toDF("lang", "id", "tok")
+    val got = Sampling.takeByBudgetPerGroupMap(df, "lang",
+      Seq(col("tok").desc, col("id")), "tok",
+      budgets = Map("en" -> 900L, "de" -> 1100L), defaultBudget = 60L,
+      numPartitions = 4)
+    got.select("id").as[Long].collect().sorted.toSeq shouldBe Seq(1L, 2L, 4L, 5L, 6L)
+  }
+
+  test("takeByBudgetPerGroupMap default 0 drops unlisted groups; partition independent") {
+    val df = ids.withColumn("lang", concat(lit("l"), col("id") % 4))
+      .withColumn("tok", col("id") % 97 + 1)
+    val p1 = Sampling.takeByBudgetPerGroupMap(df, "lang",
+      Seq(col("tok").desc, col("id")), "tok", Map("l0" -> 3000L, "l2" -> 500L),
+      numPartitions = 1)
+      .select("id", "lang").as[(Long, String)].collect().sortBy(_._1).toSeq
+    val p8 = Sampling.takeByBudgetPerGroupMap(df, "lang",
+      Seq(col("tok").desc, col("id")), "tok", Map("l0" -> 3000L, "l2" -> 500L),
+      numPartitions = 8)
+      .select("id", "lang").as[(Long, String)].collect().sortBy(_._1).toSeq
+    p8 shouldBe p1
+    p1.map(_._2).toSet shouldBe Set("l0", "l2") // l1/l3 dropped entirely
+  }
+
+  test("takeTopNPerGroup keeps exactly min(n, group size) rows, the ranked head") {
+    val df = ids.withColumn("g", concat(lit("g"), col("id") % 5))
+      .withColumn("tok", (col("id") * 31) % 199)
+    val got = Sampling.takeTopNPerGroup(df, "g",
+      Seq(col("tok").desc, col("id")), n = 7L, numPartitions = 6)
+      .select("id", "g", "tok").as[(Long, String, Long)].collect()
+    got.groupBy(_._2).foreach { case (_, rows) => rows.length shouldBe 7 }
+    // agrees with the sequential reference head per group
+    val all = df.select("id", "g", "tok").as[(Long, String, Long)].collect()
+    val ref = all.groupBy(_._2).toSeq.flatMap { case (_, rows) =>
+      rows.sortBy(r => (-r._3, r._1)).take(7)
+    }.map(_._1).toSet
+    got.map(_._1).toSet shouldBe ref
+    // a group smaller than n survives whole
+    val tiny = Seq(("solo", 1L, 10L), ("solo", 2L, 5L)).toDF("g", "id", "tok")
+    Sampling.takeTopNPerGroup(tiny, "g", Seq(col("tok").desc, col("id")), 7L)
+      .count() shouldBe 2L
+  }
+
   test("shardCorpus shards are token-balanced and reproducible across runs") {
     val df = ids.limit(800).withColumn("tok", col("id") % 211 + 20)
     val a = Sampling.shardCorpus(df, col("id"), "tok", shardTokens = 5000L, seed = "e1")
