@@ -937,6 +937,28 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q_tfidf" -> ((s, dir) => {
+      // per-document keyword extraction: top-3 TF-IDF terms (smoothed idf,
+      // lexicographic tiebreak). Two partial aggs + a doc-local array sort
+      // — no corpus-wide window.
+      TextAnalysis.tfIdfKeywords(t(s, dir, "documents"), "doc_id", "text", k = 3)
+        .withColumn("score", round(col("score"), 6))
+        .orderBy("doc_id", "term")
+    }),
+
+    "q_dup_ngrams" -> ((s, dir) => {
+      // substring-level duplication audit (Lee et al. spans): every 7th doc
+      // is planted verbatim under a new id, so both copies must report
+      // dup_fraction 1.0; natural cross-doc 5-gram overlap is counted
+      // exactly. No gram-keyed join — unique-gram owners via partial aggs.
+      val d = t(s, dir, "documents").select("doc_id", "text")
+      val u = d.unionByName(
+        d.filter(col("doc_id") % 7 === 0).withColumn("doc_id", col("doc_id") + 1000000))
+      Dedup.dupNgramStats(u, "doc_id", "text", n = 5)
+        .withColumn("dup_fraction", round(col("dup_fraction"), 6))
+        .orderBy("doc_id")
+    }),
+
     "q_text_repetition" -> ((s, dir) => {
       // Gopher-style repetition filters (Rae et al. 2021 A1.1): duplicate
       // line / line-char / word-bigram fractions, pure codegen'd array
@@ -2178,6 +2200,45 @@ object SparkEntry {
 
     "q_footer_stats" ->
       "SELECT count(*) AS total_rows FROM lineitem",
+
+    "q_tfidf" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+        |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |s AS (
+        |  SELECT doc_id, term, tf * (ln((n + 1.0) / (df + 1.0)) + 1.0) AS score
+        |  FROM tf JOIN dfq USING (term) CROSS JOIN n)
+        |SELECT doc_id, term, round(score, 6) AS score FROM s
+        |QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) <= 3
+        |ORDER BY doc_id, term""".stripMargin,
+
+    "q_dup_ngrams" ->
+      s"""WITH u AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0),
+         |tok AS (
+         |  SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+         |    x -> x <> '') AS toks
+         |  FROM u),
+         |g AS (SELECT DISTINCT doc_id, gram FROM (
+         |  SELECT doc_id, ${duckNgrams(5)} AS gram FROM tok WHERE len(toks) >= 5)),
+         |dfreq AS (SELECT gram, count(*) AS d FROM g GROUP BY gram),
+         |per AS (
+         |  SELECT doc_id, count(*) AS n_grams,
+         |    sum(CASE WHEN d >= 2 THEN 1 ELSE 0 END) AS n_dup
+         |  FROM g JOIN dfreq USING (gram) GROUP BY doc_id)
+         |SELECT u.doc_id,
+         |  CAST(coalesce(n_grams, 0) AS BIGINT) AS n_grams,
+         |  CAST(coalesce(n_dup, 0) AS BIGINT) AS n_dup,
+         |  round(CASE WHEN coalesce(n_grams, 0) = 0 THEN 0.0
+         |        ELSE n_dup * 1.0 / n_grams END, 6) AS dup_fraction
+         |FROM u LEFT JOIN per USING (doc_id)
+         |ORDER BY u.doc_id""".stripMargin,
 
     "q_text_vocab" ->
       """SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM (

@@ -578,6 +578,43 @@ object Dedup {
 
   // ------------------------------------------------------- n-gram Jaccard
 
+  /** Substring-level duplication metric (the signal behind Lee et al. 2021's
+    * "repeated ~50-token span" dedup): for each document, how many of its
+    * DISTINCT word `n`-grams also occur in at least one OTHER document.
+    * Returns (idCol, n_grams, n_dup, dup_fraction); docs with < n tokens
+    * report (0, 0, 0.0). Filter on `dup_fraction` to drop documents that
+    * are mostly recycled text, or monitor it as a corpus-health metric.
+    * Gram identity is the codegen'd 64-bit [[graft.functions.WordNgramHashes]]
+    * kernel — only (id, 8-byte hash) pairs ever shuffle.
+    *
+    * Scale shape: NO join keyed on the gram. Since grams are distinct per
+    * doc, a gram with df==1 names its sole owner in `min(id)` — so per-doc
+    * unique-gram counts come from a second partial agg over the df==1 rows,
+    * and `n_dup = n_grams − n_unique`. Both aggregates combine map-side on
+    * uniform 8-byte keys; a boilerplate span shared by a million documents
+    * contributes ONE row past the first aggregate instead of a million-row
+    * hot key through a join.
+    */
+  def dupNgramStats(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 13): DataFrame = {
+    val grams = df.select(col(idCol),
+      explode_outer(graft.functions.WordNgramHashes(col(textCol), n)).as("__g"))
+    val totals = grams.groupBy(col(idCol))
+      .agg(count(col("__g")).as("n_grams")) // count ignores the null of gram-less docs
+    val uniques = grams.filter(col("__g").isNotNull)
+      .groupBy(col("__g"))
+      .agg(count(lit(1)).as("__df"), min(col(idCol)).as("__owner"))
+      .filter(col("__df") === 1)
+      .groupBy(col("__owner")).agg(count(lit(1)).as("__nuniq"))
+      .withColumnRenamed("__owner", idCol)
+    totals.join(uniques, Seq(idCol), "left")
+      .select(col(idCol), col("n_grams"),
+        (col("n_grams") - coalesce(col("__nuniq"), lit(0L))).as("n_dup"))
+      .withColumn("dup_fraction",
+        when(col("n_grams") === 0, lit(0.0))
+          .otherwise(col("n_dup").cast("double") / col("n_grams")))
+  }
+
   /** Exact n-gram Jaccard similarity for candidate pairs — the verification
     * stage after LSH blocking. `pairs` must have (id_a, id_b). Computed with
     * native array_intersect/array_union on pre-tokenized n-gram arrays

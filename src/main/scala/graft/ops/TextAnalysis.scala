@@ -133,6 +133,39 @@ object TextAnalysis {
       .orderBy(col("cnt").desc, col("word"))
       .limit(k)
 
+  /** TF-IDF keyword extraction: the `k` highest-scoring terms per document
+    * (score = tf · (ln((N+1)/(df+1)) + 1), the smoothed-idf convention;
+    * ties → lexicographic). Returns (idCol, term, score). The standard
+    * per-document topic signal for corpus exploration and cluster labeling.
+    *
+    * Scale shape: two partial-aggregating groupBys (per-(doc,term) tf, then
+    * per-term df — one row per distinct key per map partition shuffles); N
+    * arrives as a broadcast 1-row frame, never a driver action. The df
+    * join keys on the term — hot terms ("the") are linear per key and
+    * AQE-skew-splittable. Top-k per doc is a doc-local array sort (docs
+    * bound their own vocabulary), NOT a corpus-wide window.
+    */
+  def tfIdfKeywords(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 5): DataFrame = {
+    val id = col(s"`$idCol`")
+    val terms = df.select(id,
+      explode(filter(split(lower(trim(col(s"`$textCol`"))), "\\s+"),
+        t => length(t) > 0)).as("__term"))
+    val tf = terms.groupBy(id, col("__term")).agg(count(lit(1)).as("__tf"))
+    val dfreq = tf.groupBy("__term").agg(count(lit(1)).as("__df"))
+    val total = df.select(count(lit(1)).as("__n"))
+    val scored = tf.join(dfreq, "__term")
+      .crossJoin(broadcast(total))
+      .withColumn("__score",
+        col("__tf") * (log((col("__n") + 1).cast("double") / (col("__df") + 1)) + 1.0))
+    scored.groupBy(id)
+      .agg(slice(array_sort(collect_list(
+        struct((-col("__score")).as("__neg"), col("__term").as("term"),
+          col("__score").as("score")))), 1, k).as("__top"))
+      .select(id, explode(col("__top")).as("__kw"))
+      .select(id, col("__kw.term").as("term"), col("__kw.score").as("score"))
+  }
+
   // ------------------------------------------------- cleaning / redaction
 
   /** PII redaction patterns, kept to the RE2-compatible subset of Java

@@ -203,6 +203,25 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("dupNgramStats never joins on the gram — only on the uniform doc id") {
+    import graft.ops.Dedup
+    val docs = (0 until 100).map(i =>
+      (i.toLong, if (i % 2 == 0) "the same duplicated body of shared text here"
+                 else s"unique words for document number $i only right here"))
+      .toDF("doc_id", "text")
+    val qe = Dedup.dupNgramStats(docs, "doc_id", "text", n = 5).queryExecution
+    // a join keyed on the gram would funnel a boilerplate span's million
+    // occurrences through one task; the op's only join is totals⋈uniques on
+    // the doc id
+    val joins = qe.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }
+    joins should have size 1
+    joins.head.condition.get.references.map(_.name).toSet shouldBe Set("doc_id")
+    // both winner aggregates combine map-side
+    qe.executedPlan.toString should include("partial_count")
+  }
+
   test("paragraphDedupFrequent anti-joins against only the hot hashes, broadcast") {
     import graft.ops.Dedup
     val docs = (0 until 100).map(i => (i.toLong, s"HEADER\nunique line $i"))

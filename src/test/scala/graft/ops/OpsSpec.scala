@@ -142,6 +142,41 @@ class DedupSpec extends SparkSpec {
     out((0L, 1L)) should be > 0.5
     out((0L, 2L)) shouldBe 0.0
   }
+
+  test("dupNgramStats: exact copies report full coverage, short docs report zero") {
+    val df = Seq(
+      (0L, doc), (3L, doc),      // verbatim pair → every gram duplicated
+      (1L, nearDup),             // shares most but not all 5-grams with doc
+      (2L, other),               // no overlap
+      (4L, "too short")          // < 5 tokens → zero grams
+    ).toDF("doc_id", "text")
+    val out = Dedup.dupNgramStats(df, "doc_id", "text", n = 5)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    val nGrams = doc.split("\\s+").length - 4
+    out(0L) shouldBe ((nGrams.toLong, nGrams.toLong, 1.0))
+    out(3L) shouldBe out(0L)
+    out(2L)._2 shouldBe 0L
+    out(2L)._3 shouldBe 0.0
+    out(4L) shouldBe ((0L, 0L, 0.0))
+    // the near-dup shares exactly the grams not covering the changed word
+    out(1L)._1 shouldBe nGrams.toLong
+    out(1L)._2 should (be > 0L and be < nGrams.toLong)
+    // agrees with a brute-force string-gram reference on the same corpus
+    val all = df.collect().map(r => (r.getLong(0), r.getString(1)))
+    def gramsOf(t: String): Set[String] = {
+      val w = t.toLowerCase.trim.split("\\s+").filter(_.nonEmpty)
+      if (w.length < 5) Set.empty
+      else w.sliding(5).map(_.mkString(" ")).toSet
+    }
+    val gsets = all.map { case (id, t) => id -> gramsOf(t) }.toMap
+    all.foreach { case (id, _) =>
+      val mine = gsets(id)
+      val dup = mine.count(g => gsets.exists { case (o, s) => o != id && s(g) })
+      out(id)._1 shouldBe mine.size.toLong
+      out(id)._2 shouldBe dup.toLong
+    }
+  }
 }
 
 class CapCountSpec extends SparkSpec {
@@ -460,6 +495,26 @@ class TextAnalysisSpec extends SparkSpec {
     val df = Seq(Tuple1("a  B\tc"), Tuple1("A B C")).toDF("text")
     val fps = df.select(TextAnalysis.fingerprint($"text")).as[Long].collect()
     fps(0) shouldBe fps(1)
+  }
+
+  test("tfIdfKeywords ranks distinctive terms over common ones, ties lexicographic") {
+    val df = Seq(
+      (1L, "spark spark spark common"),
+      (2L, "duck duck common"),
+      (3L, "goose common")
+    ).toDF("id", "text")
+    val out = TextAnalysis.tfIdfKeywords(df, "id", "text", k = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    val byDoc = out.groupBy(_._1).view.mapValues(_.sortBy(-_._3).map(_._2).toSeq).toMap
+    // the repeated distinctive term dominates; "common" (df=3) scores lowest
+    byDoc(1L).head shouldBe "spark"
+    byDoc(2L).head shouldBe "duck"
+    byDoc(3L).head shouldBe "goose"
+    // hand-check doc 3's goose score: tf=1, df=1, N=3 → ln(4/2)+1
+    val goose = out.find(t => t._1 == 3L && t._2 == "goose").get._3
+    goose shouldBe (math.log(2.0) + 1.0) +- 1e-9
+    // k bounds the output per doc
+    out.groupBy(_._1).foreach { case (_, rows) => rows.length should be <= 2 }
   }
 }
 
