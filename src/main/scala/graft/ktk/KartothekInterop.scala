@@ -268,6 +268,25 @@ object KartothekInterop {
     }
   }
 
+  /** All tables of a multi-table dataset (the reference's deprecated-but-real
+    * v4 form, io_components/metapartition.py:77-333 — one file per table per
+    * partition, distinct schemas): table name → DataFrame, each read with the
+    * same pruning as [[readTable]]. Predicates apply per table only where
+    * their columns exist there (partition keys exist in every table's path);
+    * the reference's multi-table read has the same per-table semantics.
+    */
+  def readTables(
+      spark: SparkSession,
+      base: String,
+      ds: V4Dataset,
+      predicates: Predicates = Predicates.empty): Map[String, DataFrame] =
+    ds.tables.map { t =>
+      val sample = spark.read.parquet(s"$base/${ds.partitions.head._2(t)}")
+      val cols = sample.columns.toSet ++ ds.partitionKeys
+      val applicable = predicates.restrictToColumns(cols).getOrElse(Predicates.empty)
+      t -> readTable(spark, base, ds, t, predicates = applicable)
+    }.toMap
+
   // ----------------------------------------------------------------- adopt
 
   /** Adopt a reference-written dataset IN PLACE as a graft-managed one —

@@ -105,6 +105,21 @@ class KartothekInteropSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       KartothekInterop.adoptAsGraft(spark, base, ds)
     }
+
+    // readTables: all tables at once; predicates restrict per table — a
+    // literal on a column one table lacks must not null out that table
+    val both = KartothekInterop.readTables(spark, base, ds,
+      predicates = Predicates.of(Seq(("p", "==", 2), ("v", ">", 0.0))))
+    both.keySet shouldBe Set("aux", "core")
+    both("core").select("l").as[String].collect().toSeq shouldBe Seq("c")
+    // aux has no 'v' column: the conjunction restricts to its columns
+    // (reference filter_predicates_by_column semantics) → p==2 still applies
+    both("aux").select("n").as[Long].collect().toSeq shouldBe Seq(20L)
+    // p-only predicate applies to every table via the path keys
+    val pruned = KartothekInterop.readTables(spark, base, ds,
+      predicates = Predicates.of(Seq(("p", "==", 2))))
+    pruned("aux").select("n").as[Long].collect().toSeq shouldBe Seq(20L)
+    pruned("core").select("l").as[String].collect().toSeq shouldBe Seq("c")
   }
 
   test("load + full read of a hand-built reference-layout dataset") {

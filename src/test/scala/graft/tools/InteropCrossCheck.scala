@@ -52,6 +52,29 @@ object InteropCrossCheck {
     require(viaKtk.count() == 2, s"adopted index read: ${viaKtk.count()}")
     println("graft adopted ref_ds in place (typed index + zone maps over the same files)")
 
+    // ---- multi-table form (deprecated in the reference but real in v4
+    // archives, metapartition.py:77-333): one file per table per partition
+    val fs = graft.ktk.DatasetMetadata.fs(spark, base)
+    if (fs.exists(new org.apache.hadoop.fs.Path(
+        s"$base/ref_multi${KartothekInterop.JsonSuffix}"))) {
+      val multi = KartothekInterop.load(spark, base, "ref_multi")
+      require(multi.tables == Seq("aux", "core"), s"tables: ${multi.tables}")
+      val core = KartothekInterop.readTable(spark, base, multi, table = "core")
+      require(core.columns.toSet == Set("id", "v", "p"), core.columns.toSeq)
+      require(core.count() == 3, s"core rows: ${core.count()}")
+      val aux = KartothekInterop.readTable(spark, base, multi, table = "aux",
+        predicates = Predicates.of(Seq(("p", "==", 1))))
+      require(aux.select("note").as[String].collect().sorted.toSeq == Seq("a", "b"),
+        "aux p=1 content")
+      require(aux.inputFiles.forall(f => f.contains("/aux/") && f.contains("p=1")),
+        "aux pruning must scan only aux's p=1 file")
+      val both = KartothekInterop.readTables(spark, base, multi)
+      require(both.keySet == Set("aux", "core"), both.keySet)
+      require(both("core").join(both("aux"), Seq("id", "p")).count() == 3,
+        "cross-table join on shared keys")
+      println("graft read reference-written MULTI-TABLE ref_multi OK (per-table scan + pruning)")
+    }
+
     // ---- write our_ds for the reference to load
     val df = Seq((1, "a", "x", 1.5), (2, "b", "y", 2.5)).toDF("p", "l", "tag", "v")
     KartothekInterop.write(spark, base, "our_ds", df,

@@ -65,6 +65,45 @@ def write(root):
     print("reference wrote", meta_key, "partitions:", len(parts))
 
 
+def write_multi(root):
+    """The DEPRECATED-but-real multi-table v4 form (metapartition.py:77-333):
+    each partition carries one file per table; tables have different schemas.
+    """
+    store = KeyValueStore(root)
+    uuid = "ref_multi"
+    ser = ParquetSerializer()
+    core = {
+        "p=1/part0": pd.DataFrame({"id": [1, 2], "v": [1.0, 2.0]}),
+        "p=2/part1": pd.DataFrame({"id": [3], "v": [3.0]}),
+    }
+    aux = {
+        "p=1/part0": pd.DataFrame({"id": [1, 2], "note": ["a", "b"]}),
+        "p=2/part1": pd.DataFrame({"id": [3], "note": ["c"]}),
+    }
+    builder = DatasetMetadataBuilder(
+        uuid=uuid, metadata_version=4, partition_keys=["p"],
+        table_meta={
+            "core": make_meta(next(iter(core.values())), origin="c", partition_keys=["p"]),
+            "aux": make_meta(next(iter(aux.values())), origin="a", partition_keys=["p"]),
+        },
+    )
+    for label in core:
+        files = {
+            "core": ser.store(store, "{}/core/{}".format(uuid, label), core[label]),
+            "aux": ser.store(store, "{}/aux/{}".format(uuid, label), aux[label]),
+        }
+        builder.add_partition(label, Partition(label, files=files))
+    store_schema_metadata(
+        make_meta(next(iter(core.values())), origin="c", partition_keys=["p"]),
+        uuid, store, "core")
+    store_schema_metadata(
+        make_meta(next(iter(aux.values())), origin="a", partition_keys=["p"]),
+        uuid, store, "aux")
+    meta_key, blob = builder.to_json()
+    store.put(meta_key, blob)
+    print("reference wrote multi-table", meta_key, "tables: core, aux")
+
+
 def read(root):
     store = KeyValueStore(root)
     ds = DatasetMetadata.load_from_store("our_ds", store, load_schema=True,
@@ -108,4 +147,4 @@ def read(root):
 
 
 if __name__ == "__main__":
-    {"write": write, "read": read}[sys.argv[1]](sys.argv[2])
+    {"write": write, "write_multi": write_multi, "read": read}[sys.argv[1]](sys.argv[2])
