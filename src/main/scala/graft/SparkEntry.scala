@@ -946,6 +946,28 @@ object SparkEntry {
         .orderBy("doc_id", "term")
     }),
 
+    "q_para_withindoc" -> ((s, dir) => {
+      // intra-document paragraph dedup: doubling every doc's text plants a
+      // within-doc repeat of every paragraph; repeats collapse to their
+      // first occurrence, blank layout lines survive
+      val doubled = t(s, dir, "documents")
+        .select(col("doc_id"), concat_ws("\n", col("text"), col("text")).as("text"))
+      Dedup.paragraphDedupWithinDoc(doubled, "doc_id", "text")
+        .select("doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
+    "q_dedup_spans" -> ((s, dir) => {
+      // Lee et al. span removal: every 11th doc is planted verbatim under a
+      // new id, so both copies lose every 5-gram-covered token; natural
+      // cross-doc and within-doc repeats are removed exactly
+      val d = t(s, dir, "documents").select("doc_id", "text")
+      val u = d.unionByName(
+        d.filter(col("doc_id") % 11 === 0).withColumn("doc_id", col("doc_id") + 1000000))
+      Dedup.removeDupNgramSpans(u, "doc_id", "text", n = 5)
+        .orderBy("doc_id")
+    }),
+
     "q_dup_ngrams" -> ((s, dir) => {
       // substring-level duplication audit (Lee et al. spans): every 7th doc
       // is planted verbatim under a new id, so both copies must report
@@ -1250,12 +1272,17 @@ object SparkEntry {
 
     "q_quantiles" -> ((s, dir) => {
       // exact linear-interpolated percentiles per group
+      // + 1e-6 before rounding: interpolated percentiles of 2-decimal money
+      // values land EXACTLY on .xx5 rounding boundaries, where Spark's
+      // (1-d)·a + d·b and the oracle's a + d·(b-a) differ by 1 ulp and flip
+      // the rounded digit; the nudge moves the boundary 1e-6 off the value
+      // grid (multiples of 5e-4) so both engines round identically
       t(s, dir, "lineitem")
         .groupBy("l_returnflag")
         .agg(
-          round(expr("percentile(l_extendedprice, 0.5)"), 2).as("p50"),
-          round(expr("percentile(l_extendedprice, 0.95)"), 2).as("p95"),
-          round(expr("percentile(l_quantity, 0.25)"), 2).as("q25"))
+          round(expr("percentile(l_extendedprice, 0.5)") + 1e-6, 2).as("p50"),
+          round(expr("percentile(l_extendedprice, 0.95)") + 1e-6, 2).as("p95"),
+          round(expr("percentile(l_quantity, 0.25)") + 1e-6, 2).as("q25"))
         .orderBy("l_returnflag")
     }),
 
@@ -1744,9 +1771,9 @@ object SparkEntry {
 
     "q_quantiles" ->
       """SELECT l_returnflag,
-        |  round(quantile_cont(l_extendedprice, 0.5), 2) AS p50,
-        |  round(quantile_cont(l_extendedprice, 0.95), 2) AS p95,
-        |  round(quantile_cont(l_quantity, 0.25), 2) AS q25
+        |  round(quantile_cont(l_extendedprice, 0.5) + 1e-6, 2) AS p50,
+        |  round(quantile_cont(l_extendedprice, 0.95) + 1e-6, 2) AS p95,
+        |  round(quantile_cont(l_quantity, 0.25) + 1e-6, 2) AS q25
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_rollup" ->
@@ -2215,6 +2242,50 @@ object SparkEntry {
         |SELECT doc_id, term, round(score, 6) AS score FROM s
         |QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) <= 3
         |ORDER BY doc_id, term""".stripMargin,
+
+    "q_para_withindoc" ->
+      """WITH d AS (
+        |  SELECT doc_id, text || chr(10) || text AS text FROM documents),
+        |s AS (
+        |  SELECT doc_id, string_split(text, chr(10)) AS ps,
+        |    list_transform(string_split(text, chr(10)),
+        |      p -> lower(regexp_replace(trim(p), '\s+', ' ', 'g'))) AS nps
+        |  FROM d)
+        |SELECT doc_id, array_to_string(
+        |  list_transform(
+        |    list_filter(range(1, len(ps) + 1),
+        |      i -> nps[i] = '' OR list_position(nps, nps[i]) = i),
+        |    i -> ps[i]), chr(10)) AS text
+        |FROM s ORDER BY doc_id""".stripMargin,
+
+    "q_dedup_spans" ->
+      """WITH u AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 11 = 0),
+        |tokc AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS toks,
+        |    list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '') AS ltoks
+        |  FROM u),
+        |gp AS (
+        |  SELECT doc_id, pos, array_to_string(ltoks[pos:pos+4], chr(1)) AS g FROM (
+        |    SELECT doc_id, ltoks, unnest(range(1, len(ltoks) - 3)) AS pos
+        |    FROM tokc WHERE len(ltoks) >= 5)),
+        |dup AS (SELECT g FROM gp GROUP BY g HAVING count(*) >= 2),
+        |cov AS (SELECT DISTINCT doc_id, tpos FROM (
+        |  SELECT doc_id, unnest(range(pos, pos + 5)) AS tpos FROM gp JOIN dup USING (g))),
+        |tk AS (
+        |  SELECT doc_id, tpos, toks[tpos] AS tok FROM (
+        |    SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS tpos FROM tokc)),
+        |kept AS (
+        |  SELECT doc_id, count(*) AS nkept, string_agg(tok, ' ' ORDER BY tpos) AS text
+        |  FROM tk ANTI JOIN cov USING (doc_id, tpos) GROUP BY doc_id)
+        |SELECT tokc.doc_id, coalesce(kept.text, '') AS text,
+        |  CAST(len(toks) AS BIGINT) AS n_tokens,
+        |  CAST(len(toks) - coalesce(nkept, 0) AS BIGINT) AS n_removed
+        |FROM tokc LEFT JOIN kept USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
 
     "q_dup_ngrams" ->
       s"""WITH u AS (

@@ -578,6 +578,81 @@ object Dedup {
 
   // ------------------------------------------------------- n-gram Jaccard
 
+  /** WITHIN-document paragraph dedup: repeated `sep`-delimited segments
+    * inside ONE document keep only their first occurrence (identity =
+    * lowercased whitespace-collapsed segment; whitespace-only segments
+    * always survive). The intra-doc twin of [[paragraphDedup]] — navigation
+    * blocks and footers often repeat inside a single crawled page before
+    * they repeat across pages. Returns the full input row set with
+    * `textCol` rewritten.
+    *
+    * Scale shape: a pure per-row projection — split / normalize / HOF
+    * filter on first-occurrence index — with NO explode, NO shuffle, NO
+    * UDF; cost is O(paragraphs²) per row in the worst case (array_position
+    * scan per element), bounded by single-document size.
+    */
+  def paragraphDedupWithinDoc(df: DataFrame, idCol: String, textCol: String,
+      sep: String = "\n"): DataFrame = {
+    val arr = split(col(s"`$textCol`"), java.util.regex.Pattern.quote(sep))
+    val norms = transform(arr, p => lower(regexp_replace(trim(p), "\\s+", " ")))
+    val kept = filter(col("__arr"), (_, i) =>
+      length(element_at(col("__ns"), i + 1)) === 0 ||
+        array_position(col("__ns"), element_at(col("__ns"), i + 1)) === (i + 1).cast("long"))
+    df.withColumn("__arr", arr).withColumn("__ns", norms)
+      .withColumn(textCol, concat_ws(sep, kept))
+      .drop("__arr", "__ns")
+  }
+
+  /** Substring-level duplicate-span REMOVAL (Lee et al. 2021, "Deduplicating
+    * Training Data Makes Language Models Better": drop every ~50-token span
+    * that occurs verbatim more than once in the corpus). A token is removed
+    * iff some word `n`-gram covering it occurs >= 2 times corpus-wide
+    * (counting repeats within one document). Returns
+    * (idCol, textCol, n_tokens, n_removed) — `textCol` is rebuilt from the
+    * surviving tokens space-joined (tokenized rebuild: original inter-token
+    * whitespace is not preserved), docs shorter than `n` tokens pass
+    * through, docs losing every token keep an empty string.
+    *
+    * Scale shape: gram occurrences come from the codegen'd positional
+    * kernel ([[graft.functions.WordNgramHashesPos]] — 8-byte hashes, one
+    * JVM call per doc); duplicated grams are found by a partial-aggregating
+    * groupBy on the hash; occurrences rejoin them on the SAME 8-byte key —
+    * a linear equi-join (AQE-skew-splittable), never a window or
+    * collect-per-gram; covered positions and kept tokens flow through
+    * (id, pos)-keyed joins, uniformly distributed by construction. Every
+    * stage is linear in corpus tokens.
+    */
+  def removeDupNgramSpans(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 13): DataFrame = {
+    val id = col(s"`$idCol`")
+    // gram identity is case-insensitive (kernel lowers); the REBUILT text
+    // keeps original casing — lowering never moves a \s+ boundary, so the
+    // kernel's token positions align with this split's
+    val toks = df.select(id,
+      filter(split(trim(col(s"`$textCol`")), "\\s+"),
+        t => length(t) > 0).as("__toks"))
+    val occ = df.select(id,
+      posexplode(graft.functions.WordNgramHashesPos(col(s"`$textCol`"), n))
+        .as(Seq("__gpos", "__gh")))
+    val dupGrams = occ.groupBy(col("__gh"))
+      .agg(count(lit(1)).as("__c")).filter(col("__c") >= 2).select("__gh")
+    val covered = occ.join(dupGrams, "__gh")
+      .select(id, explode(sequence(col("__gpos"), col("__gpos") + (n - 1))).as("__tpos"))
+      .distinct()
+    val tokens = toks.select(id, posexplode(col("__toks")).as(Seq("__tpos", "__tok")))
+    val keptAgg = tokens.join(covered, Seq(idCol, "__tpos"), "left_anti")
+      .groupBy(id)
+      .agg(count(lit(1)).as("__nkept"),
+        array_sort(collect_list(struct(col("__tpos"), col("__tok")))).as("__a"))
+      .select(id, col("__nkept"),
+        concat_ws(" ", transform(col("__a"), x => x.getField("__tok"))).as("__text"))
+    toks.select(id, size(col("__toks")).cast("long").as("n_tokens"))
+      .join(keptAgg, Seq(idCol), "left")
+      .select(id, coalesce(col("__text"), lit("")).as(textCol),
+        col("n_tokens"),
+        (col("n_tokens") - coalesce(col("__nkept"), lit(0L))).as("n_removed"))
+  }
+
   /** Substring-level duplication metric (the signal behind Lee et al. 2021's
     * "repeated ~50-token span" dedup): for each document, how many of its
     * DISTINCT word `n`-grams also occur in at least one OTHER document.

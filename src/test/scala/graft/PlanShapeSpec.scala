@@ -222,6 +222,23 @@ class PlanShapeSpec extends SparkSpec {
     qe.executedPlan.toString should include("partial_count")
   }
 
+  test("removeDupNgramSpans: no window, no cartesian — gram join is a linear equi-join") {
+    import graft.ops.Dedup
+    val docs = (0 until 50).map(i =>
+      (i.toLong, if (i % 2 == 0) "the same duplicated body of shared text here today"
+                 else s"unique words for document number $i only right here now"))
+      .toDF("doc_id", "text")
+    val qe = Dedup.removeDupNgramSpans(docs, "doc_id", "text", n = 5).queryExecution
+    val plan = qe.executedPlan.toString
+    // a hot gram must stream through an AQE-splittable equi-join, never a
+    // per-gram window sort or a pair expansion
+    plan should not include "Window"
+    plan should not include "CartesianProduct"
+    plan should not include "BroadcastNestedLoopJoin"
+    // the duplicated-gram finder combines map-side
+    plan should include("partial_count")
+  }
+
   test("paragraphDedupFrequent anti-joins against only the hot hashes, broadcast") {
     import graft.ops.Dedup
     val docs = (0 until 100).map(i => (i.toLong, s"HEADER\nunique line $i"))

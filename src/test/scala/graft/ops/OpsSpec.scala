@@ -143,6 +143,73 @@ class DedupSpec extends SparkSpec {
     out((0L, 2L)) shouldBe 0.0
   }
 
+  test("paragraphDedupWithinDoc keeps first occurrences and blank layout lines") {
+    val df = Seq(
+      (1L, "Home\nreal content here\nHome\n\nmore text\nreal content here"),
+      (2L, "only\nunique\nlines"),
+      (3L, "A\n  a \na") // normalization: "  a " == "a" == lower("A")
+    ).toDF("doc_id", "text")
+    val out = Dedup.paragraphDedupWithinDoc(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    out(1L) shouldBe "Home\nreal content here\n\nmore text"
+    out(2L) shouldBe "only\nunique\nlines"
+    out(3L) shouldBe "A"
+    // cross-doc repeats are untouched — this is the intra-doc op
+    val two = Seq((1L, "same\nx"), (2L, "same\ny")).toDF("doc_id", "text")
+    Dedup.paragraphDedupWithinDoc(two, "doc_id", "text")
+      .collect().map(_.getString(1)).sorted.toSeq shouldBe Seq("same\nx", "same\ny")
+  }
+
+  test("paragraphDedupWithinDoc plans no shuffle and no UDF") {
+    val df = Seq((1L, "a\nb\na")).toDF("doc_id", "text")
+    val plan = Dedup.paragraphDedupWithinDoc(df, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    plan should not include "Exchange"
+    plan should not include "BatchEvalPython"
+    plan.toLowerCase should not include "scalaudf"
+  }
+
+  test("removeDupNgramSpans drops exactly the tokens covered by repeated n-grams") {
+    // doc 0 and 3 share a verbatim 6-token span; doc 2 repeats a span
+    // within itself; doc 4 is too short to carry any 5-gram
+    val span = "the quick brown fox jumps high"
+    val df = Seq(
+      (0L, s"alpha beta $span gamma delta epsilon zeta eta"),
+      (1L, "totally different words in this one right here now"),
+      (2L, s"$span and again $span"),
+      (4L, "too short")
+    ).toDF("doc_id", "text")
+    val out = Dedup.removeDupNgramSpans(df, "doc_id", "text", n = 5)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+
+    // brute-force reference: token removed iff a duplicated 5-gram covers it
+    val all = df.collect().map(r => (r.getLong(0), r.getString(1)))
+    def tok(t: String) = t.trim.split("\\s+").filter(_.nonEmpty)
+    val gramCounts = scala.collection.mutable.Map.empty[String, Int]
+    all.foreach { case (_, t) =>
+      val w = tok(t.toLowerCase)
+      w.sliding(5).filter(_.length == 5).foreach(g =>
+        gramCounts.updateWith(g.mkString(" "))(c => Some(c.getOrElse(0) + 1)))
+    }
+    all.foreach { case (docId, t) =>
+      val w = tok(t)
+      val lw = tok(t.toLowerCase)
+      val coveredIdx = scala.collection.mutable.Set.empty[Int]
+      lw.sliding(5).zipWithIndex.filter(_._1.length == 5).foreach { case (g, i) =>
+        if (gramCounts(g.mkString(" ")) >= 2) (i until i + 5).foreach(coveredIdx += _)
+      }
+      val kept = w.zipWithIndex.collect { case (x, i) if !coveredIdx(i) => x }
+      out(docId)._1 shouldBe kept.mkString(" ")
+      out(docId)._2 shouldBe w.length.toLong
+      out(docId)._3 shouldBe coveredIdx.size.toLong
+    }
+    // spot: the unique doc survives whole, the short doc passes through
+    out(1L)._3 shouldBe 0L
+    out(4L) shouldBe (("too short", 2L, 0L))
+    // the self-repeating doc lost both copies of the span
+    out(2L)._3 should be >= 12L
+  }
+
   test("dupNgramStats: exact copies report full coverage, short docs report zero") {
     val df = Seq(
       (0L, doc), (3L, doc),      // verbatim pair → every gram duplicated
