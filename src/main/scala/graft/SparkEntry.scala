@@ -946,6 +946,23 @@ object SparkEntry {
         .orderBy("doc_id", "term")
     }),
 
+    "q_quality_model" -> ((s, dir) => {
+      // model-based quality filtering (GPT-3/CCNet classifier stage): train
+      // a hashed-ngram logistic regression on a labeled split (label =
+      // doc is English), score the held-out split, report per-lang
+      // predicted-positive counts. No oracle — MLlib L-BFGS internals have
+      // no DuckDB twin; QualityModelSpec gates accuracy + determinism.
+      val docs = t(s, dir, "documents")
+      val train = docs.filter(col("doc_id") % 2 === 0)
+        .withColumn("label", (col("lang") === "en").cast("int"))
+      val model = graft.ops.QualityModel.train(train, "text", "label")
+      graft.ops.QualityModel.score(docs.filter(col("doc_id") % 2 === 1), "text", model)
+        .groupBy("lang")
+        .agg(count(when(col("quality_prob") >= 0.5, 1)).as("pred_en"),
+          count(lit(1)).as("n"))
+        .orderBy("lang")
+    }),
+
     "q_para_withindoc" -> ((s, dir) => {
       // intra-document paragraph dedup: doubling every doc's text plants a
       // within-doc repeat of every paragraph; repeats collapse to their

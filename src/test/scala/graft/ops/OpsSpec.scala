@@ -585,6 +585,59 @@ class TextAnalysisSpec extends SparkSpec {
   }
 }
 
+class QualityModelSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.ops.QualityModel
+
+  private def corpus(n: Int): Seq[(Long, String, Int)] = {
+    val good = Array("insightful", "analysis", "thorough", "evidence", "study")
+    val bad = Array("click", "free", "winner", "prize", "buy")
+    (0 until n).map { i =>
+      val words = if (i % 2 == 0) good else bad
+      val text = (0 until 12).map(j => words((i + j * j) % words.length)).mkString(" ")
+      (i.toLong, text, if (i % 2 == 0) 1 else 0)
+    }
+  }
+
+  test("classifier separates disjoint vocabularies and generalizes") {
+    val df = corpus(200).toDF("id", "text", "label")
+    val model = QualityModel.train(df, "text", "label")
+    val scored = QualityModel.score(df, "text", model)
+    val acc = scored.filter(
+      (col("quality_prob") >= 0.5 && col("label") === 1) ||
+        (col("quality_prob") < 0.5 && col("label") === 0)).count()
+    acc shouldBe 200L
+    // unseen docs from the same vocabularies classify correctly
+    val fresh = Seq((900L, "thorough evidence analysis insightful study evidence"),
+      (901L, "buy free prize winner click free buy")).toDF("id", "text")
+    val m = QualityModel.score(fresh, "text", model)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    m(900L) should be > 0.8
+    m(901L) should be < 0.2
+    // filterByQuality keeps exactly the high side
+    QualityModel.filterByQuality(df, "text", model, 0.5).count() shouldBe 100L
+  }
+
+  test("scoring is a narrow map — no shuffle — and the model round-trips") {
+    val df = corpus(40).toDF("id", "text", "label")
+    val model = QualityModel.train(df, "text", "label")
+    val plan = QualityModel.score(df, "text", model).queryExecution.executedPlan.toString
+    plan should not include "Exchange"
+    val dir = tmpDir("qmodel")
+    QualityModel.saveModel(spark, model, s"$dir/quality_model")
+    val back = QualityModel.loadModel(spark, s"$dir/quality_model")
+    back.numFeatures shouldBe model.numFeatures
+    back.useBigrams shouldBe model.useBigrams
+    val a = QualityModel.score(df, "text", model).select("quality_prob").as[Double].collect()
+    val b = QualityModel.score(df, "text", back).select("quality_prob").as[Double].collect()
+    a.zip(b).foreach { case (x, y) => x shouldBe y +- 1e-12 }
+    // driver-side scorer agrees with the distributed path
+    val one = QualityModel.score(Seq((1L, "insightful study")).toDF("id", "text"), "text", model)
+      .select("quality_prob").as[Double].head()
+    model.scoreTokens(Seq("insightful", "study")) shouldBe one +- 1e-9
+  }
+}
+
 class MultimodalSpec extends SparkSpec {
   import spark.implicits._
 
