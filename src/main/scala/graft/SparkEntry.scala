@@ -955,7 +955,8 @@ object SparkEntry {
       val docs = t(s, dir, "documents")
       val train = docs.filter(col("doc_id") % 2 === 0)
         .withColumn("label", (col("lang") === "en").cast("int"))
-      val model = graft.ops.QualityModel.train(train, "text", "label")
+      // maxIter trimmed: per-iteration job overhead dominates at gate scale
+      val model = graft.ops.QualityModel.train(train, "text", "label", maxIter = 30)
       graft.ops.QualityModel.score(docs.filter(col("doc_id") % 2 === 1), "text", model)
         .groupBy("lang")
         .agg(count(when(col("quality_prob") >= 0.5, 1)).as("pred_en"),
