@@ -243,6 +243,22 @@ object SparkEntry {
         .orderBy("o_orderkey")
     }),
 
+    "q_ktk_timetravel" -> ((s, dir) => {
+      // versioned metadata: v1 = orders with status O only; v2 deletes O and
+      // appends F. The as-of-v1 read must see EXACTLY the v1 content even
+      // though the latest commit replaced it (Delta/Iceberg-style snapshot).
+      val base = scratch(dir)
+      val orders = t(s, dir, "orders")
+      Ktk.store(s, base, "orders_tt", orders.filter(col("o_orderstatus") === "O"),
+        partitionOn = Seq("o_orderstatus"), overwrite = true)
+      Ktk.update(s, base, "orders_tt",
+        Some(orders.filter(col("o_orderstatus") === "F")),
+        deleteScope = Predicates.of(Seq(("o_orderstatus", "==", "O"))))
+      Ktk.readTableAsOf(s, base, "orders_tt", 1L,
+        columns = Seq("o_orderkey", "o_orderstatus", "o_totalprice"))
+        .orderBy("o_orderkey")
+    }),
+
     "q_ktk_dispatch" -> ((s, dir) => {
       // dispatch_by co-grouping: content equivalence after repartition
       val base = ensureLineitemDs(s, dir)
@@ -1590,6 +1606,10 @@ object SparkEntry {
       """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
         |WHERE o_orderstatus <> 'F' OR (o_orderstatus = 'F' AND o_totalprice > 100000.0)
         |ORDER BY 1""".stripMargin,
+
+    "q_ktk_timetravel" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |WHERE o_orderstatus = 'O' ORDER BY 1""".stripMargin,
 
     "q_ktk_dispatch" ->
       """SELECT l_returnflag, round(sum(l_quantity), 2) AS sum_qty

@@ -58,6 +58,10 @@ final case class DatasetMetadata(
 
   def schema: StructType = DataType.fromJson(schemaJson).asInstanceOf[StructType]
 
+  /** Commit version this blob was stored at (0 = legacy, pre-versioning). */
+  def version: Long =
+    metadata.get(DatasetMetadata.VersionKey).map(_.toLong).getOrElse(0L)
+
   def tableDir(base: String): String = s"$base/$uuid/table"
 
   def fileFor(base: String, label: String): String = s"${tableDir(base)}/$label"
@@ -110,8 +114,18 @@ final case class DatasetMetadata(
   def zoneColumns: Set[String] = zoneRegistry.keySet ++ inlineZoneMaps.keySet
 }
 
+/** A commit raced another writer and lost: the version it tried to claim
+  * was already written. Reload the dataset and re-apply the change.
+  */
+final class ConcurrentCommitException(msg: String) extends RuntimeException(msg)
+
 object DatasetMetadata {
   val Suffix = ".by-dataset-metadata.json"
+
+  /** Commit version of a blob, stamped into `metadata` on every store —
+    * the monotonically increasing snapshot id time travel addresses.
+    */
+  val VersionKey = "graft.version"
 
   private val mapper: ObjectMapper = {
     val m = new ObjectMapper()
@@ -128,26 +142,89 @@ object DatasetMetadata {
   private def hadoopConf(spark: SparkSession): Configuration =
     spark.sessionState.newHadoopConf()
 
-  /** Single-put commit (≙ store_dataset_from_partitions' one-blob write,
-    * io_components/write.py:232-241): serialize to a temp key then rename
-    * WITH OVERWRITE (`FileContext.rename(..., Options.Rename.OVERWRITE)`) —
-    * atomic on HDFS/local, so a concurrent reader observes either the
-    * previous or the next complete commit, never an absent dataset
-    * (SPEC.md §commit). On S3A a rename is copy+delete but the blob is still
-    * last-writer-wins, same guarantee as the reference.
+  def versionsDir(base: String, uuid: String): String = s"$base/$uuid/_versions"
+
+  def versionKey(base: String, uuid: String, v: Long): String =
+    f"${versionsDir(base, uuid)}/v$v%08d.json"
+
+  /** All snapshot versions present, ascending. O(#versions) flat listing —
+    * bounded by [[graft.ktk.Ktk.garbageCollect]]'s retention pruning.
     */
-  def store(spark: SparkSession, base: String, md: DatasetMetadata): Unit = {
-    val key = new Path(metadataKey(base, md.uuid))
+  def listVersions(spark: SparkSession, base: String, uuid: String): Seq[Long] = {
+    val dir = new Path(versionsDir(base, uuid))
     val filesystem = fs(spark, base)
+    if (!filesystem.exists(dir)) Nil
+    else filesystem.listStatus(dir).toSeq.map(_.getPath.getName)
+      .collect { case n if n.startsWith("v") && n.endsWith(".json") =>
+        n.stripPrefix("v").stripSuffix(".json").toLong }
+      .sorted
+  }
+
+  /** Load the immutable snapshot of one commit (time travel). */
+  def loadVersion(spark: SparkSession, base: String, uuid: String, v: Long): DatasetMetadata = {
+    val key = new Path(versionKey(base, uuid, v))
+    val filesystem = fs(spark, base)
+    if (!filesystem.exists(key))
+      throw new NoSuchElementException(
+        s"Dataset '$uuid' has no version $v at $key (vacuumed by gc, or never committed); " +
+          s"available: ${listVersions(spark, base, uuid).mkString(",")}")
+    val in = filesystem.open(key)
+    try mapper.readValue(in: java.io.InputStream, classOf[DatasetMetadata])
+    finally in.close()
+  }
+
+  /** Single-put commit (≙ store_dataset_from_partitions' one-blob write,
+    * io_components/write.py:232-241), versioned: first CLAIM the next
+    * version by writing the immutable snapshot blob
+    * `<uuid>/_versions/v<n>.json` with create-no-overwrite — on HDFS an
+    * atomic namespace claim, so of two racing writers that both loaded
+    * version n-1 exactly one creates v<n> and the loser gets
+    * [[ConcurrentCommitException]] (optimistic concurrency, the guarantee
+    * the reference's last-writer-wins blob never had). Then publish the
+    * LATEST pointer by rename WITH OVERWRITE
+    * (`FileContext.rename(..., Options.Rename.OVERWRITE)`) — atomic on
+    * HDFS/local, so a concurrent reader observes either the previous or the
+    * next complete commit, never an absent dataset (SPEC.md §commit). On
+    * S3A a rename is copy+delete but the pointer is still
+    * last-writer-wins; the version claim stays conditional.
+    *
+    * The parent version is taken from `metadata(VersionKey)` as stamped by
+    * the load the caller mutated — metadata never loaded (fresh store,
+    * legacy blob) falls back to the max snapshot on disk.
+    */
+  def store(spark: SparkSession, base: String, md0: DatasetMetadata): DatasetMetadata = {
+    val filesystem = fs(spark, base)
+    val parent = md0.metadata.get(VersionKey).map(_.toLong)
+      .getOrElse(listVersions(spark, base, md0.uuid).lastOption.getOrElse(0L))
+    val newV = parent + 1
+    val md = md0.copy(metadata = md0.metadata + (VersionKey -> newV.toString))
+    val key = new Path(metadataKey(base, md.uuid))
     val tmp = new Path(key.getParent, s".${key.getName}.tmp")
-    val out = filesystem.create(tmp, true)
     // pretty JSON is a debugging aid; past ~1k partitions the blob is
     // machine-read only and the indentation roughly doubles its size, so
     // large catalogs switch to compact form (same Jackson model both ways)
     val writer =
       if (md.partitions.size > 1000) mapper.writer()
       else mapper.writerWithDefaultPrettyPrinter()
-    try out.write(writer.writeValueAsBytes(md))
+    val bytes = writer.writeValueAsBytes(md)
+
+    // 1. the conditional version claim (immutable snapshot)
+    val vKey = new Path(versionKey(base, md.uuid, newV))
+    filesystem.mkdirs(vKey.getParent)
+    val vOut =
+      try filesystem.create(vKey, false)
+      catch { case e: java.io.IOException =>
+        if (filesystem.exists(vKey))
+          throw new ConcurrentCommitException(
+            s"Dataset '${md.uuid}' version $newV was committed concurrently " +
+              s"(this writer loaded version $parent); reload and retry")
+        else throw e
+      }
+    try vOut.write(bytes) finally vOut.close()
+
+    // 2. the latest pointer
+    val out = filesystem.create(tmp, true)
+    try out.write(bytes)
     finally out.close()
     try {
       val fc = org.apache.hadoop.fs.FileContext.getFileContext(
@@ -162,6 +239,7 @@ object DatasetMetadata {
         if (!filesystem.rename(tmp, key))
           throw new java.io.IOException(s"Failed to commit dataset metadata at $key")
     }
+    md
   }
 
   def load(spark: SparkSession, base: String, uuid: String): DatasetMetadata = {

@@ -352,7 +352,6 @@ object KartothekInterop {
     val zones = zoneMapFor.map(c => c -> s"$c.parquet").toMap
     val md = md0.copy(indices = indices, blooms = blooms, zones = zones)
     DatasetMetadata.store(spark, base, md)
-    md
   }
 
   // ----------------------------------------------------------------- write

@@ -149,7 +149,6 @@ object Ktk {
 
     val md = md0.copy(indices = indices, blooms = blooms, zones = zones)
     DatasetMetadata.store(spark, base, md)
-    md
   }
 
   /** Relative-file-path label → size, from a recursive listing. */
@@ -507,7 +506,6 @@ object Ktk {
     buildZoneSidecars(spark, base, md, columns, md.partitions.keys.toSeq.sorted)
     val md2 = md.copy(zones = md.zoneRegistry ++ columns.map(c => c -> s"$c.parquet"))
     DatasetMetadata.store(spark, base, md2)
-    md2
   }
 
   /** Register + build a Bloom sidecar on an EXISTING dataset (the bloom
@@ -519,7 +517,6 @@ object Ktk {
     buildBloom(spark, base, md, column, md.partitions.keys.toSeq.sorted)
     val md2 = md.copy(blooms = md.bloomRegistry + (column -> s"$column.parquet"))
     DatasetMetadata.store(spark, base, md2)
-    md2
   }
 
   /** xxhash64 of predicate literals AT THE COLUMN'S TYPE — must agree
@@ -972,7 +969,6 @@ object Ktk {
       newLabels = newLabels.toSeq, appendOnly = appendOnly)
 
     DatasetMetadata.store(spark, base, md1)
-    md1
   }
 
   /** Incremental index merge (≙ update_indices, io_components/write.py:
@@ -1076,8 +1072,7 @@ object Ktk {
       // still need it persisted.
       if (extraMetadata.isEmpty) return md
       val md0 = md.copy(metadata = md.metadata ++ extraMetadata)
-      DatasetMetadata.store(spark, base, md0)
-      return md0
+      return DatasetMetadata.store(spark, base, md0)
     }
 
     // Per-seq rewrites run CONCURRENTLY, each into its own staging dir under
@@ -1163,7 +1158,6 @@ object Ktk {
       survivingOld = finalPartitions.keys.toSeq.filterNot(newSeqOf.contains),
       newLabels = newLabels)
     DatasetMetadata.store(spark, base, md1)
-    md1
   }
 
   // ------------------------------------------------------- two-phase write
@@ -1204,7 +1198,6 @@ object Ktk {
       blooms = bloomFor.map(c => c -> s"$c.parquet").toMap,
       schemaJson = normalized.json, metadata = userMetadata)
     DatasetMetadata.store(spark, base, md)
-    md
   }
 
   /** Phase 2 (≙ write_single_partition, io/eager.py:717-773): write one
@@ -1319,7 +1312,6 @@ object Ktk {
       newLabels = newLabels)
 
     DatasetMetadata.store(spark, base, md1)
-    md1
   }
 
   /** Register + build a secondary index on an EXISTING dataset
@@ -1331,7 +1323,6 @@ object Ktk {
     buildIndex(spark, base, md, column)
     val md2 = md.copy(indices = md.indices + (column -> s"$column.parquet"))
     DatasetMetadata.store(spark, base, md2)
-    md2
   }
 
   /** Dataset-merge join (≙ merge_datasets_as_delayed,
@@ -1405,11 +1396,99 @@ object Ktk {
     * (≙ garbage_collect_dataset, io_components/gc.py:8-55).
     * Returns deleted keys.
     */
-  def garbageCollect(spark: SparkSession, base: String, uuid: String): Seq[String] = {
+  // ------------------------------------------------------- versioning
+
+  /** All commit versions still materialized as snapshots (ascending).
+    * Every commit writes an immutable `_versions/v<n>.json` snapshot next
+    * to the latest-pointer blob; [[garbageCollect]] prunes them by its
+    * retention setting.
+    */
+  def listVersions(spark: SparkSession, base: String, uuid: String): Seq[Long] =
+    DatasetMetadata.listVersions(spark, base, uuid)
+
+  /** Time travel: read the dataset EXACTLY as of commit `version` (Delta /
+    * Iceberg-style snapshot read). Works until [[garbageCollect]] reclaims
+    * the snapshot or its files — gc's `retainVersions` controls how much
+    * history survives maintenance.
+    *
+    * Secondary-index / bloom / zone pruning is intentionally disabled for
+    * as-of reads: sidecars are canonical files REWRITTEN IN PLACE by later
+    * commits, so the snapshot's registries would consult newer content and
+    * could prune files the snapshot still references. Partition-key pruning
+    * and parquet predicate pushdown (both derived from the snapshot itself)
+    * still apply — correctness first, the full sidecar stack on the latest
+    * version where it matters.
+    */
+  def readTableAsOf(
+      spark: SparkSession,
+      base: String,
+      uuid: String,
+      version: Long,
+      columns: Seq[String] = Nil,
+      predicates: Predicates = Predicates.empty): DataFrame = {
+    val snap = DatasetMetadata.loadVersion(spark, base, uuid, version)
+    val md = snap.copy(indices = Map.empty, blooms = Map.empty,
+      zones = Map.empty, zoneMaps = Map.empty)
+    readTableWithMetadata(spark, base, md, columns, predicates)
+  }
+
+  /** Restore the dataset to the CONTENT of `toVersion` as a NEW commit
+    * (roll-forward, ≙ Delta RESTORE — history is never rewritten, so
+    * concurrent readers and the optimistic-concurrency chain stay intact).
+    * Fails cleanly when the target's data files have already been
+    * garbage-collected. Sidecar registries are rebuilt against the restored
+    * partition set (the canonical sidecar files hold post-`toVersion`
+    * content and would be stale).
+    */
+  def rollback(spark: SparkSession, base: String, uuid: String, toVersion: Long): DatasetMetadata = {
+    val cur = DatasetMetadata.load(spark, base, uuid)
+    require(toVersion != cur.version,
+      s"dataset '$uuid' is already at version ${cur.version}")
+    val target = DatasetMetadata.loadVersion(spark, base, uuid, toVersion)
+    val fsys = DatasetMetadata.fs(spark, base)
+    val tableDir = cur.tableDir(base)
+    // only files absent from the CURRENT commit can have been gc'd —
+    // point lookups on exactly that difference, not an O(#files) walk
+    val missing = (target.partitions.keySet -- cur.partitions.keySet)
+      .filterNot(l => fsys.exists(new Path(s"$tableDir/$l")))
+    if (missing.nonEmpty)
+      throw new IllegalStateException(
+        s"cannot roll back '$uuid' to version $toVersion: ${missing.size} data " +
+          s"file(s) were garbage-collected (e.g. '${missing.head}'); " +
+          "run gc with retainVersions > 0 to keep history restorable")
+    val restored = target.copy(
+      indices = Map.empty, blooms = Map.empty, zones = Map.empty, zoneMaps = Map.empty,
+      metadata = target.metadata +
+        (DatasetMetadata.VersionKey -> cur.version.toString))
+    var out = DatasetMetadata.store(spark, base, restored)
+    target.indices.keys.toSeq.sorted.foreach(c => out = addIndex(spark, base, uuid, c))
+    target.bloomRegistry.keys.toSeq.sorted.foreach(c => out = addBloom(spark, base, uuid, c))
+    val zoneCols = (target.zoneRegistry.keySet ++ target.inlineZoneMaps.keySet).toSeq.sorted
+    if (zoneCols.nonEmpty) out = addZoneMaps(spark, base, uuid, zoneCols)
+    out
+  }
+
+  // ---------------------------------------------------------------- gc
+
+  /** Delete files no retained commit references (≙ garbage_collect,
+    * io/eager.py + Delta VACUUM). `retainVersions` = how many commits of
+    * history stay time-travelable: snapshots in
+    * `[current - retainVersions, current]` survive and PIN their data
+    * files; older snapshots are pruned. The default 0 keeps only the
+    * current commit — maximal reclamation, no history (exactly the
+    * reference's gc semantics).
+    */
+  def garbageCollect(spark: SparkSession, base: String, uuid: String,
+      retainVersions: Int = 0): Seq[String] = {
     val md = DatasetMetadata.load(spark, base, uuid)
     val fs = DatasetMetadata.fs(spark, base)
     val tableRoot = fs.makeQualified(new Path(md.tableDir(base)))
-    val referenced = md.partitions.keySet
+    val allVersions = DatasetMetadata.listVersions(spark, base, uuid)
+    val keepFrom = md.version - retainVersions
+    val (keptVersions, prunedVersions) = allVersions.partition(_ >= keepFrom)
+    val retainedMds = keptVersions.filter(_ != md.version)
+      .map(v => DatasetMetadata.loadVersion(spark, base, uuid, v))
+    val referenced = md.partitions.keySet ++ retainedMds.flatMap(_.partitions.keySet)
     val deleted = Seq.newBuilder[String]
     if (fs.exists(tableRoot)) {
       val prefix = tableRoot.toString + "/"
@@ -1455,6 +1534,12 @@ object Ktk {
         }
       }
     }
+    // snapshots older than the retention window — history beyond
+    // `retainVersions` stops being time-travelable here, by design
+    prunedVersions.foreach { v =>
+      val p = new Path(DatasetMetadata.versionKey(base, uuid, v))
+      if (fs.delete(p, false)) deleted += p.toString
+    }
     deleted.result()
   }
 
@@ -1474,7 +1559,12 @@ object Ktk {
       val it = fs.listFiles(srcRoot, true)
       while (it.hasNext) {
         val st = it.next()
-        if (st.isFile) files += st.getPath.toString.stripPrefix(prefix)
+        val rel = st.getPath.toString.stripPrefix(prefix)
+        // version snapshots embed the SOURCE uuid — the copy starts a fresh
+        // history (its commit below becomes v1) instead of inheriting blobs
+        // that name another dataset
+        if (st.isFile && !rel.startsWith("_versions/"))
+          files += rel
       }
     }
     val serializableConf = new org.apache.spark.util.SerializableConfiguration(
@@ -1494,9 +1584,11 @@ object Ktk {
             ()
           }
         }
-    val md2 = md.copy(uuid = toUuid)
+    // fresh version line for the copy: v1, not the source's counter
+    val md2 = md.copy(uuid = toUuid,
+      metadata = md.metadata - DatasetMetadata.VersionKey)
     DatasetMetadata.store(spark, base, md2)
-    md2
+    DatasetMetadata.load(spark, base, toUuid)
   }
 
   // ---------------------------------------------------------------- stats

@@ -17,6 +17,8 @@ import graft.ktk.{DatasetMetadata, Ktk}
   *   runMain graft.tools.Cli zonemap <base> <uuid> <column> [column ...]
   *   runMain graft.tools.Cli cleanup <base> <uuid>
   *   runMain graft.tools.Cli compact <base> <uuid>
+  *   runMain graft.tools.Cli versions <base> <uuid>
+  *   runMain graft.tools.Cli rollback <base> <uuid> <version>
   *   runMain graft.tools.Cli delete  <base> <uuid>
   *   runMain graft.tools.Cli list    <base>
   *   runMain graft.tools.Cli copy    <base> <uuid> <toUuid>
@@ -37,9 +39,18 @@ object Cli {
   def run(spark: SparkSession, args: Array[String]): Unit = args(0) match {
     case "list" =>
       DatasetMetadata.listDatasets(spark, args(1)).foreach(println)
+    case "versions" =>
+      val cur = DatasetMetadata.load(spark, args(1), args(2)).version
+      Ktk.listVersions(spark, args(1), args(2)).foreach { v =>
+        println(if (v == cur) s"v$v (current)" else s"v$v")
+      }
+    case "rollback" =>
+      val md = Ktk.rollback(spark, args(1), args(2), args(3).toLong)
+      println(s"restored content of v${args(3)} as new version v${md.version}")
     case "info" =>
       val md = DatasetMetadata.load(spark, args(1), args(2))
       println(s"uuid: ${md.uuid}")
+      println(s"version: ${md.version} (${Ktk.listVersions(spark, args(1), args(2)).size} snapshots)")
       println(s"partition keys: ${md.partitionKeys.mkString(", ")}")
       println(s"partitions: ${md.partitions.size}")
       println(s"indices: ${md.indices.keys.toSeq.sorted.mkString(", ")}")

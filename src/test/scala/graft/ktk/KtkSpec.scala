@@ -206,7 +206,12 @@ class KtkSpec extends SparkSpec {
     Ktk.update(spark, base, "ds", None, deleteScope = Predicates.of(Seq(("p", "==", 2))))
     val deleted = Ktk.garbageCollect(spark, base, "ds")
     deleted.nonEmpty shouldBe true
-    deleted.forall(_.contains("p=2")) shouldBe true
+    // data files reclaimed: only the delete-scoped partition; the remaining
+    // entries are pruned history snapshots (default retention keeps none)
+    val (snapshots, files) = deleted.partition(_.contains("/_versions/"))
+    files.nonEmpty shouldBe true
+    files.forall(_.contains("p=2")) shouldBe true
+    snapshots.foreach(_ should include(".json"))
     Ktk.readTable(spark, base, "ds").count() shouldBe 3
   }
 

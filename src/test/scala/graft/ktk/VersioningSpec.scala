@@ -1,0 +1,131 @@
+package graft.ktk
+
+import graft.SparkSpec
+import graft.core.Predicates
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+
+/** Versioned metadata: every commit writes an immutable snapshot
+  * (`<uuid>/_versions/v<n>.json`) claimed with create-no-overwrite —
+  * optimistic concurrency — plus the latest-pointer blob. Time travel
+  * reads any retained snapshot; rollback restores content roll-forward;
+  * gc's retention window decides how much history survives.
+  */
+class VersioningSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def df1 = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+  private def df2 = Seq((3L, "c")).toDF("k", "v")
+
+  test("commits bump versions and snapshots accumulate") {
+    val base = tmpDir("ver")
+    val md1 = Ktk.store(spark, base, "ds", df1)
+    DatasetMetadata.load(spark, base, "ds").version shouldBe 1L
+    Ktk.listVersions(spark, base, "ds") shouldBe Seq(1L)
+    Ktk.update(spark, base, "ds", Some(df2))
+    val cur = DatasetMetadata.load(spark, base, "ds")
+    cur.version shouldBe 2L
+    Ktk.listVersions(spark, base, "ds") shouldBe Seq(1L, 2L)
+    // the snapshot of v1 is exactly the blob v1 committed
+    val snap1 = DatasetMetadata.loadVersion(spark, base, "ds", 1L)
+    snap1.partitions.keySet should have size md1.partitions.size.toLong
+    snap1.version shouldBe 1L
+  }
+
+  test("time travel reads the dataset as of an old commit") {
+    val base = tmpDir("ver")
+    Ktk.store(spark, base, "ds", df1)
+    Ktk.update(spark, base, "ds", Some(df2))
+    Ktk.readTable(spark, base, "ds").count() shouldBe 3
+    val asOf1 = Ktk.readTableAsOf(spark, base, "ds", 1L)
+    asOf1.select("k").as[Long].collect().sorted.toSeq shouldBe Seq(1L, 2L)
+    // predicates still apply on as-of reads
+    Ktk.readTableAsOf(spark, base, "ds", 1L,
+      predicates = Predicates.of(Seq(("k", "==", 2)))).count() shouldBe 1
+    // as-of across a delete scope: the deleted partition is back in view
+    val base2 = tmpDir("ver")
+    Ktk.store(spark, base2, "pds", Seq((1L, "x"), (2L, "y")).toDF("k", "p"),
+      partitionOn = Seq("p"))
+    Ktk.update(spark, base2, "pds", None,
+      deleteScope = Predicates.of(Seq(("p", "==", "x"))))
+    Ktk.readTable(spark, base2, "pds").count() shouldBe 1
+    Ktk.readTableAsOf(spark, base2, "pds", 1L).count() shouldBe 2
+  }
+
+  test("stale writer gets ConcurrentCommitException, not silent clobber") {
+    val base = tmpDir("ver")
+    Ktk.store(spark, base, "ds", df1)
+    val stale = DatasetMetadata.load(spark, base, "ds") // v1
+    Ktk.update(spark, base, "ds", Some(df2)) // advances to v2
+    // the stale writer re-commits its loaded (v1) view → claims v2 → taken
+    val ex = intercept[ConcurrentCommitException] {
+      DatasetMetadata.store(spark, base, stale.copy(metadata =
+        stale.metadata + ("who" -> "stale")))
+    }
+    ex.getMessage should include("committed concurrently")
+    // the winner's commit is untouched
+    DatasetMetadata.load(spark, base, "ds").version shouldBe 2L
+  }
+
+  test("rollback restores old content as a new commit; history stays intact") {
+    val base = tmpDir("ver")
+    Ktk.store(spark, base, "ds", df1, secondaryIndices = Seq("v"))
+    Ktk.update(spark, base, "ds", Some(df2))
+    val restored = Ktk.rollback(spark, base, "ds", 1L)
+    restored.version should be >= 3L
+    Ktk.readTable(spark, base, "ds")
+      .select("k").as[Long].collect().sorted.toSeq shouldBe Seq(1L, 2L)
+    // the rolled-over commit is still visible as history
+    Ktk.readTableAsOf(spark, base, "ds", 2L).count() shouldBe 3
+    // the rebuilt index matches the restored content
+    Ktk.readTable(spark, base, "ds",
+      predicates = Predicates.of(Seq(("v", "==", "a")))).count() shouldBe 1
+    // rolling back to the current version is rejected
+    val cur = DatasetMetadata.load(spark, base, "ds").version
+    intercept[IllegalArgumentException] { Ktk.rollback(spark, base, "ds", cur) }
+  }
+
+  test("gc retention: retainVersions pins files of retained snapshots") {
+    val base = tmpDir("ver")
+    Ktk.store(spark, base, "ds", df1)
+    Ktk.update(spark, base, "ds", Some(df2))
+    Ktk.compact(spark, base, "ds") // v3: old files become unreferenced
+    // retainVersions=2 keeps v2's (and v1's) snapshot + files → time travel OK
+    Ktk.garbageCollect(spark, base, "ds", retainVersions = 2)
+    Ktk.listVersions(spark, base, "ds") shouldBe Seq(1L, 2L, 3L)
+    Ktk.readTableAsOf(spark, base, "ds", 2L).count() shouldBe 3
+    Ktk.readTableAsOf(spark, base, "ds", 1L).count() shouldBe 2
+    // default gc prunes history: snapshots gone, files reclaimed
+    Ktk.garbageCollect(spark, base, "ds")
+    Ktk.listVersions(spark, base, "ds") shouldBe
+      Seq(DatasetMetadata.load(spark, base, "ds").version)
+    intercept[NoSuchElementException] {
+      DatasetMetadata.loadVersion(spark, base, "ds", 1L)
+    }
+    // rollback to a vacuumed snapshot fails loudly
+    intercept[NoSuchElementException] {
+      Ktk.rollback(spark, base, "ds", DatasetMetadata.load(spark, base, "ds").version - 1)
+    }
+    // latest content unaffected by the vacuum
+    Ktk.readTable(spark, base, "ds").count() shouldBe 3
+  }
+
+  test("overwrite continues the version line; copy starts a fresh one") {
+    val base = tmpDir("ver")
+    Ktk.store(spark, base, "ds", df1)
+    Ktk.update(spark, base, "ds", Some(df2))
+    Ktk.store(spark, base, "ds", df1, overwrite = true)
+    DatasetMetadata.load(spark, base, "ds").version shouldBe 3L
+    // rolling back past the overwrite fails loudly: the overwrite replaced
+    // the table dir, so v2's files are gone even though its snapshot exists
+    intercept[IllegalStateException] { Ktk.rollback(spark, base, "ds", 2L) }
+    val copied = Ktk.copyDataset(spark, base, "ds", "ds2")
+    copied.version shouldBe 1L
+    Ktk.listVersions(spark, base, "ds2") shouldBe Seq(1L)
+    // no snapshot blobs of the source leaked into the copy
+    val fs = DatasetMetadata.fs(spark, base)
+    val vdir = new Path(DatasetMetadata.versionsDir(base, "ds2"))
+    fs.listStatus(vdir).map(_.getPath.getName).toSet shouldBe Set("v00000001.json")
+    Ktk.readTable(spark, base, "ds2").count() shouldBe 2
+  }
+}
