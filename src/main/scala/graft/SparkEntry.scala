@@ -980,6 +980,14 @@ object SparkEntry {
         .orderBy("lang")
     }),
 
+    "q_chunk_docs" -> ((s, dir) => {
+      // sliding-window chunking (context-window prep): 40-token windows with
+      // 8-token overlap, no redundant tail window
+      Sampling.chunkDocuments(t(s, dir, "documents"), "doc_id", "text",
+        maxTokens = 40, overlap = 8)
+        .orderBy("doc_id", "chunk_index")
+    }),
+
     "q_para_withindoc" -> ((s, dir) => {
       // intra-document paragraph dedup: doubling every doc's text plants a
       // within-doc repeat of every paragraph; repeats collapse to their
@@ -2280,6 +2288,21 @@ object SparkEntry {
         |SELECT doc_id, term, round(score, 6) AS score FROM s
         |QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) <= 3
         |ORDER BY doc_id, term""".stripMargin,
+
+    "q_chunk_docs" ->
+      """WITH tokc AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |st AS (
+        |  SELECT doc_id, toks,
+        |    unnest(list_filter(range(0, len(toks), 32),
+        |      s -> s = 0 OR s < len(toks) - 8)) AS s
+        |  FROM tokc WHERE len(toks) > 0)
+        |SELECT doc_id, CAST(s / 32 AS INT) AS chunk_index,
+        |  array_to_string(toks[s+1:s+40], ' ') AS text,
+        |  CAST(len(toks[s+1:s+40]) AS BIGINT) AS n_tokens
+        |FROM st ORDER BY doc_id, chunk_index""".stripMargin,
 
     "q_para_withindoc" ->
       """WITH d AS (

@@ -154,6 +154,39 @@ object Sampling {
     * partition by the prefix sum of the per-partition totals — a window
     * over #partitions rows, not #rows.
     */
+  /** Sliding-window document chunking — the context-window prep step before
+    * packing: each document becomes ⌈(n − overlap) / (maxTokens −
+    * overlap)⌉ chunks of at most `maxTokens` whitespace tokens, consecutive
+    * chunks sharing `overlap` tokens (the standard long-document treatment
+    * for pretraining and embedding pipelines). Chunk starts are 0, stride,
+    * 2·stride, … while `start == 0 || start < n − overlap`, so a trailing
+    * window that would only repeat already-covered tokens is never emitted.
+    * Returns (idCol, chunk_index, text, n_tokens); docs with zero tokens
+    * produce zero chunks.
+    *
+    * Scale shape: a pure projection + one explode — no shuffle, no UDF;
+    * the slice/filter lambdas are Catalyst higher-order functions.
+    */
+  def chunkDocuments(df: DataFrame, idCol: String, textCol: String,
+      maxTokens: Int, overlap: Int = 0): DataFrame = {
+    require(maxTokens > 0 && overlap >= 0 && overlap < maxTokens,
+      s"need 0 <= overlap < maxTokens, got maxTokens=$maxTokens overlap=$overlap")
+    val stride = maxTokens - overlap
+    val toks = filter(split(trim(col(s"`$textCol`")), "\\s+"), t => length(t) > 0)
+    val n = size(col("__toks"))
+    val starts = filter(
+      sequence(lit(0), greatest(n - 1, lit(0)), lit(stride)),
+      s => s === 0 || s < n - overlap)
+    df.select(col(s"`$idCol`"), toks.as("__toks"))
+      .filter(n > 0)
+      .select(col(s"`$idCol`"),
+        posexplode(transform(starts, s => slice(col("__toks"), s + lit(1), lit(maxTokens))))
+          .as(Seq("chunk_index", "__chunk")))
+      .select(col(s"`$idCol`"), col("chunk_index"),
+        concat_ws(" ", col("__chunk")).as(textCol),
+        size(col("__chunk")).cast("long").as("n_tokens"))
+  }
+
   def packChunks(df: DataFrame, orderCol: String, tokenCol: String,
                  budget: Long, numPartitions: Int = 0): DataFrame = {
     val parts = if (numPartitions > 0) numPartitions

@@ -243,6 +243,37 @@ class SamplingSpec extends SparkSpec {
     c.select("id", "shard_id").as[(Long, Long)].collect().toMap should not be mapA
   }
 
+  test("chunkDocuments: sliding windows with overlap, no redundant tail") {
+    val mk = (n: Int) => (1 to n).map(i => s"w$i").mkString(" ")
+    val df = Seq(
+      (1L, mk(10)), // max 8, overlap 4 → [1..8], [5..10]; NOT a third window
+      (2L, mk(3)),  // shorter than max → single whole chunk
+      (3L, mk(8)),  // exactly max → single chunk
+      (4L, "   "),  // zero tokens → zero chunks
+      (5L, mk(13))  // [1..8], [5..12], [9..13]
+    ).toDF("doc_id", "text")
+    val out = Sampling.chunkDocuments(df, "doc_id", "text", maxTokens = 8, overlap = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3)))
+    val byDoc = out.groupBy(_._1)
+    byDoc(1L).sortBy(_._2).map(_._3) shouldBe Seq(
+      (1 to 8).map("w" + _).mkString(" "), (5 to 10).map("w" + _).mkString(" "))
+    byDoc(2L).map(_._3).toSeq shouldBe Seq("w1 w2 w3")
+    byDoc(3L) should have length 1
+    byDoc.contains(4L) shouldBe false
+    byDoc(5L).sortBy(_._2).map(_._4).toSeq shouldBe Seq(8L, 8L, 5L)
+    // every token of every doc is covered by at least one chunk
+    byDoc(5L).flatMap(_._3.split(" ")).toSet shouldBe (1 to 13).map("w" + _).toSet
+    // plan: pure projection + explode, no shuffle, no UDF
+    val plan = Sampling.chunkDocuments(df, "doc_id", "text", 8, 4)
+      .queryExecution.executedPlan.toString
+    plan should not include "Exchange"
+    plan.toLowerCase should not include "scalaudf"
+    // overlap must be smaller than the window
+    intercept[IllegalArgumentException] {
+      Sampling.chunkDocuments(df, "doc_id", "text", 4, 4)
+    }
+  }
+
   test("packGreedy: bins respect the budget, every doc lands exactly once") {
     val df = ids.limit(500).withColumn("tok", col("id") % 400 + 50)
     val out = Sampling.packGreedy(df.repartition(4), "id", "tok", budget = 512)
