@@ -259,6 +259,24 @@ object SparkEntry {
         .orderBy("o_orderkey")
     }),
 
+    "q_ktk_evolve" -> ((s, dir) => {
+      // additive schema evolution: v1 holds status-O orders without o_note;
+      // the evolving commit appends F orders carrying the new column. Old
+      // files read the evolved column as null.
+      val base = scratch(dir)
+      val orders = t(s, dir, "orders")
+      Ktk.store(s, base, "orders_ev",
+        orders.filter(col("o_orderstatus") === "O")
+          .select("o_orderkey", "o_orderstatus", "o_totalprice"),
+        overwrite = true)
+      Ktk.update(s, base, "orders_ev",
+        Some(orders.filter(col("o_orderstatus") === "F")
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+            (col("o_orderkey") * 2).as("o_note"))),
+        evolveSchema = true)
+      Ktk.readTable(s, base, "orders_ev").orderBy("o_orderkey")
+    }),
+
     "q_ktk_dispatch" -> ((s, dir) => {
       // dispatch_by co-grouping: content equivalence after repartition
       val base = ensureLineitemDs(s, dir)
@@ -1618,6 +1636,11 @@ object SparkEntry {
     "q_ktk_timetravel" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
         |WHERE o_orderstatus = 'O' ORDER BY 1""".stripMargin,
+
+    "q_ktk_evolve" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice,
+        |  CASE WHEN o_orderstatus = 'F' THEN o_orderkey * 2 END AS o_note
+        |FROM orders WHERE o_orderstatus IN ('O', 'F') ORDER BY 1""".stripMargin,
 
     "q_ktk_dispatch" ->
       """SELECT l_returnflag, round(sum(l_quantity), 2) AS sum_qty

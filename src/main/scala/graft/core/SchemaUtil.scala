@@ -95,4 +95,33 @@ object SchemaUtil {
       }
     })
   }
+
+  /** ADDITIVE schema evolution (Delta `mergeSchema` semantics): columns the
+    * candidate adds are appended as nullable; columns it lacks stay (its
+    * files simply won't carry them — the explicit-schema read fills nulls);
+    * a TYPE change on a shared column is still rejected. Returns the
+    * evolved dataset schema.
+    */
+  def evolveSchemas(reference: StructType, candidate: StructType): StructType = {
+    val refMap = reference.fields.map(f => f.name -> f.dataType).toMap
+    val problems = candidate.fields.toSeq.flatMap { f =>
+      refMap.get(f.name) match {
+        case Some(r) if !typesCompatible(r, f.dataType) =>
+          Some(s"! column '${f.name}': reference ${r.simpleString} != candidate ${f.dataType.simpleString}")
+        case _ => None
+      }
+    }
+    if (problems.nonEmpty)
+      throw new IllegalArgumentException(
+        "Schema violation — evolution cannot change column types:\n" + problems.sorted.mkString("\n"))
+    val resolved = StructType(reference.fields.map { f =>
+      (f.dataType, refMap.get(f.name), candidate.fields.find(_.name == f.name).map(_.dataType)) match {
+        case (NullType, _, Some(other)) if other != NullType => f.copy(dataType = other)
+        case _ => f
+      }
+    })
+    val newFields = candidate.fields.filterNot(f => refMap.contains(f.name))
+      .map(_.copy(nullable = true))
+    StructType(resolved.fields ++ newFields)
+  }
 }

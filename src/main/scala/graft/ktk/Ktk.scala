@@ -902,7 +902,8 @@ object Ktk {
       deleteScope: Predicates = Predicates.empty,
       sortBy: Seq[String] = Nil,
       extraMetadata: Map[String, String] = Map.empty,
-      appendSidecars: Boolean = false): DatasetMetadata = {
+      appendSidecars: Boolean = false,
+      evolveSchema: Boolean = false): DatasetMetadata = {
 
     val md = migrateInlineZones(spark, base, DatasetMetadata.load(spark, base, uuid))
     val tableDir = md.tableDir(base)
@@ -923,10 +924,26 @@ object Ktk {
     //    into the commit, and commit cost is O(batch) regardless of how many
     //    historical files the dataset holds.
     val referenced = md.partitions.keySet
+    // additive evolution (Delta mergeSchema semantics): new columns append
+    // as nullable — old files simply lack them and the explicit-schema read
+    // fills nulls. Registered sidecar columns must still arrive: their
+    // incremental merges scan the new files for exactly those columns.
+    val evolvedSchema: StructType = newData match {
+      case Some(df) if evolveSchema =>
+        val cand = SchemaUtil.normalizeSchema(df.schema, md.partitionKeys)
+        val sidecarCols = md.indices.keySet ++ md.bloomRegistry.keySet ++ md.zoneColumns
+        val absent = sidecarCols.filterNot(cand.fieldNames.contains).toSeq.sorted
+        require(absent.isEmpty,
+          s"evolveSchema update must still carry the registered index/bloom/zone " +
+            s"column(s): ${absent.mkString(", ")}")
+        SchemaUtil.evolveSchemas(md.schema, cand)
+      case _ => md.schema
+    }
     val newFiles: Seq[(String, Long)] = newData match {
       case None => Nil
       case Some(df) =>
-        SchemaUtil.validateCompatible(md.schema, SchemaUtil.normalizeSchema(df.schema, md.partitionKeys))
+        if (!evolveSchema)
+          SchemaUtil.validateCompatible(md.schema, SchemaUtil.normalizeSchema(df.schema, md.partitionKeys))
         val normalized = SchemaUtil.normalize(df, md.partitionKeys)
         val sorted =
           if (sortBy.nonEmpty) normalized.sortWithinPartitions(sortBy.map(c => col(s"`$c`")): _*)
@@ -952,6 +969,7 @@ object Ktk {
     //    keep surviving labels of the old index, union the new files' pairs.
     //    Zone and bloom sidecars merge the same way.
     val md1 = md.copy(partitions = finalPartitions, partitionSeq = finalSeq,
+      schemaJson = evolvedSchema.json,
       metadata = md.metadata ++ extraMetadata)
     // append-only sidecar maintenance: only meaningful with no deletes —
     // after a delete the canonical merge must drop the dead labels' rows so

@@ -110,6 +110,39 @@ class VersioningSpec extends SparkSpec {
     Ktk.readTable(spark, base, "ds").count() shouldBe 3
   }
 
+  test("additive schema evolution: new columns appear, old files read as null") {
+    val base = tmpDir("ver")
+    Ktk.store(spark, base, "ds", Seq((1L, "a"), (2L, "b")).toDF("k", "v"))
+    // strict update still rejects the extra column
+    intercept[IllegalArgumentException] {
+      Ktk.update(spark, base, "ds",
+        Some(Seq((3L, "c", 30)).toDF("k", "v", "extra")))
+    }
+    Ktk.update(spark, base, "ds",
+      Some(Seq((3L, "c", 30L)).toDF("k", "v", "extra")), evolveSchema = true)
+    val out = Ktk.readTable(spark, base, "ds")
+    out.columns.toSeq shouldBe Seq("k", "v", "extra")
+    out.collect().map(r => r.getLong(0) ->
+      (if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap shouldBe
+      Map(1L -> None, 2L -> None, 3L -> Some(30L))
+    // a later batch MISSING the evolved column is fine too — its files
+    // just don't carry it
+    Ktk.update(spark, base, "ds",
+      Some(Seq((4L, "d")).toDF("k", "v")), evolveSchema = true)
+    Ktk.readTable(spark, base, "ds").filter(col("k") === 4L)
+      .select("extra").collect().head.isNullAt(0) shouldBe true
+    // type change on a shared column is rejected even when evolving
+    intercept[IllegalArgumentException] {
+      Ktk.update(spark, base, "ds",
+        Some(Seq((5L, 99L)).toDF("k", "v")), evolveSchema = true)
+    }
+    // predicates on the evolved column work (null-safe)
+    Ktk.readTable(spark, base, "ds",
+      predicates = Predicates.of(Seq(("extra", "==", 30)))).count() shouldBe 1
+    // time travel shows the pre-evolution schema
+    Ktk.readTableAsOf(spark, base, "ds", 1L).columns.toSeq shouldBe Seq("k", "v")
+  }
+
   test("overwrite continues the version line; copy starts a fresh one") {
     val base = tmpDir("ver")
     Ktk.store(spark, base, "ds", df1)
