@@ -249,8 +249,13 @@ object SparkEntry {
       // though the latest commit replaced it (Delta/Iceberg-style snapshot).
       val base = scratch(dir)
       val orders = t(s, dir, "orders")
+      // delete-first: an overwrite CONTINUES the version line, so on a
+      // reused scratch dir "as of version 1" would point at a vacuumed
+      // incarnation; a fresh dataset pins v1/v2 deterministically
+      if (graft.ktk.DatasetMetadata.exists(s, base, "orders_tt"))
+        graft.ktk.DatasetMetadata.delete(s, base, "orders_tt")
       Ktk.store(s, base, "orders_tt", orders.filter(col("o_orderstatus") === "O"),
-        partitionOn = Seq("o_orderstatus"), overwrite = true)
+        partitionOn = Seq("o_orderstatus"))
       Ktk.update(s, base, "orders_tt",
         Some(orders.filter(col("o_orderstatus") === "F")),
         deleteScope = Predicates.of(Seq(("o_orderstatus", "==", "O"))))
@@ -1390,6 +1395,34 @@ object SparkEntry {
     }),
 
     // -------------------------------------------------- streaming
+    "q_stream_feed" -> ((s, dir) => {
+      // commit-aware change feed: tail a graft dataset's commits as a
+      // structured stream. v1 = orders with status O; two live commits add
+      // F and P. The feed must deliver exactly the union, each commit once,
+      // with a compaction between commits re-emitting nothing.
+      val base = scratch(dir)
+      val name = "feed_" + Integer.toHexString(dir.hashCode)
+      val orders = t(s, dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      if (!graft.ktk.DatasetMetadata.exists(s, base, "orders_feed")) {
+        Ktk.store(s, base, "orders_feed", orders.filter(col("o_orderstatus") === "O"))
+        val q = s.readStream.format("graft").option("uuid", "orders_feed").load(base)
+          .writeStream.format("memory").queryName(name).start()
+        try {
+          q.processAllAvailable()
+          Ktk.update(s, base, "orders_feed",
+            Some(orders.filter(col("o_orderstatus") === "F")))
+          Ktk.compact(s, base, "orders_feed")
+          Ktk.update(s, base, "orders_feed",
+            Some(orders.filter(col("o_orderstatus") === "P")))
+          q.processAllAvailable()
+          s.table(name).orderBy("o_orderkey").write.mode("overwrite")
+            .parquet(s"$base/feed_result")
+        } finally q.stop()
+      }
+      s.read.parquet(s"$base/feed_result").orderBy("o_orderkey")
+    }),
+
     "q_stream_ingest" -> ((s, dir) => {
       // streaming ingest pipeline: quality gate → exact dedup-on-ingest
       // (bounded state keyed by an 8-byte content hash, watermark-evicted)
@@ -1888,6 +1921,10 @@ object SparkEntry {
         |SELECT user_id, start_ms, end_ms, n_events, sum_value FROM g
         |WHERE sid < (SELECT max(sid) FROM g g2 WHERE g2.user_id = g.user_id)
         |ORDER BY 1, 2""".stripMargin,
+
+    "q_stream_feed" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |WHERE o_orderstatus IN ('O', 'F', 'P') ORDER BY o_orderkey""".stripMargin,
 
     "q_stream_ingest" ->
       """SELECT count(DISTINCT lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS n_docs

@@ -127,6 +127,13 @@ object DatasetMetadata {
     */
   val VersionKey = "graft.version"
 
+  /** High watermark of assigned commit sequence numbers. Seq numbers drive
+    * overlay (keep-last) ordering and the change feed's rewrite detection;
+    * the watermark keeps them MONOTONE even when a delete scope removes the
+    * newest labels before an append.
+    */
+  val SeqHwmKey = "graft.seq_hwm"
+
   private val mapper: ObjectMapper = {
     val m = new ObjectMapper()
     m.registerModule(DefaultScalaModule)
@@ -245,11 +252,31 @@ object DatasetMetadata {
   def load(spark: SparkSession, base: String, uuid: String): DatasetMetadata = {
     val key = new Path(metadataKey(base, uuid))
     val filesystem = fs(spark, base)
-    if (!filesystem.exists(key))
-      throw new NoSuchElementException(s"Dataset '$uuid' not found at $key")
-    val in = filesystem.open(key)
-    try mapper.readValue(in: java.io.InputStream, classOf[DatasetMetadata])
-    finally in.close()
+    // Readers can race the latest-pointer swap: checksum filesystems
+    // (file://) rename data + crc non-atomically, and the non-FileContext
+    // fallback has a delete→rename window. A reader catching either moment
+    // sees a transient checksum error / absent key while the _versions dir
+    // proves the dataset exists — retry briefly before concluding anything.
+    var attempt = 0
+    while (true) {
+      val transientlyAbsent =
+        !filesystem.exists(key) && filesystem.exists(new Path(versionsDir(base, uuid)))
+      if (!filesystem.exists(key) && !transientlyAbsent)
+        throw new NoSuchElementException(s"Dataset '$uuid' not found at $key")
+      try {
+        if (transientlyAbsent) throw new java.io.IOException(s"mid-commit: $key absent")
+        val in = filesystem.open(key)
+        try return mapper.readValue(in: java.io.InputStream, classOf[DatasetMetadata])
+        finally in.close()
+      } catch {
+        case e: java.io.IOException if attempt < 5 =>
+          attempt += 1
+          Thread.sleep(20L * attempt)
+        case e: java.io.FileNotFoundException =>
+          throw new NoSuchElementException(s"Dataset '$uuid' not found at $key")
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   def exists(spark: SparkSession, base: String, uuid: String): Boolean =

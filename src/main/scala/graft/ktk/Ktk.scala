@@ -894,6 +894,17 @@ object Ktk {
     * Existing partition files are immutable — deletion is logical first
     * (metadata), physical cleanup via [[garbageCollect]].
     */
+  /** Next commit sequence number: strictly greater than every seq EVER
+    * assigned (high watermark), not merely than the currently referenced
+    * ones — a delete scope that removes the newest labels must not let a
+    * later append reuse their seq (overlay order and the change feed's
+    * rewrite detection both key on monotonicity).
+    */
+  private def nextMonotoneSeq(md: DatasetMetadata): Long = {
+    val hwm = md.metadata.get(DatasetMetadata.SeqHwmKey).map(_.toLong).getOrElse(0L)
+    math.max(hwm, (0L +: md.partitions.keys.toSeq.map(md.seqOf)).max) + 1L
+  }
+
   def update(
       spark: SparkSession,
       base: String,
@@ -960,7 +971,7 @@ object Ktk {
 
     val finalPartitions: Map[String, Long] =
       referenced.filterNot(deleted.contains).map(l => l -> md.sizeOf(l)).toMap ++ newFiles
-    val nextSeq = (0L +: md.partitions.keys.toSeq.map(md.seqOf)).max + 1L
+    val nextSeq = nextMonotoneSeq(md)
     val finalSeq = finalPartitions.keys.map { l =>
       l -> (if (newLabels.contains(l)) nextSeq else md.seqOf(l))
     }.toMap
@@ -970,7 +981,8 @@ object Ktk {
     //    Zone and bloom sidecars merge the same way.
     val md1 = md.copy(partitions = finalPartitions, partitionSeq = finalSeq,
       schemaJson = evolvedSchema.json,
-      metadata = md.metadata ++ extraMetadata)
+      metadata = md.metadata ++ extraMetadata +
+        (DatasetMetadata.SeqHwmKey -> nextSeq.toString))
     // append-only sidecar maintenance: only meaningful with no deletes —
     // after a delete the canonical merge must drop the dead labels' rows so
     // loadIndex/observedValues stay exact (queryLabels alone would tolerate
@@ -1287,11 +1299,12 @@ object Ktk {
     val keepOld = md.partitions.keySet -- deleted
     val finalPartitions: Map[String, Long] =
       keepOld.map(l => l -> md.sizeOf(l)).toMap ++ newSizes
-    val nextSeq = (0L +: md.partitions.keys.toSeq.map(md.seqOf)).max + 1L
+    val nextSeq = nextMonotoneSeq(md)
     val finalSeq = finalPartitions.keys.map { l =>
       l -> (if (newLabels.contains(l)) nextSeq else md.seqOf(l))
     }.toMap
-    val md1 = md.copy(partitions = finalPartitions, partitionSeq = finalSeq)
+    val md1 = md.copy(partitions = finalPartitions, partitionSeq = finalSeq,
+      metadata = md.metadata + (DatasetMetadata.SeqHwmKey -> nextSeq.toString))
 
     // indices: first commit builds from scratch; later commits merge
     // incrementally exactly like [[update]]

@@ -61,7 +61,7 @@ final class GraftTable(base: String, md: DatasetMetadata) extends Table with Sup
   override def name(): String = s"graft.${md.uuid}"
   override def schema(): StructType = md.schema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(base, md, options)
 }
@@ -159,11 +159,12 @@ final class GraftScanBuilder(base: String, md: DatasetMetadata, options: CaseIns
     val readDataSchema = StructType(requiredSchema.fields.filterNot(f => partCols(f.name)))
     val readPartitionSchema = StructType(requiredSchema.fields.filter(f => partCols(f.name)))
     val dataFilters = pushed.filter(_.references.forall(c => !partCols(c)))
-    val parquet = ParquetScan(
+    // ParquetScan subclass: identical batch behavior, plus toMicroBatchStream
+    // for `spark.readStream.format("graft")` (commit-version change feed)
+    val parquet = new GraftStreamableScan(
       spark, spark.sessionState.newHadoopConf(), fileIndex,
       dataSchema, readDataSchema, readPartitionSchema,
-      dataFilters, options,
-      None, Nil, Nil)
+      dataFilters, options, base, md.uuid, md.schema)
     // .option("keyed","true"): report KeyGroupedPartitioning over the hive
     // partition columns for storage-partitioned joins (see GraftKeyedScan).
     // Only meaningful when the projection retains every partition column

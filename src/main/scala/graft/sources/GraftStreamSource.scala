@@ -1,0 +1,170 @@
+package graft.sources
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.UnsafeProjection
+import org.apache.spark.sql.catalyst.types.DataTypeUtils
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.execution.datasources.InMemoryFileIndex
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan
+import org.apache.spark.sql.sources.Filter
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.ktk.DatasetMetadata
+
+/** Offset of the graft change feed = the dataset's COMMIT VERSION. Offset
+  * `v` means "every row committed up to and including snapshot v has been
+  * emitted" — exactly the monotone id the versioned commit protocol
+  * already maintains, so the source needs no bookkeeping of its own.
+  */
+final case class GraftOffset(version: Long) extends Offset {
+  override def json: String = version.toString
+}
+
+/** [[ParquetScan]] that can ALSO serve as a Structured Streaming source:
+  * batch reads are inherited unchanged (vectorized reader, footer pushdown,
+  * `inputFiles`, explain metadata), and `toMicroBatchStream` tails the
+  * dataset's commit log.
+  */
+final class GraftStreamableScan(
+    spark: SparkSession,
+    hadoopConf: Configuration,
+    fileIndex: InMemoryFileIndex,
+    dataSchema: StructType,
+    readDataSchema: StructType,
+    readPartitionSchema: StructType,
+    pushedFilters: Array[Filter],
+    options: CaseInsensitiveStringMap,
+    base: String,
+    uuid: String,
+    tableSchema: StructType)
+  extends ParquetScan(spark, hadoopConf, fileIndex, dataSchema, readDataSchema,
+    readPartitionSchema, pushedFilters, options, None, Nil, Nil) {
+
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new GraftMicroBatchStream(base, uuid, tableSchema, dataSchema, readDataSchema,
+      readPartitionSchema, options)
+}
+
+/** Commit-aware change feed over a graft dataset
+  * (`spark.readStream.format("graft").option("uuid", u).load(base)`):
+  * each micro-batch contains the rows APPENDED between two commit
+  * versions — uncommitted files are invisible (unlike a raw file stream,
+  * which tails the directory), replayed commits are naturally deduped by
+  * the offset, and restarts resume from the checkpointed version.
+  *
+  * Batch planning diffs two metadata SNAPSHOTS (O(catalog), no listing):
+  * labels present in `end` but not in `start`, restricted to commit
+  * sequence numbers NEWER than anything in `start` — which excludes
+  * compaction rewrites (compact preserves its victims' sequence numbers,
+  * so rewritten history never re-emits). Delete scopes don't emit either:
+  * this is an append feed, not full CDC.
+  *
+  * Snapshots must survive long enough for the stream to read them —
+  * `Ktk.garbageCollect(retainVersions = k)` keeps the last `k` commits
+  * travelable; the default gc (retain 0) breaks a lagging stream loudly
+  * (missing-snapshot error), never silently.
+  *
+  * `option("startingVersion", v)`: first batch starts AFTER commit v
+  * (default 0 = emit the whole current content first).
+  */
+final class GraftMicroBatchStream(
+    base: String,
+    uuid: String,
+    tableSchema: StructType,
+    dataSchema: StructType,
+    readDataSchema: StructType,
+    readPartitionSchema: StructType,
+    options: CaseInsensitiveStringMap)
+  extends MicroBatchStream {
+
+  private def spark: SparkSession = SparkSession.active
+
+  override def initialOffset(): Offset =
+    GraftOffset(options.getLong("startingVersion", 0L))
+
+  override def latestOffset(): Offset =
+    GraftOffset(DatasetMetadata.load(spark, base, uuid).version)
+
+  override def deserializeOffset(json: String): Offset = GraftOffset(json.toLong)
+
+  override def commit(end: Offset): Unit = ()
+
+  override def stop(): Unit = ()
+
+  private def scanFor(labels: Seq[String]): ParquetScan = {
+    val md = DatasetMetadata.load(spark, base, uuid)
+    val tableDir = md.tableDir(base)
+    val files = labels.map(l => new Path(s"$tableDir/$l"))
+    // FULL dataset schema for the index (partition-column typing); the
+    // scan itself splits data vs partition columns below
+    val index = new InMemoryFileIndex(
+      spark, files, Map("basePath" -> tableDir), Some(md.schema))
+    ParquetScan(spark, spark.sessionState.newHadoopConf(), index,
+      dataSchema, readDataSchema, readPartitionSchema,
+      Array.empty, options, None, Nil, Nil)
+  }
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val sv = start.asInstanceOf[GraftOffset].version
+    val ev = end.asInstanceOf[GraftOffset].version
+    if (ev <= sv) return Array.empty
+    val endMd = DatasetMetadata.loadVersion(spark, base, uuid, ev)
+    val (startLabels, startMaxSeq) =
+      if (sv == 0L) (Set.empty[String], Long.MinValue)
+      else {
+        val m = DatasetMetadata.loadVersion(spark, base, uuid, sv)
+        // seq high watermark: strictly newer-than-anything-ever-at-start;
+        // labels' own seqs cover pre-watermark legacy blobs
+        val hwm = m.metadata.get(DatasetMetadata.SeqHwmKey).map(_.toLong).getOrElse(0L)
+        (m.partitions.keySet,
+          math.max(hwm, (0L +: m.partitions.keys.toSeq.map(m.seqOf)).max))
+      }
+    val fresh = endMd.partitions.keys.toSeq.sorted
+      .filterNot(startLabels.contains)
+      // compaction rewrites carry their victims' seq — already emitted
+      .filter(l => endMd.seqOf(l) > startMaxSeq)
+    if (fresh.isEmpty) Array.empty
+    else scanFor(fresh).toBatch.planInputPartitions()
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    GraftStreamRowFactory(scanFor(Nil).toBatch.createReaderFactory(),
+      StructType(readDataSchema.fields ++ readPartitionSchema.fields), tableSchema)
+}
+
+/** Row-mode reader for the stream with output in TABLE-schema order.
+  *
+  * Two micro-batch-specific corrections over the raw parquet factory:
+  * (1) the streaming relation keeps the table's declared column order
+  * (partition keys first) while file readers emit (data ++ partition)
+  * columns — rows are projected into table order, or every downstream
+  * expression would silently read the wrong fields; (2) reads are
+  * row-based: MicroBatchScanExec drives the columnar path differently from
+  * BatchScanExec (the reader's batch vectors get recycled under it,
+  * surfacing as closed-vector NPEs on partitioned tables). The parquet
+  * reader still pushes filters and prunes columns; batch reads of the same
+  * table keep full vectorization.
+  */
+final case class GraftStreamRowFactory(
+    inner: PartitionReaderFactory, from: StructType, to: StructType)
+  extends PartitionReaderFactory {
+
+  override def supportColumnarReads(partition: InputPartition): Boolean = false
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val reader = inner.createReader(partition)
+    val fromAttrs = DataTypeUtils.toAttributes(from)
+    val exprs = to.fields.toSeq.map(f => fromAttrs(from.fieldIndex(f.name)))
+    val project = UnsafeProjection.create(exprs, fromAttrs)
+    new PartitionReader[InternalRow] {
+      override def next(): Boolean = reader.next()
+      override def get(): InternalRow = project(reader.get())
+      override def close(): Unit = reader.close()
+    }
+  }
+}

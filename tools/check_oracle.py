@@ -25,6 +25,10 @@ def main(sf_dir: str, out_dir: str) -> int:
     failures = []
     names = sorted(d for d in os.listdir(out_dir)
                    if os.path.isdir(os.path.join(out_dir, d)))
+    # a query that crashed in Verify leaves NO output dir — that must fail
+    # the rehearsal, not silently shrink the query count
+    for name in sorted(set(oracles) - set(names)):
+        failures.append((name, "query produced no output (failed in Verify?)"))
     for name in names:
         files = glob.glob(f"{out_dir}/{name}/*.parquet")
         if not files:
