@@ -952,6 +952,22 @@ object SparkEntry {
         .groupBy().agg(count(lit(1)).as("survivors"))
     }),
 
+    "q_semantic_dedup" -> ((s, dir) => {
+      // SemDeDup (Abbas et al. 2023): plant an exact copy of every 5th
+      // embedding under a new id; identical vectors share a k-means cell by
+      // construction, so every planted copy must fall to its original
+      // regardless of where the learned centroids land. Rows-only gate —
+      // the kept-id SET is the deterministic part; MLlib KMeans internals
+      // have no DuckDB twin.
+      val e = t(s, dir, "embeddings").select("vec_id", "embedding")
+      val planted = e.filter(col("vec_id") % 5 === 0)
+        .withColumn("vec_id", col("vec_id") + 1000000)
+      val out = Similarity.semanticDedup(e.unionByName(planted), "vec_id", "embedding",
+        dim = 64, minCosine = 0.999, nlist = 16)
+      out.groupBy().agg(count(lit(1)).as("survivors"),
+        sum(when(col("vec_id") >= 1000000, 1).otherwise(0)).as("planted_survivors"))
+    }),
+
     // -------------------------------------------------- pipeline: text
     "q_text_stats" -> ((s, dir) => {
       val d = t(s, dir, "documents")

@@ -174,9 +174,19 @@ object Similarity {
     val cb = corpus.repartition(corpus.sparkSession.sparkContext.defaultParallelism)
       .withColumn("__bucket", lshBucket(vecCol, dim, bits))
       .select(col(idCol).as("id"), col(vecCol).as("v"), col("__bucket"))
-    // within-bucket pair scoring as a bounded kernel: members sorted by id,
-    // cosine computed pairwise in one pass (O(maxBucket²·dim) worst case,
-    // bounded by the cap)
+    withinBucketPairs(cb, maxBucket, skippedBuckets).filter(col("cos") >= minCosine)
+  }
+
+  /** Within-bucket pair scoring as a bounded kernel over a (id, v, __bucket)
+    * frame: members sorted by id, cosine computed pairwise in one pass
+    * (O(maxBucket²·dim) worst case, bounded by the cap; oversized buckets
+    * are counted into the accumulator and skipped, never exploded). Only
+    * (bucket, id, vector) rows shuffle, once. Shared by the LSH-bucketed
+    * near-dup candidates and the k-means-celled [[semanticDedup]].
+    */
+  private def withinBucketPairs(
+      bucketed: DataFrame, maxBucket: Int,
+      skippedBuckets: Option[org.apache.spark.util.LongAccumulator]): DataFrame = {
     val pairUdf = udf { (members: Seq[org.apache.spark.sql.Row]) =>
       val arr = members.map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1).toArray
       val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
@@ -200,12 +210,72 @@ object Similarity {
       }
       out.toSeq
     }
-    cb.groupBy("__bucket")
+    bucketed.groupBy("__bucket")
       .agg(collect_list(struct(col("id"), col("v"))).as("members"))
       .filter(Dedup.bucketCapFilter(maxBucket, skippedBuckets)(size(col("members"))))
       .select(explode(pairUdf(col("members"))).as("p"))
       .select(col("p._1").as("id_a"), col("p._2").as("id_b"), col("p._3").as("cos"))
+  }
+
+  /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication"): k-means-cluster the
+    * embedding space, score pairs WITHIN each cluster, and drop all but one
+    * member of every semantic-duplicate group (cosine >= `minCosine`,
+    * transitive closure). Unlike [[embeddingDedupCC]]'s random-hyperplane
+    * buckets, the learned cells follow the corpus's actual density — the
+    * published method's key property — and the trained quantizer can be
+    * persisted and shared with IVF search ([[saveIvfIndex]]).
+    *
+    * Survivors: least id per duplicate component, or the argmax of
+    * `keepBest` when given (keep the highest-quality copy). Returns the
+    * surviving subset of `corpus`, all columns.
+    *
+    * Scale shape: the quantizer trains on a driver-side sample (tiny,
+    * reusable); cell assignment is a NARROW map over closure-broadcast
+    * centroids (no crossJoin, no shuffle); within-cell pairs run through
+    * the same capped collect-per-bucket kernel as every other quadratic
+    * here (oversized cells counted + skipped); the closure is GraphX
+    * Pregel, bounded by component diameter; keep-best is two map-side
+    * partial aggs + a semi-join — never a window over a hot component.
+    */
+  def semanticDedup(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      dim: Int, minCosine: Double, nlist: Int = 64, maxCell: Int = 1000,
+      keepBest: Option[Column] = None, seed: Long = 42L,
+      skippedCells: Option[org.apache.spark.util.LongAccumulator] = None): DataFrame = {
+    import org.apache.spark.graphx.{Edge, Graph}
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val ivf = buildIvfIndex(corpus, vecCol, nlist, seed)
+    val celled = corpus
+      .repartition(spark.sparkContext.defaultParallelism)
+      .withColumn("__bucket",
+        explode(nearestCidsUdf(ivf.centroids, 1)(col(s"`$vecCol`"))))
+      .select(col(s"`$idCol`").cast("long").as("id"), col(s"`$vecCol`").as("v"),
+        col("__bucket"))
+    val edges = withinBucketPairs(celled, maxCell, skippedCells)
       .filter(col("cos") >= minCosine)
+      .select("id_a", "id_b").rdd.map(r => Edge(r.getLong(0), r.getLong(1), 1))
+    val components = Graph.fromEdges(edges, defaultValue = 1)
+      .connectedComponents().vertices.toDF("id", "component")
+    keepBest match {
+      case None =>
+        val losers = components.filter(col("id") =!= col("component"))
+          .select(col("id").as(idCol))
+        corpus.join(losers, Seq(idCol), "left_anti")
+      case Some(score) =>
+        // argmax via partial agg: min over (-score, id) per component —
+        // one row per component per map partition shuffles
+        val scored = corpus.select(col(s"`$idCol`").cast("long").as("id"),
+          score.cast("double").as("__s"))
+        val winners = components.join(scored, "id")
+          .groupBy("component")
+          .agg(min(struct((-col("__s")).as("__neg"), col("id").as("__wid"))).as("__w"))
+          .select(col("__w.__wid").as("id"))
+        val losers = components.join(winners, Seq("id"), "left_anti")
+          .select(col("id").as(idCol))
+        corpus.join(losers, Seq(idCol), "left_anti")
+    }
   }
 
   /** Embedding near-dup FULL dedup with transitive closure: candidate edges

@@ -423,6 +423,37 @@ class SimilaritySpec extends SparkSpec {
     inBatch shouldBe solo
   }
 
+  test("semanticDedup keeps one member per semantic cluster; keepBest picks the scored copy") {
+    // two tight semantic groups + two isolated vectors; group members are
+    // near-identical directions (cosine > 0.999), the groups themselves and
+    // the isolates are far apart
+    def v(base: Array[Float], eps: Float) =
+      base.zipWithIndex.map { case (x, i) => if (i == 1) x + eps else x }
+    val gA = Array(1f, 0f, 0f, 0f)
+    val gB = Array(0f, 0f, 1f, 0f)
+    val vecs = Seq(
+      (10L, v(gA, 0f)), (11L, v(gA, 0.01f)), (12L, v(gA, 0.02f)),
+      (20L, v(gB, 0f)), (21L, v(gB, 0.01f)),
+      (30L, Array(0f, 1f, 0f, 0f)),
+      (40L, Array(0f, 0f, 0f, 1f))
+    ).toDF("vec_id", "embedding")
+    val acc = spark.sparkContext.longAccumulator("skippedCells")
+    val out = Similarity.semanticDedup(vecs, "vec_id", "embedding",
+      dim = 4, minCosine = 0.999, nlist = 4, maxCell = 100,
+      skippedCells = Some(acc))
+    out.select("vec_id").as[Long].collect().sorted.toSeq shouldBe
+      Seq(10L, 20L, 30L, 40L)
+    acc.value shouldBe 0L
+    // keep-best: highest score survives instead of least id
+    val score = when(col("vec_id") === 11L || col("vec_id") === 21L, 9.0).otherwise(1.0)
+    val best = Similarity.semanticDedup(vecs, "vec_id", "embedding",
+      dim = 4, minCosine = 0.999, nlist = 4, keepBest = Some(score))
+    best.select("vec_id").as[Long].collect().sorted.toSeq shouldBe
+      Seq(11L, 21L, 30L, 40L)
+    // all original columns survive
+    out.columns.toSeq shouldBe Seq("vec_id", "embedding")
+  }
+
   test("IVF index persists as a managed dataset and round-trips") {
     val base = tmpDir("ivf")
     val corpus = (0 until 40).map { i =>
