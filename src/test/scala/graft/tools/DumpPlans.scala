@@ -11,7 +11,8 @@ object DumpPlans {
     "q_ktk_pushdown", "q1_agg", "q_ann_ivf", "q_dedup_simhash",
     "q_range_join", "q_salted_join", "q_ktk_zonemap", "q_ann_pq",
     "q_spj_merge", "q_dsv2_agg", "q_bloom_semijoin", "q_dedup_paragraph",
-    "q_dedup_minhash", "q_ann_ivfpq", "q_dedup_keepbest")
+    "q_dedup_minhash", "q_ann_ivfpq", "q_dedup_keepbest",
+    "q_dedup_spans", "q_dup_ngrams", "q_tfidf")
 
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
