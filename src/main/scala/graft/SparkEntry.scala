@@ -1091,6 +1091,15 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q_bigram_lp" -> ((s, dir) => {
+      // interpolated bigram LM scoring (CCNet-family fluency filter) with an
+      // exact DuckDB twin
+      TextAnalysis.bigramLogProb(t(s, dir, "documents"), "doc_id", "text")
+        .select(col("doc_id"), col("n_bigrams"),
+          round(col("bigram_lp"), 6).as("bigram_lp"))
+        .orderBy("doc_id")
+    }),
+
     "q_text_redact" -> ((s, dir) => {
       // PII scrub over planted emails/IPs/phones; md5 of the cleaned text
       // pins the whole transformation byte-for-byte against the oracle
@@ -2142,6 +2151,30 @@ object SparkEntry {
         |f AS (SELECT id, least((dur // 1000) + 1, 16) AS nf FROM m)
         |SELECT id, CAST(nf AS INT) AS n_frames, (nf - 1) * 1000 AS last_ts_ms
         |FROM f ORDER BY id""".stripMargin,
+
+    "q_bigram_lp" ->
+      """WITH tokc AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |uni AS (
+        |  SELECT w, count(*) AS cu FROM (SELECT unnest(toks) AS w FROM tokc) GROUP BY w),
+        |nn AS (SELECT CAST(sum(cu) AS DOUBLE) AS n FROM uni),
+        |bi AS (
+        |  SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2 FROM (
+        |    SELECT doc_id, toks, unnest(range(1, len(toks))) AS i
+        |    FROM tokc WHERE len(toks) >= 2)),
+        |cb AS (SELECT w1, w2, count(*) AS cb FROM bi GROUP BY 1, 2),
+        |ctx AS (SELECT w1, sum(cb) AS ctx FROM cb GROUP BY 1),
+        |sc AS (
+        |  SELECT doc_id, count(*) AS n_bigrams,
+        |    avg(ln(0.9 * cb / ctx + 0.1 * cu / n)) AS lp
+        |  FROM bi JOIN cb USING (w1, w2) JOIN ctx USING (w1)
+        |    JOIN uni ON uni.w = bi.w2 CROSS JOIN nn
+        |  GROUP BY doc_id)
+        |SELECT t.doc_id, coalesce(n_bigrams, 0) AS n_bigrams,
+        |  round(coalesce(lp, 0.0), 6) AS bigram_lp
+        |FROM tokc t LEFT JOIN sc USING (doc_id) ORDER BY doc_id""".stripMargin,
 
     "q_text_unigram_lp" ->
       """WITH toks AS (

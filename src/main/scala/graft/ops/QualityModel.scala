@@ -61,7 +61,8 @@ object QualityModel {
       // zip_with pads the shorter side with null; dropping those keeps
       // exactly the n-1 full bigram windows, matching withBigrams
       filter(
-        zip_with(toks, slice(toks, 2, Int.MaxValue),
+        // slice length must stay clear of Int overflow (start+length)
+        zip_with(toks, slice(toks, lit(2), size(toks)),
           (a, b) => when(b.isNotNull, concat_ws("\u0001", a, b))),
         x => x.isNotNull))
   }

@@ -118,6 +118,58 @@ object TextAnalysis {
       .agg(avg(log10((col("cnt") + lit(1.0)) / lit(denom))).as("unigram_lp"))
   }
 
+  /** Interpolated bigram language-model score per document — the step up
+    * from [[unigramLogProb]] toward CCNet's LM-based filtering: documents
+    * are scored under `log(λ·P(w₂|w₁) + (1−λ)·P(w₂))` averaged over their
+    * bigrams, with both distributions estimated from the corpus itself
+    * (P(w₂|w₁) = c(w₁w₂)/c(w₁·), P(w₂) = c(w₂)/N). Word-salad and
+    * rare-sequence documents score low; fluent/boilerplate-like ones high.
+    * Returns (idCol, n_bigrams, bigram_lp); single-token docs report
+    * (0, 0.0).
+    *
+    * Scale shape: three shuffle joins keyed on words / word pairs — the
+    * model tables are vocabulary-sized and stay PARTITIONED, never
+    * broadcast (web-scale vocabularies are hundreds of millions of rows);
+    * hot words ("the") are linear per key and AQE-skew-splittable. All
+    * counts come from partial-aggregating groupBys; the only driver-side
+    * value is the scalar N.
+    */
+  def bigramLogProb(df: DataFrame, idCol: String, textCol: String,
+      lambda: Double = 0.9): DataFrame = {
+    val id = col(s"`$idCol`")
+    val toksArr = filter(split(lower(trim(col(s"`$textCol`"))), "\\s+"),
+      t => length(t) > 0)
+    val docs = df.select(id, toksArr.as("__toks"))
+    val toks = docs.select(id, explode(col("__toks")).as("__w"))
+    val uni = toks.groupBy("__w").agg(count(lit(1)).as("__cu"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = uni.agg(sum("__cu").cast("double")).collect()(0).getDouble(0)
+    val bi = docs.select(id,
+      explode(filter(
+        // slice length must stay clear of Int overflow (start+length); size()
+        // bounds it exactly
+        zip_with(col("__toks"), slice(col("__toks"), lit(2), size(col("__toks"))),
+          (a, b) => when(b.isNotNull, struct(a.as("__w1"), b.as("__w2")))),
+        x => x.isNotNull)).as("__b"))
+      .select(id, col("__b.__w1").as("__w1"), col("__b.__w2").as("__w2"))
+    val cb = bi.groupBy("__w1", "__w2").agg(count(lit(1)).as("__cb"))
+    // context totals c(w₁·) — identical to c(w₁) minus its doc-final
+    // occurrences; computed exactly from the bigram table
+    val ctx = cb.groupBy("__w1").agg(sum("__cb").as("__ctx"))
+    val scored = bi
+      .join(cb, Seq("__w1", "__w2"))
+      .join(ctx, Seq("__w1"))
+      .join(uni.withColumnRenamed("__w", "__w2"), Seq("__w2"))
+      .withColumn("__lp", log(
+        lit(lambda) * col("__cb") / col("__ctx") +
+          lit(1.0 - lambda) * col("__cu") / lit(n)))
+    val agg = scored.groupBy(id)
+      .agg(count(lit(1)).as("n_bigrams"), avg(col("__lp")).as("bigram_lp"))
+    df.select(id).join(agg, Seq(idCol), "left")
+      .select(id, coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("bigram_lp"), lit(0.0)).as("bigram_lp"))
+  }
+
   /** Corpus-wide word frequencies, top `k` (vocabulary extraction — the
     * stopword-list / tokenizer-audit primitive). Whitespace tokens,
     * lowercased; ties break on the word for determinism.

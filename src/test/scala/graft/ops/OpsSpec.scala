@@ -595,6 +595,27 @@ class TextAnalysisSpec extends SparkSpec {
     fps(0) shouldBe fps(1)
   }
 
+  test("bigramLogProb: fluent sequences outscore rare ones; hand-checked math") {
+    val df = Seq(
+      (1L, "a b"),       // bigram (a,b)
+      (2L, "a b"),       // repeated → (a,b) frequent
+      (3L, "a c"),       // rare continuation of a
+      (4L, "solo")       // no bigram
+    ).toDF("id", "text")
+    val out = TextAnalysis.bigramLogProb(df, "id", "text", lambda = 0.5)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // corpus: tokens a,b,a,b,a,c,solo → N=7, c(a)=3, c(b)=2, c(c)=1
+    // bigrams: (a,b)x2, (a,c)x1 → ctx(a)=3
+    val lpAB = math.log(0.5 * 2.0 / 3.0 + 0.5 * 2.0 / 7.0)
+    val lpAC = math.log(0.5 * 1.0 / 3.0 + 0.5 * 1.0 / 7.0)
+    out(1L)._1 shouldBe 1L
+    out(1L)._2 shouldBe lpAB +- 1e-12
+    out(2L)._2 shouldBe lpAB +- 1e-12
+    out(3L)._2 shouldBe lpAC +- 1e-12
+    out(4L) shouldBe ((0L, 0.0))
+    out(1L)._2 should be > out(3L)._2
+  }
+
   test("tfIdfKeywords ranks distinctive terms over common ones, ties lexicographic") {
     val df = Seq(
       (1L, "spark spark spark common"),
@@ -647,6 +668,20 @@ class QualityModelSpec extends SparkSpec {
     m(901L) should be < 0.2
     // filterByQuality keeps exactly the high side
     QualityModel.filterByQuality(df, "text", model, 0.5).count() shouldBe 100L
+  }
+
+  test("bigram features are alive: order-only classes separate") {
+    // identical unigram bags, opposite order — ONLY the bigram channel can
+    // separate these (regression: a slice-length overflow once silently
+    // emptied the bigram array)
+    val df = (0 until 80).map(i =>
+      (i.toLong, if (i % 2 == 0) "alpha beta alpha beta" else "beta alpha beta alpha",
+        i % 2)).toDF("id", "text", "label")
+    val model = QualityModel.train(df, "text", "label")
+    val acc = QualityModel.score(df, "text", model).filter(
+      (col("quality_prob") >= 0.5 && col("label") === 1) ||
+        (col("quality_prob") < 0.5 && col("label") === 0)).count()
+    acc shouldBe 80L
   }
 
   test("scoring is a narrow map — no shuffle — and the model round-trips") {
