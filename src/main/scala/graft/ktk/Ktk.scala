@@ -1427,6 +1427,33 @@ object Ktk {
     * (≙ garbage_collect_dataset, io_components/gc.py:8-55).
     * Returns deleted keys.
     */
+  /** Run `attempt` with optimistic-concurrency retries: on
+    * [[ConcurrentCommitException]] the closure re-runs (it must RELOAD and
+    * re-derive its commit — the helper only handles the retry loop and
+    * backoff). The pattern for multi-writer datasets:
+    * {{{
+    *   Ktk.withCommitRetries() { Ktk.update(spark, base, uuid, Some(batch)) }
+    * }}}
+    * Each update re-reads the current metadata internally, so re-running
+    * the call IS the correct conflict resolution for append-style commits;
+    * read-modify-write flows must re-derive their decision inside the
+    * closure.
+    */
+  def withCommitRetries[T](maxRetries: Int = 5, backoffMs: Long = 50L)(
+      attempt: => T): T = {
+    var tries = 0
+    while (true) {
+      try return attempt
+      catch {
+        case e: ConcurrentCommitException =>
+          tries += 1
+          if (tries > maxRetries) throw e
+          Thread.sleep(backoffMs * tries)
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   // ------------------------------------------------------- versioning
 
   /** All commit versions still materialized as snapshots (ascending).

@@ -18,6 +18,7 @@ import graft.ktk.{DatasetMetadata, Ktk}
   *   runMain graft.tools.Cli cleanup <base> <uuid>
   *   runMain graft.tools.Cli compact <base> <uuid>
   *   runMain graft.tools.Cli versions <base> <uuid>
+  *   runMain graft.tools.Cli asof     <base> <uuid> <version> ["<cond>"] [limit]
   *   runMain graft.tools.Cli rollback <base> <uuid> <version>
   *   runMain graft.tools.Cli delete  <base> <uuid>
   *   runMain graft.tools.Cli list    <base>
@@ -39,6 +40,12 @@ object Cli {
   def run(spark: SparkSession, args: Array[String]): Unit = args(0) match {
     case "list" =>
       DatasetMetadata.listDatasets(spark, args(1)).foreach(println)
+    case "asof" =>
+      // time travel: query the dataset as of a commit version
+      val preds = if (args.length > 4 && args(4).nonEmpty) Predicates.parse(args(4)) else Predicates.empty
+      val limit = if (args.length > 5) args(5).toInt else 20
+      Ktk.readTableAsOf(spark, args(1), args(2), args(3).toLong, predicates = preds)
+        .show(limit, truncate = false)
     case "versions" =>
       val cur = DatasetMetadata.load(spark, args(1), args(2)).version
       Ktk.listVersions(spark, args(1), args(2)).foreach { v =>

@@ -80,6 +80,8 @@ class KtkSurfaceSpec extends SparkSpec {
     DatasetMetadata.load(spark, base, "ds").bloomRegistry.keySet shouldBe Set("v")
     graft.tools.Cli.run(spark, Array("zonemap", base, "ds", "v"))
     DatasetMetadata.load(spark, base, "ds").zoneRegistry.keySet shouldBe Set("v")
+    graft.tools.Cli.run(spark, Array("versions", base, "ds"))
+    graft.tools.Cli.run(spark, Array("asof", base, "ds", "1", "p == 1"))
     graft.tools.Cli.run(spark, Array("copy", base, "ds", "ds2"))
     Ktk.readTable(spark, base, "ds2").count() shouldBe 2
     graft.tools.Cli.run(spark, Array("delete", base, "ds2"))

@@ -110,6 +110,39 @@ class VersioningSpec extends SparkSpec {
     Ktk.readTable(spark, base, "ds").count() shouldBe 3
   }
 
+  test("concurrent writers with retries: every append lands exactly once") {
+    val base = tmpDir("ver")
+    Ktk.store(spark, base, "ds", df1)
+    // 4 threads × 3 appends each race on the version claim; withCommitRetries
+    // re-runs the losing update (which reloads internally)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    val futures = (0 until 4).map { t =>
+      Future {
+        (0 until 3).foreach { i =>
+          val k = 100L + t * 10 + i
+          Ktk.withCommitRetries(maxRetries = 20) {
+            Ktk.update(spark, base, "ds",
+              Some(Seq((k, s"t$t-$i")).toDF("k", "v")))
+          }
+        }
+      }
+    }
+    try Await.result(Future.sequence(futures), 120.seconds)
+    finally pool.shutdown()
+    // no lost updates: 2 initial + 12 appended rows, all distinct keys
+    val keys = Ktk.readTable(spark, base, "ds").select("k").as[Long].collect()
+    keys.length shouldBe 14
+    keys.distinct.length shouldBe 14
+    // version advanced once per commit; snapshots form an unbroken chain
+    val md = DatasetMetadata.load(spark, base, "ds")
+    md.version shouldBe 13L
+    Ktk.listVersions(spark, base, "ds") shouldBe (1L to 13L)
+  }
+
   test("additive schema evolution: new columns appear, old files read as null") {
     val base = tmpDir("ver")
     Ktk.store(spark, base, "ds", Seq((1L, "a"), (2L, "b")).toDF("k", "v"))
