@@ -40,7 +40,17 @@ class GraftDataSource extends TableProvider with DataSourceRegister {
       throw new IllegalArgumentException("graft source requires .load(<base path>)"))
     val uuid = Option(options.get("uuid")).getOrElse(
       throw new IllegalArgumentException("graft source requires .option(\"uuid\", <dataset>)"))
-    (base, DatasetMetadata.load(SparkSession.active, base, uuid))
+    // time travel for the SQL surface: .option("asOfVersion", v) reads the
+    // snapshot; sidecar registries are dropped (canonical sidecars hold
+    // post-snapshot content — same rule as Ktk.readTableAsOf)
+    Option(options.get("asOfVersion")) match {
+      case Some(v) =>
+        val snap = DatasetMetadata.loadVersion(SparkSession.active, base, uuid, v.toLong)
+        (base, snap.copy(indices = Map.empty, blooms = Map.empty,
+          zones = Map.empty, zoneMaps = Map.empty))
+      case None =>
+        (base, DatasetMetadata.load(SparkSession.active, base, uuid))
+    }
   }
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = load(options)._2.schema
@@ -113,10 +123,19 @@ final class GraftScanBuilder(base: String, md: DatasetMetadata, options: CaseIns
     val labels = Ktk.queryLabels(spark, base, md, pruningPredicates)
     val tableDir = md.tableDir(base)
     val files = labels.map(l => new Path(s"$tableDir/$l"))
+    val partSchema = StructType(md.schema.fields.filter(f => md.partitionKeys.contains(f.name)))
     new InMemoryFileIndex(
       spark, files,
       Map("basePath" -> tableDir) ++ options.asScala,
-      Some(md.schema))
+      Some(md.schema)) {
+      // pruned-to-NOTHING: inference has no paths to derive the partition
+      // columns from, and FileScan requires every read partition column to
+      // exist in the index's partition schema — report it explicitly
+      override def partitionSpec(): org.apache.spark.sql.execution.datasources.PartitionSpec =
+        if (files.isEmpty)
+          org.apache.spark.sql.execution.datasources.PartitionSpec(partSchema, Seq.empty)
+        else super.partitionSpec()
+    }
   }
 
   /** Aggregate pushdown (MIN/MAX/COUNT, optional GROUP BY on partition

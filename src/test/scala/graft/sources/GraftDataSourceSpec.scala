@@ -61,4 +61,18 @@ class GraftDataSourceSpec extends SparkSpec {
     read(base).createOrReplaceTempView("ds_v")
     spark.sql("SELECT count(*) FROM ds_v WHERE p = 1").head.getLong(0) shouldBe 2
   }
+
+  test("asOfVersion option time-travels through the SQL surface") {
+    val base = setup()
+    Ktk.update(spark, base, "ds",
+      Some(Seq((9, "z", 90.0, "q")).toDF("p", "l", "target", "tag")))
+    read(base).count() shouldBe 5
+    val v1 = spark.read.format("graft").option("uuid", "ds")
+      .option("asOfVersion", 1L).load(base)
+    v1.count() shouldBe 4
+    v1.createOrReplaceTempView("ds_v1")
+    spark.sql("SELECT count(*) FROM ds_v1 WHERE p = 9").head.getLong(0) shouldBe 0
+    // partition pruning still applies on the snapshot
+    v1.filter(col("p") === 1).inputFiles.forall(_.contains("p=1")) shouldBe true
+  }
 }
