@@ -1001,6 +1001,20 @@ object SparkEntry {
         .orderBy("doc_id", "term")
     }),
 
+    "q_edit_distance" -> ((s, dir) => {
+      // final verification stage of the dedup ladder: exact edit distance
+      // on LSH-blocked candidate pairs (planted prefix mutations)
+      val d = t(s, dir, "documents").select("doc_id", "text")
+      val mutated = d.filter(col("doc_id") % 13 === 0)
+        .withColumn("doc_id", col("doc_id") + 1000000)
+        .withColumn("text", concat(lit("xq "), col("text")))
+      val u = d.unionByName(mutated)
+      val pairs = mutated.select((col("doc_id") - 1000000).as("id_a"), col("doc_id").as("id_b"))
+      Dedup.editDistancePairs(u, pairs, "doc_id", "text")
+        .withColumn("edit_similarity", round(col("edit_similarity"), 6))
+        .orderBy("id_a")
+    }),
+
     "q_quality_model" -> ((s, dir) => {
       // model-based quality filtering (GPT-3/CCNet classifier stage): train
       // a hashed-ngram logistic regression on a labeled split (label =
@@ -2151,6 +2165,13 @@ object SparkEntry {
         |f AS (SELECT id, least((dur // 1000) + 1, 16) AS nf FROM m)
         |SELECT id, CAST(nf AS INT) AS n_frames, (nf - 1) * 1000 AS last_ts_ms
         |FROM f ORDER BY id""".stripMargin,
+
+    "q_edit_distance" ->
+      """SELECT doc_id AS id_a, doc_id + 1000000 AS id_b,
+        |  CAST(levenshtein(text, 'xq ' || text) AS BIGINT) AS edit_distance,
+        |  round(1.0 - levenshtein(text, 'xq ' || text) /
+        |    greatest(length(text), length('xq ' || text)), 6) AS edit_similarity
+        |FROM documents WHERE doc_id % 13 = 0 ORDER BY id_a""".stripMargin,
 
     "q_bigram_lp" ->
       """WITH tokc AS (

@@ -710,4 +710,28 @@ object Dedup {
         (size(array_intersect(col("ga"), col("gb"))).cast("double") /
           size(array_union(col("ga"), col("gb")))).as("jaccard"))
   }
+
+  /** Character edit-distance verification for candidate pairs — the
+    * strictest (and most expensive) verifier in the LSH → verify ladder,
+    * run LAST on the few pairs that survive signature and Jaccard checks.
+    * Returns (id_a, id_b, edit_distance, edit_similarity) with similarity
+    * = 1 − dist/max(len); both via Spark's codegen'd `levenshtein`.
+    *
+    * Scale shape: two joins on uniform ids bring the two texts side by
+    * side; cost is O(|a|·|b|) per PAIR — which is exactly why this stage
+    * only ever sees the post-blocking candidate set, never the corpus
+    * cross product.
+    */
+  def editDistancePairs(df: DataFrame, pairs: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    val t = df.select(col(s"`$idCol`").as("id"), col(s"`$textCol`").as("t"))
+    pairs
+      .join(t.withColumnRenamed("id", "id_a").withColumnRenamed("t", "ta"), "id_a")
+      .join(t.withColumnRenamed("id", "id_b").withColumnRenamed("t", "tb"), "id_b")
+      .select(col("id_a"), col("id_b"),
+        levenshtein(col("ta"), col("tb")).cast("long").as("edit_distance"),
+        when(greatest(length(col("ta")), length(col("tb"))) === 0, lit(1.0))
+          .otherwise(lit(1.0) - levenshtein(col("ta"), col("tb")).cast("double") /
+            greatest(length(col("ta")), length(col("tb")))).as("edit_similarity"))
+  }
 }

@@ -134,6 +134,15 @@ class DedupSpec extends SparkSpec {
       Seq("a\n\nb", "c\n\nd", "e\n\nf")
   }
 
+  test("editDistancePairs verifies candidates with exact levenshtein") {
+    val pairs = Seq((0L, 3L), (0L, 1L)).toDF("id_a", "id_b")
+    val out = Dedup.editDistancePairs(docs, pairs, "doc_id", "text")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getDouble(3)))).toMap
+    out((0L, 3L)) shouldBe ((0L, 1.0))                 // exact dup
+    out((0L, 1L))._1 shouldBe 5L                       // green -> dark: 4 subs + 1 del
+    out((0L, 1L))._2 shouldBe (1.0 - 5.0 / doc.length) +- 1e-9
+  }
+
   test("ngramJaccard verification on candidate pairs") {
     val pairs = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("id_a", "id_b")
     val out = Dedup.ngramJaccard(docs, pairs, "doc_id", "text", n = 3)
