@@ -242,11 +242,19 @@ object Similarity {
       corpus: DataFrame, idCol: String, vecCol: String,
       dim: Int, minCosine: Double, nlist: Int = 64, maxCell: Int = 1000,
       keepBest: Option[Column] = None, seed: Long = 42L,
+      trainFraction: Double = 1.0,
       skippedCells: Option[org.apache.spark.util.LongAccumulator] = None): DataFrame = {
     import org.apache.spark.graphx.{Edge, Graph}
     val spark = corpus.sparkSession
     import spark.implicits._
-    val ivf = buildIvfIndex(corpus, vecCol, nlist, seed)
+    // quantizer training must NOT iterate over the full corpus at scale —
+    // set trainFraction so the k-means sample is ~10⁵–10⁶ rows (Bernoulli
+    // sample, deterministic under the seed); assignment below still covers
+    // every row. The default 1.0 is exact-small-data behavior.
+    val train =
+      if (trainFraction >= 1.0) corpus
+      else corpus.sample(withReplacement = false, trainFraction, seed)
+    val ivf = buildIvfIndex(train, vecCol, nlist, seed)
     val celled = corpus
       .repartition(spark.sparkContext.defaultParallelism)
       .withColumn("__bucket",
