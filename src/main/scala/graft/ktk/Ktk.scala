@@ -365,8 +365,10 @@ object Ktk {
     * column + file name, hash values with xxhash64 (the probe hashes literals
     * identically), group by file label, fold each group into a Bloom filter.
     * The shuffle moves (label, long) pairs — O(rows × 8 bytes), never values.
-    * Files with no non-null value get NO row; the probe keeps unknown labels,
-    * so absence is always conservative.
+    * Coverage is TOTAL over the scanned labels: a file with no non-null
+    * value gets a row with a NULL bloom (matches nothing — only
+    * non-null-matching literals ever reach the probe), so the probe can
+    * treat "not a survivor" as "safe to skip" and collect survivors only.
     */
   private def bloomPairs(
       spark: SparkSession, tableDir: String, column: String, labels: Seq[String]): DataFrame = {
@@ -375,22 +377,25 @@ object Ktk {
     spark.read.option("basePath", tableDir)
       .parquet(labels.map(l => s"$tableDir/$l"): _*)
       .select(col(s"`$column`").as("v"), fileLabel.as("label"))
-      .where(col("v").isNotNull)
-      .select(col("label"), xxhash64(col("v")).as("h"))
-      .as[(String, Long)]
+      .select(col("label"),
+        when(col("v").isNotNull, xxhash64(col("v"))).as("h"))
+      .as[(String, java.lang.Long)]
       .groupByKey(_._1)
       .mapGroups { (label, it) =>
         // two-pass per file: buffer the 8-byte hashes (bounded by rows per
         // file), then size the filter to the DISTINCT count — exact FPP
         // control per file instead of a one-size guess
         val hs = new java.util.HashSet[java.lang.Long]()
-        it.foreach { case (_, h) => hs.add(h); () }
-        val n = math.min(BloomMaxItems, math.max(BloomMinItems, hs.size.toLong))
-        val bf = org.apache.spark.util.sketch.BloomFilter.create(n, BloomFpp)
-        hs.forEach(h => bf.putLong(h))
-        val bos = new java.io.ByteArrayOutputStream()
-        bf.writeTo(bos)
-        (label, bos.toByteArray)
+        it.foreach { case (_, h) => if (h != null) { hs.add(h); () } }
+        if (hs.isEmpty) (label, null: Array[Byte])
+        else {
+          val n = math.min(BloomMaxItems, math.max(BloomMinItems, hs.size.toLong))
+          val bf = org.apache.spark.util.sketch.BloomFilter.create(n, BloomFpp)
+          hs.forEach(h => bf.putLong(h))
+          val bos = new java.io.ByteArrayOutputStream()
+          bf.writeTo(bos)
+          (label, bos.toByteArray)
+        }
       }
       .toDF("label", "bloom")
   }
@@ -536,6 +541,73 @@ object Ktk {
       else Some(rows.map(_.getLong(1)).toSeq)
     } catch { case scala.util.control.NonFatal(_) => None }
 
+  /** Distributed Bloom-sidecar probe for one Eq/In literal: each file's
+    * filter deserializes and evaluates ON EXECUTORS, the survivor filter is
+    * applied there too, and only labels that MIGHT match are collected —
+    * O(matching labels) driver transfer, the pruning factor itself, never
+    * O(#files). Sound to skip non-survivors because sidecar coverage is
+    * total: every committed label has a row ([[bloomPairs]] emits a null
+    * bloom for all-null files, which no non-null-matching literal — the only
+    * kind routed here — can match). Labels a LEGACY sidecar lacks are
+    * exactly the all-null files, so skipping them stays harmless.
+    * None = this literal cannot be probed safely (no sidecar file yet, or a
+    * literal failed to cast/hash) → no pruning.
+    */
+  private[graft] def bloomProbe(
+      spark: SparkSession, base: String, md: DatasetMetadata,
+      l: PredLiteral): Option[Set[String]] = {
+    val sidecar = new Path(md.bloomPath(base, l.col))
+    if (!DatasetMetadata.fs(spark, base).exists(sidecar)) None
+    else {
+      val dt = md.schema(l.col).dataType
+      val vals = l.op match {
+        case graft.core.PredOp.Eq => Seq(l.value)
+        case graft.core.PredOp.In => l.value.asInstanceOf[Seq[Any]].filter(_ != null)
+        case _                    => Seq.empty
+      }
+      // every literal must hash (a failed cast means we cannot mirror the
+      // build-side hashing for it) or the probe is unsound for this conj
+      literalHashes(spark, dt, vals) match {
+        case None => None
+        case Some(hashes) =>
+          val hs = hashes.toArray
+          val might = udf { (bytes: Array[Byte]) =>
+            bytes != null && {
+              val bf = org.apache.spark.util.sketch.BloomFilter
+                .readFrom(new java.io.ByteArrayInputStream(bytes))
+              hs.exists(bf.mightContainLong)
+            }
+          }
+          Some(spark.read.parquet(sidecar.toString)
+            .filter(might(col("bloom")))
+            .select(col("label")).collect().map(_.getString(0)).toSet)
+      }
+    }
+  }
+
+  /** Distributed zone-sidecar probe for one literal: the range check
+    * evaluates on executors, survivors only come back — O(matching labels),
+    * never O(#files). Null mn/mx = all-null or empty file, which no
+    * non-null-matching literal (the only kind routed here) can satisfy, so
+    * coverage is total over committed labels and skipping non-survivors is
+    * sound. None = no sidecar file → no pruning.
+    */
+  private[graft] def zoneProbe(
+      spark: SparkSession, base: String, md: DatasetMetadata,
+      l: PredLiteral): Option[Set[String]] = {
+    val sidecar = new Path(md.zonePath(base, l.col))
+    if (!DatasetMetadata.fs(spark, base).exists(sidecar)) None
+    else {
+      val check = zoneCheckFn(l)
+      val may = udf { (mn: String, mx: String) =>
+        mn != null && mx != null && check(mn, mx)
+      }
+      Some(spark.read.parquet(sidecar.toString)
+        .filter(may(col("mn"), col("mx")))
+        .select(col("label")).collect().map(_.getString(0)).toSet)
+    }
+  }
+
   // ---------------------------------------------------------------- indices
 
   /** Build one secondary index as a Parquet table `(value, partitions:
@@ -621,65 +693,18 @@ object Ktk {
           .collect().map(_.getString(0)).toSet
       })
 
-    // per (column, literal): probe the bloom sidecar DISTRIBUTED — the UDF
-    // deserializes each file's filter on executors and only (label, hit)
-    // pairs come back, O(#files) strings, never the bloom bytes in bulk.
-    // Returns (labels present in the sidecar, labels that might match);
-    // None = this literal cannot be probed safely → no pruning.
+    // per (column, literal): probe the bloom / zone sidecars DISTRIBUTED —
+    // see [[bloomProbe]] / [[zoneProbe]]. Only SURVIVING labels are
+    // collected, so driver transfer is O(matching) — the pruning factor
+    // itself — never O(#files).
     val bloomLookupCache =
-      scala.collection.mutable.Map.empty[(String, PredLiteral), Option[(Set[String], Set[String])]]
-    def bloomSets(l: PredLiteral): Option[(Set[String], Set[String])] =
-      bloomLookupCache.getOrElseUpdate((l.col, l), {
-        val sidecar = new Path(md.bloomPath(base, l.col))
-        if (!DatasetMetadata.fs(spark, base).exists(sidecar)) None
-        else {
-          val dt = md.schema(l.col).dataType
-          val vals = l.op match {
-            case graft.core.PredOp.Eq => Seq(l.value)
-            case graft.core.PredOp.In => l.value.asInstanceOf[Seq[Any]].filter(_ != null)
-            case _                    => Seq.empty
-          }
-          // every literal must hash (a failed cast means we cannot mirror the
-          // build-side hashing for it) or the probe is unsound for this conj
-          literalHashes(spark, dt, vals) match {
-            case None => None
-            case Some(hashes) =>
-              val hs = hashes.toArray
-              val might = udf { (bytes: Array[Byte]) =>
-                val bf = org.apache.spark.util.sketch.BloomFilter
-                  .readFrom(new java.io.ByteArrayInputStream(bytes))
-                hs.exists(bf.mightContainLong)
-              }
-              val rows = spark.read.parquet(sidecar.toString)
-                .select(col("label"), might(col("bloom")).as("m")).collect()
-              Some((rows.map(_.getString(0)).toSet,
-                rows.filter(_.getBoolean(1)).map(_.getString(0)).toSet))
-          }
-        }
-      })
-
-    // per (column, literal): probe the zone sidecar DISTRIBUTED — the range
-    // check evaluates on executors and only (label, may) pairs come back,
-    // O(#files) strings, never the range strings in bulk. Labels absent
-    // from the sidecar are kept by the caller; null mn/mx = all-null file,
-    // which no non-null-matching literal can satisfy.
+      scala.collection.mutable.Map.empty[(String, PredLiteral), Option[Set[String]]]
+    def bloomSets(l: PredLiteral): Option[Set[String]] =
+      bloomLookupCache.getOrElseUpdate((l.col, l), bloomProbe(spark, base, md, l))
     val zoneLookupCache =
-      scala.collection.mutable.Map.empty[(String, PredLiteral), Option[(Set[String], Set[String])]]
-    def zoneSets(l: PredLiteral): Option[(Set[String], Set[String])] =
-      zoneLookupCache.getOrElseUpdate((l.col, l), {
-        val sidecar = new Path(md.zonePath(base, l.col))
-        if (!DatasetMetadata.fs(spark, base).exists(sidecar)) None
-        else {
-          val check = zoneCheckFn(l)
-          val may = udf { (mn: String, mx: String) =>
-            mn != null && mx != null && check(mn, mx)
-          }
-          val rows = spark.read.parquet(sidecar.toString)
-            .select(col("label"), may(col("mn"), col("mx")).as("m")).collect()
-          Some((rows.map(_.getString(0)).toSet,
-            rows.filter(_.getBoolean(1)).map(_.getString(0)).toSet))
-        }
-      })
+      scala.collection.mutable.Map.empty[(String, PredLiteral), Option[Set[String]]]
+    def zoneSets(l: PredLiteral): Option[Set[String]] =
+      zoneLookupCache.getOrElseUpdate((l.col, l), zoneProbe(spark, base, md, l))
 
     val surviving = predicates.splitPerConjunction(partCols).zip(predicates.disjunction).flatMap {
       case ((partLits, _), conj) =>
@@ -715,9 +740,8 @@ object Ktk {
         val afterZone = zoneLits.foldLeft(afterIdx) { (labels, l) =>
           if (md.zoneRegistry.contains(l.col)) {
             zoneSets(l) match {
-              case None                      => labels
-              case Some((present, matching)) =>
-                labels.filter(lbl => !present.contains(lbl) || matching.contains(lbl))
+              case None           => labels
+              case Some(matching) => labels intersect matching
             }
           } else {
             val zm = md.inlineZoneMaps(l.col)
@@ -739,9 +763,8 @@ object Ktk {
             md.bloomRegistry.contains(l.col) && !partCols.contains(l.col) && indexPrunable(l))
         bloomLits.foldLeft(afterZone) { (labels, l) =>
           bloomSets(l) match {
-            case None                      => labels
-            case Some((present, matching)) =>
-              labels.filter(lbl => !present.contains(lbl) || matching.contains(lbl))
+            case None           => labels
+            case Some(matching) => labels intersect matching
           }
         }
     }.toSet

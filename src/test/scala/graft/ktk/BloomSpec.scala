@@ -144,6 +144,38 @@ class BloomSpec extends SparkSpec {
     deleted.exists(_.contains("blooms/id.parquet")) shouldBe true
   }
 
+  test("probe filters executor-side: collected labels == matching labels only") {
+    val base = tmpDir("bloom")
+    val md = Ktk.store(spark, base, "ds", sample, bloomFor = Seq("id"))
+    val lit = graft.core.PredLiteral("id", graft.core.PredOp.Eq, 701L)
+    val survivors = Ktk.bloomProbe(spark, base, md, lit).get
+    // the probe's return IS its driver transfer — it must be exactly the
+    // matching set, a strict subset of the catalog, never all labels
+    survivors should not be empty
+    survivors.size should be < md.partitions.size
+    survivors.subsetOf(md.partitions.keySet) shouldBe true
+    // and queryLabels (no partition keys/zones here) agrees with it exactly
+    Ktk.queryLabels(spark, base, md,
+      Predicates.of(Seq(("id", "==", 701L)))).toSet shouldBe survivors
+  }
+
+  test("all-null file carries a null bloom: covered, skipped, results exact") {
+    val base = tmpDir("bloom")
+    Ktk.store(spark, base, "ds", sample, partitionOn = Seq("p"), bloomFor = Seq("id"))
+    val extra = Seq((9, Option.empty[Long], "nullrow")).toDF("p", "id", "payload")
+    val md1 = Ktk.update(spark, base, "ds", Some(extra))
+    // coverage stays TOTAL: the all-null file has a row (null bloom)
+    val side = spark.read.parquet(md1.bloomPath(base, "id"))
+    side.select("label").as[String].collect().toSet shouldBe md1.partitions.keySet
+    side.filter(col("bloom").isNull).count() shouldBe 1
+    // a non-null equality skips the all-null file (it cannot match)...
+    val labels = Ktk.queryLabels(spark, base, md1, Predicates.of(Seq(("id", "==", 701L))))
+    labels.exists(_.startsWith("p=9/")) shouldBe false
+    // ...while a null literal is not probe-eligible and keeps every file
+    Ktk.readTable(spark, base, "ds", predicates = Predicates.of(Seq(("id", "==", null))))
+      .select("payload").as[String].collect().toSeq shouldBe Seq("nullrow")
+  }
+
   test("string-typed probe hashes match the build side") {
     val base = tmpDir("bloom")
     val md = Ktk.store(spark, base, "ds", sample, bloomFor = Seq("payload"))

@@ -72,4 +72,20 @@ class ZoneMapPropertySpec extends SparkSpec {
       check(Predicates.of(conj1, conj2), "disjunction")
     }
   }
+
+  test("zone probe collects only matching labels, executor-filtered") {
+    raw.count() // force dataset build
+    val md = DatasetMetadata.load(spark, base, "zp")
+    val lit = graft.core.PredLiteral("x", PredOp.Gt, 80.0)
+    val survivors = Ktk.zoneProbe(spark, base, md, lit).get
+    survivors.subsetOf(md.partitions.keySet) shouldBe true
+    // the driver receives exactly the files whose [min,max] admits x>80 —
+    // recompute the expectation from the materialized zone map
+    val zm = Ktk.zoneMapOf(spark, base, md, "x")
+    val expected = zm.collect {
+      case (l, s) if s.nonEmpty && s(1).toDouble > 80.0 => l
+    }.toSet
+    survivors shouldBe expected
+    expected.size should be < md.partitions.size
+  }
 }
