@@ -19,13 +19,38 @@ object Dedup {
 
   // ------------------------------------------------------------------ exact
 
-  /** Exact dedup: keep the row with the smallest `orderCol` per key group.
-    * One hash-agg shuffle; at 100 TB use `xxhash64(text)` as the group key
-    * so the shuffle moves 8-byte keys, not documents.
+  /** Exact dedup: keep ONE row per key group — the row with the smallest
+    * (orderCol, remaining columns) tuple, so ties on `orderCol` resolve
+    * deterministically instead of by task scheduling. At 100 TB use
+    * `xxhash64(text)` as the group key so the shuffle moves 8-byte keys,
+    * not documents.
+    *
+    * Scale shape: a single map-side-combining `groupBy(keys).agg(
+    * min(struct(payload)))` — a hot key (the case dedup exists for)
+    * contributes ONE row per map partition to the shuffle instead of
+    * funneling every duplicate through a single window-sort task. The
+    * window form survives only as a fallback for schemas with
+    * non-orderable columns (maps), where `min(struct(...))` cannot apply —
+    * a documented small-data path.
     */
   def exact(df: DataFrame, keys: Seq[String], orderCol: String): DataFrame = {
-    val w = Window.partitionBy(keys.map(c => col(s"`$c`")): _*).orderBy(col(s"`$orderCol`"))
-    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+    require(keys.nonEmpty, "exact dedup needs at least one key column")
+    val payload = orderCol +: df.columns.filterNot(c => keys.contains(c) || c == orderCol).toSeq
+    val orderable = df.schema.fields
+      .filter(f => payload.contains(f.name))
+      .forall(f => org.apache.spark.sql.catalyst.expressions.RowOrdering.isOrderable(f.dataType))
+    if (orderable) {
+      val won = df.groupBy(keys.map(c => col(s"`$c`")): _*)
+        .agg(min(struct(payload.map(c => col(s"`$c`")): _*)).as("__winner"))
+      won.select(df.columns.toSeq.map { c =>
+        if (keys.contains(c)) col(s"`$c`") else col("__winner").getField(c).as(c)
+      }: _*)
+    } else {
+      // small-data fallback: map-typed payloads are not orderable in a
+      // struct-min, so a hot key does funnel through one window task here
+      val w = Window.partitionBy(keys.map(c => col(s"`$c`")): _*).orderBy(col(s"`$orderCol`"))
+      df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+    }
   }
 
   /** Content-hash exact dedup: groups by xxhash64(normalized text) so only

@@ -142,6 +142,28 @@ class PlanShapeSpec extends SparkSpec {
       .foreach(_ should not include "text")
   }
 
+  test("generic exact dedup plans a struct-min agg, window only for non-orderable payloads") {
+    import graft.ops.Dedup
+    val df = (0 until 400).map(i => (i % 3, i.toLong, s"v$i")).toDF("k", "o", "v")
+    val plan = Dedup.exact(df, Seq("k"), "o").queryExecution.executedPlan.toString
+    plan should not include "Window"
+    plan should include("partial_min")
+    // map payloads cannot feed min(struct) — documented window fallback
+    val mapDf = df.withColumn("m", map(col("v"), col("o")))
+    Dedup.exact(mapDf, Seq("k"), "o").queryExecution.executedPlan
+      .toString should include("Window")
+  }
+
+  test("generic exact dedup survives a hot key: one group holding 90% of rows") {
+    import graft.ops.Dedup
+    // 9k rows share key 0 (the shape that kills a window sort), 1k spread
+    val rows = (0 until 10000).map(i => (if (i < 9000) 0 else i % 97 + 1, i.toLong, s"p$i"))
+    val out = Dedup.exact(rows.toDF("k", "o", "v"), Seq("k"), "o")
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    out.length shouldBe 98 // 1 winner for the hot key + 97 others
+    out.head shouldBe ((0, 0L)) // smallest orderCol wins deterministically
+  }
+
   test("minhash star-edges pick bucket reps via partial agg, never a per-bucket window") {
     import graft.ops.Dedup
     val docs = (0 until 100).map(i =>
