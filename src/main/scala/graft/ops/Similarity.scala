@@ -134,20 +134,29 @@ object Similarity {
   }
 
   /** Multi-probe LSH top-k: each query probes its own bucket PLUS every
-    * bucket at Hamming distance 1 in signature space (bits+1 probes) — the
+    * bucket within Hamming distance `probeRadius` in signature space — the
     * standard recall fix for single-probe LSH (cf. Lv et al., multi-probe
-    * LSH): a near neighbor differing in one hyperplane sign is still found.
+    * LSH): a near neighbor differing in one or two hyperplane signs is
+    * still found. Radius 1 costs bits+1 probes, radius 2 adds bits·(bits-1)/2
+    * more — still a tiny fraction of 2^bits buckets for real bit widths.
     * The corpus stays single-bucketed and never shuffles more than once;
-    * only the tiny query side fans out ×(bits+1) before the broadcast join.
+    * only the tiny query side fans out ×(#probes) before the broadcast join.
     */
   def lshTopKMultiProbe(
       corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String,
       queryIdCol: String, queryVecCol: String,
-      k: Int, dim: Int, bits: Int = 12): DataFrame = {
+      k: Int, dim: Int, bits: Int = 12, probeRadius: Int = 1): DataFrame = {
+    require(probeRadius >= 0 && probeRadius <= 2, "probeRadius must be 0, 1 or 2")
     val par = corpus.sparkSession.sparkContext.defaultParallelism
     val cb = corpus.repartition(par).withColumn("__bucket", lshBucket(vecCol, dim, bits))
-    val probes = udf { (b: Long) => b +: Array.tabulate(bits)(i => b ^ (1L << i)).toSeq }
+    val probes = udf { (b: Long) =>
+      val r1 = if (probeRadius >= 1) Array.tabulate(bits)(i => b ^ (1L << i)).toSeq else Nil
+      val r2 = if (probeRadius >= 2)
+        for { i <- 0 until bits; j <- (i + 1) until bits } yield b ^ (1L << i) ^ (1L << j)
+      else Nil
+      b +: (r1 ++ r2)
+    }
     val qb = queries.withColumn("__bucket",
       explode(probes(lshBucket(queryVecCol, dim, bits))))
     val joined = cb.join(qb.hint("broadcast"), Seq("__bucket"))
