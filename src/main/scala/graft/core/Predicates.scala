@@ -106,6 +106,19 @@ final case class Predicates(disjunction: Seq[Seq[PredLiteral]]) {
     else Some(Predicates(restricted))
   }
 
+  /** WHOLE-conjunction restriction for schema subsets: the predicate
+    * applies only if EVERY referenced column is in `cols`; a conjunction
+    * touching a missing column cannot be applied at all (it becomes
+    * vacuously true, which — inside a disjunction — makes the whole
+    * predicate true). Unlike [[restrictToColumns]], a mixed conjunction
+    * like `a==1 AND note=='x'` is never partially applied as `a==1`:
+    * that would silently filter tables lacking `note` on `a` alone.
+    * None = predicate not applicable (superset semantics: no filter).
+    */
+  def restrictIfFullyApplicable(cols: Set[String]): Option[Predicates] =
+    if (disjunction.isEmpty || disjunction.exists(_.exists(l => !cols.contains(l.col)))) None
+    else Some(this)
+
   /** Split each conjunction into (partition-key literals, payload literals)
     * ≙ metapartition.py:642-710. Only valid for a single-conjunction or when
     * the caller handles per-conjunction pruning (we prune per conjunction and

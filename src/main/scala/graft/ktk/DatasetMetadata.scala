@@ -187,8 +187,13 @@ object DatasetMetadata {
     * atomic namespace claim, so of two racing writers that both loaded
     * version n-1 exactly one creates v<n> and the loser gets
     * [[ConcurrentCommitException]] (optimistic concurrency, the guarantee
-    * the reference's last-writer-wins blob never had). Then publish the
-    * LATEST pointer by rename WITH OVERWRITE
+    * the reference's last-writer-wins blob never had). CAVEAT: the claim is
+    * only as atomic as the filesystem's create-no-overwrite — HDFS enforces
+    * it in the namespace, but local ChecksumFileSystem and S3A implement it
+    * as check-then-create, leaving a narrow window where two racers can
+    * both "win" v<n>; on such stores treat the guarantee as best-effort
+    * (S3 users should front commits with a conditional-put or locking
+    * layer). Then publish the LATEST pointer by rename WITH OVERWRITE
     * (`FileContext.rename(..., Options.Rename.OVERWRITE)`) — atomic on
     * HDFS/local, so a concurrent reader observes either the previous or the
     * next complete commit, never an absent dataset (SPEC.md §commit). On

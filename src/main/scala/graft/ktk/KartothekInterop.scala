@@ -271,21 +271,42 @@ object KartothekInterop {
   /** All tables of a multi-table dataset (the reference's deprecated-but-real
     * v4 form, io_components/metapartition.py:77-333 — one file per table per
     * partition, distinct schemas): table name → DataFrame, each read with the
-    * same pruning as [[readTable]]. Predicates apply per table only where
-    * their columns exist there (partition keys exist in every table's path);
-    * the reference's multi-table read has the same per-table semantics.
+    * same pruning as [[readTable]].
+    *
+    * Predicate semantics per table are WHOLE-conjunction: a predicate is
+    * applied to a table only when every referenced column exists there
+    * (partition keys exist in every table's path); otherwise it is dropped
+    * wholesale FOR THAT TABLE — superset semantics — never partially
+    * applied (filtering a `note`-less table by the `a==1` half of
+    * `a==1 AND note=='x'` would return a subset with no defined meaning).
+    *
+    * An EMPTY dataset (no partitions) yields schema-only empty frames,
+    * with table names and schemas recovered from each table dir's
+    * `_common_metadata` blob.
     */
   def readTables(
       spark: SparkSession,
       base: String,
       ds: V4Dataset,
-      predicates: Predicates = Predicates.empty): Map[String, DataFrame] =
+      predicates: Predicates = Predicates.empty): Map[String, DataFrame] = {
+    if (ds.partitions.isEmpty) {
+      val fs = DatasetMetadata.fs(spark, base)
+      val root = new Path(s"$base/${ds.uuid}")
+      if (!fs.exists(root)) return Map.empty
+      return fs.listStatus(root).toSeq.filter(_.isDirectory).flatMap { st =>
+        val cm = new Path(st.getPath, "_common_metadata")
+        if (fs.exists(cm))
+          Some(st.getPath.getName -> spark.read.parquet(cm.toString).limit(0))
+        else None
+      }.toMap
+    }
     ds.tables.map { t =>
       val sample = spark.read.parquet(s"$base/${ds.partitions.head._2(t)}")
       val cols = sample.columns.toSet ++ ds.partitionKeys
-      val applicable = predicates.restrictToColumns(cols).getOrElse(Predicates.empty)
+      val applicable = predicates.restrictIfFullyApplicable(cols).getOrElse(Predicates.empty)
       t -> readTable(spark, base, ds, t, predicates = applicable)
     }.toMap
+  }
 
   // ----------------------------------------------------------------- adopt
 
@@ -493,7 +514,7 @@ object KartothekInterop {
     * store_schema_metadata) — produced by writing a zero-row parquet with
     * that schema and renaming the part file into place.
     */
-  private def writeCommonMetadata(
+  private[graft] def writeCommonMetadata(
       spark: SparkSession, tableDir: String,
       schema: org.apache.spark.sql.types.StructType): Unit = {
     val tmp = s"$tableDir/._cm_tmp"

@@ -1537,10 +1537,20 @@ object Ktk {
         s"cannot roll back '$uuid' to version $toVersion: ${missing.size} data " +
           s"file(s) were garbage-collected (e.g. '${missing.head}'); " +
           "run gc with retainVersions > 0 to keep history restorable")
+    // the seq high watermark must survive the rollback: restoring the
+    // TARGET's (older) hwm would let a post-rollback commit reuse sequence
+    // numbers assigned between toVersion and now, and the change feed
+    // (which filters on seq > checkpoint) would silently drop those rows —
+    // carry forward the max over both commits' hwm and every assigned seq
+    val hwm = Seq(
+      target.metadata.get(DatasetMetadata.SeqHwmKey).map(_.toLong).getOrElse(0L),
+      cur.metadata.get(DatasetMetadata.SeqHwmKey).map(_.toLong).getOrElse(0L),
+      (0L +: cur.partitions.keys.toSeq.map(cur.seqOf)).max).max
     val restored = target.copy(
       indices = Map.empty, blooms = Map.empty, zones = Map.empty, zoneMaps = Map.empty,
       metadata = target.metadata +
-        (DatasetMetadata.VersionKey -> cur.version.toString))
+        (DatasetMetadata.VersionKey -> cur.version.toString) +
+        (DatasetMetadata.SeqHwmKey -> hwm.toString))
     var out = DatasetMetadata.store(spark, base, restored)
     target.indices.keys.toSeq.sorted.foreach(c => out = addIndex(spark, base, uuid, c))
     target.bloomRegistry.keys.toSeq.sorted.foreach(c => out = addBloom(spark, base, uuid, c))

@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.UnsafeProjection
 import org.apache.spark.sql.catalyst.types.DataTypeUtils
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
 import org.apache.spark.sql.execution.datasources.InMemoryFileIndex
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan
 import org.apache.spark.sql.sources.Filter
@@ -71,6 +71,12 @@ final class GraftStreamableScan(
   *
   * `option("startingVersion", v)`: first batch starts AFTER commit v
   * (default 0 = emit the whole current content first).
+  *
+  * `option("maxVersionsPerTrigger", n)`: ADMISSION CONTROL — each
+  * micro-batch advances at most `n` commit versions, so a stream
+  * recovering from lag (or starting against a long history) catches up in
+  * bounded batches instead of replaying the entire backlog in one
+  * unbounded batch. Default: all available.
   */
 final class GraftMicroBatchStream(
     base: String,
@@ -80,14 +86,53 @@ final class GraftMicroBatchStream(
     readDataSchema: StructType,
     readPartitionSchema: StructType,
     options: CaseInsensitiveStringMap)
-  extends MicroBatchStream {
+  extends MicroBatchStream with SupportsAdmissionControl {
 
   private def spark: SparkSession = SparkSession.active
+
+  private val maxVersionsPerTrigger: Option[Long] = {
+    val n = options.getLong("maxVersionsPerTrigger", 0L)
+    require(n >= 0L, "maxVersionsPerTrigger must be positive")
+    if (n == 0L) None else Some(n)
+  }
+
+  /** The change feed keys batches on commit versions; a dataset that has
+    * never made a versioned commit (legacy blob, version 0) would emit
+    * nothing FOREVER — fail loudly instead of polling in silence.
+    */
+  private def latestVersion(): Long = {
+    val md = DatasetMetadata.load(spark, base, uuid)
+    if (md.version == 0L)
+      throw new IllegalStateException(
+        s"dataset '$uuid' has no versioned commits (no '${DatasetMetadata.VersionKey}' " +
+          "key — it predates versioned commits), so the change feed has nothing to key " +
+          "batches on and this stream would emit nothing. Re-commit the dataset once " +
+          "(e.g. a no-op Ktk.update) to start a version line.")
+    md.version
+  }
 
   override def initialOffset(): Offset =
     GraftOffset(options.getLong("startingVersion", 0L))
 
   override def latestOffset(): Offset =
+    GraftOffset(latestVersion())
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  /** Admission-controlled latest offset: never admit more than
+    * `maxVersionsPerTrigger` commits past `start` into one batch.
+    */
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val latest = latestVersion()
+    val sv = start.asInstanceOf[GraftOffset].version
+    GraftOffset(maxVersionsPerTrigger match {
+      case Some(n) => math.min(latest, sv + n)
+      case None    => latest
+    })
+  }
+
+  /** True head of the stream for progress reporting, regardless of caps. */
+  override def reportLatestOffset(): Offset =
     GraftOffset(DatasetMetadata.load(spark, base, uuid).version)
 
   override def deserializeOffset(json: String): Offset = GraftOffset(json.toLong)

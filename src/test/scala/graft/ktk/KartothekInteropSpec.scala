@@ -106,20 +106,39 @@ class KartothekInteropSpec extends SparkSpec {
       KartothekInterop.adoptAsGraft(spark, base, ds)
     }
 
-    // readTables: all tables at once; predicates restrict per table — a
-    // literal on a column one table lacks must not null out that table
+    // readTables: all tables at once; predicates apply per table with
+    // WHOLE-conjunction semantics — a conjunction touching a column a
+    // table lacks is dropped wholesale for that table (superset), never
+    // partially applied as its surviving half
     val both = KartothekInterop.readTables(spark, base, ds,
       predicates = Predicates.of(Seq(("p", "==", 2), ("v", ">", 0.0))))
     both.keySet shouldBe Set("aux", "core")
     both("core").select("l").as[String].collect().toSeq shouldBe Seq("c")
-    // aux has no 'v' column: the conjunction restricts to its columns
-    // (reference filter_predicates_by_column semantics) → p==2 still applies
-    both("aux").select("n").as[Long].collect().toSeq shouldBe Seq(20L)
+    // aux has no 'v': the conjunction cannot apply AT ALL there — filtering
+    // by the p==2 half alone would be a subset with no defined meaning
+    both("aux").select("n").as[Long].collect().sorted.toSeq shouldBe Seq(10L, 20L)
     // p-only predicate applies to every table via the path keys
     val pruned = KartothekInterop.readTables(spark, base, ds,
       predicates = Predicates.of(Seq(("p", "==", 2))))
     pruned("aux").select("n").as[Long].collect().toSeq shouldBe Seq(20L)
     pruned("core").select("l").as[String].collect().toSeq shouldBe Seq("c")
+
+    // an EMPTY multi-table dataset yields schema-only empty frames from the
+    // _common_metadata blobs instead of throwing on partitions.head
+    val emptyUuid = "emptyds"
+    KartothekInterop.writeCommonMetadata(spark,
+      s"$base/$emptyUuid/core", Seq(("x", 1.0)).toDF("l", "v").schema)
+    writeJsonBlob(Map(
+      "dataset_metadata_version" -> 4L,
+      "dataset_uuid" -> emptyUuid,
+      "partition_keys" -> Seq[String](),
+      "partitions" -> Map[String, Any]()),
+      s"$base/$emptyUuid${KartothekInterop.JsonSuffix}")
+    val emptyDs = KartothekInterop.load(spark, base, emptyUuid)
+    val emptyTables = KartothekInterop.readTables(spark, base, emptyDs)
+    emptyTables.keySet shouldBe Set("core")
+    emptyTables("core").count() shouldBe 0
+    emptyTables("core").columns.toSet shouldBe Set("l", "v")
   }
 
   test("load + full read of a hand-built reference-layout dataset") {

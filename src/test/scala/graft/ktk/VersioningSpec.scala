@@ -85,6 +85,22 @@ class VersioningSpec extends SparkSpec {
     intercept[IllegalArgumentException] { Ktk.rollback(spark, base, "ds", cur) }
   }
 
+  test("rollback carries the seq watermark forward — later commits never reuse seqs") {
+    val base = tmpDir("ver")
+    Ktk.store(spark, base, "ds", df1)                                   // v1, seq 0
+    Ktk.update(spark, base, "ds", Some(Seq((3L, "c")).toDF("k", "v")))  // v2, seq 1
+    Ktk.update(spark, base, "ds", Some(Seq((4L, "d")).toDF("k", "v")))  // v3, seq 2
+    Ktk.rollback(spark, base, "ds", 2L)                                 // v4, v2's content
+    val rolled = DatasetMetadata.load(spark, base, "ds")
+    // the hwm reflects every seq EVER assigned, not v2's restored (older) one
+    rolled.metadata(DatasetMetadata.SeqHwmKey).toLong should be >= 2L
+    val md5 = Ktk.update(spark, base, "ds", Some(Seq((5L, "e")).toDF("k", "v")))
+    val fresh = (md5.partitions.keySet -- rolled.partitions.keySet).head
+    // v3's seq 2 is burned: a change feed checkpointed before the rollback
+    // (startMaxSeq = 2) must still see this append
+    md5.seqOf(fresh) should be >= 3L
+  }
+
   test("gc retention: retainVersions pins files of retained snapshots") {
     val base = tmpDir("ver")
     Ktk.store(spark, base, "ds", df1)

@@ -81,6 +81,53 @@ class GraftStreamSourceSpec extends SparkSpec {
     } finally q3.stop()
   }
 
+  test("maxVersionsPerTrigger bounds each batch while draining a backlog") {
+    val base = tmpDir("feed")
+    Ktk.store(spark, base, "ds", Seq((1L, "a"), (2L, "b")).toDF("k", "v"))
+    (3L to 5L).foreach(i =>
+      Ktk.update(spark, base, "ds", Some(Seq((i, s"v$i")).toDF("k", "v"))))
+    // 4 commits of backlog; admission control must slice them into
+    // one-version batches instead of one unbounded replay
+    val q = spark.readStream.format("graft").option("uuid", "ds")
+      .option("maxVersionsPerTrigger", 1L).load(base)
+      .writeStream.format("memory").queryName("feed_ac").start()
+    try {
+      q.processAllAvailable()
+      // nothing lost across the bounded batches
+      spark.table("feed_ac").select("k").as[Long].collect().sorted.toSeq shouldBe
+        (1L to 5L)
+      val batches = q.recentProgress.filter(_.numInputRows > 0)
+      batches.length should be >= 4 // one per admitted version
+      // the FIRST batch carried only version 1's content, not the backlog
+      batches.head.numInputRows shouldBe 2
+    } finally q.stop()
+  }
+
+  test("a dataset with no versioned commits fails the stream loudly, not silently") {
+    val base = tmpDir("feed")
+    Ktk.store(spark, base, "legacy", Seq((1L, "a")).toDF("k", "v"))
+    // forge a pre-versioning dataset: strip graft.version from the blob
+    // and drop the _versions dir, the exact state of a legacy catalog
+    val md = DatasetMetadata.load(spark, base, "legacy")
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    mapper.registerModule(com.fasterxml.jackson.module.scala.DefaultScalaModule)
+    val stripped = md.copy(metadata = md.metadata - DatasetMetadata.VersionKey)
+    val fs = DatasetMetadata.fs(spark, base)
+    val key = new org.apache.hadoop.fs.Path(DatasetMetadata.metadataKey(base, "legacy"))
+    val out = fs.create(key, true)
+    try out.write(mapper.writeValueAsBytes(stripped)) finally out.close()
+    fs.delete(new org.apache.hadoop.fs.Path(
+      DatasetMetadata.versionsDir(base, "legacy")), true)
+
+    val q = spark.readStream.format("graft").option("uuid", "legacy").load(base)
+      .writeStream.format("memory").queryName("feed_v0").start()
+    val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.processAllAvailable()
+    }
+    q.stop()
+    err.getMessage should include("predates versioned commits")
+  }
+
   test("partition columns and filters work on the feed") {
     val base = tmpDir("feed")
     Ktk.store(spark, base, "pds",
