@@ -219,7 +219,12 @@ object Predicates {
     */
   private[graft] def compare(a: Any, b: Any): Int = (a, b) match {
     case (x: String, y: String) => x.compareTo(y)
-    case (x, y: String) => x.toString.compareTo(y)
+    case (x, y: String) =>
+      // stringified stats (zone-map mn/mx) vs a typed literal: numeric when
+      // both sides parse — "701" must sit inside ["526","1044"], which a
+      // lexicographic compare gets wrong across digit widths
+      try java.lang.Double.compare(toDouble(x), y.toDouble)
+      catch { case _: NumberFormatException => x.toString.compareTo(y) }
     case (x: String, y) =>
       // partition values decoded from paths are strings; try numeric compare
       try java.lang.Double.compare(x.toDouble, toDouble(y))

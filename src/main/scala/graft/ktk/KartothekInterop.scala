@@ -359,18 +359,20 @@ object KartothekInterop {
       schemaJson = schema.json, metadata = ds.metadata)
     val indices = secondaryIndices.map { c =>
       require(schema.fieldNames.contains(c), s"index column '$c' not in schema")
-      Ktk.buildIndex(spark, base, md0, c)
-      c -> s"$c.parquet"
+      val name = Ktk.newSidecarName(c)
+      Ktk.buildIndex(spark, base, md0, c, name)
+      c -> name
     }.toMap
     val blooms = bloomFor.map { c =>
       require(schema.fieldNames.contains(c), s"bloom column '$c' not in schema")
-      Ktk.buildBloom(spark, base, md0, c, partitions.keys.toSeq.sorted)
-      c -> s"$c.parquet"
+      val name = Ktk.newSidecarName(c)
+      Ktk.buildBloom(spark, base, md0, c, partitions.keys.toSeq.sorted, name)
+      c -> name
     }.toMap
     zoneMapFor.foreach(c => require(schema.fieldNames.contains(c),
       s"zone-map column '$c' not in schema"))
-    Ktk.buildZoneSidecars(spark, base, md0, zoneMapFor, partitions.keys.toSeq.sorted)
-    val zones = zoneMapFor.map(c => c -> s"$c.parquet").toMap
+    val zones = zoneMapFor.map(c => c -> Ktk.newSidecarName(c)).toMap
+    Ktk.buildZoneSidecars(spark, base, md0, zones, partitions.keys.toSeq.sorted)
     val md = md0.copy(indices = indices, blooms = blooms, zones = zones)
     DatasetMetadata.store(spark, base, md)
   }

@@ -33,6 +33,43 @@ object Ktk {
 
   val IndexDirName = "indices"
 
+  /** Fresh VERSION-ADDRESSED sidecar file name: every canonical sidecar
+    * build/rewrite writes a NEW `<col>.<nonce>.parquet` dir and commits the
+    * name through the registry, never mutating a dir an older snapshot
+    * references — so each snapshot's registries stay trustworthy and
+    * [[readTableAsOf]] keeps full four-layer pruning. Old dirs survive
+    * until [[garbageCollect]] finds them referenced by no retained version.
+    * A nonce (not the commit version) keeps racing writers from colliding
+    * on the same target; orphans of lost races are unreferenced and gc'd.
+    */
+  private[ktk] def newSidecarName(col: String): String =
+    s"$col.${java.util.UUID.randomUUID.toString.replace("-", "").take(8)}.parquet"
+
+
+  /** Legacy fixed-name sidecars (`<col>.parquet`) are rewritten IN PLACE by
+    * later commits, so a snapshot cannot trust them; nonce-named ones are
+    * canonical-immutable (append-only commits only ever ADD rows for new
+    * labels, which every probe tolerates).
+    */
+  private def isVersionAddressed(col: String, name: String): Boolean =
+    name != s"$col.parquet"
+
+  /** Write a sidecar dir under a dot-prefixed temp name, then rename into
+    * place: in-flight sidecar builds stay INVISIBLE to a concurrent
+    * [[garbageCollect]] (which skips dot-prefixed names) until complete —
+    * the write itself never mutates an existing dir (version-addressing).
+    */
+  private def atomicSidecarWrite(spark: SparkSession, dir: String, name: String)(
+      write: String => Unit): Unit = {
+    val fsys = DatasetMetadata.fs(spark, dir)
+    val tmp = s"$dir/.$name.new"
+    write(tmp)
+    // FileSystem.rename signals failure by returning false, not throwing;
+    // fail loudly while tmp still holds the only copy
+    if (!fsys.rename(new Path(tmp), new Path(s"$dir/$name")))
+      throw new java.io.IOException(s"sidecar rename $tmp -> $dir/$name failed")
+  }
+
   // ---------------------------------------------------------------- store
 
   /** Write a DataFrame as a new dataset. Pipeline: normalize schema →
@@ -137,15 +174,17 @@ object Ktk {
 
     val indices = secondaryIndices.map { c =>
       require(schema.fieldNames.contains(c), s"index column '$c' not in schema")
-      buildIndex(spark, base, md0, c)
-      c -> s"$c.parquet"
+      val name = newSidecarName(c)
+      buildIndex(spark, base, md0, c, name)
+      c -> name
     }.toMap
     val blooms = bloomFor.map { c =>
-      buildBloom(spark, base, md0, c, partitions.keys.toSeq.sorted)
-      c -> s"$c.parquet"
+      val name = newSidecarName(c)
+      buildBloom(spark, base, md0, c, partitions.keys.toSeq.sorted, name)
+      c -> name
     }.toMap
-    buildZoneSidecars(spark, base, md0, zoneMapFor, partitions.keys.toSeq.sorted)
-    val zones = zoneMapFor.map(c => c -> s"$c.parquet").toMap
+    val zones = zoneMapFor.map(c => c -> newSidecarName(c)).toMap
+    buildZoneSidecars(spark, base, md0, zones, partitions.keys.toSeq.sorted)
 
     val md = md0.copy(indices = indices, blooms = blooms, zones = zones)
     DatasetMetadata.store(spark, base, md)
@@ -186,21 +225,24 @@ object Ktk {
     scan.groupBy(fileLabel.as("label")).agg(aggs.head, aggs.tail: _*)
   }
 
-  /** Build the zone sidecar `<uuid>/zones/<column>.parquet` for each column:
-    * one (label, mn, mx) row per data file (null mn/mx = all-null file).
+  /** Build a zone sidecar for each (column → target file name): one
+    * (label, mn, mx) row per data file (null mn/mx = all-null file).
     * All columns share one scan; the catalog blob carries only the registry
     * entry — same storage pattern as [[buildBloom]], so at millions of files
     * the commit object never inlines ranges and planning reads stay lazy.
     */
   private[ktk] def buildZoneSidecars(
-      spark: SparkSession, base: String, md: DatasetMetadata, cols: Seq[String],
-      labels: Seq[String]): Unit = {
-    if (cols.isEmpty || labels.isEmpty) return
+      spark: SparkSession, base: String, md: DatasetMetadata,
+      targets: Map[String, String], labels: Seq[String]): Unit = {
+    if (targets.isEmpty || labels.isEmpty) return
+    val cols = targets.keys.toSeq.sorted
     val agg = zoneAggRows(spark, md.tableDir(base), labels, cols)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try cols.foreach { c =>
-      agg.select(col("label"), col(s"__min_$c").as("mn"), col(s"__max_$c").as("mx"))
-        .write.mode(SaveMode.Overwrite).parquet(s"$base/${md.uuid}/zones/$c.parquet")
+      atomicSidecarWrite(spark, s"$base/${md.uuid}/zones", targets(c)) { tmp =>
+        agg.select(col("label"), col(s"__min_$c").as("mn"), col(s"__max_$c").as("mx"))
+          .write.mode(SaveMode.Overwrite).parquet(tmp)
+      }
     } finally { agg.unpersist(); () }
   }
 
@@ -208,26 +250,30 @@ object Ktk {
     * surviving labels keep their rows (semi-join, never an inlined In-list),
     * new labels get freshly aggregated ones; `appendOnly` is the streaming
     * fast path (new rows land as extra files, [[compact]] re-canonicalizes).
+    * Returns the zone registry to COMMIT: canonical rewrites land in a fresh
+    * version-addressed dir ([[sidecarName]]) so snapshots never see their
+    * sidecars mutate; appends keep the current name.
     */
   private def mergeZonesIncremental(
       spark: SparkSession, base: String, md: DatasetMetadata, tableDir: String,
       survivingOld: Seq[String], newLabels: Seq[String],
-      appendOnly: Boolean = false): Unit = {
+      appendOnly: Boolean = false): Map[String, String] = {
     import spark.implicits._
     val cols = md.zoneRegistry.keys.toSeq.sorted
-    if (cols.isEmpty) return
+    if (cols.isEmpty) return md.zoneRegistry
     val fsys = DatasetMetadata.fs(spark, base)
     val freshAgg =
       if (newLabels.isEmpty) None
       else Some(zoneAggRows(spark, tableDir, newLabels, cols)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    try cols.foreach { c =>
+    try cols.map { c =>
       val fsPath = md.zonePath(base, c)
       val oldExists = fsys.exists(new Path(fsPath))
       def fresh = freshAgg.get.select(col("label"),
         col(s"__min_$c").as("mn"), col(s"__max_$c").as("mx"))
       if (appendOnly && oldExists) {
         if (newLabels.nonEmpty) fresh.write.mode(SaveMode.Append).parquet(fsPath)
+        c -> md.zoneRegistry(c)
       } else if (oldExists || newLabels.nonEmpty) {
         val survivors = survivingOld.toDF("label")
         val rows = (oldExists, newLabels.nonEmpty) match {
@@ -240,14 +286,15 @@ object Ktk {
               .join(broadcast(survivors), Seq("label"), "left_semi")
           case (false, _) => fresh
         }
-        val tmpOut = s"$base/${md.uuid}/zones/.$c.parquet.new"
-        rows.coalesce(SidecarCanonicalFiles)
-          .write.mode(SaveMode.Overwrite).parquet(tmpOut)
-        fsys.delete(new Path(fsPath), true)
-        if (!fsys.rename(new Path(tmpOut), new Path(fsPath)))
-          throw new java.io.IOException(s"zone sidecar commit failed for '$c'")
-      }
-    } finally freshAgg.foreach { a => a.unpersist(); () }
+        val name = newSidecarName(c)
+        atomicSidecarWrite(spark, s"$base/${md.uuid}/zones", name) { tmp =>
+          rows.coalesce(SidecarCanonicalFiles)
+            .write.mode(SaveMode.Overwrite).parquet(tmp)
+        }
+        c -> name
+      } else c -> md.zoneRegistry(c)
+    }.toMap
+    finally freshAgg.foreach { a => a.unpersist(); () }
   }
 
   /** Migrate LEGACY inline zone maps (pre-sidecar blobs) to sidecar form:
@@ -260,16 +307,19 @@ object Ktk {
     val inline = md.inlineZoneMaps
     if (inline.isEmpty) return md
     import spark.implicits._
-    inline.toSeq.sortBy(_._1).foreach { case (c, perLabel) =>
+    val names = inline.toSeq.sortBy(_._1).map { case (c, perLabel) =>
       val rows = perLabel.toSeq.map { case (l, s) =>
         if (s == null || s.isEmpty) (l, null: String, null: String)
         else (l, s.head, s(1))
       }
-      rows.toDF("label", "mn", "mx").repartition(1)
-        .write.mode(SaveMode.Overwrite).parquet(s"$base/${md.uuid}/zones/$c.parquet")
+      val name = newSidecarName(c)
+      atomicSidecarWrite(spark, s"$base/${md.uuid}/zones", name) { tmp =>
+        rows.toDF("label", "mn", "mx").repartition(1)
+          .write.mode(SaveMode.Overwrite).parquet(tmp)
+      }
+      c -> name
     }
-    md.copy(zoneMaps = Map.empty,
-      zones = md.zoneRegistry ++ inline.keys.map(c => c -> s"$c.parquet"))
+    md.copy(zoneMaps = Map.empty, zones = md.zoneRegistry ++ names)
   }
 
   /** Materialized zone map of `column` — (label → [min, max] strings, empty
@@ -400,29 +450,32 @@ object Ktk {
       .toDF("label", "bloom")
   }
 
-  /** Build the Bloom sidecar `<uuid>/blooms/<column>.parquet` for the given
-    * labels (equality/IN data skipping on high-cardinality columns where zone
+  /** Build the Bloom sidecar `<uuid>/blooms/<target>` for the given labels
+    * (equality/IN data skipping on high-cardinality columns where zone
     * ranges are too wide and a secondary index too big; the catalog blob
     * carries only the registry entry, the sidecar stays on storage).
     */
   private[ktk] def buildBloom(
       spark: SparkSession, base: String, md: DatasetMetadata, column: String,
-      labels: Seq[String]): Unit =
-    bloomPairs(spark, md.tableDir(base), column, labels)
-      .write.mode(SaveMode.Overwrite)
-      .parquet(s"$base/${md.uuid}/blooms/$column.parquet")
+      labels: Seq[String], target: String): Unit =
+    atomicSidecarWrite(spark, s"$base/${md.uuid}/blooms", target) { tmp =>
+      bloomPairs(spark, md.tableDir(base), column, labels)
+        .write.mode(SaveMode.Overwrite).parquet(tmp)
+    }
 
   /** Incremental sidecar merge, same shape as [[mergeIndicesIncremental]]:
     * surviving labels keep their bloom rows (semi-join, never an inlined
-    * In-list), new labels get freshly built ones.
+    * In-list), new labels get freshly built ones. Returns the bloom
+    * registry to COMMIT — canonical rewrites go to a fresh
+    * version-addressed dir, appends keep the current name.
     */
   private def mergeBloomsIncremental(
       spark: SparkSession, base: String, md: DatasetMetadata, tableDir: String,
       survivingOld: Seq[String], newLabels: Seq[String],
-      appendOnly: Boolean = false): Unit = {
+      appendOnly: Boolean = false): Map[String, String] = {
     import spark.implicits._
     val fsys = DatasetMetadata.fs(spark, base)
-    md.bloomRegistry.keys.foreach { c =>
+    md.bloomRegistry.keys.toSeq.sorted.map { c =>
       val fsPath = md.bloomPath(base, c)
       val oldExists = fsys.exists(new Path(fsPath))
       if (appendOnly && oldExists) {
@@ -431,6 +484,7 @@ object Ktk {
         if (newLabels.nonEmpty)
           bloomPairs(spark, tableDir, c, newLabels)
             .write.mode(SaveMode.Append).parquet(fsPath)
+        c -> md.bloomRegistry(c)
       } else if (oldExists || newLabels.nonEmpty) {
         val survivors = survivingOld.toDF("label")
         def fresh = bloomPairs(spark, tableDir, c, newLabels)
@@ -444,17 +498,14 @@ object Ktk {
               .join(broadcast(survivors), Seq("label"), "left_semi")
           case (false, _) => fresh
         }
-        val tmpOut = s"$base/${md.uuid}/blooms/.$c.parquet.new"
-        rows.coalesce(SidecarCanonicalFiles)
-          .write.mode(SaveMode.Overwrite).parquet(tmpOut)
-        fsys.delete(new Path(fsPath), true)
-        // FileSystem.rename signals failure by returning false, not throwing;
-        // fail loudly while tmpOut still holds the only copy.
-        if (!fsys.rename(new Path(tmpOut), new Path(fsPath)))
-          throw new java.io.IOException(
-            s"sidecar rename $tmpOut -> $fsPath failed")
-      }
-    }
+        val name = newSidecarName(c)
+        atomicSidecarWrite(spark, s"$base/${md.uuid}/blooms", name) { tmp =>
+          rows.coalesce(SidecarCanonicalFiles)
+            .write.mode(SaveMode.Overwrite).parquet(tmp)
+        }
+        c -> name
+      } else c -> md.bloomRegistry(c)
+    }.toMap
   }
 
   /** Highest parquet-fragment count across all registered sidecars (index /
@@ -488,14 +539,19 @@ object Ktk {
   def canonicalizeSidecars(spark: SparkSession, base: String, uuid: String): Unit = {
     val md0 = DatasetMetadata.load(spark, base, uuid)
     val md = migrateInlineZones(spark, base, md0)
-    // a migration changed the registry — persist it, or gc against the old
-    // blob would reap the freshly written (unregistered) zone sidecars
-    if (md ne md0) DatasetMetadata.store(spark, base, md)
     val tableDir = md.tableDir(base)
     val live = md.partitions.keys.toSeq.sorted
-    mergeIndicesIncremental(spark, base, md, tableDir, survivingOld = live, newLabels = Nil)
-    mergeBloomsIncremental(spark, base, md, tableDir, survivingOld = live, newLabels = Nil)
-    mergeZonesIncremental(spark, base, md, tableDir, survivingOld = live, newLabels = Nil)
+    val idx = mergeIndicesIncremental(spark, base, md, tableDir, survivingOld = live, newLabels = Nil)
+    val blm = mergeBloomsIncremental(spark, base, md, tableDir, survivingOld = live, newLabels = Nil)
+    val zon = mergeZonesIncremental(spark, base, md, tableDir, survivingOld = live, newLabels = Nil)
+    // canonical rewrites landed in fresh version-addressed dirs — the
+    // registries naming them (plus any inline-zone migration) must COMMIT;
+    // one put covers all. No-op canonicalizations commit nothing.
+    if (idx != md.indices || blm != md.bloomRegistry || zon != md.zoneRegistry || (md ne md0)) {
+      DatasetMetadata.store(spark, base,
+        md.copy(indices = idx, blooms = blm, zones = zon))
+      ()
+    }
   }
 
   /** Register + compute zone maps on an EXISTING dataset (retrofit analog of
@@ -508,8 +564,9 @@ object Ktk {
     val md = migrateInlineZones(spark, base, DatasetMetadata.load(spark, base, uuid))
     columns.foreach(c => require(md.schema.fieldNames.contains(c),
       s"zone-map column '$c' not in schema"))
-    buildZoneSidecars(spark, base, md, columns, md.partitions.keys.toSeq.sorted)
-    val md2 = md.copy(zones = md.zoneRegistry ++ columns.map(c => c -> s"$c.parquet"))
+    val targets = columns.map(c => c -> newSidecarName(c)).toMap
+    buildZoneSidecars(spark, base, md, targets, md.partitions.keys.toSeq.sorted)
+    val md2 = md.copy(zones = md.zoneRegistry ++ targets)
     DatasetMetadata.store(spark, base, md2)
   }
 
@@ -519,8 +576,9 @@ object Ktk {
   def addBloom(spark: SparkSession, base: String, uuid: String, column: String): DatasetMetadata = {
     val md = DatasetMetadata.load(spark, base, uuid)
     require(md.schema.fieldNames.contains(column), s"bloom column '$column' not in schema")
-    buildBloom(spark, base, md, column, md.partitions.keys.toSeq.sorted)
-    val md2 = md.copy(blooms = md.bloomRegistry + (column -> s"$column.parquet"))
+    val name = newSidecarName(column)
+    buildBloom(spark, base, md, column, md.partitions.keys.toSeq.sorted, name)
+    val md2 = md.copy(blooms = md.bloomRegistry + (column -> name))
     DatasetMetadata.store(spark, base, md2)
   }
 
@@ -614,15 +672,17 @@ object Ktk {
     * array<string>)` — the Spark-native form of ExplicitSecondaryIndex
     * storage (core/index.py:899-955). One shuffle agg over only the indexed
     * column + file name; Parquet column pruning keeps the scan narrow.
+    * Writes to `target` under the index dir (version-addressed by callers).
     */
-  def buildIndex(spark: SparkSession, base: String, md: DatasetMetadata, column: String): Unit = {
+  def buildIndex(spark: SparkSession, base: String, md: DatasetMetadata, column: String,
+      target: String): Unit = {
     val tableDir = md.tableDir(base)
     val df = spark.read.option("basePath", tableDir).parquet(
       md.partitions.keys.toSeq.sorted.map(l => s"$tableDir/$l"): _*)
     val labeled = df.select(col(s"`$column`").as("value"), fileLabel.as("label"))
-    indexFromPairs(labeled)
-      .write.mode(SaveMode.Overwrite)
-      .parquet(s"$base/${md.uuid}/$IndexDirName/$column.parquet")
+    atomicSidecarWrite(spark, s"$base/${md.uuid}/$IndexDirName", target) { tmp =>
+      indexFromPairs(labeled).write.mode(SaveMode.Overwrite).parquet(tmp)
+    }
   }
 
   /** Partition label of the current input file: the URI path after the last
@@ -1001,41 +1061,45 @@ object Ktk {
 
     // 3. incremental index merge (≙ update_indices, io_components/write.py:283-309):
     //    keep surviving labels of the old index, union the new files' pairs.
-    //    Zone and bloom sidecars merge the same way.
-    val md1 = md.copy(partitions = finalPartitions, partitionSeq = finalSeq,
-      schemaJson = evolvedSchema.json,
-      metadata = md.metadata ++ extraMetadata +
-        (DatasetMetadata.SeqHwmKey -> nextSeq.toString))
+    //    Zone and bloom sidecars merge the same way; canonical rewrites land
+    //    in fresh version-addressed dirs whose names commit with the blob.
     // append-only sidecar maintenance: only meaningful with no deletes —
     // after a delete the canonical merge must drop the dead labels' rows so
     // loadIndex/observedValues stay exact (queryLabels alone would tolerate
     // stale labels via its live-partition intersection)
     val appendOnly = appendSidecars && deleted.isEmpty
-    mergeIndicesIncremental(spark, base, md, tableDir,
+    val idxReg = mergeIndicesIncremental(spark, base, md, tableDir,
       survivingOld = finalPartitions.keys.toSeq.filter(referenced.contains),
       newLabels = newLabels.toSeq, appendOnly = appendOnly)
-    mergeBloomsIncremental(spark, base, md, tableDir,
+    val bloomReg = mergeBloomsIncremental(spark, base, md, tableDir,
       survivingOld = finalPartitions.keys.toSeq.filter(referenced.contains),
       newLabels = newLabels.toSeq, appendOnly = appendOnly)
-    mergeZonesIncremental(spark, base, md, tableDir,
+    val zoneReg = mergeZonesIncremental(spark, base, md, tableDir,
       survivingOld = finalPartitions.keys.toSeq.filter(referenced.contains),
       newLabels = newLabels.toSeq, appendOnly = appendOnly)
+    val md1 = md.copy(partitions = finalPartitions, partitionSeq = finalSeq,
+      schemaJson = evolvedSchema.json,
+      indices = idxReg, blooms = bloomReg, zones = zoneReg,
+      metadata = md.metadata ++ extraMetadata +
+        (DatasetMetadata.SeqHwmKey -> nextSeq.toString))
 
     DatasetMetadata.store(spark, base, md1)
   }
 
   /** Incremental index merge (≙ update_indices, io_components/write.py:
     * 283-309): each registered index keeps its surviving labels' pairs and
-    * unions freshly scanned pairs for the new labels. Shared by [[update]]
-    * and [[compact]].
+    * unions freshly scanned pairs for the new labels. Shared by [[update]],
+    * [[commit]] and [[compact]]. Returns the index registry to COMMIT —
+    * canonical rewrites go to a fresh version-addressed dir, appends keep
+    * the current name.
     */
   private def mergeIndicesIncremental(
       spark: SparkSession, base: String, md: DatasetMetadata, tableDir: String,
       survivingOld: Seq[String], newLabels: Seq[String],
-      appendOnly: Boolean = false): Unit = {
+      appendOnly: Boolean = false): Map[String, String] = {
     import spark.implicits._
     val fsys = DatasetMetadata.fs(spark, base)
-    md.indices.keys.foreach { c =>
+    md.indices.keys.toSeq.sorted.map { c =>
       val fsPath = md.indexPath(base, c)
       // an index registered at createEmpty has no file until data first lands
       val oldExists = fsys.exists(new Path(fsPath))
@@ -1049,6 +1113,7 @@ object Ktk {
               .parquet(newLabels.map(l => s"$tableDir/$l"): _*)
               .select(col(s"`$c`").as("value"), fileLabel.as("label")))
             .write.mode(SaveMode.Append).parquet(fsPath)
+        c -> md.indices(c)
       } else if (oldExists || newLabels.nonEmpty) {
         // surviving-old-labels as a semi-join, not a giant In-list — the label
         // set is O(partitions) and must never inline into the plan
@@ -1068,17 +1133,14 @@ object Ktk {
               .join(broadcast(survivors), Seq("label"), "left_semi")
           case (false, _) => freshPairs
         }
-        val tmpOut = s"$base/${md.uuid}/$IndexDirName/.$c.parquet.new"
-        indexFromPairs(pairs, SidecarCanonicalFiles)
-          .write.mode(SaveMode.Overwrite).parquet(tmpOut)
-        fsys.delete(new Path(fsPath), true)
-        // FileSystem.rename signals failure by returning false, not throwing;
-        // fail loudly while tmpOut still holds the only copy.
-        if (!fsys.rename(new Path(tmpOut), new Path(fsPath)))
-          throw new java.io.IOException(
-            s"sidecar rename $tmpOut -> $fsPath failed")
-      }
-    }
+        val name = newSidecarName(c)
+        atomicSidecarWrite(spark, s"$base/${md.uuid}/$IndexDirName", name) { tmp =>
+          indexFromPairs(pairs, SidecarCanonicalFiles)
+            .write.mode(SaveMode.Overwrite).parquet(tmp)
+        }
+        c -> name
+      } else c -> md.indices(c)
+    }.toMap
   }
 
   /** Small-file compaction: rewrite undersized data files into
@@ -1199,17 +1261,18 @@ object Ktk {
     }.toMap
 
     val newLabels = newSeqOf.keys.toSeq.sorted
+    val idxReg = mergeIndicesIncremental(spark, base, md, tableDir,
+      survivingOld = finalPartitions.keys.toSeq.filterNot(newSeqOf.contains),
+      newLabels = newLabels)
+    val bloomReg = mergeBloomsIncremental(spark, base, md, tableDir,
+      survivingOld = finalPartitions.keys.toSeq.filterNot(newSeqOf.contains),
+      newLabels = newLabels)
+    val zoneReg = mergeZonesIncremental(spark, base, md, tableDir,
+      survivingOld = finalPartitions.keys.toSeq.filterNot(newSeqOf.contains),
+      newLabels = newLabels)
     val md1 = md.copy(partitions = finalPartitions, partitionSeq = finalSeq,
+      indices = idxReg, blooms = bloomReg, zones = zoneReg,
       metadata = md.metadata ++ extraMetadata)
-    mergeIndicesIncremental(spark, base, md, tableDir,
-      survivingOld = finalPartitions.keys.toSeq.filterNot(newSeqOf.contains),
-      newLabels = newLabels)
-    mergeBloomsIncremental(spark, base, md, tableDir,
-      survivingOld = finalPartitions.keys.toSeq.filterNot(newSeqOf.contains),
-      newLabels = newLabels)
-    mergeZonesIncremental(spark, base, md, tableDir,
-      survivingOld = finalPartitions.keys.toSeq.filterNot(newSeqOf.contains),
-      newLabels = newLabels)
     DatasetMetadata.store(spark, base, md1)
   }
 
@@ -1244,11 +1307,11 @@ object Ktk {
     val normalized = SchemaUtil.normalizeSchema(schema, partitionOn)
     val md = DatasetMetadata(
       uuid = uuid, partitionKeys = partitionOn,
-      indices = secondaryIndices.map(c => c -> s"$c.parquet").toMap,
+      indices = secondaryIndices.map(c => c -> newSidecarName(c)).toMap,
       // registered zone/bloom columns start with no sidecar files; [[commit]]
       // builds them as partitions publish (probes treat absence as keep-all)
-      zones = zoneMapFor.map(c => c -> s"$c.parquet").toMap,
-      blooms = bloomFor.map(c => c -> s"$c.parquet").toMap,
+      zones = zoneMapFor.map(c => c -> newSidecarName(c)).toMap,
+      blooms = bloomFor.map(c => c -> newSidecarName(c)).toMap,
       schemaJson = normalized.json, metadata = userMetadata)
     DatasetMetadata.store(spark, base, md)
   }
@@ -1326,44 +1389,35 @@ object Ktk {
     val finalSeq = finalPartitions.keys.map { l =>
       l -> (if (newLabels.contains(l)) nextSeq else md.seqOf(l))
     }.toMap
-    val md1 = md.copy(partitions = finalPartitions, partitionSeq = finalSeq,
-      metadata = md.metadata + (DatasetMetadata.SeqHwmKey -> nextSeq.toString))
+    // provisional view with the FINAL partition set, for full index builds
+    val md1p = md.copy(partitions = finalPartitions, partitionSeq = finalSeq)
 
-    // indices: first commit builds from scratch; later commits merge
-    // incrementally exactly like [[update]]
-    md.indices.keys.foreach { c =>
-      val fsPath = md.indexPath(base, c)
-      val fsys = DatasetMetadata.fs(spark, base)
-      if (!fsys.exists(new Path(fsPath))) {
-        if (finalPartitions.nonEmpty) buildIndex(spark, base, md1, c)
+    // indices: first commit (no file yet) builds from scratch over the full
+    // final partition set; later commits merge incrementally exactly like
+    // [[update]] — per column, so a mixed built/unbuilt registry stays exact
+    val fsysI = DatasetMetadata.fs(spark, base)
+    val idxReg = md.indices.toSeq.sortBy(_._1).map { case (c, cur) =>
+      if (!fsysI.exists(new Path(md.indexPath(base, c)))) {
+        if (finalPartitions.nonEmpty) {
+          val name = newSidecarName(c)
+          buildIndex(spark, base, md1p, c, name)
+          c -> name
+        } else c -> cur
       } else {
-        import spark.implicits._
-        val survivingOld = keepOld.toSeq.filter(finalPartitions.contains).toDF("label")
-        val old = spark.read.parquet(fsPath)
-          .select(col("value"), explode(col("partitions")).as("label"))
-          .join(broadcast(survivingOld), Seq("label"), "left_semi")
-        val fresh =
-          if (newLabels.isEmpty) old.limit(0)
-          else
-            spark.read.option("basePath", tableDir).parquet(newLabels.map(l => s"$tableDir/$l"): _*)
-              .select(col(s"`$c`").as("value"), fileLabel.as("label"))
-        val tmpOut = s"$base/${md.uuid}/$IndexDirName/.$c.parquet.new"
-        indexFromPairs(old.unionByName(fresh), SidecarCanonicalFiles)
-          .write.mode(SaveMode.Overwrite).parquet(tmpOut)
-        fsys.delete(new Path(fsPath), true)
-        // FileSystem.rename signals failure by returning false, not throwing;
-        // fail loudly while tmpOut still holds the only copy.
-        if (!fsys.rename(new Path(tmpOut), new Path(fsPath)))
-          throw new java.io.IOException(
-            s"sidecar rename $tmpOut -> $fsPath failed")
+        val one = mergeIndicesIncremental(spark, base, md.copy(indices = Map(c -> cur)),
+          tableDir, survivingOld = keepOld.toSeq.filter(finalPartitions.contains),
+          newLabels = newLabels)
+        c -> one(c)
       }
-    }
-    mergeBloomsIncremental(spark, base, md, tableDir,
+    }.toMap
+    val bloomReg = mergeBloomsIncremental(spark, base, md, tableDir,
       survivingOld = keepOld.toSeq.filter(finalPartitions.contains),
       newLabels = newLabels)
-    mergeZonesIncremental(spark, base, md, tableDir,
+    val zoneReg = mergeZonesIncremental(spark, base, md, tableDir,
       survivingOld = keepOld.toSeq.filter(finalPartitions.contains),
       newLabels = newLabels)
+    val md1 = md1p.copy(indices = idxReg, blooms = bloomReg, zones = zoneReg,
+      metadata = md.metadata + (DatasetMetadata.SeqHwmKey -> nextSeq.toString))
 
     DatasetMetadata.store(spark, base, md1)
   }
@@ -1374,8 +1428,9 @@ object Ktk {
   def addIndex(spark: SparkSession, base: String, uuid: String, column: String): DatasetMetadata = {
     val md = DatasetMetadata.load(spark, base, uuid)
     require(md.schema.fieldNames.contains(column), s"index column '$column' not in schema")
-    buildIndex(spark, base, md, column)
-    val md2 = md.copy(indices = md.indices + (column -> s"$column.parquet"))
+    val name = newSidecarName(column)
+    buildIndex(spark, base, md, column, name)
+    val md2 = md.copy(indices = md.indices + (column -> name))
     DatasetMetadata.store(spark, base, md2)
   }
 
@@ -1492,13 +1547,15 @@ object Ktk {
     * the snapshot or its files — gc's `retainVersions` controls how much
     * history survives maintenance.
     *
-    * Secondary-index / bloom / zone pruning is intentionally disabled for
-    * as-of reads: sidecars are canonical files REWRITTEN IN PLACE by later
-    * commits, so the snapshot's registries would consult newer content and
-    * could prune files the snapshot still references. Partition-key pruning
-    * and parquet predicate pushdown (both derived from the snapshot itself)
-    * still apply — correctness first, the full sidecar stack on the latest
-    * version where it matters.
+    * Sidecar pruning APPLIES on as-of reads for version-addressed
+    * (nonce-named) sidecars: those dirs are never rewritten after the
+    * snapshot referenced them (append-only commits only add rows for
+    * labels the snapshot doesn't contain, which every probe tolerates), so
+    * the snapshot's own registries are trustworthy — the full four-layer
+    * skipping stack survives time travel. Only LEGACY fixed-name sidecars
+    * (`<col>.parquet`, rewritten in place by pre-r6 commits) are dropped,
+    * conservatively. Inline zone maps live in the snapshot blob itself and
+    * are always safe.
     */
   def readTableAsOf(
       spark: SparkSession,
@@ -1508,8 +1565,12 @@ object Ktk {
       columns: Seq[String] = Nil,
       predicates: Predicates = Predicates.empty): DataFrame = {
     val snap = DatasetMetadata.loadVersion(spark, base, uuid, version)
-    val md = snap.copy(indices = Map.empty, blooms = Map.empty,
-      zones = Map.empty, zoneMaps = Map.empty)
+    def trusted(reg: Map[String, String]): Map[String, String] =
+      reg.filter { case (c, n) => isVersionAddressed(c, n) }
+    val md = snap.copy(
+      indices = trusted(snap.indices),
+      blooms = trusted(snap.bloomRegistry),
+      zones = trusted(snap.zoneRegistry))
     readTableWithMetadata(spark, base, md, columns, predicates)
   }
 
@@ -1517,9 +1578,10 @@ object Ktk {
     * (roll-forward, ≙ Delta RESTORE — history is never rewritten, so
     * concurrent readers and the optimistic-concurrency chain stay intact).
     * Fails cleanly when the target's data files have already been
-    * garbage-collected. Sidecar registries are rebuilt against the restored
-    * partition set (the canonical sidecar files hold post-`toVersion`
-    * content and would be stale).
+    * garbage-collected. Version-addressed sidecars whose files still exist
+    * are RE-ADOPTED as-is (they are immutable and exactly describe the
+    * restored content — no rebuild cost); legacy or vacuumed ones are
+    * rebuilt against the restored partition set.
     */
   def rollback(spark: SparkSession, base: String, uuid: String, toVersion: Long): DatasetMetadata = {
     val cur = DatasetMetadata.load(spark, base, uuid)
@@ -1546,16 +1608,29 @@ object Ktk {
       target.metadata.get(DatasetMetadata.SeqHwmKey).map(_.toLong).getOrElse(0L),
       cur.metadata.get(DatasetMetadata.SeqHwmKey).map(_.toLong).getOrElse(0L),
       (0L +: cur.partitions.keys.toSeq.map(cur.seqOf)).max).max
+    // re-adopt the target's version-addressed sidecars that still exist —
+    // immutable, so they describe the restored content exactly
+    def surviving(reg: Map[String, String], dir: String): Map[String, String] =
+      reg.filter { case (c, n) =>
+        isVersionAddressed(c, n) && fsys.exists(new Path(s"$base/$uuid/$dir/$n")) }
+    val keptIdx = surviving(target.indices, IndexDirName)
+    val keptBlm = surviving(target.bloomRegistry, "blooms")
+    val keptZon = surviving(target.zoneRegistry, "zones")
     val restored = target.copy(
-      indices = Map.empty, blooms = Map.empty, zones = Map.empty, zoneMaps = Map.empty,
+      indices = keptIdx, blooms = keptBlm, zones = keptZon,
       metadata = target.metadata +
         (DatasetMetadata.VersionKey -> cur.version.toString) +
         (DatasetMetadata.SeqHwmKey -> hwm.toString))
     var out = DatasetMetadata.store(spark, base, restored)
-    target.indices.keys.toSeq.sorted.foreach(c => out = addIndex(spark, base, uuid, c))
-    target.bloomRegistry.keys.toSeq.sorted.foreach(c => out = addBloom(spark, base, uuid, c))
-    val zoneCols = (target.zoneRegistry.keySet ++ target.inlineZoneMaps.keySet).toSeq.sorted
-    if (zoneCols.nonEmpty) out = addZoneMaps(spark, base, uuid, zoneCols)
+    (target.indices.keySet -- keptIdx.keySet).toSeq.sorted
+      .foreach(c => out = addIndex(spark, base, uuid, c))
+    (target.bloomRegistry.keySet -- keptBlm.keySet).toSeq.sorted
+      .foreach(c => out = addBloom(spark, base, uuid, c))
+    // inline zone maps travel INSIDE the restored blob and stay readable
+    // directly; only vacuumed sidecar-registry columns need a rebuild
+    val missingZones =
+      (target.zoneRegistry.keySet -- keptZon.keySet -- target.inlineZoneMaps.keySet).toSeq.sorted
+    if (missingZones.nonEmpty) out = addZoneMaps(spark, base, uuid, missingZones)
     out
   }
 
@@ -1612,10 +1687,13 @@ object Ktk {
         deleted ++= paths
       }
     }
-    // index / bloom / zone sidecar files not in their registries
-    Seq(IndexDirName -> md.indices.values.toSet,
-        "blooms" -> md.bloomRegistry.values.toSet,
-        "zones" -> md.zoneRegistry.values.toSet).foreach { case (dir, valid) =>
+    // index / bloom / zone sidecar files referenced by NO retained version's
+    // registry — retained snapshots pin their version-addressed sidecars
+    // exactly like their data files, so time travel keeps full pruning
+    val allMds = md +: retainedMds
+    Seq(IndexDirName -> allMds.flatMap(_.indices.values).toSet,
+        "blooms" -> allMds.flatMap(_.bloomRegistry.values).toSet,
+        "zones" -> allMds.flatMap(_.zoneRegistry.values).toSet).foreach { case (dir, valid) =>
       val root = fs.makeQualified(new Path(s"$base/$uuid/$dir"))
       if (fs.exists(root)) {
         fs.listStatus(root).foreach { st =>

@@ -141,7 +141,7 @@ class BloomSpec extends SparkSpec {
     val md2 = md.copy(blooms = Map.empty)
     DatasetMetadata.store(spark, base, md2)
     val deleted = Ktk.garbageCollect(spark, base, "tp")
-    deleted.exists(_.contains("blooms/id.parquet")) shouldBe true
+    deleted.exists(_.contains("blooms/id.")) shouldBe true
   }
 
   test("probe filters executor-side: collected labels == matching labels only") {

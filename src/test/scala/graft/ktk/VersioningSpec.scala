@@ -85,6 +85,37 @@ class VersioningSpec extends SparkSpec {
     intercept[IllegalArgumentException] { Ktk.rollback(spark, base, "ds", cur) }
   }
 
+  test("as-of reads keep sidecar pruning: version-addressed registries are trusted") {
+    val base = tmpDir("ver")
+    // disjoint id ranges per file → a point predicate prunes to one file
+    val rows = (0 until 300).map(i => (i / 100, i.toLong * 7 + 1, s"v$i"))
+      .toDF("p", "id", "payload")
+    Ktk.store(spark, base, "ds", rows, bloomFor = Seq("id"), zoneMapFor = Seq("id"))
+    val v1 = DatasetMetadata.load(spark, base, "ds").version
+    // later commits rewrite canonical sidecars — into NEW nonce dirs
+    Ktk.update(spark, base, "ds",
+      Some(Seq((9, 999999L, "fresh")).toDF("p", "id", "payload")))
+    val v1md = DatasetMetadata.loadVersion(spark, base, "ds", v1)
+    val curMd = DatasetMetadata.load(spark, base, "ds")
+    curMd.bloomRegistry("id") should not be v1md.bloomRegistry("id")
+    // the as-of read at v1 PRUNES files through v1's own (immutable) sidecars
+    val asOf = Ktk.readTableAsOf(spark, base, "ds", v1,
+      predicates = Predicates.of(Seq(("id", "==", 701L))))
+    asOf.select("payload").as[String].collect().toSeq shouldBe Seq("v100")
+    asOf.inputFiles.length should be < v1md.partitions.size
+    // gc with retention keeps v1's sidecar files pinned alongside its data
+    Ktk.garbageCollect(spark, base, "ds", retainVersions = 2)
+    val again = Ktk.readTableAsOf(spark, base, "ds", v1,
+      predicates = Predicates.of(Seq(("id", "==", 701L))))
+    again.select("payload").as[String].collect().toSeq shouldBe Seq("v100")
+    again.inputFiles.length should be < v1md.partitions.size
+    // default gc drops v1's snapshot AND reaps its now-unreferenced sidecars
+    Ktk.garbageCollect(spark, base, "ds")
+    val fs = DatasetMetadata.fs(spark, base)
+    fs.exists(new Path(v1md.bloomPath(base, "id"))) shouldBe false
+    fs.exists(new Path(curMd.bloomPath(base, "id"))) shouldBe true
+  }
+
   test("rollback carries the seq watermark forward — later commits never reuse seqs") {
     val base = tmpDir("ver")
     Ktk.store(spark, base, "ds", df1)                                   // v1, seq 0
