@@ -119,6 +119,28 @@ final case class DatasetMetadata(
   */
 final class ConcurrentCommitException(msg: String) extends RuntimeException(msg)
 
+/** One commit's O(delta) action record (`_versions/v<n>.delta.json`) — the
+  * Delta-Lake-style log entry that keeps commit cost independent of total
+  * file count: only the labels this commit ADDED or REMOVED are listed;
+  * everything catalog-small (registries, schema, metadata, partition keys)
+  * rides along wholesale. Applying it to the parent snapshot reproduces the
+  * commit's full [[DatasetMetadata]]; every `CheckpointEvery`-th commit
+  * (and v1) writes a full snapshot instead, bounding replay depth.
+  */
+final case class VersionDelta(
+    uuid: String = "",
+    parent: Long = 0L,
+    partitionKeys: Seq[String] = Nil,
+    adds: Map[String, Long] = Map.empty,
+    addSeq: Map[String, Long] = Map.empty,
+    removes: Seq[String] = Nil,
+    indices: Map[String, String] = Map.empty,
+    zoneMaps: Map[String, Map[String, Seq[String]]] = Map.empty,
+    zones: Map[String, String] = Map.empty,
+    blooms: Map[String, String] = Map.empty,
+    schemaJson: String = "",
+    metadata: Map[String, String] = Map.empty)
+
 object DatasetMetadata {
   val Suffix = ".by-dataset-metadata.json"
 
@@ -151,77 +173,196 @@ object DatasetMetadata {
 
   def versionsDir(base: String, uuid: String): String = s"$base/$uuid/_versions"
 
+  /** Full-snapshot (checkpoint) blob of commit `v` — bit-compatible with
+    * the pre-delta-log format, so legacy version files ARE checkpoints.
+    */
   def versionKey(base: String, uuid: String, v: Long): String =
     f"${versionsDir(base, uuid)}/v$v%08d.json"
 
-  /** All snapshot versions present, ascending. O(#versions) flat listing —
-    * bounded by [[graft.ktk.Ktk.garbageCollect]]'s retention pruning.
+  /** O(delta) action record of commit `v` (see [[VersionDelta]]). */
+  def versionDeltaKey(base: String, uuid: String, v: Long): String =
+    f"${versionsDir(base, uuid)}/v$v%08d.delta.json"
+
+  /** Every `CheckpointEvery`-th commit (and v1) writes a full snapshot;
+    * the rest write O(delta) records — replay depth is bounded by this.
+    */
+  val CheckpointEvery: Int = 10
+
+  def isCheckpointVersion(v: Long): Boolean = v == 1L || v % CheckpointEvery == 0L
+
+  /** All commit versions present (checkpoints and deltas), ascending.
+    * O(#versions) flat listing — bounded by
+    * [[graft.ktk.Ktk.garbageCollect]]'s retention pruning.
     */
   def listVersions(spark: SparkSession, base: String, uuid: String): Seq[Long] = {
     val dir = new Path(versionsDir(base, uuid))
     val filesystem = fs(spark, base)
     if (!filesystem.exists(dir)) Nil
     else filesystem.listStatus(dir).toSeq.map(_.getPath.getName)
-      .collect { case n if n.startsWith("v") && n.endsWith(".json") =>
-        n.stripPrefix("v").stripSuffix(".json").toLong }
-      .sorted
+      .collect {
+        case n if n.startsWith("v") && n.endsWith(".delta.json") =>
+          n.stripPrefix("v").stripSuffix(".delta.json").toLong
+        case n if n.startsWith("v") && n.endsWith(".json") =>
+          n.stripPrefix("v").stripSuffix(".json").toLong
+      }
+      .distinct.sorted
   }
 
-  /** Load the immutable snapshot of one commit (time travel). */
+  /** Apply one O(delta) record to its parent snapshot. */
+  private def applyDelta(parent: DatasetMetadata, d: VersionDelta): DatasetMetadata = {
+    val removed = d.removes.toSet
+    DatasetMetadata(
+      uuid = d.uuid,
+      metadataVersion = parent.metadataVersion,
+      partitionKeys = d.partitionKeys,
+      partitions =
+        Option(parent.partitions).getOrElse(Map.empty).filter(kv => !removed.contains(kv._1)) ++ d.adds,
+      partitionSeq =
+        Option(parent.partitionSeq).getOrElse(Map.empty).filter(kv => !removed.contains(kv._1)) ++ d.addSeq,
+      indices = d.indices,
+      zoneMaps = d.zoneMaps,
+      zones = d.zones,
+      blooms = d.blooms,
+      schemaJson = d.schemaJson,
+      metadata = d.metadata)
+  }
+
+  /** Load the immutable state of one commit (time travel): the checkpoint
+    * blob directly, or the nearest earlier checkpoint + replay of the
+    * delta records up to `v` — at most [[CheckpointEvery]]-1 small reads.
+    */
   def loadVersion(spark: SparkSession, base: String, uuid: String, v: Long): DatasetMetadata = {
-    val key = new Path(versionKey(base, uuid, v))
     val filesystem = fs(spark, base)
-    if (!filesystem.exists(key))
+    def readFull(k: Long): DatasetMetadata = {
+      val in = filesystem.open(new Path(versionKey(base, uuid, k)))
+      try mapper.readValue(in: java.io.InputStream, classOf[DatasetMetadata])
+      finally in.close()
+    }
+    def readDelta(k: Long): VersionDelta = {
+      val in = filesystem.open(new Path(versionDeltaKey(base, uuid, k)))
+      try mapper.readValue(in: java.io.InputStream, classOf[VersionDelta])
+      finally in.close()
+    }
+    if (filesystem.exists(new Path(versionKey(base, uuid, v)))) return readFull(v)
+    if (!filesystem.exists(new Path(versionDeltaKey(base, uuid, v))))
       throw new NoSuchElementException(
-        s"Dataset '$uuid' has no version $v at $key (vacuumed by gc, or never committed); " +
+        s"Dataset '$uuid' has no version $v (vacuumed by gc, or never committed); " +
           s"available: ${listVersions(spark, base, uuid).mkString(",")}")
-    val in = filesystem.open(key)
-    try mapper.readValue(in: java.io.InputStream, classOf[DatasetMetadata])
-    finally in.close()
+    // walk back to the nearest checkpoint, then fold the deltas forward
+    val deltas = scala.collection.mutable.ListBuffer.empty[VersionDelta]
+    var k = v
+    while (!filesystem.exists(new Path(versionKey(base, uuid, k)))) {
+      if (k < 1 || !filesystem.exists(new Path(versionDeltaKey(base, uuid, k))))
+        throw new NoSuchElementException(
+          s"Dataset '$uuid': version $v is unreachable — commit record $k of its " +
+            s"replay chain is missing (vacuumed by gc?)")
+      deltas.prepend(readDelta(k))
+      k -= 1
+    }
+    deltas.foldLeft(readFull(k))(applyDelta)
   }
 
-  /** Single-put commit (≙ store_dataset_from_partitions' one-blob write,
-    * io_components/write.py:232-241), versioned: first CLAIM the next
-    * version by writing the immutable snapshot blob
-    * `<uuid>/_versions/v<n>.json` with create-no-overwrite — on HDFS an
-    * atomic namespace claim, so of two racing writers that both loaded
-    * version n-1 exactly one creates v<n> and the loser gets
-    * [[ConcurrentCommitException]] (optimistic concurrency, the guarantee
-    * the reference's last-writer-wins blob never had). CAVEAT: the claim is
-    * only as atomic as the filesystem's create-no-overwrite — HDFS enforces
-    * it in the namespace, but local ChecksumFileSystem and S3A implement it
-    * as check-then-create, leaving a narrow window where two racers can
-    * both "win" v<n>; on such stores treat the guarantee as best-effort
-    * (S3 users should front commits with a conditional-put or locking
-    * layer). Then publish the LATEST pointer by rename WITH OVERWRITE
-    * (`FileContext.rename(..., Options.Rename.OVERWRITE)`) — atomic on
-    * HDFS/local, so a concurrent reader observes either the previous or the
-    * next complete commit, never an absent dataset (SPEC.md §commit). On
-    * S3A a rename is copy+delete but the pointer is still
-    * last-writer-wins; the version claim stays conditional.
+  /** Write the full snapshot of version `v` at its checkpoint key, if
+    * absent — making `v` self-contained so gc can drop the older records
+    * its replay chain used to need. Idempotent; the delta record (if any)
+    * stays in place and [[loadVersion]] simply prefers the checkpoint.
+    */
+  def materializeCheckpoint(spark: SparkSession, base: String, uuid: String, v: Long): Unit = {
+    val filesystem = fs(spark, base)
+    val key = new Path(versionKey(base, uuid, v))
+    if (filesystem.exists(key)) return
+    val full = loadVersion(spark, base, uuid, v)
+    val bytes =
+      (if (full.partitions.size > 1000) mapper.writer()
+       else mapper.writerWithDefaultPrettyPrinter()).writeValueAsBytes(full)
+    val out =
+      try filesystem.create(key, false)
+      catch { case _: java.io.IOException if filesystem.exists(key) => return }
+    try out.write(bytes) finally out.close()
+  }
+
+  /** O(delta) versioned commit: first CLAIM the next version by writing the
+    * immutable commit record under `<uuid>/_versions/` with
+    * create-no-overwrite — on HDFS an atomic namespace claim, so of two
+    * racing writers that both loaded version n-1 exactly one creates the
+    * v<n> record and the loser gets [[ConcurrentCommitException]]
+    * (optimistic concurrency, the guarantee the reference's
+    * last-writer-wins blob never had). CAVEAT: the claim is only as atomic
+    * as the filesystem's create-no-overwrite — HDFS enforces it in the
+    * namespace, but local ChecksumFileSystem and S3A implement it as
+    * check-then-create, leaving a narrow window where two racers can both
+    * "win" v<n>; on such stores treat the guarantee as best-effort (S3
+    * users should front commits with a conditional-put or locking layer).
+    *
+    * The record is an O(delta) [[VersionDelta]] (`v<n>.delta.json`) listing
+    * only added/removed labels; every [[CheckpointEvery]]-th commit (and
+    * v1) writes the full snapshot `v<n>.json` instead — the single-put
+    * idea of io_components/write.py:169-243 kept, its O(#files)-per-commit
+    * scale ceiling removed. A streaming sink committing every micro-batch
+    * pays O(batch) bytes per commit regardless of how many million files
+    * the dataset has accumulated.
+    *
+    * Then publish the LATEST pointer — now a TINY `{pointerVersion}` blob,
+    * O(1) — by rename WITH OVERWRITE (`FileContext.rename(...,
+    * Options.Rename.OVERWRITE)`) — atomic on HDFS/local, so a concurrent
+    * reader observes either the previous or the next complete commit,
+    * never an absent dataset (SPEC.md §commit). On S3A a rename is
+    * copy+delete but the pointer is still last-writer-wins; the version
+    * claim stays conditional. Readers resolve the pointer against
+    * immutable commit records, so a commit is VISIBLE only once whole.
     *
     * The parent version is taken from `metadata(VersionKey)` as stamped by
     * the load the caller mutated — metadata never loaded (fresh store,
-    * legacy blob) falls back to the max snapshot on disk.
+    * legacy blob) falls back to the max version on disk. `parentMd`
+    * (optional, an optimization) must BE that parent state; without it a
+    * delta commit reconstructs the parent via [[loadVersion]].
     */
-  def store(spark: SparkSession, base: String, md0: DatasetMetadata): DatasetMetadata = {
+  def store(spark: SparkSession, base: String, md0: DatasetMetadata,
+      parentMd: Option[DatasetMetadata] = None): DatasetMetadata = {
     val filesystem = fs(spark, base)
     val parent = md0.metadata.get(VersionKey).map(_.toLong)
       .getOrElse(listVersions(spark, base, md0.uuid).lastOption.getOrElse(0L))
     val newV = parent + 1
     val md = md0.copy(metadata = md0.metadata + (VersionKey -> newV.toString))
-    val key = new Path(metadataKey(base, md.uuid))
-    val tmp = new Path(key.getParent, s".${key.getName}.tmp")
-    // pretty JSON is a debugging aid; past ~1k partitions the blob is
+    // pretty JSON is a debugging aid; past ~1k entries a record is
     // machine-read only and the indentation roughly doubles its size, so
-    // large catalogs switch to compact form (same Jackson model both ways)
-    val writer =
-      if (md.partitions.size > 1000) mapper.writer()
-      else mapper.writerWithDefaultPrettyPrinter()
-    val bytes = writer.writeValueAsBytes(md)
+    // large records switch to compact form (same Jackson model both ways)
+    def render(value: Any, entries: Int): Array[Byte] =
+      (if (entries > 1000) mapper.writer()
+       else mapper.writerWithDefaultPrettyPrinter()).writeValueAsBytes(value)
 
-    // 1. the conditional version claim (immutable snapshot)
-    val vKey = new Path(versionKey(base, md.uuid, newV))
+    // 1. the conditional version claim (immutable commit record):
+    //    full snapshot at checkpoints, O(delta) action record otherwise.
+    //    If the parent chain is unreadable (vacuumed by an aggressive gc,
+    //    partially copied store), degrade to a self-contained checkpoint
+    //    rather than writing a delta nothing can replay.
+    val parentState: Option[DatasetMetadata] =
+      if (isCheckpointVersion(newV) || parent == 0L) None
+      else parentMd.filter(_.version == parent).orElse(
+        try Some(loadVersion(spark, base, md.uuid, parent))
+        catch { case _: NoSuchElementException => None })
+    val bytes: Array[Byte] = parentState match {
+      case None => render(md, md.partitions.size)
+      case Some(p) =>
+        val pLabels = Option(p.partitions).getOrElse(Map.empty).keySet
+        val adds = md.partitions.keys
+          .filter(l => !pLabels.contains(l) || p.sizeOf(l) != md.sizeOf(l))
+          .map(l => l -> md.sizeOf(l)).toMap
+        val addSeq = md.partitions.keys
+          .filter(l => !pLabels.contains(l) || p.seqOf(l) != md.seqOf(l))
+          .map(l => l -> md.seqOf(l)).toMap
+        val removes = (pLabels -- md.partitions.keySet).toSeq.sorted
+        val delta = VersionDelta(
+          uuid = md.uuid, parent = parent, partitionKeys = md.partitionKeys,
+          adds = adds, addSeq = addSeq, removes = removes,
+          indices = md.indices, zoneMaps = md.inlineZoneMaps,
+          zones = md.zoneRegistry, blooms = md.bloomRegistry,
+          schemaJson = md.schemaJson, metadata = md.metadata)
+        render(delta, adds.size + removes.size)
+    }
+    val vKey = new Path(
+      if (parentState.isEmpty) versionKey(base, md.uuid, newV)
+      else versionDeltaKey(base, md.uuid, newV))
     filesystem.mkdirs(vKey.getParent)
     val vOut =
       try filesystem.create(vKey, false)
@@ -234,9 +375,13 @@ object DatasetMetadata {
       }
     try vOut.write(bytes) finally vOut.close()
 
-    // 2. the latest pointer
+    // 2. the latest pointer — O(1) bytes, resolved via the records above
+    val key = new Path(metadataKey(base, md.uuid))
+    val tmp = new Path(key.getParent, s".${key.getName}.tmp")
+    val pointerBytes = mapper.writeValueAsBytes(
+      Map("pointerVersion" -> newV, "uuid" -> md.uuid))
     val out = filesystem.create(tmp, true)
-    try out.write(bytes)
+    try out.write(pointerBytes)
     finally out.close()
     try {
       val fc = org.apache.hadoop.fs.FileContext.getFileContext(
@@ -271,8 +416,16 @@ object DatasetMetadata {
       try {
         if (transientlyAbsent) throw new java.io.IOException(s"mid-commit: $key absent")
         val in = filesystem.open(key)
-        try return mapper.readValue(in: java.io.InputStream, classOf[DatasetMetadata])
-        finally in.close()
+        val tree =
+          try mapper.readTree(in: java.io.InputStream)
+          finally in.close()
+        // new-format tiny pointer → resolve against immutable commit
+        // records; legacy full blob → parse directly (zero-migration read)
+        val resolved =
+          if (tree.has("pointerVersion"))
+            loadVersion(spark, base, uuid, tree.get("pointerVersion").asLong())
+          else mapper.treeToValue(tree, classOf[DatasetMetadata])
+        return resolved
       } catch {
         case e: java.io.IOException if attempt < 5 =>
           attempt += 1

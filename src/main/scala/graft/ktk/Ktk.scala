@@ -549,7 +549,7 @@ object Ktk {
     // one put covers all. No-op canonicalizations commit nothing.
     if (idx != md.indices || blm != md.bloomRegistry || zon != md.zoneRegistry || (md ne md0)) {
       DatasetMetadata.store(spark, base,
-        md.copy(indices = idx, blooms = blm, zones = zon))
+        md.copy(indices = idx, blooms = blm, zones = zon), parentMd = Some(md0))
       ()
     }
   }
@@ -567,7 +567,7 @@ object Ktk {
     val targets = columns.map(c => c -> newSidecarName(c)).toMap
     buildZoneSidecars(spark, base, md, targets, md.partitions.keys.toSeq.sorted)
     val md2 = md.copy(zones = md.zoneRegistry ++ targets)
-    DatasetMetadata.store(spark, base, md2)
+    DatasetMetadata.store(spark, base, md2, parentMd = Some(md))
   }
 
   /** Register + build a Bloom sidecar on an EXISTING dataset (the bloom
@@ -579,7 +579,7 @@ object Ktk {
     val name = newSidecarName(column)
     buildBloom(spark, base, md, column, md.partitions.keys.toSeq.sorted, name)
     val md2 = md.copy(blooms = md.bloomRegistry + (column -> name))
-    DatasetMetadata.store(spark, base, md2)
+    DatasetMetadata.store(spark, base, md2, parentMd = Some(md))
   }
 
   /** xxhash64 of predicate literals AT THE COLUMN'S TYPE — must agree
@@ -1083,7 +1083,7 @@ object Ktk {
       metadata = md.metadata ++ extraMetadata +
         (DatasetMetadata.SeqHwmKey -> nextSeq.toString))
 
-    DatasetMetadata.store(spark, base, md1)
+    DatasetMetadata.store(spark, base, md1, parentMd = Some(md))
   }
 
   /** Incremental index merge (≙ update_indices, io_components/write.py:
@@ -1187,7 +1187,7 @@ object Ktk {
       // still need it persisted.
       if (extraMetadata.isEmpty) return md
       val md0 = md.copy(metadata = md.metadata ++ extraMetadata)
-      return DatasetMetadata.store(spark, base, md0)
+      return DatasetMetadata.store(spark, base, md0, parentMd = Some(md))
     }
 
     // Per-seq rewrites run CONCURRENTLY, each into its own staging dir under
@@ -1198,8 +1198,22 @@ object Ktk {
     // micro-batch commit, and the old sequential append + full relisting
     // per group dominated everything at that cadence.
     val fsys = DatasetMetadata.fs(spark, base)
-    val stagingRoot = new Path(s"$base/${md.uuid}/.compacting")
-    fsys.delete(stagingRoot, true) // leftovers of a crashed earlier compact
+    // NONCE-named staging root: two compacts racing the same dataset must
+    // not delete each other's in-flight staging dirs — each attempt stages
+    // privately, and the loser of the final commit CAS leaves only
+    // unreferenced table-dir files that [[garbageCollect]] reclaims.
+    // Crash leftovers (a JVM that died mid-rewrite) are reaped here too,
+    // but only when STALE — a fresh foreign dir is a live concurrent
+    // compact, not garbage.
+    val stagingRoot = new Path(s"$base/${md.uuid}/" +
+      s".compacting-${java.util.UUID.randomUUID.toString.take(8)}")
+    val dsRoot = new Path(s"$base/${md.uuid}")
+    if (fsys.exists(dsRoot)) fsys.listStatus(dsRoot).foreach { st =>
+      if (st.getPath.getName.startsWith(".compacting") &&
+          st.getModificationTime < System.currentTimeMillis() - 60L * 60 * 1000) {
+        fsys.delete(st.getPath, true); ()
+      }
+    }
     val pool = java.util.concurrent.Executors.newFixedThreadPool(
       math.min(8, victimsBySeq.size))
     implicit val ec: scala.concurrent.ExecutionContext =
@@ -1273,7 +1287,7 @@ object Ktk {
     val md1 = md.copy(partitions = finalPartitions, partitionSeq = finalSeq,
       indices = idxReg, blooms = bloomReg, zones = zoneReg,
       metadata = md.metadata ++ extraMetadata)
-    DatasetMetadata.store(spark, base, md1)
+    DatasetMetadata.store(spark, base, md1, parentMd = Some(md))
   }
 
   // ------------------------------------------------------- two-phase write
@@ -1419,7 +1433,7 @@ object Ktk {
     val md1 = md1p.copy(indices = idxReg, blooms = bloomReg, zones = zoneReg,
       metadata = md.metadata + (DatasetMetadata.SeqHwmKey -> nextSeq.toString))
 
-    DatasetMetadata.store(spark, base, md1)
+    DatasetMetadata.store(spark, base, md1, parentMd = Some(md))
   }
 
   /** Register + build a secondary index on an EXISTING dataset
@@ -1431,7 +1445,7 @@ object Ktk {
     val name = newSidecarName(column)
     buildIndex(spark, base, md, column, name)
     val md2 = md.copy(indices = md.indices + (column -> name))
-    DatasetMetadata.store(spark, base, md2)
+    DatasetMetadata.store(spark, base, md2, parentMd = Some(md))
   }
 
   /** Dataset-merge join (≙ merge_datasets_as_delayed,
@@ -1621,7 +1635,7 @@ object Ktk {
       metadata = target.metadata +
         (DatasetMetadata.VersionKey -> cur.version.toString) +
         (DatasetMetadata.SeqHwmKey -> hwm.toString))
-    var out = DatasetMetadata.store(spark, base, restored)
+    var out = DatasetMetadata.store(spark, base, restored, parentMd = Some(cur))
     (target.indices.keySet -- keptIdx.keySet).toSeq.sorted
       .foreach(c => out = addIndex(spark, base, uuid, c))
     (target.bloomRegistry.keySet -- keptBlm.keySet).toSeq.sorted
@@ -1703,11 +1717,22 @@ object Ktk {
         }
       }
     }
-    // snapshots older than the retention window — history beyond
-    // `retainVersions` stops being time-travelable here, by design
+    // commit records older than the retention window — history beyond
+    // `retainVersions` stops being time-travelable here, by design. The
+    // OLDEST retained version may be a delta whose replay chain runs
+    // through records about to be pruned: materialize it as a
+    // self-contained checkpoint FIRST, so every retained version stays
+    // loadable from retained records alone.
+    if (prunedVersions.nonEmpty)
+      keptVersions.minOption.foreach { v =>
+        DatasetMetadata.materializeCheckpoint(spark, base, uuid, v)
+      }
     prunedVersions.foreach { v =>
-      val p = new Path(DatasetMetadata.versionKey(base, uuid, v))
-      if (fs.delete(p, false)) deleted += p.toString
+      Seq(DatasetMetadata.versionKey(base, uuid, v),
+          DatasetMetadata.versionDeltaKey(base, uuid, v)).foreach { k =>
+        val p = new Path(k)
+        if (fs.delete(p, false)) deleted += p.toString
+      }
     }
     deleted.result()
   }

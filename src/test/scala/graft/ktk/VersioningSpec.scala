@@ -223,6 +223,78 @@ class VersioningSpec extends SparkSpec {
     Ktk.readTableAsOf(spark, base, "ds", 1L).columns.toSeq shouldBe Seq("k", "v")
   }
 
+  test("commit records are O(delta): appends write delta records, checkpoints bound replay") {
+    val base = tmpDir("ver")
+    Ktk.store(spark, base, "ds", df1) // v1 (checkpoint by definition)
+    (0 until 11).foreach { i =>
+      Ktk.update(spark, base, "ds", Some(Seq((10L + i, s"u$i")).toDF("k", "v")))
+    } // v2..v12
+    val fs = DatasetMetadata.fs(spark, base)
+    def full(v: Long) = fs.exists(new Path(DatasetMetadata.versionKey(base, "ds", v)))
+    def delta(v: Long) = fs.exists(new Path(DatasetMetadata.versionDeltaKey(base, "ds", v)))
+    full(1L) shouldBe true
+    (2L to 9L).foreach { v =>
+      withClue(s"v$v: ") { full(v) shouldBe false; delta(v) shouldBe true }
+    }
+    full(10L) shouldBe true // periodic checkpoint bounds replay depth
+    delta(11L) shouldBe true
+    delta(12L) shouldBe true
+    // replay reconstructs the exact state at every version in the chain
+    (1L to 12L).foreach { v =>
+      DatasetMetadata.loadVersion(spark, base, "ds", v).version shouldBe v
+      Ktk.readTableAsOf(spark, base, "ds", v).count() shouldBe (2L + (v - 1))
+    }
+    // the latest pointer is O(1) bytes no matter how many files accumulate
+    val key = new Path(DatasetMetadata.metadataKey(base, "ds"))
+    fs.getFileStatus(key).getLen should be < 256L
+  }
+
+  test("legacy full-blob metadata (pre-pointer format) still loads unchanged") {
+    val base = tmpDir("ver")
+    Ktk.store(spark, base, "ds", df1) // v1 checkpoint = the legacy blob format
+    val fs = DatasetMetadata.fs(spark, base)
+    // overwrite the tiny pointer with the FULL v1 snapshot blob — exactly
+    // what a dataset written before the delta log looks like on disk
+    val v1Key = new Path(DatasetMetadata.versionKey(base, "ds", 1L))
+    val bytes = {
+      val in = fs.open(v1Key)
+      try { val b = new Array[Byte](fs.getFileStatus(v1Key).getLen.toInt)
+        in.readFully(b); b }
+      finally in.close()
+    }
+    val key = new Path(DatasetMetadata.metadataKey(base, "ds"))
+    val out = fs.create(key, true)
+    try out.write(bytes) finally out.close()
+    val md = DatasetMetadata.load(spark, base, "ds")
+    md.version shouldBe 1L
+    Ktk.readTable(spark, base, "ds").count() shouldBe 2
+    // the next commit on top of the legacy blob re-enters the version line
+    Ktk.update(spark, base, "ds", Some(df2))
+    DatasetMetadata.load(spark, base, "ds").version shouldBe 2L
+    Ktk.readTable(spark, base, "ds").count() shouldBe 3
+  }
+
+  test("gc keeps delta chains self-contained: oldest retained version is checkpointed") {
+    val base = tmpDir("ver")
+    Ktk.store(spark, base, "ds", df1) // v1
+    (0 until 4).foreach { i =>
+      Ktk.update(spark, base, "ds", Some(Seq((20L + i, s"g$i")).toDF("k", "v")))
+    } // v2..v5, all deltas whose replay chains run through v1
+    Ktk.garbageCollect(spark, base, "ds", retainVersions = 2) // keep v3..v5
+    Ktk.listVersions(spark, base, "ds") shouldBe Seq(3L, 4L, 5L)
+    val fs = DatasetMetadata.fs(spark, base)
+    // v3's chain needed v1+v2 — gc materialized it as a full checkpoint
+    fs.exists(new Path(DatasetMetadata.versionKey(base, "ds", 3L))) shouldBe true
+    (3L to 5L).foreach { v =>
+      Ktk.readTableAsOf(spark, base, "ds", v).count() shouldBe (2L + (v - 1))
+    }
+    intercept[NoSuchElementException] {
+      DatasetMetadata.loadVersion(spark, base, "ds", 2L)
+    }
+    // current reads unaffected
+    Ktk.readTable(spark, base, "ds").count() shouldBe 6
+  }
+
   test("overwrite continues the version line; copy starts a fresh one") {
     val base = tmpDir("ver")
     Ktk.store(spark, base, "ds", df1)

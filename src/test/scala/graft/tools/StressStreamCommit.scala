@@ -127,6 +127,61 @@ object StressStreamCommit {
     require(tBig <= 2.0 * tSmall + 0.25,
       f"commit time grew with historical file count: $tSmall%.2f -> $tBig%.2f s")
     println("history-independent commit stress OK")
+
+    // ---- commit BYTES vs historical file count: a commit's version record
+    // is an O(delta) action log entry, so the bytes written (and re-read by
+    // the next planning load) must stay flat as the dataset grows from 40
+    // to ~10,000 files — the pre-r6 snapshot-per-commit paid O(#files) here.
+    def recordBytes(base: String, uuid: String): Long = {
+      val md = DatasetMetadata.load(spark, base, uuid)
+      val fsys = DatasetMetadata.fs(spark, base)
+      val d = new org.apache.hadoop.fs.Path(
+        DatasetMetadata.versionDeltaKey(base, uuid, md.version))
+      val f = new org.apache.hadoop.fs.Path(
+        DatasetMetadata.versionKey(base, uuid, md.version))
+      fsys.getFileStatus(if (fsys.exists(d)) d else f).getLen
+    }
+    def smallCommit(base: String): Long = {
+      Ktk.update(spark, base, "g", Some(spark.range(10).toDF("k")
+        .withColumn("v", col("k").cast("string"))))
+      recordBytes(base, "g")
+    }
+    // a measured commit must land on a DELTA version, not a periodic
+    // checkpoint — burn a filler commit when the next version would be one
+    def ensureDeltaNext(base: String): Unit =
+      if (DatasetMetadata.isCheckpointVersion(
+          DatasetMetadata.load(spark, base, "g").version + 1)) {
+        smallCommit(base); ()
+      }
+    val gBase = java.nio.file.Files.createTempDirectory("cbytes").toString
+    Ktk.store(spark, gBase, "g", spark.range(400).toDF("k")
+      .withColumn("v", col("k").cast("string")).repartition(40)) // v1: 40 files
+    val bytesAt40 = smallCommit(gBase) // v2, delta
+    // grow history to >=10k files (AQE coalesces tiny shuffle partitions,
+    // so the files-per-update is adaptive — loop until the count is there)
+    var nFiles = DatasetMetadata.load(spark, gBase, "g").partitions.size
+    while (nFiles < 10000) {
+      Ktk.update(spark, gBase, "g", Some(spark.range(2490L).toDF("k")
+        .withColumn("v", col("k").cast("string")).repartition(2490)))
+      nFiles = DatasetMetadata.load(spark, gBase, "g").partitions.size
+    }
+    ensureDeltaNext(gBase)
+    val bytesAt10k = smallCommit(gBase)
+    // contrast: drive onto the next periodic checkpoint, which IS
+    // O(#files) by design
+    while (!DatasetMetadata.isCheckpointVersion(
+        DatasetMetadata.load(spark, gBase, "g").version + 1)) { smallCommit(gBase); () }
+    smallCommit(gBase) // lands exactly on the checkpoint version
+    val checkpointBytes = recordBytes(gBase, "g")
+    println(f"commit record bytes: 40-file history $bytesAt40, " +
+      f"$nFiles-file history $bytesAt10k (checkpoint: $checkpointBytes)")
+    require(nFiles >= 10000, s"probe expected ~10k files of history, got $nFiles")
+    require(bytesAt10k <= 2 * bytesAt40 + 1024,
+      s"commit bytes grew with file count: $bytesAt40 -> $bytesAt10k")
+    require(checkpointBytes > 10 * bytesAt10k,
+      "checkpoint should dwarf a delta record on a 10k-file dataset " +
+        s"($checkpointBytes vs $bytesAt10k) — is the delta really O(batch)?")
+    println("O(delta) commit-bytes stress OK")
     spark.stop()
   }
 }
