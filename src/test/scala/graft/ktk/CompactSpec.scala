@@ -70,6 +70,47 @@ class CompactSpec extends SparkSpec {
     Ktk.readTable(spark, base, "ds").count() shouldBe 180
   }
 
+  test("compact racing a concurrent update: no lost labels, no stale staging dirs") {
+    val base = tmpDir("crace")
+    // enough small fragments that the compact rewrite takes long enough
+    // for the update to land mid-flight
+    Ktk.store(spark, base, "ds", frag(900).repartition(30), partitionOn = Seq("p"))
+    val before = Ktk.readTable(spark, base, "ds").count()
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    // both sides run under commit retries: whoever loses the version CAS
+    // re-derives its decision from a fresh load
+    val fCompact = Future {
+      Ktk.withCommitRetries(maxRetries = 10) { Ktk.compact(spark, base, "ds") }
+    }
+    val fUpdates = Future {
+      (0 until 3).foreach { i =>
+        Ktk.withCommitRetries(maxRetries = 10) {
+          Ktk.update(spark, base, "ds",
+            Some(Seq((1, 10000L + i, s"new$i")).toDF("p", "k", "v")))
+        }
+      }
+    }
+    try Await.result(Future.sequence(Seq(fCompact, fUpdates)), 180.seconds)
+    finally pool.shutdown()
+    // every pre-existing row and every concurrent append is present
+    Ktk.readTable(spark, base, "ds").count() shouldBe before + 3
+    Ktk.readTable(spark, base, "ds")
+      .filter(col("v").startsWith("new")).count() shouldBe 3
+    // no staging leftovers: each attempt cleans its own nonce dir
+    val fs = DatasetMetadata.fs(spark, base)
+    val stray = fs.listStatus(new org.apache.hadoop.fs.Path(s"$base/ds"))
+      .map(_.getPath.getName).filter(_.startsWith(".compacting"))
+    stray shouldBe empty
+    // the losing attempt's moved-but-uncommitted rewrites are unreferenced
+    // orphans — gc reclaims them and reads stay whole
+    Ktk.garbageCollect(spark, base, "ds")
+    Ktk.readTable(spark, base, "ds").count() shouldBe before + 3
+  }
+
   test("compact with nothing to do is a no-op") {
     val base = tmpDir("compactnoop")
     Ktk.store(spark, base, "ds", frag(10).coalesce(1), partitionOn = Seq("p"))
