@@ -318,6 +318,14 @@ object KartothekInterop {
     * add zone maps the reference never had. After adoption the FULL Ktk
     * surface applies: update/delete-scope, GC, two-phase commits, zone
     * pruning.
+    *
+    * COST KNOB: with the defaults (no sidecar columns) adoption is
+    * metadata-only — one footer-schema pass + one commit, no data scan.
+    * Each `secondaryIndices`/`zoneMapFor`/`bloomFor` column opts into a
+    * full scan of the adopted files at adoption time; on a large archive
+    * prefer adopting bare and retrofitting lazily with
+    * [[graft.ktk.Ktk.addIndex]]/[[graft.ktk.Ktk.addZoneMaps]]/
+    * [[graft.ktk.Ktk.addBloom]] once the access pattern is known.
     */
   def adoptAsGraft(
       spark: SparkSession,
@@ -475,6 +483,93 @@ object KartothekInterop {
       embeddedIndices = indices, externalIndices = extIdx,
       metadata = Map.empty)
     storeJson(spark, base, ds, table)
+    ds
+  }
+
+  /** Write SEVERAL DataFrames as ONE v4 dataset in the reference's
+    * DEPRECATED-but-real multi-table form (metapartition.py:77-333, write
+    * paths io/eager.py:589-876): every partition label carries one file per
+    * table (`files: {core: key, aux: key}`), tables have independent
+    * schemas, and each table dir gets its own `_common_metadata`. This is
+    * the round-trip path for legacy archives that still use two tables —
+    * new datasets should be separate single-table datasets joined at read
+    * time.
+    *
+    * Label alignment: each table is hash-repartitioned on the partition
+    * keys so every Hive dir holds exactly ONE file, which is renamed to the
+    * shared `part-0` stem — so the label `<k=v dirs>/part-0` names the same
+    * logical partition in every table, exactly the alignment the
+    * reference's MetaPartition model requires. One file per partition per
+    * table is inherent to this (deprecated) format, not a Spark limitation.
+    * Tables missing a partition simply omit their entry from that label's
+    * `files` dict (the reference tolerates sparse tables the same way).
+    */
+  def writeMulti(
+      spark: SparkSession,
+      base: String,
+      uuid: String,
+      tables: Map[String, DataFrame],
+      partitionOn: Seq[String] = Nil,
+      overwrite: Boolean = false): V4Dataset = {
+    require(tables.nonEmpty, "writeMulti needs at least one table")
+    tables.foreach { case (t, df) =>
+      partitionOn.foreach(c => require(df.columns.contains(c),
+        s"partition column '$c' missing from table '$t'"))
+    }
+    val fs = DatasetMetadata.fs(spark, base)
+    val jsonKey = new Path(s"$base/$uuid$JsonSuffix")
+    if (fs.exists(jsonKey)) {
+      require(overwrite, s"Kartothek dataset '$uuid' already exists")
+      fs.delete(new Path(s"$base/$uuid"), true)
+      fs.delete(jsonKey, false)
+    }
+    val stem = "part-0"
+    // label → table → storage key
+    val filesByLabel = scala.collection.mutable.Map.empty[String, Map[String, String]]
+    tables.toSeq.sortBy(_._1).foreach { case (table, df) =>
+      val tableDir = s"$base/$uuid/$table"
+      val shaped =
+        if (partitionOn.nonEmpty) df.repartition(partitionOn.map(c => col(s"`$c`")): _*)
+        else df.coalesce(1)
+      val writer = shaped.write.mode(SaveMode.Overwrite)
+      (if (partitionOn.nonEmpty) writer.partitionBy(partitionOn: _*) else writer)
+        .parquet(tableDir)
+      // one part file per dir → rename to the table-aligned stem
+      val root = fs.makeQualified(new Path(tableDir))
+      val prefix = root.toString + "/"
+      val it = fs.listFiles(root, true)
+      val byDir = scala.collection.mutable.Map.empty[String, Seq[Path]]
+      while (it.hasNext) {
+        val st = it.next()
+        val name = st.getPath.getName
+        if (st.isFile && !name.startsWith("_") && !name.startsWith(".")) {
+          val rel = st.getPath.toString.stripPrefix(prefix)
+          val dir = rel.split("/").dropRight(1).mkString("/")
+          byDir(dir) = byDir.getOrElse(dir, Nil) :+ st.getPath
+        }
+      }
+      byDir.toSeq.sortBy(_._1).foreach { case (dir, files) =>
+        require(files.size == 1,
+          s"table '$table' dir '$dir' has ${files.size} files; multi-table " +
+            "labels require exactly one (repartition on the partition keys)")
+        val label = if (dir.isEmpty) stem else s"$dir/$stem"
+        val dest = new Path(s"$tableDir/$label.parquet")
+        if (!fs.rename(files.head, dest))
+          throw new java.io.IOException(s"rename ${files.head} -> $dest failed")
+        filesByLabel(label) = filesByLabel.getOrElse(label, Map.empty) +
+          (table -> s"$uuid/$table/$label.parquet")
+      }
+      val fullSchema = org.apache.spark.sql.types.StructType(
+        partitionOn.map(df.schema(_)) ++
+          df.schema.fields.filterNot(f => partitionOn.contains(f.name)))
+      writeCommonMetadata(spark, tableDir, fullSchema)
+    }
+    val ds = V4Dataset(
+      uuid = uuid, metadataVersion = 4, partitionKeys = partitionOn,
+      partitions = filesByLabel.toMap,
+      embeddedIndices = Map.empty, externalIndices = Map.empty,
+      metadata = Map.empty)
+    storeJson(spark, base, ds, tables.keys.head)
     ds
   }
 

@@ -281,6 +281,53 @@ class KartothekInteropSpec extends SparkSpec {
     err.getMessage should include("GRAFT format")
   }
 
+  test("adoptAsGraft default is metadata-only: no sidecar builds, retrofit later") {
+    val base = tmpDir("ktkv4")
+    buildFixture(base, "refds")
+    val v4 = KartothekInterop.load(spark, base, "refds")
+    // no sidecar args → adoption writes ONE metadata commit and touches no
+    // data (schema comes from footers); every data-scanning build is a
+    // deliberate opt-in or a later retrofit
+    val md = KartothekInterop.adoptAsGraft(spark, base, v4)
+    md.indices shouldBe empty
+    md.bloomRegistry shouldBe empty
+    md.zoneRegistry shouldBe empty
+    val fs = DatasetMetadata.fs(spark, base)
+    fs.exists(new Path(s"$base/refds/indices")) shouldBe false
+    fs.exists(new Path(s"$base/refds/zones")) shouldBe false
+    // reads (with partition pruning) work immediately
+    Ktk.readTable(spark, base, "refds").count() shouldBe 4
+    // the documented lazy path: retrofit sidecars when pruning is wanted
+    Ktk.addZoneMaps(spark, base, "refds", Seq("v"))
+    Ktk.queryLabels(spark, base, DatasetMetadata.load(spark, base, "refds"),
+      Predicates.of(Seq(("v", ">=", 4.0)))) shouldBe Seq("p=3/f3.parquet")
+  }
+
+  test("writeMulti emits the deprecated dict-of-tables v4 form; graft round-trips it") {
+    val base = tmpDir("ktkv4")
+    val coreDf = Seq((1, 1L, 1.0), (1, 2L, 2.0), (2, 3L, 3.0)).toDF("p", "id", "v")
+    val auxDf = Seq((1, 1L, "a"), (1, 2L, "b"), (2, 3L, "c")).toDF("p", "id", "note")
+    val wrote = KartothekInterop.writeMulti(spark, base, "multiout",
+      Map("core" -> coreDf, "aux" -> auxDf), partitionOn = Seq("p"))
+    // labels align across tables: every partition carries one file per table
+    wrote.partitions.keySet shouldBe Set("p=1/part-0", "p=2/part-0")
+    wrote.partitions.values.foreach(_.keySet shouldBe Set("core", "aux"))
+    val fs = DatasetMetadata.fs(spark, base)
+    fs.exists(new Path(s"$base/multiout/core/_common_metadata")) shouldBe true
+    fs.exists(new Path(s"$base/multiout/aux/_common_metadata")) shouldBe true
+    val ds = KartothekInterop.load(spark, base, "multiout")
+    ds.tables shouldBe Seq("aux", "core")
+    val tbls = KartothekInterop.readTables(spark, base, ds)
+    tbls("core").count() shouldBe 3
+    tbls("aux").count() shouldBe 3
+    tbls("core").join(tbls("aux"), Seq("id", "p")).count() shouldBe 3
+    // per-table partition pruning through the multi-table read
+    val p1 = KartothekInterop.readTable(spark, base, ds, table = "aux",
+      predicates = Predicates.of(Seq(("p", "==", 1))))
+    p1.select("note").as[String].collect().sorted.toSeq shouldBe Seq("a", "b")
+    p1.inputFiles.forall(f => f.contains("/aux/") && f.contains("p=1")) shouldBe true
+  }
+
   test("write produces a reference-shaped layout that round-trips") {
     val base = tmpDir("ktkv4")
     val df = Seq((1, "a", "x", 10.0), (1, "b", "y", 20.0), (2, "c", "x", 30.0))

@@ -86,6 +86,23 @@ object InteropCrossCheck {
     KartothekInterop.write(spark, base, "our_ds_ext", df,
       partitionOn = Seq("p"), externalIndices = Seq("tag"), overwrite = true)
     println("graft wrote our_ds_ext (external index)")
+
+    // ---- and the MULTI-TABLE form for the reference to load back:
+    // two tables with different schemas sharing partition labels
+    val coreDf = Seq((1, 1L, 1.0), (1, 2L, 2.0), (2, 3L, 3.0)).toDF("p", "id", "v")
+    val auxDf = Seq((1, 1L, "a"), (1, 2L, "b"), (2, 3L, "c")).toDF("p", "id", "note")
+    val wrote = KartothekInterop.writeMulti(spark, base, "our_multi",
+      Map("core" -> coreDf, "aux" -> auxDf), partitionOn = Seq("p"), overwrite = true)
+    require(wrote.partitions.size == 2, s"our_multi labels: ${wrote.partitions.keySet}")
+    require(wrote.partitions.values.forall(_.keySet == Set("core", "aux")),
+      s"every label must carry both tables: ${wrote.partitions}")
+    // graft round-trips its own multi-table write
+    val ours = KartothekInterop.load(spark, base, "our_multi")
+    val tbls = KartothekInterop.readTables(spark, base, ours)
+    require(tbls("core").count() == 3 && tbls("aux").count() == 3, "multi round-trip rows")
+    require(tbls("core").join(tbls("aux"), Seq("id", "p")).count() == 3,
+      "multi round-trip join")
+    println("graft wrote our_multi (multi-table) and round-tripped it")
     spark.stop()
   }
 }

@@ -146,5 +146,37 @@ def read(root):
     print("reference loaded our_ds_ext OK via the external index:", ext_labels)
 
 
+def read_multi(root):
+    """The reference loads the MULTI-TABLE dataset graft wrote with
+    KartothekInterop.writeMulti: both tables' schemas resolve from their
+    own _common_metadata, every partition carries one file per table, and
+    the payload restores through the reference serializer.
+    """
+    store = KeyValueStore(root)
+    ds = DatasetMetadata.load_from_store("our_multi", store, load_schema=True)
+    assert ds.metadata_version == 4, ds.metadata_version
+    assert ds.partition_keys == ["p"], ds.partition_keys
+    assert sorted(ds.tables) == ["aux", "core"], ds.tables
+    assert len(ds.partitions) == 2, sorted(ds.partitions)
+    for label, part in ds.partitions.items():
+        assert set(part.files) == {"aux", "core"}, (label, part.files)
+        for key in part.files.values():
+            assert store.get(key), key
+    core_fields = {f.name for f in read_schema_metadata("our_multi", store, "core").internal()}
+    aux_fields = {f.name for f in read_schema_metadata("our_multi", store, "aux").internal()}
+    assert {"p", "id", "v"} <= core_fields, core_fields
+    assert {"p", "id", "note"} <= aux_fields, aux_fields
+    rows = []
+    for label in sorted(ds.partitions):
+        df_core = ParquetSerializer.restore_dataframe(store, ds.partitions[label].files["core"])
+        df_aux = ParquetSerializer.restore_dataframe(store, ds.partitions[label].files["aux"])
+        assert len(df_core) == len(df_aux), (label, len(df_core), len(df_aux))
+        rows.append(len(df_core))
+    assert sum(rows) == 3, rows
+    print("reference loaded our_multi OK: tables", sorted(ds.tables),
+          "partitions", sorted(ds.partitions), "rows per partition:", rows)
+
+
 if __name__ == "__main__":
-    {"write": write, "write_multi": write_multi, "read": read}[sys.argv[1]](sys.argv[2])
+    {"write": write, "write_multi": write_multi, "read": read,
+     "read_multi": read_multi}[sys.argv[1]](sys.argv[2])
