@@ -487,6 +487,16 @@ object Dedup {
     // min combines map-side, so only one row per (band, bucket) per map
     // partition shuffles; the join back is AQE-splittable (skew-join) because
     // the build side carries exactly one row per key.
+    //
+    // Deliberately NO explicit repartition(band, bucket) feeding both
+    // branches: measured min-of-5 at sf0.1 (dup-heavy 3× corpus), forcing
+    // one shared shuffle = 7.31 s vs 2.76 s for this shape. The partial agg
+    // shrinks reps to one row per bucket BEFORE any exchange, AQE then
+    // broadcasts it, and the raw exploded rows never cross the network;
+    // co-partitioning both branches would shuffle all N×bands rows to save
+    // a shuffle that was already map-side-combined away. When reps outgrows
+    // the broadcast threshold at scale, AQE falls back to a shuffled join
+    // on its own — size-adaptive either way.
     val reps = banded.groupBy("band", "bucket").agg(min(col("id")).as("rep"))
     val edges = banded
       .join(reps, Seq("band", "bucket"))
