@@ -139,7 +139,18 @@ final case class VersionDelta(
     zones: Map[String, String] = Map.empty,
     blooms: Map[String, String] = Map.empty,
     schemaJson: String = "",
-    metadata: Map[String, String] = Map.empty)
+    metadata: Map[String, String] = Map.empty,
+    // SELF-CONTAINED record: `adds`/`addSeq` are the COMPLETE partition
+    // set, not a diff — replay treats it as a chain terminator, like a
+    // checkpoint that happens to live at the delta key. Written when a
+    // non-checkpoint commit cannot read its parent chain (vacuumed by an
+    // aggressive gc, partially copied store): the CLAIM key must stay a
+    // pure function of the version number — two racers for version n must
+    // collide on the SAME create-no-overwrite key — so the degraded writer
+    // cannot switch to the checkpoint key. (Jackson reads a missing field
+    // as the primitive default `false`, so pre-upgrade records replay
+    // unchanged.)
+    full: Boolean = false)
 
 object DatasetMetadata {
   val Suffix = ".by-dataset-metadata.json"
@@ -164,6 +175,50 @@ object DatasetMetadata {
   }
 
   def metadataKey(base: String, uuid: String): String = s"$base/$uuid$Suffix"
+
+  /** Bounded LRU of parsed snapshots keyed by `(base, uuid, version)` — the
+    * Spark-side equivalent of the reference's `DatasetFactory`
+    * metadata cache (core/factory.py:97-134). Commit records are IMMUTABLE
+    * once written, so a parsed snapshot is valid for as long as its record
+    * exists: [[load]] reads only the ~100-byte latest pointer and reuses
+    * the cached snapshot when the pointed-at version is unchanged — an
+    * unchanged pointer costs ONE tiny get, zero record reads, zero
+    * listings. Explicitly invalidated where records are destroyed:
+    * [[delete]], gc's record pruning, and `createEmpty(overwrite)` (the
+    * one writer path that restarts a version line in place).
+    */
+  private val snapshotCache: java.util.Map[(String, String, Long), DatasetMetadata] =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[(String, String, Long), DatasetMetadata](64, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[(String, String, Long), DatasetMetadata]): Boolean =
+          size() > 256
+      })
+
+  /** Drop every cached snapshot of one dataset — required whenever its
+    * version line is destroyed or restarted (delete, overwrite-recreate).
+    */
+  def invalidateCache(base: String, uuid: String): Unit = snapshotCache.synchronized {
+    val it = snapshotCache.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getKey._1 == base && e.getKey._2 == uuid) it.remove()
+    }
+  }
+
+  /** Drop one cached version — gc calls this for each pruned record so a
+    * post-gc `loadVersion` fails loudly instead of answering from cache.
+    */
+  private[graft] def uncacheVersion(base: String, uuid: String, v: Long): Unit = {
+    snapshotCache.remove((base, uuid, v)); ()
+  }
+
+  // Planning-cost observability (tests assert on deltas of these): every
+  // commit-record read, `_versions` listing, and pointer read counts once.
+  private[graft] val recordReads = new java.util.concurrent.atomic.AtomicLong
+  private[graft] val listingReads = new java.util.concurrent.atomic.AtomicLong
+  private[graft] val pointerReads = new java.util.concurrent.atomic.AtomicLong
+  private[graft] val cacheHits = new java.util.concurrent.atomic.AtomicLong
 
   def fs(spark: SparkSession, path: String): FileSystem =
     new Path(path).getFileSystem(hadoopConf(spark))
@@ -208,7 +263,10 @@ object DatasetMetadata {
       .distinct.sorted
   }
 
-  /** Apply one O(delta) record to its parent snapshot. */
+  /** Apply one O(delta) record to its parent snapshot (a `full` record
+    * carries the complete state in `adds` and ignores the parent's
+    * partitions — callers hand it an empty parent).
+    */
   private def applyDelta(parent: DatasetMetadata, d: VersionDelta): DatasetMetadata = {
     val removed = d.removes.toSet
     DatasetMetadata(
@@ -227,39 +285,70 @@ object DatasetMetadata {
       metadata = d.metadata)
   }
 
-  /** Load the immutable state of one commit (time travel): the checkpoint
-    * blob directly, or the nearest earlier checkpoint + replay of the
-    * delta records up to `v` — at most [[CheckpointEvery]]-1 small reads.
+  /** Load the immutable state of one commit (time travel): the cached
+    * snapshot if this JVM has parsed it before, else the checkpoint blob
+    * directly, or the nearest earlier checkpoint/cached snapshot + replay
+    * of the delta records up to `v` — at most [[CheckpointEvery]]-1 small
+    * reads, located through ONE `_versions` listing instead of per-step
+    * existence probes (each a HEAD round-trip on an object store). A
+    * stream tailing the log pays exactly the NEW delta records per batch:
+    * the walk-back stops at the previous batch's cached snapshot.
     */
   def loadVersion(spark: SparkSession, base: String, uuid: String, v: Long): DatasetMetadata = {
+    val cacheKey = (base, uuid, v)
+    val cached = snapshotCache.get(cacheKey)
+    if (cached != null) { cacheHits.incrementAndGet(); return cached }
     val filesystem = fs(spark, base)
     def readFull(k: Long): DatasetMetadata = {
+      recordReads.incrementAndGet()
       val in = filesystem.open(new Path(versionKey(base, uuid, k)))
       try mapper.readValue(in: java.io.InputStream, classOf[DatasetMetadata])
       finally in.close()
     }
     def readDelta(k: Long): VersionDelta = {
+      recordReads.incrementAndGet()
       val in = filesystem.open(new Path(versionDeltaKey(base, uuid, k)))
       try mapper.readValue(in: java.io.InputStream, classOf[VersionDelta])
       finally in.close()
     }
-    if (filesystem.exists(new Path(versionKey(base, uuid, v)))) return readFull(v)
-    if (!filesystem.exists(new Path(versionDeltaKey(base, uuid, v))))
-      throw new NoSuchElementException(
-        s"Dataset '$uuid' has no version $v (vacuumed by gc, or never committed); " +
-          s"available: ${listVersions(spark, base, uuid).mkString(",")}")
-    // walk back to the nearest checkpoint, then fold the deltas forward
-    val deltas = scala.collection.mutable.ListBuffer.empty[VersionDelta]
-    var k = v
-    while (!filesystem.exists(new Path(versionKey(base, uuid, k)))) {
-      if (k < 1 || !filesystem.exists(new Path(versionDeltaKey(base, uuid, k))))
+    // one listing tells the whole chain's record kinds
+    listingReads.incrementAndGet()
+    val names: Set[String] =
+      try filesystem.listStatus(new Path(versionsDir(base, uuid))).map(_.getPath.getName).toSet
+      catch { case _: java.io.FileNotFoundException => Set.empty }
+    def hasFull(k: Long): Boolean = names.contains(f"v$k%08d.json")
+    def hasDelta(k: Long): Boolean = names.contains(f"v$k%08d.delta.json")
+    val result: DatasetMetadata =
+      if (hasFull(v)) readFull(v)
+      else if (!hasDelta(v))
         throw new NoSuchElementException(
-          s"Dataset '$uuid': version $v is unreachable — commit record $k of its " +
-            s"replay chain is missing (vacuumed by gc?)")
-      deltas.prepend(readDelta(k))
-      k -= 1
-    }
-    deltas.foldLeft(readFull(k))(applyDelta)
+          s"Dataset '$uuid' has no version $v (vacuumed by gc, or never committed); " +
+            s"available: ${listVersions(spark, base, uuid).mkString(",")}")
+      else {
+        // walk back to the nearest checkpoint / cached snapshot / full
+        // record, then fold the deltas forward
+        val deltas = scala.collection.mutable.ListBuffer.empty[VersionDelta]
+        var k = v
+        var baseMd: DatasetMetadata = null
+        while (baseMd == null) {
+          val cachedK = if (k != v) snapshotCache.get((base, uuid, k)) else null
+          if (cachedK != null) { cacheHits.incrementAndGet(); baseMd = cachedK }
+          else if (hasFull(k)) baseMd = readFull(k)
+          else if (k < 1 || !hasDelta(k))
+            throw new NoSuchElementException(
+              s"Dataset '$uuid': version $v is unreachable — commit record $k of its " +
+                s"replay chain is missing (vacuumed by gc?)")
+          else {
+            val d = readDelta(k)
+            deltas.prepend(d)
+            if (d.full) baseMd = DatasetMetadata(uuid = uuid) // self-contained
+            else k -= 1
+          }
+        }
+        deltas.foldLeft(baseMd)(applyDelta)
+      }
+    snapshotCache.put(cacheKey, result)
+    result
   }
 
   /** Write the full snapshot of version `v` at its checkpoint key, if
@@ -333,35 +422,52 @@ object DatasetMetadata {
 
     // 1. the conditional version claim (immutable commit record):
     //    full snapshot at checkpoints, O(delta) action record otherwise.
-    //    If the parent chain is unreadable (vacuumed by an aggressive gc,
-    //    partially copied store), degrade to a self-contained checkpoint
-    //    rather than writing a delta nothing can replay.
+    //    The claim KEY is a pure function of newV — checkpoint versions
+    //    claim `v<n>.json`, all others claim `v<n>.delta.json` — so two
+    //    racers for the same version ALWAYS collide on one
+    //    create-no-overwrite key. (A writer whose parent chain is
+    //    unreadable must not switch keys: it writes a self-contained
+    //    `full` delta at the SAME delta key instead — see [[VersionDelta]].)
+    val isCkpt = isCheckpointVersion(newV)
     val parentState: Option[DatasetMetadata] =
-      if (isCheckpointVersion(newV) || parent == 0L) None
+      if (isCkpt) None
       else parentMd.filter(_.version == parent).orElse(
         try Some(loadVersion(spark, base, md.uuid, parent))
         catch { case _: NoSuchElementException => None })
-    val bytes: Array[Byte] = parentState match {
-      case None => render(md, md.partitions.size)
-      case Some(p) =>
-        val pLabels = Option(p.partitions).getOrElse(Map.empty).keySet
-        val adds = md.partitions.keys
-          .filter(l => !pLabels.contains(l) || p.sizeOf(l) != md.sizeOf(l))
-          .map(l => l -> md.sizeOf(l)).toMap
-        val addSeq = md.partitions.keys
-          .filter(l => !pLabels.contains(l) || p.seqOf(l) != md.seqOf(l))
-          .map(l => l -> md.seqOf(l)).toMap
-        val removes = (pLabels -- md.partitions.keySet).toSeq.sorted
-        val delta = VersionDelta(
-          uuid = md.uuid, parent = parent, partitionKeys = md.partitionKeys,
-          adds = adds, addSeq = addSeq, removes = removes,
-          indices = md.indices, zoneMaps = md.inlineZoneMaps,
-          zones = md.zoneRegistry, blooms = md.bloomRegistry,
-          schemaJson = md.schemaJson, metadata = md.metadata)
-        render(delta, adds.size + removes.size)
-    }
+    val bytes: Array[Byte] =
+      if (isCkpt) render(md, md.partitions.size)
+      else parentState match {
+        case Some(p) =>
+          val pLabels = Option(p.partitions).getOrElse(Map.empty).keySet
+          val adds = md.partitions.keys
+            .filter(l => !pLabels.contains(l) || p.sizeOf(l) != md.sizeOf(l))
+            .map(l => l -> md.sizeOf(l)).toMap
+          val addSeq = md.partitions.keys
+            .filter(l => !pLabels.contains(l) || p.seqOf(l) != md.seqOf(l))
+            .map(l => l -> md.seqOf(l)).toMap
+          val removes = (pLabels -- md.partitions.keySet).toSeq.sorted
+          val delta = VersionDelta(
+            uuid = md.uuid, parent = parent, partitionKeys = md.partitionKeys,
+            adds = adds, addSeq = addSeq, removes = removes,
+            indices = md.indices, zoneMaps = md.inlineZoneMaps,
+            zones = md.zoneRegistry, blooms = md.bloomRegistry,
+            schemaJson = md.schemaJson, metadata = md.metadata)
+          render(delta, adds.size + removes.size)
+        case None =>
+          // parent chain unreadable (vacuumed, partially copied store):
+          // a SELF-CONTAINED record at the same delta key
+          val allSizes = md.partitions.keys.map(l => l -> md.sizeOf(l)).toMap
+          val allSeqs = md.partitions.keys.map(l => l -> md.seqOf(l)).toMap
+          val delta = VersionDelta(
+            uuid = md.uuid, parent = parent, partitionKeys = md.partitionKeys,
+            adds = allSizes, addSeq = allSeqs, removes = Nil,
+            indices = md.indices, zoneMaps = md.inlineZoneMaps,
+            zones = md.zoneRegistry, blooms = md.bloomRegistry,
+            schemaJson = md.schemaJson, metadata = md.metadata, full = true)
+          render(delta, md.partitions.size)
+      }
     val vKey = new Path(
-      if (parentState.isEmpty) versionKey(base, md.uuid, newV)
+      if (isCkpt) versionKey(base, md.uuid, newV)
       else versionDeltaKey(base, md.uuid, newV))
     filesystem.mkdirs(vKey.getParent)
     val vOut =
@@ -396,42 +502,51 @@ object DatasetMetadata {
         if (!filesystem.rename(tmp, key))
           throw new java.io.IOException(s"Failed to commit dataset metadata at $key")
     }
+    // seed the snapshot cache: the committing JVM's next load() costs one
+    // pointer read (md IS the state loadVersion(newV) would reconstruct)
+    snapshotCache.put((base, md.uuid, newV), md)
     md
   }
 
   def load(spark: SparkSession, base: String, uuid: String): DatasetMetadata = {
     val key = new Path(metadataKey(base, uuid))
     val filesystem = fs(spark, base)
-    // Readers can race the latest-pointer swap: checksum filesystems
+    // Happy path is ONE FS op: open the ~100-byte pointer and answer from
+    // the snapshot cache (an unchanged pointer needs no record reads at
+    // all). Readers can race the latest-pointer swap: checksum filesystems
     // (file://) rename data + crc non-atomically, and the non-FileContext
     // fallback has a delete→rename window. A reader catching either moment
     // sees a transient checksum error / absent key while the _versions dir
     // proves the dataset exists — retry briefly before concluding anything.
     var attempt = 0
     while (true) {
-      val transientlyAbsent =
-        !filesystem.exists(key) && filesystem.exists(new Path(versionsDir(base, uuid)))
-      if (!filesystem.exists(key) && !transientlyAbsent)
-        throw new NoSuchElementException(s"Dataset '$uuid' not found at $key")
       try {
-        if (transientlyAbsent) throw new java.io.IOException(s"mid-commit: $key absent")
+        pointerReads.incrementAndGet()
         val in = filesystem.open(key)
         val tree =
           try mapper.readTree(in: java.io.InputStream)
           finally in.close()
         // new-format tiny pointer → resolve against immutable commit
-        // records; legacy full blob → parse directly (zero-migration read)
+        // records (cached); legacy full blob → parse directly
+        // (zero-migration read; mutable last-writer-wins, never cached)
         val resolved =
           if (tree.has("pointerVersion"))
             loadVersion(spark, base, uuid, tree.get("pointerVersion").asLong())
           else mapper.treeToValue(tree, classOf[DatasetMetadata])
         return resolved
       } catch {
-        case e: java.io.IOException if attempt < 5 =>
+        case _: java.io.FileNotFoundException =>
+          // absent pointer: not-a-dataset, or a mid-commit swap window —
+          // the _versions dir disambiguates
+          if (!filesystem.exists(new Path(versionsDir(base, uuid))))
+            throw new NoSuchElementException(s"Dataset '$uuid' not found at $key")
+          if (attempt >= 5)
+            throw new java.io.IOException(s"mid-commit: $key absent after retries")
           attempt += 1
           Thread.sleep(20L * attempt)
-        case e: java.io.FileNotFoundException =>
-          throw new NoSuchElementException(s"Dataset '$uuid' not found at $key")
+        case _: java.io.IOException if attempt < 5 =>
+          attempt += 1
+          Thread.sleep(20L * attempt)
       }
     }
     throw new IllegalStateException("unreachable")
@@ -474,5 +589,6 @@ object DatasetMetadata {
     val filesystem = fs(spark, base)
     filesystem.delete(new Path(s"$base/$uuid"), true)
     filesystem.delete(new Path(metadataKey(base, uuid)), false)
+    invalidateCache(base, uuid)
   }
 }

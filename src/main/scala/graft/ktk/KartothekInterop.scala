@@ -409,6 +409,9 @@ object KartothekInterop {
       require(overwrite, s"Kartothek dataset '$uuid' already exists")
       fs.delete(new Path(s"$base/$uuid"), true)
       fs.delete(jsonKey, false)
+      // an ADOPTED dataset shares this dir with a graft version line —
+      // its cached snapshots die with the dir
+      DatasetMetadata.invalidateCache(base, uuid)
     }
     val tableDir = s"$base/$uuid/$table"
     val writer = df.write.mode(SaveMode.Overwrite)
@@ -522,6 +525,7 @@ object KartothekInterop {
       require(overwrite, s"Kartothek dataset '$uuid' already exists")
       fs.delete(new Path(s"$base/$uuid"), true)
       fs.delete(jsonKey, false)
+      DatasetMetadata.invalidateCache(base, uuid)
     }
     val stem = "part-0"
     // label → table → storage key

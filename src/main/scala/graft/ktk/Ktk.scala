@@ -33,6 +33,11 @@ object Ktk {
 
   val IndexDirName = "indices"
 
+  /** Liveness marker file inside each compact staging root (see
+    * [[compact]]'s stale-staging reaper).
+    */
+  private[ktk] val CompactHeartbeat = "heartbeat"
+
   /** Fresh VERSION-ADDRESSED sidecar file name: every canonical sidecar
     * build/rewrite writes a NEW `<col>.<nonce>.parquet` dir and commits the
     * name through the registry, never mutating a dir an older snapshot
@@ -160,6 +165,7 @@ object Ktk {
     val partitions = listDataFiles(spark, tableDir)
     if (partitions.keys.exists(_.contains("__HIVE_DEFAULT_PARTITION__"))) {
       DatasetMetadata.fs(spark, base).delete(new Path(s"$base/$uuid"), true)
+      DatasetMetadata.invalidateCache(base, uuid)
       throw new IllegalArgumentException(
         s"Original dataframe size does not match a row-count-preserving partition_on: " +
           s"null values in partition columns ${partitionKeys.mkString(",")} are not allowed")
@@ -1208,12 +1214,31 @@ object Ktk {
     val stagingRoot = new Path(s"$base/${md.uuid}/" +
       s".compacting-${java.util.UUID.randomUUID.toString.take(8)}")
     val dsRoot = new Path(s"$base/${md.uuid}")
+    // Staleness keys on a HEARTBEAT FILE inside each staging root, not the
+    // directory's mtime: writes landing in per-seq subdirectories don't
+    // refresh the root's mtime on HDFS, and object stores report
+    // unreliable/zero mtimes for directory entries — keying on those could
+    // reap a LIVE concurrent (or merely >1h) compact's staging mid-run.
+    // File mtimes are reliable everywhere; each rewrite group re-touches
+    // the file, so long compacts stay protected for as long as they make
+    // progress.
+    val staleAfterMs = 60L * 60 * 1000
     if (fsys.exists(dsRoot)) fsys.listStatus(dsRoot).foreach { st =>
-      if (st.getPath.getName.startsWith(".compacting") &&
-          st.getModificationTime < System.currentTimeMillis() - 60L * 60 * 1000) {
-        fsys.delete(st.getPath, true); ()
+      if (st.getPath.getName.startsWith(".compacting")) {
+        val lastAlive =
+          try fsys.getFileStatus(new Path(st.getPath, CompactHeartbeat)).getModificationTime
+          catch { case _: java.io.FileNotFoundException =>
+            // pre-heartbeat leftover (or a racer's ms-wide creation
+            // window): the directory mtime is the only signal left
+            st.getModificationTime }
+        if (lastAlive < System.currentTimeMillis() - staleAfterMs) {
+          fsys.delete(st.getPath, true); ()
+        }
       }
     }
+    fsys.mkdirs(stagingRoot)
+    val heartbeat = new Path(stagingRoot, CompactHeartbeat)
+    fsys.create(heartbeat, true).close()
     val pool = java.util.concurrent.Executors.newFixedThreadPool(
       math.min(8, victimsBySeq.size))
     implicit val ec: scala.concurrent.ExecutionContext =
@@ -1223,6 +1248,9 @@ object Ktk {
     val movedBySeq =
       try Await.result(Future.sequence(victimsBySeq.toSeq.sortBy(_._1).map {
         case (seq, labels) => Future {
+          // liveness signal for foreign compacts' stale-staging checks
+          try fsys.setTimes(heartbeat, System.currentTimeMillis(), -1)
+          catch { case _: java.io.IOException => () }
           val staging = s"$stagingRoot/$seq"
           val data = spark.read.option("basePath", tableDir)
             .parquet(labels.map(l => s"$tableDir/$l"): _*)
@@ -1311,10 +1339,14 @@ object Ktk {
       bloomFor: Seq[String] = Nil): DatasetMetadata = {
     if (!overwrite && DatasetMetadata.exists(spark, base, uuid))
       throw new IllegalStateException(s"Dataset '$uuid' already exists (pass overwrite=true)")
-    if (overwrite)
+    if (overwrite) {
       // clear stale data files too, matching store(overwrite) — otherwise
-      // a later writePartition would append beside invisible leftovers
+      // a later writePartition would append beside invisible leftovers.
+      // This deletes `_versions` and RESTARTS the version line at v1, so
+      // any cached snapshots of the old line are poison — invalidate.
       DatasetMetadata.fs(spark, base).delete(new Path(s"$base/$uuid"), true)
+      DatasetMetadata.invalidateCache(base, uuid)
+    }
     partitionOn.foreach(c => require(schema.fieldNames.contains(c), s"partition_on column '$c' missing"))
     (secondaryIndices ++ zoneMapFor ++ bloomFor).foreach(c =>
       require(schema.fieldNames.contains(c), s"index/zone/bloom column '$c' not in schema"))
@@ -1657,9 +1689,21 @@ object Ktk {
     * files; older snapshots are pruned. The default 0 keeps only the
     * current commit — maximal reclamation, no history (exactly the
     * reference's gc semantics).
+    *
+    * `sidecarGraceMs` (Delta-VACUUM-style retention): an unreferenced
+    * sidecar dir YOUNGER than this is skipped, because every commit has a
+    * window after [[atomicSidecarWrite]] renames the nonce dir into place
+    * and before `DatasetMetadata.store` publishes the registry naming
+    * it — in that window the dir is an in-flight commit, not garbage.
+    * Reaping it would leave the about-to-commit registry pointing at a
+    * missing path (probes degrade to no-pruning; loadIndex throws until
+    * the next canonicalize). Tests that need immediate reclamation pass 0
+    * — with the documented caveat that 0 is only safe when no writer is
+    * concurrently committing.
     */
   def garbageCollect(spark: SparkSession, base: String, uuid: String,
-      retainVersions: Int = 0): Seq[String] = {
+      retainVersions: Int = 0,
+      sidecarGraceMs: Long = 15L * 60 * 1000): Seq[String] = {
     val md = DatasetMetadata.load(spark, base, uuid)
     val fs = DatasetMetadata.fs(spark, base)
     val tableRoot = fs.makeQualified(new Path(md.tableDir(base)))
@@ -1710,9 +1754,18 @@ object Ktk {
         "zones" -> allMds.flatMap(_.zoneRegistry.values).toSet).foreach { case (dir, valid) =>
       val root = fs.makeQualified(new Path(s"$base/$uuid/$dir"))
       if (fs.exists(root)) {
+        val now = System.currentTimeMillis()
         fs.listStatus(root).foreach { st =>
           if (!valid.contains(st.getPath.getName) && !st.getPath.getName.startsWith(".")) {
-            fs.delete(st.getPath, true); deleted += st.getPath.toString
+            // grace check: age = newest mtime of the dir OR its direct
+            // children (directory mtimes alone are unreliable/zero on
+            // object stores; the parquet files inside carry real ones)
+            val newest = (st.getModificationTime +:
+              (try fs.listStatus(st.getPath).toSeq.map(_.getModificationTime)
+               catch { case _: java.io.IOException => Nil })).max
+            if (newest < now - sidecarGraceMs) {
+              fs.delete(st.getPath, true); deleted += st.getPath.toString
+            }
           }
         }
       }
@@ -1733,6 +1786,9 @@ object Ktk {
         val p = new Path(k)
         if (fs.delete(p, false)) deleted += p.toString
       }
+      // a post-gc loadVersion of a pruned commit must fail loudly, not
+      // answer from this JVM's snapshot cache
+      DatasetMetadata.uncacheVersion(base, uuid, v)
     }
     deleted.result()
   }

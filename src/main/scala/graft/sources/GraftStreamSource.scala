@@ -90,11 +90,15 @@ final class GraftMicroBatchStream(
 
   private def spark: SparkSession = SparkSession.active
 
-  private val maxVersionsPerTrigger: Option[Long] = {
-    val n = options.getLong("maxVersionsPerTrigger", 0L)
-    require(n >= 0L, "maxVersionsPerTrigger must be positive")
-    if (n == 0L) None else Some(n)
-  }
+  private val maxVersionsPerTrigger: Option[Long] =
+    // distinguish ABSENT (no limit) from an explicit value: a user setting
+    // 0 expecting "admit nothing" must get an error, not an unbounded batch
+    if (!options.containsKey("maxVersionsPerTrigger")) None
+    else {
+      val n = options.getLong("maxVersionsPerTrigger", 0L)
+      require(n > 0L, "maxVersionsPerTrigger must be >= 1")
+      Some(n)
+    }
 
   /** The change feed keys batches on commit versions; a dataset that has
     * never made a versioned commit (legacy blob, version 0) would emit
@@ -154,6 +158,14 @@ final class GraftMicroBatchStream(
       Array.empty, options, None, Nil, Nil)
   }
 
+  /** Batch planning is O(delta) in FS reads: both endpoint snapshots come
+    * from [[DatasetMetadata.loadVersion]], whose snapshot cache makes the
+    * `end` resolution walk back only through the delta records in
+    * `(start, end]` (the `start` snapshot was cached when the previous
+    * batch planned against it, and the first batch seeds it) — a stream
+    * tailing a million-file dataset reads per batch only the records the
+    * batch's commits wrote. Asserted in GraftStreamSourceSpec.
+    */
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val sv = start.asInstanceOf[GraftOffset].version
     val ev = end.asInstanceOf[GraftOffset].version

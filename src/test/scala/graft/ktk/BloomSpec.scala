@@ -140,7 +140,8 @@ class BloomSpec extends SparkSpec {
     // a sidecar whose column was dropped from the registry is garbage
     val md2 = md.copy(blooms = Map.empty)
     DatasetMetadata.store(spark, base, md2)
-    val deleted = Ktk.garbageCollect(spark, base, "tp")
+    // grace 0: the test wants immediate reclamation (no concurrent writer)
+    val deleted = Ktk.garbageCollect(spark, base, "tp", sidecarGraceMs = 0L)
     deleted.exists(_.contains("blooms/id.")) shouldBe true
   }
 

@@ -111,6 +111,32 @@ class CompactSpec extends SparkSpec {
     Ktk.readTable(spark, base, "ds").count() shouldBe before + 3
   }
 
+  test("stale-staging reaper keys on the heartbeat file, not the directory mtime") {
+    val base = tmpDir("compacthb")
+    Ktk.store(spark, base, "ds", frag(120).repartition(4), partitionOn = Seq("p"))
+    val fs = DatasetMetadata.fs(spark, base)
+    val hb = Ktk.CompactHeartbeat
+    val P = (s: String) => new org.apache.hadoop.fs.Path(s)
+    val stale = P(s"$base/ds/.compacting-stale000")
+    val live = P(s"$base/ds/.compacting-live0000")
+    fs.mkdirs(stale); fs.mkdirs(live)
+    fs.create(new org.apache.hadoop.fs.Path(stale, hb), true).close()
+    fs.create(new org.apache.hadoop.fs.Path(live, hb), true).close()
+    val twoHoursAgo = System.currentTimeMillis() - 2L * 3600 * 1000
+    // stale: DEAD owner (old heartbeat) but a fresh-looking directory —
+    // an mtime-keyed reaper would wrongly keep it
+    fs.setTimes(new org.apache.hadoop.fs.Path(stale, hb), twoHoursAgo, -1)
+    // live: beating heart but an ancient-looking directory (HDFS dirs
+    // don't refresh on child writes; object stores report zero) — an
+    // mtime-keyed reaper would delete a LIVE compact's staging mid-run
+    fs.setTimes(live, twoHoursAgo, -1)
+    Ktk.compact(spark, base, "ds", smallFileBytes = 64L << 20)
+    fs.exists(stale) shouldBe false
+    fs.exists(live) shouldBe true
+    // reads whole after the maintenance pass
+    Ktk.readTable(spark, base, "ds").count() shouldBe 120
+  }
+
   test("compact with nothing to do is a no-op") {
     val base = tmpDir("compactnoop")
     Ktk.store(spark, base, "ds", frag(10).coalesce(1), partitionOn = Seq("p"))

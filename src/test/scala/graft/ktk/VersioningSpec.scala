@@ -109,9 +109,14 @@ class VersioningSpec extends SparkSpec {
       predicates = Predicates.of(Seq(("id", "==", 701L))))
     again.select("payload").as[String].collect().toSeq shouldBe Seq("v100")
     again.inputFiles.length should be < v1md.partitions.size
-    // default gc drops v1's snapshot AND reaps its now-unreferenced sidecars
+    // a YOUNG unreferenced sidecar survives the default grace window —
+    // it could be a concurrent commit's in-flight dir (ADVICE r6)
     Ktk.garbageCollect(spark, base, "ds")
     val fs = DatasetMetadata.fs(spark, base)
+    fs.exists(new Path(v1md.bloomPath(base, "id"))) shouldBe true
+    // grace 0 (no concurrent writers): gc drops v1's snapshot AND reaps
+    // its now-unreferenced sidecars
+    Ktk.garbageCollect(spark, base, "ds", sidecarGraceMs = 0L)
     fs.exists(new Path(v1md.bloomPath(base, "id"))) shouldBe false
     fs.exists(new Path(curMd.bloomPath(base, "id"))) shouldBe true
   }
@@ -247,6 +252,81 @@ class VersioningSpec extends SparkSpec {
     // the latest pointer is O(1) bytes no matter how many files accumulate
     val key = new Path(DatasetMetadata.metadataKey(base, "ds"))
     fs.getFileStatus(key).getLen should be < 256L
+  }
+
+  test("snapshot cache: unchanged pointer loads in one FS read; pointer change invalidates") {
+    val base = tmpDir("ver")
+    Ktk.store(spark, base, "ds", df1)        // v1, seeds the cache
+    Ktk.update(spark, base, "ds", Some(df2)) // v2, seeds the cache
+    def counting[T](f: => T): (T, Long, Long, Long) = {
+      val (r0, l0, p0) = (DatasetMetadata.recordReads.get,
+        DatasetMetadata.listingReads.get, DatasetMetadata.pointerReads.get)
+      val t = f
+      (t, DatasetMetadata.recordReads.get - r0,
+        DatasetMetadata.listingReads.get - l0, DatasetMetadata.pointerReads.get - p0)
+    }
+    // warm load = exactly one pointer read; zero record reads, zero listings
+    val (md, rr, lr, pr) = counting(DatasetMetadata.load(spark, base, "ds"))
+    md.version shouldBe 2L
+    (rr, lr, pr) shouldBe ((0L, 0L, 1L))
+    // a SECOND WRITER's commit (cold cache simulates another JVM) moves the
+    // pointer — load follows it instead of serving the stale snapshot
+    Ktk.update(spark, base, "ds", Some(Seq((9L, "z")).toDF("k", "v"))) // v3
+    DatasetMetadata.invalidateCache(base, "ds")
+    val (md3, rr3, lr3, pr3) = counting(DatasetMetadata.load(spark, base, "ds"))
+    md3.version shouldBe 3L
+    // cold resolution: ONE listing locates the whole replay chain (no
+    // per-step existence probes), ≤ CheckpointEvery record reads
+    lr3 shouldBe 1L
+    pr3 shouldBe 1L
+    rr3 should be <= DatasetMetadata.CheckpointEvery.toLong
+    // and the load right after is free again
+    val (_, rr4, lr4, pr4) = counting(DatasetMetadata.load(spark, base, "ds"))
+    (rr4, lr4, pr4) shouldBe ((0L, 0L, 1L))
+  }
+
+  test("createEmpty(overwrite) restarts the version line; stale cache never served") {
+    val base = tmpDir("ver")
+    Ktk.store(spark, base, "ds", df1)                       // v1, old line, 2 rows
+    DatasetMetadata.load(spark, base, "ds").version shouldBe 1L
+    val schema2 = new org.apache.spark.sql.types.StructType()
+      .add("x", org.apache.spark.sql.types.LongType)
+    Ktk.createEmpty(spark, base, "ds", schema2, overwrite = true) // v1, NEW line
+    val md = DatasetMetadata.load(spark, base, "ds")
+    md.version shouldBe 1L
+    md.partitions shouldBe empty // a stale cached v1 would still list df1's files
+    md.schema.fieldNames.toSeq shouldBe Seq("x")
+  }
+
+  test("degraded writer (vacuumed parent chain) keeps the pure claim key: races still collide") {
+    val base = tmpDir("ver")
+    Ktk.store(spark, base, "ds", df1)        // v1 checkpoint
+    Ktk.update(spark, base, "ds", Some(df2)) // v2 delta
+    val md2 = DatasetMetadata.load(spark, base, "ds")
+    val fs = DatasetMetadata.fs(spark, base)
+    // an external over-aggressive vacuum destroys v1 — v2's replay chain is
+    // now unreachable for any cold reader
+    fs.delete(new Path(DatasetMetadata.versionKey(base, "ds", 1L)), false)
+    DatasetMetadata.invalidateCache(base, "ds")
+    // the degraded commit lands a SELF-CONTAINED record at the DELTA key —
+    // never the checkpoint key (claim purity: racers must collide)
+    DatasetMetadata.store(spark, base, md2.copy(metadata = md2.metadata + ("who" -> "degraded")))
+    fs.exists(new Path(DatasetMetadata.versionDeltaKey(base, "ds", 3L))) shouldBe true
+    fs.exists(new Path(DatasetMetadata.versionKey(base, "ds", 3L))) shouldBe false
+    // cold readers replay v3 standalone even though v1/v2 are gone
+    DatasetMetadata.invalidateCache(base, "ds")
+    val md3 = DatasetMetadata.load(spark, base, "ds")
+    md3.version shouldBe 3L
+    Ktk.readTable(spark, base, "ds").count() shouldBe 3
+    // and commits continue on top of the full record
+    Ktk.update(spark, base, "ds", Some(Seq((7L, "w")).toDF("k", "v")))
+    DatasetMetadata.invalidateCache(base, "ds")
+    Ktk.readTable(spark, base, "ds").count() shouldBe 4
+    // a second degraded writer racing the SAME version now collides loudly
+    // instead of publishing a divergent record on the other key
+    intercept[ConcurrentCommitException] {
+      DatasetMetadata.store(spark, base, md2.copy(metadata = md2.metadata + ("who" -> "late")))
+    }
   }
 
   test("legacy full-blob metadata (pre-pointer format) still loads unchanged") {

@@ -103,6 +103,57 @@ class GraftStreamSourceSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("batch planning is O(delta): record reads per batch = versions in the batch") {
+    val base = tmpDir("feed")
+    val ckpt = tmpDir("ckpt")
+    val out = tmpDir("out")
+    // stop/restart per phase: a continuously-triggering stream would race
+    // the counter windows with its own in-flight batches
+    def drainOnce(): Unit = {
+      val q = spark.readStream.format("graft").option("uuid", "ds").load(base)
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    Ktk.store(spark, base, "ds", Seq((1L, "a")).toDF("k", "v")) // v1
+    drainOnce() // checkpointed at v1
+    // same-JVM commits seed the snapshot cache — the next batch plans with
+    // ZERO commit-record reads
+    (0 until 3).foreach(i =>
+      Ktk.update(spark, base, "ds", Some(Seq((10L + i, "x")).toDF("k", "v")))) // v2..v4
+    val warm0 = DatasetMetadata.recordReads.get
+    drainOnce()
+    (DatasetMetadata.recordReads.get - warm0) shouldBe 0L
+    spark.read.parquet(out).count() shouldBe 4
+    // commits from ANOTHER JVM (simulated: evict exactly the new versions):
+    // resolving the batch reads ONLY the (start, end] delta records — the
+    // walk-back stops at the previous batch's cached snapshot instead of
+    // replaying from a checkpoint
+    (0 until 3).foreach(i =>
+      Ktk.update(spark, base, "ds", Some(Seq((20L + i, "y")).toDF("k", "v")))) // v5..v7
+    (5L to 7L).foreach(v => DatasetMetadata.uncacheVersion(base, "ds", v))
+    val cold0 = DatasetMetadata.recordReads.get
+    drainOnce()
+    (DatasetMetadata.recordReads.get - cold0) shouldBe 3L
+    spark.read.parquet(out).count() shouldBe 7
+  }
+
+  test("maxVersionsPerTrigger = 0 is rejected, not silently unlimited") {
+    val base = tmpDir("feed")
+    Ktk.store(spark, base, "ds", Seq((1L, "a")).toDF("k", "v"))
+    val q = spark.readStream.format("graft").option("uuid", "ds")
+      .option("maxVersionsPerTrigger", 0L).load(base)
+      .writeStream.format("memory").queryName("feed_zero").start()
+    val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.processAllAvailable()
+    }
+    q.stop()
+    // the explicit 0 fails loudly instead of meaning "no limit"
+    Iterator.iterate(err: Throwable)(_.getCause).takeWhile(_ != null)
+      .exists(t => t.getMessage != null &&
+        t.getMessage.contains("must be >= 1")) shouldBe true
+  }
+
   test("a dataset with no versioned commits fails the stream loudly, not silently") {
     val base = tmpDir("feed")
     Ktk.store(spark, base, "legacy", Seq((1L, "a")).toDF("k", "v"))
