@@ -1196,100 +1196,13 @@ object Ktk {
       return DatasetMetadata.store(spark, base, md0, parentMd = Some(md))
     }
 
-    // Per-seq rewrites run CONCURRENTLY, each into its own staging dir under
-    // the dataset root (dot-prefixed: invisible to listings and readers),
-    // then files move into the table dir as pure metadata renames. This
-    // keeps compaction wall-time at max-over-groups instead of
-    // sum-over-groups — after a long streaming run there is one group per
-    // micro-batch commit, and the old sequential append + full relisting
-    // per group dominated everything at that cadence.
-    val fsys = DatasetMetadata.fs(spark, base)
-    // NONCE-named staging root: two compacts racing the same dataset must
-    // not delete each other's in-flight staging dirs — each attempt stages
-    // privately, and the loser of the final commit CAS leaves only
-    // unreferenced table-dir files that [[garbageCollect]] reclaims.
-    // Crash leftovers (a JVM that died mid-rewrite) are reaped here too,
-    // but only when STALE — a fresh foreign dir is a live concurrent
-    // compact, not garbage.
-    val stagingRoot = new Path(s"$base/${md.uuid}/" +
-      s".compacting-${java.util.UUID.randomUUID.toString.take(8)}")
-    val dsRoot = new Path(s"$base/${md.uuid}")
-    // Staleness keys on a HEARTBEAT FILE inside each staging root, not the
-    // directory's mtime: writes landing in per-seq subdirectories don't
-    // refresh the root's mtime on HDFS, and object stores report
-    // unreliable/zero mtimes for directory entries — keying on those could
-    // reap a LIVE concurrent (or merely >1h) compact's staging mid-run.
-    // File mtimes are reliable everywhere; each rewrite group re-touches
-    // the file, so long compacts stay protected for as long as they make
-    // progress.
-    val staleAfterMs = 60L * 60 * 1000
-    if (fsys.exists(dsRoot)) fsys.listStatus(dsRoot).foreach { st =>
-      if (st.getPath.getName.startsWith(".compacting")) {
-        val lastAlive =
-          try fsys.getFileStatus(new Path(st.getPath, CompactHeartbeat)).getModificationTime
-          catch { case _: java.io.FileNotFoundException =>
-            // pre-heartbeat leftover (or a racer's ms-wide creation
-            // window): the directory mtime is the only signal left
-            st.getModificationTime }
-        if (lastAlive < System.currentTimeMillis() - staleAfterMs) {
-          fsys.delete(st.getPath, true); ()
-        }
-      }
+    val movedBySeq = rewriteGroupsStaged(spark, base, md, victimsBySeq) { (data, labels) =>
+      val totalBytes = labels.map(md.sizeOf).sum
+      val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
+      if (md.partitionKeys.nonEmpty)
+        data.repartition(nOut, md.partitionKeys.map(c => col(s"`$c`")): _*)
+      else data.repartition(nOut)
     }
-    fsys.mkdirs(stagingRoot)
-    val heartbeat = new Path(stagingRoot, CompactHeartbeat)
-    fsys.create(heartbeat, true).close()
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(
-      math.min(8, victimsBySeq.size))
-    implicit val ec: scala.concurrent.ExecutionContext =
-      scala.concurrent.ExecutionContext.fromExecutor(pool)
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.duration.Duration
-    val movedBySeq =
-      try Await.result(Future.sequence(victimsBySeq.toSeq.sortBy(_._1).map {
-        case (seq, labels) => Future {
-          // liveness signal for foreign compacts' stale-staging checks
-          try fsys.setTimes(heartbeat, System.currentTimeMillis(), -1)
-          catch { case _: java.io.IOException => () }
-          val staging = s"$stagingRoot/$seq"
-          val data = spark.read.option("basePath", tableDir)
-            .parquet(labels.map(l => s"$tableDir/$l"): _*)
-          val totalBytes = labels.map(md.sizeOf).sum
-          val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
-          val rewritten =
-            if (md.partitionKeys.nonEmpty)
-              data.repartition(nOut, md.partitionKeys.map(c => col(s"`$c`")): _*)
-            else data.repartition(nOut)
-          val writer = rewritten.write.mode(SaveMode.Overwrite)
-          (if (md.partitionKeys.nonEmpty) writer.partitionBy(md.partitionKeys: _*) else writer)
-            .parquet(staging)
-          val stPath = fsys.makeQualified(new Path(staging))
-          val prefix = stPath.toString + "/"
-          val it = fsys.listFiles(stPath, true)
-          val moved = Seq.newBuilder[(String, Long)]
-          while (it.hasNext) {
-            val st = it.next()
-            val name = st.getPath.getName
-            if (st.isFile && !name.startsWith("_") && !name.startsWith(".")) {
-              val rel = st.getPath.toString.stripPrefix(prefix)
-              val dest = new Path(s"$tableDir/$rel")
-              // FileSystem.rename/mkdirs signal failure by returning false,
-              // not throwing. A swallowed false here would let the finally
-              // block delete the staging dir holding the only copy of the
-              // rewritten rows while metadata still commits the move.
-              if (!fsys.mkdirs(dest.getParent))
-                throw new java.io.IOException(
-                  s"compact: mkdirs failed for ${dest.getParent}")
-              if (!fsys.rename(st.getPath, dest))
-                throw new java.io.IOException(
-                  s"compact: rename ${st.getPath} -> $dest failed")
-              moved += (rel -> st.getLen)
-            }
-          }
-          seq -> moved.result()
-        }
-      }), Duration.Inf)
-      finally { pool.shutdown(); fsys.delete(stagingRoot, true); () }
     val newSeqOf = scala.collection.mutable.Map.empty[String, Long]
     movedBySeq.foreach { case (seq, ls) => ls.foreach { case (l, _) => newSeqOf(l) = seq } }
 
@@ -1315,6 +1228,198 @@ object Ktk {
     val md1 = md.copy(partitions = finalPartitions, partitionSeq = finalSeq,
       indices = idxReg, blooms = bloomReg, zones = zoneReg,
       metadata = md.metadata ++ extraMetadata)
+    DatasetMetadata.store(spark, base, md1, parentMd = Some(md))
+  }
+
+  /** Shared staged-rewrite machinery of [[compact]] and [[clusterZOrder]].
+    *
+    * Per-seq groups rewrite CONCURRENTLY, each into its own staging dir
+    * under the dataset root (dot-prefixed: invisible to listings and
+    * readers), then files move into the table dir as pure metadata
+    * renames — wall-time is max-over-groups, not sum-over-groups (after a
+    * long streaming run there is one group per micro-batch commit).
+    *
+    * The NONCE-named staging root keeps two racing maintenance ops from
+    * deleting each other's in-flight staging; the loser of the final
+    * commit CAS leaves only unreferenced table-dir files that
+    * [[garbageCollect]] reclaims. Crash leftovers are reaped here too, but
+    * only when STALE — staleness keys on a HEARTBEAT FILE inside each
+    * staging root (touched per rewrite group), never the directory mtime:
+    * per-seq subdirectory writes don't refresh the root's mtime on HDFS,
+    * and object stores report unreliable/zero directory mtimes — keying
+    * on those could reap a LIVE concurrent (or merely >1h) op's staging
+    * mid-run. File mtimes are reliable everywhere.
+    *
+    * `shape(groupData, groupLabels)` decides the rewrite layout (hash
+    * repartition for compact, z-rank range repartition for clusterZOrder);
+    * returns (seq → moved (label, size)) per group, sizes captured during
+    * the staging walk so no table-dir relisting is ever needed.
+    */
+  private def rewriteGroupsStaged(
+      spark: SparkSession,
+      base: String,
+      md: DatasetMetadata,
+      victimsBySeq: Map[Long, Seq[String]])(
+      shape: (DataFrame, Seq[String]) => DataFrame): Seq[(Long, Seq[(String, Long)])] = {
+    val tableDir = md.tableDir(base)
+    val fsys = DatasetMetadata.fs(spark, base)
+    val stagingRoot = new Path(s"$base/${md.uuid}/" +
+      s".compacting-${java.util.UUID.randomUUID.toString.take(8)}")
+    val dsRoot = new Path(s"$base/${md.uuid}")
+    val staleAfterMs = 60L * 60 * 1000
+    if (fsys.exists(dsRoot)) fsys.listStatus(dsRoot).foreach { st =>
+      if (st.getPath.getName.startsWith(".compacting")) {
+        val lastAlive =
+          try fsys.getFileStatus(new Path(st.getPath, CompactHeartbeat)).getModificationTime
+          catch { case _: java.io.FileNotFoundException =>
+            // pre-heartbeat leftover (or a racer's ms-wide creation
+            // window): the directory mtime is the only signal left
+            st.getModificationTime }
+        if (lastAlive < System.currentTimeMillis() - staleAfterMs) {
+          fsys.delete(st.getPath, true); ()
+        }
+      }
+    }
+    fsys.mkdirs(stagingRoot)
+    val heartbeat = new Path(stagingRoot, CompactHeartbeat)
+    fsys.create(heartbeat, true).close()
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(8, victimsBySeq.size))
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    try Await.result(Future.sequence(victimsBySeq.toSeq.sortBy(_._1).map {
+      case (seq, labels) => Future {
+        // liveness signal for foreign ops' stale-staging checks
+        try fsys.setTimes(heartbeat, System.currentTimeMillis(), -1)
+        catch { case _: java.io.IOException => () }
+        val staging = s"$stagingRoot/$seq"
+        val data = spark.read.option("basePath", tableDir)
+          .parquet(labels.map(l => s"$tableDir/$l"): _*)
+        val rewritten = shape(data, labels)
+        val writer = rewritten.write.mode(SaveMode.Overwrite)
+        (if (md.partitionKeys.nonEmpty) writer.partitionBy(md.partitionKeys: _*) else writer)
+          .parquet(staging)
+        val stPath = fsys.makeQualified(new Path(staging))
+        val prefix = stPath.toString + "/"
+        val it = fsys.listFiles(stPath, true)
+        val moved = Seq.newBuilder[(String, Long)]
+        while (it.hasNext) {
+          val st = it.next()
+          val name = st.getPath.getName
+          if (st.isFile && !name.startsWith("_") && !name.startsWith(".")) {
+            val rel = st.getPath.toString.stripPrefix(prefix)
+            val dest = new Path(s"$tableDir/$rel")
+            // FileSystem.rename/mkdirs signal failure by returning false,
+            // not throwing. A swallowed false here would let the finally
+            // block delete the staging dir holding the only copy of the
+            // rewritten rows while metadata still commits the move.
+            if (!fsys.mkdirs(dest.getParent))
+              throw new java.io.IOException(
+                s"staged rewrite: mkdirs failed for ${dest.getParent}")
+            if (!fsys.rename(st.getPath, dest))
+              throw new java.io.IOException(
+                s"staged rewrite: rename ${st.getPath} -> $dest failed")
+            moved += (rel -> st.getLen)
+          }
+        }
+        seq -> moved.result()
+      }
+    }), Duration.Inf)
+    finally { pool.shutdown(); fsys.delete(stagingRoot, true); () }
+  }
+
+  /** Z-ORDER layout rewrite — the Delta/Iceberg `OPTIMIZE ZORDER BY`
+    * technique applied to graft's zone-map sidecars. Files are rewritten
+    * so each holds a tight range of the Morton code over quantile-bucketed
+    * `columns` values ([[graft.core.ZOrder]]): tight in EVERY clustered
+    * dimension at once, so zone pruning skips files on a predicate over
+    * ANY clustered column — a plain `sortBy` gives that only for the
+    * leading column. No reference analog (its layout control stops at
+    * partition_on + sort_partitions_by, io_components/write.py:82-83).
+    *
+    * Mechanics: ONE `approxQuantile` pass fixes global per-column bucket
+    * boundaries; the rank is pure codegen'd Column arithmetic
+    * ([[graft.core.ZOrder.rankColumn]], no UDF); each commit-seq group is
+    * range-repartitioned + sorted on (partitionKeys, rank) and rewritten
+    * through the shared staged-rename path — like [[compact]], files from
+    * different commits are never merged, so overlay keep-last semantics
+    * survive (a bulk-loaded dataset is one group = full clustering). Zone
+    * sidecars for `columns` are (re)built and registered, everything
+    * publishes as ONE atomic metadata commit, and the replaced files
+    * become unreferenced for [[garbageCollect]].
+    */
+  def clusterZOrder(
+      spark: SparkSession,
+      base: String,
+      uuid: String,
+      columns: Seq[String],
+      targetFileBytes: Long = 128L * 1024 * 1024): DatasetMetadata = {
+    val md = migrateInlineZones(spark, base, DatasetMetadata.load(spark, base, uuid))
+    require(columns.nonEmpty && columns.size <= 8,
+      s"z-order takes 1..8 columns, got ${columns.size}")
+    val schema = md.schema
+    columns.foreach { c =>
+      require(schema.fieldNames.contains(c), s"z-order column '$c' not in schema")
+      require(!md.partitionKeys.contains(c),
+        s"z-order column '$c' is a partition key — directory layout already prunes it")
+      val dt = schema(c).dataType
+      require(dt.isInstanceOf[NumericType] || dt == DateType || dt == TimestampType,
+        s"z-order column '$c' must be numeric/date/timestamp, got $dt")
+    }
+    if (md.partitions.isEmpty) return md
+    val tableDir = md.tableDir(base)
+    val allLabels = md.partitions.keys.toSeq.sorted
+    def asDouble(c: String): org.apache.spark.sql.Column = schema(c).dataType match {
+      case DateType      => unix_date(col(s"`$c`")).cast("double")
+      case TimestampType => unix_micros(col(s"`$c`")).cast("double")
+      case _             => col(s"`$c`").cast("double")
+    }
+    // one global quantile pass fixes the bucket boundaries — groups must
+    // agree on them or ranges would only be tight within a group
+    val probe = spark.read.option("basePath", tableDir)
+      .parquet(allLabels.map(l => s"$tableDir/$l"): _*)
+      .select(columns.zipWithIndex.map { case (c, i) => asDouble(c).as(s"__z$i") }: _*)
+    val probs = (1 until graft.core.ZOrder.Buckets)
+      .map(_.toDouble / graft.core.ZOrder.Buckets).toArray
+    val boundaries = probe.stat.approxQuantile(
+      columns.indices.map(i => s"__z$i").toArray, probs, 0.001)
+
+    val bySeq: Map[Long, Seq[String]] =
+      allLabels.groupBy(md.seqOf).map { case (s, ls) => s -> ls.sorted }
+    val zc = "__graft_zrank"
+    val movedBySeq = rewriteGroupsStaged(spark, base, md, bySeq) { (data, labels) =>
+      val totalBytes = labels.map(md.sizeOf).sum
+      val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
+      val ranked = data.withColumn(zc,
+        graft.core.ZOrder.rankColumn(columns.map(asDouble), boundaries))
+      val parts = md.partitionKeys.map(c => col(s"`$c`")) :+ col(zc)
+      // range partition AND sort within files on the rank: file-level
+      // ranges are tight (zone pruning) and row groups inside follow
+      ranked.repartitionByRange(nOut, parts: _*)
+        .sortWithinPartitions(parts: _*)
+        .drop(zc)
+    }
+    val newSeqOf = scala.collection.mutable.Map.empty[String, Long]
+    movedBySeq.foreach { case (seq, ls) => ls.foreach { case (l, _) => newSeqOf(l) = seq } }
+    val finalPartitions: Map[String, Long] = movedBySeq.flatMap(_._2).toMap
+    val finalSeq = finalPartitions.keys.map(l => l -> newSeqOf(l)).toMap
+    val newLabels = finalPartitions.keys.toSeq.sorted
+
+    // zone maps over the clustered columns are the POINT of the layout —
+    // register any that are missing, then rebuild all sidecars over the
+    // new files (no survivors: every file was rewritten)
+    val mdZ = md.copy(zones = md.zoneRegistry ++
+      columns.filterNot(md.zoneRegistry.contains).map(c => c -> newSidecarName(c)))
+    val idxReg = mergeIndicesIncremental(spark, base, mdZ, tableDir,
+      survivingOld = Nil, newLabels = newLabels)
+    val bloomReg = mergeBloomsIncremental(spark, base, mdZ, tableDir,
+      survivingOld = Nil, newLabels = newLabels)
+    val zoneReg = mergeZonesIncremental(spark, base, mdZ, tableDir,
+      survivingOld = Nil, newLabels = newLabels)
+    val md1 = mdZ.copy(partitions = finalPartitions, partitionSeq = finalSeq,
+      indices = idxReg, blooms = bloomReg, zones = zoneReg)
     DatasetMetadata.store(spark, base, md1, parentMd = Some(md))
   }
 

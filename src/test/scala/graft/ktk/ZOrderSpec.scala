@@ -1,0 +1,93 @@
+package graft.ktk
+
+import graft.SparkSpec
+import graft.core.{Predicates, ZOrder}
+import org.apache.spark.sql.functions._
+
+/** Z-order layout: rank-math parity (codegen Column vs JVM reference), and
+  * the point of the whole exercise — a file layout tight in EVERY
+  * clustered dimension, so zone maps prune on a NON-LEADING column where a
+  * plain leading-column sort prunes nothing.
+  */
+class ZOrderSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("rankColumn (codegen) agrees with ZOrder.encode (JVM) row-for-row") {
+    val rows = (0 until 2000).map { i =>
+      val x = ((i * 2654435761L) % 997).toDouble
+      val y = if (i % 17 == 0) None else Some((i % 251).toDouble)
+      (i.toLong, x, y)
+    }
+    val df = rows.toDF("id", "x", "y")
+    val probs = (1 until ZOrder.Buckets).map(_.toDouble / ZOrder.Buckets).toArray
+    val bounds = df.stat.approxQuantile(Array("x", "y"), probs, 0.001)
+    val got = df.withColumn("z",
+        ZOrder.rankColumn(Seq(col("x").cast("double"), col("y").cast("double")), bounds))
+      .select("id", "x", "y", "z").collect()
+    got.length shouldBe 2000
+    got.foreach { r =>
+      val x: java.lang.Double = r.getDouble(1)
+      val y: java.lang.Double = if (r.isNullAt(2)) null else r.getDouble(2)
+      withClue(s"id=${r.getLong(0)} x=$x y=$y: ") {
+        r.getLong(3) shouldBe ZOrder.encode(Array(x, y), bounds)
+      }
+    }
+  }
+
+  test("z-order prunes on the NON-LEADING clustered column; a plain sort cannot") {
+    val base = tmpDir("zorder")
+    val n = 64
+    val grid = (for { x <- 0 until n; y <- 0 until n } yield (x.toLong, y.toLong, s"v$x-$y"))
+      .toDF("x", "y", "v")
+    // plain leading-column sort: 16 x-tight files, each spanning ALL of y
+    Ktk.store(spark, base, "sorted", grid.repartitionByRange(16, col("x")),
+      zoneMapFor = Seq("x", "y"))
+    // same data z-ordered: files tile BOTH dimensions at once
+    Ktk.store(spark, base, "zord", grid.repartition(16))
+    val mdPre = DatasetMetadata.load(spark, base, "zord")
+    val total = mdPre.partitions.keys.map(mdPre.sizeOf).sum
+    Ktk.clusterZOrder(spark, base, "zord", Seq("x", "y"),
+      targetFileBytes = math.max(1L, total / 16))
+    val mdZ = DatasetMetadata.load(spark, base, "zord")
+    mdZ.partitions.size should be >= 8
+    val pred = Predicates.of(Seq(("y", "==", 7L)))
+    // plain sort layout: the y predicate prunes NOTHING
+    val mdS = DatasetMetadata.load(spark, base, "sorted")
+    Ktk.queryLabels(spark, base, mdS, pred).size shouldBe mdS.partitions.size
+    // z-order layout: only the tiles whose y-range covers 7 are scheduled
+    val zLabels = Ktk.queryLabels(spark, base, mdZ, pred)
+    (zLabels.size.toDouble / mdZ.partitions.size) should be < 0.5
+    // the leading dimension still prunes as well
+    Ktk.queryLabels(spark, base, mdZ,
+      Predicates.of(Seq(("x", "==", 3L)))).size should be < mdZ.partitions.size
+    // correctness: filtered and full reads identical to the source grid
+    Ktk.readTable(spark, base, "zord", predicates = pred)
+      .select("x").as[Long].collect().sorted.toSeq shouldBe (0L until n)
+    Ktk.readTable(spark, base, "zord").count() shouldBe (n.toLong * n)
+  }
+
+  test("clusterZOrder never merges commits; content identical; bad columns rejected") {
+    val base = tmpDir("zorder2")
+    Ktk.store(spark, base, "ds",
+      (0 until 300).map(i => (i.toLong, (i % 50).toLong, s"a$i")).toDF("k", "g", "v")
+        .repartition(4))
+    Ktk.update(spark, base, "ds",
+      Some((300 until 400).map(i => (i.toLong, (i % 50).toLong, s"b$i")).toDF("k", "g", "v")
+        .repartition(3)))
+    val before = Ktk.readTable(spark, base, "ds").collect().map(_.toString).sorted
+    val md0 = DatasetMetadata.load(spark, base, "ds")
+    val seqs0 = md0.partitions.keys.map(md0.seqOf).toSet
+    seqs0.size shouldBe 2
+    Ktk.clusterZOrder(spark, base, "ds", Seq("k", "g"), targetFileBytes = 4096)
+    val md1 = DatasetMetadata.load(spark, base, "ds")
+    // every rewritten file inherits one of the original commit seqs —
+    // overlay keep-last semantics survive the layout rewrite
+    md1.partitions.keys.map(md1.seqOf).toSet shouldBe seqs0
+    Ktk.readTable(spark, base, "ds").collect().map(_.toString).sorted shouldBe before
+    // zone registry gained the clustered columns
+    md1.zoneRegistry.keySet should contain allOf ("k", "g")
+    // non-numeric and unknown columns are rejected loudly
+    intercept[IllegalArgumentException] { Ktk.clusterZOrder(spark, base, "ds", Seq("v")) }
+    intercept[IllegalArgumentException] { Ktk.clusterZOrder(spark, base, "ds", Seq("nope")) }
+  }
+}
