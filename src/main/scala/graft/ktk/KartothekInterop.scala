@@ -506,6 +506,15 @@ object KartothekInterop {
     * table is inherent to this (deprecated) format, not a Spark limitation.
     * Tables missing a partition simply omit their entry from that label's
     * `files` dict (the reference tolerates sparse tables the same way).
+    *
+    * SCALE CAVEAT — legacy export surface only: the stem-alignment pass is
+    * a DRIVER-SIDE recursive listing + one rename per file, O(#labels ×
+    * #tables) serial FS round-trips. That is fine for the archives this
+    * format exists for (hundreds of labels) and deliberately NOT for bulk
+    * data — the op refuses above `maxLabels` rather than grind for hours
+    * against an object store. Large datasets belong in graft's native
+    * format ([[graft.ktk.Ktk.store]], fully distributed) with per-table
+    * [[write]] exports.
     */
   def writeMulti(
       spark: SparkSession,
@@ -513,7 +522,8 @@ object KartothekInterop {
       uuid: String,
       tables: Map[String, DataFrame],
       partitionOn: Seq[String] = Nil,
-      overwrite: Boolean = false): V4Dataset = {
+      overwrite: Boolean = false,
+      maxLabels: Int = 10000): V4Dataset = {
     require(tables.nonEmpty, "writeMulti needs at least one table")
     tables.foreach { case (t, df) =>
       partitionOn.foreach(c => require(df.columns.contains(c),
@@ -552,6 +562,11 @@ object KartothekInterop {
           byDir(dir) = byDir.getOrElse(dir, Nil) :+ st.getPath
         }
       }
+      if (byDir.size > maxLabels)
+        throw new IllegalArgumentException(
+          s"writeMulti: table '$table' produced ${byDir.size} partition labels, " +
+            s"over the $maxLabels cap for this legacy driver-side export path — " +
+            "use the native graft format for datasets this large")
       byDir.toSeq.sortBy(_._1).foreach { case (dir, files) =>
         require(files.size == 1,
           s"table '$table' dir '$dir' has ${files.size} files; multi-table " +

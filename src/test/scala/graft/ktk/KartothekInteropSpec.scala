@@ -326,6 +326,14 @@ class KartothekInteropSpec extends SparkSpec {
       predicates = Predicates.of(Seq(("p", "==", 1))))
     p1.select("note").as[String].collect().sorted.toSeq shouldBe Seq("a", "b")
     p1.inputFiles.forall(f => f.contains("/aux/") && f.contains("p=1")) shouldBe true
+    // the legacy driver-side export refuses past its label cap instead of
+    // grinding per-file renames against an object store
+    val wide = (0 until 8).map(i => (i, i.toLong)).toDF("p", "id")
+    val ex = intercept[IllegalArgumentException] {
+      KartothekInterop.writeMulti(spark, base, "multicap", Map("core" -> wide),
+        partitionOn = Seq("p"), maxLabels = 4)
+    }
+    ex.getMessage should include("cap")
   }
 
   test("write produces a reference-shaped layout that round-trips") {
