@@ -779,6 +779,20 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q_dedup_incremental" -> ((s, dir) => {
+      // cross-run ingest dedup: the new batch (even doc_ids) filters
+      // against the already-ingested corpus (doc_ids not divisible by 3)
+      // through a broadcast Bloom sketch + exact broadcast confirm —
+      // history text is never re-read and its hash column never shuffles
+      // (DedupIncrementalSpec pins the broadcast-only plan)
+      val docs = t(s, dir, "documents")
+      val history = docs.filter(col("doc_id") % 3 =!= 0)
+      val batch = docs.filter(col("doc_id") % 2 === 0)
+      Dedup.exactAgainstHistory(batch, history, "text")
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id")
+    }),
+
     "q_dedup_minhash" -> ((s, dir) => {
       // plant near-duplicates (prefix mutation), near-dedup at 0.6
       val d = t(s, dir, "documents")
@@ -1935,6 +1949,12 @@ object SparkEntry {
         |  SELECT doc_id + 1000000 AS doc_id, text, lang, n_chars FROM documents)
         |SELECT doc_id, lang, n_chars FROM u
         |QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_dedup_incremental" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE doc_id % 2 = 0
+        |  AND text NOT IN (SELECT text FROM documents WHERE doc_id % 3 <> 0)
         |ORDER BY doc_id""".stripMargin,
 
     "q_dedup_ngram" ->

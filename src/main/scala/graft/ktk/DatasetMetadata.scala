@@ -186,14 +186,41 @@ object DatasetMetadata {
     * listings. Explicitly invalidated where records are destroyed:
     * [[delete]], gc's record pruning, and `createEmpty(overwrite)` (the
     * one writer path that restarts a version line in place).
+    *
+    * Bounded by WEIGHT (total cached partition labels), not entry count: a
+    * snapshot of a million-file dataset is ~100 MB of driver heap, so a
+    * count-only bound could pin tens of GB. Eviction drops
+    * least-recently-used entries until the label total fits — one huge
+    * dataset still caches (a single over-weight entry is allowed, the map
+    * just holds nothing else), which is the Delta/Iceberg
+    * one-snapshot-per-table behavior.
     */
-  private val snapshotCache: java.util.Map[(String, String, Long), DatasetMetadata] =
-    java.util.Collections.synchronizedMap(
-      new java.util.LinkedHashMap[(String, String, Long), DatasetMetadata](64, 0.75f, true) {
-        override def removeEldestEntry(
-            e: java.util.Map.Entry[(String, String, Long), DatasetMetadata]): Boolean =
-          size() > 256
-      })
+  private val MaxCacheEntries = 256
+  private val MaxCacheWeight = 2_000_000L // total partition labels resident
+  private def entryWeight(md: DatasetMetadata): Long =
+    16L + Option(md.partitions).map(_.size.toLong).getOrElse(0L)
+  private var cacheWeight = 0L
+  private val snapshotCache: java.util.LinkedHashMap[(String, String, Long), DatasetMetadata] =
+    new java.util.LinkedHashMap[(String, String, Long), DatasetMetadata](64, 0.75f, true)
+
+  private[ktk] def cacheGet(k: (String, String, Long)): DatasetMetadata =
+    snapshotCache.synchronized { snapshotCache.get(k) }
+
+  /** (entries, total label weight) — test observability for the bound. */
+  private[ktk] def cacheStats: (Int, Long) =
+    snapshotCache.synchronized { (snapshotCache.size(), cacheWeight) }
+
+  private[ktk] def cachePut(k: (String, String, Long), md: DatasetMetadata): Unit =
+    snapshotCache.synchronized {
+      val prev = snapshotCache.put(k, md)
+      cacheWeight += entryWeight(md) - (if (prev == null) 0L else entryWeight(prev))
+      val it = snapshotCache.entrySet().iterator()
+      while ((cacheWeight > MaxCacheWeight || snapshotCache.size() > MaxCacheEntries)
+          && snapshotCache.size() > 1 && it.hasNext) {
+        val eldest = it.next()
+        if (eldest.getKey != k) { cacheWeight -= entryWeight(eldest.getValue); it.remove() }
+      }
+    }
 
   /** Drop every cached snapshot of one dataset — required whenever its
     * version line is destroyed or restarted (delete, overwrite-recreate).
@@ -202,16 +229,21 @@ object DatasetMetadata {
     val it = snapshotCache.entrySet().iterator()
     while (it.hasNext) {
       val e = it.next()
-      if (e.getKey._1 == base && e.getKey._2 == uuid) it.remove()
+      if (e.getKey._1 == base && e.getKey._2 == uuid) {
+        cacheWeight -= entryWeight(e.getValue)
+        it.remove()
+      }
     }
   }
 
   /** Drop one cached version — gc calls this for each pruned record so a
     * post-gc `loadVersion` fails loudly instead of answering from cache.
     */
-  private[graft] def uncacheVersion(base: String, uuid: String, v: Long): Unit = {
-    snapshotCache.remove((base, uuid, v)); ()
-  }
+  private[graft] def uncacheVersion(base: String, uuid: String, v: Long): Unit =
+    snapshotCache.synchronized {
+      val prev = snapshotCache.remove((base, uuid, v))
+      if (prev != null) cacheWeight -= entryWeight(prev)
+    }
 
   // Planning-cost observability (tests assert on deltas of these): every
   // commit-record read, `_versions` listing, and pointer read counts once.
@@ -296,7 +328,7 @@ object DatasetMetadata {
     */
   def loadVersion(spark: SparkSession, base: String, uuid: String, v: Long): DatasetMetadata = {
     val cacheKey = (base, uuid, v)
-    val cached = snapshotCache.get(cacheKey)
+    val cached = cacheGet(cacheKey)
     if (cached != null) { cacheHits.incrementAndGet(); return cached }
     val filesystem = fs(spark, base)
     def readFull(k: Long): DatasetMetadata = {
@@ -331,7 +363,7 @@ object DatasetMetadata {
         var k = v
         var baseMd: DatasetMetadata = null
         while (baseMd == null) {
-          val cachedK = if (k != v) snapshotCache.get((base, uuid, k)) else null
+          val cachedK = if (k != v) cacheGet((base, uuid, k)) else null
           if (cachedK != null) { cacheHits.incrementAndGet(); baseMd = cachedK }
           else if (hasFull(k)) baseMd = readFull(k)
           else if (k < 1 || !hasDelta(k))
@@ -347,7 +379,7 @@ object DatasetMetadata {
         }
         deltas.foldLeft(baseMd)(applyDelta)
       }
-    snapshotCache.put(cacheKey, result)
+    cachePut(cacheKey, result)
     result
   }
 
@@ -504,7 +536,7 @@ object DatasetMetadata {
     }
     // seed the snapshot cache: the committing JVM's next load() costs one
     // pointer read (md IS the state loadVersion(newV) would reconstruct)
-    snapshotCache.put((base, md.uuid, newV), md)
+    cachePut((base, md.uuid, newV), md)
     md
   }
 

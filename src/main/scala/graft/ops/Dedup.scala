@@ -85,6 +85,64 @@ object Dedup {
     df.join(keep, Seq(idCol), "left_semi")
   }
 
+  /** CROSS-RUN incremental dedup: keep the rows of a NEW batch whose
+    * content does not already exist in `history` — the continuous-ingest
+    * primitive (each crawl batch dedupes against everything already
+    * ingested) that makes per-batch cost O(batch + one history hash
+    * scan) instead of re-deduplicating the full corpus per run.
+    *
+    * Scale shape — the history side NEVER shuffles:
+    *  1. one aggregate pass over history's 64-bit content hashes builds a
+    *     Bloom filter (partial sketches OR-merge map-side; ~1.2 GB at 1e9
+    *     docs / 1% fpp), broadcast once;
+    *  2. the batch filters through it — definite-new rows (the
+    *     overwhelming majority of a crawl batch) pass with zero join;
+    *  3. the might-contain residue (true dups + fpp × batch) is confirmed
+    *     exactly: history hashes LEFT SEMI join the BROADCAST residue
+    *     hashes (the huge side is probe-only, map-scanned), and the
+    *     confirmed-dup hashes — ≤ residue, small — broadcast back as a
+    *     LEFT ANTI against the residue.
+    * Choose `fpp` so fpp × batch stays broadcastable; at 1% and a 100M-row
+    * batch the residue bound is ~1M hashes = 8 MB. DedupIncrementalSpec
+    * pins the no-shuffle-on-history plan.
+    *
+    * Semantics are hash-exact (xxhash64 of `textCol`, like [[exactByHash]];
+    * ~n²·2⁻⁶⁵ expected collisions — single digits at 10B docs). Batch rows
+    * are NOT deduped against each other — compose with [[exactByHash]] for
+    * intra-batch dedup. `expectedHistoryItems` sizes the sketch; 0 means
+    * count(history) first (one cheap extra job).
+    */
+  def exactAgainstHistory(
+      newDf: DataFrame,
+      history: DataFrame,
+      textCol: String,
+      fpp: Double = 0.01,
+      expectedHistoryItems: Long = 0L): DataFrame = {
+    require(fpp > 0 && fpp < 1, s"fpp must be in (0, 1), got $fpp")
+    val h = xxhash64(col(s"`$textCol`"))
+    val histH = history.select(h.as("__h"))
+    // empty history short-circuits: nothing to dedup against (and Spark's
+    // bloom aggregate over zero rows yields a null sketch)
+    val items =
+      if (expectedHistoryItems > 0L) { if (histH.isEmpty) return newDf; expectedHistoryItems }
+      else histH.count()
+    if (items == 0L) return newDf
+    val bloom = histH.stat.bloomFilter("__h", items, fpp)
+    val bc = newDf.sparkSession.sparkContext.broadcast(bloom)
+    // scalar long→bool probe of the broadcast sketch; applies to the BATCH
+    // side only (the codegen'd history scan is untouched), so the one
+    // non-codegen expression sits on the small side of the pipeline
+    val mightContain = udf((x: Long) => bc.value.mightContainLong(x))
+    val batch = newDf.withColumn("__h", h)
+    val residue = batch.filter(mightContain(col("__h")))
+    val confirmed = histH
+      .join(broadcast(residue.select("__h").distinct()), Seq("__h"), "left_semi")
+      .distinct()
+    val survivors = batch.filter(!mightContain(col("__h")))
+      .unionByName(residue.join(broadcast(confirmed), Seq("__h"), "left_anti"))
+    survivors.drop("__h")
+  }
+
   /** Cross-document PARAGRAPH dedup (the FineWeb/Dolma pipeline step:
     * boilerplate paragraphs repeat across pages; only the globally-first
     * occurrence survives). Paragraphs = `sep`-delimited segments; identity =

@@ -285,6 +285,22 @@ class VersioningSpec extends SparkSpec {
     (rr4, lr4, pr4) shouldBe ((0L, 0L, 1L))
   }
 
+  test("snapshot cache is weight-bounded: a flood of fat snapshots cannot pin the heap") {
+    val fat = (0 until 200_000).map(i => s"p/f$i.parquet" -> 1L).toMap
+    (0 until 30).foreach { i =>
+      DatasetMetadata.cachePut(("weighttest", s"ds$i", 1L),
+        DatasetMetadata(uuid = s"ds$i", partitions = fat))
+    }
+    val (entries, weight) = DatasetMetadata.cacheStats
+    // 30 × 200k labels inserted; the bound keeps ≤ 2M labels resident
+    weight should be <= 2_000_000L + 200_016L // one over-weight entry tolerated
+    entries should be <= 11
+    // the most recent insert survives eviction
+    DatasetMetadata.cacheGet(("weighttest", "ds29", 1L)) should not be null
+    (0 until 30).foreach(i => DatasetMetadata.invalidateCache("weighttest", s"ds$i"))
+    DatasetMetadata.cacheStats._1 should be >= 0
+  }
+
   test("createEmpty(overwrite) restarts the version line; stale cache never served") {
     val base = tmpDir("ver")
     Ktk.store(spark, base, "ds", df1)                       // v1, old line, 2 rows
