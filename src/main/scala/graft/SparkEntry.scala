@@ -793,6 +793,40 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q_dedup_minhash_incr" -> ((s, dir) => {
+      // cross-run NEAR-dedup: a new crawl batch filters against the
+      // already-ingested corpus represented ONLY by its persisted minhash
+      // signature table (history text never re-read, history never
+      // shuffled — broadcast-pruned banded scan, DedupIncrementalSpec pins
+      // the plan). Batch = prefix-mutated near-copies of history (must ALL
+      // drop — exact recall gate) ∪ fresh docs, which mostly survive: the
+      // synthetic corpus has a natural near-dup tail (~6% of fresh docs
+      // genuinely match history at 0.6, correctly dropped), so the fresh
+      // side is a measured ≥90% floor, ANN-gate style.
+      val docs = t(s, dir, "documents")
+      val history = docs.filter(col("doc_id") % 3 =!= 0)
+      val sigs = Dedup.minhashSignatures(history, "doc_id", "text")
+      val nearCopies = history
+        .withColumn("doc_id", col("doc_id") + 1000000)
+        .withColumn("text", concat(lit("xqzy "), col("text")))
+      val fresh = docs.filter(col("doc_id") % 3 === 0)
+      val batch = nearCopies.unionByName(fresh)
+      val out = Dedup.minhashAgainstHistory(batch, "doc_id", "text", sigs, threshold = 0.6)
+      val agg = out.groupBy().agg(
+        count(lit(1)).as("survivors"),
+        sum(when(col("doc_id") >= 1000000, 1L).otherwise(0L)).as("near_copy_survivors"),
+        min("doc_id").as("min_id"))
+      val (survivors, nearSurvivors) = {
+        val r = agg.collect()(0); (r.getLong(0), r.getLong(1))
+      }
+      val freshCount = fresh.count()
+      require(nearSurvivors == 0 && survivors <= freshCount &&
+          survivors >= (0.9 * freshCount).toLong,
+        s"incremental minhash regressed: $nearSurvivors near-copies survived, " +
+          s"$survivors survivors vs $freshCount fresh docs (floor 90%)")
+      agg
+    }),
+
     "q_dedup_minhash" -> ((s, dir) => {
       // plant near-duplicates (prefix mutation), near-dedup at 0.6
       val d = t(s, dir, "documents")
@@ -1690,7 +1724,8 @@ object SparkEntry {
   // ------------------------------------------------------------------------
   // DuckDB oracles. Omitted ONLY for genuinely hash/LSH-seeded ops whose
   // output depends on the engine's own hash family (q_dedup_minhash/_cc,
-  // q_dedup_simhash, q_ann_lsh, q_ann_ivf, q_emb_neardup, q_hash_dataset,
+  // q_dedup_minhash_incr, q_dedup_simhash, q_ann_lsh, q_ann_ivf,
+  // q_emb_neardup, q_hash_dataset,
   // q_pipeline_e2e via its minhash stage, q_multimodal via the stub codec)
   // → rows-only check; their exact semantics are covered by ScalaTest
   // oracles with planted data.

@@ -349,6 +349,49 @@ object Dedup {
     * full answer on dup-heavy corpora use the star-edge dedup entry points,
     * which handle giant buckets in O(n).
     */
+  /** One-pass signature + per-band bucket hashes for one document, both
+    * primitive arrays. b-bit minhash: the verification stage keeps one
+    * byte per slot — 8x smaller shuffle/join payload, estimator bias
+    * bounded by 1/256.
+    */
+  private def sigAndBandsUdf(shingleK: Int, numHashes: Int, bands: Int) = {
+    val rowsPerBand = numHashes / bands
+    udf { (t: String) =>
+      val sig = minhashSignature(if (t == null) "" else t, shingleK, numHashes)
+      val bandHash = Array.tabulate(bands) { b =>
+        var h = b.toLong
+        var i = 0
+        while (i < rowsPerBand) { h = mix64(h ^ sig(b * rowsPerBand + i), i + 11); i += 1 }
+        h
+      }
+      val sigBytes = Array.tabulate(numHashes)(i => (sig(i) & 0xff).toByte)
+      (sigBytes, bandHash)
+    }
+  }
+
+  /** MinHash signature table `(id, sig array<byte>, bands array<long>)` of
+    * a corpus — the persistable artifact [[minhashAgainstHistory]] dedupes
+    * new batches against (write it once per corpus with `Ktk.store` /
+    * plain parquet; extend it with each accepted batch's signatures).
+    * Parameters must match between the table and later batch calls — the
+    * hashes are deterministic, so equal parameters give equal signatures.
+    */
+  def minhashSignatures(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleK: Int = 5,
+      numHashes: Int = 128,
+      bands: Int = 32): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    val sigUdf = sigAndBandsUdf(shingleK, numHashes, bands)
+    df.select(col(idCol).as("id"), col(textCol).as("__t"))
+      .repartition(par)
+      .select(col("id"), sigUdf(col("__t")).as("s"))
+      .select(col("id"), col("s._1").as("sig"), col("s._2").as("bands"))
+  }
+
   def minhashCandidates(
       df: DataFrame,
       idCol: String,
@@ -359,30 +402,9 @@ object Dedup {
       maxBucket: Int = 1000,
       skippedBuckets: Option[org.apache.spark.util.LongAccumulator] = None): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
-    val rowsPerBand = numHashes / bands
-    val spark = df.sparkSession
-    // one pass per row: signature + per-band bucket hashes, both primitive
-    val sigUdf = udf { (t: String) =>
-      val sig = minhashSignature(if (t == null) "" else t, shingleK, numHashes)
-      val bandHash = Array.tabulate(bands) { b =>
-        var h = b.toLong
-        var i = 0
-        while (i < rowsPerBand) { h = mix64(h ^ sig(b * rowsPerBand + i), i + 11); i += 1 }
-        h
-      }
-      // b-bit minhash: keep one byte per slot for the verification stage --
-      // 8x smaller shuffle/join payload, estimator bias bounded by 1/256
-      val sigBytes = Array.tabulate(numHashes)(i => (sig(i) & 0xff).toByte)
-      (sigBytes, bandHash)
-    }
-
-    // documents usually arrive as few large files; spread the CPU-bound
-    // signature computation across the cluster before the per-row pass
-    val par = spark.sparkContext.defaultParallelism
-    val sigs = df.select(col(idCol).as("id"), col(textCol).as("__t"))
-      .repartition(par)
-      .select(col("id"), sigUdf(col("__t")).as("s"))
-      .select(col("id"), col("s._1").as("sig"), col("s._2").as("bands"))
+    // documents usually arrive as few large files; minhashSignatures
+    // spreads the CPU-bound signature pass across the cluster first
+    val sigs = minhashSignatures(df, idCol, textCol, shingleK, numHashes, bands)
 
     // candidate generation shuffles ONLY (band, bucket, id) — 24 bytes/row,
     // never the 8*numHashes-byte signature
@@ -417,6 +439,87 @@ object Dedup {
       .join(sigs.select(col("id").as("id_b"), col("sig").as("__sb")), "id_b")
       .select(col("id_a"), col("id_b"), overlapUdf(col("__sa"), col("__sb")).as("est_jaccard"))
   }
+
+  /** CROSS-RUN incremental NEAR-dedup: drop batch rows whose text is a
+    * near-duplicate (b-bit signature overlap >= `threshold`) of anything
+    * in an already-ingested corpus, represented by its PERSISTED
+    * [[minhashSignatures]] table — history text is never re-read, and the
+    * history table itself never shuffles: its banded scan is filtered by a
+    * BROADCAST of the batch's (band, bucket) keys, so only the colliding
+    * candidates (O(batch × collision rate), not O(history)) flow into the
+    * verification join. The near-dup complement of
+    * [[exactAgainstHistory]]; same continuous-ingest shape as FineWeb /
+    * Dolma-style pipelines that dedupe each crawl snapshot against all
+    * prior ones.
+    *
+    * Over-cap buckets (boilerplate that collides with everything) are
+    * SKIPPED and counted into `skippedBuckets` when supplied — the
+    * no-silent-caps contract of [[minhashCandidates]].
+    * `shingleK`/`numHashes`/`bands` MUST match the values the signature
+    * table was built with (deterministic hashes ⇒ equal parameters give
+    * comparable signatures). A mismatch changes the band hashes, so
+    * buckets stop colliding and recall silently degrades — keep the
+    * parameters with the table (e.g. in the dataset's user metadata).
+    */
+  def minhashAgainstHistory(
+      newDf: DataFrame,
+      idCol: String,
+      textCol: String,
+      historySigs: DataFrame,
+      threshold: Double = 0.8,
+      shingleK: Int = 5,
+      numHashes: Int = 128,
+      bands: Int = 32,
+      maxBucket: Int = 100000,
+      skippedBuckets: Option[org.apache.spark.util.LongAccumulator] = None): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val batchSigs = minhashSignatures(newDf, idCol, textCol, shingleK, numHashes, bands)
+    val batchBanded = batchSigs
+      .select(col("id").as("__bid"), col("sig").as("__bsig"),
+        posexplode(col("bands")).as(Seq("band", "bucket")))
+    val bandKeys = batchBanded.select("band", "bucket").distinct()
+    // history: map-scan + broadcast semi — candidates only survive
+    val histCand = historySigs
+      .select(col("id").as("__hid"), col("sig").as("__hsig"),
+        posexplode(col("bands")).as(Seq("band", "bucket")))
+      .join(broadcast(bandKeys), Seq("band", "bucket"))
+    // cap pathological buckets (counted, never silent); the count runs on
+    // the candidate subset, which is already batch-collision-sized. Unlike
+    // bucketCapFilter there is NO >=2 floor: one history candidate plus
+    // one batch doc IS a legitimate dup pair here.
+    val capKeep: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      skippedBuckets match {
+        case None => n => n <= maxBucket
+        case Some(acc) =>
+          val f = udf { (n: Int) =>
+            if (n > maxBucket) acc.add(1L)
+            n <= maxBucket
+          }.asNondeterministic()
+          n => f(n)
+      }
+    val keptBuckets = histCand.groupBy("band", "bucket")
+      .agg(count(lit(1)).as("__n"))
+      .filter(capKeep(col("__n").cast("int")))
+      .select("band", "bucket")
+    val verified = histCand
+      .join(broadcast(keptBuckets), Seq("band", "bucket"))
+      .join(batchBanded, Seq("band", "bucket"))
+      .filter(sigOverlap(col("__hsig"), col("__bsig")) >= threshold)
+    val matched = verified.select(col("__bid").as(idCol)).distinct()
+    newDf.join(broadcast(matched), Seq(idCol), "left_anti")
+  }
+
+  /** Fraction of agreeing b-bit signature slots — the Jaccard estimate
+    * used by every minhash verification stage.
+    */
+  private val sigOverlap = udf((sa: Array[Byte], sb: Array[Byte]) => {
+    require(sa.length == sb.length,
+      s"signature length mismatch (${sa.length} vs ${sb.length}): history table " +
+        "and batch were built with different numHashes")
+    var m = 0; var t = 0
+    while (t < sa.length) { if (sa(t) == sb(t)) m += 1; t += 1 }
+    m.toDouble / sa.length
+  })
 
   /** Near-dedup via MinHash with STAR-shaped bucket verification: within
     * each LSH bucket only (minId, member) edges are scored — O(n) per bucket
