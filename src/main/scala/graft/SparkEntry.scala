@@ -267,6 +267,51 @@ object SparkEntry {
         .orderBy("o_orderkey")
     }),
 
+    "q_ktk_delete_rows" -> ((s, dir) => {
+      // row-level DELETE via deletion vectors (Delta/Iceberg merge-on-read):
+      // the commit writes ONE (label, pos) tombstone fragment, no data file
+      // is rewritten, and reads anti-join the vectors on exactly the files
+      // they touch. Re-running the identical DELETE must find nothing
+      // (fragments stay disjoint) — both invariants gated in-query.
+      val base = scratch(dir)
+      val orders = t(s, dir, "orders")
+      Ktk.store(s, base, "orders_dv",
+        orders.select("o_orderkey", "o_orderstatus", "o_totalprice"),
+        partitionOn = Seq("o_orderstatus"), overwrite = true)
+      val before = graft.ktk.DatasetMetadata.load(s, base, "orders_dv").partitions.keySet
+      val (md1, n) = Ktk.deleteRows(s, base, "orders_dv",
+        predicates = Predicates.of(Seq(("o_totalprice", ">", 150000.0))))
+      val (_, n2) = Ktk.deleteRows(s, base, "orders_dv",
+        predicates = Predicates.of(Seq(("o_totalprice", ">", 150000.0))))
+      require(n > 0 && n2 == 0L && md1.partitions.keySet == before,
+        s"deletion vectors regressed: n=$n rerun=$n2 filesChanged=${md1.partitions.keySet != before}")
+      Ktk.readTable(s, base, "orders_dv",
+        columns = Seq("o_orderkey", "o_orderstatus", "o_totalprice"))
+        .orderBy("o_orderkey")
+    }),
+
+    "q_ktk_merge" -> ((s, dir) => {
+      // MERGE (upsert) merge-on-read: matched target rows become a deletion-
+      // vector fragment, the source appends as new files — ONE commit, ZERO
+      // data-file rewrites, O(batch) cost at any target size.
+      val base = scratch(dir)
+      val orders = t(s, dir, "orders").select("o_orderkey", "o_orderstatus", "o_totalprice")
+      Ktk.store(s, base, "orders_mrg", orders,
+        partitionOn = Seq("o_orderstatus"), overwrite = true)
+      val src = orders.filter(col("o_orderkey") % 10 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + lit(1000.0))
+        .unionByName(orders.filter(col("o_orderkey") % 10 === 3)
+          .withColumn("o_orderkey", col("o_orderkey") + lit(100000000L)))
+      val v0 = graft.ktk.DatasetMetadata.load(s, base, "orders_mrg").version
+      val (md1, matched) = Ktk.merge(s, base, "orders_mrg", src, keys = Seq("o_orderkey"))
+      require(matched > 0 && md1.version == v0 + 1,
+        s"merge regressed: matched=$matched versions=${v0} -> ${md1.version}")
+      Ktk.readTable(s, base, "orders_mrg")
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("cnt"), round(sum("o_totalprice"), 2).as("total"))
+        .orderBy("o_orderstatus")
+    }),
+
     "q_ktk_timetravel" -> ((s, dir) => {
       // versioned metadata: v1 = orders with status O only; v2 deletes O and
       // appends F. The as-of-v1 read must see EXACTLY the v1 content even
@@ -1812,6 +1857,25 @@ object SparkEntry {
       """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
         |WHERE o_orderstatus <> 'F' OR (o_orderstatus = 'F' AND o_totalprice > 100000.0)
         |ORDER BY 1""".stripMargin,
+
+    "q_ktk_delete_rows" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |WHERE NOT (o_totalprice > 150000.0) ORDER BY 1""".stripMargin,
+
+    "q_ktk_merge" ->
+      """WITH src AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice + 1000.0 AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 10 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 100000000, o_orderstatus, o_totalprice
+        |  FROM orders WHERE o_orderkey % 10 = 3
+        |), merged AS (
+        |  SELECT o.o_orderkey, o.o_orderstatus, o.o_totalprice FROM orders o
+        |  WHERE o.o_orderkey NOT IN (SELECT o_orderkey FROM src)
+        |  UNION ALL SELECT * FROM src
+        |)
+        |SELECT o_orderstatus, count(*) AS cnt, round(sum(o_totalprice), 2) AS total
+        |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_ktk_timetravel" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders

@@ -53,6 +53,17 @@ final case class DatasetMetadata(
     // the sidecar holds one (label, bloom bytes) row per file, the catalog
     // blob only this registry — probe passes stay distributed.
     blooms: Map[String, String] = Map.empty,
+    // deletion-vector fragments (Delta/Iceberg merge-on-read row-level
+    // deletes): ordered list of immutable parquet fragments under
+    // <uuid>/deletes/, each holding (label, pos) rows — pos is the row's
+    // `_metadata.row_index` within its (immutable) data file. A row is
+    // deleted iff ANY fragment lists it, so a delete/merge commit appends
+    // ONE fragment name here — O(batch) commit bytes regardless of how many
+    // deletes have accumulated — and time travel reads exactly the
+    // fragment list of its snapshot. Fragments canonicalize (and deleted
+    // rows physically disappear) on compact / clusterZOrder /
+    // materializeDeletes rewrites.
+    deletes: Seq[String] = Nil,
     schemaJson: String = "",
     metadata: Map[String, String] = Map.empty) {
 
@@ -110,6 +121,12 @@ final case class DatasetMetadata(
   def inlineZoneMaps: Map[String, Map[String, Seq[String]]] =
     Option(zoneMaps).getOrElse(Map.empty)
 
+  /** Deletion-vector fragment list, null-safe against pre-DV blobs. */
+  def deleteFragments: Seq[String] = Option(deletes).getOrElse(Nil)
+
+  def deletePath(base: String, name: String): String =
+    s"$base/$uuid/${DatasetMetadata.DeletesDirName}/$name"
+
   /** All columns with zone-range skipping available (sidecar or legacy). */
   def zoneColumns: Set[String] = zoneRegistry.keySet ++ inlineZoneMaps.keySet
 }
@@ -138,6 +155,7 @@ final case class VersionDelta(
     zoneMaps: Map[String, Map[String, Seq[String]]] = Map.empty,
     zones: Map[String, String] = Map.empty,
     blooms: Map[String, String] = Map.empty,
+    deletes: Seq[String] = Nil,
     schemaJson: String = "",
     metadata: Map[String, String] = Map.empty,
     // SELF-CONTAINED record: `adds`/`addSeq` are the COMPLETE partition
@@ -154,6 +172,9 @@ final case class VersionDelta(
 
 object DatasetMetadata {
   val Suffix = ".by-dataset-metadata.json"
+
+  /** Deletion-vector fragment directory under the dataset root. */
+  val DeletesDirName = "deletes"
 
   /** Commit version of a blob, stamped into `metadata` on every store —
     * the monotonically increasing snapshot id time travel addresses.
@@ -313,6 +334,7 @@ object DatasetMetadata {
       zoneMaps = d.zoneMaps,
       zones = d.zones,
       blooms = d.blooms,
+      deletes = Option(d.deletes).getOrElse(Nil),
       schemaJson = d.schemaJson,
       metadata = d.metadata)
   }
@@ -483,6 +505,7 @@ object DatasetMetadata {
             adds = adds, addSeq = addSeq, removes = removes,
             indices = md.indices, zoneMaps = md.inlineZoneMaps,
             zones = md.zoneRegistry, blooms = md.bloomRegistry,
+            deletes = md.deleteFragments,
             schemaJson = md.schemaJson, metadata = md.metadata)
           render(delta, adds.size + removes.size)
         case None =>
@@ -495,6 +518,7 @@ object DatasetMetadata {
             adds = allSizes, addSeq = allSeqs, removes = Nil,
             indices = md.indices, zoneMaps = md.inlineZoneMaps,
             zones = md.zoneRegistry, blooms = md.bloomRegistry,
+            deletes = md.deleteFragments,
             schemaJson = md.schemaJson, metadata = md.metadata, full = true)
           render(delta, md.partitions.size)
       }

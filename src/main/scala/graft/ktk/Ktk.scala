@@ -892,23 +892,46 @@ object Ktk {
         if (withOverlayOrder) empty.withColumn("__seq", lit(0L)).withColumn("__pos", lit(0L))
         else empty
       } else {
+        // merge-on-read row-level deletes: split the scan so ONLY files the
+        // deletion vectors touch pay the (label, pos) anti-join — clean
+        // files (the overwhelming majority after routine maintenance) scan
+        // exactly as if no delete had ever happened
+        val dirtyL = labels.filter(dirtyDeleteLabels(spark, base, md).contains)
+        val cleanL = labels.filterNot(dirtyL.toSet)
+        val needPos = withOverlayOrder || dirtyL.nonEmpty
         // explicit schema: stable types + partition-column reconstruction
-        val scan = spark.read
-          .option("basePath", tableDir)
-          .schema(schema)
-          .parquet(labels.map(l => s"$tableDir/$l"): _*)
+        def scanOf(ls: Seq[String]): DataFrame = {
+          val s = spark.read
+            .option("basePath", tableDir)
+            .schema(schema)
+            .parquet(ls.map(l => s"$tableDir/$l"): _*)
+          if (needPos)
+            // label → partitionSeq / DV lookups key on (label, position
+            // within file), both from the hidden _metadata column
+            s.withColumn("__label",
+                regexp_replace(col("_metadata.file_path"), lit("^.*/table/"), lit("")))
+              .withColumn("__pos", col("_metadata.row_index"))
+          else s
+        }
+        val undeleted: DataFrame =
+          if (dirtyL.isEmpty) scanOf(labels)
+          else {
+            val dv = deleteVectors(spark, base, md).get
+              .select(col("label").as("__dvl"), col("pos").as("__dvp"))
+            val cleaned = scanOf(dirtyL).join(dv,
+              col("__label") === col("__dvl") && col("__pos") === col("__dvp"),
+              "left_anti")
+            if (cleanL.isEmpty) cleaned else scanOf(cleanL).unionByName(cleaned)
+          }
         if (withOverlayOrder) {
           // commit-order column: label → partitionSeq via a broadcast map
-          // (metadata-sized), position within file from the hidden _metadata
+          // (metadata-sized)
           import spark.implicits._
           val seqDf = broadcast(
             labels.map(l => (l, md.seqOf(l))).toDF("__label", "__seq"))
-          scan
-            .withColumn("__label", regexp_replace(col("_metadata.file_path"), lit("^.*/table/"), lit("")))
-            .withColumn("__pos", col("_metadata.row_index"))
-            .join(seqDf, Seq("__label"))
-            .drop("__label")
-        } else scan
+          undeleted.join(seqDf, Seq("__label")).drop("__label")
+        } else if (needPos) undeleted.drop("__label", "__pos")
+        else undeleted
       }
 
     val filtered =
@@ -972,6 +995,309 @@ object Ktk {
       predicates: Predicates = Predicates.empty): Iterator[Row] = {
     import scala.jdk.CollectionConverters._
     readTable(spark, base, uuid, columns, predicates).toLocalIterator().asScala
+  }
+
+  // ------------------------------------------------- row-level deletes (DV)
+
+  private val DvSchema = StructType(Seq(
+    StructField("label", StringType, nullable = false),
+    StructField("pos", LongType, nullable = false)))
+
+  private def newDeleteFragmentName(): String =
+    s"dv.${java.util.UUID.randomUUID.toString.replace("-", "").take(8)}.parquet"
+
+  /** The union of a dataset's deletion-vector fragments as `(label, pos)`
+    * rows — a row of the table is DELETED iff any fragment lists its
+    * (file label, `_metadata.row_index`) pair. None when the dataset has
+    * no row-level deletes (the overwhelmingly common case — reads then pay
+    * nothing at all).
+    */
+  private[graft] def deleteVectors(
+      spark: SparkSession, base: String, md: DatasetMetadata): Option[DataFrame] = {
+    val frags = md.deleteFragments
+    if (frags.isEmpty) None
+    else Some(spark.read.schema(DvSchema)
+      .parquet(frags.map(md.deletePath(base, _)): _*))
+  }
+
+  /** Labels with at least one deleted row — the file set that must pay the
+    * merge-on-read anti-join. Driver-side and metadata-sized (bounded by
+    * #files, like every other planning collect in this file).
+    */
+  private def dirtyDeleteLabels(
+      spark: SparkSession, base: String, md: DatasetMetadata): Set[String] =
+    deleteVectors(spark, base, md) match {
+      case None     => Set.empty
+      case Some(dv) => dv.select("label").distinct().collect().map(_.getString(0)).toSet
+    }
+
+  /** The (label, pos) pairs of live rows in `candidates` matching `cond`,
+    * minus pairs an existing fragment already deletes — fragments stay
+    * DISJOINT, so re-running the same DELETE finds nothing and deleted-row
+    * counts stay meaningful.
+    */
+  private def freshDeletePairs(
+      spark: SparkSession, base: String, md: DatasetMetadata,
+      candidates: Seq[String], cond: org.apache.spark.sql.Column): DataFrame = {
+    val tableDir = md.tableDir(base)
+    val hits = spark.read.option("basePath", tableDir).schema(md.schema)
+      .parquet(candidates.map(l => s"$tableDir/$l"): _*)
+      .filter(cond)
+      .select(
+        regexp_replace(col("_metadata.file_path"), lit("^.*/table/"), lit("")).as("label"),
+        col("_metadata.row_index").as("pos"))
+    deleteVectors(spark, base, md) match {
+      case None     => hits
+      case Some(dv) => hits.join(dv, Seq("label", "pos"), "left_anti")
+    }
+  }
+
+  /** Write `pairs` as one immutable DV fragment and return its name, or
+    * None when `pairs` is empty (no rows matched — callers skip the
+    * commit). Files bounded by the cluster parallelism without a shuffle
+    * (a DV row is ~30 bytes; even a mass delete stays small next to the
+    * data it tombstones).
+    */
+  private def writeDeleteFragment(
+      spark: SparkSession, base: String, uuid: String, pairs: DataFrame): Option[(String, Long)] = {
+    val name = newDeleteFragmentName()
+    val dir = s"$base/$uuid/${DatasetMetadata.DeletesDirName}"
+    atomicSidecarWrite(spark, dir, name) { tmp =>
+      pairs.coalesce(spark.sparkContext.defaultParallelism)
+        .write.mode(SaveMode.Overwrite).parquet(tmp)
+    }
+    val n = spark.read.schema(DvSchema).parquet(s"$dir/$name").count()
+    if (n == 0L) {
+      DatasetMetadata.fs(spark, base).delete(new Path(s"$dir/$name"), true)
+      None
+    } else Some(name -> n)
+  }
+
+  /** Row-level DELETE (Delta/Iceberg merge-on-read): mark every live row
+    * matching the predicate deleted by committing ONE immutable
+    * deletion-vector fragment of `(file label, row position)` pairs — NO
+    * data file is rewritten, so a GDPR-style delete of a few rows from a
+    * 100 TB dataset costs one scan of the files that can match (pruned
+    * through partition keys / indices / zone maps / Bloom sidecars for DNF
+    * `predicates`; `filterQuery` takes arbitrary Spark SQL but scans all
+    * files) plus a tombstone write O(#matched rows). Reads apply the
+    * vectors as a (label, pos) anti-join on exactly the touched files;
+    * [[compact]], [[clusterZOrder]] and [[materializeDeletes]] drop the
+    * rows physically and shed the fragments.
+    *
+    * DELETES ARE PHYSICAL-ROW OPERATIONS: on an overlay (keep-last cube)
+    * dataset the predicate marks matching rows in EVERY commit, shadowed
+    * ones included; a shadowed row that does NOT match a predicate its
+    * shadowing winner matches will resurface. Plain (non-overlay) datasets
+    * — every `Ktk.store`/`update` table — have no shadowing and no such
+    * subtlety.
+    *
+    * Returns the committed metadata and the number of rows deleted; a
+    * predicate matching nothing commits nothing and returns (current, 0).
+    */
+  def deleteRows(
+      spark: SparkSession,
+      base: String,
+      uuid: String,
+      predicates: Predicates = Predicates.empty,
+      filterQuery: Option[String] = None): (DatasetMetadata, Long) = {
+    require(predicates.isEmpty ^ filterQuery.isEmpty,
+      "deleteRows takes exactly one of predicates / filterQuery")
+    val md = DatasetMetadata.load(spark, base, uuid)
+    if (md.partitions.isEmpty) return (md, 0L)
+    val candidates =
+      if (predicates.isEmpty) md.partitions.keys.toSeq.sorted
+      else queryLabels(spark, base, md, predicates)
+    if (candidates.isEmpty) return (md, 0L)
+    val cond = filterQuery.map(expr).getOrElse(predicates.toColumn)
+    writeDeleteFragment(spark, base, uuid,
+        freshDeletePairs(spark, base, md, candidates, cond)) match {
+      case None => (md, 0L)
+      case Some((name, n)) =>
+        val md1 = md.copy(deletes = md.deleteFragments :+ name)
+        (DatasetMetadata.store(spark, base, md1, parentMd = Some(md)), n)
+    }
+  }
+
+  /** MERGE (upsert): every live target row whose `keys` match a source row
+    * is replaced by the source's rows; source rows with unmatched keys are
+    * inserted. One atomic commit, ZERO data-file rewrites — the matched
+    * target rows become a deletion-vector fragment (merge-on-read, see
+    * [[deleteRows]]) and the source appends as new files, so a continuous
+    * upsert feed pays O(batch) per merge regardless of target size. Source
+    * multiplicity is preserved: N source rows sharing a key all land (the
+    * matched target rows are deleted once).
+    *
+    * Matched-row discovery prunes through every skipping layer when the
+    * source's distinct key tuples fit `maxCollectKeys` (single-key sources
+    * also push an IN filter into the parquet scan — the [[semiJoinRead]]
+    * pattern); larger sources fall back to a semi join over the full
+    * candidate scan, still O(target ∩ batch keys) output.
+    *
+    * Returns the committed metadata and the number of target rows replaced.
+    */
+  def merge(
+      spark: SparkSession,
+      base: String,
+      uuid: String,
+      source: DataFrame,
+      keys: Seq[String],
+      maxCollectKeys: Int = 10000): (DatasetMetadata, Long) = {
+    require(keys.nonEmpty, "merge requires at least one key column")
+    val md = DatasetMetadata.load(spark, base, uuid)
+    val schema = md.schema
+    keys.foreach(k => require(schema.fieldNames.contains(k),
+      s"merge key '$k' not in dataset schema"))
+    SchemaUtil.validateCompatible(schema,
+      SchemaUtil.normalizeSchema(source.schema, md.partitionKeys))
+    val tableDir = md.tableDir(base)
+
+    // 1. matched target rows → one DV fragment. Collectable key sets prune
+    //    files through queryLabels (partition / index / zone / bloom); the
+    //    residual semi join keeps the result exact either way.
+    val srcKeys = source.select(keys.map(c => col(s"`$c`")): _*).distinct()
+    val collected: Option[Seq[Row]] = {
+      val rows = srcKeys.limit(maxCollectKeys + 1).collect().toSeq
+      if (rows.size <= maxCollectKeys) Some(rows) else None
+    }
+    val fragment: Option[(String, Long)] =
+      if (md.partitions.isEmpty) None
+      else {
+        val candidates = collected match {
+          case Some(rows) if keys.size == 1 =>
+            val vals = rows.map(_.get(0)).filter(_ != null)
+            if (vals.isEmpty) Nil
+            else queryLabels(spark, base, md,
+              Predicates(Seq(Seq(PredLiteral(keys.head, graft.core.PredOp.In, vals)))))
+          case _ => md.partitions.keys.toSeq.sorted
+        }
+        if (candidates.isEmpty) None
+        else {
+          val scan0 = spark.read.option("basePath", tableDir).schema(schema)
+            .parquet(candidates.map(l => s"$tableDir/$l"): _*)
+          // single collected key: also push the IN into row-group pruning
+          val scan = collected match {
+            case Some(rows) if keys.size == 1 =>
+              val vals = rows.map(_.get(0)).filter(_ != null)
+              scan0.filter(col(s"`${keys.head}`").isin(vals: _*))
+            case _ => scan0
+          }
+          // SQL MERGE ON semantics: `=` matching, null keys never match
+          val probe = if (collected.isDefined) broadcast(srcKeys) else srcKeys
+          val hits = scan
+            .join(probe, keys.map(k => scan(k) === probe(k)).reduce(_ && _), "left_semi")
+            .select(
+              regexp_replace(col("_metadata.file_path"), lit("^.*/table/"), lit("")).as("label"),
+              col("_metadata.row_index").as("pos"))
+          val fresh = deleteVectors(spark, base, md) match {
+            case None     => hits
+            case Some(dv) => hits.join(dv, Seq("label", "pos"), "left_anti")
+          }
+          writeDeleteFragment(spark, base, uuid, fresh)
+        }
+      }
+
+    // 2. append the source as new files (the update() write path)
+    val normalized = SchemaUtil.normalize(source, md.partitionKeys)
+    val newFiles: Seq[(String, Long)] = ManifestCommitProtocol.collecting(spark) {
+      val writer = normalized.write.mode(SaveMode.Append)
+      (if (md.partitionKeys.nonEmpty) writer.partitionBy(md.partitionKeys: _*) else writer)
+        .parquet(tableDir)
+    }
+    val newLabels = newFiles.map(_._1).toSet
+    if (newLabels.exists(_.contains("__HIVE_DEFAULT_PARTITION__")))
+      throw new IllegalArgumentException("null values in partition columns are not allowed")
+    val nextSeq = nextMonotoneSeq(md)
+    val finalPartitions = md.partitions.keys.map(l => l -> md.sizeOf(l)).toMap ++ newFiles
+    val finalSeq = finalPartitions.keys.map { l =>
+      l -> (if (newLabels.contains(l)) nextSeq else md.seqOf(l))
+    }.toMap
+    val survivors = md.partitions.keys.toSeq
+    val idxReg = mergeIndicesIncremental(spark, base, md, tableDir,
+      survivingOld = survivors, newLabels = newLabels.toSeq)
+    val bloomReg = mergeBloomsIncremental(spark, base, md, tableDir,
+      survivingOld = survivors, newLabels = newLabels.toSeq)
+    val zoneReg = mergeZonesIncremental(spark, base, md, tableDir,
+      survivingOld = survivors, newLabels = newLabels.toSeq)
+    val md1 = md.copy(partitions = finalPartitions, partitionSeq = finalSeq,
+      indices = idxReg, blooms = bloomReg, zones = zoneReg,
+      deletes = md.deleteFragments ++ fragment.map(_._1),
+      metadata = md.metadata + (DatasetMetadata.SeqHwmKey -> nextSeq.toString))
+    (DatasetMetadata.store(spark, base, md1, parentMd = Some(md)),
+      fragment.map(_._2).getOrElse(0L))
+  }
+
+  /** Fragment list to commit after a rewrite dropped `removed` labels
+    * (whose deleted rows were materialized away by [[rewriteGroupsStaged]]):
+    * untouched fragments stay; touched ones canonicalize into ONE fragment
+    * holding only surviving labels' rows; a fully-materialized dataset
+    * sheds the list entirely. Old fragments become unreferenced →
+    * [[garbageCollect]].
+    */
+  private def prunedDeleteFragments(
+      spark: SparkSession, base: String, md: DatasetMetadata,
+      removed: Set[String]): Seq[String] = {
+    if (md.deleteFragments.isEmpty) return Nil
+    val dirty = dirtyDeleteLabels(spark, base, md)
+    if (dirty.forall(removed.contains)) return Nil
+    if (!dirty.exists(removed.contains)) return md.deleteFragments
+    import spark.implicits._
+    val keep = deleteVectors(spark, base, md).get
+      .join(broadcast(removed.toSeq.toDF("label")), Seq("label"), "left_anti")
+    writeDeleteFragment(spark, base, md.uuid, keep).map(_._1).toSeq
+  }
+
+  /** Physically drop deleted rows: rewrite exactly the files the deletion
+    * vectors touch (per commit-seq groups, like [[compact]] — overlay
+    * order survives), clear the fragment list, publish one atomic commit.
+    * The rewrite is O(dirty files), not O(dataset); [[compact]] and
+    * [[clusterZOrder]] also fold deletes into any rewrite they were doing
+    * anyway, so routine maintenance sheds tombstones for free.
+    */
+  def materializeDeletes(
+      spark: SparkSession,
+      base: String,
+      uuid: String,
+      targetFileBytes: Long = 128L * 1024 * 1024): DatasetMetadata = {
+    val md = migrateInlineZones(spark, base, DatasetMetadata.load(spark, base, uuid))
+    if (md.deleteFragments.isEmpty) return md
+    val tableDir = md.tableDir(base)
+    val dirty = dirtyDeleteLabels(spark, base, md).intersect(md.partitions.keySet)
+    if (dirty.isEmpty) {
+      // fragments reference only labels later commits already removed
+      val md1 = md.copy(deletes = Nil)
+      return DatasetMetadata.store(spark, base, md1, parentMd = Some(md))
+    }
+    val bySeq: Map[Long, Seq[String]] =
+      dirty.toSeq.sorted.groupBy(md.seqOf)
+    val movedBySeq = rewriteGroupsStaged(spark, base, md, bySeq) { (data, labels) =>
+      val totalBytes = labels.map(md.sizeOf).sum
+      val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
+      if (md.partitionKeys.nonEmpty)
+        data.repartition(nOut, md.partitionKeys.map(c => col(s"`$c`")): _*)
+      else data.repartition(nOut)
+    }
+    val newSeqOf = scala.collection.mutable.Map.empty[String, Long]
+    movedBySeq.foreach { case (seq, ls) => ls.foreach { case (l, _) => newSeqOf(l) = seq } }
+    val finalPartitions: Map[String, Long] =
+      md.partitions.keys.filterNot(dirty.contains)
+        .map(l => l -> md.sizeOf(l)).toMap ++ movedBySeq.flatMap(_._2)
+    val finalSeq = finalPartitions.keys.map { l =>
+      l -> newSeqOf.getOrElse(l, md.seqOf(l))
+    }.toMap
+    val newLabels = newSeqOf.keys.toSeq.sorted
+    val idxReg = mergeIndicesIncremental(spark, base, md, tableDir,
+      survivingOld = finalPartitions.keys.toSeq.filterNot(newSeqOf.contains),
+      newLabels = newLabels)
+    val bloomReg = mergeBloomsIncremental(spark, base, md, tableDir,
+      survivingOld = finalPartitions.keys.toSeq.filterNot(newSeqOf.contains),
+      newLabels = newLabels)
+    val zoneReg = mergeZonesIncremental(spark, base, md, tableDir,
+      survivingOld = finalPartitions.keys.toSeq.filterNot(newSeqOf.contains),
+      newLabels = newLabels)
+    val md1 = md.copy(partitions = finalPartitions, partitionSeq = finalSeq,
+      indices = idxReg, blooms = bloomReg, zones = zoneReg, deletes = Nil)
+    DatasetMetadata.store(spark, base, md1, parentMd = Some(md))
   }
 
   // ---------------------------------------------------------------- update
@@ -1227,6 +1553,8 @@ object Ktk {
       newLabels = newLabels)
     val md1 = md.copy(partitions = finalPartitions, partitionSeq = finalSeq,
       indices = idxReg, blooms = bloomReg, zones = zoneReg,
+      // victims' deleted rows were materialized away during the rewrite
+      deletes = prunedDeleteFragments(spark, base, md, victims),
       metadata = md.metadata ++ extraMetadata)
     DatasetMetadata.store(spark, base, md1, parentMd = Some(md))
   }
@@ -1263,6 +1591,25 @@ object Ktk {
       shape: (DataFrame, Seq[String]) => DataFrame): Seq[(Long, Seq[(String, Long)])] = {
     val tableDir = md.tableDir(base)
     val fsys = DatasetMetadata.fs(spark, base)
+    // rewrites MATERIALIZE row-level deletes: groups holding a
+    // deletion-vector-touched file anti-join the vectors before reshaping,
+    // so deleted rows never travel into the rewritten files (resurrection
+    // would corrupt the dataset — the caller drops the labels from the
+    // fragment list). Clean groups pay nothing.
+    val dvDirty: Set[String] = dirtyDeleteLabels(spark, base, md)
+    def applyDeletes(raw: DataFrame, labels: Seq[String]): DataFrame =
+      if (!labels.exists(dvDirty.contains)) raw
+      else {
+        val dv = deleteVectors(spark, base, md).get
+          .select(col("label").as("__dvl"), col("pos").as("__dvp"))
+        raw
+          .withColumn("__label",
+            regexp_replace(col("_metadata.file_path"), lit("^.*/table/"), lit("")))
+          .withColumn("__pos", col("_metadata.row_index"))
+          .join(dv, col("__label") === col("__dvl") && col("__pos") === col("__dvp"),
+            "left_anti")
+          .drop("__label", "__pos")
+      }
     val stagingRoot = new Path(s"$base/${md.uuid}/" +
       s".compacting-${java.util.UUID.randomUUID.toString.take(8)}")
     val dsRoot = new Path(s"$base/${md.uuid}")
@@ -1295,8 +1642,10 @@ object Ktk {
         try fsys.setTimes(heartbeat, System.currentTimeMillis(), -1)
         catch { case _: java.io.IOException => () }
         val staging = s"$stagingRoot/$seq"
-        val data = spark.read.option("basePath", tableDir)
-          .parquet(labels.map(l => s"$tableDir/$l"): _*)
+        val data = applyDeletes(
+          spark.read.option("basePath", tableDir)
+            .parquet(labels.map(l => s"$tableDir/$l"): _*),
+          labels)
         val rewritten = shape(data, labels)
         val writer = rewritten.write.mode(SaveMode.Overwrite)
         (if (md.partitionKeys.nonEmpty) writer.partitionBy(md.partitionKeys: _*) else writer)
@@ -1419,7 +1768,9 @@ object Ktk {
     val zoneReg = mergeZonesIncremental(spark, base, mdZ, tableDir,
       survivingOld = Nil, newLabels = newLabels)
     val md1 = mdZ.copy(partitions = finalPartitions, partitionSeq = finalSeq,
-      indices = idxReg, blooms = bloomReg, zones = zoneReg)
+      indices = idxReg, blooms = bloomReg, zones = zoneReg,
+      // every file was rewritten with deletion vectors applied
+      deletes = Nil)
     DatasetMetadata.store(spark, base, md1, parentMd = Some(md))
   }
 
@@ -1750,6 +2101,15 @@ object Ktk {
         s"cannot roll back '$uuid' to version $toVersion: ${missing.size} data " +
           s"file(s) were garbage-collected (e.g. '${missing.head}'); " +
           "run gc with retainVersions > 0 to keep history restorable")
+    // deletion-vector fragments are part of the target's CONTENT (reads
+    // are wrong without them) — unlike pruning sidecars they cannot be
+    // dropped-and-rebuilt, so a vacuumed fragment blocks the rollback
+    val missingDv = (target.deleteFragments.toSet -- cur.deleteFragments.toSet)
+      .filterNot(n => fsys.exists(new Path(target.deletePath(base, n))))
+    if (missingDv.nonEmpty)
+      throw new IllegalStateException(
+        s"cannot roll back '$uuid' to version $toVersion: ${missingDv.size} deletion-" +
+          s"vector fragment(s) were garbage-collected (e.g. '${missingDv.head}')")
     // the seq high watermark must survive the rollback: restoring the
     // TARGET's (older) hwm would let a post-rollback commit reuse sequence
     // numbers assigned between toVersion and now, and the change feed
@@ -1856,7 +2216,11 @@ object Ktk {
     val allMds = md +: retainedMds
     Seq(IndexDirName -> allMds.flatMap(_.indices.values).toSet,
         "blooms" -> allMds.flatMap(_.bloomRegistry.values).toSet,
-        "zones" -> allMds.flatMap(_.zoneRegistry.values).toSet).foreach { case (dir, valid) =>
+        "zones" -> allMds.flatMap(_.zoneRegistry.values).toSet,
+        // deletion-vector fragments pin exactly like pruning sidecars —
+        // a retained snapshot NEEDS its fragments for correct reads
+        DatasetMetadata.DeletesDirName -> allMds.flatMap(_.deleteFragments).toSet)
+      .foreach { case (dir, valid) =>
       val root = fs.makeQualified(new Path(s"$base/$uuid/$dir"))
       if (fs.exists(root)) {
         val now = System.currentTimeMillis()

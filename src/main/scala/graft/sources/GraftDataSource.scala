@@ -157,11 +157,15 @@ final class GraftScanBuilder(base: String, md: DatasetMetadata, options: CaseIns
       StructType(md.schema.fields.filterNot(f => partCols(f.name))), options)
   }
 
+  // footer statistics count physically-present rows — with row-level
+  // deletes pending they would answer WRONG, so pushdown turns off
+  private def hasRowDeletes: Boolean = md.deleteFragments.nonEmpty
+
   override def supportCompletePushDown(aggregation: Aggregation): Boolean =
-    pushed.isEmpty && innerAggBuilder.supportCompletePushDown(aggregation)
+    pushed.isEmpty && !hasRowDeletes && innerAggBuilder.supportCompletePushDown(aggregation)
 
   override def pushAggregation(aggregation: Aggregation): Boolean = {
-    if (pushed.nonEmpty) return false
+    if (pushed.nonEmpty || hasRowDeletes) return false
     aggPushed = innerAggBuilder.pushAggregation(aggregation)
     aggPushed
   }
@@ -183,13 +187,16 @@ final class GraftScanBuilder(base: String, md: DatasetMetadata, options: CaseIns
     val parquet = new GraftStreamableScan(
       spark, spark.sessionState.newHadoopConf(), fileIndex,
       dataSchema, readDataSchema, readPartitionSchema,
-      dataFilters, options, base, md.uuid, md.schema)
+      dataFilters, options, base, md.uuid, md.schema, hasRowDeletes)
     // .option("keyed","true"): report KeyGroupedPartitioning over the hive
     // partition columns for storage-partitioned joins (see GraftKeyedScan).
     // Only meaningful when the projection retains every partition column
     // (otherwise the keys can't resolve against the scan output).
+    // keyed scans read through the delegate's factory directly, which
+    // would bypass the deletion-vector refusal above — route DV-bearing
+    // datasets to the plain scan so they hit the clear error instead
     val keyed = options.getBoolean("keyed", false) &&
-      md.partitionKeys.nonEmpty &&
+      md.partitionKeys.nonEmpty && !hasRowDeletes &&
       md.partitionKeys.forall(requiredSchema.fieldNames.contains)
     if (keyed) new GraftKeyedScan(parquet, md.partitionKeys) else parquet
   }
