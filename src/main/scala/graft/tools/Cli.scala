@@ -21,6 +21,8 @@ import graft.ktk.{DatasetMetadata, Ktk}
   *   runMain graft.tools.Cli asof     <base> <uuid> <version> ["<cond>"] [limit]
   *   runMain graft.tools.Cli rollback <base> <uuid> <version>
   *   runMain graft.tools.Cli delete  <base> <uuid>
+  *   runMain graft.tools.Cli delete-rows <base> <uuid> "<col op value & ...>"
+  *   runMain graft.tools.Cli materialize <base> <uuid>  # rewrite DV-touched files
   *   runMain graft.tools.Cli list    <base>
   *   runMain graft.tools.Cli copy    <base> <uuid> <toUuid>
   * }}}
@@ -91,6 +93,16 @@ object Cli {
     case "delete" =>
       DatasetMetadata.delete(spark, args(1), args(2))
       println(s"deleted dataset ${args(2)}")
+    case "delete-rows" =>
+      // row-level DELETE via deletion vectors (no file rewrite)
+      val (md, n) = Ktk.deleteRows(spark, args(1), args(2),
+        predicates = Predicates.parse(args(3)))
+      println(s"deleted $n row(s); ${md.deleteFragments.size} deletion-vector " +
+        "fragment(s) pending (run materialize or compact to drop them physically)")
+    case "materialize" =>
+      val md = Ktk.materializeDeletes(spark, args(1), args(2))
+      println(s"materialized row-level deletes; ${md.partitions.size} files, " +
+        s"${md.deleteFragments.size} fragment(s) remain (run cleanup to drop old files)")
     case "copy" =>
       // ≙ `kartothek copy` (kartothek/cli/_copy.py): clone files + metadata
       Ktk.copyDataset(spark, args(1), args(2), args(3))

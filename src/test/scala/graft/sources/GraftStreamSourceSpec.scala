@@ -51,6 +51,25 @@ class GraftStreamSourceSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("row-level delete commits stay silent (append-only feed contract)") {
+    val base = tmpDir("feed")
+    Ktk.store(spark, base, "ds", Seq((1L, "a"), (2L, "b")).toDF("k", "v"))
+    val q = startFeed(base, "ds", "feed_dv")
+    try {
+      q.processAllAvailable()
+      spark.table("feed_dv").count() shouldBe 2
+      // a deletion-vector commit adds no labels → nothing re-emits, nothing
+      // retracts (the feed is append-only, not full CDC), and later appends
+      // keep flowing with their offsets intact
+      Ktk.deleteRows(spark, base, "ds",
+        predicates = graft.core.Predicates.of(Seq(("k", "==", 1))))
+      Ktk.update(spark, base, "ds", Some(Seq((3L, "c")).toDF("k", "v")))
+      q.processAllAvailable()
+      spark.table("feed_dv").select("k").as[Long].collect().sorted.toSeq shouldBe
+        Seq(1L, 2L, 3L)
+    } finally q.stop()
+  }
+
   test("restart resumes from the checkpointed version; startingVersion skips history") {
     val base = tmpDir("feed")
     val ckpt = tmpDir("ckpt")
