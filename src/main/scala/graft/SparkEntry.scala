@@ -1120,6 +1120,27 @@ object SparkEntry {
         sum(when(col("vec_id") >= 1000000, 1).otherwise(0)).as("planted_survivors"))
     }),
 
+    "q_cluster_sample" -> ((s, dir) => {
+      // cluster-balanced topic capping over the embeddings table (the
+      // training-mix de-skew op): rows-only gate — MLlib k-means has no
+      // DuckDB twin — with the deterministic invariants asserted in-query:
+      // no cluster exceeds the cap, the total never grows, and the draw is
+      // seed-stable (two runs keep the identical id set).
+      val e = t(s, dir, "embeddings").select("vec_id", "embedding")
+      val cap = 200L
+      val out = Similarity.clusterBalancedSample(e, "vec_id", "embedding",
+        perClusterCap = cap, nlist = 16)
+      val counts = out.groupBy("cluster").agg(count(lit(1)).as("n"))
+      val overCap = counts.filter(col("n") > cap).count()
+      val out2 = Similarity.clusterBalancedSample(e, "vec_id", "embedding",
+        perClusterCap = cap, nlist = 16)
+      val drift = out.select("vec_id").exceptAll(out2.select("vec_id")).count()
+      require(overCap == 0 && drift == 0,
+        s"cluster sample regressed: $overCap clusters over cap, $drift unstable ids")
+      counts.agg(count(lit(1)).as("clusters"), sum("n").as("rows_kept"),
+        max("n").as("max_cell"))
+    }),
+
     // -------------------------------------------------- pipeline: text
     "q_text_stats" -> ((s, dir) => {
       val d = t(s, dir, "documents")
@@ -1770,7 +1791,7 @@ object SparkEntry {
   // DuckDB oracles. Omitted ONLY for genuinely hash/LSH-seeded ops whose
   // output depends on the engine's own hash family (q_dedup_minhash/_cc,
   // q_dedup_minhash_incr, q_dedup_simhash, q_ann_lsh, q_ann_ivf,
-  // q_emb_neardup, q_hash_dataset,
+  // q_emb_neardup, q_hash_dataset, q_cluster_sample,
   // q_pipeline_e2e via its minhash stage, q_multimodal via the stub codec)
   // → rows-only check; their exact semantics are covered by ScalaTest
   // oracles with planted data.

@@ -295,6 +295,53 @@ object Similarity {
     }
   }
 
+  /** Nearest-centroid topic-cell assignment: adds `outCol` (int cell id in
+    * [0, nlist)) to every row. The quantizer trains on a Bernoulli sample
+    * (`trainFraction` — set it so the k-means input is ~10⁵–10⁶ rows at
+    * scale); assignment itself is a NARROW map over the closure-broadcast
+    * centroid matrix — the corpus never shuffles. The building block of
+    * cluster-conditioned curation: topic labeling, per-topic quality
+    * stats, [[clusterBalancedSample]].
+    */
+  def clusterAssign(
+      corpus: DataFrame, vecCol: String, nlist: Int = 64, seed: Long = 42L,
+      trainFraction: Double = 1.0, outCol: String = "cluster"): DataFrame = {
+    val train =
+      if (trainFraction >= 1.0) corpus
+      else corpus.sample(withReplacement = false, trainFraction, seed)
+    val ivf = buildIvfIndex(train, vecCol, nlist, seed)
+    corpus.withColumn(outCol,
+      explode(nearestCidsUdf(ivf.centroids, 1)(col(s"`$vecCol`"))))
+  }
+
+  /** Cluster-balanced corpus selection (topic balancing): cap every
+    * embedding-cluster's contribution at `perClusterCap` rows, keeping the
+    * best-`score` rows per cell (or a seed-deterministic pseudo-random
+    * subset when no score is given). The de-skew step of web-scale
+    * training mixes — boilerplate-heavy topic clusters stop dominating the
+    * token budget while small topics survive whole.
+    *
+    * Shapes: cell assignment is a narrow map ([[clusterAssign]]); the
+    * per-cell cap is [[graft.ops.Sampling.takeTopNPerGroup]]'s two-level
+    * cumsum — a hot cluster spans many partitions, never one window task.
+    * Output keeps the `cluster` column (callers usually want the label).
+    */
+  def clusterBalancedSample(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      perClusterCap: Long, nlist: Int = 64,
+      score: Option[Column] = None, seed: Long = 42L,
+      trainFraction: Double = 1.0): DataFrame = {
+    require(perClusterCap > 0, "perClusterCap must be >= 1")
+    val assigned = clusterAssign(corpus, vecCol, nlist, seed, trainFraction)
+    val order: Seq[Column] = score match {
+      case Some(s) => Seq(s.desc, col(s"`$idCol`"))
+      case None => Seq(
+        xxhash64(lit(seed.toString), col(s"`$idCol`").cast("string")),
+        col(s"`$idCol`"))
+    }
+    graft.ops.Sampling.takeTopNPerGroup(assigned, "cluster", order, perClusterCap)
+  }
+
   /** Embedding near-dup FULL dedup with transitive closure: candidate edges
     * above `minCosine` feed GraphX connected components, each cluster keeps
     * its minimum id — the embedding analog of [[Dedup.minhashDedupCC]].

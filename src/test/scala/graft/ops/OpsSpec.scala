@@ -333,6 +333,56 @@ class SimilaritySpec extends SparkSpec {
     dup shouldBe b(0L)
   }
 
+  test("clusterAssign puts blob members in one cell, blobs in different cells") {
+    // two well-separated blobs: 8 near [1,0,..], 4 near [0,1,..]
+    val rnd = new scala.util.Random(7)
+    def jitter(base: Array[Float]) =
+      base.map(x => x + (rnd.nextFloat() - 0.5f) * 0.02f)
+    val a = (0 until 8).map(i => (i.toLong, jitter(Array(1f, 0f, 0f, 0f))))
+    val b = (10 until 14).map(i => (i.toLong, jitter(Array(0f, 1f, 0f, 0f))))
+    val df = (a ++ b).toDF("vec_id", "embedding")
+    val out = Similarity.clusterAssign(df, "embedding", nlist = 2)
+      .select("vec_id", "cluster").as[(Long, Int)].collect().toMap
+    out.filterKeys(_ < 8).values.toSet should have size 1
+    out.filterKeys(_ >= 10).values.toSet should have size 1
+    out(0L) should not be out(10L)
+  }
+
+  test("clusterBalancedSample caps hot clusters, keeps small ones whole") {
+    val rnd = new scala.util.Random(11)
+    def jitter(base: Array[Float]) =
+      base.map(x => x + (rnd.nextFloat() - 0.5f) * 0.02f)
+    val hot = (0 until 40).map(i => (i.toLong, jitter(Array(1f, 0f, 0f, 0f))))
+    val cold = (100 until 110).map(i => (i.toLong, jitter(Array(0f, 1f, 0f, 0f))))
+    val df = (hot ++ cold).toDF("vec_id", "embedding")
+    val out = Similarity.clusterBalancedSample(df, "vec_id", "embedding",
+      perClusterCap = 15, nlist = 2)
+    val byCluster = out.groupBy("cluster").count()
+      .as[(Int, Long)].collect().toMap
+    byCluster.values.foreach(_ should be <= 15L)
+    out.count() shouldBe 25 // 15 of the hot blob + all 10 cold
+    // deterministic under the seed
+    val again = Similarity.clusterBalancedSample(df, "vec_id", "embedding",
+      perClusterCap = 15, nlist = 2)
+    again.select("vec_id").as[Long].collect().sorted.toSeq shouldBe
+      out.select("vec_id").as[Long].collect().sorted.toSeq
+  }
+
+  test("clusterBalancedSample keep-best: highest scores survive per cluster") {
+    val rnd = new scala.util.Random(13)
+    def jitter(base: Array[Float]) =
+      base.map(x => x + (rnd.nextFloat() - 0.5f) * 0.02f)
+    val a = (0 until 10).map(i =>
+      (i.toLong, jitter(Array(1f, 0f, 0f, 0f)), i.toDouble))
+    val b = (100 until 110).map(i =>
+      (i.toLong, jitter(Array(0f, 1f, 0f, 0f)), (i - 100).toDouble))
+    val df = (a ++ b).toDF("vec_id", "embedding", "quality")
+    val out = Similarity.clusterBalancedSample(df, "vec_id", "embedding",
+      perClusterCap = 3, nlist = 2, score = Some(col("quality")))
+    out.select("vec_id").as[Long].collect().sorted.toSeq shouldBe
+      Seq(7L, 8L, 9L, 107L, 108L, 109L)
+  }
+
   test("embeddingNearDupCandidates finds the close pair") {
     val out = Similarity.embeddingNearDupCandidates(vecs, "vec_id", "embedding", 4, 0.9, bits = 4)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
