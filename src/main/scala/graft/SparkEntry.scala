@@ -705,12 +705,11 @@ object SparkEntry {
     }),
 
     "q_events_agg" -> ((s, dir) => {
-      // events.ts is TIMESTAMP(NANOS) parquet, which Spark only reads as a
-      // raw long (legacy.parquet.nanosAsLong, set in Verify/Bench); convert
-      // nanos -> micros -> timestamp explicitly
+      // events.ts is TIMESTAMP_NTZ(µs) parquet (driver testdata switched
+      // from TIMESTAMP(NANOS) in round 7); session UTC keeps the epoch
+      // math identical to DuckDB's naive-timestamp functions
       val ev = t(s, dir, "events")
-      val day = to_date(timestamp_micros(expr("ts DIV 1000")))
-      ev.groupBy(day.as("day"), col("event_type"))
+      ev.groupBy(to_date(col("ts")).as("day"), col("event_type"))
         .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
         .orderBy("day", "event_type")
     }),
@@ -718,7 +717,7 @@ object SparkEntry {
     "q_resample" -> ((s, dir) => {
       // 6-hour grid per user with gap-fill + forward fill
       val ev = t(s, dir, "events")
-        .withColumn("ts_ms", expr("ts DIV 1000000"))
+        .withColumn("ts_ms", unix_millis(col("ts").cast("timestamp")))
       graft.ops.TimeSeries.resample(ev, Seq("user_id"), "ts_ms", "value",
         stepMs = 6L * 3600 * 1000)
         .orderBy("user_id", "bucket_ms")
@@ -729,7 +728,8 @@ object SparkEntry {
       // at or before it (temporal operator Spark lacks; composed plan, one
       // keyed shuffle)
       val ev = t(s, dir, "events")
-        .select(col("user_id"), expr("ts DIV 1000000").as("ms"), col("event_type"), col("value"))
+        .select(col("user_id"), unix_millis(col("ts").cast("timestamp")).as("ms"),
+          col("event_type"), col("value"))
       val clicks = ev.filter(col("event_type") === "click").select("user_id", "ms", "value")
       val purchases = ev.filter(col("event_type") === "purchase")
         .select(col("user_id"), col("ms").as("rms"), col("value").as("last_purchase"))
@@ -764,7 +764,8 @@ object SparkEntry {
       // interval join: clicks inside each purchase's 1-hour attribution
       // window (same user) — chunked equi-join, not a nested loop
       val ev = t(s, dir, "events")
-        .select(col("user_id"), expr("ts DIV 1000000").as("ms"), col("event_type"))
+        .select(col("user_id"), unix_millis(col("ts").cast("timestamp")).as("ms"),
+          col("event_type"))
       val clicks = ev.filter(col("event_type") === "click").select("user_id", "ms")
       val windows = ev.filter(col("event_type") === "purchase")
         .select(col("user_id"), col("ms").as("start_ms"),
@@ -795,12 +796,12 @@ object SparkEntry {
       val target = stageDir.resolve("events.parquet")
       if (!java.nio.file.Files.exists(target))
         java.nio.file.Files.copy(java.nio.file.Paths.get(s"$dir/events.parquet"), target)
-      val schema = "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING"
+      val schema = "event_id BIGINT, ts TIMESTAMP_NTZ, user_id BIGINT, event_type STRING, value DOUBLE, props STRING"
       import s.implicits._
       val events = s.readStream.schema(schema).parquet(stageDir.toString)
-        // integer division: `/` on longs is double division and loses a ms
-        // at the mantissa edge; DIV matches DuckDB's epoch_ms flooring
-        .select(col("user_id").as("userId"), expr("ts DIV 1000000").as("tsMs"),
+        // µs → ms flooring via unix_millis matches DuckDB's epoch_ms
+        .select(col("user_id").as("userId"),
+          unix_millis(col("ts").cast("timestamp")).as("tsMs"),
           col("value"))
         .as[Sessionize.Event]
       val q = Sessionize.sessionize(events, gapMs = 3600000L)
@@ -1673,9 +1674,9 @@ object SparkEntry {
       val target = stageDir.resolve("events.parquet")
       if (!java.nio.file.Files.exists(target))
         java.nio.file.Files.copy(java.nio.file.Paths.get(s"$dir/events.parquet"), target)
-      val schema = "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING"
+      val schema = "event_id BIGINT, ts TIMESTAMP_NTZ, user_id BIGINT, event_type STRING, value DOUBLE, props STRING"
       val stream = s.readStream.schema(schema).parquet(stageDir.toString)
-        .withColumn("tstamp", timestamp_micros(expr("ts DIV 1000")))
+        .withColumn("tstamp", col("ts").cast("timestamp"))
         .groupBy(window(col("tstamp"), "1 day"), col("event_type"))
         .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
       val q = stream.writeStream.format("memory").queryName(name)

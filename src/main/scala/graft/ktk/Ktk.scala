@@ -1142,7 +1142,8 @@ object Ktk {
       uuid: String,
       source: DataFrame,
       keys: Seq[String],
-      maxCollectKeys: Int = 10000): (DatasetMetadata, Long) = {
+      maxCollectKeys: Int = 10000,
+      extraMetadata: Map[String, String] = Map.empty): (DatasetMetadata, Long) = {
     require(keys.nonEmpty, "merge requires at least one key column")
     val md = DatasetMetadata.load(spark, base, uuid)
     val schema = md.schema
@@ -1222,7 +1223,8 @@ object Ktk {
     val md1 = md.copy(partitions = finalPartitions, partitionSeq = finalSeq,
       indices = idxReg, blooms = bloomReg, zones = zoneReg,
       deletes = md.deleteFragments ++ fragment.map(_._1),
-      metadata = md.metadata + (DatasetMetadata.SeqHwmKey -> nextSeq.toString))
+      metadata = md.metadata ++ extraMetadata +
+        (DatasetMetadata.SeqHwmKey -> nextSeq.toString))
     (DatasetMetadata.store(spark, base, md1, parentMd = Some(md)),
       fragment.map(_._2).getOrElse(0L))
   }

@@ -69,6 +69,44 @@ object KtkSink {
     }
   }
 
+  /** Commit one micro-batch as an UPSERT (exactly once): rows whose `keys`
+    * match live target rows replace them, the rest insert — [[Ktk.merge]]'s
+    * merge-on-read shape, so each batch costs O(batch) at any table size
+    * (matched rows become a deletion-vector fragment; nothing rewrites).
+    * The CDC-ingest sink: a keyed change stream (latest-state-per-key
+    * micro-batches) maintains a queryable mirror table.
+    *
+    * The inline [[Ktk.compact]] maintenance ALSO materializes accumulated
+    * tombstones (rewrites apply deletion vectors), so a long-running upsert
+    * stream sheds both small files and delete debt on the same cadence.
+    * NOTE: within one batch, rows sharing a key all land (source
+    * multiplicity is preserved) — pre-aggregate the batch to
+    * latest-per-key upstream if the stream can carry several updates for
+    * one key per trigger.
+    */
+  def commitBatchUpsert(batch: DataFrame, base: String, uuid: String, batchId: Long,
+                        keys: Seq[String], compactEvery: Int = 0,
+                        maxSidecarFragments: Int = 64): Unit = {
+    val spark = batch.sparkSession
+    val md = DatasetMetadata.load(spark, base, uuid)
+    val alreadyCommitted = md.metadata.get(BatchKey).exists(_.toLong >= batchId)
+    if (!alreadyCommitted) {
+      val since = md.metadata.get(SinceCompactKey).map(_.toLong).getOrElse(0L) + 1
+      val willCompact = compactEvery > 0 && since >= compactEvery
+      Ktk.merge(spark, base, uuid, batch, keys,
+        extraMetadata = Map(BatchKey -> batchId.toString,
+          SinceCompactKey -> since.toString))
+      if (willCompact) {
+        Ktk.compact(spark, base, uuid,
+          extraMetadata = Map(SinceCompactKey -> "0"))
+        ()
+      } else if (maxSidecarFragments > 0 &&
+          Ktk.sidecarFragments(spark, base, uuid) > maxSidecarFragments) {
+        Ktk.canonicalizeSidecars(spark, base, uuid)
+      }
+    }
+  }
+
   /** Attach the dataset as the sink of a streaming DataFrame. */
   def writeStream(df: DataFrame, base: String, uuid: String, checkpoint: String,
                   trigger: Trigger = Trigger.AvailableNow(),
@@ -79,6 +117,19 @@ object KtkSink {
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         commitBatch(batch, base, uuid, batchId, sortBy, compactEvery, maxSidecarFragments)
+      }
+      .start()
+
+  /** Attach the dataset as a keyed UPSERT sink (CDC mirror). */
+  def upsertStream(df: DataFrame, base: String, uuid: String, checkpoint: String,
+                   keys: Seq[String], trigger: Trigger = Trigger.AvailableNow(),
+                   compactEvery: Int = 0,
+                   maxSidecarFragments: Int = 64): StreamingQuery =
+    df.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        commitBatchUpsert(batch, base, uuid, batchId, keys, compactEvery, maxSidecarFragments)
       }
       .start()
 }

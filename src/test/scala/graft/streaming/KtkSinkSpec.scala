@@ -120,6 +120,49 @@ class KtkSinkSpec extends SparkSpec {
       .groupBy("value").count().filter($"count" > 1).count() shouldBe 0
   }
 
+  test("upsert sink maintains latest-state-per-key; replays skipped") {
+    val base = tmpDir("ktksink-up")
+    Ktk.createEmpty(spark, base, "mirror", schema, partitionOn = Seq("p"))
+    // batch 0: two inserts
+    KtkSink.commitBatchUpsert(Seq((0, 1L, "a"), (0, 2L, "b")).toDF("p", "k", "v"),
+      base, "mirror", batchId = 0, keys = Seq("k"))
+    // batch 1: update k=2, insert k=3
+    KtkSink.commitBatchUpsert(Seq((0, 2L, "b2"), (1, 3L, "c")).toDF("p", "k", "v"),
+      base, "mirror", batchId = 1, keys = Seq("k"))
+    def state() = Ktk.readTable(spark, base, "mirror")
+      .select("k", "v").as[(Long, String)].collect().sortBy(_._1).toSeq
+    state() shouldBe Seq((1L, "a"), (2L, "b2"), (3L, "c"))
+    // an at-least-once REPLAY of batch 1 must not upsert twice
+    val v = DatasetMetadata.load(spark, base, "mirror").version
+    KtkSink.commitBatchUpsert(Seq((0, 2L, "b2"), (1, 3L, "c")).toDF("p", "k", "v"),
+      base, "mirror", batchId = 1, keys = Seq("k"))
+    DatasetMetadata.load(spark, base, "mirror").version shouldBe v
+    state() shouldBe Seq((1L, "a"), (2L, "b2"), (3L, "c"))
+    // inline compaction (cadence hit) ALSO materializes the tombstones
+    KtkSink.commitBatchUpsert(Seq((0, 1L, "a3")).toDF("p", "k", "v"),
+      base, "mirror", batchId = 2, keys = Seq("k"), compactEvery = 1)
+    state() shouldBe Seq((1L, "a3"), (2L, "b2"), (3L, "c"))
+    DatasetMetadata.load(spark, base, "mirror").deleteFragments shouldBe empty
+  }
+
+  test("upsertStream end-to-end over MemoryStream micro-batches") {
+    val base = tmpDir("ktksink-ups")
+    Ktk.createEmpty(spark, base, "mirror2", schema, partitionOn = Seq("p"))
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Int, Long, String)]
+    val df = mem.toDF().toDF("p", "k", "v")
+    val ckpt = tmpDir("ktksink-ups-ckpt")
+    mem.addData((0, 1L, "a"), (0, 2L, "b"))
+    val q1 = KtkSink.upsertStream(df, base, "mirror2", ckpt, keys = Seq("k"))
+    q1.awaitTermination()
+    mem.addData((0, 2L, "b2"), (1, 3L, "c"))
+    val q2 = KtkSink.upsertStream(df, base, "mirror2", ckpt, keys = Seq("k"))
+    q2.awaitTermination()
+    Ktk.readTable(spark, base, "mirror2")
+      .select("k", "v").as[(Long, String)].collect().sortBy(_._1).toSeq shouldBe
+      Seq((1L, "a"), (2L, "b2"), (3L, "c"))
+  }
+
   test("a replayed batch id is committed exactly once") {
     val base = tmpDir("ktksink2")
     Ktk.createEmpty(spark, base, "ds", schema, partitionOn = Seq("p"))
