@@ -1229,6 +1229,121 @@ object Ktk {
       fragment.map(_._2).getOrElse(0L))
   }
 
+  /** Batch CDC reader (Delta CHANGE DATA FEED analog): every row-level
+    * change committed in `(fromVersion, toVersion]`, with
+    * `_change_type` ('insert' | 'delete') and `_commit_version` columns
+    * appended to the table schema. Complements the append-only streaming
+    * change feed with the DELETE side deletion vectors made precise:
+    *
+    *  - INSERTS: labels a commit added with a NEW sequence number (same
+    *    rewrite-vs-append discrimination as the streaming source — compact
+    *    / z-order / materializeDeletes re-adds carry their victims' seq and
+    *    stay SILENT).
+    *  - DELETES: (a) deletion-vector fragments the commit added, joined
+    *    back to their data files — exactly the tombstoned rows; (b) labels
+    *    the commit removed with NO same-seq re-add (a delete_scope), minus
+    *    rows already dead at the parent version.
+    *
+    * Work per version is O(that commit's changed rows); snapshots resolve
+    * through the cached delta log. Needs the range's snapshots AND the
+    * referenced files/fragments still present — run gc with
+    * `retainVersions` covering the consumer's lag, like the stream.
+    * Limitations (documented, not silent): a `rollback` restores content
+    * by re-adding OLD-seq labels, which the feed reports only on the
+    * remove side — re-sync after rollbacks; intra-commit insert+delete of
+    * the same row (no current writer produces one) would emit both.
+    */
+  def readChangeFeed(
+      spark: SparkSession,
+      base: String,
+      uuid: String,
+      fromVersion: Long,
+      toVersion: Long = -1L): DataFrame = {
+    val cur = DatasetMetadata.load(spark, base, uuid)
+    val to = if (toVersion < 0) cur.version else toVersion
+    require(fromVersion <= to,
+      s"empty change range: fromVersion=$fromVersion > toVersion=$to")
+    val schema = cur.schema
+    val tableDir = cur.tableDir(base)
+    def emptyChanges: DataFrame =
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+        .withColumn("_change_type", lit(""))
+        .withColumn("_commit_version", lit(0L))
+    def scanLabels(md: DatasetMetadata, ls: Seq[String], withPos: Boolean): DataFrame = {
+      val s = spark.read.option("basePath", tableDir).schema(md.schema)
+        .parquet(ls.map(l => s"$tableDir/$l"): _*)
+      if (withPos)
+        s.withColumn("__label",
+            regexp_replace(col("_metadata.file_path"), lit("^.*/table/"), lit("")))
+          .withColumn("__pos", col("_metadata.row_index"))
+      else s
+    }
+    def project(df: DataFrame, ct: String, v: Long): DataFrame =
+      df.select(schema.fieldNames.map(c => col(s"`$c`")): _*)
+        .withColumn("_change_type", lit(ct))
+        .withColumn("_commit_version", lit(v))
+    def hwmOf(md: DatasetMetadata): Long = math.max(
+      md.metadata.get(DatasetMetadata.SeqHwmKey).map(_.toLong).getOrElse(0L),
+      (0L +: md.partitions.keys.toSeq.map(md.seqOf)).max)
+
+    val perVersion: Seq[DataFrame] = (fromVersion + 1 to to).flatMap { v =>
+      val mdV = DatasetMetadata.loadVersion(spark, base, uuid, v)
+      // fromVersion = 0 reads the initial commit against an empty parent —
+      // the whole v1 content arrives as inserts (bootstrap semantics)
+      val mdP =
+        if (v == 1L) DatasetMetadata(uuid = uuid, schemaJson = mdV.schemaJson)
+        else DatasetMetadata.loadVersion(spark, base, uuid, v - 1)
+      // bootstrap: the initial commit's labels legitimately carry seq 0 —
+      // same sentinel the streaming source uses for its first batch
+      val hwm = if (v == 1L) Long.MinValue else hwmOf(mdP)
+      val added = mdV.partitions.keySet -- mdP.partitions.keySet
+      val removed = mdP.partitions.keySet -- mdV.partitions.keySet
+      val rewrittenSeqs = added.filter(l => mdV.seqOf(l) <= hwm).map(mdV.seqOf)
+      val inserts: Option[DataFrame] = {
+        val fresh = added.filter(l => mdV.seqOf(l) > hwm).toSeq.sorted
+        if (fresh.isEmpty) None
+        else Some(project(scanLabels(mdV, fresh, withPos = false), "insert", v))
+      }
+      // (a) tombstones this commit added — the fragment IS the row list
+      val dvDeletes: Option[DataFrame] = {
+        val newFrags = mdV.deleteFragments.filterNot(mdP.deleteFragments.toSet)
+        if (newFrags.isEmpty) None
+        else {
+          val dv = spark.read.schema(DvSchema)
+            .parquet(newFrags.map(mdV.deletePath(base, _)): _*)
+            .select(col("label").as("__dvl"), col("pos").as("__dvp"))
+          val labels = dv.select("__dvl").distinct().collect().map(_.getString(0))
+            .filter(mdP.partitions.keySet.contains).sorted.toSeq
+          if (labels.isEmpty) None
+          else Some(project(
+            scanLabels(mdP, labels, withPos = true)
+              .join(dv, col("__label") === col("__dvl") && col("__pos") === col("__dvp"),
+                "left_semi"),
+            "delete", v))
+        }
+      }
+      // (b) delete_scope: removed labels with no same-seq rewrite; rows
+      // already tombstoned at the parent don't die twice
+      val scopeDeletes: Option[DataFrame] = {
+        val gone = removed.filter(l => !rewrittenSeqs.contains(mdP.seqOf(l))).toSeq.sorted
+        if (gone.isEmpty) None
+        else {
+          val raw = scanLabels(mdP, gone, withPos = true)
+          val live = deleteVectors(spark, base, mdP) match {
+            case None => raw
+            case Some(dvp) =>
+              val dv = dvp.select(col("label").as("__dvl"), col("pos").as("__dvp"))
+              raw.join(dv, col("__label") === col("__dvl") && col("__pos") === col("__dvp"),
+                "left_anti")
+          }
+          Some(project(live, "delete", v))
+        }
+      }
+      Seq(inserts, dvDeletes, scopeDeletes).flatten
+    }
+    perVersion.reduceOption(_ unionByName _).getOrElse(emptyChanges)
+  }
+
   /** Fragment list to commit after a rewrite dropped `removed` labels
     * (whose deleted rows were materialized away by [[rewriteGroupsStaged]]):
     * untouched fragments stay; touched ones canonicalize into ONE fragment

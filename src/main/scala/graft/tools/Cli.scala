@@ -23,6 +23,7 @@ import graft.ktk.{DatasetMetadata, Ktk}
   *   runMain graft.tools.Cli delete  <base> <uuid>
   *   runMain graft.tools.Cli delete-rows <base> <uuid> "<col op value & ...>"
   *   runMain graft.tools.Cli materialize <base> <uuid>  # rewrite DV-touched files
+  *   runMain graft.tools.Cli changes <base> <uuid> <fromVersion> [toVersion] [limit]
   *   runMain graft.tools.Cli list    <base>
   *   runMain graft.tools.Cli copy    <base> <uuid> <toUuid>
   * }}}
@@ -103,6 +104,11 @@ object Cli {
       val md = Ktk.materializeDeletes(spark, args(1), args(2))
       println(s"materialized row-level deletes; ${md.partitions.size} files, " +
         s"${md.deleteFragments.size} fragment(s) remain (run cleanup to drop old files)")
+    case "changes" =>
+      // batch CDC: row-level inserts/deletes in (from, to]
+      val to = if (args.length > 4) args(4).toLong else -1L
+      Ktk.readChangeFeed(spark, args(1), args(2), args(3).toLong, to)
+        .show(if (args.length > 5) args(5).toInt else 20, truncate = false)
     case "copy" =>
       // ≙ `kartothek copy` (kartothek/cli/_copy.py): clone files + metadata
       Ktk.copyDataset(spark, args(1), args(2), args(3))

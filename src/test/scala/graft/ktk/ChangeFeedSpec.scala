@@ -1,0 +1,79 @@
+package graft.ktk
+
+import graft.SparkSpec
+import graft.core.Predicates
+import org.apache.spark.sql.functions._
+
+/** Batch CDC reader (`Ktk.readChangeFeed`): row-level inserts AND deletes
+  * over a commit range, deletion vectors giving the delete side row
+  * precision, the seq watermark keeping rewrites silent.
+  */
+class ChangeFeedSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def kv = Seq(
+    (1L, "a", 10.0), (2L, "a", 20.0), (3L, "b", 30.0), (4L, "b", 40.0)
+  ).toDF("k", "p", "v")
+
+  private def changes(base: String, from: Long, to: Long = -1L) =
+    Ktk.readChangeFeed(spark, base, "ds", from, to)
+      .select("k", "_change_type", "_commit_version")
+      .as[(Long, String, Long)].collect().sorted.toSeq
+
+  test("append commits emit inserts with version attribution") {
+    val base = tmpDir("cdf")
+    Ktk.store(spark, base, "ds", kv, partitionOn = Seq("p")) // v1
+    Ktk.update(spark, base, "ds", Some(Seq((5L, "a", 50.0)).toDF("k", "p", "v"))) // v2
+    changes(base, 1) shouldBe Seq((5L, "insert", 2L))
+    // full range from zero includes the initial content at v1
+    changes(base, 0).filter(_._3 == 1L).map(_._1).sorted shouldBe Seq(1L, 2L, 3L, 4L)
+  }
+
+  test("deleteRows emits exactly the tombstoned rows as deletes") {
+    val base = tmpDir("cdf")
+    Ktk.store(spark, base, "ds", kv, partitionOn = Seq("p")) // v1
+    Ktk.deleteRows(spark, base, "ds",
+      predicates = Predicates.of(Seq(("v", ">", 25.0)))) // v2
+    changes(base, 1) shouldBe Seq((3L, "delete", 2L), (4L, "delete", 2L))
+    // deleted row VALUES are recoverable from the feed
+    val row = Ktk.readChangeFeed(spark, base, "ds", 1)
+      .filter(col("k") === 3L).select("v").as[Double].head()
+    row shouldBe 30.0
+  }
+
+  test("merge emits deletes for matched keys and inserts for the batch") {
+    val base = tmpDir("cdf")
+    Ktk.store(spark, base, "ds", kv, partitionOn = Seq("p")) // v1
+    val src = Seq((2L, "a", 999.0), (9L, "c", 90.0)).toDF("k", "p", "v")
+    Ktk.merge(spark, base, "ds", src, keys = Seq("k")) // v2
+    changes(base, 1) shouldBe Seq(
+      (2L, "delete", 2L), (2L, "insert", 2L), (9L, "insert", 2L))
+  }
+
+  test("compaction and materialization stay silent; delete_scope emits") {
+    val base = tmpDir("cdf")
+    Ktk.store(spark, base, "ds", kv.repartition(2), partitionOn = Seq("p")) // v1
+    Ktk.deleteRows(spark, base, "ds",
+      predicates = Predicates.of(Seq(("k", "==", 1)))) // v2: delete k=1
+    Ktk.materializeDeletes(spark, base, "ds") // rewrite, SILENT
+    Ktk.compact(spark, base, "ds", smallFileBytes = Long.MaxValue) // SILENT (may no-op)
+    val vMaint = DatasetMetadata.load(spark, base, "ds").version
+    changes(base, 2, vMaint) shouldBe empty
+    // delete_scope drops partition p=b -> its live rows emit as deletes
+    Ktk.update(spark, base, "ds", None,
+      deleteScope = Predicates.of(Seq(("p", "==", "b"))))
+    val vDel = DatasetMetadata.load(spark, base, "ds").version
+    changes(base, vMaint) shouldBe Seq((3L, "delete", vDel), (4L, "delete", vDel))
+  }
+
+  test("delete_scope does not resurrect already-tombstoned rows") {
+    val base = tmpDir("cdf")
+    Ktk.store(spark, base, "ds", kv, partitionOn = Seq("p")) // v1
+    Ktk.deleteRows(spark, base, "ds",
+      predicates = Predicates.of(Seq(("k", "==", 3)))) // v2: k=3 dead
+    Ktk.update(spark, base, "ds", None,
+      deleteScope = Predicates.of(Seq(("p", "==", "b")))) // v3: drops p=b
+    // k=3 died at v2; only k=4 dies at v3
+    changes(base, 1) shouldBe Seq((3L, "delete", 2L), (4L, "delete", 3L))
+  }
+}
