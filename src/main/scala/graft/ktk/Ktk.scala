@@ -1134,6 +1134,10 @@ object Ktk {
     * pattern); larger sources fall back to a semi join over the full
     * candidate scan, still O(target ∩ batch keys) output.
     *
+    * `deleteKeys` (columns in `keys` order) adds WHEN MATCHED THEN DELETE
+    * keys: their matches tombstone without any row landing — the CDC
+    * delete-marker path ([[mergeCdc]]).
+    *
     * Returns the committed metadata and the number of target rows replaced.
     */
   def merge(
@@ -1143,7 +1147,8 @@ object Ktk {
       source: DataFrame,
       keys: Seq[String],
       maxCollectKeys: Int = 10000,
-      extraMetadata: Map[String, String] = Map.empty): (DatasetMetadata, Long) = {
+      extraMetadata: Map[String, String] = Map.empty,
+      deleteKeys: Option[DataFrame] = None): (DatasetMetadata, Long) = {
     require(keys.nonEmpty, "merge requires at least one key column")
     val md = DatasetMetadata.load(spark, base, uuid)
     val schema = md.schema
@@ -1155,8 +1160,13 @@ object Ktk {
 
     // 1. matched target rows → one DV fragment. Collectable key sets prune
     //    files through queryLabels (partition / index / zone / bloom); the
-    //    residual semi join keeps the result exact either way.
-    val srcKeys = source.select(keys.map(c => col(s"`$c`")): _*).distinct()
+    //    residual semi join keeps the result exact either way. `deleteKeys`
+    //    (CDC delete markers) tombstone matches WITHOUT contributing rows —
+    //    a delete of an absent key is a no-op, like SQL MERGE's
+    //    WHEN MATCHED THEN DELETE.
+    val srcKeys = deleteKeys.map(_.toDF(keys: _*))
+      .foldLeft(source.select(keys.map(c => col(s"`$c`")): _*))(_ unionByName _)
+      .distinct()
     val collected: Option[Seq[Row]] = {
       val rows = srcKeys.limit(maxCollectKeys + 1).collect().toSeq
       if (rows.size <= maxCollectKeys) Some(rows) else None
@@ -1362,6 +1372,31 @@ object Ktk {
     val keep = deleteVectors(spark, base, md).get
       .join(broadcast(removed.toSeq.toDF("label")), Seq("label"), "left_anti")
     writeDeleteFragment(spark, base, md.uuid, keep).map(_._1).toSeq
+  }
+
+  /** Apply one CDC batch (Debezium-style row images with an operation
+    * column): rows where `opCol` = `deleteOp` tombstone their keys (a
+    * delete of an absent key is a no-op), every other row upserts — ONE
+    * atomic merge-on-read commit, zero rewrites ([[merge]] mechanics).
+    * With [[graft.streaming.KtkSink.upsertStream]] feeding batches this
+    * maintains a queryable mirror of a source table under
+    * insert/update/delete traffic.
+    */
+  def mergeCdc(
+      spark: SparkSession,
+      base: String,
+      uuid: String,
+      batch: DataFrame,
+      keys: Seq[String],
+      opCol: String,
+      deleteOp: String = "D",
+      maxCollectKeys: Int = 10000,
+      extraMetadata: Map[String, String] = Map.empty): (DatasetMetadata, Long) = {
+    require(batch.columns.contains(opCol), s"CDC batch lacks op column '$opCol'")
+    val dels = batch.filter(col(s"`$opCol`") === deleteOp)
+      .select(keys.map(c => col(s"`$c`")): _*)
+    val ups = batch.filter(col(s"`$opCol`") =!= deleteOp).drop(opCol)
+    merge(spark, base, uuid, ups, keys, maxCollectKeys, extraMetadata, Some(dels))
   }
 
   /** Physically drop deleted rows: rewrite exactly the files the deletion

@@ -86,16 +86,20 @@ object KtkSink {
     */
   def commitBatchUpsert(batch: DataFrame, base: String, uuid: String, batchId: Long,
                         keys: Seq[String], compactEvery: Int = 0,
-                        maxSidecarFragments: Int = 64): Unit = {
+                        maxSidecarFragments: Int = 64,
+                        opCol: Option[String] = None): Unit = {
     val spark = batch.sparkSession
     val md = DatasetMetadata.load(spark, base, uuid)
     val alreadyCommitted = md.metadata.get(BatchKey).exists(_.toLong >= batchId)
     if (!alreadyCommitted) {
       val since = md.metadata.get(SinceCompactKey).map(_.toLong).getOrElse(0L) + 1
       val willCompact = compactEvery > 0 && since >= compactEvery
-      Ktk.merge(spark, base, uuid, batch, keys,
-        extraMetadata = Map(BatchKey -> batchId.toString,
-          SinceCompactKey -> since.toString))
+      val meta = Map(BatchKey -> batchId.toString, SinceCompactKey -> since.toString)
+      // opCol: Debezium-style batches where 'D' rows are delete markers
+      opCol match {
+        case Some(c) => Ktk.mergeCdc(spark, base, uuid, batch, keys, c, extraMetadata = meta)
+        case None    => Ktk.merge(spark, base, uuid, batch, keys, extraMetadata = meta)
+      }
       if (willCompact) {
         Ktk.compact(spark, base, uuid,
           extraMetadata = Map(SinceCompactKey -> "0"))
@@ -120,16 +124,21 @@ object KtkSink {
       }
       .start()
 
-  /** Attach the dataset as a keyed UPSERT sink (CDC mirror). */
+  /** Attach the dataset as a keyed UPSERT sink (CDC mirror). `opCol`
+    * enables full insert/update/delete traffic: rows carrying the delete
+    * marker tombstone their keys instead of landing.
+    */
   def upsertStream(df: DataFrame, base: String, uuid: String, checkpoint: String,
                    keys: Seq[String], trigger: Trigger = Trigger.AvailableNow(),
                    compactEvery: Int = 0,
-                   maxSidecarFragments: Int = 64): StreamingQuery =
+                   maxSidecarFragments: Int = 64,
+                   opCol: Option[String] = None): StreamingQuery =
     df.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        commitBatchUpsert(batch, base, uuid, batchId, keys, compactEvery, maxSidecarFragments)
+        commitBatchUpsert(batch, base, uuid, batchId, keys, compactEvery,
+          maxSidecarFragments, opCol)
       }
       .start()
 }

@@ -145,6 +145,27 @@ class KtkSinkSpec extends SparkSpec {
     DatasetMetadata.load(spark, base, "mirror").deleteFragments shouldBe empty
   }
 
+  test("CDC batches with delete markers maintain a full mirror") {
+    val base = tmpDir("ktksink-cdc")
+    Ktk.createEmpty(spark, base, "cdc", schema, partitionOn = Seq("p"))
+    def batch(rows: (Int, Long, String, String)*) =
+      rows.toSeq.toDF("p", "k", "v", "op")
+    KtkSink.commitBatchUpsert(batch((0, 1L, "a", "I"), (0, 2L, "b", "I")),
+      base, "cdc", batchId = 0, keys = Seq("k"), opCol = Some("op"))
+    // update k=1, delete k=2, insert k=3, delete of ABSENT key 9 = no-op
+    KtkSink.commitBatchUpsert(
+      batch((0, 1L, "a2", "U"), (0, 2L, "", "D"), (1, 3L, "c", "I"), (0, 9L, "", "D")),
+      base, "cdc", batchId = 1, keys = Seq("k"), opCol = Some("op"))
+    Ktk.readTable(spark, base, "cdc")
+      .select("k", "v").as[(Long, String)].collect().sortBy(_._1).toSeq shouldBe
+      Seq((1L, "a2"), (3L, "c"))
+    // pure-delete batch (no upserts at all)
+    KtkSink.commitBatchUpsert(batch((0, 1L, "", "D")),
+      base, "cdc", batchId = 2, keys = Seq("k"), opCol = Some("op"))
+    Ktk.readTable(spark, base, "cdc")
+      .select("k", "v").as[(Long, String)].collect().toSeq shouldBe Seq((3L, "c"))
+  }
+
   test("upsertStream end-to-end over MemoryStream micro-batches") {
     val base = tmpDir("ktksink-ups")
     Ktk.createEmpty(spark, base, "mirror2", schema, partitionOn = Seq("p"))
