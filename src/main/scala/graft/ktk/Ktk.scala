@@ -1073,6 +1073,28 @@ object Ktk {
     } else Some(name -> n)
   }
 
+  /** Fragment-count ceiling: past it, a delete/merge commit folds ALL
+    * fragments (old ∪ new) into ONE canonical fragment in the same commit
+    * — a sidecar-only rewrite of O(live tombstones), no data movement —
+    * so a long run of small deletes cannot make every read union an
+    * unbounded fragment list (the deletion-vector twin of
+    * `maxSidecarFragments`). Rows for labels no longer referenced are
+    * dropped while folding.
+    */
+  val MaxDeleteFragments = 64
+
+  private def fragmentsToCommit(
+      spark: SparkSession, base: String, md: DatasetMetadata,
+      withNew: Seq[String], cap: Int): Seq[String] = {
+    if (withNew.size <= cap) return withNew
+    import spark.implicits._
+    val dv = spark.read.schema(DvSchema)
+      .parquet(withNew.map(md.deletePath(base, _)): _*)
+    val live = dv.join(
+      broadcast(md.partitions.keys.toSeq.toDF("label")), Seq("label"), "left_semi")
+    writeDeleteFragment(spark, base, md.uuid, live).map(_._1).toSeq
+  }
+
   /** Row-level DELETE (Delta/Iceberg merge-on-read): mark every live row
     * matching the predicate deleted by committing ONE immutable
     * deletion-vector fragment of `(file label, row position)` pairs — NO
@@ -1100,7 +1122,8 @@ object Ktk {
       base: String,
       uuid: String,
       predicates: Predicates = Predicates.empty,
-      filterQuery: Option[String] = None): (DatasetMetadata, Long) = {
+      filterQuery: Option[String] = None,
+      maxFragments: Int = MaxDeleteFragments): (DatasetMetadata, Long) = {
     require(predicates.isEmpty ^ filterQuery.isEmpty,
       "deleteRows takes exactly one of predicates / filterQuery")
     val md = DatasetMetadata.load(spark, base, uuid)
@@ -1114,7 +1137,8 @@ object Ktk {
         freshDeletePairs(spark, base, md, candidates, cond)) match {
       case None => (md, 0L)
       case Some((name, n)) =>
-        val md1 = md.copy(deletes = md.deleteFragments :+ name)
+        val md1 = md.copy(deletes = fragmentsToCommit(spark, base, md,
+          md.deleteFragments :+ name, maxFragments))
         (DatasetMetadata.store(spark, base, md1, parentMd = Some(md)), n)
     }
   }
@@ -1232,7 +1256,8 @@ object Ktk {
       survivingOld = survivors, newLabels = newLabels.toSeq)
     val md1 = md.copy(partitions = finalPartitions, partitionSeq = finalSeq,
       indices = idxReg, blooms = bloomReg, zones = zoneReg,
-      deletes = md.deleteFragments ++ fragment.map(_._1),
+      deletes = fragmentsToCommit(spark, base, md,
+        md.deleteFragments ++ fragment.map(_._1), MaxDeleteFragments),
       metadata = md.metadata ++ extraMetadata +
         (DatasetMetadata.SeqHwmKey -> nextSeq.toString))
     (DatasetMetadata.store(spark, base, md1, parentMd = Some(md)),
@@ -1314,14 +1339,21 @@ object Ktk {
         if (fresh.isEmpty) None
         else Some(project(scanLabels(mdV, fresh, withPos = false), "insert", v))
       }
-      // (a) tombstones this commit added — the fragment IS the row list
+      // (a) tombstones this commit added — the fragment IS the row list.
+      // Pairs already dead at the parent are excluded: a fragment-count
+      // canonicalization folds ALL history into one "new" fragment, and
+      // without the anti-join it would re-emit every old delete.
       val dvDeletes: Option[DataFrame] = {
         val newFrags = mdV.deleteFragments.filterNot(mdP.deleteFragments.toSet)
         if (newFrags.isEmpty) None
         else {
-          val dv = spark.read.schema(DvSchema)
+          val dvNew = spark.read.schema(DvSchema)
             .parquet(newFrags.map(mdV.deletePath(base, _)): _*)
-            .select(col("label").as("__dvl"), col("pos").as("__dvp"))
+          val fresh = deleteVectors(spark, base, mdP) match {
+            case None      => dvNew
+            case Some(dvP) => dvNew.join(dvP, Seq("label", "pos"), "left_anti")
+          }
+          val dv = fresh.select(col("label").as("__dvl"), col("pos").as("__dvp"))
           val labels = dv.select("__dvl").distinct().collect().map(_.getString(0))
             .filter(mdP.partitions.keySet.contains).sorted.toSeq
           if (labels.isEmpty) None

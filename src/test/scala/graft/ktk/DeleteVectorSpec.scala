@@ -178,6 +178,28 @@ class DeleteVectorSpec extends SparkSpec {
     Ktk.readTable(spark, base, "ds").count() shouldBe 5
   }
 
+  test("fragment count stays bounded under many small deletes") {
+    val base = tmpDir("dv")
+    val rows = (1L to 40L).map(k => (k, "a", k.toDouble)).toDF("k", "p", "v")
+    Ktk.store(spark, base, "ds", rows, partitionOn = Seq("p"))
+    // 12 tiny delete commits with a cap of 4: the list folds instead of
+    // growing — reads never union an unbounded fragment set
+    (1L to 12L).foreach { k =>
+      Ktk.deleteRows(spark, base, "ds",
+        predicates = Predicates.of(Seq(("k", "==", k))), maxFragments = 4)
+    }
+    val md = DatasetMetadata.load(spark, base, "ds")
+    md.deleteFragments.size should be <= 4
+    Ktk.readTable(spark, base, "ds").select("k").as[Long].collect().sorted.toSeq shouldBe
+      (13L to 40L)
+    // the CDC feed across the fold boundaries never re-emits an old
+    // tombstone: every version reports exactly its own deleted row
+    val feed = Ktk.readChangeFeed(spark, base, "ds", 1)
+      .select("k", "_change_type", "_commit_version")
+      .as[(Long, String, Long)].collect().sorted.toSeq
+    feed shouldBe (1L to 12L).map(k => (k, "delete", k + 1))
+  }
+
   test("overlay keep-last reads compose with deletion vectors") {
     val base = tmpDir("dv")
     Ktk.store(spark, base, "ds", Seq((1L, "x"), (2L, "y")).toDF("k", "v"))
