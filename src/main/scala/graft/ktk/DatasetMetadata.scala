@@ -181,6 +181,13 @@ object DatasetMetadata {
     */
   val VersionKey = "graft.version"
 
+  /** Comma-joined sort columns the dataset's files are sorted by within
+    * partitions (recorded by store/update when they sort). Maintenance
+    * rewrites (compact / materializeDeletes) re-apply it so row-group
+    * stats and zone-map ranges stay tight after file merges.
+    */
+  val SortByKey = "graft.sort_by"
+
   /** High watermark of assigned commit sequence numbers. Seq numbers drive
     * overlay (keep-last) ordering and the change feed's rewrite detection;
     * the watermark keeps them MONOTONE even when a delete scope removes the

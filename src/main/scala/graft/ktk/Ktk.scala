@@ -113,8 +113,13 @@ object Ktk {
     val bucketed =
       if (bucketBy.nonEmpty) bucketFrame(normalized, partitionOn, bucketBy, numBuckets)
       else normalized
+    // partition columns FIRST: FileFormatWriter requires the task ordering
+    // to lead with them for dynamic-partition writes — otherwise it inserts
+    // its own partition-only sort, which does NOT preserve the secondary
+    // order (destroying exactly the row-group tightness sortBy buys)
     val sorted =
-      if (sortBy.nonEmpty) bucketed.sortWithinPartitions(sortBy.map(c => col(s"`$c`")): _*)
+      if (sortBy.nonEmpty)
+        bucketed.sortWithinPartitions((partitionOn ++ sortBy).map(c => col(s"`$c`")): _*)
       else bucketed
 
     val tableDir = s"$base/$uuid/table"
@@ -129,8 +134,13 @@ object Ktk {
       w.option(s"parquet.bloom.filter.enabled#$c", "true"))
     (if (partitionOn.nonEmpty) writer.partitionBy(partitionOn: _*) else writer).parquet(tableDir)
 
+    // record the layout so maintenance rewrites keep files sorted (tight
+    // row-group stats / zone ranges survive compaction)
+    val meta =
+      if (sortBy.isEmpty) userMetadata
+      else userMetadata + (DatasetMetadata.SortByKey -> sortBy.mkString(","))
     commitAfterWrite(spark, base, uuid, partitionOn, secondaryIndices,
-      normalized.schema, userMetadata, zoneMapFor, bloomFor)
+      normalized.schema, meta, zoneMapFor, bloomFor)
   }
 
   /** Hash-bucket co-location for the write: shuffle on (partitionOn,
@@ -1457,9 +1467,12 @@ object Ktk {
     val movedBySeq = rewriteGroupsStaged(spark, base, md, bySeq) { (data, labels) =>
       val totalBytes = labels.map(md.sizeOf).sum
       val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
-      if (md.partitionKeys.nonEmpty)
-        data.repartition(nOut, md.partitionKeys.map(c => col(s"`$c`")): _*)
-      else data.repartition(nOut)
+      val shaped =
+        if (md.partitionKeys.nonEmpty)
+          data.repartition(nOut, md.partitionKeys.map(c => col(s"`$c`")): _*)
+        else data.repartition(nOut)
+      val sortCols = recordedSortCols(md)
+      if (sortCols.isEmpty) shaped else shaped.sortWithinPartitions(sortCols: _*)
     }
     val newSeqOf = scala.collection.mutable.Map.empty[String, Long]
     movedBySeq.foreach { case (seq, ls) => ls.foreach { case (l, _) => newSeqOf(l) = seq } }
@@ -1555,8 +1568,12 @@ object Ktk {
         if (!evolveSchema)
           SchemaUtil.validateCompatible(md.schema, SchemaUtil.normalizeSchema(df.schema, md.partitionKeys))
         val normalized = SchemaUtil.normalize(df, md.partitionKeys)
+        // partition columns first — see store(): the dynamic-partition
+        // writer's own sort would destroy the secondary order otherwise
         val sorted =
-          if (sortBy.nonEmpty) normalized.sortWithinPartitions(sortBy.map(c => col(s"`$c`")): _*)
+          if (sortBy.nonEmpty)
+            normalized.sortWithinPartitions(
+              (md.partitionKeys ++ sortBy).map(c => col(s"`$c`")): _*)
           else normalized
         ManifestCommitProtocol.collecting(spark) {
           val writer = sorted.write.mode(SaveMode.Append)
@@ -1593,10 +1610,13 @@ object Ktk {
     val zoneReg = mergeZonesIncremental(spark, base, md, tableDir,
       survivingOld = finalPartitions.keys.toSeq.filter(referenced.contains),
       newLabels = newLabels.toSeq, appendOnly = appendOnly)
+    val sortMeta =
+      if (sortBy.isEmpty) Map.empty[String, String]
+      else Map(DatasetMetadata.SortByKey -> sortBy.mkString(","))
     val md1 = md.copy(partitions = finalPartitions, partitionSeq = finalSeq,
       schemaJson = evolvedSchema.json,
       indices = idxReg, blooms = bloomReg, zones = zoneReg,
-      metadata = md.metadata ++ extraMetadata +
+      metadata = md.metadata ++ extraMetadata ++ sortMeta +
         (DatasetMetadata.SeqHwmKey -> nextSeq.toString))
 
     DatasetMetadata.store(spark, base, md1, parentMd = Some(md))
@@ -1709,9 +1729,14 @@ object Ktk {
     val movedBySeq = rewriteGroupsStaged(spark, base, md, victimsBySeq) { (data, labels) =>
       val totalBytes = labels.map(md.sizeOf).sum
       val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
-      if (md.partitionKeys.nonEmpty)
-        data.repartition(nOut, md.partitionKeys.map(c => col(s"`$c`")): _*)
-      else data.repartition(nOut)
+      val shaped =
+        if (md.partitionKeys.nonEmpty)
+          data.repartition(nOut, md.partitionKeys.map(c => col(s"`$c`")): _*)
+        else data.repartition(nOut)
+      // preserve the recorded sort layout: merged files keep tight
+      // row-group stats and zone-map ranges
+      val sortCols = recordedSortCols(md)
+      if (sortCols.isEmpty) shaped else shaped.sortWithinPartitions(sortCols: _*)
     }
     val newSeqOf = scala.collection.mutable.Map.empty[String, Long]
     movedBySeq.foreach { case (seq, ls) => ls.foreach { case (l, _) => newSeqOf(l) = seq } }
@@ -1741,6 +1766,19 @@ object Ktk {
       deletes = prunedDeleteFragments(spark, base, md, victims),
       metadata = md.metadata ++ extraMetadata)
     DatasetMetadata.store(spark, base, md1, parentMd = Some(md))
+  }
+
+  /** Sort columns recorded at write time (`graft.sort_by`), restricted to
+    * columns still in the schema (additive evolution can't remove one, but
+    * be defensive) — maintenance rewrites re-apply them.
+    */
+  private def recordedSortCols(md: DatasetMetadata): Seq[org.apache.spark.sql.Column] = {
+    val cols = md.metadata.get(DatasetMetadata.SortByKey).toSeq
+      .flatMap(_.split(",").toSeq).filter(md.schema.fieldNames.contains)
+    // partition columns first — see store(): otherwise the dynamic-
+    // partition writer re-sorts on them alone and discards the rest
+    if (cols.isEmpty) Nil
+    else (md.partitionKeys ++ cols).map(c => col(s"`$c`"))
   }
 
   /** Shared staged-rewrite machinery of [[compact]] and [[clusterZOrder]].
@@ -2327,6 +2365,36 @@ object Ktk {
       (target.zoneRegistry.keySet -- keptZon.keySet -- target.inlineZoneMaps.keySet).toSeq.sorted
     if (missingZones.nonEmpty) out = addZoneMaps(spark, base, uuid, missingZones)
     out
+  }
+
+  /** One-call table maintenance (the OPTIMIZE entry point a scheduler
+    * runs): [[compact]] small files (which also drains deletion vectors
+    * for its victims and re-canonicalizes appended sidecar fragments),
+    * [[materializeDeletes]] for any remaining tombstoned files,
+    * [[canonicalizeSidecars]] if fragments still exceed the cap, then
+    * optionally [[garbageCollect]] with the given retention. Each step is
+    * its own atomic commit; a crash between steps leaves a smaller,
+    * still-consistent dataset.
+    */
+  def optimize(
+      spark: SparkSession,
+      base: String,
+      uuid: String,
+      smallFileBytes: Long = 32L * 1024 * 1024,
+      targetFileBytes: Long = 128L * 1024 * 1024,
+      maxSidecarFragments: Int = 64,
+      gcRetainVersions: Int = -1): DatasetMetadata = {
+    compact(spark, base, uuid, smallFileBytes, targetFileBytes)
+    var md = materializeDeletes(spark, base, uuid, targetFileBytes)
+    if (sidecarFragments(spark, base, uuid) > maxSidecarFragments) {
+      canonicalizeSidecars(spark, base, uuid)
+      md = DatasetMetadata.load(spark, base, uuid)
+    }
+    if (gcRetainVersions >= 0) {
+      garbageCollect(spark, base, uuid, gcRetainVersions)
+      md = DatasetMetadata.load(spark, base, uuid)
+    }
+    md
   }
 
   // ---------------------------------------------------------------- gc

@@ -17,6 +17,7 @@ import graft.ktk.{DatasetMetadata, Ktk}
   *   runMain graft.tools.Cli zonemap <base> <uuid> <column> [column ...]
   *   runMain graft.tools.Cli cleanup <base> <uuid>
   *   runMain graft.tools.Cli compact <base> <uuid>
+  *   runMain graft.tools.Cli optimize <base> <uuid> [gcRetainVersions]
   *   runMain graft.tools.Cli versions <base> <uuid>
   *   runMain graft.tools.Cli asof     <base> <uuid> <version> ["<cond>"] [limit]
   *   runMain graft.tools.Cli rollback <base> <uuid> <version>
@@ -91,6 +92,14 @@ object Cli {
     case "compact" =>
       val md = Ktk.compact(spark, args(1), args(2))
       println(s"compacted to ${md.partitions.size} files (run cleanup to drop the old ones)")
+    case "optimize" =>
+      // compact + materialize deletes + canonicalize sidecars (+ gc when a
+      // retention is given)
+      val retain = if (args.length > 3) args(3).toInt else -1
+      val md = Ktk.optimize(spark, args(1), args(2), gcRetainVersions = retain)
+      println(s"optimized: ${md.partitions.size} files, " +
+        s"${md.deleteFragments.size} delete fragment(s)" +
+        (if (retain >= 0) s", gc kept $retain version(s) of history" else ""))
     case "delete" =>
       DatasetMetadata.delete(spark, args(1), args(2))
       println(s"deleted dataset ${args(2)}")

@@ -137,6 +137,45 @@ class CompactSpec extends SparkSpec {
     Ktk.readTable(spark, base, "ds").count() shouldBe 120
   }
 
+  test("compact preserves the recorded sort layout inside merged files") {
+    import org.apache.spark.sql.expressions.Window
+    val base = tmpDir("compact")
+    val rows = spark.range(0, 3000).selectExpr(
+      "id % 7 AS p", "(id * 2654435761) % 100000 AS k", "id AS v")
+    // 3 small files per partition dir, each sorted on k at write time
+    Ktk.store(spark, base, "srt", rows.repartition(3), partitionOn = Seq("p"),
+      sortBy = Seq("k"))
+    val md1 = Ktk.compact(spark, base, "srt",
+      smallFileBytes = Long.MaxValue, targetFileBytes = Long.MaxValue)
+    md1.metadata.get(DatasetMetadata.SortByKey) shouldBe Some("k")
+    // every rewritten file is still sorted on k
+    val tableDir = md1.tableDir(base)
+    val scanned = spark.read.option("basePath", tableDir)
+      .parquet(md1.partitions.keys.map(l => s"$tableDir/$l").toSeq: _*)
+      .select(col("k"), col("_metadata.file_path").as("f"),
+        col("_metadata.row_index").as("i"))
+    val w = Window.partitionBy("f").orderBy("i")
+    scanned.withColumn("prev", lag("k", 1).over(w))
+      .filter(col("prev") > col("k")).count() shouldBe 0
+  }
+
+  test("optimize: one call drains small files, tombstones and history") {
+    val base = tmpDir("compact")
+    val rows = spark.range(0, 200).selectExpr("id AS k", "id % 3 AS p", "id * 1.0 AS v")
+    Ktk.store(spark, base, "opt", rows.repartition(3), partitionOn = Seq("p"))
+    Ktk.deleteRows(spark, base, "opt",
+      predicates = Predicates.of(Seq(("k", "<", 50))))
+    val md = Ktk.optimize(spark, base, "opt",
+      smallFileBytes = Long.MaxValue, gcRetainVersions = 0)
+    md.deleteFragments shouldBe empty
+    Ktk.readTable(spark, base, "opt").count() shouldBe 150
+    // history pruned to the current commit; physical rows match the logical
+    Ktk.listVersions(spark, base, "opt").size shouldBe 1
+    val tableDir = md.tableDir(base)
+    spark.read.parquet(md.partitions.keys.map(l => s"$tableDir/$l").toSeq: _*)
+      .count() shouldBe 150
+  }
+
   test("compact with nothing to do is a no-op") {
     val base = tmpDir("compactnoop")
     Ktk.store(spark, base, "ds", frag(10).coalesce(1), partitionOn = Seq("p"))
