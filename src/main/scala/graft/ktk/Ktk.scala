@@ -1030,16 +1030,57 @@ object Ktk {
       .parquet(frags.map(md.deletePath(base, _)): _*))
   }
 
+  /** Per-fragment affected-label cache: fragments are immutable and
+    * nonce-named, so a fragment's label set never changes — one entry per
+    * fragment ever read by this JVM, LRU-bounded.
+    */
+  private val fragLabelCache: java.util.LinkedHashMap[String, Set[String]] =
+    new java.util.LinkedHashMap[String, Set[String]](64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, Set[String]]): Boolean = size() > 4096
+    }
+
   /** Labels with at least one deleted row — the file set that must pay the
-    * merge-on-read anti-join. Driver-side and metadata-sized (bounded by
-    * #files, like every other planning collect in this file).
+    * merge-on-read anti-join. Planning must NOT cost a Spark job per read:
+    * each fragment dir carries a `_labels.json` manifest (written with the
+    * fragment; underscore-prefixed, so parquet scans ignore it) read with
+    * one tiny FS get and cached forever (fragments are immutable).
+    * Fragments lacking the manifest (older writers) fall back to a scan of
+    * the fragment's label column.
     */
   private def dirtyDeleteLabels(
-      spark: SparkSession, base: String, md: DatasetMetadata): Set[String] =
-    deleteVectors(spark, base, md) match {
-      case None     => Set.empty
-      case Some(dv) => dv.select("label").distinct().collect().map(_.getString(0)).toSet
-    }
+      spark: SparkSession, base: String, md: DatasetMetadata): Set[String] = {
+    val frags = md.deleteFragments
+    if (frags.isEmpty) return Set.empty
+    val fsys = DatasetMetadata.fs(spark, base)
+    frags.flatMap { name =>
+      val key = md.deletePath(base, name)
+      val cached = fragLabelCache.synchronized(Option(fragLabelCache.get(key)))
+      cached.getOrElse {
+        val manifest = new Path(s"$key/$DvLabelsManifest")
+        val labels: Set[String] =
+          try {
+            val in = fsys.open(manifest)
+            val bytes = try in.readAllBytes() finally in.close()
+            parseJsonStringArray(new String(bytes, java.nio.charset.StandardCharsets.UTF_8))
+          } catch {
+            case _: java.io.FileNotFoundException =>
+              spark.read.schema(DvSchema).parquet(key)
+                .select("label").distinct().collect().map(_.getString(0)).toSet
+          }
+        fragLabelCache.synchronized(fragLabelCache.put(key, labels))
+        labels
+      }
+    }.toSet
+  }
+
+  private val DvLabelsManifest = "_labels.json"
+
+  private def parseJsonStringArray(s: String): Set[String] = {
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    m.registerModule(com.fasterxml.jackson.module.scala.DefaultScalaModule)
+    m.readValue(s, classOf[Array[String]]).toSet
+  }
 
   /** The (label, pos) pairs of live rows in `candidates` matching `cond`,
     * minus pairs an existing fragment already deletes — fragments stay
@@ -1076,11 +1117,27 @@ object Ktk {
       pairs.coalesce(spark.sparkContext.defaultParallelism)
         .write.mode(SaveMode.Overwrite).parquet(tmp)
     }
-    val n = spark.read.schema(DvSchema).parquet(s"$dir/$name").count()
+    // one job gives row count AND the affected-label manifest, written
+    // INSIDE the fragment dir under an underscore name (parquet scans
+    // ignore it) BEFORE the metadata commit references the fragment —
+    // read planning then learns the dirty file set with one FS get
+    // instead of a Spark job per table read
+    val fin = s"$dir/$name"
+    val perLabel = spark.read.schema(DvSchema).parquet(fin)
+      .groupBy("label").count().collect()
+    val n = perLabel.map(_.getLong(1)).sum
     if (n == 0L) {
-      DatasetMetadata.fs(spark, base).delete(new Path(s"$dir/$name"), true)
+      DatasetMetadata.fs(spark, base).delete(new Path(fin), true)
       None
-    } else Some(name -> n)
+    } else {
+      val labels = perLabel.map(_.getString(0))
+      val m = new com.fasterxml.jackson.databind.ObjectMapper()
+      val fsys = DatasetMetadata.fs(spark, base)
+      val out = fsys.create(new Path(s"$fin/$DvLabelsManifest"), true)
+      try out.write(m.writeValueAsBytes(labels)) finally out.close()
+      fragLabelCache.synchronized(fragLabelCache.put(fin, labels.toSet))
+      Some(name -> n)
+    }
   }
 
   /** Fragment-count ceiling: past it, a delete/merge commit folds ALL
