@@ -1239,14 +1239,30 @@ object Ktk {
       keys: Seq[String],
       maxCollectKeys: Int = 10000,
       extraMetadata: Map[String, String] = Map.empty,
-      deleteKeys: Option[DataFrame] = None): (DatasetMetadata, Long) = {
+      deleteKeys: Option[DataFrame] = None,
+      evolveSchema: Boolean = false): (DatasetMetadata, Long) = {
     require(keys.nonEmpty, "merge requires at least one key column")
     val md = DatasetMetadata.load(spark, base, uuid)
     val schema = md.schema
     keys.foreach(k => require(schema.fieldNames.contains(k),
       s"merge key '$k' not in dataset schema"))
-    SchemaUtil.validateCompatible(schema,
-      SchemaUtil.normalizeSchema(source.schema, md.partitionKeys))
+    // additive evolution mirrors update(): new source columns append as
+    // nullable (old files read null); the upstream-ALTER-TABLE case of a
+    // CDC mirror. Registered sidecar columns must still arrive.
+    val evolvedSchema: StructType =
+      if (evolveSchema) {
+        val cand = SchemaUtil.normalizeSchema(source.schema, md.partitionKeys)
+        val sidecarCols = md.indices.keySet ++ md.bloomRegistry.keySet ++ md.zoneColumns
+        val absent = sidecarCols.filterNot(cand.fieldNames.contains).toSeq.sorted
+        require(absent.isEmpty,
+          s"evolveSchema merge must still carry the registered index/bloom/zone " +
+            s"column(s): ${absent.mkString(", ")}")
+        SchemaUtil.evolveSchemas(schema, cand)
+      } else {
+        SchemaUtil.validateCompatible(schema,
+          SchemaUtil.normalizeSchema(source.schema, md.partitionKeys))
+        schema
+      }
     val tableDir = md.tableDir(base)
 
     // 1. matched target rows → one DV fragment. Collectable key sets prune
@@ -1322,6 +1338,7 @@ object Ktk {
     val zoneReg = mergeZonesIncremental(spark, base, md, tableDir,
       survivingOld = survivors, newLabels = newLabels.toSeq)
     val md1 = md.copy(partitions = finalPartitions, partitionSeq = finalSeq,
+      schemaJson = evolvedSchema.json,
       indices = idxReg, blooms = bloomReg, zones = zoneReg,
       deletes = fragmentsToCommit(spark, base, md,
         md.deleteFragments ++ fragment.map(_._1), MaxDeleteFragments),
@@ -1490,12 +1507,14 @@ object Ktk {
       opCol: String,
       deleteOp: String = "D",
       maxCollectKeys: Int = 10000,
-      extraMetadata: Map[String, String] = Map.empty): (DatasetMetadata, Long) = {
+      extraMetadata: Map[String, String] = Map.empty,
+      evolveSchema: Boolean = false): (DatasetMetadata, Long) = {
     require(batch.columns.contains(opCol), s"CDC batch lacks op column '$opCol'")
     val dels = batch.filter(col(s"`$opCol`") === deleteOp)
       .select(keys.map(c => col(s"`$c`")): _*)
     val ups = batch.filter(col(s"`$opCol`") =!= deleteOp).drop(opCol)
-    merge(spark, base, uuid, ups, keys, maxCollectKeys, extraMetadata, Some(dels))
+    merge(spark, base, uuid, ups, keys, maxCollectKeys, extraMetadata,
+      Some(dels), evolveSchema)
   }
 
   /** Physically drop deleted rows: rewrite exactly the files the deletion

@@ -87,7 +87,8 @@ object KtkSink {
   def commitBatchUpsert(batch: DataFrame, base: String, uuid: String, batchId: Long,
                         keys: Seq[String], compactEvery: Int = 0,
                         maxSidecarFragments: Int = 64,
-                        opCol: Option[String] = None): Unit = {
+                        opCol: Option[String] = None,
+                        evolveSchema: Boolean = false): Unit = {
     val spark = batch.sparkSession
     val md = DatasetMetadata.load(spark, base, uuid)
     val alreadyCommitted = md.metadata.get(BatchKey).exists(_.toLong >= batchId)
@@ -97,8 +98,10 @@ object KtkSink {
       val meta = Map(BatchKey -> batchId.toString, SinceCompactKey -> since.toString)
       // opCol: Debezium-style batches where 'D' rows are delete markers
       opCol match {
-        case Some(c) => Ktk.mergeCdc(spark, base, uuid, batch, keys, c, extraMetadata = meta)
-        case None    => Ktk.merge(spark, base, uuid, batch, keys, extraMetadata = meta)
+        case Some(c) => Ktk.mergeCdc(spark, base, uuid, batch, keys, c,
+          extraMetadata = meta, evolveSchema = evolveSchema)
+        case None    => Ktk.merge(spark, base, uuid, batch, keys,
+          extraMetadata = meta, evolveSchema = evolveSchema)
       }
       if (willCompact) {
         Ktk.compact(spark, base, uuid,

@@ -93,6 +93,26 @@ class DeleteVectorSpec extends SparkSpec {
     Ktk.readTable(spark, base, "ds").filter(col("k") === 3L).count() shouldBe 2
   }
 
+  test("merge with additive schema evolution (upstream ALTER TABLE)") {
+    val base = tmpDir("dv")
+    Ktk.store(spark, base, "ds", kv, partitionOn = Seq("p"))
+    // strict mode rejects the new column loudly
+    val evolved = Seq((2L, "a", 22.0, "note-2"), (8L, "c", 80.0, "note-8"))
+      .toDF("k", "p", "v", "note")
+    intercept[Exception] {
+      Ktk.merge(spark, base, "ds", evolved, keys = Seq("k"))
+    }
+    val (_, matched) = Ktk.merge(spark, base, "ds", evolved, keys = Seq("k"),
+      evolveSchema = true)
+    matched shouldBe 1L
+    val out = Ktk.readTable(spark, base, "ds")
+      .select("k", "v", "note").as[(Long, Double, Option[String])]
+      .collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    out(2L) shouldBe ((22.0, Some("note-2")))
+    out(8L) shouldBe ((80.0, Some("note-8")))
+    out(1L) shouldBe ((10.0, None)) // old file reads the new column as null
+  }
+
   test("time travel sees pre-delete content; rollback restores it") {
     val base = tmpDir("dv")
     Ktk.store(spark, base, "ds", kv, partitionOn = Seq("p")) // v1
