@@ -1445,6 +1445,16 @@ object SparkEntry {
         .select("doc_id", "lang").orderBy("doc_id")
     }),
 
+    "q_temperature" -> ((s, dir) => {
+      // temperature-scaled language mixing (p_g ∝ count_g^0.5): the
+      // standard multilingual up-sample-the-tail rule, deterministic
+      // membership draw — DuckDB recomputes the same weights and picks the
+      // identical row set
+      Sampling.temperatureResample(t(s, dir, "documents"), col("doc_id"), col("lang"),
+        alpha = 0.5, seed = "s7")
+        .select("doc_id", "lang").orderBy("doc_id")
+    }),
+
     "q_pack_chunk" -> ((s, dir) => {
       // sequence packing: cut a new pack every 500 tokens in doc_id order
       // (two-level cumsum — no global window over the corpus)
@@ -2603,6 +2613,16 @@ object SparkEntry {
          |    ORDER BY ${duckU("CAST(doc_id AS VARCHAR)", "s4")}, doc_id) AS rn
          |  FROM documents)
          |SELECT doc_id, lang FROM r WHERE rn <= 10 ORDER BY doc_id""".stripMargin,
+
+    "q_temperature" ->
+      s"""WITH c AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY lang),
+         |w AS (SELECT lang, cnt,
+         |        pow(cnt, 0.5) / (SELECT sum(pow(cnt, 0.5)) FROM c) AS w FROM c),
+         |m AS (SELECT min(floor(cnt / w)) AS n FROM w),
+         |f AS (SELECT w.lang, least(1.0::DOUBLE, m.n * w.w / w.cnt) AS frac FROM w, m)
+         |SELECT d.doc_id, d.lang FROM documents d JOIN f ON d.lang = f.lang
+         |WHERE ${duckU("CAST(d.doc_id AS VARCHAR)", "s7")} < f.frac
+         |ORDER BY d.doc_id""".stripMargin,
 
     "q_mixture" ->
       s"""WITH c AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY lang),

@@ -142,6 +142,29 @@ object Sampling {
       .drop("__domain", "__frac")
   }
 
+  /** Temperature-scaled domain mixing (the `p_g ∝ count_g^alpha` rule of
+    * multilingual/multi-domain pretraining mixes — alpha 1 keeps natural
+    * proportions, alpha 0 makes domains uniform, the usual 0.3–0.7 range
+    * up-samples the tail without letting the head drown it): computes the
+    * target weights from the OBSERVED domain counts and delegates to
+    * [[mixtureResample]]'s deterministic membership draw. Domain counts
+    * are one partial agg (broadcast back as a literal map); the corpus
+    * itself never shuffles.
+    */
+  def temperatureResample(df: DataFrame, key: Column, domain: Column,
+                          alpha: Double, seed: String = "graft"): DataFrame = {
+    require(alpha >= 0.0 && alpha <= 1.0, s"alpha must be in [0, 1], got $alpha")
+    // sorted: the normalizer's float summation order is run-deterministic
+    val counts = df.select(domain.as("__domain"))
+      .groupBy("__domain").agg(count(lit(1)).as("__cnt"))
+      .collect().map(r => r.get(0).toString -> r.getLong(1).toDouble)
+      .sortBy(_._1)
+    val powed = counts.map { case (d, c) => d -> math.pow(c, alpha) }
+    val z = powed.map(_._2).sum
+    val weights = powed.map { case (d, p) => d -> p / z }.toMap
+    mixtureResample(df, key, domain, weights, seed)
+  }
+
   /** Sequence packing by deterministic chunking: order documents by
     * `orderCol`, accumulate `tokenCol`, and cut a new pack every `budget`
     * tokens — each document lands in the pack where its first token falls.

@@ -99,6 +99,28 @@ class SamplingSpec extends SparkSpec {
     counts("big").toDouble should be(600.0 +- 80.0) // frac 0.5 of 1200
   }
 
+  test("temperatureResample flattens the head, keeps the tail, stays deterministic") {
+    val df = ids.withColumn("dom",
+      when(col("id") < 1600, "big").when(col("id") < 1900, "mid").otherwise("tiny"))
+    // natural shares 80/15/5; alpha 0 targets uniform thirds
+    val out = Sampling.temperatureResample(df, col("id"), col("dom"),
+      alpha = 0.0, seed = "t2").cache()
+    val counts = out.groupBy("dom").count().as[(String, Long)].collect().toMap
+    counts("tiny") shouldBe 100L // scarcest domain kept whole (frac 1.0)
+    // head flattened toward the tail's size
+    counts("big").toDouble should be(100.0 +- 40.0)
+    counts("mid").toDouble should be(100.0 +- 40.0)
+    // alpha 1 reproduces (a deterministic subsample of) natural proportions
+    val nat = Sampling.temperatureResample(df, col("id"), col("dom"),
+      alpha = 1.0, seed = "t2").groupBy("dom").count().as[(String, Long)].collect().toMap
+    nat("big").toDouble / nat("tiny") should be(16.0 +- 5.0)
+    // deterministic under the seed
+    val again = Sampling.temperatureResample(df, col("id"), col("dom"),
+      alpha = 0.0, seed = "t2")
+    again.select("id").as[Long].collect().sorted.toSeq shouldBe
+      out.select("id").as[Long].collect().sorted.toSeq
+  }
+
   test("packChunks equals the naive global cumulative-sum contract") {
     val df = Seq((1L, 100L), (2L, 300L), (3L, 250L), (4L, 50L), (5L, 400L), (6L, 10L))
       .toDF("id", "tok")
