@@ -1140,6 +1140,46 @@ object Ktk {
     }
   }
 
+  /** At-least-once incremental consumption of [[readChangeFeed]]: reads
+    * the last-consumed version from a tiny checkpoint blob, hands
+    * `(changes, fromVersion, toVersion]` to `f`, and advances the
+    * checkpoint ONLY after `f` returns — a crash mid-`f` redelivers the
+    * same range (idempotent consumers, the foreachBatch contract).
+    * `maxVersionsPerPoll` bounds each batch like the streaming source's
+    * admission control; loop until 0 to drain. The downstream-mirror
+    * companion of the append-only stream for consumers that need the
+    * DELETE side.
+    */
+  def consumeChanges(
+      spark: SparkSession,
+      base: String,
+      uuid: String,
+      checkpointPath: String,
+      maxVersionsPerPoll: Int = 100)(f: (DataFrame, Long, Long) => Unit): Long = {
+    require(maxVersionsPerPoll >= 1, "maxVersionsPerPoll must be >= 1")
+    val fsys = DatasetMetadata.fs(spark, checkpointPath)
+    val ckpt = new Path(checkpointPath)
+    val last: Long =
+      try {
+        val in = fsys.open(ckpt)
+        val bytes = try in.readAllBytes() finally in.close()
+        new String(bytes, java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+      } catch { case _: java.io.FileNotFoundException => 0L }
+    val cur = DatasetMetadata.load(spark, base, uuid).version
+    if (cur <= last) return 0L
+    val to = math.min(cur, last + maxVersionsPerPoll)
+    f(readChangeFeed(spark, base, uuid, last, to), last, to)
+    // advance AFTER the consumer succeeded (temp + rename, like the pointer)
+    val tmp = new Path(ckpt.getParent, s".${ckpt.getName}.tmp")
+    val out = fsys.create(tmp, true)
+    try out.write(to.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    if (fsys.exists(ckpt)) fsys.delete(ckpt, false)
+    if (!fsys.rename(tmp, ckpt))
+      throw new java.io.IOException(s"failed to advance change checkpoint $ckpt")
+    to - last
+  }
+
   /** Fragment-count ceiling: past it, a delete/merge commit folds ALL
     * fragments (old ∪ new) into ONE canonical fragment in the same commit
     * — a sidecar-only rewrite of O(live tombstones), no data movement —

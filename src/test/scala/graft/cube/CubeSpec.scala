@@ -129,6 +129,26 @@ class CubeSpec extends SparkSpec {
     groups.map(_._2.count()).sum shouldBe 4
   }
 
+  test("cube query composes with row-level deletes on member datasets") {
+    import graft.ktk.Ktk
+    val base = tmpDir("cube")
+    Cube.build(spark, base, cube, Map("seed" -> seed, "enrich" -> enrich))
+    // GDPR-style delete of one seed CELL via deletion vectors — no file
+    // rewrite; the cube read path must not resurrect it
+    Ktk.deleteRows(spark, base, "c++seed",
+      predicates = Predicates.of(Seq(("v1", "==", 30.0))))
+    val out = Cube.query(spark, base, cube)
+    out.count() shouldBe 3
+    out.filter($"v1" === 30.0).count() shouldBe 0
+    // enrichment deletes drop the enrichment, seed rows read null
+    Ktk.deleteRows(spark, base, "c++enrich",
+      predicates = Predicates.of(Seq(("v2", "==", 100L))))
+    val rows = Cube.query(spark, base, cube).collect()
+      .map(r => (r.getLong(0), r.getLong(1), if (r.isNullAt(4)) null else r.getLong(4)))
+    rows.toSeq.sortBy(t => (t._1, t._2)) shouldBe Seq(
+      (0L, 0L, null), (0L, 1L, null), (1L, 1L, 200L))
+  }
+
   test("dedupKeepLast within one file keeps the later row") {
     val df = Seq((1, "old"), (1, "new"), (2, "only")).toDF("k", "v")
     val out = Cube.dedupKeepLast(df, Seq("k")).orderBy("k").collect().map(_.getString(1)).toSeq

@@ -66,6 +66,39 @@ class ChangeFeedSpec extends SparkSpec {
     changes(base, vMaint) shouldBe Seq((3L, "delete", vDel), (4L, "delete", vDel))
   }
 
+  test("consumeChanges: checkpointed at-least-once polling drains the log") {
+    val base = tmpDir("cdf")
+    val ckpt = s"${tmpDir("cdf-ckpt")}/consumer.v"
+    Ktk.store(spark, base, "ds", kv, partitionOn = Seq("p")) // v1
+    Ktk.deleteRows(spark, base, "ds",
+      predicates = Predicates.of(Seq(("k", "==", 1)))) // v2
+    Ktk.update(spark, base, "ds", Some(Seq((9L, "c", 90.0)).toDF("k", "p", "v"))) // v3
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long)]
+    // bounded polls: one version per batch, loop to drain
+    var polled = 0
+    while (Ktk.consumeChanges(spark, base, "ds", ckpt, maxVersionsPerPoll = 1) {
+        (df, _, _) => seen ++= df.select("k", "_change_type", "_commit_version")
+          .as[(Long, String, Long)].collect()
+      } > 0) polled += 1
+    polled shouldBe 3
+    seen.sorted.toSeq shouldBe Seq(
+      (1L, "delete", 2L), (1L, "insert", 1L), (2L, "insert", 1L),
+      (3L, "insert", 1L), (4L, "insert", 1L), (9L, "insert", 3L))
+    // nothing new -> no-op; a failing consumer does NOT advance
+    Ktk.consumeChanges(spark, base, "ds", ckpt)((_, _, _) => fail("no data expected")) shouldBe 0
+    Ktk.update(spark, base, "ds", Some(Seq((10L, "c", 100.0)).toDF("k", "p", "v"))) // v4
+    intercept[RuntimeException] {
+      Ktk.consumeChanges(spark, base, "ds", ckpt)((_, _, _) => throw new RuntimeException("boom"))
+    }
+    // redelivered on the next poll (checkpoint unadvanced)
+    var redelivered = Seq.empty[Long]
+    Ktk.consumeChanges(spark, base, "ds", ckpt) { (df, from, to) =>
+      redelivered = df.select("k").as[Long].collect().toSeq
+      from shouldBe 3L; to shouldBe 4L
+    } shouldBe 1
+    redelivered shouldBe Seq(10L)
+  }
+
   test("delete_scope does not resurrect already-tombstoned rows") {
     val base = tmpDir("cdf")
     Ktk.store(spark, base, "ds", kv, partitionOn = Seq("p")) // v1
