@@ -1007,6 +1007,67 @@ object Ktk {
     readTable(spark, base, uuid, columns, predicates).toLocalIterator().asScala
   }
 
+  // ------------------------------------------------------- CHECK constraints
+
+  private val ConstraintPrefix = "graft.constraint."
+
+  /** Registered CHECK constraints: name → boolean SQL expression. They ride
+    * in `metadata`, so every commit record and snapshot carries them and
+    * time travel sees the constraint set of its version.
+    */
+  def constraints(md: DatasetMetadata): Map[String, String] =
+    md.metadata.collect {
+      case (k, v) if k.startsWith(ConstraintPrefix) =>
+        k.stripPrefix(ConstraintPrefix) -> v
+    }
+
+  /** Add a CHECK constraint (Delta `ALTER TABLE ADD CONSTRAINT` analog):
+    * validates EXISTING data first (one scan — a constraint that current
+    * rows violate is rejected with a sample), then commits the rule;
+    * every subsequent [[update]]/[[merge]]/[[mergeCdc]] batch is checked
+    * before any file lands, and a violating batch fails the WHOLE commit.
+    * NULL results follow SQL CHECK semantics: only rows evaluating FALSE
+    * violate.
+    */
+  def addCheckConstraint(
+      spark: SparkSession, base: String, uuid: String,
+      name: String, sqlExpr: String): DatasetMetadata = {
+    require(name.nonEmpty && name.forall(c => c.isLetterOrDigit || c == '_'),
+      s"constraint name must be [A-Za-z0-9_]+, got '$name'")
+    val md = DatasetMetadata.load(spark, base, uuid)
+    val existing = readTableWithMetadata(spark, base, md)
+      .filter(expr(sqlExpr) <=> lit(false)).limit(3)
+      .collect()
+    require(existing.isEmpty,
+      s"cannot add constraint '$name' ($sqlExpr): existing rows violate it, " +
+        s"e.g. ${existing.take(1).mkString}")
+    val md1 = md.copy(metadata = md.metadata + (s"$ConstraintPrefix$name" -> sqlExpr))
+    DatasetMetadata.store(spark, base, md1, parentMd = Some(md))
+  }
+
+  def dropConstraint(
+      spark: SparkSession, base: String, uuid: String, name: String): DatasetMetadata = {
+    val md = DatasetMetadata.load(spark, base, uuid)
+    require(md.metadata.contains(s"$ConstraintPrefix$name"),
+      s"no constraint named '$name'")
+    val md1 = md.copy(metadata = md.metadata - s"$ConstraintPrefix$name")
+    DatasetMetadata.store(spark, base, md1, parentMd = Some(md))
+  }
+
+  /** Fail loudly if `batch` violates any registered constraint — called by
+    * the mutation paths BEFORE any file is written, so a bad batch leaves
+    * nothing behind. One pass per constraint over the batch only (never
+    * the table); at 100 TB that's O(commit), the price of the guarantee.
+    */
+  private def enforceConstraints(md: DatasetMetadata, batch: DataFrame): Unit =
+    constraints(md).toSeq.sortBy(_._1).foreach { case (name, sqlExpr) =>
+      val bad = batch.filter(expr(sqlExpr) <=> lit(false)).limit(3).collect()
+      if (bad.nonEmpty)
+        throw new IllegalArgumentException(
+          s"batch violates CHECK constraint '$name' ($sqlExpr): " +
+            s"${bad.length}+ row(s), e.g. ${bad.take(1).mkString}")
+    }
+
   // ------------------------------------------------- row-level deletes (DV)
 
   private val DvSchema = StructType(Seq(
@@ -1304,6 +1365,10 @@ object Ktk {
         schema
       }
     val tableDir = md.tableDir(base)
+    // CHECK constraints gate the batch before ANY side effect (even the
+    // tombstone fragment) — a violating batch leaves nothing behind
+    val normalized = SchemaUtil.normalize(source, md.partitionKeys)
+    enforceConstraints(md, normalized)
 
     // 1. matched target rows → one DV fragment. Collectable key sets prune
     //    files through queryLabels (partition / index / zone / bloom); the
@@ -1356,7 +1421,6 @@ object Ktk {
       }
 
     // 2. append the source as new files (the update() write path)
-    val normalized = SchemaUtil.normalize(source, md.partitionKeys)
     val newFiles: Seq[(String, Long)] = ManifestCommitProtocol.collecting(spark) {
       val writer = normalized.write.mode(SaveMode.Append)
       (if (md.partitionKeys.nonEmpty) writer.partitionBy(md.partitionKeys: _*) else writer)
@@ -1684,6 +1748,8 @@ object Ktk {
         if (!evolveSchema)
           SchemaUtil.validateCompatible(md.schema, SchemaUtil.normalizeSchema(df.schema, md.partitionKeys))
         val normalized = SchemaUtil.normalize(df, md.partitionKeys)
+        // CHECK constraints gate the batch BEFORE any file lands
+        enforceConstraints(md, normalized)
         // partition columns first — see store(): the dynamic-partition
         // writer's own sort would destroy the secondary order otherwise
         val sorted =

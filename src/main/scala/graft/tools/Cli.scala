@@ -25,6 +25,7 @@ import graft.ktk.{DatasetMetadata, Ktk}
   *   runMain graft.tools.Cli delete-rows <base> <uuid> "<col op value & ...>"
   *   runMain graft.tools.Cli materialize <base> <uuid>  # rewrite DV-touched files
   *   runMain graft.tools.Cli changes <base> <uuid> <fromVersion> [toVersion] [limit]
+  *   runMain graft.tools.Cli constraint <base> <uuid> add <name> "<sql>" | drop <name> | list
   *   runMain graft.tools.Cli list    <base>
   *   runMain graft.tools.Cli copy    <base> <uuid> <toUuid>
   * }}}
@@ -113,6 +114,20 @@ object Cli {
       val md = Ktk.materializeDeletes(spark, args(1), args(2))
       println(s"materialized row-level deletes; ${md.partitions.size} files, " +
         s"${md.deleteFragments.size} fragment(s) remain (run cleanup to drop old files)")
+    case "constraint" =>
+      // constraint <base> <uuid> add <name> "<sql expr>" | drop <name> | list
+      args(3) match {
+        case "add" =>
+          Ktk.addCheckConstraint(spark, args(1), args(2), args(4), args(5))
+          println(s"added CHECK constraint ${args(4)}: ${args(5)}")
+        case "drop" =>
+          Ktk.dropConstraint(spark, args(1), args(2), args(4))
+          println(s"dropped constraint ${args(4)}")
+        case "list" =>
+          Ktk.constraints(DatasetMetadata.load(spark, args(1), args(2)))
+            .toSeq.sortBy(_._1).foreach { case (n, e) => println(s"$n: CHECK ($e)") }
+        case other => throw new IllegalArgumentException(s"constraint: unknown verb $other")
+      }
     case "changes" =>
       // batch CDC: row-level inserts/deletes in (from, to]
       val to = if (args.length > 4) args(4).toLong else -1L
