@@ -2602,7 +2602,8 @@ object Ktk {
     */
   def garbageCollect(spark: SparkSession, base: String, uuid: String,
       retainVersions: Int = 0,
-      sidecarGraceMs: Long = 15L * 60 * 1000): Seq[String] = {
+      sidecarGraceMs: Long = 15L * 60 * 1000,
+      dryRun: Boolean = false): Seq[String] = {
     val md = DatasetMetadata.load(spark, base, uuid)
     val fs = DatasetMetadata.fs(spark, base)
     val tableRoot = fs.makeQualified(new Path(md.tableDir(base)))
@@ -2627,7 +2628,9 @@ object Ktk {
       // distribute the deletes: after heavy compaction/streaming churn the
       // orphan count is O(#historical files), and sequential driver-side
       // deletes against an object store dominate the maintenance pass
-      if (toDelete.size <= 16)
+      if (dryRun)
+        toDelete.foreach(p => deleted += p.toString)
+      else if (toDelete.size <= 16)
         toDelete.foreach { p => fs.delete(p, false); deleted += p.toString }
       else {
         val serializableConf = new org.apache.spark.util.SerializableConfiguration(
@@ -2667,7 +2670,8 @@ object Ktk {
               (try fs.listStatus(st.getPath).toSeq.map(_.getModificationTime)
                catch { case _: java.io.IOException => Nil })).max
             if (newest < now - sidecarGraceMs) {
-              fs.delete(st.getPath, true); deleted += st.getPath.toString
+              if (!dryRun) fs.delete(st.getPath, true)
+              deleted += st.getPath.toString
             }
           }
         }
@@ -2679,7 +2683,7 @@ object Ktk {
     // through records about to be pruned: materialize it as a
     // self-contained checkpoint FIRST, so every retained version stays
     // loadable from retained records alone.
-    if (prunedVersions.nonEmpty)
+    if (prunedVersions.nonEmpty && !dryRun)
       keptVersions.minOption.foreach { v =>
         DatasetMetadata.materializeCheckpoint(spark, base, uuid, v)
       }
@@ -2687,11 +2691,12 @@ object Ktk {
       Seq(DatasetMetadata.versionKey(base, uuid, v),
           DatasetMetadata.versionDeltaKey(base, uuid, v)).foreach { k =>
         val p = new Path(k)
-        if (fs.delete(p, false)) deleted += p.toString
+        if (dryRun) { if (fs.exists(p)) deleted += p.toString }
+        else if (fs.delete(p, false)) deleted += p.toString
       }
       // a post-gc loadVersion of a pruned commit must fail loudly, not
       // answer from this JVM's snapshot cache
-      DatasetMetadata.uncacheVersion(base, uuid, v)
+      if (!dryRun) DatasetMetadata.uncacheVersion(base, uuid, v)
     }
     deleted.result()
   }

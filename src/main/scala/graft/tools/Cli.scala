@@ -89,7 +89,9 @@ object Cli {
     case "stats" =>
       Ktk.parquetStats(spark, args(1), args(2)).show(100, truncate = false)
     case "cleanup" =>
-      Ktk.garbageCollect(spark, args(1), args(2)).foreach(k => println(s"deleted $k"))
+      val dry = args.length > 3 && args(3) == "--dry-run"
+      Ktk.garbageCollect(spark, args(1), args(2), dryRun = dry)
+        .foreach(k => println(s"${if (dry) "would delete" else "deleted"} $k"))
     case "compact" =>
       val md = Ktk.compact(spark, args(1), args(2))
       println(s"compacted to ${md.partitions.size} files (run cleanup to drop the old ones)")

@@ -178,6 +178,21 @@ class DeleteVectorSpec extends SparkSpec {
     spark.read.format("graft").option("uuid", "ds").load(base).count() shouldBe 5
   }
 
+  test("gc dry-run reports exactly what a real gc then deletes") {
+    val base = tmpDir("dv")
+    Ktk.store(spark, base, "ds", kv, partitionOn = Seq("p"))
+    Ktk.deleteRows(spark, base, "ds", predicates = Predicates.of(Seq(("k", "==", 1))))
+    Ktk.materializeDeletes(spark, base, "ds") // orphans: old p=a file + fragment
+    val plan = Ktk.garbageCollect(spark, base, "ds", dryRun = true, sidecarGraceMs = 0L)
+    plan should not be empty
+    // nothing was touched
+    Ktk.readTable(spark, base, "ds").count() shouldBe 5
+    Ktk.readTableAsOf(spark, base, "ds", 2L).count() shouldBe 5
+    val real = Ktk.garbageCollect(spark, base, "ds", sidecarGraceMs = 0L)
+    real.toSet shouldBe plan.toSet
+    Ktk.readTable(spark, base, "ds").count() shouldBe 5
+  }
+
   test("gc reaps unreferenced fragments; retained versions pin theirs") {
     val base = tmpDir("dv")
     Ktk.store(spark, base, "ds", kv, partitionOn = Seq("p")) // v1
