@@ -6,10 +6,11 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.expressions.aggregate.Aggregation
 import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.execution.datasources.InMemoryFileIndex
 import org.apache.spark.sql.execution.datasources.v2.parquet.{ParquetScan, ParquetScanBuilder}
 import org.apache.spark.sql.sources
@@ -67,13 +68,37 @@ class GraftDataSource extends TableProvider with DataSourceRegister {
   override def supportsExternalMetadata(): Boolean = false
 }
 
-final class GraftTable(base: String, md: DatasetMetadata) extends Table with SupportsRead {
+final class GraftTable(base: String, md: DatasetMetadata)
+    extends Table with SupportsRead with SupportsWrite {
   override def name(): String = s"graft.${md.uuid}"
   override def schema(): StructType = md.schema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(base, md, options)
+
+  /** DataFrame-writer APPEND surface
+    * (`df.write.format("graft").option("uuid", u).mode("append").save(base)`):
+    * a V1Write bridge into [[Ktk.update]] — one atomic versioned commit,
+    * schema-validated, sidecars merged incrementally, CHECK constraints
+    * enforced. Overwrite is deliberately NOT a writer mode: it physically
+    * clobbers history, so it stays an explicit `Ktk.store(overwrite=true)`.
+    */
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder {
+      override def build(): Write = new V1Write {
+        override def toInsertableRelation: org.apache.spark.sql.sources.InsertableRelation =
+          (data: org.apache.spark.sql.DataFrame, overwrite: Boolean) => {
+            if (overwrite)
+              throw new UnsupportedOperationException(
+                s"graft writer supports append only; use Ktk.store(..., overwrite = true) " +
+                  "to replace dataset content (it physically clobbers history)")
+            Ktk.update(SparkSession.active, base, md.uuid, Some(data))
+            ()
+          }
+      }
+    }
 }
 
 final class GraftScanBuilder(base: String, md: DatasetMetadata, options: CaseInsensitiveStringMap)

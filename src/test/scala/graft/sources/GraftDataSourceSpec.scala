@@ -62,6 +62,32 @@ class GraftDataSourceSpec extends SparkSpec {
     spark.sql("SELECT count(*) FROM ds_v WHERE p = 1").head.getLong(0) shouldBe 2
   }
 
+  test("DataFrame writer appends as one atomic versioned commit") {
+    val base = setup()
+    val v0 = graft.ktk.DatasetMetadata.load(spark, base, "ds").version
+    Seq((9, "z", 90.0, "w")).toDF("p", "l", "target", "tag")
+      .write.format("graft").option("uuid", "ds").mode("append").save(base)
+    val md = graft.ktk.DatasetMetadata.load(spark, base, "ds")
+    md.version shouldBe v0 + 1
+    read(base).count() shouldBe 5
+    // index maintained by the commit: the new tag prunes through it
+    read(base).filter(col("tag") === "w").count() shouldBe 1
+    // overwrite mode refuses loudly (history-clobbering stays explicit):
+    // Spark's capability check rejects it (no TRUNCATE declared) before
+    // our own guard would
+    val e = intercept[Exception] {
+      Seq((9, "z", 1.0, "q")).toDF("p", "l", "target", "tag")
+        .write.format("graft").option("uuid", "ds").mode("overwrite").save(base)
+    }
+    (e.getMessage should (include("truncate") or include("append only")))
+    // schema mismatches are rejected by the commit's validation
+    intercept[Exception] {
+      Seq((1, 2)).toDF("a", "b")
+        .write.format("graft").option("uuid", "ds").mode("append").save(base)
+    }
+    read(base).count() shouldBe 5
+  }
+
   test("asOfVersion option time-travels through the SQL surface") {
     val base = setup()
     Ktk.update(spark, base, "ds",
