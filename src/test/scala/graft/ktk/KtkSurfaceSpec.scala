@@ -90,6 +90,27 @@ class KtkSurfaceSpec extends SparkSpec {
     DatasetMetadata.listDatasets(spark, base) shouldBe Nil
   }
 
+  test("cli: delete-rows/materialize/changes/optimize/constraint verbs") {
+    val base = tmpDir("cli2")
+    Ktk.store(spark, base, "dv",
+      Seq((1L, "a", 10.0), (2L, "a", 20.0), (3L, "b", 30.0)).toDF("k", "p", "v"),
+      partitionOn = Seq("p"))
+    graft.tools.Cli.run(spark, Array("constraint", base, "dv", "add", "v_pos", "v > 0.0"))
+    Ktk.constraints(DatasetMetadata.load(spark, base, "dv")).keySet shouldBe Set("v_pos")
+    graft.tools.Cli.run(spark, Array("constraint", base, "dv", "list"))
+    graft.tools.Cli.run(spark, Array("delete-rows", base, "dv", "v > 25.0"))
+    Ktk.readTable(spark, base, "dv").count() shouldBe 2
+    DatasetMetadata.load(spark, base, "dv").deleteFragments should have size 1
+    graft.tools.Cli.run(spark, Array("changes", base, "dv", "0"))
+    graft.tools.Cli.run(spark, Array("materialize", base, "dv"))
+    DatasetMetadata.load(spark, base, "dv").deleteFragments shouldBe empty
+    graft.tools.Cli.run(spark, Array("cleanup", base, "dv", "--dry-run"))
+    graft.tools.Cli.run(spark, Array("optimize", base, "dv", "0"))
+    Ktk.readTable(spark, base, "dv").count() shouldBe 2
+    graft.tools.Cli.run(spark, Array("constraint", base, "dv", "drop", "v_pos"))
+    Ktk.constraints(DatasetMetadata.load(spark, base, "dv")) shouldBe empty
+  }
+
   test("cli shell: scripted interactive query session") {
     val base = tmpDir("clishell")
     Ktk.store(spark, base, "sh",
