@@ -286,6 +286,28 @@ object DatasetMetadata {
   private def hadoopConf(spark: SparkSession): Configuration =
     spark.sessionState.newHadoopConf()
 
+  /** Replace `key` with `tmp` ATOMICALLY where the filesystem can
+    * (`FileContext.rename(..., Options.Rename.OVERWRITE)` — atomic on
+    * HDFS and local): no window in which `key` is absent, so a crash
+    * mid-swap never loses the blob. Object stores without FileContext
+    * fall back to delete→rename — non-atomic but last-writer-wins at the
+    * blob level.
+    */
+  private[graft] def atomicReplace(
+      spark: SparkSession, filesystem: FileSystem, tmp: Path, key: Path): Unit = {
+    try {
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+        key.toUri, hadoopConf(spark))
+      fc.rename(filesystem.makeQualified(tmp), filesystem.makeQualified(key),
+        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    } catch {
+      case _: UnsupportedOperationException =>
+        if (filesystem.exists(key)) filesystem.delete(key, false)
+        if (!filesystem.rename(tmp, key))
+          throw new java.io.IOException(s"Failed to atomically replace $key")
+    }
+  }
+
   def versionsDir(base: String, uuid: String): String = s"$base/$uuid/_versions"
 
   /** Full-snapshot (checkpoint) blob of commit `v` — bit-compatible with
@@ -552,19 +574,7 @@ object DatasetMetadata {
     val out = filesystem.create(tmp, true)
     try out.write(pointerBytes)
     finally out.close()
-    try {
-      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
-        key.toUri, hadoopConf(spark))
-      fc.rename(filesystem.makeQualified(tmp), filesystem.makeQualified(key),
-        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
-    } catch {
-      case _: UnsupportedOperationException =>
-        // object stores without FileContext: non-atomic fallback, still
-        // last-writer-wins at the blob level
-        if (filesystem.exists(key)) filesystem.delete(key, false)
-        if (!filesystem.rename(tmp, key))
-          throw new java.io.IOException(s"Failed to commit dataset metadata at $key")
-    }
+    atomicReplace(spark, filesystem, tmp, key)
     // seed the snapshot cache: the committing JVM's next load() costs one
     // pointer read (md IS the state loadVersion(newV) would reconstruct)
     cachePut((base, md.uuid, newV), md)

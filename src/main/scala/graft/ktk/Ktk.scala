@@ -33,6 +33,13 @@ object Ktk {
 
   val IndexDirName = "indices"
 
+  /** Test/diagnostic probe: file-candidate count of the LAST [[merge]]'s
+    * matched-row scan (−1 = none computed). Lets specs pin that collected
+    * key sets — single- OR multi-column — prune below the full label set.
+    */
+  private[graft] val lastMergeCandidates =
+    new java.util.concurrent.atomic.AtomicInteger(-1)
+
   /** Liveness marker file inside each compact staging root (see
     * [[compact]]'s stale-staging reaper).
     */
@@ -1224,20 +1231,27 @@ object Ktk {
       try {
         val in = fsys.open(ckpt)
         val bytes = try in.readAllBytes() finally in.close()
-        new String(bytes, java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+        val txt = new String(bytes, java.nio.charset.StandardCharsets.UTF_8).trim
+        try txt.toLong catch {
+          case _: NumberFormatException => throw new IllegalStateException(
+            s"corrupt change checkpoint $ckpt (contents: '${txt.take(64)}'). " +
+              "Delete the file to replay from version 0, or write a plain " +
+              "version number to resume from that version.")
+        }
       } catch { case _: java.io.FileNotFoundException => 0L }
     val cur = DatasetMetadata.load(spark, base, uuid).version
     if (cur <= last) return 0L
     val to = math.min(cur, last + maxVersionsPerPoll)
     f(readChangeFeed(spark, base, uuid, last, to), last, to)
-    // advance AFTER the consumer succeeded (temp + rename, like the pointer)
+    // advance AFTER the consumer succeeded, via ATOMIC replace: a
+    // delete-then-rename pair could lose the checkpoint entirely if the
+    // process dies between the two calls (next poll would replay from 0,
+    // or fail outright once early versions are gc'd)
     val tmp = new Path(ckpt.getParent, s".${ckpt.getName}.tmp")
     val out = fsys.create(tmp, true)
     try out.write(to.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
-    if (fsys.exists(ckpt)) fsys.delete(ckpt, false)
-    if (!fsys.rename(tmp, ckpt))
-      throw new java.io.IOException(s"failed to advance change checkpoint $ckpt")
+    DatasetMetadata.atomicReplace(spark, fsys, tmp, ckpt)
     to - last
   }
 
@@ -1343,6 +1357,7 @@ object Ktk {
       deleteKeys: Option[DataFrame] = None,
       evolveSchema: Boolean = false): (DatasetMetadata, Long) = {
     require(keys.nonEmpty, "merge requires at least one key column")
+    lastMergeCandidates.set(-1)
     val md = DatasetMetadata.load(spark, base, uuid)
     val schema = md.schema
     keys.foreach(k => require(schema.fieldNames.contains(k),
@@ -1386,24 +1401,39 @@ object Ktk {
     val fragment: Option[(String, Long)] =
       if (md.partitions.isEmpty) None
       else {
-        val candidates = collected match {
-          case Some(rows) if keys.size == 1 =>
-            val vals = rows.map(_.get(0)).filter(_ != null)
-            if (vals.isEmpty) Nil
-            else queryLabels(spark, base, md,
-              Predicates(Seq(Seq(PredLiteral(keys.head, graft.core.PredOp.In, vals)))))
-          case _ => md.partitions.keys.toSeq.sorted
+        // collectable key sets prune PER KEY COLUMN: a conjunction of
+        // per-column IN predicates runs through the full pruning ladder
+        // (partition values / index / zone maps / bloom), so a clustered
+        // multi-column CDC batch touches only the files whose stats
+        // intersect EVERY key column's value set — a superset of the
+        // exact struct match (the residual semi join below keeps it
+        // exact), never the whole table. A key column that collected
+        // only nulls can match no row (MERGE ON `=` is null-rejecting).
+        val perColVals: Option[Seq[(String, Seq[Any])]] = collected.map { rows =>
+          keys.zipWithIndex.map { case (k, i) =>
+            k -> rows.map(_.get(i)).filter(_ != null).distinct
+          }
         }
+        val candidates = perColVals match {
+          case Some(cols) =>
+            if (cols.exists(_._2.isEmpty)) Nil
+            else queryLabels(spark, base, md, Predicates(Seq(
+              cols.map { case (k, vs) => PredLiteral(k, graft.core.PredOp.In, vs) })))
+          case None => md.partitions.keys.toSeq.sorted
+        }
+        lastMergeCandidates.set(candidates.size)
         if (candidates.isEmpty) None
         else {
           val scan0 = spark.read.option("basePath", tableDir).schema(schema)
             .parquet(candidates.map(l => s"$tableDir/$l"): _*)
-          // single collected key: also push the IN into row-group pruning
-          val scan = collected match {
-            case Some(rows) if keys.size == 1 =>
-              val vals = rows.map(_.get(0)).filter(_ != null)
-              scan0.filter(col(s"`${keys.head}`").isin(vals: _*))
-            case _ => scan0
+          // collected keys: also push the per-column INs into row-group
+          // pruning (conjunction is a superset of the struct match)
+          val scan = perColVals match {
+            case Some(cols) =>
+              cols.foldLeft(scan0) { case (s, (k, vs)) =>
+                s.filter(col(s"`$k`").isin(vs: _*))
+              }
+            case None => scan0
           }
           // SQL MERGE ON semantics: `=` matching, null keys never match
           val probe = if (collected.isDefined) broadcast(srcKeys) else srcKeys
@@ -1492,8 +1522,13 @@ object Ktk {
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
         .withColumn("_change_type", lit(""))
         .withColumn("_commit_version", lit(0L))
+    // Always read with the CURRENT schema: additive evolution guarantees
+    // files from pre-evolution versions surface the new columns as null,
+    // so a feed range spanning an evolveSchema commit projects cleanly
+    // (reading with each version's own schema would leave the final
+    // current-schema projection unresolved).
     def scanLabels(md: DatasetMetadata, ls: Seq[String], withPos: Boolean): DataFrame = {
-      val s = spark.read.option("basePath", tableDir).schema(md.schema)
+      val s = spark.read.option("basePath", tableDir).schema(schema)
         .parquet(ls.map(l => s"$tableDir/$l"): _*)
       if (withPos)
         s.withColumn("__label",
@@ -1614,9 +1649,12 @@ object Ktk {
       extraMetadata: Map[String, String] = Map.empty,
       evolveSchema: Boolean = false): (DatasetMetadata, Long) = {
     require(batch.columns.contains(opCol), s"CDC batch lacks op column '$opCol'")
-    val dels = batch.filter(col(s"`$opCol`") === deleteOp)
+    // Null-safe op split: `=== / =!=` are both null-rejecting, so a
+    // malformed NULL-op row would silently vanish from BOTH sides. Route
+    // NULL (and any non-delete marker) to the upsert side instead.
+    val dels = batch.filter(col(s"`$opCol`") <=> deleteOp)
       .select(keys.map(c => col(s"`$c`")): _*)
-    val ups = batch.filter(col(s"`$opCol`") =!= deleteOp).drop(opCol)
+    val ups = batch.filter(!(col(s"`$opCol`") <=> deleteOp)).drop(opCol)
     merge(spark, base, uuid, ups, keys, maxCollectKeys, extraMetadata,
       Some(dels), evolveSchema)
   }

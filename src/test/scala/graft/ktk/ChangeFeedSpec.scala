@@ -109,4 +109,57 @@ class ChangeFeedSpec extends SparkSpec {
     // k=3 died at v2; only k=4 dies at v3
     changes(base, 1) shouldBe Seq((3L, "delete", 2L), (4L, "delete", 3L))
   }
+
+  test("feed range spanning an evolveSchema commit reads pre-evolution versions") {
+    val base = tmpDir("cdf")
+    Ktk.store(spark, base, "ds", kv, partitionOn = Seq("p")) // v1: (k,p,v)
+    // v2 evolves the schema with an extra column AND touches a row
+    Ktk.merge(spark, base, "ds",
+      Seq((2L, "a", 222.0, "tag2")).toDF("k", "p", "v", "extra"),
+      keys = Seq("k"), evolveSchema = true)
+    Ktk.update(spark, base, "ds",
+      Some(Seq((9L, "c", 90.0, "tag9")).toDF("k", "p", "v", "extra"))) // v3
+    // the WHOLE range — v1's files predate `extra`, v2/v3's carry it
+    val feed = Ktk.readChangeFeed(spark, base, "ds", 0)
+    feed.columns should contain("extra")
+    val rows = feed.select("k", "extra", "_change_type", "_commit_version")
+      .as[(Long, Option[String], String, Long)].collect().sorted.toSeq
+    rows shouldBe Seq(
+      (1L, None, "insert", 1L), (2L, None, "delete", 2L), (2L, None, "insert", 1L),
+      (2L, Some("tag2"), "insert", 2L), (3L, None, "insert", 1L),
+      (4L, None, "insert", 1L), (9L, Some("tag9"), "insert", 3L))
+    // a checkpointed consumer crosses the evolution boundary too
+    val ckpt = s"${tmpDir("cdf-ckpt")}/consumer.v"
+    var total = 0L
+    while (Ktk.consumeChanges(spark, base, "ds", ckpt, maxVersionsPerPoll = 1) {
+        (df, _, _) => total += df.count()
+      } > 0) ()
+    total shouldBe 7L
+  }
+
+  test("mergeCdc routes NULL-op rows to the upsert side (never drops them)") {
+    val base = tmpDir("cdf")
+    Ktk.store(spark, base, "ds", kv, partitionOn = Seq("p")) // v1
+    val batch = Seq(
+      (1L, "a", 11.0, "U"),           // update k=1
+      (3L, "b", 0.0, "D"),            // delete k=3
+      (7L, "c", 70.0, null: String)   // malformed NULL op -> upsert, NOT dropped
+    ).toDF("k", "p", "v", "op")
+    Ktk.mergeCdc(spark, base, "ds", batch, keys = Seq("k"), opCol = "op")
+    val got = Ktk.readTable(spark, base, "ds").select("k", "v")
+      .as[(Long, Double)].collect().sorted.toSeq
+    got shouldBe Seq((1L, 11.0), (2L, 20.0), (4L, 40.0), (7L, 70.0))
+  }
+
+  test("corrupt checkpoint fails with a descriptive, recoverable error") {
+    val base = tmpDir("cdf")
+    val ckpt = s"${tmpDir("cdf-ckpt")}/consumer.v"
+    Ktk.store(spark, base, "ds", kv, partitionOn = Seq("p"))
+    java.nio.file.Files.write(java.nio.file.Paths.get(ckpt), "not-a-version".getBytes)
+    val e = intercept[IllegalStateException] {
+      Ktk.consumeChanges(spark, base, "ds", ckpt)((_, _, _) => ())
+    }
+    e.getMessage should include("corrupt change checkpoint")
+    e.getMessage should include("not-a-version")
+  }
 }

@@ -1,0 +1,69 @@
+package graft.ktk
+
+import graft.SparkSpec
+
+/** Merge key-set pruning: a collected CDC batch must NOT scan every file.
+  * Single-column keys prune through one IN; multi-column keys prune
+  * through a CONJUNCTION of per-key-column INs (partition values + zone
+  * maps) — a clustered two-key batch touches only the files whose stats
+  * intersect every key column's value set. `Ktk.lastMergeCandidates`
+  * records the planned scan set size so these properties cannot silently
+  * regress to full-table scans.
+  */
+class MergePruneSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 4 partitions (p=a..d) x 4 files each, k sorted so zone maps are tight
+  private def seed(base: String): DatasetMetadata = {
+    val df = (0 until 1600).map { i =>
+      (i.toLong, ("abcd" (i / 400)).toString, i * 1.0)
+    }.toDF("k", "p", "v")
+    Ktk.store(spark, base, "ds", df.repartition(4).sortWithinPartitions("k"),
+      partitionOn = Seq("p"), sortBy = Seq("k"), zoneMapFor = Seq("k"))
+  }
+
+  test("clustered two-key batch prunes candidates below the full label set") {
+    val base = tmpDir("mprune")
+    val md = seed(base)
+    val total = md.partitions.size
+    total should be >= 8
+    // batch clustered in p=b, k in [400, 410): one partition dir, few zones
+    val batch = (400 until 410).map(i => (i.toLong, "b", -1.0)).toDF("k", "p", "v")
+    Ktk.merge(spark, base, "ds", batch, keys = Seq("k", "p"))
+    val candidates = Ktk.lastMergeCandidates.get()
+    candidates should be >= 1
+    candidates should be < total
+    // and the merge is still exact: the 10 rows were replaced
+    val got = Ktk.readTable(spark, base, "ds",
+      predicates = graft.core.Predicates.of(Seq(("p", "==", "b"))))
+      .filter(org.apache.spark.sql.functions.col("k") < 410 &&
+        org.apache.spark.sql.functions.col("k") >= 400)
+      .select("v").as[Double].collect().toSeq
+    got.size shouldBe 10
+    all(got) shouldBe -1.0
+  }
+
+  test("uncollectable key sets fall back to the full scan, still exact") {
+    val base = tmpDir("mprune")
+    val md = seed(base)
+    val batch = (0 until 40).map(i => (i.toLong * 40, ("abcd" ((i * 40) / 400)).toString, -2.0))
+      .toDF("k", "p", "v")
+    Ktk.merge(spark, base, "ds", batch, keys = Seq("k", "p"), maxCollectKeys = 5)
+    Ktk.lastMergeCandidates.get() shouldBe md.partitions.size
+    Ktk.readTable(spark, base, "ds")
+      .filter(org.apache.spark.sql.functions.col("v") === -2.0)
+      .count() shouldBe 40
+  }
+
+  test("a key column that collected only nulls matches nothing (no scan)") {
+    val base = tmpDir("mprune")
+    seed(base)
+    val batch = Seq((null.asInstanceOf[java.lang.Long], "b", -3.0))
+      .toDF("k", "p", "v")
+    val (_, tombstoned) = Ktk.merge(spark, base, "ds",
+      batch.filter("k is not null"), keys = Seq("k", "p"),
+      deleteKeys = Some(batch.select("k", "p")))
+    tombstoned shouldBe 0L
+    Ktk.lastMergeCandidates.get() shouldBe 0
+  }
+}
