@@ -391,6 +391,46 @@ object SparkEntry {
         .orderBy("l_orderkey", "l_linenumber", "l_quantity")
     }),
 
+    "q_dsv2_dv" -> ((s, dir) => {
+      // DV-aware DSv2 batch scan: the connector APPLIES pending deletion
+      // vectors (clean/dirty split like Ktk.readTable — only files the
+      // vectors touch pay a row-position filter; clean files keep the
+      // stock vectorized path). In-query pins: the plan contains the DV
+      // scan, the split has BOTH sides, and only files of the deleted
+      // partition are dirty.
+      val base = scratch(dir)
+      built.getOrElseUpdate(s"$base/dsv2dv", {
+        Ktk.store(s, base, "orders_dv2",
+          t(s, dir, "orders").select("o_orderkey", "o_orderstatus", "o_totalprice"),
+          partitionOn = Seq("o_orderstatus"), overwrite = true)
+        Ktk.deleteRows(s, base, "orders_dv2",
+          predicates = Predicates.of(Seq(("o_orderstatus", "==", "F"),
+            ("o_totalprice", ">", 100000.0))))
+        ()
+      })
+      val md = graft.ktk.DatasetMetadata.load(s, base, "orders_dv2")
+      val scan = new graft.sources.GraftScanBuilder(base, md,
+        new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+          java.util.Collections.emptyMap())).build()
+      scan match {
+        case g: graft.sources.GraftDvScan =>
+          val parts = g.planInputPartitions()
+            .collect { case p: graft.sources.GraftDvInputPartition => p }
+          val dirty = parts.filter(_.dirtyLabel.isDefined)
+          val clean = parts.filter(_.dirtyLabel.isEmpty)
+          require(dirty.nonEmpty && clean.nonEmpty,
+            s"DV split regressed: dirty=${dirty.size} clean=${clean.size}")
+          require(dirty.forall(_.dirtyLabel.get.contains("o_orderstatus=F")),
+            "only the deleted partition's files should pay the tombstone filter")
+        case other => throw new IllegalStateException(
+          s"expected GraftDvScan over a DV-bearing dataset, got ${other.getClass}")
+      }
+      s.read.format("graft").option("uuid", "orders_dv2").load(base)
+        .filter(col("o_totalprice") > 50000.0)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .orderBy("o_orderkey")
+    }),
+
     "q_ktk_zonemap" -> ((s, dir) => {
       // metadata-level data skipping: per-file [min, max] ranges on the
       // timestamp column answer a range predicate without opening footers
@@ -1960,6 +2000,11 @@ object SparkEntry {
       """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, l_quantity
         |FROM lineitem WHERE l_returnflag = 'A' AND l_quantity >= 48.0
         |ORDER BY 1, 2, 3""".stripMargin,
+
+    "q_dsv2_dv" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |WHERE NOT (o_orderstatus = 'F' AND o_totalprice > 100000.0)
+        |  AND o_totalprice > 50000.0 ORDER BY 1""".stripMargin,
 
     "q_join_left" ->
       """SELECT o_orderkey, o_custkey, c_mktsegment, round(o_totalprice, 2) AS o_totalprice

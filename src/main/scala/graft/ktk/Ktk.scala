@@ -1116,7 +1116,35 @@ object Ktk {
     * Fragments lacking the manifest (older writers) fall back to a scan of
     * the fragment's label column.
     */
-  private def dirtyDeleteLabels(
+  /** Driver-side collection of the LIVE tombstones touching `labels`, as a
+    * per-label SORTED position array — the shippable form a DSv2 reader
+    * needs to apply deletion vectors per file (Delta ships per-file DV
+    * bitmaps the same way). Bounded by `maxRows`: the count runs first
+    * (one cheap job over the small fragment files), so an over-limit
+    * dataset fails with guidance BEFORE anything is materialized on the
+    * driver.
+    */
+  private[graft] def collectDeleteVectors(
+      spark: SparkSession, base: String, md: DatasetMetadata,
+      labels: Set[String], maxRows: Long): Map[String, Array[Long]] = {
+    import spark.implicits._
+    val dvAll = deleteVectors(spark, base, md).getOrElse(return Map.empty)
+    val dv = dvAll
+      .join(broadcast(labels.toSeq.toDF("label")), Seq("label"), "left_semi")
+    val total = dv.count()
+    if (total > maxRows)
+      throw new IllegalStateException(
+        s"dataset '${md.uuid}' has $total pending row-level deletes (limit $maxRows " +
+          "for the DSv2 scan path). Materialize them first with " +
+          "Ktk.materializeDeletes / Ktk.compact, read via Ktk.readTable, or raise " +
+          ".option(\"maxDvScanRows\", n)")
+    dv.groupBy("label").agg(collect_set("pos").as("ps"))
+      .collect()
+      .map(r => r.getString(0) -> r.getSeq[Long](1).toArray.sorted)
+      .toMap
+  }
+
+  private[graft] def dirtyDeleteLabels(
       spark: SparkSession, base: String, md: DatasetMetadata): Set[String] = {
     val frags = md.deleteFragments
     if (frags.isEmpty) return Set.empty

@@ -12,6 +12,7 @@ import org.apache.spark.sql.connector.expressions.aggregate.Aggregation
 import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.execution.datasources.InMemoryFileIndex
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.execution.datasources.v2.parquet.{ParquetScan, ParquetScanBuilder}
 import org.apache.spark.sql.sources
 import org.apache.spark.sql.sources.{DataSourceRegister, Filter}
@@ -144,8 +145,10 @@ final class GraftScanBuilder(base: String, md: DatasetMetadata, options: CaseIns
     if (lits.isEmpty) Predicates.empty else Predicates(Seq(lits))
   }
 
-  private def prunedFileIndex(spark: SparkSession): InMemoryFileIndex = {
-    val labels = Ktk.queryLabels(spark, base, md, pruningPredicates)
+  private def prunedFileIndex(spark: SparkSession): InMemoryFileIndex =
+    fileIndexFor(spark, Ktk.queryLabels(spark, base, md, pruningPredicates))
+
+  private def fileIndexFor(spark: SparkSession, labels: Seq[String]): InMemoryFileIndex = {
     val tableDir = md.tableDir(base)
     val files = labels.map(l => new Path(s"$tableDir/$l"))
     val partSchema = StructType(md.schema.fields.filter(f => md.partitionKeys.contains(f.name)))
@@ -201,7 +204,14 @@ final class GraftScanBuilder(base: String, md: DatasetMetadata, options: CaseIns
       innerAggBuilder.pruneColumns(requiredSchema)
       return innerAggBuilder.build()
     }
-    val fileIndex = prunedFileIndex(spark)
+    val labels = Ktk.queryLabels(spark, base, md, pruningPredicates)
+    // merge-on-read split, same as Ktk.readTable: only the files the
+    // deletion vectors touch pay the row-position filter; clean files
+    // scan through the stock vectorized path untouched
+    val dirtyAll: Set[String] =
+      if (hasRowDeletes) Ktk.dirtyDeleteLabels(spark, base, md) else Set.empty
+    val dirtyL = labels.filter(dirtyAll.contains)
+    val cleanL = labels.filterNot(dirtyAll.contains)
     val partCols = md.partitionKeys.toSet
     val dataSchema = StructType(md.schema.fields.filterNot(f => partCols(f.name)))
     val readDataSchema = StructType(requiredSchema.fields.filterNot(f => partCols(f.name)))
@@ -210,18 +220,37 @@ final class GraftScanBuilder(base: String, md: DatasetMetadata, options: CaseIns
     // ParquetScan subclass: identical batch behavior, plus toMicroBatchStream
     // for `spark.readStream.format("graft")` (commit-version change feed)
     val parquet = new GraftStreamableScan(
-      spark, spark.sessionState.newHadoopConf(), fileIndex,
+      spark, spark.sessionState.newHadoopConf(), fileIndexFor(spark, cleanL),
       dataSchema, readDataSchema, readPartitionSchema,
-      dataFilters, options, base, md.uuid, md.schema, hasRowDeletes)
+      dataFilters, options, base, md.uuid, md.schema)
+    if (dirtyL.nonEmpty) {
+      // dirty side: a second ParquetScan whose readDataSchema carries
+      // Spark's temporary row-index column — the reader fills it with the
+      // file-absolute position (row-group skipping accounted for), the
+      // exact coordinate the deletion vectors were recorded in
+      // MUST be nullable: the column is absent from the data files (the
+      // reader's row-index generator fills it), and the parquet reader
+      // rejects required-but-missing columns
+      val rowIdx = org.apache.spark.sql.types.StructField(
+        ParquetFileFormat.ROW_INDEX_TEMPORARY_COLUMN_NAME,
+        org.apache.spark.sql.types.LongType, nullable = true)
+      val dirtyScan = ParquetScan(
+        spark, spark.sessionState.newHadoopConf(), fileIndexFor(spark, dirtyL),
+        dataSchema, StructType(readDataSchema.fields :+ rowIdx), readPartitionSchema,
+        dataFilters, options, None, Nil, Nil)
+      val maxRows = options.getLong("maxDvScanRows", 10L * 1000 * 1000)
+      val dv = Ktk.collectDeleteVectors(spark, base, md, dirtyL.toSet, maxRows)
+      return new GraftDvScan(parquet, dirtyScan, spark.sparkContext.broadcast(dv))
+    }
     // .option("keyed","true"): report KeyGroupedPartitioning over the hive
     // partition columns for storage-partitioned joins (see GraftKeyedScan).
     // Only meaningful when the projection retains every partition column
     // (otherwise the keys can't resolve against the scan output).
-    // keyed scans read through the delegate's factory directly, which
-    // would bypass the deletion-vector refusal above — route DV-bearing
-    // datasets to the plain scan so they hit the clear error instead
+    // keyed scans read through the delegate's factory directly, which would
+    // bypass the DV split above — only available while no dirty file is in
+    // scope (fragments referencing only removed labels prune to clean)
     val keyed = options.getBoolean("keyed", false) &&
-      md.partitionKeys.nonEmpty && !hasRowDeletes &&
+      md.partitionKeys.nonEmpty && dirtyAll.isEmpty &&
       md.partitionKeys.forall(requiredSchema.fieldNames.contains)
     if (keyed) new GraftKeyedScan(parquet, md.partitionKeys) else parquet
   }

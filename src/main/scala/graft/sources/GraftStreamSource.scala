@@ -41,22 +41,14 @@ final class GraftStreamableScan(
     options: CaseInsensitiveStringMap,
     base: String,
     uuid: String,
-    tableSchema: StructType,
-    hasRowDeletes: Boolean = false)
+    tableSchema: StructType)
   extends ParquetScan(spark, hadoopConf, fileIndex, dataSchema, readDataSchema,
     readPartitionSchema, pushedFilters, options, None, Nil, Nil) {
 
-  override def toBatch: org.apache.spark.sql.connector.read.Batch = {
-    // the raw parquet batch cannot apply deletion vectors — refusing beats
-    // silently resurrecting deleted rows. (The change feed below stays
-    // available: it is append-only by contract and never re-reads history.)
-    if (hasRowDeletes)
-      throw new IllegalStateException(
-        s"dataset '$uuid' has row-level deletes (deletion vectors); the DSv2 batch " +
-          "path cannot apply them — read via Ktk.readTable, or materialize with " +
-          "Ktk.materializeDeletes / Ktk.compact first")
-    super.toBatch
-  }
+  // Datasets with pending deletion vectors never reach this scan's batch
+  // path directly: GraftScanBuilder routes their dirty files through
+  // [[GraftDvScan]] (clean/dirty split), handing THIS scan only files no
+  // tombstone touches.
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new GraftMicroBatchStream(base, uuid, tableSchema, dataSchema, readDataSchema,

@@ -166,14 +166,17 @@ class DeleteVectorSpec extends SparkSpec {
       .count() shouldBe 4
   }
 
-  test("DSv2 batch read refuses DV datasets loudly; ok after materialize") {
+  test("DSv2 batch read applies deletion vectors; still right after materialize") {
     val base = tmpDir("dv")
     Ktk.store(spark, base, "ds", kv, partitionOn = Seq("p"))
     Ktk.deleteRows(spark, base, "ds", predicates = Predicates.of(Seq(("k", "==", 1))))
-    val err = intercept[Exception] {
-      spark.read.format("graft").option("uuid", "ds").load(base).count()
-    }
-    err.getMessage should include("deletion vectors")
+    // live tombstones: the connector's clean/dirty split applies them
+    val dsv2 = spark.read.format("graft").option("uuid", "ds").load(base)
+    dsv2.count() shouldBe 5
+    dsv2.select("k").as[Long].collect().sorted.toSeq shouldBe Seq(2L, 3L, 4L, 5L, 6L)
+    // identical to the library read path
+    Ktk.readTable(spark, base, "ds").select("k").as[Long].collect().sorted.toSeq shouldBe
+      dsv2.select("k").as[Long].collect().sorted.toSeq
     Ktk.materializeDeletes(spark, base, "ds")
     spark.read.format("graft").option("uuid", "ds").load(base).count() shouldBe 5
   }

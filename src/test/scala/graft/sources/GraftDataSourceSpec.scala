@@ -101,4 +101,66 @@ class GraftDataSourceSpec extends SparkSpec {
     // partition pruning still applies on the snapshot
     v1.filter(col("p") === 1).inputFiles.forall(_.contains("p=1")) shouldBe true
   }
+
+  private def dvScanOf(base: String, opts: Map[String, String] = Map.empty) = {
+    val md = graft.ktk.DatasetMetadata.load(spark, base, "ds")
+    new GraftScanBuilder(base, md,
+      new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+        scala.jdk.CollectionConverters.MapHasAsJava(opts).asJava)).build()
+  }
+
+  test("deletion vectors are applied by the batch scan (clean/dirty split)") {
+    val base = setup()
+    // tombstone ONE row in partition p=1; p=2/p=3 files stay clean
+    Ktk.deleteRows(spark, base, "ds",
+      predicates = graft.core.Predicates.of(Seq(("p", "==", 1), ("target", ">", 15.0))))
+    val df = read(base)
+    df.count() shouldBe 3
+    df.select("l").as[String].collect().sorted.toSeq shouldBe Seq("a", "c", "d")
+    // filters + projection still work through the split
+    df.filter(col("p") === 1).select("target").as[Double].collect().toSeq shouldBe Seq(10.0)
+    df.agg(sum("target")).head.getDouble(0) shouldBe 80.0
+  }
+
+  test("clean files take the stock path; only dirty files pay the filter") {
+    val base = setup()
+    Ktk.deleteRows(spark, base, "ds",
+      predicates = graft.core.Predicates.of(Seq(("p", "==", 1), ("target", ">", 15.0))))
+    val scan = dvScanOf(base)
+    scan shouldBe a[GraftDvScan]
+    val parts = scan.asInstanceOf[GraftDvScan].planInputPartitions()
+      .collect { case p: GraftDvInputPartition => p }
+    val dirty = parts.filter(_.dirtyLabel.isDefined)
+    val clean = parts.filter(_.dirtyLabel.isEmpty)
+    dirty.map(_.dirtyLabel.get).foreach(l => l should include("p=1"))
+    dirty.size shouldBe 1
+    clean.size should be >= 2
+    // dirtyLabel=None IS the no-tombstone-lookup branch: the factory hands
+    // those partitions straight to the stock delegate reader
+    val factory = scan.asInstanceOf[GraftDvScan].toBatch.createReaderFactory()
+    factory shouldBe a[GraftDvReaderFactory]
+    // uniform row-based while vectors pend (Spark can't mix modes in one
+    // BatchScanExec); materialization restores the vectorized plain scan
+    parts.foreach(p => factory.supportColumnarReads(p) shouldBe false)
+  }
+
+  test("DV scan honors the maxDvScanRows guard with a recoverable error") {
+    val base = setup()
+    Ktk.deleteRows(spark, base, "ds",
+      predicates = graft.core.Predicates.of(Seq(("target", ">", 15.0))))
+    val e = intercept[IllegalStateException] { dvScanOf(base, Map("maxDvScanRows" -> "1")) }
+    e.getMessage should include("materializeDeletes")
+    // default limit reads fine
+    read(base).count() shouldBe 1
+  }
+
+  test("materialization returns the dataset to the plain keyed-capable scan") {
+    val base = setup()
+    Ktk.deleteRows(spark, base, "ds",
+      predicates = graft.core.Predicates.of(Seq(("p", "==", 1), ("target", ">", 15.0))))
+    dvScanOf(base) shouldBe a[GraftDvScan]
+    Ktk.materializeDeletes(spark, base, "ds")
+    dvScanOf(base) should not be a[GraftDvScan]
+    read(base).count() shouldBe 3
+  }
 }
