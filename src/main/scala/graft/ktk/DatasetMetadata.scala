@@ -195,6 +195,17 @@ object DatasetMetadata {
     */
   val SeqHwmKey = "graft.seq_hwm"
 
+  /** Stamped by [[Ktk.rollback]] with the rollback COMMIT's own version
+    * number (plus [[RollbackOfKey]] = the restored target). Because commit
+    * metadata is inherited by later commits, a version `v` is a rollback
+    * commit iff its metadata has `RollbackCommitKey == v` — inherited
+    * copies carry an OLDER version number and don't count. This is the
+    * change-feed consumer's re-sync signal: a rollback restores content
+    * the feed reports only as removes.
+    */
+  val RollbackCommitKey = "graft.rollback_commit"
+  val RollbackOfKey = "graft.rollback_of"
+
   private val mapper: ObjectMapper = {
     val m = new ObjectMapper()
     m.registerModule(DefaultScalaModule)

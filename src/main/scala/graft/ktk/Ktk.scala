@@ -1634,7 +1634,87 @@ object Ktk {
       }
       Seq(inserts, dvDeletes, scopeDeletes).flatten
     }
-    perVersion.reduceOption(_ unionByName _).getOrElse(emptyChanges)
+    // BALANCED union tree: a left-deep unionByName chain re-analyzes a
+    // growing plan per link (quadratic in the version count); grouping
+    // keeps analysis O(n log n), so wide ranges (100+ versions) plan flat.
+    // (consumeChanges bounds ranges anyway — this covers the direct API.)
+    def unionBalanced(dfs: Seq[DataFrame]): DataFrame =
+      if (dfs.size <= 8) dfs.reduce(_ unionByName _)
+      else dfs.grouped(8).map(unionBalanced).toSeq.reduce(_ unionByName _)
+    if (perVersion.isEmpty) emptyChanges else unionBalanced(perVersion)
+  }
+
+  /** Versions in `(fromVersion, toVersion]` that were [[rollback]] commits,
+    * as `(version, restoredToVersion)` — the change-feed consumer's
+    * RE-SYNC signal: a rollback restores content the feed reports only as
+    * removes, so a mirror that sees one must re-seed from a snapshot
+    * (see [[mirrorChanges]]) instead of trusting the delta stream.
+    */
+  def rollbackVersions(
+      spark: SparkSession, base: String, uuid: String,
+      fromVersion: Long, toVersion: Long): Seq[(Long, Long)] =
+    (fromVersion + 1 to toVersion).flatMap { v =>
+      val md = DatasetMetadata.loadVersion(spark, base, uuid, v)
+      // inherited markers carry an OLDER commit number — only a marker
+      // equal to the version itself identifies an actual rollback commit
+      md.metadata.get(DatasetMetadata.RollbackCommitKey)
+        .filter(_.toLong == v)
+        .map(_ => v -> md.metadata(DatasetMetadata.RollbackOfKey).toLong)
+    }
+
+  /** Maintain a downstream MIRROR dataset from an upstream's change feed —
+    * the rate-limited incremental CDC poller: one call consumes at most
+    * `maxVersionsPerPoll` upstream commits (checkpointed, at-least-once,
+    * [[consumeChanges]] semantics) and applies them to the mirror as ONE
+    * atomic [[mergeCdc]] commit. The range's changes collapse to the LAST
+    * operation per key first (an update's delete+insert pair at the same
+    * version resolves to the insert), so out-of-range history never
+    * resurrects. A range containing a [[rollback]] commit re-seeds the
+    * mirror from the upstream snapshot instead — the feed's removes-only
+    * view of a rollback cannot reconstruct restored content. A missing
+    * mirror bootstraps from the first batch (feed-from-0 emits the full
+    * upstream content as inserts). Assumes upstream keys are unique (the
+    * CDC-mirror contract, like mergeCdc). Returns versions consumed; loop
+    * until 0 to drain.
+    */
+  def mirrorChanges(
+      spark: SparkSession,
+      srcBase: String,
+      srcUuid: String,
+      dstBase: String,
+      dstUuid: String,
+      keys: Seq[String],
+      checkpointPath: String,
+      maxVersionsPerPoll: Int = 100,
+      maxCollectKeys: Int = 10000): Long = {
+    require(keys.nonEmpty, "mirrorChanges requires at least one key column")
+    consumeChanges(spark, srcBase, srcUuid, checkpointPath, maxVersionsPerPoll) {
+      (changes, from, to) =>
+        if (rollbackVersions(spark, srcBase, srcUuid, from, to).nonEmpty) {
+          val snap = readTableAsOf(spark, srcBase, srcUuid, to)
+          val partOn =
+            if (DatasetMetadata.exists(spark, dstBase, dstUuid))
+              DatasetMetadata.load(spark, dstBase, dstUuid).partitionKeys
+            else Nil
+          store(spark, dstBase, dstUuid, snap, partitionOn = partOn, overwrite = true)
+        } else {
+          import org.apache.spark.sql.expressions.Window
+          val w = Window.partitionBy(keys.map(c => col(s"`$c`")): _*)
+            .orderBy(col("_commit_version").desc,
+              when(col("_change_type") === "insert", 0).otherwise(1))
+          val collapsed = changes
+            .withColumn("__rn", row_number().over(w))
+            .filter(col("__rn") === 1)
+            .drop("__rn", "_commit_version")
+          if (!DatasetMetadata.exists(spark, dstBase, dstUuid))
+            store(spark, dstBase, dstUuid,
+              collapsed.filter(col("_change_type") === "insert").drop("_change_type"))
+          else
+            mergeCdc(spark, dstBase, dstUuid, collapsed, keys,
+              opCol = "_change_type", deleteOp = "delete",
+              maxCollectKeys = maxCollectKeys, evolveSchema = true)
+        }
+    }
   }
 
   /** Fragment list to commit after a rewrite dropped `removed` labels
@@ -2601,7 +2681,12 @@ object Ktk {
       indices = keptIdx, blooms = keptBlm, zones = keptZon,
       metadata = target.metadata +
         (DatasetMetadata.VersionKey -> cur.version.toString) +
-        (DatasetMetadata.SeqHwmKey -> hwm.toString))
+        (DatasetMetadata.SeqHwmKey -> hwm.toString) +
+        // re-sync signal for change-feed consumers (rollbackVersions):
+        // keyed by the rollback commit's OWN version so inherited copies
+        // on later commits don't read as rollbacks
+        (DatasetMetadata.RollbackCommitKey -> (cur.version + 1).toString) +
+        (DatasetMetadata.RollbackOfKey -> toVersion.toString))
     var out = DatasetMetadata.store(spark, base, restored, parentMd = Some(cur))
     (target.indices.keySet -- keptIdx.keySet).toSeq.sorted
       .foreach(c => out = addIndex(spark, base, uuid, c))

@@ -25,6 +25,7 @@ import graft.ktk.{DatasetMetadata, Ktk}
   *   runMain graft.tools.Cli delete-rows <base> <uuid> "<col op value & ...>"
   *   runMain graft.tools.Cli materialize <base> <uuid>  # rewrite DV-touched files
   *   runMain graft.tools.Cli changes <base> <uuid> <fromVersion> [toVersion] [limit]
+  *   runMain graft.tools.Cli mirror  <base> <uuid> <dstBase> <dstUuid> <keys,csv> <checkpoint> [maxVersionsPerPoll]
   *   runMain graft.tools.Cli constraint <base> <uuid> add <name> "<sql>" | drop <name> | list
   *   runMain graft.tools.Cli list    <base>
   *   runMain graft.tools.Cli copy    <base> <uuid> <toUuid>
@@ -135,6 +136,18 @@ object Cli {
       val to = if (args.length > 4) args(4).toLong else -1L
       Ktk.readChangeFeed(spark, args(1), args(2), args(3).toLong, to)
         .show(if (args.length > 5) args(5).toInt else 20, truncate = false)
+    case "mirror" =>
+      // incremental CDC poller: drain the upstream change feed into a
+      // downstream mirror in bounded batches (rollbacks re-seed)
+      val maxPer = if (args.length > 7) args(7).toInt else 100
+      var total = 0L
+      var n = -1L
+      while (n != 0L) {
+        n = Ktk.mirrorChanges(spark, args(1), args(2), args(3), args(4),
+          args(5).split(',').toSeq, args(6), maxVersionsPerPoll = maxPer)
+        total += n
+      }
+      println(s"mirrored $total version(s) of ${args(2)} into ${args(4)}")
     case "copy" =>
       // ≙ `kartothek copy` (kartothek/cli/_copy.py): clone files + metadata
       Ktk.copyDataset(spark, args(1), args(2), args(3))
