@@ -231,6 +231,11 @@ final class GraftScanBuilder(base: String, md: DatasetMetadata, options: CaseIns
       // MUST be nullable: the column is absent from the data files (the
       // reader's row-index generator fills it), and the parquet reader
       // rejects required-but-missing columns
+      require(!md.schema.fieldNames.contains(
+          ParquetFileFormat.ROW_INDEX_TEMPORARY_COLUMN_NAME),
+        s"dataset '${md.uuid}' has a column named " +
+          s"'${ParquetFileFormat.ROW_INDEX_TEMPORARY_COLUMN_NAME}', which collides " +
+          "with Spark's reserved row-index column needed to apply deletion vectors")
       val rowIdx = org.apache.spark.sql.types.StructField(
         ParquetFileFormat.ROW_INDEX_TEMPORARY_COLUMN_NAME,
         org.apache.spark.sql.types.LongType, nullable = true)
