@@ -1703,6 +1703,38 @@ object SparkEntry {
       s.read.parquet(s"$base/feed_result").orderBy("o_orderkey")
     }),
 
+    "q_stream_cdc" -> ((s, dir) => {
+      // streaming FULL CDC (the delete-emitting complement of
+      // q_stream_feed): readStream.format("graft-cdc") tails the commit
+      // log and delivers row-level inserts AND deletes with _change_type /
+      // _commit_version; the sink's aggregate must hash-match a DuckDB
+      // reconstruction of the change stream.
+      val base = scratch(dir)
+      val name = "cdcs_" + Integer.toHexString(dir.hashCode)
+      val orders = t(s, dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      if (!graft.ktk.DatasetMetadata.exists(s, base, "orders_cdcs")) {
+        Ktk.store(s, base, "orders_cdcs", orders, partitionOn = Seq("o_orderstatus"))
+        val q = s.readStream.format("graft-cdc").option("uuid", "orders_cdcs")
+          .option("startingVersion", "1") // stream only the live changes
+          .load(base)
+          .writeStream.format("memory").queryName(name).start()
+        try {
+          Ktk.deleteRows(s, base, "orders_cdcs",
+            predicates = Predicates.of(Seq(("o_totalprice", ">", 200000.0))))
+          val src = orders.filter(col("o_orderkey") % 11 === 0)
+            .withColumn("o_totalprice", col("o_totalprice") + lit(250.0))
+          Ktk.merge(s, base, "orders_cdcs", src, keys = Seq("o_orderkey"))
+          q.processAllAvailable()
+          s.table(name).write.mode("overwrite").parquet(s"$base/cdcs_result")
+        } finally q.stop()
+      }
+      s.read.parquet(s"$base/cdcs_result")
+        .groupBy(col("_change_type").as("change_type"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("cnt"), round(sum("o_totalprice"), 2).as("total"))
+        .orderBy("change_type", "o_orderstatus")
+    }),
+
     "q_stream_ingest" -> ((s, dir) => {
       // streaming ingest pipeline: quality gate → exact dedup-on-ingest
       // (bounded state keyed by an 8-byte content hash, watermark-evicted)
@@ -2258,6 +2290,23 @@ object SparkEntry {
     "q_stream_feed" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
         |WHERE o_orderstatus IN ('O', 'F', 'P') ORDER BY o_orderkey""".stripMargin,
+
+    "q_stream_cdc" ->
+      """WITH src AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice + 250.0 AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 11 = 0
+        |), ch AS (
+        |  SELECT 'delete' AS change_type, o_orderstatus, o_totalprice
+        |  FROM orders WHERE o_totalprice > 200000.0
+        |  UNION ALL
+        |  SELECT 'delete', o_orderstatus, o_totalprice
+        |  FROM orders WHERE o_orderkey % 11 = 0 AND NOT o_totalprice > 200000.0
+        |  UNION ALL
+        |  SELECT 'insert', o_orderstatus, o_totalprice FROM src
+        |)
+        |SELECT change_type, o_orderstatus, count(*) AS cnt,
+        |  round(sum(o_totalprice), 2) AS total
+        |FROM ch GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q_stream_ingest" ->
       """SELECT count(DISTINCT lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS n_docs

@@ -1,0 +1,136 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, GraftBridge, SQLContext, SparkSession}
+import org.apache.spark.sql.execution.streaming.{Offset, Source}
+import org.apache.spark.sql.execution.streaming.runtime.{LongOffset, SerializedOffset}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+import graft.ktk.{DatasetMetadata, Ktk}
+
+/** Streaming FULL-CDC source over a graft dataset
+  * (`spark.readStream.format("graft-cdc").option("uuid", u).load(base)`):
+  * each micro-batch is `Ktk.readChangeFeed` over one commit-version range —
+  * row-level INSERTS **and DELETES**, tagged `_change_type` /
+  * `_commit_version` — the streaming complement of the append-only
+  * `graft` stream (which, by contract, never emits deletes). The offset IS
+  * the commit version, so restarts resume from the checkpoint with no
+  * bookkeeping of our own, exactly like the append stream. This is the
+  * public CHANGE DATA FEED streaming pattern (Delta's CDF source): a V1
+  * `Source` whose `getBatch` re-tags the batch change-feed plan as a
+  * streaming micro-batch.
+  *
+  * Options:
+  *  - `startingVersion` (default 0): first batch starts AFTER this commit
+  *    (0 = emit the whole current content as inserts first).
+  *  - `maxVersionsPerTrigger`: admission control — each micro-batch
+  *    advances at most this many commit versions (bounded catch-up after
+  *    lag, like the append stream and `consumeChanges`).
+  *
+  * Contract notes (same as `readChangeFeed`): snapshots and referenced
+  * files/fragments in the consumer's lag window must survive gc
+  * (`retainVersions`); a range containing a `rollback` commit fails
+  * LOUDLY — restored content surfaces only as removes, so a CDC consumer
+  * must re-seed (see `Ktk.mirrorChanges`), never trust the delta stream.
+  * Column set is fixed at stream start: columns added by later
+  * `evolveSchema` commits are projected away until the stream restarts.
+  */
+final class GraftCdcSource(
+    spark: SparkSession,
+    base: String,
+    uuid: String,
+    startingVersion: Long,
+    maxVersionsPerTrigger: Option[Long]) extends Source {
+
+  private val tableSchema: StructType = DatasetMetadata.load(spark, base, uuid).schema
+
+  override val schema: StructType = StructType(
+    tableSchema.fields.toSeq :+
+      StructField("_change_type", StringType, nullable = false) :+
+      StructField("_commit_version", LongType, nullable = false))
+
+  // end of the last range handed to getBatch — the admission-control base.
+  // The engine restores it on restart by replaying/initializing the last
+  // checkpointed batch through getBatch before the first getOffset.
+  private var lastEnd: Option[Long] = None
+
+  private def versionOf(o: Offset): Long = o match {
+    case l: LongOffset       => l.offset
+    case s: SerializedOffset => s.json.trim.toLong
+    case other               => other.json.trim.toLong
+  }
+
+  override def getOffset: Option[Offset] = {
+    val cur = DatasetMetadata.load(spark, base, uuid).version
+    val base0 = lastEnd.getOrElse(startingVersion)
+    val target = maxVersionsPerTrigger match {
+      case Some(n) => math.min(cur, base0 + n)
+      case None    => cur
+    }
+    if (target <= base0) None else Some(LongOffset(target))
+  }
+
+  override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+    val from = start.map(versionOf).getOrElse(startingVersion)
+    val to = versionOf(end)
+    // monotone ratchet: never let a stale offer re-open emitted history
+    lastEnd = Some(math.max(lastEnd.getOrElse(Long.MinValue), math.max(from, to)))
+    if (to <= from)
+      return GraftBridge.asStreamingBatch(spark,
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema))
+    val rb = Ktk.rollbackVersions(spark, base, uuid, from, to)
+    if (rb.nonEmpty)
+      throw new IllegalStateException(
+        s"dataset '$uuid' was rolled back at version ${rb.head._1} (to ${rb.head._2}) " +
+          "inside this stream's range: the change feed reports restored content only " +
+          "as removes, so this CDC stream cannot continue faithfully. Re-seed the " +
+          "consumer (fresh checkpoint / Ktk.mirrorChanges handles this automatically).")
+    val feed = Ktk.readChangeFeed(spark, base, uuid, from, to)
+      // stream schema is FIXED at start: project away later-evolved columns
+      .select(schema.fieldNames.map(c => col(s"`$c`")): _*)
+    GraftBridge.asStreamingBatch(spark, feed)
+  }
+
+  override def stop(): Unit = ()
+
+  override def toString: String = s"GraftCdcSource[$uuid @ $base]"
+}
+
+class GraftCdcSourceProvider extends StreamSourceProvider with DataSourceRegister {
+  override def shortName(): String = "graft-cdc"
+
+  private def params(parameters: Map[String, String]): (String, String, Long, Option[Long]) = {
+    val base = parameters.getOrElse("path",
+      throw new IllegalArgumentException("graft-cdc source requires .load(<base path>)"))
+    val uuid = parameters.getOrElse("uuid",
+      throw new IllegalArgumentException("graft-cdc source requires .option(\"uuid\", <dataset>)"))
+    val starting = parameters.get("startingVersion").map(_.toLong).getOrElse(0L)
+    val maxPer = parameters.get("maxVersionsPerTrigger").map(_.toLong)
+    maxPer.foreach(n => require(n >= 1L, "maxVersionsPerTrigger must be >= 1"))
+    (base, uuid, starting, maxPer)
+  }
+
+  override def sourceSchema(
+      sqlContext: SQLContext,
+      schema: Option[StructType],
+      providerName: String,
+      parameters: Map[String, String]): (String, StructType) = {
+    val (base, uuid, _, _) = params(parameters)
+    val table = DatasetMetadata.load(sqlContext.sparkSession, base, uuid).schema
+    (shortName(), StructType(
+      table.fields.toSeq :+
+        StructField("_change_type", StringType, nullable = false) :+
+        StructField("_commit_version", LongType, nullable = false)))
+  }
+
+  override def createSource(
+      sqlContext: SQLContext,
+      metadataPath: String,
+      schema: Option[StructType],
+      providerName: String,
+      parameters: Map[String, String]): Source = {
+    val (base, uuid, starting, maxPer) = params(parameters)
+    new GraftCdcSource(sqlContext.sparkSession, base, uuid, starting, maxPer)
+  }
+}

@@ -18,4 +18,18 @@ object GraftBridge {
     */
   def eagerExpression(c: Column): Expression =
     classic.ColumnNodeToExpressionConverter(c.node)
+
+  /** Re-tag a BATCH DataFrame's physical plan as a STREAMING micro-batch
+    * (`internalCreateDataFrame(..., isStreaming = true)`) — the standard
+    * V1 streaming-Source `getBatch` mechanism (FileStreamSource and
+    * Delta's DeltaSource both return exactly this shape): the batch plan
+    * executes when the micro-batch runs, and the engine sees a streaming
+    * relation.
+    */
+  def asStreamingBatch(spark: SparkSession, df: DataFrame): DataFrame = {
+    val cs = spark.asInstanceOf[classic.SparkSession]
+    cs.internalCreateDataFrame(
+      df.asInstanceOf[classic.Dataset[Row]].queryExecution.toRdd,
+      df.schema, isStreaming = true)
+  }
 }

@@ -1,0 +1,119 @@
+package graft.sources
+
+import graft.SparkSpec
+import graft.core.Predicates
+import graft.ktk.Ktk
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Streaming full CDC: `readStream.format("graft-cdc")` emits row-level
+  * inserts AND deletes with `_change_type` / `_commit_version`, resumes
+  * from the checkpointed commit version, and bounds catch-up via
+  * `maxVersionsPerTrigger`. The delete-emitting complement of the
+  * append-only `graft` stream.
+  */
+class GraftCdcSourceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def kv = Seq(
+    (1L, "a", 10.0), (2L, "a", 20.0), (3L, "b", 30.0)
+  ).toDF("k", "p", "v")
+
+  private def startCdc(base: String, sink: String, extra: Map[String, String] = Map.empty) = {
+    val r = spark.readStream.format("graft-cdc").option("uuid", "ds")
+    extra.foreach { case (k, v) => r.option(k, v) }
+    r.load(base).writeStream.format("memory").queryName(sink).start()
+  }
+
+  private def rows(sink: String): Seq[(Long, String, Long)] =
+    spark.table(sink).select("k", "_change_type", "_commit_version")
+      .as[(Long, String, Long)].collect().sorted.toSeq
+
+  test("emits inserts AND row-level deletes with version attribution") {
+    val base = tmpDir("cdcs")
+    Ktk.store(spark, base, "ds", kv, partitionOn = Seq("p")) // v1
+    val q = startCdc(base, "cdc1")
+    try {
+      q.processAllAvailable()
+      rows("cdc1") shouldBe Seq(
+        (1L, "insert", 1L), (2L, "insert", 1L), (3L, "insert", 1L))
+      Ktk.deleteRows(spark, base, "ds",
+        predicates = Predicates.of(Seq(("k", "==", 2)))) // v2
+      Ktk.merge(spark, base, "ds",
+        Seq((3L, "b", 333.0)).toDF("k", "p", "v"), keys = Seq("k")) // v3
+      q.processAllAvailable()
+      rows("cdc1") shouldBe Seq(
+        (1L, "insert", 1L), (2L, "delete", 2L), (2L, "insert", 1L),
+        (3L, "delete", 3L), (3L, "insert", 1L), (3L, "insert", 3L))
+      // deleted row VALUES ride along (full row images)
+      spark.table("cdc1").filter(col("_change_type") === "delete" && col("k") === 2L)
+        .select("v").as[Double].head() shouldBe 20.0
+    } finally q.stop()
+  }
+
+  test("checkpointed restart resumes from the committed version") {
+    val base = tmpDir("cdcs")
+    val ckpt = tmpDir("cdcs-ckpt")
+    val out = tmpDir("cdcs-out")
+    Ktk.store(spark, base, "ds", kv, partitionOn = Seq("p")) // v1
+    def run(): Unit = {
+      val q = spark.readStream.format("graft-cdc").option("uuid", "ds").load(base)
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    run()
+    spark.read.parquet(out).count() shouldBe 3
+    Ktk.deleteRows(spark, base, "ds",
+      predicates = Predicates.of(Seq(("k", "==", 1)))) // v2 while stopped
+    run()
+    // only the NEW delete arrived — v1's inserts were not replayed
+    spark.read.parquet(out).select("k", "_change_type", "_commit_version")
+      .as[(Long, String, Long)].collect().sorted.toSeq shouldBe Seq(
+      (1L, "delete", 2L), (1L, "insert", 1L), (2L, "insert", 1L), (3L, "insert", 1L))
+  }
+
+  test("maxVersionsPerTrigger bounds each micro-batch") {
+    val base = tmpDir("cdcs")
+    Ktk.store(spark, base, "ds", kv, partitionOn = Seq("p")) // v1
+    (2 to 5).foreach(i => Ktk.update(spark, base, "ds",
+      Some(Seq((10L + i, "c", i * 1.0)).toDF("k", "p", "v")))) // v2..v5
+    val q = startCdc(base, "cdc3", Map("maxVersionsPerTrigger" -> "2"))
+    try {
+      q.processAllAvailable()
+      spark.table("cdc3").count() shouldBe 7
+      // admission control: at most 2 versions per batch → >= 3 batches
+      val batches = spark.table("cdc3").select("_commit_version").distinct().count()
+      batches shouldBe 5
+      q.lastProgress // stream alive
+      val progress = q.recentProgress
+      progress.count(_.numInputRows > 0) should be >= 3
+    } finally q.stop()
+  }
+
+  test("a rollback inside the range fails loudly with re-seed guidance") {
+    val base = tmpDir("cdcs")
+    Ktk.store(spark, base, "ds", kv, partitionOn = Seq("p")) // v1
+    Ktk.deleteRows(spark, base, "ds",
+      predicates = Predicates.of(Seq(("k", "==", 1)))) // v2
+    Ktk.rollback(spark, base, "ds", 1L) // v3
+    val q = startCdc(base, "cdc4")
+    val e = intercept[Exception] { q.processAllAvailable() }
+    val msg = Option(e.getMessage).getOrElse("") +
+      Option(e.getCause).map(_.getMessage).getOrElse("")
+    msg should include("rolled back")
+    q.stop()
+  }
+
+  test("delete_scope removals stream as deletes") {
+    val base = tmpDir("cdcs")
+    Ktk.store(spark, base, "ds", kv, partitionOn = Seq("p")) // v1
+    val q = startCdc(base, "cdc5", Map("startingVersion" -> "1"))
+    try {
+      Ktk.update(spark, base, "ds", None,
+        deleteScope = Predicates.of(Seq(("p", "==", "a")))) // v2 drops p=a
+      q.processAllAvailable()
+      rows("cdc5") shouldBe Seq((1L, "delete", 2L), (2L, "delete", 2L))
+    } finally q.stop()
+  }
+}
