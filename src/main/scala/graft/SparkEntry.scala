@@ -312,6 +312,29 @@ object SparkEntry {
         .orderBy("o_orderstatus")
     }),
 
+    "q_ktk_update_rows" -> ((s, dir) => {
+      // row-level UPDATE (merge-on-read SQL UPDATE analog): matched rows
+      // tombstone + re-append transformed in ONE commit, zero rewrites of
+      // untouched files — in-query pins: single version bump, all original
+      // files survive.
+      val base = scratch(dir)
+      val orders = t(s, dir, "orders").select("o_orderkey", "o_orderstatus", "o_totalprice")
+      Ktk.store(s, base, "orders_upd", orders,
+        partitionOn = Seq("o_orderstatus"), overwrite = true)
+      val md0 = graft.ktk.DatasetMetadata.load(s, base, "orders_upd")
+      val (md1, n) = Ktk.updateRows(s, base, "orders_upd",
+        set = Map("o_totalprice" -> (col("o_totalprice") + 1000.0)),
+        predicates = Predicates.of(Seq(("o_totalprice", ">", 200000.0))))
+      require(n > 0 && md1.version == md0.version + 1 &&
+          md0.partitions.keySet.subsetOf(md1.partitions.keySet),
+        s"updateRows invariants broke: n=$n dv=${md1.version - md0.version} " +
+          s"rewrote=${!md0.partitions.keySet.subsetOf(md1.partitions.keySet)}")
+      Ktk.readTable(s, base, "orders_upd")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          round(col("o_totalprice"), 2).as("o_totalprice"))
+        .orderBy("o_orderkey")
+    }),
+
     "q_ktk_cdf" -> ((s, dir) => {
       // batch CDC (Delta CHANGE DATA FEED analog): store → row-level
       // DELETE → MERGE, then the feed over (v_store, v_merge] must
@@ -1997,6 +2020,12 @@ object SparkEntry {
         |)
         |SELECT o_orderstatus, count(*) AS cnt, round(sum(o_totalprice), 2) AS total
         |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_ktk_update_rows" ->
+      """SELECT o_orderkey, o_orderstatus,
+        |  round(CASE WHEN o_totalprice > 200000.0
+        |    THEN o_totalprice + 1000.0 ELSE o_totalprice END, 2) AS o_totalprice
+        |FROM orders ORDER BY 1""".stripMargin,
 
     "q_ktk_cdf" ->
       """WITH src AS (

@@ -1,7 +1,7 @@
 package graft.ktk
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, Row, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -1351,6 +1351,101 @@ object Ktk {
           md.deleteFragments :+ name, maxFragments))
         (DatasetMetadata.store(spark, base, md1, parentMd = Some(md)), n)
     }
+  }
+
+  /** Row-level UPDATE (merge-on-read, the SQL `UPDATE t SET ... WHERE ...`
+    * shape Delta/Iceberg expose): every live row matching the predicate is
+    * tombstoned (one DV fragment, [[deleteRows]] mechanics) and re-appended
+    * with the `set` expressions applied — ONE atomic commit, ZERO rewrites
+    * of untouched rows, so updating a few rows of a 100 TB dataset costs a
+    * pruned scan of the files that can match plus O(matched rows) of
+    * tombstone + new-file bytes. `set` values are Columns and may reference
+    * the row's OLD values (`col("v") * 2`); each is cast to the column's
+    * declared type. Updating a partition column moves rows to their new
+    * directory through the normal dynamic-partition write. CHECK
+    * constraints gate the UPDATED rows before any side effect. The matched
+    * set is persisted (memory-and-disk) so the scan runs once for both the
+    * tombstone and the rewrite sides.
+    *
+    * Returns the committed metadata and the number of rows updated; a
+    * predicate matching nothing commits nothing.
+    */
+  def updateRows(
+      spark: SparkSession,
+      base: String,
+      uuid: String,
+      set: Map[String, Column],
+      predicates: Predicates = Predicates.empty,
+      filterQuery: Option[String] = None,
+      maxFragments: Int = MaxDeleteFragments): (DatasetMetadata, Long) = {
+    require(set.nonEmpty, "updateRows requires at least one SET column")
+    require(predicates.isEmpty ^ filterQuery.isEmpty,
+      "updateRows takes exactly one of predicates / filterQuery")
+    val md = DatasetMetadata.load(spark, base, uuid)
+    val schema = md.schema
+    set.keys.foreach(c => require(schema.fieldNames.contains(c),
+      s"SET column '$c' not in dataset schema"))
+    if (md.partitions.isEmpty) return (md, 0L)
+    val candidates =
+      if (predicates.isEmpty) md.partitions.keys.toSeq.sorted
+      else queryLabels(spark, base, md, predicates)
+    if (candidates.isEmpty) return (md, 0L)
+    val cond = filterQuery.map(expr).getOrElse(predicates.toColumn)
+    val tableDir = md.tableDir(base)
+    // one scan feeds BOTH sides: (label, pos) tombstones + rows to rewrite
+    val matched = spark.read.option("basePath", tableDir).schema(schema)
+      .parquet(candidates.map(l => s"$tableDir/$l"): _*)
+      .filter(cond)
+      .withColumn("__label",
+        regexp_replace(col("_metadata.file_path"), lit("^.*/table/"), lit("")))
+      .withColumn("__pos", col("_metadata.row_index"))
+    val live = (deleteVectors(spark, base, md) match {
+      case None => matched
+      case Some(dv) =>
+        val d = dv.select(col("label").as("__dvl"), col("pos").as("__dvp"))
+        matched.join(d,
+          col("__label") === col("__dvl") && col("__pos") === col("__dvp"), "left_anti")
+    }).select((schema.fieldNames.toSeq ++ Seq("__label", "__pos")).map(c => col(s"`$c`")): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val updated = live.select(schema.fields.toSeq.map { f =>
+        set.get(f.name).map(_.cast(f.dataType).as(f.name))
+          .getOrElse(col(s"`${f.name}`"))
+      }: _*)
+      val normalized = SchemaUtil.normalize(updated, md.partitionKeys)
+      // constraints gate the batch before ANY side effect
+      enforceConstraints(md, normalized)
+      val fragment: Option[(String, Long)] = writeDeleteFragment(spark, base, uuid,
+        live.select(col("__label").as("label"), col("__pos").as("pos")))
+      if (fragment.isEmpty) return (md, 0L)
+      val newFiles: Seq[(String, Long)] = ManifestCommitProtocol.collecting(spark) {
+        val writer = normalized.write.mode(SaveMode.Append)
+        (if (md.partitionKeys.nonEmpty) writer.partitionBy(md.partitionKeys: _*) else writer)
+          .parquet(tableDir)
+      }
+      val newLabels = newFiles.map(_._1).toSet
+      if (newLabels.exists(_.contains("__HIVE_DEFAULT_PARTITION__")))
+        throw new IllegalArgumentException("null values in partition columns are not allowed")
+      val nextSeq = nextMonotoneSeq(md)
+      val finalPartitions = md.partitions.keys.map(l => l -> md.sizeOf(l)).toMap ++ newFiles
+      val finalSeq = finalPartitions.keys.map { l =>
+        l -> (if (newLabels.contains(l)) nextSeq else md.seqOf(l))
+      }.toMap
+      val survivors = md.partitions.keys.toSeq
+      val idxReg = mergeIndicesIncremental(spark, base, md, tableDir,
+        survivingOld = survivors, newLabels = newLabels.toSeq)
+      val bloomReg = mergeBloomsIncremental(spark, base, md, tableDir,
+        survivingOld = survivors, newLabels = newLabels.toSeq)
+      val zoneReg = mergeZonesIncremental(spark, base, md, tableDir,
+        survivingOld = survivors, newLabels = newLabels.toSeq)
+      val md1 = md.copy(partitions = finalPartitions, partitionSeq = finalSeq,
+        indices = idxReg, blooms = bloomReg, zones = zoneReg,
+        deletes = fragmentsToCommit(spark, base, md,
+          md.deleteFragments ++ fragment.map(_._1), maxFragments),
+        metadata = md.metadata +
+          (DatasetMetadata.SeqHwmKey -> nextSeq.toString))
+      (DatasetMetadata.store(spark, base, md1, parentMd = Some(md)), fragment.get._2)
+    } finally live.unpersist()
   }
 
   /** MERGE (upsert): every live target row whose `keys` match a source row

@@ -23,6 +23,7 @@ import graft.ktk.{DatasetMetadata, Ktk}
   *   runMain graft.tools.Cli rollback <base> <uuid> <version>
   *   runMain graft.tools.Cli delete  <base> <uuid>
   *   runMain graft.tools.Cli delete-rows <base> <uuid> "<col op value & ...>"
+  *   runMain graft.tools.Cli update-rows <base> <uuid> "<sql cond>" "col=expr[, col=expr...]"
   *   runMain graft.tools.Cli materialize <base> <uuid>  # rewrite DV-touched files
   *   runMain graft.tools.Cli changes <base> <uuid> <fromVersion> [toVersion] [limit]
   *   runMain graft.tools.Cli mirror  <base> <uuid> <dstBase> <dstUuid> <keys,csv> <checkpoint> [maxVersionsPerPoll]
@@ -113,6 +114,19 @@ object Cli {
         predicates = Predicates.parse(args(3)))
       println(s"deleted $n row(s); ${md.deleteFragments.size} deletion-vector " +
         "fragment(s) pending (run materialize or compact to drop them physically)")
+    case "update-rows" =>
+      // row-level UPDATE (merge-on-read): "col=expr, col2=expr2" SET list,
+      // exprs are Spark SQL and may reference the row's old values.
+      // Split on top-level commas only (no paren/quote nesting tracking
+      // beyond parens — good enough for CLI use).
+      val sets = splitAssignments(args(4)).map { a =>
+        val i = a.indexOf('=')
+        require(i > 0, s"bad SET assignment: '$a' (want col=expr)")
+        a.take(i).trim -> org.apache.spark.sql.functions.expr(a.drop(i + 1).trim)
+      }.toMap
+      val (mdU, nU) = Ktk.updateRows(spark, args(1), args(2),
+        set = sets, filterQuery = Some(args(3)))
+      println(s"updated $nU row(s); dataset at version ${mdU.version}")
     case "materialize" =>
       val md = Ktk.materializeDeletes(spark, args(1), args(2))
       println(s"materialized row-level deletes; ${md.partitions.size} files, " +
@@ -236,5 +250,22 @@ object Cli {
       }
     }
     out.println("bye")
+  }
+
+  /** Split a "col=expr, col2=expr2" list on commas OUTSIDE parentheses, so
+    * SET expressions like `greatest(v, coalesce(w, 0))` survive intact.
+    */
+  private[graft] def splitAssignments(s: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    var depth = 0
+    s.foreach {
+      case '(' => depth += 1; cur += '('
+      case ')' => depth -= 1; cur += ')'
+      case ',' if depth == 0 => out += cur.result(); cur.clear()
+      case c => cur += c
+    }
+    if (cur.nonEmpty) out += cur.result()
+    out.toSeq.map(_.trim).filter(_.nonEmpty)
   }
 }

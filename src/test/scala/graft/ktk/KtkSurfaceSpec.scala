@@ -111,6 +111,26 @@ class KtkSurfaceSpec extends SparkSpec {
     Ktk.constraints(DatasetMetadata.load(spark, base, "dv")) shouldBe empty
   }
 
+  test("cli: update-rows and mirror verbs") {
+    val base = tmpDir("cli3")
+    Ktk.store(spark, base, "src",
+      Seq((1L, "a", 10.0), (2L, "a", 20.0), (3L, "b", 30.0)).toDF("k", "p", "v"),
+      partitionOn = Seq("p"))
+    graft.tools.Cli.run(spark, Array("update-rows", base, "src",
+      "k <= 2", "v = v + greatest(5.0, least(10.0, v))"))
+    import spark.implicits._
+    Ktk.readTable(spark, base, "src").select("k", "v")
+      .as[(Long, Double)].collect().sorted.toSeq shouldBe Seq(
+      (1L, 20.0), (2L, 30.0), (3L, 30.0))
+    val ckpt = s"${tmpDir("cli3-ckpt")}/m.v"
+    graft.tools.Cli.run(spark, Array("mirror", base, "src", base, "dst", "k", ckpt))
+    Ktk.readTable(spark, base, "dst").select("k", "v")
+      .as[(Long, Double)].collect().sorted.toSeq shouldBe Seq(
+      (1L, 20.0), (2L, 30.0), (3L, 30.0))
+    graft.tools.Cli.splitAssignments("a=f(x, y), b = 2, c=g(h(1,2),3)") shouldBe
+      Seq("a=f(x, y)", "b = 2", "c=g(h(1,2),3)")
+  }
+
   test("cli shell: scripted interactive query session") {
     val base = tmpDir("clishell")
     Ktk.store(spark, base, "sh",
