@@ -1840,6 +1840,29 @@ object SparkEntry {
               |FROM documents_sqlv ORDER BY doc_id""".stripMargin)
     }),
 
+    "q_sql_catalog" -> ((s, dir) => {
+      // the pure-SQL DML surface via the TableCatalog plugin: a
+      // deletion-vector DELETE issued as SQL, result read back as SQL —
+      // catalog calls are O(metadata), the DELETE is one merge-on-read
+      // commit (no rewrite; in-query pinned)
+      val base = scratch(dir)
+      s.conf.set("spark.sql.catalog.graft_cat", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft_cat.base", base)
+      if (!graft.ktk.DatasetMetadata.exists(s, base, "orders_sql")) {
+        Ktk.store(s, base, "orders_sql",
+          t(s, dir, "orders").select("o_orderkey", "o_orderstatus", "o_totalprice"),
+          partitionOn = Seq("o_orderstatus"))
+        val files0 = graft.ktk.DatasetMetadata.load(s, base, "orders_sql").partitions.keySet
+        s.sql("DELETE FROM graft_cat.default.orders_sql WHERE o_totalprice > 250000.0")
+        val md1 = graft.ktk.DatasetMetadata.load(s, base, "orders_sql")
+        require(md1.partitions.keySet == files0 && md1.deleteFragments.nonEmpty,
+          "SQL DELETE should be a deletion-vector commit with zero rewrites")
+      }
+      s.sql("""SELECT o_orderstatus, count(*) AS cnt,
+              |  round(sum(o_totalprice), 2) AS total
+              |FROM graft_cat.default.orders_sql GROUP BY 1 ORDER BY 1""".stripMargin)
+    }),
+
     "q_pipeline_curation" -> ((s, dir) => {
       // the budgeted-curation pipeline over this round's ops: doc-frequency
       // paragraph scrub -> keep-best exact dedup (longest copy wins) ->
@@ -2020,6 +2043,11 @@ object SparkEntry {
         |)
         |SELECT o_orderstatus, count(*) AS cnt, round(sum(o_totalprice), 2) AS total
         |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_sql_catalog" ->
+      """SELECT o_orderstatus, count(*) AS cnt, round(sum(o_totalprice), 2) AS total
+        |FROM orders WHERE NOT o_totalprice > 250000.0
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_ktk_update_rows" ->
       """SELECT o_orderkey, o_orderstatus,

@@ -55,7 +55,8 @@ class GraftDataSource extends TableProvider with DataSourceRegister {
     }
   }
 
-  override def inferSchema(options: CaseInsensitiveStringMap): StructType = load(options)._2.schema
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    GraftTable.scanOrder(load(options)._2)
 
   override def getTable(
       schema: StructType,
@@ -70,9 +71,46 @@ class GraftDataSource extends TableProvider with DataSourceRegister {
 }
 
 final class GraftTable(base: String, md: DatasetMetadata)
-    extends Table with SupportsRead with SupportsWrite {
+    extends Table with SupportsRead with SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
   override def name(): String = s"graft.${md.uuid}"
-  override def schema(): StructType = md.schema
+
+  /** SQL `DELETE FROM t WHERE ...` → one deletion-vector commit
+    * ([[Ktk.deleteRows]] merge-on-read mechanics, zero file rewrites);
+    * `DELETE FROM t` / `TRUNCATE TABLE t` (AlwaysTrue) → a metadata-only
+    * truncate commit (files stay until gc, time travel intact). Only
+    * filters expressible in the engine's DNF predicate algebra are
+    * claimed — Spark fails unsupported shapes at analysis instead of
+    * deleting the wrong rows.
+    */
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    GraftTable.filtersToDnf(filters).isDefined
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    val spark = SparkSession.active
+    if (filters.isEmpty || filters.forall(_ == sources.AlwaysTrue)) {
+      // truncate: drop every file reference in ONE commit — O(metadata)
+      val cur = DatasetMetadata.load(spark, base, md.uuid)
+      DatasetMetadata.store(spark, base,
+        cur.copy(partitions = Map.empty, partitionSeq = Map.empty, deletes = Nil),
+        parentMd = Some(cur))
+      ()
+    } else {
+      val dnf = GraftTable.filtersToDnf(filters).getOrElse(
+        throw new UnsupportedOperationException(
+          s"cannot translate delete condition: ${filters.mkString(", ")}"))
+      Ktk.deleteRows(spark, base, md.uuid, predicates = Predicates(dnf))
+      ()
+    }
+  }
+  // Present columns in SCAN order — payload (metadata order) then
+  // partition keys — so the relation's output matches the parquet scan's
+  // readSchema exactly and the analyzer never inserts a reordering
+  // Project. DELETE FROM planning requires the bare scan relation
+  // (DataSourceV2Strategy rejects Project-wrapped ones); SELECTs are
+  // order-insensitive. The library surface (Ktk.readTable) keeps the
+  // reference's partition-keys-first order.
+  override def schema(): StructType = GraftTable.scanOrder(md)
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE)
@@ -100,6 +138,48 @@ final class GraftTable(base: String, md: DatasetMetadata)
           }
       }
     }
+}
+
+object GraftTable {
+  /** Connector-surface column order: payload fields (metadata order),
+    * then partition keys — the exact order the delegated parquet scan
+    * produces (`readDataSchema ++ readPartitionSchema`).
+    */
+  private[sources] def scanOrder(md: DatasetMetadata): StructType = {
+    val partCols = md.partitionKeys.toSet
+    StructType(md.schema.fields.filterNot(f => partCols(f.name)) ++
+      md.schema.fields.filter(f => partCols(f.name)))
+  }
+
+  /** sources.Filter conjunction → the engine's DNF (disjunction of
+    * conjunctions of typed literals); None when ANY shape is outside the
+    * algebra — delete claims must be exact, not best-effort.
+    */
+  private[sources] def filtersToDnf(filters: Array[Filter]): Option[Seq[Seq[PredLiteral]]] = {
+    def leaf(f: Filter): Option[PredLiteral] = f match {
+      case sources.EqualTo(c, v)            => Some(PredLiteral(c, PredOp.Eq, v))
+      case sources.GreaterThan(c, v)        => Some(PredLiteral(c, PredOp.Gt, v))
+      case sources.GreaterThanOrEqual(c, v) => Some(PredLiteral(c, PredOp.Ge, v))
+      case sources.LessThan(c, v)           => Some(PredLiteral(c, PredOp.Lt, v))
+      case sources.LessThanOrEqual(c, v)    => Some(PredLiteral(c, PredOp.Le, v))
+      case sources.In(c, vs)                => Some(PredLiteral(c, PredOp.In, vs.toSeq))
+      case sources.IsNull(c)                => Some(PredLiteral(c, PredOp.Eq, null))
+      case sources.IsNotNull(c)             => Some(PredLiteral(c, PredOp.Ne, null))
+      case _                                => None
+    }
+    def dnf(f: Filter): Option[Seq[Seq[PredLiteral]]] = f match {
+      case sources.And(l, r) =>
+        for { a <- dnf(l); b <- dnf(r) } yield for { x <- a; y <- b } yield x ++ y
+      case sources.Or(l, r) =>
+        for { a <- dnf(l); b <- dnf(r) } yield a ++ b
+      case sources.AlwaysTrue => Some(Seq(Seq.empty))
+      case other => leaf(other).map(l => Seq(Seq(l)))
+    }
+    // the array is an implicit conjunction
+    filters.foldLeft(Option(Seq(Seq.empty[PredLiteral]))) { (acc, f) =>
+      for { a <- acc; b <- dnf(f) } yield for { x <- a; y <- b } yield x ++ y
+    }
+  }
 }
 
 final class GraftScanBuilder(base: String, md: DatasetMetadata, options: CaseInsensitiveStringMap)
@@ -222,7 +302,10 @@ final class GraftScanBuilder(base: String, md: DatasetMetadata, options: CaseIns
     val parquet = new GraftStreamableScan(
       spark, spark.sessionState.newHadoopConf(), fileIndexFor(spark, cleanL),
       dataSchema, readDataSchema, readPartitionSchema,
-      dataFilters, options, base, md.uuid, md.schema)
+      dataFilters, options, base, md.uuid,
+      // the streaming relation's declared order is the TABLE's (scan
+      // order) — the stream reader projects rows into exactly this
+      GraftTable.scanOrder(md))
     if (dirtyL.nonEmpty) {
       // dirty side: a second ParquetScan whose readDataSchema carries
       // Spark's temporary row-index column — the reader fills it with the

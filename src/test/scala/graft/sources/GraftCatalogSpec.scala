@@ -1,0 +1,93 @@
+package graft.sources
+
+import graft.SparkSpec
+import graft.ktk.{DatasetMetadata, Ktk}
+import org.apache.spark.sql.functions._
+
+/** Pure-SQL surface through the [[GraftCatalog]] plugin: SELECT / INSERT /
+  * DELETE (deletion vectors) / SHOW / CREATE / DROP / RENAME all route
+  * through the same versioned commit protocol as the programmatic API.
+  */
+class GraftCatalogSpec extends SparkSpec {
+  import spark.implicits._
+
+  // catalog instances cache per NAME at first use, so each test gets its
+  // own catalog name bound to its own base dir
+  private var n = 0
+  private def withCatalog[A](f: (String, String) => A): A = {
+    val base = tmpDir("cat")
+    n += 1
+    val cat = s"gk$n"
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.base", base)
+    f(cat, base)
+  }
+
+  test("SELECT, SHOW TABLES, INSERT INTO through the catalog") {
+    withCatalog { (gk, base) =>
+      Ktk.store(spark, base, "t1",
+        Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("k", "p", "v"),
+        partitionOn = Seq("p"))
+      spark.sql(s"SHOW TABLES IN $gk.default").select("tableName")
+        .as[String].collect().toSeq shouldBe Seq("t1")
+      spark.sql(s"SELECT k, v FROM $gk.default.t1 WHERE p = 'a'")
+        .as[(Long, Double)].collect().toSeq shouldBe Seq((1L, 10.0))
+      spark.sql(s"INSERT INTO $gk.default.t1 (k, p, v) VALUES (3, 'c', 30.0)")
+      spark.sql(s"SELECT count(*) FROM $gk.default.t1").as[Long].head() shouldBe 3L
+      // the INSERT was one versioned commit
+      DatasetMetadata.load(spark, base, "t1").version shouldBe 2L
+    }
+  }
+
+  test("DELETE FROM ... WHERE is a deletion-vector commit; no WHERE truncates") {
+    withCatalog { (gk, base) =>
+      Ktk.store(spark, base, "t2",
+        Seq((1L, "a", 10.0), (2L, "a", 20.0), (3L, "b", 30.0)).toDF("k", "p", "v"),
+        partitionOn = Seq("p"))
+      val files0 = DatasetMetadata.load(spark, base, "t2").partitions.keySet
+      spark.sql(s"DELETE FROM $gk.default.t2 WHERE v > 15.0 AND p = 'a'")
+      val md1 = DatasetMetadata.load(spark, base, "t2")
+      md1.partitions.keySet shouldBe files0 // merge-on-read: no rewrite
+      md1.deleteFragments should have size 1
+      spark.sql(s"SELECT k FROM $gk.default.t2 ORDER BY k")
+        .as[Long].collect().toSeq shouldBe Seq(1L, 3L)
+      // OR conditions translate through DNF
+      spark.sql(s"DELETE FROM $gk.default.t2 WHERE k = 1 OR k = 3")
+      spark.sql(s"SELECT count(*) FROM $gk.default.t2").as[Long].head() shouldBe 0L
+      // full-table DELETE: metadata-only truncate, time travel intact
+      Ktk.update(spark, base, "t2", Some(Seq((9L, "c", 90.0)).toDF("k", "p", "v")))
+      spark.sql(s"DELETE FROM $gk.default.t2")
+      spark.sql(s"SELECT count(*) FROM $gk.default.t2").as[Long].head() shouldBe 0L
+      Ktk.readTableAsOf(spark, base, "t2", 1L).count() shouldBe 3
+    }
+  }
+
+  test("CREATE TABLE (partitioned), INSERT, DROP, RENAME") {
+    withCatalog { (gk, base) =>
+      spark.sql(
+        s"CREATE TABLE $gk.default.t3 (k BIGINT, p STRING, v DOUBLE) PARTITIONED BY (p)")
+      DatasetMetadata.load(spark, base, "t3").partitionKeys shouldBe Seq("p")
+      spark.sql(s"INSERT INTO $gk.default.t3 (k, p, v) VALUES (1, 'a', 1.5), (2, 'b', 2.5)")
+      spark.sql(s"SELECT sum(v) FROM $gk.default.t3").as[Double].head() shouldBe 4.0
+      // hive-layout partition dirs came from the normal write pipeline
+      DatasetMetadata.load(spark, base, "t3").partitions.keys
+        .forall(_.startsWith("p=")) shouldBe true
+      // RENAME TO is catalog-relative
+      spark.sql(s"ALTER TABLE $gk.default.t3 RENAME TO default.t4")
+      spark.sql(s"SELECT count(*) FROM $gk.default.t4").as[Long].head() shouldBe 2L
+      DatasetMetadata.exists(spark, base, "t3") shouldBe false
+      spark.sql(s"DROP TABLE $gk.default.t4")
+      DatasetMetadata.listDatasets(spark, base) shouldBe Nil
+    }
+  }
+
+  test("unsupported delete shapes fail at analysis, deleting nothing") {
+    withCatalog { (gk, base) =>
+      Ktk.store(spark, base, "t5", Seq((1L, "ab")).toDF("k", "s"))
+      intercept[Exception] {
+        spark.sql(s"DELETE FROM $gk.default.t5 WHERE s LIKE 'a%'")
+      }
+      spark.sql(s"SELECT count(*) FROM $gk.default.t5").as[Long].head() shouldBe 1L
+    }
+  }
+}

@@ -23,7 +23,8 @@ class GraftDataSourceSpec extends SparkSpec {
   test("full scan through the connector matches the dataset") {
     val base = setup()
     val df = read(base)
-    df.columns.toSeq shouldBe Seq("p", "l", "tag", "target")
+    // connector surface presents SCAN order: payload then partition keys
+    df.columns.toSeq shouldBe Seq("l", "tag", "target", "p")
     df.count() shouldBe 4
     df.agg(sum("target")).head.getDouble(0) shouldBe 100.0
   }
