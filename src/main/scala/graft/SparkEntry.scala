@@ -717,6 +717,35 @@ object SparkEntry {
         .orderBy("o_custkey", "o_orderkey")
     }),
 
+    "q_cube_dv" -> ((s, dir) => {
+      // cube query over a DV-bearing seed: row-level deletes on the seed
+      // dataset must disappear from the joined cube result end-to-end
+      // (overlay + deletion-vector composition, CubeSpec's unit pin
+      // proven against the DuckDB reconstruction here)
+      val base = scratch(dir)
+      val cube = CubeDef("tpchdv", dimensionColumns = Seq("o_custkey", "o_orderkey"),
+        partitionColumns = Seq("bucket"))
+      built.getOrElseUpdate(s"$base/cubedv", {
+        val seed = t(s, dir, "orders").withColumn("bucket", pmod(col("o_custkey"), lit(4)))
+        val cust = t(s, dir, "customer").withColumnRenamed("c_custkey", "o_custkey")
+          .withColumn("bucket", pmod(col("o_custkey"), lit(4)))
+        Cube.build(s, base, cube, Map("seed" -> seed, "cust" -> cust), overwrite = true)
+        // live tombstones on the SEED (no materialization — the cube read
+        // path itself must apply them)
+        Ktk.deleteRows(s, base, cube.uuid("seed"),
+          predicates = Predicates.of(Seq(("o_totalprice", ">", 250000.0))))
+        ()
+      })
+      require(graft.ktk.DatasetMetadata.load(s, base, cube.uuid("seed"))
+          .deleteFragments.nonEmpty, "seed should carry live deletion vectors")
+      Cube.query(s, base, cube,
+        conditions = Predicates.of(Seq(("c_mktsegment", "==", "AUTOMOBILE"))),
+        payload = Seq("o_totalprice", "c_mktsegment"))
+        .select(col("o_custkey"), col("o_orderkey"),
+          round(col("o_totalprice"), 2).as("o_totalprice"), col("c_mktsegment"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
     "q_cube_interval" -> ((s, dir) => {
       // typed condition sugar: C("col").inInterval(lo, hi) & C("col") === v
       // compiled to the shared DNF predicate core
@@ -2179,6 +2208,12 @@ object SparkEntry {
         |  round(o_totalprice, 2) AS o_totalprice, c_mktsegment, round(c_acctbal, 2) AS c_acctbal
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |WHERE c_mktsegment = 'BUILDING' AND o_totalprice > 100000.0
+        |ORDER BY 1, 2""".stripMargin,
+
+    "q_cube_dv" ->
+      """SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS o_totalprice, c_mktsegment
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'AUTOMOBILE' AND NOT o_totalprice > 250000.0
         |ORDER BY 1, 2""".stripMargin,
 
     "q_cube_interval" ->
