@@ -5,11 +5,15 @@ import java.util.{Map => JMap}
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.{NoSuchTableException, TableAlreadyExistsException}
-import org.apache.spark.sql.connector.catalog.{Identifier, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.{Identifier, ProcedureCatalog, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types.{BooleanType, IntegerType, LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
 
 import graft.ktk.{DatasetMetadata, Ktk}
 
@@ -34,7 +38,7 @@ import graft.ktk.{DatasetMetadata, Ktk}
   * atomic `update`. Scale shape: catalog calls are O(metadata); nothing
   * here touches data except through the pruned scan paths.
   */
-class GraftCatalog extends TableCatalog {
+class GraftCatalog extends TableCatalog with ProcedureCatalog {
 
   private var catalogName: String = _
   private var base: String = _
@@ -119,4 +123,94 @@ class GraftCatalog extends TableCatalog {
     Ktk.copyDataset(spark, base, from, to)
     DatasetMetadata.delete(spark, base, from)
   }
+
+  // ----------------------------------------------------- SQL procedures
+  //
+  // Iceberg-style maintenance verbs as Spark 4 stored procedures:
+  //   CALL gk.system.compact(table => 't')
+  //   CALL gk.system.materialize_deletes(table => 't')
+  //   CALL gk.system.gc(table => 't', retain_versions => 3, dry_run => true)
+  //   CALL gk.system.optimize(table => 't')
+  //   CALL gk.system.rollback(table => 't', version => 4)
+  //   CALL gk.system.zorder(table => 't', columns => 'a,b')
+  // Each runs the same engine entry point the CLI/API use and returns a
+  // small result row (O(metadata) except the rewrites they orchestrate).
+
+  import GraftCatalog.{proc, stringParam}
+
+  private def versionRow(md: DatasetMetadata): Seq[InternalRow] =
+    Seq(InternalRow(md.version, md.partitions.size.toLong))
+  private val versionSchema = StructType(Seq(
+    StructField("version", LongType), StructField("files", LongType)))
+
+  private lazy val procedures: Map[String, UnboundProcedure] = Map(
+    "compact" -> proc("compact", Array(stringParam("table")), versionSchema) { in =>
+      versionRow(Ktk.compact(spark, base, in.getUTF8String(0).toString))
+    },
+    "materialize_deletes" -> proc("materialize_deletes",
+      Array(stringParam("table")), versionSchema) { in =>
+      versionRow(Ktk.materializeDeletes(spark, base, in.getUTF8String(0).toString))
+    },
+    "optimize" -> proc("optimize", Array(stringParam("table")), versionSchema) { in =>
+      versionRow(Ktk.optimize(spark, base, in.getUTF8String(0).toString))
+    },
+    "rollback" -> proc("rollback",
+      Array(stringParam("table"),
+        ProcedureParameter.in("version", LongType).build()), versionSchema) { in =>
+      versionRow(Ktk.rollback(spark, base, in.getUTF8String(0).toString, in.getLong(1)))
+    },
+    "zorder" -> proc("zorder",
+      Array(stringParam("table"), stringParam("columns")), versionSchema) { in =>
+      versionRow(Ktk.clusterZOrder(spark, base, in.getUTF8String(0).toString,
+        in.getUTF8String(1).toString.split(',').toSeq.map(_.trim).filter(_.nonEmpty)))
+    },
+    "gc" -> proc("gc",
+      Array(stringParam("table"),
+        ProcedureParameter.in("retain_versions", IntegerType).defaultValue("0").build(),
+        ProcedureParameter.in("dry_run", BooleanType).defaultValue("false").build()),
+      StructType(Seq(StructField("path", StringType)))) { in =>
+      Ktk.garbageCollect(spark, base, in.getUTF8String(0).toString,
+        retainVersions = in.getInt(1), dryRun = in.getBoolean(2))
+        .map(p => InternalRow(UTF8String.fromString(p)))
+    })
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    procedures.keys.toSeq.sorted
+      .map(n => Identifier.of(Array("system"), n)).toArray
+
+  override def loadProcedure(ident: Identifier): UnboundProcedure = {
+    require(ident.namespace.isEmpty || ident.namespace.sameElements(Array("system")),
+      s"procedures live in the 'system' namespace, got ${ident.namespace.mkString(".")}")
+    procedures.getOrElse(ident.name,
+      throw new IllegalArgumentException(
+        s"unknown procedure '${ident.name}'; available: ${procedures.keys.toSeq.sorted.mkString(", ")}"))
+  }
+}
+
+object GraftCatalog {
+  private def stringParam(name: String): ProcedureParameter =
+    ProcedureParameter.in(name, StringType).build()
+
+  /** One-class unbound+bound procedure: parameters are static, so bind is
+    * identity; `call` runs the side effect and returns ONE LocalScan of
+    * result rows.
+    */
+  private def proc(
+      pname: String,
+      params: Array[ProcedureParameter],
+      outSchema: StructType)(run: InternalRow => Seq[InternalRow]): UnboundProcedure =
+    new UnboundProcedure with BoundProcedure {
+      override def name(): String = pname
+      override def description(): String = s"graft maintenance procedure $pname"
+      override def bind(inputType: StructType): BoundProcedure = this
+      override def parameters(): Array[ProcedureParameter] = params
+      override def isDeterministic: Boolean = false
+      override def call(input: InternalRow): java.util.Iterator[Scan] = {
+        val out = run(input).toArray
+        java.util.List.of[Scan](new LocalScan {
+          override def rows(): Array[InternalRow] = out
+          override def readSchema(): StructType = outSchema
+        }).iterator()
+      }
+    }
 }

@@ -81,6 +81,35 @@ class GraftCatalogSpec extends SparkSpec {
     }
   }
 
+  test("CALL procedures: compact, gc dry-run parity, rollback, zorder") {
+    withCatalog { (gk, base) =>
+      Ktk.store(spark, base, "t6",
+        (0L until 200L).map(i => (i, (i % 2).toString, i * 1.0)).toSeq
+          .toDF("k", "p", "v").repartition(4),
+        partitionOn = Seq("p"), zoneMapFor = Seq("k"))
+      spark.sql(s"DELETE FROM $gk.default.t6 WHERE k < 10") // v2: DV commit
+      // compact drains tombstones and reports the committed version
+      val c = spark.sql(s"CALL $gk.system.compact(table => 't6')")
+        .as[(Long, Long)].head()
+      c._1 shouldBe 3L
+      DatasetMetadata.load(spark, base, "t6").deleteFragments shouldBe empty
+      spark.sql(s"SELECT count(*) FROM $gk.default.t6").as[Long].head() shouldBe 190L
+      // gc dry-run lists exactly what the real gc then deletes
+      val plan = spark.sql(
+        s"CALL $gk.system.gc(table => 't6', dry_run => true)").as[String].collect().toSet
+      plan should not be empty
+      val real = spark.sql(s"CALL $gk.system.gc(table => 't6')").as[String].collect().toSet
+      real shouldBe plan
+      // zorder rewrites the layout; content intact
+      spark.sql(s"CALL $gk.system.zorder(table => 't6', columns => 'k,v')")
+      spark.sql(s"SELECT count(*) FROM $gk.default.t6").as[Long].head() shouldBe 190L
+      // rollback by version through SQL (to the pre-zorder snapshot)
+      val vNow = DatasetMetadata.load(spark, base, "t6").version
+      spark.sql(s"CALL $gk.system.rollback(table => 't6', version => ${vNow - 1})")
+      spark.sql(s"SELECT count(*) FROM $gk.default.t6").as[Long].head() shouldBe 190L
+    }
+  }
+
   test("unsupported delete shapes fail at analysis, deleting nothing") {
     withCatalog { (gk, base) =>
       Ktk.store(spark, base, "t5", Seq((1L, "ab")).toDF("k", "s"))
