@@ -78,6 +78,25 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
     new GraftTable(base, DatasetMetadata.load(spark, base, uuid))
   }
 
+  /** SQL time travel: `SELECT ... FROM <cat>.default.t VERSION AS OF n`.
+    * Same snapshot rule as `Ktk.readTableAsOf` / the DSv2 `asOfVersion`
+    * option: canonical sidecar registries are dropped (they hold
+    * post-snapshot content); inline zone maps travel in the blob.
+    */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val uuid = uuidOf(ident)
+    if (!DatasetMetadata.exists(spark, base, uuid))
+      throw new NoSuchTableException(ident)
+    val snap = DatasetMetadata.loadVersion(spark, base, uuid, version.toLong)
+    new GraftTable(base, snap.copy(indices = Map.empty, blooms = Map.empty,
+      zones = Map.empty, zoneMaps = Map.empty))
+  }
+
+  override def loadTable(ident: Identifier, timestamp: Long): Table =
+    throw new UnsupportedOperationException(
+      "TIMESTAMP AS OF is not supported (commits are not timestamped); " +
+        "use VERSION AS OF <commit version>")
+
   override def createTable(
       ident: Identifier,
       schema: StructType,

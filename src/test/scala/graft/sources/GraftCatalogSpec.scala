@@ -110,6 +110,26 @@ class GraftCatalogSpec extends SparkSpec {
     }
   }
 
+  test("VERSION AS OF time travel and TRUNCATE TABLE through SQL") {
+    withCatalog { (gk, base) =>
+      Ktk.store(spark, base, "t7",
+        Seq((1L, "a"), (2L, "b")).toDF("k", "p"), partitionOn = Seq("p")) // v1
+      Ktk.update(spark, base, "t7", Some(Seq((3L, "c")).toDF("k", "p"))) // v2
+      spark.sql(s"SELECT count(*) FROM $gk.default.t7 VERSION AS OF 1")
+        .as[Long].head() shouldBe 2L
+      spark.sql(s"SELECT count(*) FROM $gk.default.t7 VERSION AS OF 2")
+        .as[Long].head() shouldBe 3L
+      intercept[Exception] {
+        spark.sql(s"SELECT * FROM $gk.default.t7 TIMESTAMP AS OF '2026-01-01'").collect()
+      }
+      spark.sql(s"TRUNCATE TABLE $gk.default.t7")
+      spark.sql(s"SELECT count(*) FROM $gk.default.t7").as[Long].head() shouldBe 0L
+      // truncate is metadata-only: history stays travelable
+      spark.sql(s"SELECT count(*) FROM $gk.default.t7 VERSION AS OF 2")
+        .as[Long].head() shouldBe 3L
+    }
+  }
+
   test("unsupported delete shapes fail at analysis, deleting nothing") {
     withCatalog { (gk, base) =>
       Ktk.store(spark, base, "t5", Seq((1L, "ab")).toDF("k", "s"))
