@@ -22,8 +22,14 @@ import graft.ops.{Sampling, TextAnalysis}
   * SQL and DataFrame callers share one implementation (and its codegen).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.descriptors.foreach(ext.injectFunction)
+    // SQL UPDATE / MERGE INTO over graft tables → merge-on-read operators
+    // (post-hoc resolution rules apply only at session BUILD time — set
+    // spark.sql.extensions; the runtime register() path covers functions
+    // only)
+    ext.injectPostHocResolutionRule(session => graft.sources.GraftDmlRule(session))
+  }
 }
 
 object GraftExtensions {

@@ -1377,10 +1377,12 @@ object Ktk {
       set: Map[String, Column],
       predicates: Predicates = Predicates.empty,
       filterQuery: Option[String] = None,
-      maxFragments: Int = MaxDeleteFragments): (DatasetMetadata, Long) = {
+      maxFragments: Int = MaxDeleteFragments,
+      conditionCol: Option[Column] = None): (DatasetMetadata, Long) = {
     require(set.nonEmpty, "updateRows requires at least one SET column")
-    require(predicates.isEmpty ^ filterQuery.isEmpty,
-      "updateRows takes exactly one of predicates / filterQuery")
+    require(Seq(!predicates.isEmpty, filterQuery.nonEmpty, conditionCol.nonEmpty)
+        .count(x => x) == 1,
+      "updateRows takes exactly one of predicates / filterQuery / conditionCol")
     val md = DatasetMetadata.load(spark, base, uuid)
     val schema = md.schema
     set.keys.foreach(c => require(schema.fieldNames.contains(c),
@@ -1390,7 +1392,7 @@ object Ktk {
       if (predicates.isEmpty) md.partitions.keys.toSeq.sorted
       else queryLabels(spark, base, md, predicates)
     if (candidates.isEmpty) return (md, 0L)
-    val cond = filterQuery.map(expr).getOrElse(predicates.toColumn)
+    val cond = conditionCol.orElse(filterQuery.map(expr)).getOrElse(predicates.toColumn)
     val tableDir = md.tableDir(base)
     // one scan feeds BOTH sides: (label, pos) tombstones + rows to rewrite
     val matched = spark.read.option("basePath", tableDir).schema(schema)

@@ -73,6 +73,8 @@ class GraftDataSource extends TableProvider with DataSourceRegister {
 final class GraftTable(base: String, md: DatasetMetadata)
     extends Table with SupportsRead with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete {
+  private[graft] def basePath: String = base
+  private[graft] def datasetMetadata: DatasetMetadata = md
   override def name(): String = s"graft.${md.uuid}"
 
   /** SQL `DELETE FROM t WHERE ...` → one deletion-vector commit

@@ -32,4 +32,11 @@ object GraftBridge {
       df.asInstanceOf[classic.Dataset[Row]].queryExecution.toRdd,
       df.schema, isStreaming = true)
   }
+
+  /** Materialize a resolved logical plan as a DataFrame (the
+    * `Dataset.ofRows` bridge) — used by the SQL DML rule to hand MERGE's
+    * source plan to the engine's merge operator.
+    */
+  def ofRows(spark: SparkSession, plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 }

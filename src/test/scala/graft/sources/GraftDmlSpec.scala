@@ -1,0 +1,130 @@
+package graft.sources
+
+import graft.SparkSpec
+import graft.ktk.{DatasetMetadata, Ktk}
+import org.apache.spark.sql.functions._
+
+/** SQL UPDATE / MERGE INTO over graft tables (GraftDmlRule, injected by
+  * GraftExtensions at session build): both route to the MERGE-ON-READ
+  * operators — tombstone + append in one commit, zero rewrites of
+  * untouched files — instead of a group-based copy-on-write rewrite.
+  */
+class GraftDmlSpec extends SparkSpec {
+  import spark.implicits._
+
+  private var n = 0
+  private def withCatalog[A](f: (String, String) => A): A = {
+    val base = tmpDir("dml")
+    n += 1
+    val cat = s"dml$n"
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.base", base)
+    f(cat, base)
+  }
+
+  private def seed(base: String): Unit =
+    Ktk.store(spark, base, "t",
+      Seq((1L, "a", 10.0), (2L, "a", 20.0), (3L, "b", 30.0), (4L, "b", 40.0))
+        .toDF("k", "p", "v"),
+      partitionOn = Seq("p"))
+
+  private def content(base: String): Seq[(Long, String, Double)] =
+    Ktk.readTable(spark, base, "t").select("k", "p", "v")
+      .as[(Long, String, Double)].collect().sorted.toSeq
+
+  test("SQL UPDATE with old-value SET is one merge-on-read commit") {
+    withCatalog { (gk, base) =>
+      seed(base)
+      val files0 = DatasetMetadata.load(spark, base, "t").partitions.keySet
+      val res = spark.sql(s"UPDATE $gk.default.t SET v = v * 2 WHERE p = 'a' AND k > 1")
+      res.columns.toSeq shouldBe Seq("rows_updated", "version")
+      res.as[(Long, Long)].head() shouldBe ((1L, 2L))
+      // zero rewrites: every original file survives
+      files0.subsetOf(DatasetMetadata.load(spark, base, "t").partitions.keySet) shouldBe true
+      content(base) shouldBe Seq(
+        (1L, "a", 10.0), (2L, "a", 40.0), (3L, "b", 30.0), (4L, "b", 40.0))
+      // no-WHERE UPDATE touches every row
+      spark.sql(s"UPDATE $gk.default.t SET v = 0.0")
+      content(base).map(_._3).toSet shouldBe Set(0.0)
+    }
+  }
+
+  test("MERGE INTO upsert (UPDATE SET * + INSERT *)") {
+    withCatalog { (gk, base) =>
+      seed(base)
+      Seq((2L, "a", 222.0), (9L, "c", 90.0)).toDF("k", "p", "v")
+        .createOrReplaceTempView("src_upsert")
+      val files0 = DatasetMetadata.load(spark, base, "t").partitions.keySet
+      spark.sql(
+        s"""MERGE INTO $gk.default.t AS t USING src_upsert AS s ON t.k = s.k
+           |WHEN MATCHED THEN UPDATE SET *
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      files0.subsetOf(DatasetMetadata.load(spark, base, "t").partitions.keySet) shouldBe true
+      content(base) shouldBe Seq(
+        (1L, "a", 10.0), (2L, "a", 222.0), (3L, "b", 30.0), (4L, "b", 40.0),
+        (9L, "c", 90.0))
+    }
+  }
+
+  test("MERGE INTO matched-delete and insert-only shapes") {
+    withCatalog { (gk, base) =>
+      seed(base)
+      Seq((2L, "x"), (9L, "x")).toDF("k", "ignore").createOrReplaceTempView("src_del")
+      spark.sql(
+        s"""MERGE INTO $gk.default.t AS t USING src_del AS s ON t.k = s.k
+           |WHEN MATCHED THEN DELETE""".stripMargin)
+      content(base).map(_._1) shouldBe Seq(1L, 3L, 4L)
+      Seq((3L, "b", 999.0), (7L, "c", 70.0)).toDF("k", "p", "v")
+        .createOrReplaceTempView("src_ins")
+      spark.sql(
+        s"""MERGE INTO $gk.default.t AS t USING src_ins AS s ON t.k = s.k
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      // k=3 matched -> untouched (999 NOT applied); k=7 inserted
+      content(base) shouldBe Seq(
+        (1L, "a", 10.0), (3L, "b", 30.0), (4L, "b", 40.0), (7L, "c", 70.0))
+    }
+  }
+
+  test("MERGE INTO update-only does not insert unmatched source rows") {
+    withCatalog { (gk, base) =>
+      seed(base)
+      Seq((4L, "b", 444.0), (8L, "z", 80.0)).toDF("k", "p", "v")
+        .createOrReplaceTempView("src_upd")
+      spark.sql(
+        s"""MERGE INTO $gk.default.t AS t USING src_upd AS s ON t.k = s.k
+           |WHEN MATCHED THEN UPDATE SET *""".stripMargin)
+      content(base) shouldBe Seq(
+        (1L, "a", 10.0), (2L, "a", 20.0), (3L, "b", 30.0), (4L, "b", 444.0))
+    }
+  }
+
+  test("unsupported MERGE shapes fail loudly, changing nothing") {
+    withCatalog { (gk, base) =>
+      seed(base)
+      Seq((2L, "a", 1.0)).toDF("k", "p", "v").createOrReplaceTempView("src_bad")
+      // conditioned action
+      val e1 = intercept[Exception] {
+        spark.sql(
+          s"""MERGE INTO $gk.default.t AS t USING src_bad AS s ON t.k = s.k
+             |WHEN MATCHED AND s.v > 0 THEN DELETE""".stripMargin)
+      }
+      e1.getMessage should include("conditioned")
+      // partial-column update
+      val e2 = intercept[Exception] {
+        spark.sql(
+          s"""MERGE INTO $gk.default.t AS t USING src_bad AS s ON t.k = s.k
+             |WHEN MATCHED THEN UPDATE SET v = s.v""".stripMargin)
+      }
+      e2.getMessage should (include("every target column") or include("references target"))
+      // non-equi ON
+      val e3 = intercept[Exception] {
+        spark.sql(
+          s"""MERGE INTO $gk.default.t AS t USING src_bad AS s ON t.k > s.k
+             |WHEN MATCHED THEN DELETE""".stripMargin)
+      }
+      e3.getMessage should include("conjunction")
+      content(base) shouldBe Seq(
+        (1L, "a", 10.0), (2L, "a", 20.0), (3L, "b", 30.0), (4L, "b", 40.0))
+    }
+  }
+}
