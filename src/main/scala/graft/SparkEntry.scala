@@ -1892,6 +1892,44 @@ object SparkEntry {
               |FROM graft_cat.default.orders_sql GROUP BY 1 ORDER BY 1""".stripMargin)
     }),
 
+    "q_sql_dml" -> ((s, dir) => {
+      // SQL UPDATE + MERGE INTO through the custom resolution rule
+      // (GraftDmlRule): UPDATE tombstones + appends O(matched), MERGE is
+      // the engine's merge-on-read upsert, a matched-DELETE MERGE
+      // tombstones by key — all pure SQL, all hash-matched by the oracle.
+      // In-query pin: no original file is ever rewritten.
+      val base = scratch(dir)
+      s.conf.set("spark.sql.catalog.graft_cat", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft_cat.base", base)
+      if (!graft.ktk.DatasetMetadata.exists(s, base, "orders_dml")) {
+        Ktk.store(s, base, "orders_dml",
+          t(s, dir, "orders").select("o_orderkey", "o_orderstatus", "o_totalprice"),
+          partitionOn = Seq("o_orderstatus"))
+        val files0 = graft.ktk.DatasetMetadata.load(s, base, "orders_dml").partitions.keySet
+        s.sql("UPDATE graft_cat.default.orders_dml SET o_totalprice = o_totalprice + 500.0 " +
+          "WHERE o_totalprice > 300000.0")
+        t(s, dir, "orders").filter(col("o_orderkey") % 13 === 0)
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            (col("o_totalprice") + lit(100.0)).as("o_totalprice"))
+          .createOrReplaceTempView("dml_src")
+        s.sql("""MERGE INTO graft_cat.default.orders_dml AS t USING dml_src AS s
+                |ON t.o_orderkey = s.o_orderkey
+                |WHEN MATCHED THEN UPDATE SET *
+                |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+        t(s, dir, "orders").filter(col("o_orderkey") % 17 === 0)
+          .select("o_orderkey").createOrReplaceTempView("dml_del")
+        s.sql("""MERGE INTO graft_cat.default.orders_dml AS t USING dml_del AS s
+                |ON t.o_orderkey = s.o_orderkey
+                |WHEN MATCHED THEN DELETE""".stripMargin)
+        val md1 = graft.ktk.DatasetMetadata.load(s, base, "orders_dml")
+        require(files0.subsetOf(md1.partitions.keySet),
+          "SQL DML must never rewrite original files (merge-on-read)")
+      }
+      s.sql("""SELECT o_orderstatus, count(*) AS cnt,
+              |  round(sum(o_totalprice), 2) AS total
+              |FROM graft_cat.default.orders_dml GROUP BY 1 ORDER BY 1""".stripMargin)
+    }),
+
     "q_pipeline_curation" -> ((s, dir) => {
       // the budgeted-curation pipeline over this round's ops: doc-frequency
       // paragraph scrub -> keep-best exact dedup (longest copy wins) ->
@@ -2077,6 +2115,23 @@ object SparkEntry {
       """SELECT o_orderstatus, count(*) AS cnt, round(sum(o_totalprice), 2) AS total
         |FROM orders WHERE NOT o_totalprice > 250000.0
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_sql_dml" ->
+      """WITH updated AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CASE WHEN o_totalprice > 300000.0 THEN o_totalprice + 500.0
+        |         ELSE o_totalprice END AS o_totalprice
+        |  FROM orders
+        |), merged AS (
+        |  SELECT u.o_orderkey, u.o_orderstatus,
+        |    CASE WHEN u.o_orderkey % 13 = 0 THEN o.o_totalprice + 100.0
+        |         ELSE u.o_totalprice END AS o_totalprice
+        |  FROM updated u JOIN orders o ON u.o_orderkey = o.o_orderkey
+        |), after_delete AS (
+        |  SELECT * FROM merged WHERE o_orderkey % 17 <> 0
+        |)
+        |SELECT o_orderstatus, count(*) AS cnt, round(sum(o_totalprice), 2) AS total
+        |FROM after_delete GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_ktk_update_rows" ->
       """SELECT o_orderkey, o_orderstatus,
