@@ -49,12 +49,17 @@ case class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
       GraftUpdateCommand(t.basePath, t.datasetMetadata.uuid, set,
         condition.map(toColumn).getOrElse(lit(true)))
 
-    case m @ MergeIntoTable(target, source, cond, matched, notMatched, notMatchedBySource, _)
+    case m @ MergeIntoTable(target, source, cond, matched, notMatched, notMatchedBySource,
+        schemaEvolution)
         if m.resolved && graftTable(target).isDefined =>
       val t = graftTable(target).get
       if (notMatchedBySource.nonEmpty)
         throw new UnsupportedOperationException(
           "graft MERGE does not support WHEN NOT MATCHED BY SOURCE clauses")
+      if (schemaEvolution)
+        throw new UnsupportedOperationException(
+          "graft MERGE does not support WITH SCHEMA EVOLUTION; evolve through " +
+            "Ktk.merge(evolveSchema = true)")
       val targetAttrs = target.outputSet
       val sourceAttrs = source.outputSet
       val keys = splitConjunction(cond).map {
