@@ -1741,6 +1741,41 @@ object Ktk {
     if (perVersion.isEmpty) emptyChanges else unionBalanced(perVersion)
   }
 
+  /** Commit history as a DataFrame (`DESCRIBE HISTORY` analog): one row
+    * per surviving version with file/byte/tombstone counts, the commit
+    * record's filesystem mtime as `committed_at`, and rollback
+    * attribution from the commit markers. O(retained versions) metadata
+    * loads through the snapshot cache plus ONE `_versions` listing —
+    * never touches data.
+    */
+  def history(spark: SparkSession, base: String, uuid: String): DataFrame = {
+    import spark.implicits._
+    val fsys = DatasetMetadata.fs(spark, base)
+    val vdir = new Path(DatasetMetadata.versionsDir(base, uuid))
+    val mtimes: Map[Long, java.sql.Timestamp] =
+      if (!fsys.exists(vdir)) Map.empty
+      else fsys.listStatus(vdir).toSeq.flatMap { st =>
+        val n = st.getPath.getName
+        val v =
+          if (n.startsWith("v") && n.endsWith(".delta.json"))
+            Some(n.stripPrefix("v").stripSuffix(".delta.json").toLong)
+          else if (n.startsWith("v") && n.endsWith(".json"))
+            Some(n.stripPrefix("v").stripSuffix(".json").toLong)
+          else None
+        v.map(_ -> new java.sql.Timestamp(st.getModificationTime))
+      }.toMap
+    val rows = DatasetMetadata.listVersions(spark, base, uuid).map { v =>
+      val md = DatasetMetadata.loadVersion(spark, base, uuid, v)
+      val rb = md.metadata.get(DatasetMetadata.RollbackCommitKey)
+        .exists(_.toLong == v)
+      (v, mtimes.get(v), md.partitions.size.toLong,
+        md.partitions.values.sum, md.deleteFragments.size.toLong, rb,
+        if (rb) md.metadata.get(DatasetMetadata.RollbackOfKey).map(_.toLong) else None)
+    }
+    rows.toDF("version", "committed_at", "files", "bytes",
+      "tombstone_fragments", "is_rollback", "rollback_of")
+  }
+
   /** Versions in `(fromVersion, toVersion]` that were [[rollback]] commits,
     * as `(version, restoredToVersion)` — the change-feed consumer's
     * RE-SYNC signal: a rollback restores content the feed reports only as

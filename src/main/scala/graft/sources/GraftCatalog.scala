@@ -11,7 +11,7 @@ import org.apache.spark.sql.connector.catalog.{Identifier, ProcedureCatalog, Tab
 import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{LocalScan, Scan}
-import org.apache.spark.sql.types.{BooleanType, IntegerType, LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{BooleanType, IntegerType, LongType, StringType, StructField, StructType, TimestampType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -182,6 +182,15 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
       Array(stringParam("table"), stringParam("columns")), versionSchema) { in =>
       versionRow(Ktk.clusterZOrder(spark, base, in.getUTF8String(0).toString,
         in.getUTF8String(1).toString.split(',').toSeq.map(_.trim).filter(_.nonEmpty)))
+    },
+    "history" -> proc("history", Array(stringParam("table")),
+      StructType(Seq(
+        StructField("version", LongType), StructField("committed_at", TimestampType),
+        StructField("files", LongType), StructField("bytes", LongType),
+        StructField("tombstone_fragments", LongType),
+        StructField("is_rollback", BooleanType), StructField("rollback_of", LongType)))) { in =>
+      Ktk.history(spark, base, in.getUTF8String(0).toString)
+        .queryExecution.executedPlan.executeCollect().toSeq
     },
     "gc" -> proc("gc",
       Array(stringParam("table"),

@@ -19,6 +19,7 @@ import graft.ktk.{DatasetMetadata, Ktk}
   *   runMain graft.tools.Cli compact <base> <uuid>
   *   runMain graft.tools.Cli optimize <base> <uuid> [gcRetainVersions]
   *   runMain graft.tools.Cli versions <base> <uuid>
+  *   runMain graft.tools.Cli history  <base> <uuid> [limit]
   *   runMain graft.tools.Cli asof     <base> <uuid> <version> ["<cond>"] [limit]
   *   runMain graft.tools.Cli rollback <base> <uuid> <version>
   *   runMain graft.tools.Cli delete  <base> <uuid>
@@ -145,6 +146,10 @@ object Cli {
             .toSeq.sortBy(_._1).foreach { case (n, e) => println(s"$n: CHECK ($e)") }
         case other => throw new IllegalArgumentException(s"constraint: unknown verb $other")
       }
+    case "history" =>
+      // DESCRIBE HISTORY analog: one row per surviving commit
+      Ktk.history(spark, args(1), args(2))
+        .show(if (args.length > 3) args(3).toInt else 50, truncate = false)
     case "changes" =>
       // batch CDC: row-level inserts/deletes in (from, to]
       val to = if (args.length > 4) args(4).toLong else -1L

@@ -110,6 +110,30 @@ class GraftCatalogSpec extends SparkSpec {
     }
   }
 
+  test("CALL system.history reports the commit lineage with rollback attribution") {
+    withCatalog { (gk, base) =>
+      Ktk.store(spark, base, "t8",
+        Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("k", "p", "v"),
+        partitionOn = Seq("p")) // v1
+      Ktk.deleteRows(spark, base, "t8",
+        predicates = graft.core.Predicates.of(Seq(("k", "==", 1)))) // v2
+      Ktk.rollback(spark, base, "t8", 1L) // v3
+      val h = spark.sql(s"CALL $gk.system.history(table => 't8')")
+        .select("version", "files", "tombstone_fragments", "is_rollback", "rollback_of")
+        .as[(Long, Long, Long, Boolean, Option[Long])].collect().sortBy(_._1).toSeq
+      h.map(_._1) shouldBe Seq(1L, 2L, 3L)
+      h(0) shouldBe ((1L, 2L, 0L, false, None))
+      h(1)._3 shouldBe 1L // the DV commit carries one fragment
+      h(2) shouldBe ((3L, 2L, 0L, true, Some(1L)))
+      // committed_at mtimes are present and monotone-ish
+      val ts = spark.sql(s"CALL $gk.system.history(table => 't8')")
+        .select("committed_at").as[java.sql.Timestamp].collect()
+      all(ts.map(_ != null)) shouldBe true
+      // CLI twin renders the same lineage
+      graft.tools.Cli.run(spark, Array("history", base, "t8"))
+    }
+  }
+
   test("VERSION AS OF time travel and TRUNCATE TABLE through SQL") {
     withCatalog { (gk, base) =>
       Ktk.store(spark, base, "t7",
