@@ -342,18 +342,28 @@ object DatasetMetadata {
     * O(#versions) flat listing — bounded by
     * [[graft.ktk.Ktk.garbageCollect]]'s retention pruning.
     */
-  def listVersions(spark: SparkSession, base: String, uuid: String): Seq[Long] = {
+  def listVersions(spark: SparkSession, base: String, uuid: String): Seq[Long] =
+    versionRecords(spark, base, uuid).map(_._1).distinct.sorted
+
+  /** Raw commit records from ONE `_versions` listing as
+    * `(version, record file mtime millis)` — the shared parse behind
+    * [[listVersions]] and `Ktk.history`.
+    */
+  private[graft] def versionRecords(
+      spark: SparkSession, base: String, uuid: String): Seq[(Long, Long)] = {
     val dir = new Path(versionsDir(base, uuid))
     val filesystem = fs(spark, base)
     if (!filesystem.exists(dir)) Nil
-    else filesystem.listStatus(dir).toSeq.map(_.getPath.getName)
-      .collect {
-        case n if n.startsWith("v") && n.endsWith(".delta.json") =>
-          n.stripPrefix("v").stripSuffix(".delta.json").toLong
-        case n if n.startsWith("v") && n.endsWith(".json") =>
-          n.stripPrefix("v").stripSuffix(".json").toLong
-      }
-      .distinct.sorted
+    else filesystem.listStatus(dir).toSeq.flatMap { st =>
+      val n = st.getPath.getName
+      val v =
+        if (n.startsWith("v") && n.endsWith(".delta.json"))
+          Some(n.stripPrefix("v").stripSuffix(".delta.json").toLong)
+        else if (n.startsWith("v") && n.endsWith(".json"))
+          Some(n.stripPrefix("v").stripSuffix(".json").toLong)
+        else None
+      v.map(_ -> st.getModificationTime)
+    }
   }
 
   /** Apply one O(delta) record to its parent snapshot (a `full` record

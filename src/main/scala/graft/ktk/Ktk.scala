@@ -40,6 +40,12 @@ object Ktk {
   private[graft] val lastMergeCandidates =
     new java.util.concurrent.atomic.AtomicInteger(-1)
 
+  /** Same probe for [[updateRows]]: candidate-file count of the last
+    * update's matched-row scan (−1 = none computed).
+    */
+  private[graft] val lastUpdateCandidates =
+    new java.util.concurrent.atomic.AtomicInteger(-1)
+
   /** Liveness marker file inside each compact staging root (see
     * [[compact]]'s stale-staging reaper).
     */
@@ -1124,13 +1130,32 @@ object Ktk {
     * dataset fails with guidance BEFORE anything is materialized on the
     * driver.
     */
+  /** Per-snapshot LRU for [[collectDeleteVectors]]: fragments are immutable
+    * and keyed by the commit version, so repeated plannings of the same
+    * DV-bearing snapshot (a dashboard's 50 SELECTs) pay the collection
+    * jobs ONCE, not per query.
+    */
+  private val dvCollectCache: java.util.LinkedHashMap[(String, String, Long, Set[String]), Map[String, Array[Long]]] =
+    new java.util.LinkedHashMap[(String, String, Long, Set[String]), Map[String, Array[Long]]](8, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, String, Long, Set[String]), Map[String, Array[Long]]]): Boolean =
+        size() > 8
+    }
+
   private[graft] def collectDeleteVectors(
       spark: SparkSession, base: String, md: DatasetMetadata,
       labels: Set[String], maxRows: Long): Map[String, Array[Long]] = {
     import spark.implicits._
+    val key = (base, md.uuid, md.version, labels)
+    dvCollectCache.synchronized(Option(dvCollectCache.get(key))) match {
+      case Some(hit) => return hit
+      case None      => ()
+    }
     val dvAll = deleteVectors(spark, base, md).getOrElse(return Map.empty)
     val dv = dvAll
       .join(broadcast(labels.toSeq.toDF("label")), Seq("label"), "left_semi")
+    // count-first: an over-limit dataset fails BEFORE anything
+    // materializes on the driver (one cheap job over the small fragments)
     val total = dv.count()
     if (total > maxRows)
       throw new IllegalStateException(
@@ -1138,10 +1163,12 @@ object Ktk {
           "for the DSv2 scan path). Materialize them first with " +
           "Ktk.materializeDeletes / Ktk.compact, read via Ktk.readTable, or raise " +
           ".option(\"maxDvScanRows\", n)")
-    dv.groupBy("label").agg(collect_set("pos").as("ps"))
+    val out = dv.groupBy("label").agg(collect_set("pos").as("ps"))
       .collect()
       .map(r => r.getString(0) -> r.getSeq[Long](1).toArray.sorted)
       .toMap
+    dvCollectCache.synchronized(dvCollectCache.put(key, out))
+    out
   }
 
   private[graft] def dirtyDeleteLabels(
@@ -1391,6 +1418,7 @@ object Ktk {
     val candidates =
       if (predicates.isEmpty) md.partitions.keys.toSeq.sorted
       else queryLabels(spark, base, md, predicates)
+    lastUpdateCandidates.set(candidates.size)
     if (candidates.isEmpty) return (md, 0L)
     val cond = conditionCol.orElse(filterQuery.map(expr)).getOrElse(predicates.toColumn)
     val tableDir = md.tableDir(base)
@@ -1737,7 +1765,9 @@ object Ktk {
     // (consumeChanges bounds ranges anyway — this covers the direct API.)
     def unionBalanced(dfs: Seq[DataFrame]): DataFrame =
       if (dfs.size <= 8) dfs.reduce(_ unionByName _)
-      else dfs.grouped(8).map(unionBalanced).toSeq.reduce(_ unionByName _)
+      // recurse on the group results too — reducing them left-deep would
+      // reintroduce the quadratic chain one level up
+      else unionBalanced(dfs.grouped(8).map(unionBalanced).toSeq)
     if (perVersion.isEmpty) emptyChanges else unionBalanced(perVersion)
   }
 
@@ -1750,21 +1780,15 @@ object Ktk {
     */
   def history(spark: SparkSession, base: String, uuid: String): DataFrame = {
     import spark.implicits._
-    val fsys = DatasetMetadata.fs(spark, base)
-    val vdir = new Path(DatasetMetadata.versionsDir(base, uuid))
-    val mtimes: Map[Long, java.sql.Timestamp] =
-      if (!fsys.exists(vdir)) Map.empty
-      else fsys.listStatus(vdir).toSeq.flatMap { st =>
-        val n = st.getPath.getName
-        val v =
-          if (n.startsWith("v") && n.endsWith(".delta.json"))
-            Some(n.stripPrefix("v").stripSuffix(".delta.json").toLong)
-          else if (n.startsWith("v") && n.endsWith(".json"))
-            Some(n.stripPrefix("v").stripSuffix(".json").toLong)
-          else None
-        v.map(_ -> new java.sql.Timestamp(st.getModificationTime))
-      }.toMap
-    val rows = DatasetMetadata.listVersions(spark, base, uuid).map { v =>
+    // ONE listing feeds both the version list and the mtimes; filename
+    // parsing stays in DatasetMetadata (single source of truth). A version
+    // with several records (e.g. a delta plus a later checkpoint of the
+    // same commit line) reports the EARLIEST mtime — the original commit.
+    val records = DatasetMetadata.versionRecords(spark, base, uuid)
+    val mtimes: Map[Long, java.sql.Timestamp] = records
+      .groupMapReduce(_._1)(_._2)(math.min)
+      .view.mapValues(new java.sql.Timestamp(_)).toMap
+    val rows = records.map(_._1).distinct.sorted.map { v =>
       val md = DatasetMetadata.loadVersion(spark, base, uuid, v)
       val rb = md.metadata.get(DatasetMetadata.RollbackCommitKey)
         .exists(_.toLong == v)

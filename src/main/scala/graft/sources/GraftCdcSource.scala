@@ -85,7 +85,10 @@ final class GraftCdcSource(
         s"dataset '$uuid' was rolled back at version ${rb.head._1} (to ${rb.head._2}) " +
           "inside this stream's range: the change feed reports restored content only " +
           "as removes, so this CDC stream cannot continue faithfully. Re-seed the " +
-          "consumer (fresh checkpoint / Ktk.mirrorChanges handles this automatically).")
+          s"consumer from a snapshot at version ${rb.last._1} or later and restart " +
+          s"with a fresh checkpoint and .option(\"startingVersion\", ${rb.last._1}) " +
+          "(a fresh checkpoint ALONE replays from 0 and hits this rollback again); " +
+          "Ktk.mirrorChanges handles the re-seed automatically.")
     val feed = Ktk.readChangeFeed(spark, base, uuid, from, to)
       // stream schema is FIXED at start: project away later-evolved columns
       .select(schema.fieldNames.map(c => col(s"`$c`")): _*)

@@ -46,8 +46,13 @@ case class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
             s"graft UPDATE supports top-level column assignments only, got $other")
         }
       }.toMap
+      // conditions expressible in the DNF algebra go through as typed
+      // Predicates so updateRows prunes candidate files through the full
+      // skipping ladder (partition / index / zone / bloom); everything
+      // else falls back to the exact Column condition over all candidates
+      val asPredicates = condition.flatMap(exprToPredicates)
       GraftUpdateCommand(t.basePath, t.datasetMetadata.uuid, set,
-        condition.map(toColumn).getOrElse(lit(true)))
+        asPredicates, condition.map(toColumn).getOrElse(lit(true)))
 
     case m @ MergeIntoTable(target, source, cond, matched, notMatched, notMatchedBySource,
         schemaEvolution)
@@ -156,17 +161,66 @@ case class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
     GraftBridge.column(e.transform {
       case a: AttributeReference => UnresolvedAttribute.quoted(a.name)
     })
+
+  /** Resolved condition → the engine's DNF predicate algebra when every
+    * leaf is a `col <op> literal` shape — None otherwise (the caller then
+    * uses the exact Column path without file skipping).
+    */
+  private def exprToPredicates(e: Expression): Option[graft.core.Predicates] = {
+    import org.apache.spark.sql.catalyst.expressions._
+    import graft.core.{PredLiteral, PredOp}
+    def leaf(x: Expression): Option[PredLiteral] = x match {
+      case EqualTo(a: AttributeReference, l: Literal)                => lit1(a, PredOp.Eq, l)
+      case EqualTo(l: Literal, a: AttributeReference)                => lit1(a, PredOp.Eq, l)
+      case GreaterThan(a: AttributeReference, l: Literal)            => lit1(a, PredOp.Gt, l)
+      case GreaterThanOrEqual(a: AttributeReference, l: Literal)     => lit1(a, PredOp.Ge, l)
+      case LessThan(a: AttributeReference, l: Literal)               => lit1(a, PredOp.Lt, l)
+      case LessThanOrEqual(a: AttributeReference, l: Literal)        => lit1(a, PredOp.Le, l)
+      case GreaterThan(l: Literal, a: AttributeReference)            => lit1(a, PredOp.Lt, l)
+      case GreaterThanOrEqual(l: Literal, a: AttributeReference)     => lit1(a, PredOp.Le, l)
+      case LessThan(l: Literal, a: AttributeReference)               => lit1(a, PredOp.Gt, l)
+      case LessThanOrEqual(l: Literal, a: AttributeReference)        => lit1(a, PredOp.Ge, l)
+      case In(a: AttributeReference, vs) if vs.forall(_.isInstanceOf[Literal]) =>
+        Some(PredLiteral(a.name, PredOp.In,
+          vs.map(v => scalaValue(v.asInstanceOf[Literal]))))
+      case IsNull(a: AttributeReference)                             => Some(PredLiteral(a.name, PredOp.Eq, null))
+      case IsNotNull(a: AttributeReference)                          => Some(PredLiteral(a.name, PredOp.Ne, null))
+      case _                                                         => None
+    }
+    def lit1(a: AttributeReference, op: PredOp, l: Expression): Option[PredLiteral] =
+      Some(PredLiteral(a.name, op, scalaValue(l.asInstanceOf[Literal])))
+    def dnf(x: Expression): Option[Seq[Seq[PredLiteral]]] = x match {
+      case And(l, r) =>
+        for { a <- dnf(l); b <- dnf(r) } yield for { p <- a; q <- b } yield p ++ q
+      case Or(l, r) =>
+        for { a <- dnf(l); b <- dnf(r) } yield a ++ b
+      case other => leaf(other).map(p => Seq(Seq(p)))
+    }
+    dnf(e).map(graft.core.Predicates(_))
+  }
+
+  private def scalaValue(l: org.apache.spark.sql.catalyst.expressions.Literal): Any =
+    org.apache.spark.sql.catalyst.CatalystTypeConverters
+      .convertToScala(l.value, l.dataType)
 }
 
-/** Driver-side merge-on-read UPDATE; returns (rows_updated, version). */
+/** Driver-side merge-on-read UPDATE; returns (rows_updated, version).
+  * DNF-expressible conditions go through as [[graft.core.Predicates]]
+  * (candidate files prune through the full skipping ladder); anything
+  * else takes the exact Column over all candidate files.
+  */
 case class GraftUpdateCommand(
-    base: String, uuid: String, set: Map[String, Column], cond: Column)
+    base: String, uuid: String, set: Map[String, Column],
+    predicates: Option[graft.core.Predicates], cond: Column)
   extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("rows_updated", LongType, nullable = false)(),
     AttributeReference("version", LongType, nullable = false)())
   override def run(session: SparkSession): Seq[Row] = {
-    val (md, n) = Ktk.updateRows(session, base, uuid, set, conditionCol = Some(cond))
+    val (md, n) = predicates match {
+      case Some(p) => Ktk.updateRows(session, base, uuid, set, predicates = p)
+      case None    => Ktk.updateRows(session, base, uuid, set, conditionCol = Some(cond))
+    }
     Seq(Row(n, md.version))
   }
 }
@@ -195,8 +249,12 @@ case class GraftMergeCommand(
       case "insert-only" =>
         val existing = Ktk.readTable(session, base, uuid, columns = keys)
         val fresh = src.join(existing.distinct(), keys, "left_anti")
-        val md1 = Ktk.update(session, base, uuid, Some(fresh))
-        (md1, 0L)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val n = fresh.count()
+          val md1 = Ktk.update(session, base, uuid, Some(fresh))
+          (md1, n)
+        } finally fresh.unpersist()
       case "delete" =>
         // empty upsert side in the FULL target schema; only deleteKeys act
         val md0 = graft.ktk.DatasetMetadata.load(session, base, uuid)

@@ -49,6 +49,24 @@ class GraftDmlSpec extends SparkSpec {
     }
   }
 
+  test("DNF-able SQL UPDATE conditions prune candidate files; others stay exact") {
+    withCatalog { (gk, base) =>
+      seed(base)
+      val total = DatasetMetadata.load(spark, base, "t").partitions.size
+      // translatable: partition equality prunes to p='a' files only
+      spark.sql(s"UPDATE $gk.default.t SET v = v + 1 WHERE p = 'a'")
+      Ktk.lastUpdateCandidates.get() should be < total
+      Ktk.lastUpdateCandidates.get() should be >= 1
+      // untranslatable (expression over a column): full candidate list
+      // (the first update appended files, so re-count), result still exact
+      val total2 = DatasetMetadata.load(spark, base, "t").partitions.size
+      spark.sql(s"UPDATE $gk.default.t SET v = v + 1 WHERE k % 2 = 0")
+      Ktk.lastUpdateCandidates.get() shouldBe total2
+      content(base) shouldBe Seq(
+        (1L, "a", 11.0), (2L, "a", 22.0), (3L, "b", 30.0), (4L, "b", 41.0))
+    }
+  }
+
   test("MERGE INTO upsert (UPDATE SET * + INSERT *)") {
     withCatalog { (gk, base) =>
       seed(base)
