@@ -80,19 +80,29 @@ final class GraftCdcSource(
       return GraftBridge.asStreamingBatch(spark,
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema))
     val rb = Ktk.rollbackVersions(spark, base, uuid, from, to)
-    if (rb.nonEmpty)
-      throw new IllegalStateException(
-        s"dataset '$uuid' was rolled back at version ${rb.head._1} (to ${rb.head._2}) " +
-          "inside this stream's range: the change feed reports restored content only " +
-          "as removes, so this CDC stream cannot continue faithfully. Re-seed the " +
-          s"consumer from a snapshot at version ${rb.last._1} or later and restart " +
-          s"with a fresh checkpoint and .option(\"startingVersion\", ${rb.last._1}) " +
-          "(a fresh checkpoint ALONE replays from 0 and hits this rollback again); " +
-          "Ktk.mirrorChanges handles the re-seed automatically.")
-    val feed = Ktk.readChangeFeed(spark, base, uuid, from, to)
-      // stream schema is FIXED at start: project away later-evolved columns
-      .select(schema.fieldNames.map(c => col(s"`$c`")): _*)
-    GraftBridge.asStreamingBatch(spark, feed)
+    val feed =
+      if (rb.isEmpty) Ktk.readChangeFeed(spark, base, uuid, from, to)
+      else if (from == startingVersion) {
+        // FRESH consumer (no prior state to reconcile): replaying deltas
+        // across a rollback would lose the restored content (it surfaces
+        // only as removes), but the snapshot at `to` IS the correct
+        // bootstrap — emit it whole as inserts, exactly like a from-0
+        // first batch on a rollback-free history
+        Ktk.readTableAsOf(spark, base, uuid, to)
+          .withColumn("_change_type", org.apache.spark.sql.functions.lit("insert"))
+          .withColumn("_commit_version", org.apache.spark.sql.functions.lit(to))
+      } else
+        throw new IllegalStateException(
+          s"dataset '$uuid' was rolled back at version ${rb.head._1} (to ${rb.head._2}) " +
+            "inside this stream's range: the change feed reports restored content " +
+            "only as removes, so a consumer with prior state cannot continue " +
+            "faithfully. Re-seed it from a snapshot at version " +
+            s"${rb.last._1} or later and restart with a FRESH checkpoint (a fresh " +
+            "graft-cdc stream bootstraps from the snapshot automatically); " +
+            "Ktk.mirrorChanges handles the re-seed for mirror tables.")
+    // stream schema is FIXED at start: project away later-evolved columns
+    GraftBridge.asStreamingBatch(spark,
+      feed.select(schema.fieldNames.map(c => col(s"`$c`")): _*))
   }
 
   override def stop(): Unit = ()

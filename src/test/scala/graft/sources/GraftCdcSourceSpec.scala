@@ -91,18 +91,41 @@ class GraftCdcSourceSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("a rollback inside the range fails loudly with re-seed guidance") {
+  test("a FRESH stream over a rollback-bearing history bootstraps from the snapshot") {
     val base = tmpDir("cdcs")
     Ktk.store(spark, base, "ds", kv, partitionOn = Seq("p")) // v1
     Ktk.deleteRows(spark, base, "ds",
       predicates = Predicates.of(Seq(("k", "==", 1)))) // v2
-    Ktk.rollback(spark, base, "ds", 1L) // v3
+    Ktk.rollback(spark, base, "ds", 1L) // v3 restores k=1
     val q = startCdc(base, "cdc4")
-    val e = intercept[Exception] { q.processAllAvailable() }
-    val msg = Option(e.getMessage).getOrElse("") +
-      Option(e.getCause).map(_.getMessage).getOrElse("")
-    msg should include("rolled back")
-    q.stop()
+    try {
+      q.processAllAvailable()
+      // no prior state to reconcile: the snapshot at the batch end arrives
+      // whole as inserts — including the rollback-restored row
+      rows("cdc4") shouldBe Seq(
+        (1L, "insert", 3L), (2L, "insert", 3L), (3L, "insert", 3L))
+      // and the stream keeps tailing normally afterwards
+      Ktk.update(spark, base, "ds", Some(Seq((9L, "c", 90.0)).toDF("k", "p", "v"))) // v4
+      q.processAllAvailable()
+      rows("cdc4").map(_._1).sorted shouldBe Seq(1L, 2L, 3L, 9L)
+    } finally q.stop()
+  }
+
+  test("a rollback mid-stream (prior state exists) fails loudly with re-seed guidance") {
+    val base = tmpDir("cdcs")
+    Ktk.store(spark, base, "ds", kv, partitionOn = Seq("p")) // v1
+    val q = startCdc(base, "cdc4b")
+    try {
+      q.processAllAvailable() // consumer now HAS state up to v1
+      Ktk.deleteRows(spark, base, "ds",
+        predicates = Predicates.of(Seq(("k", "==", 1)))) // v2
+      Ktk.rollback(spark, base, "ds", 1L) // v3
+      val e = intercept[Exception] { q.processAllAvailable() }
+      val msg = Option(e.getMessage).getOrElse("") +
+        Option(e.getCause).map(_.getMessage).getOrElse("")
+      msg should include("rolled back")
+      msg should include("FRESH checkpoint")
+    } finally q.stop()
   }
 
   test("delete_scope removals stream as deletes") {
