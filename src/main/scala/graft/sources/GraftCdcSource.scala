@@ -100,9 +100,15 @@ final class GraftCdcSource(
             s"${rb.last._1} or later and restart with a FRESH checkpoint (a fresh " +
             "graft-cdc stream bootstraps from the snapshot automatically); " +
             "Ktk.mirrorChanges handles the re-seed for mirror tables.")
-    // stream schema is FIXED at start: project away later-evolved columns
+    // stream schema is FIXED at start: later-evolved columns project away,
+    // and a bootstrap snapshot that PREdates an evolution commit null-fills
+    // the columns it doesn't carry yet
+    val have = feed.columns.toSet
     GraftBridge.asStreamingBatch(spark,
-      feed.select(schema.fieldNames.map(c => col(s"`$c`")): _*))
+      feed.select(schema.fields.toSeq.map { f =>
+        if (have(f.name)) col(s"`${f.name}`")
+        else org.apache.spark.sql.functions.lit(null).cast(f.dataType).as(f.name)
+      }: _*))
   }
 
   override def stop(): Unit = ()
