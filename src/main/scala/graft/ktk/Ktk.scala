@@ -1848,11 +1848,14 @@ object Ktk {
       (changes, from, to) =>
         if (rollbackVersions(spark, srcBase, srcUuid, from, to).nonEmpty) {
           val snap = readTableAsOf(spark, srcBase, srcUuid, to)
-          val partOn =
-            if (DatasetMetadata.exists(spark, dstBase, dstUuid))
-              DatasetMetadata.load(spark, dstBase, dstUuid).partitionKeys
-            else Nil
-          store(spark, dstBase, dstUuid, snap, partitionOn = partOn, overwrite = true)
+          if (!DatasetMetadata.exists(spark, dstBase, dstUuid))
+            store(spark, dstBase, dstUuid, snap)
+          else
+            // bounded re-seed: write only the snapshot-vs-mirror DIFF as
+            // one merge commit — the mirror's version line survives the
+            // recovery, and write amplification is O(diff) not O(table)
+            reseedFromSnapshot(spark, dstBase, dstUuid, snap, keys,
+              maxCollectKeys = maxCollectKeys)
         } else {
           import org.apache.spark.sql.expressions.Window
           val w = Window.partitionBy(keys.map(c => col(s"`$c`")): _*)
@@ -1871,6 +1874,68 @@ object Ktk {
               maxCollectKeys = maxCollectKeys, evolveSchema = true)
         }
     }
+  }
+
+  /** Re-seed a keyed MIRROR from an upstream snapshot with a BOUNDED
+    * write: full-outer-join the snapshot against the mirror's current
+    * content on `keys`, keep only rows that actually differ, and apply
+    * them as ONE [[mergeCdc]] commit — upserts for new/changed keys,
+    * tombstones for keys gone upstream. Read cost is one scan of each
+    * side (the same as a full overwrite); WRITE cost drops from O(table)
+    * to O(diff), and the mirror's own commit history survives — a
+    * rollback recovery no longer physically clobbers the mirror's
+    * version line. Schema drift in either direction is handled by
+    * aligning both sides to the UNION schema (missing columns read as
+    * null, so a row differing only in a one-sided column still upserts);
+    * the merge commit evolves the mirror's schema additively when the
+    * snapshot carries new columns. Assumes upstream keys are unique
+    * (the CDC-mirror contract, like [[mergeCdc]]).
+    */
+  def reseedFromSnapshot(
+      spark: SparkSession,
+      dstBase: String,
+      dstUuid: String,
+      snapshot: DataFrame,
+      keys: Seq[String],
+      maxCollectKeys: Int = 10000): (DatasetMetadata, Long) = {
+    require(keys.nonEmpty, "reseedFromSnapshot requires at least one key column")
+    keys.foreach(k => require(snapshot.columns.contains(k),
+      s"key column '$k' missing from the snapshot"))
+    val cur = readTable(spark, dstBase, dstUuid)
+    keys.foreach(k => require(cur.columns.contains(k),
+      s"key column '$k' missing from the mirror"))
+    // union schema, snapshot's field order first — either side may lag the
+    // other (a rollback can restore a PRE-evolution upstream schema while
+    // the mirror already evolved)
+    val unionFields = snapshot.schema.fields ++
+      cur.schema.fields.filterNot(f => snapshot.columns.contains(f.name))
+    def align(df: DataFrame): DataFrame = df.select(unionFields.toSeq.map { f =>
+      if (df.columns.contains(f.name)) col(s"`${f.name}`").as(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }: _*)
+    // presence markers instead of key-null tests: full-outer rows from one
+    // side only are detected without assuming keys are never null
+    val s = align(snapshot).withColumn("__s", lit(1)).as("s")
+    val d = align(cur).withColumn("__d", lit(1)).as("d")
+    val keyCond = keys.map(k => col(s"s.`$k`") <=> col(s"d.`$k`")).reduce(_ && _)
+    val joined = s.join(d, keyCond, "full_outer")
+    val payload = unionFields.map(_.name).filterNot(keys.contains)
+    val changed = payload
+      .map(c => !(col(s"s.`$c`") <=> col(s"d.`$c`")))
+      .foldLeft(lit(false))(_ || _)
+    val upserts = joined
+      .filter(col("s.__s").isNotNull && (col("d.__d").isNull || changed))
+      .select(unionFields.toSeq.map(f => col(s"s.`${f.name}`").as(f.name)) :+
+        lit("insert").as("_change_type"): _*)
+    val deletes = joined
+      .filter(col("s.__s").isNull)
+      .select(unionFields.toSeq.map { f =>
+        if (keys.contains(f.name)) col(s"d.`${f.name}`").as(f.name)
+        else lit(null).cast(f.dataType).as(f.name)
+      } :+ lit("delete").as("_change_type"): _*)
+    mergeCdc(spark, dstBase, dstUuid, upserts.unionByName(deletes), keys,
+      opCol = "_change_type", deleteOp = "delete",
+      maxCollectKeys = maxCollectKeys, evolveSchema = true)
   }
 
   /** Fragment list to commit after a rewrite dropped `removed` labels

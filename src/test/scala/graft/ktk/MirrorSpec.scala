@@ -74,14 +74,72 @@ class MirrorSpec extends SparkSpec {
     content(dst, "dst") shouldBe Seq((3L, "b", 30.0))
     Ktk.rollback(spark, src, "src", 1L) // v3: restores k=1,2 (feed: silent)
     Ktk.update(spark, src, "src", Some(Seq((9L, "c", 90.0)).toDF("k", "p", "v"))) // v4
+    val dstVerBefore = DatasetMetadata.listVersions(spark, dst, "dst").max
     drain(src, dst, ckpt, maxPer = 10)
     content(dst, "dst") shouldBe content(src, "src")
     content(dst, "dst") shouldBe Seq(
       (1L, "a", 10.0), (2L, "a", 20.0), (3L, "b", 30.0), (9L, "c", 90.0))
+    // the re-seed is a DIFF commit on the mirror's existing version line:
+    // history survives (no restart at v1), and the recovery writes only
+    // the restored keys — k=3 (unchanged through the rollback) is never
+    // rewritten, so the mirror's own feed shows inserts {1,2} then {9}
+    val dstVers = DatasetMetadata.listVersions(spark, dst, "dst")
+    dstVers should contain(dstVerBefore)
+    val feed = Ktk.readChangeFeed(spark, dst, "dst", fromVersion = dstVerBefore)
+    feed.filter($"_change_type" === "insert").select("k")
+      .as[Long].collect().sorted.toSeq shouldBe Seq(1L, 2L, 9L)
+    feed.filter($"_change_type" === "delete").count() shouldBe 0L
     // the marker identifies exactly the rollback commit — versions AFTER
     // it inherit the metadata but do NOT read as rollbacks
     Ktk.rollbackVersions(spark, src, "src", 0L, 4L) shouldBe Seq(3L -> 1L)
     Ktk.rollbackVersions(spark, src, "src", 3L, 4L) shouldBe empty
+  }
+
+  test("reseedFromSnapshot writes only the diff and reconciles schema drift both ways") {
+    val dst = tmpDir("reseed-dst")
+    // mirror holds an EXTRA column 'm' the snapshot lacks; the snapshot
+    // carries a NEW column 'x' the mirror lacks (a rollback can restore a
+    // pre-evolution upstream while the mirror already evolved, and vice versa)
+    Ktk.store(spark, dst, "dst", Seq(
+      (1L, 10.0, "keep"), (2L, 20.0, "stale"), (3L, 30.0, "gone")
+    ).toDF("k", "v", "m"))
+    val snapshot = Seq(
+      (1L, 10.0, Option.empty[String]), // unchanged (m null-aligns? no: mirror m="keep")
+      (2L, 22.0, Some("x2")),           // changed v + new column
+      (4L, 40.0, None)                  // new key
+    ).toDF("k", "v", "x")
+    val vBefore = DatasetMetadata.load(spark, dst, "dst").version
+    Ktk.reseedFromSnapshot(spark, dst, "dst", snapshot, keys = Seq("k"))
+    val got = Ktk.readTable(spark, dst, "dst")
+      .select("k", "v", "m", "x")
+      .as[(Long, Double, Option[String], Option[String])].collect().sorted.toSeq
+    // k=1: mirror-only column m="keep" vs snapshot null → counts as changed,
+    //      upsert nulls it (the snapshot is the source of truth)
+    // k=3: gone upstream → tombstoned
+    got shouldBe Seq(
+      (1L, 10.0, None, None),
+      (2L, 22.0, None, Some("x2")),
+      (4L, 40.0, None, None))
+    // ONE commit, diff-bounded: feed shows exactly the 3 upserts (existing
+    // keys 1,2 appear as delete+insert pairs — the feed's update shape)
+    // plus the tombstone for 3
+    val feed = Ktk.readChangeFeed(spark, dst, "dst", fromVersion = vBefore)
+    feed.filter($"_change_type" === "insert").select("k")
+      .as[Long].collect().sorted.toSeq shouldBe Seq(1L, 2L, 4L)
+    feed.filter($"_change_type" === "delete").select("k")
+      .as[Long].collect().sorted.toSeq shouldBe Seq(1L, 2L, 3L)
+  }
+
+  test("reseedFromSnapshot with an identical snapshot writes no rows") {
+    val dst = tmpDir("reseed-noop")
+    val df = Seq((1L, 10.0), (2L, 20.0)).toDF("k", "v")
+    Ktk.store(spark, dst, "dst", df)
+    val vBefore = DatasetMetadata.load(spark, dst, "dst").version
+    Ktk.reseedFromSnapshot(spark, dst, "dst", df, keys = Seq("k"))
+    val feed = Ktk.readChangeFeed(spark, dst, "dst", fromVersion = vBefore)
+    feed.count() shouldBe 0L
+    Ktk.readTable(spark, dst, "dst").select("k", "v")
+      .as[(Long, Double)].collect().sorted.toSeq shouldBe Seq((1L, 10.0), (2L, 20.0))
   }
 
   test("mirror follows upstream additive schema evolution") {
