@@ -1930,6 +1930,86 @@ object SparkEntry {
               |FROM graft_cat.default.orders_dml GROUP BY 1 ORDER BY 1""".stripMargin)
     }),
 
+    "q_sql_ddl" -> ((s, dir) => {
+      // the SQL DDL tier: ALTER TABLE ADD COLUMNS (metadata-only additive
+      // evolution), SET TBLPROPERTIES (versioned user metadata),
+      // INSERT OVERWRITE PARTITION (a versioned content swap scoped by
+      // deleteScope — zero rewrites outside the partition), and
+      // TIMESTAMP AS OF resolution against the history's committed_at.
+      val base = scratch(dir)
+      s.conf.set("spark.sql.catalog.graft_cat", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft_cat.base", base)
+      if (!graft.ktk.DatasetMetadata.exists(s, base, "orders_ddl")) {
+        Ktk.store(s, base, "orders_ddl",
+          t(s, dir, "orders").select("o_orderkey", "o_orderstatus", "o_totalprice"),
+          partitionOn = Seq("o_orderstatus")) // v1
+        s.sql("ALTER TABLE graft_cat.default.orders_ddl ADD COLUMNS (note STRING)") // v2
+        s.sql("ALTER TABLE graft_cat.default.orders_ddl " +
+          "SET TBLPROPERTIES ('pipeline' = 'curation')") // v3
+        // overwrite ONE partition with a transformation of its v1 content
+        s.sql("""INSERT OVERWRITE graft_cat.default.orders_ddl
+                |PARTITION (o_orderstatus = 'F') (o_orderkey, o_totalprice, note)
+                |SELECT o_orderkey, o_totalprice * 0.9 AS o_totalprice,
+                |  'discounted' AS note
+                |FROM graft_cat.default.orders_ddl VERSION AS OF 1
+                |WHERE o_orderstatus = 'F'""".stripMargin) // v4
+        val md = graft.ktk.DatasetMetadata.load(s, base, "orders_ddl")
+        require(md.metadata.get("pipeline").contains("curation"),
+          "SET TBLPROPERTIES must land in versioned user metadata")
+        require(Ktk.readTableAsOf(s, base, "orders_ddl", 1L)
+          .columns.sameElements(Array("o_orderstatus", "o_orderkey", "o_totalprice")),
+          "pre-evolution snapshot must keep the v1 schema")
+        // TIMESTAMP AS OF at the latest commit's committed_at resolves to
+        // the current content (deterministic: ties resolve to max version)
+        val latestTs = Ktk.history(s, base, "orders_ddl")
+          .orderBy(col("version").desc).select("committed_at")
+          .head.getTimestamp(0).toInstant.toString
+        val nowCnt = s.sql("SELECT count(*) FROM graft_cat.default.orders_ddl").head.getLong(0)
+        val asOfCnt = s.sql(
+          s"SELECT count(*) FROM graft_cat.default.orders_ddl TIMESTAMP AS OF '$latestTs'")
+          .head.getLong(0)
+        require(asOfCnt == nowCnt,
+          s"TIMESTAMP AS OF the latest commit must read current content ($asOfCnt vs $nowCnt)")
+      }
+      s.sql("""SELECT o_orderstatus, coalesce(note, 'none') AS note,
+              |  count(*) AS cnt, round(sum(o_totalprice), 2) AS total
+              |FROM graft_cat.default.orders_ddl
+              |GROUP BY o_orderstatus, note ORDER BY 1, 2""".stripMargin)
+    }),
+
+    "q_sql_ctas" -> ((s, dir) => {
+      // atomic CTAS + RTAS through the staging protocol: the SELECT's
+      // plan executes at commitStagedChanges, files + ONE metadata put —
+      // the table appears fully formed or not at all. REPLACE swaps
+      // content, SCHEMA and partitioning in one commit on the same
+      // version line; the pre-replace snapshot stays travelable.
+      val base = scratch(dir)
+      s.conf.set("spark.sql.catalog.graft_cat", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft_cat.base", base)
+      if (!graft.ktk.DatasetMetadata.exists(s, base, "li_agg")) {
+        Ktk.store(s, base, "li_ctas_src",
+          t(s, dir, "lineitem").select(
+            "l_orderkey", "l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"))
+        s.sql("""CREATE TABLE graft_cat.default.li_agg PARTITIONED BY (l_returnflag) AS
+                |SELECT l_returnflag, l_linestatus,
+                |  count(*) AS cnt, sum(l_quantity) AS sum_qty
+                |FROM graft_cat.default.li_ctas_src
+                |GROUP BY l_returnflag, l_linestatus""".stripMargin) // v1
+        s.sql("""REPLACE TABLE graft_cat.default.li_agg AS
+                |SELECT l_returnflag, count(*) AS n,
+                |  round(avg(l_extendedprice), 2) AS avg_price
+                |FROM graft_cat.default.li_ctas_src
+                |GROUP BY l_returnflag""".stripMargin) // v2: new schema
+        val md = graft.ktk.DatasetMetadata.load(s, base, "li_agg")
+        require(md.version == 2L, s"RTAS must extend the version line, got v${md.version}")
+        require(Ktk.readTableAsOf(s, base, "li_agg", 1L)
+            .columns.contains("sum_qty"),
+          "pre-replace snapshot must keep the CTAS schema")
+      }
+      s.sql("""SELECT l_returnflag, n, avg_price
+              |FROM graft_cat.default.li_agg ORDER BY 1""".stripMargin)
+    }),
+
     "q_pipeline_curation" -> ((s, dir) => {
       // the budgeted-curation pipeline over this round's ops: doc-frequency
       // paragraph scrub -> keep-best exact dedup (longest copy wins) ->
@@ -2132,6 +2212,24 @@ object SparkEntry {
         |)
         |SELECT o_orderstatus, count(*) AS cnt, round(sum(o_totalprice), 2) AS total
         |FROM after_delete GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_sql_ddl" ->
+      """WITH final AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice, NULL AS note
+        |  FROM orders WHERE o_orderstatus <> 'F'
+        |  UNION ALL
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice * 0.9 AS o_totalprice,
+        |    'discounted' AS note
+        |  FROM orders WHERE o_orderstatus = 'F'
+        |)
+        |SELECT o_orderstatus, coalesce(note, 'none') AS note,
+        |  count(*) AS cnt, round(sum(o_totalprice), 2) AS total
+        |FROM final GROUP BY o_orderstatus, note ORDER BY 1, 2""".stripMargin,
+
+    "q_sql_ctas" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |  round(avg(l_extendedprice), 2) AS avg_price
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_ktk_update_rows" ->
       """SELECT o_orderkey, o_orderstatus,

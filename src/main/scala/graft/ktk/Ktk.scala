@@ -1800,6 +1800,19 @@ object Ktk {
       "tombstone_fragments", "is_rollback", "rollback_of")
   }
 
+  /** Latest commit version whose committed-at time (earliest record mtime,
+    * the same rule [[history]] reports) is <= `atMillis` — the resolution
+    * rule behind SQL `TIMESTAMP AS OF`. One `_versions` listing, no data
+    * reads. None when the dataset has no commit at or before the instant.
+    */
+  def versionAtTimestamp(
+      spark: SparkSession, base: String, uuid: String, atMillis: Long): Option[Long] = {
+    val eligible = DatasetMetadata.versionRecords(spark, base, uuid)
+      .groupMapReduce(_._1)(_._2)(math.min)
+      .collect { case (v, m) if m <= atMillis => v }
+    if (eligible.isEmpty) None else Some(eligible.max)
+  }
+
   /** Versions in `(fromVersion, toVersion]` that were [[rollback]] commits,
     * as `(version, restoredToVersion)` — the change-feed consumer's
     * RE-SYNC signal: a rollback restores content the feed reports only as
@@ -2044,6 +2057,55 @@ object Ktk {
     DatasetMetadata.store(spark, base, md1, parentMd = Some(md))
   }
 
+  /** Additive schema evolution WITHOUT data — register new nullable
+    * columns in ONE metadata-only commit (the engine behind SQL
+    * `ALTER TABLE ... ADD COLUMNS`). Existing files simply lack the
+    * columns and read as null, exactly like `update(evolveSchema = true)`;
+    * no data file is touched, so the commit is O(metadata) at any table
+    * size. Columns must be new and are forced nullable (a required column
+    * could never be satisfied by the existing files).
+    */
+  def addColumns(
+      spark: SparkSession,
+      base: String,
+      uuid: String,
+      newFields: Seq[StructField]): DatasetMetadata = {
+    require(newFields.nonEmpty, "addColumns requires at least one column")
+    val md = DatasetMetadata.load(spark, base, uuid)
+    newFields.foreach { f =>
+      require(!md.schema.fieldNames.exists(_.equalsIgnoreCase(f.name)),
+        s"column '${f.name}' already exists")
+    }
+    // run through the SAME normalization as every write path (type
+    // promotion + partition-keys-first / payload-alphabetical order) so a
+    // later update's validateCompatible sees identical shapes
+    val evolved = SchemaUtil.normalizeSchema(
+      StructType(md.schema.fields ++ newFields.map(_.copy(nullable = true))),
+      md.partitionKeys)
+    DatasetMetadata.store(spark, base, md.copy(schemaJson = evolved.json),
+      parentMd = Some(md))
+  }
+
+  /** Update USER table properties in ONE metadata-only commit (the engine
+    * behind SQL `ALTER TABLE ... SET/UNSET TBLPROPERTIES`). The `graft.`
+    * namespace is reserved for engine state (sort order, sequence
+    * watermark, constraints, rollback markers) and refused in both
+    * directions — constraints have their own add/drop surface.
+    */
+  def setTableProperties(
+      spark: SparkSession,
+      base: String,
+      uuid: String,
+      set: Map[String, String] = Map.empty,
+      unset: Seq[String] = Nil): DatasetMetadata = {
+    require(set.nonEmpty || unset.nonEmpty, "nothing to change")
+    (set.keys ++ unset).foreach(k => require(!k.startsWith("graft."),
+      s"property '$k' is in the reserved engine namespace 'graft.'"))
+    val md = DatasetMetadata.load(spark, base, uuid)
+    DatasetMetadata.store(spark, base,
+      md.copy(metadata = md.metadata -- unset ++ set), parentMd = Some(md))
+  }
+
   // ---------------------------------------------------------------- update
 
   /** Incremental update in ONE metadata commit (≙ update_dataset_from_dataframes,
@@ -2073,14 +2135,21 @@ object Ktk {
       sortBy: Seq[String] = Nil,
       extraMetadata: Map[String, String] = Map.empty,
       appendSidecars: Boolean = false,
-      evolveSchema: Boolean = false): DatasetMetadata = {
+      evolveSchema: Boolean = false,
+      replaceAll: Boolean = false): DatasetMetadata = {
 
     val md = migrateInlineZones(spark, base, DatasetMetadata.load(spark, base, uuid))
     val tableDir = md.tableDir(base)
 
-    // 1. which existing labels survive the delete scope?
+    // 1. which existing labels survive the delete scope? `replaceAll`
+    //    (INSERT OVERWRITE semantics) drops every current reference in the
+    //    SAME commit the new files land in — a versioned content swap, not
+    //    a physical clobber: old files stay for time travel until gc
     val deleted: Set[String] =
-      if (deleteScope.isEmpty) Set.empty
+      if (replaceAll) {
+        require(deleteScope.isEmpty, "replaceAll and deleteScope are mutually exclusive")
+        md.partitions.keySet
+      } else if (deleteScope.isEmpty) Set.empty
       else {
         deleteScope.columns.foreach(c => require(md.partitionKeys.contains(c),
           s"delete_scope column '$c' must be a partition key"))
@@ -2165,9 +2234,55 @@ object Ktk {
     val md1 = md.copy(partitions = finalPartitions, partitionSeq = finalSeq,
       schemaJson = evolvedSchema.json,
       indices = idxReg, blooms = bloomReg, zones = zoneReg,
+      // a full content replacement also sheds pending deletion vectors —
+      // every file they tombstone just left the referenced set
+      deletes = if (replaceAll) Nil else md.deletes,
       metadata = md.metadata ++ extraMetadata ++ sortMeta +
         (DatasetMetadata.SeqHwmKey -> nextSeq.toString))
 
+    DatasetMetadata.store(spark, base, md1, parentMd = Some(md))
+  }
+
+  /** REPLACE TABLE AS SELECT: swap a dataset's entire content, SCHEMA and
+    * partition layout in ONE versioned commit on the SAME version line —
+    * unlike `store(overwrite = true)` (which physically clobbers the
+    * `_versions` log) the previous snapshots stay travelable and gc
+    * reclaims the unreferenced files later. Because the schema is replaced
+    * wholesale, registered sidecars (indices/blooms/zones), pending
+    * deletion vectors, CHECK constraints, the recorded sort order and the
+    * previous user properties are all dropped with it — they describe
+    * columns that may no longer exist. Old snapshots keep their OWN
+    * schema/partition keys (each version record carries them).
+    */
+  def replaceTable(
+      spark: SparkSession,
+      base: String,
+      uuid: String,
+      df: DataFrame,
+      partitionOn: Seq[String] = Nil,
+      userMetadata: Map[String, String] = Map.empty): DatasetMetadata = {
+    val md = DatasetMetadata.load(spark, base, uuid)
+    val tableDir = md.tableDir(base)
+    partitionOn.foreach(c => require(df.columns.contains(c),
+      s"partition_on column '$c' missing"))
+    val normalized = SchemaUtil.normalize(df, partitionOn)
+    val newFiles: Seq[(String, Long)] = ManifestCommitProtocol.collecting(spark) {
+      val writer = normalized.write.mode(SaveMode.Append)
+      (if (partitionOn.nonEmpty) writer.partitionBy(partitionOn: _*) else writer)
+        .parquet(tableDir)
+    }
+    if (newFiles.exists(_._1.contains("__HIVE_DEFAULT_PARTITION__")))
+      throw new IllegalArgumentException("null values in partition columns are not allowed")
+    val nextSeq = nextMonotoneSeq(md)
+    val md1 = md.copy(
+      partitionKeys = partitionOn,
+      schemaJson = SchemaUtil.normalizeSchema(df.schema, partitionOn).json,
+      partitions = newFiles.toMap,
+      partitionSeq = newFiles.map(_._1 -> nextSeq).toMap,
+      indices = Map.empty, blooms = Map.empty, zones = Map.empty,
+      zoneMaps = Map.empty, deletes = Nil,
+      metadata = userMetadata +
+        (DatasetMetadata.SeqHwmKey -> nextSeq.toString))
     DatasetMetadata.store(spark, base, md1, parentMd = Some(md))
   }
 

@@ -79,10 +79,24 @@ object QualityModel {
       tokensCol(col(s"`$textCol`"), useBigrams).as("__toks"))
     val tf = new HashingTF().setInputCol("__toks").setOutputCol("features")
       .setNumFeatures(numFeatures)
-    val lr = new LogisticRegression()
-      .setRegParam(regParam).setMaxIter(maxIter).setStandardization(false)
-    val model: LogisticRegressionModel = lr.fit(tf.transform(withToks))
-    QualityClassifier(numFeatures, useBigrams, model.intercept, model.coefficients)
+    // Every L-BFGS iteration is one treeAggregate over the featurized set;
+    // on a SMALL labeled set spread across many partitions the per-task
+    // scheduling overhead dominates the fit (30 iterations × 32 near-empty
+    // tasks). Cache once, count, and coalesce to ~20k rows/partition so an
+    // iteration launches only as many tasks as the data warrants — a large
+    // labeled set keeps its parallelism untouched.
+    val featurized = tf.transform(withToks)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = featurized.count()
+      val curParts = featurized.rdd.getNumPartitions
+      val wantParts = math.max(1L, math.min(curParts.toLong, n / 20000L + 1L)).toInt
+      val shaped = if (wantParts < curParts) featurized.coalesce(wantParts) else featurized
+      val lr = new LogisticRegression()
+        .setRegParam(regParam).setMaxIter(maxIter).setStandardization(false)
+      val model: LogisticRegressionModel = lr.fit(shaped)
+      QualityClassifier(numFeatures, useBigrams, model.intercept, model.coefficients)
+    } finally featurized.unpersist()
   }
 
   /** p(quality=1) per row as `probCol` — the corpus-scale path: hash + one

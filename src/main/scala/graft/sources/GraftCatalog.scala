@@ -7,7 +7,7 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.{NoSuchTableException, TableAlreadyExistsException}
-import org.apache.spark.sql.connector.catalog.{Identifier, ProcedureCatalog, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.{Identifier, ProcedureCatalog, StagedTable, StagingTableCatalog, SupportsWrite, Table, TableCapability, TableCatalog, TableChange}
 import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{LocalScan, Scan}
@@ -26,8 +26,12 @@ import graft.ktk.{DatasetMetadata, Ktk}
   *   spark.sql("SHOW TABLES IN gk.default")
   *   spark.sql("SELECT * FROM gk.default.orders WHERE o_orderkey = 1")
   *   spark.sql("INSERT INTO gk.default.orders SELECT ...")   // atomic commit
+  *   spark.sql("INSERT OVERWRITE gk.default.orders PARTITION (p='x') SELECT ...")
   *   spark.sql("DELETE FROM gk.default.orders WHERE ...")    // deletion vectors
   *   spark.sql("CREATE TABLE gk.default.t (k BIGINT, p STRING) PARTITIONED BY (p)")
+  *   spark.sql("ALTER TABLE gk.default.t ADD COLUMNS (note STRING)") // additive
+  *   spark.sql("ALTER TABLE gk.default.t SET TBLPROPERTIES ('tier'='gold')")
+  *   spark.sql("SELECT * FROM gk.default.t TIMESTAMP AS OF '2026-08-14T10:00:00Z'")
   *   spark.sql("DROP TABLE gk.default.t")
   * }}}
   *
@@ -38,7 +42,7 @@ import graft.ktk.{DatasetMetadata, Ktk}
   * atomic `update`. Scale shape: catalog calls are O(metadata); nothing
   * here touches data except through the pruned scan paths.
   */
-class GraftCatalog extends TableCatalog with ProcedureCatalog {
+class GraftCatalog extends TableCatalog with ProcedureCatalog with StagingTableCatalog {
 
   private var catalogName: String = _
   private var base: String = _
@@ -92,10 +96,22 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
       zones = Map.empty, zoneMaps = Map.empty))
   }
 
-  override def loadTable(ident: Identifier, timestamp: Long): Table =
-    throw new UnsupportedOperationException(
-      "TIMESTAMP AS OF is not supported (commits are not timestamped); " +
-        "use VERSION AS OF <commit version>")
+  /** SQL `TIMESTAMP AS OF t`: the latest version committed at or before
+    * `t` (Spark hands the instant in MICROseconds). committed-at times are
+    * the commit records' mtimes — the same values `history` /
+    * `CALL system.history` report, so a user can pick an instant straight
+    * from the lineage output.
+    */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val uuid = uuidOf(ident)
+    if (!DatasetMetadata.exists(spark, base, uuid))
+      throw new NoSuchTableException(ident)
+    val v = Ktk.versionAtTimestamp(spark, base, uuid, timestamp / 1000L)
+      .getOrElse(throw new IllegalArgumentException(
+        s"table '$uuid' has no commit at or before timestamp ${timestamp / 1000L} ms; " +
+          "CALL <catalog>.system.history(table => ...) lists committed_at per version"))
+    loadTable(ident, v.toString)
+  }
 
   override def createTable(
       ident: Identifier,
@@ -122,10 +138,45 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
     new GraftTable(base, md)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "ALTER TABLE is not supported; schema evolves additively through " +
-        "update/merge(evolveSchema = true)")
+  /** `ALTER TABLE ... ADD COLUMNS` → one metadata-only additive-evolution
+    * commit (new columns are nullable; old files read them as null — the
+    * same rule as `update(evolveSchema = true)`), and
+    * `SET/UNSET TBLPROPERTIES` → one user-metadata commit. Every other
+    * change (rename/drop/retype — they would rewrite or reinterpret
+    * existing files) refuses loudly.
+    */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val uuid = uuidOf(ident)
+    if (!DatasetMetadata.exists(spark, base, uuid))
+      throw new NoSuchTableException(ident)
+    val adds = changes.collect { case a: TableChange.AddColumn => a }
+    val sets = changes.collect { case s: TableChange.SetProperty => s }
+    val unsets = changes.collect { case r: TableChange.RemoveProperty => r }
+    val others = changes.filter {
+      case _: TableChange.AddColumn | _: TableChange.SetProperty |
+           _: TableChange.RemoveProperty => false
+      case _ => true
+    }
+    if (others.nonEmpty)
+      throw new UnsupportedOperationException(
+        "graft tables evolve additively: ALTER TABLE supports ADD COLUMNS and " +
+          s"SET/UNSET TBLPROPERTIES only; got ${others.mkString(", ")}")
+    if (adds.nonEmpty) {
+      val fields = adds.map { a =>
+        require(a.fieldNames.length == 1,
+          s"nested column additions are not supported: ${a.fieldNames.mkString(".")}")
+        require(a.position() == null,
+          "FIRST/AFTER column positions are not supported; new columns append")
+        StructField(a.fieldNames.head, a.dataType, nullable = true)
+      }
+      Ktk.addColumns(spark, base, uuid, fields)
+    }
+    if (sets.nonEmpty || unsets.nonEmpty)
+      Ktk.setTableProperties(spark, base, uuid,
+        set = sets.map(s => s.property -> s.value).toMap,
+        unset = unsets.map(_.property))
+    loadTable(ident)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val uuid = uuidOf(ident)
@@ -142,6 +193,56 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
     Ktk.copyDataset(spark, base, from, to)
     DatasetMetadata.delete(spark, base, from)
   }
+
+  // ------------------------------------------------- atomic CTAS / RTAS
+  //
+  // `CREATE TABLE ... AS SELECT` / `REPLACE TABLE ... AS SELECT` through
+  // the staging protocol: the V1Write bridge captures the SELECT's
+  // (lazy) DataFrame, and commitStagedChanges runs the ENTIRE write —
+  // files then one metadata put — so the table appears fully formed or
+  // not at all. Nothing lands on disk before commit, which makes abort
+  // a no-op and a failed CTAS leave zero trace. RTAS swaps content,
+  // schema and partitioning in one commit on the same version line
+  // ([[Ktk.replaceTable]]): earlier versions stay travelable.
+
+  private def identityKeys(partitions: Array[Transform]): Seq[String] =
+    partitions.toSeq.map { t =>
+      if (t.name == "identity" && t.references.length == 1)
+        t.references.head.fieldNames.mkString(".")
+      else throw new UnsupportedOperationException(
+        s"graft tables support identity partitioning only, got $t")
+    }
+
+  private def userProps(properties: JMap[String, String]): Map[String, String] =
+    properties.asScala.toMap
+      .filter { case (k, _) => !k.startsWith("spark.") && k != TableCatalog.PROP_PROVIDER &&
+        k != TableCatalog.PROP_OWNER && k != TableCatalog.PROP_LOCATION &&
+        k != TableCatalog.PROP_EXTERNAL && k != TableCatalog.PROP_COMMENT }
+
+  override def stageCreate(
+      ident: Identifier, schema: StructType, partitions: Array[Transform],
+      properties: JMap[String, String]): StagedTable = {
+    if (DatasetMetadata.exists(spark, base, uuidOf(ident)))
+      throw new TableAlreadyExistsException(ident)
+    new GraftStagedTable(spark, base, uuidOf(ident), schema,
+      identityKeys(partitions), userProps(properties), replace = false)
+  }
+
+  override def stageReplace(
+      ident: Identifier, schema: StructType, partitions: Array[Transform],
+      properties: JMap[String, String]): StagedTable = {
+    if (!DatasetMetadata.exists(spark, base, uuidOf(ident)))
+      throw new NoSuchTableException(ident)
+    new GraftStagedTable(spark, base, uuidOf(ident), schema,
+      identityKeys(partitions), userProps(properties), replace = true)
+  }
+
+  override def stageCreateOrReplace(
+      ident: Identifier, schema: StructType, partitions: Array[Transform],
+      properties: JMap[String, String]): StagedTable =
+    new GraftStagedTable(spark, base, uuidOf(ident), schema,
+      identityKeys(partitions), userProps(properties),
+      replace = DatasetMetadata.exists(spark, base, uuidOf(ident)))
 
   // ----------------------------------------------------- SQL procedures
   //
@@ -213,6 +314,61 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
       throw new IllegalArgumentException(
         s"unknown procedure '${ident.name}'; available: ${procedures.keys.toSeq.sorted.mkString(", ")}"))
   }
+}
+
+/** Staged CTAS/RTAS target: captures the query's DataFrame at "write"
+  * time and defers the real write to [[commitStagedChanges]], where
+  * [[Ktk.store]] (create) / [[Ktk.replaceTable]] (replace) runs files
+  * + ONE metadata put — the atomic publish point.
+  */
+private final class GraftStagedTable(
+    spark: SparkSession,
+    base: String,
+    uuid: String,
+    tableSchema: StructType,
+    partitionOn: Seq[String],
+    props: Map[String, String],
+    replace: Boolean)
+  extends StagedTable with SupportsWrite {
+
+  @volatile private var pending: Option[org.apache.spark.sql.DataFrame] = None
+
+  override def name(): String = s"graft.$uuid (staged)"
+  override def schema(): StructType = tableSchema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE,
+      TableCapability.TRUNCATE)
+
+  // RTAS plans OverwriteByExpression(true) against the staged target, so
+  // the builder must accept truncate(); it is a no-op here — the staged
+  // write IS a full replacement by construction.
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo): org.apache.spark.sql.connector.write.WriteBuilder =
+    new org.apache.spark.sql.connector.write.WriteBuilder
+      with org.apache.spark.sql.connector.write.SupportsTruncate {
+      override def truncate(): org.apache.spark.sql.connector.write.WriteBuilder = this
+      override def build(): org.apache.spark.sql.connector.write.Write =
+        new org.apache.spark.sql.connector.write.V1Write {
+          override def toInsertableRelation: org.apache.spark.sql.sources.InsertableRelation =
+            (data: org.apache.spark.sql.DataFrame, _: Boolean) => {
+              // capture the LAZY plan; execution happens at commit so a
+              // failure here leaves no partial table behind
+              pending = Some(data); ()
+            }
+        }
+    }
+
+  override def commitStagedChanges(): Unit = {
+    val df = pending.getOrElse(
+      spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), tableSchema))
+    if (replace)
+      Ktk.replaceTable(spark, base, uuid, df, partitionOn, userMetadata = props)
+    else
+      Ktk.store(spark, base, uuid, df, partitionOn = partitionOn, userMetadata = props)
+    ()
+  }
+
+  override def abortStagedChanges(): Unit = () // nothing landed before commit
 }
 
 object GraftCatalog {

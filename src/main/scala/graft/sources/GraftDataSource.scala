@@ -113,29 +113,82 @@ final class GraftTable(base: String, md: DatasetMetadata)
   // order-insensitive. The library surface (Ktk.readTable) keeps the
   // reference's partition-keys-first order.
   override def schema(): StructType = GraftTable.scanOrder(md)
+  /** Declared identity partitioning — lets the analyzer resolve
+    * `INSERT OVERWRITE ... PARTITION (p = ...)` clauses and SHOW/DESCRIBE
+    * report the layout.
+    */
+  override def partitioning(): Array[Transform] =
+    md.partitionKeys.map(org.apache.spark.sql.connector.expressions.Expressions.identity).toArray
+  /** User table properties (SHOW TBLPROPERTIES); the reserved `graft.`
+    * engine keys (sort order, seq watermark, constraints, …) stay internal.
+    */
+  override def properties(): JMap[String, String] =
+    md.metadata.filterNot(_._1.startsWith("graft.")).asJava
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
-      TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE)
+      TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE,
+      TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(base, md, options)
 
-  /** DataFrame-writer APPEND surface
-    * (`df.write.format("graft").option("uuid", u).mode("append").save(base)`):
-    * a V1Write bridge into [[Ktk.update]] — one atomic versioned commit,
-    * schema-validated, sidecars merged incrementally, CHECK constraints
-    * enforced. Overwrite is deliberately NOT a writer mode: it physically
-    * clobbers history, so it stays an explicit `Ktk.store(overwrite=true)`.
+  /** DataFrame-writer / SQL write surface — a V1Write bridge into
+    * [[Ktk.update]], always ONE atomic versioned commit (schema-validated,
+    * sidecars merged incrementally, CHECK constraints enforced):
+    *
+    *   - append (`INSERT INTO` / `.mode("append")`) — plain incremental
+    *     update;
+    *   - `INSERT OVERWRITE t SELECT ...` / `.mode("overwrite")` — a
+    *     VERSIONED content swap (`replaceAll`): old files leave the
+    *     referenced set in the same commit the new files land in, history
+    *     and time travel stay intact (gc reclaims later). This is NOT
+    *     `Ktk.store(overwrite = true)`, which physically clobbers the
+    *     version line;
+    *   - `INSERT OVERWRITE t PARTITION (p = 'x') SELECT ...` (static
+    *     partition overwrite) — the filter must be expressible over
+    *     partition keys in the engine's predicate algebra; it becomes the
+    *     commit's `deleteScope`, so only the matched partitions swap.
+    *
+    * Dynamic partition overwrite is not claimed
+    * ([[TableCapability.OVERWRITE_DYNAMIC]] absent — Spark fails it at
+    * analysis).
     */
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new WriteBuilder {
+    new WriteBuilder with org.apache.spark.sql.connector.write.SupportsOverwrite {
+      // None = append; Some(empty) = full replace; Some(preds) = scoped
+      private var overwriteScope: Option[Predicates] = None
+
+      override def truncate(): WriteBuilder = {
+        overwriteScope = Some(Predicates.empty); this
+      }
+
+      override def overwrite(filters: Array[Filter]): WriteBuilder = {
+        if (filters.isEmpty || filters.forall(_ == sources.AlwaysTrue)) return truncate()
+        val dnf = GraftTable.filtersToDnf(filters).getOrElse(
+          throw new UnsupportedOperationException(
+            s"overwrite condition not expressible in the graft predicate algebra: " +
+              filters.mkString(", ")))
+        val scope = Predicates(dnf)
+        val nonPart = scope.columns.filterNot(md.partitionKeys.contains)
+        if (nonPart.nonEmpty)
+          throw new UnsupportedOperationException(
+            s"INSERT OVERWRITE scope must cover partition key columns only; " +
+              s"got non-partition column(s): ${nonPart.mkString(", ")}")
+        overwriteScope = Some(scope); this
+      }
+
       override def build(): Write = new V1Write {
         override def toInsertableRelation: org.apache.spark.sql.sources.InsertableRelation =
-          (data: org.apache.spark.sql.DataFrame, overwrite: Boolean) => {
-            if (overwrite)
-              throw new UnsupportedOperationException(
-                s"graft writer supports append only; use Ktk.store(..., overwrite = true) " +
-                  "to replace dataset content (it physically clobbers history)")
-            Ktk.update(SparkSession.active, base, md.uuid, Some(data))
+          (data: org.apache.spark.sql.DataFrame, _: Boolean) => {
+            overwriteScope match {
+              case None =>
+                Ktk.update(SparkSession.active, base, md.uuid, Some(data))
+              case Some(scope) if scope.isEmpty =>
+                Ktk.update(SparkSession.active, base, md.uuid, Some(data),
+                  replaceAll = true)
+              case Some(scope) =>
+                Ktk.update(SparkSession.active, base, md.uuid, Some(data),
+                  deleteScope = scope)
+            }
             ()
           }
       }
@@ -160,6 +213,9 @@ object GraftTable {
   private[sources] def filtersToDnf(filters: Array[Filter]): Option[Seq[Seq[PredLiteral]]] = {
     def leaf(f: Filter): Option[PredLiteral] = f match {
       case sources.EqualTo(c, v)            => Some(PredLiteral(c, PredOp.Eq, v))
+      // the engine's Eq is already null-safe on partition values (a static
+      // PARTITION (p = 'x') clause arrives as EqualNullSafe)
+      case sources.EqualNullSafe(c, v)      => Some(PredLiteral(c, PredOp.Eq, v))
       case sources.GreaterThan(c, v)        => Some(PredLiteral(c, PredOp.Gt, v))
       case sources.GreaterThanOrEqual(c, v) => Some(PredLiteral(c, PredOp.Ge, v))
       case sources.LessThan(c, v)           => Some(PredLiteral(c, PredOp.Lt, v))

@@ -146,6 +146,28 @@ object Cli {
             .toSeq.sortBy(_._1).foreach { case (n, e) => println(s"$n: CHECK ($e)") }
         case other => throw new IllegalArgumentException(s"constraint: unknown verb $other")
       }
+    case "add-columns" =>
+      // additive schema evolution without data: add-columns <base> <uuid> "name type,..."
+      val fields = args(3).split(',').toSeq.map(_.trim).filter(_.nonEmpty).map { spec =>
+        val Array(n, t) = spec.split("\\s+", 2)
+        org.apache.spark.sql.types.StructField(n,
+          org.apache.spark.sql.catalyst.parser.CatalystSqlParser.parseDataType(t))
+      }
+      val md = Ktk.addColumns(spark, args(1), args(2), fields)
+      println(s"added ${fields.size} column(s); schema is now " +
+        md.schema.fieldNames.mkString(", "))
+    case "set-props" =>
+      // set-props <base> <uuid> set k=v[,k=v...] | unset k[,k...]
+      val md = args(3) match {
+        case "set" => Ktk.setTableProperties(spark, args(1), args(2),
+          set = args(4).split(',').map(_.trim).filter(_.nonEmpty)
+            .map { kv => val Array(k, v) = kv.split("=", 2); k -> v }.toMap)
+        case "unset" => Ktk.setTableProperties(spark, args(1), args(2),
+          unset = args(4).split(',').toSeq.map(_.trim).filter(_.nonEmpty))
+        case other => throw new IllegalArgumentException(s"set-props: unknown verb $other")
+      }
+      md.metadata.filterNot(_._1.startsWith("graft.")).toSeq.sortBy(_._1)
+        .foreach { case (k, v) => println(s"$k = $v") }
     case "history" =>
       // DESCRIBE HISTORY analog: one row per surviving commit
       Ktk.history(spark, args(1), args(2))

@@ -131,6 +131,19 @@ class KtkSurfaceSpec extends SparkSpec {
       Seq("a=f(x, y)", "b = 2", "c=g(h(1,2),3)")
   }
 
+  test("cli: add-columns and set-props verbs") {
+    val base = tmpDir("cli4")
+    Ktk.store(spark, base, "ddl", Seq((1L, 10.0)).toDF("k", "v"))
+    graft.tools.Cli.run(spark, Array("add-columns", base, "ddl", "note string, n int"))
+    val md = DatasetMetadata.load(spark, base, "ddl")
+    md.schema.fieldNames.toSeq shouldBe Seq("k", "n", "note", "v") // normalized order
+    md.version shouldBe 2L
+    graft.tools.Cli.run(spark, Array("set-props", base, "ddl", "set", "tier=gold,team=data"))
+    DatasetMetadata.load(spark, base, "ddl").metadata("tier") shouldBe "gold"
+    graft.tools.Cli.run(spark, Array("set-props", base, "ddl", "unset", "tier"))
+    DatasetMetadata.load(spark, base, "ddl").metadata.contains("tier") shouldBe false
+  }
+
   test("cli shell: scripted interactive query session") {
     val base = tmpDir("clishell")
     Ktk.store(spark, base, "sh",

@@ -154,6 +154,145 @@ class GraftCatalogSpec extends SparkSpec {
     }
   }
 
+  test("TIMESTAMP AS OF resolves against the history's committed_at") {
+    withCatalog { (gk, base) =>
+      Ktk.store(spark, base, "tt",
+        Seq((1L, 10.0)).toDF("k", "v")) // v1
+      Thread.sleep(1500) // committed_at granularity is the FS mtime (≥1s on some)
+      Ktk.update(spark, base, "tt", Some(Seq((2L, 20.0)).toDF("k", "v"))) // v2
+      val committed = Ktk.history(spark, base, "tt")
+        .select("version", "committed_at").as[(Long, java.sql.Timestamp)]
+        .collect().toMap
+      val t1 = committed(1L).toInstant.toString
+      spark.sql(s"SELECT count(*) FROM $gk.default.tt TIMESTAMP AS OF '$t1'")
+        .as[Long].head() shouldBe 1L
+      spark.sql(s"SELECT count(*) FROM $gk.default.tt TIMESTAMP AS OF '${committed(2L).toInstant}'")
+        .as[Long].head() shouldBe 2L
+      // an instant before the first commit has no snapshot
+      val ex = intercept[Exception] {
+        spark.sql(s"SELECT * FROM $gk.default.tt TIMESTAMP AS OF '2001-01-01'").collect()
+      }
+      ex.getMessage should include("no commit at or before")
+    }
+  }
+
+  test("ALTER TABLE ADD COLUMNS evolves additively; old files read null") {
+    withCatalog { (gk, base) =>
+      Ktk.store(spark, base, "ta", Seq((1L, 10.0)).toDF("k", "v")) // v1
+      spark.sql(s"ALTER TABLE $gk.default.ta ADD COLUMNS (tag STRING, n INT)")
+      // metadata-only commit: no data files moved
+      val md = DatasetMetadata.load(spark, base, "ta")
+      md.version shouldBe 2L
+      // normalized like every write: payload alphabetical, int promoted
+      md.schema.fieldNames.toSeq shouldBe Seq("k", "n", "tag", "v")
+      spark.sql(s"SELECT k, tag, n FROM $gk.default.ta")
+        .as[(Long, Option[String], Option[Long])].collect().toSeq shouldBe
+        Seq((1L, None, None))
+      // the evolved column is immediately writable (scan order: k,n,tag,v)
+      spark.sql(s"INSERT INTO $gk.default.ta VALUES (2, 5, 'x', 20.0)")
+      spark.sql(s"SELECT sum(n) FROM $gk.default.ta").as[Long].head() shouldBe 5L
+      // destructive shapes refuse
+      intercept[Exception] {
+        spark.sql(s"ALTER TABLE $gk.default.ta DROP COLUMN tag")
+      }.getMessage should include("additively")
+      intercept[Exception] {
+        spark.sql(s"ALTER TABLE $gk.default.ta RENAME COLUMN tag TO t2")
+      }.getMessage should include("additively")
+      intercept[Exception] {
+        spark.sql(s"ALTER TABLE $gk.default.ta ADD COLUMNS (k STRING)")
+      }.getMessage should include("already exists")
+    }
+  }
+
+  test("SET/UNSET TBLPROPERTIES commit user metadata; graft.* stays reserved") {
+    withCatalog { (gk, base) =>
+      Ktk.store(spark, base, "tp", Seq((1L, 10.0)).toDF("k", "v"))
+      spark.sql(s"ALTER TABLE $gk.default.tp SET TBLPROPERTIES ('owner.team' = 'data', 'tier' = 'gold')")
+      val props = spark.sql(s"SHOW TBLPROPERTIES $gk.default.tp")
+        .as[(String, String)].collect().toMap
+      props("owner.team") shouldBe "data"
+      props("tier") shouldBe "gold"
+      spark.sql(s"ALTER TABLE $gk.default.tp UNSET TBLPROPERTIES ('tier')")
+      spark.sql(s"SHOW TBLPROPERTIES $gk.default.tp")
+        .as[(String, String)].collect().toMap.contains("tier") shouldBe false
+      // property commits are versioned like everything else
+      DatasetMetadata.load(spark, base, "tp").version shouldBe 3L
+      intercept[Exception] {
+        spark.sql(s"ALTER TABLE $gk.default.tp SET TBLPROPERTIES ('graft.sort_by' = 'k')")
+      }.getMessage should include("reserved")
+    }
+  }
+
+  test("INSERT OVERWRITE is a versioned content swap, full-table and per-partition") {
+    withCatalog { (gk, base) =>
+      Ktk.store(spark, base, "to",
+        Seq((1L, "a", 10.0), (2L, "a", 20.0), (3L, "b", 30.0)).toDF("k", "p", "v"),
+        partitionOn = Seq("p")) // v1
+      // static partition overwrite: only p='a' swaps
+      spark.sql(s"INSERT OVERWRITE $gk.default.to PARTITION (p = 'a') VALUES (7, 70.0)")
+      spark.sql(s"SELECT k FROM $gk.default.to ORDER BY k")
+        .as[Long].collect().toSeq shouldBe Seq(3L, 7L)
+      // full overwrite also sheds a pending deletion vector
+      spark.sql(s"DELETE FROM $gk.default.to WHERE k = 3")
+      DatasetMetadata.load(spark, base, "to").deleteFragments should have size 1
+      // connector column order is scan order: payload (k, v) then p
+      spark.sql(s"INSERT OVERWRITE $gk.default.to VALUES (9, 90.0, 'z')")
+      val md = DatasetMetadata.load(spark, base, "to")
+      md.deleteFragments shouldBe empty
+      spark.sql(s"SELECT k, p, v FROM $gk.default.to")
+        .as[(Long, String, Double)].collect().toSeq shouldBe Seq((9L, "z", 90.0))
+      // a swap, not a clobber: pre-overwrite versions stay travelable
+      spark.sql(s"SELECT count(*) FROM $gk.default.to VERSION AS OF 1")
+        .as[Long].head() shouldBe 3L
+      // overwrite scoped to a NON-partition column refuses
+      intercept[Exception] {
+        spark.sql(s"INSERT INTO $gk.default.to REPLACE WHERE k = 9 VALUES (1, 1.0, 'a')")
+      }
+    }
+  }
+
+  test("CTAS is atomic (staged); REPLACE TABLE AS SELECT swaps schema on the same version line") {
+    withCatalog { (gk, base) =>
+      Ktk.store(spark, base, "src_ctas",
+        Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "a", 30.0)).toDF("k", "p", "v"))
+      // CTAS: one commit, table appears fully formed
+      spark.sql(s"""CREATE TABLE $gk.default.agg PARTITIONED BY (p) AS
+                   |SELECT p, sum(v) AS total, count(*) AS cnt
+                   |FROM $gk.default.src_ctas GROUP BY p""".stripMargin)
+      val md = DatasetMetadata.load(spark, base, "agg")
+      md.version shouldBe 1L
+      md.partitionKeys shouldBe Seq("p")
+      spark.sql(s"SELECT p, total FROM $gk.default.agg ORDER BY p")
+        .as[(String, Double)].collect().toSeq shouldBe Seq(("a", 40.0), ("b", 20.0))
+      // a FAILING CTAS leaves no trace (execution happens at the atomic
+      // commit point; assert_true throws mid-job)
+      intercept[Exception] {
+        spark.sql(s"""CREATE TABLE $gk.default.boom AS
+                     |SELECT k, assert_true(v < 15.0) AS chk FROM $gk.default.src_ctas""".stripMargin)
+      }
+      DatasetMetadata.exists(spark, base, "boom") shouldBe false
+      spark.sql(s"SHOW TABLES IN $gk.default").select("tableName")
+        .as[String].collect().toSet should not contain "boom"
+      // RTAS: entirely new schema + partitioning, SAME version line
+      spark.sql(s"""REPLACE TABLE $gk.default.agg AS
+                   |SELECT k, v * 2 AS dbl FROM $gk.default.src_ctas""".stripMargin)
+      val md2 = DatasetMetadata.load(spark, base, "agg")
+      md2.version shouldBe 2L
+      md2.partitionKeys shouldBe Nil
+      spark.sql(s"SELECT k, dbl FROM $gk.default.agg ORDER BY k")
+        .as[(Long, Double)].collect().toSeq shouldBe
+        Seq((1L, 20.0), (2L, 40.0), (3L, 60.0))
+      // the pre-replace snapshot keeps its own schema and content
+      spark.sql(s"SELECT p, total FROM $gk.default.agg VERSION AS OF 1 ORDER BY p")
+        .as[(String, Double)].collect().toSeq shouldBe Seq(("a", 40.0), ("b", 20.0))
+      // CREATE OR REPLACE works for both absent and present targets
+      spark.sql(s"CREATE OR REPLACE TABLE $gk.default.agg AS SELECT 1 AS one")
+      spark.sql(s"SELECT one FROM $gk.default.agg").as[Long].head() shouldBe 1L
+      spark.sql(s"CREATE OR REPLACE TABLE $gk.default.fresh AS SELECT 2 AS two")
+      spark.sql(s"SELECT two FROM $gk.default.fresh").as[Long].head() shouldBe 2L
+    }
+  }
+
   test("unsupported delete shapes fail at analysis, deleting nothing") {
     withCatalog { (gk, base) =>
       Ktk.store(spark, base, "t5", Seq((1L, "ab")).toDF("k", "s"))

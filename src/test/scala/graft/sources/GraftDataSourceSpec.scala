@@ -73,20 +73,19 @@ class GraftDataSourceSpec extends SparkSpec {
     read(base).count() shouldBe 5
     // index maintained by the commit: the new tag prunes through it
     read(base).filter(col("tag") === "w").count() shouldBe 1
-    // overwrite mode refuses loudly (history-clobbering stays explicit):
-    // Spark's capability check rejects it (no TRUNCATE declared) before
-    // our own guard would
-    val e = intercept[Exception] {
-      Seq((9, "z", 1.0, "q")).toDF("p", "l", "target", "tag")
-        .write.format("graft").option("uuid", "ds").mode("overwrite").save(base)
-    }
-    (e.getMessage should (include("truncate") or include("append only")))
+    // overwrite mode is a VERSIONED content swap, not a clobber: one
+    // commit replaces the referenced set, earlier versions stay travelable
+    Seq((9, "z", 1.0, "q")).toDF("p", "l", "target", "tag")
+      .write.format("graft").option("uuid", "ds").mode("overwrite").save(base)
+    read(base).count() shouldBe 1
+    graft.ktk.DatasetMetadata.load(spark, base, "ds").version shouldBe v0 + 2
+    Ktk.readTableAsOf(spark, base, "ds", v0 + 1).count() shouldBe 5
     // schema mismatches are rejected by the commit's validation
     intercept[Exception] {
       Seq((1, 2)).toDF("a", "b")
         .write.format("graft").option("uuid", "ds").mode("append").save(base)
     }
-    read(base).count() shouldBe 5
+    read(base).count() shouldBe 1
   }
 
   test("asOfVersion option time-travels through the SQL surface") {
