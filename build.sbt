@@ -26,5 +26,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  // 48g default on the 128 GiB box: the one-JVM bench/verify suites run
+  // 135 queries back-to-back and a 16g heap lands GC inside the timed
+  // regions (observed ±50% total swing run-to-run); override with
+  // SPARK_DRIVER_MEM where the host is smaller.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
 )

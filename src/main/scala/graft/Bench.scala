@@ -30,9 +30,13 @@ object Bench {
       .filter { case (name, _) => only.isEmpty || only(name) }
       .map { case (name, fn) =>
       // drain garbage from previous queries OUTSIDE the timed region — with
-      // ~90 queries in one JVM, heap pressure otherwise lands collections
+      // ~135 queries in one JVM, heap pressure otherwise lands collections
       // inside every rep of later queries and min-of-n stops converging to
-      // the noise floor (isolated runs measured 4-10x lower than in-suite)
+      // the noise floor (isolated runs measured 4-10x lower than in-suite).
+      // Drop any cached blocks a previous query's fixture left behind too:
+      // leaked persists otherwise shrink the usable heap for every query
+      // after them.
+      spark.catalog.clearCache()
       System.gc()
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()

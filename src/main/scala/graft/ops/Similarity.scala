@@ -373,9 +373,22 @@ object Similarity {
   def buildIvfIndex(corpus: DataFrame, vecCol: String, nlist: Int = 16, seed: Long = 42L): IvfIndex = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
-    val train = corpus.select(array_to_vector(col(vecCol).cast("array<double>")).as("features"))
-    val km = new KMeans().setK(nlist).setSeed(seed).setMaxIter(10).fit(train)
-    IvfIndex(km.clusterCenters.zipWithIndex.map { case (c, i) => (i, c.toArray.toSeq) }.toSeq, nlist)
+    // Every k-means pass (init steps + maxIter Lloyd rounds) is one job
+    // over the training frame; a small training sample spread over many
+    // partitions pays per-task scheduling on each of them. Cache once,
+    // count, coalesce to ~50k vectors/partition — large samples keep
+    // their parallelism untouched (coalesce only shrinks).
+    val train0 = corpus
+      .select(array_to_vector(col(vecCol).cast("array<double>")).as("features"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = train0.count()
+      val cur = train0.rdd.getNumPartitions
+      val want = math.max(1L, math.min(cur.toLong, n / 50000L + 1L)).toInt
+      val train = if (want < cur) train0.coalesce(want) else train0
+      val km = new KMeans().setK(nlist).setSeed(seed).setMaxIter(10).fit(train)
+      IvfIndex(km.clusterCenters.zipWithIndex.map { case (c, i) => (i, c.toArray.toSeq) }.toSeq, nlist)
+    } finally train0.unpersist()
   }
 
   /** Persist the IVF quantizer beside the data as a managed Ktk dataset
