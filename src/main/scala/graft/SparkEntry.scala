@@ -41,6 +41,21 @@ object SparkEntry {
     }
   }
 
+  /** Stage a source file into a streaming-source dir ATOMICALLY (copy to a
+    * temp sibling, then move): a crashed plain copy would leave a partial
+    * parquet that poisons every later run's stream.
+    */
+  private def stageFileOnce(src: java.nio.file.Path, target: java.nio.file.Path): Unit = {
+    if (!java.nio.file.Files.exists(target)) {
+      val tmp = target.resolveSibling(target.getFileName.toString + ".tmp")
+      java.nio.file.Files.copy(src, tmp,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      try java.nio.file.Files.move(tmp, target,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      catch { case _: java.nio.file.FileAlreadyExistsException => () }
+    }
+  }
+
   /** Per-(sfDir) scratch space for queries that exercise the Ktk write path. */
   private def scratch(dir: String): String = {
     val h = Integer.toHexString(dir.hashCode)
@@ -907,8 +922,7 @@ object SparkEntry {
       val stageDir = java.nio.file.Paths.get(scratch(dir), "events_stream")
       java.nio.file.Files.createDirectories(stageDir)
       val target = stageDir.resolve("events.parquet")
-      if (!java.nio.file.Files.exists(target))
-        java.nio.file.Files.copy(java.nio.file.Paths.get(s"$dir/events.parquet"), target)
+      stageFileOnce(java.nio.file.Paths.get(s"$dir/events.parquet"), target)
       val schema = "event_id BIGINT, ts TIMESTAMP_NTZ, user_id BIGINT, event_type STRING, value DOUBLE, props STRING"
       import s.implicits._
       val events = s.readStream.schema(schema).parquet(stageDir.toString)
@@ -970,7 +984,9 @@ object SparkEntry {
       // pipeline would; the measured work is the batch-side pass + the
       // banded probe, not fixture construction
       val sigPath = java.nio.file.Paths.get(scratch(dir), "minhash_incr_sigs.parquet")
-      if (!java.nio.file.Files.exists(sigPath))
+      // gate on the _SUCCESS marker, not the directory: a crashed first
+      // write leaves a partial dir that would poison every later run
+      if (!java.nio.file.Files.exists(sigPath.resolve("_SUCCESS")))
         Dedup.minhashSignatures(history, "doc_id", "text")
           .write.mode("overwrite").parquet(sigPath.toString)
       val sigs = s.read.parquet(sigPath.toString)
@@ -1808,8 +1824,7 @@ object SparkEntry {
       val stageDir = java.nio.file.Paths.get(scratch(dir), "docs_stream")
       java.nio.file.Files.createDirectories(stageDir)
       val target = stageDir.resolve("documents.parquet")
-      if (!java.nio.file.Files.exists(target))
-        java.nio.file.Files.copy(java.nio.file.Paths.get(s"$dir/documents.parquet"), target)
+      stageFileOnce(java.nio.file.Paths.get(s"$dir/documents.parquet"), target)
       val schema = "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
       val stream = s.readStream.schema(schema).parquet(stageDir.toString)
         .filter(length(col("text")) >= 100)
@@ -1832,8 +1847,7 @@ object SparkEntry {
       val stageDir = java.nio.file.Paths.get(scratch(dir), "events_stream")
       java.nio.file.Files.createDirectories(stageDir)
       val target = stageDir.resolve("events.parquet")
-      if (!java.nio.file.Files.exists(target))
-        java.nio.file.Files.copy(java.nio.file.Paths.get(s"$dir/events.parquet"), target)
+      stageFileOnce(java.nio.file.Paths.get(s"$dir/events.parquet"), target)
       val schema = "event_id BIGINT, ts TIMESTAMP_NTZ, user_id BIGINT, event_type STRING, value DOUBLE, props STRING"
       val stream = s.readStream.schema(schema).parquet(stageDir.toString)
         .withColumn("tstamp", col("ts").cast("timestamp"))
@@ -1996,9 +2010,13 @@ object SparkEntry {
       s.conf.set("spark.sql.catalog.graft_cat", "graft.sources.GraftCatalog")
       s.conf.set("spark.sql.catalog.graft_cat.base", base)
       if (!graft.ktk.DatasetMetadata.exists(s, base, "li_agg")) {
-        Ktk.store(s, base, "li_ctas_src",
-          t(s, dir, "lineitem").select(
-            "l_orderkey", "l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"))
+        // source fixture guarded separately: a first run that dies between
+        // the two stores must not leave the query permanently failing on
+        // "already exists"
+        if (!graft.ktk.DatasetMetadata.exists(s, base, "li_ctas_src"))
+          Ktk.store(s, base, "li_ctas_src",
+            t(s, dir, "lineitem").select(
+              "l_orderkey", "l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"))
         s.sql("""CREATE TABLE graft_cat.default.li_agg PARTITIONED BY (l_returnflag) AS
                 |SELECT l_returnflag, l_linestatus,
                 |  count(*) AS cnt, sum(l_quantity) AS sum_qty

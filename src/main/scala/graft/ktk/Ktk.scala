@@ -2072,6 +2072,11 @@ object Ktk {
       newFields: Seq[StructField]): DatasetMetadata = {
     require(newFields.nonEmpty, "addColumns requires at least one column")
     val md = DatasetMetadata.load(spark, base, uuid)
+    // duplicates WITHIN the call would commit a schema no reader accepts
+    val dupes = newFields.groupBy(_.name.toLowerCase).collect {
+      case (_, fs) if fs.size > 1 => fs.head.name
+    }
+    require(dupes.isEmpty, s"duplicate new column name(s): ${dupes.mkString(", ")}")
     newFields.foreach { f =>
       require(!md.schema.fieldNames.exists(_.equalsIgnoreCase(f.name)),
         s"column '${f.name}' already exists")
@@ -2136,7 +2141,8 @@ object Ktk {
       extraMetadata: Map[String, String] = Map.empty,
       appendSidecars: Boolean = false,
       evolveSchema: Boolean = false,
-      replaceAll: Boolean = false): DatasetMetadata = {
+      replaceAll: Boolean = false,
+      requireAppendsInScope: Boolean = false): DatasetMetadata = {
 
     val md = migrateInlineZones(spark, base, DatasetMetadata.load(spark, base, uuid))
     val tableDir = md.tableDir(base)
@@ -2202,6 +2208,19 @@ object Ktk {
     val newLabels = newFiles.map(_._1).toSet
     if (newLabels.exists(_.contains("__HIVE_DEFAULT_PARTITION__")))
       throw new IllegalArgumentException("null values in partition columns are not allowed")
+    // REPLACE WHERE contract: every appended row must fall INSIDE the
+    // partitions being replaced, or out-of-scope rows would silently
+    // duplicate surviving files' content. O(newLabels) label parsing —
+    // the check fails BEFORE the metadata commit, so nothing publishes
+    // (the orphan files are unreferenced; gc reclaims them).
+    if (requireAppendsInScope && !deleteScope.isEmpty) {
+      val outOfScope = newLabels.filterNot(l => deleteScope.matchesValues(md.partitionValues(l)))
+      if (outOfScope.nonEmpty)
+        throw new IllegalArgumentException(
+          s"overwrite scope violation: ${outOfScope.size} appended file(s) land outside " +
+            s"the replaced partitions (e.g. ${md.partitionValues(outOfScope.head)}); " +
+            "the source rows must all match the REPLACE WHERE / PARTITION clause")
+    }
 
     val finalPartitions: Map[String, Long] =
       referenced.filterNot(deleted.contains).map(l => l -> md.sizeOf(l)).toMap ++ newFiles

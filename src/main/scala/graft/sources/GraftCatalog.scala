@@ -121,20 +121,8 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog with StagingTableC
     val uuid = uuidOf(ident)
     if (DatasetMetadata.exists(spark, base, uuid))
       throw new TableAlreadyExistsException(ident)
-    val partitionOn = partitions.toSeq.map { t =>
-      if (t.name == "identity" && t.references.length == 1)
-        t.references.head.fieldNames.mkString(".")
-      else throw new UnsupportedOperationException(
-        s"graft tables support identity partitioning only, got $t")
-    }
-    // user table properties ride in commit metadata (versioned for free);
-    // Spark-reserved props (provider/owner/location) are not ours to keep
-    val userProps = properties.asScala.toMap
-      .filter { case (k, _) => !k.startsWith("spark.") && k != TableCatalog.PROP_PROVIDER &&
-        k != TableCatalog.PROP_OWNER && k != TableCatalog.PROP_LOCATION &&
-        k != TableCatalog.PROP_EXTERNAL && k != TableCatalog.PROP_COMMENT }
-    val md = Ktk.createEmpty(spark, base, uuid, schema, partitionOn,
-      userMetadata = userProps)
+    val md = Ktk.createEmpty(spark, base, uuid, schema, identityKeys(partitions),
+      userMetadata = userProps(properties))
     new GraftTable(base, md)
   }
 
@@ -167,6 +155,11 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog with StagingTableC
           s"nested column additions are not supported: ${a.fieldNames.mkString(".")}")
         require(a.position() == null,
           "FIRST/AFTER column positions are not supported; new columns append")
+        // refuse rather than silently drop the contract: existing files
+        // can only ever read an added column as NULL
+        require(a.isNullable,
+          s"ADD COLUMNS ${a.fieldNames.head} NOT NULL is unsatisfiable — " +
+            "existing rows read added columns as null; declare it nullable")
         StructField(a.fieldNames.head, a.dataType, nullable = true)
       }
       Ktk.addColumns(spark, base, uuid, fields)
@@ -213,11 +206,23 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog with StagingTableC
         s"graft tables support identity partitioning only, got $t")
     }
 
-  private def userProps(properties: JMap[String, String]): Map[String, String] =
-    properties.asScala.toMap
+  /** User table properties for CREATE/CTAS/RTAS: Spark-reserved keys
+    * (provider/owner/location/...) are not ours to keep, and the `graft.`
+    * engine namespace refuses — a TBLPROPERTIES-injected
+    * `graft.constraint.*` (or sort/seq/rollback marker) would land as
+    * live engine state that SQL can neither see nor remove.
+    */
+  private def userProps(properties: JMap[String, String]): Map[String, String] = {
+    val props = properties.asScala.toMap
       .filter { case (k, _) => !k.startsWith("spark.") && k != TableCatalog.PROP_PROVIDER &&
         k != TableCatalog.PROP_OWNER && k != TableCatalog.PROP_LOCATION &&
         k != TableCatalog.PROP_EXTERNAL && k != TableCatalog.PROP_COMMENT }
+    props.keys.find(_.startsWith("graft.")).foreach { k =>
+      throw new IllegalArgumentException(
+        s"table property '$k' is in the reserved engine namespace 'graft.'")
+    }
+    props
+  }
 
   override def stageCreate(
       ident: Identifier, schema: StructType, partitions: Array[Transform],

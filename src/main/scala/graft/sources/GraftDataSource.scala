@@ -187,7 +187,7 @@ final class GraftTable(base: String, md: DatasetMetadata)
                   replaceAll = true)
               case Some(scope) =>
                 Ktk.update(SparkSession.active, base, md.uuid, Some(data),
-                  deleteScope = scope)
+                  deleteScope = scope, requireAppendsInScope = true)
             }
             ()
           }

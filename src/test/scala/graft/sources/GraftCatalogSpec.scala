@@ -248,6 +248,39 @@ class GraftCatalogSpec extends SparkSpec {
       intercept[Exception] {
         spark.sql(s"INSERT INTO $gk.default.to REPLACE WHERE k = 9 VALUES (1, 1.0, 'a')")
       }
+      // REPLACE WHERE with out-of-scope source rows refuses BEFORE the
+      // commit (the appended row lands in p='y', scope is p='z')
+      val before = spark.sql(s"SELECT k FROM $gk.default.to").as[Long].collect().toSet
+      intercept[Exception] {
+        spark.sql(s"INSERT INTO $gk.default.to REPLACE WHERE p = 'z' VALUES (8, 80.0, 'y')")
+      }.getMessage should include("scope violation")
+      spark.sql(s"SELECT k FROM $gk.default.to").as[Long].collect().toSet shouldBe before
+    }
+  }
+
+  test("DDL refusals: NOT NULL adds, duplicate adds, graft.* properties at create") {
+    withCatalog { (gk, base) =>
+      Ktk.store(spark, base, "tr", Seq((1L, 10.0)).toDF("k", "v"))
+      intercept[Exception] {
+        spark.sql(s"ALTER TABLE $gk.default.tr ADD COLUMNS (c INT NOT NULL)")
+      }.getMessage should include("unsatisfiable")
+      intercept[Exception] {
+        Ktk.addColumns(spark, base, "tr", Seq(
+          org.apache.spark.sql.types.StructField("n", org.apache.spark.sql.types.IntegerType),
+          org.apache.spark.sql.types.StructField("N", org.apache.spark.sql.types.StringType)))
+      }.getMessage should include("duplicate")
+      // a graft.* TBLPROPERTIES injection at CREATE/CTAS would land live
+      // engine state SQL can neither see nor remove
+      intercept[Exception] {
+        spark.sql(s"CREATE TABLE $gk.default.evil (k BIGINT) " +
+          "TBLPROPERTIES ('graft.constraint.no' = 'false')")
+      }.getMessage should include("reserved")
+      DatasetMetadata.exists(spark, base, "evil") shouldBe false
+      intercept[Exception] {
+        spark.sql(s"CREATE TABLE $gk.default.evil2 " +
+          s"TBLPROPERTIES ('graft.sort_by' = 'k') AS SELECT 1 AS one")
+      }.getMessage should include("reserved")
+      DatasetMetadata.exists(spark, base, "evil2") shouldBe false
     }
   }
 
