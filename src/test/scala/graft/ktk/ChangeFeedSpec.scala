@@ -151,6 +151,21 @@ class ChangeFeedSpec extends SparkSpec {
     got shouldBe Seq((1L, 11.0), (2L, 20.0), (4L, 40.0), (7L, 70.0))
   }
 
+  test("an INSERT OVERWRITE (replaceAll) commit reports the full swap") {
+    val base = tmpDir("cdf")
+    Ktk.store(spark, base, "ds", kv, partitionOn = Seq("p")) // v1
+    // tombstone k=2 first: the swap must report only LIVE rows as deletes
+    Ktk.deleteRows(spark, base, "ds",
+      predicates = Predicates.of(Seq(("k", "==", 2)))) // v2
+    Ktk.update(spark, base, "ds",
+      Some(Seq((9L, "z", 90.0)).toDF("k", "p", "v")), replaceAll = true) // v3
+    changes(base, 2) shouldBe Seq(
+      (1L, "delete", 3L), (3L, "delete", 3L), (4L, "delete", 3L),
+      (9L, "insert", 3L))
+    // downstream: a CDC mirror applying the feed converges on the swap
+    Ktk.readTable(spark, base, "ds").select("k").as[Long].collect().toSeq shouldBe Seq(9L)
+  }
+
   test("corrupt checkpoint fails with a descriptive, recoverable error") {
     val base = tmpDir("cdf")
     val ckpt = s"${tmpDir("cdf-ckpt")}/consumer.v"
