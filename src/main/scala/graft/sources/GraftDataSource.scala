@@ -6,6 +6,7 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.expressions.aggregate.Aggregation
@@ -72,7 +73,8 @@ class GraftDataSource extends TableProvider with DataSourceRegister {
 
 final class GraftTable(base: String, md: DatasetMetadata)
     extends Table with SupportsRead with SupportsWrite
-    with org.apache.spark.sql.connector.catalog.SupportsDelete {
+    with org.apache.spark.sql.connector.catalog.SupportsDelete
+    with org.apache.spark.sql.connector.catalog.SupportsPartitionManagement {
   private[graft] def basePath: String = base
   private[graft] def datasetMetadata: DatasetMetadata = md
   override def name(): String = s"graft.${md.uuid}"
@@ -105,6 +107,72 @@ final class GraftTable(base: String, md: DatasetMetadata)
       ()
     }
   }
+  // ------------------------------------------- SQL partition management
+  //
+  // SHOW PARTITIONS / ALTER TABLE DROP PARTITION: both are O(metadata) —
+  // the listing parses the label paths already in the commit blob, and a
+  // drop is ONE deleteScope commit (files leave the referenced set, time
+  // travel intact, gc reclaims later — the same mechanics as INSERT
+  // OVERWRITE PARTITION). Partitions are CREATED by writes in this
+  // engine, so ADD/RENAME PARTITION refuse.
+
+  override def partitionSchema(): StructType =
+    StructType(md.partitionKeys.map(k => md.schema(md.schema.fieldIndex(k))))
+
+  /** Distinct live partition tuples, typed per [[partitionSchema]];
+    * `names`/`ident` restrict to a prefix match (Spark's partial-spec
+    * SHOW PARTITIONS shape).
+    */
+  override def listPartitionIdentifiers(
+      names: Array[String], ident: InternalRow): Array[InternalRow] = {
+    require(names.length == ident.numFields, "names and ident must align")
+    val schema = partitionSchema()
+    val keyIdx = names.map(n => schema.fieldIndex(n))
+    val tuples = md.partitions.keySet.toSeq
+      .map(l => md.partitionValues(l))
+      .map(vals => md.partitionKeys.map(vals(_)))
+      .distinct.sorted(Ordering.Implicits.seqOrdering[Seq, String])
+    val typed = tuples.map(t => InternalRow.fromSeq(
+      t.zipWithIndex.map { case (s, i) => GraftTable.typedPartitionValue(s, schema(i).dataType) }))
+    typed.filter { row =>
+      keyIdx.indices.forall { j =>
+        val i = keyIdx(j)
+        val a = row.get(i, schema(i).dataType)
+        val b = ident.get(j, schema(i).dataType)
+        a == b
+      }
+    }.toArray
+  }
+
+  /** `ALTER TABLE ... DROP PARTITION (p = 'x')` → one deleteScope commit;
+    * false when the partition has no live files (Spark reports
+    * NoSuchPartition).
+    */
+  override def dropPartition(ident: InternalRow): Boolean = {
+    val schema = partitionSchema()
+    val lits = md.partitionKeys.zipWithIndex.map { case (k, i) =>
+      PredLiteral(k, PredOp.Eq,
+        GraftTable.partitionValueForMatch(ident.get(i, schema(i).dataType), schema(i).dataType))
+    }
+    val scope = Predicates(Seq(lits))
+    val spark = SparkSession.active
+    val cur = DatasetMetadata.load(spark, base, md.uuid)
+    if (!cur.partitions.keySet.exists(l => scope.matchesValues(cur.partitionValues(l)))) false
+    else { Ktk.update(spark, base, md.uuid, None, deleteScope = scope); true }
+  }
+
+  override def createPartition(
+      ident: InternalRow, properties: JMap[String, String]): Unit =
+    throw new UnsupportedOperationException(
+      "partitions are created by writes (INSERT/update); ADD PARTITION has no meaning here")
+
+  override def replacePartitionMetadata(
+      ident: InternalRow, properties: JMap[String, String]): Unit =
+    throw new UnsupportedOperationException("partition metadata is not supported")
+
+  override def loadPartitionMetadata(ident: InternalRow): JMap[String, String] =
+    java.util.Collections.emptyMap()
+
   // Present columns in SCAN order — payload (metadata order) then
   // partition keys — so the relation's output matches the parquet scan's
   // readSchema exactly and the analyzer never inserts a reordering
@@ -196,6 +264,37 @@ final class GraftTable(base: String, md: DatasetMetadata)
 }
 
 object GraftTable {
+  import org.apache.spark.sql.types._
+
+  /** Label-path partition string → the typed value an InternalRow carries
+    * for `dt` (SHOW PARTITIONS output). Mirrors [[partitionValueForMatch]].
+    */
+  private[sources] def typedPartitionValue(s: String, dt: DataType): Any = dt match {
+    case StringType  => org.apache.spark.unsafe.types.UTF8String.fromString(s)
+    case LongType    => s.toLong
+    case IntegerType => s.toInt
+    case ShortType   => s.toShort
+    case ByteType    => s.toByte
+    case DoubleType  => s.toDouble
+    case FloatType   => s.toFloat
+    case BooleanType => s.toBoolean
+    case DateType =>
+      org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaDate(java.sql.Date.valueOf(s))
+    case other => throw new UnsupportedOperationException(
+      s"partition management over $other partition keys is not supported")
+  }
+
+  /** InternalRow-typed partition value → the JVM value the engine's
+    * predicate comparator coerces against label-path strings (dates go
+    * back to their ISO string — numeric coercion would mis-compare them).
+    */
+  private[sources] def partitionValueForMatch(v: Any, dt: DataType): Any = (v, dt) match {
+    case (u: org.apache.spark.unsafe.types.UTF8String, StringType) => u.toString
+    case (days: Integer, DateType) =>
+      org.apache.spark.sql.catalyst.util.DateTimeUtils.toJavaDate(days).toString
+    case (x, _) => x
+  }
+
   /** Connector-surface column order: payload fields (metadata order),
     * then partition keys — the exact order the delegated parquet scan
     * produces (`readDataSchema ++ readPartitionSchema`).

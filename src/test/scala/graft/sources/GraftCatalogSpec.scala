@@ -326,6 +326,41 @@ class GraftCatalogSpec extends SparkSpec {
     }
   }
 
+  test("SHOW PARTITIONS and ALTER TABLE DROP PARTITION") {
+    withCatalog { (gk, base) =>
+      Ktk.store(spark, base, "pm", Seq(
+        (1L, "a", 10L), (2L, "a", 20L), (3L, "b", 10L), (4L, "c", 30L)
+      ).toDF("k", "p", "n"), partitionOn = Seq("p"))
+      spark.sql(s"SHOW PARTITIONS $gk.default.pm")
+        .as[String].collect().sorted.toSeq shouldBe Seq("p=a", "p=b", "p=c")
+      spark.sql(s"SHOW PARTITIONS $gk.default.pm PARTITION (p = 'b')")
+        .as[String].collect().toSeq shouldBe Seq("p=b")
+      val files0 = DatasetMetadata.load(spark, base, "pm").partitions.keySet
+      spark.sql(s"ALTER TABLE $gk.default.pm DROP PARTITION (p = 'a')")
+      spark.sql(s"SELECT k FROM $gk.default.pm ORDER BY k")
+        .as[Long].collect().toSeq shouldBe Seq(3L, 4L)
+      // a metadata-only commit: nothing rewritten, history travelable
+      val md1 = DatasetMetadata.load(spark, base, "pm")
+      md1.partitions.keySet.subsetOf(files0) shouldBe true
+      Ktk.readTableAsOf(spark, base, "pm", 1L).count() shouldBe 4
+      // absent partition → Spark's NoSuchPartition analysis error
+      intercept[Exception] {
+        spark.sql(s"ALTER TABLE $gk.default.pm DROP PARTITION (p = 'zzz')")
+      }
+      // IF EXISTS tolerates it
+      spark.sql(s"ALTER TABLE $gk.default.pm DROP IF EXISTS PARTITION (p = 'zzz')")
+      // partitions are write-created: ADD PARTITION refuses
+      intercept[Exception] {
+        spark.sql(s"ALTER TABLE $gk.default.pm ADD PARTITION (p = 'new')")
+      }
+      // multi-key listing stays typed (long partition key)
+      Ktk.store(spark, base, "pm2", Seq((1L, 7L, "x")).toDF("k", "b", "s"),
+        partitionOn = Seq("b"))
+      spark.sql(s"SHOW PARTITIONS $gk.default.pm2")
+        .as[String].collect().toSeq shouldBe Seq("b=7")
+    }
+  }
+
   test("unsupported delete shapes fail at analysis, deleting nothing") {
     withCatalog { (gk, base) =>
       Ktk.store(spark, base, "t5", Seq((1L, "ab")).toDF("k", "s"))
