@@ -2037,6 +2037,27 @@ object SparkEntry {
               |FROM graft_cat.default.li_agg ORDER BY 1""".stripMargin)
     }),
 
+    "q_sql_partitions" -> ((s, dir) => {
+      // partition-level SQL DDL: SHOW PARTITIONS parses the commit blob's
+      // label paths (O(metadata), no filesystem walk) and DROP PARTITION
+      // is one deleteScope commit with zero rewrites — pinned in-query.
+      val base = scratch(dir)
+      s.conf.set("spark.sql.catalog.graft_cat", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft_cat.base", base)
+      if (!graft.ktk.DatasetMetadata.exists(s, base, "orders_parts")) {
+        Ktk.store(s, base, "orders_parts",
+          t(s, dir, "orders").select("o_orderkey", "o_orderstatus", "o_totalprice"),
+          partitionOn = Seq("o_orderstatus"))
+        val files0 = graft.ktk.DatasetMetadata.load(s, base, "orders_parts").partitions.keySet
+        s.sql("ALTER TABLE graft_cat.default.orders_parts DROP PARTITION (o_orderstatus = 'P')")
+        val md1 = graft.ktk.DatasetMetadata.load(s, base, "orders_parts")
+        require(md1.partitions.keySet.subsetOf(files0),
+          "DROP PARTITION must be metadata-only (no rewrites)")
+      }
+      s.sql("SHOW PARTITIONS graft_cat.default.orders_parts")
+        .orderBy("partition")
+    }),
+
     "q_pipeline_curation" -> ((s, dir) => {
       // the budgeted-curation pipeline over this round's ops: doc-frequency
       // paragraph scrub -> keep-best exact dedup (longest copy wins) ->
@@ -2257,6 +2278,12 @@ object SparkEntry {
       """SELECT l_returnflag, count(*) AS n,
         |  round(avg(l_extendedprice), 2) AS avg_price
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_sql_partitions" ->
+      """SELECT 'o_orderstatus=' || o_orderstatus AS "partition"
+        |FROM (SELECT DISTINCT o_orderstatus FROM orders
+        |      WHERE o_orderstatus <> 'P')
+        |ORDER BY 1""".stripMargin,
 
     "q_ktk_update_rows" ->
       """SELECT o_orderkey, o_orderstatus,
