@@ -1924,33 +1924,41 @@ object SparkEntry {
       val base = scratch(dir)
       s.conf.set("spark.sql.catalog.graft_cat", "graft.sources.GraftCatalog")
       s.conf.set("spark.sql.catalog.graft_cat.base", base)
-      if (!graft.ktk.DatasetMetadata.exists(s, base, "orders_dml")) {
-        Ktk.store(s, base, "orders_dml",
+      if (!graft.ktk.DatasetMetadata.exists(s, base, "orders_dml2")) {
+        Ktk.store(s, base, "orders_dml2",
           t(s, dir, "orders").select("o_orderkey", "o_orderstatus", "o_totalprice"),
           partitionOn = Seq("o_orderstatus"))
-        val files0 = graft.ktk.DatasetMetadata.load(s, base, "orders_dml").partitions.keySet
-        s.sql("UPDATE graft_cat.default.orders_dml SET o_totalprice = o_totalprice + 500.0 " +
+        val files0 = graft.ktk.DatasetMetadata.load(s, base, "orders_dml2").partitions.keySet
+        s.sql("UPDATE graft_cat.default.orders_dml2 SET o_totalprice = o_totalprice + 500.0 " +
           "WHERE o_totalprice > 300000.0")
         t(s, dir, "orders").filter(col("o_orderkey") % 13 === 0)
           .select(col("o_orderkey"), col("o_orderstatus"),
             (col("o_totalprice") + lit(100.0)).as("o_totalprice"))
           .createOrReplaceTempView("dml_src")
-        s.sql("""MERGE INTO graft_cat.default.orders_dml AS t USING dml_src AS s
+        s.sql("""MERGE INTO graft_cat.default.orders_dml2 AS t USING dml_src AS s
                 |ON t.o_orderkey = s.o_orderkey
                 |WHEN MATCHED THEN UPDATE SET *
                 |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
         t(s, dir, "orders").filter(col("o_orderkey") % 17 === 0)
           .select("o_orderkey").createOrReplaceTempView("dml_del")
-        s.sql("""MERGE INTO graft_cat.default.orders_dml AS t USING dml_del AS s
+        s.sql("""MERGE INTO graft_cat.default.orders_dml2 AS t USING dml_del AS s
                 |ON t.o_orderkey = s.o_orderkey
                 |WHEN MATCHED THEN DELETE""".stripMargin)
-        val md1 = graft.ktk.DatasetMetadata.load(s, base, "orders_dml")
+        // partial-column, target-referencing UPDATE: unassigned columns
+        // keep the target's value; the SET mixes both sides' attributes
+        t(s, dir, "orders").filter(col("o_orderkey") % 19 === 0)
+          .select(col("o_orderkey"), lit(2.0).as("factor"))
+          .createOrReplaceTempView("dml_part")
+        s.sql("""MERGE INTO graft_cat.default.orders_dml2 AS t USING dml_part AS s
+                |ON t.o_orderkey = s.o_orderkey
+                |WHEN MATCHED THEN UPDATE SET o_totalprice = t.o_totalprice * s.factor""".stripMargin)
+        val md1 = graft.ktk.DatasetMetadata.load(s, base, "orders_dml2")
         require(files0.subsetOf(md1.partitions.keySet),
           "SQL DML must never rewrite original files (merge-on-read)")
       }
       s.sql("""SELECT o_orderstatus, count(*) AS cnt,
               |  round(sum(o_totalprice), 2) AS total
-              |FROM graft_cat.default.orders_dml GROUP BY 1 ORDER BY 1""".stripMargin)
+              |FROM graft_cat.default.orders_dml2 GROUP BY 1 ORDER BY 1""".stripMargin)
     }),
 
     "q_sql_ddl" -> ((s, dir) => {
@@ -2257,9 +2265,14 @@ object SparkEntry {
         |  FROM updated u JOIN orders o ON u.o_orderkey = o.o_orderkey
         |), after_delete AS (
         |  SELECT * FROM merged WHERE o_orderkey % 17 <> 0
+        |), after_part AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CASE WHEN o_orderkey % 19 = 0 THEN o_totalprice * 2.0
+        |         ELSE o_totalprice END AS o_totalprice
+        |  FROM after_delete
         |)
         |SELECT o_orderstatus, count(*) AS cnt, round(sum(o_totalprice), 2) AS total
-        |FROM after_delete GROUP BY 1 ORDER BY 1""".stripMargin,
+        |FROM after_part GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_sql_ddl" ->
       """WITH final AS (

@@ -23,12 +23,15 @@ import graft.ktk.Ktk
   *  - `UPDATE t SET c = expr, ... [WHERE cond]` → [[Ktk.updateRows]]
   *    (arbitrary conditions and old-value-referencing SET expressions).
   *  - `MERGE INTO t USING s ON t.k = s.k ...` → [[Ktk.merge]] /
-  *    [[Ktk.mergeCdc]] for the canonical CDC shapes:
-  *    `WHEN MATCHED THEN UPDATE SET *` (optionally
-  *    `WHEN NOT MATCHED THEN INSERT *`) and
-  *    `WHEN MATCHED THEN DELETE`. Conditioned actions, partial-column
-  *    updates and not-matched-by-source clauses fail with a clear error —
-  *    refusing beats silently wrong merge semantics.
+  *    [[Ktk.mergeCdc]]: `WHEN MATCHED THEN UPDATE SET *` (optionally
+  *    `WHEN NOT MATCHED THEN INSERT *`), `WHEN MATCHED THEN DELETE`, and
+  *    PARTIAL-COLUMN / target-referencing updates
+  *    (`UPDATE SET t.v = t.v + s.delta`) — the latter build full
+  *    replacement images by joining live target rows with the source on
+  *    the merge keys (the same read Spark's row-level MERGE does) while
+  *    the write stays merge-on-read. Conditioned actions and
+  *    not-matched-by-source clauses fail with a clear error — refusing
+  *    beats silently wrong merge semantics.
   *
   * The rule fires only on fully-resolved plans over [[GraftTable]]
   * relations; everything else is untouched.
@@ -80,29 +83,63 @@ case class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
       // the source as a DataFrame projected to TARGET column names: the
       // resolved actions' assignment values (expressions over SOURCE
       // attributes only) define the projection
+      def assignmentName(a: Assignment): String = a.key match {
+        case attr: Attribute => attr.name
+        case other => throw new UnsupportedOperationException(
+          s"graft MERGE supports top-level column assignments only, got $other")
+      }
       def projectSource(assigns: Seq[Assignment]): DataFrame = {
         val byName = assigns.map { a =>
-          val name = a.key match {
-            case attr: Attribute => attr.name
-            case other => throw new UnsupportedOperationException(
-              s"graft MERGE supports top-level column assignments only, got $other")
-          }
+          val name = assignmentName(a)
           a.value.references.foreach { r =>
             if (!sourceAttrs.contains(r))
               throw new UnsupportedOperationException(
-                s"graft MERGE assignment for '$name' references target column " +
-                  s"'${r.name}' — only full-row replacement (UPDATE SET * / " +
-                  "INSERT *) shapes are supported")
+                s"graft MERGE INSERT assignment for '$name' references target " +
+                  s"column '${r.name}' — inserted rows have no target image")
           }
           name -> toColumn(a.value)
         }.toMap
         val missing = targetCols.filterNot(byName.contains)
         if (missing.nonEmpty)
           throw new UnsupportedOperationException(
-            s"graft MERGE requires every target column assigned (SET * / " +
-              s"INSERT * shapes); missing: ${missing.mkString(", ")}")
+            s"graft MERGE requires every target column assigned in INSERT " +
+              s"(INSERT * shape); missing: ${missing.mkString(", ")}")
         GraftBridge.ofRows(session, source)
           .select(targetCols.map(c => byName(c).as(c)): _*)
+      }
+      // full-source-row SET *: every target column assigned from SOURCE
+      // attrs only — lowers WITHOUT reading the target (the fast path)
+      def isFullSourceRow(assigns: Seq[Assignment]): Boolean =
+        targetCols.forall(assigns.map(assignmentName).contains) &&
+          assigns.forall(_.value.references.forall(sourceAttrs.contains))
+      // Partial-column / target-referencing UPDATE SET: build the matched
+      // rows' FULL replacement images by joining live target rows with the
+      // source on the merge keys — assigned columns evaluate their
+      // expressions (which may mix target and source attrs), unassigned
+      // columns keep the target's value. Source columns are renamed
+      // `__s_<name>` before the join so same-named columns never collide;
+      // attribute refs rebind by SIDE (they are resolved, so membership in
+      // sourceAttrs/targetAttrs is exact). One inner join per MERGE —
+      // exactly the read Spark's own row-level MERGE would do, but the
+      // write stays merge-on-read.
+      def joinedUpdateRows(assigns: Seq[Assignment]): DataFrame = {
+        require(!targetCols.exists(_.startsWith("__s_")),
+          "target columns may not start with the reserved prefix __s_")
+        val assignBy: Map[String, Column] = assigns.map { a =>
+          assignmentName(a) -> GraftBridge.column(a.value.transform {
+            case r: AttributeReference if sourceAttrs.contains(r) =>
+              UnresolvedAttribute.quoted(s"__s_${r.name}")
+            case r: AttributeReference => UnresolvedAttribute.quoted(r.name)
+          })
+        }.toMap
+        val src = GraftBridge.ofRows(session, source)
+        val srcRenamed = src.select(src.columns.toSeq.map(c =>
+          col(s"`$c`").as(s"__s_$c")): _*)
+        val tgt = Ktk.readTable(session, t.basePath, t.datasetMetadata.uuid)
+        val joinCond = keys.map { case (tk, sk) =>
+          col(s"`${tk.name}`") === col(s"`__s_${sk.name}`") }.reduce(_ && _)
+        tgt.join(srcRenamed, joinCond, "inner")
+          .select(targetCols.map(c => assignBy.getOrElse(c, col(s"`$c`")).as(c)): _*)
       }
       def sourceKeyed: DataFrame =
         GraftBridge.ofRows(session, source)
@@ -116,7 +153,8 @@ case class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
           s"graft MERGE does not support conditioned actions, got $other")
       }
       (matched.map(unconditioned), notMatched.map(unconditioned)) match {
-        case (Seq(UpdateAction(None, up, _)), Seq(InsertAction(None, ins))) =>
+        case (Seq(UpdateAction(None, up, _)), Seq(InsertAction(None, ins)))
+            if isFullSourceRow(up) =>
           // classic upsert; both projections must agree (SET * + INSERT *)
           GraftMergeCommand(t.basePath, t.datasetMetadata.uuid,
             () => {
@@ -125,10 +163,29 @@ case class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
                 "graft MERGE requires UPDATE SET * and INSERT * to project the same row")
               a
             }, keys.map(_._1.name), mode = "upsert")
-        case (Seq(UpdateAction(None, up, _)), Seq()) =>
+        case (Seq(UpdateAction(None, up, _)), Seq(InsertAction(None, ins))) =>
+          // partial-column UPDATE + INSERT *: matched rows get joined
+          // replacement images; inserts are the source rows whose keys are
+          // ABSENT from the target (the joined images already cover the
+          // matched ones — unioning the full insert projection would
+          // double-apply them)
+          GraftMergeCommand(t.basePath, t.datasetMetadata.uuid,
+            () => {
+              val keyNames = keys.map(_._1.name)
+              val existing = Ktk.readTable(session, t.basePath,
+                t.datasetMetadata.uuid, columns = keyNames).distinct()
+              joinedUpdateRows(up).unionByName(
+                projectSource(ins).join(existing, keyNames, "left_anti"))
+            }, keys.map(_._1.name), mode = "upsert")
+        case (Seq(UpdateAction(None, up, _)), Seq()) if isFullSourceRow(up) =>
           // update-only: restrict the source to keys that already match
           GraftMergeCommand(t.basePath, t.datasetMetadata.uuid,
             () => projectSource(up), keys.map(_._1.name), mode = "update-only")
+        case (Seq(UpdateAction(None, up, _)), Seq()) =>
+          // partial-column / target-referencing update-only: the joined
+          // images exist in the target by construction — plain upsert
+          GraftMergeCommand(t.basePath, t.datasetMetadata.uuid,
+            () => joinedUpdateRows(up), keys.map(_._1.name), mode = "upsert")
         case (Seq(), Seq(InsertAction(None, ins))) =>
           // insert-only: append source rows whose keys are absent
           GraftMergeCommand(t.basePath, t.datasetMetadata.uuid,

@@ -116,6 +116,39 @@ class GraftDmlSpec extends SparkSpec {
     }
   }
 
+  test("MERGE partial-column UPDATE keeps unassigned columns from the target") {
+    withCatalog { (gk, base) =>
+      seed(base)
+      val files0 = DatasetMetadata.load(spark, base, "t").partitions.keySet
+      Seq((2L, 5.0), (4L, 6.0), (9L, 99.0)).toDF("k", "delta")
+        .createOrReplaceTempView("src_part")
+      // target-referencing value + partial columns: p keeps its value
+      spark.sql(
+        s"""MERGE INTO $gk.default.t AS t USING src_part AS s ON t.k = s.k
+           |WHEN MATCHED THEN UPDATE SET v = t.v + s.delta""".stripMargin)
+      content(base) shouldBe Seq(
+        (1L, "a", 10.0), (2L, "a", 25.0), (3L, "b", 30.0), (4L, "b", 46.0))
+      // merge-on-read still: no original file rewritten
+      files0.subsetOf(DatasetMetadata.load(spark, base, "t").partitions.keySet) shouldBe true
+    }
+  }
+
+  test("MERGE partial UPDATE + INSERT * inserts only unmatched keys") {
+    withCatalog { (gk, base) =>
+      seed(base)
+      Seq((4L, "z", 4.5), (8L, "z", 80.0)).toDF("k", "p", "v")
+        .createOrReplaceTempView("src_pi")
+      // matched k=4: only v updates (p stays 'b'); unmatched k=8 inserts whole
+      spark.sql(
+        s"""MERGE INTO $gk.default.t AS t USING src_pi AS s ON t.k = s.k
+           |WHEN MATCHED THEN UPDATE SET v = s.v
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      content(base) shouldBe Seq(
+        (1L, "a", 10.0), (2L, "a", 20.0), (3L, "b", 30.0), (4L, "b", 4.5),
+        (8L, "z", 80.0))
+    }
+  }
+
   test("unsupported MERGE shapes fail loudly, changing nothing") {
     withCatalog { (gk, base) =>
       seed(base)
@@ -127,13 +160,14 @@ class GraftDmlSpec extends SparkSpec {
              |WHEN MATCHED AND s.v > 0 THEN DELETE""".stripMargin)
       }
       e1.getMessage should include("conditioned")
-      // partial-column update
+      // INSERT referencing target columns is meaningless
       val e2 = intercept[Exception] {
         spark.sql(
           s"""MERGE INTO $gk.default.t AS t USING src_bad AS s ON t.k = s.k
-             |WHEN MATCHED THEN UPDATE SET v = s.v""".stripMargin)
+             |WHEN NOT MATCHED THEN INSERT (k, p, v) VALUES (s.k, s.p, t.v)""".stripMargin)
       }
-      e2.getMessage should (include("every target column") or include("references target"))
+      e2.getMessage should (include("references target") or include("cannot be resolved") or
+        include("UNRESOLVED"))
       // non-equi ON
       val e3 = intercept[Exception] {
         spark.sql(
