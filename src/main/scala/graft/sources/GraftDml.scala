@@ -29,9 +29,12 @@ import graft.ktk.Ktk
   *    (`UPDATE SET t.v = t.v + s.delta`) — the latter build full
   *    replacement images by joining live target rows with the source on
   *    the merge keys (the same read Spark's row-level MERGE does) while
-  *    the write stays merge-on-read. Conditioned actions and
-  *    not-matched-by-source clauses fail with a clear error — refusing
-  *    beats silently wrong merge semantics.
+  *    the write stays merge-on-read. CONDITIONED actions
+  *    (`WHEN MATCHED AND cond THEN ...`) route every joined row to its
+  *    first-true action and apply the whole batch (updates + deletes +
+  *    filtered inserts) as ONE [[Ktk.mergeCdc]] commit. Only
+  *    not-matched-by-source clauses and WITH SCHEMA EVOLUTION still
+  *    refuse — refusing beats silently wrong merge semantics.
   *
   * The rule fires only on fully-resolved plans over [[GraftTable]]
   * relations; everything else is untouched.
@@ -145,14 +148,119 @@ case class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
         GraftBridge.ofRows(session, source)
           .select(keys.map { case (tk, sk) => col(s"`${sk.name}`").as(tk.name) }: _*)
 
+      // GENERAL lowering for conditioned matched actions — `WHEN MATCHED
+      // [AND cond] THEN UPDATE/DELETE ...` in declaration order (first
+      // true condition wins per row, SQL semantics; a NULL condition is
+      // false): route every joined row to its winning action with one
+      // `when`-chain, project each action's replacement image (DELETE
+      // rows carry only their keys), and apply the whole batch as ONE
+      // [[Ktk.mergeCdc]] commit — updates and deletes land atomically,
+      // still merge-on-read. Conditioned NOT MATCHED inserts filter the
+      // source (first-true-wins across insert actions) before the
+      // anti-join against existing keys.
+      def generalMerge(): LogicalPlan = {
+        val keyNames = keys.map(_._1.name)
+        matched.foreach {
+          case _: UpdateAction | _: DeleteAction => ()
+          case other => throw new UnsupportedOperationException(
+            s"unsupported matched MERGE action: $other")
+        }
+        notMatched.foreach {
+          case _: InsertAction => ()
+          case other => throw new UnsupportedOperationException(
+            s"unsupported not-matched MERGE action: $other")
+        }
+        def joinedCond(e: Expression): Column =
+          GraftBridge.column(e.transform {
+            case r: AttributeReference if sourceAttrs.contains(r) =>
+              UnresolvedAttribute.quoted(s"__s_${r.name}")
+            case r: AttributeReference => UnresolvedAttribute.quoted(r.name)
+          })
+        GraftMergeCommand(t.basePath, t.datasetMetadata.uuid,
+          () => {
+            require(!targetCols.exists(_.startsWith("__s_")),
+              "target columns may not start with the reserved prefix __s_")
+            val src = GraftBridge.ofRows(session, source)
+            val srcRenamed = src.select(src.columns.toSeq.map(c =>
+              col(s"`$c`").as(s"__s_$c")): _*)
+            val tgt = Ktk.readTable(session, t.basePath, t.datasetMetadata.uuid)
+            val joinCond = keys.map { case (tk, sk) =>
+              col(s"`${tk.name}`") === col(s"`__s_${sk.name}`") }.reduce(_ && _)
+            // winning matched action per row: index of the first action
+            // whose condition holds (missing condition = always true)
+            val pick = matched.zipWithIndex.foldLeft(lit(null).cast("int")) {
+              case (acc, (a, i)) =>
+                val c = a.condition.map(joinedCond).getOrElse(lit(true))
+                org.apache.spark.sql.functions.coalesce(acc,
+                  org.apache.spark.sql.functions.when(c, lit(i)))
+            }
+            val joined = tgt.join(srcRenamed, joinCond, "inner")
+              .withColumn("__action", pick)
+            val matchedParts = matched.zipWithIndex.map {
+              case (UpdateAction(_, assigns, _), i) =>
+                val assignBy: Map[String, Column] = assigns.map { a =>
+                  assignmentName(a) -> joinedCond(a.value)
+                }.toMap
+                joined.filter(col("__action") === i)
+                  .select(targetCols.map(c =>
+                    assignBy.getOrElse(c, col(s"`$c`")).as(c)) :+
+                    lit("U").as("__op"): _*)
+              case (DeleteAction(_), i) =>
+                joined.filter(col("__action") === i)
+                  .select(targetCols.map(c =>
+                    (if (keyNames.contains(c)) col(s"`$c`")
+                     else lit(null).cast(tgt.schema(c).dataType)).as(c)) :+
+                    lit("D").as("__op"): _*)
+              case (other, _) => throw new IllegalStateException(s"$other")
+            }
+            // inserts: first-true-wins across insert actions over the
+            // UNMATCHED source rows only
+            val existing = Ktk.readTable(session, t.basePath,
+              t.datasetMetadata.uuid, columns = keyNames).distinct()
+            var remaining = GraftBridge.ofRows(session, source)
+            val insertParts = notMatched.map { case InsertAction(condOpt, assigns) =>
+              val take = condOpt match {
+                case Some(c) => remaining.filter(toColumn(c))
+                case None    => remaining
+              }
+              condOpt.foreach { c =>
+                c.references.foreach { r =>
+                  if (!sourceAttrs.contains(r))
+                    throw new UnsupportedOperationException(
+                      s"NOT MATCHED condition references target column '${r.name}'")
+                }
+                remaining = remaining.filter(
+                  !org.apache.spark.sql.functions.coalesce(toColumn(c), lit(false)))
+              }
+              val assignBy: Map[String, Column] = assigns.map { a =>
+                a.value.references.foreach { r =>
+                  if (!sourceAttrs.contains(r))
+                    throw new UnsupportedOperationException(
+                      s"graft MERGE INSERT assignment references target column '${r.name}'")
+                }
+                assignmentName(a) -> toColumn(a.value)
+              }.toMap
+              val missing = targetCols.filterNot(assignBy.contains)
+              if (missing.nonEmpty)
+                throw new UnsupportedOperationException(
+                  s"INSERT must assign every target column; missing: ${missing.mkString(", ")}")
+              take.select(targetCols.map(c => assignBy(c).as(c)) :+
+                lit("I").as("__op"): _*)
+                .join(existing, keyNames, "left_anti")
+            }
+            (matchedParts ++ insertParts).reduce(_ unionByName _)
+          }, keys.map(_._1.name), mode = "cdc")
+      }
+
       val unconditioned: PartialFunction[MergeAction, MergeAction] = {
         case a @ UpdateAction(None, _, _) => a
         case a @ DeleteAction(None)    => a
         case a @ InsertAction(None, _) => a
-        case other => throw new UnsupportedOperationException(
-          s"graft MERGE does not support conditioned actions, got $other")
       }
-      (matched.map(unconditioned), notMatched.map(unconditioned)) match {
+      val allUnconditioned =
+        (matched ++ notMatched).forall(unconditioned.isDefinedAt)
+      if (!allUnconditioned) generalMerge()
+      else (matched.map(unconditioned), notMatched.map(unconditioned)) match {
         case (Seq(UpdateAction(None, up, _)), Seq(InsertAction(None, ins)))
             if isFullSourceRow(up) =>
           // classic upsert; both projections must agree (SET * + INSERT *)
@@ -318,6 +426,10 @@ case class GraftMergeCommand(
         val empty = session.createDataFrame(
           session.sparkContext.emptyRDD[Row], md0.schema)
         Ktk.merge(session, base, uuid, empty, keys, deleteKeys = Some(src))
+      case "cdc" =>
+        // routed batch from the conditioned-action lowering: rows carry
+        // their winning action in __op (U/I upsert, D tombstones keys)
+        Ktk.mergeCdc(session, base, uuid, src, keys, opCol = "__op", deleteOp = "D")
       case other => throw new IllegalStateException(s"unknown merge mode $other")
     }
     Seq(Row(n, md.version))

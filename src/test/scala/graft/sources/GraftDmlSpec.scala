@@ -149,17 +149,47 @@ class GraftDmlSpec extends SparkSpec {
     }
   }
 
+  test("conditioned MERGE actions route rows first-true-wins in one commit") {
+    withCatalog { (gk, base) =>
+      seed(base)
+      val files0 = DatasetMetadata.load(spark, base, "t").partitions.keySet
+      val v0 = DatasetMetadata.load(spark, base, "t").version
+      Seq((1L, "big", 100.0), (2L, "del", 0.0), (3L, "keep", 5.0), (8L, "new", 80.0),
+        (9L, "skip", -1.0)).toDF("k", "tag", "nv").createOrReplaceTempView("src_cond")
+      // k=1: tag='big' → doubled; k=2: tag='del' → deleted; k=3: neither
+      // condition holds → untouched; k=8: nv>0 → inserted; k=9: nv<0 → not
+      spark.sql(
+        s"""MERGE INTO $gk.default.t AS t USING src_cond AS s ON t.k = s.k
+           |WHEN MATCHED AND s.tag = 'del' THEN DELETE
+           |WHEN MATCHED AND s.tag = 'big' THEN UPDATE SET v = t.v + s.nv
+           |WHEN NOT MATCHED AND s.nv > 0 THEN INSERT (k, p, v) VALUES (s.k, s.tag, s.nv)""".stripMargin)
+      content(base) shouldBe Seq(
+        (1L, "a", 110.0), (3L, "b", 30.0), (4L, "b", 40.0), (8L, "new", 80.0))
+      // ONE commit, merge-on-read: no original file rewritten
+      val md1 = DatasetMetadata.load(spark, base, "t")
+      md1.version shouldBe v0 + 1
+      files0.subsetOf(md1.partitions.keySet) shouldBe true
+    }
+  }
+
+  test("conditioned MERGE: first-true action wins when conditions overlap") {
+    withCatalog { (gk, base) =>
+      seed(base)
+      Seq((2L, 7.0)).toDF("k", "nv").createOrReplaceTempView("src_ovl")
+      // both conditions true for k=2: the FIRST declared action (update) wins
+      spark.sql(
+        s"""MERGE INTO $gk.default.t AS t USING src_ovl AS s ON t.k = s.k
+           |WHEN MATCHED AND s.nv > 0 THEN UPDATE SET v = s.nv
+           |WHEN MATCHED THEN DELETE""".stripMargin)
+      content(base) shouldBe Seq(
+        (1L, "a", 10.0), (2L, "a", 7.0), (3L, "b", 30.0), (4L, "b", 40.0))
+    }
+  }
+
   test("unsupported MERGE shapes fail loudly, changing nothing") {
     withCatalog { (gk, base) =>
       seed(base)
       Seq((2L, "a", 1.0)).toDF("k", "p", "v").createOrReplaceTempView("src_bad")
-      // conditioned action
-      val e1 = intercept[Exception] {
-        spark.sql(
-          s"""MERGE INTO $gk.default.t AS t USING src_bad AS s ON t.k = s.k
-             |WHEN MATCHED AND s.v > 0 THEN DELETE""".stripMargin)
-      }
-      e1.getMessage should include("conditioned")
       // INSERT referencing target columns is meaningless
       val e2 = intercept[Exception] {
         spark.sql(
