@@ -32,9 +32,11 @@ import graft.ktk.Ktk
   *    the write stays merge-on-read. CONDITIONED actions
   *    (`WHEN MATCHED AND cond THEN ...`) route every joined row to its
   *    first-true action and apply the whole batch (updates + deletes +
-  *    filtered inserts) as ONE [[Ktk.mergeCdc]] commit. Only
-  *    not-matched-by-source clauses and WITH SCHEMA EVOLUTION still
-  *    refuse — refusing beats silently wrong merge semantics.
+  *    filtered inserts) as ONE [[Ktk.mergeCdc]] commit, and
+  *    `WHEN NOT MATCHED BY SOURCE` UPDATE/DELETE routes target orphans
+  *    the same way (the full-sync shape). Only non-equi ON and WITH
+  *    SCHEMA EVOLUTION still refuse — refusing beats silently wrong
+  *    merge semantics.
   *
   * The rule fires only on fully-resolved plans over [[GraftTable]]
   * relations; everything else is untouched.
@@ -64,9 +66,6 @@ case class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
         schemaEvolution)
         if m.resolved && graftTable(target).isDefined =>
       val t = graftTable(target).get
-      if (notMatchedBySource.nonEmpty)
-        throw new UnsupportedOperationException(
-          "graft MERGE does not support WHEN NOT MATCHED BY SOURCE clauses")
       if (schemaEvolution)
         throw new UnsupportedOperationException(
           "graft MERGE does not support WITH SCHEMA EVOLUTION; evolve through " +
@@ -170,6 +169,24 @@ case class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
           case other => throw new UnsupportedOperationException(
             s"unsupported not-matched MERGE action: $other")
         }
+        notMatchedBySource.foreach {
+          case a: UpdateAction =>
+            (a.condition.toSeq.flatMap(_.references) ++
+              a.assignments.flatMap(_.value.references)).foreach { r =>
+              if (sourceAttrs.contains(r))
+                throw new UnsupportedOperationException(
+                  s"NOT MATCHED BY SOURCE references source column '${r.name}' — " +
+                    "these rows have no source image")
+            }
+          case a: DeleteAction =>
+            a.condition.toSeq.flatMap(_.references).foreach { r =>
+              if (sourceAttrs.contains(r))
+                throw new UnsupportedOperationException(
+                  s"NOT MATCHED BY SOURCE references source column '${r.name}'")
+            }
+          case other => throw new UnsupportedOperationException(
+            s"unsupported not-matched-by-source MERGE action: $other")
+        }
         def joinedCond(e: Expression): Column =
           GraftBridge.column(e.transform {
             case r: AttributeReference if sourceAttrs.contains(r) =>
@@ -213,6 +230,39 @@ case class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
                     lit("D").as("__op"): _*)
               case (other, _) => throw new IllegalStateException(s"$other")
             }
+            // NOT MATCHED BY SOURCE: target rows whose keys the source
+            // lacks, routed first-true-wins exactly like the matched side
+            // (conditions/assignments reference target attrs only)
+            val nmbsParts = if (notMatchedBySource.isEmpty) Nil else {
+              val tgtOrphans = tgt.join(
+                  srcRenamed.select(keys.map { case (_, sk) =>
+                    col(s"`__s_${sk.name}`") }: _*).distinct(),
+                  joinCond, "left_anti")
+              val pickO = notMatchedBySource.zipWithIndex.foldLeft(lit(null).cast("int")) {
+                case (acc, (a, i)) =>
+                  val c = a.condition.map(joinedCond).getOrElse(lit(true))
+                  org.apache.spark.sql.functions.coalesce(acc,
+                    org.apache.spark.sql.functions.when(c, lit(i)))
+              }
+              val routed = tgtOrphans.withColumn("__action", pickO)
+              notMatchedBySource.zipWithIndex.map {
+                case (UpdateAction(_, assigns, _), i) =>
+                  val assignBy: Map[String, Column] = assigns.map { a =>
+                    assignmentName(a) -> joinedCond(a.value)
+                  }.toMap
+                  routed.filter(col("__action") === i)
+                    .select(targetCols.map(c =>
+                      assignBy.getOrElse(c, col(s"`$c`")).as(c)) :+
+                      lit("U").as("__op"): _*)
+                case (DeleteAction(_), i) =>
+                  routed.filter(col("__action") === i)
+                    .select(targetCols.map(c =>
+                      (if (keyNames.contains(c)) col(s"`$c`")
+                       else lit(null).cast(tgt.schema(c).dataType)).as(c)) :+
+                      lit("D").as("__op"): _*)
+                case (other, _) => throw new IllegalStateException(s"$other")
+              }
+            }
             // inserts: first-true-wins across insert actions over the
             // UNMATCHED source rows only
             val existing = Ktk.readTable(session, t.basePath,
@@ -248,7 +298,7 @@ case class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
                 lit("I").as("__op"): _*)
                 .join(existing, keyNames, "left_anti")
             }
-            (matchedParts ++ insertParts).reduce(_ unionByName _)
+            (matchedParts ++ nmbsParts ++ insertParts).reduce(_ unionByName _)
           }, keys.map(_._1.name), mode = "cdc")
       }
 
@@ -259,7 +309,7 @@ case class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
       }
       val allUnconditioned =
         (matched ++ notMatched).forall(unconditioned.isDefinedAt)
-      if (!allUnconditioned) generalMerge()
+      if (!allUnconditioned || notMatchedBySource.nonEmpty) generalMerge()
       else (matched.map(unconditioned), notMatched.map(unconditioned)) match {
         case (Seq(UpdateAction(None, up, _)), Seq(InsertAction(None, ins)))
             if isFullSourceRow(up) =>

@@ -186,6 +186,31 @@ class GraftDmlSpec extends SparkSpec {
     }
   }
 
+  test("NOT MATCHED BY SOURCE updates and deletes target orphans in the same commit") {
+    withCatalog { (gk, base) =>
+      seed(base)
+      val v0 = DatasetMetadata.load(spark, base, "t").version
+      Seq((2L, 999.0), (4L, 444.0)).toDF("k", "nv").createOrReplaceTempView("src_sync")
+      // full sync: matched rows take the source value; target-only rows in
+      // partition 'a' flag v = -1, the rest delete — one commit
+      spark.sql(
+        s"""MERGE INTO $gk.default.t AS t USING src_sync AS s ON t.k = s.k
+           |WHEN MATCHED THEN UPDATE SET v = s.nv
+           |WHEN NOT MATCHED BY SOURCE AND t.p = 'a' THEN UPDATE SET v = -1.0
+           |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
+      content(base) shouldBe Seq(
+        (1L, "a", -1.0), (2L, "a", 999.0), (4L, "b", 444.0))
+      DatasetMetadata.load(spark, base, "t").version shouldBe v0 + 1
+      // source-column references in NMBS clauses refuse (no source image)
+      intercept[Exception] {
+        spark.sql(
+          s"""MERGE INTO $gk.default.t AS t USING src_sync AS s ON t.k = s.k
+             |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET v = s.nv""".stripMargin)
+      }.getMessage should (include("source column") or include("cannot be resolved") or
+        include("UNRESOLVED"))
+    }
+  }
+
   test("unsupported MERGE shapes fail loudly, changing nothing") {
     withCatalog { (gk, base) =>
       seed(base)
