@@ -195,6 +195,41 @@ class VersioningSpec extends SparkSpec {
     Ktk.listVersions(spark, base, "ds") shouldBe (1L to 13L)
   }
 
+  test("replaceAll racing a concurrent append stays linearizable") {
+    val base = tmpDir("ver")
+    Ktk.store(spark, base, "ds", df1) // keys 1, 2
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    val swap = Future {
+      Ktk.withCommitRetries(maxRetries = 20) {
+        Ktk.update(spark, base, "ds",
+          Some(Seq((9L, "swap")).toDF("k", "v")), replaceAll = true)
+      }
+    }
+    val append = Future {
+      Ktk.withCommitRetries(maxRetries = 20) {
+        Ktk.update(spark, base, "ds", Some(Seq((5L, "app")).toDF("k", "v")))
+      }
+    }
+    try Await.result(Future.sequence(Seq(swap, append)), 120.seconds)
+    finally pool.shutdown()
+    // both committed: exactly two new versions, unbroken chain
+    Ktk.listVersions(spark, base, "ds") shouldBe (1L to 3L)
+    // linearizable outcomes only: swap-then-append keeps both 9 and 5;
+    // append-then-swap leaves just the replacement content
+    val keys = Ktk.readTable(spark, base, "ds").select("k")
+      .as[Long].collect().sorted.toSeq
+    keys should (equal(Seq(5L, 9L)) or equal(Seq(9L)))
+    // and the intermediate snapshot reads back consistently with the order
+    val v2 = Ktk.readTableAsOf(spark, base, "ds", 2L).select("k")
+      .as[Long].collect().sorted.toSeq
+    if (keys == Seq(9L)) v2 shouldBe Seq(1L, 2L, 5L) // append landed first
+    else v2 shouldBe Seq(9L)                         // swap landed first
+  }
+
   test("additive schema evolution: new columns appear, old files read as null") {
     val base = tmpDir("ver")
     Ktk.store(spark, base, "ds", Seq((1L, "a"), (2L, "b")).toDF("k", "v"))
