@@ -192,10 +192,16 @@ final class GraftTable(base: String, md: DatasetMetadata)
     */
   override def properties(): JMap[String, String] =
     md.metadata.filterNot(_._1.startsWith("graft.")).asJava
+  // AUTOMATIC_SCHEMA_EVOLUTION makes `MERGE ... WITH SCHEMA EVOLUTION`
+  // work: Spark's ResolveMergeIntoSchemaEvolution computes the ADD COLUMN
+  // deltas from the source schema and routes them through
+  // GraftCatalog.alterTable (one additive-evolution commit) before the
+  // merge itself runs — the only reader of this capability.
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE,
-      TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER)
+      TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER,
+      TableCapability.AUTOMATIC_SCHEMA_EVOLUTION)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(base, md, options)
 

@@ -34,9 +34,12 @@ import graft.ktk.Ktk
   *    first-true action and apply the whole batch (updates + deletes +
   *    filtered inserts) as ONE [[Ktk.mergeCdc]] commit, and
   *    `WHEN NOT MATCHED BY SOURCE` UPDATE/DELETE routes target orphans
-  *    the same way (the full-sync shape). Only non-equi ON and WITH
-  *    SCHEMA EVOLUTION still refuse — refusing beats silently wrong
-  *    merge semantics.
+  *    the same way (the full-sync shape). `WITH SCHEMA EVOLUTION` works
+  *    through the analyzer: [[GraftTable]] declares
+  *    AUTOMATIC_SCHEMA_EVOLUTION, so ResolveMergeIntoSchemaEvolution adds
+  *    the source's new columns via `alterTable` (one additive commit)
+  *    before the merge lowers. Only non-equi ON still refuses — refusing
+  *    beats silently wrong merge semantics.
   *
   * The rule fires only on fully-resolved plans over [[GraftTable]]
   * relations; everything else is untouched.
@@ -65,21 +68,61 @@ case class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
     case m @ MergeIntoTable(target, source, cond, matched, notMatched, notMatchedBySource,
         schemaEvolution)
         if m.resolved && graftTable(target).isDefined =>
+      // WITH SCHEMA EVOLUTION: GraftTable declares
+      // AUTOMATIC_SCHEMA_EVOLUTION, so the analyzer's
+      // ResolveMergeIntoSchemaEvolution already widened the table (one
+      // additive ADD COLUMN commit via GraftCatalog.alterTable) and
+      // reloaded the relation before this rule fires — the target below
+      // carries the union schema and old files read the new columns null.
+      // CAVEAT: that rule rewrites pre-evolution target attributes into the
+      // reloaded relation by POSITIONAL zip, assuming evolved tables append
+      // new columns at the END. This connector surfaces payload-alphabetical
+      // + partition-keys-last order, so a new column can land mid-list and
+      // the rewrite then stitches each old attribute to the WRONG new
+      // column: names survive but exprIds/types come from the positional
+      // partner, and the star expansion's store-assignment artifacts
+      // (cast/assertnotnull) are built from those corrupted types. Detect it
+      // directly — an attribute whose exprId belongs to a differently-named
+      // output column — and when present (a) restrict to the star shapes
+      // whose assignment values are bare source attributes under the
+      // artifacts, (b) strip the artifacts and re-apply by-name casts from
+      // the table's REAL schema (the by-name lowering below is immune to
+      // exprId corruption).
       val t = graftTable(target).get
-      if (schemaEvolution)
-        throw new UnsupportedOperationException(
-          "graft MERGE does not support WITH SCHEMA EVOLUTION; evolve through " +
-            "Ktk.merge(evolveSchema = true)")
       val targetAttrs = target.outputSet
       val sourceAttrs = source.outputSet
-      val keys = splitConjunction(cond).map {
-        case EqualTo(a: AttributeReference, b: AttributeReference)
-            if targetAttrs.contains(a) && sourceAttrs.contains(b) => (a, b)
-        case EqualTo(a: AttributeReference, b: AttributeReference)
-            if targetAttrs.contains(b) && sourceAttrs.contains(a) => (b, a)
-        case other => throw new UnsupportedOperationException(
-          s"graft MERGE requires ON to be a conjunction of target-column = " +
-            s"source-column equalities, got $other")
+      val idToName = target.output.map(a => a.exprId -> a.name).toMap
+      val evolutionCorrupted = schemaEvolution && {
+        val actionExprs = (matched ++ notMatched ++ notMatchedBySource).flatMap {
+          case UpdateAction(c, assigns, _) => c.toSeq ++ assigns.map(_.key)
+          case DeleteAction(c)             => c.toSeq
+          case InsertAction(c, assigns)    => c.toSeq ++ assigns.map(_.key)
+          case _                           => Nil
+        }
+        (cond +: actionExprs).exists(_.collectFirst {
+          case a: AttributeReference if idToName.get(a.exprId).exists(_ != a.name) => a
+        }.nonEmpty)
+      }
+      // under corruption the ON equalities may carry type coercions derived
+      // from the mismapped attr types; names are still right, so unwrap
+      def stripOnCasts(e: Expression): Expression = e match {
+        case c: org.apache.spark.sql.catalyst.expressions.Cast => stripOnCasts(c.child)
+        case other => other
+      }
+      val keys = splitConjunction(cond).map { c0 =>
+        val c = if (evolutionCorrupted) c0 match {
+          case EqualTo(l, r) => EqualTo(stripOnCasts(l), stripOnCasts(r))
+          case other         => other
+        } else c0
+        c match {
+          case EqualTo(a: AttributeReference, b: AttributeReference)
+              if targetAttrs.contains(a) && sourceAttrs.contains(b) => (a, b)
+          case EqualTo(a: AttributeReference, b: AttributeReference)
+              if targetAttrs.contains(b) && sourceAttrs.contains(a) => (b, a)
+          case other => throw new UnsupportedOperationException(
+            s"graft MERGE requires ON to be a conjunction of target-column = " +
+              s"source-column equalities, got $other")
+        }
       }
       val targetCols = t.datasetMetadata.schema.fieldNames.toSeq
       // the source as a DataFrame projected to TARGET column names: the
@@ -90,6 +133,26 @@ case class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
         case other => throw new UnsupportedOperationException(
           s"graft MERGE supports top-level column assignments only, got $other")
       }
+      // corrupted star-expanded values are a bare source attribute under
+      // store-assignment artifacts; peel those (their types came from the
+      // corrupted key) and re-cast by name from the table's real schema
+      def repairedColumn(name: String, value: Expression): Column = {
+        def peel(e: Expression): Expression = e match {
+          case a: org.apache.spark.sql.catalyst.expressions.objects.AssertNotNull => peel(a.child)
+          case c: org.apache.spark.sql.catalyst.expressions.Cast => peel(c.child)
+          case other => other
+        }
+        peel(value) match {
+          case a: AttributeReference if sourceAttrs.contains(a) =>
+            val declared = t.datasetMetadata.schema(name).dataType
+            if (a.dataType == declared) toColumn(a) else toColumn(a).cast(declared)
+          case _ => throw new UnsupportedOperationException(
+            s"MERGE WITH SCHEMA EVOLUTION supports UPDATE SET * / INSERT * when " +
+              s"the added columns reorder the table (assignment for '$name' is not " +
+              "a plain source column); ALTER TABLE ... ADD COLUMNS first and re-run " +
+              "a plain MERGE for richer shapes")
+        }
+      }
       def projectSource(assigns: Seq[Assignment]): DataFrame = {
         val byName = assigns.map { a =>
           val name = assignmentName(a)
@@ -99,7 +162,8 @@ case class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
                 s"graft MERGE INSERT assignment for '$name' references target " +
                   s"column '${r.name}' — inserted rows have no target image")
           }
-          name -> toColumn(a.value)
+          name -> (if (evolutionCorrupted) repairedColumn(name, a.value)
+                   else toColumn(a.value))
         }.toMap
         val missing = targetCols.filterNot(byName.contains)
         if (missing.nonEmpty)
@@ -125,6 +189,11 @@ case class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
       // exactly the read Spark's own row-level MERGE would do, but the
       // write stays merge-on-read.
       def joinedUpdateRows(assigns: Seq[Assignment]): DataFrame = {
+        if (evolutionCorrupted)
+          throw new UnsupportedOperationException(
+            "MERGE WITH SCHEMA EVOLUTION supports the unconditioned UPDATE SET * / " +
+              "INSERT * / DELETE shapes when the added columns reorder the table; " +
+              "ALTER TABLE ... ADD COLUMNS first and re-run the partial-column MERGE")
         require(!targetCols.exists(_.startsWith("__s_")),
           "target columns may not start with the reserved prefix __s_")
         val assignBy: Map[String, Column] = assigns.map { a =>
@@ -309,6 +378,11 @@ case class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
       }
       val allUnconditioned =
         (matched ++ notMatched).forall(unconditioned.isDefinedAt)
+      if (evolutionCorrupted && (!allUnconditioned || notMatchedBySource.nonEmpty))
+        throw new UnsupportedOperationException(
+          "MERGE WITH SCHEMA EVOLUTION supports the unconditioned UPDATE SET * / " +
+            "INSERT * / DELETE shapes when the added columns reorder the table; " +
+            "ALTER TABLE ... ADD COLUMNS first and re-run the conditioned MERGE")
       if (!allUnconditioned || notMatchedBySource.nonEmpty) generalMerge()
       else (matched.map(unconditioned), notMatched.map(unconditioned)) match {
         case (Seq(UpdateAction(None, up, _)), Seq(InsertAction(None, ins)))

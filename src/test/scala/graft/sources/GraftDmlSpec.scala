@@ -211,6 +211,84 @@ class GraftDmlSpec extends SparkSpec {
     }
   }
 
+  test("MERGE WITH SCHEMA EVOLUTION adds new source columns additively") {
+    withCatalog { (gk, base) =>
+      seed(base)
+      val v0 = DatasetMetadata.load(spark, base, "t").version
+      val files0 = DatasetMetadata.load(spark, base, "t").partitions.keySet
+      Seq((2L, "a", 222.0, "beta", 7L), (9L, "c", 90.0, "gamma", 8L))
+        .toDF("k", "p", "v", "tag", "n").createOrReplaceTempView("src_evo")
+      spark.sql(
+        s"""MERGE WITH SCHEMA EVOLUTION INTO $gk.default.t AS t
+           |USING src_evo AS s ON t.k = s.k
+           |WHEN MATCHED THEN UPDATE SET *
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      // the analyzer widened the table through alterTable (its own commit),
+      // then the merge committed — old rows read the new column as null
+      val md = DatasetMetadata.load(spark, base, "t")
+      md.schema.fieldNames should contain allOf ("tag", "n")
+      // new int columns normalize to bigint like every other write path
+      md.schema("n").dataType shouldBe org.apache.spark.sql.types.LongType
+      md.version shouldBe v0 + 2
+      files0.subsetOf(md.partitions.keySet) shouldBe true // still merge-on-read
+      Ktk.readTable(spark, base, "t").select("k", "p", "v", "tag", "n")
+        .as[(Long, String, Double, Option[String], Option[Long])]
+        .collect().sorted.toSeq shouldBe Seq(
+        (1L, "a", 10.0, None, None), (2L, "a", 222.0, Some("beta"), Some(7L)),
+        (3L, "b", 30.0, None, None), (4L, "b", 40.0, None, None),
+        (9L, "c", 90.0, Some("gamma"), Some(8L)))
+      // pre-evolution versions keep their own schema
+      Ktk.readTableAsOf(spark, base, "t", v0)
+        .columns.toSeq should not contain "tag"
+    }
+  }
+
+  test("MERGE WITH SCHEMA EVOLUTION is a no-op when schemas already align") {
+    withCatalog { (gk, base) =>
+      seed(base)
+      val v0 = DatasetMetadata.load(spark, base, "t").version
+      Seq((2L, "a", 2.5)).toDF("k", "p", "v").createOrReplaceTempView("src_evo2")
+      spark.sql(
+        s"""MERGE WITH SCHEMA EVOLUTION INTO $gk.default.t AS t
+           |USING src_evo2 AS s ON t.k = s.k
+           |WHEN MATCHED THEN UPDATE SET *""".stripMargin)
+      val md = DatasetMetadata.load(spark, base, "t")
+      md.version shouldBe v0 + 1 // no alterTable commit
+      content(base) shouldBe Seq(
+        (1L, "a", 10.0), (2L, "a", 2.5), (3L, "b", 30.0), (4L, "b", 40.0))
+    }
+  }
+
+  test("MERGE WITH SCHEMA EVOLUTION with int source: evolution lands promoted, plain retry works") {
+    withCatalog { (gk, base) =>
+      seed(base)
+      // source column n is INT; the engine declares integrals as BIGINT
+      // (normalize_type), but Spark's evolution recompute demands the
+      // source's EXACT types — the ADD COLUMN commit lands (promoted), the
+      // recompute then refuses. The remedy is a plain MERGE: store-
+      // assignment casts handle int -> bigint by name.
+      Seq((2L, "a", 222.0, 7), (9L, "c", 90.0, 8))
+        .toDF("k", "p", "v", "n").createOrReplaceTempView("src_evo_int")
+      intercept[Throwable] {
+        spark.sql(
+          s"""MERGE WITH SCHEMA EVOLUTION INTO $gk.default.t AS t
+             |USING src_evo_int AS s ON t.k = s.k
+             |WHEN MATCHED THEN UPDATE SET *
+             |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      }
+      val md = DatasetMetadata.load(spark, base, "t")
+      md.schema("n").dataType shouldBe org.apache.spark.sql.types.LongType
+      spark.sql(
+        s"""MERGE INTO $gk.default.t AS t USING src_evo_int AS s ON t.k = s.k
+           |WHEN MATCHED THEN UPDATE SET *
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      Ktk.readTable(spark, base, "t").select("k", "v", "n")
+        .as[(Long, Double, Option[Long])].collect().sorted.toSeq shouldBe Seq(
+        (1L, 10.0, None), (2L, 222.0, Some(7L)), (3L, 30.0, None),
+        (4L, 40.0, None), (9L, 90.0, Some(8L)))
+    }
+  }
+
   test("unsupported MERGE shapes fail loudly, changing nothing") {
     withCatalog { (gk, base) =>
       seed(base)
