@@ -1919,29 +1919,31 @@ object SparkEntry {
       // SQL UPDATE + MERGE INTO through the custom resolution rule
       // (GraftDmlRule): UPDATE tombstones + appends O(matched), MERGE is
       // the engine's merge-on-read upsert, a matched-DELETE MERGE
-      // tombstones by key — all pure SQL, all hash-matched by the oracle.
-      // In-query pin: no original file is ever rewritten.
+      // tombstones by key, and a final MERGE WITH SCHEMA EVOLUTION adds a
+      // new column mid-alphabet (exercising the positional-zip repair) —
+      // all pure SQL, all hash-matched by the oracle. In-query pin: no
+      // original file is ever rewritten.
       val base = scratch(dir)
       s.conf.set("spark.sql.catalog.graft_cat", "graft.sources.GraftCatalog")
       s.conf.set("spark.sql.catalog.graft_cat.base", base)
-      if (!graft.ktk.DatasetMetadata.exists(s, base, "orders_dml2")) {
-        Ktk.store(s, base, "orders_dml2",
+      if (!graft.ktk.DatasetMetadata.exists(s, base, "orders_dml3")) {
+        Ktk.store(s, base, "orders_dml3",
           t(s, dir, "orders").select("o_orderkey", "o_orderstatus", "o_totalprice"),
           partitionOn = Seq("o_orderstatus"))
-        val files0 = graft.ktk.DatasetMetadata.load(s, base, "orders_dml2").partitions.keySet
-        s.sql("UPDATE graft_cat.default.orders_dml2 SET o_totalprice = o_totalprice + 500.0 " +
+        val files0 = graft.ktk.DatasetMetadata.load(s, base, "orders_dml3").partitions.keySet
+        s.sql("UPDATE graft_cat.default.orders_dml3 SET o_totalprice = o_totalprice + 500.0 " +
           "WHERE o_totalprice > 300000.0")
         t(s, dir, "orders").filter(col("o_orderkey") % 13 === 0)
           .select(col("o_orderkey"), col("o_orderstatus"),
             (col("o_totalprice") + lit(100.0)).as("o_totalprice"))
           .createOrReplaceTempView("dml_src")
-        s.sql("""MERGE INTO graft_cat.default.orders_dml2 AS t USING dml_src AS s
+        s.sql("""MERGE INTO graft_cat.default.orders_dml3 AS t USING dml_src AS s
                 |ON t.o_orderkey = s.o_orderkey
                 |WHEN MATCHED THEN UPDATE SET *
                 |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
         t(s, dir, "orders").filter(col("o_orderkey") % 17 === 0)
           .select("o_orderkey").createOrReplaceTempView("dml_del")
-        s.sql("""MERGE INTO graft_cat.default.orders_dml2 AS t USING dml_del AS s
+        s.sql("""MERGE INTO graft_cat.default.orders_dml3 AS t USING dml_del AS s
                 |ON t.o_orderkey = s.o_orderkey
                 |WHEN MATCHED THEN DELETE""".stripMargin)
         // partial-column, target-referencing UPDATE: unassigned columns
@@ -1949,16 +1951,32 @@ object SparkEntry {
         t(s, dir, "orders").filter(col("o_orderkey") % 19 === 0)
           .select(col("o_orderkey"), lit(2.0).as("factor"))
           .createOrReplaceTempView("dml_part")
-        s.sql("""MERGE INTO graft_cat.default.orders_dml2 AS t USING dml_part AS s
+        s.sql("""MERGE INTO graft_cat.default.orders_dml3 AS t USING dml_part AS s
                 |ON t.o_orderkey = s.o_orderkey
                 |WHEN MATCHED THEN UPDATE SET o_totalprice = t.o_totalprice * s.factor""".stripMargin)
-        val md1 = graft.ktk.DatasetMetadata.load(s, base, "orders_dml2")
+        // MERGE WITH SCHEMA EVOLUTION: the analyzer routes the new 'note'
+        // column through alterTable (one additive commit) before the merge;
+        // 'note' sorts FIRST among payload columns, so this also exercises
+        // the positional-zip corruption repair. Matched %23 keys take the
+        // source row wholesale (original price + note), deleted %391 keys
+        // re-insert.
+        t(s, dir, "orders").filter(col("o_orderkey") % 23 === 0)
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+            lit("rush").as("note"))
+          .createOrReplaceTempView("dml_evo")
+        s.sql("""MERGE WITH SCHEMA EVOLUTION INTO graft_cat.default.orders_dml3 AS t
+                |USING dml_evo AS s ON t.o_orderkey = s.o_orderkey
+                |WHEN MATCHED THEN UPDATE SET *
+                |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+        val md1 = graft.ktk.DatasetMetadata.load(s, base, "orders_dml3")
+        require(md1.schema.fieldNames.contains("note"),
+          "WITH SCHEMA EVOLUTION must add the source's new column")
         require(files0.subsetOf(md1.partitions.keySet),
           "SQL DML must never rewrite original files (merge-on-read)")
       }
-      s.sql("""SELECT o_orderstatus, count(*) AS cnt,
-              |  round(sum(o_totalprice), 2) AS total
-              |FROM graft_cat.default.orders_dml2 GROUP BY 1 ORDER BY 1""".stripMargin)
+      s.sql("""SELECT o_orderstatus, coalesce(note, 'none') AS note,
+              |  count(*) AS cnt, round(sum(o_totalprice), 2) AS total
+              |FROM graft_cat.default.orders_dml3 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
     }),
 
     "q_sql_ddl" -> ((s, dir) => {
@@ -2270,9 +2288,16 @@ object SparkEntry {
         |    CASE WHEN o_orderkey % 19 = 0 THEN o_totalprice * 2.0
         |         ELSE o_totalprice END AS o_totalprice
         |  FROM after_delete
+        |), after_evo AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice, CAST(NULL AS VARCHAR) AS note
+        |  FROM after_part WHERE o_orderkey % 23 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice, 'rush' AS note
+        |  FROM orders WHERE o_orderkey % 23 = 0
         |)
-        |SELECT o_orderstatus, count(*) AS cnt, round(sum(o_totalprice), 2) AS total
-        |FROM after_part GROUP BY 1 ORDER BY 1""".stripMargin,
+        |SELECT o_orderstatus, coalesce(note, 'none') AS note,
+        |  count(*) AS cnt, round(sum(o_totalprice), 2) AS total
+        |FROM after_evo GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q_sql_ddl" ->
       """WITH final AS (
