@@ -1979,6 +1979,48 @@ object SparkEntry {
               |FROM graft_cat.default.orders_dml3 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
     }),
 
+    "q_sql_dyn_overwrite" -> ((s, dir) => {
+      // dynamic partition overwrite (partitionOverwriteMode=dynamic):
+      // INSERT OVERWRITE replaces exactly the partitions the batch lands
+      // in — the engine derives the scope from the appended files' labels
+      // in the SAME commit (one pass over the source, no pre-computed
+      // distinct). In-query pins: untouched partitions keep their original
+      // files, and the pre-overwrite content stays travelable.
+      val base = scratch(dir)
+      s.conf.set("spark.sql.catalog.graft_cat", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft_cat.base", base)
+      if (!graft.ktk.DatasetMetadata.exists(s, base, "orders_dyn")) {
+        Ktk.store(s, base, "orders_dyn",
+          t(s, dir, "orders").select("o_orderkey", "o_orderstatus", "o_totalprice"),
+          partitionOn = Seq("o_orderstatus")) // v1
+        val files0 = graft.ktk.DatasetMetadata.load(s, base, "orders_dyn").partitions.keySet
+        t(s, dir, "orders").createOrReplaceTempView("dyn_orders_src")
+        val prev = s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+        s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try {
+          // the batch only carries status 'O': that partition swaps, the
+          // others survive untouched (scan order: o_orderkey, o_totalprice,
+          // o_orderstatus)
+          s.sql("""INSERT OVERWRITE graft_cat.default.orders_dyn
+                  |SELECT o_orderkey, o_totalprice * 0.5 AS o_totalprice, o_orderstatus
+                  |FROM dyn_orders_src WHERE o_orderstatus = 'O'""".stripMargin)
+        } finally prev match {
+          case Some(v) => s.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+          case None    => s.conf.unset("spark.sql.sources.partitionOverwriteMode")
+        }
+        val md1 = graft.ktk.DatasetMetadata.load(s, base, "orders_dyn")
+        require(md1.version == 2L, "dynamic overwrite must be ONE commit")
+        require(files0.filterNot(_.contains("o_orderstatus=O"))
+          .subsetOf(md1.partitions.keySet),
+          "dynamic overwrite must not touch partitions absent from the batch")
+        require(Ktk.readTableAsOf(s, base, "orders_dyn", 1L).count() ==
+          t(s, dir, "orders").count(), "pre-overwrite snapshot must stay travelable")
+      }
+      s.sql("""SELECT o_orderstatus, count(*) AS cnt,
+              |  round(sum(o_totalprice), 2) AS total
+              |FROM graft_cat.default.orders_dyn GROUP BY 1 ORDER BY 1""".stripMargin)
+    }),
+
     "q_sql_ddl" -> ((s, dir) => {
       // the SQL DDL tier: ALTER TABLE ADD COLUMNS (metadata-only additive
       // evolution), SET TBLPROPERTIES (versioned user metadata),
@@ -2298,6 +2340,17 @@ object SparkEntry {
         |SELECT o_orderstatus, coalesce(note, 'none') AS note,
         |  count(*) AS cnt, round(sum(o_totalprice), 2) AS total
         |FROM after_evo GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_sql_dyn_overwrite" ->
+      """WITH final AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice
+        |  FROM orders WHERE o_orderstatus <> 'O'
+        |  UNION ALL
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice * 0.5 AS o_totalprice
+        |  FROM orders WHERE o_orderstatus = 'O'
+        |)
+        |SELECT o_orderstatus, count(*) AS cnt, round(sum(o_totalprice), 2) AS total
+        |FROM final GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_sql_ddl" ->
       """WITH final AS (

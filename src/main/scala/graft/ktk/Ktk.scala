@@ -2142,17 +2142,29 @@ object Ktk {
       appendSidecars: Boolean = false,
       evolveSchema: Boolean = false,
       replaceAll: Boolean = false,
-      requireAppendsInScope: Boolean = false): DatasetMetadata = {
+      requireAppendsInScope: Boolean = false,
+      dynamicPartitionOverwrite: Boolean = false): DatasetMetadata = {
 
     val md = migrateInlineZones(spark, base, DatasetMetadata.load(spark, base, uuid))
     val tableDir = md.tableDir(base)
+    if (dynamicPartitionOverwrite) {
+      require(!replaceAll && deleteScope.isEmpty,
+        "dynamicPartitionOverwrite derives its own scope from the batch")
+      require(md.partitionKeys.nonEmpty,
+        "dynamicPartitionOverwrite requires a partitioned dataset (use replaceAll)")
+      require(newData.nonEmpty, "dynamicPartitionOverwrite requires new data")
+    }
 
     // 1. which existing labels survive the delete scope? `replaceAll`
     //    (INSERT OVERWRITE semantics) drops every current reference in the
     //    SAME commit the new files land in — a versioned content swap, not
-    //    a physical clobber: old files stay for time travel until gc
+    //    a physical clobber: old files stay for time travel until gc.
+    //    (`dynamicPartitionOverwrite` defers this to AFTER the write: its
+    //    scope is the partition set the batch actually lands in — ONE pass
+    //    over the source, no pre-computed distinct.)
     val deleted: Set[String] =
-      if (replaceAll) {
+      if (dynamicPartitionOverwrite) Set.empty
+      else if (replaceAll) {
         require(deleteScope.isEmpty, "replaceAll and deleteScope are mutually exclusive")
         md.partitions.keySet
       } else if (deleteScope.isEmpty) Set.empty
@@ -2222,8 +2234,17 @@ object Ktk {
             "the source rows must all match the REPLACE WHERE / PARTITION clause")
     }
 
+    // dynamic partition overwrite: drop exactly the existing files whose
+    // partition tuple the batch re-wrote (derived from the appended labels
+    // — partition-count-sized, label parsing only, no extra job)
+    val dropped: Set[String] =
+      if (!dynamicPartitionOverwrite) deleted
+      else {
+        val touched = newLabels.map(md.partitionValues)
+        referenced.filter(l => touched.contains(md.partitionValues(l)))
+      }
     val finalPartitions: Map[String, Long] =
-      referenced.filterNot(deleted.contains).map(l => l -> md.sizeOf(l)).toMap ++ newFiles
+      referenced.filterNot(dropped.contains).map(l => l -> md.sizeOf(l)).toMap ++ newFiles
     val nextSeq = nextMonotoneSeq(md)
     val finalSeq = finalPartitions.keys.map { l =>
       l -> (if (newLabels.contains(l)) nextSeq else md.seqOf(l))
@@ -2237,7 +2258,7 @@ object Ktk {
     // after a delete the canonical merge must drop the dead labels' rows so
     // loadIndex/observedValues stay exact (queryLabels alone would tolerate
     // stale labels via its live-partition intersection)
-    val appendOnly = appendSidecars && deleted.isEmpty
+    val appendOnly = appendSidecars && dropped.isEmpty
     val idxReg = mergeIndicesIncremental(spark, base, md, tableDir,
       survivingOld = finalPartitions.keys.toSeq.filter(referenced.contains),
       newLabels = newLabels.toSeq, appendOnly = appendOnly)

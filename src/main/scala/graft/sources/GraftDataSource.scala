@@ -201,7 +201,7 @@ final class GraftTable(base: String, md: DatasetMetadata)
     java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE,
       TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER,
-      TableCapability.AUTOMATIC_SCHEMA_EVOLUTION)
+      TableCapability.OVERWRITE_DYNAMIC, TableCapability.AUTOMATIC_SCHEMA_EVOLUTION)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(base, md, options)
 
@@ -220,15 +220,20 @@ final class GraftTable(base: String, md: DatasetMetadata)
     *   - `INSERT OVERWRITE t PARTITION (p = 'x') SELECT ...` (static
     *     partition overwrite) — the filter must be expressible over
     *     partition keys in the engine's predicate algebra; it becomes the
-    *     commit's `deleteScope`, so only the matched partitions swap.
-    *
-    * Dynamic partition overwrite is not claimed
-    * ([[TableCapability.OVERWRITE_DYNAMIC]] absent — Spark fails it at
-    * analysis).
+    *     commit's `deleteScope`, so only the matched partitions swap;
+    *   - dynamic partition overwrite
+    *     (`spark.sql.sources.partitionOverwriteMode=dynamic`) — the
+    *     batch's distinct partition tuples become the `deleteScope`, so
+    *     exactly the partitions the batch carries swap and every other
+    *     partition's files survive untouched.
     */
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder with org.apache.spark.sql.connector.write.SupportsOverwrite {
-      // None = append; Some(empty) = full replace; Some(preds) = scoped
+      // None = append; Some(empty) = full replace; Some(preds) = scoped.
+      // Dynamic partition overwrite is lowered by GraftDmlRule BEFORE the
+      // write builder is consulted (OverwritePartitionsDynamicExec has no
+      // V1 fallback); a session without the graft extensions gets Spark's
+      // own "table does not support dynamic overwrite" analysis error.
       private var overwriteScope: Option[Predicates] = None
 
       override def truncate(): WriteBuilder = {

@@ -47,6 +47,18 @@ import graft.ktk.Ktk
 case class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperators {
+    // dynamic partition overwrite (partitionOverwriteMode=dynamic): Spark
+    // plans OverwritePartitionsDynamicExec, which has NO V1 write fallback
+    // (it calls Write.toBatch directly), so lower the logical node here to
+    // the engine's one-pass dynamic-overwrite commit: the scope — exactly
+    // the partitions the batch lands in — derives from the appended files'
+    // labels inside Ktk.update, no pre-computed distinct over the source.
+    case o @ OverwritePartitionsDynamic(rel, query, _, _, _)
+        if o.resolved && graftTable(rel).isDefined =>
+      val t = graftTable(rel).get
+      GraftDynamicOverwriteCommand(t.basePath, t.datasetMetadata.uuid,
+        () => GraftBridge.ofRows(session, query))
+
     case u @ UpdateTable(rel, assignments, condition)
         if u.resolved && graftTable(rel).isDefined =>
       val t = graftTable(rel).get
@@ -511,6 +523,27 @@ case class GraftUpdateCommand(
       case None    => Ktk.updateRows(session, base, uuid, set, conditionCol = Some(cond))
     }
     Seq(Row(n, md.version))
+  }
+}
+
+/** Driver-side dynamic partition overwrite: ONE versioned commit that
+  * appends the batch and drops exactly the existing files whose partition
+  * tuple the batch re-wrote (scope derived from the appended labels — a
+  * single pass over the source). Unpartitioned tables degenerate to a
+  * full versioned replace, like every other engine.
+  */
+case class GraftDynamicOverwriteCommand(
+    base: String, uuid: String, sourceDf: () => DataFrame)
+  extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Nil
+  override def run(session: SparkSession): Seq[Row] = {
+    val md = graft.ktk.DatasetMetadata.load(session, base, uuid)
+    if (md.partitionKeys.isEmpty)
+      Ktk.update(session, base, uuid, Some(sourceDf()), replaceAll = true)
+    else
+      Ktk.update(session, base, uuid, Some(sourceDf()),
+        dynamicPartitionOverwrite = true)
+    Nil
   }
 }
 

@@ -223,6 +223,42 @@ class GraftCatalogSpec extends SparkSpec {
     }
   }
 
+  test("dynamic partition overwrite replaces exactly the batch's partitions") {
+    withCatalog { (gk, base) =>
+      Ktk.store(spark, base, "tdyn",
+        Seq((1L, "a", 10.0), (2L, "a", 20.0), (3L, "b", 30.0), (4L, "c", 40.0))
+          .toDF("k", "p", "v"),
+        partitionOn = Seq("p")) // v1
+      val files0 = DatasetMetadata.load(spark, base, "tdyn").partitions.keySet
+      val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try {
+        // batch touches p='a' and p='c' only: 'b' survives untouched
+        // (connector scan order: k, v, p)
+        spark.sql(
+          s"INSERT OVERWRITE $gk.default.tdyn VALUES (7, 70.0, 'a'), (8, 80.0, 'c')")
+        spark.sql(s"SELECT k, p, v FROM $gk.default.tdyn ORDER BY k")
+          .as[(Long, String, Double)].collect().toSeq shouldBe Seq(
+          (3L, "b", 30.0), (7L, "a", 70.0), (8L, "c", 80.0))
+        // untouched partitions keep their ORIGINAL files (no rewrite), one
+        // versioned commit, and pre-overwrite content stays travelable
+        val md = DatasetMetadata.load(spark, base, "tdyn")
+        md.version shouldBe 2L
+        files0.filter(_.contains("p=b")).subsetOf(md.partitions.keySet) shouldBe true
+        spark.sql(s"SELECT count(*) FROM $gk.default.tdyn VERSION AS OF 1")
+          .as[Long].head() shouldBe 4L
+        // a batch with a NULL partition value refuses before committing
+        intercept[Exception] {
+          spark.sql(s"INSERT OVERWRITE $gk.default.tdyn VALUES (9, 90.0, NULL)")
+        }.getMessage should include("null values in partition columns")
+        DatasetMetadata.load(spark, base, "tdyn").version shouldBe 2L
+      } finally prev match {
+        case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None    => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+    }
+  }
+
   test("INSERT OVERWRITE is a versioned content swap, full-table and per-partition") {
     withCatalog { (gk, base) =>
       Ktk.store(spark, base, "to",
