@@ -200,6 +200,36 @@ class KtkSpec extends SparkSpec {
     Ktk.readTable(spark, base, "rz").filter($"p" === 0).count() shouldBe 0
   }
 
+  test("dynamicPartitionOverwrite swaps only the batch's partition tuples (multi-key)") {
+    import spark.implicits._
+    val base = tmpDir("ktk")
+    Ktk.store(spark, base, "dyn",
+      Seq(("a", 1L, 10.0), ("a", 2L, 20.0), ("b", 1L, 30.0), ("b", 2L, 40.0))
+        .toDF("p", "q", "v"),
+      partitionOn = Seq("p", "q")) // 4 partition tuples
+    val files0 = DatasetMetadata.load(spark, base, "dyn").partitions.keySet
+    // batch lands in (a,2) and (b,1) only: the other two tuples survive
+    val (_, _) = (Ktk.update(spark, base, "dyn",
+      Some(Seq(("a", 2L, 200.0), ("b", 1L, 300.0)).toDF("p", "q", "v")),
+      dynamicPartitionOverwrite = true), ())
+    Ktk.readTable(spark, base, "dyn").select("p", "q", "v")
+      .as[(String, Long, Double)].collect().sorted.toSeq shouldBe Seq(
+      ("a", 1L, 10.0), ("a", 2L, 200.0), ("b", 1L, 300.0), ("b", 2L, 40.0))
+    val md = DatasetMetadata.load(spark, base, "dyn")
+    // untouched tuples keep their ORIGINAL files; ONE commit
+    files0.filter(l => l.contains("p=a/q=1") || l.contains("p=b/q=2"))
+      .subsetOf(md.partitions.keySet) shouldBe true
+    md.version shouldBe 2L
+    // guards: needs data, a partitioned dataset, and no competing scope
+    intercept[IllegalArgumentException] {
+      Ktk.update(spark, base, "dyn", None, dynamicPartitionOverwrite = true)
+    }
+    intercept[IllegalArgumentException] {
+      Ktk.update(spark, base, "dyn", Some(Seq(("a", 1L, 1.0)).toDF("p", "q", "v")),
+        dynamicPartitionOverwrite = true, replaceAll = true)
+    }
+  }
+
   test("gc removes unreferenced files only") {
     val base = tmpDir("ktk")
     Ktk.store(spark, base, "ds", sample, partitionOn = Seq("p"))
