@@ -2150,21 +2150,25 @@ object Ktk {
     if (dynamicPartitionOverwrite) {
       require(!replaceAll && deleteScope.isEmpty,
         "dynamicPartitionOverwrite derives its own scope from the batch")
-      require(md.partitionKeys.nonEmpty,
-        "dynamicPartitionOverwrite requires a partitioned dataset (use replaceAll)")
       require(newData.nonEmpty, "dynamicPartitionOverwrite requires new data")
     }
+    // dynamic overwrite of an UNPARTITIONED dataset degenerates to a full
+    // versioned replace — there is exactly one "partition" and the batch
+    // rewrites it (the same rule every engine applies)
+    val effReplaceAll = replaceAll ||
+      (dynamicPartitionOverwrite && md.partitionKeys.isEmpty)
+    val effDynamic = dynamicPartitionOverwrite && md.partitionKeys.nonEmpty
 
     // 1. which existing labels survive the delete scope? `replaceAll`
     //    (INSERT OVERWRITE semantics) drops every current reference in the
     //    SAME commit the new files land in — a versioned content swap, not
     //    a physical clobber: old files stay for time travel until gc.
-    //    (`dynamicPartitionOverwrite` defers this to AFTER the write: its
+    //    (dynamic partition overwrite defers this to AFTER the write: its
     //    scope is the partition set the batch actually lands in — ONE pass
     //    over the source, no pre-computed distinct.)
     val deleted: Set[String] =
-      if (dynamicPartitionOverwrite) Set.empty
-      else if (replaceAll) {
+      if (effDynamic) Set.empty
+      else if (effReplaceAll) {
         require(deleteScope.isEmpty, "replaceAll and deleteScope are mutually exclusive")
         md.partitions.keySet
       } else if (deleteScope.isEmpty) Set.empty
@@ -2238,7 +2242,7 @@ object Ktk {
     // partition tuple the batch re-wrote (derived from the appended labels
     // — partition-count-sized, label parsing only, no extra job)
     val dropped: Set[String] =
-      if (!dynamicPartitionOverwrite) deleted
+      if (!effDynamic) deleted
       else {
         val touched = newLabels.map(md.partitionValues)
         referenced.filter(l => touched.contains(md.partitionValues(l)))
@@ -2276,7 +2280,7 @@ object Ktk {
       indices = idxReg, blooms = bloomReg, zones = zoneReg,
       // a full content replacement also sheds pending deletion vectors —
       // every file they tombstone just left the referenced set
-      deletes = if (replaceAll) Nil else md.deletes,
+      deletes = if (effReplaceAll) Nil else md.deletes,
       metadata = md.metadata ++ extraMetadata ++ sortMeta +
         (DatasetMetadata.SeqHwmKey -> nextSeq.toString))
 

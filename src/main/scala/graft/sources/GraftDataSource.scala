@@ -222,9 +222,11 @@ final class GraftTable(base: String, md: DatasetMetadata)
     *     partition keys in the engine's predicate algebra; it becomes the
     *     commit's `deleteScope`, so only the matched partitions swap;
     *   - dynamic partition overwrite
-    *     (`spark.sql.sources.partitionOverwriteMode=dynamic`) — the
-    *     batch's distinct partition tuples become the `deleteScope`, so
-    *     exactly the partitions the batch carries swap and every other
+    *     (`spark.sql.sources.partitionOverwriteMode=dynamic`) — lowered by
+    *     [[GraftDmlRule]] before write planning to
+    *     `Ktk.update(dynamicPartitionOverwrite = true)`: the commit drops
+    *     exactly the existing files whose partition tuple the APPENDED
+    *     labels re-wrote (one pass over the source), every other
     *     partition's files survive untouched.
     */
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =

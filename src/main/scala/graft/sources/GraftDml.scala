@@ -115,18 +115,27 @@ case class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
           case a: AttributeReference if idToName.get(a.exprId).exists(_ != a.name) => a
         }.nonEmpty)
       }
-      // under corruption the ON equalities may carry type coercions derived
-      // from the mismapped attr types; names are still right, so unwrap
-      def stripOnCasts(e: Expression): Expression = e match {
-        case c: org.apache.spark.sql.catalyst.expressions.Cast => stripOnCasts(c.child)
+      // store-assignment / coercion artifacts the analyzer derived from the
+      // CORRUPTED attr types: peel down to the underlying expression
+      def stripArtifacts(e: Expression): Expression = e match {
+        case a: org.apache.spark.sql.catalyst.expressions.objects.AssertNotNull =>
+          stripArtifacts(a.child)
+        case c: org.apache.spark.sql.catalyst.expressions.Cast => stripArtifacts(c.child)
         case other => other
       }
+      // under corruption the ON equalities may carry type coercions derived
+      // from the mismapped attr types; names are still right, so unwrap —
+      // but a stripped cast could also be USER-written (e.g. ON t.k =
+      // CAST(s.ks AS BIGINT)), which the plain path refuses. Distinguish by
+      // the REAL types: the corruption-only case has declared-target type ==
+      // source attr type once the bogus cast is gone; anything else refuses
+      // rather than silently matching on different semantics.
       val keys = splitConjunction(cond).map { c0 =>
         val c = if (evolutionCorrupted) c0 match {
-          case EqualTo(l, r) => EqualTo(stripOnCasts(l), stripOnCasts(r))
+          case EqualTo(l, r) => EqualTo(stripArtifacts(l), stripArtifacts(r))
           case other         => other
         } else c0
-        c match {
+        val pair = c match {
           case EqualTo(a: AttributeReference, b: AttributeReference)
               if targetAttrs.contains(a) && sourceAttrs.contains(b) => (a, b)
           case EqualTo(a: AttributeReference, b: AttributeReference)
@@ -135,6 +144,16 @@ case class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
             s"graft MERGE requires ON to be a conjunction of target-column = " +
               s"source-column equalities, got $other")
         }
+        if (evolutionCorrupted) {
+          val declared = t.datasetMetadata.schema(pair._1.name).dataType
+          if (declared != pair._2.dataType)
+            throw new UnsupportedOperationException(
+              s"MERGE WITH SCHEMA EVOLUTION: ON clause for key '${pair._1.name}' " +
+                s"is not a plain same-type column equality (target $declared vs " +
+                s"source ${pair._2.dataType}); ALTER TABLE ... ADD COLUMNS first " +
+                "and re-run the MERGE with the explicit ON expression")
+        }
+        pair
       }
       val targetCols = t.datasetMetadata.schema.fieldNames.toSeq
       // the source as a DataFrame projected to TARGET column names: the
@@ -149,12 +168,7 @@ case class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
       // store-assignment artifacts; peel those (their types came from the
       // corrupted key) and re-cast by name from the table's real schema
       def repairedColumn(name: String, value: Expression): Column = {
-        def peel(e: Expression): Expression = e match {
-          case a: org.apache.spark.sql.catalyst.expressions.objects.AssertNotNull => peel(a.child)
-          case c: org.apache.spark.sql.catalyst.expressions.Cast => peel(c.child)
-          case other => other
-        }
-        peel(value) match {
+        stripArtifacts(value) match {
           case a: AttributeReference if sourceAttrs.contains(a) =>
             val declared = t.datasetMetadata.schema(name).dataType
             if (a.dataType == declared) toColumn(a) else toColumn(a).cast(declared)
@@ -529,20 +543,16 @@ case class GraftUpdateCommand(
 /** Driver-side dynamic partition overwrite: ONE versioned commit that
   * appends the batch and drops exactly the existing files whose partition
   * tuple the batch re-wrote (scope derived from the appended labels — a
-  * single pass over the source). Unpartitioned tables degenerate to a
-  * full versioned replace, like every other engine.
+  * single pass over the source). Ktk.update itself degenerates an
+  * unpartitioned dataset to a full versioned replace.
   */
 case class GraftDynamicOverwriteCommand(
     base: String, uuid: String, sourceDf: () => DataFrame)
   extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Nil
   override def run(session: SparkSession): Seq[Row] = {
-    val md = graft.ktk.DatasetMetadata.load(session, base, uuid)
-    if (md.partitionKeys.isEmpty)
-      Ktk.update(session, base, uuid, Some(sourceDf()), replaceAll = true)
-    else
-      Ktk.update(session, base, uuid, Some(sourceDf()),
-        dynamicPartitionOverwrite = true)
+    Ktk.update(session, base, uuid, Some(sourceDf()),
+      dynamicPartitionOverwrite = true)
     Nil
   }
 }

@@ -209,9 +209,9 @@ class KtkSpec extends SparkSpec {
       partitionOn = Seq("p", "q")) // 4 partition tuples
     val files0 = DatasetMetadata.load(spark, base, "dyn").partitions.keySet
     // batch lands in (a,2) and (b,1) only: the other two tuples survive
-    val (_, _) = (Ktk.update(spark, base, "dyn",
+    Ktk.update(spark, base, "dyn",
       Some(Seq(("a", 2L, 200.0), ("b", 1L, 300.0)).toDF("p", "q", "v")),
-      dynamicPartitionOverwrite = true), ())
+      dynamicPartitionOverwrite = true)
     Ktk.readTable(spark, base, "dyn").select("p", "q", "v")
       .as[(String, Long, Double)].collect().sorted.toSeq shouldBe Seq(
       ("a", 1L, 10.0), ("a", 2L, 200.0), ("b", 1L, 300.0), ("b", 2L, 40.0))
@@ -220,7 +220,7 @@ class KtkSpec extends SparkSpec {
     files0.filter(l => l.contains("p=a/q=1") || l.contains("p=b/q=2"))
       .subsetOf(md.partitions.keySet) shouldBe true
     md.version shouldBe 2L
-    // guards: needs data, a partitioned dataset, and no competing scope
+    // guards: needs data and no competing scope
     intercept[IllegalArgumentException] {
       Ktk.update(spark, base, "dyn", None, dynamicPartitionOverwrite = true)
     }
@@ -228,6 +228,12 @@ class KtkSpec extends SparkSpec {
       Ktk.update(spark, base, "dyn", Some(Seq(("a", 1L, 1.0)).toDF("p", "q", "v")),
         dynamicPartitionOverwrite = true, replaceAll = true)
     }
+    // unpartitioned dataset: dynamic degenerates to a full versioned replace
+    Ktk.store(spark, base, "dyn0", Seq((1L, 1.0), (2L, 2.0)).toDF("k", "v"))
+    Ktk.update(spark, base, "dyn0", Some(Seq((9L, 9.0)).toDF("k", "v")),
+      dynamicPartitionOverwrite = true)
+    Ktk.readTable(spark, base, "dyn0").select("k").as[Long].collect().toSeq shouldBe Seq(9L)
+    Ktk.readTableAsOf(spark, base, "dyn0", 1L).count() shouldBe 2L
   }
 
   test("gc removes unreferenced files only") {
