@@ -32,9 +32,25 @@ final class GraftDvScan(
     clean: GraftStreamableScan,
     dirty: ParquetScan,
     dv: Broadcast[Map[String, Array[Long]]])
-  extends Scan with Batch with SupportsReportStatistics {
+  extends Scan with Batch with SupportsReportStatistics
+  with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
 
   override def readSchema(): StructType = clean.readSchema()
+
+  // runtime (DPP) filtering passes through: the clean delegate prunes its
+  // own planning, the dirty side prunes here with the same best-effort
+  // evaluator over the planned files' typed partition values
+  @volatile private var runtimePreds:
+    Array[org.apache.spark.sql.connector.expressions.filter.Predicate] = Array.empty
+
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    clean.filterAttributes()
+
+  override def filter(
+      predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit = {
+    clean.filter(predicates)
+    runtimePreds = predicates
+  }
 
   override def description(): String = {
     val tombstones = dv.value.valuesIterator.map(_.length.toLong).sum
@@ -75,7 +91,8 @@ final class GraftDvScan(
     // dirty side: regroup the planned splits ONE FILE PER PARTITION so the
     // reader knows which label's tombstone set applies (splits of the same
     // file stay together; positions are file-absolute either way)
-    val files = dirty.toBatch.planInputPartitions().flatMap {
+    val files = GraftRuntimePrune(dirty.toBatch.planInputPartitions(),
+        dirty.readPartitionSchema, runtimePreds).flatMap {
       case fp: FilePartition => fp.files
       case other => throw new IllegalStateException(s"unexpected partition $other")
     }

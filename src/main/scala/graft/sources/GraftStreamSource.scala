@@ -43,16 +43,120 @@ final class GraftStreamableScan(
     uuid: String,
     tableSchema: StructType)
   extends ParquetScan(spark, hadoopConf, fileIndex, dataSchema, readDataSchema,
-    readPartitionSchema, pushedFilters, options, None, Nil, Nil) {
+    readPartitionSchema, pushedFilters, options, None, Nil, Nil)
+  with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
 
   // Datasets with pending deletion vectors never reach this scan's batch
   // path directly: GraftScanBuilder routes their dirty files through
   // [[GraftDvScan]] (clean/dirty split), handing THIS scan only files no
   // tombstone touches.
 
+  // ------------------------------------------------ runtime filtering (DPP)
+  //
+  // Spark 4.1's FileScan does NOT implement SupportsRuntimeV2Filtering, so
+  // without this a star-schema join reads EVERY fact partition even when
+  // the dim side reduces the join keys to a handful of partition values.
+  // PartitionPruning plants an IN-subquery runtime filter on the scan's
+  // partition columns; at execution BatchScanExec calls `filter(...)` and
+  // re-plans, and the planned FilePartitions drop every file whose typed
+  // partition values fail the predicates. Pruning is best-effort by
+  // contract — unknown predicate shapes prune nothing, Spark re-applies
+  // the exact join — so correctness never depends on it.
+  @volatile private var runtimePreds:
+    Array[org.apache.spark.sql.connector.expressions.filter.Predicate] = Array.empty
+
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    readPartitionSchema.fieldNames.map(
+      org.apache.spark.sql.connector.expressions.Expressions.column)
+
+  override def filter(
+      predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit = {
+    runtimePreds = predicates
+  }
+
+  override def planInputPartitions(): Array[InputPartition] =
+    GraftRuntimePrune(super.planInputPartitions(), readPartitionSchema, runtimePreds)
+
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new GraftMicroBatchStream(base, uuid, tableSchema, dataSchema, readDataSchema,
       readPartitionSchema, options)
+}
+
+/** Best-effort FilePartition pruning against runtime (DPP) predicates over
+  * the typed partition values Spark attached to each planned file. Only
+  * shapes whose semantics are certain prune (`=`, `IN`, `AND`, `OR`, with
+  * same-typed literals); anything else keeps the file — dropping a file
+  * wrongly would lose rows, keeping one only costs the exact filter Spark
+  * re-applies anyway.
+  */
+object GraftRuntimePrune {
+  import org.apache.spark.sql.connector.expressions.{Literal => V2Literal}
+  import org.apache.spark.sql.connector.expressions.NamedReference
+  import org.apache.spark.sql.connector.expressions.filter.Predicate
+  import org.apache.spark.sql.execution.datasources.FilePartition
+
+  /** test/observability hook: CUMULATIVE files kept vs dropped by runtime
+    * pruning (a DV scan prunes clean and dirty sides in separate calls) */
+  val lastKept = new java.util.concurrent.atomic.AtomicLong(0)
+  val lastDropped = new java.util.concurrent.atomic.AtomicLong(0)
+
+  def apply(parts: Array[InputPartition], partitionSchema: StructType,
+      preds: Array[Predicate]): Array[InputPartition] = {
+    if (preds.isEmpty || partitionSchema.isEmpty) return parts
+    var kept = 0L; var dropped = 0L
+    val out = parts.flatMap {
+      case fp: FilePartition =>
+        val fs = fp.files.filter { f =>
+          val k = preds.forall(p => keeps(f.partitionValues, partitionSchema, p))
+          if (k) kept += 1 else dropped += 1
+          k
+        }
+        if (fs.isEmpty) None else Some(fs)
+      case other => return parts // unknown partition shape: never prune
+    }
+    lastKept.addAndGet(kept); lastDropped.addAndGet(dropped)
+    out.zipWithIndex.map { case (fs, i) => FilePartition(i, fs): InputPartition }
+  }
+
+  /** Tri-state evaluation collapsed to "might this row match": true means
+    * KEEP (match or unknown), false means provably no match.
+    */
+  private def keeps(row: InternalRow, schema: StructType, p: Predicate): Boolean =
+    p.name() match {
+      case "AND" => p.children().forall {
+        case c: Predicate => keeps(row, schema, c)
+        case _            => true
+      }
+      case "OR" => p.children().exists {
+        case c: Predicate => keeps(row, schema, c)
+        case _            => true
+      }
+      case "=" => p.children() match {
+        case Array(f: NamedReference, l: V2Literal[_]) => litMatches(row, schema, f, Seq(l))
+        case Array(l: V2Literal[_], f: NamedReference) => litMatches(row, schema, f, Seq(l))
+        case _                                            => true
+      }
+      case "IN" => p.children() match {
+        case Array(f: NamedReference, rest @ _*) if rest.forall(_.isInstanceOf[V2Literal[_]]) =>
+          litMatches(row, schema, f, rest.map(_.asInstanceOf[V2Literal[_]]))
+        case _ => true
+      }
+      case _ => true
+    }
+
+  private def litMatches(row: InternalRow, schema: StructType,
+      f: NamedReference, lits: Seq[V2Literal[_]]): Boolean = {
+    if (f.fieldNames.length != 1) return true
+    val ord = schema.fieldNames.indexOf(f.fieldNames.head)
+    if (ord < 0) return true
+    val dt = schema.fields(ord).dataType
+    // typed-literal guard: comparing differently-typed boxed values with
+    // == is always false, which would WRONGLY prune — keep instead
+    if (lits.exists(_.dataType() != dt)) return true
+    if (row.isNullAt(ord)) return false // engine forbids null partitions
+    val v = row.get(ord, dt)
+    lits.exists(l => l.value() == v)
+  }
 }
 
 /** Commit-aware change feed over a graft dataset

@@ -109,6 +109,48 @@ class GraftDataSourceSpec extends SparkSpec {
         scala.jdk.CollectionConverters.MapHasAsJava(opts).asJava)).build()
   }
 
+  test("dynamic partition pruning drops fact partitions at runtime") {
+    val base = tmpDir("dpp")
+    // fact: 6 partitions; dim: selective filter keeps 2 join keys
+    Ktk.store(spark, base, "fact",
+      (1 to 60).map(i => (i % 6, i.toLong, i * 1.0)).toDF("p", "k", "v"),
+      partitionOn = Seq("p"))
+    // dim must be a FILE source: a local relation folds its filter at
+    // planning, leaving no selective predicate for PartitionPruning
+    Seq((0L, "keep"), (1L, "keep"), (2L, "drop"), (3L, "drop"), (4L, "drop"),
+      (5L, "drop")).toDF("dp", "flag").write.parquet(s"$base/dim")
+    val dim = spark.read.parquet(s"$base/dim")
+    val fact = spark.read.format("graft").option("uuid", "fact").load(base)
+    GraftRuntimePrune.lastKept.set(0); GraftRuntimePrune.lastDropped.set(0)
+    val joined = fact.join(dim.filter(col("flag") === "keep"), col("p") === col("dp"))
+    val total = joined.agg(sum("v")).head.getDouble(0)
+    total shouldBe (1 to 60).filter(i => i % 6 <= 1).map(_ * 1.0).sum
+    // the optimizer planted a runtime filter on the scan's partition column
+    // and the planner dropped the 4 non-matching partitions' files
+    joined.queryExecution.executedPlan.toString should include("dynamicpruning")
+    GraftRuntimePrune.lastDropped.get() should be > 0L
+    GraftRuntimePrune.lastKept.get() should be > 0L
+  }
+
+  test("runtime pruning also reaches DV-bearing scans, both sides") {
+    val base = tmpDir("dppdv")
+    Ktk.store(spark, base, "fact",
+      (1 to 60).map(i => (i % 6, i.toLong, i * 1.0)).toDF("p", "k", "v"),
+      partitionOn = Seq("p"))
+    // tombstone one row in p=0 (kept by the join) so the scan splits
+    Ktk.deleteRows(spark, base, "fact",
+      predicates = graft.core.Predicates.of(Seq(("p", "==", 0), ("k", "==", 6L))))
+    Seq((0L, "keep"), (1L, "keep"), (2L, "drop"), (3L, "drop"), (4L, "drop"),
+      (5L, "drop")).toDF("dp", "flag").write.parquet(s"$base/dim")
+    val dim = spark.read.parquet(s"$base/dim")
+    val fact = spark.read.format("graft").option("uuid", "fact").load(base)
+    GraftRuntimePrune.lastDropped.set(0)
+    val joined = fact.join(dim.filter(col("flag") === "keep"), col("p") === col("dp"))
+    val total = joined.agg(sum("v")).head.getDouble(0)
+    total shouldBe (1 to 60).filter(i => i % 6 <= 1 && i != 6).map(_ * 1.0).sum
+    GraftRuntimePrune.lastDropped.get() should be > 0L
+  }
+
   test("deletion vectors are applied by the batch scan (clean/dirty split)") {
     val base = setup()
     // tombstone ONE row in partition p=1; p=2/p=3 files stay clean
