@@ -469,6 +469,49 @@ object SparkEntry {
         .orderBy("o_orderkey")
     }),
 
+    "q_dsv2_dpp" -> ((s, dir) => {
+      // dynamic partition pruning through the connector: a star join whose
+      // dim side reduces the join keys to a subset of partitions plants a
+      // runtime IN filter on the graft scan (SupportsRuntimeV2Filtering —
+      // Spark's FileScan doesn't implement it, the connector does), and the
+      // re-planned scan drops the other partitions' files before reading.
+      // In-query pins: the physical plan carries the dynamicpruning
+      // subquery and the prune counter moved.
+      val base = scratch(dir)
+      built.getOrElseUpdate(s"$base/dsv2dpp", {
+        Ktk.store(s, base, "li_dpp",
+          t(s, dir, "lineitem").select("l_orderkey", "l_returnflag", "l_quantity",
+            "l_extendedprice"),
+          partitionOn = Seq("l_returnflag"), overwrite = true)
+        ()
+      })
+      val fact = s.read.format("graft").option("uuid", "li_dpp").load(base)
+      // FILE-backed dim whose SELECTIVE filter is on a NON-join column:
+      // filtering the join key itself would let constraint propagation
+      // prune statically (no runtime filter needed), and a local relation
+      // folds its filter at planning — either defeats the rule under test
+      val dimPath = s"$base/dpp_dim"
+      if (!new java.io.File(dimPath).exists())
+        t(s, dir, "lineitem").select(col("l_returnflag").as("flag"))
+          .distinct()
+          .withColumn("is_r", when(col("flag") === "R", 1L).otherwise(0L))
+          .write.mode("overwrite").parquet(dimPath)
+      val dim = s.read.parquet(dimPath).filter(col("is_r") === 1L)
+      graft.sources.GraftRuntimePrune.lastDropped.set(0)
+      val joined = fact.join(dim, col("l_returnflag") === col("flag"))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("cnt"),
+          round(sum(col("l_extendedprice")), 2).as("total"))
+        .orderBy("l_returnflag")
+        .select("l_returnflag", "cnt", "total")
+      val out = joined.collect()
+      require(joined.queryExecution.executedPlan.toString.contains("dynamicpruning"),
+        "expected a dynamicpruning runtime filter on the graft scan")
+      require(graft.sources.GraftRuntimePrune.lastDropped.get() > 0,
+        "runtime pruning should drop the non-matching partitions' files")
+      s.createDataFrame(java.util.Arrays.asList(out: _*), joined.schema)
+    }),
+
     "q_ktk_zonemap" -> ((s, dir) => {
       // metadata-level data skipping: per-file [min, max] ranges on the
       // timestamp column answer a range predicate without opening footers
@@ -2421,6 +2464,12 @@ object SparkEntry {
       """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
         |WHERE NOT (o_orderstatus = 'F' AND o_totalprice > 100000.0)
         |  AND o_totalprice > 50000.0 ORDER BY 1""".stripMargin,
+
+    "q_dsv2_dpp" ->
+      """SELECT l_returnflag, count(*) AS cnt,
+        |  round(sum(l_extendedprice), 2) AS total
+        |FROM lineitem WHERE l_returnflag = 'R'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_join_left" ->
       """SELECT o_orderkey, o_custkey, c_mktsegment, round(o_totalprice, 2) AS o_totalprice
