@@ -155,7 +155,15 @@ object GraftRuntimePrune {
     if (lits.exists(_.dataType() != dt)) return true
     if (row.isNullAt(ord)) return false // engine forbids null partitions
     val v = row.get(ord, dt)
-    lits.exists(l => l.value() == v)
+    // literals arrive in BOTH representations: Spark's runtime-filter
+    // translation carries catalyst-internal values (UTF8String, day ints),
+    // Expressions.literal carries external JVM values (String, sql.Date) —
+    // normalize to catalyst before comparing, or a String-vs-UTF8String
+    // mismatch silently prunes a matching file
+    lits.exists { l =>
+      org.apache.spark.sql.catalyst.CatalystTypeConverters
+        .convertToCatalyst(l.value()) == v
+    }
   }
 }
 

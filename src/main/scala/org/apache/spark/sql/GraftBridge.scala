@@ -39,4 +39,13 @@ object GraftBridge {
     */
   def ofRows(spark: SparkSession, plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** Construct a DSv2 literal carrying a catalyst-internal value — the
+    * representation Spark's runtime-filter translation sends to
+    * `SupportsRuntimeV2Filtering.filter` (`LiteralValue` is `private[sql]`
+    * at the Scala-signature level in this build, so tests build the
+    * production shape through this bridge).
+    */
+  def v2Literal(value: Any, dt: org.apache.spark.sql.types.DataType): org.apache.spark.sql.connector.expressions.Literal[Any] =
+    org.apache.spark.sql.connector.expressions.LiteralValue(value, dt)
 }
