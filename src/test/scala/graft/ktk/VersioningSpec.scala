@@ -230,6 +230,39 @@ class VersioningSpec extends SparkSpec {
     else v2 shouldBe Seq(9L)                         // swap landed first
   }
 
+  test("two dynamic overwrites of DISJOINT partitions race without losing either") {
+    val base = tmpDir("ver")
+    Ktk.store(spark, base, "dyn",
+      Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0)).toDF("k", "p", "v"),
+      partitionOn = Seq("p"))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    val wa = Future {
+      Ktk.withCommitRetries(maxRetries = 20) {
+        Ktk.update(spark, base, "dyn",
+          Some(Seq((10L, "a", 10.0)).toDF("k", "p", "v")),
+          dynamicPartitionOverwrite = true)
+      }
+    }
+    val wb = Future {
+      Ktk.withCommitRetries(maxRetries = 20) {
+        Ktk.update(spark, base, "dyn",
+          Some(Seq((20L, "b", 20.0)).toDF("k", "p", "v")),
+          dynamicPartitionOverwrite = true)
+      }
+    }
+    try Await.result(Future.sequence(Seq(wa, wb)), 120.seconds)
+    finally pool.shutdown()
+    // disjoint scopes commute: regardless of commit order both swaps land
+    // and the untouched partition survives
+    Ktk.listVersions(spark, base, "dyn") shouldBe (1L to 3L)
+    Ktk.readTable(spark, base, "dyn").select("k")
+      .as[Long].collect().sorted.toSeq shouldBe Seq(3L, 10L, 20L)
+  }
+
   test("additive schema evolution: new columns appear, old files read as null") {
     val base = tmpDir("ver")
     Ktk.store(spark, base, "ds", Seq((1L, "a"), (2L, "b")).toDF("k", "v"))

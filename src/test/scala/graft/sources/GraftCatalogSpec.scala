@@ -223,6 +223,28 @@ class GraftCatalogSpec extends SparkSpec {
     }
   }
 
+  test("DataFrameWriterV2 surface: append / overwritePartitions / replace") {
+    withCatalog { (gk, base) =>
+      Ktk.store(spark, base, "twv2",
+        Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("k", "p", "v"),
+        partitionOn = Seq("p")) // v1
+      // append (scan order: k, v, p)
+      Seq((3L, 30.0, "c")).toDF("k", "v", "p")
+        .writeTo(s"$gk.default.twv2").append()
+      spark.table(s"$gk.default.twv2").count() shouldBe 3
+      // overwritePartitions = dynamic overwrite: only p='a' swaps
+      Seq((7L, 70.0, "a")).toDF("k", "v", "p")
+        .writeTo(s"$gk.default.twv2").overwritePartitions()
+      spark.sql(s"SELECT k FROM $gk.default.twv2 ORDER BY k")
+        .as[Long].collect().toSeq shouldBe Seq(2L, 3L, 7L)
+      // createOrReplace = RTAS on the same version line
+      Seq((9L, "z")).toDF("k", "tag").writeTo(s"$gk.default.twv2").createOrReplace()
+      spark.table(s"$gk.default.twv2").columns.toSeq should contain("tag")
+      spark.sql(s"SELECT count(*) FROM $gk.default.twv2 VERSION AS OF 1")
+        .as[Long].head() shouldBe 2L
+    }
+  }
+
   test("dynamic partition overwrite replaces exactly the batch's partitions") {
     withCatalog { (gk, base) =>
       Ktk.store(spark, base, "tdyn",
