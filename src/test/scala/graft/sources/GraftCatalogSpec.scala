@@ -223,6 +223,23 @@ class GraftCatalogSpec extends SparkSpec {
     }
   }
 
+  test("SHOW CREATE TABLE and DESCRIBE surface schema, partitioning, properties") {
+    withCatalog { (gk, base) =>
+      Ktk.store(spark, base, "tsc",
+        Seq((1L, "a", 10.0)).toDF("k", "p", "v"), partitionOn = Seq("p"),
+        userMetadata = Map("team" -> "data"))
+      val ddl = spark.sql(s"SHOW CREATE TABLE $gk.default.tsc")
+        .as[String].head()
+      ddl should include("CREATE TABLE")
+      ddl should (include("`k` BIGINT") or include("k BIGINT"))
+      ddl should include("PARTITIONED BY")
+      val desc = spark.sql(s"DESCRIBE TABLE EXTENDED $gk.default.tsc")
+        .select("col_name", "data_type").as[(String, String)].collect().toMap
+      desc("k") shouldBe "bigint"
+      desc should contain key "# Partition Information"
+    }
+  }
+
   test("DataFrameWriterV2 surface: append / overwritePartitions / replace") {
     withCatalog { (gk, base) =>
       Ktk.store(spark, base, "twv2",
