@@ -2405,7 +2405,8 @@ object Ktk {
       uuid: String,
       smallFileBytes: Long = 32L * 1024 * 1024,
       targetFileBytes: Long = 128L * 1024 * 1024,
-      extraMetadata: Map[String, String] = Map.empty): DatasetMetadata = {
+      extraMetadata: Map[String, String] = Map.empty,
+      scope: Predicates = Predicates.empty): DatasetMetadata = {
 
     val md = migrateInlineZones(spark, base, DatasetMetadata.load(spark, base, uuid))
     val tableDir = md.tableDir(base)
@@ -2413,11 +2414,22 @@ object Ktk {
       val i = label.lastIndexOf('/')
       if (i < 0) "" else label.substring(0, i)
     }
+    // optional partition scope (OPTIMIZE ... WHERE over partition keys): at
+    // large scale maintenance targets the HOT partitions, not the table —
+    // out-of-scope files are untouchable, label parsing only
+    val inScope: String => Boolean =
+      if (scope.isEmpty) _ => true
+      else {
+        scope.columns.foreach(c => require(md.partitionKeys.contains(c),
+          s"compact scope column '$c' must be a partition key"))
+        l => scope.matchesValues(md.partitionValues(l))
+      }
     // compaction victims: small files sharing (partition dir, commit seq)
     // with at least one other small file — singletons gain nothing.
     // Sizes come from the catalog (sizeOf widens Jackson's narrowed
     // integrals) — no listing of the table dir.
     val victimsBySeq: Map[Long, Seq[String]] = md.partitions.keys.toSeq
+      .filter(inScope)
       .map(l => l -> md.sizeOf(l))
       .filter(_._2 < smallFileBytes)
       .groupBy { case (l, _) => (dirOf(l), md.seqOf(l)) }

@@ -269,8 +269,18 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog with StagingTableC
     StructField("version", LongType), StructField("files", LongType)))
 
   private lazy val procedures: Map[String, UnboundProcedure] = Map(
-    "compact" -> proc("compact", Array(stringParam("table")), versionSchema) { in =>
-      versionRow(Ktk.compact(spark, base, in.getUTF8String(0).toString))
+    // optional `where` restricts compaction to matching partitions (the
+    // condition-string sublanguage over partition keys, e.g.
+    // "p == a, q > 3") — at scale maintenance targets hot partitions
+    "compact" -> proc("compact",
+      Array(stringParam("table"),
+        ProcedureParameter.in("where", StringType).defaultValue("''").build()),
+      versionSchema) { in =>
+      val cond = Option(in.getUTF8String(1)).map(_.toString.trim).getOrElse("")
+      val scope = if (cond.isEmpty) graft.core.Predicates.empty
+                  else graft.core.Predicates.parse(cond)
+      versionRow(Ktk.compact(spark, base, in.getUTF8String(0).toString,
+        scope = scope))
     },
     "materialize_deletes" -> proc("materialize_deletes",
       Array(stringParam("table")), versionSchema) { in =>

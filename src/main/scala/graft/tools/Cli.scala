@@ -96,7 +96,11 @@ object Cli {
       Ktk.garbageCollect(spark, args(1), args(2), dryRun = dry)
         .foreach(k => println(s"${if (dry) "would delete" else "deleted"} $k"))
     case "compact" =>
-      val md = Ktk.compact(spark, args(1), args(2))
+      // optional 4th arg: condition string restricting the scope to
+      // matching partitions ("p == a, q > 3")
+      val scope = if (args.length > 3) graft.core.Predicates.parse(args(3))
+                  else graft.core.Predicates.empty
+      val md = Ktk.compact(spark, args(1), args(2), scope = scope)
       println(s"compacted to ${md.partitions.size} files (run cleanup to drop the old ones)")
     case "optimize" =>
       // compact + materialize deletes + canonicalize sidecars (+ gc when a

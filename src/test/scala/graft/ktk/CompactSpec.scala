@@ -40,6 +40,24 @@ class CompactSpec extends SparkSpec {
     Ktk.readTable(spark, base, "ds").count() shouldBe 600
   }
 
+  test("scoped compact rewrites only matching partitions") {
+    val base = tmpDir("compact")
+    Ktk.store(spark, base, "ds", frag(600).repartition(6), partitionOn = Seq("p"))
+    val md0 = DatasetMetadata.load(spark, base, "ds")
+    val p1Before = md0.partitions.keySet.filter(_.contains("p=1"))
+    val othersBefore = md0.partitions.keySet.filterNot(_.contains("p=1"))
+    p1Before.size should be >= 6
+    val md1 = Ktk.compact(spark, base, "ds", scope = Predicates.of(Seq(("p", "==", 1))))
+    // p=1 merged to one file; every out-of-scope file untouched
+    md1.partitions.keySet.filter(_.contains("p=1")) should have size 1
+    md1.partitions.keySet.filterNot(_.contains("p=1")) shouldBe othersBefore
+    Ktk.readTable(spark, base, "ds").count() shouldBe 600
+    // non-partition scope refuses
+    intercept[IllegalArgumentException] {
+      Ktk.compact(spark, base, "ds", scope = Predicates.of(Seq(("k", ">", 0))))
+    }
+  }
+
   test("gc reaps many orphans through the distributed delete path") {
     val base = tmpDir("gcmany")
     // 30 input partitions x 3 dirs -> ~90 small files; compact orphans them

@@ -89,6 +89,8 @@ class GraftCatalogSpec extends SparkSpec {
         partitionOn = Seq("p"), zoneMapFor = Seq("k"))
       spark.sql(s"DELETE FROM $gk.default.t6 WHERE k < 10") // v2: DV commit
       // compact drains tombstones and reports the committed version
+      // scoped compact first: an out-of-everything scope is a no-op commit
+      spark.sql(s"CALL $gk.system.compact(table => 't6', where => 'p == nosuch')")
       val c = spark.sql(s"CALL $gk.system.compact(table => 't6')")
         .as[(Long, Long)].head()
       c._1 shouldBe 3L
