@@ -2646,7 +2646,8 @@ object Ktk {
       base: String,
       uuid: String,
       columns: Seq[String],
-      targetFileBytes: Long = 128L * 1024 * 1024): DatasetMetadata = {
+      targetFileBytes: Long = 128L * 1024 * 1024,
+      scope: Predicates = Predicates.empty): DatasetMetadata = {
     val md = migrateInlineZones(spark, base, DatasetMetadata.load(spark, base, uuid))
     require(columns.nonEmpty && columns.size <= 8,
       s"z-order takes 1..8 columns, got ${columns.size}")
@@ -2661,7 +2662,20 @@ object Ktk {
     }
     if (md.partitions.isEmpty) return md
     val tableDir = md.tableDir(base)
-    val allLabels = md.partitions.keys.toSeq.sorted
+    // optional partition scope (OPTIMIZE ZORDER ... WHERE): rewrite only
+    // the matching partitions' files; quantile boundaries are computed
+    // over the scoped set (zone pruning is per-file min/max, so scoped
+    // boundaries only affect balance within the rewritten files)
+    val inScope: String => Boolean =
+      if (scope.isEmpty) _ => true
+      else {
+        scope.columns.foreach(c => require(md.partitionKeys.contains(c),
+          s"z-order scope column '$c' must be a partition key"))
+        l => scope.matchesValues(md.partitionValues(l))
+      }
+    val allLabels = md.partitions.keys.toSeq.filter(inScope).sorted
+    if (allLabels.isEmpty) return md
+    val untouched = md.partitions.keys.toSeq.filterNot(inScope).sorted
     def asDouble(c: String): org.apache.spark.sql.Column = schema(c).dataType match {
       case DateType      => unix_date(col(s"`$c`")).cast("double")
       case TimestampType => unix_micros(col(s"`$c`")).cast("double")
@@ -2694,25 +2708,28 @@ object Ktk {
     }
     val newSeqOf = scala.collection.mutable.Map.empty[String, Long]
     movedBySeq.foreach { case (seq, ls) => ls.foreach { case (l, _) => newSeqOf(l) = seq } }
-    val finalPartitions: Map[String, Long] = movedBySeq.flatMap(_._2).toMap
-    val finalSeq = finalPartitions.keys.map(l => l -> newSeqOf(l)).toMap
-    val newLabels = finalPartitions.keys.toSeq.sorted
+    val finalPartitions: Map[String, Long] =
+      untouched.map(l => l -> md.sizeOf(l)).toMap ++ movedBySeq.flatMap(_._2)
+    val finalSeq = finalPartitions.keys.map(l =>
+      l -> newSeqOf.getOrElse(l, md.seqOf(l))).toMap
+    val newLabels = newSeqOf.keys.toSeq.sorted
 
     // zone maps over the clustered columns are the POINT of the layout —
-    // register any that are missing, then rebuild all sidecars over the
-    // new files (no survivors: every file was rewritten)
+    // register any that are missing, then merge sidecars over the new
+    // files (out-of-scope files survive with their existing entries)
     val mdZ = md.copy(zones = md.zoneRegistry ++
       columns.filterNot(md.zoneRegistry.contains).map(c => c -> newSidecarName(c)))
     val idxReg = mergeIndicesIncremental(spark, base, mdZ, tableDir,
-      survivingOld = Nil, newLabels = newLabels)
+      survivingOld = untouched, newLabels = newLabels)
     val bloomReg = mergeBloomsIncremental(spark, base, mdZ, tableDir,
-      survivingOld = Nil, newLabels = newLabels)
+      survivingOld = untouched, newLabels = newLabels)
     val zoneReg = mergeZonesIncremental(spark, base, mdZ, tableDir,
-      survivingOld = Nil, newLabels = newLabels)
+      survivingOld = untouched, newLabels = newLabels)
     val md1 = mdZ.copy(partitions = finalPartitions, partitionSeq = finalSeq,
       indices = idxReg, blooms = bloomReg, zones = zoneReg,
-      // every file was rewritten with deletion vectors applied
-      deletes = Nil)
+      // the rewritten files had their deletion vectors applied; fragments
+      // covering only them drop, fragments for untouched files remain
+      deletes = prunedDeleteFragments(spark, base, md, allLabels.toSet))
     DatasetMetadata.store(spark, base, md1, parentMd = Some(md))
   }
 

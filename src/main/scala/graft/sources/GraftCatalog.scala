@@ -295,9 +295,15 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog with StagingTableC
       versionRow(Ktk.rollback(spark, base, in.getUTF8String(0).toString, in.getLong(1)))
     },
     "zorder" -> proc("zorder",
-      Array(stringParam("table"), stringParam("columns")), versionSchema) { in =>
+      Array(stringParam("table"), stringParam("columns"),
+        ProcedureParameter.in("where", StringType).defaultValue("''").build()),
+      versionSchema) { in =>
+      val cond = Option(in.getUTF8String(2)).map(_.toString.trim).getOrElse("")
+      val scope = if (cond.isEmpty) graft.core.Predicates.empty
+                  else graft.core.Predicates.parse(cond)
       versionRow(Ktk.clusterZOrder(spark, base, in.getUTF8String(0).toString,
-        in.getUTF8String(1).toString.split(',').toSeq.map(_.trim).filter(_.nonEmpty)))
+        in.getUTF8String(1).toString.split(',').toSeq.map(_.trim).filter(_.nonEmpty),
+        scope = scope))
     },
     "history" -> proc("history", Array(stringParam("table")),
       StructType(Seq(

@@ -90,4 +90,34 @@ class ZOrderSpec extends SparkSpec {
     intercept[IllegalArgumentException] { Ktk.clusterZOrder(spark, base, "ds", Seq("v")) }
     intercept[IllegalArgumentException] { Ktk.clusterZOrder(spark, base, "ds", Seq("nope")) }
   }
+
+  test("scoped clusterZOrder rewrites only matching partitions, DVs composed") {
+    val base = tmpDir("zorder3")
+    Ktk.store(spark, base, "ds",
+      (0 until 400).map(i => (i % 2, i.toLong, (i % 37).toLong)).toDF("p", "k", "g")
+        .repartition(4),
+      partitionOn = Seq("p"))
+    // tombstones in BOTH partitions: the rewrite folds p=0's, keeps p=1's
+    Ktk.deleteRows(spark, base, "ds",
+      predicates = Predicates.of(Seq(("k", "<", 4L))))
+    val md0 = DatasetMetadata.load(spark, base, "ds")
+    val p1Before = md0.partitions.keySet.filter(_.contains("p=1"))
+    val before = Ktk.readTable(spark, base, "ds").collect().map(_.toString).sorted
+    Ktk.clusterZOrder(spark, base, "ds", Seq("k", "g"),
+      scope = Predicates.of(Seq(("p", "==", 0))))
+    val md1 = DatasetMetadata.load(spark, base, "ds")
+    // out-of-scope files byte-identical; in-scope files rewritten
+    md1.partitions.keySet.filter(_.contains("p=1")) shouldBe p1Before
+    (md1.partitions.keySet.filter(_.contains("p=0")) intersect
+      md0.partitions.keySet.filter(_.contains("p=0"))) shouldBe empty
+    // content identical (p=0's tombstones folded in, p=1's still applied)
+    Ktk.readTable(spark, base, "ds").collect().map(_.toString).sorted shouldBe before
+    // p=1's fragments must survive the commit or its deletes resurrect
+    md1.deleteFragments should not be empty
+    // non-partition scope refuses
+    intercept[IllegalArgumentException] {
+      Ktk.clusterZOrder(spark, base, "ds", Seq("k"),
+        scope = Predicates.of(Seq(("k", ">", 0L))))
+    }
+  }
 }
