@@ -2012,16 +2012,28 @@ object Ktk {
       spark: SparkSession,
       base: String,
       uuid: String,
-      targetFileBytes: Long = 128L * 1024 * 1024): DatasetMetadata = {
+      targetFileBytes: Long = 128L * 1024 * 1024,
+      scope: Predicates = Predicates.empty): DatasetMetadata = {
     val md = migrateInlineZones(spark, base, DatasetMetadata.load(spark, base, uuid))
     if (md.deleteFragments.isEmpty) return md
     val tableDir = md.tableDir(base)
-    val dirty = dirtyDeleteLabels(spark, base, md).intersect(md.partitions.keySet)
-    if (dirty.isEmpty) {
+    // optional partition scope: fold tombstones only for matching
+    // partitions' files — fragments covering out-of-scope files survive
+    val inScope: String => Boolean =
+      if (scope.isEmpty) _ => true
+      else {
+        scope.columns.foreach(c => require(md.partitionKeys.contains(c),
+          s"materialize scope column '$c' must be a partition key"))
+        l => scope.matchesValues(md.partitionValues(l))
+      }
+    val dirtyAll = dirtyDeleteLabels(spark, base, md).intersect(md.partitions.keySet)
+    if (dirtyAll.isEmpty) {
       // fragments reference only labels later commits already removed
       val md1 = md.copy(deletes = Nil)
       return DatasetMetadata.store(spark, base, md1, parentMd = Some(md))
     }
+    val dirty = dirtyAll.filter(inScope)
+    if (dirty.isEmpty) return md // nothing in scope; out-of-scope vectors stay
     val bySeq: Map[Long, Seq[String]] =
       dirty.toSeq.sorted.groupBy(md.seqOf)
     val movedBySeq = rewriteGroupsStaged(spark, base, md, bySeq) { (data, labels) =>
@@ -2053,7 +2065,11 @@ object Ktk {
       survivingOld = finalPartitions.keys.toSeq.filterNot(newSeqOf.contains),
       newLabels = newLabels)
     val md1 = md.copy(partitions = finalPartitions, partitionSeq = finalSeq,
-      indices = idxReg, blooms = bloomReg, zones = zoneReg, deletes = Nil)
+      indices = idxReg, blooms = bloomReg, zones = zoneReg,
+      // fragments covering only the rewritten files drop; with a scope,
+      // fragments for untouched dirty files must survive or their deleted
+      // rows would resurrect
+      deletes = prunedDeleteFragments(spark, base, md, dirty))
     DatasetMetadata.store(spark, base, md1, parentMd = Some(md))
   }
 

@@ -148,6 +148,34 @@ class DeleteVectorSpec extends SparkSpec {
       .count() shouldBe 4
   }
 
+  test("scoped materializeDeletes folds only in-scope vectors; others stay applied") {
+    val base = tmpDir("dv")
+    Ktk.store(spark, base, "ds", kv, partitionOn = Seq("p"))
+    // tombstones in BOTH partitions (one row each, neither fully deleted)
+    Ktk.deleteRows(spark, base, "ds",
+      predicates = Predicates.of(Seq(("k", "in", Seq(1L, 4L)))))
+    DatasetMetadata.load(spark, base, "ds").deleteFragments should not be empty
+    val before = Ktk.readTable(spark, base, "ds").select("k").as[Long].collect().sorted
+    val md1 = Ktk.materializeDeletes(spark, base, "ds",
+      scope = Predicates.of(Seq(("p", "==", "a"))))
+    // p=a's rows are physically gone; p=b's fragments survive and still apply
+    md1.deleteFragments should not be empty
+    Ktk.readTable(spark, base, "ds").select("k").as[Long].collect().sorted shouldBe before
+    val tableDir = md1.tableDir(base)
+    val rawA = spark.read.parquet(
+      md1.partitions.keys.filter(_.startsWith("p=a")).map(l => s"$tableDir/$l").toSeq: _*)
+    rawA.count() shouldBe Ktk.readTable(spark, base, "ds",
+      predicates = Predicates.of(Seq(("p", "==", "a")))).count()
+    // an out-of-scope-only call is a no-op (vectors must not silently drop)
+    val vBefore = DatasetMetadata.load(spark, base, "ds").version
+    Ktk.materializeDeletes(spark, base, "ds",
+      scope = Predicates.of(Seq(("p", "==", "a")))) // already clean
+    DatasetMetadata.load(spark, base, "ds").version shouldBe vBefore
+    // finishing the job sheds the rest
+    Ktk.materializeDeletes(spark, base, "ds").deleteFragments shouldBe empty
+    Ktk.readTable(spark, base, "ds").select("k").as[Long].collect().sorted shouldBe before
+  }
+
   test("compact folds pending deletes into its rewrite") {
     val base = tmpDir("dv")
     // 3 small files in one partition dir, same commit seq → compactable
