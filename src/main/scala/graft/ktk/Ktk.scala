@@ -3141,9 +3141,12 @@ object Ktk {
       smallFileBytes: Long = 32L * 1024 * 1024,
       targetFileBytes: Long = 128L * 1024 * 1024,
       maxSidecarFragments: Int = 64,
-      gcRetainVersions: Int = -1): DatasetMetadata = {
-    compact(spark, base, uuid, smallFileBytes, targetFileBytes)
-    var md = materializeDeletes(spark, base, uuid, targetFileBytes)
+      gcRetainVersions: Int = -1,
+      scope: Predicates = Predicates.empty): DatasetMetadata = {
+    // the scope flows into the rewrite stages; sidecar canonicalization
+    // and gc stay global (they are metadata/file reaping, not rewrites)
+    compact(spark, base, uuid, smallFileBytes, targetFileBytes, scope = scope)
+    var md = materializeDeletes(spark, base, uuid, targetFileBytes, scope = scope)
     if (sidecarFragments(spark, base, uuid) > maxSidecarFragments) {
       canonicalizeSidecars(spark, base, uuid)
       md = DatasetMetadata.load(spark, base, uuid)

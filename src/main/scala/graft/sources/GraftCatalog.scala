@@ -292,8 +292,15 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog with StagingTableC
       versionRow(Ktk.materializeDeletes(spark, base, in.getUTF8String(0).toString,
         scope = scope))
     },
-    "optimize" -> proc("optimize", Array(stringParam("table")), versionSchema) { in =>
-      versionRow(Ktk.optimize(spark, base, in.getUTF8String(0).toString))
+    "optimize" -> proc("optimize",
+      Array(stringParam("table"),
+        ProcedureParameter.in("where", StringType).defaultValue("''").build()),
+      versionSchema) { in =>
+      val cond = Option(in.getUTF8String(1)).map(_.toString.trim).getOrElse("")
+      val scope = if (cond.isEmpty) graft.core.Predicates.empty
+                  else graft.core.Predicates.parse(cond)
+      versionRow(Ktk.optimize(spark, base, in.getUTF8String(0).toString,
+        scope = scope))
     },
     "rollback" -> proc("rollback",
       Array(stringParam("table"),

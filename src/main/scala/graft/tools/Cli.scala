@@ -133,7 +133,9 @@ object Cli {
         set = sets, filterQuery = Some(args(3)))
       println(s"updated $nU row(s); dataset at version ${mdU.version}")
     case "materialize" =>
-      val md = Ktk.materializeDeletes(spark, args(1), args(2))
+      val scopeM = if (args.length > 3) graft.core.Predicates.parse(args(3))
+                   else graft.core.Predicates.empty
+      val md = Ktk.materializeDeletes(spark, args(1), args(2), scope = scopeM)
       println(s"materialized row-level deletes; ${md.partitions.size} files, " +
         s"${md.deleteFragments.size} fragment(s) remain (run cleanup to drop old files)")
     case "constraint" =>
