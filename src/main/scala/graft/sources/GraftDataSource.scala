@@ -357,16 +357,49 @@ final class GraftScanBuilder(base: String, md: DatasetMetadata, options: CaseIns
     with SupportsPushDownAggregates {
 
   private var pushed: Array[Filter] = Array.empty
+  private var residual: Array[Filter] = Array.empty
   private var requiredSchema: StructType = md.schema
   private var aggPushed = false
 
-  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    pushed = filters
-    // everything stays residual: Spark re-applies exact filters post-scan
-    filters
+  /** Filters the label pruning answers EXACTLY, so Spark need not re-apply
+    * them post-scan: equality/IN on a partition key whose literal encodes
+    * verbatim into the label path (string values with only URL-safe
+    * characters, integral values), plus IsNotNull on a partition key (the
+    * engine forbids null partition values). Consuming these is what makes
+    * `SELECT count(*) ... WHERE <partition filter>` answerable from parquet
+    * FOOTERS alone — Spark only attempts aggregate pushdown when no
+    * post-scan filter remains. Everything else stays residual: pruning is
+    * then best-effort and Spark re-applies the exact predicate.
+    */
+  private def consumable(f: Filter): Boolean = {
+    val partCols = md.partitionKeys.toSet
+    def exactLit(c: String, v: Any): Boolean = v != null && (md.schema(c).dataType match {
+      case org.apache.spark.sql.types.StringType => v match {
+        case s: String => s.nonEmpty && graft.core.UrlCodec.quote(s) == s
+        case _         => false
+      }
+      case org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.IntegerType => true // digit labels, exact coercion
+      case _ => false
+    })
+    f match {
+      case sources.EqualTo(c, v) if partCols(c)               => exactLit(c, v)
+      case sources.EqualNullSafe(c, v) if partCols(c)         => exactLit(c, v)
+      case sources.In(c, vs) if partCols(c) && vs.nonEmpty    => vs.forall(exactLit(c, _))
+      case sources.IsNotNull(c) if partCols(c)                => true
+      case _                                                  => false
+    }
   }
 
-  override def pushedFilters(): Array[Filter] = pushed
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters
+    // exact-partition filters are consumed (enforced by the label list the
+    // scan is built from); the rest stays residual
+    residual = filters.filterNot(consumable)
+    residual
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed.filter(consumable)
 
   override def pruneColumns(required: StructType): Unit = {
     // keep metadata-schema field order/types; empty projection (count(*))
@@ -439,11 +472,14 @@ final class GraftScanBuilder(base: String, md: DatasetMetadata, options: CaseIns
   // deletes pending they would answer WRONG, so pushdown turns off
   private def hasRowDeletes: Boolean = md.deleteFragments.nonEmpty
 
+  // consumed (exact-partition) filters are fine: the footer reads run over
+  // the pruned file index, which enforces them exactly — only RESIDUAL
+  // filters force a row-level scan
   override def supportCompletePushDown(aggregation: Aggregation): Boolean =
-    pushed.isEmpty && !hasRowDeletes && innerAggBuilder.supportCompletePushDown(aggregation)
+    residual.isEmpty && !hasRowDeletes && innerAggBuilder.supportCompletePushDown(aggregation)
 
   override def pushAggregation(aggregation: Aggregation): Boolean = {
-    if (pushed.nonEmpty || hasRowDeletes) return false
+    if (residual.nonEmpty || hasRowDeletes) return false
     aggPushed = innerAggBuilder.pushAggregation(aggregation)
     aggPushed
   }

@@ -47,6 +47,45 @@ class AggPushdownSpec extends SparkSpec {
     }
   }
 
+  test("exact-partition filters are CONSUMED: footer-only count under a WHERE") {
+    withAggPushdown {
+      val df = spark.read.format("graft").option("uuid", "ds").load(base)
+      // p = 1 is enforced by the label list; no residual remains, so the
+      // count answers from the pruned files' footers alone
+      val agg = df.filter($"p" === 1).agg(org.apache.spark.sql.functions.count("*"))
+      agg.queryExecution.executedPlan.toString should include("PushedAggregation: [COUNT(*)")
+      agg.collect().head.getLong(0) shouldBe 1250L
+      // IN over the partition key consumes the same way
+      val agg2 = df.filter($"p".isin(1, 2)).agg(org.apache.spark.sql.functions.count("*"))
+      agg2.queryExecution.executedPlan.toString should include("PushedAggregation: [COUNT(*)")
+      agg2.collect().head.getLong(0) shouldBe 2500L
+      // a no-match partition value counts zero (empty pruned index)
+      df.filter($"p" === 99).agg(org.apache.spark.sql.functions.count("*"))
+        .collect().head.getLong(0) shouldBe 0L
+      // mixing in a payload filter keeps THAT residual: pushdown off, exact
+      val mixed = df.filter($"p" === 1 && $"tag" === "s3")
+        .agg(org.apache.spark.sql.functions.count("*"))
+      mixed.queryExecution.executedPlan.toString should include("PushedAggregation: []")
+      mixed.collect().head.getLong(0) shouldBe
+        (0 until 5000).count(i => i % 4 == 1 && i % 97 == 3).toLong
+    }
+  }
+
+  test("consumed partition filters stay exact on plain (non-agg) reads") {
+    val df = spark.read.format("graft").option("uuid", "ds").load(base)
+    df.filter($"p" === 2).count() shouldBe 1250L
+    df.filter($"p".isin(0, 3)).select("k").as[Long].collect().sorted.toSeq shouldBe
+      (0 until 5000).filter(i => i % 4 == 0 || i % 4 == 3).map(_.toLong).sorted
+    // string partition values with unsafe characters are NOT consumed —
+    // Spark re-applies them, results stay exact
+    val b2 = tmpDir("aggpd2")
+    Ktk.store(spark, b2, "ds2",
+      Seq((1L, "a b"), (2L, "a b"), (3L, "c")).toDF("k", "p"), partitionOn = Seq("p"))
+    val d2 = spark.read.format("graft").option("uuid", "ds2").load(b2)
+    d2.filter($"p" === "a b").select("k").as[Long].collect().sorted.toSeq shouldBe Seq(1L, 2L)
+    d2.filter($"p" === "c").count() shouldBe 1L
+  }
+
   test("a residual filter blocks pushdown and falls back to an exact scan") {
     withAggPushdown {
       val df = spark.read.format("graft").option("uuid", "ds").load(base)
