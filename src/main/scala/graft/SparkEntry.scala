@@ -612,6 +612,23 @@ object SparkEntry {
           min(col("l_orderkey")).as("mn_key"), max(col("l_orderkey")).as("mx_key"))
     }),
 
+    "q_dsv2_agg_where" -> ((s, dir) => {
+      // footer-only aggregate UNDER a partition filter: the scan builder
+      // consumes the exact-partition predicate (label pruning enforces it),
+      // so no residual remains and the count/min/max still answer from the
+      // pruned files' footers. In-gate pin: PushedAggregation survives the
+      // WHERE.
+      val base = ensureLineitemDs(s, dir)
+      s.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+      val agg = s.read.format("graft").option("uuid", "lineitem").load(base)
+        .filter(col("l_returnflag") === "R")
+        .agg(count(lit(1)).as("cnt"),
+          min(col("l_orderkey")).as("mn_key"), max(col("l_orderkey")).as("mx_key"))
+      require(agg.queryExecution.executedPlan.toString.contains("PushedAggregation: [COUNT(*)"),
+        "partition-filtered aggregate must still push to parquet footers")
+      agg
+    }),
+
     "q_spj_merge" -> ((s, dir) => {
       // storage-partitioned join: both datasets hive-partitioned on
       // l_returnflag merge through the keyed DSv2 scan with ZERO shuffle
@@ -2514,6 +2531,10 @@ object SparkEntry {
     "q_dsv2_agg" ->
       """SELECT count(*) AS cnt, min(l_orderkey) AS mn_key, max(l_orderkey) AS mx_key
         |FROM lineitem""".stripMargin,
+
+    "q_dsv2_agg_where" ->
+      """SELECT count(*) AS cnt, min(l_orderkey) AS mn_key, max(l_orderkey) AS mx_key
+        |FROM lineitem WHERE l_returnflag = 'R'""".stripMargin,
 
     "q_spj_merge" ->
       """SELECT l.l_orderkey, CAST(l.l_linenumber AS BIGINT) AS l_linenumber,
