@@ -103,11 +103,15 @@ object GraftRuntimePrune {
   def apply(parts: Array[InputPartition], partitionSchema: StructType,
       preds: Array[Predicate]): Array[InputPartition] = {
     if (preds.isEmpty || partitionSchema.isEmpty) return parts
+    // COMPILE the predicates once — ordinal lookups, literal normalization
+    // and IN-set hashing must not run per FILE (a large table plans
+    // millions of files and a DPP IN-set can carry thousands of values)
+    val compiled = preds.map(compile(_, partitionSchema))
     var kept = 0L; var dropped = 0L
     val out = parts.flatMap {
       case fp: FilePartition =>
         val fs = fp.files.filter { f =>
-          val k = preds.forall(p => keeps(f.partitionValues, partitionSchema, p))
+          val k = compiled.forall(_(f.partitionValues))
           if (k) kept += 1 else dropped += 1
           k
         }
@@ -118,52 +122,57 @@ object GraftRuntimePrune {
     out.zipWithIndex.map { case (fs, i) => FilePartition(i, fs): InputPartition }
   }
 
-  /** Tri-state evaluation collapsed to "might this row match": true means
-    * KEEP (match or unknown), false means provably no match.
+  private val keepAll: InternalRow => Boolean = _ => true
+
+  /** Compile one predicate to a row closure. Tri-state collapsed to "might
+    * this row match": true = KEEP (match or unknown), false = provably no
+    * match — every uncertain shape compiles to keepAll.
     */
-  private def keeps(row: InternalRow, schema: StructType, p: Predicate): Boolean =
+  private def compile(p: Predicate, schema: StructType): InternalRow => Boolean =
     p.name() match {
-      case "AND" => p.children().forall {
-        case c: Predicate => keeps(row, schema, c)
-        case _            => true
-      }
-      case "OR" => p.children().exists {
-        case c: Predicate => keeps(row, schema, c)
-        case _            => true
-      }
+      case "AND" =>
+        val cs = p.children().collect { case c: Predicate => compile(c, schema) }
+        row => cs.forall(_(row))
+      case "OR" =>
+        // a non-predicate child makes the disjunction un-evaluable: keep
+        if (!p.children().forall(_.isInstanceOf[Predicate])) keepAll
+        else {
+          val cs = p.children().map(c => compile(c.asInstanceOf[Predicate], schema))
+          row => cs.exists(_(row))
+        }
       case "=" => p.children() match {
-        case Array(f: NamedReference, l: V2Literal[_]) => litMatches(row, schema, f, Seq(l))
-        case Array(l: V2Literal[_], f: NamedReference) => litMatches(row, schema, f, Seq(l))
-        case _                                            => true
+        case Array(f: NamedReference, l: V2Literal[_]) => compileIn(f, Seq(l), schema)
+        case Array(l: V2Literal[_], f: NamedReference) => compileIn(f, Seq(l), schema)
+        case _                                         => keepAll
       }
       case "IN" => p.children() match {
         case Array(f: NamedReference, rest @ _*) if rest.forall(_.isInstanceOf[V2Literal[_]]) =>
-          litMatches(row, schema, f, rest.map(_.asInstanceOf[V2Literal[_]]))
-        case _ => true
+          compileIn(f, rest.map(_.asInstanceOf[V2Literal[_]]), schema)
+        case _ => keepAll
       }
-      case _ => true
+      case _ => keepAll
     }
 
-  private def litMatches(row: InternalRow, schema: StructType,
-      f: NamedReference, lits: Seq[V2Literal[_]]): Boolean = {
-    if (f.fieldNames.length != 1) return true
+  private def compileIn(f: NamedReference, lits: Seq[V2Literal[_]],
+      schema: StructType): InternalRow => Boolean = {
+    if (f.fieldNames.length != 1) return keepAll
     val ord = schema.fieldNames.indexOf(f.fieldNames.head)
-    if (ord < 0) return true
+    if (ord < 0) return keepAll
     val dt = schema.fields(ord).dataType
     // typed-literal guard: comparing differently-typed boxed values with
     // == is always false, which would WRONGLY prune — keep instead
-    if (lits.exists(_.dataType() != dt)) return true
-    if (row.isNullAt(ord)) return false // engine forbids null partitions
-    val v = row.get(ord, dt)
+    if (lits.exists(_.dataType() != dt)) return keepAll
     // literals arrive in BOTH representations: Spark's runtime-filter
     // translation carries catalyst-internal values (UTF8String, day ints),
     // Expressions.literal carries external JVM values (String, sql.Date) —
-    // normalize to catalyst before comparing, or a String-vs-UTF8String
-    // mismatch silently prunes a matching file
-    lits.exists { l =>
+    // normalize to catalyst ONCE, or a String-vs-UTF8String mismatch
+    // silently prunes a matching file
+    val values: Set[Any] = lits.map(l =>
       org.apache.spark.sql.catalyst.CatalystTypeConverters
-        .convertToCatalyst(l.value()) == v
-    }
+        .convertToCatalyst(l.value())).toSet
+    row =>
+      if (row.isNullAt(ord)) false // engine forbids null partitions
+      else values.contains(row.get(ord, dt))
   }
 }
 
