@@ -1958,16 +1958,37 @@ object Ktk {
     * sheds the list entirely. Old fragments become unreferenced →
     * [[garbageCollect]].
     */
+  /** Partition-scope filter for the maintenance rewrites (`compact`,
+    * `materializeDeletes`, `clusterZOrder`): a condition over partition
+    * keys only, evaluated against label-path values.
+    */
+  private def partitionScope(
+      md: DatasetMetadata, scope: Predicates, op: String): String => Boolean =
+    if (scope.isEmpty) _ => true
+    else {
+      scope.columns.foreach(c => require(md.partitionKeys.contains(c),
+        s"$op scope column '$c' must be a partition key"))
+      l => scope.matchesValues(md.partitionValues(l))
+    }
+
   private def prunedDeleteFragments(
       spark: SparkSession, base: String, md: DatasetMetadata,
       removed: Set[String]): Seq[String] = {
     if (md.deleteFragments.isEmpty) return Nil
-    val dirty = dirtyDeleteLabels(spark, base, md)
+    // only vectors over LIVE files matter: fragments referencing labels
+    // earlier commits already removed are inert and must not keep a
+    // fully-materialized dataset looking dirty (hasRowDeletes gates footer
+    // pushdown and keyed joins)
+    val dirty = dirtyDeleteLabels(spark, base, md).intersect(md.partitions.keySet)
     if (dirty.forall(removed.contains)) return Nil
     if (!dirty.exists(removed.contains)) return md.deleteFragments
     import spark.implicits._
+    // rewrite to exactly the surviving LIVE labels' rows (a semi-join on
+    // the survivors also sheds dead-label rows, unlike an anti-join on
+    // `removed`)
+    val live = (dirty -- removed).toSeq
     val keep = deleteVectors(spark, base, md).get
-      .join(broadcast(removed.toSeq.toDF("label")), Seq("label"), "left_anti")
+      .join(broadcast(live.toDF("label")), Seq("label"), "left_semi")
     writeDeleteFragment(spark, base, md.uuid, keep).map(_._1).toSeq
   }
 
@@ -2019,13 +2040,7 @@ object Ktk {
     val tableDir = md.tableDir(base)
     // optional partition scope: fold tombstones only for matching
     // partitions' files — fragments covering out-of-scope files survive
-    val inScope: String => Boolean =
-      if (scope.isEmpty) _ => true
-      else {
-        scope.columns.foreach(c => require(md.partitionKeys.contains(c),
-          s"materialize scope column '$c' must be a partition key"))
-        l => scope.matchesValues(md.partitionValues(l))
-      }
+    val inScope = partitionScope(md, scope, "materialize")
     val dirtyAll = dirtyDeleteLabels(spark, base, md).intersect(md.partitions.keySet)
     if (dirtyAll.isEmpty) {
       // fragments reference only labels later commits already removed
@@ -2433,13 +2448,7 @@ object Ktk {
     // optional partition scope (OPTIMIZE ... WHERE over partition keys): at
     // large scale maintenance targets the HOT partitions, not the table —
     // out-of-scope files are untouchable, label parsing only
-    val inScope: String => Boolean =
-      if (scope.isEmpty) _ => true
-      else {
-        scope.columns.foreach(c => require(md.partitionKeys.contains(c),
-          s"compact scope column '$c' must be a partition key"))
-        l => scope.matchesValues(md.partitionValues(l))
-      }
+    val inScope = partitionScope(md, scope, "compact")
     // compaction victims: small files sharing (partition dir, commit seq)
     // with at least one other small file — singletons gain nothing.
     // Sizes come from the catalog (sizeOf widens Jackson's narrowed
@@ -2682,13 +2691,7 @@ object Ktk {
     // the matching partitions' files; quantile boundaries are computed
     // over the scoped set (zone pruning is per-file min/max, so scoped
     // boundaries only affect balance within the rewritten files)
-    val inScope: String => Boolean =
-      if (scope.isEmpty) _ => true
-      else {
-        scope.columns.foreach(c => require(md.partitionKeys.contains(c),
-          s"z-order scope column '$c' must be a partition key"))
-        l => scope.matchesValues(md.partitionValues(l))
-      }
+    val inScope = partitionScope(md, scope, "z-order")
     val allLabels = md.partitions.keys.toSeq.filter(inScope).sorted
     if (allLabels.isEmpty) return md
     val untouched = md.partitions.keys.toSeq.filterNot(inScope).sorted
@@ -2732,9 +2735,17 @@ object Ktk {
 
     // zone maps over the clustered columns are the POINT of the layout —
     // register any that are missing, then merge sidecars over the new
-    // files (out-of-scope files survive with their existing entries)
+    // files (out-of-scope files survive with their existing entries).
+    // Under a SCOPE, a brand-new zone column may only register if the
+    // rewrite covers every file: zoneProbe pruning treats the sidecar as
+    // TOTAL coverage, so a partial sidecar would silently drop every
+    // out-of-scope file from predicate reads. Already-registered columns
+    // merge incrementally (untouched labels keep their rows).
+    val registrable =
+      if (untouched.isEmpty) columns.filterNot(md.zoneRegistry.contains)
+      else Nil
     val mdZ = md.copy(zones = md.zoneRegistry ++
-      columns.filterNot(md.zoneRegistry.contains).map(c => c -> newSidecarName(c)))
+      registrable.map(c => c -> newSidecarName(c)))
     val idxReg = mergeIndicesIncremental(spark, base, mdZ, tableDir,
       survivingOld = untouched, newLabels = newLabels)
     val bloomReg = mergeBloomsIncremental(spark, base, mdZ, tableDir,

@@ -276,31 +276,22 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog with StagingTableC
       Array(stringParam("table"),
         ProcedureParameter.in("where", StringType).defaultValue("''").build()),
       versionSchema) { in =>
-      val cond = Option(in.getUTF8String(1)).map(_.toString.trim).getOrElse("")
-      val scope = if (cond.isEmpty) graft.core.Predicates.empty
-                  else graft.core.Predicates.parse(cond)
       versionRow(Ktk.compact(spark, base, in.getUTF8String(0).toString,
-        scope = scope))
+        scope = scopeArg(in, 1)))
     },
     "materialize_deletes" -> proc("materialize_deletes",
       Array(stringParam("table"),
         ProcedureParameter.in("where", StringType).defaultValue("''").build()),
       versionSchema) { in =>
-      val cond = Option(in.getUTF8String(1)).map(_.toString.trim).getOrElse("")
-      val scope = if (cond.isEmpty) graft.core.Predicates.empty
-                  else graft.core.Predicates.parse(cond)
       versionRow(Ktk.materializeDeletes(spark, base, in.getUTF8String(0).toString,
-        scope = scope))
+        scope = scopeArg(in, 1)))
     },
     "optimize" -> proc("optimize",
       Array(stringParam("table"),
         ProcedureParameter.in("where", StringType).defaultValue("''").build()),
       versionSchema) { in =>
-      val cond = Option(in.getUTF8String(1)).map(_.toString.trim).getOrElse("")
-      val scope = if (cond.isEmpty) graft.core.Predicates.empty
-                  else graft.core.Predicates.parse(cond)
       versionRow(Ktk.optimize(spark, base, in.getUTF8String(0).toString,
-        scope = scope))
+        scope = scopeArg(in, 1)))
     },
     "rollback" -> proc("rollback",
       Array(stringParam("table"),
@@ -311,12 +302,9 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog with StagingTableC
       Array(stringParam("table"), stringParam("columns"),
         ProcedureParameter.in("where", StringType).defaultValue("''").build()),
       versionSchema) { in =>
-      val cond = Option(in.getUTF8String(2)).map(_.toString.trim).getOrElse("")
-      val scope = if (cond.isEmpty) graft.core.Predicates.empty
-                  else graft.core.Predicates.parse(cond)
       versionRow(Ktk.clusterZOrder(spark, base, in.getUTF8String(0).toString,
         in.getUTF8String(1).toString.split(',').toSeq.map(_.trim).filter(_.nonEmpty),
-        scope = scope))
+        scope = scopeArg(in, 2)))
     },
     "history" -> proc("history", Array(stringParam("table")),
       StructType(Seq(
@@ -336,6 +324,15 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog with StagingTableC
         retainVersions = in.getInt(1), dryRun = in.getBoolean(2))
         .map(p => InternalRow(UTF8String.fromString(p)))
     })
+
+  /** Optional `where` procedure argument (condition-string sublanguage
+    * over partition keys) → the engine's Predicates; empty/absent = global.
+    */
+  private def scopeArg(in: InternalRow, i: Int): graft.core.Predicates = {
+    val cond = Option(in.getUTF8String(i)).map(_.toString.trim).getOrElse("")
+    if (cond.isEmpty) graft.core.Predicates.empty
+    else graft.core.Predicates.parse(cond)
+  }
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     procedures.keys.toSeq.sorted

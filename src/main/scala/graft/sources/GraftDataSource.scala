@@ -378,8 +378,16 @@ final class GraftScanBuilder(base: String, md: DatasetMetadata, options: CaseIns
         case s: String => s.nonEmpty && graft.core.UrlCodec.quote(s) == s
         case _         => false
       }
+      // the label comparator goes through Double, exact only below 2^53 —
+      // larger longs stay residual rather than risking a false label match
       case org.apache.spark.sql.types.LongType |
-           org.apache.spark.sql.types.IntegerType => true // digit labels, exact coercion
+           org.apache.spark.sql.types.IntegerType => v match {
+        // STRICT bound: 2^53 itself is Double-representable but collides
+        // with 2^53 + 1, so equality there could match the wrong label
+        case l: java.lang.Long    => math.abs(l) < (1L << 53)
+        case _: java.lang.Integer => true
+        case _                    => false
+      }
       case _ => false
     })
     f match {
@@ -415,6 +423,9 @@ final class GraftScanBuilder(base: String, md: DatasetMetadata, options: CaseIns
     val prunable = md.partitionKeys.toSet ++ md.indices.keySet
     def lit(f: Filter): Option[PredLiteral] = f match {
       case sources.EqualTo(c, v) if prunable(c)            => Some(PredLiteral(c, PredOp.Eq, v))
+      // the engine's Eq is null-safe on partition values — and consumed
+      // `<=>` filters MUST prune here (nothing re-applies them post-scan)
+      case sources.EqualNullSafe(c, v) if prunable(c)      => Some(PredLiteral(c, PredOp.Eq, v))
       case sources.GreaterThan(c, v) if prunable(c)        => Some(PredLiteral(c, PredOp.Gt, v))
       case sources.GreaterThanOrEqual(c, v) if prunable(c) => Some(PredLiteral(c, PredOp.Ge, v))
       case sources.LessThan(c, v) if prunable(c)           => Some(PredLiteral(c, PredOp.Lt, v))

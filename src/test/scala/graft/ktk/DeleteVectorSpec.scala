@@ -176,6 +176,26 @@ class DeleteVectorSpec extends SparkSpec {
     Ktk.readTable(spark, base, "ds").select("k").as[Long].collect().sorted shouldBe before
   }
 
+  test("materializeDeletes sheds dead-label fragments in ONE pass") {
+    val base = tmpDir("dv")
+    Ktk.store(spark, base, "ds", kv, partitionOn = Seq("p"))
+    // one fragment referencing BOTH partitions...
+    Ktk.deleteRows(spark, base, "ds",
+      predicates = Predicates.of(Seq(("k", "in", Seq(1L, 4L)))))
+    // ...then p=b's files leave the referenced set entirely (scoped swap):
+    // the fragment now references one LIVE label (p=a) and one DEAD one
+    Ktk.update(spark, base, "ds",
+      Some(Seq((9L, "b", 90.0)).toDF("k", "p", "v")),
+      deleteScope = Predicates.of(Seq(("p", "==", "b"))))
+    // a single materialize must fold the live vectors AND drop the dead
+    // ones — a lingering fragment would keep footer-agg pushdown and keyed
+    // joins disabled for no reason
+    val md1 = Ktk.materializeDeletes(spark, base, "ds")
+    md1.deleteFragments shouldBe empty
+    Ktk.readTable(spark, base, "ds").select("k").as[Long].collect().sorted.toSeq shouldBe
+      Seq(2L, 3L, 9L)
+  }
+
   test("compact folds pending deletes into its rewrite") {
     val base = tmpDir("dv")
     // 3 small files in one partition dir, same commit seq → compactable

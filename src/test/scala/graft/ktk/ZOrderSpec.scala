@@ -114,6 +114,18 @@ class ZOrderSpec extends SparkSpec {
     Ktk.readTable(spark, base, "ds").collect().map(_.toString).sorted shouldBe before
     // p=1's fragments must survive the commit or its deletes resurrect
     md1.deleteFragments should not be empty
+    // a NEW zone column must NOT register from a scoped rewrite: the
+    // sidecar would cover only in-scope labels and zone pruning treats
+    // coverage as total — out-of-scope files would silently vanish from
+    // predicate reads. (k/g registered nothing here because the rewrite
+    // was scoped and they were previously unregistered.)
+    md1.zoneRegistry.keySet should not contain "g"
+    // a predicate read over the clustered column must still see BOTH
+    // partitions (a partial sidecar would have pruned p=1 away entirely)
+    val expected = Ktk.readTable(spark, base, "ds").filter(col("k") > 100L).count()
+    Ktk.readTable(spark, base, "ds",
+      predicates = Predicates.of(Seq(("k", ">", 100L)))).count() shouldBe expected
+    expected should be > 0L
     // non-partition scope refuses
     intercept[IllegalArgumentException] {
       Ktk.clusterZOrder(spark, base, "ds", Seq("k"),

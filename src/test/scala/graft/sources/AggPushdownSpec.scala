@@ -84,6 +84,21 @@ class AggPushdownSpec extends SparkSpec {
     val d2 = spark.read.format("graft").option("uuid", "ds2").load(b2)
     d2.filter($"p" === "a b").select("k").as[Long].collect().sorted.toSeq shouldBe Seq(1L, 2L)
     d2.filter($"p" === "c").count() shouldBe 1L
+    // null-safe equality consumes AND is enforced by the pruning ladder
+    d2.filter($"p" <=> "c").select("k").as[Long].collect().toSeq shouldBe Seq(3L)
+    d2.filter($"p" <=> "a b").count() shouldBe 2L
+  }
+
+  test("long partition values above 2^53 stay residual (Double comparator)") {
+    val b3 = tmpDir("aggpd3")
+    val big = (1L << 53) // 9007199254740992; +1 is not Double-representable
+    Ktk.store(spark, b3, "ds3",
+      Seq((1L, big), (2L, big + 1)).toDF("k", "p"), partitionOn = Seq("p"))
+    val d3 = spark.read.format("graft").option("uuid", "ds3").load(b3)
+    // label coercion goes through Double where these collide — the filter
+    // must NOT be consumed, and Spark's residual keeps the result exact
+    d3.filter($"p" === big).select("k").as[Long].collect().toSeq shouldBe Seq(1L)
+    d3.filter($"p" === (big + 1)).select("k").as[Long].collect().toSeq shouldBe Seq(2L)
   }
 
   test("a residual filter blocks pushdown and falls back to an exact scan") {
