@@ -146,8 +146,13 @@ class KtkSurfaceSpec extends SparkSpec {
     Ktk.readTable(spark, base, "dv").count() shouldBe 2
     DatasetMetadata.load(spark, base, "dv").deleteFragments should have size 1
     graft.tools.Cli.run(spark, Array("changes", base, "dv", "0"))
+    // scoped materialize: out-of-scope-only condition leaves the vectors
+    graft.tools.Cli.run(spark, Array("materialize", base, "dv", "p == a"))
+    DatasetMetadata.load(spark, base, "dv").deleteFragments should have size 1
     graft.tools.Cli.run(spark, Array("materialize", base, "dv"))
     DatasetMetadata.load(spark, base, "dv").deleteFragments shouldBe empty
+    // scoped compact accepts the same condition-string argument
+    graft.tools.Cli.run(spark, Array("compact", base, "dv", "p == a"))
     graft.tools.Cli.run(spark, Array("cleanup", base, "dv", "--dry-run"))
     graft.tools.Cli.run(spark, Array("optimize", base, "dv", "0"))
     Ktk.readTable(spark, base, "dv").count() shouldBe 2
