@@ -388,6 +388,13 @@ final class GraftScanBuilder(base: String, md: DatasetMetadata, options: CaseIns
         case _: java.lang.Integer => true
         case _                    => false
       }
+      // date labels are canonical ISO (both the writer's formatter and
+      // Date/LocalDate.toString), and the comparator falls back to exact
+      // string equality for them
+      case org.apache.spark.sql.types.DateType => v match {
+        case _: java.sql.Date | _: java.time.LocalDate => true
+        case _                                         => false
+      }
       case _ => false
     })
     f match {

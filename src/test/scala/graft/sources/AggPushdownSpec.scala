@@ -89,6 +89,24 @@ class AggPushdownSpec extends SparkSpec {
     d2.filter($"p" <=> "a b").count() shouldBe 2L
   }
 
+  test("date partition equality consumes: footer-only count under a date WHERE") {
+    withAggPushdown {
+      val b4 = tmpDir("aggpd4")
+      Ktk.store(spark, b4, "ds4",
+        Seq((1L, java.sql.Date.valueOf("2026-01-15")),
+            (2L, java.sql.Date.valueOf("2026-01-15")),
+            (3L, java.sql.Date.valueOf("2026-02-01"))).toDF("k", "d"),
+        partitionOn = Seq("d"))
+      val d4 = spark.read.format("graft").option("uuid", "ds4").load(b4)
+      val agg = d4.filter($"d" === java.sql.Date.valueOf("2026-01-15"))
+        .agg(org.apache.spark.sql.functions.count("*"))
+      agg.queryExecution.executedPlan.toString should include("PushedAggregation: [COUNT(*)")
+      agg.collect().head.getLong(0) shouldBe 2L
+      d4.filter($"d" === java.sql.Date.valueOf("2026-02-01")).select("k")
+        .as[Long].collect().toSeq shouldBe Seq(3L)
+    }
+  }
+
   test("long partition values above 2^53 stay residual (Double comparator)") {
     val b3 = tmpDir("aggpd3")
     val big = (1L << 53) // 9007199254740992; +1 is not Double-representable
