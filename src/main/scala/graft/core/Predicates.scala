@@ -32,8 +32,47 @@ object PredOp {
   * (String, Long, Double, Boolean, java.sql.Date/Timestamp, null) or, for
   * [[PredOp.In]], a `Seq[Any]`.
   */
+object PredLiteral {
+  /** Precomputed lookup structure for large IN lists vs String candidates. */
+  final case class InLookup(
+      strings: Set[String], numeric: Set[Double],
+      nonConvStrs: Set[String], allNonStrStrs: Set[String], hasNull: Boolean)
+}
+
 final case class PredLiteral(col: String, op: PredOp, value: Any) {
   import PredOp._
+
+  /** Hashed lookup for large IN lists evaluated against STRING candidates
+    * (the label-matching hot path — merge pushes collected-key IN lists of
+    * up to 10k values through `queryLabels`, and a linear `exists` per
+    * label is O(labels x values)). Mirrors `compare`'s (String, y) branch
+    * EXACTLY: numeric double-compare when both sides convert, string
+    * fallback against y.toString otherwise. None for small lists (linear
+    * wins) and non-IN ops.
+    */
+  @transient private[core] lazy val inLookup: Option[PredLiteral.InLookup] =
+    if (op != In) None
+    else value match {
+      case vs: Seq[_] if vs.size >= 8 =>
+        val hasNull = vs.contains(null)
+        val nonNull = vs.filterNot(_ == null)
+        // compare()'s FIRST branch makes String-typed values pure string
+        // equality against a String candidate; only NON-String values go
+        // through the numeric tower (with a toString fallback when either
+        // side fails to convert)
+        val (strs, nonStrs) = nonNull.partition(_.isInstanceOf[String])
+        val (conv, nonConv) = nonStrs.partition { x =>
+          try { Predicates.toDouble(x); true }
+          catch { case _: NumberFormatException => false }
+        }
+        Some(PredLiteral.InLookup(
+          strings = strs.map(_.asInstanceOf[String]).toSet,
+          numeric = conv.map(Predicates.toDouble).toSet,
+          nonConvStrs = nonConv.map(_.toString).toSet,
+          allNonStrStrs = nonStrs.map(_.toString).toSet,
+          hasNull = hasNull))
+      case _ => None
+    }
 
   /** Well-formedness per _generic.py:169-213. */
   def check(): Unit = op match {
@@ -208,9 +247,26 @@ object Predicates {
       case Le => v != null && compare(v, l.value) <= 0
       case Gt => v != null && compare(v, l.value) > 0
       case Ge => v != null && compare(v, l.value) >= 0
-      case In =>
-        val vs = l.value.asInstanceOf[Seq[Any]]
-        vs.exists(x => if (x == null) v == null else v != null && compare(v, x) == 0)
+      case In => (v, l.inLookup) match {
+        case (null, Some(look)) => look.hasNull
+        case (s: String, Some(look)) =>
+          // String-typed values: exact string equality (compare's first
+          // branch). Non-String values: numeric when both sides convert,
+          // else candidate vs value.toString — the try in compare covers
+          // BOTH conversions, so an unparseable candidate string-compares
+          // against every non-String value
+          look.strings.contains(s) || {
+            val parsed =
+              try Some(s.toDouble) catch { case _: NumberFormatException => None }
+            parsed match {
+              case Some(d) => look.numeric.contains(d) || look.nonConvStrs.contains(s)
+              case None    => look.allNonStrStrs.contains(s)
+            }
+          }
+        case _ =>
+          val vs = l.value.asInstanceOf[Seq[Any]]
+          vs.exists(x => if (x == null) v == null else v != null && compare(v, x) == 0)
+      }
     }
   }
 
@@ -232,7 +288,7 @@ object Predicates {
     case (x, y) => java.lang.Double.compare(toDouble(x), toDouble(y))
   }
 
-  private def toDouble(v: Any): Double = v match {
+  private[core] def toDouble(v: Any): Double = v match {
     case n: Number => n.doubleValue()
     case b: Boolean => if (b) 1d else 0d
     case d: java.sql.Date => d.getTime.toDouble

@@ -76,6 +76,32 @@ class PredicatePropertySpec extends SparkSpec {
     })
   }
 
+  test("hashed IN lookup == linear compare scan for every value mix") {
+    // the >=8-value fast path must agree with the linear reference on
+    // string candidates across numeric strings, plain strings, booleans,
+    // dates, longs, doubles and nulls (the compare() coercion tower)
+    val mixGen: Gen[Any] = Gen.oneOf(
+      Gen.choose(-100L, 100L).map(x => x: Any),
+      Gen.choose(-10.0, 10.0).map(x => math.rint(x * 4) / 4: Any),
+      Gen.oneOf("a", "b", "7", "7.0", "true", "x y").map(x => x: Any),
+      Gen.oneOf(true, false).map(x => x: Any),
+      Gen.const(java.sql.Date.valueOf("2026-01-15"): Any),
+      Gen.const(null: Any))
+    val candGen: Gen[String] = Gen.oneOf(
+      "a", "b", "c", "7", "7.0", "-3", "true", "x y", "2026-01-15", "0.25")
+    def linear(vs: Seq[Any], v: String): Boolean =
+      vs.exists(x => if (x == null) false
+        else Predicates.evalLiteral(PredLiteral("c", PredOp.Eq, x), v))
+    check(Prop.forAll(Gen.listOfN(12, mixGen), candGen) { (vs, cand) =>
+      Predicates.evalLiteral(PredLiteral("c", PredOp.In, vs), cand) == linear(vs, cand)
+    })
+    // null candidate matches iff the list carries null (both paths)
+    val withNull = PredLiteral("c", PredOp.In, Seq("a", null, "b", 1L, 2L, 3L, 4L, 5L))
+    Predicates.evalLiteral(withNull, null) shouldBe true
+    val noNull = PredLiteral("c", PredOp.In, Seq("a", "b", 1L, 2L, 3L, 4L, 5L, 6L))
+    Predicates.evalLiteral(noNull, null) shouldBe false
+  }
+
   test("urlcodec quote/unquote roundtrip for arbitrary strings") {
     check(Prop.forAll(Gen.asciiPrintableStr)(s => UrlCodec.unquote(UrlCodec.quote(s)) == s), 60)
     check(Prop.forAll(Gen.listOf(Gen.choose(0x20.toChar, 0x2FF.toChar)).map(_.mkString))(
