@@ -35,8 +35,44 @@ import graft.ktk.{DatasetMetadata, Ktk}
   * All filters are reported back as residual — Spark re-evaluates them after
   * the scan, preserving exact semantics.
   */
-class GraftDataSource extends TableProvider with DataSourceRegister {
+class GraftDataSource extends TableProvider with DataSourceRegister
+    with org.apache.spark.sql.sources.StreamSinkProvider {
   override def shortName(): String = "graft"
+
+  /** `df.writeStream.format("graft").option("uuid", u).start(base)` — the
+    * streaming write surface ([[graft.streaming.GraftSink]]). GraftTable
+    * does not declare STREAMING_WRITE, so `DataStreamWriter` falls back to
+    * this V1 sink (the Delta packaging). `.partitionBy(...)` must be absent
+    * or match the dataset's layout — partitioning is a dataset property.
+    */
+  override def createSink(
+      sqlContext: org.apache.spark.sql.SQLContext,
+      parameters: Map[String, String],
+      partitionColumns: Seq[String],
+      outputMode: org.apache.spark.sql.streaming.OutputMode)
+      : org.apache.spark.sql.execution.streaming.Sink = {
+    val base = parameters.getOrElse("path",
+      throw new IllegalArgumentException("graft sink requires .start(<base path>)"))
+    val uuid = parameters.getOrElse("uuid",
+      throw new IllegalArgumentException("graft sink requires .option(\"uuid\", <dataset>)"))
+    // the dataset must exist — schema/partitioning are dataset properties
+    val md = DatasetMetadata.load(sqlContext.sparkSession, base, uuid)
+    if (partitionColumns.nonEmpty && partitionColumns != md.partitionKeys)
+      throw new IllegalArgumentException(
+        s"partitionBy(${partitionColumns.mkString(", ")}) does not match dataset " +
+          s"'$uuid' partitioning (${md.partitionKeys.mkString(", ")}); " +
+          "partitioning is fixed at dataset creation")
+    def csv(k: String): Seq[String] =
+      parameters.get(k).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+    new graft.streaming.GraftSink(
+      base, uuid, outputMode,
+      keys = csv("keys"),
+      opCol = parameters.get("opCol").filter(_.nonEmpty),
+      sortBy = csv("sortBy"),
+      compactEvery = parameters.get("compactEvery").map(_.toInt).getOrElse(0),
+      maxSidecarFragments = parameters.get("maxSidecarFragments").map(_.toInt).getOrElse(64),
+      evolveSchema = parameters.get("evolveSchema").exists(_.toBoolean))
+  }
 
   private def load(options: CaseInsensitiveStringMap): (String, DatasetMetadata) = {
     val base = Option(options.get("path")).getOrElse(

@@ -1,8 +1,8 @@
 package graft.sources
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.connector.expressions.{Expressions, Expression => V2Expression}
-import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReaderFactory, Scan, SupportsReportPartitioning}
+import org.apache.spark.sql.connector.expressions.{Expressions, NullOrdering, SortDirection, Expression => V2Expression, SortOrder => V2SortOrder}
+import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReaderFactory, Scan, SupportsReportOrdering, SupportsReportPartitioning}
 import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning}
 import org.apache.spark.sql.execution.PartitionedFileUtil
 import org.apache.spark.sql.execution.datasources.{FilePartition, PartitionedFile}
@@ -40,7 +40,7 @@ final class KeyedFilePartition(
   * `spark.sql.sources.v2.bucketing.enabled=true` for the exec-side grouping.
   */
 final class GraftKeyedScan(delegate: ParquetScan, partitionCols: Seq[String])
-    extends Scan with Batch with SupportsReportPartitioning {
+    extends Scan with Batch with SupportsReportPartitioning with SupportsReportOrdering {
 
   override def readSchema(): StructType = delegate.readSchema()
   override def toBatch: Batch = this
@@ -55,6 +55,19 @@ final class GraftKeyedScan(delegate: ParquetScan, partitionCols: Seq[String])
     new KeyGroupedPartitioning(
       partitionCols.map(c => Expressions.identity(c): V2Expression).toArray,
       groups.length)
+
+  /** Every input partition holds exactly ONE partition-value group (see
+    * [[planInputPartitions]]), and exec-side SPJ grouping only ever merges
+    * partitions that share a key — so within any task all rows carry equal
+    * key tuples and "sorted by the partition columns" holds for free. With
+    * the [[KeyGroupedPartitioning]] above, `EnsureRequirements` then plans
+    * the co-partitioned sort-merge join with NO Exchange and NO Sort on
+    * either side: the join degenerates to zipping equal-keyed groups, the
+    * exact shape of the reference's partition-aligned merge.
+    */
+  override def outputOrdering(): Array[V2SortOrder] =
+    partitionCols.map(c => Expressions.sort(
+      Expressions.identity(c), SortDirection.ASCENDING, NullOrdering.NULLS_FIRST)).toArray
 
   override def planInputPartitions(): Array[InputPartition] =
     groups.zipWithIndex.map { case (dir, i) =>

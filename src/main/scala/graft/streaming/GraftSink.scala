@@ -1,0 +1,80 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.Sink
+import org.apache.spark.sql.graft.BatchShim
+import org.apache.spark.sql.streaming.OutputMode
+
+/** `df.writeStream.format("graft")` — the streaming WRITE surface of the
+  * connector, completing the DSv2 story (batch read/write, streaming read
+  * via `readStream.format("graft")`/`"graft-cdc"`, and now streaming write).
+  *
+  * Registered through [[graft.sources.GraftDataSource]]'s
+  * `StreamSinkProvider`: GraftTable deliberately does NOT declare
+  * `STREAMING_WRITE` (a DSv2 `StreamingWrite` would force an executor-side
+  * file-writer protocol parallel to the engine's driver-orchestrated commit
+  * pipeline), so Spark's `DataStreamWriter` falls back to this V1 sink —
+  * the same packaging Delta uses for `DeltaSink`.
+  *
+  * Each micro-batch lands as ONE atomic versioned commit with the batch id
+  * recorded in the commit metadata, so replays after a crash are detected
+  * and skipped: exactly-once TABLE state on Spark's at-least-once
+  * micro-batch contract ([[KtkSink.commitBatch]] mechanics). Output-mode
+  * mapping:
+  *
+  *   - Append                     → incremental append commit;
+  *   - Append/Update + `keys`     → keyed UPSERT ([[graft.ktk.Ktk.merge]]
+  *     merge-on-read; optional `opCol` routes delete markers — the CDC
+  *     mirror shape);
+  *   - Complete                   → versioned full-content swap per batch
+  *     (`replaceAll`, history intact) — streaming aggregations.
+  *
+  * Options: `uuid` (required), `keys` (comma-separated), `opCol`,
+  * `sortBy` (comma-separated), `compactEvery`, `maxSidecarFragments`,
+  * `evolveSchema`. The target dataset must already exist
+  * ([[graft.ktk.Ktk.createEmpty]] / a prior store): schema and partitioning
+  * are dataset properties, not per-query choices.
+  */
+final class GraftSink(
+    base: String,
+    uuid: String,
+    mode: OutputMode,
+    keys: Seq[String],
+    opCol: Option[String],
+    sortBy: Seq[String],
+    compactEvery: Int,
+    maxSidecarFragments: Int,
+    evolveSchema: Boolean) extends Sink {
+
+  require(uuid.nonEmpty, "graft sink requires .option(\"uuid\", <dataset>)")
+  if (mode == OutputMode.Update())
+    require(keys.nonEmpty,
+      "Update output mode needs .option(\"keys\", ...) — per-key upsert is " +
+        "the only update semantics a table sink can implement")
+  if (mode == OutputMode.Complete()) {
+    require(keys.isEmpty && opCol.isEmpty,
+      "Complete mode replaces the full table content per batch; " +
+        "keys/opCol only apply to the upsert (Append/Update + keys) shape")
+  }
+  if (opCol.nonEmpty)
+    require(keys.nonEmpty, "opCol (CDC delete markers) requires keys")
+
+  override def name(): String = s"graft.$uuid"
+
+  override def addBatch(batchId: Long, data: DataFrame): Unit = {
+    // the incoming frame is a streaming plan fragment; re-wrap it over the
+    // same physical rows (ForeachBatchSink's mechanism) before committing
+    val batch = BatchShim.materializeBatch(data)
+    if (mode == OutputMode.Complete()) {
+      KtkSink.commitBatchComplete(batch, base, uuid, batchId, sortBy)
+    } else if (keys.nonEmpty) {
+      KtkSink.commitBatchUpsert(batch, base, uuid, batchId, keys,
+        compactEvery, maxSidecarFragments, opCol, evolveSchema)
+    } else {
+      KtkSink.commitBatch(batch, base, uuid, batchId, sortBy,
+        compactEvery, maxSidecarFragments)
+    }
+  }
+
+  override def toString: String = s"GraftSink[$uuid, mode=$mode]"
+}

@@ -114,6 +114,26 @@ object KtkSink {
     }
   }
 
+  /** Commit one micro-batch as a COMPLETE-mode snapshot (exactly once):
+    * the batch replaces the table's entire content in ONE versioned commit
+    * (`replaceAll` — the same content swap as `INSERT OVERWRITE`, so
+    * history and time travel stay intact and gc reclaims the old files
+    * later). The natural sink for a streaming aggregation running in
+    * Complete output mode, where every trigger re-emits the full result.
+    */
+  def commitBatchComplete(batch: DataFrame, base: String, uuid: String, batchId: Long,
+                          sortBy: Seq[String] = Nil): Unit = {
+    val spark = batch.sparkSession
+    val md = DatasetMetadata.load(spark, base, uuid)
+    val alreadyCommitted = md.metadata.get(BatchKey).exists(_.toLong >= batchId)
+    if (!alreadyCommitted) {
+      Ktk.update(spark, base, uuid, Some(batch), sortBy = sortBy,
+        replaceAll = true,
+        extraMetadata = Map(BatchKey -> batchId.toString))
+      ()
+    }
+  }
+
   /** Attach the dataset as the sink of a streaming DataFrame. */
   def writeStream(df: DataFrame, base: String, uuid: String, checkpoint: String,
                   trigger: Trigger = Trigger.AvailableNow(),

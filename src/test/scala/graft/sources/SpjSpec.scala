@@ -72,6 +72,24 @@ class SpjSpec extends SparkSpec {
     }
   }
 
+  test("join on the partition columns alone plans with zero Exchange AND zero Sort") {
+    // SupportsReportOrdering: every keyed input partition holds exactly one
+    // partition-value group, so "sorted by the partition columns" holds for
+    // free — a merge keyed on them needs neither a shuffle nor a sort.
+    withSpjConfs {
+      val merged = Ktk.mergeDatasets(spark, base, "facts", "dims", "inner",
+        mergeFunc = Some((l, r) => l.join(r.withColumnRenamed("k", "dk"), Seq("p"), "inner")))
+      val plan = merged.queryExecution.executedPlan
+      plan.collect { case e: ShuffleExchangeExec => e } shouldBe empty
+      plan.collect { case s: org.apache.spark.sql.execution.SortExec => s } shouldBe empty
+      merged.count() shouldBe 2000L / 8 * 160 / 8 * 8 // per-group cross size
+      // spot-check against the shuffled plain join
+      val plain = Ktk.readTable(spark, base, "facts")
+        .join(Ktk.readTable(spark, base, "dims").withColumnRenamed("k", "dk"), Seq("p"))
+      merged.count() shouldBe plain.count()
+    }
+  }
+
   test("non-keyed scan is unchanged (default path still size-planned)") {
     val df = spark.read.format("graft").option("uuid", "facts").load(base)
     df.count() shouldBe 2000

@@ -1,0 +1,134 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.ktk.{DatasetMetadata, Ktk}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+import org.apache.spark.sql.types._
+
+/** `df.writeStream.format("graft")` — the connector's streaming WRITE
+  * surface ([[GraftSink]] via GraftDataSource's StreamSinkProvider).
+  * The commit mechanics are KtkSink's (exactly-once table state on the
+  * at-least-once micro-batch contract); these tests pin the format
+  * registration, the option plumbing and the output-mode mapping.
+  */
+class GraftSinkSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val schema = StructType(Seq(
+    StructField("p", IntegerType), StructField("k", LongType),
+    StructField("v", StringType)))
+
+  private def startGraft(df: org.apache.spark.sql.DataFrame, base: String,
+                         uuid: String, ckpt: String,
+                         mode: OutputMode = OutputMode.Append(),
+                         opts: Map[String, String] = Map.empty) = {
+    var w = df.writeStream.format("graft")
+      .option("uuid", uuid)
+      .option("checkpointLocation", ckpt)
+      .outputMode(mode)
+      .trigger(Trigger.AvailableNow())
+    opts.foreach { case (k, v) => w = w.option(k, v) }
+    w.start(base)
+  }
+
+  test("append mode: micro-batches land as atomic commits, exactly once across restarts") {
+    val base = tmpDir("gsink")
+    Ktk.createEmpty(spark, base, "s1", schema, partitionOn = Seq("p"))
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Int, Long, String)]
+    val df = mem.toDF().toDF("p", "k", "v")
+    val ckpt = tmpDir("gsink-ckpt")
+
+    mem.addData((0, 1L, "a"), (1, 2L, "b"))
+    startGraft(df, base, "s1", ckpt).awaitTermination()
+    Ktk.readTable(spark, base, "s1").count() shouldBe 2
+
+    // restart over the same checkpoint: only the new batch commits
+    mem.addData((0, 3L, "c"))
+    startGraft(df, base, "s1", ckpt).awaitTermination()
+    val rows = Ktk.readTable(spark, base, "s1")
+      .select("k", "v").as[(Long, String)].collect().sortBy(_._1).toSeq
+    rows shouldBe Seq((1L, "a"), (2L, "b"), (3L, "c"))
+  }
+
+  test("update mode + keys: per-key upsert through the format surface") {
+    val base = tmpDir("gsink-up")
+    Ktk.createEmpty(spark, base, "s2", schema, partitionOn = Seq("p"))
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Int, Long, String)]
+    val df = mem.toDF().toDF("p", "k", "v")
+    val ckpt = tmpDir("gsink-up-ckpt")
+
+    mem.addData((0, 1L, "a"), (0, 2L, "b"))
+    startGraft(df, base, "s2", ckpt, OutputMode.Update(),
+      Map("keys" -> "p,k")).awaitTermination()
+    mem.addData((0, 2L, "b2"), (0, 3L, "c"))
+    startGraft(df, base, "s2", ckpt, OutputMode.Update(),
+      Map("keys" -> "p,k")).awaitTermination()
+
+    val rows = Ktk.readTable(spark, base, "s2")
+      .select("k", "v").as[(Long, String)].collect().sortBy(_._1).toSeq
+    rows shouldBe Seq((1L, "a"), (2L, "b2"), (3L, "c"))
+  }
+
+  test("complete mode: each batch is a versioned full-content swap, history intact") {
+    val base = tmpDir("gsink-cm")
+    val aggSchema = StructType(Seq(
+      StructField("p", IntegerType), StructField("n", LongType)))
+    Ktk.createEmpty(spark, base, "s3", aggSchema, partitionOn = Nil)
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Int, Long)]
+    val agg = mem.toDF().toDF("p", "k").groupBy("p").count().withColumnRenamed("count", "n")
+    val ckpt = tmpDir("gsink-cm-ckpt")
+
+    mem.addData((0, 1L), (0, 2L), (1, 3L))
+    startGraft(agg, base, "s3", ckpt, OutputMode.Complete()).awaitTermination()
+    Ktk.readTable(spark, base, "s3").select("p", "n").as[(Long, Long)].collect().toSet shouldBe
+      Set((0L, 2L), (1L, 1L))
+
+    mem.addData((1, 4L), (2, 5L))
+    startGraft(agg, base, "s3", ckpt, OutputMode.Complete()).awaitTermination()
+    Ktk.readTable(spark, base, "s3").select("p", "n").as[(Long, Long)].collect().toSet shouldBe
+      Set((0L, 2L), (1L, 2L), (2L, 1L))
+
+    // replaceAll keeps the version line: the pre-swap snapshot is travelable
+    val versions = DatasetMetadata.listVersions(spark, base, "s3")
+    versions.size should be >= 3 // create + 2 swaps
+    val prevMd = DatasetMetadata.loadVersion(spark, base, "s3", versions(versions.size - 2))
+    Ktk.readTableWithMetadata(spark, base, prevMd)
+      .select("p", "n").as[(Long, Long)].collect().toSet shouldBe Set((0L, 2L), (1L, 1L))
+  }
+
+  test("refusals: missing uuid, update without keys, partitionBy mismatch") {
+    val base = tmpDir("gsink-bad")
+    Ktk.createEmpty(spark, base, "s4", schema, partitionOn = Seq("p"))
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Int, Long, String)]
+    val df = mem.toDF().toDF("p", "k", "v")
+    mem.addData((0, 1L, "a"))
+
+    val e1 = intercept[Exception] {
+      df.writeStream.format("graft")
+        .option("checkpointLocation", tmpDir("ck1"))
+        .trigger(Trigger.AvailableNow()).start(base).awaitTermination()
+    }
+    e1.getMessage should include("uuid")
+
+    val e2 = intercept[Exception] {
+      df.writeStream.format("graft").option("uuid", "s4")
+        .option("checkpointLocation", tmpDir("ck2"))
+        .outputMode(OutputMode.Update())
+        .trigger(Trigger.AvailableNow()).start(base).awaitTermination()
+    }
+    e2.getMessage should include("keys")
+
+    val e3 = intercept[Exception] {
+      df.writeStream.format("graft").option("uuid", "s4")
+        .option("checkpointLocation", tmpDir("ck3"))
+        .partitionBy("k")
+        .trigger(Trigger.AvailableNow()).start(base).awaitTermination()
+    }
+    e3.getMessage should include("partition")
+  }
+}
