@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.expressions.{Expressions, NullOrdering, SortDirection, Expression => V2Expression, SortOrder => V2SortOrder}
-import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReaderFactory, Scan, SupportsReportOrdering, SupportsReportPartitioning}
+import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReaderFactory, Scan, Statistics, SupportsReportOrdering, SupportsReportPartitioning, SupportsReportStatistics}
 import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning}
 import org.apache.spark.sql.execution.PartitionedFileUtil
 import org.apache.spark.sql.execution.datasources.{FilePartition, PartitionedFile}
@@ -40,7 +40,8 @@ final class KeyedFilePartition(
   * `spark.sql.sources.v2.bucketing.enabled=true` for the exec-side grouping.
   */
 final class GraftKeyedScan(delegate: ParquetScan, partitionCols: Seq[String])
-    extends Scan with Batch with SupportsReportPartitioning with SupportsReportOrdering {
+    extends Scan with Batch with SupportsReportPartitioning with SupportsReportOrdering
+    with SupportsReportStatistics {
 
   override def readSchema(): StructType = delegate.readSchema()
   override def toBatch: Batch = this
@@ -77,6 +78,13 @@ final class GraftKeyedScan(delegate: ParquetScan, partitionCols: Seq[String])
       }
       new KeyedFilePartition(i, files.toArray, dir.values.copy())
     }.toArray
+
+  /** Size stats delegate to the wrapped [[ParquetScan]] (FileScan's
+    * listing-based estimate) — without them a DSv2 relation defaults to
+    * `spark.sql.defaultSizeInBytes` (max), and a small keyed dim read
+    * through this scan could never qualify for a broadcast join.
+    */
+  override def estimateStatistics(): Statistics = delegate.estimateStatistics()
 
   override def createReaderFactory(): PartitionReaderFactory =
     delegate.createReaderFactory()
