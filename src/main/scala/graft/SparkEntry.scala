@@ -1,5 +1,7 @@
 package graft
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -53,6 +55,24 @@ object SparkEntry {
       try java.nio.file.Files.move(tmp, target,
         java.nio.file.StandardCopyOption.ATOMIC_MOVE)
       catch { case _: java.nio.file.FileAlreadyExistsException => () }
+    }
+  }
+
+  /** Materialize a DataFrame as ONE parquet file at `target` (atomic move,
+    * idempotent) — file-streaming-source fixtures need plain files whose
+    * arrival order the test controls, not write directories.
+    */
+  private def stageDfOnce(df: DataFrame, target: java.nio.file.Path): Unit = {
+    if (!java.nio.file.Files.exists(target)) {
+      val tmp = java.nio.file.Files.createTempDirectory(target.getParent, "stage-")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp).iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet"))
+        .getOrElse(throw new IllegalStateException(s"no parquet part under $tmp"))
+      try java.nio.file.Files.move(part, target,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      catch { case _: java.nio.file.FileAlreadyExistsException => () }
+      org.apache.commons.io.FileUtils.deleteQuietly(tmp.toFile)
     }
   }
 
@@ -1896,6 +1916,49 @@ object SparkEntry {
       s.table(name).agg(count(lit(1)).as("n_docs"))
     }),
 
+    "q_stream_upsert" -> ((s, dir) => {
+      // streaming WRITE through the connector (`writeStream.format("graft")`,
+      // Update mode + keys → keyed merge-on-read upsert): wave A streams the
+      // full orders keyset into an empty dataset, wave B re-streams every
+      // 7th key with a bumped price; the upsert must leave exactly
+      // last-writer-wins state. A third run over the same checkpoint (no new
+      // files) must commit NOTHING — exactly-once is asserted in-query.
+      import org.apache.spark.sql.streaming.Trigger
+      import org.apache.spark.sql.types._
+      val base = scratch(dir)
+      val uuid = "orders_upstream"
+      if (!graft.ktk.DatasetMetadata.exists(s, base, uuid)) {
+        val stageDir = java.nio.file.Paths.get(base, "orders_upstream_src")
+        java.nio.file.Files.createDirectories(stageDir)
+        val orders = t(s, dir, "orders").select("o_orderkey", "o_totalprice")
+        val schema = StructType(Seq(
+          StructField("o_orderkey", LongType), StructField("o_totalprice", DoubleType)))
+        Ktk.createEmpty(s, base, uuid, schema)
+        val ckpt = s"$base/orders_upstream_ckpt"
+        def run(): Unit = {
+          val q = s.readStream.schema(schema).parquet(stageDir.toString)
+            .writeStream.format("graft")
+            .option("uuid", uuid).option("keys", "o_orderkey")
+            .option("checkpointLocation", ckpt)
+            .outputMode("update").trigger(Trigger.AvailableNow()).start(base)
+          q.awaitTermination()
+        }
+        stageDfOnce(orders, stageDir.resolve("waveA.parquet"))
+        run()
+        stageDfOnce(orders.filter(col("o_orderkey") % 7 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") + lit(1000.0)),
+          stageDir.resolve("waveB.parquet"))
+        run()
+        val before = graft.ktk.DatasetMetadata.load(s, base, uuid).version
+        run() // replay window: same checkpoint, no new files
+        val after = graft.ktk.DatasetMetadata.load(s, base, uuid).version
+        require(after == before, s"empty restart must not commit ($before -> $after)")
+      }
+      Ktk.readTable(s, base, uuid)
+        .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("price"))
+        .orderBy("o_orderkey")
+    }),
+
     "q_stream_window" -> ((s, dir) => {
       // Structured Streaming over the events table: windowed count/sum with
       // Trigger.AvailableNow into a memory sink — the batch-incremental
@@ -2771,6 +2834,11 @@ object SparkEntry {
     "q_stream_ingest" ->
       """SELECT count(DISTINCT lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS n_docs
         |FROM documents WHERE length(text) >= 100""".stripMargin,
+
+    "q_stream_upsert" ->
+      """SELECT o_orderkey,
+        |  round(CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1000 ELSE o_totalprice END, 2) AS price
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
 
     "q_stream_window" ->
       """SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
