@@ -68,6 +68,7 @@ class GraftDataSource extends TableProvider with DataSourceRegister
       base, uuid, outputMode,
       keys = csv("keys"),
       opCol = parameters.get("opCol").filter(_.nonEmpty),
+      deleteOp = parameters.getOrElse("deleteOp", "D"),
       sortBy = csv("sortBy"),
       compactEvery = parameters.get("compactEvery").map(_.toInt).getOrElse(0),
       maxSidecarFragments = parameters.get("maxSidecarFragments").map(_.toInt).getOrElse(64),

@@ -30,6 +30,8 @@ import org.apache.spark.sql.streaming.OutputMode
   *     (`replaceAll`, history intact) — streaming aggregations.
   *
   * Options: `uuid` (required), `keys` (comma-separated), `opCol`,
+  * `deleteOp` (the opCol value marking deletes, default "D" — set to
+  * "delete" when piping `readStream.format("graft-cdc")` straight in),
   * `sortBy` (comma-separated), `compactEvery`, `maxSidecarFragments`,
   * `evolveSchema`. The target dataset must already exist
   * ([[graft.ktk.Ktk.createEmpty]] / a prior store): schema and partitioning
@@ -41,6 +43,7 @@ final class GraftSink(
     mode: OutputMode,
     keys: Seq[String],
     opCol: Option[String],
+    deleteOp: String,
     sortBy: Seq[String],
     compactEvery: Int,
     maxSidecarFragments: Int,
@@ -69,7 +72,7 @@ final class GraftSink(
       KtkSink.commitBatchComplete(batch, base, uuid, batchId, sortBy)
     } else if (keys.nonEmpty) {
       KtkSink.commitBatchUpsert(batch, base, uuid, batchId, keys,
-        compactEvery, maxSidecarFragments, opCol, evolveSchema)
+        compactEvery, maxSidecarFragments, opCol, evolveSchema, deleteOp)
     } else {
       KtkSink.commitBatch(batch, base, uuid, batchId, sortBy,
         compactEvery, maxSidecarFragments)

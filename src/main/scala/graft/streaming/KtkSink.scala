@@ -88,7 +88,8 @@ object KtkSink {
                         keys: Seq[String], compactEvery: Int = 0,
                         maxSidecarFragments: Int = 64,
                         opCol: Option[String] = None,
-                        evolveSchema: Boolean = false): Unit = {
+                        evolveSchema: Boolean = false,
+                        deleteOp: String = "D"): Unit = {
     val spark = batch.sparkSession
     val md = DatasetMetadata.load(spark, base, uuid)
     val alreadyCommitted = md.metadata.get(BatchKey).exists(_.toLong >= batchId)
@@ -99,7 +100,7 @@ object KtkSink {
       // opCol: Debezium-style batches where 'D' rows are delete markers
       opCol match {
         case Some(c) => Ktk.mergeCdc(spark, base, uuid, batch, keys, c,
-          extraMetadata = meta, evolveSchema = evolveSchema)
+          deleteOp = deleteOp, extraMetadata = meta, evolveSchema = evolveSchema)
         case None    => Ktk.merge(spark, base, uuid, batch, keys,
           extraMetadata = meta, evolveSchema = evolveSchema)
       }

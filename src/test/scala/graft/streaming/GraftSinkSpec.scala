@@ -100,6 +100,46 @@ class GraftSinkSpec extends SparkSpec {
       .select("p", "n").as[(Long, Long)].collect().toSet shouldBe Set((0L, 2L), (1L, 1L))
   }
 
+  test("CDC mirror purely through connector surfaces: graft-cdc source -> graft sink") {
+    // readStream.format("graft-cdc") | writeStream.format("graft", keys+opCol)
+    // — a downstream mirror with zero engine-API calls on the consumer side.
+    // maxVersionsPerTrigger=1 keeps each micro-batch single-commit, so a
+    // key's delete+insert pair (a merge's CDC image) resolves in-commit and
+    // no cross-version collapse is needed.
+    import graft.core.Predicates
+    val base = tmpDir("gsink-cdcm")
+    val up = Seq((0, 1L, "a"), (0, 2L, "b"), (1, 3L, "c"), (1, 4L, "d"))
+      .toDF("p", "k", "v")
+    Ktk.store(spark, base, "up_t", up, partitionOn = Seq("p"))
+    Ktk.createEmpty(spark, base, "mir_t", schema, partitionOn = Seq("p"))
+
+    val stream = spark.readStream.format("graft-cdc")
+      .option("uuid", "up_t").option("maxVersionsPerTrigger", "1").load(base)
+      .drop("_commit_version")
+    val q = stream.writeStream.format("graft")
+      .option("uuid", "mir_t").option("keys", "k")
+      .option("opCol", "_change_type").option("deleteOp", "delete")
+      .option("checkpointLocation", tmpDir("gsink-cdcm-ckpt"))
+      .outputMode(OutputMode.Update()).start(base)
+    try {
+      q.processAllAvailable() // bootstrap: snapshot arrives as inserts
+      Ktk.readTable(spark, base, "mir_t").count() shouldBe 4
+
+      Ktk.deleteRows(spark, base, "up_t",
+        predicates = Predicates.of(Seq(("k", "==", 1L))))
+      Ktk.merge(spark, base, "up_t",
+        Seq((1, 4L, "d2"), (0, 5L, "e")).toDF("p", "k", "v"), keys = Seq("k"))
+      q.processAllAvailable()
+
+      val mirror = Ktk.readTable(spark, base, "mir_t")
+        .select("p", "k", "v").as[(Long, Long, String)].collect().toSet
+      val upstream = Ktk.readTable(spark, base, "up_t")
+        .select("p", "k", "v").as[(Long, Long, String)].collect().toSet
+      mirror shouldBe upstream
+      mirror shouldBe Set((0L, 2L, "b"), (1L, 3L, "c"), (1L, 4L, "d2"), (0L, 5L, "e"))
+    } finally q.stop()
+  }
+
   test("refusals: missing uuid, update without keys, partitionBy mismatch") {
     val base = tmpDir("gsink-bad")
     Ktk.createEmpty(spark, base, "s4", schema, partitionOn = Seq("p"))
