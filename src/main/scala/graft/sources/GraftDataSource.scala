@@ -51,9 +51,14 @@ class GraftDataSource extends TableProvider with DataSourceRegister
       partitionColumns: Seq[String],
       outputMode: org.apache.spark.sql.streaming.OutputMode)
       : org.apache.spark.sql.execution.streaming.Sink = {
-    val base = parameters.getOrElse("path",
+    // normalize option keys: Spark hands V1 sinks a case-insensitive map in
+    // current versions, but that is undocumented — don't depend on it
+    val params = parameters.map { case (k, v) =>
+      k.toLowerCase(java.util.Locale.ROOT) -> v
+    }
+    val base = params.getOrElse("path",
       throw new IllegalArgumentException("graft sink requires .start(<base path>)"))
-    val uuid = parameters.getOrElse("uuid",
+    val uuid = params.getOrElse("uuid",
       throw new IllegalArgumentException("graft sink requires .option(\"uuid\", <dataset>)"))
     // the dataset must exist — schema/partitioning are dataset properties
     val md = DatasetMetadata.load(sqlContext.sparkSession, base, uuid)
@@ -63,16 +68,16 @@ class GraftDataSource extends TableProvider with DataSourceRegister
           s"'$uuid' partitioning (${md.partitionKeys.mkString(", ")}); " +
           "partitioning is fixed at dataset creation")
     def csv(k: String): Seq[String] =
-      parameters.get(k).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+      params.get(k).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
     new graft.streaming.GraftSink(
       base, uuid, outputMode,
       keys = csv("keys"),
-      opCol = parameters.get("opCol").filter(_.nonEmpty),
-      deleteOp = parameters.getOrElse("deleteOp", "D"),
-      sortBy = csv("sortBy"),
-      compactEvery = parameters.get("compactEvery").map(_.toInt).getOrElse(0),
-      maxSidecarFragments = parameters.get("maxSidecarFragments").map(_.toInt).getOrElse(64),
-      evolveSchema = parameters.get("evolveSchema").exists(_.toBoolean))
+      opCol = params.get("opcol").filter(_.nonEmpty),
+      deleteOp = params.getOrElse("deleteop", "D"),
+      sortBy = csv("sortby"),
+      compactEvery = params.get("compactevery").map(_.toInt).getOrElse(0),
+      maxSidecarFragments = params.get("maxsidecarfragments").map(_.toInt).getOrElse(64),
+      evolveSchema = params.get("evolveschema").exists(_.toBoolean))
   }
 
   private def load(options: CaseInsensitiveStringMap): (String, DatasetMetadata) = {

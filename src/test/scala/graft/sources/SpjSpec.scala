@@ -90,6 +90,15 @@ class SpjSpec extends SparkSpec {
     }
   }
 
+  test("keyed scan with the partition column pruned away still reads (reported ordering/partitioning reference a dropped column)") {
+    withSpjConfs {
+      val df = spark.read.format("graft").option("uuid", "facts")
+        .option("keyed", "true").load(base)
+      df.selectExpr("sum(k) AS s").collect()(0).getLong(0) shouldBe (0L until 2000L).sum
+      df.select("x").filter($"x" > 0).count() shouldBe 1999
+    }
+  }
+
   test("non-keyed scan is unchanged (default path still size-planned)") {
     val df = spark.read.format("graft").option("uuid", "facts").load(base)
     df.count() shouldBe 2000
