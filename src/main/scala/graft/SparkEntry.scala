@@ -66,9 +66,12 @@ object SparkEntry {
     if (!java.nio.file.Files.exists(target)) {
       val tmp = java.nio.file.Files.createTempDirectory(target.getParent, "stage-")
       df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      val part = java.nio.file.Files.list(tmp).iterator().asScala
-        .find(_.getFileName.toString.endsWith(".parquet"))
-        .getOrElse(throw new IllegalStateException(s"no parquet part under $tmp"))
+      val listing = java.nio.file.Files.list(tmp)
+      val part =
+        try listing.iterator().asScala
+          .find(_.getFileName.toString.endsWith(".parquet"))
+          .getOrElse(throw new IllegalStateException(s"no parquet part under $tmp"))
+        finally listing.close()
       try java.nio.file.Files.move(part, target,
         java.nio.file.StandardCopyOption.ATOMIC_MOVE)
       catch { case _: java.nio.file.FileAlreadyExistsException => () }
@@ -1927,8 +1930,17 @@ object SparkEntry {
       import org.apache.spark.sql.types._
       val base = scratch(dir)
       val uuid = "orders_upstream"
-      if (!graft.ktk.DatasetMetadata.exists(s, base, uuid)) {
+      // gate on a completion marker, not dataset existence: the setup is
+      // multi-step (3 streaming runs + staged files), and a crash mid-way
+      // must rebuild from scratch, not serve the half-built table forever
+      val done = java.nio.file.Paths.get(base, s"$uuid._fixture_done")
+      if (!java.nio.file.Files.exists(done)) {
+        if (graft.ktk.DatasetMetadata.exists(s, base, uuid))
+          graft.ktk.DatasetMetadata.delete(s, base, uuid)
         val stageDir = java.nio.file.Paths.get(base, "orders_upstream_src")
+        org.apache.commons.io.FileUtils.deleteQuietly(stageDir.toFile)
+        org.apache.commons.io.FileUtils.deleteQuietly(
+          java.nio.file.Paths.get(base, "orders_upstream_ckpt").toFile)
         java.nio.file.Files.createDirectories(stageDir)
         val orders = t(s, dir, "orders").select("o_orderkey", "o_totalprice")
         val schema = StructType(Seq(
@@ -1953,6 +1965,7 @@ object SparkEntry {
         run() // replay window: same checkpoint, no new files
         val after = graft.ktk.DatasetMetadata.load(s, base, uuid).version
         require(after == before, s"empty restart must not commit ($before -> $after)")
+        java.nio.file.Files.createFile(done)
       }
       Ktk.readTable(s, base, uuid)
         .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("price"))

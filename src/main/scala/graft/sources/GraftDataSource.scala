@@ -74,6 +74,7 @@ class GraftDataSource extends TableProvider with DataSourceRegister
       keys = csv("keys"),
       opCol = params.get("opcol").filter(_.nonEmpty),
       deleteOp = params.getOrElse("deleteop", "D"),
+      versionCol = params.get("versioncol").filter(_.nonEmpty),
       sortBy = csv("sortby"),
       compactEvery = params.get("compactevery").map(_.toInt).getOrElse(0),
       maxSidecarFragments = params.get("maxsidecarfragments").map(_.toInt).getOrElse(64),

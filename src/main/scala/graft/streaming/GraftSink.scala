@@ -32,8 +32,15 @@ import org.apache.spark.sql.streaming.OutputMode
   * Options: `uuid` (required), `keys` (comma-separated), `opCol`,
   * `deleteOp` (the opCol value marking deletes, default "D" — set to
   * "delete" when piping `readStream.format("graft-cdc")` straight in),
+  * `versionCol` (a per-row commit-version column, e.g. `_commit_version`
+  * from the graft-cdc source: each micro-batch is collapsed to its FINAL
+  * image per key before the upsert, so a batch spanning several upstream
+  * commits — normal after consumer downtime — cannot resurrect deleted
+  * keys or duplicate updated ones; without it the batch must carry at most
+  * one image per key, e.g. via `maxVersionsPerTrigger=1`),
   * `sortBy` (comma-separated), `compactEvery`, `maxSidecarFragments`,
-  * `evolveSchema`. The target dataset must already exist
+  * `evolveSchema`. Options the chosen output mode cannot honor are
+  * REFUSED, not ignored. The target dataset must already exist
   * ([[graft.ktk.Ktk.createEmpty]] / a prior store): schema and partitioning
   * are dataset properties, not per-query choices.
   */
@@ -44,6 +51,7 @@ final class GraftSink(
     keys: Seq[String],
     opCol: Option[String],
     deleteOp: String,
+    versionCol: Option[String],
     sortBy: Seq[String],
     compactEvery: Int,
     maxSidecarFragments: Int,
@@ -55,12 +63,22 @@ final class GraftSink(
       "Update output mode needs .option(\"keys\", ...) — per-key upsert is " +
         "the only update semantics a table sink can implement")
   if (mode == OutputMode.Complete()) {
-    require(keys.isEmpty && opCol.isEmpty,
+    require(keys.isEmpty && opCol.isEmpty && versionCol.isEmpty,
       "Complete mode replaces the full table content per batch; " +
-        "keys/opCol only apply to the upsert (Append/Update + keys) shape")
+        "keys/opCol/versionCol only apply to the upsert (Append/Update + keys) shape")
+    require(!evolveSchema && compactEvery == 0,
+      "Complete mode refuses evolveSchema/compactEvery: each batch swaps the " +
+        "full content against the dataset's declared schema and leaves no " +
+        "small-file debt to compact — these options would be silently inert")
   }
   if (opCol.nonEmpty)
     require(keys.nonEmpty, "opCol (CDC delete markers) requires keys")
+  if (versionCol.nonEmpty)
+    require(keys.nonEmpty, "versionCol (per-key batch collapse) requires keys")
+  if (keys.nonEmpty)
+    require(sortBy.isEmpty,
+      "sortBy only applies to append/complete commits; the keyed upsert " +
+        "path does not sort (option would be silently ignored)")
 
   override def name(): String = s"graft.$uuid"
 
@@ -71,8 +89,17 @@ final class GraftSink(
     if (mode == OutputMode.Complete()) {
       KtkSink.commitBatchComplete(batch, base, uuid, batchId, sortBy)
     } else if (keys.nonEmpty) {
-      KtkSink.commitBatchUpsert(batch, base, uuid, batchId, keys,
+      val collapsed = versionCol match {
+        case Some(v) => KtkSink.collapseByVersion(batch, keys, v, opCol, deleteOp)
+        case None    => batch
+      }
+      // the upsert commit runs several actions over the batch (key
+      // collection, tombstone join, file write) — persist the materialized
+      // micro-batch so its lineage (which re-reads the source) runs once
+      collapsed.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try KtkSink.commitBatchUpsert(collapsed, base, uuid, batchId, keys,
         compactEvery, maxSidecarFragments, opCol, evolveSchema, deleteOp)
+      finally { collapsed.unpersist(); () }
     } else {
       KtkSink.commitBatch(batch, base, uuid, batchId, sortBy,
         compactEvery, maxSidecarFragments)

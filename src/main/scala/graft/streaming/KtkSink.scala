@@ -22,6 +22,46 @@ object KtkSink {
   private val BatchKey = "stream.last_batch_id"
   private val SinceCompactKey = "stream.commits_since_compact"
 
+  /** Replay-guard metadata key, scoped to the live streaming query when one
+    * is on this thread (StreamExecution publishes the STABLE query id —
+    * same across restarts of one checkpoint — as a local property on its
+    * micro-batch thread). Scoping prevents the cross-query false skip: a
+    * NEW query (fresh checkpoint, batch ids restart at 0) writing into a
+    * table another stream already fed must not be silently dropped by the
+    * other stream's high-water mark. Direct programmatic callers (no live
+    * query) keep the dataset-global key.
+    */
+  private def batchKeyFor(spark: org.apache.spark.sql.SparkSession): String =
+    Option(spark.sparkContext.getLocalProperty(
+        org.apache.spark.sql.graft.BatchShim.queryIdKey))
+      .map(q => s"$BatchKey.$q").getOrElse(BatchKey)
+
+  /** Collapse a multi-version CDC micro-batch to its FINAL image per key:
+    * highest `versionCol` wins; within one version an upsert image beats
+    * the delete of the pre-image (a merge's change feed emits
+    * delete(old) + insert(new) for the same key). Without this, a batch
+    * spanning several upstream commits — normal after consumer downtime —
+    * would resurrect deleted keys (the delete lands beside the older
+    * insert) and duplicate updated ones. One batch-sized keyed window;
+    * `versionCol` is consumed.
+    */
+  def collapseByVersion(batch: DataFrame, keys: Seq[String], versionCol: String,
+                        opCol: Option[String], deleteOp: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    require(keys.nonEmpty, "versionCol collapse requires keys")
+    require(batch.columns.contains(versionCol),
+      s"batch lacks version column '$versionCol'")
+    val opRank = opCol
+      .map(c => when(col(s"`$c`") <=> lit(deleteOp), 1).otherwise(2))
+      .getOrElse(lit(0))
+    val w = Window.partitionBy(keys.map(k => col(s"`$k`")): _*)
+      .orderBy(col(s"`$versionCol`").desc, opRank.desc)
+    batch.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn", versionCol)
+  }
+
   /** Commit one micro-batch exactly once. Public so tests (and external
     * committers) can drive it without a streaming query.
     *
@@ -43,7 +83,8 @@ object KtkSink {
                   maxSidecarFragments: Int = 64): Unit = {
     val spark = batch.sparkSession
     val md = DatasetMetadata.load(spark, base, uuid)
-    val alreadyCommitted = md.metadata.get(BatchKey).exists(_.toLong >= batchId)
+    val bk = batchKeyFor(spark)
+    val alreadyCommitted = md.metadata.get(bk).exists(_.toLong >= batchId)
     if (!alreadyCommitted) {
       val since = md.metadata.get(SinceCompactKey).map(_.toLong).getOrElse(0L) + 1
       val willCompact = compactEvery > 0 && since >= compactEvery
@@ -51,7 +92,7 @@ object KtkSink {
       // O(index) — at high batch rates the canonical re-merge would dominate.
       // [[Ktk.compact]] re-canonicalizes the accumulated sidecar fragments.
       Ktk.update(spark, base, uuid, Some(batch), sortBy = sortBy,
-        extraMetadata = Map(BatchKey -> batchId.toString,
+        extraMetadata = Map(bk -> batchId.toString,
           SinceCompactKey -> since.toString),
         appendSidecars = true)
       // The counter resets WITH the compaction commit, not before it: if
@@ -92,11 +133,12 @@ object KtkSink {
                         deleteOp: String = "D"): Unit = {
     val spark = batch.sparkSession
     val md = DatasetMetadata.load(spark, base, uuid)
-    val alreadyCommitted = md.metadata.get(BatchKey).exists(_.toLong >= batchId)
+    val bk = batchKeyFor(spark)
+    val alreadyCommitted = md.metadata.get(bk).exists(_.toLong >= batchId)
     if (!alreadyCommitted) {
       val since = md.metadata.get(SinceCompactKey).map(_.toLong).getOrElse(0L) + 1
       val willCompact = compactEvery > 0 && since >= compactEvery
-      val meta = Map(BatchKey -> batchId.toString, SinceCompactKey -> since.toString)
+      val meta = Map(bk -> batchId.toString, SinceCompactKey -> since.toString)
       // opCol: Debezium-style batches where 'D' rows are delete markers
       opCol match {
         case Some(c) => Ktk.mergeCdc(spark, base, uuid, batch, keys, c,
@@ -126,11 +168,12 @@ object KtkSink {
                           sortBy: Seq[String] = Nil): Unit = {
     val spark = batch.sparkSession
     val md = DatasetMetadata.load(spark, base, uuid)
-    val alreadyCommitted = md.metadata.get(BatchKey).exists(_.toLong >= batchId)
+    val bk = batchKeyFor(spark)
+    val alreadyCommitted = md.metadata.get(bk).exists(_.toLong >= batchId)
     if (!alreadyCommitted) {
       Ktk.update(spark, base, uuid, Some(batch), sortBy = sortBy,
         replaceAll = true,
-        extraMetadata = Map(BatchKey -> batchId.toString))
+        extraMetadata = Map(bk -> batchId.toString))
       ()
     }
   }

@@ -24,4 +24,11 @@ object BatchShim {
     val node = LogicalRDD.fromDataset(ds.queryExecution.toRdd, ds, isStreaming = false)
     ClassicDataset.ofRows(ds.sparkSession, node)
   }
+
+  /** The local-property key under which StreamExecution publishes the
+    * STABLE streaming query id (same across restarts of one checkpoint) on
+    * its micro-batch thread — the scope for per-query replay guards.
+    */
+  def queryIdKey: String =
+    org.apache.spark.sql.execution.streaming.runtime.StreamExecution.QUERY_ID_KEY
 }

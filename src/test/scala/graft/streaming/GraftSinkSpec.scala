@@ -52,6 +52,27 @@ class GraftSinkSpec extends SparkSpec {
     rows shouldBe Seq((1L, "a"), (2L, "b"), (3L, "c"))
   }
 
+  test("a NEW query (fresh checkpoint) into an already-fed dataset is not replay-skipped") {
+    // the replay guard is scoped per streaming query: stream A's batch
+    // high-water mark (here 1) must not swallow stream B's batch 0
+    val base = tmpDir("gsink-two")
+    Ktk.createEmpty(spark, base, "s5", schema, partitionOn = Seq("p"))
+    implicit val sqlCtx = spark.sqlContext
+    val memA = MemoryStream[(Int, Long, String)]
+    memA.addData((0, 1L, "a"))
+    memA.addData((0, 2L, "b")) // two batches: A's high-water mark becomes 1
+    startGraft(memA.toDF().toDF("p", "k", "v"), base, "s5",
+      tmpDir("gsink-two-ckA")).awaitTermination()
+    Ktk.readTable(spark, base, "s5").count() shouldBe 2
+
+    val memB = MemoryStream[(Int, Long, String)]
+    memB.addData((1, 3L, "c")) // B starts at batch 0 < A's mark
+    startGraft(memB.toDF().toDF("p", "k", "v"), base, "s5",
+      tmpDir("gsink-two-ckB")).awaitTermination()
+    Ktk.readTable(spark, base, "s5")
+      .select("k").as[Long].collect().sorted.toSeq shouldBe Seq(1L, 2L, 3L)
+  }
+
   test("update mode + keys: per-key upsert through the format surface") {
     val base = tmpDir("gsink-up")
     Ktk.createEmpty(spark, base, "s2", schema, partitionOn = Seq("p"))
@@ -101,42 +122,53 @@ class GraftSinkSpec extends SparkSpec {
   }
 
   test("CDC mirror purely through connector surfaces: graft-cdc source -> graft sink") {
-    // readStream.format("graft-cdc") | writeStream.format("graft", keys+opCol)
-    // — a downstream mirror with zero engine-API calls on the consumer side.
-    // maxVersionsPerTrigger=1 keeps each micro-batch single-commit, so a
-    // key's delete+insert pair (a merge's CDC image) resolves in-commit and
-    // no cross-version collapse is needed.
+    // readStream.format("graft-cdc") | writeStream.format("graft",
+    // keys+opCol+versionCol) — a downstream mirror with zero engine-API
+    // calls on the consumer side. No admission control: the FIRST batch
+    // spans every upstream commit (the consumer-downtime shape), including
+    // an insert(v1)+delete(v2) pair for one key and a merge's
+    // delete+insert image for another — versionCol collapse must resolve
+    // each key to its final state instead of resurrecting the deleted one.
     import graft.core.Predicates
     val base = tmpDir("gsink-cdcm")
     val up = Seq((0, 1L, "a"), (0, 2L, "b"), (1, 3L, "c"), (1, 4L, "d"))
       .toDF("p", "k", "v")
-    Ktk.store(spark, base, "up_t", up, partitionOn = Seq("p"))
+    Ktk.store(spark, base, "up_t", up, partitionOn = Seq("p")) // v1
+    Ktk.deleteRows(spark, base, "up_t",                        // v2: kill k=1
+      predicates = Predicates.of(Seq(("k", "==", 1L))))
+    Ktk.merge(spark, base, "up_t",                             // v3: upd + new
+      Seq((1, 4L, "d2"), (0, 5L, "e")).toDF("p", "k", "v"), keys = Seq("k"))
     Ktk.createEmpty(spark, base, "mir_t", schema, partitionOn = Seq("p"))
 
     val stream = spark.readStream.format("graft-cdc")
-      .option("uuid", "up_t").option("maxVersionsPerTrigger", "1").load(base)
-      .drop("_commit_version")
-    val q = stream.writeStream.format("graft")
+      .option("uuid", "up_t").load(base)
+    val ckpt = tmpDir("gsink-cdcm-ckpt")
+    def start() = stream.writeStream.format("graft")
       .option("uuid", "mir_t").option("keys", "k")
       .option("opCol", "_change_type").option("deleteOp", "delete")
-      .option("checkpointLocation", tmpDir("gsink-cdcm-ckpt"))
+      .option("versionCol", "_commit_version")
+      .option("checkpointLocation", ckpt)
       .outputMode(OutputMode.Update()).start(base)
+
+    val q = start()
     try {
-      q.processAllAvailable() // bootstrap: snapshot arrives as inserts
-      Ktk.readTable(spark, base, "mir_t").count() shouldBe 4
-
-      Ktk.deleteRows(spark, base, "up_t",
-        predicates = Predicates.of(Seq(("k", "==", 1L))))
-      Ktk.merge(spark, base, "up_t",
-        Seq((1, 4L, "d2"), (0, 5L, "e")).toDF("p", "k", "v"), keys = Seq("k"))
-      q.processAllAvailable()
-
+      q.processAllAvailable() // one batch covering v1..v3
       val mirror = Ktk.readTable(spark, base, "mir_t")
         .select("p", "k", "v").as[(Long, Long, String)].collect().toSet
       val upstream = Ktk.readTable(spark, base, "up_t")
         .select("p", "k", "v").as[(Long, Long, String)].collect().toSet
       mirror shouldBe upstream
       mirror shouldBe Set((0L, 2L, "b"), (1L, 3L, "c"), (1L, 4L, "d2"), (0L, 5L, "e"))
+
+      // live tail: another delete + update while the stream runs
+      Ktk.deleteRows(spark, base, "up_t",
+        predicates = Predicates.of(Seq(("k", "==", 2L))))
+      Ktk.merge(spark, base, "up_t",
+        Seq((1, 3L, "c2")).toDF("p", "k", "v"), keys = Seq("k"))
+      q.processAllAvailable()
+      Ktk.readTable(spark, base, "mir_t")
+        .select("p", "k", "v").as[(Long, Long, String)].collect().toSet shouldBe
+        Set((1L, 3L, "c2"), (1L, 4L, "d2"), (0L, 5L, "e"))
     } finally q.stop()
   }
 
