@@ -172,6 +172,43 @@ class GraftSinkSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("mirror follows upstream schema evolution across a stream restart") {
+    // a streaming source's schema is fixed at query start, so the new
+    // column arrives after a restart (standard Structured Streaming
+    // semantics); the sink with evolveSchema=true then evolves the mirror
+    // additively on the first batch that carries it
+    val base = tmpDir("gsink-evo")
+    Ktk.store(spark, base, "up_e",
+      Seq((0, 1L, "a"), (0, 2L, "b")).toDF("p", "k", "v"), partitionOn = Seq("p"))
+    Ktk.createEmpty(spark, base, "mir_e", schema, partitionOn = Seq("p"))
+    val ckpt = tmpDir("gsink-evo-ckpt")
+    def run(): Unit = {
+      val q = spark.readStream.format("graft-cdc").option("uuid", "up_e").load(base)
+        .writeStream.format("graft")
+        .option("uuid", "mir_e").option("keys", "k")
+        .option("opCol", "_change_type").option("deleteOp", "delete")
+        .option("versionCol", "_commit_version")
+        .option("evolveSchema", "true")
+        .option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Update())
+        .trigger(Trigger.AvailableNow()).start(base)
+      q.awaitTermination()
+    }
+    run() // bootstrap with the 3-column schema
+    Ktk.readTable(spark, base, "mir_e").columns.toSet shouldBe Set("p", "k", "v")
+
+    // upstream evolves additively and upserts a wider row
+    Ktk.merge(spark, base, "up_e",
+      Seq((0, 2L, "b2", 7L), (1, 3L, "c", 9L)).toDF("p", "k", "v", "w"),
+      keys = Seq("k"), evolveSchema = true)
+    run() // restart: the source now carries w; the sink evolves the mirror
+    val mirror = Ktk.readTable(spark, base, "mir_e")
+    mirror.columns.toSet shouldBe Set("p", "k", "v", "w")
+    mirror.select("k", "v", "w").as[(Long, String, Option[Long])]
+      .collect().toSet shouldBe
+      Set((1L, "a", None), (2L, "b2", Some(7L)), (3L, "c", Some(9L)))
+  }
+
   test("refusals: missing uuid, update without keys, partitionBy mismatch") {
     val base = tmpDir("gsink-bad")
     Ktk.createEmpty(spark, base, "s4", schema, partitionOn = Seq("p"))
