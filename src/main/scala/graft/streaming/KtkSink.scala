@@ -193,19 +193,29 @@ object KtkSink {
 
   /** Attach the dataset as a keyed UPSERT sink (CDC mirror). `opCol`
     * enables full insert/update/delete traffic: rows carrying the delete
-    * marker tombstone their keys instead of landing.
+    * marker (`deleteOp`) tombstone their keys instead of landing.
+    * `versionCol` collapses each micro-batch to its final image per key
+    * first ([[collapseByVersion]]) — required when one batch can span
+    * several upstream commits (consumer downtime); without it batches
+    * must carry at most one image per key.
     */
   def upsertStream(df: DataFrame, base: String, uuid: String, checkpoint: String,
                    keys: Seq[String], trigger: Trigger = Trigger.AvailableNow(),
                    compactEvery: Int = 0,
                    maxSidecarFragments: Int = 64,
-                   opCol: Option[String] = None): StreamingQuery =
+                   opCol: Option[String] = None,
+                   deleteOp: String = "D",
+                   versionCol: Option[String] = None): StreamingQuery =
     df.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        commitBatchUpsert(batch, base, uuid, batchId, keys, compactEvery,
-          maxSidecarFragments, opCol)
+        val collapsed = versionCol match {
+          case Some(v) => collapseByVersion(batch, keys, v, opCol, deleteOp)
+          case None    => batch
+        }
+        commitBatchUpsert(collapsed, base, uuid, batchId, keys, compactEvery,
+          maxSidecarFragments, opCol, deleteOp = deleteOp)
       }
       .start()
 }

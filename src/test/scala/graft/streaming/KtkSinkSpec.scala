@@ -197,4 +197,24 @@ class KtkSinkSpec extends SparkSpec {
     Ktk.readTable(spark, base, "ds").count() shouldBe 3
     DatasetMetadata.load(spark, base, "ds").metadata("stream.last_batch_id") shouldBe "1"
   }
+
+  test("collapseByVersion: final image per key; insert beats same-version delete") {
+    val batch = Seq(
+      // k=1: inserted v1, deleted v2 -> final = delete
+      (1L, "a", "insert", 1L), (1L, "a", "delete", 2L),
+      // k=2: merge image at v3 (delete old + insert new) -> final = insert b2
+      (2L, "b", "insert", 1L), (2L, "b", "delete", 3L), (2L, "b2", "insert", 3L),
+      // k=3: plain insert
+      (3L, "c", "insert", 2L)
+    ).toDF("k", "v", "op", "ver")
+    val out = KtkSink.collapseByVersion(batch, Seq("k"), "ver",
+      opCol = Some("op"), deleteOp = "delete")
+    out.columns should not contain "ver" // version column is consumed
+    out.select("k", "v", "op").as[(Long, String, String)].collect().toSet shouldBe
+      Set((1L, "a", "delete"), (2L, "b2", "insert"), (3L, "c", "insert"))
+    // without opCol: plain latest-per-key
+    val out2 = KtkSink.collapseByVersion(batch.drop("op")
+      .groupBy("k", "v").agg(max("ver").as("ver")), Seq("k"), "ver", None, "D")
+    out2.count() shouldBe 3
+  }
 }
