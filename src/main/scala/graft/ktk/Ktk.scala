@@ -3193,12 +3193,27 @@ object Ktk {
   def garbageCollect(spark: SparkSession, base: String, uuid: String,
       retainVersions: Int = 0,
       sidecarGraceMs: Long = 15L * 60 * 1000,
-      dryRun: Boolean = false): Seq[String] = {
+      dryRun: Boolean = false,
+      retainLastMs: Long = -1L): Seq[String] = {
     val md = DatasetMetadata.load(spark, base, uuid)
     val fs = DatasetMetadata.fs(spark, base)
     val tableRoot = fs.makeQualified(new Path(md.tableDir(base)))
     val allVersions = DatasetMetadata.listVersions(spark, base, uuid)
-    val keepFrom = md.version - retainVersions
+    // `retainLastMs` (Delta VACUUM's RETAIN <n> HOURS): every version
+    // committed inside the wall-clock window ALSO survives — it can only
+    // WIDEN what `retainVersions` keeps, so a lagging CDC consumer's
+    // window can be protected by time without counting commits
+    val keepFrom = {
+      val byCount = md.version - retainVersions
+      if (retainLastMs < 0L) byCount
+      else {
+        val cutoff = System.currentTimeMillis() - retainLastMs
+        val timeKept = DatasetMetadata.versionRecords(spark, base, uuid)
+          .groupMapReduce(_._1)(_._2)(math.min)
+          .collect { case (v, m) if m >= cutoff => v }
+        math.min(byCount, if (timeKept.isEmpty) byCount else timeKept.min)
+      }
+    }
     val (keptVersions, prunedVersions) = allVersions.partition(_ >= keepFrom)
     val retainedMds = keptVersions.filter(_ != md.version)
       .map(v => DatasetMetadata.loadVersion(spark, base, uuid, v))

@@ -713,6 +713,20 @@ object Dedup {
     val hashes = df.select(col(idCol).as("id"), col(textCol).as("__t"))
       .repartition(df.sparkSession.sparkContext.defaultParallelism)
       .select(col("id"), shUdf(col("__t")).as("sh"))
+    hamming64Candidates(hashes, maxHamming, maxBucket, skippedBuckets)
+  }
+
+  /** Candidate pairs with Hamming distance <= `maxHamming` over ANY 64-bit
+    * fingerprint frame `(id: Long, sh: Long)` — the banding kernel behind
+    * [[simhashCandidates]], reusable for other Hamming spaces (e.g.
+    * perceptual image hashes, see `Multimodal.nearDupImagePairs`). Same
+    * capped-bucket scale shape: one shuffle of (band, chunk, id, sh) rows,
+    * hot chunks skip-and-count instead of going quadratic.
+    */
+  def hamming64Candidates(
+      hashes: DataFrame,
+      maxHamming: Int = 3, maxBucket: Int = 1000,
+      skippedBuckets: Option[org.apache.spark.util.LongAccumulator] = None): DataFrame = {
     val banded = hashes.select(col("id"), col("sh"),
       posexplode(expr("transform(sequence(0,3), b -> (shiftright(sh, b*16) & 65535))")).as(Seq("band", "chunk")))
     val pairUdf = udf { (members: Seq[org.apache.spark.sql.Row]) =>

@@ -255,4 +255,91 @@ object Multimodal {
       lit(w).cast("int").as("width"),
       lit(h).cast("int").as("height"),
       col("media_meta.duration_ms")))
+
+  // --------------------------------------------- perceptual image dedup
+
+  /** 64-bit DIFFERENCE HASH (dHash) over a real decode: smooth-scale to
+    * 9×8 grayscale, bit (x,y) = "pixel brighter than its right neighbor".
+    * The standard perceptual fingerprint for image near-dup detection
+    * (robust to re-encode, mild noise and resize; NOT to crops/rotations).
+    * None for undecodable blobs.
+    */
+  def imageDHash(bytes: Array[Byte]): Option[Long] =
+    sniffFormat(bytes).filter(_ != "wav").flatMap { _ =>
+      try {
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        if (img == null) None
+        else {
+          val dst = new java.awt.image.BufferedImage(9, 8,
+            java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+          val g = dst.createGraphics()
+          g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+          g.drawImage(img, 0, 0, 9, 8, null)
+          g.dispose()
+          val r = dst.getRaster
+          var h = 0L
+          var bit = 0
+          var y = 0
+          while (y < 8) {
+            var x = 0
+            while (x < 8) {
+              if (r.getSample(x, y, 0) < r.getSample(x + 1, y, 0)) h |= (1L << bit)
+              bit += 1; x += 1
+            }
+            y += 1
+          }
+          Some(h)
+        }
+      } catch { case _: Exception => None }
+    }
+
+  /** Attach the perceptual hash as a nullable column — a NARROW map (the
+    * decode runs where the bytes already live; nothing shuffles).
+    */
+  def withImageDHash(df: DataFrame, binCol: String, outCol: String = "dhash"): DataFrame = {
+    val hUdf = udf((b: Array[Byte]) => imageDHash(b))
+    df.withColumn(outCol, hUdf(col(s"`$binCol`")))
+  }
+
+  /** Near-duplicate image candidate pairs: dHash + the capped Hamming
+    * banding kernel ([[Dedup.hamming64Candidates]] — one shuffle of
+    * (band, chunk, id, hash) rows, hot buckets skip-and-count). The
+    * 4×16-bit pigeonhole GUARANTEES recall only for maxHamming <= 3;
+    * larger radii are best-effort (a pair may differ in all 4 chunks).
+    * Undecodable blobs drop out (no hash, no pair).
+    */
+  def nearDupImagePairs(
+      df: DataFrame, idCol: String, binCol: String,
+      maxHamming: Int = 3, maxBucket: Int = 1000,
+      skippedBuckets: Option[org.apache.spark.util.LongAccumulator] = None): DataFrame = {
+    val hUdf = udf((b: Array[Byte]) => imageDHash(b))
+    val hashes = df.select(col(idCol).as("id"), col(s"`$binCol`").as("__b"))
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .select(col("id"), hUdf(col("__b")).as("sh"))
+      .filter(col("sh").isNotNull)
+    Dedup.hamming64Candidates(hashes, maxHamming, maxBucket, skippedBuckets)
+  }
+
+  /** Drop near-duplicate images, keeping each duplicate cluster's least id
+    * (transitive closure over verified pairs — the same GraphX CC shape as
+    * `Dedup.minhashDedupCC`; components are tiny, Pregel rounds are
+    * bounded by their diameter). Undecodable blobs are always KEPT —
+    * "could not decode" must never silently discard data.
+    */
+  def dedupImagesNearDup(
+      df: DataFrame, idCol: String, binCol: String,
+      maxHamming: Int = 3, maxBucket: Int = 1000): DataFrame = {
+    import org.apache.spark.graphx.{Edge, Graph}
+    val spark = df.sparkSession
+    import spark.implicits._
+    val pairs = nearDupImagePairs(df, idCol, binCol, maxHamming, maxBucket)
+    val edgeRdd = pairs.select(col("id_a"), col("id_b")).rdd
+      .map(r => Edge(r.getLong(0), r.getLong(1), 1))
+    val graph = Graph.fromEdges(edgeRdd, defaultValue = 1)
+    val losers = graph.connectedComponents().vertices.toDF("id", "component")
+      .filter(col("id") =!= col("component"))
+      .select(col("id").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
 }

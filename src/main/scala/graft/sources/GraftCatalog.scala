@@ -72,14 +72,24 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog with StagingTableC
       .map(u => Identifier.of(Array("default"), u)).toArray
   }
 
-  override def tableExists(ident: Identifier): Boolean =
-    DatasetMetadata.exists(spark, base, uuidOf(ident))
+  override def tableExists(ident: Identifier): Boolean = ident.namespace match {
+    case Array("default", tbl) =>
+      GraftMetadataTables.kinds(ident.name) && DatasetMetadata.exists(spark, base, tbl)
+    case _ => DatasetMetadata.exists(spark, base, uuidOf(ident))
+  }
 
-  override def loadTable(ident: Identifier): Table = {
-    val uuid = uuidOf(ident)
-    if (!DatasetMetadata.exists(spark, base, uuid))
-      throw new NoSuchTableException(ident)
-    new GraftTable(base, DatasetMetadata.load(spark, base, uuid))
+  override def loadTable(ident: Identifier): Table = ident.namespace match {
+    // Iceberg-style metadata tables: `SELECT * FROM <cat>.default.t.history`
+    // resolves here as namespace ["default", "t"], name "history"
+    case Array("default", tbl)
+        if GraftMetadataTables.kinds(ident.name) && DatasetMetadata.exists(spark, base, tbl) =>
+      GraftMetadataTables(spark, base, tbl, ident.name)
+    case Array("default", _) => throw new NoSuchTableException(ident)
+    case _ =>
+      val uuid = uuidOf(ident)
+      if (!DatasetMetadata.exists(spark, base, uuid))
+        throw new NoSuchTableException(ident)
+      new GraftTable(base, DatasetMetadata.load(spark, base, uuid))
   }
 
   /** SQL time travel: `SELECT ... FROM <cat>.default.t VERSION AS OF n`.
@@ -318,10 +328,14 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog with StagingTableC
     "gc" -> proc("gc",
       Array(stringParam("table"),
         ProcedureParameter.in("retain_versions", IntegerType).defaultValue("0").build(),
-        ProcedureParameter.in("dry_run", BooleanType).defaultValue("false").build()),
+        ProcedureParameter.in("dry_run", BooleanType).defaultValue("false").build(),
+        // Delta VACUUM's "RETAIN n HOURS", in ms: versions committed inside
+        // the window also survive (widens retain_versions, never narrows)
+        ProcedureParameter.in("retain_last_ms", LongType).defaultValue("-1").build()),
       StructType(Seq(StructField("path", StringType)))) { in =>
       Ktk.garbageCollect(spark, base, in.getUTF8String(0).toString,
-        retainVersions = in.getInt(1), dryRun = in.getBoolean(2))
+        retainVersions = in.getInt(1), dryRun = in.getBoolean(2),
+        retainLastMs = in.getLong(3))
         .map(p => InternalRow(UTF8String.fromString(p)))
     })
 

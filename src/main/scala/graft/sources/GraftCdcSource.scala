@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, GraftBridge, SQLContext, SparkSession}
 import org.apache.spark.sql.execution.streaming.{Offset, Source}
 import org.apache.spark.sql.execution.streaming.runtime.{LongOffset, SerializedOffset}
 import org.apache.spark.sql.functions.col
-import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister, RelationProvider, StreamSourceProvider, TableScan}
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 
 import graft.ktk.{DatasetMetadata, Ktk}
@@ -116,8 +116,81 @@ final class GraftCdcSource(
   override def toString: String = s"GraftCdcSource[$uuid @ $base]"
 }
 
-class GraftCdcSourceProvider extends StreamSourceProvider with DataSourceRegister {
+class GraftCdcSourceProvider extends StreamSourceProvider with RelationProvider
+    with DataSourceRegister {
   override def shortName(): String = "graft-cdc"
+
+  /** BATCH change-feed read over an explicit commit range (the Delta CDF
+    * batch-read pattern: `spark.read.format("delta").option("readChangeFeed",
+    * true)` ≙ this format without the flag — the format name IS the flag):
+    *
+    * {{{
+    * spark.read.format("graft-cdc")
+    *   .option("uuid", u)
+    *   .option("startingVersion", 3)      // changes in (3, ending]
+    *   .option("endingVersion", 7)        // default: current version
+    *   .load(base)
+    * }}}
+    *
+    * `startingTimestamp` / `endingTimestamp` (ISO instant or epoch millis)
+    * resolve against each commit's committed_at exactly as SQL `TIMESTAMP
+    * AS OF` does: starting = every commit at-or-after the instant is
+    * included; ending = latest commit at-or-before it. A range containing
+    * a `rollback` commit REFUSES by default (the feed reports restored
+    * content only as removes — a consumer replaying the range would lose
+    * it); pass `allowRollback=true` for forensic reads that understand
+    * the removes-only contract.
+    */
+  override def createRelation(
+      sqlContext: SQLContext,
+      parameters: Map[String, String]): BaseRelation = {
+    val spark = sqlContext.sparkSession
+    val base = parameters.getOrElse("path",
+      throw new IllegalArgumentException("graft-cdc requires .load(<base path>)"))
+    val uuid = parameters.getOrElse("uuid",
+      throw new IllegalArgumentException("graft-cdc requires .option(\"uuid\", <dataset>)"))
+    val cur = DatasetMetadata.load(spark, base, uuid)
+
+    def parseTs(s: String): Long =
+      if (s.matches("-?\\d+")) s.toLong
+      else java.time.Instant.parse(s).toEpochMilli
+    def oneOf(a: String, b: String): Unit = require(
+      !(parameters.contains(a) && parameters.contains(b)),
+      s"options '$a' and '$b' are mutually exclusive")
+    oneOf("startingVersion", "startingTimestamp")
+    oneOf("endingVersion", "endingTimestamp")
+
+    val from: Long = parameters.get("startingVersion").map(_.toLong).orElse {
+      parameters.get("startingTimestamp").map { s =>
+        // include every commit whose committed_at >= ts: from = the last
+        // version strictly BEFORE the instant (feed range is (from, to])
+        Ktk.versionAtTimestamp(spark, base, uuid, parseTs(s) - 1L).getOrElse(0L)
+      }
+    }.getOrElse(0L)
+    val to: Long = parameters.get("endingVersion").map(_.toLong).orElse {
+      parameters.get("endingTimestamp").map { s =>
+        val ts = parseTs(s)
+        Ktk.versionAtTimestamp(spark, base, uuid, ts).getOrElse(throw
+          new IllegalArgumentException(
+            s"dataset '$uuid' has no commit at or before endingTimestamp $s"))
+      }
+    }.getOrElse(cur.version)
+    require(from >= 0 && to <= cur.version,
+      s"change range ($from, $to] outside the dataset's history (0, ${cur.version}]")
+    require(from <= to, s"empty change range: startingVersion=$from > endingVersion=$to")
+
+    val allowRollback = parameters.get("allowRollback").exists(_.toBoolean)
+    if (!allowRollback) {
+      val rb = Ktk.rollbackVersions(spark, base, uuid, from, to)
+      if (rb.nonEmpty) throw new IllegalStateException(
+        s"dataset '$uuid' was rolled back at version ${rb.head._1} (to ${rb.head._2}) " +
+          "inside the requested range: the change feed reports restored content only " +
+          "as removes, so replaying this range loses it. Read a snapshot " +
+          "(VERSION AS OF) to re-seed, start after the rollback commit, or pass " +
+          "option(\"allowRollback\", \"true\") if the removes-only view is intended.")
+    }
+    new GraftCdcRelation(sqlContext, base, uuid, from, to)
+  }
 
   private def params(parameters: Map[String, String]): (String, String, Long, Option[Long]) = {
     val base = parameters.getOrElse("path",
@@ -152,4 +225,41 @@ class GraftCdcSourceProvider extends StreamSourceProvider with DataSourceRegiste
     val (base, uuid, starting, maxPer) = params(parameters)
     new GraftCdcSource(sqlContext.sparkSession, base, uuid, starting, maxPer)
   }
+}
+
+/** Batch relation for one bounded slice of the change feed. The plan IS
+  * `Ktk.readChangeFeed`'s (balanced union of per-version scans, row-precise
+  * deletes joined from the commit's own fragments — O(changed rows) per
+  * version); `needConversion=false` hands its InternalRow RDD straight
+  * through, so the veneer adds no row-format round-trip.
+  */
+final class GraftCdcRelation(
+    override val sqlContext: SQLContext,
+    base: String,
+    uuid: String,
+    fromVersion: Long,
+    toVersion: Long) extends BaseRelation with TableScan {
+
+  override val schema: StructType = StructType(
+    DatasetMetadata.load(sqlContext.sparkSession, base, uuid).schema.fields.toSeq :+
+      StructField("_change_type", StringType, nullable = false) :+
+      StructField("_commit_version", LongType, nullable = false))
+
+  override def needConversion: Boolean = false
+
+  override def buildScan(): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = {
+    val spark = sqlContext.sparkSession
+    val feed =
+      if (fromVersion == toVersion)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      else Ktk.readChangeFeed(spark, base, uuid, fromVersion, toVersion)
+    // align column order with the declared schema, then hand over internal
+    // rows (the sanctioned needConversion=false contract)
+    feed.select(schema.fieldNames.map(c => col(s"`$c`")): _*)
+      .queryExecution.toRdd
+      .asInstanceOf[org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]]
+  }
+
+  override def toString: String = s"GraftCdcRelation[$uuid ($fromVersion, $toVersion]]"
 }

@@ -137,6 +137,25 @@ class VersioningSpec extends SparkSpec {
     md5.seqOf(fresh) should be >= 3L
   }
 
+  test("gc retention: retainLastMs keeps the wall-clock window (VACUUM RETAIN)") {
+    val base = tmpDir("ver")
+    Ktk.store(spark, base, "ds", df1)
+    Ktk.update(spark, base, "ds", Some(df2))
+    Ktk.compact(spark, base, "ds") // v3
+    // the whole history was committed inside the window: nothing prunes
+    // even though retainVersions=0 alone would keep only the current commit
+    Ktk.garbageCollect(spark, base, "ds", retainVersions = 0,
+      retainLastMs = 24L * 3600 * 1000)
+    Ktk.listVersions(spark, base, "ds") shouldBe Seq(1L, 2L, 3L)
+    Ktk.readTableAsOf(spark, base, "ds", 1L).count() shouldBe 2
+    // the window only WIDENS an explicit count: retainVersions still holds
+    Ktk.garbageCollect(spark, base, "ds", retainVersions = 2, retainLastMs = 0L)
+    Ktk.listVersions(spark, base, "ds") shouldBe Seq(1L, 2L, 3L)
+    // default (no window) reclaims as before
+    Ktk.garbageCollect(spark, base, "ds")
+    Ktk.listVersions(spark, base, "ds") shouldBe Seq(3L)
+  }
+
   test("gc retention: retainVersions pins files of retained snapshots") {
     val base = tmpDir("ver")
     Ktk.store(spark, base, "ds", df1)

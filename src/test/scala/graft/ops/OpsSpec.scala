@@ -848,4 +848,62 @@ class MultimodalSpec extends SparkSpec {
     rows(1L).getInt(2) shouldBe 16
     rows(2L).isNullAt(1) shouldBe true // junk → stub path
   }
+
+  // deterministic synthetic photo: smooth 2-D gradient + per-image phase,
+  // structured enough that dHash bits carry signal (flat images hash to 0)
+  private def syntheticPng(seed: Int, w: Int = 36, h: Int = 32): Array[Byte] = {
+    val px = Array.tabulate(w * h) { i =>
+      val (x, y) = (i % w, i / w)
+      (128 + 90 * math.sin(x * 0.4 + seed * 1.7) * math.cos(y * 0.3 + seed)).toInt
+        .max(0).min(255).toByte
+    }
+    Multimodal.encodeGrayPng(px, w, h)
+  }
+
+  private def perturbed(png: Array[Byte], flips: Int): Array[Byte] = {
+    // re-decode, nudge a few pixels, re-encode — a lossy-ish near-dup
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    val r = img.getRaster
+    (0 until flips).foreach { k =>
+      val (x, y) = (3 + k * 5 % img.getWidth, (7 * k) % img.getHeight)
+      r.setSample(x, y, 0, (r.getSample(x, y, 0) + 40).min(255))
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  test("imageDHash: deterministic, robust to small perturbation, distinct across images") {
+    val a = syntheticPng(1); val b = syntheticPng(2)
+    val Some(ha) = Multimodal.imageDHash(a)
+    Multimodal.imageDHash(a) shouldBe Some(ha) // deterministic
+    val Some(hb) = Multimodal.imageDHash(b)
+    java.lang.Long.bitCount(ha ^ hb) should be > 8 // different content, far apart
+    val Some(hn) = Multimodal.imageDHash(perturbed(a, 2))
+    java.lang.Long.bitCount(ha ^ hn) should be <= 3 // near-dup, close
+    // resize robustness: the same image served at 2x resolution hashes close
+    val Some(big) = Multimodal.resizeImage(a, 72, 64, "png")
+    val Some(hr) = Multimodal.imageDHash(big)
+    java.lang.Long.bitCount(ha ^ hr) should be <= 6
+    Multimodal.imageDHash(Array[Byte](1, 2, 3)) shouldBe None // undecodable
+  }
+
+  test("dedupImagesNearDup drops planted near-dups, keeps distinct + undecodable") {
+    val rows = Seq(
+      (1L, syntheticPng(1)),
+      (2L, perturbed(syntheticPng(1), 2)),   // near-dup of 1 -> dropped
+      (3L, syntheticPng(5)),
+      (4L, perturbed(syntheticPng(5), 1)),   // near-dup of 3 -> dropped
+      (5L, syntheticPng(9)),                  // distinct -> kept
+      (6L, Array[Byte](9, 9, 9))              // undecodable -> ALWAYS kept
+    ).toDF("id", "img")
+    val kept = Multimodal.dedupImagesNearDup(rows, "id", "img", maxHamming = 3)
+      .select("id").as[Long].collect().toSeq.sorted
+    kept shouldBe Seq(1L, 3L, 5L, 6L)
+    // candidate pairs carry the verified Hamming distance
+    val pairs = Multimodal.nearDupImagePairs(rows, "id", "img", maxHamming = 3)
+      .as[(Long, Long, Int)].collect().toSeq.sorted
+    pairs.map(p => (p._1, p._2)) shouldBe Seq((1L, 2L), (3L, 4L))
+    pairs.foreach(_._3 should be <= 3)
+  }
 }

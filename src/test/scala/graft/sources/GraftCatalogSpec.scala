@@ -447,4 +447,54 @@ class GraftCatalogSpec extends SparkSpec {
       spark.sql(s"SELECT count(*) FROM $gk.default.t5").as[Long].head() shouldBe 1L
     }
   }
+
+  test("metadata tables: history, files, partitions, tombstones via 4-part names") {
+    withCatalog { (gk, base) =>
+      Ktk.store(spark, base, "mt",
+        Seq((1L, "a", 10.0), (2L, "a", 20.0), (3L, "b", 30.0)).toDF("k", "p", "v"),
+        partitionOn = Seq("p")) // v1
+      spark.sql(s"DELETE FROM $gk.default.mt WHERE k = 2") // v2: one DV fragment
+
+      // history mirrors Ktk.history
+      val hist = spark.sql(
+        s"SELECT version, files, tombstone_fragments, is_rollback FROM $gk.default.mt.history ORDER BY version")
+        .as[(Long, Long, Long, Boolean)].collect().toSeq
+      hist.map(_._1) shouldBe Seq(1L, 2L)
+      hist.last._3 shouldBe 1L // the DELETE's fragment
+      hist.map(_._4) shouldBe Seq(false, false)
+
+      // files = the live label list with sizes, seqs and partition values
+      val files = spark.sql(
+        s"SELECT file, size_bytes, partition_values['p'] FROM $gk.default.mt.files")
+        .as[(String, Long, String)].collect().toSeq
+      val md = DatasetMetadata.load(spark, base, "mt")
+      files.map(_._1).toSet shouldBe md.partitions.keySet
+      files.foreach { case (f, sz, pv) =>
+        sz shouldBe md.partitions(f)
+        pv shouldBe md.partitionValues(f)("p")
+      }
+
+      // partitions aggregates per tuple, typed columns
+      val parts = spark.sql(
+        s"SELECT p, files, size_bytes FROM $gk.default.mt.partitions ORDER BY p")
+        .as[(String, Long, Long)].collect().toSeq
+      parts.map(_._1) shouldBe Seq("a", "b")
+      parts.map(_._2).sum shouldBe md.partitions.size.toLong
+      parts.map(_._3).sum shouldBe md.partitions.values.sum
+
+      // tombstones lists pending DV fragments; drained by maintenance
+      spark.sql(s"SELECT count(*) FROM $gk.default.mt.tombstones").as[Long].head() shouldBe 1L
+      Ktk.materializeDeletes(spark, base, "mt")
+      spark.sql(s"SELECT count(*) FROM $gk.default.mt.tombstones").as[Long].head() shouldBe 0L
+
+      // the scan is LOCAL: no exchange, no file source — plan says local scan
+      val plan = spark.sql(s"SELECT * FROM $gk.default.mt.files")
+        .queryExecution.executedPlan.toString
+      plan.toLowerCase should include("localtablescan")
+
+      // unknown metadata name / missing dataset stay unresolvable
+      intercept[Exception] { spark.sql(s"SELECT * FROM $gk.default.mt.nope").collect() }
+      intercept[Exception] { spark.sql(s"SELECT * FROM $gk.default.absent.files").collect() }
+    }
+  }
 }

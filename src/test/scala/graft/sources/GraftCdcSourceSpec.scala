@@ -139,4 +139,78 @@ class GraftCdcSourceSpec extends SparkSpec {
       rows("cdc5") shouldBe Seq((1L, "delete", 2L), (2L, "delete", 2L))
     } finally q.stop()
   }
+
+  // ------------------------------------------------------------ batch reads
+
+  private def batchRead(base: String, opts: (String, String)*) = {
+    val r = spark.read.format("graft-cdc").option("uuid", "ds")
+    opts.foreach { case (k, v) => r.option(k, v) }
+    r.load(base)
+  }
+
+  private def batchRows(df: org.apache.spark.sql.DataFrame): Seq[(Long, String, Long)] =
+    df.select("k", "_change_type", "_commit_version")
+      .as[(Long, String, Long)].collect().sorted.toSeq
+
+  test("batch read: full history, explicit range, empty range") {
+    val base = tmpDir("cdcb")
+    Ktk.store(spark, base, "ds", kv, partitionOn = Seq("p")) // v1
+    Ktk.deleteRows(spark, base, "ds",
+      predicates = Predicates.of(Seq(("k", "==", 2)))) // v2
+    Ktk.merge(spark, base, "ds",
+      Seq((3L, "b", 333.0)).toDF("k", "p", "v"), keys = Seq("k")) // v3
+    batchRows(batchRead(base)) shouldBe Seq(
+      (1L, "insert", 1L), (2L, "delete", 2L), (2L, "insert", 1L),
+      (3L, "delete", 3L), (3L, "insert", 1L), (3L, "insert", 3L))
+    batchRows(batchRead(base, "startingVersion" -> "1")) shouldBe Seq(
+      (2L, "delete", 2L), (3L, "delete", 3L), (3L, "insert", 3L))
+    batchRows(batchRead(base, "endingVersion" -> "1")) shouldBe Seq(
+      (1L, "insert", 1L), (2L, "insert", 1L), (3L, "insert", 1L))
+    batchRows(batchRead(base, "startingVersion" -> "3")) shouldBe Seq.empty
+    // deleted row VALUES ride along in batch too
+    batchRead(base).filter(col("_change_type") === "delete" && col("k") === 2L)
+      .select("v").as[Double].head() shouldBe 20.0
+  }
+
+  test("batch read: timestamp options resolve like TIMESTAMP AS OF") {
+    val base = tmpDir("cdcb")
+    Ktk.store(spark, base, "ds", kv, partitionOn = Seq("p")) // v1
+    Ktk.update(spark, base, "ds", Some(Seq((9L, "c", 90.0)).toDF("k", "p", "v"))) // v2
+    // epoch 0 start = whole history; far-future end = current version
+    batchRows(batchRead(base,
+      "startingTimestamp" -> "0", "endingTimestamp" -> "9999999999999"))
+      .map(_._1).sorted shouldBe Seq(1L, 2L, 3L, 9L)
+    // a start AFTER the last commit -> empty slice (from == to)
+    batchRead(base, "startingTimestamp" -> "9999999999999").count() shouldBe 0L
+    // ISO instants parse too
+    batchRead(base, "startingTimestamp" -> "1970-01-01T00:00:00Z")
+      .count() shouldBe 4L
+    // an end BEFORE the first commit refuses with guidance
+    val e = intercept[IllegalArgumentException] {
+      batchRead(base, "endingTimestamp" -> "0").collect()
+    }
+    e.getMessage should include("no commit at or before")
+    // version and timestamp bounds are mutually exclusive
+    intercept[IllegalArgumentException] {
+      batchRead(base, "startingVersion" -> "0", "startingTimestamp" -> "0").collect()
+    }
+  }
+
+  test("batch read: a rollback inside the range refuses unless allowRollback") {
+    val base = tmpDir("cdcb")
+    Ktk.store(spark, base, "ds", kv, partitionOn = Seq("p")) // v1
+    Ktk.deleteRows(spark, base, "ds",
+      predicates = Predicates.of(Seq(("k", "==", 1)))) // v2
+    Ktk.rollback(spark, base, "ds", 1L) // v3
+    val e = intercept[IllegalStateException] { batchRead(base).collect() }
+    e.getMessage should include("rolled back")
+    e.getMessage should include("allowRollback")
+    // the forensic override serves the removes-only view
+    val df = batchRead(base, "allowRollback" -> "true")
+    df.filter(col("_change_type") === "delete").count() shouldBe 1L
+    // a range that STARTS AFTER the rollback commit needs no override
+    batchRows(batchRead(base, "startingVersion" -> "3")) shouldBe Seq.empty
+    Ktk.update(spark, base, "ds", Some(Seq((9L, "c", 90.0)).toDF("k", "p", "v"))) // v4
+    batchRows(batchRead(base, "startingVersion" -> "3")) shouldBe Seq((9L, "insert", 4L))
+  }
 }
