@@ -394,6 +394,39 @@ object SparkEntry {
         .orderBy("change_type", "o_orderstatus")
     }),
 
+    "q_cdc_batch" -> ((s, dir) => {
+      // the CONNECTOR batch change feed (`spark.read.format("graft-cdc")`,
+      // the Delta CDF batch-read analog): the same merge-on-read change
+      // history as q_ktk_cdf consumed through the public read surface with
+      // explicit version bounds; empty-range and initial-slice behavior
+      // pinned in-query
+      val base = scratch(dir)
+      val orders = t(s, dir, "orders").select("o_orderkey", "o_orderstatus", "o_totalprice")
+      Ktk.store(s, base, "orders_cdcb", orders,
+        partitionOn = Seq("o_orderstatus"), overwrite = true)
+      val v1 = graft.ktk.DatasetMetadata.load(s, base, "orders_cdcb").version
+      Ktk.deleteRows(s, base, "orders_cdcb",
+        predicates = Predicates.of(Seq(("o_totalprice", ">", 150000.0))))
+      val src = orders.filter(col("o_orderkey") % 5 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + lit(250.0))
+      Ktk.merge(s, base, "orders_cdcb", src, keys = Seq("o_orderkey"))
+      val v3 = graft.ktk.DatasetMetadata.load(s, base, "orders_cdcb").version
+      def feed(opts: (String, String)*) = {
+        val r = s.read.format("graft-cdc").option("uuid", "orders_cdcb")
+        opts.foreach { case (k, v) => r.option(k, v) }
+        r.load(base)
+      }
+      require(feed("startingVersion" -> v3.toString).count() == 0L,
+        "an empty version range must produce no changes")
+      // NOTE: do not read slices before v1 here — `overwrite` CONTINUES the
+      // version line, so on a reused scratch dir earlier versions belong to
+      // prior runs whose files the overwrite reclaimed
+      feed("startingVersion" -> v1.toString)
+        .groupBy(col("_change_type").as("change_type"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("cnt"), round(sum("o_totalprice"), 2).as("total"))
+        .orderBy("change_type", "o_orderstatus")
+    }),
+
     "q_ktk_timetravel" -> ((s, dir) => {
       // versioned metadata: v1 = orders with status O only; v2 deletes O and
       // appends F. The as-of-v1 read must see EXACTLY the v1 content even
@@ -1713,6 +1746,59 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    "q_image_dedup" -> ((s, dir) => {
+      // perceptual near-dup image dedup over REAL decodes: deterministic
+      // synthetic "photos" (smooth gradients keyed by a class seed)
+      // planted as exact + pixel-perturbed copies across the documents
+      // ids. Class seeds are PRE-SCREENED on the driver so every
+      // cross-class dHash distance is > 10 while the within-class
+      // perturbation stays <= 3 — which makes the survivor set PROVABLY
+      // one (least id) per class: within-class pairs verify (<= 3, so
+      // banding must find them), cross-class pairs cannot (>= 10-6 > 3).
+      // rows-only gate (DuckDB cannot decode PNG); the invariant above is
+      // required in-query.
+      def png(seed: Int, perturb: Boolean): Array[Byte] = {
+        val (w, h) = (36, 32)
+        val px = Array.tabulate(w * h) { i =>
+          val (x, y) = (i % w, i / w)
+          val v = (128 + 90 * math.sin(x * 0.4 + seed * 1.7) * math.cos(y * 0.3 + seed)).toInt +
+            (if (perturb && (i == 40 || i == 500)) 40 else 0)
+          v.max(0).min(255).toByte
+        }
+        Multimodal.encodeGrayPng(px, w, h)
+      }
+      val classes: Array[Int] = {
+        val picked = scala.collection.mutable.ArrayBuffer.empty[(Int, Long)]
+        var seed = 0
+        while (picked.size < 32 && seed < 2000) {
+          (Multimodal.imageDHash(png(seed, perturb = false)),
+            Multimodal.imageDHash(png(seed, perturb = true))) match {
+            case (Some(hb), Some(hp))
+                if java.lang.Long.bitCount(hb ^ hp) <= 3 &&
+                  picked.forall { case (_, h0) => java.lang.Long.bitCount(h0 ^ hb) > 10 } =>
+              picked += ((seed, hb))
+            case _ => ()
+          }
+          seed += 1
+        }
+        picked.map(_._1).toArray
+      }
+      require(classes.length == 32, s"seed screening found only ${classes.length} classes")
+      val clsUdf = udf((id: Long) => classes((id % classes.length).toInt))
+      val imgUdf = udf((cls: Int, perturb: Boolean) => png(cls, perturb))
+      val docs = t(s, dir, "documents").select(col("doc_id")).orderBy("doc_id").limit(2000)
+        .withColumn("cls", clsUdf(col("doc_id")))
+        .withColumn("img", imgUdf(col("cls"), col("doc_id") % 3 === 0))
+      val kept = Multimodal.dedupImagesNearDup(docs, "doc_id", "img", maxHamming = 3)
+      val keptIds = kept.select("doc_id").collect().map(_.getLong(0)).sorted
+      val expIds = docs.groupBy("cls").agg(min("doc_id").as("m"))
+        .select("m").collect().map(_.getLong(0)).sorted
+      require(keptIds.sameElements(expIds),
+        s"survivors must be exactly the least id per planted class " +
+          s"(got ${keptIds.length}, expected ${expIds.length})")
+      kept.select("doc_id", "cls").orderBy("doc_id")
+    }),
+
     // -------------------------------------------------- more relational ops
     "q_csv_roundtrip" -> ((s, dir) => {
       // CSV sink + scan (≙ serialization/_csv.py): `;`-separated roundtrip
@@ -2049,6 +2135,33 @@ object SparkEntry {
       s.sql("""SELECT o_orderstatus, count(*) AS cnt,
               |  round(sum(o_totalprice), 2) AS total
               |FROM graft_cat.default.orders_sql GROUP BY 1 ORDER BY 1""".stripMargin)
+    }),
+
+    "q_meta_tables" -> ((s, dir) => {
+      // Iceberg-style SQL metadata tables (`<cat>.default.t.files/history/
+      // partitions/tombstones`) — O(metadata) listings planned as LOCAL
+      // scans (no job, no file reads). The partitions listing is exactly
+      // the distinct partition-key set (oracle below); files/history are
+      // pinned in-query against the commit blob they mirror.
+      val base = ensureLineitemDs(s, dir)
+      s.conf.set("spark.sql.catalog.gmeta", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.gmeta.base", base)
+      val md = graft.ktk.DatasetMetadata.load(s, base, "lineitem")
+      val files = s.sql("SELECT file, size_bytes FROM gmeta.default.lineitem.files").collect()
+      require(files.length == md.partitions.size &&
+        files.forall(r => md.sizeOf(r.getString(0)) == r.getLong(1)),
+        "files metadata table must mirror the commit blob")
+      require(s.sql("SELECT count(*) FROM gmeta.default.lineitem.history")
+        .head.getLong(0) >= 1L, "history must list the store commit")
+      require(s.sql("SELECT * FROM gmeta.default.lineitem.files")
+        .queryExecution.executedPlan.toString.toLowerCase.contains("localtablescan"),
+        "metadata scans must plan as local tables, not jobs")
+      val parts = s.sql(
+        """SELECT l_returnflag, files, size_bytes
+          |FROM gmeta.default.lineitem.partitions ORDER BY l_returnflag""".stripMargin)
+      require(parts.collect().forall(r => r.getLong(1) > 0 && r.getLong(2) > 0),
+        "every listed partition carries live files and bytes")
+      parts.select("l_returnflag")
     }),
 
     "q_sql_dml" -> ((s, dir) => {
@@ -2534,6 +2647,26 @@ object SparkEntry {
         |SELECT change_type, o_orderstatus, count(*) AS cnt,
         |  round(sum(o_totalprice), 2) AS total
         |FROM ch GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_cdc_batch" ->
+      """WITH src AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice + 250.0 AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 5 = 0
+        |), ch AS (
+        |  SELECT 'delete' AS change_type, o_orderstatus, o_totalprice
+        |  FROM orders WHERE o_totalprice > 150000.0
+        |  UNION ALL
+        |  SELECT 'delete', o_orderstatus, o_totalprice
+        |  FROM orders WHERE o_orderkey % 5 = 0 AND NOT o_totalprice > 150000.0
+        |  UNION ALL
+        |  SELECT 'insert', o_orderstatus, o_totalprice FROM src
+        |)
+        |SELECT change_type, o_orderstatus, count(*) AS cnt,
+        |  round(sum(o_totalprice), 2) AS total
+        |FROM ch GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_meta_tables" ->
+      """SELECT DISTINCT l_returnflag FROM lineitem ORDER BY 1""".stripMargin,
 
     "q_ktk_timetravel" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders

@@ -1793,7 +1793,10 @@ object Ktk {
       val rb = md.metadata.get(DatasetMetadata.RollbackCommitKey)
         .exists(_.toLong == v)
       (v, mtimes.get(v), md.partitions.size.toLong,
-        md.partitions.values.sum, md.deleteFragments.size.toLong, rb,
+        // sizeOf, not values.sum: Jackson narrows the erased Map[String,
+        // Long] to Integer on deserialization — summing would unbox-throw
+        // on any version parsed from disk (fresh JVM, pre-cache history)
+        md.partitions.keysIterator.map(md.sizeOf).sum, md.deleteFragments.size.toLong, rb,
         if (rb) md.metadata.get(DatasetMetadata.RollbackOfKey).map(_.toLong) else None)
     }
     rows.toDF("version", "committed_at", "files", "bytes",
