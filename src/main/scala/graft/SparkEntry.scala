@@ -1799,6 +1799,72 @@ object SparkEntry {
       kept.select("doc_id", "cls").orderBy("doc_id")
     }),
 
+    "q_audio_dedup" -> ((s, dir) => {
+      // near-dup AUDIO dedup over real WAV decodes — same provable-survivor
+      // construction as q_image_dedup: screened envelope classes (> 10 bits
+      // apart; noisy copy <= 3), members are the base recording, a
+      // re-leveled copy (energy-difference fingerprints are gain-invariant:
+      // IDENTICAL hash) or a noisy copy. Survivors must be exactly the
+      // least id per class. rows-only (no DuckDB audio codec).
+      def wav(seed: Int, gain: Double, noise: Double): Array[Byte] = {
+        val rate = 8000; val perWindow = 64; val n = 65 * perWindow
+        val rnd = new scala.util.Random(12345)
+        val data = new Array[Byte](n * 2)
+        var i = 0
+        while (i < n) {
+          val w = i / perWindow
+          val env = 0.15 + 0.8 * math.abs(math.sin(w * (0.37 + seed * 0.61) + seed))
+          val v = gain * (env * math.sin(2 * math.Pi * 440 * i / rate) +
+            noise * (rnd.nextDouble() - 0.5))
+          val s16 = (v * 16384).toInt.max(-32768).min(32767).toShort
+          data(2 * i) = (s16 & 0xff).toByte
+          data(2 * i + 1) = ((s16 >> 8) & 0xff).toByte
+          i += 1
+        }
+        val fmt = new javax.sound.sampled.AudioFormat(rate.toFloat, 16, 1, true, false)
+        val ais = new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(data), fmt, n.toLong)
+        val out = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(ais,
+          javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+        out.toByteArray
+      }
+      val classes: Array[Int] = {
+        val picked = scala.collection.mutable.ArrayBuffer.empty[(Int, Long)]
+        var seed = 0
+        while (picked.size < 16 && seed < 500) {
+          (Multimodal.audioFingerprint(wav(seed, 1.0, 0.0)),
+            Multimodal.audioFingerprint(wav(seed, 1.0, 0.02))) match {
+            case (Some(hb), Some(hn))
+                if java.lang.Long.bitCount(hb ^ hn) <= 3 &&
+                  picked.forall { case (_, h0) => java.lang.Long.bitCount(h0 ^ hb) > 10 } =>
+              picked += ((seed, hb))
+            case _ => ()
+          }
+          seed += 1
+        }
+        picked.map(_._1).toArray
+      }
+      require(classes.length == 16, s"seed screening found only ${classes.length} classes")
+      val clsUdf = udf((id: Long) => classes((id % classes.length).toInt))
+      val wavUdf = udf((cls: Int, kind: Int) => kind match {
+        case 0 => wav(cls, 1.0, 0.0)   // base
+        case 1 => wav(cls, 0.5, 0.0)   // re-leveled: identical fingerprint
+        case _ => wav(cls, 1.0, 0.02)  // noisy: <= 3 bits (screened)
+      })
+      val docs = t(s, dir, "documents").select(col("doc_id")).orderBy("doc_id").limit(800)
+        .withColumn("cls", clsUdf(col("doc_id")))
+        .withColumn("wav", wavUdf(col("cls"), (col("doc_id") % 3).cast("int")))
+      val kept = Multimodal.dedupAudioNearDup(docs, "doc_id", "wav", maxHamming = 3)
+      val keptIds = kept.select("doc_id").collect().map(_.getLong(0)).sorted
+      val expIds = docs.groupBy("cls").agg(min("doc_id").as("m"))
+        .select("m").collect().map(_.getLong(0)).sorted
+      require(keptIds.sameElements(expIds),
+        s"survivors must be exactly the least id per planted class " +
+          s"(got ${keptIds.length}, expected ${expIds.length})")
+      kept.select("doc_id", "cls").orderBy("doc_id")
+    }),
+
     // -------------------------------------------------- more relational ops
     "q_csv_roundtrip" -> ((s, dir) => {
       // CSV sink + scan (≙ serialization/_csv.py): `;`-separated roundtrip

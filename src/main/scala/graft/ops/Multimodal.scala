@@ -321,19 +321,14 @@ object Multimodal {
     Dedup.hamming64Candidates(hashes, maxHamming, maxBucket, skippedBuckets)
   }
 
-  /** Drop near-duplicate images, keeping each duplicate cluster's least id
-    * (transitive closure over verified pairs — the same GraphX CC shape as
-    * `Dedup.minhashDedupCC`; components are tiny, Pregel rounds are
-    * bounded by their diameter). Undecodable blobs are always KEPT —
-    * "could not decode" must never silently discard data.
+  /** Shared transitive-closure survivor selection: drop every id whose
+    * connected component (over the verified pair edges) has a smaller
+    * member. Components are tiny; Pregel rounds bound by their diameter.
     */
-  def dedupImagesNearDup(
-      df: DataFrame, idCol: String, binCol: String,
-      maxHamming: Int = 3, maxBucket: Int = 1000): DataFrame = {
+  private def dropCcLosers(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
     import org.apache.spark.graphx.{Edge, Graph}
     val spark = df.sparkSession
     import spark.implicits._
-    val pairs = nearDupImagePairs(df, idCol, binCol, maxHamming, maxBucket)
     val edgeRdd = pairs.select(col("id_a"), col("id_b")).rdd
       .map(r => Edge(r.getLong(0), r.getLong(1), 1))
     val graph = Graph.fromEdges(edgeRdd, defaultValue = 1)
@@ -342,4 +337,95 @@ object Multimodal {
       .select(col("id").as(idCol))
     df.join(losers, Seq(idCol), "left_anti")
   }
+
+  /** 64-bit audio fingerprint over a REAL WAV decode (the Haitsma–Kalker
+    * energy-difference family, collapsed to the time axis): decode 16-bit
+    * PCM to mono, split into 65 equal windows, bit i = "window i+1 has
+    * more energy than window i". Invariant to uniform GAIN (comparisons
+    * of scaled energies) and to sample-rate/channel layout (relative
+    * windows); sensitive to temporal structure. None for non-WAV blobs.
+    */
+  def audioFingerprint(bytes: Array[Byte]): Option[Long] =
+    sniffFormat(bytes).filter(_ == "wav").flatMap { _ =>
+      try {
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        val fmtA = in.getFormat
+        if (fmtA.getSampleSizeInBits != 16) None
+        else {
+          val data = in.readAllBytes()
+          val ch = fmtA.getChannels.max(1)
+          val frameBytes = 2 * ch
+          val frames = data.length / frameBytes
+          if (frames < 130) None // need >= 2 frames per window
+          else {
+            // mono energy per window, windows sized in whole frames
+            val e = new Array[Double](65)
+            val perWindow = frames / 65
+            var w = 0
+            while (w < 65) {
+              var f = w * perWindow
+              val end = f + perWindow
+              var sum = 0.0
+              while (f < end) {
+                var c = 0
+                var mono = 0.0
+                while (c < ch) {
+                  val i = f * frameBytes + 2 * c
+                  val sVal = if (fmtA.isBigEndian) ((data(i) << 8) | (data(i + 1) & 0xff)).toShort
+                             else ((data(i + 1) << 8) | (data(i) & 0xff)).toShort
+                  mono += sVal / 32768.0; c += 1
+                }
+                mono /= ch
+                sum += mono * mono; f += 1
+              }
+              e(w) = sum
+              w += 1
+            }
+            var h = 0L
+            var b = 0
+            while (b < 64) { if (e(b + 1) > e(b)) h |= (1L << b); b += 1 }
+            Some(h)
+          }
+        }
+      } catch { case _: Exception => None }
+    }
+
+  /** Attach the audio fingerprint as a nullable column — narrow map. */
+  def withAudioFingerprint(df: DataFrame, binCol: String, outCol: String = "afp"): DataFrame = {
+    val hUdf = udf((b: Array[Byte]) => audioFingerprint(b))
+    df.withColumn(outCol, hUdf(col(s"`$binCol`")))
+  }
+
+  /** Near-duplicate audio candidate pairs / dedup — the same capped
+    * Hamming banding + CC closure as the image path, over
+    * [[audioFingerprint]]. Undecodable blobs are always kept.
+    */
+  def nearDupAudioPairs(
+      df: DataFrame, idCol: String, binCol: String,
+      maxHamming: Int = 3, maxBucket: Int = 1000,
+      skippedBuckets: Option[org.apache.spark.util.LongAccumulator] = None): DataFrame = {
+    val hUdf = udf((b: Array[Byte]) => audioFingerprint(b))
+    val hashes = df.select(col(idCol).as("id"), col(s"`$binCol`").as("__b"))
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .select(col("id"), hUdf(col("__b")).as("sh"))
+      .filter(col("sh").isNotNull)
+    Dedup.hamming64Candidates(hashes, maxHamming, maxBucket, skippedBuckets)
+  }
+
+  def dedupAudioNearDup(
+      df: DataFrame, idCol: String, binCol: String,
+      maxHamming: Int = 3, maxBucket: Int = 1000): DataFrame =
+    dropCcLosers(df, idCol, nearDupAudioPairs(df, idCol, binCol, maxHamming, maxBucket))
+
+  /** Drop near-duplicate images, keeping each duplicate cluster's least id
+    * (transitive closure over verified pairs — the same GraphX CC shape as
+    * `Dedup.minhashDedupCC`; components are tiny, Pregel rounds are
+    * bounded by their diameter). Undecodable blobs are always KEPT —
+    * "could not decode" must never silently discard data.
+    */
+  def dedupImagesNearDup(
+      df: DataFrame, idCol: String, binCol: String,
+      maxHamming: Int = 3, maxBucket: Int = 1000): DataFrame =
+    dropCcLosers(df, idCol, nearDupImagePairs(df, idCol, binCol, maxHamming, maxBucket))
 }

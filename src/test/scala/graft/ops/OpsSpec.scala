@@ -906,4 +906,59 @@ class MultimodalSpec extends SparkSpec {
     pairs.map(p => (p._1, p._2)) shouldBe Seq((1L, 2L), (3L, 4L))
     pairs.foreach(_._3 should be <= 3)
   }
+
+  // deterministic synthetic WAV: a 440 Hz carrier whose AMPLITUDE follows a
+  // per-window envelope keyed by the seed — temporal structure the
+  // energy-difference fingerprint can see
+  private def syntheticWav(seed: Int, gain: Double = 1.0, noise: Double = 0.0): Array[Byte] = {
+    val rate = 8000
+    val perWindow = 64
+    val n = 65 * perWindow
+    val rnd = new scala.util.Random(12345) // FIXED stream: same "noise" shape
+    val data = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val w = i / perWindow
+      val env = 0.15 + 0.8 * math.abs(math.sin(w * (0.37 + seed * 0.61) + seed))
+      val v = gain * (env * math.sin(2 * math.Pi * 440 * i / rate) +
+        noise * (rnd.nextDouble() - 0.5))
+      val s16 = (v * 16384).toInt.max(-32768).min(32767).toShort
+      data(2 * i) = (s16 & 0xff).toByte
+      data(2 * i + 1) = ((s16 >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(rate.toFloat, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, n.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  test("audioFingerprint: gain-invariant, noise-robust, distinct across envelopes") {
+    val a = syntheticWav(1)
+    val Some(ha) = Multimodal.audioFingerprint(a)
+    // uniform gain scales every window energy equally: identical fingerprint
+    Multimodal.audioFingerprint(syntheticWav(1, gain = 0.4)) shouldBe Some(ha)
+    // small additive noise: close in Hamming space
+    val Some(hn) = Multimodal.audioFingerprint(syntheticWav(1, noise = 0.02))
+    java.lang.Long.bitCount(ha ^ hn) should be <= 3
+    // different temporal envelope: far
+    val Some(hb) = Multimodal.audioFingerprint(syntheticWav(7))
+    java.lang.Long.bitCount(ha ^ hb) should be > 8
+    Multimodal.audioFingerprint(Array[Byte](1, 2, 3)) shouldBe None // not WAV
+  }
+
+  test("dedupAudioNearDup drops planted near-dup recordings, keeps distinct + undecodable") {
+    val rows = Seq(
+      (1L, syntheticWav(1)),
+      (2L, syntheticWav(1, gain = 0.5)),        // same recording, re-leveled -> dropped
+      (3L, syntheticWav(1, noise = 0.02)),      // noisy copy -> dropped
+      (4L, syntheticWav(7)),                    // distinct -> kept
+      (5L, Array[Byte](1, 2, 3))                // undecodable -> ALWAYS kept
+    ).toDF("id", "wav")
+    Multimodal.dedupAudioNearDup(rows, "id", "wav", maxHamming = 3)
+      .select("id").as[Long].collect().toSeq.sorted shouldBe Seq(1L, 4L, 5L)
+  }
 }
