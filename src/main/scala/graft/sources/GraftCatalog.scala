@@ -97,13 +97,19 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog with StagingTableC
     * option: canonical sidecar registries are dropped (they hold
     * post-snapshot content); inline zone maps travel in the blob.
     */
-  override def loadTable(ident: Identifier, version: String): Table = {
-    val uuid = uuidOf(ident)
-    if (!DatasetMetadata.exists(spark, base, uuid))
-      throw new NoSuchTableException(ident)
-    val snap = DatasetMetadata.loadVersion(spark, base, uuid, version.toLong)
-    new GraftTable(base, snap.copy(indices = Map.empty, blooms = Map.empty,
-      zones = Map.empty, zoneMaps = Map.empty))
+  override def loadTable(ident: Identifier, version: String): Table = ident.namespace match {
+    case Array("default", tbl)
+        if GraftMetadataTables.kinds(ident.name) && DatasetMetadata.exists(spark, base, tbl) =>
+      // metadata tables travel too: the listing of that snapshot
+      GraftMetadataTables(spark, base, tbl, ident.name, Some(version.toLong))
+    case Array("default", _) => throw new NoSuchTableException(ident)
+    case _ =>
+      val uuid = uuidOf(ident)
+      if (!DatasetMetadata.exists(spark, base, uuid))
+        throw new NoSuchTableException(ident)
+      val snap = DatasetMetadata.loadVersion(spark, base, uuid, version.toLong)
+      new GraftTable(base, snap.copy(indices = Map.empty, blooms = Map.empty,
+        zones = Map.empty, zoneMaps = Map.empty))
   }
 
   /** SQL `TIMESTAMP AS OF t`: the latest version committed at or before
@@ -113,7 +119,12 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog with StagingTableC
     * from the lineage output.
     */
   override def loadTable(ident: Identifier, timestamp: Long): Table = {
-    val uuid = uuidOf(ident)
+    // metadata tables (4-part names) resolve the timestamp against the
+    // UNDERLYING dataset, then travel like the versioned branch above
+    val uuid = ident.namespace match {
+      case Array("default", tbl) => tbl
+      case _                     => uuidOf(ident)
+    }
     if (!DatasetMetadata.exists(spark, base, uuid))
       throw new NoSuchTableException(ident)
     val v = Ktk.versionAtTimestamp(spark, base, uuid, timestamp / 1000L)

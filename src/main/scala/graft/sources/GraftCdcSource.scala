@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, GraftBridge, SQLContext, SparkSession}
 import org.apache.spark.sql.execution.streaming.{Offset, Source}
 import org.apache.spark.sql.execution.streaming.runtime.{LongOffset, SerializedOffset}
 import org.apache.spark.sql.functions.col
-import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister, RelationProvider, StreamSourceProvider, TableScan}
+import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister, PrunedScan, RelationProvider, StreamSourceProvider}
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 
 import graft.ktk.{DatasetMetadata, Ktk}
@@ -238,7 +238,7 @@ final class GraftCdcRelation(
     base: String,
     uuid: String,
     fromVersion: Long,
-    toVersion: Long) extends BaseRelation with TableScan {
+    toVersion: Long) extends BaseRelation with PrunedScan {
 
   override val schema: StructType = StructType(
     DatasetMetadata.load(sqlContext.sparkSession, base, uuid).schema.fields.toSeq :+
@@ -247,16 +247,18 @@ final class GraftCdcRelation(
 
   override def needConversion: Boolean = false
 
-  override def buildScan(): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = {
+  override def buildScan(
+      requiredColumns: Array[String]): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = {
     val spark = sqlContext.sparkSession
     val feed =
       if (fromVersion == toVersion)
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
       else Ktk.readChangeFeed(spark, base, uuid, fromVersion, toVersion)
-    // align column order with the declared schema, then hand over internal
-    // rows (the sanctioned needConversion=false contract)
-    feed.select(schema.fieldNames.map(c => col(s"`$c`")): _*)
+    // project to exactly the requested columns in the requested order (the
+    // pruning reaches the per-version parquet scans through Catalyst), then
+    // hand over internal rows (the sanctioned needConversion=false contract)
+    feed.select(requiredColumns.map(c => col(s"`$c`")).toSeq: _*)
       .queryExecution.toRdd
       .asInstanceOf[org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]]
   }

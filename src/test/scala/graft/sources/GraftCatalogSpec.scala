@@ -492,6 +492,15 @@ class GraftCatalogSpec extends SparkSpec {
         .queryExecution.executedPlan.toString
       plan.toLowerCase should include("localtablescan")
 
+      // metadata tables TRAVEL: the tombstones listing of snapshot v2 still
+      // shows the fragment materialize later drained; v1 predates the DELETE
+      spark.sql(s"SELECT count(*) FROM $gk.default.mt.tombstones VERSION AS OF 2")
+        .as[Long].head() shouldBe 1L
+      spark.sql(s"SELECT count(*) FROM $gk.default.mt.tombstones VERSION AS OF 1")
+        .as[Long].head() shouldBe 0L
+      spark.sql(s"SELECT max(version) FROM $gk.default.mt.history VERSION AS OF 1")
+        .as[Long].head() shouldBe 1L
+
       // unknown metadata name / missing dataset stay unresolvable
       intercept[Exception] { spark.sql(s"SELECT * FROM $gk.default.mt.nope").collect() }
       intercept[Exception] { spark.sql(s"SELECT * FROM $gk.default.absent.files").collect() }
