@@ -91,6 +91,11 @@ object SparkEntry {
     * every query that shares a fixture.
     */
   private val built = scala.collection.concurrent.TrieMap.empty[String, Unit]
+
+  /** Memoised deterministic seed-screening results for the planted
+    * image/audio dedup gates (pure CPU, identical every run).
+    */
+  private val screenedClasses = scala.collection.concurrent.TrieMap.empty[String, Array[Int]]
   private def ensureLineitemDs(s: SparkSession, dir: String): String = {
     val base = scratch(dir)
     built.getOrElseUpdate(s"$base/li", {
@@ -401,27 +406,31 @@ object SparkEntry {
       // explicit version bounds; empty-range and initial-slice behavior
       // pinned in-query
       val base = scratch(dir)
-      val orders = t(s, dir, "orders").select("o_orderkey", "o_orderstatus", "o_totalprice")
-      Ktk.store(s, base, "orders_cdcb", orders,
-        partitionOn = Seq("o_orderstatus"), overwrite = true)
-      val v1 = graft.ktk.DatasetMetadata.load(s, base, "orders_cdcb").version
-      Ktk.deleteRows(s, base, "orders_cdcb",
-        predicates = Predicates.of(Seq(("o_totalprice", ">", 150000.0))))
-      val src = orders.filter(col("o_orderkey") % 5 === 0)
-        .withColumn("o_totalprice", col("o_totalprice") + lit(250.0))
-      Ktk.merge(s, base, "orders_cdcb", src, keys = Seq("o_orderkey"))
-      val v3 = graft.ktk.DatasetMetadata.load(s, base, "orders_cdcb").version
+      // deterministic 3-commit fixture, built ONCE per scratch dir (version
+      // the uuid if the expected content ever changes): v1 store, v2
+      // row-level delete, v3 merge
+      val complete = graft.ktk.DatasetMetadata.exists(s, base, "orders_cdcb2") &&
+        graft.ktk.DatasetMetadata.load(s, base, "orders_cdcb2").version == 3L
+      if (!complete) {
+        // a crashed earlier build leaves a partial history — rebuild clean
+        if (graft.ktk.DatasetMetadata.exists(s, base, "orders_cdcb2"))
+          graft.ktk.DatasetMetadata.delete(s, base, "orders_cdcb2")
+        val orders = t(s, dir, "orders").select("o_orderkey", "o_orderstatus", "o_totalprice")
+        Ktk.store(s, base, "orders_cdcb2", orders, partitionOn = Seq("o_orderstatus"))
+        Ktk.deleteRows(s, base, "orders_cdcb2",
+          predicates = Predicates.of(Seq(("o_totalprice", ">", 150000.0))))
+        val src = orders.filter(col("o_orderkey") % 5 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") + lit(250.0))
+        Ktk.merge(s, base, "orders_cdcb2", src, keys = Seq("o_orderkey"))
+      }
       def feed(opts: (String, String)*) = {
-        val r = s.read.format("graft-cdc").option("uuid", "orders_cdcb")
+        val r = s.read.format("graft-cdc").option("uuid", "orders_cdcb2")
         opts.foreach { case (k, v) => r.option(k, v) }
         r.load(base)
       }
-      require(feed("startingVersion" -> v3.toString).count() == 0L,
+      require(feed("startingVersion" -> "3").count() == 0L,
         "an empty version range must produce no changes")
-      // NOTE: do not read slices before v1 here — `overwrite` CONTINUES the
-      // version line, so on a reused scratch dir earlier versions belong to
-      // prior runs whose files the overwrite reclaimed
-      feed("startingVersion" -> v1.toString)
+      feed("startingVersion" -> "1")
         .groupBy(col("_change_type").as("change_type"), col("o_orderstatus"))
         .agg(count(lit(1)).as("cnt"), round(sum("o_totalprice"), 2).as("total"))
         .orderBy("change_type", "o_orderstatus")
@@ -1767,7 +1776,8 @@ object SparkEntry {
         }
         Multimodal.encodeGrayPng(px, w, h)
       }
-      val classes: Array[Int] = {
+      // screening is deterministic — memoise across bench reps
+      val classes: Array[Int] = screenedClasses.getOrElseUpdate("image", {
         val picked = scala.collection.mutable.ArrayBuffer.empty[(Int, Long)]
         var seed = 0
         while (picked.size < 32 && seed < 2000) {
@@ -1782,7 +1792,7 @@ object SparkEntry {
           seed += 1
         }
         picked.map(_._1).toArray
-      }
+      })
       require(classes.length == 32, s"seed screening found only ${classes.length} classes")
       val clsUdf = udf((id: Long) => classes((id % classes.length).toInt))
       val imgUdf = udf((cls: Int, perturb: Boolean) => png(cls, perturb))
@@ -1829,7 +1839,8 @@ object SparkEntry {
           javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
         out.toByteArray
       }
-      val classes: Array[Int] = {
+      // screening is deterministic — memoise across bench reps
+      val classes: Array[Int] = screenedClasses.getOrElseUpdate("audio", {
         val picked = scala.collection.mutable.ArrayBuffer.empty[(Int, Long)]
         var seed = 0
         while (picked.size < 16 && seed < 500) {
@@ -1844,7 +1855,7 @@ object SparkEntry {
           seed += 1
         }
         picked.map(_._1).toArray
-      }
+      })
       require(classes.length == 16, s"seed screening found only ${classes.length} classes")
       val clsUdf = udf((id: Long) => classes((id % classes.length).toInt))
       val wavUdf = udf((cls: Int, kind: Int) => kind match {
