@@ -1490,8 +1490,10 @@ object Ktk {
     * Matched-row discovery prunes through every skipping layer when the
     * source's distinct key tuples fit `maxCollectKeys` (single-key sources
     * also push an IN filter into the parquet scan — the [[semiJoinRead]]
-    * pattern); larger sources fall back to a semi join over the full
-    * candidate scan, still O(target ∩ batch keys) output.
+    * pattern); larger sources prune through their per-key-column min/max
+    * RANGE envelope (partition values + zone maps + row-group stats — one
+    * map-side agg over the batch), so a clustered wide-key CDC batch never
+    * scans the whole table; the semi join keeps either path exact.
     *
     * `deleteKeys` (columns in `keys` order) adds WHEN MATCHED THEN DELETE
     * keys: their matches tombstone without any row landing — the CDC
@@ -1551,6 +1553,27 @@ object Ktk {
       val rows = srcKeys.limit(maxCollectKeys + 1).collect().toSeq
       if (rows.size <= maxCollectKeys) Some(rows) else None
     }
+    // large source (distinct keys exceed maxCollectKeys): ONE map-side
+    // min/max agg over the batch keys gives a per-column RANGE envelope.
+    // The Ge/Le conjunction still prunes through partition values and
+    // zone maps (the IN-only layers — index/bloom — don't consume ranges
+    // and pass through), so a time- or id-clustered wide-key CDC batch
+    // scans only the files whose stats intersect the batch envelope, not
+    // the whole table; the residual semi join keeps the result exact.
+    // Types outside the comparator's tower (arrays, binary, structs)
+    // contribute no bounds; a null min means the column held ONLY nulls,
+    // which matches nothing (MERGE ON `=` is null-rejecting).
+    lazy val keyBounds: Seq[(String, Any, Any)] = {
+      val aggExprs = keys.flatMap(k =>
+        Seq(min(col(s"`$k`")).as(s"__lo_$k"), max(col(s"`$k`")).as(s"__hi_$k")))
+      val row = srcKeys.agg(aggExprs.head, aggExprs.drop(1): _*).collect()(0)
+      keys.zipWithIndex.map { case (k, i) => (k, row.get(2 * i), row.get(2 * i + 1)) }
+    }
+    def comparableBound(v: Any): Boolean = v match {
+      case _: String | _: Number | _: Boolean => true
+      case _: java.sql.Date | _: java.sql.Timestamp => true
+      case _ => false
+    }
     val fragment: Option[(String, Long)] =
       if (md.partitions.isEmpty) None
       else {
@@ -1572,7 +1595,18 @@ object Ktk {
             if (cols.exists(_._2.isEmpty)) Nil
             else queryLabels(spark, base, md, Predicates(Seq(
               cols.map { case (k, vs) => PredLiteral(k, graft.core.PredOp.In, vs) })))
-          case None => md.partitions.keys.toSeq.sorted
+          case None =>
+            if (keyBounds.exists(_._2 == null)) Nil
+            else {
+              val rangeLits = keyBounds.flatMap {
+                case (k, lo, hi) if comparableBound(lo) && comparableBound(hi) =>
+                  Seq(PredLiteral(k, graft.core.PredOp.Ge, lo),
+                    PredLiteral(k, graft.core.PredOp.Le, hi))
+                case _ => Nil
+              }
+              if (rangeLits.isEmpty) md.partitions.keys.toSeq.sorted
+              else queryLabels(spark, base, md, Predicates(Seq(rangeLits)))
+            }
         }
         lastMergeCandidates.set(candidates.size)
         if (candidates.isEmpty) None
@@ -1580,13 +1614,19 @@ object Ktk {
           val scan0 = spark.read.option("basePath", tableDir).schema(schema)
             .parquet(candidates.map(l => s"$tableDir/$l"): _*)
           // collected keys: also push the per-column INs into row-group
-          // pruning (conjunction is a superset of the struct match)
+          // pruning (conjunction is a superset of the struct match);
+          // large sources push their range envelope the same way
           val scan = perColVals match {
             case Some(cols) =>
               cols.foldLeft(scan0) { case (s, (k, vs)) =>
                 s.filter(col(s"`$k`").isin(vs: _*))
               }
-            case None => scan0
+            case None =>
+              keyBounds.foldLeft(scan0) {
+                case (s, (k, lo, hi)) if comparableBound(lo) && comparableBound(hi) =>
+                  s.filter(col(s"`$k`") >= lit(lo) && col(s"`$k`") <= lit(hi))
+                case (s, _) => s
+              }
           }
           // SQL MERGE ON semantics: `=` matching, null keys never match
           val probe = if (collected.isDefined) broadcast(srcKeys) else srcKeys

@@ -55,6 +55,23 @@ class MergePruneSpec extends SparkSpec {
       .count() shouldBe 40
   }
 
+  test("clustered uncollectable batch prunes through its range envelope") {
+    val base = tmpDir("mprune")
+    val md = seed(base)
+    val total = md.partitions.size
+    // 20 distinct keys > maxCollectKeys=5, but clustered in p=b, k in
+    // [400, 420): the min/max envelope prunes partitions + zone files
+    val batch = (400 until 420).map(i => (i.toLong, "b", -4.0)).toDF("k", "p", "v")
+    Ktk.merge(spark, base, "ds", batch, keys = Seq("k", "p"), maxCollectKeys = 5)
+    val candidates = Ktk.lastMergeCandidates.get()
+    candidates should be >= 1
+    candidates should be < total
+    val got = Ktk.readTable(spark, base, "ds")
+      .filter(org.apache.spark.sql.functions.col("v") === -4.0)
+      .count()
+    got shouldBe 20L
+  }
+
   test("a key column that collected only nulls matches nothing (no scan)") {
     val base = tmpDir("mprune")
     seed(base)
