@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.UnsafeProjection
 import org.apache.spark.sql.catalyst.types.DataTypeUtils
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.execution.datasources.InMemoryFileIndex
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan
 import org.apache.spark.sql.sources.Filter
@@ -212,9 +212,20 @@ final class GraftMicroBatchStream(
     readDataSchema: StructType,
     readPartitionSchema: StructType,
     options: CaseInsensitiveStringMap)
-  extends MicroBatchStream with SupportsAdmissionControl {
+  extends MicroBatchStream with SupportsAdmissionControl with SupportsTriggerAvailableNow {
 
   private def spark: SparkSession = SparkSession.active
+
+  /** `Trigger.AvailableNow`: the head is FIXED once at query start, so the
+    * run drains `(start, cap]` — in `maxVersionsPerTrigger`-bounded batches
+    * when admission control is on — and terminates, even while writers
+    * keep committing behind it. Without this interface Spark 4 falls back
+    * to Trigger.Once semantics, which under admission control would stop
+    * after ONE capped batch instead of draining.
+    */
+  @volatile private var availableNowCap: Option[Long] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = Some(latestVersion())
 
   private val maxVersionsPerTrigger: Option[Long] =
     // distinguish ABSENT (no limit) from an explicit value: a user setting
@@ -245,7 +256,7 @@ final class GraftMicroBatchStream(
     GraftOffset(options.getLong("startingVersion", 0L))
 
   override def latestOffset(): Offset =
-    GraftOffset(latestVersion())
+    GraftOffset(availableNowCap.getOrElse(latestVersion()))
 
   override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
 
@@ -253,7 +264,7 @@ final class GraftMicroBatchStream(
     * `maxVersionsPerTrigger` commits past `start` into one batch.
     */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
-    val latest = latestVersion()
+    val latest = availableNowCap.getOrElse(latestVersion())
     val sv = start.asInstanceOf[GraftOffset].version
     GraftOffset(maxVersionsPerTrigger match {
       case Some(n) => math.min(latest, sv + n)

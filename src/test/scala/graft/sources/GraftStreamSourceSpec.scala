@@ -122,6 +122,27 @@ class GraftStreamSourceSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("Trigger.AvailableNow drains the backlog in bounded batches, then terminates") {
+    val base = tmpDir("feed")
+    Ktk.store(spark, base, "ds", Seq((1L, "a"), (2L, "b")).toDF("k", "v"))
+    (3L to 6L).foreach(i =>
+      Ktk.update(spark, base, "ds", Some(Seq((i, s"v$i")).toDF("k", "v"))))
+    // 5 commits of backlog; AvailableNow must drain ALL of them through
+    // one-version admitted batches and then stop on its own — the
+    // Trigger.Once fallback (no SupportsTriggerAvailableNow) would quit
+    // after a single capped batch and silently strand the backlog
+    val q = spark.readStream.format("graft").option("uuid", "ds")
+      .option("maxVersionsPerTrigger", 1L).load(base)
+      .writeStream.format("memory").queryName("feed_an")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    try {
+      assert(q.awaitTermination(120000), "AvailableNow query did not terminate")
+      spark.table("feed_an").select("k").as[Long].collect().sorted.toSeq shouldBe
+        (1L to 6L)
+      q.recentProgress.count(_.numInputRows > 0) should be >= 5
+    } finally q.stop()
+  }
+
   test("batch planning is O(delta): record reads per batch = versions in the batch") {
     val base = tmpDir("feed")
     val ckpt = tmpDir("ckpt")
