@@ -41,7 +41,8 @@ final class GraftCdcSource(
     base: String,
     uuid: String,
     startingVersion: Long,
-    maxVersionsPerTrigger: Option[Long]) extends Source {
+    maxVersionsPerTrigger: Option[Long]) extends Source
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
   private val tableSchema: StructType = DatasetMetadata.load(spark, base, uuid).schema
 
@@ -70,6 +71,44 @@ final class GraftCdcSource(
     }
     if (target <= base0) None else Some(LongOffset(target))
   }
+
+  // ---- Trigger.AvailableNow (the FileStreamSource pattern: a V1 Source
+  // mixing in the V2 admission interfaces). The head version is FIXED once
+  // at query start, so an AvailableNow run drains `(start, cap]` in
+  // `maxVersionsPerTrigger`-bounded batches and terminates even while
+  // writers keep committing; without the interface Spark falls back to
+  // Trigger.Once and strands everything past the first capped batch.
+  @volatile private var availableNowCap: Option[Long] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = Some(DatasetMetadata.load(spark, base, uuid).version)
+
+  override def getDefaultReadLimit
+      : org.apache.spark.sql.connector.read.streaming.ReadLimit =
+    org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable()
+
+  /** Admission-controlled head for the engine's SupportsAdmissionControl
+    * path (which replaces [[getOffset]] once the mixin is present).
+    */
+  override def latestOffset(
+      start: org.apache.spark.sql.connector.read.streaming.Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit)
+      : org.apache.spark.sql.connector.read.streaming.Offset = {
+    val cur = availableNowCap.getOrElse(DatasetMetadata.load(spark, base, uuid).version)
+    val startV = Option(start).map {
+      case l: LongOffset       => l.offset
+      case s: SerializedOffset => s.json.trim.toLong
+      case other               => other.json.trim.toLong
+    }
+    val base0 = math.max(startV.getOrElse(startingVersion), lastEnd.getOrElse(startingVersion))
+    val target = maxVersionsPerTrigger match {
+      case Some(n) => math.min(cur, base0 + n)
+      case None    => cur
+    }
+    LongOffset(math.max(target, base0))
+  }
+
+  override def reportLatestOffset(): org.apache.spark.sql.connector.read.streaming.Offset =
+    LongOffset(DatasetMetadata.load(spark, base, uuid).version)
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val from = start.map(versionOf).getOrElse(startingVersion)

@@ -91,6 +91,26 @@ class GraftCdcSourceSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("Trigger.AvailableNow drains the whole backlog in bounded batches, then terminates") {
+    val base = tmpDir("cdcs")
+    Ktk.store(spark, base, "ds", kv, partitionOn = Seq("p")) // v1
+    (2 to 5).foreach(i => Ktk.update(spark, base, "ds",
+      Some(Seq((10L + i, "c", i * 1.0)).toDF("k", "p", "v")))) // v2..v5
+    // the pre-mixin behavior was the Trigger.Once fallback: ONE capped
+    // batch (v1's 3 bootstrap rows), the other 4 versions silently
+    // stranded until the next manual run
+    val q = spark.readStream.format("graft-cdc").option("uuid", "ds")
+      .option("maxVersionsPerTrigger", "1").load(base)
+      .writeStream.format("memory").queryName("cdc_an")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    try {
+      assert(q.awaitTermination(120000), "AvailableNow query did not terminate")
+      spark.table("cdc_an").count() shouldBe 7
+      spark.table("cdc_an").select("_commit_version").distinct().count() shouldBe 5
+      q.recentProgress.count(_.numInputRows > 0) should be >= 5
+    } finally q.stop()
+  }
+
   test("a FRESH stream over a rollback-bearing history bootstraps from the snapshot") {
     val base = tmpDir("cdcs")
     Ktk.store(spark, base, "ds", kv, partitionOn = Seq("p")) // v1
