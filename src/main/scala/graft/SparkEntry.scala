@@ -1425,6 +1425,27 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q_c4_filter" -> ((s, dir) => {
+      // C4 rule cleaning (Raffel et al. 2020): synthesize 6 deterministic
+      // lines per doc (the corpus itself is single-line word salad) — 3
+      // pass the line rules, 'short line.' / no-punct / javascript lines
+      // drop, and doc_id % 11 / % 13 plant the page-level lorem-ipsum and
+      // curly-brace kills. Identical construction in the DuckDB oracle.
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        concat_ws("\n",
+          concat(substring(col("text"), 1, 60), lit("."),
+            when(col("doc_id") % 11 === 0, lit(" lorem ipsum")).otherwise(lit(""))),
+          substring(col("text"), 1, 20),
+          lit("short line."),
+          concat(substring(col("text"), 5, 60), lit(" javascript required.")),
+          concat(substring(col("text"), 10, 60), lit("!"),
+            when(col("doc_id") % 13 === 0, lit(" {")).otherwise(lit(""))),
+          concat(substring(col("text"), 15, 60), lit("?"))).as("text"))
+      TextAnalysis.c4Clean(d, "doc_id", "text")
+        .select("doc_id", "clean_text")
+        .orderBy("doc_id")
+    }),
+
     "q_tfidf" -> ((s, dir) => {
       // per-document keyword extraction: top-3 TF-IDF terms (smoothed idf,
       // lexicographic tiebreak). Two partial aggs + a doc-local array sort
@@ -3118,6 +3139,32 @@ object SparkEntry {
         |WHERE a.vec_id < 3 AND a.vec_id <> b.vec_id
         |  AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.25
         |ORDER BY 1, 2""".stripMargin,
+
+    "q_c4_filter" ->
+      """WITH src AS (
+        |  SELECT doc_id,
+        |    concat_ws(chr(10),
+        |      substr(text,1,60) || '.' || CASE WHEN doc_id % 11 = 0 THEN ' lorem ipsum' ELSE '' END,
+        |      substr(text,1,20),
+        |      'short line.',
+        |      substr(text,5,60) || ' javascript required.',
+        |      substr(text,10,60) || '!' || CASE WHEN doc_id % 13 = 0 THEN ' {' ELSE '' END,
+        |      substr(text,15,60) || '?') AS text
+        |  FROM documents
+        |), k AS (
+        |  SELECT doc_id, text,
+        |    list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)),
+        |      x -> regexp_matches(x, '[.!?]$')
+        |        AND len(list_filter(regexp_split_to_array(x, '\s+'), w -> w <> '')) >= 5
+        |        AND NOT contains(lower(x), 'javascript')) AS kept
+        |  FROM src
+        |)
+        |SELECT doc_id, list_aggregate(kept, 'string_agg', chr(10)) AS clean_text
+        |FROM k
+        |WHERE len(kept) >= 3
+        |  AND NOT contains(lower(text), 'lorem ipsum')
+        |  AND NOT contains(text, '{')
+        |ORDER BY doc_id""".stripMargin,
 
     "q_text_quality" ->
       """WITH m AS (

@@ -279,6 +279,33 @@ object TextAnalysis {
   private def docLines(text: Column): Column =
     filter(transform(split(text, "\n"), l => trim(l)), l => length(l) > 0)
 
+  /** Lines surviving the C4 per-line rules (Raffel et al. 2020, the
+    * "Colossal Clean Crawled Corpus" heuristics): a trimmed line is kept
+    * iff it ends in terminal punctuation, carries at least
+    * `minWordsPerLine` words, and does not mention "javascript". Pure
+    * codegen'd array functions — no UDF, no shuffle.
+    */
+  def c4KeptLines(text: Column, minWordsPerLine: Int = 5): Column =
+    filter(transform(split(text, "\n"), l => trim(l)), l =>
+      l.rlike("[.!?]$") &&
+        size(filter(split(l, "\\s+"), w => w =!= lit(""))) >= minWordsPerLine &&
+        !contains(lower(l), lit("javascript")))
+
+  /** C4-style rule cleaning: per-line [[c4KeptLines]], then page-level
+    * drops — fewer than `minLines` surviving lines, any "lorem ipsum"
+    * mention, or a curly brace (code markers). Returns the surviving
+    * pages with `clean_text` = kept lines re-joined; a narrow map +
+    * filter, so it scales linearly with the corpus.
+    */
+  def c4Clean(df: DataFrame, idCol: String, textCol: String,
+      minLines: Int = 3, minWordsPerLine: Int = 5): DataFrame =
+    df.withColumn("__kept", c4KeptLines(col(s"`$textCol`"), minWordsPerLine))
+      .filter(size(col("__kept")) >= minLines &&
+        !contains(lower(col(s"`$textCol`")), lit("lorem ipsum")) &&
+        !contains(col(s"`$textCol`"), lit("{")))
+      .withColumn("clean_text", array_join(col("__kept"), "\n"))
+      .drop("__kept")
+
   /** Word bigrams of the lowercased document, as "a b" strings. zip_with
     * pads the shorter side with null and concat propagates it, so the
     * trailing partial pair drops out in the filter.

@@ -534,6 +534,25 @@ class SimilaritySpec extends SparkSpec {
 class TextAnalysisSpec extends SparkSpec {
   import spark.implicits._
 
+  test("c4Clean applies each line and page rule independently") {
+    val goodLine = "one two three four five six." // >= 5 words, terminal punct
+    val doc = (id: Long, extra: String) =>
+      (id, Seq(goodLine, goodLine + "!", goodLine + "?", extra).mkString("\n"))
+    val df = Seq(
+      doc(1L, "no terminal punctuation here at all"), // extra line dropped, page kept
+      doc(2L, "tiny line."),                          // < 5 words: line dropped
+      doc(3L, "please enable JavaScript to continue."), // javascript: line dropped
+      doc(4L, "this page mentions Lorem Ipsum somewhere."), // page killed
+      doc(5L, "function f() { return 1; }"),          // curly brace: page killed
+      (6L, goodLine + "\n" + goodLine + "!")          // only 2 kept lines: page killed
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.c4Clean(df, "doc_id", "text")
+      .select("doc_id", "clean_text").as[(Long, String)].collect().toMap
+    out.keySet shouldBe Set(1L, 2L, 3L)
+    // surviving pages carry exactly the three good lines, re-joined
+    all(out.values) shouldBe Seq(goodLine, goodLine + "!", goodLine + "?").mkString("\n")
+  }
+
   test("tokenCount / ratios / quality on hand-checked strings") {
     val df = Seq((1L, "The quick brown fox."), (2L, ""), (3L, "a!!! b??? c...")).toDF("id", "text")
     val out = TextAnalysis.documentStats(df, "id", "text").collect().map(r => r.getLong(0) -> r).toMap
