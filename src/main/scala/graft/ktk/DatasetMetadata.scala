@@ -206,6 +206,16 @@ object DatasetMetadata {
   val RollbackCommitKey = "graft.rollback_commit"
   val RollbackOfKey = "graft.rollback_of"
 
+  /** In-commit timestamp (epoch millis), stamped by [[store]] as
+    * `max(wall clock, parent stamp + 1)` — STRICTLY MONOTONE along the
+    * version line (Delta's in-commit-timestamp rule), so `TIMESTAMP AS OF`
+    * resolution is deterministic even for same-millisecond commits and
+    * survives operations that disturb record mtimes (dataset copy, rsync,
+    * object-store migration). `history`/`versionAtTimestamp` prefer it and
+    * fall back to the record's filesystem mtime for pre-stamp commits.
+    */
+  val CommitTsKey = "graft.commit_ts_ms"
+
   private val mapper: ObjectMapper = {
     val m = new ObjectMapper()
     m.registerModule(DefaultScalaModule)
@@ -516,7 +526,12 @@ object DatasetMetadata {
     val parent = md0.metadata.get(VersionKey).map(_.toLong)
       .getOrElse(listVersions(spark, base, md0.uuid).lastOption.getOrElse(0L))
     val newV = parent + 1
-    val md = md0.copy(metadata = md0.metadata + (VersionKey -> newV.toString))
+    // monotone in-commit timestamp: the caller's metadata derives from the
+    // parent load, so the parent's stamp is already present when it exists
+    val parentTs = md0.metadata.get(CommitTsKey).map(_.toLong).getOrElse(Long.MinValue)
+    val commitTs = math.max(System.currentTimeMillis(), parentTs + 1)
+    val md = md0.copy(metadata = md0.metadata +
+      (VersionKey -> newV.toString) + (CommitTsKey -> commitTs.toString))
     // pretty JSON is a debugging aid; past ~1k entries a record is
     // machine-read only and the indentation roughly doubles its size, so
     // large records switch to compact form (same Jackson model both ways)

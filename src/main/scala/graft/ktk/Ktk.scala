@@ -1825,14 +1825,16 @@ object Ktk {
     // with several records (e.g. a delta plus a later checkpoint of the
     // same commit line) reports the EARLIEST mtime — the original commit.
     val records = DatasetMetadata.versionRecords(spark, base, uuid)
-    val mtimes: Map[Long, java.sql.Timestamp] = records
-      .groupMapReduce(_._1)(_._2)(math.min)
-      .view.mapValues(new java.sql.Timestamp(_)).toMap
+    val mtimes: Map[Long, Long] = records.groupMapReduce(_._1)(_._2)(math.min)
     val rows = records.map(_._1).distinct.sorted.map { v =>
       val md = DatasetMetadata.loadVersion(spark, base, uuid, v)
       val rb = md.metadata.get(DatasetMetadata.RollbackCommitKey)
         .exists(_.toLong == v)
-      (v, mtimes.get(v), md.partitions.size.toLong,
+      // in-commit stamp (monotone, copy-stable) wins; record mtime is the
+      // fallback for commits predating the stamp
+      val at = md.metadata.get(DatasetMetadata.CommitTsKey).map(_.toLong)
+        .orElse(mtimes.get(v)).map(new java.sql.Timestamp(_))
+      (v, at, md.partitions.size.toLong,
         // sizeOf, not values.sum: Jackson narrows the erased Map[String,
         // Long] to Integer on deserialization — summing would unbox-throw
         // on any version parsed from disk (fresh JVM, pre-cache history)
@@ -1843,16 +1845,22 @@ object Ktk {
       "tombstone_fragments", "is_rollback", "rollback_of")
   }
 
-  /** Latest commit version whose committed-at time (earliest record mtime,
-    * the same rule [[history]] reports) is <= `atMillis` — the resolution
-    * rule behind SQL `TIMESTAMP AS OF`. One `_versions` listing, no data
-    * reads. None when the dataset has no commit at or before the instant.
+  /** Latest commit version whose committed-at time (the in-commit stamp
+    * when present, else the earliest record mtime — the same rule
+    * [[history]] reports) is <= `atMillis` — the resolution rule behind
+    * SQL `TIMESTAMP AS OF`. One `_versions` listing plus O(retained
+    * versions) snapshot-cached metadata loads, no data reads. None when
+    * the dataset has no commit at or before the instant.
     */
   def versionAtTimestamp(
       spark: SparkSession, base: String, uuid: String, atMillis: Long): Option[Long] = {
-    val eligible = DatasetMetadata.versionRecords(spark, base, uuid)
+    val mtimes = DatasetMetadata.versionRecords(spark, base, uuid)
       .groupMapReduce(_._1)(_._2)(math.min)
-      .collect { case (v, m) if m <= atMillis => v }
+    val eligible = mtimes.keys.filter { v =>
+      val stamp = DatasetMetadata.loadVersion(spark, base, uuid, v)
+        .metadata.get(DatasetMetadata.CommitTsKey).map(_.toLong)
+      stamp.orElse(mtimes.get(v)).exists(_ <= atMillis)
+    }
     if (eligible.isEmpty) None else Some(eligible.max)
   }
 
@@ -3245,7 +3253,10 @@ object Ktk {
     // `retainLastMs` (Delta VACUUM's RETAIN <n> HOURS): every version
     // committed inside the wall-clock window ALSO survives — it can only
     // WIDEN what `retainVersions` keeps, so a lagging CDC consumer's
-    // window can be protected by time without counting commits
+    // window can be protected by time without counting commits.
+    // Deliberately keyed on record MTIMES, not the in-commit stamp: a
+    // freshly copied dataset gets young mtimes and so RETAINS MORE — the
+    // safe direction for deletion, while time travel uses the stamp
     val keepFrom = {
       val byCount = md.version - retainVersions
       if (retainLastMs < 0L) byCount

@@ -32,6 +32,29 @@ class VersioningSpec extends SparkSpec {
     snap1.version shouldBe 1L
   }
 
+  test("in-commit timestamps are strictly monotone and drive timestamp travel") {
+    val base = tmpDir("ver")
+    Ktk.store(spark, base, "ds", df1)
+    Ktk.update(spark, base, "ds", Some(df2))
+    Ktk.update(spark, base, "ds", Some(Seq((9L, "z")).toDF("k", "v")))
+    val stamps = (1L to 3L).map { v =>
+      DatasetMetadata.loadVersion(spark, base, "ds", v)
+        .metadata(DatasetMetadata.CommitTsKey).toLong
+    }
+    // strictly increasing even when commits land in the same millisecond
+    stamps.sliding(2).foreach { case Seq(a, b) => b should be > a }
+    // history reports the stamps, not the record mtimes
+    val hist = Ktk.history(spark, base, "ds")
+      .select("version", "committed_at")
+      .collect().map(r => r.getLong(0) -> r.getTimestamp(1).getTime).toMap
+    (1L to 3L).foreach(v => hist(v) shouldBe stamps(v.toInt - 1))
+    // TIMESTAMP AS OF resolves against the stamp: exactly v2 at v2's
+    // instant, v1 just before it, None before the first commit
+    Ktk.versionAtTimestamp(spark, base, "ds", stamps(1)) shouldBe Some(2L)
+    Ktk.versionAtTimestamp(spark, base, "ds", stamps(1) - 1) shouldBe Some(1L)
+    Ktk.versionAtTimestamp(spark, base, "ds", stamps(0) - 1) shouldBe None
+  }
+
   test("time travel reads the dataset as of an old commit") {
     val base = tmpDir("ver")
     Ktk.store(spark, base, "ds", df1)
