@@ -27,6 +27,9 @@ import graft.ktk.{DatasetMetadata, Ktk}
   *  - `maxVersionsPerTrigger`: admission control — each micro-batch
   *    advances at most this many commit versions (bounded catch-up after
   *    lag, like the append stream and `consumeChanges`).
+  *  - `maxBytesPerTrigger`: byte-based admission (Delta's analog) — admit
+  *    whole versions while their cumulative added data bytes fit, always
+  *    at least one; composes with the version cap (tighter wins).
   *
   * Contract notes (same as `readChangeFeed`): snapshots and referenced
   * files/fragments in the consumer's lag window must survive gc
@@ -41,8 +44,38 @@ final class GraftCdcSource(
     base: String,
     uuid: String,
     startingVersion: Long,
-    maxVersionsPerTrigger: Option[Long]) extends Source
+    maxVersionsPerTrigger: Option[Long],
+    maxBytesPerTrigger: Option[Long] = None) extends Source
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+
+  /** Shared admission rule: version cap, then byte cap (whole versions,
+    * cumulative ADDED data bytes, always at least one — deletes ride along
+    * as fragment-sized sidecars). Snapshot-cached walks, no data reads.
+    */
+  private def capEnd(base0: Long, cur: Long): Long = {
+    val byVersions = maxVersionsPerTrigger match {
+      case Some(n) => math.min(cur, base0 + n)
+      case None    => cur
+    }
+    maxBytesPerTrigger match {
+      case None => byVersions
+      case Some(cap) =>
+        var v = base0
+        var acc = 0L
+        var stop = false
+        while (v < byVersions && !stop) {
+          val mdV = DatasetMetadata.loadVersion(spark, base, uuid, v + 1)
+          val mdP =
+            if (v + 1 == 1L) DatasetMetadata(uuid = uuid, schemaJson = mdV.schemaJson)
+            else DatasetMetadata.loadVersion(spark, base, uuid, v)
+          val pLabels = mdP.partitions.keySet
+          val b = mdV.partitions.keysIterator.filterNot(pLabels.contains).map(mdV.sizeOf).sum
+          if (acc + b > cap && v > base0) stop = true
+          else { acc += b; v += 1 }
+        }
+        v
+    }
+  }
 
   private val tableSchema: StructType = DatasetMetadata.load(spark, base, uuid).schema
 
@@ -65,10 +98,7 @@ final class GraftCdcSource(
   override def getOffset: Option[Offset] = {
     val cur = DatasetMetadata.load(spark, base, uuid).version
     val base0 = lastEnd.getOrElse(startingVersion)
-    val target = maxVersionsPerTrigger match {
-      case Some(n) => math.min(cur, base0 + n)
-      case None    => cur
-    }
+    val target = capEnd(base0, cur)
     if (target <= base0) None else Some(LongOffset(target))
   }
 
@@ -100,11 +130,7 @@ final class GraftCdcSource(
       case other               => other.json.trim.toLong
     }
     val base0 = math.max(startV.getOrElse(startingVersion), lastEnd.getOrElse(startingVersion))
-    val target = maxVersionsPerTrigger match {
-      case Some(n) => math.min(cur, base0 + n)
-      case None    => cur
-    }
-    LongOffset(math.max(target, base0))
+    LongOffset(math.max(capEnd(base0, cur), base0))
   }
 
   override def reportLatestOffset(): org.apache.spark.sql.connector.read.streaming.Offset =
@@ -231,7 +257,8 @@ class GraftCdcSourceProvider extends StreamSourceProvider with RelationProvider
     new GraftCdcRelation(sqlContext, base, uuid, from, to)
   }
 
-  private def params(parameters: Map[String, String]): (String, String, Long, Option[Long]) = {
+  private def params(parameters: Map[String, String])
+      : (String, String, Long, Option[Long], Option[Long]) = {
     val base = parameters.getOrElse("path",
       throw new IllegalArgumentException("graft-cdc source requires .load(<base path>)"))
     val uuid = parameters.getOrElse("uuid",
@@ -239,7 +266,9 @@ class GraftCdcSourceProvider extends StreamSourceProvider with RelationProvider
     val starting = parameters.get("startingVersion").map(_.toLong).getOrElse(0L)
     val maxPer = parameters.get("maxVersionsPerTrigger").map(_.toLong)
     maxPer.foreach(n => require(n >= 1L, "maxVersionsPerTrigger must be >= 1"))
-    (base, uuid, starting, maxPer)
+    val maxBytes = parameters.get("maxBytesPerTrigger").map(_.toLong)
+    maxBytes.foreach(n => require(n >= 1L, "maxBytesPerTrigger must be >= 1"))
+    (base, uuid, starting, maxPer, maxBytes)
   }
 
   override def sourceSchema(
@@ -247,7 +276,7 @@ class GraftCdcSourceProvider extends StreamSourceProvider with RelationProvider
       schema: Option[StructType],
       providerName: String,
       parameters: Map[String, String]): (String, StructType) = {
-    val (base, uuid, _, _) = params(parameters)
+    val (base, uuid, _, _, _) = params(parameters)
     val table = DatasetMetadata.load(sqlContext.sparkSession, base, uuid).schema
     (shortName(), StructType(
       table.fields.toSeq :+
@@ -261,8 +290,8 @@ class GraftCdcSourceProvider extends StreamSourceProvider with RelationProvider
       schema: Option[StructType],
       providerName: String,
       parameters: Map[String, String]): Source = {
-    val (base, uuid, starting, maxPer) = params(parameters)
-    new GraftCdcSource(sqlContext.sparkSession, base, uuid, starting, maxPer)
+    val (base, uuid, starting, maxPer, maxBytes) = params(parameters)
+    new GraftCdcSource(sqlContext.sparkSession, base, uuid, starting, maxPer, maxBytes)
   }
 }
 

@@ -202,7 +202,11 @@ object GraftRuntimePrune {
   * micro-batch advances at most `n` commit versions, so a stream
   * recovering from lag (or starting against a long history) catches up in
   * bounded batches instead of replaying the entire backlog in one
-  * unbounded batch. Default: all available.
+  * unbounded batch. `option("maxBytesPerTrigger", b)` (Delta's analog)
+  * bounds each batch by the versions' cumulative ADDED data bytes instead
+  * — whole versions only, always at least one — so catch-up batch size
+  * tracks data volume, not commit count, when commit sizes vary wildly.
+  * Both caps compose (the tighter one wins). Default: all available.
   */
 final class GraftMicroBatchStream(
     base: String,
@@ -237,6 +241,28 @@ final class GraftMicroBatchStream(
       Some(n)
     }
 
+  private val maxBytesPerTrigger: Option[Long] =
+    if (!options.containsKey("maxBytesPerTrigger")) None
+    else {
+      val n = options.getLong("maxBytesPerTrigger", 0L)
+      require(n > 0L, "maxBytesPerTrigger must be >= 1")
+      Some(n)
+    }
+
+  /** Bytes of data files the commit at `v` ADDED over its parent — the
+    * admission currency for `maxBytesPerTrigger`. Both snapshots resolve
+    * through the cache, so a catch-up walk is O(versions walked) metadata
+    * records, never a listing or data read.
+    */
+  private def bytesAddedAt(v: Long): Long = {
+    val mdV = DatasetMetadata.loadVersion(spark, base, uuid, v)
+    val mdP =
+      if (v == 1L) DatasetMetadata(uuid = uuid, schemaJson = mdV.schemaJson)
+      else DatasetMetadata.loadVersion(spark, base, uuid, v - 1)
+    val pLabels = mdP.partitions.keySet
+    mdV.partitions.keysIterator.filterNot(pLabels.contains).map(mdV.sizeOf).sum
+  }
+
   /** The change feed keys batches on commit versions; a dataset that has
     * never made a versioned commit (legacy blob, version 0) would emit
     * nothing FOREVER — fail loudly instead of polling in silence.
@@ -266,10 +292,27 @@ final class GraftMicroBatchStream(
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val latest = availableNowCap.getOrElse(latestVersion())
     val sv = start.asInstanceOf[GraftOffset].version
-    GraftOffset(maxVersionsPerTrigger match {
+    val byVersions = maxVersionsPerTrigger match {
       case Some(n) => math.min(latest, sv + n)
       case None    => latest
-    })
+    }
+    // byte-based admission (Delta's maxBytesPerTrigger): admit whole
+    // versions while their cumulative ADDED bytes fit the cap, always at
+    // least one (a commit can't split — offsets are versions)
+    val end = maxBytesPerTrigger match {
+      case None => byVersions
+      case Some(cap) =>
+        var v = sv
+        var acc = 0L
+        var stop = false
+        while (v < byVersions && !stop) {
+          val b = bytesAddedAt(v + 1)
+          if (acc + b > cap && v > sv) stop = true
+          else { acc += b; v += 1 }
+        }
+        v
+    }
+    GraftOffset(end)
   }
 
   /** True head of the stream for progress reporting, regardless of caps. */

@@ -111,6 +111,21 @@ class GraftCdcSourceSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("maxBytesPerTrigger admits whole versions by added bytes, at least one") {
+    val base = tmpDir("cdcs")
+    Ktk.store(spark, base, "ds", kv, partitionOn = Seq("p")) // v1
+    (2 to 4).foreach(i => Ktk.update(spark, base, "ds",
+      Some(Seq((10L + i, "c", i * 1.0)).toDF("k", "p", "v")))) // v2..v4
+    val q = startCdc(base, "cdc_bytes", Map("maxBytesPerTrigger" -> "1"))
+    try {
+      q.processAllAvailable()
+      // one version per batch under the 1-byte cap, nothing stranded
+      spark.table("cdc_bytes").count() shouldBe 6
+      spark.table("cdc_bytes").select("_commit_version").distinct().count() shouldBe 4
+      q.recentProgress.count(_.numInputRows > 0) should be >= 4
+    } finally q.stop()
+  }
+
   test("a FRESH stream over a rollback-bearing history bootstraps from the snapshot") {
     val base = tmpDir("cdcs")
     Ktk.store(spark, base, "ds", kv, partitionOn = Seq("p")) // v1

@@ -122,6 +122,36 @@ class GraftStreamSourceSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("maxBytesPerTrigger bounds batches by added data volume, whole versions, >= 1") {
+    val base = tmpDir("feed")
+    Ktk.store(spark, base, "ds", Seq((1L, "a"), (2L, "b")).toDF("k", "v"))
+    (3L to 5L).foreach(i =>
+      Ktk.update(spark, base, "ds", Some(Seq((i, s"v$i")).toDF("k", "v"))))
+    // every commit adds ~1 small parquet file (hundreds of bytes); a 1-byte
+    // cap still admits ONE version per batch (a commit can't split), so the
+    // backlog drains one version at a time — byte admission, not starvation
+    val q = spark.readStream.format("graft").option("uuid", "ds")
+      .option("maxBytesPerTrigger", 1L).load(base)
+      .writeStream.format("memory").queryName("feed_bytes")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    try {
+      assert(q.awaitTermination(120000), "AvailableNow query did not terminate")
+      spark.table("feed_bytes").select("k").as[Long].collect().sorted.toSeq shouldBe
+        (1L to 5L)
+      q.recentProgress.count(_.numInputRows > 0) should be >= 4
+    } finally q.stop()
+    // a generous cap admits the whole backlog in one batch
+    val q2 = spark.readStream.format("graft").option("uuid", "ds")
+      .option("maxBytesPerTrigger", 1L << 30).load(base)
+      .writeStream.format("memory").queryName("feed_bytes2")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    try {
+      assert(q2.awaitTermination(120000))
+      q2.recentProgress.count(_.numInputRows > 0) shouldBe 1
+      spark.table("feed_bytes2").count() shouldBe 5
+    } finally q2.stop()
+  }
+
   test("Trigger.AvailableNow drains the backlog in bounded batches, then terminates") {
     val base = tmpDir("feed")
     Ktk.store(spark, base, "ds", Seq((1L, "a"), (2L, "b")).toDF("k", "v"))
