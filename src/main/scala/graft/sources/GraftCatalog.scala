@@ -336,6 +336,24 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog with StagingTableC
       Ktk.history(spark, base, in.getUTF8String(0).toString)
         .queryExecution.executedPlan.executeCollect().toSeq
     },
+    // skipping-sidecar registration — the SQL face of the CLI's
+    // index/bloom/zonemap verbs: one metadata commit each, incremental
+    // maintenance from then on
+    "add_index" -> proc("add_index",
+      Array(stringParam("table"), stringParam("column")), versionSchema) { in =>
+      versionRow(Ktk.addIndex(spark, base, in.getUTF8String(0).toString,
+        in.getUTF8String(1).toString))
+    },
+    "add_bloom" -> proc("add_bloom",
+      Array(stringParam("table"), stringParam("column")), versionSchema) { in =>
+      versionRow(Ktk.addBloom(spark, base, in.getUTF8String(0).toString,
+        in.getUTF8String(1).toString))
+    },
+    "add_zonemaps" -> proc("add_zonemaps",
+      Array(stringParam("table"), stringParam("columns")), versionSchema) { in =>
+      versionRow(Ktk.addZoneMaps(spark, base, in.getUTF8String(0).toString,
+        in.getUTF8String(1).toString.split(',').toSeq.map(_.trim).filter(_.nonEmpty)))
+    },
     "gc" -> proc("gc",
       Array(stringParam("table"),
         ProcedureParameter.in("retain_versions", IntegerType).defaultValue("0").build(),

@@ -109,6 +109,17 @@ class GraftCatalogSpec extends SparkSpec {
       val vNow = DatasetMetadata.load(spark, base, "t6").version
       spark.sql(s"CALL $gk.system.rollback(table => 't6', version => ${vNow - 1})")
       spark.sql(s"SELECT count(*) FROM $gk.default.t6").as[Long].head() shouldBe 190L
+      // skipping-sidecar registration through SQL: one commit each, and
+      // the registries land exactly like the CLI/API verbs
+      spark.sql(s"CALL $gk.system.add_index(table => 't6', column => 'v')")
+      spark.sql(s"CALL $gk.system.add_bloom(table => 't6', column => 'v')")
+      spark.sql(s"CALL $gk.system.add_zonemaps(table => 't6', columns => 'v')")
+      val md6 = DatasetMetadata.load(spark, base, "t6")
+      md6.indices.keySet should contain("v")
+      md6.bloomRegistry.keySet should contain("v")
+      md6.zoneColumns should contain("v")
+      spark.sql(s"SELECT count(*) FROM $gk.default.t6 WHERE v = 20.0")
+        .as[Long].head() shouldBe 1L
     }
   }
 
