@@ -526,9 +526,19 @@ object DatasetMetadata {
     val parent = md0.metadata.get(VersionKey).map(_.toLong)
       .getOrElse(listVersions(spark, base, md0.uuid).lastOption.getOrElse(0L))
     val newV = parent + 1
-    // monotone in-commit timestamp: the caller's metadata derives from the
-    // parent load, so the parent's stamp is already present when it exists
-    val parentTs = md0.metadata.get(CommitTsKey).map(_.toLong).getOrElse(Long.MinValue)
+    // the parent snapshot, resolved once: delta rendering diffs against it,
+    // and the in-commit timestamp floors on ITS stamp — the caller's
+    // metadata usually derives from the parent it loaded, but a rollback
+    // passes the restore TARGET's (older) metadata, whose stamp can trail
+    // the head's and would otherwise break strict monotonicity
+    val parentStateOpt: Option[DatasetMetadata] =
+      if (parent == 0L) None
+      else parentMd.filter(_.version == parent).orElse(
+        try Some(loadVersion(spark, base, md0.uuid, parent))
+        catch { case _: NoSuchElementException => None })
+    val parentTs = (md0.metadata.get(CommitTsKey).toSeq ++
+      parentStateOpt.flatMap(_.metadata.get(CommitTsKey)).toSeq)
+      .map(_.toLong).maxOption.getOrElse(Long.MinValue)
     val commitTs = math.max(System.currentTimeMillis(), parentTs + 1)
     val md = md0.copy(metadata = md0.metadata +
       (VersionKey -> newV.toString) + (CommitTsKey -> commitTs.toString))
@@ -548,11 +558,7 @@ object DatasetMetadata {
     //    unreadable must not switch keys: it writes a self-contained
     //    `full` delta at the SAME delta key instead — see [[VersionDelta]].)
     val isCkpt = isCheckpointVersion(newV)
-    val parentState: Option[DatasetMetadata] =
-      if (isCkpt) None
-      else parentMd.filter(_.version == parent).orElse(
-        try Some(loadVersion(spark, base, md.uuid, parent))
-        catch { case _: NoSuchElementException => None })
+    val parentState: Option[DatasetMetadata] = if (isCkpt) None else parentStateOpt
     val bytes: Array[Byte] =
       if (isCkpt) render(md, md.partitions.size)
       else parentState match {

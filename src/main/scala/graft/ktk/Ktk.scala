@@ -1560,9 +1560,24 @@ object Ktk {
     // and pass through), so a time- or id-clustered wide-key CDC batch
     // scans only the files whose stats intersect the batch envelope, not
     // the whole table; the residual semi join keeps the result exact.
-    // Types outside the comparator's tower (arrays, binary, structs)
-    // contribute no bounds; a null min means the column held ONLY nulls,
-    // which matches nothing (MERGE ON `=` is null-rejecting).
+    // Only types whose Spark min/max ORDER provably agrees with the
+    // pruning comparator's order contribute bounds. Numerics are safe:
+    // `Predicates.toDouble` is MONOTONE, so a strict less-than in double
+    // implies a true less-than — pruning never drops a file wrongly (it
+    // can only keep extra near 2^53, the conservative direction).
+    // Date/Timestamp compare chronologically on both sides (the existing
+    // user-predicate path). STRINGS ARE EXCLUDED: Spark's min/max orders
+    // by UTF8 binary, but the driver-side comparator is Java
+    // String.compareTo (UTF-16 code units) — the two diverge on
+    // supplementary characters (emoji in text keys), and the legacy
+    // inline-zone comparator additionally coerces numeric-parseable
+    // strings per PAIR (non-transitive). An envelope that is not an
+    // interval under the pruning order could drop a file holding a
+    // matching key and its row would silently survive the merge — so
+    // string keys take no bounds and fall back to the exact full scan.
+    // Arrays/binary/structs likewise contribute no bounds. A null min
+    // means the column held ONLY nulls, which matches nothing (MERGE ON
+    // `=` is null-rejecting).
     lazy val keyBounds: Seq[(String, Any, Any)] = {
       val aggExprs = keys.flatMap(k =>
         Seq(min(col(s"`$k`")).as(s"__lo_$k"), max(col(s"`$k`")).as(s"__hi_$k")))
@@ -1570,7 +1585,7 @@ object Ktk {
       keys.zipWithIndex.map { case (k, i) => (k, row.get(2 * i), row.get(2 * i + 1)) }
     }
     def comparableBound(v: Any): Boolean = v match {
-      case _: String | _: Number | _: Boolean => true
+      case _: Number | _: Boolean => true
       case _: java.sql.Date | _: java.sql.Timestamp => true
       case _ => false
     }
@@ -1856,12 +1871,16 @@ object Ktk {
       spark: SparkSession, base: String, uuid: String, atMillis: Long): Option[Long] = {
     val mtimes = DatasetMetadata.versionRecords(spark, base, uuid)
       .groupMapReduce(_._1)(_._2)(math.min)
-    val eligible = mtimes.keys.filter { v =>
+    // stamps are strictly monotone along the version line, so walk
+    // DESCENDING and return the FIRST version at or before the instant —
+    // O(1) snapshot loads for "recent" instants instead of O(versions).
+    // Pre-stamp commits fall back to record mtimes, monotone for any
+    // in-place history (commits append over wall time).
+    mtimes.keys.toSeq.sorted(Ordering[Long].reverse).find { v =>
       val stamp = DatasetMetadata.loadVersion(spark, base, uuid, v)
         .metadata.get(DatasetMetadata.CommitTsKey).map(_.toLong)
       stamp.orElse(mtimes.get(v)).exists(_ <= atMillis)
     }
-    if (eligible.isEmpty) None else Some(eligible.max)
   }
 
   /** Versions in `(fromVersion, toVersion]` that were [[rollback]] commits,

@@ -294,8 +294,9 @@ object TextAnalysis {
   /** C4-style rule cleaning: per-line [[c4KeptLines]], then page-level
     * drops — fewer than `minLines` surviving lines, any "lorem ipsum"
     * mention, or a curly brace (code markers). Returns the surviving
-    * pages with `clean_text` = kept lines re-joined; a narrow map +
-    * filter, so it scales linearly with the corpus.
+    * pages as `(idCol, clean_text)` with the kept lines re-joined — the
+    * same projection shape as the sibling per-document APIs; a narrow
+    * map + filter, so it scales linearly with the corpus.
     */
   def c4Clean(df: DataFrame, idCol: String, textCol: String,
       minLines: Int = 3, minWordsPerLine: Int = 5): DataFrame =
@@ -303,8 +304,7 @@ object TextAnalysis {
       .filter(size(col("__kept")) >= minLines &&
         !contains(lower(col(s"`$textCol`")), lit("lorem ipsum")) &&
         !contains(col(s"`$textCol`"), lit("{")))
-      .withColumn("clean_text", array_join(col("__kept"), "\n"))
-      .drop("__kept")
+      .select(col(s"`$idCol`"), array_join(col("__kept"), "\n").as("clean_text"))
 
   /** Word bigrams of the lowercased document, as "a b" strings. zip_with
     * pads the shorter side with null and concat propagates it, so the

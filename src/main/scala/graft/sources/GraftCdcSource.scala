@@ -48,34 +48,14 @@ final class GraftCdcSource(
     maxBytesPerTrigger: Option[Long] = None) extends Source
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
-  /** Shared admission rule: version cap, then byte cap (whole versions,
-    * cumulative ADDED data bytes, always at least one — deletes ride along
-    * as fragment-sized sidecars). Snapshot-cached walks, no data reads.
+  /** Admission rule shared with the append stream ([[StreamAdmission]]):
+    * version cap, then byte cap (whole versions, cumulative ADDED data
+    * bytes, always at least one — deletes ride along as fragment-sized
+    * sidecars). Snapshot-cached walks, no data reads.
     */
-  private def capEnd(base0: Long, cur: Long): Long = {
-    val byVersions = maxVersionsPerTrigger match {
-      case Some(n) => math.min(cur, base0 + n)
-      case None    => cur
-    }
-    maxBytesPerTrigger match {
-      case None => byVersions
-      case Some(cap) =>
-        var v = base0
-        var acc = 0L
-        var stop = false
-        while (v < byVersions && !stop) {
-          val mdV = DatasetMetadata.loadVersion(spark, base, uuid, v + 1)
-          val mdP =
-            if (v + 1 == 1L) DatasetMetadata(uuid = uuid, schemaJson = mdV.schemaJson)
-            else DatasetMetadata.loadVersion(spark, base, uuid, v)
-          val pLabels = mdP.partitions.keySet
-          val b = mdV.partitions.keysIterator.filterNot(pLabels.contains).map(mdV.sizeOf).sum
-          if (acc + b > cap && v > base0) stop = true
-          else { acc += b; v += 1 }
-        }
-        v
-    }
-  }
+  private def capEnd(base0: Long, cur: Long): Long =
+    StreamAdmission.capEnd(spark, base, uuid, base0, cur,
+      maxVersionsPerTrigger, maxBytesPerTrigger)
 
   private val tableSchema: StructType = DatasetMetadata.load(spark, base, uuid).schema
 
@@ -96,7 +76,10 @@ final class GraftCdcSource(
   }
 
   override def getOffset: Option[Offset] = {
-    val cur = DatasetMetadata.load(spark, base, uuid).version
+    // same capped/pinned computation as latestOffset — the engine drives
+    // admission through that path once the mixin is present, but direct
+    // callers and tests still land here and must see identical behavior
+    val cur = availableNowCap.getOrElse(DatasetMetadata.load(spark, base, uuid).version)
     val base0 = lastEnd.getOrElse(startingVersion)
     val target = capEnd(base0, cur)
     if (target <= base0) None else Some(LongOffset(target))

@@ -249,20 +249,6 @@ final class GraftMicroBatchStream(
       Some(n)
     }
 
-  /** Bytes of data files the commit at `v` ADDED over its parent — the
-    * admission currency for `maxBytesPerTrigger`. Both snapshots resolve
-    * through the cache, so a catch-up walk is O(versions walked) metadata
-    * records, never a listing or data read.
-    */
-  private def bytesAddedAt(v: Long): Long = {
-    val mdV = DatasetMetadata.loadVersion(spark, base, uuid, v)
-    val mdP =
-      if (v == 1L) DatasetMetadata(uuid = uuid, schemaJson = mdV.schemaJson)
-      else DatasetMetadata.loadVersion(spark, base, uuid, v - 1)
-    val pLabels = mdP.partitions.keySet
-    mdV.partitions.keysIterator.filterNot(pLabels.contains).map(mdV.sizeOf).sum
-  }
-
   /** The change feed keys batches on commit versions; a dataset that has
     * never made a versioned commit (legacy blob, version 0) would emit
     * nothing FOREVER — fail loudly instead of polling in silence.
@@ -292,27 +278,8 @@ final class GraftMicroBatchStream(
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val latest = availableNowCap.getOrElse(latestVersion())
     val sv = start.asInstanceOf[GraftOffset].version
-    val byVersions = maxVersionsPerTrigger match {
-      case Some(n) => math.min(latest, sv + n)
-      case None    => latest
-    }
-    // byte-based admission (Delta's maxBytesPerTrigger): admit whole
-    // versions while their cumulative ADDED bytes fit the cap, always at
-    // least one (a commit can't split — offsets are versions)
-    val end = maxBytesPerTrigger match {
-      case None => byVersions
-      case Some(cap) =>
-        var v = sv
-        var acc = 0L
-        var stop = false
-        while (v < byVersions && !stop) {
-          val b = bytesAddedAt(v + 1)
-          if (acc + b > cap && v > sv) stop = true
-          else { acc += b; v += 1 }
-        }
-        v
-    }
-    GraftOffset(end)
+    GraftOffset(StreamAdmission.capEnd(spark, base, uuid, sv, latest,
+      maxVersionsPerTrigger, maxBytesPerTrigger))
   }
 
   /** True head of the stream for progress reporting, regardless of caps. */
@@ -402,6 +369,50 @@ final case class GraftStreamRowFactory(
       override def next(): Boolean = reader.next()
       override def get(): InternalRow = project(reader.get())
       override def close(): Unit = reader.close()
+    }
+  }
+}
+
+/** Shared micro-batch admission arithmetic for the `graft` and `graft-cdc`
+  * streaming sources: version cap first, then byte cap — admit WHOLE
+  * versions while their cumulative ADDED data bytes fit, always at least
+  * one (a commit cannot split; offsets are versions). Both snapshots of
+  * each step resolve through the metadata cache, so a catch-up walk is
+  * O(versions walked) metadata records — never a listing or data read.
+  */
+private[sources] object StreamAdmission {
+
+  /** Bytes of data files the commit at `v` ADDED over its parent — the
+    * admission currency for `maxBytesPerTrigger`.
+    */
+  def bytesAddedAt(spark: SparkSession, base: String, uuid: String, v: Long): Long = {
+    val mdV = DatasetMetadata.loadVersion(spark, base, uuid, v)
+    val mdP =
+      if (v == 1L) DatasetMetadata(uuid = uuid, schemaJson = mdV.schemaJson)
+      else DatasetMetadata.loadVersion(spark, base, uuid, v - 1)
+    val pLabels = mdP.partitions.keySet
+    mdV.partitions.keysIterator.filterNot(pLabels.contains).map(mdV.sizeOf).sum
+  }
+
+  def capEnd(spark: SparkSession, base: String, uuid: String,
+      base0: Long, cur: Long,
+      maxVersions: Option[Long], maxBytes: Option[Long]): Long = {
+    val byVersions = maxVersions match {
+      case Some(n) => math.min(cur, base0 + n)
+      case None    => cur
+    }
+    maxBytes match {
+      case None => byVersions
+      case Some(cap) =>
+        var v = base0
+        var acc = 0L
+        var stop = false
+        while (v < byVersions && !stop) {
+          val b = bytesAddedAt(spark, base, uuid, v + 1)
+          if (acc + b > cap && v > base0) stop = true
+          else { acc += b; v += 1 }
+        }
+        v
     }
   }
 }

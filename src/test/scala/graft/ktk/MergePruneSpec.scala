@@ -1,6 +1,7 @@
 package graft.ktk
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions.col
 
 /** Merge key-set pruning: a collected CDC batch must NOT scan every file.
   * Single-column keys prune through one IN; multi-column keys prune
@@ -13,12 +14,16 @@ import graft.SparkSpec
 class MergePruneSpec extends SparkSpec {
   import spark.implicits._
 
-  // 4 partitions (p=a..d) x 4 files each, k sorted so zone maps are tight
+  // 4 partitions (p=a..d) x 4 files each, k RANGE-partitioned so each
+  // file's zone map covers a disjoint k interval (tight pruning; string
+  // partition values never contribute range-envelope bounds, so the
+  // uncollectable tests must prune through k's zones)
   private def seed(base: String): DatasetMetadata = {
     val df = (0 until 1600).map { i =>
       (i.toLong, ("abcd" (i / 400)).toString, i * 1.0)
     }.toDF("k", "p", "v")
-    Ktk.store(spark, base, "ds", df.repartition(4).sortWithinPartitions("k"),
+    Ktk.store(spark, base, "ds",
+      df.repartitionByRange(8, col("k")).sortWithinPartitions("k"),
       partitionOn = Seq("p"), sortBy = Seq("k"), zoneMapFor = Seq("k"))
   }
 

@@ -55,6 +55,26 @@ class VersioningSpec extends SparkSpec {
     Ktk.versionAtTimestamp(spark, base, "ds", stamps(0) - 1) shouldBe None
   }
 
+  test("monotone stamps survive a rollback whose target metadata trails the head") {
+    val base = tmpDir("ver")
+    Ktk.store(spark, base, "ds", df1) // v1
+    // simulate a commit line running AHEAD of the wall clock (same-ms
+    // bursts advance stamps past now via the +1 rule)
+    val cur = DatasetMetadata.load(spark, base, "ds")
+    val ahead = System.currentTimeMillis() + 3600000L
+    DatasetMetadata.store(spark, base,
+      cur.copy(metadata = cur.metadata + (DatasetMetadata.CommitTsKey -> ahead.toString)),
+      parentMd = Some(cur)) // v2 stamped ahead+1
+    // rollback passes the restore TARGET's (v1) old metadata — the stamp
+    // must still floor on the TRUE parent (v2), not on v1
+    Ktk.rollback(spark, base, "ds", 1L) // v3
+    val s2 = DatasetMetadata.loadVersion(spark, base, "ds", 2L)
+      .metadata(DatasetMetadata.CommitTsKey).toLong
+    val s3 = DatasetMetadata.loadVersion(spark, base, "ds", 3L)
+      .metadata(DatasetMetadata.CommitTsKey).toLong
+    s3 should be > s2
+  }
+
   test("time travel reads the dataset as of an old commit") {
     val base = tmpDir("ver")
     Ktk.store(spark, base, "ds", df1)
