@@ -206,6 +206,17 @@ object DatasetMetadata {
   val RollbackCommitKey = "graft.rollback_commit"
   val RollbackOfKey = "graft.rollback_of"
 
+  /** Operation attribution for `history` (Delta's DESCRIBE HISTORY
+    * `operation` column): [[store]] stamps the caller-provided verb plus
+    * the commit's own version number. Because commit metadata is
+    * INHERITED by later commits, history reports the operation for
+    * version `v` only when `OperationCommitKey == v` — inherited copies
+    * carry an older number and display as null, so a commit path that
+    * forgets to pass a verb shows blank, never a stale label.
+    */
+  val OperationKey = "graft.operation"
+  val OperationCommitKey = "graft.operation_commit"
+
   /** In-commit timestamp (epoch millis), stamped by [[store]] as
     * `max(wall clock, parent stamp + 1)` — STRICTLY MONOTONE along the
     * version line (Delta's in-commit-timestamp rule), so `TIMESTAMP AS OF`
@@ -521,7 +532,8 @@ object DatasetMetadata {
     * delta commit reconstructs the parent via [[loadVersion]].
     */
   def store(spark: SparkSession, base: String, md0: DatasetMetadata,
-      parentMd: Option[DatasetMetadata] = None): DatasetMetadata = {
+      parentMd: Option[DatasetMetadata] = None,
+      operation: String = ""): DatasetMetadata = {
     val filesystem = fs(spark, base)
     val parent = md0.metadata.get(VersionKey).map(_.toLong)
       .getOrElse(listVersions(spark, base, md0.uuid).lastOption.getOrElse(0L))
@@ -540,8 +552,11 @@ object DatasetMetadata {
       parentStateOpt.flatMap(_.metadata.get(CommitTsKey)).toSeq)
       .map(_.toLong).maxOption.getOrElse(Long.MinValue)
     val commitTs = math.max(System.currentTimeMillis(), parentTs + 1)
+    val opMeta: Map[String, String] =
+      if (operation.isEmpty) Map.empty
+      else Map(OperationKey -> operation, OperationCommitKey -> newV.toString)
     val md = md0.copy(metadata = md0.metadata +
-      (VersionKey -> newV.toString) + (CommitTsKey -> commitTs.toString))
+      (VersionKey -> newV.toString) + (CommitTsKey -> commitTs.toString) ++ opMeta)
     // pretty JSON is a debugging aid; past ~1k entries a record is
     // machine-read only and the indentation roughly doubles its size, so
     // large records switch to compact form (same Jackson model both ways)

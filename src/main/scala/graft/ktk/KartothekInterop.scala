@@ -382,7 +382,7 @@ object KartothekInterop {
     val zones = zoneMapFor.map(c => c -> Ktk.newSidecarName(c)).toMap
     Ktk.buildZoneSidecars(spark, base, md0, zones, partitions.keys.toSeq.sorted)
     val md = md0.copy(indices = indices, blooms = blooms, zones = zones)
-    DatasetMetadata.store(spark, base, md)
+    DatasetMetadata.store(spark, base, md, operation = "ADOPT")
   }
 
   // ----------------------------------------------------------------- write

@@ -216,7 +216,7 @@ object Ktk {
     buildZoneSidecars(spark, base, md0, zones, partitions.keys.toSeq.sorted)
 
     val md = md0.copy(indices = indices, blooms = blooms, zones = zones)
-    DatasetMetadata.store(spark, base, md)
+    DatasetMetadata.store(spark, base, md, operation = "WRITE")
   }
 
   /** Relative-file-path label → size, from a recursive listing. */
@@ -578,7 +578,8 @@ object Ktk {
     // one put covers all. No-op canonicalizations commit nothing.
     if (idx != md.indices || blm != md.bloomRegistry || zon != md.zoneRegistry || (md ne md0)) {
       DatasetMetadata.store(spark, base,
-        md.copy(indices = idx, blooms = blm, zones = zon), parentMd = Some(md0))
+        md.copy(indices = idx, blooms = blm, zones = zon), parentMd = Some(md0),
+        operation = "CANONICALIZE SIDECARS")
       ()
     }
   }
@@ -596,7 +597,8 @@ object Ktk {
     val targets = columns.map(c => c -> newSidecarName(c)).toMap
     buildZoneSidecars(spark, base, md, targets, md.partitions.keys.toSeq.sorted)
     val md2 = md.copy(zones = md.zoneRegistry ++ targets)
-    DatasetMetadata.store(spark, base, md2, parentMd = Some(md))
+    DatasetMetadata.store(spark, base, md2, parentMd = Some(md),
+      operation = "ADD ZONEMAPS")
   }
 
   /** Register + build a Bloom sidecar on an EXISTING dataset (the bloom
@@ -608,7 +610,8 @@ object Ktk {
     val name = newSidecarName(column)
     buildBloom(spark, base, md, column, md.partitions.keys.toSeq.sorted, name)
     val md2 = md.copy(blooms = md.bloomRegistry + (column -> name))
-    DatasetMetadata.store(spark, base, md2, parentMd = Some(md))
+    DatasetMetadata.store(spark, base, md2, parentMd = Some(md),
+      operation = "ADD BLOOM")
   }
 
   /** xxhash64 of predicate literals AT THE COLUMN'S TYPE — must agree
@@ -1055,7 +1058,8 @@ object Ktk {
       s"cannot add constraint '$name' ($sqlExpr): existing rows violate it, " +
         s"e.g. ${existing.take(1).mkString}")
     val md1 = md.copy(metadata = md.metadata + (s"$ConstraintPrefix$name" -> sqlExpr))
-    DatasetMetadata.store(spark, base, md1, parentMd = Some(md))
+    DatasetMetadata.store(spark, base, md1, parentMd = Some(md),
+      operation = "ADD CONSTRAINT")
   }
 
   def dropConstraint(
@@ -1064,7 +1068,8 @@ object Ktk {
     require(md.metadata.contains(s"$ConstraintPrefix$name"),
       s"no constraint named '$name'")
     val md1 = md.copy(metadata = md.metadata - s"$ConstraintPrefix$name")
-    DatasetMetadata.store(spark, base, md1, parentMd = Some(md))
+    DatasetMetadata.store(spark, base, md1, parentMd = Some(md),
+      operation = "DROP CONSTRAINT")
   }
 
   /** Fail loudly if `batch` violates any registered constraint — called by
@@ -1376,7 +1381,8 @@ object Ktk {
       case Some((name, n)) =>
         val md1 = md.copy(deletes = fragmentsToCommit(spark, base, md,
           md.deleteFragments :+ name, maxFragments))
-        (DatasetMetadata.store(spark, base, md1, parentMd = Some(md)), n)
+        (DatasetMetadata.store(spark, base, md1, parentMd = Some(md),
+      operation = "DELETE"), n)
     }
   }
 
@@ -1474,7 +1480,8 @@ object Ktk {
           md.deleteFragments ++ fragment.map(_._1), maxFragments),
         metadata = md.metadata +
           (DatasetMetadata.SeqHwmKey -> nextSeq.toString))
-      (DatasetMetadata.store(spark, base, md1, parentMd = Some(md)), fragment.get._2)
+      (DatasetMetadata.store(spark, base, md1, parentMd = Some(md),
+      operation = "UPDATE"), fragment.get._2)
     } finally live.unpersist()
   }
 
@@ -1686,7 +1693,8 @@ object Ktk {
         md.deleteFragments ++ fragment.map(_._1), MaxDeleteFragments),
       metadata = md.metadata ++ extraMetadata +
         (DatasetMetadata.SeqHwmKey -> nextSeq.toString))
-    (DatasetMetadata.store(spark, base, md1, parentMd = Some(md)),
+    (DatasetMetadata.store(spark, base, md1, parentMd = Some(md),
+      operation = "MERGE"),
       fragment.map(_._2).getOrElse(0L))
   }
 
@@ -1849,14 +1857,18 @@ object Ktk {
       // fallback for commits predating the stamp
       val at = md.metadata.get(DatasetMetadata.CommitTsKey).map(_.toLong)
         .orElse(mtimes.get(v)).map(new java.sql.Timestamp(_))
-      (v, at, md.partitions.size.toLong,
+      // operation verb only when stamped BY this commit — inherited
+      // copies carry an older commit number and display as null
+      val op = md.metadata.get(DatasetMetadata.OperationKey).filter(_ =>
+        md.metadata.get(DatasetMetadata.OperationCommitKey).exists(_.toLong == v))
+      (v, at, op, md.partitions.size.toLong,
         // sizeOf, not values.sum: Jackson narrows the erased Map[String,
         // Long] to Integer on deserialization — summing would unbox-throw
         // on any version parsed from disk (fresh JVM, pre-cache history)
         md.partitions.keysIterator.map(md.sizeOf).sum, md.deleteFragments.size.toLong, rb,
         if (rb) md.metadata.get(DatasetMetadata.RollbackOfKey).map(_.toLong) else None)
     }
-    rows.toDF("version", "committed_at", "files", "bytes",
+    rows.toDF("version", "committed_at", "operation", "files", "bytes",
       "tombstone_fragments", "is_rollback", "rollback_of")
   }
 
@@ -2115,7 +2127,8 @@ object Ktk {
     if (dirtyAll.isEmpty) {
       // fragments reference only labels later commits already removed
       val md1 = md.copy(deletes = Nil)
-      return DatasetMetadata.store(spark, base, md1, parentMd = Some(md))
+      return DatasetMetadata.store(spark, base, md1, parentMd = Some(md),
+        operation = "MATERIALIZE DELETES")
     }
     val dirty = dirtyAll.filter(inScope)
     if (dirty.isEmpty) return md // nothing in scope; out-of-scope vectors stay
@@ -2155,7 +2168,8 @@ object Ktk {
       // fragments for untouched dirty files must survive or their deleted
       // rows would resurrect
       deletes = prunedDeleteFragments(spark, base, md, dirty))
-    DatasetMetadata.store(spark, base, md1, parentMd = Some(md))
+    DatasetMetadata.store(spark, base, md1, parentMd = Some(md),
+      operation = "MATERIALIZE DELETES")
   }
 
   /** Additive schema evolution WITHOUT data — register new nullable
@@ -2189,7 +2203,7 @@ object Ktk {
       StructType(md.schema.fields ++ newFields.map(_.copy(nullable = true))),
       md.partitionKeys)
     DatasetMetadata.store(spark, base, md.copy(schemaJson = evolved.json),
-      parentMd = Some(md))
+      parentMd = Some(md), operation = "ADD COLUMNS")
   }
 
   /** Update USER table properties in ONE metadata-only commit (the engine
@@ -2209,7 +2223,8 @@ object Ktk {
       s"property '$k' is in the reserved engine namespace 'graft.'"))
     val md = DatasetMetadata.load(spark, base, uuid)
     DatasetMetadata.store(spark, base,
-      md.copy(metadata = md.metadata -- unset ++ set), parentMd = Some(md))
+      md.copy(metadata = md.metadata -- unset ++ set), parentMd = Some(md),
+      operation = "SET TBLPROPERTIES")
   }
 
   // ---------------------------------------------------------------- update
@@ -2385,7 +2400,10 @@ object Ktk {
       metadata = md.metadata ++ extraMetadata ++ sortMeta +
         (DatasetMetadata.SeqHwmKey -> nextSeq.toString))
 
-    DatasetMetadata.store(spark, base, md1, parentMd = Some(md))
+    DatasetMetadata.store(spark, base, md1, parentMd = Some(md),
+      operation =
+        if (effReplaceAll) "OVERWRITE"
+        else if (newData.isEmpty) "DELETE SCOPE" else "WRITE")
   }
 
   /** REPLACE TABLE AS SELECT: swap a dataset's entire content, SCHEMA and
@@ -2428,7 +2446,8 @@ object Ktk {
       zoneMaps = Map.empty, deletes = Nil,
       metadata = userMetadata +
         (DatasetMetadata.SeqHwmKey -> nextSeq.toString))
-    DatasetMetadata.store(spark, base, md1, parentMd = Some(md))
+    DatasetMetadata.store(spark, base, md1, parentMd = Some(md),
+      operation = "REPLACE TABLE")
   }
 
   /** Incremental index merge (≙ update_indices, io_components/write.py:
@@ -2538,7 +2557,8 @@ object Ktk {
       // still need it persisted.
       if (extraMetadata.isEmpty) return md
       val md0 = md.copy(metadata = md.metadata ++ extraMetadata)
-      return DatasetMetadata.store(spark, base, md0, parentMd = Some(md))
+      return DatasetMetadata.store(spark, base, md0, parentMd = Some(md),
+        operation = "COMPACT")
     }
 
     val movedBySeq = rewriteGroupsStaged(spark, base, md, victimsBySeq) { (data, labels) =>
@@ -2580,7 +2600,8 @@ object Ktk {
       // victims' deleted rows were materialized away during the rewrite
       deletes = prunedDeleteFragments(spark, base, md, victims),
       metadata = md.metadata ++ extraMetadata)
-    DatasetMetadata.store(spark, base, md1, parentMd = Some(md))
+    DatasetMetadata.store(spark, base, md1, parentMd = Some(md),
+      operation = "COMPACT")
   }
 
   /** Sort columns recorded at write time (`graft.sort_by`), restricted to
@@ -2827,7 +2848,8 @@ object Ktk {
       // the rewritten files had their deletion vectors applied; fragments
       // covering only them drop, fragments for untouched files remain
       deletes = prunedDeleteFragments(spark, base, md, allLabels.toSet))
-    DatasetMetadata.store(spark, base, md1, parentMd = Some(md))
+    DatasetMetadata.store(spark, base, md1, parentMd = Some(md),
+      operation = "ZORDER")
   }
 
   // ------------------------------------------------------- two-phase write
@@ -2871,7 +2893,7 @@ object Ktk {
       zones = zoneMapFor.map(c => c -> newSidecarName(c)).toMap,
       blooms = bloomFor.map(c => c -> newSidecarName(c)).toMap,
       schemaJson = normalized.json, metadata = userMetadata)
-    DatasetMetadata.store(spark, base, md)
+    DatasetMetadata.store(spark, base, md, operation = "CREATE EMPTY")
   }
 
   /** Phase 2 (≙ write_single_partition, io/eager.py:717-773): write one
@@ -2977,7 +2999,8 @@ object Ktk {
     val md1 = md1p.copy(indices = idxReg, blooms = bloomReg, zones = zoneReg,
       metadata = md.metadata + (DatasetMetadata.SeqHwmKey -> nextSeq.toString))
 
-    DatasetMetadata.store(spark, base, md1, parentMd = Some(md))
+    DatasetMetadata.store(spark, base, md1, parentMd = Some(md),
+      operation = "COMMIT PARTITIONS")
   }
 
   /** Register + build a secondary index on an EXISTING dataset
@@ -2989,7 +3012,8 @@ object Ktk {
     val name = newSidecarName(column)
     buildIndex(spark, base, md, column, name)
     val md2 = md.copy(indices = md.indices + (column -> name))
-    DatasetMetadata.store(spark, base, md2, parentMd = Some(md))
+    DatasetMetadata.store(spark, base, md2, parentMd = Some(md),
+      operation = "ADD INDEX")
   }
 
   /** Dataset-merge join (≙ merge_datasets_as_delayed,
@@ -3193,7 +3217,8 @@ object Ktk {
         // on later commits don't read as rollbacks
         (DatasetMetadata.RollbackCommitKey -> (cur.version + 1).toString) +
         (DatasetMetadata.RollbackOfKey -> toVersion.toString))
-    var out = DatasetMetadata.store(spark, base, restored, parentMd = Some(cur))
+    var out = DatasetMetadata.store(spark, base, restored, parentMd = Some(cur),
+      operation = "ROLLBACK")
     (target.indices.keySet -- keptIdx.keySet).toSeq.sorted
       .foreach(c => out = addIndex(spark, base, uuid, c))
     (target.bloomRegistry.keySet -- keptBlm.keySet).toSeq.sorted
@@ -3423,7 +3448,7 @@ object Ktk {
     // fresh version line for the copy: v1, not the source's counter
     val md2 = md.copy(uuid = toUuid,
       metadata = md.metadata - DatasetMetadata.VersionKey)
-    DatasetMetadata.store(spark, base, md2)
+    DatasetMetadata.store(spark, base, md2, operation = "COPY")
     DatasetMetadata.load(spark, base, toUuid)
   }
 

@@ -330,6 +330,7 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog with StagingTableC
     "history" -> proc("history", Array(stringParam("table")),
       StructType(Seq(
         StructField("version", LongType), StructField("committed_at", TimestampType),
+        StructField("operation", StringType),
         StructField("files", LongType), StructField("bytes", LongType),
         StructField("tombstone_fragments", LongType),
         StructField("is_rollback", BooleanType), StructField("rollback_of", LongType)))) { in =>

@@ -140,7 +140,7 @@ final class GraftTable(base: String, md: DatasetMetadata)
       val cur = DatasetMetadata.load(spark, base, md.uuid)
       DatasetMetadata.store(spark, base,
         cur.copy(partitions = Map.empty, partitionSeq = Map.empty, deletes = Nil),
-        parentMd = Some(cur))
+        parentMd = Some(cur), operation = "TRUNCATE")
       ()
     } else {
       val dnf = GraftTable.filtersToDnf(filters).getOrElse(

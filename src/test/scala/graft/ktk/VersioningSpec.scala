@@ -55,6 +55,25 @@ class VersioningSpec extends SparkSpec {
     Ktk.versionAtTimestamp(spark, base, "ds", stamps(0) - 1) shouldBe None
   }
 
+  test("history attributes each commit's operation; inherited stamps display null") {
+    val base = tmpDir("ver")
+    Ktk.store(spark, base, "ds", df1)                    // v1 WRITE
+    Ktk.update(spark, base, "ds", Some(df2))             // v2 WRITE
+    Ktk.merge(spark, base, "ds", Seq((1L, "m")).toDF("k", "v"), keys = Seq("k")) // v3 MERGE
+    Ktk.rollback(spark, base, "ds", 2L)                  // v4 ROLLBACK
+    // a raw store that passes NO verb must display null, not v4's verb
+    val cur = DatasetMetadata.load(spark, base, "ds")
+    DatasetMetadata.store(spark, base, cur, parentMd = Some(cur)) // v5
+    val ops = Ktk.history(spark, base, "ds")
+      .select("version", "operation").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    ops(1L) shouldBe Some("WRITE")
+    ops(2L) shouldBe Some("WRITE")
+    ops(3L) shouldBe Some("MERGE")
+    ops(4L) shouldBe Some("ROLLBACK")
+    ops(5L) shouldBe None
+  }
+
   test("monotone stamps survive a rollback whose target metadata trails the head") {
     val base = tmpDir("ver")
     Ktk.store(spark, base, "ds", df1) // v1

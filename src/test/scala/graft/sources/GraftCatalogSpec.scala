@@ -474,6 +474,13 @@ class GraftCatalogSpec extends SparkSpec {
       hist.last._3 shouldBe 1L // the DELETE's fragment
       hist.map(_._4) shouldBe Seq(false, false)
 
+      // operation attribution: each commit reports ITS verb, never an
+      // inherited copy of the previous commit's
+      val ops = spark.sql(
+        s"SELECT version, operation FROM $gk.default.mt.history ORDER BY version")
+        .as[(Long, String)].collect().toSeq
+      ops shouldBe Seq(1L -> "WRITE", 2L -> "DELETE")
+
       // files = the live label list with sizes, seqs and partition values
       val files = spark.sql(
         s"SELECT file, size_bytes, partition_values['p'] FROM $gk.default.mt.files")
