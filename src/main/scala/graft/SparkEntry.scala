@@ -758,6 +758,35 @@ object SparkEntry {
         .orderBy("s_suppkey")
     }),
 
+    "q_ktk_history" -> ((s, dir) => {
+      // commit-lineage observability: a known operation sequence must
+      // report deterministic (version, operation, files, fragments) rows —
+      // the in-commit operation stamp, display-gated on the stamping
+      // commit's own version (DESCRIBE HISTORY parity). committed_at is
+      // wall-clock and stays out of the oracle projection.
+      val base = scratch(dir)
+      built.getOrElseUpdate(s"$base/hist_gate2", {
+        // suppkey ranges stay inside [1, 100] so the fixture is identical
+        // at every sf (sf0.01 supplier has exactly 100 rows)
+        val sup = t(s, dir, "supplier").select("s_suppkey", "s_name", "s_acctbal")
+        Ktk.store(s, base, "hist_gate2", sup.filter(col("s_suppkey") <= 60).coalesce(1),
+          overwrite = true) // v1 WRITE, 1 file
+        Ktk.update(s, base, "hist_gate2",
+          Some(sup.filter(col("s_suppkey") > 60 && col("s_suppkey") <= 100)
+            .repartition(2))) // v2 WRITE, +2 small files sharing one seq
+        Ktk.deleteRows(s, base, "hist_gate2",
+          predicates = Predicates.of(Seq(("s_suppkey", "<=", 10)))) // v3 DELETE, 1 fragment
+        Ktk.merge(s, base, "hist_gate2",
+          sup.filter(col("s_suppkey") === 50).withColumn("s_acctbal", lit(0.0)),
+          keys = Seq("s_suppkey")) // v4 MERGE
+        Ktk.compact(s, base, "hist_gate2") // v5 COMPACT: folds tombstones
+        ()
+      })
+      Ktk.history(s, base, "hist_gate2")
+        .select(col("version"), col("operation"), col("tombstone_fragments"))
+        .orderBy("version")
+    }),
+
     "q_ktk_adopt" -> ((s, dir) => {
       // migration: write the reference layout, adopt it in place, then
       // query through the FULL managed surface with zone-map pruning
@@ -2860,6 +2889,17 @@ object SparkEntry {
       """SELECT s_suppkey, CAST(s_nationkey AS BIGINT) AS s_nationkey,
         |  round(s_acctbal, 2) AS s_acctbal
         |FROM supplier WHERE s_nationkey IN (0, 1, 2) ORDER BY 1""".stripMargin,
+
+    "q_ktk_history" ->
+      """SELECT CAST(version AS BIGINT) AS version, operation,
+        |  CAST(tombstone_fragments AS BIGINT) AS tombstone_fragments
+        |-- v5 keeps both fragments: compact's victims are the two small
+        |-- same-seq v2 files; the v1 file is a SINGLETON in its seq (no
+        |-- merge partner), so its tombstones must survive the rewrite
+        |FROM (VALUES (1, 'WRITE', 0), (2, 'WRITE', 0), (3, 'DELETE', 1),
+        |             (4, 'MERGE', 2), (5, 'COMPACT', 2))
+        |  AS t(version, operation, tombstone_fragments)
+        |ORDER BY version""".stripMargin,
 
     "q_ktk_adopt" ->
       """SELECT s_suppkey, CAST(s_nationkey AS BIGINT) AS s_nationkey,
