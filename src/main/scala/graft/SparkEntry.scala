@@ -767,7 +767,10 @@ object SparkEntry {
       val base = scratch(dir)
       built.getOrElseUpdate(s"$base/hist_gate2", {
         // suppkey ranges stay inside [1, 100] so the fixture is identical
-        // at every sf (sf0.01 supplier has exactly 100 rows)
+        // at every sf (sf0.01 supplier has exactly 100 rows). The gate pins
+        // HISTORY LENGTH, so a stale scratch incarnation must be deleted —
+        // store(overwrite=true) CONTINUES the version line by design
+        graft.ktk.DatasetMetadata.delete(s, base, "hist_gate2")
         val sup = t(s, dir, "supplier").select("s_suppkey", "s_name", "s_acctbal")
         Ktk.store(s, base, "hist_gate2", sup.filter(col("s_suppkey") <= 60).coalesce(1),
           overwrite = true) // v1 WRITE, 1 file
