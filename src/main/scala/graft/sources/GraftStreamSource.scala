@@ -402,17 +402,25 @@ private[sources] object StreamAdmission {
       case None    => cur
     }
     maxBytes match {
-      case None => byVersions
-      case Some(cap) =>
-        var v = base0
-        var acc = 0L
-        var stop = false
-        while (v < byVersions && !stop) {
-          val b = bytesAddedAt(spark, base, uuid, v + 1)
-          if (acc + b > cap && v > base0) stop = true
-          else { acc += b; v += 1 }
-        }
-        v
+      case None      => byVersions
+      case Some(cap) => capWalk(base0, byVersions, cap)(bytesAddedAt(spark, base, uuid, _))
     }
+  }
+
+  /** The pure byte-admission walk (property-tested in isolation): admit
+    * whole versions `base0+1 .. byVersions` in order while cumulative
+    * `bytesOf` fits `cap`, always at least one when any is available.
+    */
+  private[graft] def capWalk(base0: Long, byVersions: Long, cap: Long)(
+      bytesOf: Long => Long): Long = {
+    var v = base0
+    var acc = 0L
+    var stop = false
+    while (v < byVersions && !stop) {
+      val b = bytesOf(v + 1)
+      if (acc + b > cap && v > base0) stop = true
+      else { acc += b; v += 1 }
+    }
+    v
   }
 }

@@ -1,0 +1,55 @@
+package graft.sources
+
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** Properties of the pure byte-admission walk shared by the `graft` and
+  * `graft-cdc` streaming sources — the invariants a catch-up consumer
+  * relies on, checked over arbitrary per-version byte sequences:
+  *
+  *  1. the result never exceeds the version cap and never regresses;
+  *  2. at least one version is admitted whenever any is available
+  *     (a commit cannot split, so a tiny cap must not starve the stream);
+  *  3. beyond the forced first version, cumulative admitted bytes stay
+  *     within the cap;
+  *  4. stopping early is justified: the next version would have burst it.
+  */
+class StreamAdmissionSpec extends AnyFunSuite with Matchers {
+
+  private val caseGen = for {
+    base0 <- Gen.choose(0L, 5L)
+    avail <- Gen.choose(0, 30)
+    cap <- Gen.choose(1L, 5000L)
+    bytes <- Gen.listOfN(avail, Gen.choose(0L, 2000L))
+  } yield (base0, base0 + avail, cap, bytes)
+
+  test("capWalk invariants over arbitrary byte sequences") {
+    val prop = Prop.forAll(caseGen) { case (base0, byVersions, cap, bytes) =>
+      def bytesOf(v: Long): Long = bytes((v - base0 - 1).toInt)
+      val end = StreamAdmission.capWalk(base0, byVersions, cap)(bytesOf)
+      val admitted = (base0 + 1) to end
+      val cum = admitted.map(bytesOf).sum
+      val inRange = end >= base0 && end <= byVersions
+      val noStarve = byVersions == base0 || end > base0
+      // the forced first admission may alone exceed the cap; every
+      // further admission must have fit at its time
+      val capped = admitted.size <= 1 || cum <= math.max(cap, bytesOf(base0 + 1))
+      val stopJustified = end == byVersions || cum + bytesOf(end + 1) > cap
+      inRange && noStarve && capped && stopJustified
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(300), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("hand-checked walks") {
+    // cap admits exactly the versions that fit
+    StreamAdmission.capWalk(0L, 4L, 100L)(Map(1L -> 40L, 2L -> 40L, 3L -> 40L, 4L -> 40L)) shouldBe 2L
+    // first version alone over the cap is still admitted
+    StreamAdmission.capWalk(0L, 3L, 10L)(Map(1L -> 500L, 2L -> 1L, 3L -> 1L)) shouldBe 1L
+    // zero-byte versions all fit
+    StreamAdmission.capWalk(2L, 6L, 1L)(_ => 0L) shouldBe 6L
+    // nothing available
+    StreamAdmission.capWalk(5L, 5L, 1L)(_ => 0L) shouldBe 5L
+  }
+}
