@@ -172,6 +172,50 @@ class GraftSinkSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("one-shot mirror sync: graft-cdc + Trigger.AvailableNow drains, converges, terminates") {
+    // the scheduled-job shape: run the connector mirror with AvailableNow
+    // so it drains the upstream backlog in bounded batches (delete+insert
+    // pairs resolving in-commit via maxVersionsPerTrigger=1), converges,
+    // and STOPS on its own — commits made after query start wait for the
+    // next scheduled run
+    import graft.core.Predicates
+    val base = tmpDir("gsink-oneshot")
+    val up = Seq((0, 1L, "a"), (0, 2L, "b"), (1, 3L, "c")).toDF("p", "k", "v")
+    Ktk.store(spark, base, "up_o", up, partitionOn = Seq("p"))   // v1
+    Ktk.deleteRows(spark, base, "up_o",                          // v2
+      predicates = Predicates.of(Seq(("k", "==", 1L))))
+    Ktk.merge(spark, base, "up_o",                               // v3
+      Seq((1, 4L, "d")).toDF("p", "k", "v"), keys = Seq("k"))
+    Ktk.createEmpty(spark, base, "mir_o", schema, partitionOn = Seq("p"))
+
+    val ckpt = tmpDir("gsink-oneshot-ckpt")
+    def sync() = spark.readStream.format("graft-cdc")
+      .option("uuid", "up_o").option("maxVersionsPerTrigger", "1").load(base)
+      .writeStream.format("graft")
+      .option("uuid", "mir_o").option("keys", "k")
+      .option("opCol", "_change_type").option("deleteOp", "delete")
+      .option("versionCol", "_commit_version")
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Update())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start(base)
+
+    val q1 = sync()
+    try assert(q1.awaitTermination(120000), "first sync did not terminate")
+    finally q1.stop()
+    def mirror() = Ktk.readTable(spark, base, "mir_o")
+      .select("p", "k", "v").as[(Long, Long, String)].collect().toSet
+    mirror() shouldBe Set((0L, 2L, "b"), (1L, 3L, "c"), (1L, 4L, "d"))
+
+    // upstream moves on; the NEXT scheduled run picks it up from the
+    // checkpoint and converges again
+    Ktk.merge(spark, base, "up_o",
+      Seq((1, 3L, "c2")).toDF("p", "k", "v"), keys = Seq("k")) // v4
+    val q2 = sync()
+    try assert(q2.awaitTermination(120000), "second sync did not terminate")
+    finally q2.stop()
+    mirror() shouldBe Set((0L, 2L, "b"), (1L, 3L, "c2"), (1L, 4L, "d"))
+  }
+
   test("mirror follows upstream schema evolution across a stream restart") {
     // a streaming source's schema is fixed at query start, so the new
     // column arrives after a restart (standard Structured Streaming
