@@ -786,7 +786,8 @@ object SparkEntry {
         ()
       })
       Ktk.history(s, base, "hist_gate2")
-        .select(col("version"), col("operation"), col("tombstone_fragments"))
+        .select(col("version"), col("operation"),
+          col("files_added"), col("files_removed"), col("tombstone_fragments"))
         .orderBy("version")
     }),
 
@@ -2895,13 +2896,16 @@ object SparkEntry {
 
     "q_ktk_history" ->
       """SELECT CAST(version AS BIGINT) AS version, operation,
+        |  CAST(files_added AS BIGINT) AS files_added,
+        |  CAST(files_removed AS BIGINT) AS files_removed,
         |  CAST(tombstone_fragments AS BIGINT) AS tombstone_fragments
-        |-- v5 keeps both fragments: compact's victims are the two small
-        |-- same-seq v2 files; the v1 file is a SINGLETON in its seq (no
-        |-- merge partner), so its tombstones must survive the rewrite
-        |FROM (VALUES (1, 'WRITE', 0), (2, 'WRITE', 0), (3, 'DELETE', 1),
-        |             (4, 'MERGE', 2), (5, 'COMPACT', 2))
-        |  AS t(version, operation, tombstone_fragments)
+        |-- v5 compacts the two small same-seq v2 files into one; the v1
+        |-- file is a SINGLETON in its seq, so it survives untouched and
+        |-- its tombstones (the DELETE + the MERGE image) stay pending
+        |FROM (VALUES (1, 'WRITE', 1, 0, 0), (2, 'WRITE', 2, 0, 0),
+        |             (3, 'DELETE', 0, 0, 1), (4, 'MERGE', 1, 0, 2),
+        |             (5, 'COMPACT', 1, 2, 2))
+        |  AS t(version, operation, files_added, files_removed, tombstone_fragments)
         |ORDER BY version""".stripMargin,
 
     "q_ktk_adopt" ->

@@ -1849,8 +1849,25 @@ object Ktk {
     // same commit line) reports the EARLIEST mtime — the original commit.
     val records = DatasetMetadata.versionRecords(spark, base, uuid)
     val mtimes: Map[Long, Long] = records.groupMapReduce(_._1)(_._2)(math.min)
+    // per-commit metrics diff against the PREVIOUS RETAINED version (the
+    // ascending walk already loads it). The earliest retained version
+    // after a gc has an unknown parent — its metrics report null rather
+    // than claiming the whole content was added there.
+    var prev: Option[DatasetMetadata] = None
     val rows = records.map(_._1).distinct.sorted.map { v =>
       val md = DatasetMetadata.loadVersion(spark, base, uuid, v)
+      val parentForMetrics: Option[DatasetMetadata] =
+        if (v == 1L) Some(DatasetMetadata(uuid = uuid, schemaJson = md.schemaJson))
+        else prev.filter(_.version == v - 1)
+      val (fAdd, fDel, bAdd) = parentForMetrics match {
+        case Some(p) =>
+          val pL = Option(p.partitions).getOrElse(Map.empty[String, Long]).keySet
+          val added = md.partitions.keysIterator.filterNot(pL.contains).toSeq
+          (Some(added.size.toLong), Some((pL -- md.partitions.keySet).size.toLong),
+            Some(added.map(md.sizeOf).sum))
+        case None => (None, None, None)
+      }
+      prev = Some(md)
       val rb = md.metadata.get(DatasetMetadata.RollbackCommitKey)
         .exists(_.toLong == v)
       // in-commit stamp (monotone, copy-stable) wins; record mtime is the
@@ -1865,10 +1882,12 @@ object Ktk {
         // sizeOf, not values.sum: Jackson narrows the erased Map[String,
         // Long] to Integer on deserialization — summing would unbox-throw
         // on any version parsed from disk (fresh JVM, pre-cache history)
-        md.partitions.keysIterator.map(md.sizeOf).sum, md.deleteFragments.size.toLong, rb,
+        md.partitions.keysIterator.map(md.sizeOf).sum,
+        fAdd, fDel, bAdd, md.deleteFragments.size.toLong, rb,
         if (rb) md.metadata.get(DatasetMetadata.RollbackOfKey).map(_.toLong) else None)
     }
     rows.toDF("version", "committed_at", "operation", "files", "bytes",
+      "files_added", "files_removed", "bytes_added",
       "tombstone_fragments", "is_rollback", "rollback_of")
   }
 

@@ -332,6 +332,8 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog with StagingTableC
         StructField("version", LongType), StructField("committed_at", TimestampType),
         StructField("operation", StringType),
         StructField("files", LongType), StructField("bytes", LongType),
+        StructField("files_added", LongType), StructField("files_removed", LongType),
+        StructField("bytes_added", LongType),
         StructField("tombstone_fragments", LongType),
         StructField("is_rollback", BooleanType), StructField("rollback_of", LongType)))) { in =>
       Ktk.history(spark, base, in.getUTF8String(0).toString)
