@@ -1562,9 +1562,11 @@ object Ktk {
     }
     // large source (distinct keys exceed maxCollectKeys): ONE map-side
     // min/max agg over the batch keys gives a per-column RANGE envelope.
-    // The Ge/Le conjunction still prunes through partition values and
-    // zone maps (the IN-only layers — index/bloom — don't consume ranges
-    // and pass through), so a time- or id-clustered wide-key CDC batch
+    // The Ge/Le conjunction still prunes through partition values, the
+    // secondary index (its lookup evaluates the range with SPARK
+    // expressions over the index table, so it stays exact) and zone
+    // maps; bloom is the only IN/Eq-gated layer that passes ranges
+    // through. So a time- or id-clustered wide-key CDC batch
     // scans only the files whose stats intersect the batch envelope, not
     // the whole table; the residual semi join keeps the result exact.
     // Only types whose Spark min/max ORDER provably agrees with the
@@ -1596,6 +1598,22 @@ object Ktk {
       case _: java.sql.Date | _: java.sql.Timestamp => true
       case _ => false
     }
+    // Spark equality (the residual semi join) treats -0.0 = 0.0, but the
+    // driver-side pruning comparator is Double.compare, which orders
+    // -0.0 < 0.0. Widen float/double bounds at the signed-zero boundary
+    // so an envelope of [0.0, x] also admits files whose only matching
+    // key is -0.0 (and vice versa) — otherwise the matched row survives
+    // un-tombstoned and the merge inserts a duplicate key.
+    def widenLo(v: Any): Any = v match {
+      case d: java.lang.Double if d.doubleValue == 0.0 => java.lang.Double.valueOf(-0.0)
+      case f: java.lang.Float if f.floatValue == 0.0f => java.lang.Float.valueOf(-0.0f)
+      case other => other
+    }
+    def widenHi(v: Any): Any = v match {
+      case d: java.lang.Double if d.doubleValue == 0.0 => java.lang.Double.valueOf(0.0)
+      case f: java.lang.Float if f.floatValue == 0.0f => java.lang.Float.valueOf(0.0f)
+      case other => other
+    }
     val fragment: Option[(String, Long)] =
       if (md.partitions.isEmpty) None
       else {
@@ -1622,8 +1640,8 @@ object Ktk {
             else {
               val rangeLits = keyBounds.flatMap {
                 case (k, lo, hi) if comparableBound(lo) && comparableBound(hi) =>
-                  Seq(PredLiteral(k, graft.core.PredOp.Ge, lo),
-                    PredLiteral(k, graft.core.PredOp.Le, hi))
+                  Seq(PredLiteral(k, graft.core.PredOp.Ge, widenLo(lo)),
+                    PredLiteral(k, graft.core.PredOp.Le, widenHi(hi)))
                 case _ => Nil
               }
               if (rangeLits.isEmpty) md.partitions.keys.toSeq.sorted

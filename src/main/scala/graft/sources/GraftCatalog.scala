@@ -354,8 +354,12 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog with StagingTableC
     },
     "add_zonemaps" -> proc("add_zonemaps",
       Array(stringParam("table"), stringParam("columns")), versionSchema) { in =>
-      versionRow(Ktk.addZoneMaps(spark, base, in.getUTF8String(0).toString,
-        in.getUTF8String(1).toString.split(',').toSeq.map(_.trim).filter(_.nonEmpty)))
+      val cols = in.getUTF8String(1).toString.split(',').toSeq.map(_.trim).filter(_.nonEmpty)
+      // loud failure like the other verbs — an empty list would otherwise
+      // commit a no-op version with unchanged registries
+      require(cols.nonEmpty,
+        "add_zonemaps: `columns` must name at least one column (comma-separated)")
+      versionRow(Ktk.addZoneMaps(spark, base, in.getUTF8String(0).toString, cols))
     },
     "gc" -> proc("gc",
       Array(stringParam("table"),

@@ -27,6 +27,16 @@ import org.apache.spark.sql.vectorized.ColumnarBatch
   * in the label's broadcast tombstone set and projects the index column
   * away. This is how Delta/Iceberg readers apply DVs, re-expressed over
   * Spark's own reader instead of a custom one.
+  *
+  * This COMBINED scan is the fallback shape (one BatchScanExec, uniformly
+  * row-based, because Spark refuses mixed columnar/row partitions in one
+  * scan exec). Sessions built with [[graft.functions.GraftExtensions]]
+  * instead plan the split at the LOGICAL level ([[GraftDvSplitRule]]): the
+  * relation rewrites to a Union of a clean-side relation (fully vectorized
+  * ParquetScan, as if no DV existed) and a dirty-side relation
+  * ([[GraftDvDirtyScan]], row-based tombstone filter over only the touched
+  * files) — so one pending GDPR delete no longer de-vectorizes a 100 TB
+  * table read.
   */
 final class GraftDvScan(
     clean: GraftStreamableScan,

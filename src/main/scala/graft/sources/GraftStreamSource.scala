@@ -390,8 +390,13 @@ private[sources] object StreamAdmission {
     val mdP =
       if (v == 1L) DatasetMetadata(uuid = uuid, schemaJson = mdV.schemaJson)
       else DatasetMetadata.loadVersion(spark, base, uuid, v - 1)
-    val pLabels = mdP.partitions.keySet
-    mdV.partitions.keysIterator.filterNot(pLabels.contains).map(mdV.sizeOf).sum
+    // Jackson leaves an absent `partitions` field null on old blobs
+    // (same precedent as bloomRegistry/zoneRegistry) — guard like
+    // Ktk.history's diff does.
+    val pParts = Option(mdP.partitions).getOrElse(Map.empty[String, Long])
+    val vParts = Option(mdV.partitions).getOrElse(Map.empty[String, Long])
+    val pLabels = pParts.keySet
+    vParts.keysIterator.filterNot(pLabels.contains).map(mdV.sizeOf).sum
   }
 
   def capEnd(spark: SparkSession, base: String, uuid: String,

@@ -88,4 +88,43 @@ class MergePruneSpec extends SparkSpec {
     tombstoned shouldBe 0L
     Ktk.lastMergeCandidates.get() shouldBe 0
   }
+
+  test("range envelope admits a -0.0 key against a [0.0, ..] batch (signed-zero widening)") {
+    val base = tmpDir("mprune")
+    // one file holds ONLY negative keys ending at -0.0 (its zone max);
+    // the driver comparator orders -0.0 < 0.0, but the merge's semi join
+    // uses Spark equality where -0.0 = 0.0 — without widening, the
+    // envelope [0.0, 19.0] would prune this file, the -0.0 row would
+    // survive un-tombstoned, and the merge would insert a duplicate key
+    val df = ((-3 to 0).map(i => (if (i == 0) -0.0 else i.toDouble, "neg", 1.0)) ++
+      (1 to 30).map(i => (i.toDouble, "pos", 1.0))).toDF("k", "p", "v")
+    Ktk.store(spark, base, "ds", df, partitionOn = Seq("p"),
+      sortBy = Seq("k"), zoneMapFor = Seq("k"))
+    // 20 distinct keys > maxCollectKeys=5 forces the envelope path;
+    // lo = 0.0 must widen to -0.0 so the neg file stays a candidate
+    val batch = (0 until 20).map(i => (i.toDouble, "pos", -9.0)).toDF("k", "p", "v")
+    Ktk.merge(spark, base, "ds", batch, keys = Seq("k"), maxCollectKeys = 5)
+    val zero = Ktk.readTable(spark, base, "ds")
+      .filter(org.apache.spark.sql.functions.col("k") === 0.0)
+    zero.count() shouldBe 1L // the old -0.0 row was tombstoned, not duplicated
+    zero.select("v").as[Double].collect().head shouldBe -9.0
+  }
+
+  test("uncollectable envelope prunes through a secondary index on a numeric key, exactly") {
+    // queryLabels' index layer consumes Ge/Le range literals (the lookup
+    // evaluates them with Spark expressions over the index table) — pin
+    // that the indexed-key fallback path both prunes and stays exact
+    val base = tmpDir("mprune")
+    val md0 = seed(base)
+    Ktk.addIndex(spark, base, "ds", "k")
+    val total = md0.partitions.size
+    val batch = (400 until 420).map(i => (i.toLong, "b", -5.0)).toDF("k", "p", "v")
+    Ktk.merge(spark, base, "ds", batch, keys = Seq("k", "p"), maxCollectKeys = 5)
+    val candidates = Ktk.lastMergeCandidates.get()
+    candidates should be >= 1
+    candidates should be < total
+    Ktk.readTable(spark, base, "ds")
+      .filter(org.apache.spark.sql.functions.col("v") === -5.0)
+      .count() shouldBe 20L
+  }
 }

@@ -120,6 +120,13 @@ class GraftCatalogSpec extends SparkSpec {
       md6.zoneColumns should contain("v")
       spark.sql(s"SELECT count(*) FROM $gk.default.t6 WHERE v = 20.0")
         .as[Long].head() shouldBe 1L
+      // blank columns fail loudly instead of committing a no-op version
+      val vBefore = DatasetMetadata.load(spark, base, "t6").version
+      val err = intercept[Exception] {
+        spark.sql(s"CALL $gk.system.add_zonemaps(table => 't6', columns => ' , ')")
+      }
+      err.getMessage should include("at least one column")
+      DatasetMetadata.load(spark, base, "t6").version shouldBe vBefore
     }
   }
 

@@ -15,7 +15,7 @@ import org.scalatest.matchers.should.Matchers
   *     within the cap;
   *  4. stopping early is justified: the next version would have burst it.
   */
-class StreamAdmissionSpec extends AnyFunSuite with Matchers {
+class StreamAdmissionSpec extends graft.SparkSpec {
 
   private val caseGen = for {
     base0 <- Gen.choose(0L, 5L)
@@ -40,6 +40,22 @@ class StreamAdmissionSpec extends AnyFunSuite with Matchers {
     }
     val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(300), prop)
     assert(res.passed, res.status.toString)
+  }
+
+  test("bytesAddedAt survives a blob with an absent partitions field") {
+    // Jackson leaves an absent `partitions` null on deserialized blobs
+    // (bloomRegistry/zoneRegistry precedent) — the admission arithmetic
+    // must guard like Ktk.history's diff does, not NPE the offset
+    // computation when maxBytesPerTrigger is set
+    val base = tmpDir("admission")
+    val dir = java.nio.file.Paths.get(base, "ds", "_versions")
+    java.nio.file.Files.createDirectories(dir)
+    java.nio.file.Files.write(dir.resolve("v00000001.json"),
+      """{"uuid":"ds"}""".getBytes("UTF-8"))
+    java.nio.file.Files.write(dir.resolve("v00000002.json"),
+      """{"uuid":"ds","partitions":{"f1.parquet":123}}""".getBytes("UTF-8"))
+    StreamAdmission.bytesAddedAt(spark, base, "ds", 2L) shouldBe 123L
+    StreamAdmission.bytesAddedAt(spark, base, "ds", 1L) shouldBe 0L
   }
 
   test("hand-checked walks") {
