@@ -528,10 +528,29 @@ object SparkEntry {
         case other => throw new IllegalStateException(
           s"expected GraftDvScan over a DV-bearing dataset, got ${other.getClass}")
       }
-      s.read.format("graft").option("uuid", "orders_dv2").load(base)
+      val df = s.read.format("graft").option("uuid", "orders_dv2").load(base)
         .filter(col("o_totalprice") > 50000.0)
         .select("o_orderkey", "o_orderstatus", "o_totalprice")
         .orderBy("o_orderkey")
+      // with GraftExtensions active the ACTUAL read plans the logical
+      // union split: the clean majority keeps its own fully-VECTORIZED
+      // BatchScanExec, only tombstone-touched files read row-based
+      val root = df.queryExecution.executedPlan match {
+        // orderBy adds an exchange, so AQE wraps the plan — pin inside it
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      val scans = root.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+      }
+      require(scans.size == 2,
+        s"expected the DV union split (clean + dirty scan), got ${scans.size} scans")
+      require(scans.exists(b =>
+          b.scan.isInstanceOf[graft.sources.GraftStreamableScan] && b.supportsColumnar),
+        "clean side must keep the vectorized parquet reader while tombstones pend")
+      require(scans.exists(_.scan.isInstanceOf[graft.sources.GraftDvDirtyScan]),
+        "dirty side must read through the tombstone-filtering scan")
+      df
     }),
 
     "q_dsv2_dpp" -> ((s, dir) => {

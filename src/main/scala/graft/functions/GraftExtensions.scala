@@ -29,6 +29,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // spark.sql.extensions; the runtime register() path covers functions
     // only)
     ext.injectPostHocResolutionRule(session => graft.sources.GraftDmlRule(session))
+    // logical clean/dirty split for DV-bearing tables: the clean-file
+    // majority keeps the fully-vectorized scan, only tombstone-touched
+    // files read row-based (see GraftDvSplitRule)
+    ext.injectOptimizerRule(_ => graft.sources.GraftDvSplitRule)
   }
 }
 

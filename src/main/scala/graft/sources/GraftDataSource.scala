@@ -554,7 +554,12 @@ final class GraftScanBuilder(base: String, md: DatasetMetadata, options: CaseIns
     val labels = Ktk.queryLabels(spark, base, md, pruningPredicates)
     // merge-on-read split, same as Ktk.readTable: only the files the
     // deletion vectors touch pay the row-position filter; clean files
-    // scan through the stock vectorized path untouched
+    // scan through the stock vectorized path untouched.
+    // `dvside` marks a branch of GraftDvSplitRule's logical Union: "clean"
+    // builds ONLY the vectorized clean-file scan, "dirty" ONLY the
+    // row-based tombstone-filtered scan; absent (extensions not installed)
+    // falls back to the combined single-exec GraftDvScan.
+    val dvSide = Option(options.get(GraftDvSplitRule.DvSideOption))
     val dirtyAll: Set[String] =
       if (hasRowDeletes) Ktk.dirtyDeleteLabels(spark, base, md) else Set.empty
     val dirtyL = labels.filter(dirtyAll.contains)
@@ -573,7 +578,24 @@ final class GraftScanBuilder(base: String, md: DatasetMetadata, options: CaseIns
       // the streaming relation's declared order is the TABLE's (scan
       // order) — the stream reader projects rows into exactly this
       GraftTable.scanOrder(md))
-    if (dirtyL.nonEmpty) {
+    if (dvSide.contains("dirty")) {
+      // the dirty branch of the logical split: only tombstone-touched
+      // files, row-based, positions filtered against the broadcast vectors
+      val rowIdx = org.apache.spark.sql.types.StructField(
+        ParquetFileFormat.ROW_INDEX_TEMPORARY_COLUMN_NAME,
+        org.apache.spark.sql.types.LongType, nullable = true)
+      require(!md.schema.fieldNames.contains(rowIdx.name),
+        s"dataset '${md.uuid}' has a column named '${rowIdx.name}', which collides " +
+          "with Spark's reserved row-index column needed to apply deletion vectors")
+      val dirtyScan = ParquetScan(
+        spark, spark.sessionState.newHadoopConf(), fileIndexFor(spark, dirtyL),
+        dataSchema, StructType(readDataSchema.fields :+ rowIdx), readPartitionSchema,
+        dataFilters, options, None, Nil, Nil)
+      val maxRows = options.getLong("maxDvScanRows", 10L * 1000 * 1000)
+      val dv = Ktk.collectDeleteVectors(spark, base, md, dirtyL.toSet, maxRows)
+      return new GraftDvDirtyScan(dirtyScan, spark.sparkContext.broadcast(dv))
+    }
+    if (dirtyL.nonEmpty && dvSide.isEmpty) {
       // dirty side: a second ParquetScan whose readDataSchema carries
       // Spark's temporary row-index column — the reader fills it with the
       // file-absolute position (row-group skipping accounted for), the

@@ -120,6 +120,71 @@ final class GraftDvScan(
       from = dirty.readSchema(), to = readSchema())
 }
 
+/** The dirty HALF of the logical-level DV split ([[GraftDvSplitRule]]):
+  * scans ONLY the files the deletion vectors touch, row-based, with the
+  * broadcast tombstone filter — the clean half of the union keeps the
+  * stock fully-vectorized ParquetScan. One file per input partition so
+  * each reader knows which label's tombstone set applies.
+  */
+final class GraftDvDirtyScan(
+    dirty: ParquetScan,
+    dv: Broadcast[Map[String, Array[Long]]])
+  extends Scan with Batch with SupportsReportStatistics
+  with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
+
+  // the scan's declared output: the dirty delegate's read schema MINUS the
+  // internal row-index column the tombstone filter consumes
+  override def readSchema(): StructType =
+    StructType(dirty.readSchema().fields.filterNot(
+      _.name == ParquetFileFormat.ROW_INDEX_TEMPORARY_COLUMN_NAME))
+
+  @volatile private var runtimePreds:
+    Array[org.apache.spark.sql.connector.expressions.filter.Predicate] = Array.empty
+
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    dirty.readPartitionSchema.fieldNames.map(
+      org.apache.spark.sql.connector.expressions.Expressions.column)
+
+  override def filter(
+      predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit =
+    runtimePreds = predicates
+
+  override def description(): String = {
+    val tombstones = dv.value.valuesIterator.map(_.length.toLong).sum
+    s"GraftDvDirtyScan(dirtyFiles=${dv.value.size}, tombstones=$tombstones) " +
+      dirty.description()
+  }
+
+  override def toBatch: Batch = this
+
+  // row-based throughout: every partition pays the tombstone filter here;
+  // the clean union branch is where vectorization lives
+  override def columnarSupportMode(): Scan.ColumnarSupportMode =
+    Scan.ColumnarSupportMode.UNSUPPORTED
+
+  override def estimateStatistics(): Statistics = dirty.estimateStatistics()
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val files = GraftRuntimePrune(dirty.toBatch.planInputPartitions(),
+        dirty.readPartitionSchema, runtimePreds).flatMap {
+      case fp: FilePartition => fp.files
+      case other => throw new IllegalStateException(s"unexpected partition $other")
+    }
+    files.groupBy(_.filePath.toString).toSeq.sortBy(_._1)
+      .zipWithIndex.map { case ((path, fs), i) =>
+        val label = path.replaceFirst("^.*/table/", "")
+        GraftDvInputPartition(FilePartition(i, fs.toArray), Some(label)): InputPartition
+      }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val f = dirty.createReaderFactory()
+    // every partition carries Some(label), so the clean delegate slot is
+    // never consulted
+    GraftDvReaderFactory(f, f, dv, from = dirty.readSchema(), to = readSchema())
+  }
+}
+
 /** Clean partitions delegate untouched (columnar included); dirty ones are
   * forced row-based and wrapped with the tombstone filter + projection.
   */
@@ -170,4 +235,86 @@ final case class GraftDvReaderFactory(
         }
       case other => throw new IllegalStateException(s"unexpected partition $other")
     }
+}
+
+/** Logical-level clean/dirty split for DV-bearing graft tables (injected by
+  * [[graft.functions.GraftExtensions]]): a batch relation over a table with
+  * PENDING deletion vectors rewrites to
+  *
+  * {{{ Union(relation[dvside=clean], relation[dvside=dirty]) }}}
+  *
+  * so the clean-file majority plans its own fully-VECTORIZED BatchScanExec
+  * while only the tombstone-touched files pay the row-based filter
+  * ([[GraftDvDirtyScan]]) — the Delta/Iceberg reader shape. Spark refuses
+  * mixed columnar/row partitions inside ONE scan exec, so without this
+  * rewrite a single pending tombstone de-vectorizes the entire table read
+  * (the [[GraftDvScan]] fallback, still used when the extensions are not
+  * installed). Runs in the operator-optimization batch, BEFORE
+  * V2ScanRelationPushDown: filters and projections push through the Union
+  * into each branch independently, and each branch prunes files through
+  * the engine's partition/index/zone/bloom ladder as usual. The clean
+  * branch keeps the original relation's output attribute ids (Union
+  * derives its output from the first child), so upstream references are
+  * untouched.
+  */
+object GraftDvSplitRule
+    extends org.apache.spark.sql.catalyst.rules.Rule[
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] {
+  import org.apache.spark.sql.catalyst.plans.logical.{DeleteFromTable, LogicalPlan, MergeIntoTable, Union, UpdateTable, V2WriteCommand}
+  import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+  import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+  private[sources] val DvSideOption = "dvside"
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    // never rewrite a relation that is the TARGET of a command — DELETE/
+    // UPDATE/MERGE/INSERT plan against the bare relation (a Union target is
+    // an internal error in DataSourceV2Strategy). Only READ occurrences
+    // split; the query side of a self-referencing write is a separate node
+    // and still benefits.
+    val targets = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[LogicalPlan, java.lang.Boolean]())
+    plan.foreach {
+      case d: DeleteFromTable => targets.add(d.table); ()
+      case u: UpdateTable     => targets.add(u.table); ()
+      case m: MergeIntoTable  => targets.add(m.targetTable); ()
+      case w: V2WriteCommand  => targets.add(w.table); ()
+      case _                  => ()
+    }
+    plan.transform {
+      case r: DataSourceV2Relation if !targets.contains(r) && splittable(r) =>
+        val clean = r.copy(options = withSide(r.options, "clean"))
+        // fresh attribute ids for the second branch — Union children may not
+        // share output attributes
+        val dirty = r.copy(
+          output = r.output.map(_.newInstance()),
+          options = withSide(r.options, "dirty"))
+        Union(Seq(clean, dirty))
+    }
+  }
+
+  private def withSide(opts: CaseInsensitiveStringMap, side: String): CaseInsensitiveStringMap = {
+    val m = new java.util.HashMap[String, String](opts.asCaseSensitiveMap())
+    m.put(DvSideOption, side)
+    new CaseInsensitiveStringMap(m)
+  }
+
+  /** Fire once (the dvside guard), only for batch graft relations whose
+    * snapshot has fragments touching at least one LIVE file. The label
+    * probe is metadata-cached ([[graft.ktk.Ktk.dirtyDeleteLabels]]) —
+    * O(fragments) small manifest reads, once per fragment per JVM.
+    */
+  private def splittable(r: DataSourceV2Relation): Boolean = r.table match {
+    case t: GraftTable =>
+      !r.options.containsKey(DvSideOption) &&
+        !r.options.getBoolean("keyed", false) &&
+        // .option("dvsplit", "off"): escape hatch back to the combined
+        // single-exec GraftDvScan (also how the stress probe A/Bs the tax)
+        !"off".equalsIgnoreCase(r.options.getOrDefault("dvsplit", "on")) &&
+        t.datasetMetadata.deleteFragments.nonEmpty &&
+        graft.ktk.Ktk.dirtyDeleteLabels(
+          org.apache.spark.sql.SparkSession.active, t.basePath, t.datasetMetadata)
+          .exists(t.datasetMetadata.partitions.contains)
+    case _ => false
+  }
 }

@@ -186,6 +186,48 @@ class GraftDataSourceSpec extends SparkSpec {
     parts.foreach(p => factory.supportColumnarReads(p) shouldBe false)
   }
 
+  test("pending DVs keep clean files COLUMNAR: logical union split") {
+    // GraftDvSplitRule (active via GraftExtensions in TestSpark) rewrites a
+    // DV-bearing relation to Union(clean, dirty): the clean majority plans
+    // its own fully-VECTORIZED BatchScanExec, only tombstone-touched files
+    // read row-based — one pending GDPR delete must not de-vectorize the
+    // whole table read
+    val base = setup()
+    Ktk.deleteRows(spark, base, "ds",
+      predicates = graft.core.Predicates.of(Seq(("p", "==", 1), ("target", ">", 15.0))))
+    val df = read(base)
+    val scans = df.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }
+    scans.size shouldBe 2
+    val clean = scans.filter(_.scan.isInstanceOf[GraftStreamableScan])
+    val dirty = scans.filter(_.scan.isInstanceOf[GraftDvDirtyScan])
+    clean.size shouldBe 1
+    dirty.size shouldBe 1
+    clean.head.supportsColumnar shouldBe true // the point of the split
+    dirty.head.supportsColumnar shouldBe false
+    // clean side plans only the untouched files; dirty side only p=1's
+    clean.head.inputRDD.getNumPartitions should be >= 1
+    val dirtyParts = dirty.head.scan.toBatch.planInputPartitions()
+      .collect { case p: GraftDvInputPartition => p }
+    dirtyParts.map(_.dirtyLabel.get).foreach(_ should include("p=1"))
+    // and the read is exact, with pushdown still working per branch
+    df.count() shouldBe 3
+    df.filter(col("p") === 1).select("target").as[Double].collect().toSeq shouldBe Seq(10.0)
+    df.agg(sum("target")).head.getDouble(0) shouldBe 80.0
+    // projection prunes both branches' read schemas
+    val proj = read(base).select("l")
+    val projScans = proj.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b.scan
+    }
+    projScans.size shouldBe 2
+    projScans.foreach { s =>
+      s.readSchema().fieldNames should contain("l")
+      s.readSchema().fieldNames should contain noneOf ("target", "tag")
+    }
+    proj.as[String].collect().sorted.toSeq shouldBe Seq("a", "c", "d")
+  }
+
   test("DV scan honors the maxDvScanRows guard with a recoverable error") {
     val base = setup()
     Ktk.deleteRows(spark, base, "ds",

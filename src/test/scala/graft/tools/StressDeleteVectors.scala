@@ -26,6 +26,7 @@ object StressDeleteVectors {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .withExtensions(new graft.functions.GraftExtensions())
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
@@ -69,8 +70,22 @@ object StressDeleteVectors {
     val (liveCount, tAllDirty) = time(readAll())
     val (_, tCleanAfter) = time(readCleanSide())
 
+    // connector (DSv2) path, same dirty snapshot: the combined single-exec
+    // GraftDvScan de-vectorizes EVERY file while tombstones pend; the
+    // GraftDvSplitRule union keeps the clean 7/8 of the table columnar and
+    // confines the row-based tombstone filter to p=0's files
+    def connectorRead(split: Boolean): Long =
+      spark.read.format("graft").option("uuid", "big")
+        .option("dvsplit", if (split) "on" else "off")
+        .load(base).count()
+    val (cCombined, tDvCombined) = time(connectorRead(split = false))
+    val (cSplit, tDvSplit) = time(connectorRead(split = true))
+    // and the connector clean baseline for the same count query, measured
+    // post-materialize below
+
     val (_, tMaterialize) = time(Ktk.materializeDeletes(spark, base, "big"))
     val (_, tAllAfter) = time(readAll())
+    val (_, tDvClean) = time(connectorRead(split = true)) // no DVs left: plain scan
     val fragsAfter = DatasetMetadata.load(spark, base, "big").deleteFragments.size
 
     println(f"table rows: $n; live after 40 deletes + 10 merges: $liveCount")
@@ -81,6 +96,8 @@ object StressDeleteVectors {
     println(f"read clean partition: before=${tCleanBefore}%.2f after-deletes=${tCleanAfter}%.2f")
     println(f"read all: before=${tAllBefore}%.2f dirty=${tAllDirty}%.2f " +
       f"materialized=${tAllAfter}%.2f (materialize itself ${tMaterialize}%.2f)")
+    println(f"connector read all (dirty snapshot): combined-rowbased=${tDvCombined}%.2f " +
+      f"union-split=${tDvSplit}%.2f clean-after-materialize=${tDvClean}%.2f")
     println(s"fragments after materialize: $fragsAfter")
 
     // structural assertions — the probe FAILS loudly if the scale story breaks
@@ -92,6 +109,8 @@ object StressDeleteVectors {
     val expectedLive = n - 40 * 1000
     require(liveCount == expectedLive,
       s"live count wrong: $liveCount vs $expectedLive")
+    require(cCombined == expectedLive && cSplit == expectedLive,
+      s"connector counts diverge: combined=$cCombined split=$cSplit vs $expectedLive")
     // commit cost must not grow with accumulated tombstones: allow 3x
     // first-to-last drift (JIT/GC noise) but not O(history) growth
     require(deleteTimes.last < deleteTimes.head * 3 + 1.0,
