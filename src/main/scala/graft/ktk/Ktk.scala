@@ -863,6 +863,69 @@ object Ktk {
     all.filter(surviving.contains)
   }
 
+  /** STRING-key merge-envelope pruning, exact by construction: every
+    * comparison runs under Spark's UTF8-binary string order — the same
+    * order the envelope's `min`/`max` were computed in — never the
+    * driver-side UTF-16 comparator or the legacy inline-zone coercions
+    * (both diverge from UTF8-binary, see the merge envelope comment).
+    *
+    *  - partition values: decoded label values compared as UTF-8 BYTES on
+    *    the driver (byte-identical to Spark's order);
+    *  - secondary index: the range evaluates INSIDE the index scan with
+    *    Spark expressions — only matching labels return;
+    *  - zone sidecar: Spark-side `mn <= hi && mx >= lo` over the sidecar
+    *    table (stats absent/null ⇒ all-null file ⇒ no `=` match);
+    *  - legacy INLINE zone maps and blooms: fenced off — no pruning.
+    *
+    * Soundness: a batch key s with lo ≤ s ≤ hi (UTF8 order, by min/max
+    * construction) that exists in a file implies the file's partition
+    * value equals s's (kept), its index rows contain s (kept), and its
+    * zone [mn, mx] straddles s (kept) — pruning can only drop files that
+    * hold NO batch key; the residual semi join stays exact regardless.
+    */
+  private[graft] def stringEnvelopeCandidates(
+      spark: SparkSession, base: String, md: DatasetMetadata,
+      candidates: Seq[String], bounds: Seq[(String, String, String)]): Seq[String] = {
+    def utf8Leq(a: String, b: String): Boolean = {
+      val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      var i = 0
+      while (i < x.length && i < y.length) {
+        val c = (x(i) & 0xff) - (y(i) & 0xff)
+        if (c != 0) return c < 0
+        i += 1
+      }
+      x.length <= y.length
+    }
+    val partCols = md.partitionKeys.toSet
+    bounds.foldLeft(candidates) { case (labels0, (k, lo, hi)) =>
+      var cur = labels0
+      if (partCols(k) && cur.nonEmpty)
+        cur = cur.filter { lbl =>
+          md.partitionValues(lbl).get(k)
+            .forall(v => utf8Leq(lo, v) && utf8Leq(v, hi))
+        }
+      if (md.indices.contains(k) && cur.nonEmpty) {
+        val matching = loadIndex(spark, base, md, k)
+          .filter(col("value") >= lit(lo) && col("value") <= lit(hi))
+          .select(explode(col("partitions")).as("label")).distinct()
+          .collect().map(_.getString(0)).toSet
+        cur = cur.filter(matching.contains)
+      }
+      if (md.zoneRegistry.contains(k) && cur.nonEmpty) {
+        val sidecar = new Path(md.zonePath(base, k))
+        if (DatasetMetadata.fs(spark, base).exists(sidecar)) {
+          val matching = spark.read.parquet(sidecar.toString)
+            .filter(col("mn").isNotNull && col("mx").isNotNull &&
+              col("mn") <= lit(hi) && col("mx") >= lit(lo))
+            .select(col("label")).collect().map(_.getString(0)).toSet
+          cur = cur.filter(matching.contains)
+        }
+      }
+      cur
+    }
+  }
+
   // ---------------------------------------------------------------- read
 
   /** Read a dataset as one DataFrame with DNF predicate pushdown:
@@ -1575,16 +1638,22 @@ object Ktk {
     // implies a true less-than — pruning never drops a file wrongly (it
     // can only keep extra near 2^53, the conservative direction).
     // Date/Timestamp compare chronologically on both sides (the existing
-    // user-predicate path). STRINGS ARE EXCLUDED: Spark's min/max orders
-    // by UTF8 binary, but the driver-side comparator is Java
-    // String.compareTo (UTF-16 code units) — the two diverge on
+    // user-predicate path). STRING bounds take a DEDICATED pruning pass
+    // ([[stringEnvelopeCandidates]]) that evaluates ONLY under Spark's
+    // UTF8-binary order — the general driver-side comparator is Java
+    // String.compareTo (UTF-16 code units), which diverges on
     // supplementary characters (emoji in text keys), and the legacy
     // inline-zone comparator additionally coerces numeric-parseable
-    // strings per PAIR (non-transitive). An envelope that is not an
+    // strings per PAIR (non-transitive); an envelope that is not an
     // interval under the pruning order could drop a file holding a
-    // matching key and its row would silently survive the merge — so
-    // string keys take no bounds and fall back to the exact full scan.
-    // Arrays/binary/structs likewise contribute no bounds. A null min
+    // matching key and its row would silently survive the merge. So
+    // string envelopes probe partition values as UTF-8 BYTES on the
+    // driver (byte-identical to Spark's order), and the index/zone
+    // sidecars with Spark expressions only; legacy inline zone maps are
+    // fenced off from string bounds entirely. This matters because LLM
+    // pipelines key on STRING doc ids — the flagship use case must not
+    // fall back to a full candidate scan.
+    // Arrays/binary/structs contribute no bounds. A null min
     // means the column held ONLY nulls, which matches nothing (MERGE ON
     // `=` is null-rejecting).
     lazy val keyBounds: Seq[(String, Any, Any)] = {
@@ -1644,8 +1713,14 @@ object Ktk {
                     PredLiteral(k, graft.core.PredOp.Le, widenHi(hi)))
                 case _ => Nil
               }
-              if (rangeLits.isEmpty) md.partitions.keys.toSeq.sorted
-              else queryLabels(spark, base, md, Predicates(Seq(rangeLits)))
+              val stringBounds = keyBounds.collect {
+                case (k, lo: String, hi: String) => (k, lo, hi)
+              }
+              val cands0 =
+                if (rangeLits.isEmpty) md.partitions.keys.toSeq.sorted
+                else queryLabels(spark, base, md, Predicates(Seq(rangeLits)))
+              if (stringBounds.isEmpty) cands0
+              else stringEnvelopeCandidates(spark, base, md, cands0, stringBounds)
             }
         }
         lastMergeCandidates.set(candidates.size)
@@ -1662,8 +1737,13 @@ object Ktk {
                 s.filter(col(s"`$k`").isin(vs: _*))
               }
             case None =>
+              // string bounds push too: Spark evaluates `>=`/`<=` on
+              // strings under the same UTF8-binary order min/max used,
+              // and parquet row-group stats prune binary-exact
               keyBounds.foldLeft(scan0) {
                 case (s, (k, lo, hi)) if comparableBound(lo) && comparableBound(hi) =>
+                  s.filter(col(s"`$k`") >= lit(lo) && col(s"`$k`") <= lit(hi))
+                case (s, (k, lo: String, hi: String)) =>
                   s.filter(col(s"`$k`") >= lit(lo) && col(s"`$k`") <= lit(hi))
                 case (s, _) => s
               }

@@ -110,6 +110,55 @@ class MergePruneSpec extends SparkSpec {
     zero.select("v").as[Double].collect().head shouldBe -9.0
   }
 
+  test("STRING-keyed uncollectable batch prunes through partition values + zone maps") {
+    // LLM pipelines key on string doc ids — the flagship case must not
+    // fall back to a full candidate scan. The dedicated string pass
+    // compares UTF-8 bytes / Spark expressions only (never the UTF-16
+    // driver comparator or the legacy inline-zone coercions).
+    val base = tmpDir("mprune")
+    val df = (0 until 1600).map { i =>
+      (f"doc$i%06d", ("abcd" (i / 400)).toString, i * 1.0)
+    }.toDF("sk", "p", "v")
+    Ktk.store(spark, base, "ds",
+      df.repartitionByRange(8, col("sk")).sortWithinPartitions("sk"),
+      partitionOn = Seq("p"), sortBy = Seq("sk"), zoneMapFor = Seq("sk"))
+    val total = DatasetMetadata.load(spark, base, "ds").partitions.size
+    // 20 distinct keys > maxCollectKeys=5, clustered in p=b
+    val batch = (400 until 420).map(i => (f"doc$i%06d", "b", -7.0)).toDF("sk", "p", "v")
+    Ktk.merge(spark, base, "ds", batch, keys = Seq("sk", "p"), maxCollectKeys = 5)
+    val candidates = Ktk.lastMergeCandidates.get()
+    candidates should be >= 1
+    candidates should be < total
+    Ktk.readTable(spark, base, "ds")
+      .filter(org.apache.spark.sql.functions.col("v") === -7.0)
+      .count() shouldBe 20L
+  }
+
+  test("string envelope stays exact where UTF-16 and UTF-8 orders diverge") {
+    // U+FF61 ('｡') sorts ABOVE U+10000 ('𐀀') in UTF-16 code units
+    // (0xFF61 > 0xD800 surrogate) but BELOW it in UTF-8 bytes
+    // (EF BD A1 < F0 90 80 80) — a comparator mix-up here silently
+    // un-tombstones a matched row and duplicates the key
+    val base = tmpDir("mprune")
+    val special = Seq("｡", new String(Character.toChars(0x10000)))
+    val fillers = (0 until 8).map(i => s"a$i")
+    val df = (special ++ fillers).zipWithIndex
+      .map { case (k, i) => (k, if (i % 2 == 0) "x" else "y", 1.0) }
+      .toDF("sk", "p", "v")
+    Ktk.store(spark, base, "ds",
+      df.repartitionByRange(4, col("sk")).sortWithinPartitions("sk"),
+      partitionOn = Seq("p"), sortBy = Seq("sk"), zoneMapFor = Seq("sk"))
+    // 10 distinct keys > maxCollectKeys=3 → envelope path; batch touches
+    // BOTH divergence keys plus the fillers
+    val batch = (special ++ fillers).map(k => (k, "z", -8.0)).toDF("sk", "p", "v")
+    Ktk.merge(spark, base, "ds", batch, keys = Seq("sk"), maxCollectKeys = 3)
+    val got = Ktk.readTable(spark, base, "ds")
+    // every key appears exactly once, updated — no un-tombstoned survivor
+    got.count() shouldBe 10L
+    got.filter(org.apache.spark.sql.functions.col("v") === -8.0)
+      .count() shouldBe 10L
+  }
+
   test("uncollectable envelope prunes through a secondary index on a numeric key, exactly") {
     // queryLabels' index layer consumes Ge/Le range literals (the lookup
     // evaluates them with Spark expressions over the index table) — pin

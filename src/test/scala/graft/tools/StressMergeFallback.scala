@@ -83,6 +83,33 @@ object StressMergeFallback {
     val overlap = (750000 until 850000).count(_ % 20 == 0)
     require(counts(-1.0) == 100000L - overlap, s"clustered rows: ${counts(-1.0)}")
     require(counts(-2.0) == 100000L, s"scattered rows: ${counts(-2.0)}")
+
+    // STRING-keyed table (the LLM-pipeline shape: doc-id keys): a
+    // clustered 100k-key CDC batch must prune through the dedicated
+    // UTF8-binary string envelope (partition values + zone sidecar), not
+    // fall back to the full candidate scan
+    val sdf = spark.range(n)
+      .select(format_string("doc%08d", col("id")).as("sk"),
+        (col("id") / 250000).cast("long").as("p"),
+        (col("id") % 997).cast("double").as("v"))
+      .repartition(8).sortWithinPartitions("sk")
+    Ktk.store(spark, base, "dss", sdf, partitionOn = Seq("p"),
+      sortBy = Seq("sk"), zoneMapFor = Seq("sk"))
+    val totalS = graft.ktk.DatasetMetadata.load(spark, base, "dss").partitions.size
+    val strBatch = spark.range(750000, 850000)
+      .select(format_string("doc%08d", col("id")).as("sk"),
+        lit(3L).as("p"), lit(-3.0).as("v"))
+    val (_, tString) = time {
+      Ktk.merge(spark, base, "dss", strBatch, keys = Seq("sk", "p"))
+    }
+    val candString = Ktk.lastMergeCandidates.get()
+    println(f"string-keyed clustered 100k-key merge: $tString%.2f s, candidates " +
+      s"$candString / $totalS")
+    require(candString < totalS,
+      s"string-keyed clustered merge scanned the whole table ($candString/$totalS)")
+    val appliedS = Ktk.readTable(spark, base, "dss")
+      .filter(col("v") === -3.0).count()
+    require(appliedS == 100000L, s"string-keyed applied rows: $appliedS")
     println("OK")
     spark.stop()
   }
