@@ -1331,6 +1331,27 @@ object Ktk {
     }
   }
 
+  /** Last-consumed version recorded in a [[consumeChanges]]/[[mirrorChanges]]
+    * checkpoint blob; 0 when the checkpoint does not exist yet (nothing
+    * consumed). Corrupt contents fail loudly with recovery instructions.
+    * Also the currency of [[garbageCollect]]'s `consumerCheckpoints` floor.
+    */
+  def readChangeCheckpoint(spark: SparkSession, checkpointPath: String): Long = {
+    val fsys = DatasetMetadata.fs(spark, checkpointPath)
+    val ckpt = new Path(checkpointPath)
+    try {
+      val in = fsys.open(ckpt)
+      val bytes = try in.readAllBytes() finally in.close()
+      val txt = new String(bytes, java.nio.charset.StandardCharsets.UTF_8).trim
+      try txt.toLong catch {
+        case _: NumberFormatException => throw new IllegalStateException(
+          s"corrupt change checkpoint $ckpt (contents: '${txt.take(64)}'). " +
+            "Delete the file to replay from version 0, or write a plain " +
+            "version number to resume from that version.")
+      }
+    } catch { case _: java.io.FileNotFoundException => 0L }
+  }
+
   /** At-least-once incremental consumption of [[readChangeFeed]]: reads
     * the last-consumed version from a tiny checkpoint blob, hands
     * `(changes, fromVersion, toVersion]` to `f`, and advances the
@@ -1350,18 +1371,7 @@ object Ktk {
     require(maxVersionsPerPoll >= 1, "maxVersionsPerPoll must be >= 1")
     val fsys = DatasetMetadata.fs(spark, checkpointPath)
     val ckpt = new Path(checkpointPath)
-    val last: Long =
-      try {
-        val in = fsys.open(ckpt)
-        val bytes = try in.readAllBytes() finally in.close()
-        val txt = new String(bytes, java.nio.charset.StandardCharsets.UTF_8).trim
-        try txt.toLong catch {
-          case _: NumberFormatException => throw new IllegalStateException(
-            s"corrupt change checkpoint $ckpt (contents: '${txt.take(64)}'). " +
-              "Delete the file to replay from version 0, or write a plain " +
-              "version number to resume from that version.")
-        }
-      } catch { case _: java.io.FileNotFoundException => 0L }
+    val last: Long = readChangeCheckpoint(spark, checkpointPath)
     val cur = DatasetMetadata.load(spark, base, uuid).version
     if (cur <= last) return 0L
     val to = math.min(cur, last + maxVersionsPerPoll)
@@ -2000,16 +2010,30 @@ object Ktk {
       spark: SparkSession, base: String, uuid: String, atMillis: Long): Option[Long] = {
     val mtimes = DatasetMetadata.versionRecords(spark, base, uuid)
       .groupMapReduce(_._1)(_._2)(math.min)
-    // stamps are strictly monotone along the version line, so walk
-    // DESCENDING and return the FIRST version at or before the instant —
-    // O(1) snapshot loads for "recent" instants instead of O(versions).
-    // Pre-stamp commits fall back to record mtimes, monotone for any
-    // in-place history (commits append over wall time).
-    mtimes.keys.toSeq.sorted(Ordering[Long].reverse).find { v =>
-      val stamp = DatasetMetadata.loadVersion(spark, base, uuid, v)
+    val versions = mtimes.keys.toArray.sorted
+    if (versions.isEmpty) return None
+    def stampOf(v: Long): Long =
+      DatasetMetadata.loadVersion(spark, base, uuid, v)
         .metadata.get(DatasetMetadata.CommitTsKey).map(_.toLong)
-      stamp.orElse(mtimes.get(v)).exists(_ <= atMillis)
+        .getOrElse(mtimes(v)) // pre-stamp commits: record mtime, monotone
+                              // for any in-place history (commits append
+                              // over wall time)
+    // stamps are strictly monotone along the version line (in-commit
+    // stamps floor on the parent's), so: head fast path first — "now-ish"
+    // instants resolve with ONE load — then BINARY SEARCH for the last
+    // version at or before the instant: O(log versions) loads on a long
+    // retained history instead of the old descending walk's O(versions)
+    // worst case for old instants.
+    if (stampOf(versions.last) <= atMillis) return Some(versions.last)
+    var lo = 0
+    var hi = versions.length - 2 // last already ruled out
+    var ans = -1
+    while (lo <= hi) {
+      val mid = (lo + hi) >>> 1
+      if (stampOf(versions(mid)) <= atMillis) { ans = mid; lo = mid + 1 }
+      else hi = mid - 1
     }
+    if (ans < 0) None else Some(versions(ans))
   }
 
   /** Versions in `(fromVersion, toVersion]` that were [[rollback]] commits,
@@ -3406,7 +3430,8 @@ object Ktk {
       retainVersions: Int = 0,
       sidecarGraceMs: Long = 15L * 60 * 1000,
       dryRun: Boolean = false,
-      retainLastMs: Long = -1L): Seq[String] = {
+      retainLastMs: Long = -1L,
+      consumerCheckpoints: Seq[String] = Nil): Seq[String] = {
     val md = DatasetMetadata.load(spark, base, uuid)
     val fs = DatasetMetadata.fs(spark, base)
     val tableRoot = fs.makeQualified(new Path(md.tableDir(base)))
@@ -3418,7 +3443,7 @@ object Ktk {
     // Deliberately keyed on record MTIMES, not the in-commit stamp: a
     // freshly copied dataset gets young mtimes and so RETAINS MORE — the
     // safe direction for deletion, while time travel uses the stamp
-    val keepFrom = {
+    val keepFrom0 = {
       val byCount = md.version - retainVersions
       if (retainLastMs < 0L) byCount
       else {
@@ -3428,6 +3453,17 @@ object Ktk {
           .collect { case (v, m) if m >= cutoff => v }
         math.min(byCount, if (timeKept.isEmpty) byCount else timeKept.min)
       }
+    }
+    // consumer-aware floor: a REGISTERED change consumer (consumeChanges /
+    // mirrorChanges checkpoint files) whose poll lags must keep its whole
+    // remaining window replayable — the feed over (v, cur] loads every
+    // snapshot back to v itself (parent diffs), so the floor is the
+    // checkpointed version. A checkpoint that does not exist yet floors at
+    // 0 (nothing consumed: keep everything rather than strand the consumer
+    // before its first poll). Unregistered consumers keep today's loud
+    // failure: their next poll hits the vacuumed-version error.
+    val keepFrom = consumerCheckpoints.foldLeft(keepFrom0) { (kf, cp) =>
+      math.min(kf, readChangeCheckpoint(spark, cp))
     }
     val (keptVersions, prunedVersions) = allVersions.partition(_ >= keepFrom)
     val retainedMds = keptVersions.filter(_ != md.version)

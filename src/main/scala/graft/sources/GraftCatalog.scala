@@ -367,11 +367,16 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog with StagingTableC
         ProcedureParameter.in("dry_run", BooleanType).defaultValue("false").build(),
         // Delta VACUUM's "RETAIN n HOURS", in ms: versions committed inside
         // the window also survive (widens retain_versions, never narrows)
-        ProcedureParameter.in("retain_last_ms", LongType).defaultValue("-1").build()),
+        ProcedureParameter.in("retain_last_ms", LongType).defaultValue("-1").build(),
+        // comma-separated consumeChanges/mirror checkpoint files: versions
+        // a registered consumer still needs survive (consumer-aware floor)
+        ProcedureParameter.in("consumer_checkpoints", StringType).defaultValue("''").build()),
       StructType(Seq(StructField("path", StringType)))) { in =>
+      val ckpts = Option(in.getUTF8String(4)).map(_.toString).getOrElse("")
+        .split(',').toSeq.map(_.trim).filter(_.nonEmpty)
       Ktk.garbageCollect(spark, base, in.getUTF8String(0).toString,
         retainVersions = in.getInt(1), dryRun = in.getBoolean(2),
-        retainLastMs = in.getLong(3))
+        retainLastMs = in.getLong(3), consumerCheckpoints = ckpts)
         .map(p => InternalRow(UTF8String.fromString(p)))
     })
 

@@ -155,4 +155,51 @@ class MirrorSpec extends SparkSpec {
       .as[(Long, Option[String])].collect().sorted.toSeq
     got shouldBe Seq((1L, None), (2L, Some("tag2")))
   }
+
+  test("consumer-aware gc preserves a lagging mirror's window; unregistered fails loudly") {
+    def seed(): (String, String, String) = {
+      val src = tmpDir("mir-src"); val dst = tmpDir("mir-dst")
+      val ckpt = s"${tmpDir("mir-ckpt")}/mirror.v"
+      Ktk.store(spark, src, "src",
+        Seq((1L, "a", 10.0)).toDF("k", "p", "v"), partitionOn = Seq("p")) // v1
+      // mirror consumes v1, then falls behind while upstream commits on
+      Ktk.mirrorChanges(spark, src, "src", dst, "dst", Seq("k"), ckpt,
+        maxVersionsPerPoll = 1) shouldBe 1L
+      (2 to 6).foreach(i =>
+        Ktk.update(spark, src, "src",
+          Some(Seq((i.toLong, "a", i * 10.0)).toDF("k", "p", "v")))) // v2..v6
+      (src, dst, ckpt)
+    }
+    // REGISTERED: the checkpoint (at v1) floors gc — versions 2..6 and the
+    // snapshot they diff against stay replayable even though
+    // retainVersions=0 would otherwise vacuum everything before v6
+    locally {
+      val (src, dst, ckpt) = seed()
+      Ktk.readChangeCheckpoint(spark, ckpt) shouldBe 1L
+      Ktk.garbageCollect(spark, src, "src",
+        retainVersions = 0, consumerCheckpoints = Seq(ckpt))
+      DatasetMetadata.listVersions(spark, src, "src").min shouldBe 1L
+      drain(src, dst, ckpt, maxPer = 2)
+      content(dst, "dst") shouldBe content(src, "src")
+      // caught up: the floor advances with the checkpoint, gc may reap now
+      Ktk.garbageCollect(spark, src, "src",
+        retainVersions = 0, consumerCheckpoints = Seq(ckpt))
+      DatasetMetadata.listVersions(spark, src, "src").min shouldBe 6L
+    }
+    // UNREGISTERED: same lag, gc unaware — the next poll fails loudly
+    // (vacuumed version), never silently skips changes
+    locally {
+      val (src, dst, ckpt) = seed()
+      Ktk.garbageCollect(spark, src, "src", retainVersions = 0)
+      val e = intercept[Exception] { drain(src, dst, ckpt, maxPer = 2) }
+      e.getMessage.toLowerCase should include("gc")
+    }
+    // a registered checkpoint that does not exist yet keeps everything
+    locally {
+      val (src, _, _) = seed()
+      Ktk.garbageCollect(spark, src, "src", retainVersions = 0,
+        consumerCheckpoints = Seq(s"${tmpDir("mir-new")}/never-polled.v"))
+      DatasetMetadata.listVersions(spark, src, "src").min shouldBe 1L
+    }
+  }
 }

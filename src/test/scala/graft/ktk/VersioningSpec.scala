@@ -55,6 +55,38 @@ class VersioningSpec extends SparkSpec {
     Ktk.versionAtTimestamp(spark, base, "ds", stamps(0) - 1) shouldBe None
   }
 
+  test("versionAtTimestamp binary-searches: flat lookup counts on a 1k-version history") {
+    val base = tmpDir("ver")
+    // 1000 metadata-only commits (no data jobs): the in-commit stamps are
+    // strictly monotone, which is what the search relies on
+    var md = DatasetMetadata(uuid = "tt")
+    (1 to 1000).foreach { _ =>
+      md = DatasetMetadata.store(spark, base, md, parentMd = Some(md))
+    }
+    md.version shouldBe 1000L
+    def stampOf(v: Long): Long =
+      DatasetMetadata.loadVersion(spark, base, "tt", v)
+        .metadata(DatasetMetadata.CommitTsKey).toLong
+    def loads[A](f: => A): (A, Long) = {
+      val before = DatasetMetadata.recordReads.get() + DatasetMetadata.cacheHits.get()
+      val out = f
+      (out, DatasetMetadata.recordReads.get() + DatasetMetadata.cacheHits.get() - before)
+    }
+    // correctness across the line: exact stamp, just-before, head, miss
+    Ktk.versionAtTimestamp(spark, base, "tt", stampOf(500L)) shouldBe Some(500L)
+    Ktk.versionAtTimestamp(spark, base, "tt", stampOf(500L) - 1) shouldBe Some(499L)
+    Ktk.versionAtTimestamp(spark, base, "tt", Long.MaxValue) shouldBe Some(1000L)
+    Ktk.versionAtTimestamp(spark, base, "tt", stampOf(1L) - 1) shouldBe None
+    // flat lookup counts, even for OLD instants (the descending walk's
+    // worst case was O(versions) ≈ 1000 loads): ≤ ~(log2(1000)+1) probes,
+    // each replaying at most CheckpointEvery-1 delta records
+    val budget = 12L * DatasetMetadata.CheckpointEvery
+    Seq(stampOf(3L), stampOf(500L), stampOf(997L), Long.MaxValue).foreach { at =>
+      val (_, n) = loads(Ktk.versionAtTimestamp(spark, base, "tt", at))
+      n should be <= budget
+    }
+  }
+
   test("history attributes each commit's operation; inherited stamps display null") {
     val base = tmpDir("ver")
     Ktk.store(spark, base, "ds", df1)                    // v1 WRITE
