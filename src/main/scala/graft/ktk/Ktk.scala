@@ -883,20 +883,26 @@ object Ktk {
     * zone [mn, mx] straddles s (kept) — pruning can only drop files that
     * hold NO batch key; the residual semi join stays exact regardless.
     */
+  /** `a <= b` under UTF-8 unsigned-byte order — byte-identical to Spark's
+    * default (UTF8_BINARY) string comparison, property-tested against
+    * `UTF8String.compareTo` in MergePruneSpec. The ONLY driver-side string
+    * comparator the string envelope is allowed to touch.
+    */
+  private[graft] def utf8Leq(a: String, b: String): Boolean = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    while (i < x.length && i < y.length) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c < 0
+      i += 1
+    }
+    x.length <= y.length
+  }
+
   private[graft] def stringEnvelopeCandidates(
       spark: SparkSession, base: String, md: DatasetMetadata,
       candidates: Seq[String], bounds: Seq[(String, String, String)]): Seq[String] = {
-    def utf8Leq(a: String, b: String): Boolean = {
-      val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-      val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-      var i = 0
-      while (i < x.length && i < y.length) {
-        val c = (x(i) & 0xff) - (y(i) & 0xff)
-        if (c != 0) return c < 0
-        i += 1
-      }
-      x.length <= y.length
-    }
     val partCols = md.partitionKeys.toSet
     bounds.foldLeft(candidates) { case (labels0, (k, lo, hi)) =>
       var cur = labels0

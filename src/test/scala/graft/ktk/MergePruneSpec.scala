@@ -159,6 +159,25 @@ class MergePruneSpec extends SparkSpec {
       .count() shouldBe 10L
   }
 
+  test("utf8Leq agrees with Spark's UTF8String order on arbitrary strings") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import org.apache.spark.unsafe.types.UTF8String
+    // strings drawn to stress the divergence zones: BMP high code points,
+    // surrogate-pair supplementary chars, empties, shared prefixes
+    val unit: Gen[String] = Gen.oneOf(
+      Gen.alphaNumStr.map(_.take(6)),
+      Gen.choose(0x20, 0xFFFD).map(cp => new String(Character.toChars(cp))),
+      Gen.choose(0x10000, 0x10FFFF).map(cp => new String(Character.toChars(cp))),
+      Gen.const(""))
+    val str: Gen[String] = Gen.listOfN(3, unit).map(_.mkString)
+    val prop = Prop.forAll(str, str) { (a, b) =>
+      Ktk.utf8Leq(a, b) ==
+        (UTF8String.fromString(a).compareTo(UTF8String.fromString(b)) <= 0)
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(500), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("uncollectable envelope prunes through a secondary index on a numeric key, exactly") {
     // queryLabels' index layer consumes Ge/Le range literals (the lookup
     // evaluates them with Spark expressions over the index table) — pin
