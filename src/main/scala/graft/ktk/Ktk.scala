@@ -3395,7 +3395,10 @@ object Ktk {
       targetFileBytes: Long = 128L * 1024 * 1024,
       maxSidecarFragments: Int = 64,
       gcRetainVersions: Int = -1,
-      scope: Predicates = Predicates.empty): DatasetMetadata = {
+      scope: Predicates = Predicates.empty,
+      // maintenance jobs are exactly where a lagging CDC consumer gets
+      // stranded — the floor applies to the optimize-embedded gc too
+      consumerCheckpoints: Seq[String] = Nil): DatasetMetadata = {
     // the scope flows into the rewrite stages; sidecar canonicalization
     // and gc stay global (they are metadata/file reaping, not rewrites)
     compact(spark, base, uuid, smallFileBytes, targetFileBytes, scope = scope)
@@ -3405,7 +3408,8 @@ object Ktk {
       md = DatasetMetadata.load(spark, base, uuid)
     }
     if (gcRetainVersions >= 0) {
-      garbageCollect(spark, base, uuid, gcRetainVersions)
+      garbageCollect(spark, base, uuid, gcRetainVersions,
+        consumerCheckpoints = consumerCheckpoints)
       md = DatasetMetadata.load(spark, base, uuid)
     }
     md
