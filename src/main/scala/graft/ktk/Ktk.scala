@@ -3378,6 +3378,94 @@ object Ktk {
     out
   }
 
+  /** Integrity audit (the FSCK verb of operational table formats),
+    * METADATA-DRIVEN and strictly read-only: verifies that everything the
+    * retained commit history references still exists in storage, and
+    * previews unreferenced leftovers gc would reap. One recursive listing
+    * of `table/` + O(retained versions) cached metadata loads — no data
+    * pages read, safe against a live table at any size. Rows
+    * `(kind, version, path)`, `version` = the newest retained commit
+    * affected:
+    *
+    *  - `missing_dv_fragment` — tombstones GONE: reads would silently
+    *    RESURRECT deleted rows (the one silent-corruption case; first);
+    *  - `missing_data_file` — a retained snapshot references a vanished
+    *    file: reads of that version fail;
+    *  - `missing_index` / `missing_bloom` / `missing_zone` — registry
+    *    entry whose sidecar is gone (index reads fail; bloom/zone pruning
+    *    silently degrades to keep-all);
+    *  - `broken_replay_chain` — a version whose delta chain no longer
+    *    reaches a checkpoint (unreachable for time travel);
+    *  - `orphan_file` — present under `table/`, referenced by NO retained
+    *    version (gc-candidate preview, not a fault).
+    */
+  def fsck(spark: SparkSession, base: String, uuid: String): DataFrame = {
+    import spark.implicits._
+    val fs = DatasetMetadata.fs(spark, base)
+    val issues = Seq.newBuilder[(String, Long, String)]
+    val versions = DatasetMetadata.listVersions(spark, base, uuid)
+    val loaded: Seq[(Long, DatasetMetadata)] = versions.flatMap { v =>
+      try Some(v -> DatasetMetadata.loadVersion(spark, base, uuid, v))
+      catch {
+        case _: NoSuchElementException =>
+          issues += (("broken_replay_chain", v,
+            DatasetMetadata.versionDeltaKey(base, uuid, v)))
+          None
+      }
+    }
+    // one listing answers both data-file checks
+    val tableRoot = fs.makeQualified(new Path(s"$base/$uuid/table"))
+    val present: Set[String] =
+      if (!fs.exists(tableRoot)) Set.empty
+      else {
+        val prefix = tableRoot.toString + "/"
+        val out = Set.newBuilder[String]
+        val it = fs.listFiles(tableRoot, true)
+        while (it.hasNext) {
+          val st = it.next()
+          val name = st.getPath.getName
+          if (st.isFile && !name.startsWith("_") && !name.startsWith("."))
+            out += st.getPath.toString.stripPrefix(prefix)
+        }
+        out.result()
+      }
+    // newest version referencing each label wins the attribution
+    // (Option-guarded: absent fields deserialize to null on old blobs)
+    val referenced = scala.collection.mutable.Map.empty[String, Long]
+    loaded.foreach { case (v, md) =>
+      Option(md.partitions).getOrElse(Map.empty[String, Long])
+        .keysIterator.foreach(l => referenced(l) =
+          math.max(referenced.getOrElse(l, Long.MinValue), v))
+    }
+    referenced.toSeq.sorted.foreach { case (label, v) =>
+      if (!present.contains(label)) issues += (("missing_data_file", v, label))
+    }
+    present.toSeq.sorted.foreach { l =>
+      if (!referenced.contains(l)) issues += (("orphan_file", -1L, l))
+    }
+    // sidecars + fragments: newest referencing version attributed, one
+    // existence probe per distinct name (registries are metadata-sized)
+    def checkDir(kind: String, dir: String, names: Seq[(Long, String)]): Unit =
+      names.groupMapReduce(_._2)(_._1)(math.max).toSeq.sorted.foreach { case (name, v) =>
+        if (!fs.exists(new Path(s"$base/$uuid/$dir/$name")))
+          issues += ((kind, v, s"$dir/$name"))
+      }
+    checkDir("missing_dv_fragment", DatasetMetadata.DeletesDirName,
+      loaded.flatMap { case (v, md) => md.deleteFragments.map(v -> _) })
+    checkDir("missing_index", IndexDirName,
+      loaded.flatMap { case (v, md) =>
+        Option(md.indices).getOrElse(Map.empty[String, String]).values.toSeq.map(v -> _) })
+    checkDir("missing_bloom", "blooms",
+      loaded.flatMap { case (v, md) => md.bloomRegistry.values.toSeq.map(v -> _) })
+    checkDir("missing_zone", "zones",
+      loaded.flatMap { case (v, md) => md.zoneRegistry.values.toSeq.map(v -> _) })
+    val order = Seq("missing_dv_fragment", "missing_data_file", "missing_index",
+      "missing_bloom", "missing_zone", "broken_replay_chain", "orphan_file")
+      .zipWithIndex.toMap
+    issues.result().sortBy { case (k, v, p) => (order(k), p, v) }
+      .toDF("kind", "version", "path")
+  }
+
   /** One-call table maintenance (the OPTIMIZE entry point a scheduler
     * runs): [[compact]] small files (which also drains deletion vectors
     * for its victims and re-canonicalizes appended sidecar fragments),

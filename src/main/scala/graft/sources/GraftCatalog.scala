@@ -361,6 +361,15 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog with StagingTableC
         "add_zonemaps: `columns` must name at least one column (comma-separated)")
       versionRow(Ktk.addZoneMaps(spark, base, in.getUTF8String(0).toString, cols))
     },
+    // read-only integrity audit: everything the retained history
+    // references must exist; orphans previewed (see Ktk.fsck)
+    "fsck" -> proc("fsck", Array(stringParam("table")),
+      StructType(Seq(
+        StructField("kind", StringType), StructField("version", LongType),
+        StructField("path", StringType)))) { in =>
+      Ktk.fsck(spark, base, in.getUTF8String(0).toString)
+        .queryExecution.executedPlan.executeCollect().toSeq
+    },
     "gc" -> proc("gc",
       Array(stringParam("table"),
         ProcedureParameter.in("retain_versions", IntegerType).defaultValue("0").build(),

@@ -1,0 +1,99 @@
+package graft.ktk
+
+import graft.SparkSpec
+import graft.core.Predicates
+import org.apache.hadoop.fs.Path
+
+/** Integrity audit ([[Ktk.fsck]]): every storage fault a retained commit
+  * can suffer is reported with its kind, the newest affected version, and
+  * the path — and a healthy table reports NOTHING. Strictly read-only.
+  */
+class FsckSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def seed(base: String): DatasetMetadata = {
+    Ktk.store(spark, base, "ds",
+      Seq((1L, "a", 10.0), (2L, "a", 20.0), (3L, "b", 30.0)).toDF("k", "p", "v"),
+      partitionOn = Seq("p"), secondaryIndices = Seq("k")) // v1
+    Ktk.deleteRows(spark, base, "ds",
+      predicates = Predicates.of(Seq(("k", "==", 2)))) // v2: one DV fragment
+    DatasetMetadata.load(spark, base, "ds")
+  }
+
+  private def kinds(base: String): Map[String, Seq[String]] =
+    Ktk.fsck(spark, base, "ds").collect()
+      .map(r => r.getString(0) -> r.getString(2)).toSeq
+      .groupMap(_._1)(_._2)
+
+  test("a healthy table audits clean") {
+    val base = tmpDir("fsck")
+    seed(base)
+    Ktk.fsck(spark, base, "ds").count() shouldBe 0L
+  }
+
+  test("hand-deleted data file, DV fragment, index, and a stray file are each reported") {
+    val base = tmpDir("fsck")
+    val md = seed(base)
+    val fs = DatasetMetadata.fs(spark, base)
+    // 1. vanish one referenced data file
+    val victim = md.partitions.keys.toSeq.sorted.head
+    fs.delete(new Path(s"${md.tableDir(base)}/$victim"), false) shouldBe true
+    // 2. vanish the DV fragment (reads would resurrect the deleted row)
+    val frag = md.deleteFragments.head
+    fs.delete(new Path(md.deletePath(base, frag)), true) shouldBe true
+    // 3. vanish the secondary index sidecar
+    fs.delete(new Path(md.indexPath(base, "k")), true) shouldBe true
+    // 4. plant a stray file under table/
+    val stray = new Path(s"${md.tableDir(base)}/p=a/stray.parquet")
+    val out = fs.create(stray, true); out.write(1); out.close()
+
+    val got = kinds(base)
+    got("missing_data_file") shouldBe Seq(victim)
+    got("missing_dv_fragment").head should endWith(frag)
+    got("missing_index").head should include("indices/")
+    got("orphan_file") shouldBe Seq("p=a/stray.parquet")
+    // ordering puts the silent-corruption case first
+    Ktk.fsck(spark, base, "ds").collect().head.getString(0) shouldBe "missing_dv_fragment"
+  }
+
+  test("a broken replay chain is reported for every version it strands") {
+    val base = tmpDir("fsck")
+    seed(base) // v1, v2
+    (3 to 14).foreach(i => Ktk.update(spark, base, "ds",
+      Some(Seq((100L + i, "a", i * 1.0)).toDF("k", "p", "v")))) // v3..v14
+    val fs = DatasetMetadata.fs(spark, base)
+    // v11..v14 are deltas over the v10 checkpoint: removing v12's record
+    // strands v13 and v14 (their walk-back hits the gap); v12 itself
+    // disappears from the version listing. Evict the JVM snapshot cache —
+    // fsck must detect the fault from STORAGE, not be masked by cache.
+    fs.delete(new Path(DatasetMetadata.versionDeltaKey(base, "ds", 12L)), false) shouldBe true
+    (12L to 14L).foreach(DatasetMetadata.uncacheVersion(base, "ds", _))
+    val got = kinds(base)
+    // the files v12..v14 added are referenced only by the stranded
+    // versions, so they surface as orphans too — a broken chain degrades
+    // loudly on both axes, never silently
+    got.keySet shouldBe Set("broken_replay_chain", "orphan_file")
+    got("broken_replay_chain").size shouldBe 2 // v13 and v14
+  }
+
+  test("gc'd history is not audited: a vacuumed table stays clean") {
+    val base = tmpDir("fsck")
+    seed(base) // v1, v2
+    (3 to 6).foreach(i => Ktk.update(spark, base, "ds",
+      Some(Seq((100L + i, "a", i * 1.0)).toDF("k", "p", "v")))) // v3..v6
+    Ktk.garbageCollect(spark, base, "ds", retainVersions = 1)
+    Ktk.fsck(spark, base, "ds").count() shouldBe 0L
+  }
+
+  test("CALL system.fsck surfaces the audit through SQL") {
+    val base = tmpDir("fsck")
+    val md = seed(base)
+    spark.conf.set("spark.sql.catalog.gfsck", classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gfsck.base", base)
+    spark.sql("CALL gfsck.system.fsck(table => 'ds')").count() shouldBe 0L
+    DatasetMetadata.fs(spark, base)
+      .delete(new Path(md.deletePath(base, md.deleteFragments.head)), true)
+    spark.sql("CALL gfsck.system.fsck(table => 'ds')")
+      .select("kind").as[String].collect().toSeq shouldBe Seq("missing_dv_fragment")
+  }
+}
