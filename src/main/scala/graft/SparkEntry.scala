@@ -2565,6 +2565,39 @@ object SparkEntry {
       val base = ensureLineitemDs(s, dir)
       Ktk.parquetStats(s, base, "lineitem")
         .groupBy().agg(sum("rows").as("total_rows"))
+    }),
+
+    "q_ktk_fsck" -> ((s, dir) => {
+      // integrity audit: a healthy table audits CLEAN (pinned in-query),
+      // a hand-vanished data file and DV fragment are each reported with
+      // their kind — the fragment case is the silent-resurrection hazard
+      // and must sort first. Rows-only gate (filesystem faults have no
+      // SQL twin); FsckSpec covers the full fault matrix.
+      val base = scratch(dir)
+      val uuid = "orders_fsck"
+      val md0 = {
+        Ktk.store(s, base, uuid,
+          t(s, dir, "orders").select("o_orderkey", "o_orderstatus", "o_totalprice"),
+          partitionOn = Seq("o_orderstatus"), overwrite = true)
+        Ktk.deleteRows(s, base, uuid,
+          predicates = Predicates.of(Seq(("o_totalprice", ">", 300000.0))))
+        graft.ktk.DatasetMetadata.load(s, base, uuid)
+      }
+      require(Ktk.fsck(s, base, uuid).count() == 0L, "healthy table must audit clean")
+      val fs = graft.ktk.DatasetMetadata.fs(s, base)
+      val victim = md0.partitions.keys.toSeq.sorted.head
+      fs.delete(new org.apache.hadoop.fs.Path(s"${md0.tableDir(base)}/$victim"), false)
+      fs.delete(new org.apache.hadoop.fs.Path(
+        md0.deletePath(base, md0.deleteFragments.head)), true)
+      val issues = Ktk.fsck(s, base, uuid)
+      val kindsFound = issues.select("kind").as[String](
+        org.apache.spark.sql.Encoders.STRING).collect().toSeq
+      require(kindsFound.head == "missing_dv_fragment",
+        s"silent-resurrection hazard must sort first, got $kindsFound")
+      require(kindsFound.contains("missing_data_file"), s"missing file not flagged: $kindsFound")
+      // repair the fixture so later runs in the same scratch dir re-seed
+      graft.ktk.DatasetMetadata.delete(s, base, uuid)
+      issues.groupBy("kind").agg(count(lit(1)).as("cnt")).orderBy("kind")
     })
   )
 
