@@ -15,6 +15,7 @@ import graft.ktk.{DatasetMetadata, Ktk}
   *   runMain graft.tools.Cli index   <base> <uuid> <column>
   *   runMain graft.tools.Cli bloom   <base> <uuid> <column>
   *   runMain graft.tools.Cli zonemap <base> <uuid> <column> [column ...]
+  *   runMain graft.tools.Cli fsck    <base> <uuid>     # read-only integrity audit
   *   runMain graft.tools.Cli cleanup <base> <uuid>
   *   runMain graft.tools.Cli compact <base> <uuid>
   *   runMain graft.tools.Cli optimize <base> <uuid> [gcRetainVersions]
@@ -91,6 +92,10 @@ object Cli {
       println(s"zone maps computed for ${args.drop(3).mkString(", ")}")
     case "stats" =>
       Ktk.parquetStats(spark, args(1), args(2)).show(100, truncate = false)
+    case "fsck" =>
+      val issues = Ktk.fsck(spark, args(1), args(2))
+      if (issues.isEmpty) println("clean: every retained commit's references exist")
+      else issues.show(1000, truncate = false)
     case "cleanup" =>
       val dry = args.length > 3 && args(3) == "--dry-run"
       Ktk.garbageCollect(spark, args(1), args(2), dryRun = dry)

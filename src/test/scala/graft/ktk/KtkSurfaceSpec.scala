@@ -125,6 +125,7 @@ class KtkSurfaceSpec extends SparkSpec {
     graft.tools.Cli.run(spark, Array("zonemap", base, "ds", "v"))
     DatasetMetadata.load(spark, base, "ds").zoneRegistry.keySet shouldBe Set("v")
     graft.tools.Cli.run(spark, Array("versions", base, "ds"))
+    graft.tools.Cli.run(spark, Array("fsck", base, "ds"))
     graft.tools.Cli.run(spark, Array("asof", base, "ds", "1", "p == 1"))
     graft.tools.Cli.run(spark, Array("copy", base, "ds", "ds2"))
     Ktk.readTable(spark, base, "ds2").count() shouldBe 2
