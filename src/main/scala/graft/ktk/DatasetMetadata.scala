@@ -352,6 +352,16 @@ object DatasetMetadata {
   def versionDeltaKey(base: String, uuid: String, v: Long): String =
     f"${versionsDir(base, uuid)}/v$v%08d.delta.json"
 
+  /** Read ONE delta record straight from storage (bypasses the snapshot
+    * cache — fsck's reachability audit must see what a FRESH JVM would).
+    */
+  private[graft] def readDeltaRecord(
+      spark: SparkSession, base: String, uuid: String, v: Long): VersionDelta = {
+    val in = fs(spark, base).open(new Path(versionDeltaKey(base, uuid, v)))
+    try mapper.readValue(in: java.io.InputStream, classOf[VersionDelta])
+    finally in.close()
+  }
+
   /** Every `CheckpointEvery`-th commit (and v1) writes a full snapshot;
     * the rest write O(delta) records — replay depth is bounded by this.
     */

@@ -2018,28 +2018,43 @@ object Ktk {
       .groupMapReduce(_._1)(_._2)(math.min)
     val versions = mtimes.keys.toArray.sorted
     if (versions.isEmpty) return None
-    def stampOf(v: Long): Long =
+    def stampOpt(v: Long): Option[Long] =
       DatasetMetadata.loadVersion(spark, base, uuid, v)
         .metadata.get(DatasetMetadata.CommitTsKey).map(_.toLong)
-        .getOrElse(mtimes(v)) // pre-stamp commits: record mtime, monotone
-                              // for any in-place history (commits append
-                              // over wall time)
-    // stamps are strictly monotone along the version line (in-commit
-    // stamps floor on the parent's), so: head fast path first — "now-ish"
-    // instants resolve with ONE load — then BINARY SEARCH for the last
-    // version at or before the instant: O(log versions) loads on a long
-    // retained history instead of the old descending walk's O(versions)
-    // worst case for old instants.
-    if (stampOf(versions.last) <= atMillis) return Some(versions.last)
+    // head fast path: "now-ish" instants resolve with ONE load, and the
+    // head is the latest version regardless of any ordering caveat below
+    if (stampOpt(versions.last).getOrElse(mtimes(versions.last)) <= atMillis)
+      return Some(versions.last)
+    // In-commit stamps are strictly monotone along the version line (each
+    // floors on its parent's) and stamped commits form a SUFFIX (every
+    // commit since the feature stamps; copies preserve records verbatim) —
+    // so the suffix BINARY-SEARCHES: O(log versions) loads on a long
+    // retained history instead of a descending walk's O(versions) worst
+    // case for old instants. Pre-stamp commits fall back to record
+    // MTIMES, which a dataset copy REFRESHES (young mtimes, gc's keepFrom0
+    // documents the same caveat) — non-monotone, so the prefix keeps the
+    // legacy descending walk (legacy-only, bounded by the prefix).
     var lo = 0
-    var hi = versions.length - 2 // last already ruled out
-    var ans = -1
+    var hi = versions.length - 1
+    var b = versions.length // lowest stamped index ("stamped" is suffix-closed)
     while (lo <= hi) {
       val mid = (lo + hi) >>> 1
-      if (stampOf(versions(mid)) <= atMillis) { ans = mid; lo = mid + 1 }
-      else hi = mid - 1
+      if (stampOpt(versions(mid)).isDefined) { b = mid; hi = mid - 1 }
+      else lo = mid + 1
     }
-    if (ans < 0) None else Some(versions(ans))
+    if (b < versions.length) {
+      var l = b
+      var h = versions.length - 2 // head already ruled out
+      var ans = -1
+      while (l <= h) {
+        val mid = (l + h) >>> 1
+        if (stampOpt(versions(mid)).exists(_ <= atMillis)) { ans = mid; l = mid + 1 }
+        else h = mid - 1
+      }
+      // a stamped match is a LATER version than any prefix match — done
+      if (ans >= 0) return Some(versions(ans))
+    }
+    versions.slice(0, b).reverseIterator.find(v => mtimes(v) <= atMillis)
   }
 
   /** Versions in `(fromVersion, toVersion]` that were [[rollback]] commits,
@@ -3404,14 +3419,35 @@ object Ktk {
     val fs = DatasetMetadata.fs(spark, base)
     val issues = Seq.newBuilder[(String, Long, String)]
     val versions = DatasetMetadata.listVersions(spark, base, uuid)
-    val loaded: Seq[(Long, DatasetMetadata)] = versions.flatMap { v =>
-      try Some(v -> DatasetMetadata.loadVersion(spark, base, uuid, v))
-      catch {
-        case _: NoSuchElementException =>
-          issues += (("broken_replay_chain", v,
-            DatasetMetadata.versionDeltaKey(base, uuid, v)))
-          None
+    // replay-chain reachability is audited from STORAGE record names, never
+    // through loadVersion: this JVM's snapshot cache would mask a vacuumed
+    // record that strands every FRESH reader (the fault fsck exists to
+    // find). One listing + at most one tiny delta read per non-checkpoint
+    // version (self-contained deltas terminate chains like checkpoints).
+    val recordNames: Set[String] =
+      try fs.listStatus(new Path(DatasetMetadata.versionsDir(base, uuid)))
+        .map(_.getPath.getName).toSet
+      catch { case _: java.io.FileNotFoundException => Set.empty }
+    def hasFull(k: Long): Boolean = recordNames.contains(f"v$k%08d.json")
+    def hasDelta(k: Long): Boolean = recordNames.contains(f"v$k%08d.delta.json")
+    val selfContained = scala.collection.mutable.Map.empty[Long, Boolean]
+    def reachable(v: Long): Boolean = {
+      var k = v
+      while (k >= 1) {
+        if (hasFull(k)) return true
+        if (!hasDelta(k)) return false
+        if (selfContained.getOrElseUpdate(k,
+            DatasetMetadata.readDeltaRecord(spark, base, uuid, k).full)) return true
+        k -= 1
       }
+      false
+    }
+    val loaded: Seq[(Long, DatasetMetadata)] = versions.flatMap { v =>
+      if (!reachable(v)) {
+        issues += (("broken_replay_chain", v,
+          DatasetMetadata.versionDeltaKey(base, uuid, v)))
+        None
+      } else Some(v -> DatasetMetadata.loadVersion(spark, base, uuid, v))
     }
     // one listing answers both data-file checks
     val tableRoot = fs.makeQualified(new Path(s"$base/$uuid/table"))

@@ -569,18 +569,15 @@ final class GraftScanBuilder(base: String, md: DatasetMetadata, options: CaseIns
     val readDataSchema = StructType(requiredSchema.fields.filterNot(f => partCols(f.name)))
     val readPartitionSchema = StructType(requiredSchema.fields.filter(f => partCols(f.name)))
     val dataFilters = pushed.filter(_.references.forall(c => !partCols(c)))
-    // ParquetScan subclass: identical batch behavior, plus toMicroBatchStream
-    // for `spark.readStream.format("graft")` (commit-version change feed)
-    val parquet = new GraftStreamableScan(
-      spark, spark.sessionState.newHadoopConf(), fileIndexFor(spark, cleanL),
-      dataSchema, readDataSchema, readPartitionSchema,
-      dataFilters, options, base, md.uuid,
-      // the streaming relation's declared order is the TABLE's (scan
-      // order) — the stream reader projects rows into exactly this
-      GraftTable.scanOrder(md))
-    if (dvSide.contains("dirty")) {
-      // the dirty branch of the logical split: only tombstone-touched
-      // files, row-based, positions filtered against the broadcast vectors
+    // dirty-side scan recipe, shared by the split branch and the combined
+    // fallback: a second ParquetScan whose readDataSchema carries Spark's
+    // temporary row-index column — the reader fills it with the
+    // file-absolute position (row-group skipping accounted for), the exact
+    // coordinate the deletion vectors were recorded in. MUST be nullable:
+    // the column is absent from the data files (the reader's row-index
+    // generator fills it), and the parquet reader rejects
+    // required-but-missing columns.
+    def buildDirtyScan(): (ParquetScan, org.apache.spark.broadcast.Broadcast[Map[String, Array[Long]]]) = {
       val rowIdx = org.apache.spark.sql.types.StructField(
         ParquetFileFormat.ROW_INDEX_TEMPORARY_COLUMN_NAME,
         org.apache.spark.sql.types.LongType, nullable = true)
@@ -593,31 +590,29 @@ final class GraftScanBuilder(base: String, md: DatasetMetadata, options: CaseIns
         dataFilters, options, None, Nil, Nil)
       val maxRows = options.getLong("maxDvScanRows", 10L * 1000 * 1000)
       val dv = Ktk.collectDeleteVectors(spark, base, md, dirtyL.toSet, maxRows)
-      return new GraftDvDirtyScan(dirtyScan, spark.sparkContext.broadcast(dv))
+      (dirtyScan, spark.sparkContext.broadcast(dv))
     }
+    if (dvSide.contains("dirty")) {
+      // the dirty branch of the logical split: only tombstone-touched
+      // files, row-based, positions filtered against the broadcast vectors.
+      // Returns BEFORE the clean-side scan is built — its file index over
+      // every clean file (the expensive listing on a huge table) belongs
+      // to the other union branch
+      val (dirtyScan, dv) = buildDirtyScan()
+      return new GraftDvDirtyScan(dirtyScan, dv)
+    }
+    // ParquetScan subclass: identical batch behavior, plus toMicroBatchStream
+    // for `spark.readStream.format("graft")` (commit-version change feed)
+    val parquet = new GraftStreamableScan(
+      spark, spark.sessionState.newHadoopConf(), fileIndexFor(spark, cleanL),
+      dataSchema, readDataSchema, readPartitionSchema,
+      dataFilters, options, base, md.uuid,
+      // the streaming relation's declared order is the TABLE's (scan
+      // order) — the stream reader projects rows into exactly this
+      GraftTable.scanOrder(md))
     if (dirtyL.nonEmpty && dvSide.isEmpty) {
-      // dirty side: a second ParquetScan whose readDataSchema carries
-      // Spark's temporary row-index column — the reader fills it with the
-      // file-absolute position (row-group skipping accounted for), the
-      // exact coordinate the deletion vectors were recorded in
-      // MUST be nullable: the column is absent from the data files (the
-      // reader's row-index generator fills it), and the parquet reader
-      // rejects required-but-missing columns
-      require(!md.schema.fieldNames.contains(
-          ParquetFileFormat.ROW_INDEX_TEMPORARY_COLUMN_NAME),
-        s"dataset '${md.uuid}' has a column named " +
-          s"'${ParquetFileFormat.ROW_INDEX_TEMPORARY_COLUMN_NAME}', which collides " +
-          "with Spark's reserved row-index column needed to apply deletion vectors")
-      val rowIdx = org.apache.spark.sql.types.StructField(
-        ParquetFileFormat.ROW_INDEX_TEMPORARY_COLUMN_NAME,
-        org.apache.spark.sql.types.LongType, nullable = true)
-      val dirtyScan = ParquetScan(
-        spark, spark.sessionState.newHadoopConf(), fileIndexFor(spark, dirtyL),
-        dataSchema, StructType(readDataSchema.fields :+ rowIdx), readPartitionSchema,
-        dataFilters, options, None, Nil, Nil)
-      val maxRows = options.getLong("maxDvScanRows", 10L * 1000 * 1000)
-      val dv = Ktk.collectDeleteVectors(spark, base, md, dirtyL.toSet, maxRows)
-      return new GraftDvScan(parquet, dirtyScan, spark.sparkContext.broadcast(dv))
+      val (dirtyScan, dv) = buildDirtyScan()
+      return new GraftDvScan(parquet, dirtyScan, dv)
     }
     // .option("keyed","true"): report KeyGroupedPartitioning over the hive
     // partition columns for storage-partitioned joins (see GraftKeyedScan).

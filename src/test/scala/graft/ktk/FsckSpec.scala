@@ -64,10 +64,10 @@ class FsckSpec extends SparkSpec {
     val fs = DatasetMetadata.fs(spark, base)
     // v11..v14 are deltas over the v10 checkpoint: removing v12's record
     // strands v13 and v14 (their walk-back hits the gap); v12 itself
-    // disappears from the version listing. Evict the JVM snapshot cache —
-    // fsck must detect the fault from STORAGE, not be masked by cache.
+    // disappears from the version listing. The JVM snapshot cache still
+    // holds v12..v14 — fsck must audit reachability from STORAGE and
+    // report what a FRESH reader would hit, not be masked by the cache.
     fs.delete(new Path(DatasetMetadata.versionDeltaKey(base, "ds", 12L)), false) shouldBe true
-    (12L to 14L).foreach(DatasetMetadata.uncacheVersion(base, "ds", _))
     val got = kinds(base)
     // the files v12..v14 added are referenced only by the stranded
     // versions, so they surface as orphans too — a broken chain degrades

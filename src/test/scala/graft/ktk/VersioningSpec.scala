@@ -55,6 +55,33 @@ class VersioningSpec extends SparkSpec {
     Ktk.versionAtTimestamp(spark, base, "ds", stamps(0) - 1) shouldBe None
   }
 
+  test("versionAtTimestamp: copied dataset with a pre-stamp prefix stays correct") {
+    // pre-stamp commits fall back to record MTIMES, which a dataset copy
+    // refreshes (young) — NON-monotone against the old stamps of the
+    // stamped suffix. The suffix must still binary-search correctly and
+    // the prefix must keep the legacy descending-mtime semantics.
+    val base = tmpDir("ver")
+    val dir = java.nio.file.Paths.get(base, "mix", "_versions")
+    java.nio.file.Files.createDirectories(dir)
+    (1 to 3).foreach { v => // pre-stamp records; fresh (young) mtimes
+      java.nio.file.Files.write(dir.resolve(f"v$v%08d.json"),
+        """{"uuid":"mix"}""".getBytes("UTF-8"))
+    }
+    (4 to 6).foreach { v => // stamped suffix with OLD stamps 4000/5000/6000
+      java.nio.file.Files.write(dir.resolve(f"v$v%08d.json"),
+        s"""{"uuid":"mix","metadata":{"${DatasetMetadata.CommitTsKey}":"${v * 1000}"}}"""
+          .getBytes("UTF-8"))
+    }
+    Ktk.versionAtTimestamp(spark, base, "mix", 5000L) shouldBe Some(5L)
+    Ktk.versionAtTimestamp(spark, base, "mix", 5999L) shouldBe Some(5L)
+    Ktk.versionAtTimestamp(spark, base, "mix", 6000L) shouldBe Some(6L)
+    // before the stamped suffix: the young copy mtimes match nothing
+    Ktk.versionAtTimestamp(spark, base, "mix", 3999L) shouldBe None
+    // far future resolves to the head through the fast path
+    Ktk.versionAtTimestamp(spark, base, "mix",
+      System.currentTimeMillis() + 1000000L) shouldBe Some(6L)
+  }
+
   test("versionAtTimestamp binary-searches: flat lookup counts on a 1k-version history") {
     val base = tmpDir("ver")
     // 1000 metadata-only commits (no data jobs): the in-commit stamps are
