@@ -3393,6 +3393,58 @@ object Ktk {
     out
   }
 
+  /** Recursively list the DATA files under `table/` as table-relative
+    * paths (labels), skipping `_`/`.` names. Small trees list on the
+    * driver; past [[ParallelListThreshold]] first-level directories the
+    * per-directory recursions run as a Spark job (the InMemoryFileIndex
+    * parallel-discovery pattern) — a 100 TB table's maintenance pass
+    * (gc, fsck) must not serialize a million object-store LIST calls
+    * through the driver.
+    */
+  private[graft] val ParallelListThreshold = 32
+
+  private[graft] def listTableFiles(
+      spark: SparkSession, fsys: org.apache.hadoop.fs.FileSystem,
+      tableRoot: Path, threshold: Int = ParallelListThreshold): Seq[String] = {
+    if (!fsys.exists(tableRoot)) return Nil
+    def keep(name: String): Boolean = !name.startsWith("_") && !name.startsWith(".")
+    def rel(p: String): String = p.replaceFirst("^.*/table/", "")
+    val first = fsys.listStatus(tableRoot).filter(st => keep(st.getPath.getName))
+    val (dirs, files) = first.partition(_.isDirectory)
+    val topFiles = files.toSeq.map(st => rel(st.getPath.toString))
+    val subFiles: Seq[String] =
+      if (dirs.length <= threshold) {
+        dirs.toSeq.flatMap { d =>
+          val out = Seq.newBuilder[String]
+          val it = fsys.listFiles(d.getPath, true)
+          while (it.hasNext) {
+            val st = it.next()
+            if (st.isFile && keep(st.getPath.getName)) out += rel(st.getPath.toString)
+          }
+          out.result()
+        }
+      } else {
+        val conf = new org.apache.spark.util.SerializableConfiguration(
+          spark.sessionState.newHadoopConf())
+        val dirStrs = dirs.map(_.getPath.toString).toSeq
+        spark.sparkContext.parallelize(dirStrs, math.min(64, dirStrs.size))
+          .flatMap { ds =>
+            val p = new Path(ds)
+            val f = p.getFileSystem(conf.value)
+            val out = Seq.newBuilder[String]
+            val it = f.listFiles(p, true)
+            while (it.hasNext) {
+              val st = it.next()
+              val name = st.getPath.getName
+              if (st.isFile && !name.startsWith("_") && !name.startsWith("."))
+                out += st.getPath.toString.replaceFirst("^.*/table/", "")
+            }
+            out.result()
+          }.collect().toSeq
+      }
+    topFiles ++ subFiles
+  }
+
   /** Integrity audit (the FSCK verb of operational table formats),
     * METADATA-DRIVEN and strictly read-only: verifies that everything the
     * retained commit history references still exists in storage, and
@@ -3449,22 +3501,9 @@ object Ktk {
         None
       } else Some(v -> DatasetMetadata.loadVersion(spark, base, uuid, v))
     }
-    // one listing answers both data-file checks
+    // one (parallel-capable) listing answers both data-file checks
     val tableRoot = fs.makeQualified(new Path(s"$base/$uuid/table"))
-    val present: Set[String] =
-      if (!fs.exists(tableRoot)) Set.empty
-      else {
-        val prefix = tableRoot.toString + "/"
-        val out = Set.newBuilder[String]
-        val it = fs.listFiles(tableRoot, true)
-        while (it.hasNext) {
-          val st = it.next()
-          val name = st.getPath.getName
-          if (st.isFile && !name.startsWith("_") && !name.startsWith("."))
-            out += st.getPath.toString.stripPrefix(prefix)
-        }
-        out.result()
-      }
+    val present: Set[String] = listTableFiles(spark, fs, tableRoot).toSet
     // newest version referencing each label wins the attribution
     // (Option-guarded: absent fields deserialize to null on old blobs)
     val referenced = scala.collection.mutable.Map.empty[String, Long]
@@ -3606,15 +3645,11 @@ object Ktk {
     val deleted = Seq.newBuilder[String]
     if (fs.exists(tableRoot)) {
       val prefix = tableRoot.toString + "/"
-      val it = fs.listFiles(tableRoot, true)
-      val toDelete = scala.collection.mutable.ArrayBuffer.empty[Path]
-      while (it.hasNext) {
-        val st = it.next()
-        val rel = st.getPath.toString.stripPrefix(prefix)
-        val name = st.getPath.getName
-        if (st.isFile && !name.startsWith("_") && !name.startsWith(".") && !referenced.contains(rel))
-          toDelete += st.getPath
-      }
+      // parallel-capable listing (listTableFiles): a wide table's listing
+      // distributes like the deletes below already do
+      val toDelete = listTableFiles(spark, fs, tableRoot)
+        .filterNot(referenced.contains)
+        .map(rel => new Path(prefix + rel))
       // distribute the deletes: after heavy compaction/streaming churn the
       // orphan count is O(#historical files), and sequential driver-side
       // deletes against an object store dominate the maintenance pass

@@ -85,6 +85,23 @@ class FsckSpec extends SparkSpec {
     Ktk.fsck(spark, base, "ds").count() shouldBe 0L
   }
 
+  test("parallel table listing returns exactly the driver listing") {
+    val base = tmpDir("fsck")
+    // nested partitioning + a root-level (unpartitioned) file shape
+    Ktk.store(spark, base, "ds",
+      (0 until 40).map(i => (i.toLong, s"p${i % 5}", s"q${i % 3}", i * 1.0))
+        .toDF("k", "p", "q", "v"),
+      partitionOn = Seq("p", "q"))
+    val md = DatasetMetadata.load(spark, base, "ds")
+    val fs = DatasetMetadata.fs(spark, base)
+    val root = fs.makeQualified(new Path(md.tableDir(base)))
+    val onDriver = Ktk.listTableFiles(spark, fs, root, threshold = 1000).sorted
+    val distributed = Ktk.listTableFiles(spark, fs, root, threshold = 0).sorted
+    onDriver should not be empty
+    distributed shouldBe onDriver
+    onDriver.toSet shouldBe md.partitions.keySet
+  }
+
   test("CALL system.fsck surfaces the audit through SQL") {
     val base = tmpDir("fsck")
     val md = seed(base)
