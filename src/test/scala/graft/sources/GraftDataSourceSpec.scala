@@ -228,6 +228,31 @@ class GraftDataSourceSpec extends SparkSpec {
     proj.as[String].collect().sorted.toSeq shouldBe Seq("a", "c", "d")
   }
 
+  test("DV union split composes with time travel and self-joins") {
+    val base = setup()
+    Ktk.deleteRows(spark, base, "ds",
+      predicates = graft.core.Predicates.of(Seq(("p", "==", 1), ("target", ">", 15.0)))) // v2
+    Ktk.update(spark, base, "ds",
+      Some(Seq((4, "e", 50.0, "w")).toDF("p", "l", "target", "tag"))) // v3
+    // v1: before any delete — no split, all four original rows
+    spark.read.format("graft").option("uuid", "ds").option("asOfVersion", "1")
+      .load(base).count() shouldBe 4
+    // v2: THAT version's tombstones apply through the split
+    val v2 = spark.read.format("graft").option("uuid", "ds").option("asOfVersion", "2")
+      .load(base)
+    v2.count() shouldBe 3
+    v2.select("l").as[String].collect().sorted.toSeq shouldBe Seq("a", "c", "d")
+    // head: delete + append both visible
+    val head = read(base)
+    head.count() shouldBe 4
+    // self-join: two relation instances, each rewritten independently
+    val l = read(base).select(col("p").as("lp"), col("target").as("lt"))
+    val r = read(base).select(col("p").as("rp"), col("target").as("rt"))
+    val joined = l.join(r, col("lp") === col("rp"))
+    joined.count() shouldBe 4 // p values are unique post-delete
+    joined.agg(sum(col("lt") + col("rt"))).head.getDouble(0) shouldBe 260.0
+  }
+
   test("DV scan honors the maxDvScanRows guard with a recoverable error") {
     val base = setup()
     Ktk.deleteRows(spark, base, "ds",
