@@ -2598,6 +2598,75 @@ object SparkEntry {
       // repair the fixture so later runs in the same scratch dir re-seed
       graft.ktk.DatasetMetadata.delete(s, base, uuid)
       issues.groupBy("kind").agg(count(lit(1)).as("cnt")).orderBy("kind")
+    }),
+
+    "q_ktk_iterator" -> ((s, dir) => {
+      // iterator read surface (≙ the reference's iter backend): lazy
+      // driver-side pull over the same pruned/projected scan — the gate
+      // reassembles the pulled rows and aggregates them to prove content
+      // parity with the oracle
+      val base = ensureLineitemDs(s, dir)
+      val template = Ktk.readTable(s, base, "lineitem",
+        columns = Seq("l_returnflag", "l_quantity"))
+      val rows = Ktk.readTableAsIterator(s, base, "lineitem",
+        columns = Seq("l_returnflag", "l_quantity"),
+        predicates = Predicates.of(Seq(("l_returnflag", "==", "A")))).toSeq
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), template.schema)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("cnt"), round(sum("l_quantity"), 2).as("sum_qty"))
+    }),
+
+    "q_ktk_indexon" -> ((s, dir) => {
+      // dask_index_on analog: readTable(indexOn=…) range-repartitions and
+      // sorts by the column — content must be EXACTLY the plain read
+      val base = ensureLineitemDs(s, dir)
+      Ktk.readTable(s, base, "lineitem", indexOn = Some("l_linestatus"))
+        .groupBy("l_linestatus")
+        .agg(count(lit(1)).as("cnt"), round(sum("l_extendedprice"), 2).as("sum_price"))
+        .orderBy("l_linestatus")
+    }),
+
+    "q_label_filter" -> ((s, dir) => {
+      // label_filter hook: file-label predicate over the hive layout —
+      // equivalent to the partition filter the oracle expresses in SQL
+      val base = ensureLineitemDs(s, dir)
+      Ktk.readTable(s, base, "lineitem",
+        labelFilter = _.startsWith("l_returnflag=A"))
+        .groupBy("l_linestatus")
+        .agg(count(lit(1)).as("cnt"), round(sum("l_quantity"), 2).as("sum_qty"))
+        .orderBy("l_linestatus")
+    }),
+
+    "q_ktk_gc" -> ((s, dir) => {
+      // retention gc end-to-end: overwrite-store half the rows, append the
+      // other half, gc(retain=0) — exactly ONE travelable version remains
+      // (pinned) and the surviving content equals the full table
+      val base = scratch(dir)
+      val orders = t(s, dir, "orders").select("o_orderkey", "o_orderstatus", "o_totalprice")
+      Ktk.store(s, base, "orders_gc", orders.filter(col("o_orderkey") % 2 === 0),
+        partitionOn = Seq("o_orderstatus"), overwrite = true)
+      Ktk.update(s, base, "orders_gc",
+        Some(orders.filter(col("o_orderkey") % 2 =!= 0)))
+      Ktk.garbageCollect(s, base, "orders_gc", retainVersions = 0)
+      require(Ktk.listVersions(s, base, "orders_gc").size == 1,
+        "gc(retain=0) must leave exactly the current version travelable")
+      Ktk.readTable(s, base, "orders_gc")
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("cnt"), round(sum("o_totalprice"), 2).as("total"))
+        .orderBy("o_orderstatus")
+    }),
+
+    "q_ktk_copy" -> ((s, dir) => {
+      // dataset copy: distributed byte copy onto a fresh uuid/version line;
+      // the copy's content must equal the source's (exact oracle)
+      val base = ensureLineitemDs(s, dir)
+      if (graft.ktk.DatasetMetadata.exists(s, base, "lineitem_gatecopy"))
+        graft.ktk.DatasetMetadata.delete(s, base, "lineitem_gatecopy")
+      Ktk.copyDataset(s, base, "lineitem", "lineitem_gatecopy")
+      Ktk.readTable(s, base, "lineitem_gatecopy")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("cnt"), round(sum("l_extendedprice"), 2).as("sum_price"))
+        .orderBy("l_returnflag")
     })
   )
 
@@ -2674,6 +2743,26 @@ object SparkEntry {
       """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
         |ORDER BY 1, 2, 3""".stripMargin,
+
+    "q_ktk_iterator" ->
+      """SELECT l_returnflag, count(*) AS cnt, round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem WHERE l_returnflag = 'A' GROUP BY 1""".stripMargin,
+
+    "q_ktk_indexon" ->
+      """SELECT l_linestatus, count(*) AS cnt, round(sum(l_extendedprice), 2) AS sum_price
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_label_filter" ->
+      """SELECT l_linestatus, count(*) AS cnt, round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem WHERE l_returnflag = 'A' GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_ktk_gc" ->
+      """SELECT o_orderstatus, count(*) AS cnt, round(sum(o_totalprice), 2) AS total
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_ktk_copy" ->
+      """SELECT l_returnflag, count(*) AS cnt, round(sum(l_extendedprice), 2) AS sum_price
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_dnf_filter" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_discount FROM lineitem
