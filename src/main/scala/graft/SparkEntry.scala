@@ -909,6 +909,16 @@ object SparkEntry {
         .orderBy("o_custkey", "o_orderkey")
     }),
 
+    "q_cube_stats" -> ((s, dir) => {
+      // cube stats reduction (collect_stats): per-dataset row counts from
+      // footer metadata only — file/row-group counts are layout-dependent
+      // and stay ScalaTest-pinned, the row counts get the exact oracle
+      val (base, cube) = ensureOrdersCube(s, dir)
+      Cube.collectStats(s, base, cube)
+        .select(col("dataset"), col("rows").as("n_rows"))
+        .orderBy("dataset")
+    }),
+
     "q_cube_dv" -> ((s, dir) => {
       // cube query over a DV-bearing seed: row-level deletes on the seed
       // dataset must disappear from the joined cube result end-to-end
@@ -2747,6 +2757,10 @@ object SparkEntry {
     "q_ktk_iterator" ->
       """SELECT l_returnflag, count(*) AS cnt, round(sum(l_quantity), 2) AS sum_qty
         |FROM lineitem WHERE l_returnflag = 'A' GROUP BY 1""".stripMargin,
+
+    "q_cube_stats" ->
+      """SELECT 'cust' AS dataset, count(*) AS n_rows FROM customer
+        |UNION ALL SELECT 'seed', count(*) FROM orders ORDER BY 1""".stripMargin,
 
     "q_ktk_indexon" ->
       """SELECT l_linestatus, count(*) AS cnt, round(sum(l_extendedprice), 2) AS sum_price
