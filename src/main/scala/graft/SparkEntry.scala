@@ -909,6 +909,47 @@ object SparkEntry {
         .orderBy("o_custkey", "o_orderkey")
     }),
 
+    "q_cube_append" -> ((s, dir) => {
+      // append_to_cube: an appended seed slice lands as a new overlay
+      // commit; a query over the union of old+new cells must see exactly
+      // base ∪ appended (fresh dimension values — no keep-last collision).
+      // Built on its OWN cube so the shared ensureOrdersCube fixture stays
+      // append-free for the other gates.
+      val base = scratch(dir)
+      val cube = CubeDef("tpchapp", dimensionColumns = Seq("o_custkey", "o_orderkey"),
+        partitionColumns = Seq("bucket"))
+      built.getOrElseUpdate(s"$base/cubeapp", {
+        val orders = t(s, dir, "orders")
+        val seed0 = orders.filter(col("o_orderkey") % 5 =!= 0)
+          .withColumn("bucket", pmod(col("o_custkey"), lit(4)))
+        Cube.build(s, base, cube, Map("seed" -> seed0), overwrite = true)
+        val extra = orders.filter(col("o_orderkey") % 5 === 0)
+          .withColumn("bucket", pmod(col("o_custkey"), lit(4)))
+        Cube.append(s, base, cube, Map("seed" -> extra))
+        ()
+      })
+      Cube.query(s, base, cube, payload = Seq("o_totalprice"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("cnt"), round(sum("o_totalprice"), 2).as("total"))
+        .orderBy("bucket")
+    }),
+
+    "q_ktk_delete_ds" -> ((s, dir) => {
+      // delete dataset (metadata-last): the victim disappears from the
+      // catalog, its NEIGHBOR's content is untouched (exact oracle)
+      val base = scratch(dir)
+      val orders = t(s, dir, "orders").select("o_orderkey", "o_orderstatus", "o_totalprice")
+      Ktk.store(s, base, "orders_keep", orders, overwrite = true)
+      Ktk.store(s, base, "orders_victim", orders.limit(10), overwrite = true)
+      graft.ktk.DatasetMetadata.delete(s, base, "orders_victim")
+      require(!graft.ktk.DatasetMetadata.exists(s, base, "orders_victim"),
+        "deleted dataset still listed")
+      Ktk.readTable(s, base, "orders_keep")
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("cnt"), round(sum("o_totalprice"), 2).as("total"))
+        .orderBy("o_orderstatus")
+    }),
+
     "q_cube_stats" -> ((s, dir) => {
       // cube stats reduction (collect_stats): per-dataset row counts from
       // footer metadata only — file/row-group counts are layout-dependent
@@ -2761,6 +2802,15 @@ object SparkEntry {
     "q_cube_stats" ->
       """SELECT 'cust' AS dataset, count(*) AS n_rows FROM customer
         |UNION ALL SELECT 'seed', count(*) FROM orders ORDER BY 1""".stripMargin,
+
+    "q_cube_append" ->
+      """SELECT o_custkey % 4 AS bucket, count(*) AS cnt,
+        |       round(sum(o_totalprice), 2) AS total
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_ktk_delete_ds" ->
+      """SELECT o_orderstatus, count(*) AS cnt, round(sum(o_totalprice), 2) AS total
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_ktk_indexon" ->
       """SELECT l_linestatus, count(*) AS cnt, round(sum(l_extendedprice), 2) AS sum_price
