@@ -883,23 +883,6 @@ object Ktk {
     * zone [mn, mx] straddles s (kept) — pruning can only drop files that
     * hold NO batch key; the residual semi join stays exact regardless.
     */
-  /** `a <= b` under UTF-8 unsigned-byte order — byte-identical to Spark's
-    * default (UTF8_BINARY) string comparison, property-tested against
-    * `UTF8String.compareTo` in MergePruneSpec. The ONLY driver-side string
-    * comparator the string envelope is allowed to touch.
-    */
-  private[graft] def utf8Leq(a: String, b: String): Boolean = {
-    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-    var i = 0
-    while (i < x.length && i < y.length) {
-      val c = (x(i) & 0xff) - (y(i) & 0xff)
-      if (c != 0) return c < 0
-      i += 1
-    }
-    x.length <= y.length
-  }
-
   private[graft] def stringEnvelopeCandidates(
       spark: SparkSession, base: String, md: DatasetMetadata,
       candidates: Seq[String], bounds: Seq[(String, String, String)]): Seq[String] = {
@@ -930,6 +913,23 @@ object Ktk {
       }
       cur
     }
+  }
+
+  /** `a <= b` under UTF-8 unsigned-byte order — byte-identical to Spark's
+    * default (UTF8_BINARY) string comparison, property-tested against
+    * `UTF8String.compareTo` in MergePruneSpec. The ONLY driver-side string
+    * comparator the string envelope is allowed to touch.
+    */
+  private[graft] def utf8Leq(a: String, b: String): Boolean = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    while (i < x.length && i < y.length) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c < 0
+      i += 1
+    }
+    x.length <= y.length
   }
 
   // ---------------------------------------------------------------- read
@@ -3407,11 +3407,14 @@ object Ktk {
       spark: SparkSession, fsys: org.apache.hadoop.fs.FileSystem,
       tableRoot: Path, threshold: Int = ParallelListThreshold): Seq[String] = {
     if (!fsys.exists(tableRoot)) return Nil
+    // the `_`/`.` filter applies to LEAF FILE NAMES ONLY (matching the
+    // old recursive walk): a partition COLUMN may legally start with '_'
+    // (UrlCodec keeps it), so directories always recurse
     def keep(name: String): Boolean = !name.startsWith("_") && !name.startsWith(".")
     def rel(p: String): String = p.replaceFirst("^.*/table/", "")
-    val first = fsys.listStatus(tableRoot).filter(st => keep(st.getPath.getName))
-    val (dirs, files) = first.partition(_.isDirectory)
-    val topFiles = files.toSeq.map(st => rel(st.getPath.toString))
+    val (dirs, files) = fsys.listStatus(tableRoot).partition(_.isDirectory)
+    val topFiles = files.toSeq.filter(st => keep(st.getPath.getName))
+      .map(st => rel(st.getPath.toString))
     val subFiles: Seq[String] =
       if (dirs.length <= threshold) {
         dirs.toSeq.flatMap { d =>
@@ -3462,7 +3465,9 @@ object Ktk {
     *    entry whose sidecar is gone (index reads fail; bloom/zone pruning
     *    silently degrades to keep-all);
     *  - `broken_replay_chain` — a version whose delta chain no longer
-    *    reaches a checkpoint (unreachable for time travel);
+    *    reaches a checkpoint (unreachable for time travel); `version` is
+    *    the stranded commit, `path` the MISSING record that severed it
+    *    (the one an operator can restore);
     *  - `orphan_file` — present under `table/`, referenced by NO retained
     *    version (gc-candidate preview, not a fault).
     */
@@ -3483,23 +3488,27 @@ object Ktk {
     def hasFull(k: Long): Boolean = recordNames.contains(f"v$k%08d.json")
     def hasDelta(k: Long): Boolean = recordNames.contains(f"v$k%08d.delta.json")
     val selfContained = scala.collection.mutable.Map.empty[Long, Boolean]
-    def reachable(v: Long): Boolean = {
+    // None = reachable; Some(k) = the chain breaks at k — the RECORD THAT
+    // IS MISSING, the one path an operator can actually restore
+    def chainGap(v: Long): Option[Long] = {
       var k = v
       while (k >= 1) {
-        if (hasFull(k)) return true
-        if (!hasDelta(k)) return false
+        if (hasFull(k)) return None
+        if (!hasDelta(k)) return Some(k)
         if (selfContained.getOrElseUpdate(k,
-            DatasetMetadata.readDeltaRecord(spark, base, uuid, k).full)) return true
+            DatasetMetadata.readDeltaRecord(spark, base, uuid, k).full)) return None
         k -= 1
       }
-      false
+      Some(0L)
     }
     val loaded: Seq[(Long, DatasetMetadata)] = versions.flatMap { v =>
-      if (!reachable(v)) {
-        issues += (("broken_replay_chain", v,
-          DatasetMetadata.versionDeltaKey(base, uuid, v)))
-        None
-      } else Some(v -> DatasetMetadata.loadVersion(spark, base, uuid, v))
+      chainGap(v) match {
+        case Some(gap) =>
+          issues += (("broken_replay_chain", v,
+            DatasetMetadata.versionDeltaKey(base, uuid, gap)))
+          None
+        case None => Some(v -> DatasetMetadata.loadVersion(spark, base, uuid, v))
+      }
     }
     // one (parallel-capable) listing answers both data-file checks
     val tableRoot = fs.makeQualified(new Path(s"$base/$uuid/table"))

@@ -73,7 +73,25 @@ class FsckSpec extends SparkSpec {
     // versions, so they surface as orphans too — a broken chain degrades
     // loudly on both axes, never silently
     got.keySet shouldBe Set("broken_replay_chain", "orphan_file")
-    got("broken_replay_chain").size shouldBe 2 // v13 and v14
+    // one row per STRANDED version (v13, v14), each naming the MISSING
+    // record (v12's) — the path an operator can actually restore
+    got("broken_replay_chain").toSet shouldBe
+      Set(DatasetMetadata.versionDeltaKey(base, "ds", 12L))
+    got("broken_replay_chain").size shouldBe 2
+  }
+
+  test("an underscore-named partition COLUMN audits clean (leaf-file-only filter)") {
+    val base = tmpDir("fsck")
+    Ktk.store(spark, base, "ds",
+      Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("k", "_p", "v"),
+      partitionOn = Seq("_p"))
+    // the listing filter applies to leaf FILE names only — '_p=a/' dirs
+    // must recurse, else every file reads as missing and gc stops reaping
+    Ktk.fsck(spark, base, "ds").count() shouldBe 0L
+    val md = DatasetMetadata.load(spark, base, "ds")
+    val fs = DatasetMetadata.fs(spark, base)
+    Ktk.listTableFiles(spark, fs,
+      fs.makeQualified(new Path(md.tableDir(base)))).toSet shouldBe md.partitions.keySet
   }
 
   test("gc'd history is not audited: a vacuumed table stays clean") {

@@ -29,7 +29,7 @@ class DvSplitEquivalenceSpec extends SparkSpec {
     def canon(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Double)] =
       df.select("k", "p", "v").as[(Long, Long, Double)].collect().sorted.toSeq
 
-    def check(step: String): Unit = {
+    def check(step: String): Unit = withClue(s"[$step] ") {
       val expected = canon(Ktk.readTable(spark, base, uuid))
       canon(connector) shouldBe expected
       // filter + projection push through both union branches
