@@ -3550,6 +3550,68 @@ object Ktk {
       .toDF("kind", "version", "path")
   }
 
+  /** Salvage after a storage incident — the REPAIR companion of [[fsck]]:
+    * commit ONE version that drops every CURRENT-snapshot reference whose
+    * backing storage is gone (vanished data files, dead index/bloom/zone
+    * sidecar registry entries) so reads work again instead of failing on
+    * the first missing file. Loud semantics where integrity is at stake:
+    *
+    *  - dropping a missing DATA file loses its rows — acknowledged data
+    *    loss, returned in the report;
+    *  - a missing DV FRAGMENT would RESURRECT deleted rows if simply
+    *    dropped, so salvage REFUSES unless `acceptResurrection = true`
+    *    (GDPR deletions may reappear — the caller must opt in);
+    *  - older retained versions still reference what storage lost: fsck
+    *    keeps flagging them (time travel to them IS broken) until gc
+    *    prunes them.
+    *
+    * Returns the dropped references as `(kind, path)`; `dryRun` reports
+    * without committing. No-op (no commit) when nothing is missing.
+    */
+  def salvage(spark: SparkSession, base: String, uuid: String,
+      acceptResurrection: Boolean = false,
+      dryRun: Boolean = false): Seq[(String, String)] = {
+    val fs = DatasetMetadata.fs(spark, base)
+    val md = DatasetMetadata.load(spark, base, uuid)
+    val tableRoot = fs.makeQualified(new Path(md.tableDir(base)))
+    val present = listTableFiles(spark, fs, tableRoot).toSet
+    val missingData = Option(md.partitions).getOrElse(Map.empty[String, Long])
+      .keys.toSeq.sorted.filterNot(present.contains)
+    def missingIn(dir: String, names: Map[String, String]): Seq[(String, String)] =
+      names.toSeq.sortBy(_._1).collect {
+        case (c, n) if !fs.exists(new Path(s"$base/$uuid/$dir/$n")) => (c, n)
+      }
+    val deadIdx = missingIn(IndexDirName, Option(md.indices).getOrElse(Map.empty))
+    val deadBloom = missingIn("blooms", md.bloomRegistry)
+    val deadZone = missingIn("zones", md.zoneRegistry)
+    val missingFrags = md.deleteFragments.filterNot(n =>
+      fs.exists(new Path(md.deletePath(base, n))))
+    if (missingFrags.nonEmpty && !acceptResurrection)
+      throw new IllegalStateException(
+        s"dataset '$uuid' lost ${missingFrags.size} deletion-vector fragment(s) " +
+          s"(${missingFrags.mkString(", ")}): dropping them would RESURRECT deleted " +
+          "rows (e.g. GDPR deletions). Restore the fragments from backup, or pass " +
+          "acceptResurrection = true to salvage anyway.")
+    val report =
+      missingData.map("missing_data_file" -> _) ++
+        deadIdx.map { case (c, n) => "missing_index" -> s"$IndexDirName/$n (column $c)" } ++
+        deadBloom.map { case (c, n) => "missing_bloom" -> s"blooms/$n (column $c)" } ++
+        deadZone.map { case (c, n) => "missing_zone" -> s"zones/$n (column $c)" } ++
+        missingFrags.map("missing_dv_fragment" -> _)
+    if (report.isEmpty || dryRun) return report
+    val gone = missingData.toSet
+    val repaired = md.copy(
+      partitions = md.partitions -- gone,
+      partitionSeq = Option(md.partitionSeq).getOrElse(Map.empty) -- gone,
+      indices = Option(md.indices).getOrElse(Map.empty) -- deadIdx.map(_._1),
+      blooms = md.bloomRegistry -- deadBloom.map(_._1),
+      zones = md.zoneRegistry -- deadZone.map(_._1),
+      deletes = md.deleteFragments.filterNot(missingFrags.contains))
+    DatasetMetadata.store(spark, base, repaired, parentMd = Some(md),
+      operation = "SALVAGE")
+    report
+  }
+
   /** One-call table maintenance (the OPTIMIZE entry point a scheduler
     * runs): [[compact]] small files (which also drains deletion vectors
     * for its victims and re-canonicalizes appended sidecar fragments),

@@ -370,6 +370,20 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog with StagingTableC
       Ktk.fsck(spark, base, in.getUTF8String(0).toString)
         .queryExecution.executedPlan.executeCollect().toSeq
     },
+    // REPAIR companion of fsck: one commit dropping current-snapshot
+    // references whose backing storage is gone; refuses on missing DV
+    // fragments unless accept_resurrection (see Ktk.salvage)
+    "salvage" -> proc("salvage",
+      Array(stringParam("table"),
+        ProcedureParameter.in("accept_resurrection", BooleanType).defaultValue("false").build(),
+        ProcedureParameter.in("dry_run", BooleanType).defaultValue("false").build()),
+      StructType(Seq(
+        StructField("kind", StringType), StructField("path", StringType)))) { in =>
+      Ktk.salvage(spark, base, in.getUTF8String(0).toString,
+        acceptResurrection = in.getBoolean(1), dryRun = in.getBoolean(2))
+        .map { case (k, p) =>
+          InternalRow(UTF8String.fromString(k), UTF8String.fromString(p)) }
+    },
     "gc" -> proc("gc",
       Array(stringParam("table"),
         ProcedureParameter.in("retain_versions", IntegerType).defaultValue("0").build(),

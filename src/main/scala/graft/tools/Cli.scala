@@ -16,6 +16,7 @@ import graft.ktk.{DatasetMetadata, Ktk}
   *   runMain graft.tools.Cli bloom   <base> <uuid> <column>
   *   runMain graft.tools.Cli zonemap <base> <uuid> <column> [column ...]
   *   runMain graft.tools.Cli fsck    <base> <uuid>     # read-only integrity audit
+  *   runMain graft.tools.Cli salvage <base> <uuid> [--dry-run] [--accept-resurrection]
   *   runMain graft.tools.Cli cleanup <base> <uuid>
   *   runMain graft.tools.Cli compact <base> <uuid>
   *   runMain graft.tools.Cli optimize <base> <uuid> [gcRetainVersions]
@@ -96,6 +97,14 @@ object Cli {
       val issues = Ktk.fsck(spark, args(1), args(2))
       if (issues.isEmpty) println("clean: every retained commit's references exist")
       else issues.show(1000, truncate = false)
+    case "salvage" =>
+      val acceptResurrection = args.contains("--accept-resurrection")
+      val dry = args.contains("--dry-run")
+      val rep = Ktk.salvage(spark, args(1), args(2),
+        acceptResurrection = acceptResurrection, dryRun = dry)
+      if (rep.isEmpty) println("nothing to salvage")
+      else rep.foreach { case (k, p) =>
+        println(s"${if (dry) "would drop" else "dropped"} $k $p") }
     case "cleanup" =>
       val dry = args.length > 3 && args(3) == "--dry-run"
       Ktk.garbageCollect(spark, args(1), args(2), dryRun = dry)

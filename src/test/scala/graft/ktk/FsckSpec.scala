@@ -120,6 +120,46 @@ class FsckSpec extends SparkSpec {
     onDriver.toSet shouldBe md.partitions.keySet
   }
 
+  test("salvage repairs vanished files and dead sidecars; DV loss requires opt-in") {
+    val base = tmpDir("fsck")
+    val md = seed(base)
+    val fs = DatasetMetadata.fs(spark, base)
+    val before = Ktk.readTable(spark, base, "ds").count() // 2 live (1 tombstoned)
+    // vanish the p=b data file (tombstone-free, so the DV fragment's
+    // surviving target stays around for the resurrection stage below)
+    // + the index sidecar
+    val victim = md.partitions.keys.toSeq.sorted.last
+    victim should startWith("p=b/")
+    val victimRows = spark.read.parquet(s"${md.tableDir(base)}/$victim").count()
+    fs.delete(new Path(s"${md.tableDir(base)}/$victim"), false) shouldBe true
+    fs.delete(new Path(md.indexPath(base, "k")), true) shouldBe true
+    // dry run reports, commits nothing
+    val dry = Ktk.salvage(spark, base, "ds", dryRun = true)
+    dry.map(_._1).toSet shouldBe Set("missing_data_file", "missing_index")
+    DatasetMetadata.load(spark, base, "ds").version shouldBe md.version
+    // real salvage: one commit, reads work again minus the lost rows
+    val rep = Ktk.salvage(spark, base, "ds")
+    rep.map(_._1).toSet shouldBe Set("missing_data_file", "missing_index")
+    val after = DatasetMetadata.load(spark, base, "ds")
+    after.version shouldBe md.version + 1
+    after.indices shouldBe empty
+    Ktk.readTable(spark, base, "ds").count() shouldBe before - victimRows
+    // history attributes the repair
+    Ktk.history(spark, base, "ds").select("operation")
+      .as[String].collect() should contain("SALVAGE")
+    // idempotent: nothing left to repair → NO new commit
+    Ktk.salvage(spark, base, "ds") shouldBe empty
+    DatasetMetadata.load(spark, base, "ds").version shouldBe after.version
+    // a lost DV fragment refuses without the resurrection opt-in
+    fs.delete(new Path(after.deletePath(base, after.deleteFragments.head)), true) shouldBe true
+    val e = intercept[IllegalStateException] { Ktk.salvage(spark, base, "ds") }
+    e.getMessage should include("RESURRECT")
+    Ktk.salvage(spark, base, "ds", acceptResurrection = true)
+      .map(_._1) shouldBe Seq("missing_dv_fragment")
+    // the tombstoned row is back — exactly the documented consequence
+    Ktk.readTable(spark, base, "ds").count() shouldBe before - victimRows + 1
+  }
+
   test("CALL system.fsck surfaces the audit through SQL") {
     val base = tmpDir("fsck")
     val md = seed(base)
@@ -130,5 +170,13 @@ class FsckSpec extends SparkSpec {
       .delete(new Path(md.deletePath(base, md.deleteFragments.head)), true)
     spark.sql("CALL gfsck.system.fsck(table => 'ds')")
       .select("kind").as[String].collect().toSeq shouldBe Seq("missing_dv_fragment")
+    // the repair verb refuses through SQL too, then salvages on opt-in
+    intercept[Exception] {
+      spark.sql("CALL gfsck.system.salvage(table => 'ds')")
+    }.getMessage should include("RESURRECT")
+    spark.sql("CALL gfsck.system.salvage(table => 'ds', accept_resurrection => true)")
+      .select("kind").as[String].collect().toSeq shouldBe Seq("missing_dv_fragment")
+    spark.sql("CALL gfsck.system.fsck(table => 'ds')")
+      .filter($"version" >= 3).count() shouldBe 0L // repaired head audits clean
   }
 }
