@@ -1337,14 +1337,59 @@ object Ktk {
     }
   }
 
-  /** Last-consumed version recorded in a [[consumeChanges]]/[[mirrorChanges]]
-    * checkpoint blob; 0 when the checkpoint does not exist yet (nothing
-    * consumed). Corrupt contents fail loudly with recovery instructions.
-    * Also the currency of [[garbageCollect]]'s `consumerCheckpoints` floor.
+  /** Last-consumed version recorded in a consumer checkpoint; 0 when the
+    * checkpoint does not exist yet (nothing consumed — keep everything).
+    * Two shapes are understood, so every consumer kind can register with
+    * [[garbageCollect]]'s `consumerCheckpoints` floor:
+    *
+    *  - a [[consumeChanges]]/[[mirrorChanges]] blob (a plain version
+    *    number in one small file);
+    *  - a Structured Streaming `checkpointLocation` DIRECTORY of a
+    *    `graft`/`graft-cdc` stream: the newest `offsets/<batchId>` entry
+    *    carries the source's [[graft.sources.GraftOffset]] json — the
+    *    commit version the stream has admitted through. The MINIMUM of
+    *    the file's numeric-parseable offset lines is taken, conservative
+    *    for multi-source queries.
+    *
+    * Corrupt contents fail loudly with recovery instructions.
     */
   def readChangeCheckpoint(spark: SparkSession, checkpointPath: String): Long = {
     val fsys = DatasetMetadata.fs(spark, checkpointPath)
     val ckpt = new Path(checkpointPath)
+    val offsetsDir = new Path(ckpt, "offsets")
+    val isStreaming =
+      try fsys.getFileStatus(ckpt).isDirectory && fsys.exists(offsetsDir)
+      catch { case _: java.io.FileNotFoundException => return 0L }
+    if (isStreaming) {
+      // batch ids are plain numbers (compaction-less OffsetSeqLog names).
+      // The newest batch may be PLANNED but uncommitted — a restart
+      // replays it against the PREVIOUS batch's offset, so the floor is
+      // the last batch that also appears under commits/ (conservatively 0
+      // when none has completed yet).
+      def digitNames(dir: Path): Seq[Long] =
+        try fsys.listStatus(dir).toSeq
+          .map(_.getPath.getName).filter(n => n.nonEmpty && n.forall(_.isDigit)).map(_.toLong)
+        catch { case _: java.io.FileNotFoundException => Nil }
+      val batches = digitNames(offsetsDir)
+      if (batches.isEmpty) return 0L
+      val committed = digitNames(new Path(ckpt, "commits")).toSet
+      val floorBatch = batches.filter(committed.contains).maxOption.getOrElse(return 0L)
+      val newest = new Path(offsetsDir, floorBatch.toString)
+      val in = fsys.open(newest)
+      val txt = new String(
+        try in.readAllBytes() finally in.close(),
+        java.nio.charset.StandardCharsets.UTF_8)
+      // OffsetSeqLog: "v1" line, metadata json line, then one offset json
+      // per source — graft offsets serialize as the bare version number
+      val versions = txt.linesIterator.drop(2)
+        .map(_.trim.stripPrefix("\"").stripSuffix("\""))
+        .flatMap(l => scala.util.Try(l.toLong).toOption)
+        .toSeq
+      if (versions.isEmpty) throw new IllegalStateException(
+        s"streaming checkpoint $ckpt carries no graft version offset in " +
+          s"offsets/$floorBatch — is this a graft/graft-cdc stream's checkpoint?")
+      return versions.min
+    }
     try {
       val in = fsys.open(ckpt)
       val bytes = try in.readAllBytes() finally in.close()

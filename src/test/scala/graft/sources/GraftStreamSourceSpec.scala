@@ -261,4 +261,35 @@ class GraftStreamSourceSpec extends SparkSpec {
       spark.table("feed5").select("k").as[Long].collect().toSeq shouldBe Seq(1L)
     } finally q.stop()
   }
+
+  test("gc's consumer floor understands a STREAMING checkpoint directory") {
+    val base = tmpDir("feed")
+    val ckpt = tmpDir("ckpt")
+    val out = tmpDir("out")
+    Ktk.store(spark, base, "ds", Seq((1L, "a")).toDF("k", "v")) // v1
+    // consume v1, then stop while upstream keeps committing
+    val q1 = spark.readStream.format("graft").option("uuid", "ds").load(base)
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt).start()
+    try q1.processAllAvailable() finally q1.stop()
+    (2L to 5L).foreach(i =>
+      Ktk.update(spark, base, "ds", Some(Seq((i, s"v$i")).toDF("k", "v")))) // v2..v5
+    // the checkpointed stream is at v1: registered gc must keep v1..v5
+    Ktk.readChangeCheckpoint(spark, ckpt) shouldBe 1L
+    Ktk.garbageCollect(spark, base, "ds",
+      retainVersions = 0, consumerCheckpoints = Seq(ckpt))
+    DatasetMetadata.listVersions(spark, base, "ds").min shouldBe 1L
+    // the lagging stream resumes and drains the whole backlog
+    val q2 = spark.readStream.format("graft").option("uuid", "ds").load(base)
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt).start()
+    try q2.processAllAvailable() finally q2.stop()
+    spark.read.parquet(out).select("k").as[Long].collect().sorted.toSeq shouldBe
+      (1L to 5L)
+    // caught up: the floor advances, gc may reap history now
+    Ktk.readChangeCheckpoint(spark, ckpt) shouldBe 5L
+    Ktk.garbageCollect(spark, base, "ds",
+      retainVersions = 0, consumerCheckpoints = Seq(ckpt))
+    DatasetMetadata.listVersions(spark, base, "ds").min shouldBe 5L
+  }
 }
