@@ -1345,11 +1345,13 @@ object Ktk {
     *  - a [[consumeChanges]]/[[mirrorChanges]] blob (a plain version
     *    number in one small file);
     *  - a Structured Streaming `checkpointLocation` DIRECTORY of a
-    *    `graft`/`graft-cdc` stream: the newest `offsets/<batchId>` entry
-    *    carries the source's [[graft.sources.GraftOffset]] json — the
-    *    commit version the stream has admitted through. The MINIMUM of
-    *    the file's numeric-parseable offset lines is taken, conservative
-    *    for multi-source queries.
+    *    `graft`/`graft-cdc` stream: the floor is the offset of the batch
+    *    BEFORE the newest committed one (V1 sources replay the last
+    *    committed batch on restart, so its whole input range must stay
+    *    readable; planned-but-uncommitted batches never advance it). The
+    *    offset file's [[graft.sources.GraftOffset]] json is the commit
+    *    version; the MINIMUM of the file's numeric-parseable offset lines
+    *    is taken, conservative for multi-source queries.
     *
     * Corrupt contents fail loudly with recovery instructions.
     */
@@ -1362,10 +1364,8 @@ object Ktk {
       catch { case _: java.io.FileNotFoundException => return 0L }
     if (isStreaming) {
       // batch ids are plain numbers (compaction-less OffsetSeqLog names).
-      // The newest batch may be PLANNED but uncommitted — a restart
-      // replays it against the PREVIOUS batch's offset, so the floor is
-      // the last batch that also appears under commits/ (conservatively 0
-      // when none has completed yet).
+      // Planned-but-uncommitted batches never advance the floor
+      // (conservatively 0 while no batch has completed yet).
       def digitNames(dir: Path): Seq[Long] =
         try fsys.listStatus(dir).toSeq
           .map(_.getPath.getName).filter(n => n.nonEmpty && n.forall(_.isDigit)).map(_.toLong)
@@ -1373,7 +1373,14 @@ object Ktk {
       val batches = digitNames(offsetsDir)
       if (batches.isEmpty) return 0L
       val committed = digitNames(new Path(ckpt, "commits")).toSet
-      val floorBatch = batches.filter(committed.contains).maxOption.getOrElse(return 0L)
+      val maxCommitted = batches.filter(committed.contains).maxOption.getOrElse(return 0L)
+      // V1 sources (graft-cdc) additionally REPLAY the last committed
+      // batch on restart — Spark re-calls getBatch(prevOffset, lastOffset)
+      // to restore source state — so the floor is the PREVIOUS committed
+      // batch's offset: versions of the replayed range must survive too.
+      // (Conservative for the V2 graft source by exactly one batch.)
+      val floorBatch = maxCommitted - 1
+      if (floorBatch < 0 || !batches.contains(floorBatch)) return 0L
       val newest = new Path(offsetsDir, floorBatch.toString)
       val in = fsys.open(newest)
       val txt = new String(
@@ -3576,7 +3583,7 @@ object Ktk {
     // existence probe per distinct name (registries are metadata-sized)
     def checkDir(kind: String, dir: String, names: Seq[(Long, String)]): Unit =
       names.groupMapReduce(_._2)(_._1)(math.max).toSeq.sorted.foreach { case (name, v) =>
-        if (!fs.exists(new Path(s"$base/$uuid/$dir/$name")))
+        if (sidecarMissing(fs, base, uuid, dir, name))
           issues += ((kind, v, s"$dir/$name"))
       }
     checkDir("missing_dv_fragment", DatasetMetadata.DeletesDirName,
@@ -3594,6 +3601,13 @@ object Ktk {
     issues.result().sortBy { case (k, v, p) => (order(k), p, v) }
       .toDF("kind", "version", "path")
   }
+
+  /** Sidecar/fragment existence probe shared by [[fsck]] and [[salvage]]
+    * so path construction cannot silently diverge between audit and repair.
+    */
+  private def sidecarMissing(fs: org.apache.hadoop.fs.FileSystem,
+      base: String, uuid: String, dir: String, name: String): Boolean =
+    !fs.exists(new Path(s"$base/$uuid/$dir/$name"))
 
   /** Salvage after a storage incident — the REPAIR companion of [[fsck]]:
     * commit ONE version that drops every CURRENT-snapshot reference whose
@@ -3624,29 +3638,31 @@ object Ktk {
       .keys.toSeq.sorted.filterNot(present.contains)
     def missingIn(dir: String, names: Map[String, String]): Seq[(String, String)] =
       names.toSeq.sortBy(_._1).collect {
-        case (c, n) if !fs.exists(new Path(s"$base/$uuid/$dir/$n")) => (c, n)
+        case (c, n) if sidecarMissing(fs, base, uuid, dir, n) => (c, n)
       }
     val deadIdx = missingIn(IndexDirName, Option(md.indices).getOrElse(Map.empty))
     val deadBloom = missingIn("blooms", md.bloomRegistry)
     val deadZone = missingIn("zones", md.zoneRegistry)
     val missingFrags = md.deleteFragments.filterNot(n =>
       fs.exists(new Path(md.deletePath(base, n))))
-    if (missingFrags.nonEmpty && !acceptResurrection)
-      throw new IllegalStateException(
-        s"dataset '$uuid' lost ${missingFrags.size} deletion-vector fragment(s) " +
-          s"(${missingFrags.mkString(", ")}): dropping them would RESURRECT deleted " +
-          "rows (e.g. GDPR deletions). Restore the fragments from backup, or pass " +
-          "acceptResurrection = true to salvage anyway.")
     val report =
       missingData.map("missing_data_file" -> _) ++
         deadIdx.map { case (c, n) => "missing_index" -> s"$IndexDirName/$n (column $c)" } ++
         deadBloom.map { case (c, n) => "missing_bloom" -> s"blooms/$n (column $c)" } ++
         deadZone.map { case (c, n) => "missing_zone" -> s"zones/$n (column $c)" } ++
         missingFrags.map("missing_dv_fragment" -> _)
+    // dry runs REPORT the fragment loss (that's what damage assessment is
+    // for); only a real repair needs the resurrection opt-in
     if (report.isEmpty || dryRun) return report
+    if (missingFrags.nonEmpty && !acceptResurrection)
+      throw new IllegalStateException(
+        s"dataset '$uuid' lost ${missingFrags.size} deletion-vector fragment(s) " +
+          s"(${missingFrags.mkString(", ")}): dropping them would RESURRECT deleted " +
+          "rows (e.g. GDPR deletions). Restore the fragments from backup, or pass " +
+          "acceptResurrection = true to salvage anyway.")
     val gone = missingData.toSet
     val repaired = md.copy(
-      partitions = md.partitions -- gone,
+      partitions = Option(md.partitions).getOrElse(Map.empty[String, Long]) -- gone,
       partitionSeq = Option(md.partitionSeq).getOrElse(Map.empty) -- gone,
       indices = Option(md.indices).getOrElse(Map.empty) -- deadIdx.map(_._1),
       blooms = md.bloomRegistry -- deadBloom.map(_._1),

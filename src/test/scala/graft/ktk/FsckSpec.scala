@@ -150,8 +150,12 @@ class FsckSpec extends SparkSpec {
     // idempotent: nothing left to repair → NO new commit
     Ktk.salvage(spark, base, "ds") shouldBe empty
     DatasetMetadata.load(spark, base, "ds").version shouldBe after.version
-    // a lost DV fragment refuses without the resurrection opt-in
+    // a lost DV fragment refuses without the resurrection opt-in — but a
+    // DRY RUN still reports it (damage assessment must never require the
+    // opt-in)
     fs.delete(new Path(after.deletePath(base, after.deleteFragments.head)), true) shouldBe true
+    Ktk.salvage(spark, base, "ds", dryRun = true)
+      .map(_._1) shouldBe Seq("missing_dv_fragment")
     val e = intercept[IllegalStateException] { Ktk.salvage(spark, base, "ds") }
     e.getMessage should include("RESURRECT")
     Ktk.salvage(spark, base, "ds", acceptResurrection = true)

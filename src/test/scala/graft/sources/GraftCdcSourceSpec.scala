@@ -73,6 +73,37 @@ class GraftCdcSourceSpec extends SparkSpec {
       (1L, "delete", 2L), (1L, "insert", 1L), (2L, "insert", 1L), (3L, "insert", 1L))
   }
 
+  test("consumer-aware gc keeps the replayed batch readable for a V1 restart") {
+    // a V1 source's restart re-runs the LAST COMMITTED batch
+    // (getBatch(prevOffset, lastOffset) restores source state), so the gc
+    // floor must be the PREVIOUS committed batch's offset — flooring on
+    // the newest one would vacuum the replay range and kill the stream
+    // the registration was meant to protect
+    val base = tmpDir("cdcs")
+    val ckpt = tmpDir("cdcs-ckpt")
+    val out = tmpDir("cdcs-out")
+    Ktk.store(spark, base, "ds", kv, partitionOn = Seq("p")) // v1
+    def run(): Unit = {
+      val q = spark.readStream.format("graft-cdc").option("uuid", "ds").load(base)
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    run() // batch 0: v1
+    (2L to 4L).foreach(i =>
+      Ktk.update(spark, base, "ds", Some(Seq((10L + i, "a", i * 1.0)).toDF("k", "p", "v"))))
+    run() // batch 1: v2..v4
+    // floor = batch 0's offset (v1): gc keeps the v2..v4 replay range AND v1
+    graft.ktk.Ktk.readChangeCheckpoint(spark, ckpt) shouldBe 1L
+    Ktk.garbageCollect(spark, base, "ds",
+      retainVersions = 0, consumerCheckpoints = Seq(ckpt))
+    graft.ktk.DatasetMetadata.listVersions(spark, base, "ds").min shouldBe 1L
+    // the restart (which replays batch 1 through getBatch) must survive
+    Ktk.update(spark, base, "ds", Some(Seq((20L, "b", 9.0)).toDF("k", "p", "v"))) // v5
+    run()
+    spark.read.parquet(out).filter(col("k") === 20L).count() shouldBe 1L
+  }
+
   test("maxVersionsPerTrigger bounds each micro-batch") {
     val base = tmpDir("cdcs")
     Ktk.store(spark, base, "ds", kv, partitionOn = Seq("p")) // v1

@@ -274,22 +274,35 @@ class GraftStreamSourceSpec extends SparkSpec {
     try q1.processAllAvailable() finally q1.stop()
     (2L to 5L).foreach(i =>
       Ktk.update(spark, base, "ds", Some(Seq((i, s"v$i")).toDF("k", "v")))) // v2..v5
-    // the checkpointed stream is at v1: registered gc must keep v1..v5
-    Ktk.readChangeCheckpoint(spark, ckpt) shouldBe 1L
+    // one committed batch: the floor is the PREVIOUS committed batch's
+    // offset — none yet, so 0 (V1 sources replay the last committed batch
+    // on restart; its whole input range must stay readable)
+    Ktk.readChangeCheckpoint(spark, ckpt) shouldBe 0L
     Ktk.garbageCollect(spark, base, "ds",
       retainVersions = 0, consumerCheckpoints = Seq(ckpt))
     DatasetMetadata.listVersions(spark, base, "ds").min shouldBe 1L
     // the lagging stream resumes and drains the whole backlog
-    val q2 = spark.readStream.format("graft").option("uuid", "ds").load(base)
-      .writeStream.format("parquet").option("path", out)
-      .option("checkpointLocation", ckpt).start()
-    try q2.processAllAvailable() finally q2.stop()
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft").option("uuid", "ds").load(base)
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    drain()
     spark.read.parquet(out).select("k").as[Long].collect().sorted.toSeq shouldBe
       (1L to 5L)
-    // caught up: the floor advances, gc may reap history now
+    // caught up through batch 1 (offset v5): floor = batch 0's offset (v1)
+    Ktk.readChangeCheckpoint(spark, ckpt) shouldBe 1L
+    // one more commit + batch advances the floor to v5; gc may reap v1..v4
+    Ktk.update(spark, base, "ds", Some(Seq((6L, "v6")).toDF("k", "v"))) // v6
+    drain()
     Ktk.readChangeCheckpoint(spark, ckpt) shouldBe 5L
     Ktk.garbageCollect(spark, base, "ds",
       retainVersions = 0, consumerCheckpoints = Seq(ckpt))
     DatasetMetadata.listVersions(spark, base, "ds").min shouldBe 5L
+    // and the protected stream still restarts cleanly after that gc
+    drain()
+    spark.read.parquet(out).select("k").as[Long].collect().sorted.toSeq shouldBe
+      (1L to 6L)
   }
 }
