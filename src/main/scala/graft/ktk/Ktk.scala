@@ -1359,10 +1359,13 @@ object Ktk {
     val fsys = DatasetMetadata.fs(spark, checkpointPath)
     val ckpt = new Path(checkpointPath)
     val offsetsDir = new Path(ckpt, "offsets")
-    val isStreaming =
-      try fsys.getFileStatus(ckpt).isDirectory && fsys.exists(offsetsDir)
+    val isDir =
+      try fsys.getFileStatus(ckpt).isDirectory
       catch { case _: java.io.FileNotFoundException => return 0L }
-    if (isStreaming) {
+    // a directory WITHOUT offsets/ is a checkpoint Spark created but has
+    // not planned a batch into yet — nothing consumed
+    if (isDir && !fsys.exists(offsetsDir)) return 0L
+    if (isDir) {
       // batch ids are plain numbers (compaction-less OffsetSeqLog names).
       // Planned-but-uncommitted batches never advance the floor
       // (conservatively 0 while no batch has completed yet).

@@ -58,6 +58,42 @@ class StreamAdmissionSpec extends graft.SparkSpec {
     StreamAdmission.bytesAddedAt(spark, base, "ds", 1L) shouldBe 0L
   }
 
+  test("readChangeCheckpoint parses streaming checkpoint shapes") {
+    import graft.ktk.Ktk
+    def write(dir: java.nio.file.Path, name: String, body: String): Unit = {
+      java.nio.file.Files.createDirectories(dir)
+      java.nio.file.Files.write(dir.resolve(name), body.getBytes("UTF-8")); ()
+    }
+    val root = java.nio.file.Paths.get(tmpDir("sckpt"), "q")
+    // empty / offsets-less checkpoint dirs: nothing consumed
+    java.nio.file.Files.createDirectories(root)
+    Ktk.readChangeCheckpoint(spark, root.toString) shouldBe 0L
+    // planned batches 0..2, committed 0..1, a .tmp straggler ignored:
+    // floor = batch BEFORE the newest committed (batch 0 → version 2),
+    // taking the MIN of multi-source offset lines
+    write(root.resolve("offsets"), "0", "v1\n{}\n2\n9")
+    write(root.resolve("offsets"), "1", "v1\n{}\n5")
+    write(root.resolve("offsets"), "2", "v1\n{}\n7")
+    write(root.resolve("offsets"), "0.tmp", "garbage")
+    Ktk.readChangeCheckpoint(spark, root.toString) shouldBe 0L // none committed
+    write(root.resolve("commits"), "0", "v1\n{}")
+    Ktk.readChangeCheckpoint(spark, root.toString) shouldBe 0L // replay floor of batch 0
+    write(root.resolve("commits"), "1", "v1\n{}")
+    Ktk.readChangeCheckpoint(spark, root.toString) shouldBe 2L // batch 0's min offset
+    write(root.resolve("commits"), "2", "v1\n{}")
+    Ktk.readChangeCheckpoint(spark, root.toString) shouldBe 5L
+    // an offset file with no numeric line fails loudly
+    val bad = java.nio.file.Paths.get(tmpDir("sckpt"), "bad")
+    write(bad.resolve("offsets"), "0", "v1\n{}\n{\"notAGraftOffset\":true}")
+    write(bad.resolve("offsets"), "1", "v1\n{}\n{\"notAGraftOffset\":true}")
+    write(bad.resolve("commits"), "0", "v1\n{}")
+    write(bad.resolve("commits"), "1", "v1\n{}")
+    val e = intercept[IllegalStateException] {
+      Ktk.readChangeCheckpoint(spark, bad.toString)
+    }
+    e.getMessage should include("graft version offset")
+  }
+
   test("hand-checked walks") {
     // cap admits exactly the versions that fit
     StreamAdmission.capWalk(0L, 4L, 100L)(Map(1L -> 40L, 2L -> 40L, 3L -> 40L, 4L -> 40L)) shouldBe 2L
