@@ -29,7 +29,7 @@ import graft.core.{PredLiteral, Predicates, SchemaUtil, UrlCodec}
   * the file listing and index value→labels maps — both O(metadata), not
   * O(data).
   */
-object Ktk {
+object Ktk extends org.apache.spark.internal.Logging {
 
   val IndexDirName = "indices"
 
@@ -872,9 +872,11 @@ object Ktk {
     *  - partition values: decoded label values compared as UTF-8 BYTES on
     *    the driver (byte-identical to Spark's order);
     *  - secondary index: the range evaluates INSIDE the index scan with
-    *    Spark expressions — only matching labels return;
+    *    Spark expressions; labels the index does not mention AT ALL are
+    *    KEPT (keep-on-absence, like the bloom layer in queryLabels);
     *  - zone sidecar: Spark-side `mn <= hi && mx >= lo` over the sidecar
-    *    table (stats absent/null ⇒ all-null file ⇒ no `=` match);
+    *    table (stats present-but-null ⇒ all-null file ⇒ no `=` match ⇒
+    *    dropped; label absent from the sidecar ⇒ KEPT);
     *  - legacy INLINE zone maps and blooms: fenced off — no pruning.
     *
     * Soundness: a batch key s with lo ≤ s ≤ hi (UTF8 order, by min/max
@@ -894,21 +896,35 @@ object Ktk {
           md.partitionValues(lbl).get(k)
             .forall(v => utf8Leq(lo, v) && utf8Leq(v, hi))
         }
+      // both sidecar passes are KEEP-ON-ABSENCE (the bloom layer's
+      // convention in queryLabels): a committed label with no row in the
+      // index/zone sidecar stays a candidate rather than being pruned —
+      // intersecting would let any commit path that skips a sidecar append
+      // make merge silently skip tombstoning matched rows. One scan answers
+      // both "covered at all" and "covers the range".
       if (md.indices.contains(k) && cur.nonEmpty) {
-        val matching = loadIndex(spark, base, md, k)
-          .filter(col("value") >= lit(lo) && col("value") <= lit(hi))
-          .select(explode(col("partitions")).as("label")).distinct()
-          .collect().map(_.getString(0)).toSet
-        cur = cur.filter(matching.contains)
+        val hits = loadIndex(spark, base, md, k)
+          .select(col("value"), explode(col("partitions")).as("label"))
+          .groupBy("label")
+          // null index values cannot equal a (non-null) merge key: false
+          .agg(max(coalesce(
+            col("value") >= lit(lo) && col("value") <= lit(hi),
+            lit(false))).as("hit"))
+          .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+        cur = cur.filter(l => hits.get(l).forall(identity))
       }
       if (md.zoneRegistry.contains(k) && cur.nonEmpty) {
         val sidecar = new Path(md.zonePath(base, k))
         if (DatasetMetadata.fs(spark, base).exists(sidecar)) {
-          val matching = spark.read.parquet(sidecar.toString)
-            .filter(col("mn").isNotNull && col("mx").isNotNull &&
-              col("mn") <= lit(hi) && col("mx") >= lit(lo))
-            .select(col("label")).collect().map(_.getString(0)).toSet
-          cur = cur.filter(matching.contains)
+          val hits = spark.read.parquet(sidecar.toString)
+            .groupBy("label")
+            // null stats = all-null column in that file: no `=` match
+            .agg(max(coalesce(
+              col("mn").isNotNull && col("mx").isNotNull &&
+                col("mn") <= lit(hi) && col("mx") >= lit(lo),
+              lit(false))).as("hit"))
+            .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+          cur = cur.filter(l => hits.get(l).forall(identity))
         }
       }
       cur
@@ -3466,7 +3482,12 @@ object Ktk {
     // old recursive walk): a partition COLUMN may legally start with '_'
     // (UrlCodec keeps it), so directories always recurse
     def keep(name: String): Boolean = !name.startsWith("_") && !name.startsWith(".")
-    def rel(p: String): String = p.replaceFirst("^.*/table/", "")
+    // relativize against the EXACT qualified root, never a path pattern: a
+    // component under the root that happens to be named like the root dir
+    // must not shift the label, because gc deletes by label difference and a
+    // wrong label is a wrong delete
+    val prefix = tableRoot.toString + "/"
+    def rel(p: String): String = stripLabelPrefix(p, prefix)
     val (dirs, files) = fsys.listStatus(tableRoot).partition(_.isDirectory)
     val topFiles = files.toSeq.filter(st => keep(st.getPath.getName))
       .map(st => rel(st.getPath.toString))
@@ -3495,12 +3516,28 @@ object Ktk {
               val st = it.next()
               val name = st.getPath.getName
               if (st.isFile && !name.startsWith("_") && !name.startsWith("."))
-                out += st.getPath.toString.replaceFirst("^.*/table/", "")
+                out += stripLabelPrefix(st.getPath.toString, prefix)
             }
             out.result()
           }.collect().toSeq
       }
     topFiles ++ subFiles
+  }
+
+  /** Exact-prefix label relativization, loud on mismatch: the caller hands
+    * the qualified table root, and a listed path that does not start with it
+    * means the two sides qualified differently — guessing a label there
+    * risks attributing (and in gc, DELETING) the wrong file.
+    */
+  private[graft] def stripLabelPrefix(path: String, prefix: String): String = {
+    // normalize the URI form first: PartitionedFile renders `file:///x`
+    // where Path.toString (the prefix's form) renders `file:/x`
+    val norm = new Path(path).toString
+    if (!norm.startsWith(prefix))
+      throw new IllegalStateException(
+        s"listed file '$norm' is not under the qualified table root '$prefix' — " +
+          "refusing to guess its table-relative label")
+    norm.substring(prefix.length)
   }
 
   /** Integrity audit (the FSCK verb of operational table formats),
@@ -3771,7 +3808,30 @@ object Ktk {
     // before its first poll). Unregistered consumers keep today's loud
     // failure: their next poll hits the vacuumed-version error.
     val keepFrom = consumerCheckpoints.foldLeft(keepFrom0) { (kf, cp) =>
-      math.min(kf, readChangeCheckpoint(spark, cp))
+      val floor = readChangeCheckpoint(spark, cp)
+      // floor 0 = nothing consumed = retention fully disabled. Legitimate
+      // for a registered-but-not-yet-started consumer — but byte-identical
+      // to a TYPO'D path, which would pin keepFrom at 0 forever with no
+      // signal. Distinguish the two: a real about-to-start consumer's
+      // checkpoint has (or will have) a parent directory the operator
+      // created; a path whose parent does not exist either is almost
+      // certainly mistyped, so fail loudly instead of silently keeping
+      // every version for eternity.
+      if (floor == 0L) {
+        val fsys = DatasetMetadata.fs(spark, cp)
+        val p = new Path(cp)
+        val parent = Option(p.getParent)
+        if (!fsys.exists(p) && !parent.exists(fsys.exists))
+          throw new IllegalArgumentException(
+            s"consumer checkpoint '$cp' does not exist and neither does its " +
+              "parent directory — a mistyped path here would silently disable " +
+              "gc retention forever (floor 0 keeps every version). Create the " +
+              "parent directory to register a consumer that has not started " +
+              "yet, or fix the path.")
+        logWarning(s"consumer checkpoint '$cp' has consumed nothing yet: gc " +
+          s"retention floored at version 0 (ALL versions kept) until its first poll")
+      }
+      math.min(kf, floor)
     }
     val (keptVersions, prunedVersions) = allVersions.partition(_ >= keepFrom)
     val retainedMds = keptVersions.filter(_ != md.version)

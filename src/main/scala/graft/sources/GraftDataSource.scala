@@ -562,6 +562,15 @@ final class GraftScanBuilder(base: String, md: DatasetMetadata, options: CaseIns
     val dvSide = Option(options.get(GraftDvSplitRule.DvSideOption))
     val dirtyAll: Set[String] =
       if (hasRowDeletes) Ktk.dirtyDeleteLabels(spark, base, md) else Set.empty
+    // qualified table root, "/"-terminated: the DV scans relativize their
+    // planned file paths against EXACTLY this prefix to recover the label
+    // that keys the broadcast tombstone map (loud on mismatch — see
+    // Ktk.stripLabelPrefix)
+    lazy val labelPrefix: String = {
+      val tp = new Path(md.tableDir(base))
+      tp.getFileSystem(spark.sessionState.newHadoopConf())
+        .makeQualified(tp).toString + "/"
+    }
     val dirtyL = labels.filter(dirtyAll.contains)
     val cleanL = labels.filterNot(dirtyAll.contains)
     val partCols = md.partitionKeys.toSet
@@ -599,7 +608,7 @@ final class GraftScanBuilder(base: String, md: DatasetMetadata, options: CaseIns
       // every clean file (the expensive listing on a huge table) belongs
       // to the other union branch
       val (dirtyScan, dv) = buildDirtyScan()
-      return new GraftDvDirtyScan(dirtyScan, dv)
+      return new GraftDvDirtyScan(dirtyScan, dv, labelPrefix)
     }
     // ParquetScan subclass: identical batch behavior, plus toMicroBatchStream
     // for `spark.readStream.format("graft")` (commit-version change feed)
@@ -612,7 +621,7 @@ final class GraftScanBuilder(base: String, md: DatasetMetadata, options: CaseIns
       GraftTable.scanOrder(md))
     if (dirtyL.nonEmpty && dvSide.isEmpty) {
       val (dirtyScan, dv) = buildDirtyScan()
-      return new GraftDvScan(parquet, dirtyScan, dv)
+      return new GraftDvScan(parquet, dirtyScan, dv, labelPrefix)
     }
     // .option("keyed","true"): report KeyGroupedPartitioning over the hive
     // partition columns for storage-partitioned joins (see GraftKeyedScan).

@@ -41,7 +41,8 @@ import org.apache.spark.sql.vectorized.ColumnarBatch
 final class GraftDvScan(
     clean: GraftStreamableScan,
     dirty: ParquetScan,
-    dv: Broadcast[Map[String, Array[Long]]])
+    dv: Broadcast[Map[String, Array[Long]]],
+    labelPrefix: String)
   extends Scan with Batch with SupportsReportStatistics
   with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
 
@@ -108,7 +109,10 @@ final class GraftDvScan(
     }
     val dirtyParts = files.groupBy(_.filePath.toString).toSeq.sortBy(_._1)
       .zipWithIndex.map { case ((path, fs), i) =>
-        val label = path.replaceFirst("^.*/table/", "")
+        // exact qualified-root strip (loud on mismatch): the label keys the
+        // broadcast tombstone map — a mis-relativized label would silently
+        // skip the row filter
+        val label = graft.ktk.Ktk.stripLabelPrefix(path, labelPrefix)
         GraftDvInputPartition(FilePartition(cleanParts.length + i, fs.toArray), Some(label))
       }
     (cleanParts ++ dirtyParts).toArray
@@ -128,7 +132,8 @@ final class GraftDvScan(
   */
 final class GraftDvDirtyScan(
     dirty: ParquetScan,
-    dv: Broadcast[Map[String, Array[Long]]])
+    dv: Broadcast[Map[String, Array[Long]]],
+    labelPrefix: String)
   extends Scan with Batch with SupportsReportStatistics
   with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
 
@@ -172,7 +177,7 @@ final class GraftDvDirtyScan(
     }
     files.groupBy(_.filePath.toString).toSeq.sortBy(_._1)
       .zipWithIndex.map { case ((path, fs), i) =>
-        val label = path.replaceFirst("^.*/table/", "")
+        val label = graft.ktk.Ktk.stripLabelPrefix(path, labelPrefix)
         GraftDvInputPartition(FilePartition(i, fs.toArray), Some(label)): InputPartition
       }.toArray
   }

@@ -103,6 +103,24 @@ class FsckSpec extends SparkSpec {
     Ktk.fsck(spark, base, "ds").count() shouldBe 0L
   }
 
+  test("a path component literally named 'table' cannot shift labels") {
+    // labels are recovered by stripping the EXACT qualified root — never a
+    // '/table/' pattern match, which a greedy regex would anchor at the
+    // INNER component here and hand gc a wrong (shorter) label to diff
+    // against the referenced set
+    val base = tmpDir("fsck")
+    val fs = DatasetMetadata.fs(spark, base)
+    val root = fs.makeQualified(new Path(s"$base/ds/table"))
+    val out = fs.create(new Path(root, "table/f.parquet"), true)
+    out.write(1); out.close()
+    val out2 = fs.create(new Path(root, "g.parquet"), true)
+    out2.write(1); out2.close()
+    Ktk.listTableFiles(spark, fs, root, threshold = 1000)
+      .sorted shouldBe Seq("g.parquet", "table/f.parquet")
+    Ktk.listTableFiles(spark, fs, root, threshold = 0)
+      .sorted shouldBe Seq("g.parquet", "table/f.parquet")
+  }
+
   test("parallel table listing returns exactly the driver listing") {
     val base = tmpDir("fsck")
     // nested partitioning + a root-level (unpartitioned) file shape

@@ -195,4 +195,29 @@ class MergePruneSpec extends SparkSpec {
       .filter(org.apache.spark.sql.functions.col("v") === -5.0)
       .count() shouldBe 20L
   }
+
+  test("string-envelope sidecar passes KEEP labels the sidecars never mention") {
+    // the index/zone passes must be conservative like the bloom layer: a
+    // committed label with NO row in the sidecar stays a merge candidate —
+    // intersecting would let a sidecar gap make merge skip tombstoning
+    // matched rows (silent duplicate keys)
+    val base = tmpDir("mprune")
+    val df = (0 until 100).map(i => (f"s$i%03d", i * 1.0)).toDF("s", "v")
+    Ktk.store(spark, base, "ds",
+      df.repartitionByRange(4, col("s")).sortWithinPartitions("s"),
+      sortBy = Seq("s"), zoneMapFor = Seq("s"), secondaryIndices = Seq("s"))
+    val md = DatasetMetadata.load(spark, base, "ds")
+    val labels = md.partitions.keys.toSeq.sorted
+    labels.size should be >= 4
+    val phantom = "not-in-any-sidecar.parquet"
+    // a range covering only the lowest keys: real labels prune, the
+    // sidecar-less phantom survives both passes
+    val got = Ktk.stringEnvelopeCandidates(spark, base, md,
+      labels :+ phantom, Seq(("s", "s000", "s004")))
+    got should contain(phantom)
+    got.size should be < labels.size + 1
+    // a range matching NO committed key keeps exactly the phantom
+    Ktk.stringEnvelopeCandidates(spark, base, md,
+      labels :+ phantom, Seq(("s", "zzz", "zzzz"))) shouldBe Seq(phantom)
+  }
 }

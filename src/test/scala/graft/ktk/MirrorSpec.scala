@@ -201,5 +201,19 @@ class MirrorSpec extends SparkSpec {
         consumerCheckpoints = Seq(s"${tmpDir("mir-new")}/never-polled.v"))
       DatasetMetadata.listVersions(spark, src, "src").min shouldBe 1L
     }
+    // a TYPO'D checkpoint path — neither the path nor its parent exists —
+    // must fail loudly instead of silently flooring retention at 0 forever
+    // (indistinguishable, byte-wise, from a real not-yet-started consumer;
+    // the parent directory is the intent signal)
+    locally {
+      val (src, _, _) = seed()
+      val e = intercept[IllegalArgumentException] {
+        Ktk.garbageCollect(spark, src, "src", retainVersions = 0,
+          consumerCheckpoints = Seq(s"${tmpDir("mir-typo")}/no/such/dir/ckpt.v"))
+      }
+      e.getMessage should include("parent")
+      // and nothing was reaped by the failed call
+      DatasetMetadata.listVersions(spark, src, "src").min shouldBe 1L
+    }
   }
 }
