@@ -103,7 +103,7 @@ final class GraftDvScan(
     // reader knows which label's tombstone set applies (splits of the same
     // file stay together; positions are file-absolute either way)
     val files = GraftRuntimePrune(dirty.toBatch.planInputPartitions(),
-        dirty.readPartitionSchema, runtimePreds).flatMap {
+        dirty.readPartitionSchema, runtimePreds, tag = "combined-dirty").flatMap {
       case fp: FilePartition => fp.files
       case other => throw new IllegalStateException(s"unexpected partition $other")
     }
@@ -171,7 +171,7 @@ final class GraftDvDirtyScan(
 
   override def planInputPartitions(): Array[InputPartition] = {
     val files = GraftRuntimePrune(dirty.toBatch.planInputPartitions(),
-        dirty.readPartitionSchema, runtimePreds).flatMap {
+        dirty.readPartitionSchema, runtimePreds, tag = "dirty").flatMap {
       case fp: FilePartition => fp.files
       case other => throw new IllegalStateException(s"unexpected partition $other")
     }

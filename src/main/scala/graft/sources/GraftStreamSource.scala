@@ -75,7 +75,8 @@ final class GraftStreamableScan(
   }
 
   override def planInputPartitions(): Array[InputPartition] =
-    GraftRuntimePrune(super.planInputPartitions(), readPartitionSchema, runtimePreds)
+    GraftRuntimePrune(super.planInputPartitions(), readPartitionSchema, runtimePreds,
+      tag = "clean")
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new GraftMicroBatchStream(base, uuid, tableSchema, dataSchema, readDataSchema,
@@ -100,8 +101,16 @@ object GraftRuntimePrune {
   val lastKept = new java.util.concurrent.atomic.AtomicLong(0)
   val lastDropped = new java.util.concurrent.atomic.AtomicLong(0)
 
+  /** Per-call-site (kept, dropped) counters, keyed by the caller's tag —
+    * lets probes assert that a SPECIFIC union branch (clean vs dirty) of the
+    * DV split pruned during the actual execution, instead of replanning
+    * final-plan scan instances AQE may have swapped out.
+    */
+  val byTag = new java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]()
+  def resetCounters(): Unit = { lastKept.set(0); lastDropped.set(0); byTag.clear() }
+
   def apply(parts: Array[InputPartition], partitionSchema: StructType,
-      preds: Array[Predicate]): Array[InputPartition] = {
+      preds: Array[Predicate], tag: String = ""): Array[InputPartition] = {
     if (preds.isEmpty || partitionSchema.isEmpty) return parts
     // COMPILE the predicates once — ordinal lookups, literal normalization
     // and IN-set hashing must not run per FILE (a large table plans
@@ -119,6 +128,9 @@ object GraftRuntimePrune {
       case other => return parts // unknown partition shape: never prune
     }
     lastKept.addAndGet(kept); lastDropped.addAndGet(dropped)
+    if (tag.nonEmpty)
+      byTag.merge(tag, (kept, dropped),
+        (a, b) => (a._1 + b._1, a._2 + b._2))
     out.zipWithIndex.map { case (fs, i) => FilePartition(i, fs): InputPartition }
   }
 

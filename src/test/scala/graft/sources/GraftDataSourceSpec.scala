@@ -132,6 +132,76 @@ class GraftDataSourceSpec extends SparkSpec {
     GraftRuntimePrune.lastKept.get() should be > 0L
   }
 
+  // AQE hides scans behind AdaptiveSparkPlanExec/QueryStageExec wrappers;
+  // walk through them so plan pins can reach the real BatchScanExecs
+  private def allScans(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.datasources.v2.BatchScanExec] = p match {
+    case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => allScans(a.executedPlan)
+    case q: org.apache.spark.sql.execution.adaptive.QueryStageExec        => allScans(q.plan)
+    case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec    => allScans(r.child)
+    case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec   => Seq(b)
+    case other => other.children.flatMap(allScans)
+  }
+
+  test("DPP runtime filters land on BOTH union branches in join subtrees") {
+    // the r10 open item: GraftDvSplitRule's Union(clean, dirty) must not
+    // silently lose runtime (DPP) pruning when the DV-bearing fact sits in
+    // a join subtree — PushDownPredicates pushes the inserted
+    // DynamicPruningSubquery filter through the Union into each branch,
+    // and each branch's scan consumes it via SupportsRuntimeV2Filtering.
+    // Pin the plan shape on the nastier shapes, not just dim ⋈ fact.
+    val base = tmpDir("dppdvsub")
+    Ktk.store(spark, base, "fact",
+      (1 to 60).map(i => (i % 6, i.toLong, i * 1.0)).toDF("p", "k", "v"),
+      partitionOn = Seq("p"))
+    // tombstones in one KEPT (p=0) and one DROPPED (p=2) partition, so the
+    // dirty branch has something to prune at runtime too
+    Ktk.deleteRows(spark, base, "fact",
+      predicates = graft.core.Predicates.of(Seq(("p", "==", 0), ("k", "==", 6L))))
+    Ktk.deleteRows(spark, base, "fact",
+      predicates = graft.core.Predicates.of(Seq(("p", "==", 2), ("k", "==", 2L))))
+    Seq((0L, "keep"), (1L, "keep"), (2L, "drop"), (3L, "drop"), (4L, "drop"),
+      (5L, "drop")).toDF("dp", "flag").write.parquet(s"$base/dim")
+    Seq((0L, 1.0), (1L, 2.0), (2L, 3.0)).toDF("ok", "w").write.parquet(s"$base/other")
+    val dim = spark.read.parquet(s"$base/dim").filter(col("flag") === "keep")
+    val other = spark.read.parquet(s"$base/other")
+    def fact = spark.read.format("graft").option("uuid", "fact").load(base)
+
+    val shapes = Seq(
+      "join-of-join" ->
+        fact.join(dim, col("p") === col("dp"))
+          .join(other, col("k") % 3 === col("ok")).agg(sum("w")),
+      "agg-above-join" ->
+        fact.join(dim, col("p") === col("dp"))
+          .groupBy("p").agg(sum("v").as("sv")).agg(max("sv")),
+      "fact-under-outer-join" ->
+        other.join(fact.join(dim, col("p") === col("dp")),
+          col("ok") === col("p")).agg(sum("v")),
+      "project-between" ->
+        fact.withColumn("p2", col("p")).select("p2", "v")
+          .join(dim, col("p2") === col("dp")).agg(sum("v")))
+    for ((name, df) <- shapes) {
+      GraftRuntimePrune.resetCounters()
+      df.collect()
+      val scans = allScans(df.queryExecution.executedPlan)
+      val clean = scans.filter(_.scan.isInstanceOf[GraftStreamableScan])
+      val dirty = scans.filter(_.scan.isInstanceOf[GraftDvDirtyScan])
+      withClue(s"shape $name: ") {
+        clean.size shouldBe 1
+        dirty.size shouldBe 1
+        // the pin: the DPP subquery filter reached EACH branch...
+        clean.head.runtimeFilters should not be empty
+        dirty.head.runtimeFilters should not be empty
+        // ...and each branch actually pruned with it DURING the execution
+        // (per-tag counters; final-plan instances can be AQE re-plans)
+        Option(GraftRuntimePrune.byTag.get("clean"))
+          .getOrElse((0L, 0L))._2 should be > 0L
+        Option(GraftRuntimePrune.byTag.get("dirty"))
+          .getOrElse((0L, 0L))._2 should be > 0L
+      }
+    }
+  }
+
   test("runtime pruning also reaches DV-bearing scans, both sides") {
     val base = tmpDir("dppdv")
     Ktk.store(spark, base, "fact",
