@@ -3474,10 +3474,16 @@ object Ktk extends org.apache.spark.internal.Logging {
     */
   private[graft] val ParallelListThreshold = 32
 
-  private[graft] def listTableFiles(
+  /** Core listing shared by [[listTableFiles]] and [[listTableFilesDS]]:
+    * top-level files always list on the driver; subdirectory recursion is
+    * either a driver walk (≤ threshold first-level dirs) or an RDD of
+    * per-directory recursions (Right) that callers can keep distributed.
+    */
+  private def listTableFilesCore(
       spark: SparkSession, fsys: org.apache.hadoop.fs.FileSystem,
-      tableRoot: Path, threshold: Int = ParallelListThreshold): Seq[String] = {
-    if (!fsys.exists(tableRoot)) return Nil
+      tableRoot: Path, threshold: Int)
+      : (Seq[String], Either[Seq[String], org.apache.spark.rdd.RDD[String]]) = {
+    if (!fsys.exists(tableRoot)) return (Nil, Left(Nil))
     // the `_`/`.` filter applies to LEAF FILE NAMES ONLY (matching the
     // old recursive walk): a partition COLUMN may legally start with '_'
     // (UrlCodec keeps it), so directories always recurse
@@ -3491,9 +3497,9 @@ object Ktk extends org.apache.spark.internal.Logging {
     val (dirs, files) = fsys.listStatus(tableRoot).partition(_.isDirectory)
     val topFiles = files.toSeq.filter(st => keep(st.getPath.getName))
       .map(st => rel(st.getPath.toString))
-    val subFiles: Seq[String] =
+    val subFiles: Either[Seq[String], org.apache.spark.rdd.RDD[String]] =
       if (dirs.length <= threshold) {
-        dirs.toSeq.flatMap { d =>
+        Left(dirs.toSeq.flatMap { d =>
           val out = Seq.newBuilder[String]
           val it = fsys.listFiles(d.getPath, true)
           while (it.hasNext) {
@@ -3501,12 +3507,12 @@ object Ktk extends org.apache.spark.internal.Logging {
             if (st.isFile && keep(st.getPath.getName)) out += rel(st.getPath.toString)
           }
           out.result()
-        }
+        })
       } else {
         val conf = new org.apache.spark.util.SerializableConfiguration(
           spark.sessionState.newHadoopConf())
         val dirStrs = dirs.map(_.getPath.toString).toSeq
-        spark.sparkContext.parallelize(dirStrs, math.min(64, dirStrs.size))
+        Right(spark.sparkContext.parallelize(dirStrs, math.min(64, dirStrs.size))
           .flatMap { ds =>
             val p = new Path(ds)
             val f = p.getFileSystem(conf.value)
@@ -3519,9 +3525,36 @@ object Ktk extends org.apache.spark.internal.Logging {
                 out += stripLabelPrefix(st.getPath.toString, prefix)
             }
             out.result()
-          }.collect().toSeq
+          })
       }
-    topFiles ++ subFiles
+    (topFiles, subFiles)
+  }
+
+  private[graft] def listTableFiles(
+      spark: SparkSession, fsys: org.apache.hadoop.fs.FileSystem,
+      tableRoot: Path, threshold: Int = ParallelListThreshold): Seq[String] =
+    listTableFilesCore(spark, fsys, tableRoot, threshold) match {
+      case (top, Left(sub))  => top ++ sub
+      case (top, Right(rdd)) => top ++ rdd.collect()
+    }
+
+  /** The listing as a Dataset of labels that STAYS DISTRIBUTED when the
+    * parallel branch fires — the input side of [[fsck]]/[[salvage]]'s
+    * anti-join diff, which at 100 TB metadata sizes must not funnel a
+    * million label strings through a driver Set.
+    */
+  private[graft] def listTableFilesDS(
+      spark: SparkSession, fsys: org.apache.hadoop.fs.FileSystem,
+      tableRoot: Path, threshold: Int = ParallelListThreshold)
+      : org.apache.spark.sql.Dataset[String] = {
+    import spark.implicits._
+    listTableFilesCore(spark, fsys, tableRoot, threshold) match {
+      case (top, Left(sub))  => (top ++ sub).toDS()
+      case (top, Right(rdd)) =>
+        val topDs =
+          if (top.isEmpty) spark.emptyDataset[String] else top.toDS()
+        topDs.union(spark.createDataset(rdd))
+    }
   }
 
   /** Exact-prefix label relativization, loud on mismatch: the caller hands
@@ -3563,7 +3596,17 @@ object Ktk extends org.apache.spark.internal.Logging {
     *  - `orphan_file` — present under `table/`, referenced by NO retained
     *    version (gc-candidate preview, not a fault).
     */
-  def fsck(spark: SparkSession, base: String, uuid: String): DataFrame = {
+  /** Past this many (label × retained-version) attribution pairs, fsck and
+    * salvage compute referenced-vs-present as DataFrame anti-joins instead
+    * of driver-side Sets/Maps — same threshold pattern as the parallel
+    * listing: a 1M-file table with deep retained history would otherwise
+    * cost O(100M) driver map operations and hundreds of MB of label
+    * strings (the Delta-VACUUM driver bottleneck).
+    */
+  private[graft] val DistributedDiffThreshold = 2 * 1000 * 1000
+
+  def fsck(spark: SparkSession, base: String, uuid: String,
+      diffThreshold: Int = DistributedDiffThreshold): DataFrame = {
     import spark.implicits._
     val fs = DatasetMetadata.fs(spark, base)
     val issues = Seq.newBuilder[(String, Long, String)]
@@ -3604,20 +3647,44 @@ object Ktk extends org.apache.spark.internal.Logging {
     }
     // one (parallel-capable) listing answers both data-file checks
     val tableRoot = fs.makeQualified(new Path(s"$base/$uuid/table"))
-    val present: Set[String] = listTableFiles(spark, fs, tableRoot).toSet
-    // newest version referencing each label wins the attribution
-    // (Option-guarded: absent fields deserialize to null on old blobs)
-    val referenced = scala.collection.mutable.Map.empty[String, Long]
-    loaded.foreach { case (v, md) =>
-      Option(md.partitions).getOrElse(Map.empty[String, Long])
-        .keysIterator.foreach(l => referenced(l) =
+    def labelsOf(md: DatasetMetadata): scala.collection.Iterable[String] =
+      Option(md.partitions).getOrElse(Map.empty[String, Long]).keys
+    val attributionPairs = loaded.iterator.map(p => labelsOf(p._2).size.toLong).sum
+    if (attributionPairs <= diffThreshold) {
+      val present: Set[String] = listTableFiles(spark, fs, tableRoot).toSet
+      // newest version referencing each label wins the attribution
+      // (Option-guarded: absent fields deserialize to null on old blobs)
+      val referenced = scala.collection.mutable.Map.empty[String, Long]
+      loaded.foreach { case (v, md) =>
+        labelsOf(md).foreach(l => referenced(l) =
           math.max(referenced.getOrElse(l, Long.MinValue), v))
-    }
-    referenced.toSeq.sorted.foreach { case (label, v) =>
-      if (!present.contains(label)) issues += (("missing_data_file", v, label))
-    }
-    present.toSeq.sorted.foreach { l =>
-      if (!referenced.contains(l)) issues += (("orphan_file", -1L, l))
+      }
+      referenced.toSeq.sorted.foreach { case (label, v) =>
+        if (!present.contains(label)) issues += (("missing_data_file", v, label))
+      }
+      present.toSeq.sorted.foreach { l =>
+        if (!referenced.contains(l)) issues += (("orphan_file", -1L, l))
+      }
+    } else {
+      // distributed diff: the listing stays an RDD-backed Dataset, the
+      // newest-version attribution is a Spark max-agg, and only the FAULT
+      // rows (missing/orphan) come back to the driver. One parallelize per
+      // retained version keeps driver peak memory at O(one snapshot) —
+      // the snapshots themselves are already driver-resident metadata.
+      import spark.implicits._
+      val present = listTableFilesDS(spark, fs, tableRoot).toDF("label")
+      val referenced = spark.sparkContext.union(
+        loaded.map { case (v, md) =>
+          val ls = labelsOf(md).toSeq
+          spark.sparkContext.parallelize(ls.map((_, v)),
+            math.max(1, math.min(32, ls.size / 100000)))
+        }).toDF("label", "version")
+        .groupBy("label").agg(max("version").as("version"))
+      referenced.join(present, Seq("label"), "left_anti")
+        .collect().foreach(r =>
+          issues += (("missing_data_file", r.getLong(1), r.getString(0))))
+      present.join(referenced, Seq("label"), "left_anti").as[String]
+        .collect().foreach(l => issues += (("orphan_file", -1L, l)))
     }
     // sidecars + fragments: newest referencing version attributed, one
     // existence probe per distinct name (registries are metadata-sized)
@@ -3669,13 +3736,27 @@ object Ktk extends org.apache.spark.internal.Logging {
     */
   def salvage(spark: SparkSession, base: String, uuid: String,
       acceptResurrection: Boolean = false,
-      dryRun: Boolean = false): Seq[(String, String)] = {
+      dryRun: Boolean = false,
+      diffThreshold: Int = DistributedDiffThreshold): Seq[(String, String)] = {
     val fs = DatasetMetadata.fs(spark, base)
     val md = DatasetMetadata.load(spark, base, uuid)
     val tableRoot = fs.makeQualified(new Path(md.tableDir(base)))
-    val present = listTableFiles(spark, fs, tableRoot).toSet
-    val missingData = Option(md.partitions).getOrElse(Map.empty[String, Long])
-      .keys.toSeq.sorted.filterNot(present.contains)
+    val refLabels = Option(md.partitions).getOrElse(Map.empty[String, Long]).keys
+    val missingData: Seq[String] =
+      if (refLabels.size <= diffThreshold) {
+        val present = listTableFiles(spark, fs, tableRoot).toSet
+        refLabels.toSeq.sorted.filterNot(present.contains)
+      } else {
+        // distributed diff (same shape as fsck's): only the MISSING labels
+        // return to the driver — they feed the repair commit either way
+        import spark.implicits._
+        val present = listTableFilesDS(spark, fs, tableRoot).toDF("label")
+        spark.sparkContext.parallelize(refLabels.toSeq,
+            math.max(1, math.min(32, refLabels.size / 100000)))
+          .toDF("label")
+          .join(present, Seq("label"), "left_anti")
+          .as[String].collect().sorted.toSeq
+      }
     def missingIn(dir: String, names: Map[String, String]): Seq[(String, String)] =
       names.toSeq.sortBy(_._1).collect {
         case (c, n) if sidecarMissing(fs, base, uuid, dir, n) => (c, n)
@@ -3972,13 +4053,24 @@ object Ktk extends org.apache.spark.internal.Logging {
   // ---------------------------------------------------------------- stats
 
   /** Per-file Parquet footer stats (≙ get_parquet_metadata,
-    * metapartition.py:1720-1771): rows, row groups, size. Footer reads are
-    * distributed via mapPartitions over the file list — no data scan.
+    * metapartition.py:1720-1771, and collect_dataset_metadata's `frac`
+    * sampling, io/dask/dataframe.py:491-574): rows, row groups, size.
+    * Footer reads are distributed via mapPartitions over the file list —
+    * no data scan. `frac` < 1 samples that fraction of the FILE LIST
+    * (deterministically, by `seed`) before any footer is read — the
+    * reference's cheap table-profile mode; at least one file is always
+    * read on a non-empty table.
     */
-  def parquetStats(spark: SparkSession, base: String, uuid: String): DataFrame = {
+  def parquetStats(spark: SparkSession, base: String, uuid: String,
+      frac: Double = 1.0, seed: Long = 42L): DataFrame = {
+    require(frac > 0.0 && frac <= 1.0, s"frac must be in (0, 1], got $frac")
     val md = DatasetMetadata.load(spark, base, uuid)
     val tableDir = md.tableDir(base)
-    val files = md.partitions.keys.toSeq.sorted.map(l => s"$tableDir/$l")
+    val all = md.partitions.keys.toSeq.sorted.map(l => s"$tableDir/$l")
+    val files =
+      if (frac >= 1.0 || all.isEmpty) all
+      else new scala.util.Random(seed).shuffle(all)
+        .take(math.max(1, math.round(frac * all.size).toInt))
     val serializableConf = new org.apache.spark.util.SerializableConfiguration(
       spark.sessionState.newHadoopConf())
     import spark.implicits._

@@ -280,4 +280,23 @@ class KtkSpec extends SparkSpec {
     val stats = Ktk.parquetStats(spark, base, "ds")
     stats.agg(sum("rows")).head.getLong(0) shouldBe 5
   }
+
+  test("parquet footer stats sample the file list with frac (deterministic)") {
+    // ≙ collect_dataset_metadata(frac=…), io/dask/dataframe.py:491-574:
+    // the sample is drawn from the LABEL LIST before any footer is read
+    val base = tmpDir("ktk")
+    val df = (0 until 64).map(i => (i.toLong, s"p${i % 8}", i * 1.0)).toDF("k", "p", "v")
+    Ktk.store(spark, base, "ds", df.repartition(8, col("p")), partitionOn = Seq("p"))
+    val total = DatasetMetadata.load(spark, base, "ds").partitions.size
+    total should be >= 8
+    val half = Ktk.parquetStats(spark, base, "ds", frac = 0.5)
+    half.count() shouldBe math.round(0.5 * total)
+    // deterministic: same seed → same files; different seed may differ
+    Ktk.parquetStats(spark, base, "ds", frac = 0.5).select("file").collect().toSeq shouldBe
+      half.select("file").collect().toSeq
+    // a tiny frac still reads at least one footer; frac outside (0,1] rejects
+    Ktk.parquetStats(spark, base, "ds", frac = 0.001).count() shouldBe 1
+    intercept[IllegalArgumentException] { Ktk.parquetStats(spark, base, "ds", frac = 0.0) }
+    intercept[IllegalArgumentException] { Ktk.parquetStats(spark, base, "ds", frac = 1.5) }
+  }
 }
