@@ -934,6 +934,28 @@ object SparkEntry {
         .orderBy("bucket")
     }),
 
+    "q_cube_remove" -> ((s, dir) => {
+      // remove_partitions (≙ io/eager_cube.py:618-696): a condition on a
+      // PARTITION column deletes the overlapping partitions in one commit;
+      // the next query sees exactly the surviving partitions (exact
+      // oracle rebuilds the same post-removal state from orders)
+      val base = scratch(dir)
+      val cube = CubeDef("tpchrm", dimensionColumns = Seq("o_custkey", "o_orderkey"),
+        partitionColumns = Seq("bucket"))
+      built.getOrElseUpdate(s"$base/cuberm", {
+        val seed0 = t(s, dir, "orders")
+          .withColumn("bucket", pmod(col("o_custkey"), lit(4)))
+        Cube.build(s, base, cube, Map("seed" -> seed0), overwrite = true)
+        Cube.removePartitions(s, base, cube, Seq("seed"),
+          Predicates.of(Seq(("bucket", "==", 3))))
+        ()
+      })
+      Cube.query(s, base, cube, payload = Seq("o_totalprice"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("cnt"), round(sum("o_totalprice"), 2).as("total"))
+        .orderBy("bucket")
+    }),
+
     "q_ktk_delete_ds" -> ((s, dir) => {
       // delete dataset (metadata-last): the victim disappears from the
       // catalog, its NEIGHBOR's content is untouched (exact oracle)
@@ -2807,6 +2829,11 @@ object SparkEntry {
       """SELECT o_custkey % 4 AS bucket, count(*) AS cnt,
         |       round(sum(o_totalprice), 2) AS total
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_cube_remove" ->
+      """SELECT o_custkey % 4 AS bucket, count(*) AS cnt,
+        |       round(sum(o_totalprice), 2) AS total
+        |FROM orders WHERE o_custkey % 4 <> 3 GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_ktk_delete_ds" ->
       """SELECT o_orderstatus, count(*) AS cnt, round(sum(o_totalprice), 2) AS total
