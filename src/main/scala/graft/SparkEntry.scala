@@ -1270,6 +1270,23 @@ object SparkEntry {
         .groupBy().agg(count(lit(1)).as("survivors"), min("doc_id").as("min_id"), max("doc_id").as("max_id"))
     }),
 
+    "q_dedup_minhash_exact" -> ((s, dir) => {
+      // the minhash pipeline cross-checked against EXACT shingle Jaccard:
+      // at this fixture scale (39 docs + planted near-copies) DuckDB
+      // recomputes J over distinct 5-char shingles of the SAME normalized
+      // text and applies the loser rule (id_b of any pair with J >= τ) —
+      // every survivor/victim decision is verified, not just counts. The
+      // fixture's pairwise J is either ≤0.28 or ≥0.92 (measured), so the
+      // b-bit estimate and the exact value make identical τ=0.6 decisions
+      // and the seeded hash family keeps the run deterministic.
+      val d = t(s, dir, "documents")
+        .filter(col("doc_id") < 40 && length(col("text")) >= 60)
+      val mutated = d.withColumn("doc_id", col("doc_id") + 1000000)
+        .withColumn("text", concat(lit("xqzy "), col("text")))
+      Dedup.minhashDedup(d.unionByName(mutated), "doc_id", "text", threshold = 0.6)
+        .select("doc_id").orderBy("doc_id")
+    }),
+
     "q_dedup_minhash_cc" -> ((s, dir) => {
       // transitive-closure dedup: chains A~B~C collapse to one survivor
       val d = t(s, dir, "documents")
@@ -3244,6 +3261,32 @@ object SparkEntry {
         |WHERE doc_id % 2 = 0
         |  AND text NOT IN (SELECT text FROM documents WHERE doc_id % 3 <> 0)
         |ORDER BY doc_id""".stripMargin,
+
+    "q_dedup_minhash_exact" ->
+      """WITH fixture AS (
+        |  SELECT doc_id, trim(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS t
+        |  FROM documents WHERE doc_id < 40 AND length(text) >= 60
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, trim(lower(regexp_replace('xqzy ' || text, '\s+', ' ', 'g')))
+        |  FROM documents WHERE doc_id < 40 AND length(text) >= 60
+        |),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, substring(t, i, 5) AS s
+        |  FROM (SELECT doc_id, t, unnest(range(1, length(t) - 3)) AS i FROM fixture)
+        |),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+        |  FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+        |  GROUP BY 1, 2
+        |),
+        |jac AS (
+        |  SELECT a, b, i * 1.0 / (na.n + nb.n - i) AS j
+        |  FROM inter JOIN sizes na ON na.doc_id = a JOIN sizes nb ON nb.doc_id = b
+        |)
+        |SELECT f.doc_id FROM fixture f
+        |WHERE f.doc_id NOT IN (SELECT b FROM jac WHERE j >= 0.6)
+        |ORDER BY 1""".stripMargin,
 
     "q_dedup_ngram" ->
       """WITH toks AS (
