@@ -443,7 +443,8 @@ object KartothekInterop {
         .parquet(labels.toSeq.map(l => s"$tableDir/$l"): _*)
       val pairs = scan
         .select(col(s"`$c`").cast("string").as("value"),
-          regexp_replace(input_file_name(), lit(s"^.*/$table/"), lit("")).as("label"))
+          Ktk.decodeUriPathCol(
+            regexp_replace(input_file_name(), lit(s"^.*/$table/"), lit(""))).as("label"))
         .where(col("value").isNotNull)
         .groupBy("value").agg(sort_array(collect_set(col("label"))).as("labels"))
         .collect()
@@ -463,7 +464,8 @@ object KartothekInterop {
       val tmp = s"$base/$uuid/indices/.$c.tmp"
       scan
         .select(col(s"`$c`"),
-          regexp_replace(input_file_name(), lit(s"^.*/$table/"), lit("")).as("label"))
+          Ktk.decodeUriPathCol(
+            regexp_replace(input_file_name(), lit(s"^.*/$table/"), lit(""))).as("label"))
         .where(col(s"`$c`").isNotNull)
         .groupBy(s"`$c`").agg(sort_array(collect_set(col("label"))).as("partition"))
         .coalesce(1) // the v4 key names ONE parquet file

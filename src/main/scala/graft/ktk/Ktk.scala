@@ -717,13 +717,28 @@ object Ktk extends org.apache.spark.internal.Logging {
     }
   }
 
+  /** Decode a URI-encoded path column back to the on-disk/metadata label
+    * form. `_metadata.file_path` and `input_file_name()` render the file's
+    * URI (space → %20, '%' → %25, …) while the metadata maps, DV
+    * fragments, index partition lists and storage listings all use the
+    * decoded on-disk form — every label comparison must happen in ONE
+    * coordinate system, or an encodable label silently misses its
+    * tombstones and deleted rows RESURRECT (pinned in LabelEncodingSpec).
+    * url_decode's '+'-as-space hazard is fenced by re-escaping literal
+    * '+' first (URI path encoding leaves '+' literal); all codegen'd
+    * builtins — no UDF lands on scan hot paths.
+    */
+  private[graft] def decodeUriPathCol(c: Column): Column =
+    url_decode(regexp_replace(c, lit("\\+"), lit("%2B")))
+
   /** Partition label of the current input file: the URI path after the last
-    * `/table/` segment. input_file_name() returns a `file:///…`/`s3a://…`
-    * URI whose prefix form differs from Hadoop's qualified path, so we anchor
-    * on the layout's fixed `/table/` component instead of prefix-stripping.
+    * `/table/` segment, URI-DECODED to the metadata label form.
+    * input_file_name() returns a `file:///…`/`s3a://…` URI whose prefix
+    * form differs from Hadoop's qualified path, so we anchor on the
+    * layout's fixed `/table/` component instead of prefix-stripping.
     */
   private def fileLabel: org.apache.spark.sql.Column =
-    regexp_replace(input_file_name(), lit("^.*/table/"), lit(""))
+    decodeUriPathCol(regexp_replace(input_file_name(), lit("^.*/table/"), lit("")))
 
   /** (value,label) pairs → deterministic (value, partitions) index rows. */
   /** Canonical sidecar rewrites bound their output to this many files so
@@ -1020,7 +1035,7 @@ object Ktk extends org.apache.spark.internal.Logging {
             // label → partitionSeq / DV lookups key on (label, position
             // within file), both from the hidden _metadata column
             s.withColumn("__label",
-                regexp_replace(col("_metadata.file_path"), lit("^.*/table/"), lit("")))
+                decodeUriPathCol(regexp_replace(col("_metadata.file_path"), lit("^.*/table/"), lit(""))))
               .withColumn("__pos", col("_metadata.row_index"))
           else s
         }
@@ -1308,7 +1323,7 @@ object Ktk extends org.apache.spark.internal.Logging {
       .parquet(candidates.map(l => s"$tableDir/$l"): _*)
       .filter(cond)
       .select(
-        regexp_replace(col("_metadata.file_path"), lit("^.*/table/"), lit("")).as("label"),
+        decodeUriPathCol(regexp_replace(col("_metadata.file_path"), lit("^.*/table/"), lit(""))).as("label"),
         col("_metadata.row_index").as("pos"))
     deleteVectors(spark, base, md) match {
       case None     => hits
@@ -1583,7 +1598,7 @@ object Ktk extends org.apache.spark.internal.Logging {
       .parquet(candidates.map(l => s"$tableDir/$l"): _*)
       .filter(cond)
       .withColumn("__label",
-        regexp_replace(col("_metadata.file_path"), lit("^.*/table/"), lit("")))
+        decodeUriPathCol(regexp_replace(col("_metadata.file_path"), lit("^.*/table/"), lit(""))))
       .withColumn("__pos", col("_metadata.row_index"))
     val live = (deleteVectors(spark, base, md) match {
       case None => matched
@@ -1840,7 +1855,7 @@ object Ktk extends org.apache.spark.internal.Logging {
           val hits = scan
             .join(probe, keys.map(k => scan(k) === probe(k)).reduce(_ && _), "left_semi")
             .select(
-              regexp_replace(col("_metadata.file_path"), lit("^.*/table/"), lit("")).as("label"),
+              decodeUriPathCol(regexp_replace(col("_metadata.file_path"), lit("^.*/table/"), lit(""))).as("label"),
               col("_metadata.row_index").as("pos"))
           val fresh = deleteVectors(spark, base, md) match {
             case None     => hits
@@ -1933,7 +1948,7 @@ object Ktk extends org.apache.spark.internal.Logging {
         .parquet(ls.map(l => s"$tableDir/$l"): _*)
       if (withPos)
         s.withColumn("__label",
-            regexp_replace(col("_metadata.file_path"), lit("^.*/table/"), lit("")))
+            decodeUriPathCol(regexp_replace(col("_metadata.file_path"), lit("^.*/table/"), lit(""))))
           .withColumn("__pos", col("_metadata.row_index"))
       else s
     }
@@ -2895,7 +2910,7 @@ object Ktk extends org.apache.spark.internal.Logging {
           .select(col("label").as("__dvl"), col("pos").as("__dvp"))
         raw
           .withColumn("__label",
-            regexp_replace(col("_metadata.file_path"), lit("^.*/table/"), lit("")))
+            decodeUriPathCol(regexp_replace(col("_metadata.file_path"), lit("^.*/table/"), lit(""))))
           .withColumn("__pos", col("_metadata.row_index"))
           .join(dv, col("__label") === col("__dvl") && col("__pos") === col("__dvp"),
             "left_anti")
@@ -3668,23 +3683,34 @@ object Ktk extends org.apache.spark.internal.Logging {
     } else {
       // distributed diff: the listing stays an RDD-backed Dataset, the
       // newest-version attribution is a Spark max-agg, and only the FAULT
-      // rows (missing/orphan) come back to the driver. One parallelize per
-      // retained version keeps driver peak memory at O(one snapshot) —
-      // the snapshots themselves are already driver-resident metadata.
+      // rows (missing/orphan) come back to the driver. The (label, v)
+      // tupling runs on EXECUTORS (parallelize ships label references the
+      // loaded snapshots already hold; no driver-side tuple copies) — the
+      // retained snapshots themselves remain the driver-memory floor.
+      // Both frames persist across the two anti-join actions so the
+      // storage listing and the attribution shuffle run ONCE.
       import spark.implicits._
       val present = listTableFilesDS(spark, fs, tableRoot).toDF("label")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val referenced = spark.sparkContext.union(
         loaded.map { case (v, md) =>
           val ls = labelsOf(md).toSeq
-          spark.sparkContext.parallelize(ls.map((_, v)),
-            math.max(1, math.min(32, ls.size / 100000)))
+          spark.sparkContext.parallelize(ls,
+            math.max(1, math.min(32, ls.size / 100000))).map((_, v))
         }).toDF("label", "version")
         .groupBy("label").agg(max("version").as("version"))
-      referenced.join(present, Seq("label"), "left_anti")
-        .collect().foreach(r =>
-          issues += (("missing_data_file", r.getLong(1), r.getString(0))))
-      present.join(referenced, Seq("label"), "left_anti").as[String]
-        .collect().foreach(l => issues += (("orphan_file", -1L, l)))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        referenced.join(present, Seq("label"), "left_anti")
+          .collect().foreach(r =>
+            issues += (("missing_data_file", r.getLong(1), r.getString(0))))
+        present.join(referenced, Seq("label"), "left_anti").as[String]
+          .collect().foreach(l => issues += (("orphan_file", -1L, l)))
+      } finally {
+        present.unpersist(blocking = false)
+        referenced.unpersist(blocking = false)
+        ()
+      }
     }
     // sidecars + fragments: newest referencing version attributed, one
     // existence probe per distinct name (registries are metadata-sized)

@@ -107,7 +107,10 @@ final class GraftDvScan(
       case fp: FilePartition => fp.files
       case other => throw new IllegalStateException(s"unexpected partition $other")
     }
-    val dirtyParts = files.groupBy(_.filePath.toString).toSeq.sortBy(_._1)
+    // toPath DECODES the SparkPath's URI form (space was %20, '%' was %25)
+    // into the same coordinate system as labelPrefix (a qualified
+    // Path.toString) and the broadcast tombstone map's metadata labels
+    val dirtyParts = files.groupBy(_.filePath.toPath.toString).toSeq.sortBy(_._1)
       .zipWithIndex.map { case ((path, fs), i) =>
         // exact qualified-root strip (loud on mismatch): the label keys the
         // broadcast tombstone map — a mis-relativized label would silently
@@ -175,7 +178,7 @@ final class GraftDvDirtyScan(
       case fp: FilePartition => fp.files
       case other => throw new IllegalStateException(s"unexpected partition $other")
     }
-    files.groupBy(_.filePath.toString).toSeq.sortBy(_._1)
+    files.groupBy(_.filePath.toPath.toString).toSeq.sortBy(_._1)
       .zipWithIndex.map { case ((path, fs), i) =>
         val label = graft.ktk.Ktk.stripLabelPrefix(path, labelPrefix)
         GraftDvInputPartition(FilePartition(i, fs.toArray), Some(label)): InputPartition

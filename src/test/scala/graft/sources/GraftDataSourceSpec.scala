@@ -132,17 +132,6 @@ class GraftDataSourceSpec extends SparkSpec {
     GraftRuntimePrune.lastKept.get() should be > 0L
   }
 
-  // AQE hides scans behind AdaptiveSparkPlanExec/QueryStageExec wrappers;
-  // walk through them so plan pins can reach the real BatchScanExecs
-  private def allScans(p: org.apache.spark.sql.execution.SparkPlan)
-      : Seq[org.apache.spark.sql.execution.datasources.v2.BatchScanExec] = p match {
-    case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => allScans(a.executedPlan)
-    case q: org.apache.spark.sql.execution.adaptive.QueryStageExec        => allScans(q.plan)
-    case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec    => allScans(r.child)
-    case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec   => Seq(b)
-    case other => other.children.flatMap(allScans)
-  }
-
   test("DPP runtime filters land on BOTH union branches in join subtrees") {
     // the r10 open item: GraftDvSplitRule's Union(clean, dirty) must not
     // silently lose runtime (DPP) pruning when the DV-bearing fact sits in
@@ -183,7 +172,7 @@ class GraftDataSourceSpec extends SparkSpec {
     for ((name, df) <- shapes) {
       GraftRuntimePrune.resetCounters()
       df.collect()
-      val scans = allScans(df.queryExecution.executedPlan)
+      val scans = graft.PlanWalk.batchScans(df.queryExecution.executedPlan)
       val clean = scans.filter(_.scan.isInstanceOf[GraftStreamableScan])
       val dirty = scans.filter(_.scan.isInstanceOf[GraftDvDirtyScan])
       withClue(s"shape $name: ") {

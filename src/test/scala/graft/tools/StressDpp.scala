@@ -2,9 +2,7 @@ package graft.tools
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.execution.SparkPlan
-import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
 import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
-import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
 import org.apache.spark.sql.functions._
 
 import graft.ktk.Ktk
@@ -28,13 +26,7 @@ import graft.sources.{GraftDvDirtyScan, GraftRuntimePrune, GraftStreamableScan}
   * Run: sbt "Test/runMain graft.tools.StressDpp"
   */
 object StressDpp {
-  private def scans(p: SparkPlan): Seq[BatchScanExec] = p match {
-    case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
-    case q: QueryStageExec        => scans(q.plan)
-    case r: ReusedExchangeExec    => scans(r.child)
-    case b: BatchScanExec         => Seq(b)
-    case other                    => other.children.flatMap(scans)
-  }
+  private def scans(p: SparkPlan): Seq[BatchScanExec] = graft.PlanWalk.batchScans(p)
 
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
