@@ -1313,6 +1313,41 @@ object SparkEntry {
           sum(when(col("doc_id") >= 2000000, 1L).otherwise(0L)).as("v2_survivors"))
     }),
 
+    "q_dedup_minhash_cc_exact" -> ((s, dir) => {
+      // transitive-closure dedup cross-checked END TO END: DuckDB
+      // recomputes exact shingle Jaccard over the same normalized text,
+      // builds the >=0.6 edge set, runs connected components as a
+      // recursive CTE, and keeps each component's min id — the Spark
+      // side (LSH banding → b-bit verify → GraphX CC) must produce the
+      // IDENTICAL survivor set. Chains o~v1, o~v2 (and v1~v2) collapse
+      // to the original even when two variants never share a bucket.
+      val d = t(s, dir, "documents")
+        .filter(col("doc_id") < 40 && length(col("text")) >= 60)
+      val m1 = d.withColumn("doc_id", col("doc_id") + 1000000)
+        .withColumn("text", concat(lit("v1 "), col("text")))
+      val m2 = d.withColumn("doc_id", col("doc_id") + 2000000)
+        .withColumn("text", concat(lit("v2 v2 "), col("text")))
+      Dedup.minhashDedupCC(d.unionByName(m1).unionByName(m2),
+          "doc_id", "text", threshold = 0.6)
+        .select("doc_id").orderBy("doc_id")
+    }),
+
+    "q_dedup_simhash_exact" -> ((s, dir) => {
+      // simhash candidates cross-checked against the planted truth: exact
+      // copies have hamming 0 (found via every band), while the fixture's
+      // 40 distinct originals sit at pairwise hamming >= 5 (measured,
+      // deterministic hashes) — so at maxHamming=3 the candidate set must
+      // be EXACTLY the planted (id, id+1M, hamming=0) pairs: banding
+      // recall, bucket pairing, the hamming filter and pair dedup all
+      // verified against an independent reconstruction. (A near-dup
+      // mutation can't gate exactly here: single-token edits land at
+      // hamming 4-6 for some docs, overlapping the cross-pair floor.)
+      val d = t(s, dir, "documents").filter(col("doc_id") < 40)
+      val copies = d.withColumn("doc_id", col("doc_id") + 1000000)
+      Dedup.simhashCandidates(d.unionByName(copies), "doc_id", "text", maxHamming = 3)
+        .select(col("id_a"), col("id_b"), col("hamming")).orderBy("id_a", "id_b")
+    }),
+
     "q_dedup_simhash" -> ((s, dir) => {
       val d = t(s, dir, "documents")
       val mutated = d.withColumn("doc_id", col("doc_id") + 1000000)
@@ -3287,6 +3322,43 @@ object SparkEntry {
         |SELECT f.doc_id FROM fixture f
         |WHERE f.doc_id NOT IN (SELECT b FROM jac WHERE j >= 0.6)
         |ORDER BY 1""".stripMargin,
+
+    "q_dedup_minhash_cc_exact" ->
+      """WITH RECURSIVE fixture AS (
+        |  SELECT doc_id, trim(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS t
+        |  FROM documents WHERE doc_id < 40 AND length(text) >= 60
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, trim(lower(regexp_replace('v1 ' || text, '\s+', ' ', 'g')))
+        |  FROM documents WHERE doc_id < 40 AND length(text) >= 60
+        |  UNION ALL
+        |  SELECT doc_id + 2000000, trim(lower(regexp_replace('v2 v2 ' || text, '\s+', ' ', 'g')))
+        |  FROM documents WHERE doc_id < 40 AND length(text) >= 60
+        |),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, substring(t, i, 5) AS s
+        |  FROM (SELECT doc_id, t, unnest(range(1, length(t) - 3)) AS i FROM fixture)
+        |),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+        |  FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id GROUP BY 1, 2
+        |),
+        |edges AS (
+        |  SELECT a, b FROM inter JOIN sizes na ON na.doc_id = a JOIN sizes nb ON nb.doc_id = b
+        |  WHERE i * 1.0 / (na.n + nb.n - i) >= 0.6
+        |),
+        |bidir AS (SELECT a, b FROM edges UNION SELECT b AS a, a AS b FROM edges),
+        |reach(node, rep) AS (
+        |  SELECT doc_id, doc_id FROM fixture
+        |  UNION
+        |  SELECT b.b, r.rep FROM reach r JOIN bidir b ON b.a = r.node
+        |),
+        |comp AS (SELECT node, min(rep) AS component FROM reach GROUP BY 1)
+        |SELECT node AS doc_id FROM comp WHERE node = component ORDER BY 1""".stripMargin,
+
+    "q_dedup_simhash_exact" ->
+      """SELECT doc_id AS id_a, doc_id + 1000000 AS id_b, 0 AS hamming
+        |FROM documents WHERE doc_id < 40 ORDER BY 1, 2""".stripMargin,
 
     "q_dedup_ngram" ->
       """WITH toks AS (

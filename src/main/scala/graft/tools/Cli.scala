@@ -223,7 +223,10 @@ object Cli {
     * {{{
     *   <col op value & ...>   set conditions AND run immediately
     *   cond [expr]            set (or with no arg, clear) conditions
-    *   cols [a,b,...]         set (or clear) payload columns
+    *   cols [a,b,...|__all__] set (or clear) payload columns
+    *   complete cond|cols [t] completion candidates for a partial input
+    *                          (≙ the prompt-toolkit WordCompleters: columns
+    *                          for conditions, columns + __all__ for payload)
     *   limit N                rows to print (default 20)
     *   run                    execute the current query
     *   schema | info | help   introspection
@@ -266,8 +269,8 @@ object Cli {
           case "" => ()
           case "quit" | "exit" => done = true
           case "help" =>
-            out.println("commands: <condition> | cond [expr] | cols [a,b,...] | " +
-              "limit N | run | schema | info | quit")
+            out.println("commands: <condition> | cond [expr] | cols [a,b,...|__all__] | " +
+              "complete cond|cols [partial] | limit N | run | schema | info | quit")
           case "schema" => out.println(md.schema.treeString)
           case "info" =>
             out.println(s"uuid: ${md.uuid}")
@@ -279,10 +282,31 @@ object Cli {
             condStr = if (rest.isEmpty) "none" else rest
             out.println(s"conditions: $condStr")
           case "cols" =>
-            cols = rest.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+            // `__all__` ≙ the reference payload prompt's keyword for "every
+            // column" (cli/_query.py:103-118)
+            cols = if (rest == "__all__") Nil
+                   else rest.split(",").map(_.trim).filter(_.nonEmpty).toSeq
             val missing = cols.filterNot(md.schema.fieldNames.contains)
             require(missing.isEmpty, s"unknown columns: ${missing.mkString(",")}")
             out.println(s"columns: ${if (cols.isEmpty) "all" else cols.mkString(",")}")
+          case "complete" =>
+            // ≙ the prompt-toolkit WordCompleters (cli/_query.py:118-151):
+            // the CONDITIONS prompt completes the word under the cursor
+            // against sorted columns; the PAYLOAD prompt against sorted
+            // columns + "__all__". Scripted form: complete the LAST token
+            // of the partial input, one candidate per line.
+            val (ctx, partial) = rest.split("\\s+", 2) match {
+              case Array(c, r) => (c, r)
+              case Array(c)    => (c, "")
+            }
+            require(ctx == "cond" || ctx == "cols",
+              "usage: complete cond|cols [partial input]")
+            val words = md.schema.fieldNames.toSeq.sorted ++
+              (if (ctx == "cols") Seq("__all__") else Nil)
+            val last =
+              if (ctx == "cols") partial.split(",", -1).last.trim
+              else partial.split("\\s+").lastOption.getOrElse("").trim
+            words.filter(_.startsWith(last)).foreach(out.println)
           case "limit" =>
             limit = rest.toInt
             out.println(s"limit: $limit")

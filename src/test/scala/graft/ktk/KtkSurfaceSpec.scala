@@ -211,6 +211,11 @@ class KtkSurfaceSpec extends SparkSpec {
         |run
         |v ~~ bogus syntax
         |cols nope
+        |complete cond p == 1 & v
+        |complete cols v,
+        |complete nope
+        |cols __all__
+        |run
         |quit
         |""".stripMargin
     val in = new java.io.BufferedReader(new java.io.StringReader(script))
@@ -227,7 +232,17 @@ class KtkSurfaceSpec extends SparkSpec {
     out should include("(1 rows, limit 1")
     // cond+cols-reset: the x >= 30 row with all columns again
     out should include("(1 rows, limit 1, conditions: x >= 30, columns: all)")
-    out.split("\n").count(_.contains("error: ")) shouldBe 2 // bad syntax + bad column
+    // completion (≙ the reference's prompt-toolkit WordCompleters): the
+    // conditions prompt completes the word under the cursor from the
+    // column set; the payload prompt from columns + __all__ (here the
+    // empty token after 'v,' lists everything); unknown context errors
+    val lines = out.split("\n").map(_.trim).toSeq
+    lines should contain("v") // 'complete cond ... & v' → column v
+    lines should contain("__all__") // payload completer includes __all__
+    // bad syntax + bad column + bad complete context
+    out.split("\n").count(_.contains("error: ")) shouldBe 3
+    // cols __all__ behaves as the reference's __all__ (every column)
+    out should include("(1 rows, limit 1, conditions: x >= 30, columns: all)")
     out should include("bye")
     out.split("\n").count(_.contains("graft>")) should be >= 1
   }
