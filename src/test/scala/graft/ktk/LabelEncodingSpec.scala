@@ -19,9 +19,14 @@ import org.apache.spark.sql.functions._
 class LabelEncodingSpec extends SparkSpec {
   import spark.implicits._
 
-  // partition values that URI-encode ('a b' → %20; '5%' → %25) and the
-  // url_decode hazard case ('a+b' must NOT decode into 'a b')
-  private val values = Seq("a b", "5%", "a+b", "plain")
+  // partition values that URI-encode ('a b' → %20; '5%' → %25), the
+  // url_decode hazard case ('a+b' must NOT decode into 'a b'), and a value
+  // the HIVE WRITER itself escapes ('k=v' → dir 'p=k%3Dv', whose literal
+  // '%' then URI-encodes again in file_path). Non-ASCII values (UTF-8
+  // multi-byte percent sequences) are NOT testable in this container: the
+  // JVM runs a non-UTF-8 locale and Spark's own writer throws
+  // InvalidPathException before any graft code runs.
+  private val values = Seq("a b", "5%", "a+b", "k=v", "plain")
 
   private def seed(base: String): DatasetMetadata = {
     val rows = values.zipWithIndex.flatMap { case (p, i) =>
@@ -82,6 +87,27 @@ class LabelEncodingSpec extends SparkSpec {
     got.select("p").as[String].head() shouldBe "a+b"
     got.inputFiles.length shouldBe 1
     got.inputFiles.head should include("p=a+b")
+  }
+
+  test("property: delete/read roundtrip over random printable-ASCII partition values") {
+    // sweep the whole printable-ASCII space (minus '/'): whatever mix of
+    // writer-escaped, URI-encodable and plain characters a value hits,
+    // the tombstones must land — one coordinate system, no exceptions
+    val rnd = new scala.util.Random(7)
+    val chars = (33 to 126).map(_.toChar).filterNot(_ == '/')
+    val vals = Seq.tabulate(12)(i =>
+      s"v$i" + Seq.fill(4)(chars(rnd.nextInt(chars.size))).mkString)
+    val base = tmpDir("encprop")
+    val rows = vals.zipWithIndex.flatMap { case (p, i) =>
+      Seq((p, i * 10L + 1, 1.0), (p, i * 10L + 2, 2.0))
+    }
+    Ktk.store(spark, base, "ds", rows.toDF("p", "k", "v"), partitionOn = Seq("p"))
+    DatasetMetadata.load(spark, base, "ds").partitions.size should be >= vals.size
+    Ktk.deleteRows(spark, base, "ds", predicates =
+      Predicates.of(Seq(("k", "in", vals.indices.map(i => i * 10L + 1)))))
+    Ktk.readTable(spark, base, "ds").count() shouldBe vals.size.toLong
+    spark.read.format("graft").option("uuid", "ds").load(base)
+      .count() shouldBe vals.size.toLong
   }
 
   test("gc under a base path containing a space reaps nothing referenced") {
