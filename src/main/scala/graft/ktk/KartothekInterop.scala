@@ -443,8 +443,11 @@ object KartothekInterop {
         .parquet(labels.toSeq.map(l => s"$tableDir/$l"): _*)
       val pairs = scan
         .select(col(s"`$c`").cast("string").as("value"),
-          Ktk.decodeUriPathCol(
-            regexp_replace(input_file_name(), lit(s"^.*/$table/"), lit(""))).as("label"))
+          regexp_replace(Ktk.decodeUriPathCol(input_file_name()),
+            // decode FIRST (a URI-encodable table name never matches the raw
+            // form), and quote the interpolated name (regex metachars)
+            lit("^.*/" + java.util.regex.Pattern.quote(table) + "/"),
+            lit("")).as("label"))
         .where(col("value").isNotNull)
         .groupBy("value").agg(sort_array(collect_set(col("label"))).as("labels"))
         .collect()
@@ -464,8 +467,11 @@ object KartothekInterop {
       val tmp = s"$base/$uuid/indices/.$c.tmp"
       scan
         .select(col(s"`$c`"),
-          Ktk.decodeUriPathCol(
-            regexp_replace(input_file_name(), lit(s"^.*/$table/"), lit(""))).as("label"))
+          regexp_replace(Ktk.decodeUriPathCol(input_file_name()),
+            // decode FIRST (a URI-encodable table name never matches the raw
+            // form), and quote the interpolated name (regex metachars)
+            lit("^.*/" + java.util.regex.Pattern.quote(table) + "/"),
+            lit("")).as("label"))
         .where(col(s"`$c`").isNotNull)
         .groupBy(s"`$c`").agg(sort_array(collect_set(col("label"))).as("partition"))
         .coalesce(1) // the v4 key names ONE parquet file

@@ -915,32 +915,40 @@ object Ktk extends org.apache.spark.internal.Logging {
       // convention in queryLabels): a committed label with no row in the
       // index/zone sidecar stays a candidate rather than being pruned —
       // intersecting would let any commit path that skips a sidecar append
-      // make merge silently skip tombstoning matched rows. One scan answers
-      // both "covered at all" and "covers the range".
-      if (md.indices.contains(k) && cur.nonEmpty) {
-        val hits = loadIndex(spark, base, md, k)
-          .select(col("value"), explode(col("partitions")).as("label"))
-          .groupBy("label")
-          // null index values cannot equal a (non-null) merge key: false
-          .agg(max(coalesce(
-            col("value") >= lit(lo) && col("value") <= lit(hi),
-            lit(false))).as("hit"))
-          .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
-        cur = cur.filter(l => hits.get(l).forall(identity))
+      // make merge silently skip tombstoning matched rows. Two driver sets,
+      // both small: MATCHING labels come from a value-pushdown-pruned scan
+      // (O(range hits)), and UNCOVERED candidates from an anti-join of the
+      // candidate list against the sidecar's label set (normally EMPTY —
+      // the total-coverage invariant) — never a full-index driver map.
+      def keepMatchingOrUncovered(
+          matchingOf: DataFrame => DataFrame, labelsOf: DataFrame => DataFrame,
+          sidecarDf: DataFrame): Unit = {
+        import spark.implicits._
+        val matching = matchingOf(sidecarDf)
+          .distinct().as[String].collect().toSet
+        val uncovered = spark.createDataset(cur).toDF("label")
+          .join(labelsOf(sidecarDf).distinct(), Seq("label"), "left_anti")
+          .as[String].collect().toSet
+        cur = cur.filter(l => matching.contains(l) || uncovered.contains(l))
       }
+      if (md.indices.contains(k) && cur.nonEmpty)
+        keepMatchingOrUncovered(
+          // value range BEFORE explode: the predicate pushes into the
+          // index parquet scan (null values cannot equal a non-null key)
+          idx => idx.filter(col("value") >= lit(lo) && col("value") <= lit(hi))
+            .select(explode(col("partitions")).as("label")),
+          idx => idx.select(explode(col("partitions")).as("label")),
+          loadIndex(spark, base, md, k))
       if (md.zoneRegistry.contains(k) && cur.nonEmpty) {
         val sidecar = new Path(md.zonePath(base, k))
-        if (DatasetMetadata.fs(spark, base).exists(sidecar)) {
-          val hits = spark.read.parquet(sidecar.toString)
-            .groupBy("label")
-            // null stats = all-null column in that file: no `=` match
-            .agg(max(coalesce(
-              col("mn").isNotNull && col("mx").isNotNull &&
-                col("mn") <= lit(hi) && col("mx") >= lit(lo),
-              lit(false))).as("hit"))
-            .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
-          cur = cur.filter(l => hits.get(l).forall(identity))
-        }
+        if (DatasetMetadata.fs(spark, base).exists(sidecar))
+          keepMatchingOrUncovered(
+            // null stats = all-null column in that file: present in the
+            // sidecar but never matching ⇒ dropped, as before
+            z => z.filter(col("mn").isNotNull && col("mx").isNotNull &&
+              col("mn") <= lit(hi) && col("mx") >= lit(lo)).select("label"),
+            z => z.select("label"),
+            spark.read.parquet(sidecar.toString))
       }
       cur
     }
@@ -3620,6 +3628,16 @@ object Ktk extends org.apache.spark.internal.Logging {
     */
   private[graft] val DistributedDiffThreshold = 2 * 1000 * 1000
 
+  /** Ship a driver-resident label list to executors for the distributed
+    * referenced-vs-present diff — shared by [[fsck]] and [[salvage]] so
+    * the slicing heuristic cannot silently diverge between audit and
+    * repair (the same reason [[sidecarMissing]] is shared).
+    */
+  private def parallelizeLabels(
+      spark: SparkSession, labels: Seq[String]): org.apache.spark.rdd.RDD[String] =
+    spark.sparkContext.parallelize(labels,
+      math.max(1, math.min(32, labels.size / 100000)))
+
   def fsck(spark: SparkSession, base: String, uuid: String,
       diffThreshold: Int = DistributedDiffThreshold): DataFrame = {
     import spark.implicits._
@@ -3694,9 +3712,7 @@ object Ktk extends org.apache.spark.internal.Logging {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val referenced = spark.sparkContext.union(
         loaded.map { case (v, md) =>
-          val ls = labelsOf(md).toSeq
-          spark.sparkContext.parallelize(ls,
-            math.max(1, math.min(32, ls.size / 100000))).map((_, v))
+          parallelizeLabels(spark, labelsOf(md).toSeq).map((_, v))
         }).toDF("label", "version")
         .groupBy("label").agg(max("version").as("version"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -3777,9 +3793,7 @@ object Ktk extends org.apache.spark.internal.Logging {
         // return to the driver — they feed the repair commit either way
         import spark.implicits._
         val present = listTableFilesDS(spark, fs, tableRoot).toDF("label")
-        spark.sparkContext.parallelize(refLabels.toSeq,
-            math.max(1, math.min(32, refLabels.size / 100000)))
-          .toDF("label")
+        parallelizeLabels(spark, refLabels.toSeq).toDF("label")
           .join(present, Seq("label"), "left_anti")
           .as[String].collect().sorted.toSeq
       }

@@ -283,11 +283,13 @@ object Cli {
             out.println(s"conditions: $condStr")
           case "cols" =>
             // `__all__` ≙ the reference payload prompt's keyword for "every
-            // column" (cli/_query.py:103-118)
-            cols = if (rest == "__all__") Nil
-                   else rest.split(",").map(_.trim).filter(_.nonEmpty).toSeq
-            val missing = cols.filterNot(md.schema.fieldNames.contains)
+            // column" (cli/_query.py:103-118). Validate BEFORE assigning so
+            // a rejected input leaves the session's selection untouched.
+            val next = if (rest == "__all__") Nil
+                       else rest.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+            val missing = next.filterNot(md.schema.fieldNames.contains)
             require(missing.isEmpty, s"unknown columns: ${missing.mkString(",")}")
+            cols = next
             out.println(s"columns: ${if (cols.isEmpty) "all" else cols.mkString(",")}")
           case "complete" =>
             // ≙ the prompt-toolkit WordCompleters (cli/_query.py:118-151):

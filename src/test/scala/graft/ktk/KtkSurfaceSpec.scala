@@ -211,6 +211,7 @@ class KtkSurfaceSpec extends SparkSpec {
         |run
         |v ~~ bogus syntax
         |cols nope
+        |run
         |complete cond p == 1 & v
         |complete cols v,
         |complete nope
@@ -241,8 +242,11 @@ class KtkSurfaceSpec extends SparkSpec {
     lines should contain("__all__") // payload completer includes __all__
     // bad syntax + bad column + bad complete context
     out.split("\n").count(_.contains("error: ")) shouldBe 3
-    // cols __all__ behaves as the reference's __all__ (every column)
-    out should include("(1 rows, limit 1, conditions: x >= 30, columns: all)")
+    // a REJECTED cols leaves the selection untouched (the run after
+    // 'cols nope' still uses all columns), and cols __all__ behaves as
+    // the reference's __all__ — three identical all-column runs total
+    out.split("\n").count(
+      _.contains("(1 rows, limit 1, conditions: x >= 30, columns: all)")) shouldBe 3
     out should include("bye")
     out.split("\n").count(_.contains("graft>")) should be >= 1
   }
