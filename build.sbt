@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The container's default locale is POSIX (ASCII): the JVM then derives
+// sun.jnu.encoding=ANSI_X3.4-1968 and java.nio REFUSES non-ASCII file
+// paths outright (-Dsun.jnu.encoding is ignored — the VM reads the native
+// locale before properties). Real clusters run UTF-8 locales, and
+// multibyte partition values exercise exactly the URI-decode label path a
+// resurrection bug once lived on — so forked test JVMs get a UTF-8 locale
+// to make café/CJK labels testable (LabelEncodingSpec).
+Test / envVars += ("LC_ALL" -> "C.UTF-8")
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -251,7 +251,7 @@ object Ktk extends org.apache.spark.internal.Logging {
     val aggs = cols.flatMap(c => Seq(
       min(col(s"`$c`")).cast("string").as(s"__min_$c"),
       max(col(s"`$c`")).cast("string").as(s"__max_$c")))
-    scan.groupBy(fileLabel.as("label")).agg(aggs.head, aggs.tail: _*)
+    scan.groupBy(labelCol(spark, tableDir, input_file_name()).as("label")).agg(aggs.head, aggs.tail: _*)
   }
 
   /** Build a zone sidecar for each (column → target file name): one
@@ -455,7 +455,7 @@ object Ktk extends org.apache.spark.internal.Logging {
     if (labels.isEmpty) return spark.emptyDataset[(String, Array[Byte])].toDF("label", "bloom")
     spark.read.option("basePath", tableDir)
       .parquet(labels.map(l => s"$tableDir/$l"): _*)
-      .select(col(s"`$column`").as("v"), fileLabel.as("label"))
+      .select(col(s"`$column`").as("v"), labelCol(spark, tableDir, input_file_name()).as("label"))
       .select(col("label"),
         when(col("v").isNotNull, xxhash64(col("v"))).as("h"))
       .as[(String, java.lang.Long)]
@@ -711,7 +711,7 @@ object Ktk extends org.apache.spark.internal.Logging {
     val tableDir = md.tableDir(base)
     val df = spark.read.option("basePath", tableDir).parquet(
       md.partitions.keys.toSeq.sorted.map(l => s"$tableDir/$l"): _*)
-    val labeled = df.select(col(s"`$column`").as("value"), fileLabel.as("label"))
+    val labeled = df.select(col(s"`$column`").as("value"), labelCol(spark, tableDir, input_file_name()).as("label"))
     atomicSidecarWrite(spark, s"$base/${md.uuid}/$IndexDirName", target) { tmp =>
       indexFromPairs(labeled).write.mode(SaveMode.Overwrite).parquet(tmp)
     }
@@ -731,14 +731,34 @@ object Ktk extends org.apache.spark.internal.Logging {
   private[graft] def decodeUriPathCol(c: Column): Column =
     url_decode(regexp_replace(c, lit("\\+"), lit("%2B")))
 
-  /** Partition label of the current input file: the URI path after the last
-    * `/table/` segment, URI-DECODED to the metadata label form.
-    * input_file_name() returns a `file:///…`/`s3a://…` URI whose prefix
-    * form differs from Hadoop's qualified path, so we anchor on the
-    * layout's fixed `/table/` component instead of prefix-stripping.
+  /** Partition label of the current input file by EXACT qualified-root
+    * stripping — the ONE label-from-path idiom (the DV scans' driver-side
+    * twin is [[stripLabelPrefix]]; two idioms for one coordinate system is
+    * how the URI-resurrection bug happened). `_metadata.file_path` renders
+    * a URI whose scheme/authority form (`file:///x`) differs from Hadoop's
+    * qualified-path form (`file:/x`), so both sides normalize to the DECODED
+    * filesystem path: the column drops `scheme:(//authority)?` then
+    * URI-decodes; the prefix is the qualified table root's `toUri.getPath`
+    * (Hadoop `Path` round-trips literal `%`/space through its internal URI,
+    * so `getPath` returns the on-disk form). Loud on mismatch, like
+    * [[stripLabelPrefix]]: a file outside the table root means the two
+    * sides qualified differently, and guessing a label there risks
+    * attributing rows (or tombstones) to the wrong file. All codegen'd
+    * builtins — `raise_error` sits in the never-taken CASE branch.
     */
-  private def fileLabel: org.apache.spark.sql.Column =
-    decodeUriPathCol(regexp_replace(input_file_name(), lit("^.*/table/"), lit("")))
+  private[graft] def labelCol(spark: SparkSession, tableDir: String,
+      pathCol: Column = col("_metadata.file_path")): Column = {
+    val qualified = DatasetMetadata.fs(spark, tableDir).makeQualified(new Path(tableDir))
+    val prefix = qualified.toUri.getPath.stripSuffix("/") + "/"
+    val decoded = decodeUriPathCol(
+      regexp_replace(pathCol, lit("^[a-zA-Z][a-zA-Z0-9+.\\-]*:(//[^/]*)?"), lit("")))
+    when(decoded.startsWith(lit(prefix)),
+      decoded.substr(lit(prefix.length + 1), length(decoded)))
+      .otherwise(raise_error(concat(
+        lit("input file '"), decoded,
+        lit(s"' is not under the qualified table root '$prefix' — refusing " +
+          "to guess its table-relative label"))))
+  }
 
   /** (value,label) pairs → deterministic (value, partitions) index rows. */
   /** Canonical sidecar rewrites bound their output to this many files so
@@ -915,40 +935,38 @@ object Ktk extends org.apache.spark.internal.Logging {
       // convention in queryLabels): a committed label with no row in the
       // index/zone sidecar stays a candidate rather than being pruned —
       // intersecting would let any commit path that skips a sidecar append
-      // make merge silently skip tombstoning matched rows. Two driver sets,
-      // both small: MATCHING labels come from a value-pushdown-pruned scan
-      // (O(range hits)), and UNCOVERED candidates from an anti-join of the
-      // candidate list against the sidecar's label set (normally EMPTY —
-      // the total-coverage invariant) — never a full-index driver map.
-      def keepMatchingOrUncovered(
-          matchingOf: DataFrame => DataFrame, labelsOf: DataFrame => DataFrame,
-          sidecarDf: DataFrame): Unit = {
+      // make merge silently skip tombstoning matched rows. ONE sidecar scan
+      // answers both questions: emit (label, hit) rows, restrict to the
+      // (small, broadcast) candidate list, and take max(hit) per label —
+      // keep a candidate iff it has a matching row OR no rows at all.
+      // Driver transfer is O(candidates), the scan runs once.
+      def keepMatchingOrUncovered(perLabelHits: DataFrame): Unit = {
         import spark.implicits._
-        val matching = matchingOf(sidecarDf)
-          .distinct().as[String].collect().toSet
-        val uncovered = spark.createDataset(cur).toDF("label")
-          .join(labelsOf(sidecarDf).distinct(), Seq("label"), "left_anti")
-          .as[String].collect().toSet
-        cur = cur.filter(l => matching.contains(l) || uncovered.contains(l))
+        val candDf = broadcast(spark.createDataset(cur).toDF("label"))
+        val verdict = perLabelHits.join(candDf, Seq("label"))
+          .groupBy("label").agg(max(col("hit")).as("any_hit"))
+          .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+        cur = cur.filter(l => verdict.getOrElse(l, true))
       }
       if (md.indices.contains(k) && cur.nonEmpty)
         keepMatchingOrUncovered(
-          // value range BEFORE explode: the predicate pushes into the
-          // index parquet scan (null values cannot equal a non-null key)
-          idx => idx.filter(col("value") >= lit(lo) && col("value") <= lit(hi))
-            .select(explode(col("partitions")).as("label")),
-          idx => idx.select(explode(col("partitions")).as("label")),
-          loadIndex(spark, base, md, k))
+          // hit is evaluated BEFORE the explode (null values cannot equal a
+          // non-null key → coalesce to false, never null)
+          loadIndex(spark, base, md, k).select(
+            explode(col("partitions")).as("label"),
+            coalesce(col("value") >= lit(lo) && col("value") <= lit(hi),
+              lit(false)).as("hit")))
       if (md.zoneRegistry.contains(k) && cur.nonEmpty) {
         val sidecar = new Path(md.zonePath(base, k))
         if (DatasetMetadata.fs(spark, base).exists(sidecar))
           keepMatchingOrUncovered(
             // null stats = all-null column in that file: present in the
             // sidecar but never matching ⇒ dropped, as before
-            z => z.filter(col("mn").isNotNull && col("mx").isNotNull &&
-              col("mn") <= lit(hi) && col("mx") >= lit(lo)).select("label"),
-            z => z.select("label"),
-            spark.read.parquet(sidecar.toString))
+            spark.read.parquet(sidecar.toString).select(
+              col("label"),
+              coalesce(col("mn").isNotNull && col("mx").isNotNull &&
+                col("mn") <= lit(hi) && col("mx") >= lit(lo),
+                lit(false)).as("hit")))
       }
       cur
     }
@@ -1043,7 +1061,7 @@ object Ktk extends org.apache.spark.internal.Logging {
             // label → partitionSeq / DV lookups key on (label, position
             // within file), both from the hidden _metadata column
             s.withColumn("__label",
-                decodeUriPathCol(regexp_replace(col("_metadata.file_path"), lit("^.*/table/"), lit(""))))
+                labelCol(spark, tableDir))
               .withColumn("__pos", col("_metadata.row_index"))
           else s
         }
@@ -1331,7 +1349,7 @@ object Ktk extends org.apache.spark.internal.Logging {
       .parquet(candidates.map(l => s"$tableDir/$l"): _*)
       .filter(cond)
       .select(
-        decodeUriPathCol(regexp_replace(col("_metadata.file_path"), lit("^.*/table/"), lit(""))).as("label"),
+        labelCol(spark, tableDir).as("label"),
         col("_metadata.row_index").as("pos"))
     deleteVectors(spark, base, md) match {
       case None     => hits
@@ -1606,7 +1624,7 @@ object Ktk extends org.apache.spark.internal.Logging {
       .parquet(candidates.map(l => s"$tableDir/$l"): _*)
       .filter(cond)
       .withColumn("__label",
-        decodeUriPathCol(regexp_replace(col("_metadata.file_path"), lit("^.*/table/"), lit(""))))
+        labelCol(spark, tableDir))
       .withColumn("__pos", col("_metadata.row_index"))
     val live = (deleteVectors(spark, base, md) match {
       case None => matched
@@ -1863,7 +1881,7 @@ object Ktk extends org.apache.spark.internal.Logging {
           val hits = scan
             .join(probe, keys.map(k => scan(k) === probe(k)).reduce(_ && _), "left_semi")
             .select(
-              decodeUriPathCol(regexp_replace(col("_metadata.file_path"), lit("^.*/table/"), lit(""))).as("label"),
+              labelCol(spark, tableDir).as("label"),
               col("_metadata.row_index").as("pos"))
           val fresh = deleteVectors(spark, base, md) match {
             case None     => hits
@@ -1956,7 +1974,7 @@ object Ktk extends org.apache.spark.internal.Logging {
         .parquet(ls.map(l => s"$tableDir/$l"): _*)
       if (withPos)
         s.withColumn("__label",
-            decodeUriPathCol(regexp_replace(col("_metadata.file_path"), lit("^.*/table/"), lit(""))))
+            labelCol(spark, tableDir))
           .withColumn("__pos", col("_metadata.row_index"))
       else s
     }
@@ -2731,7 +2749,7 @@ object Ktk extends org.apache.spark.internal.Logging {
         if (newLabels.nonEmpty)
           indexFromPairs(spark.read.option("basePath", tableDir)
               .parquet(newLabels.map(l => s"$tableDir/$l"): _*)
-              .select(col(s"`$c`").as("value"), fileLabel.as("label")))
+              .select(col(s"`$c`").as("value"), labelCol(spark, tableDir, input_file_name()).as("label")))
             .write.mode(SaveMode.Append).parquet(fsPath)
         c -> md.indices(c)
       } else if (oldExists || newLabels.nonEmpty) {
@@ -2740,7 +2758,7 @@ object Ktk extends org.apache.spark.internal.Logging {
         val survivors = survivingOld.toDF("label")
         def freshPairs = spark.read.option("basePath", tableDir)
           .parquet(newLabels.map(l => s"$tableDir/$l"): _*)
-          .select(col(s"`$c`").as("value"), fileLabel.as("label"))
+          .select(col(s"`$c`").as("value"), labelCol(spark, tableDir, input_file_name()).as("label"))
         val pairs = (oldExists, newLabels.nonEmpty) match {
           case (true, true) =>
             spark.read.parquet(fsPath)
@@ -2918,7 +2936,7 @@ object Ktk extends org.apache.spark.internal.Logging {
           .select(col("label").as("__dvl"), col("pos").as("__dvp"))
         raw
           .withColumn("__label",
-            decodeUriPathCol(regexp_replace(col("_metadata.file_path"), lit("^.*/table/"), lit(""))))
+            labelCol(spark, tableDir))
           .withColumn("__pos", col("_metadata.row_index"))
           .join(dv, col("__label") === col("__dvl") && col("__pos") === col("__dvp"),
             "left_anti")
@@ -3596,6 +3614,35 @@ object Ktk extends org.apache.spark.internal.Logging {
     norm.substring(prefix.length)
   }
 
+  /** Past this many (label × retained-version) attribution pairs, fsck and
+    * salvage compute referenced-vs-present as DataFrame anti-joins instead
+    * of driver-side Sets/Maps — same threshold pattern as the parallel
+    * listing: a 1M-file table with deep retained history would otherwise
+    * cost O(100M) driver map operations and hundreds of MB of label
+    * strings (the Delta-VACUUM driver bottleneck).
+    */
+  private[graft] val DistributedDiffThreshold = 2 * 1000 * 1000
+
+  /** Ship driver-resident (version, labels) references to executors for the
+    * distributed referenced-vs-present diff — shared by [[fsck]] and
+    * [[salvage]] so the slicing heuristic cannot silently diverge between
+    * audit and repair (the same reason [[sidecarMissing]] is shared). ONE
+    * `parallelize` call regardless of how many retained versions feed it:
+    * the driver holds only label-string REFERENCES grouped into bounded
+    * slices (no per-version RDD setup, no driver-side tuple copies — the
+    * (label, version) tupling runs in the executor flatMap).
+    */
+  private def parallelizeLabels(
+      spark: SparkSession, perVersion: Seq[(Long, Seq[String])]): org.apache.spark.rdd.RDD[(String, Long)] = {
+    val slices: Seq[(Long, Seq[String])] = perVersion.flatMap { case (v, ls) =>
+      if (ls.size <= 100000) Seq(v -> ls)
+      else ls.grouped(100000).map(v -> _).toSeq
+    }
+    spark.sparkContext
+      .parallelize(slices, math.max(1, math.min(64, slices.size)))
+      .flatMap { case (v, ls) => ls.iterator.map((_, v)) }
+  }
+
   /** Integrity audit (the FSCK verb of operational table formats),
     * METADATA-DRIVEN and strictly read-only: verifies that everything the
     * retained commit history references still exists in storage, and
@@ -3618,26 +3665,11 @@ object Ktk extends org.apache.spark.internal.Logging {
     *    (the one an operator can restore);
     *  - `orphan_file` — present under `table/`, referenced by NO retained
     *    version (gc-candidate preview, not a fault).
+    *
+    * Output order is deterministic in BOTH diff modes: the final
+    * `(kind, path, version)` sort normalizes whatever order the
+    * driver maps or the distributed anti-join collects produced.
     */
-  /** Past this many (label × retained-version) attribution pairs, fsck and
-    * salvage compute referenced-vs-present as DataFrame anti-joins instead
-    * of driver-side Sets/Maps — same threshold pattern as the parallel
-    * listing: a 1M-file table with deep retained history would otherwise
-    * cost O(100M) driver map operations and hundreds of MB of label
-    * strings (the Delta-VACUUM driver bottleneck).
-    */
-  private[graft] val DistributedDiffThreshold = 2 * 1000 * 1000
-
-  /** Ship a driver-resident label list to executors for the distributed
-    * referenced-vs-present diff — shared by [[fsck]] and [[salvage]] so
-    * the slicing heuristic cannot silently diverge between audit and
-    * repair (the same reason [[sidecarMissing]] is shared).
-    */
-  private def parallelizeLabels(
-      spark: SparkSession, labels: Seq[String]): org.apache.spark.rdd.RDD[String] =
-    spark.sparkContext.parallelize(labels,
-      math.max(1, math.min(32, labels.size / 100000)))
-
   def fsck(spark: SparkSession, base: String, uuid: String,
       diffThreshold: Int = DistributedDiffThreshold): DataFrame = {
     import spark.implicits._
@@ -3701,19 +3733,19 @@ object Ktk extends org.apache.spark.internal.Logging {
     } else {
       // distributed diff: the listing stays an RDD-backed Dataset, the
       // newest-version attribution is a Spark max-agg, and only the FAULT
-      // rows (missing/orphan) come back to the driver. The (label, v)
-      // tupling runs on EXECUTORS (parallelize ships label references the
-      // loaded snapshots already hold; no driver-side tuple copies) — the
-      // retained snapshots themselves remain the driver-memory floor.
+      // rows (missing/orphan) come back to the driver. ONE parallelize over
+      // bounded (version, labels) slices — the (label, v) tupling runs on
+      // EXECUTORS (the slices ship label references the loaded snapshots
+      // already hold; no driver-side tuple copies) — the retained snapshots
+      // themselves remain the driver-memory floor (measured in StressFsck).
       // Both frames persist across the two anti-join actions so the
       // storage listing and the attribution shuffle run ONCE.
       import spark.implicits._
       val present = listTableFilesDS(spark, fs, tableRoot).toDF("label")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val referenced = spark.sparkContext.union(
-        loaded.map { case (v, md) =>
-          parallelizeLabels(spark, labelsOf(md).toSeq).map((_, v))
-        }).toDF("label", "version")
+      val referenced = parallelizeLabels(spark,
+          loaded.map { case (v, md) => (v, labelsOf(md).toSeq) })
+        .toDF("label", "version")
         .groupBy("label").agg(max("version").as("version"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
@@ -3793,7 +3825,8 @@ object Ktk extends org.apache.spark.internal.Logging {
         // return to the driver — they feed the repair commit either way
         import spark.implicits._
         val present = listTableFilesDS(spark, fs, tableRoot).toDF("label")
-        parallelizeLabels(spark, refLabels.toSeq).toDF("label")
+        parallelizeLabels(spark, Seq(md.version -> refLabels.toSeq))
+          .map(_._1).toDF("label")
           .join(present, Seq("label"), "left_anti")
           .as[String].collect().sorted.toSeq
       }
@@ -3891,6 +3924,14 @@ object Ktk extends org.apache.spark.internal.Logging {
     * the next canonicalize). Tests that need immediate reclamation pass 0
     * — with the documented caveat that 0 is only safe when no writer is
     * concurrently committing.
+    *
+    * `consumerCheckpoints`: registering a consumer that has NOT polled yet
+    * requires its checkpoint's PARENT DIRECTORY to exist — gc fails loudly
+    * on a checkpoint path whose parent is also absent, because such a path
+    * is indistinguishable from a typo and a typo'd path would silently pin
+    * retention at version 0 forever. `mirrorChanges`/`consumeChanges`
+    * create the parent on their first poll; to register ahead of the first
+    * poll, pre-create the parent directory (one `fs.mkdirs`).
     */
   def garbageCollect(spark: SparkSession, base: String, uuid: String,
       retainVersions: Int = 0,

@@ -105,6 +105,14 @@ object GraftRuntimePrune {
     * lets probes assert that a SPECIFIC union branch (clean vs dirty) of the
     * DV split pruned during the actual execution, instead of replanning
     * final-plan scan instances AQE may have swapped out.
+    *
+    * SINGLE-QUERY assumption: these are process-global counters and
+    * `resetCounters` clears all tags — concurrent queries in one JVM
+    * interleave increments under the same tags. That is acceptable for the
+    * test probes these exist for (probes run their query alone between
+    * reset and read); production pruning is unaffected (counters are
+    * observability only). Key by (queryId, tag) before ever asserting on
+    * them under concurrent execution.
     */
   val byTag = new java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]()
   def resetCounters(): Unit = { lastKept.set(0); lastDropped.set(0); byTag.clear() }

@@ -12,21 +12,23 @@ import org.apache.spark.sql.functions._
   * unconverted silently misses its tombstones — deleted (GDPR) rows
   * RESURRECT — or stops pruning. These pins drive every label-keyed path
   * (DV read via readTable AND the connector, updateRows, merge, index
-  * pruning, gc) over labels with a space, a literal '%', and a literal
-  * '+' (the url_decode '+'-as-space hazard), plus a BASE path with a
-  * space.
+  * pruning, gc) over labels with a space, a literal '%', a literal
+  * '+' (the url_decode '+'-as-space hazard) and MULTIBYTE UTF-8 values
+  * (two/three/four-byte code points), plus a BASE path with a space.
   */
 class LabelEncodingSpec extends SparkSpec {
   import spark.implicits._
 
   // partition values that URI-encode ('a b' → %20; '5%' → %25), the
-  // url_decode hazard case ('a+b' must NOT decode into 'a b'), and a value
+  // url_decode hazard case ('a+b' must NOT decode into 'a b'), a value
   // the HIVE WRITER itself escapes ('k=v' → dir 'p=k%3Dv', whose literal
-  // '%' then URI-encodes again in file_path). Non-ASCII values (UTF-8
-  // multi-byte percent sequences) are NOT testable in this container: the
-  // JVM runs a non-UTF-8 locale and Spark's own writer throws
-  // InvalidPathException before any graft code runs.
-  private val values = Seq("a b", "5%", "a+b", "k=v", "plain")
+  // '%' then URI-encodes again in file_path), and MULTIBYTE UTF-8 values
+  // ('café' → %C3%A9, CJK → three-byte sequences) whose decode must
+  // reassemble the bytes as UTF-8, not per-byte. Multibyte labels need a
+  // UTF-8 JVM locale (the container default is POSIX/ASCII, under which
+  // java.nio refuses such paths before any graft code runs) — build.sbt
+  // forks test JVMs with LC_ALL=C.UTF-8, the locale real clusters run.
+  private val values = Seq("a b", "5%", "a+b", "k=v", "plain", "café", "中文 值")
 
   private def seed(base: String): DatasetMetadata = {
     val rows = values.zipWithIndex.flatMap { case (p, i) =>
@@ -89,14 +91,19 @@ class LabelEncodingSpec extends SparkSpec {
     got.inputFiles.head should include("p=a+b")
   }
 
-  test("property: delete/read roundtrip over random printable-ASCII partition values") {
+  test("property: delete/read roundtrip over random printable-ASCII + multibyte UTF-8 partition values") {
     // sweep the whole printable-ASCII space (minus '/'): whatever mix of
     // writer-escaped, URI-encodable and plain characters a value hits,
     // the tombstones must land — one coordinate system, no exceptions
     val rnd = new scala.util.Random(7)
-    val chars = (33 to 126).map(_.toChar).filterNot(_ == '/')
+    // printable ASCII minus '/', plus two-byte (é, ß), three-byte (中, €)
+    // and a surrogate-pair four-byte (🙂) UTF-8 code points — every
+    // multibyte width the URI percent-decode must reassemble correctly
+    val chars = (33 to 126).map(_.toChar).filterNot(_ == '/').mkString +
+      "éß中€" + new String(Character.toChars(0x1F642))
+    val cps = chars.codePoints().toArray
     val vals = Seq.tabulate(12)(i =>
-      s"v$i" + Seq.fill(4)(chars(rnd.nextInt(chars.size))).mkString)
+      s"v$i" + new String(Seq.fill(4)(cps(rnd.nextInt(cps.length))).toArray, 0, 4))
     val base = tmpDir("encprop")
     val rows = vals.zipWithIndex.flatMap { case (p, i) =>
       Seq((p, i * 10L + 1, 1.0), (p, i * 10L + 2, 2.0))
