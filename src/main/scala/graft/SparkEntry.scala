@@ -2725,6 +2725,62 @@ object SparkEntry {
       issues.groupBy("kind").agg(count(lit(1)).as("cnt")).orderBy("kind")
     }),
 
+    "q_ktk_salvage" -> ((s, dir) => {
+      // repair after a storage incident, EXACT oracle: vanish every file of
+      // the 'P' partition, salvage, read back — the surviving content must
+      // equal DuckDB's recomputation (status <> 'P', minus the rows a prior
+      // deleteRows tombstoned). Dry-run/no-op/refusal semantics are pinned
+      // in-query: a healthy table salvages clean WITHOUT committing, a dry
+      // run reports the full damage WITHOUT committing, the repair commits
+      // exactly one version dropping exactly the vanished labels, and DV-
+      // fragment loss REFUSES without the resurrection opt-in.
+      val base = scratch(dir)
+      val uuid = "orders_salvage"
+      Ktk.store(s, base, uuid,
+        t(s, dir, "orders").select("o_orderkey", "o_orderstatus", "o_totalprice"),
+        partitionOn = Seq("o_orderstatus"), overwrite = true)
+      Ktk.deleteRows(s, base, uuid,
+        predicates = Predicates.of(Seq(("o_totalprice", ">", 300000.0))))
+      val md0 = graft.ktk.DatasetMetadata.load(s, base, uuid)
+      require(Ktk.salvage(s, base, uuid).isEmpty, "healthy table must salvage clean")
+      require(graft.ktk.DatasetMetadata.load(s, base, uuid).version == md0.version,
+        "clean salvage must be a no-op commit-wise")
+      val fs = graft.ktk.DatasetMetadata.fs(s, base)
+      val victims = md0.partitions.keys.filter(_.startsWith("o_orderstatus=P/")).toSeq.sorted
+      require(victims.nonEmpty, "fixture must have a P partition")
+      victims.foreach(v =>
+        fs.delete(new org.apache.hadoop.fs.Path(s"${md0.tableDir(base)}/$v"), false))
+      val dry = Ktk.salvage(s, base, uuid, dryRun = true)
+      require(dry.map(_._2).sorted == victims, s"dry run must report the damage: $dry")
+      require(graft.ktk.DatasetMetadata.load(s, base, uuid).version == md0.version,
+        "dryRun must not commit")
+      val rep = Ktk.salvage(s, base, uuid)
+      require(rep.forall(_._1 == "missing_data_file") && rep.map(_._2).sorted == victims,
+        s"repair must drop exactly the vanished labels: $rep")
+      require(graft.ktk.DatasetMetadata.load(s, base, uuid).version == md0.version + 1,
+        "repair must commit exactly one version")
+      // refusal probe on a second fixture: losing a DV fragment would
+      // resurrect deleted rows — salvage must throw without the opt-in
+      val uuid2 = "region_salvage"
+      Ktk.store(s, base, uuid2, t(s, dir, "region"), overwrite = true)
+      Ktk.deleteRows(s, base, uuid2,
+        predicates = Predicates.of(Seq(("r_regionkey", "==", 0L))))
+      val md2 = graft.ktk.DatasetMetadata.load(s, base, uuid2)
+      fs.delete(new org.apache.hadoop.fs.Path(
+        md2.deletePath(base, md2.deleteFragments.head)), true)
+      val refused =
+        try { Ktk.salvage(s, base, uuid2); false }
+        catch { case _: IllegalStateException => true }
+      require(refused, "DV-fragment loss must refuse without acceptResurrection")
+      require(Ktk.salvage(s, base, uuid2, acceptResurrection = true, dryRun = true)
+        .exists(_._1 == "missing_dv_fragment"), "opt-in dry run must report the loss")
+      graft.ktk.DatasetMetadata.delete(s, base, uuid2)
+      Ktk.readTable(s, base, uuid)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("cnt"), round(sum("o_totalprice"), 2).as("sum_price"))
+        .orderBy("o_orderstatus")
+    }),
+
     "q_ktk_iterator" -> ((s, dir) => {
       // iterator read surface (≙ the reference's iter backend): lazy
       // driver-side pull over the same pruned/projected scan — the gate
@@ -3948,6 +4004,13 @@ object SparkEntry {
 
     "q_footer_stats" ->
       "SELECT count(*) AS total_rows FROM lineitem",
+
+    "q_ktk_salvage" ->
+      """SELECT o_orderstatus, count(*) AS cnt,
+        |  round(sum(o_totalprice), 2) AS sum_price
+        |FROM orders
+        |WHERE o_orderstatus <> 'P' AND o_totalprice <= 300000.0
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_tfidf" ->
       """WITH t AS (
