@@ -164,6 +164,19 @@ object SparkEntry {
       case ("ivf", "sf0.001") => (0.3, 0.33)
       case ("ivf", "sf0.01")  => (0.5, 0.7)
       case ("ivf", "sf0.1")   => (0.4, 0.53)
+      // pq/ivfpq measured 2026-08-16 (r12, MeasureRecall): pq
+      // 0.5/0.7/0.3 · 0.4/0.4/0.4 · 0.4/0.3/0.4, ivfpq 0.2/0.2/0.1 ·
+      // 0.4/0.3/0.3 · 0.2/0.2/0.4 at sf0.001/0.01/0.1. Where observed−0.1
+      // would floor at 0 (asserting nothing), the floor is the exact
+      // observed min — seeded codebooks/centroids make reruns exact.
+      case ("pq", "sf0.001")  => (0.2, 0.4)
+      case ("pq", "sf0.01")   => (0.3, 0.3)
+      case ("pq", "sf0.1")    => (0.2, 0.26)
+      case ("pq", _)          => (0.2, 0.25)
+      case ("ivfpq", "sf0.001") => (0.1, 0.15)
+      case ("ivfpq", "sf0.01")  => (0.2, 0.23)
+      case ("ivfpq", "sf0.1")   => (0.1, 0.16)
+      case ("ivfpq", _)         => (0.1, 0.15)
       case _                  => (0.3, 0.35)
     }
   }
@@ -1506,11 +1519,21 @@ object SparkEntry {
         ()
       })
       val codes = s.read.parquet(s"$base/pq_codes")
-      val q = t(s, dir, "embeddings").filter(col("vec_id") < 3)
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 3)
         .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
-      Similarity.pqTopK(codes, q, "vec_id", "query_id", "qvec", cb, k = 10)
-        .groupBy("query_id").agg(count(lit(1)).as("n"))
-        .orderBy("query_id")
+      // recall vs the exact brute-force twin is measured in-query and
+      // asserted (codebooks are seeded-k-means deterministic per scale
+      // dir), so ADC quantization quality cannot silently regress
+      val approx = Similarity.pqTopK(codes, q, "vec_id", "query_id", "qvec", cb, k = 10)
+      val exact = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", "query_id", "qvec", 10)
+      val rec = Similarity.recallVs(approx, exact, "query_id", "vec_id")
+      val rows = rec.collect().map(r => r.getLong(0) -> r.getDouble(1))
+      val (minFloor, meanFloor) = recallFloors(dir, "pq")
+      require(rows.length == 3 && rows.map(_._2).min >= minFloor &&
+        rows.map(_._2).sum / rows.length >= meanFloor,
+        s"pq ADC recall regressed (floors min=$minFloor mean=$meanFloor): ${rows.mkString(", ")}")
+      rec.select(col("query_id"), round(col("recall"), 4).as("recall")).orderBy("query_id")
     }),
 
     "q_ann_ivfpq" -> ((s, dir) => {
@@ -1525,11 +1548,21 @@ object SparkEntry {
         ()
       })
       val codes = s.read.parquet(s"$base/ivfpq_codes")
-      val q = t(s, dir, "embeddings").filter(col("vec_id") < 3)
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 3)
         .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
-      Similarity.ivfPqTopK(codes, q, "vec_id", "query_id", "qvec", ivf, cb, k = 10, nprobe = 2)
-        .groupBy("query_id").agg(count(lit(1)).as("n"))
-        .orderBy("query_id")
+      // in-query recall floor, same discipline as the lsh/ivf/pq gates:
+      // nprobe=2 of nlist=16 cells + ADC codes, vs exact brute force
+      val approx = Similarity.ivfPqTopK(
+        codes, q, "vec_id", "query_id", "qvec", ivf, cb, k = 10, nprobe = 2)
+      val exact = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", "query_id", "qvec", 10)
+      val rec = Similarity.recallVs(approx, exact, "query_id", "vec_id")
+      val rows = rec.collect().map(r => r.getLong(0) -> r.getDouble(1))
+      val (minFloor, meanFloor) = recallFloors(dir, "ivfpq")
+      require(rows.length == 3 && rows.map(_._2).min >= minFloor &&
+        rows.map(_._2).sum / rows.length >= meanFloor,
+        s"ivfpq recall regressed (floors min=$minFloor mean=$meanFloor): ${rows.mkString(", ")}")
+      rec.select(col("query_id"), round(col("recall"), 4).as("recall")).orderBy("query_id")
     }),
 
     "q_emb_neardup" -> ((s, dir) => {

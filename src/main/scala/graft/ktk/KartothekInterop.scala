@@ -108,13 +108,11 @@ object KartothekInterop {
     val root = fs.makeQualified(new Path(s"$base/${ds.uuid}"))
     if (!fs.exists(root)) return ds
     val prefix = root.toString + "/"
-    val it = fs.listFiles(root, true)
     val parts = scala.collection.mutable.Map.empty[String, Map[String, String]]
-    while (it.hasNext) {
-      val st = it.next()
+    Ktk.walkFiles(fs, root) { st =>
       val rel = st.getPath.toString.stripPrefix(prefix)
       val name = st.getPath.getName
-      if (st.isFile && rel.endsWith(".parquet") && !rel.startsWith(s"$IndexDirToken/") &&
+      if (rel.endsWith(".parquet") && !rel.startsWith(s"$IndexDirToken/") &&
         !name.startsWith("_") && !name.startsWith(".") &&
         !name.endsWith(".by-dataset-index.parquet")) {
         val segs = rel.split("/")
@@ -420,13 +418,12 @@ object KartothekInterop {
     // enumerate written files: label = relative path under <uuid>/<table>/
     val root = fs.makeQualified(new Path(tableDir))
     val prefix = root.toString + "/"
-    val it = fs.listFiles(root, true)
     val labels = scala.collection.mutable.ArrayBuffer.empty[String]
-    while (it.hasNext) {
-      val st = it.next()
+    Ktk.walkFiles(fs, root) { st =>
       val name = st.getPath.getName
-      if (st.isFile && !name.startsWith("_") && !name.startsWith("."))
+      if (!name.startsWith("_") && !name.startsWith("."))
         labels += st.getPath.toString.stripPrefix(prefix)
+      ()
     }
     // full schema INCLUDING partition columns (partition keys first, like
     // the reference's normalize_column_order) — the reference reconstructs
@@ -559,12 +556,10 @@ object KartothekInterop {
       // one part file per dir → rename to the table-aligned stem
       val root = fs.makeQualified(new Path(tableDir))
       val prefix = root.toString + "/"
-      val it = fs.listFiles(root, true)
       val byDir = scala.collection.mutable.Map.empty[String, Seq[Path]]
-      while (it.hasNext) {
-        val st = it.next()
+      Ktk.walkFiles(fs, root) { st =>
         val name = st.getPath.getName
-        if (st.isFile && !name.startsWith("_") && !name.startsWith(".")) {
+        if (!name.startsWith("_") && !name.startsWith(".")) {
           val rel = st.getPath.toString.stripPrefix(prefix)
           val dir = rel.split("/").dropRight(1).mkString("/")
           byDir(dir) = byDir.getOrElse(dir, Nil) :+ st.getPath

@@ -225,12 +225,10 @@ object Ktk extends org.apache.spark.internal.Logging {
     val root = fs.makeQualified(new Path(tableDir))
     if (!fs.exists(root)) return Map.empty
     val prefix = root.toString + "/"
-    val it = fs.listFiles(root, true)
     val out = Map.newBuilder[String, Long]
-    while (it.hasNext) {
-      val st = it.next()
+    walkFiles(fs, root) { st =>
       val name = st.getPath.getName
-      if (st.isFile && !name.startsWith("_") && !name.startsWith("."))
+      if (!name.startsWith("_") && !name.startsWith("."))
         out += st.getPath.toString.stripPrefix(prefix) -> st.getLen
     }
     out.result()
@@ -2984,12 +2982,10 @@ object Ktk extends org.apache.spark.internal.Logging {
           .parquet(staging)
         val stPath = fsys.makeQualified(new Path(staging))
         val prefix = stPath.toString + "/"
-        val it = fsys.listFiles(stPath, true)
         val moved = Seq.newBuilder[(String, Long)]
-        while (it.hasNext) {
-          val st = it.next()
+        walkFiles(fsys, stPath) { st =>
           val name = st.getPath.getName
-          if (st.isFile && !name.startsWith("_") && !name.startsWith(".")) {
+          if (!name.startsWith("_") && !name.startsWith(".")) {
             val rel = st.getPath.toString.stripPrefix(prefix)
             val dest = new Path(s"$tableDir/$rel")
             // FileSystem.rename/mkdirs signal failure by returning false,
@@ -3505,6 +3501,30 @@ object Ktk extends org.apache.spark.internal.Logging {
     out
   }
 
+  /** Recursive file enumeration via a listStatus walk — NEVER
+    * `FileSystem.listFiles(recursive)`: that API materializes
+    * `LocatedFileStatus`es, whose construction copies permissions, and on
+    * a RawLocalFileSystem without the native-hadoop library the
+    * permission load EXECs `ls -ld` PER FILE (measured here: 400 files in
+    * 2.13 s via listFiles vs a 20k-file listStatus walk in 0.51 s —
+    * ~260× per file). No caller of these walks reads permissions or
+    * block locations, so the copy buys nothing. On object stores this
+    * trades the flat prefix LIST for one LIST per directory; the big
+    * walks (fsck/gc/salvage) recurse DISTRIBUTED per first-level
+    * directory (see [[listTableFilesCore]]), so each task issues its
+    * directory fan-out in requests, not its file count.
+    */
+  private[graft] def walkFiles(fs: org.apache.hadoop.fs.FileSystem, root: Path)(
+      f: org.apache.hadoop.fs.FileStatus => Unit): Unit = {
+    val stack = scala.collection.mutable.Stack(root)
+    while (stack.nonEmpty) {
+      fs.listStatus(stack.pop()).foreach { st =>
+        if (st.isDirectory) { stack.push(st.getPath); () }
+        else if (st.isFile) f(st) // isFile, not !isDirectory: skip symlinks
+      }
+    }
+  }
+
   /** Recursively list the DATA files under `table/` as table-relative
     * paths (labels), skipping `_`/`.` names. Small trees list on the
     * driver; past [[ParallelListThreshold]] first-level directories the
@@ -3542,10 +3562,8 @@ object Ktk extends org.apache.spark.internal.Logging {
       if (dirs.length <= threshold) {
         Left(dirs.toSeq.flatMap { d =>
           val out = Seq.newBuilder[String]
-          val it = fsys.listFiles(d.getPath, true)
-          while (it.hasNext) {
-            val st = it.next()
-            if (st.isFile && keep(st.getPath.getName)) out += rel(st.getPath.toString)
+          walkFiles(fsys, d.getPath) { st =>
+            if (keep(st.getPath.getName)) out += rel(st.getPath.toString)
           }
           out.result()
         })
@@ -3558,11 +3576,9 @@ object Ktk extends org.apache.spark.internal.Logging {
             val p = new Path(ds)
             val f = p.getFileSystem(conf.value)
             val out = Seq.newBuilder[String]
-            val it = f.listFiles(p, true)
-            while (it.hasNext) {
-              val st = it.next()
+            walkFiles(f, p) { st =>
               val name = st.getPath.getName
-              if (st.isFile && !name.startsWith("_") && !name.startsWith("."))
+              if (!name.startsWith("_") && !name.startsWith("."))
                 out += stripLabelPrefix(st.getPath.toString, prefix)
             }
             out.result()
@@ -3619,18 +3635,22 @@ object Ktk extends org.apache.spark.internal.Logging {
     * of driver-side Sets/Maps — same threshold pattern as the parallel
     * listing: a 1M-file table with deep retained history would otherwise
     * cost O(100M) driver map operations and hundreds of MB of label
-    * strings (the Delta-VACUUM driver bottleneck).
+    * strings (the Delta-VACUUM driver bottleneck). fsck ESTIMATES the
+    * count as (newest reachable snapshot's labels × retained versions) so
+    * the mode decision itself never loads the full history; both sides of
+    * the threshold are exact and FsckSpec pins their parity at 0.
     */
   private[graft] val DistributedDiffThreshold = 2 * 1000 * 1000
 
-  /** Ship driver-resident (version, labels) references to executors for the
-    * distributed referenced-vs-present diff — shared by [[fsck]] and
-    * [[salvage]] so the slicing heuristic cannot silently diverge between
-    * audit and repair (the same reason [[sidecarMissing]] is shared). ONE
-    * `parallelize` call regardless of how many retained versions feed it:
-    * the driver holds only label-string REFERENCES grouped into bounded
-    * slices (no per-version RDD setup, no driver-side tuple copies — the
-    * (label, version) tupling runs in the executor flatMap).
+  /** Ship driver-resident (version, labels) references to executors for
+    * [[salvage]]'s distributed missing-data diff (the CURRENT snapshot is
+    * already on the driver there — the repair commit rewrites it — so
+    * shipping its label references beats re-reading the record).
+    * [[fsck]]'s multi-version side no longer goes through here: its
+    * distributed mode reconstructs every retained version from a record
+    * scan without materializing snapshots at all ([[distributedAudit]]).
+    * ONE `parallelize` call over bounded slices; the (label, version)
+    * tupling runs in the executor flatMap.
     */
   private def parallelizeLabels(
       spark: SparkSession, perVersion: Seq[(Long, Seq[String])]): org.apache.spark.rdd.RDD[(String, Long)] = {
@@ -3647,8 +3667,11 @@ object Ktk extends org.apache.spark.internal.Logging {
     * METADATA-DRIVEN and strictly read-only: verifies that everything the
     * retained commit history references still exists in storage, and
     * previews unreferenced leftovers gc would reap. One recursive listing
-    * of `table/` + O(retained versions) cached metadata loads — no data
-    * pages read, safe against a live table at any size. Rows
+    * of `table/` + O(retained versions) commit-record reads — cached
+    * snapshot loads on small tables, a distributed record scan that never
+    * materializes a snapshot on the driver past [[DistributedDiffThreshold]]
+    * ([[distributedAudit]]) — no data pages read, safe against a live
+    * table at any size. Rows
     * `(kind, version, path)`, `version` = the newest retained commit
     * affected:
     *
@@ -3688,99 +3711,213 @@ object Ktk extends org.apache.spark.internal.Logging {
     def hasFull(k: Long): Boolean = recordNames.contains(f"v$k%08d.json")
     def hasDelta(k: Long): Boolean = recordNames.contains(f"v$k%08d.delta.json")
     val selfContained = scala.collection.mutable.Map.empty[Long, Boolean]
-    // None = reachable; Some(k) = the chain breaks at k — the RECORD THAT
-    // IS MISSING, the one path an operator can actually restore
-    def chainGap(v: Long): Option[Long] = {
+    // Left(k) = the chain breaks at k — the RECORD THAT IS MISSING, the
+    // one path an operator can actually restore; Right(start) = reachable,
+    // with `start` the checkpoint / self-contained record the replay of
+    // this version folds forward from (the CHAIN WINDOW [start, v])
+    def chainResolve(v: Long): Either[Long, Long] = {
       var k = v
       while (k >= 1) {
-        if (hasFull(k)) return None
-        if (!hasDelta(k)) return Some(k)
+        if (hasFull(k)) return Right(k)
+        if (!hasDelta(k)) return Left(k)
         if (selfContained.getOrElseUpdate(k,
-            DatasetMetadata.readDeltaRecord(spark, base, uuid, k).full)) return None
+            DatasetMetadata.readDeltaRecord(spark, base, uuid, k).full)) return Right(k)
         k -= 1
       }
-      Some(0L)
+      Left(0L)
     }
-    val loaded: Seq[(Long, DatasetMetadata)] = versions.flatMap { v =>
-      chainGap(v) match {
-        case Some(gap) =>
+    val chainStarts: Seq[(Long, Long)] = versions.flatMap { v =>
+      chainResolve(v) match {
+        case Left(gap) =>
           issues += (("broken_replay_chain", v,
             DatasetMetadata.versionDeltaKey(base, uuid, gap)))
           None
-        case None => Some(v -> DatasetMetadata.loadVersion(spark, base, uuid, v))
+        case Right(start) => Some(v -> start)
       }
     }
+    val reachable = chainStarts.map(_._1)
     // one (parallel-capable) listing answers both data-file checks
     val tableRoot = fs.makeQualified(new Path(s"$base/$uuid/table"))
     def labelsOf(md: DatasetMetadata): scala.collection.Iterable[String] =
       Option(md.partitions).getOrElse(Map.empty[String, Long]).keys
-    val attributionPairs = loaded.iterator.map(p => labelsOf(p._2).size.toLong).sum
-    if (attributionPairs <= diffThreshold) {
-      val present: Set[String] = listTableFiles(spark, fs, tableRoot).toSet
-      // newest version referencing each label wins the attribution
-      // (Option-guarded: absent fields deserialize to null on old blobs)
-      val referenced = scala.collection.mutable.Map.empty[String, Long]
-      loaded.foreach { case (v, md) =>
-        labelsOf(md).foreach(l => referenced(l) =
-          math.max(referenced.getOrElse(l, Long.MinValue), v))
+    // the mode decision must not itself materialize every snapshot, so the
+    // pair count is ESTIMATED from one snapshot — the newest reachable —
+    // times the retained count (exact enough for a threshold whose two
+    // sides are both correct; FsckSpec pins their parity at threshold 0)
+    val newestMd = reachable.lastOption
+      .map(v => DatasetMetadata.loadVersion(spark, base, uuid, v))
+    val estimatedPairs =
+      newestMd.map(labelsOf(_).size.toLong * reachable.size).getOrElse(0L)
+    val sidecarRefs: Seq[(String, Long, String)] =
+      if (estimatedPairs <= diffThreshold) {
+        val loaded: Seq[(Long, DatasetMetadata)] =
+          reachable.map(v => v -> DatasetMetadata.loadVersion(spark, base, uuid, v))
+        val present: Set[String] = listTableFiles(spark, fs, tableRoot).toSet
+        // newest version referencing each label wins the attribution
+        // (Option-guarded: absent fields deserialize to null on old blobs)
+        val referenced = scala.collection.mutable.Map.empty[String, Long]
+        loaded.foreach { case (v, md) =>
+          labelsOf(md).foreach(l => referenced(l) =
+            math.max(referenced.getOrElse(l, Long.MinValue), v))
+        }
+        referenced.toSeq.sorted.foreach { case (label, v) =>
+          if (!present.contains(label)) issues += (("missing_data_file", v, label))
+        }
+        present.toSeq.sorted.foreach { l =>
+          if (!referenced.contains(l)) issues += (("orphan_file", -1L, l))
+        }
+        loaded.flatMap { case (v, md) =>
+          md.deleteFragments.map(("missing_dv_fragment", v, _)) ++
+            Option(md.indices).getOrElse(Map.empty[String, String]).values
+              .map(("missing_index", v, _)) ++
+            md.bloomRegistry.values.map(("missing_bloom", v, _)) ++
+            md.zoneRegistry.values.map(("missing_zone", v, _))
+        }
+      } else {
+        // DISTRIBUTED diff with NO driver-side snapshots at all: the
+        // retained states are reconstructed from a distributed scan of the
+        // commit records themselves. Every record carries its version's
+        // complete sidecar registries plus either the full label set
+        // (checkpoints, self-contained deltas) or its adds/removes; a
+        // version's referenced labels are exactly "the LAST record in its
+        // chain window [start, v] that touched the label said add" — an
+        // argmax over (record version, isAdd), with isAdd breaking the
+        // same-record tie the way applyDelta does (adds win over removes).
+        // Driver memory: ONE snapshot (the estimate above) + fault rows +
+        // registry-sized sidecar refs; the per-version label maps never
+        // exist anywhere — not even on executors, which stream (rv, label,
+        // isAdd) tuples straight out of Jackson parses. Measured in
+        // StressFsck.
+        distributedAudit(spark, fs, base, uuid, tableRoot, chainStarts,
+          hasFull, issues)
       }
-      referenced.toSeq.sorted.foreach { case (label, v) =>
-        if (!present.contains(label)) issues += (("missing_data_file", v, label))
-      }
-      present.toSeq.sorted.foreach { l =>
-        if (!referenced.contains(l)) issues += (("orphan_file", -1L, l))
-      }
-    } else {
-      // distributed diff: the listing stays an RDD-backed Dataset, the
-      // newest-version attribution is a Spark max-agg, and only the FAULT
-      // rows (missing/orphan) come back to the driver. ONE parallelize over
-      // bounded (version, labels) slices — the (label, v) tupling runs on
-      // EXECUTORS (the slices ship label references the loaded snapshots
-      // already hold; no driver-side tuple copies) — the retained snapshots
-      // themselves remain the driver-memory floor (measured in StressFsck).
-      // Both frames persist across the two anti-join actions so the
-      // storage listing and the attribution shuffle run ONCE.
-      import spark.implicits._
-      val present = listTableFilesDS(spark, fs, tableRoot).toDF("label")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val referenced = parallelizeLabels(spark,
-          loaded.map { case (v, md) => (v, labelsOf(md).toSeq) })
-        .toDF("label", "version")
-        .groupBy("label").agg(max("version").as("version"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      try {
-        referenced.join(present, Seq("label"), "left_anti")
-          .collect().foreach(r =>
-            issues += (("missing_data_file", r.getLong(1), r.getString(0))))
-        present.join(referenced, Seq("label"), "left_anti").as[String]
-          .collect().foreach(l => issues += (("orphan_file", -1L, l)))
-      } finally {
-        present.unpersist(blocking = false)
-        referenced.unpersist(blocking = false)
-        ()
-      }
-    }
     // sidecars + fragments: newest referencing version attributed, one
     // existence probe per distinct name (registries are metadata-sized)
-    def checkDir(kind: String, dir: String, names: Seq[(Long, String)]): Unit =
-      names.groupMapReduce(_._2)(_._1)(math.max).toSeq.sorted.foreach { case (name, v) =>
-        if (sidecarMissing(fs, base, uuid, dir, name))
-          issues += ((kind, v, s"$dir/$name"))
+    val sidecarDirs = Map(
+      "missing_dv_fragment" -> DatasetMetadata.DeletesDirName,
+      "missing_index" -> IndexDirName,
+      "missing_bloom" -> "blooms",
+      "missing_zone" -> "zones")
+    sidecarRefs.groupMapReduce(r => (r._1, r._3))(_._2)(math.max)
+      .toSeq.sortBy { case ((k, n), v) => (k, n, v) }
+      .foreach { case ((kind, name), v) =>
+        if (sidecarMissing(fs, base, uuid, sidecarDirs(kind), name))
+          issues += ((kind, v, s"${sidecarDirs(kind)}/$name"))
       }
-    checkDir("missing_dv_fragment", DatasetMetadata.DeletesDirName,
-      loaded.flatMap { case (v, md) => md.deleteFragments.map(v -> _) })
-    checkDir("missing_index", IndexDirName,
-      loaded.flatMap { case (v, md) =>
-        Option(md.indices).getOrElse(Map.empty[String, String]).values.toSeq.map(v -> _) })
-    checkDir("missing_bloom", "blooms",
-      loaded.flatMap { case (v, md) => md.bloomRegistry.values.toSeq.map(v -> _) })
-    checkDir("missing_zone", "zones",
-      loaded.flatMap { case (v, md) => md.zoneRegistry.values.toSeq.map(v -> _) })
     val order = Seq("missing_dv_fragment", "missing_data_file", "missing_index",
       "missing_bloom", "missing_zone", "broken_replay_chain", "orphan_file")
       .zipWithIndex.toMap
     issues.result().sortBy { case (k, v, p) => (order(k), p, v) }
       .toDF("kind", "version", "path")
+  }
+
+  /** [[fsck]]'s big-table path: referenced-vs-present computed WITHOUT ever
+    * materializing a snapshot on the driver. The commit records themselves
+    * are scanned as a Spark job — each parses into a stream of
+    * `(recordVersion, kind, name, isAdd)` tuples (labels from checkpoint
+    * snapshots / delta adds+removes; sidecar registries, which every record
+    * carries in full) — and each retained version's referenced label set is
+    * the last-op-wins argmax over its replay window `[chainStart, v]`:
+    * exactly what `applyDelta` folding computes, including the
+    * same-record tie (a label in both adds and removes resolves to add,
+    * because `isAdd` is the struct's second sort key). Appends
+    * missing/orphan fault rows to `issues` and returns the
+    * registry-sized sidecar references `(issueKind, version, name)`.
+    *
+    * Driver memory: fault rows + sidecar registries. Executor memory: one
+    * record's parse at a time. The anti-join inputs persist so the storage
+    * listing and the record scan each run once across the two actions.
+    */
+  private def distributedAudit(
+      spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem,
+      base: String, uuid: String, tableRoot: Path,
+      chainStarts: Seq[(Long, Long)],
+      hasFull: Long => Boolean,
+      issues: scala.collection.mutable.Builder[(String, Long, String), Seq[(String, Long, String)]])
+      : Seq[(String, Long, String)] = {
+    import spark.implicits._
+    val windows: Seq[(Long, Long)] =
+      chainStarts.flatMap { case (v, start) => (start to v).map(v -> _) }
+    val allRvs = windows.map(_._2).distinct.sorted
+    val reachable = chainStarts.map(_._1)
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sessionState.newHadoopConf())
+    val recs: Seq[(Long, String, Boolean)] = allRvs.map { rv =>
+      val full = hasFull(rv) // loadVersion's preference: checkpoint over delta
+      (rv,
+        if (full) DatasetMetadata.versionKey(base, uuid, rv)
+        else DatasetMetadata.versionDeltaKey(base, uuid, rv),
+        full)
+    }
+    val recRows = spark.sparkContext
+      .parallelize(recs, math.max(1, math.min(64, recs.size)))
+      .mapPartitions { it =>
+        val m = new com.fasterxml.jackson.databind.ObjectMapper()
+        m.registerModule(com.fasterxml.jackson.module.scala.DefaultScalaModule)
+        m.configure(
+          com.fasterxml.jackson.databind.DeserializationFeature.FAIL_ON_UNKNOWN_PROPERTIES,
+          false)
+        def sidecars(rv: Long, dv: Seq[String], idx: Iterable[String],
+            blm: Iterable[String], zn: Iterable[String]) =
+          dv.map((rv, "missing_dv_fragment", _, true)) ++
+            idx.map((rv, "missing_index", _, true)) ++
+            blm.map((rv, "missing_bloom", _, true)) ++
+            zn.map((rv, "missing_zone", _, true))
+        it.flatMap { case (rv, pathStr, isFull) =>
+          val p = new Path(pathStr)
+          val in = p.getFileSystem(conf.value).open(p)
+          try {
+            if (isFull) {
+              val md = m.readValue(in: java.io.InputStream, classOf[DatasetMetadata])
+              Option(md.partitions).getOrElse(Map.empty[String, Long])
+                .keysIterator.map((rv, "label", _, true)).toSeq ++
+                sidecars(rv, md.deleteFragments,
+                  Option(md.indices).getOrElse(Map.empty[String, String]).values,
+                  md.bloomRegistry.values, md.zoneRegistry.values)
+            } else {
+              val d = m.readValue(in: java.io.InputStream, classOf[VersionDelta])
+              Option(d.adds).getOrElse(Map.empty[String, Long])
+                .keysIterator.map((rv, "label", _, true)).toSeq ++
+                Option(d.removes).getOrElse(Nil).map((rv, "label", _, false)) ++
+                sidecars(rv, Option(d.deletes).getOrElse(Nil),
+                  Option(d.indices).getOrElse(Map.empty[String, String]).values,
+                  Option(d.blooms).getOrElse(Map.empty[String, String]).values,
+                  Option(d.zones).getOrElse(Map.empty[String, String]).values)
+            }
+          } finally in.close()
+        }
+      }
+      .toDF("rv", "kind", "name", "isAdd")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val present = listTableFilesDS(spark, fs, tableRoot).toDF("label")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val referenced = recRows.filter(col("kind") === "label")
+      .join(broadcast(windows.toDF("v", "rv")), Seq("rv"))
+      .groupBy(col("v"), col("name"))
+      .agg(max(struct(col("rv"), col("isAdd"))).as("last"))
+      .filter(col("last.isAdd"))
+      .select(col("name").as("label"), col("v").as("version"))
+      .groupBy("label").agg(max("version").as("version"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      referenced.join(present, Seq("label"), "left_anti")
+        .collect().foreach(r =>
+          issues += (("missing_data_file", r.getLong(1), r.getString(0))))
+      present.join(referenced, Seq("label"), "left_anti").as[String]
+        .collect().foreach(l => issues += (("orphan_file", -1L, l)))
+      // sidecar registries of the reachable versions' OWN records — what
+      // the driver path reads off each loaded snapshot
+      recRows.filter(col("kind") =!= "label")
+        .join(broadcast(reachable.toDF("rv")), Seq("rv"))
+        .select(col("kind"), col("rv"), col("name")).distinct()
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSeq
+    } finally {
+      recRows.unpersist(blocking = false)
+      present.unpersist(blocking = false)
+      referenced.unpersist(blocking = false)
+      ()
+    }
   }
 
   /** Sidecar/fragment existence probe shared by [[fsck]] and [[salvage]]
@@ -4096,14 +4233,12 @@ object Ktk extends org.apache.spark.internal.Logging {
     val prefix = srcRoot.toString + "/"
     val files = scala.collection.mutable.ArrayBuffer.empty[String]
     if (fs.exists(srcRoot)) {
-      val it = fs.listFiles(srcRoot, true)
-      while (it.hasNext) {
-        val st = it.next()
+      walkFiles(fs, srcRoot) { st =>
         val rel = st.getPath.toString.stripPrefix(prefix)
         // version snapshots embed the SOURCE uuid — the copy starts a fresh
         // history (its commit below becomes v1) instead of inheriting blobs
         // that name another dataset
-        if (st.isFile && !rel.startsWith("_versions/"))
+        if (!rel.startsWith("_versions/"))
           files += rel
       }
     }

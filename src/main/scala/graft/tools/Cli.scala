@@ -80,8 +80,17 @@ object Cli {
       val limit = if (args.length > 4) args(4).toInt else 20
       Ktk.readTable(spark, args(1), args(2), predicates = preds).show(limit, truncate = false)
     case "shell" =>
-      shell(spark, args(1), args(2),
-        new java.io.BufferedReader(new java.io.InputStreamReader(System.in)), System.out)
+      // a real TTY gets a JLine prompt with live tab-completion (the
+      // prompt-toolkit experience of cli/_query.py:118-151); pipes and
+      // scripts keep the plain line protocol — KtkSurfaceSpec's scripted
+      // runs never construct a terminal
+      if (System.console() != null)
+        shell(spark, args(1), args(2),
+          new java.io.BufferedReader(new java.io.InputStreamReader(System.in)),
+          System.out, lineReader = Some(jlineReader(spark, args(1), args(2))))
+      else
+        shell(spark, args(1), args(2),
+          new java.io.BufferedReader(new java.io.InputStreamReader(System.in)), System.out)
     case "index" =>
       Ktk.addIndex(spark, args(1), args(2), args(3))
       println(s"indexed ${args(3)}")
@@ -236,8 +245,60 @@ object Cli {
     * Errors (bad condition syntax, unknown columns) print and the loop
     * continues — the reference validates interactively the same way.
     */
+  /** Completion candidates shared by the scripted `complete` verb and the
+    * JLine TTY completer (≙ the prompt-toolkit WordCompleters,
+    * cli/_query.py:118-151): conditions complete the word under the cursor
+    * against sorted columns; payload columns against sorted columns +
+    * `__all__`.
+    */
+  private[graft] def completionCandidates(
+      fields: Seq[String], ctx: String, last: String): Seq[String] = {
+    val words = fields.sorted ++ (if (ctx == "cols") Seq("__all__") else Nil)
+    words.filter(_.startsWith(last))
+  }
+
+  /** A JLine-backed `readLine` for [[shell]] when stdin is a real TTY:
+    * tab completes the first word against the shell's command verbs, a
+    * `cols` line against columns + `__all__`, anything else (conditions,
+    * `cond`, `complete` partials) against columns. EOF / Ctrl-C return
+    * null, matching BufferedReader.readLine's end-of-session signal.
+    */
+  private def jlineReader(
+      spark: SparkSession, base: String, uuid: String): String => String = {
+    import org.jline.reader.{Candidate, EndOfFileException, LineReader,
+      LineReaderBuilder, ParsedLine, UserInterruptException}
+    import org.jline.terminal.TerminalBuilder
+    val fields = DatasetMetadata.load(spark, base, uuid).schema.fieldNames.toSeq
+    val verbs = Seq("cond", "cols", "complete", "limit", "run", "schema",
+      "info", "help", "quit", "exit")
+    val completer = new org.jline.reader.Completer {
+      override def complete(reader: LineReader, line: ParsedLine,
+          candidates: java.util.List[Candidate]): Unit = {
+        val words =
+          if (line.wordIndex == 0) verbs.sorted.filter(_.startsWith(line.word()))
+          else {
+            val ctx = if (line.words().get(0) == "cols") "cols" else "cond"
+            // a cols list is comma-separated: complete the tail segment
+            val last = line.word().split(",", -1).last
+            completionCandidates(fields, ctx, last)
+              .map(c => line.word().dropRight(last.length) + c)
+          }
+        words.foreach(w => candidates.add(new Candidate(w)))
+      }
+    }
+    val terminal = TerminalBuilder.builder().system(true).build()
+    val reader = LineReaderBuilder.builder()
+      .terminal(terminal).completer(completer).build()
+    prompt =>
+      try reader.readLine(prompt)
+      catch {
+        case _: EndOfFileException | _: UserInterruptException => null
+      }
+  }
+
   def shell(spark: SparkSession, base: String, uuid: String,
-      input: java.io.BufferedReader, out: java.io.PrintStream): Unit = {
+      input: java.io.BufferedReader, out: java.io.PrintStream,
+      lineReader: Option[String => String] = None): Unit = {
     val md = DatasetMetadata.load(spark, base, uuid)
     out.println(s"dataset ${md.uuid}: ${md.partitions.size} partitions, " +
       s"columns: ${md.schema.fieldNames.mkString(", ")}")
@@ -254,10 +315,14 @@ object Cli {
       out.println(s"(${shown.length} rows, limit $limit, conditions: $condStr, " +
         s"columns: ${if (cols.isEmpty) "all" else cols.mkString(",")})")
     }
+    // JLine renders its own prompt; the scripted path prints it explicitly
+    val nextLine: () => String = lineReader match {
+      case Some(rl) => () => rl("graft> ")
+      case None => () => { out.print("graft> "); out.flush(); input.readLine() }
+    }
     var done = false
     while (!done) {
-      out.print("graft> "); out.flush()
-      val line = input.readLine()
+      val line = nextLine()
       if (line == null) done = true
       else try {
         val t = line.trim
@@ -303,12 +368,11 @@ object Cli {
             }
             require(ctx == "cond" || ctx == "cols",
               "usage: complete cond|cols [partial input]")
-            val words = md.schema.fieldNames.toSeq.sorted ++
-              (if (ctx == "cols") Seq("__all__") else Nil)
             val last =
               if (ctx == "cols") partial.split(",", -1).last.trim
               else partial.split("\\s+").lastOption.getOrElse("").trim
-            words.filter(_.startsWith(last)).foreach(out.println)
+            completionCandidates(md.schema.fieldNames.toSeq, ctx, last)
+              .foreach(out.println)
           case "limit" =>
             limit = rest.toInt
             out.println(s"limit: $limit")

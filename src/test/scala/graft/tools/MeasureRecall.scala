@@ -16,7 +16,7 @@ object MeasureRecall {
       .getOrCreate()
     Seq("sf0.001", "sf0.01", "sf0.1").foreach { sf =>
       val dir = s"/root/testdata/$sf"
-      Seq("q_ann_lsh", "q_ann_ivf").foreach { q =>
+      Seq("q_ann_lsh", "q_ann_ivf", "q_ann_pq", "q_ann_ivfpq").foreach { q =>
         val rows = SparkEntry.queries(q)(spark, dir).collect()
           .map(r => (r.getLong(0), r.getDouble(1)))
         println(s"RECALL $sf $q ${rows.map(_._2).mkString(",")}")
