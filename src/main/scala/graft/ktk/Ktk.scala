@@ -3704,36 +3704,12 @@ object Ktk extends org.apache.spark.internal.Logging {
     // record that strands every FRESH reader (the fault fsck exists to
     // find). One listing + at most one tiny delta read per non-checkpoint
     // version (self-contained deltas terminate chains like checkpoints).
-    val recordNames: Set[String] =
-      try fs.listStatus(new Path(DatasetMetadata.versionsDir(base, uuid)))
-        .map(_.getPath.getName).toSet
-      catch { case _: java.io.FileNotFoundException => Set.empty }
-    def hasFull(k: Long): Boolean = recordNames.contains(f"v$k%08d.json")
-    def hasDelta(k: Long): Boolean = recordNames.contains(f"v$k%08d.delta.json")
-    val selfContained = scala.collection.mutable.Map.empty[Long, Boolean]
-    // Left(k) = the chain breaks at k — the RECORD THAT IS MISSING, the
-    // one path an operator can actually restore; Right(start) = reachable,
-    // with `start` the checkpoint / self-contained record the replay of
-    // this version folds forward from (the CHAIN WINDOW [start, v])
-    def chainResolve(v: Long): Either[Long, Long] = {
-      var k = v
-      while (k >= 1) {
-        if (hasFull(k)) return Right(k)
-        if (!hasDelta(k)) return Left(k)
-        if (selfContained.getOrElseUpdate(k,
-            DatasetMetadata.readDeltaRecord(spark, base, uuid, k).full)) return Right(k)
-        k -= 1
-      }
-      Left(0L)
-    }
-    val chainStarts: Seq[(Long, Long)] = versions.flatMap { v =>
-      chainResolve(v) match {
-        case Left(gap) =>
-          issues += (("broken_replay_chain", v,
-            DatasetMetadata.versionDeltaKey(base, uuid, gap)))
-          None
-        case Right(start) => Some(v -> start)
-      }
+    val recordNames = versionRecordNames(spark, fs, base, uuid)
+    val (chainStarts, brokenChains) =
+      resolveChains(spark, base, uuid, versions, recordNames)
+    brokenChains.foreach { case (v, gap) =>
+      issues += (("broken_replay_chain", v,
+        DatasetMetadata.versionDeltaKey(base, uuid, gap)))
     }
     val reachable = chainStarts.map(_._1)
     // one (parallel-capable) listing answers both data-file checks
@@ -3789,7 +3765,7 @@ object Ktk extends org.apache.spark.internal.Logging {
         // isAdd) tuples straight out of Jackson parses. Measured in
         // StressFsck.
         distributedAudit(spark, fs, base, uuid, tableRoot, chainStarts,
-          hasFull, issues)
+          hasFullIn(recordNames), issues)
       }
     // sidecars + fragments: newest referencing version attributed, one
     // existence probe per distinct name (registries are metadata-sized)
@@ -3811,22 +3787,168 @@ object Ktk extends org.apache.spark.internal.Logging {
       .toDF("kind", "version", "path")
   }
 
-  /** [[fsck]]'s big-table path: referenced-vs-present computed WITHOUT ever
-    * materializing a snapshot on the driver. The commit records themselves
-    * are scanned as a Spark job — each parses into a stream of
-    * `(recordVersion, kind, name, isAdd)` tuples (labels from checkpoint
-    * snapshots / delta adds+removes; sidecar registries, which every record
-    * carries in full) — and each retained version's referenced label set is
-    * the last-op-wins argmax over its replay window `[chainStart, v]`:
+  /** One `_versions` listing as a name set — the storage-truth input of
+    * chain resolution (never the snapshot cache: a vacuumed record that
+    * strands FRESH readers is exactly what the audits exist to find).
+    */
+  private[graft] def versionRecordNames(
+      spark: SparkSession, fs: org.apache.hadoop.fs.FileSystem,
+      base: String, uuid: String): Set[String] =
+    try fs.listStatus(new Path(DatasetMetadata.versionsDir(base, uuid)))
+      .map(_.getPath.getName).toSet
+    catch { case _: java.io.FileNotFoundException => Set.empty }
+
+  private[graft] def hasFullIn(recordNames: Set[String])(k: Long): Boolean =
+    recordNames.contains(f"v$k%08d.json")
+
+  /** Resolve each version's replay chain from STORAGE record names:
+    * returns (reachable `(v, chainStart)` pairs, broken `(v, gapRecord)`
+    * pairs) — `chainStart` is the checkpoint / self-contained record the
+    * replay folds forward from (the CHAIN WINDOW `[start, v]`), `gapRecord`
+    * the MISSING record an operator could restore. At most one tiny delta
+    * read per non-checkpoint version (for the self-contained flag).
+    */
+  private[graft] def resolveChains(
+      spark: SparkSession, base: String, uuid: String,
+      versions: Seq[Long], recordNames: Set[String])
+      : (Seq[(Long, Long)], Seq[(Long, Long)]) = {
+    val hasFull = hasFullIn(recordNames) _
+    def hasDelta(k: Long): Boolean = recordNames.contains(f"v$k%08d.delta.json")
+    val selfContained = scala.collection.mutable.Map.empty[Long, Boolean]
+    def resolve(v: Long): Either[Long, Long] = {
+      var k = v
+      while (k >= 1) {
+        if (hasFull(k)) return Right(k)
+        if (!hasDelta(k)) return Left(k)
+        if (selfContained.getOrElseUpdate(k,
+            DatasetMetadata.readDeltaRecord(spark, base, uuid, k).full)) return Right(k)
+        k -= 1
+      }
+      Left(0L)
+    }
+    val (ok, broken) = versions.map(v => v -> resolve(v)).partition(_._2.isRight)
+    (ok.collect { case (v, Right(s)) => (v, s) },
+      broken.collect { case (v, Left(g)) => (v, g) })
+  }
+
+  /** Distributed scan of a dataset's commit records — the shared engine
+    * behind [[fsck]]'s and [[garbageCollect]]'s big-table modes, where the
+    * retained history is reconstructed WITHOUT ever materializing a
+    * snapshot on the driver. Each record parses ON EXECUTORS into a
+    * stream of `(recordVersion, kind, name, isAdd)` tuples (labels from
+    * checkpoint snapshots / delta adds+removes; sidecar registries, which
+    * every record carries in full); a version's referenced label set is
+    * the last-op-wins argmax over its replay window `[chainStart, v]` —
     * exactly what `applyDelta` folding computes, including the
     * same-record tie (a label in both adds and removes resolves to add,
-    * because `isAdd` is the struct's second sort key). Appends
-    * missing/orphan fault rows to `issues` and returns the
-    * registry-sized sidecar references `(issueKind, version, name)`.
+    * because `isAdd` is the struct's second sort key).
     *
-    * Driver memory: fault rows + sidecar registries. Executor memory: one
-    * record's parse at a time. The anti-join inputs persist so the storage
-    * listing and the record scan each run once across the two actions.
+    * Driver memory: registry-sized sidecar refs + whatever the caller
+    * collects (fsck: fault rows; gc: orphan names). Executor memory: one
+    * record's parse at a time. Scan cost is bounded by
+    * `CheckpointEvery × (labels × versions)` shuffled rows — horizontal,
+    * never vertical. Callers MUST `close()` to release the persisted
+    * frames once their actions ran.
+    */
+  private[graft] final class CommitRecordScan(
+      spark: SparkSession, base: String, uuid: String,
+      chainStarts: Seq[(Long, Long)], hasFull: Long => Boolean) {
+    private val windows: Seq[(Long, Long)] =
+      chainStarts.flatMap { case (v, start) => (start to v).map(v -> _) }
+    private val targetVersions = chainStarts.map(_._1)
+
+    /** `(rv, kind, name, isAdd)` for every record in any replay window. */
+    val recRows: DataFrame = {
+      val conf = new org.apache.spark.util.SerializableConfiguration(
+        spark.sessionState.newHadoopConf())
+      val recs: Seq[(Long, String, Boolean)] =
+        windows.map(_._2).distinct.sorted.map { rv =>
+          val full = hasFull(rv) // loadVersion's preference: checkpoint over delta
+          (rv,
+            if (full) DatasetMetadata.versionKey(base, uuid, rv)
+            else DatasetMetadata.versionDeltaKey(base, uuid, rv),
+            full)
+        }
+      import spark.implicits._
+      spark.sparkContext
+        .parallelize(recs, math.max(1, math.min(64, recs.size)))
+        .mapPartitions { it =>
+          val m = new com.fasterxml.jackson.databind.ObjectMapper()
+          m.registerModule(com.fasterxml.jackson.module.scala.DefaultScalaModule)
+          m.configure(
+            com.fasterxml.jackson.databind.DeserializationFeature.FAIL_ON_UNKNOWN_PROPERTIES,
+            false)
+          def sidecars(rv: Long, dv: Seq[String], idx: Iterable[String],
+              blm: Iterable[String], zn: Iterable[String]) =
+            dv.map((rv, "missing_dv_fragment", _, true)) ++
+              idx.map((rv, "missing_index", _, true)) ++
+              blm.map((rv, "missing_bloom", _, true)) ++
+              zn.map((rv, "missing_zone", _, true))
+          it.flatMap { case (rv, pathStr, isFull) =>
+            val p = new Path(pathStr)
+            val in = p.getFileSystem(conf.value).open(p)
+            try {
+              if (isFull) {
+                val md = m.readValue(in: java.io.InputStream, classOf[DatasetMetadata])
+                Option(md.partitions).getOrElse(Map.empty[String, Long])
+                  .keysIterator.map((rv, "label", _, true)).toSeq ++
+                  sidecars(rv, md.deleteFragments,
+                    Option(md.indices).getOrElse(Map.empty[String, String]).values,
+                    md.bloomRegistry.values, md.zoneRegistry.values)
+              } else {
+                val d = m.readValue(in: java.io.InputStream, classOf[VersionDelta])
+                Option(d.adds).getOrElse(Map.empty[String, Long])
+                  .keysIterator.map((rv, "label", _, true)).toSeq ++
+                  Option(d.removes).getOrElse(Nil).map((rv, "label", _, false)) ++
+                  sidecars(rv, Option(d.deletes).getOrElse(Nil),
+                    Option(d.indices).getOrElse(Map.empty[String, String]).values,
+                    Option(d.blooms).getOrElse(Map.empty[String, String]).values,
+                    Option(d.zones).getOrElse(Map.empty[String, String]).values)
+              }
+            } finally in.close()
+          }
+        }
+        .toDF("rv", "kind", "name", "isAdd")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+
+    /** `(label, version)` — every label some target version references,
+      * attributed to the NEWEST referencing version.
+      */
+    val referenced: DataFrame = {
+      import spark.implicits._
+      recRows.filter(col("kind") === "label")
+        .join(broadcast(windows.toDF("v", "rv")), Seq("rv"))
+        .groupBy(col("v"), col("name"))
+        .agg(max(struct(col("rv"), col("isAdd"))).as("last"))
+        .filter(col("last.isAdd"))
+        .select(col("name").as("label"), col("v").as("version"))
+        .groupBy("label").agg(max("version").as("version"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+
+    /** Sidecar registries of the target versions' OWN records — what the
+      * driver path reads off each loaded snapshot. Registry-sized collect:
+      * `(issueKind, version, name)`.
+      */
+    def sidecarRefs(): Seq[(String, Long, String)] = {
+      import spark.implicits._
+      recRows.filter(col("kind") =!= "label")
+        .join(broadcast(targetVersions.toDF("rv")), Seq("rv"))
+        .select(col("kind"), col("rv"), col("name")).distinct()
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSeq
+    }
+
+    def close(): Unit = {
+      recRows.unpersist(blocking = false)
+      referenced.unpersist(blocking = false)
+      ()
+    }
+  }
+
+  /** [[fsck]]'s big-table path over [[CommitRecordScan]]: appends
+    * missing/orphan fault rows to `issues` and returns the registry-sized
+    * sidecar references.
     */
   private def distributedAudit(
       spark: SparkSession,
@@ -3837,86 +3959,19 @@ object Ktk extends org.apache.spark.internal.Logging {
       issues: scala.collection.mutable.Builder[(String, Long, String), Seq[(String, Long, String)]])
       : Seq[(String, Long, String)] = {
     import spark.implicits._
-    val windows: Seq[(Long, Long)] =
-      chainStarts.flatMap { case (v, start) => (start to v).map(v -> _) }
-    val allRvs = windows.map(_._2).distinct.sorted
-    val reachable = chainStarts.map(_._1)
-    val conf = new org.apache.spark.util.SerializableConfiguration(
-      spark.sessionState.newHadoopConf())
-    val recs: Seq[(Long, String, Boolean)] = allRvs.map { rv =>
-      val full = hasFull(rv) // loadVersion's preference: checkpoint over delta
-      (rv,
-        if (full) DatasetMetadata.versionKey(base, uuid, rv)
-        else DatasetMetadata.versionDeltaKey(base, uuid, rv),
-        full)
-    }
-    val recRows = spark.sparkContext
-      .parallelize(recs, math.max(1, math.min(64, recs.size)))
-      .mapPartitions { it =>
-        val m = new com.fasterxml.jackson.databind.ObjectMapper()
-        m.registerModule(com.fasterxml.jackson.module.scala.DefaultScalaModule)
-        m.configure(
-          com.fasterxml.jackson.databind.DeserializationFeature.FAIL_ON_UNKNOWN_PROPERTIES,
-          false)
-        def sidecars(rv: Long, dv: Seq[String], idx: Iterable[String],
-            blm: Iterable[String], zn: Iterable[String]) =
-          dv.map((rv, "missing_dv_fragment", _, true)) ++
-            idx.map((rv, "missing_index", _, true)) ++
-            blm.map((rv, "missing_bloom", _, true)) ++
-            zn.map((rv, "missing_zone", _, true))
-        it.flatMap { case (rv, pathStr, isFull) =>
-          val p = new Path(pathStr)
-          val in = p.getFileSystem(conf.value).open(p)
-          try {
-            if (isFull) {
-              val md = m.readValue(in: java.io.InputStream, classOf[DatasetMetadata])
-              Option(md.partitions).getOrElse(Map.empty[String, Long])
-                .keysIterator.map((rv, "label", _, true)).toSeq ++
-                sidecars(rv, md.deleteFragments,
-                  Option(md.indices).getOrElse(Map.empty[String, String]).values,
-                  md.bloomRegistry.values, md.zoneRegistry.values)
-            } else {
-              val d = m.readValue(in: java.io.InputStream, classOf[VersionDelta])
-              Option(d.adds).getOrElse(Map.empty[String, Long])
-                .keysIterator.map((rv, "label", _, true)).toSeq ++
-                Option(d.removes).getOrElse(Nil).map((rv, "label", _, false)) ++
-                sidecars(rv, Option(d.deletes).getOrElse(Nil),
-                  Option(d.indices).getOrElse(Map.empty[String, String]).values,
-                  Option(d.blooms).getOrElse(Map.empty[String, String]).values,
-                  Option(d.zones).getOrElse(Map.empty[String, String]).values)
-            }
-          } finally in.close()
-        }
-      }
-      .toDF("rv", "kind", "name", "isAdd")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val scan = new CommitRecordScan(spark, base, uuid, chainStarts, hasFull)
     val present = listTableFilesDS(spark, fs, tableRoot).toDF("label")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val referenced = recRows.filter(col("kind") === "label")
-      .join(broadcast(windows.toDF("v", "rv")), Seq("rv"))
-      .groupBy(col("v"), col("name"))
-      .agg(max(struct(col("rv"), col("isAdd"))).as("last"))
-      .filter(col("last.isAdd"))
-      .select(col("name").as("label"), col("v").as("version"))
-      .groupBy("label").agg(max("version").as("version"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      referenced.join(present, Seq("label"), "left_anti")
+      scan.referenced.join(present, Seq("label"), "left_anti")
         .collect().foreach(r =>
           issues += (("missing_data_file", r.getLong(1), r.getString(0))))
-      present.join(referenced, Seq("label"), "left_anti").as[String]
+      present.join(scan.referenced, Seq("label"), "left_anti").as[String]
         .collect().foreach(l => issues += (("orphan_file", -1L, l)))
-      // sidecar registries of the reachable versions' OWN records — what
-      // the driver path reads off each loaded snapshot
-      recRows.filter(col("kind") =!= "label")
-        .join(broadcast(reachable.toDF("rv")), Seq("rv"))
-        .select(col("kind"), col("rv"), col("name")).distinct()
-        .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSeq
+      scan.sidecarRefs()
     } finally {
-      recRows.unpersist(blocking = false)
       present.unpersist(blocking = false)
-      referenced.unpersist(blocking = false)
-      ()
+      scan.close()
     }
   }
 
@@ -4075,7 +4130,8 @@ object Ktk extends org.apache.spark.internal.Logging {
       sidecarGraceMs: Long = 15L * 60 * 1000,
       dryRun: Boolean = false,
       retainLastMs: Long = -1L,
-      consumerCheckpoints: Seq[String] = Nil): Seq[String] = {
+      consumerCheckpoints: Seq[String] = Nil,
+      diffThreshold: Int = DistributedDiffThreshold): Seq[String] = {
     val md = DatasetMetadata.load(spark, base, uuid)
     val fs = DatasetMetadata.fs(spark, base)
     val tableRoot = fs.makeQualified(new Path(md.tableDir(base)))
@@ -4133,17 +4189,66 @@ object Ktk extends org.apache.spark.internal.Logging {
       math.min(kf, floor)
     }
     val (keptVersions, prunedVersions) = allVersions.partition(_ >= keepFrom)
-    val retainedMds = keptVersions.filter(_ != md.version)
-      .map(v => DatasetMetadata.loadVersion(spark, base, uuid, v))
-    val referenced = md.partitions.keySet ++ retainedMds.flatMap(_.partitions.keySet)
+    // past the (estimated, like fsck's) pair threshold the retained states
+    // are reconstructed via the distributed commit-record scan instead of
+    // loading every snapshot on the driver: the referenced set never
+    // exists as a driver Set, the orphan diff is an anti-join, and only
+    // the ORPHAN NAMES come back (the gc API returns them) — the one
+    // driver-side O(orphans) cost this verb's contract already implies
+    val estimatedPairs = md.partitions.size.toLong * keptVersions.size
+    val (toDeleteRels: Seq[String], sidecarValid: Seq[(String, Set[String])]) =
+      if (estimatedPairs <= diffThreshold) {
+        val retainedMds = keptVersions.filter(_ != md.version)
+          .map(v => DatasetMetadata.loadVersion(spark, base, uuid, v))
+        val referenced = md.partitions.keySet ++ retainedMds.flatMap(_.partitions.keySet)
+        // parallel-capable listing (listTableFiles): a wide table's listing
+        // distributes like the deletes below already do
+        val rels =
+          if (!fs.exists(tableRoot)) Nil
+          else listTableFiles(spark, fs, tableRoot).filterNot(referenced.contains)
+        val allMds = md +: retainedMds
+        (rels, Seq(
+          IndexDirName -> allMds.flatMap(_.indices.values).toSet,
+          "blooms" -> allMds.flatMap(_.bloomRegistry.values).toSet,
+          "zones" -> allMds.flatMap(_.zoneRegistry.values).toSet,
+          // deletion-vector fragments pin exactly like pruning sidecars —
+          // a retained snapshot NEEDS its fragments for correct reads
+          DatasetMetadata.DeletesDirName -> allMds.flatMap(_.deleteFragments).toSet))
+      } else {
+        val recordNames = versionRecordNames(spark, fs, base, uuid)
+        val (chainStarts, broken) =
+          resolveChains(spark, base, uuid, keptVersions, recordNames)
+        // a retained version whose chain is broken fails gc exactly like
+        // the driver path's loadVersion would — deleting "orphans" while
+        // blind to part of the history is how data loss happens
+        broken.headOption.foreach { case (v, gap) =>
+          throw new NoSuchElementException(
+            s"Dataset '$uuid': retained version $v is unreachable — commit record " +
+              s"$gap of its replay chain is missing; refusing to gc (run fsck)")
+        }
+        val scan = new CommitRecordScan(spark, base, uuid, chainStarts,
+          hasFullIn(recordNames))
+        try {
+          import spark.implicits._
+          val rels =
+            if (!fs.exists(tableRoot)) Nil
+            else listTableFilesDS(spark, fs, tableRoot).toDF("label")
+              .join(scan.referenced, Seq("label"), "left_anti")
+              .as[String].collect().toSeq
+          val refs = scan.sidecarRefs()
+          def valid(kind: String): Set[String] =
+            refs.collect { case (`kind`, _, n) => n }.toSet
+          (rels, Seq(
+            IndexDirName -> valid("missing_index"),
+            "blooms" -> valid("missing_bloom"),
+            "zones" -> valid("missing_zone"),
+            DatasetMetadata.DeletesDirName -> valid("missing_dv_fragment")))
+        } finally scan.close()
+      }
     val deleted = Seq.newBuilder[String]
-    if (fs.exists(tableRoot)) {
+    if (toDeleteRels.nonEmpty) {
       val prefix = tableRoot.toString + "/"
-      // parallel-capable listing (listTableFiles): a wide table's listing
-      // distributes like the deletes below already do
-      val toDelete = listTableFiles(spark, fs, tableRoot)
-        .filterNot(referenced.contains)
-        .map(rel => new Path(prefix + rel))
+      val toDelete = toDeleteRels.map(rel => new Path(prefix + rel))
       // distribute the deletes: after heavy compaction/streaming churn the
       // orphan count is O(#historical files), and sequential driver-side
       // deletes against an object store dominate the maintenance pass
@@ -4154,7 +4259,7 @@ object Ktk extends org.apache.spark.internal.Logging {
       else {
         val serializableConf = new org.apache.spark.util.SerializableConfiguration(
           spark.sessionState.newHadoopConf())
-        val paths = toDelete.map(_.toString).toSeq
+        val paths = toDelete.map(_.toString)
         spark.sparkContext.parallelize(paths, math.min(32, 1 + paths.size / 64))
           .foreachPartition { ps =>
             val conf = serializableConf.value
@@ -4169,14 +4274,7 @@ object Ktk extends org.apache.spark.internal.Logging {
     // index / bloom / zone sidecar files referenced by NO retained version's
     // registry — retained snapshots pin their version-addressed sidecars
     // exactly like their data files, so time travel keeps full pruning
-    val allMds = md +: retainedMds
-    Seq(IndexDirName -> allMds.flatMap(_.indices.values).toSet,
-        "blooms" -> allMds.flatMap(_.bloomRegistry.values).toSet,
-        "zones" -> allMds.flatMap(_.zoneRegistry.values).toSet,
-        // deletion-vector fragments pin exactly like pruning sidecars —
-        // a retained snapshot NEEDS its fragments for correct reads
-        DatasetMetadata.DeletesDirName -> allMds.flatMap(_.deleteFragments).toSet)
-      .foreach { case (dir, valid) =>
+    sidecarValid.foreach { case (dir, valid) =>
       val root = fs.makeQualified(new Path(s"$base/$uuid/$dir"))
       if (fs.exists(root)) {
         val now = System.currentTimeMillis()

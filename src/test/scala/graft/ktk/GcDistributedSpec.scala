@@ -1,0 +1,99 @@
+package graft.ktk
+
+import graft.SparkSpec
+import graft.core.Predicates
+import org.apache.hadoop.fs.Path
+
+/** [[Ktk.garbageCollect]]'s big-table mode (the commit-record scan that
+  * never loads retained snapshots on the driver, shared with fsck's
+  * [[Ktk.CommitRecordScan]]) must be INDISTINGUISHABLE from the driver
+  * mode: same dry-run report, same reclamation, same refusals — forced
+  * with `diffThreshold = 0` on a small fixture, the same trick FsckSpec
+  * uses. gc deletes files, so parity here is a data-safety gate, not a
+  * performance nicety.
+  */
+class GcDistributedSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** history: v1 store (partitioned) → v2 update (adds files + replaces)
+    * → v3 deleteRows (DV fragment) → v4 index → plus an orphan data file
+    * and an unreferenced sidecar dir.
+    */
+  private def seed(base: String): DatasetMetadata = {
+    Ktk.store(spark, base, "ds",
+      Seq((1L, "a", 10.0), (2L, "a", 20.0), (3L, "b", 30.0), (4L, "c", 40.0))
+        .toDF("k", "p", "v"),
+      partitionOn = Seq("p"))
+    Ktk.update(spark, base, "ds",
+      Some(Seq((5L, "a", 50.0), (6L, "d", 60.0)).toDF("k", "p", "v")))
+    Ktk.deleteRows(spark, base, "ds",
+      predicates = Predicates.of(Seq(("k", "==", 2))))
+    Ktk.addIndex(spark, base, "ds", "k")
+    val md = DatasetMetadata.load(spark, base, "ds")
+    val fs = DatasetMetadata.fs(spark, base)
+    // orphan data file (referenced by NO version)
+    val stray = new Path(s"${md.tableDir(base)}/p=a/stray.parquet")
+    val out = fs.create(stray, true); out.write(1); out.close()
+    // unreferenced sidecar dir (as if a crashed index build left it)
+    fs.mkdirs(new Path(s"$base/ds/${Ktk.IndexDirName}/dead_idx.parquet"))
+    val out2 = fs.create(
+      new Path(s"$base/ds/${Ktk.IndexDirName}/dead_idx.parquet/part-0.parquet"), true)
+    out2.write(1); out2.close()
+    md
+  }
+
+  test("dry-run reports are identical in driver and distributed modes") {
+    val base = tmpDir("gcdist")
+    seed(base)
+    def report(threshold: Int): Seq[String] =
+      Ktk.garbageCollect(spark, base, "ds", retainVersions = 1,
+        sidecarGraceMs = 0, dryRun = true, diffThreshold = threshold).sorted
+    val driver = report(Int.MaxValue)
+    val dist = report(0)
+    dist shouldBe driver
+    driver should not be empty // the fixture plants real garbage
+  }
+
+  test("distributed gc reclaims exactly what driver gc would, and reads survive") {
+    val driverBase = tmpDir("gcdrv")
+    val distBase = tmpDir("gcdst")
+    seed(driverBase); seed(distBase)
+    val drvDeleted = Ktk.garbageCollect(spark, driverBase, "ds",
+      retainVersions = 1, sidecarGraceMs = 0, diffThreshold = Int.MaxValue)
+    val dstDeleted = Ktk.garbageCollect(spark, distBase, "ds",
+      retainVersions = 1, sidecarGraceMs = 0, diffThreshold = 0)
+    // same reclamation, modulo the differing base prefix
+    def rel(base: String, ps: Seq[String]): Seq[String] = {
+      val fs = DatasetMetadata.fs(spark, base)
+      val qualified = fs.makeQualified(new Path(base)).toString
+      // deleted paths mix qualified (table walk) and raw (version records)
+      ps.map(_.stripPrefix(qualified).stripPrefix(base)).sorted
+    }
+    rel(distBase, dstDeleted) shouldBe rel(driverBase, drvDeleted)
+    // content identical and DV-correct (k=2 stays deleted) on both
+    def rows(base: String): Seq[(Long, String, Double)] =
+      Ktk.readTable(spark, base, "ds").select("k", "p", "v")
+        .as[(Long, String, Double)].collect().toSeq.sorted
+    rows(distBase) shouldBe rows(driverBase)
+    rows(distBase).map(_._1) should not contain 2L
+    // retained window still time-travels; pruned history is gone
+    val cur = DatasetMetadata.load(spark, distBase, "ds").version
+    Ktk.readTableAsOf(spark, distBase, "ds", cur - 1).count() should be > 0L
+    a[NoSuchElementException] should be thrownBy
+      DatasetMetadata.loadVersion(spark, distBase, "ds", 1L)
+    // and the table audits clean afterwards
+    Ktk.fsck(spark, distBase, "ds").count() shouldBe 0L
+  }
+
+  test("distributed gc refuses when a retained chain is broken") {
+    val base = tmpDir("gcbrk")
+    seed(base)
+    val fs = DatasetMetadata.fs(spark, base)
+    // strand v3/v4: remove v3's delta (v1 full, v2..v4 deltas)
+    fs.delete(new Path(DatasetMetadata.versionDeltaKey(base, "ds", 3L)), false) shouldBe true
+    DatasetMetadata.invalidateCache(base, "ds")
+    a[NoSuchElementException] should be thrownBy
+      Ktk.garbageCollect(spark, base, "ds", retainVersions = 10,
+        sidecarGraceMs = 0, dryRun = true, diffThreshold = 0)
+  }
+}

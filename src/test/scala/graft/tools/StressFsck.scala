@@ -180,6 +180,17 @@ object StressFsck {
     require(rep.map(_._2).sorted == victims, s"salvage dry-run: $rep")
     require(DatasetMetadata.load(spark, base, "ds").version == v0, "dryRun committed!")
 
+    // gc shares the record-scan engine: at this width its referenced set
+    // never materializes on the driver either — the dry-run must flag the
+    // planted orphan and NOTHING else (the two vanished victims are a
+    // storage fault, fsck's jurisdiction, not garbage)
+    val (gcRep, tGc) = time {
+      Ktk.garbageCollect(spark, base, "ds", retainVersions = 25,
+        sidecarGraceMs = 0, dryRun = true)
+    }
+    println(f"gc dry-run (distributed): $tGc%.1f s, ${gcRep.size} rows")
+    require(gcRep.size == 1 && gcRep.head.endsWith(orphan), s"gc dry-run: $gcRep")
+
     println("OK")
     spark.stop()
   }
