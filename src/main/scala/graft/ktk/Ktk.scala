@@ -3704,7 +3704,8 @@ object Ktk extends org.apache.spark.internal.Logging {
     // record that strands every FRESH reader (the fault fsck exists to
     // find). One listing + at most one tiny delta read per non-checkpoint
     // version (self-contained deltas terminate chains like checkpoints).
-    val recordNames = versionRecordNames(spark, fs, base, uuid)
+    val recordSizes = versionRecordSizes(spark, fs, base, uuid)
+    val recordNames = recordSizes.keySet
     val (chainStarts, brokenChains) =
       resolveChains(spark, base, uuid, versions, recordNames)
     brokenChains.foreach { case (v, gap) =>
@@ -3717,13 +3718,14 @@ object Ktk extends org.apache.spark.internal.Logging {
     def labelsOf(md: DatasetMetadata): scala.collection.Iterable[String] =
       Option(md.partitions).getOrElse(Map.empty[String, Long]).keys
     // the mode decision must not itself materialize every snapshot, so the
-    // pair count is ESTIMATED from one snapshot — the newest reachable —
-    // times the retained count (exact enough for a threshold whose two
-    // sides are both correct; FsckSpec pins their parity at threshold 0)
+    // pair count is ESTIMATED ([[estimatePairs]]): newest reachable
+    // snapshot × retained count, floored by total record bytes so a
+    // mass-delete-shrunk current snapshot can't hide huge old checkpoints
     val newestMd = reachable.lastOption
       .map(v => DatasetMetadata.loadVersion(spark, base, uuid, v))
-    val estimatedPairs =
-      newestMd.map(labelsOf(_).size.toLong * reachable.size).getOrElse(0L)
+    val estimatedPairs = estimatePairs(
+      newestMd.map(labelsOf(_).size.toLong).getOrElse(0L),
+      reachable.size, recordSizes)
     val sidecarRefs: Seq[(String, Long, String)] =
       if (estimatedPairs <= diffThreshold) {
         val loaded: Seq[(Long, DatasetMetadata)] =
@@ -3787,16 +3789,31 @@ object Ktk extends org.apache.spark.internal.Logging {
       .toDF("kind", "version", "path")
   }
 
-  /** One `_versions` listing as a name set — the storage-truth input of
-    * chain resolution (never the snapshot cache: a vacuumed record that
-    * strands FRESH readers is exactly what the audits exist to find).
+  /** One `_versions` listing as name → byte size — the storage-truth
+    * input of chain resolution (never the snapshot cache: a vacuumed
+    * record that strands FRESH readers is exactly what the audits exist
+    * to find). Sizes feed the pair-count estimate below.
     */
-  private[graft] def versionRecordNames(
+  private[graft] def versionRecordSizes(
       spark: SparkSession, fs: org.apache.hadoop.fs.FileSystem,
-      base: String, uuid: String): Set[String] =
+      base: String, uuid: String): Map[String, Long] =
     try fs.listStatus(new Path(DatasetMetadata.versionsDir(base, uuid)))
-      .map(_.getPath.getName).toSet
-    catch { case _: java.io.FileNotFoundException => Set.empty }
+      .map(st => st.getPath.getName -> st.getLen).toMap
+    catch { case _: java.io.FileNotFoundException => Map.empty }
+
+  /** Attribution-pair estimate for the driver-vs-distributed mode choice:
+    * the max of (newest snapshot's labels × retained count) and (total
+    * record bytes ÷ ~64 B per JSON label entry). The first alone would
+    * UNDERESTIMATE a table whose current snapshot shrank after mass
+    * deletes while old checkpoints stayed huge — exactly when driver-mode
+    * loading hurts most; record bytes can't shrink behind the estimate.
+    * Both sides of the threshold are exact, so over-estimating only
+    * trades a little wall time for bounded driver memory.
+    */
+  private def estimatePairs(
+      newestLabels: Long, retainedCount: Int,
+      recordSizes: Map[String, Long]): Long =
+    math.max(newestLabels * retainedCount, recordSizes.valuesIterator.sum / 64)
 
   private[graft] def hasFullIn(recordNames: Set[String])(k: Long): Boolean =
     recordNames.contains(f"v$k%08d.json")
@@ -4195,7 +4212,12 @@ object Ktk extends org.apache.spark.internal.Logging {
     // exists as a driver Set, the orphan diff is an anti-join, and only
     // the ORPHAN NAMES come back (the gc API returns them) — the one
     // driver-side O(orphans) cost this verb's contract already implies
-    val estimatedPairs = md.partitions.size.toLong * keptVersions.size
+    // ALL record bytes, not just the kept versions': a kept delta's replay
+    // window can reach below keepFrom (its checkpoint), and over-estimating
+    // only trades wall time for bounded driver memory
+    val recordSizes = versionRecordSizes(spark, fs, base, uuid)
+    val estimatedPairs = estimatePairs(
+      md.partitions.size.toLong, keptVersions.size, recordSizes)
     val (toDeleteRels: Seq[String], sidecarValid: Seq[(String, Set[String])]) =
       if (estimatedPairs <= diffThreshold) {
         val retainedMds = keptVersions.filter(_ != md.version)
@@ -4215,7 +4237,7 @@ object Ktk extends org.apache.spark.internal.Logging {
           // a retained snapshot NEEDS its fragments for correct reads
           DatasetMetadata.DeletesDirName -> allMds.flatMap(_.deleteFragments).toSet))
       } else {
-        val recordNames = versionRecordNames(spark, fs, base, uuid)
+        val recordNames = recordSizes.keySet
         val (chainStarts, broken) =
           resolveChains(spark, base, uuid, keptVersions, recordNames)
         // a retained version whose chain is broken fails gc exactly like
