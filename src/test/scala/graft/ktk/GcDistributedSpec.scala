@@ -85,6 +85,36 @@ class GcDistributedSpec extends SparkSpec {
     Ktk.fsck(spark, distBase, "ds").count() shouldBe 0L
   }
 
+  test("multibyte UTF-8 partition values keep mode parity (fsck and gc)") {
+    // the exact coordinate surface the r11 resurrection bug lived on:
+    // labels containing multibyte values must round-trip identically
+    // through the record scan (Jackson executors) and the driver loads
+    val base = tmpDir("gcutf8")
+    Ktk.store(spark, base, "ds",
+      Seq((1L, "café", 1.0), (2L, "München", 2.0), (3L, "東京", 3.0),
+        (4L, "a b%c", 4.0)).toDF("k", "p", "v"),
+      partitionOn = Seq("p"))
+    Ktk.update(spark, base, "ds", Some(Seq((5L, "café", 5.0)).toDF("k", "p", "v")))
+    Ktk.deleteRows(spark, base, "ds", predicates = Predicates.of(Seq(("k", "==", 1))))
+    val fs = DatasetMetadata.fs(spark, base)
+    val md = DatasetMetadata.load(spark, base, "ds")
+    // vanish one multibyte-labeled file + plant one multibyte orphan
+    val victim = md.partitions.keys.filter(_.startsWith("p=")).toSeq.sorted.head
+    fs.delete(new Path(s"${md.tableDir(base)}/$victim"), false) shouldBe true
+    val stray = new Path(s"${md.tableDir(base)}/p=caf%C3%A9/späti.parquet")
+    val out = fs.create(stray, true); out.write(1); out.close()
+    def audit(threshold: Int): Seq[String] =
+      Ktk.fsck(spark, base, "ds", diffThreshold = threshold)
+        .collect().map(_.toString).toSeq
+    val drv = audit(Int.MaxValue)
+    audit(0) shouldBe drv
+    drv.exists(_.contains(victim)) shouldBe true
+    def gcPlan(threshold: Int): Seq[String] =
+      Ktk.garbageCollect(spark, base, "ds", retainVersions = 0,
+        sidecarGraceMs = 0, dryRun = true, diffThreshold = threshold).sorted
+    gcPlan(0) shouldBe gcPlan(Int.MaxValue)
+  }
+
   test("distributed gc refuses when a retained chain is broken") {
     val base = tmpDir("gcbrk")
     seed(base)
