@@ -3726,8 +3726,10 @@ object Ktk extends org.apache.spark.internal.Logging {
     val estimatedPairs = estimatePairs(
       newestMd.map(labelsOf(_).size.toLong).getOrElse(0L),
       reachable.size, recordSizes)
+    val threshold = auditThreshold(spark, diffThreshold)
+    lastAuditDistributed.set(estimatedPairs > threshold)
     val sidecarRefs: Seq[(String, Long, String)] =
-      if (estimatedPairs <= diffThreshold) {
+      if (estimatedPairs <= threshold) {
         val loaded: Seq[(Long, DatasetMetadata)] =
           reachable.map(v => v -> DatasetMetadata.loadVersion(spark, base, uuid, v))
         val present: Set[String] = listTableFiles(spark, fs, tableRoot).toSet
@@ -3800,6 +3802,21 @@ object Ktk extends org.apache.spark.internal.Logging {
     try fs.listStatus(new Path(DatasetMetadata.versionsDir(base, uuid)))
       .map(st => st.getPath.getName -> st.getLen).toMap
     catch { case _: java.io.FileNotFoundException => Map.empty }
+
+  /** Resolve the audit threshold: an explicit caller value wins; the
+    * default consults `spark.graft.audit.diffThreshold` so operators can
+    * tune the driver-vs-distributed switch per session without code.
+    */
+  private def auditThreshold(spark: SparkSession, requested: Int): Int =
+    if (requested != DistributedDiffThreshold) requested
+    else spark.conf.getOption("spark.graft.audit.diffThreshold")
+      .map(_.toInt).getOrElse(DistributedDiffThreshold)
+
+  /** Test observability: did the last fsck/gc on this JVM take the
+    * distributed record-scan path? (Same pattern as lastMergeCandidates.)
+    */
+  private[graft] val lastAuditDistributed =
+    new java.util.concurrent.atomic.AtomicBoolean(false)
 
   /** Attribution-pair estimate for the driver-vs-distributed mode choice:
     * the max of (newest snapshot's labels × retained count) and (total
@@ -4026,7 +4043,7 @@ object Ktk extends org.apache.spark.internal.Logging {
     val tableRoot = fs.makeQualified(new Path(md.tableDir(base)))
     val refLabels = Option(md.partitions).getOrElse(Map.empty[String, Long]).keys
     val missingData: Seq[String] =
-      if (refLabels.size <= diffThreshold) {
+      if (refLabels.size <= auditThreshold(spark, diffThreshold)) {
         val present = listTableFiles(spark, fs, tableRoot).toSet
         refLabels.toSeq.sorted.filterNot(present.contains)
       } else {
@@ -4218,8 +4235,10 @@ object Ktk extends org.apache.spark.internal.Logging {
     val recordSizes = versionRecordSizes(spark, fs, base, uuid)
     val estimatedPairs = estimatePairs(
       md.partitions.size.toLong, keptVersions.size, recordSizes)
+    val threshold = auditThreshold(spark, diffThreshold)
+    lastAuditDistributed.set(estimatedPairs > threshold)
     val (toDeleteRels: Seq[String], sidecarValid: Seq[(String, Set[String])]) =
-      if (estimatedPairs <= diffThreshold) {
+      if (estimatedPairs <= threshold) {
         val retainedMds = keptVersions.filter(_ != md.version)
           .map(v => DatasetMetadata.loadVersion(spark, base, uuid, v))
         val referenced = md.partitions.keySet ++ retainedMds.flatMap(_.partitions.keySet)

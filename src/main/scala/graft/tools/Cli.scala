@@ -292,7 +292,8 @@ object Cli {
     prompt =>
       try reader.readLine(prompt)
       catch {
-        case _: EndOfFileException | _: UserInterruptException => null
+        case _: EndOfFileException | _: UserInterruptException =>
+          terminal.close(); null
       }
   }
 

@@ -115,6 +115,25 @@ class GcDistributedSpec extends SparkSpec {
     gcPlan(0) shouldBe gcPlan(Int.MaxValue)
   }
 
+  test("spark.graft.audit.diffThreshold steers the default mode per session") {
+    val base = tmpDir("gcconf")
+    seed(base)
+    try {
+      spark.conf.set("spark.graft.audit.diffThreshold", "0")
+      Ktk.fsck(spark, base, "ds").count()
+      Ktk.lastAuditDistributed.get() shouldBe true
+      Ktk.garbageCollect(spark, base, "ds", retainVersions = 10, dryRun = true)
+      Ktk.lastAuditDistributed.get() shouldBe true
+      spark.conf.unset("spark.graft.audit.diffThreshold")
+      Ktk.fsck(spark, base, "ds").count()
+      Ktk.lastAuditDistributed.get() shouldBe false
+      // an explicit caller value always wins over the conf
+      spark.conf.set("spark.graft.audit.diffThreshold", "0")
+      Ktk.fsck(spark, base, "ds", diffThreshold = Int.MaxValue).count()
+      Ktk.lastAuditDistributed.get() shouldBe false
+    } finally spark.conf.unset("spark.graft.audit.diffThreshold")
+  }
+
   test("distributed gc refuses when a retained chain is broken") {
     val base = tmpDir("gcbrk")
     seed(base)
