@@ -3540,9 +3540,21 @@ object Ktk extends org.apache.spark.internal.Logging {
     * either a driver walk (≤ threshold first-level dirs) or an RDD of
     * per-directory recursions (Right) that callers can keep distributed.
     */
+  /** Past this many TOP-LEVEL files the driver stops retaining their
+    * labels and the flat remainder re-lists inside the Spark job: an
+    * UNPARTITIONED table accumulates every file in `table/` itself, where
+    * the directory-count trigger above never fires — without this cap a
+    * million-file flat table would funnel a million labels through the
+    * driver on every maintenance pass. The root statuses still STREAM
+    * through the driver once (listStatusIterator, O(1) retained) to
+    * discover subdirectories; only label RETENTION is capped.
+    */
+  private[graft] val FlatListThreshold = 100000
+
   private def listTableFilesCore(
       spark: SparkSession, fsys: org.apache.hadoop.fs.FileSystem,
-      tableRoot: Path, threshold: Int)
+      tableRoot: Path, threshold: Int,
+      flatThreshold: Int = FlatListThreshold)
       : (Seq[String], Either[Seq[String], org.apache.spark.rdd.RDD[String]]) = {
     if (!fsys.exists(tableRoot)) return (Nil, Left(Nil))
     // the `_`/`.` filter applies to LEAF FILE NAMES ONLY (matching the
@@ -3555,14 +3567,26 @@ object Ktk extends org.apache.spark.internal.Logging {
     // wrong label is a wrong delete
     val prefix = tableRoot.toString + "/"
     def rel(p: String): String = stripLabelPrefix(p, prefix)
-    val (dirs, files) = fsys.listStatus(tableRoot).partition(_.isDirectory)
-    val topFiles = files.toSeq.filter(st => keep(st.getPath.getName))
-      .map(st => rel(st.getPath.toString))
+    // stream the root listing: retain dir paths + at most flatThreshold
+    // top-level labels; a flat overflow re-lists the root distributed
+    val dirs = scala.collection.mutable.ArrayBuffer.empty[Path]
+    val topKept = scala.collection.mutable.ArrayBuffer.empty[String]
+    var topOverflow = false
+    val rootIt = fsys.listStatusIterator(tableRoot)
+    while (rootIt.hasNext) {
+      val st = rootIt.next()
+      if (st.isDirectory) dirs += st.getPath
+      else if (st.isFile && keep(st.getPath.getName)) {
+        if (topKept.size < flatThreshold) topKept += rel(st.getPath.toString)
+        else topOverflow = true
+      }
+    }
+    val topFiles = if (topOverflow) Nil else topKept.toSeq
     val subFiles: Either[Seq[String], org.apache.spark.rdd.RDD[String]] =
-      if (dirs.length <= threshold) {
+      if (!topOverflow && dirs.length <= threshold) {
         Left(dirs.toSeq.flatMap { d =>
           val out = Seq.newBuilder[String]
-          walkFiles(fsys, d.getPath) { st =>
+          walkFiles(fsys, d) { st =>
             if (keep(st.getPath.getName)) out += rel(st.getPath.toString)
           }
           out.result()
@@ -3570,16 +3594,29 @@ object Ktk extends org.apache.spark.internal.Logging {
       } else {
         val conf = new org.apache.spark.util.SerializableConfiguration(
           spark.sessionState.newHadoopConf())
-        val dirStrs = dirs.map(_.getPath.toString).toSeq
-        Right(spark.sparkContext.parallelize(dirStrs, math.min(64, dirStrs.size))
-          .flatMap { ds =>
+        // work item = (path, recurse): subdirectories walk recursively; on
+        // flat overflow the ROOT re-lists its own files only (its subdirs
+        // are already separate items)
+        val items: Seq[(String, Boolean)] =
+          dirs.map(_.toString -> true).toSeq ++
+            (if (topOverflow) Seq(tableRoot.toString -> false) else Nil)
+        Right(spark.sparkContext.parallelize(items, math.min(64, items.size))
+          .flatMap { case (ds, recurse) =>
             val p = new Path(ds)
             val f = p.getFileSystem(conf.value)
             val out = Seq.newBuilder[String]
-            walkFiles(f, p) { st =>
+            def emit(st: org.apache.hadoop.fs.FileStatus): Unit = {
               val name = st.getPath.getName
               if (!name.startsWith("_") && !name.startsWith("."))
                 out += stripLabelPrefix(st.getPath.toString, prefix)
+            }
+            if (recurse) walkFiles(f, p)(emit)
+            else {
+              val it = f.listStatusIterator(p)
+              while (it.hasNext) {
+                val st = it.next()
+                if (st.isFile) emit(st)
+              }
             }
             out.result()
           })
@@ -3589,8 +3626,9 @@ object Ktk extends org.apache.spark.internal.Logging {
 
   private[graft] def listTableFiles(
       spark: SparkSession, fsys: org.apache.hadoop.fs.FileSystem,
-      tableRoot: Path, threshold: Int = ParallelListThreshold): Seq[String] =
-    listTableFilesCore(spark, fsys, tableRoot, threshold) match {
+      tableRoot: Path, threshold: Int = ParallelListThreshold,
+      flatThreshold: Int = FlatListThreshold): Seq[String] =
+    listTableFilesCore(spark, fsys, tableRoot, threshold, flatThreshold) match {
       case (top, Left(sub))  => top ++ sub
       case (top, Right(rdd)) => top ++ rdd.collect()
     }
@@ -3602,10 +3640,11 @@ object Ktk extends org.apache.spark.internal.Logging {
     */
   private[graft] def listTableFilesDS(
       spark: SparkSession, fsys: org.apache.hadoop.fs.FileSystem,
-      tableRoot: Path, threshold: Int = ParallelListThreshold)
+      tableRoot: Path, threshold: Int = ParallelListThreshold,
+      flatThreshold: Int = FlatListThreshold)
       : org.apache.spark.sql.Dataset[String] = {
     import spark.implicits._
-    listTableFilesCore(spark, fsys, tableRoot, threshold) match {
+    listTableFilesCore(spark, fsys, tableRoot, threshold, flatThreshold) match {
       case (top, Left(sub))  => (top ++ sub).toDS()
       case (top, Right(rdd)) =>
         val topDs =

@@ -164,6 +164,28 @@ class FsckSpec extends SparkSpec {
     onDriver.toSet shouldBe md.partitions.keySet
   }
 
+  test("FLAT (unpartitioned) tables past the top-level cap list distributed") {
+    val base = tmpDir("fsck")
+    // unpartitioned: every file sits in table/ itself, where the
+    // directory-count trigger never fires — the flat cap must kick in
+    Ktk.store(spark, base, "flat",
+      (0 until 30).map(i => (i.toLong, i * 1.0)).toDF("k", "v")
+        .repartition(12))
+    val md = DatasetMetadata.load(spark, base, "flat")
+    val fs = DatasetMetadata.fs(spark, base)
+    val root = fs.makeQualified(new Path(md.tableDir(base)))
+    val onDriver = Ktk.listTableFiles(spark, fs, root).sorted
+    val overflow = Ktk.listTableFiles(spark, fs, root, flatThreshold = 3).sorted
+    overflow shouldBe onDriver
+    overflow.toSet shouldBe md.partitions.keySet
+    // the DS variant stays distributed and identical too
+    import spark.implicits._
+    Ktk.listTableFilesDS(spark, fs, root, flatThreshold = 3)
+      .collect().sorted.toSeq shouldBe onDriver
+    // fsck still audits clean through the overflow path
+    Ktk.fsck(spark, base, "flat").count() shouldBe 0L
+  }
+
   test("salvage repairs vanished files and dead sidecars; DV loss requires opt-in") {
     val base = tmpDir("fsck")
     val md = seed(base)
