@@ -1849,18 +1849,16 @@ object SparkEntry {
     }),
 
     "q_pack_greedy" -> ((s, dir) => {
-      // greedy FFD packing: bin ids depend on physical partitioning, so the
-      // gate checks the INVARIANTS instead — every doc packed exactly once,
-      // zero budget violations (oversized docs get singleton bins), and
-      // utilization the judge can eyeball against the chunking baseline
+      // engine-reproducible greedy FFD packing: md5 hash groups + per-group
+      // first-fit-decreasing make every (doc, bin) assignment a pure
+      // function of doc_id — the oracle replays the same FFD with an
+      // ordered recursive CTE, so the gate is EXACT per row (the
+      // partition-local packGreedy variant stays covered by SamplingSpec's
+      // invariants; this is the deterministic scale path)
       val d = t(s, dir, "documents").select(col("doc_id"), col("n_chars"))
-      val packed = Sampling.packGreedy(d, "doc_id", "n_chars", budget = 2000L)
-      val over = packed.groupBy("pack_id").agg(sum("n_chars").as("load"), count(lit(1)).as("n"))
-      over.agg(
-        count(lit(1)).as("bins"),
-        sum("n").as("docs_packed"),
-        max(when(col("n") > 1, col("load")).otherwise(0L)).as("max_multi_load"),
-        sum(when(col("load") > 2000L && col("n") > 1, 1L).otherwise(0L)).as("violations"))
+      Sampling.packGreedyDeterministic(d, "doc_id", "n_chars", budget = 2000L,
+          numGroups = 8, seed = "pack0")
+        .select("doc_id", "n_chars", "pack_id").orderBy("doc_id")
     }),
 
     "q_budget_select" -> ((s, dir) => {
@@ -2392,9 +2390,12 @@ object SparkEntry {
     }),
 
     "q_pipeline_e2e" -> ((s, dir) => {
-      // the composed training-data pipeline: quality-filter -> exact dedup
-      // -> minhash near-dedup -> store as a managed dataset partitioned by
-      // language -> read back stats. Every stage is this engine's surface.
+      // the composed training-data pipeline, every stage exactly
+      // DuckDB-twinned so the END-TO-END result hash-matches (near-dedup's
+      // exactness is proven separately by q_dedup_minhash_exact/_cc):
+      // quality filter -> exact dedup over planted copies -> per-language
+      // char budgets -> store as a managed dataset partitioned by language
+      // -> read back per-language stats.
       val base = scratch(dir)
       val d = t(s, dir, "documents")
         .unionByName(t(s, dir, "documents")
@@ -2402,11 +2403,13 @@ object SparkEntry {
       val scored = d.withColumn("quality", TextAnalysis.qualityScore(col("text")))
         .filter(col("quality") >= 0.5)
       val exact = Dedup.exactByHash(scored, "doc_id", "text")
-      val near = Dedup.minhashDedup(exact, "doc_id", "text", threshold = 0.9)
-      Ktk.store(s, base, "corpus_clean", near.select("doc_id", "lang", "text", "quality"),
+      val selected = Sampling.takeByBudgetPerGroup(exact, "lang",
+        Seq(col("n_chars").desc, col("doc_id")), "n_chars", budget = 10000L)
+      Ktk.store(s, base, "corpus_clean", selected.select("doc_id", "lang", "text", "quality"),
         partitionOn = Seq("lang"), overwrite = true)
       Ktk.readTable(s, base, "corpus_clean")
-        .groupBy("lang").agg(count(lit(1)).as("n_docs"))
+        .groupBy("lang").agg(count(lit(1)).as("n_docs"),
+          sum(length(col("text"))).as("n_chars"))
         .orderBy("lang")
     }),
 
@@ -2927,13 +2930,16 @@ object SparkEntry {
   }
 
   // ------------------------------------------------------------------------
-  // DuckDB oracles. Omitted ONLY for genuinely hash/LSH-seeded ops whose
-  // output depends on the engine's own hash family (q_dedup_minhash/_cc,
-  // q_dedup_minhash_incr, q_dedup_simhash, q_ann_lsh, q_ann_ivf,
-  // q_emb_neardup, q_hash_dataset, q_cluster_sample,
-  // q_pipeline_e2e via its minhash stage, q_multimodal via the stub codec)
-  // → rows-only check; their exact semantics are covered by ScalaTest
-  // oracles with planted data.
+  // DuckDB oracles. Omitted ONLY for genuinely hash/LSH/k-means-seeded ops
+  // whose output depends on the engine's own hash family or iterative
+  // seeding — the full current list (keep in sync with CORRECTNESS no_oracle
+  // entries): q_dedup_minhash / _best / _cc / _incr, q_dedup_simhash,
+  // q_ann_lsh, q_ann_ivf, q_ann_pq, q_ann_ivfpq (all four carry in-gate
+  // recall floors vs their exact twins), q_emb_neardup, q_emb_dedup_cc,
+  // q_semantic_dedup, q_cluster_sample, q_quality_model, q_hash_dataset
+  // (xxhash64), q_image_dedup / q_audio_dedup / q_multimodal (stub codec
+  // fixtures), q_ktk_fsck (fault-path fixture) → rows-only check; their
+  // exact semantics are covered by ScalaTest oracles with planted data.
   // ------------------------------------------------------------------------
 
   /** DuckDB twin of [[Sampling.hashUnit]]: value of the first 8 hex chars
@@ -3920,6 +3926,38 @@ object SparkEntry {
         |  FROM documents)
         |WHERE c <= 75000 ORDER BY doc_id""".stripMargin,
 
+    // replays packGreedyDeterministic exactly: the same md5 hash grouping
+    // (duckU ≡ hashUnit bit for bit), then per-group first-fit-decreasing
+    // as an ordered recursive CTE — one iteration per rank, the bin-load
+    // list carried as recursion state. NULLIF guards DuckDB's
+    // list_position returning 0 (not NULL) on no match.
+    "q_pack_greedy" -> {
+      val g = s"CAST(floor(${duckU("doc_id", "pack0")} * 8) AS BIGINT)"
+      val fit = "NULLIF(list_position(list_transform(f.bins, x -> x + o.tok <= 2000), true), 0)"
+      s"""WITH RECURSIVE docs AS (
+         |  SELECT doc_id, CAST(n_chars AS BIGINT) AS tok, $g AS g FROM documents
+         |),
+         |ordered AS (
+         |  SELECT doc_id, tok, g,
+         |    row_number() OVER (PARTITION BY g ORDER BY tok DESC, doc_id) AS r
+         |  FROM docs
+         |),
+         |ffd(g, r, bins, doc_id, tok, bin) AS (
+         |  SELECT g, CAST(0 AS BIGINT), CAST([] AS BIGINT[]), CAST(NULL AS BIGINT),
+         |         CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+         |  FROM (SELECT DISTINCT g FROM ordered)
+         |  UNION ALL
+         |  SELECT o.g, f.r + 1,
+         |    CASE WHEN $fit IS NULL THEN list_append(f.bins, o.tok)
+         |         ELSE f.bins[1:$fit-1] || [f.bins[$fit] + o.tok] || f.bins[$fit+1:] END,
+         |    o.doc_id, o.tok,
+         |    CASE WHEN $fit IS NULL THEN len(f.bins) ELSE $fit - 1 END
+         |  FROM ffd f JOIN ordered o ON o.g = f.g AND o.r = f.r + 1
+         |)
+         |SELECT doc_id, tok AS n_chars, g * 1099511627776 + bin AS pack_id
+         |FROM ffd WHERE doc_id IS NOT NULL ORDER BY doc_id""".stripMargin
+    },
+
     "q_budget_per_lang" ->
       """SELECT doc_id, lang, n_chars FROM (
         |  SELECT doc_id, lang, n_chars,
@@ -3956,6 +3994,43 @@ object SparkEntry {
          |  CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS INT) AS n_tokens,
          |  round(${duckU("CAST(doc_id AS VARCHAR)", "s9")}, 6) AS h
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // the composed pipeline replayed stage by stage with each stage's own
+    // proven twin: quality formula = q_text_quality's, exact dedup =
+    // q_dedup_exact's keep-min-id-per-text, per-lang budget =
+    // q_budget_per_lang's running cumsum; the store/read-back roundtrip
+    // adds no rows, so the final per-language stats hash-match end to end
+    "q_pipeline_e2e" ->
+      """WITH u AS (
+        |  SELECT doc_id, text, lang, n_chars FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, text, lang, n_chars FROM documents),
+        |m AS (
+        |  SELECT doc_id, text, lang, n_chars,
+        |    len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS n,
+        |    CASE WHEN length(text) = 0 THEN 0.0
+        |      ELSE CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE) / length(text) END AS punct,
+        |    CASE WHEN len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) = 0 THEN 0.0
+        |      ELSE CAST(list_sum(list_transform(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> ''), x -> length(x))) AS DOUBLE)
+        |        / len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) END AS mtl
+        |  FROM u),
+        |q AS (
+        |  SELECT doc_id, text, lang, n_chars FROM m
+        |  WHERE round((
+        |      (CASE WHEN n >= 10 AND n <= 10000 THEN 1.0 WHEN n >= 3 THEN 0.5 ELSE 0.0 END) +
+        |      (CASE WHEN punct <= 0.2 THEN 1.0 WHEN punct <= 0.4 THEN 0.5 ELSE 0.0 END) +
+        |      (CASE WHEN mtl >= 3.0 AND mtl <= 12.0 THEN 1.0 ELSE 0.5 END)
+        |    ) / 3.0, 4) >= 0.5),
+        |e AS (
+        |  SELECT doc_id, text, lang, n_chars FROM q
+        |  QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1),
+        |b AS (
+        |  SELECT doc_id, lang, text FROM (
+        |    SELECT *, sum(n_chars) OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS c
+        |    FROM e) WHERE c <= 10000)
+        |SELECT lang, count(*) AS n_docs, CAST(sum(length(text)) AS BIGINT) AS n_chars
+        |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_pipeline_curation" ->
       """WITH d0 AS (

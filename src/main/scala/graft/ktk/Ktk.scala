@@ -750,8 +750,12 @@ object Ktk extends org.apache.spark.internal.Logging {
     val prefix = qualified.toUri.getPath.stripSuffix("/") + "/"
     val decoded = decodeUriPathCol(
       regexp_replace(pathCol, lit("^[a-zA-Z][a-zA-Z0-9+.\\-]*:(//[^/]*)?"), lit("")))
+    // Spark substr/length count CODE POINTS while String.length counts
+    // UTF-16 units — a table root containing a supplementary character
+    // (emoji volume name, rare CJK) would shift the label start by one per
+    // such character and mislabel every row without tripping startsWith
     when(decoded.startsWith(lit(prefix)),
-      decoded.substr(lit(prefix.length + 1), length(decoded)))
+      decoded.substr(lit(prefix.codePointCount(0, prefix.length) + 1), length(decoded)))
       .otherwise(raise_error(concat(
         lit("input file '"), decoded,
         lit(s"' is not under the qualified table root '$prefix' — refusing " +
@@ -1946,12 +1950,26 @@ object Ktk extends org.apache.spark.internal.Logging {
     * remove side — re-sync after rollbacks; intra-commit insert+delete of
     * the same row (no current writer produces one) would emit both.
     */
+  /** One version's CDF plan — everything [[readChangeFeed]]'s DataFrame
+    * construction needs, derived either from driver snapshots (small
+    * ranges) or from the distributed record scan (deep ranges), so the
+    * emit code cannot diverge between modes. `parentFilter` restricts a
+    * new fragment's labels to files that exist at the parent version.
+    */
+  private final case class CdfVersionPlan(
+      freshAdds: Seq[String],
+      newFrags: Seq[String],
+      parentFrags: Seq[String],
+      gone: Seq[String],
+      parentFilter: Seq[String] => Seq[String])
+
   def readChangeFeed(
       spark: SparkSession,
       base: String,
       uuid: String,
       fromVersion: Long,
-      toVersion: Long = -1L): DataFrame = {
+      toVersion: Long = -1L,
+      diffThreshold: Int = SessionDiffThreshold): DataFrame = {
     val cur = DatasetMetadata.load(spark, base, uuid)
     val to = if (toVersion < 0) cur.version else toVersion
     require(fromVersion <= to,
@@ -1967,7 +1985,7 @@ object Ktk extends org.apache.spark.internal.Logging {
     // so a feed range spanning an evolveSchema commit projects cleanly
     // (reading with each version's own schema would leave the final
     // current-schema projection unresolved).
-    def scanLabels(md: DatasetMetadata, ls: Seq[String], withPos: Boolean): DataFrame = {
+    def scanLabels(ls: Seq[String], withPos: Boolean): DataFrame = {
       val s = spark.read.option("basePath", tableDir).schema(schema)
         .parquet(ls.map(l => s"$tableDir/$l"): _*)
       if (withPos)
@@ -1983,8 +2001,13 @@ object Ktk extends org.apache.spark.internal.Logging {
     def hwmOf(md: DatasetMetadata): Long = math.max(
       md.metadata.get(DatasetMetadata.SeqHwmKey).map(_.toLong).getOrElse(0L),
       (0L +: md.partitions.keys.toSeq.map(md.seqOf)).max)
+    def readFrags(frags: Seq[String]): DataFrame =
+      spark.read.schema(DvSchema)
+        .parquet(frags.map(n =>
+          s"$base/$uuid/${DatasetMetadata.DeletesDirName}/$n"): _*)
 
-    val perVersion: Seq[DataFrame] = (fromVersion + 1 to to).flatMap { v =>
+    // per-version plan, driver snapshots (the exact legacy walk)
+    def driverPlan(v: Long): CdfVersionPlan = {
       val mdV = DatasetMetadata.loadVersion(spark, base, uuid, v)
       // fromVersion = 0 reads the initial commit against an empty parent —
       // the whole v1 content arrives as inserts (bootstrap semantics)
@@ -1997,55 +2020,152 @@ object Ktk extends org.apache.spark.internal.Logging {
       val added = mdV.partitions.keySet -- mdP.partitions.keySet
       val removed = mdP.partitions.keySet -- mdV.partitions.keySet
       val rewrittenSeqs = added.filter(l => mdV.seqOf(l) <= hwm).map(mdV.seqOf)
-      val inserts: Option[DataFrame] = {
-        val fresh = added.filter(l => mdV.seqOf(l) > hwm).toSeq.sorted
-        if (fresh.isEmpty) None
-        else Some(project(scanLabels(mdV, fresh, withPos = false), "insert", v))
-      }
-      // (a) tombstones this commit added — the fragment IS the row list.
-      // Pairs already dead at the parent are excluded: a fragment-count
-      // canonicalization folds ALL history into one "new" fragment, and
-      // without the anti-join it would re-emit every old delete.
-      val dvDeletes: Option[DataFrame] = {
-        val newFrags = mdV.deleteFragments.filterNot(mdP.deleteFragments.toSet)
-        if (newFrags.isEmpty) None
-        else {
-          val dvNew = spark.read.schema(DvSchema)
-            .parquet(newFrags.map(mdV.deletePath(base, _)): _*)
-          val fresh = deleteVectors(spark, base, mdP) match {
-            case None      => dvNew
-            case Some(dvP) => dvNew.join(dvP, Seq("label", "pos"), "left_anti")
-          }
-          val dv = fresh.select(col("label").as("__dvl"), col("pos").as("__dvp"))
-          val labels = dv.select("__dvl").distinct().collect().map(_.getString(0))
-            .filter(mdP.partitions.keySet.contains).sorted.toSeq
-          if (labels.isEmpty) None
-          else Some(project(
-            scanLabels(mdP, labels, withPos = true)
-              .join(dv, col("__label") === col("__dvl") && col("__pos") === col("__dvp"),
-                "left_semi"),
-            "delete", v))
-        }
-      }
-      // (b) delete_scope: removed labels with no same-seq rewrite; rows
-      // already tombstoned at the parent don't die twice
-      val scopeDeletes: Option[DataFrame] = {
-        val gone = removed.filter(l => !rewrittenSeqs.contains(mdP.seqOf(l))).toSeq.sorted
-        if (gone.isEmpty) None
-        else {
-          val raw = scanLabels(mdP, gone, withPos = true)
-          val live = deleteVectors(spark, base, mdP) match {
-            case None => raw
-            case Some(dvp) =>
-              val dv = dvp.select(col("label").as("__dvl"), col("pos").as("__dvp"))
-              raw.join(dv, col("__label") === col("__dvl") && col("__pos") === col("__dvp"),
-                "left_anti")
-          }
-          Some(project(live, "delete", v))
-        }
-      }
-      Seq(inserts, dvDeletes, scopeDeletes).flatten
+      CdfVersionPlan(
+        freshAdds = added.filter(l => mdV.seqOf(l) > hwm).toSeq.sorted,
+        newFrags = mdV.deleteFragments.filterNot(mdP.deleteFragments.toSet),
+        parentFrags = mdP.deleteFragments,
+        gone = removed.filter(l => !rewrittenSeqs.contains(mdP.seqOf(l))).toSeq.sorted,
+        parentFilter = ls => ls.filter(mdP.partitions.keySet.contains))
     }
+
+    // deep-range mode: the SAME plans reconstructed from the distributed
+    // commit-record scan — label add/remove events via per-label lag/lead
+    // over the per-version presence rows (seqs ride along), hwm and
+    // fragment lists from each version's own record. The driver collects
+    // O(changed labels in range), never a snapshot.
+    def distributedPlans(recordSizes: Map[String, Long])
+        : (Map[Long, CdfVersionPlan], () => Unit) = {
+      import spark.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val targets = (math.max(1L, fromVersion) to to).toSeq
+      val recordNames = recordSizes.keySet
+      targets.find(v => !recordNames.contains(f"v$v%08d.json") &&
+          !recordNames.contains(f"v$v%08d.delta.json")).foreach { v =>
+        throw new NoSuchElementException(
+          s"Dataset '$uuid' has no version $v (vacuumed by gc, or never " +
+            s"committed); available: " +
+            DatasetMetadata.listVersions(spark, base, uuid).mkString(","))
+      }
+      val (chainStarts, broken) =
+        resolveChains(spark, base, uuid, targets, recordNames)
+      broken.headOption.foreach { case (v, gap) =>
+        throw new NoSuchElementException(
+          s"Dataset '$uuid': version $v is unreachable — commit record $gap " +
+            "of its replay chain is missing; the change feed cannot replay " +
+            "it (run fsck)")
+      }
+      val scan = new CommitRecordScan(spark, base, uuid, chainStarts,
+        hasFullIn(recordNames))
+      val pres = scan.perVersionLabels
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val w = Window.partitionBy("label").orderBy("version")
+      val flagged = pres
+        .withColumn("prevV", lag("version", 1).over(w))
+        .withColumn("nextV", lead("version", 1).over(w))
+      val addEvents = flagged
+        .filter(col("version") > fromVersion &&
+          (col("prevV").isNull || col("prevV") =!= col("version") - 1))
+        .select("version", "label", "seq").as[(Long, String, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).toSeq).toMap
+      // a presence row at p with no row at p+1 = removed at p+1; the row's
+      // seq IS the parent-side seq the rewrite check needs
+      val removeEvents = flagged
+        .filter((col("nextV").isNull || col("nextV") =!= col("version") + 1) &&
+          col("version") < lit(to))
+        .select((col("version") + 1).as("v"), col("label"), col("seq"))
+        .as[(Long, String, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).toSeq).toMap
+      val maxSeq = pres.groupBy("version").agg(max("seq"))
+        .as[(Long, Long)].collect().toMap
+      val hwmMeta = scan.recRows.filter(col("kind") === "meta_hwm")
+        .select("rv", "name").as[(Long, String)].collect()
+        .map { case (v, s) => v -> s.toLong }.toMap
+      def hwmAt(v: Long): Long =
+        math.max(hwmMeta.getOrElse(v, 0L), math.max(0L, maxSeq.getOrElse(v, 0L)))
+      val fragsByV = scan.recRows.filter(col("kind") === "missing_dv_fragment")
+        .select("rv", "name").as[(Long, String)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+      val plans = (fromVersion + 1 to to).map { v =>
+        val hwm = if (v == 1L) Long.MinValue else hwmAt(v - 1)
+        val adds = addEvents.getOrElse(v, Nil)
+        val rewritten = adds.collect { case (_, s) if s <= hwm => s }.toSet
+        val parentFrags = if (v == 1L) Nil else fragsByV.getOrElse(v - 1, Nil)
+        val parentFragSet = parentFrags.toSet
+        v -> CdfVersionPlan(
+          freshAdds = adds.collect { case (l, s) if s > hwm => l }.sorted,
+          newFrags = fragsByV.getOrElse(v, Nil).filterNot(parentFragSet),
+          parentFrags = parentFrags,
+          gone = removeEvents.getOrElse(v, Nil)
+            .collect { case (l, s) if !rewritten.contains(s) => l }.sorted,
+          parentFilter = ls =>
+            if (v == 1L || ls.isEmpty) Nil
+            else ls.toDF("label")
+              .join(pres.filter(col("version") === v - 1), Seq("label"), "left_semi")
+              .as[String].collect().toSeq)
+      }.toMap
+      (plans, () => { pres.unpersist(blocking = false); scan.close() })
+    }
+
+    val fsys = DatasetMetadata.fs(spark, base)
+    val recordSizes = versionRecordSizes(spark, fsys, base, uuid)
+    val estimated = estimatePairs(cur.partitions.size.toLong,
+      (to - fromVersion).toInt + 1, recordSizes)
+    val threshold = auditThreshold(spark, diffThreshold)
+    val distributed = estimated > threshold && to > fromVersion
+    lastAuditDistributed.set(distributed)
+    val (planOf: (Long => CdfVersionPlan), closePlans: (() => Unit)) =
+      if (!distributed) ((v: Long) => driverPlan(v), () => ())
+      else { val (m, c) = distributedPlans(recordSizes); ((v: Long) => m(v), c) }
+
+    val perVersion: Seq[DataFrame] = try {
+      (fromVersion + 1 to to).flatMap { v =>
+        val plan = planOf(v)
+        val inserts: Option[DataFrame] =
+          if (plan.freshAdds.isEmpty) None
+          else Some(project(scanLabels(plan.freshAdds, withPos = false), "insert", v))
+        // (a) tombstones this commit added — the fragment IS the row list.
+        // Pairs already dead at the parent are excluded: a fragment-count
+        // canonicalization folds ALL history into one "new" fragment, and
+        // without the anti-join it would re-emit every old delete.
+        val dvDeletes: Option[DataFrame] =
+          if (plan.newFrags.isEmpty) None
+          else {
+            val dvNew = readFrags(plan.newFrags)
+            val fresh =
+              if (plan.parentFrags.isEmpty) dvNew
+              else dvNew.join(readFrags(plan.parentFrags),
+                Seq("label", "pos"), "left_anti")
+            val dv = fresh.select(col("label").as("__dvl"), col("pos").as("__dvp"))
+            val labels = plan.parentFilter(
+              dv.select("__dvl").distinct().collect().map(_.getString(0)).toSeq)
+              .sorted
+            if (labels.isEmpty) None
+            else Some(project(
+              scanLabels(labels, withPos = true)
+                .join(dv, col("__label") === col("__dvl") && col("__pos") === col("__dvp"),
+                  "left_semi"),
+              "delete", v))
+          }
+        // (b) delete_scope: removed labels with no same-seq rewrite; rows
+        // already tombstoned at the parent don't die twice
+        val scopeDeletes: Option[DataFrame] =
+          if (plan.gone.isEmpty) None
+          else {
+            val raw = scanLabels(plan.gone, withPos = true)
+            val live =
+              if (plan.parentFrags.isEmpty) raw
+              else {
+                val dv = readFrags(plan.parentFrags)
+                  .select(col("label").as("__dvl"), col("pos").as("__dvp"))
+                raw.join(dv,
+                  col("__label") === col("__dvl") && col("__pos") === col("__dvp"),
+                  "left_anti")
+              }
+            Some(project(live, "delete", v))
+          }
+        Seq(inserts, dvDeletes, scopeDeletes).flatten
+      }
+    } finally closePlans()
     // BALANCED union tree: a left-deep unionByName chain re-analyzes a
     // growing plan per link (quadratic in the version count); grouping
     // keeps analysis O(n log n), so wide ranges (100+ versions) plan flat.
@@ -2065,7 +2185,8 @@ object Ktk extends org.apache.spark.internal.Logging {
     * loads through the snapshot cache plus ONE `_versions` listing —
     * never touches data.
     */
-  def history(spark: SparkSession, base: String, uuid: String): DataFrame = {
+  def history(spark: SparkSession, base: String, uuid: String,
+      diffThreshold: Int = SessionDiffThreshold): DataFrame = {
     import spark.implicits._
     // ONE listing feeds both the version list and the mtimes; filename
     // parsing stays in DatasetMetadata (single source of truth). A version
@@ -2073,6 +2194,20 @@ object Ktk extends org.apache.spark.internal.Logging {
     // same commit line) reports the EARLIEST mtime — the original commit.
     val records = DatasetMetadata.versionRecords(spark, base, uuid)
     val mtimes: Map[Long, Long] = records.groupMapReduce(_._1)(_._2)(math.min)
+    // past the same estimated-pairs threshold fsck/gc use, per-version
+    // metrics reconstruct from the distributed commit-record scan instead
+    // of loading every snapshot through the driver cache — DESCRIBE
+    // HISTORY on a million-version table stays O(versions) driver rows
+    val fsys = DatasetMetadata.fs(spark, base)
+    val recordSizes = versionRecordSizes(spark, fsys, base, uuid)
+    val curLabels = DatasetMetadata.load(spark, base, uuid).partitions.size.toLong
+    val allVersions = records.map(_._1).distinct.sorted
+    val estimated = estimatePairs(curLabels, allVersions.size, recordSizes)
+    val threshold = auditThreshold(spark, diffThreshold)
+    lastAuditDistributed.set(estimated > threshold)
+    if (estimated > threshold)
+      return historyDistributed(spark, base, uuid, allVersions, mtimes,
+        recordSizes.keySet)
     // per-commit metrics diff against the PREVIOUS RETAINED version (the
     // ascending walk already loads it). The earliest retained version
     // after a gc has an unknown parent — its metrics report null rather
@@ -2113,6 +2248,101 @@ object Ktk extends org.apache.spark.internal.Logging {
     rows.toDF("version", "committed_at", "operation", "files", "bytes",
       "files_added", "files_removed", "bytes_added",
       "tombstone_fragments", "is_rollback", "rollback_of")
+  }
+
+  /** [[history]]'s big-table mode: per-version metrics reconstructed from
+    * the distributed commit-record scan — the driver never materializes a
+    * snapshot, so a deep history costs O(versions) result rows instead of
+    * O(versions × labels) snapshot loads through the cache. Semantics
+    * match the driver walk exactly (parity-pinned in HistorySpec):
+    * files/bytes from each version's last-op-wins label state;
+    * added/removed/bytes_added diffed against version v-1 via per-label
+    * lag/lead over the presence rows (null for the oldest retained version
+    * after a gc, whose parent is unknown — the driver rule); operation /
+    * commit-ts / rollback attribution and the tombstone-fragment count
+    * from each version's OWN record (deltas carry them wholesale).
+    */
+  private def historyDistributed(spark: SparkSession, base: String,
+      uuid: String, versions: Seq[Long], mtimes: Map[Long, Long],
+      recordNames: Set[String]): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val (chainStarts, broken) = resolveChains(spark, base, uuid, versions, recordNames)
+    // a version whose chain is broken fails history exactly like the
+    // driver path's loadVersion would
+    broken.headOption.foreach { case (v, gap) =>
+      throw new NoSuchElementException(
+        s"Dataset '$uuid': version $v is unreachable — commit record $gap of " +
+          "its replay chain is missing; history cannot replay it (run fsck)")
+    }
+    val scan = new CommitRecordScan(spark, base, uuid, chainStarts,
+      hasFullIn(recordNames))
+    try {
+      val vMin = versions.min
+      val vMax = versions.max
+      val pres = scan.perVersionLabels
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val w = Window.partitionBy("label").orderBy("version")
+        val flagged = pres
+          .withColumn("prevV", lag("version", 1).over(w))
+          .withColumn("nextV", lead("version", 1).over(w))
+        val perV = pres.groupBy("version")
+          .agg(count(lit(1)).as("files"), sum("size").as("bytes"))
+        // a label counts ADDED at v when it has no presence row at v-1
+        // (retained versions are dense, so lag == v-1 ⇔ present at parent)
+        val adds = flagged
+          .filter(col("prevV").isNull || col("prevV") =!= col("version") - 1)
+          .groupBy("version")
+          .agg(count(lit(1)).as("files_added"), sum("size").as("bytes_added"))
+        // ...and REMOVED at p+1 when present at p with no row at p+1
+        val rems = flagged
+          .filter((col("nextV").isNull || col("nextV") =!= col("version") + 1) &&
+            col("version") < lit(vMax))
+          .select((col("version") + 1).as("version"))
+          .groupBy("version").agg(count(lit(1)).as("files_removed"))
+        val meta = scan.recRows
+          .filter(col("kind").isin("meta_ts", "meta_op", "meta_rb",
+            "missing_dv_fragment"))
+          .withColumnRenamed("rv", "version")
+          .groupBy("version").agg(
+            max(when(col("kind") === "meta_ts", col("name"))).as("ts"),
+            max(when(col("kind") === "meta_op", col("name"))).as("op"),
+            max(when(col("kind") === "meta_rb", col("name"))).as("rb"),
+            sum(when(col("kind") === "missing_dv_fragment", 1L).otherwise(0L))
+              .as("frags"))
+        val joined = versions.toDF("version")
+          .join(perV, Seq("version"), "left")
+          .join(adds, Seq("version"), "left")
+          .join(rems, Seq("version"), "left")
+          .join(meta, Seq("version"), "left")
+          .join(mtimes.toSeq.toDF("version", "mtime"), Seq("version"), "left")
+          .orderBy("version")
+          .collect()
+        def optLong(r: Row, field: String): Option[Long] =
+          Option(r.getAs[java.lang.Long](field)).map(_.toLong)
+        val rows = joined.toSeq.map { r =>
+          val v = r.getAs[Long]("version")
+          // the oldest retained version after a gc has an unknown parent —
+          // its metrics report null, like the driver walk (v1 diffs
+          // against the empty dataset: all its labels count as added)
+          val parentKnown = v == 1L || v > vMin
+          val fAdd = if (parentKnown) Some(optLong(r, "files_added").getOrElse(0L)) else None
+          val fDel = if (parentKnown) Some(optLong(r, "files_removed").getOrElse(0L)) else None
+          val bAdd = if (parentKnown) Some(optLong(r, "bytes_added").getOrElse(0L)) else None
+          val at = Option(r.getAs[String]("ts")).map(_.toLong)
+            .orElse(optLong(r, "mtime")).map(new java.sql.Timestamp(_))
+          val rbOf = Option(r.getAs[String]("rb")).map(_.toLong)
+          (v, at, Option(r.getAs[String]("op")),
+            optLong(r, "files").getOrElse(0L), optLong(r, "bytes").getOrElse(0L),
+            fAdd, fDel, bAdd, optLong(r, "frags").getOrElse(0L),
+            rbOf.isDefined, rbOf)
+        }
+        rows.toDF("version", "committed_at", "operation", "files", "bytes",
+          "files_added", "files_removed", "bytes_added",
+          "tombstone_fragments", "is_rollback", "rollback_of")
+      } finally { pres.unpersist(blocking = false); () }
+    } finally scan.close()
   }
 
   /** Latest commit version whose committed-at time (the in-commit stamp
@@ -3733,7 +3963,7 @@ object Ktk extends org.apache.spark.internal.Logging {
     * driver maps or the distributed anti-join collects produced.
     */
   def fsck(spark: SparkSession, base: String, uuid: String,
-      diffThreshold: Int = DistributedDiffThreshold): DataFrame = {
+      diffThreshold: Int = SessionDiffThreshold): DataFrame = {
     import spark.implicits._
     val fs = DatasetMetadata.fs(spark, base)
     val issues = Seq.newBuilder[(String, Long, String)]
@@ -3842,14 +4072,53 @@ object Ktk extends org.apache.spark.internal.Logging {
       .map(st => st.getPath.getName -> st.getLen).toMap
     catch { case _: java.io.FileNotFoundException => Map.empty }
 
-  /** Resolve the audit threshold: an explicit caller value wins; the
-    * default consults `spark.graft.audit.diffThreshold` so operators can
-    * tune the driver-vs-distributed switch per session without code.
+  /** Default `diffThreshold` argument: "not explicitly set" — resolve via
+    * the session conf, falling back to [[DistributedDiffThreshold]]. A
+    * NEGATIVE sentinel (rather than the constant itself) so a caller
+    * deliberately passing `DistributedDiffThreshold` is honored verbatim
+    * instead of being silently overridden by the conf.
+    */
+  private[graft] val SessionDiffThreshold = -1
+
+  /** Default cap on the names a maintenance verb's REPORT returns through
+    * the driver (gc's reclaimed paths, salvage's dropped references). The
+    * full count always reports; only the listed sample is bounded.
+    */
+  val DefaultMaintenanceReportLimit = 10000
+
+  /** Bounded [[garbageCollectReport]] result: the full reclaimed count,
+    * whether the listed sample was truncated, and at most `reportLimit`
+    * reclaimed paths.
+    */
+  final case class GcReport(reclaimedCount: Long, truncated: Boolean,
+      reclaimed: Seq[String])
+
+  /** Bounded [[salvageReport]] result: the full dropped-reference count,
+    * whether the listed sample was truncated, and at most `reportLimit`
+    * `(kind, path)` references.
+    */
+  final case class SalvageReport(droppedCount: Long, truncated: Boolean,
+      dropped: Seq[(String, String)])
+
+  /** Resolve the audit threshold: any explicit (non-negative) caller value
+    * wins; the [[SessionDiffThreshold]] sentinel consults
+    * `spark.graft.audit.diffThreshold` so operators can tune the
+    * driver-vs-distributed switch per session without code.
     */
   private def auditThreshold(spark: SparkSession, requested: Int): Int =
-    if (requested != DistributedDiffThreshold) requested
-    else spark.conf.getOption("spark.graft.audit.diffThreshold")
-      .map(_.toInt).getOrElse(DistributedDiffThreshold)
+    if (requested >= 0) requested
+    else {
+      val key = "spark.graft.audit.diffThreshold"
+      spark.conf.getOption(key).map { s =>
+        try s.trim.toInt
+        catch {
+          case e: NumberFormatException =>
+            throw new IllegalArgumentException(
+              s"invalid $key='$s': must be an integer attribution-pair count " +
+                "(the driver-vs-distributed audit mode switch)", e)
+        }
+      }.getOrElse(DistributedDiffThreshold)
+    }
 
   /** Test observability: did the last fsck/gc on this JVM take the
     * distributed record-scan path? (Same pattern as lastMergeCandidates.)
@@ -3930,7 +4199,12 @@ object Ktk extends org.apache.spark.internal.Logging {
       chainStarts.flatMap { case (v, start) => (start to v).map(v -> _) }
     private val targetVersions = chainStarts.map(_._1)
 
-    /** `(rv, kind, name, isAdd)` for every record in any replay window. */
+    /** `(rv, kind, name, isAdd, size)` for every record in any replay
+      * window: labels (with the add's byte size), sidecar registry entries,
+      * and the per-record `meta_*` scalars [[Ktk.historyDistributed]]
+      * consumes (commit-ts, operation verb when stamped BY the record's own
+      * commit, rollback target).
+      */
     val recRows: DataFrame = {
       val conf = new org.apache.spark.util.SerializableConfiguration(
         spark.sessionState.newHadoopConf())
@@ -3951,12 +4225,29 @@ object Ktk extends org.apache.spark.internal.Logging {
           m.configure(
             com.fasterxml.jackson.databind.DeserializationFeature.FAIL_ON_UNKNOWN_PROPERTIES,
             false)
+          // Jackson narrows the erased Map[String, Long] values to Integer
+          // on deserialization — widen via Number, like md.sizeOf
+          def widen(v: Any): Long = v match {
+            case n: Number => n.longValue()
+            case other     => other.toString.toLong
+          }
           def sidecars(rv: Long, dv: Seq[String], idx: Iterable[String],
               blm: Iterable[String], zn: Iterable[String]) =
-            dv.map((rv, "missing_dv_fragment", _, true)) ++
-              idx.map((rv, "missing_index", _, true)) ++
-              blm.map((rv, "missing_bloom", _, true)) ++
-              zn.map((rv, "missing_zone", _, true))
+            dv.map((rv, "missing_dv_fragment", _, true, 0L, 0L)) ++
+              idx.map((rv, "missing_index", _, true, 0L, 0L)) ++
+              blm.map((rv, "missing_bloom", _, true, 0L, 0L)) ++
+              zn.map((rv, "missing_zone", _, true, 0L, 0L))
+          def metas(rv: Long, metadata: Map[String, String]) = {
+            val md = Option(metadata).getOrElse(Map.empty[String, String])
+            md.get(DatasetMetadata.CommitTsKey).map((rv, "meta_ts", _, true, 0L, 0L)).toSeq ++
+              md.get(DatasetMetadata.SeqHwmKey).map((rv, "meta_hwm", _, true, 0L, 0L)) ++
+              md.get(DatasetMetadata.OperationKey).filter(_ =>
+                  md.get(DatasetMetadata.OperationCommitKey).exists(_.toLong == rv))
+                .map((rv, "meta_op", _, true, 0L, 0L)) ++
+              (if (md.get(DatasetMetadata.RollbackCommitKey).exists(_.toLong == rv))
+                 md.get(DatasetMetadata.RollbackOfKey).map((rv, "meta_rb", _, true, 0L, 0L))
+               else None)
+          }
           it.flatMap { case (rv, pathStr, isFull) =>
             val p = new Path(pathStr)
             val in = p.getFileSystem(conf.value).open(p)
@@ -3964,41 +4255,59 @@ object Ktk extends org.apache.spark.internal.Logging {
               if (isFull) {
                 val md = m.readValue(in: java.io.InputStream, classOf[DatasetMetadata])
                 Option(md.partitions).getOrElse(Map.empty[String, Long])
-                  .keysIterator.map((rv, "label", _, true)).toSeq ++
+                  .asInstanceOf[Map[String, Any]]
+                  .iterator.map { case (l, s) =>
+                    (rv, "label", l, true, widen(s), md.seqOf(l)) }.toSeq ++
                   sidecars(rv, md.deleteFragments,
                     Option(md.indices).getOrElse(Map.empty[String, String]).values,
-                    md.bloomRegistry.values, md.zoneRegistry.values)
+                    md.bloomRegistry.values, md.zoneRegistry.values) ++
+                  metas(rv, md.metadata)
               } else {
                 val d = m.readValue(in: java.io.InputStream, classOf[VersionDelta])
+                val seqs = Option(d.addSeq).getOrElse(Map.empty[String, Long])
+                  .asInstanceOf[Map[String, Any]]
                 Option(d.adds).getOrElse(Map.empty[String, Long])
-                  .keysIterator.map((rv, "label", _, true)).toSeq ++
-                  Option(d.removes).getOrElse(Nil).map((rv, "label", _, false)) ++
+                  .asInstanceOf[Map[String, Any]]
+                  .iterator.map { case (l, s) =>
+                    (rv, "label", l, true, widen(s),
+                      seqs.get(l).map(widen).getOrElse(0L)) }.toSeq ++
+                  Option(d.removes).getOrElse(Nil).map((rv, "label", _, false, 0L, 0L)) ++
                   sidecars(rv, Option(d.deletes).getOrElse(Nil),
                     Option(d.indices).getOrElse(Map.empty[String, String]).values,
                     Option(d.blooms).getOrElse(Map.empty[String, String]).values,
-                    Option(d.zones).getOrElse(Map.empty[String, String]).values)
+                    Option(d.zones).getOrElse(Map.empty[String, String]).values) ++
+                  metas(rv, d.metadata)
               }
             } finally in.close()
           }
         }
-        .toDF("rv", "kind", "name", "isAdd")
+        .toDF("rv", "kind", "name", "isAdd", "size", "seq")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+
+    /** `(version, label, size)` — each target version's full label state
+      * (the last-op-wins argmax over its replay window), carrying the
+      * winning add's byte size. The shared core of [[referenced]] and the
+      * distributed history's per-version metrics.
+      */
+    def perVersionLabels: DataFrame = {
+      import spark.implicits._
+      recRows.filter(col("kind") === "label")
+        .join(broadcast(windows.toDF("v", "rv")), Seq("rv"))
+        .groupBy(col("v"), col("name"))
+        .agg(max(struct(col("rv"), col("isAdd"), col("size"), col("seq"))).as("last"))
+        .filter(col("last.isAdd"))
+        .select(col("v").as("version"), col("name").as("label"),
+          col("last.size").as("size"), col("last.seq").as("seq"))
     }
 
     /** `(label, version)` — every label some target version references,
       * attributed to the NEWEST referencing version.
       */
-    val referenced: DataFrame = {
-      import spark.implicits._
-      recRows.filter(col("kind") === "label")
-        .join(broadcast(windows.toDF("v", "rv")), Seq("rv"))
-        .groupBy(col("v"), col("name"))
-        .agg(max(struct(col("rv"), col("isAdd"))).as("last"))
-        .filter(col("last.isAdd"))
-        .select(col("name").as("label"), col("v").as("version"))
+    val referenced: DataFrame =
+      perVersionLabels
         .groupBy("label").agg(max("version").as("version"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    }
 
     /** Sidecar registries of the target versions' OWN records — what the
       * driver path reads off each loaded snapshot. Registry-sized collect:
@@ -4006,7 +4315,8 @@ object Ktk extends org.apache.spark.internal.Logging {
       */
     def sidecarRefs(): Seq[(String, Long, String)] = {
       import spark.implicits._
-      recRows.filter(col("kind") =!= "label")
+      recRows.filter(col("kind").isin("missing_dv_fragment", "missing_index",
+          "missing_bloom", "missing_zone"))
         .join(broadcast(targetVersions.toDF("rv")), Seq("rv"))
         .select(col("kind"), col("rv"), col("name")).distinct()
         .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSeq
@@ -4076,7 +4386,7 @@ object Ktk extends org.apache.spark.internal.Logging {
   def salvage(spark: SparkSession, base: String, uuid: String,
       acceptResurrection: Boolean = false,
       dryRun: Boolean = false,
-      diffThreshold: Int = DistributedDiffThreshold): Seq[(String, String)] = {
+      diffThreshold: Int = SessionDiffThreshold): Seq[(String, String)] = {
     val fs = DatasetMetadata.fs(spark, base)
     val md = DatasetMetadata.load(spark, base, uuid)
     val tableRoot = fs.makeQualified(new Path(md.tableDir(base)))
@@ -4130,6 +4440,25 @@ object Ktk extends org.apache.spark.internal.Logging {
     DatasetMetadata.store(spark, base, repaired, parentMd = Some(md),
       operation = "SALVAGE")
     report
+  }
+
+  /** [[salvage]] with a BOUNDED returned report (count + at most
+    * `reportLimit` `(kind, path)` references + truncation marker) — the
+    * form the `salvage_report` SQL procedure uses. Unlike gc's orphan
+    * reap, salvage's intrinsic driver floor is the CURRENT snapshot (the
+    * repair commit rewrites it, so it is resident either way); the bound
+    * here is about not RETURNING a million-reference damage report
+    * through the caller, not about the repair's own memory.
+    */
+  def salvageReport(spark: SparkSession, base: String, uuid: String,
+      acceptResurrection: Boolean = false,
+      dryRun: Boolean = false,
+      diffThreshold: Int = SessionDiffThreshold,
+      reportLimit: Int = DefaultMaintenanceReportLimit): SalvageReport = {
+    require(reportLimit >= 0, s"reportLimit must be >= 0, got $reportLimit " +
+      "(use salvage for the unbounded Seq-returning form)")
+    val full = salvage(spark, base, uuid, acceptResurrection, dryRun, diffThreshold)
+    SalvageReport(full.size.toLong, full.size > reportLimit, full.take(reportLimit))
   }
 
   /** One-call table maintenance (the OPTIMIZE entry point a scheduler
@@ -4204,7 +4533,48 @@ object Ktk extends org.apache.spark.internal.Logging {
       dryRun: Boolean = false,
       retainLastMs: Long = -1L,
       consumerCheckpoints: Seq[String] = Nil,
-      diffThreshold: Int = DistributedDiffThreshold): Seq[String] = {
+      diffThreshold: Int = SessionDiffThreshold): Seq[String] =
+    gcCore(spark, base, uuid, retainVersions, sidecarGraceMs, dryRun,
+      retainLastMs, consumerCheckpoints, diffThreshold, reportLimit = -1)
+      .reclaimed
+
+  /** [[garbageCollect]] with a BOUNDED driver-side report — the form an
+    * operator (or the `gc_report` SQL procedure) should use on incident
+    * scale: a pathological million-orphan reap must not return a 100 MB
+    * `Seq` through the driver. `reclaimedCount` is always the full count;
+    * `reclaimed` holds at most `reportLimit` paths (label-sorted for the
+    * data-file portion, so the sample is deterministic) and `truncated`
+    * says whether anything was dropped. Under a bound the orphan names
+    * never materialize on the driver at all: the present-vs-referenced
+    * diff stays a DataFrame end to end — counted distributed, sampled via
+    * `limit`, and DELETED via `foreachPartition` — in BOTH diff modes (the
+    * below-threshold referenced set ships to executors instead of the
+    * listing collecting to the driver).
+    */
+  def garbageCollectReport(spark: SparkSession, base: String, uuid: String,
+      retainVersions: Int = 0,
+      sidecarGraceMs: Long = 15L * 60 * 1000,
+      dryRun: Boolean = false,
+      retainLastMs: Long = -1L,
+      consumerCheckpoints: Seq[String] = Nil,
+      diffThreshold: Int = SessionDiffThreshold,
+      reportLimit: Int = DefaultMaintenanceReportLimit): GcReport = {
+    require(reportLimit >= 0, s"reportLimit must be >= 0, got $reportLimit " +
+      "(use garbageCollect for the unbounded Seq-returning form)")
+    gcCore(spark, base, uuid, retainVersions, sidecarGraceMs, dryRun,
+      retainLastMs, consumerCheckpoints, diffThreshold, reportLimit)
+  }
+
+  private def gcCore(spark: SparkSession, base: String, uuid: String,
+      retainVersions: Int,
+      sidecarGraceMs: Long,
+      dryRun: Boolean,
+      retainLastMs: Long,
+      consumerCheckpoints: Seq[String],
+      diffThreshold: Int,
+      reportLimit: Int): GcReport = {
+    import spark.implicits._
+    val bounded = reportLimit >= 0
     val md = DatasetMetadata.load(spark, base, uuid)
     val fs = DatasetMetadata.fs(spark, base)
     val tableRoot = fs.makeQualified(new Path(md.tableDir(base)))
@@ -4276,24 +4646,37 @@ object Ktk extends org.apache.spark.internal.Logging {
       md.partitions.size.toLong, keptVersions.size, recordSizes)
     val threshold = auditThreshold(spark, diffThreshold)
     lastAuditDistributed.set(estimatedPairs > threshold)
-    val (toDeleteRels: Seq[String], sidecarValid: Seq[(String, Set[String])]) =
+    val deleted = Seq.newBuilder[String]
+    var total = 0L
+    def record(p: String): Unit = {
+      total += 1
+      if (!bounded || total <= reportLimit) { deleted += p; () }
+    }
+    val prefix = tableRoot.toString + "/"
+    // referenced labels + per-kind valid sidecar names, by diff mode. In
+    // BOUNDED mode the referenced set is exposed as a DataFrame in both
+    // modes so the orphan diff never lands on the driver; unbounded keeps
+    // the exact legacy shapes (driver Set below threshold, collected
+    // anti-join above — the Seq API returns every name anyway).
+    var scanOpen: Option[CommitRecordScan] = None
+    val (refSet: Option[Set[String]], refDF: Option[DataFrame],
+        sidecarValid: Seq[(String, Set[String])]) =
       if (estimatedPairs <= threshold) {
         val retainedMds = keptVersions.filter(_ != md.version)
           .map(v => DatasetMetadata.loadVersion(spark, base, uuid, v))
         val referenced = md.partitions.keySet ++ retainedMds.flatMap(_.partitions.keySet)
-        // parallel-capable listing (listTableFiles): a wide table's listing
-        // distributes like the deletes below already do
-        val rels =
-          if (!fs.exists(tableRoot)) Nil
-          else listTableFiles(spark, fs, tableRoot).filterNot(referenced.contains)
         val allMds = md +: retainedMds
-        (rels, Seq(
+        val sv = Seq(
           IndexDirName -> allMds.flatMap(_.indices.values).toSet,
           "blooms" -> allMds.flatMap(_.bloomRegistry.values).toSet,
           "zones" -> allMds.flatMap(_.zoneRegistry.values).toSet,
           // deletion-vector fragments pin exactly like pruning sidecars —
           // a retained snapshot NEEDS its fragments for correct reads
-          DatasetMetadata.DeletesDirName -> allMds.flatMap(_.deleteFragments).toSet))
+          DatasetMetadata.DeletesDirName -> allMds.flatMap(_.deleteFragments).toSet)
+        if (bounded)
+          (None, Some(parallelizeLabels(spark, Seq(md.version -> referenced.toSeq))
+            .map(_._1).toDF("label")), sv)
+        else (Some(referenced), None, sv)
       } else {
         val recordNames = recordSizes.keySet
         val (chainStarts, broken) =
@@ -4308,49 +4691,82 @@ object Ktk extends org.apache.spark.internal.Logging {
         }
         val scan = new CommitRecordScan(spark, base, uuid, chainStarts,
           hasFullIn(recordNames))
-        try {
-          import spark.implicits._
-          val rels =
-            if (!fs.exists(tableRoot)) Nil
-            else listTableFilesDS(spark, fs, tableRoot).toDF("label")
-              .join(scan.referenced, Seq("label"), "left_anti")
-              .as[String].collect().toSeq
-          val refs = scan.sidecarRefs()
-          def valid(kind: String): Set[String] =
-            refs.collect { case (`kind`, _, n) => n }.toSet
-          (rels, Seq(
-            IndexDirName -> valid("missing_index"),
-            "blooms" -> valid("missing_bloom"),
-            "zones" -> valid("missing_zone"),
-            DatasetMetadata.DeletesDirName -> valid("missing_dv_fragment")))
-        } finally scan.close()
+        scanOpen = Some(scan)
+        val refs = scan.sidecarRefs()
+        def valid(kind: String): Set[String] =
+          refs.collect { case (`kind`, _, n) => n }.toSet
+        (None, Some(scan.referenced), Seq(
+          IndexDirName -> valid("missing_index"),
+          "blooms" -> valid("missing_bloom"),
+          "zones" -> valid("missing_zone"),
+          DatasetMetadata.DeletesDirName -> valid("missing_dv_fragment")))
       }
-    val deleted = Seq.newBuilder[String]
-    if (toDeleteRels.nonEmpty) {
-      val prefix = tableRoot.toString + "/"
-      val toDelete = toDeleteRels.map(rel => new Path(prefix + rel))
-      // distribute the deletes: after heavy compaction/streaming churn the
-      // orphan count is O(#historical files), and sequential driver-side
-      // deletes against an object store dominate the maintenance pass
-      if (dryRun)
-        toDelete.foreach(p => deleted += p.toString)
-      else if (toDelete.size <= 16)
-        toDelete.foreach { p => fs.delete(p, false); deleted += p.toString }
-      else {
-        val serializableConf = new org.apache.spark.util.SerializableConfiguration(
-          spark.sessionState.newHadoopConf())
-        val paths = toDelete.map(_.toString)
-        spark.sparkContext.parallelize(paths, math.min(32, 1 + paths.size / 64))
-          .foreachPartition { ps =>
-            val conf = serializableConf.value
-            ps.foreach { s =>
-              val p = new Path(s)
-              p.getFileSystem(conf).delete(p, false); ()
+    try {
+      if (fs.exists(tableRoot)) {
+        if (!bounded) {
+          // parallel-capable listing (listTableFiles): a wide table's
+          // listing distributes like the deletes below already do
+          val toDeleteRels: Seq[String] = refSet match {
+            case Some(rs) => listTableFiles(spark, fs, tableRoot).filterNot(rs.contains)
+            case None => listTableFilesDS(spark, fs, tableRoot).toDF("label")
+              .join(refDF.get, Seq("label"), "left_anti")
+              .as[String].collect().toSeq
+          }
+          if (toDeleteRels.nonEmpty) {
+            val toDelete = toDeleteRels.map(rel => new Path(prefix + rel))
+            // distribute the deletes: after heavy compaction/streaming
+            // churn the orphan count is O(#historical files), and
+            // sequential driver-side deletes against an object store
+            // dominate the maintenance pass
+            if (dryRun)
+              toDelete.foreach(p => record(p.toString))
+            else if (toDelete.size <= 16)
+              toDelete.foreach { p => fs.delete(p, false); record(p.toString) }
+            else {
+              val serializableConf = new org.apache.spark.util.SerializableConfiguration(
+                spark.sessionState.newHadoopConf())
+              val paths = toDelete.map(_.toString)
+              spark.sparkContext.parallelize(paths, math.min(32, 1 + paths.size / 64))
+                .foreachPartition { ps =>
+                  val conf = serializableConf.value
+                  ps.foreach { s =>
+                    val p = new Path(s)
+                    p.getFileSystem(conf).delete(p, false); ()
+                  }
+                }
+              paths.foreach(record)
             }
           }
-        deleted ++= paths
+        } else {
+          // BOUNDED: present-vs-referenced stays a DataFrame end to end —
+          // counted distributed, sampled with a sorted limit (deterministic
+          // report), deleted via foreachPartition; only reportLimit names
+          // ever reach the driver no matter how many orphans exist
+          val orphans = listTableFilesDS(spark, fs, tableRoot).toDF("label")
+            .join(refDF.get, Seq("label"), "left_anti")
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          try {
+            val n = orphans.count()
+            val sample: Array[String] =
+              if (reportLimit == 0 || n == 0) Array.empty
+              else orphans.orderBy("label").as[String].limit(reportLimit).collect()
+            total += n
+            sample.foreach(rel => deleted += (prefix + rel))
+            if (!dryRun && n > 0) {
+              val serializableConf = new org.apache.spark.util.SerializableConfiguration(
+                spark.sessionState.newHadoopConf())
+              orphans.as[String].foreachPartition { (ps: Iterator[String]) =>
+                val conf = serializableConf.value
+                ps.foreach { rel =>
+                  val p = new Path(prefix + rel)
+                  p.getFileSystem(conf).delete(p, false); ()
+                }
+              }
+            }
+          } finally { orphans.unpersist(blocking = false); () }
+        }
       }
-    }
+    } finally scanOpen.foreach(_.close())
     // index / bloom / zone sidecar files referenced by NO retained version's
     // registry — retained snapshots pin their version-addressed sidecars
     // exactly like their data files, so time travel keeps full pruning
@@ -4368,7 +4784,7 @@ object Ktk extends org.apache.spark.internal.Logging {
                catch { case _: java.io.IOException => Nil })).max
             if (newest < now - sidecarGraceMs) {
               if (!dryRun) fs.delete(st.getPath, true)
-              deleted += st.getPath.toString
+              record(st.getPath.toString)
             }
           }
         }
@@ -4388,14 +4804,14 @@ object Ktk extends org.apache.spark.internal.Logging {
       Seq(DatasetMetadata.versionKey(base, uuid, v),
           DatasetMetadata.versionDeltaKey(base, uuid, v)).foreach { k =>
         val p = new Path(k)
-        if (dryRun) { if (fs.exists(p)) deleted += p.toString }
-        else if (fs.delete(p, false)) deleted += p.toString
+        if (dryRun) { if (fs.exists(p)) record(p.toString) }
+        else if (fs.delete(p, false)) record(p.toString)
       }
       // a post-gc loadVersion of a pruned commit must fail loudly, not
       // answer from this JVM's snapshot cache
       if (!dryRun) DatasetMetadata.uncacheVersion(base, uuid, v)
     }
-    deleted.result()
+    GcReport(total, bounded && total > reportLimit, deleted.result())
   }
 
   /** Copy a dataset to a new uuid (≙ copy_dataset + modify_uuid,

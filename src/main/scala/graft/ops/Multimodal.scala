@@ -170,17 +170,89 @@ object Multimodal {
       (pmod(xxhash64(col(binCol), lit(1)), lit(1080)) + 1).cast("int").as("height"),
       (length(col(binCol)).cast("long") * 8).as("duration_ms")))
 
-  /** ??? in spirit — the real decoder goes here. Deterministic fake:
-    * "features" are 8 doubles derived from byte statistics, so tests can
-    * assert exact values and the pipeline shape is runnable end-to-end.
+  /** 8-dim feature vector from a REAL decode of the payload:
+    *
+    *  - decodable IMAGE (png/jpeg/bmp/gif via ImageIO): 8-bin grayscale
+    *    HISTOGRAM of a bilinear 16×16 downscale — fractions over the 256
+    *    resampled pixels (sum to 1), the classic tiny global descriptor;
+    *  - decodable WAV: 8-window RMS ENERGY ENVELOPE over the 16-bit PCM
+    *    samples (the time-domain cousin of coarse spectral bins);
+    *  - anything else (no codec for the format in this container): 8-bin
+    *    BYTE-VALUE histogram of the raw payload — a documented fallback,
+    *    still a pure function of the content, never a placeholder.
+    *
+    * Every branch is deterministic (values rounded to 1e-6), so gates and
+    * tests assert exact numbers.
     */
-  private[ops] def decodeFeaturesStub(bytes: Array[Byte]): Array[Double] = {
+  def decodeFeatures(bytes: Array[Byte]): Array[Double] = {
+    def round6(a: Array[Double]): Array[Double] =
+      a.map(x => math.round(x * 1e6) / 1e6)
     if (bytes == null || bytes.isEmpty) return Array.fill(8)(0.0)
-    val out = new Array[Double](8)
-    var i = 0
-    while (i < bytes.length) { out(i % 8) += (bytes(i) & 0xff) / 255.0; i += 1 }
-    out.map(x => math.round(x / bytes.length * 1e6) / 1e6)
+    imageHistogram(bytes).orElse(wavEnvelope(bytes)).getOrElse {
+      val out = new Array[Double](8)
+      var i = 0
+      while (i < bytes.length) { out((bytes(i) & 0xff) >> 5) += 1.0; i += 1 }
+      round6(out.map(_ / bytes.length))
+    } match { case a => round6(a) }
   }
+
+  /** 8-bin grayscale histogram over a bilinear 16×16 downscale of a real
+    * ImageIO decode — None when the payload is not a decodable image.
+    */
+  private[ops] def imageHistogram(bytes: Array[Byte]): Option[Array[Double]] =
+    sniffFormat(bytes).filter(_ != "wav").flatMap { _ =>
+      try {
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        if (img == null) None
+        else {
+          val dst = new java.awt.image.BufferedImage(16, 16,
+            java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+          val g = dst.createGraphics()
+          g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+          g.drawImage(img, 0, 0, 16, 16, null)
+          g.dispose()
+          val r = dst.getRaster
+          val hist = new Array[Double](8)
+          var y = 0
+          while (y < 16) {
+            var x = 0
+            while (x < 16) { hist(r.getSample(x, y, 0) >> 5) += 1.0; x += 1 }
+            y += 1
+          }
+          Some(hist.map(_ / 256.0))
+        }
+      } catch { case _: Exception => None }
+    }
+
+  /** 8-window RMS energy envelope over a real WAV decode's 16-bit PCM
+    * samples — None when the payload is not a decodable WAV.
+    */
+  private[ops] def wavEnvelope(bytes: Array[Byte]): Option[Array[Double]] =
+    sniffFormat(bytes).filter(_ == "wav").flatMap { _ =>
+      try {
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        val fmt = in.getFormat
+        if (fmt.getSampleSizeInBits != 16) return None
+        val data = in.readAllBytes()
+        val n = data.length / 2
+        if (n == 0) return Some(new Array[Double](8))
+        val sumSq = new Array[Double](8)
+        val cnt = new Array[Long](8)
+        var i = 0
+        while (i + 1 < data.length) {
+          val s = if (fmt.isBigEndian) ((data(i) << 8) | (data(i + 1) & 0xff)).toShort
+                  else ((data(i + 1) << 8) | (data(i) & 0xff)).toShort
+          val w = math.min(7, ((i / 2).toLong * 8 / n).toInt)
+          sumSq(w) += (s / 32768.0) * (s / 32768.0)
+          cnt(w) += 1
+          i += 2
+        }
+        Some(Array.tabulate(8)(w =>
+          if (cnt(w) == 0) 0.0 else math.sqrt(sumSq(w) / cnt(w))))
+      } catch { case _: Exception => None }
+    }
 
   /** Decoded media info, batched per partition: REAL codecs for sniffable
     * formats (image dims + mean luma via ImageIO; WAV duration + RMS via
@@ -206,7 +278,7 @@ object Multimodal {
           case None =>
             decodeWavInfo(bytes) match {
               case Some((rate, ch, durMs, rms)) => Row(id, "wav", rate, ch, rms)
-              case None => Row(id, null, null, null, decodeFeaturesStub(bytes)(0))
+              case None => Row(id, null, null, null, decodeFeatures(bytes)(0))
             }
         }
       }
@@ -231,7 +303,7 @@ object Multimodal {
       rows.map { r =>
         val id = r.getLong(idIdx)
         val bytes = r.getAs[Array[Byte]](binIdx)
-        Row(id, decodeFeaturesStub(bytes).toSeq)
+        Row(id, decodeFeatures(bytes).toSeq)
       }
     }
   }

@@ -360,14 +360,58 @@ object Sampling {
     val packed = pairs.mapPartitions { it =>
       val pid = org.apache.spark.TaskContext.getPartitionId().toLong
       val docs = it.toArray.sortBy { case (id, tok) => (-tok, id) }
-      val binLoad = scala.collection.mutable.ArrayBuffer.empty[Long]
-      docs.iterator.map { case (id, tok) =>
-        var b = binLoad.indexWhere(_ + tok <= budget)
-        if (b < 0) { b = binLoad.length; binLoad += tok } // new bin (oversized ⇒ singleton)
-        else binLoad(b) += tok
-        (id, tok, pid * (1L << 40) + b)
-      }
+      docs.iterator.zip(ffdBins(docs.iterator.map(_._2), budget))
+        .map { case ((id, tok), b) => (id, tok, pid * (1L << 40) + b) }
     }
+    packed.toDF(idCol, tokenCol, "pack_id")
+  }
+
+  /** First-fit bin index per token count, in the given order: place into
+    * the first open bin with room, else open a new one (oversized ⇒
+    * singleton). The sequential kernel behind both packGreedy variants.
+    */
+  private def ffdBins(toks: Iterator[Long], budget: Long): Iterator[Int] = {
+    val binLoad = scala.collection.mutable.ArrayBuffer.empty[Long]
+    toks.map { tok =>
+      var b = binLoad.indexWhere(_ + tok <= budget)
+      if (b < 0) { b = binLoad.length; binLoad += tok }
+      else binLoad(b) += tok
+      b
+    }
+  }
+
+  /** [[packGreedy]] with ENGINE-REPRODUCIBLE bin ids: rows are first
+    * assigned to one of `numGroups` groups by the md5 [[hashUnit]] (so the
+    * grouping is a pure function of the id, not of physical partitioning),
+    * then first-fit-decreasing packs each group independently. Bin ids are
+    * `group * 2^40 + localBin` — identical on every engine, every run and
+    * every cluster size, which is what makes the result resumable (re-run
+    * the pipeline, get the same shards) and exactly verifiable. Groups are
+    * the parallelism unit: one shuffle by group, sequential FFD per group,
+    * so throughput scales with `numGroups` while utilization stays
+    * FFD-grade within each group.
+    */
+  def packGreedyDeterministic(df: DataFrame, idCol: String, tokenCol: String,
+      budget: Long, numGroups: Int = 64, seed: String = "graft"): DataFrame = {
+    require(numGroups > 0, s"numGroups must be positive, got $numGroups")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val grouped = df.select(col(idCol).cast("long").as("id"),
+        col(tokenCol).cast("long").as("tok"),
+        floor(hashUnit(seed, col(idCol)) * numGroups).cast("long").as("grp"))
+    // one hash shuffle co-locates each group; a partition may hold several
+    // whole groups, so FFD state is keyed per group inside the partition
+    val packed = grouped
+      .repartition(math.min(numGroups, 2 * spark.sparkContext.defaultParallelism),
+        col("grp"))
+      .as[(Long, Long, Long)]
+      .mapPartitions { it =>
+        it.toArray.groupBy(_._3).iterator.flatMap { case (g, rows) =>
+          val docs = rows.sortBy { case (id, tok, _) => (-tok, id) }
+          docs.iterator.zip(ffdBins(docs.iterator.map(_._2), budget))
+            .map { case ((id, tok, _), b) => (id, tok, g * (1L << 40) + b) }
+        }
+      }
     packed.toDF(idCol, tokenCol, "pack_id")
   }
 }

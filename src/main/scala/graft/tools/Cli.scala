@@ -84,11 +84,15 @@ object Cli {
       // prompt-toolkit experience of cli/_query.py:118-151); pipes and
       // scripts keep the plain line protocol — KtkSurfaceSpec's scripted
       // runs never construct a terminal
-      if (System.console() != null)
-        shell(spark, args(1), args(2),
+      if (System.console() != null) {
+        val (rl, closeTerminal) = jlineReader(spark, args(1), args(2))
+        // close in a finally so a 'quit'/'exit' leave (not just EOF/Ctrl-C)
+        // restores the terminal's raw-mode attributes too
+        try shell(spark, args(1), args(2),
           new java.io.BufferedReader(new java.io.InputStreamReader(System.in)),
-          System.out, lineReader = Some(jlineReader(spark, args(1), args(2))))
-      else
+          System.out, lineReader = Some(rl))
+        finally closeTerminal()
+      } else
         shell(spark, args(1), args(2),
           new java.io.BufferedReader(new java.io.InputStreamReader(System.in)), System.out)
     case "index" =>
@@ -257,18 +261,67 @@ object Cli {
     words.filter(_.startsWith(last))
   }
 
+  /** Condition-string operators after which the next token is a VALUE. */
+  private val CondOps = Set("==", "!=", "<", "<=", ">", ">=", "in")
+
+  /** Index-backed VALUE candidates for a condition's value position
+    * (`cond col == <Tab>`) — the prompt-toolkit reference completes values
+    * from the dataset's secondary indices the same way (cli/_query.py:
+    * 118-151). Only columns WITH an index offer candidates (an unindexed
+    * column would need a data scan per keystroke); the distinct-value
+    * frame collects once per column per shell session, capped so a
+    * high-cardinality index cannot flood the driver or the prompt.
+    */
+  private[graft] def valueCandidates(
+      spark: SparkSession, base: String, md: DatasetMetadata,
+      cache: scala.collection.mutable.Map[String, Seq[String]],
+      column: String, prefix: String): Seq[String] =
+    if (!md.indices.contains(column)) Nil
+    else cache.getOrElseUpdate(column, {
+      import org.apache.spark.sql.functions.col
+      Ktk.observedValues(spark, base, md, column)
+        .select(col("value").cast("string")).na.drop()
+        .orderBy("value").limit(256)
+        .collect().map(_.getString(0)).toSeq
+    }).filter(_.startsWith(prefix)).take(32)
+
+  /** Completion dispatch for a condition context: tokens before the word
+    * under the cursor decide column vs value position. Shared by the
+    * scripted `complete cond …` verb and the JLine completer so TTY and
+    * scripted candidates cannot diverge.
+    */
+  private[graft] def condCandidates(
+      spark: SparkSession, base: String, md: DatasetMetadata,
+      cache: scala.collection.mutable.Map[String, Seq[String]],
+      prior: Seq[String], last: String): Seq[String] = {
+    val fields = md.schema.fieldNames.toSeq
+    prior.lastOption match {
+      // `col op <Tab>` / `col op par<Tab>`: value position
+      case Some(op) if CondOps.contains(op) && prior.size >= 2 &&
+          fields.contains(prior(prior.size - 2)) =>
+        valueCandidates(spark, base, md, cache, prior(prior.size - 2), last)
+      case _ => completionCandidates(fields, "cond", last)
+    }
+  }
+
   /** A JLine-backed `readLine` for [[shell]] when stdin is a real TTY:
     * tab completes the first word against the shell's command verbs, a
     * `cols` line against columns + `__all__`, anything else (conditions,
-    * `cond`, `complete` partials) against columns. EOF / Ctrl-C return
-    * null, matching BufferedReader.readLine's end-of-session signal.
+    * `cond`, `complete` partials) against columns — and a condition VALUE
+    * position (`col == <Tab>`) against the column's secondary-index values
+    * when one exists. EOF / Ctrl-C return null, matching
+    * BufferedReader.readLine's end-of-session signal. Returns the reader
+    * plus a close handle: the caller must close in a `finally` so a `quit`
+    * exit restores terminal attributes too, not just EOF/Ctrl-C.
     */
   private def jlineReader(
-      spark: SparkSession, base: String, uuid: String): String => String = {
+      spark: SparkSession, base: String, uuid: String): (String => String, () => Unit) = {
     import org.jline.reader.{Candidate, EndOfFileException, LineReader,
       LineReaderBuilder, ParsedLine, UserInterruptException}
     import org.jline.terminal.TerminalBuilder
-    val fields = DatasetMetadata.load(spark, base, uuid).schema.fieldNames.toSeq
+    val md = DatasetMetadata.load(spark, base, uuid)
+    val fields = md.schema.fieldNames.toSeq
+    val valueCache = scala.collection.mutable.Map.empty[String, Seq[String]]
     val verbs = Seq("cond", "cols", "complete", "limit", "run", "schema",
       "info", "help", "quit", "exit")
     val completer = new org.jline.reader.Completer {
@@ -276,12 +329,20 @@ object Cli {
           candidates: java.util.List[Candidate]): Unit = {
         val words =
           if (line.wordIndex == 0) verbs.sorted.filter(_.startsWith(line.word()))
-          else {
-            val ctx = if (line.words().get(0) == "cols") "cols" else "cond"
+          else if (line.words().get(0) == "cols") {
             // a cols list is comma-separated: complete the tail segment
             val last = line.word().split(",", -1).last
-            completionCandidates(fields, ctx, last)
+            completionCandidates(fields, "cols", last)
               .map(c => line.word().dropRight(last.length) + c)
+          } else {
+            // condition context: tokens before the cursor word decide
+            // column vs value position (`col == <Tab>` completes the
+            // column's INDEXED VALUES, like the reference prompt)
+            import scala.jdk.CollectionConverters._
+            val prior = line.words().asScala.toSeq
+              .take(line.wordIndex).filter(_.nonEmpty)
+              .filterNot(w => w == "cond" || w == "complete")
+            condCandidates(spark, base, md, valueCache, prior, line.word())
           }
         words.foreach(w => candidates.add(new Candidate(w)))
       }
@@ -289,18 +350,19 @@ object Cli {
     val terminal = TerminalBuilder.builder().system(true).build()
     val reader = LineReaderBuilder.builder()
       .terminal(terminal).completer(completer).build()
-    prompt =>
+    val readLine: String => String = prompt =>
       try reader.readLine(prompt)
       catch {
-        case _: EndOfFileException | _: UserInterruptException =>
-          terminal.close(); null
+        case _: EndOfFileException | _: UserInterruptException => null
       }
+    (readLine, () => terminal.close())
   }
 
   def shell(spark: SparkSession, base: String, uuid: String,
       input: java.io.BufferedReader, out: java.io.PrintStream,
       lineReader: Option[String => String] = None): Unit = {
     val md = DatasetMetadata.load(spark, base, uuid)
+    val valueCache = scala.collection.mutable.Map.empty[String, Seq[String]]
     out.println(s"dataset ${md.uuid}: ${md.partitions.size} partitions, " +
       s"columns: ${md.schema.fieldNames.mkString(", ")}")
     out.println("type a condition (e.g. x > 3 & tag == a), 'help', or 'quit'")
@@ -369,11 +431,20 @@ object Cli {
             }
             require(ctx == "cond" || ctx == "cols",
               "usage: complete cond|cols [partial input]")
-            val last =
-              if (ctx == "cols") partial.split(",", -1).last.trim
-              else partial.split("\\s+").lastOption.getOrElse("").trim
-            completionCandidates(md.schema.fieldNames.toSeq, ctx, last)
-              .foreach(out.println)
+            if (ctx == "cols")
+              completionCandidates(md.schema.fieldNames.toSeq, "cols",
+                partial.split(",", -1).last.trim).foreach(out.println)
+            else {
+              // a condition's value position ('complete cond x ==' or
+              // 'complete cond x == par') completes against the column's
+              // secondary-index values; everything else against columns
+              val toks = partial.trim.split("\\s+").toSeq.filter(_.nonEmpty)
+              val (prior, last) =
+                if (toks.nonEmpty && CondOps.contains(toks.last)) (toks, "")
+                else (toks.dropRight(1), toks.lastOption.getOrElse(""))
+              condCandidates(spark, base, md, valueCache, prior, last)
+                .foreach(out.println)
+            }
           case "limit" =>
             limit = rest.toInt
             out.println(s"limit: $limit")

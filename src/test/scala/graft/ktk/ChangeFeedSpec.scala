@@ -20,6 +20,35 @@ class ChangeFeedSpec extends SparkSpec {
       .select("k", "_change_type", "_commit_version")
       .as[(Long, String, Long)].collect().sorted.toSeq
 
+  test("distributed CDF planning matches the snapshot walk row for row") {
+    // churned fixture touching every feed shape: partitioned store (with a
+    // multibyte label), appends, a DV delete, a MERGE (delete+insert), a
+    // silent maintenance rewrite, and a delete_scope — then the whole
+    // range replayed with planning forced through the record scan
+    // (diffThreshold = 0, FsckSpec's trick) must equal the driver walk
+    val base = tmpDir("cdfdist")
+    Ktk.store(spark, base, "ds",
+      Seq((1L, "café", 10.0), (2L, "a", 20.0), (3L, "b", 30.0)).toDF("k", "p", "v"),
+      partitionOn = Seq("p")) // v1
+    Ktk.update(spark, base, "ds", Some(Seq((4L, "café", 40.0)).toDF("k", "p", "v"))) // v2
+    Ktk.deleteRows(spark, base, "ds", predicates = Predicates.of(Seq(("k", "==", 2)))) // v3
+    Ktk.merge(spark, base, "ds",
+      Seq((3L, "b", 333.0), (9L, "c", 90.0)).toDF("k", "p", "v"), keys = Seq("k")) // v4
+    Ktk.materializeDeletes(spark, base, "ds") // silent rewrite
+    Ktk.update(spark, base, "ds", None,
+      deleteScope = Predicates.of(Seq(("p", "==", "a")))) // delete_scope
+    val to = DatasetMetadata.load(spark, base, "ds").version
+    def feed(threshold: Int): Seq[String] =
+      Ktk.readChangeFeed(spark, base, "ds", 0, to, diffThreshold = threshold)
+        .collect().map(_.toString).sorted.toSeq
+    val driver = feed(Int.MaxValue)
+    Ktk.lastAuditDistributed.get() shouldBe false
+    val dist = feed(0)
+    Ktk.lastAuditDistributed.get() shouldBe true
+    dist shouldBe driver
+    driver.size should be > 5 // the fixture produces real change rows
+  }
+
   test("append commits emit inserts with version attribution") {
     val base = tmpDir("cdf")
     Ktk.store(spark, base, "ds", kv, partitionOn = Seq("p")) // v1

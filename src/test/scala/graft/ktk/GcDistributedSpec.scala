@@ -134,6 +134,74 @@ class GcDistributedSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.audit.diffThreshold")
   }
 
+  test("garbageCollectReport parity with garbageCollect in both diff modes") {
+    val base = tmpDir("gcrep")
+    seed(base)
+    def plan(threshold: Int): Seq[String] =
+      Ktk.garbageCollect(spark, base, "ds", retainVersions = 1,
+        sidecarGraceMs = 0, dryRun = true, diffThreshold = threshold).sorted
+    def report(threshold: Int): Ktk.GcReport =
+      Ktk.garbageCollectReport(spark, base, "ds", retainVersions = 1,
+        sidecarGraceMs = 0, dryRun = true, diffThreshold = threshold,
+        reportLimit = 1000000)
+    for (threshold <- Seq(Int.MaxValue, 0)) {
+      val p = plan(threshold)
+      val r = report(threshold)
+      r.reclaimed.sorted shouldBe p
+      r.reclaimedCount shouldBe p.size.toLong
+      r.truncated shouldBe false
+    }
+  }
+
+  test("bounded report truncates the list, counts fully, reclaims fully") {
+    val seqBase = tmpDir("gcrseq")
+    val repBase = tmpDir("gcrrep")
+    seed(seqBase); seed(repBase)
+    val full = Ktk.garbageCollect(spark, seqBase, "ds", retainVersions = 1,
+      sidecarGraceMs = 0)
+    val r = Ktk.garbageCollectReport(spark, repBase, "ds", retainVersions = 1,
+      sidecarGraceMs = 0, reportLimit = 2)
+    r.reclaimedCount shouldBe full.size.toLong
+    r.truncated shouldBe true
+    r.reclaimed should have size 2
+    // the reclamation itself is identical: same surviving content, same
+    // clean audit — only the RETURNED list is bounded
+    def rows(base: String): Seq[(Long, String, Double)] =
+      Ktk.readTable(spark, base, "ds").select("k", "p", "v")
+        .as[(Long, String, Double)].collect().toSeq.sorted
+    rows(repBase) shouldBe rows(seqBase)
+    Ktk.fsck(spark, repBase, "ds").count() shouldBe 0L
+    // salvageReport: same bounded contract over salvage's damage report
+    val fs = DatasetMetadata.fs(spark, repBase)
+    val md = DatasetMetadata.load(spark, repBase, "ds")
+    md.partitions.keys.take(3).foreach { l =>
+      fs.delete(new Path(s"${md.tableDir(repBase)}/$l"), false) shouldBe true
+    }
+    val sFull = Ktk.salvage(spark, repBase, "ds", dryRun = true)
+    val sRep = Ktk.salvageReport(spark, repBase, "ds", dryRun = true, reportLimit = 1)
+    sRep.droppedCount shouldBe sFull.size.toLong
+    sRep.truncated shouldBe (sFull.size > 1)
+    sRep.dropped shouldBe sFull.take(1)
+  }
+
+  test("malformed audit-threshold conf fails loudly, naming the key") {
+    val base = tmpDir("gcbadconf")
+    seed(base)
+    try {
+      spark.conf.set("spark.graft.audit.diffThreshold", "not-a-number")
+      val err = intercept[IllegalArgumentException] {
+        Ktk.fsck(spark, base, "ds").count()
+      }
+      err.getMessage should include("spark.graft.audit.diffThreshold")
+      // an EXPLICIT caller value equal to the engine default is honored
+      // verbatim (the sentinel is negative, not the default constant)
+      spark.conf.set("spark.graft.audit.diffThreshold", "0")
+      Ktk.fsck(spark, base, "ds",
+        diffThreshold = Ktk.DistributedDiffThreshold).count()
+      Ktk.lastAuditDistributed.get() shouldBe false
+    } finally spark.conf.unset("spark.graft.audit.diffThreshold")
+  }
+
   test("distributed gc refuses when a retained chain is broken") {
     val base = tmpDir("gcbrk")
     seed(base)

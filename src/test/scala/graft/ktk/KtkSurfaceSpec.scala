@@ -251,6 +251,36 @@ class KtkSurfaceSpec extends SparkSpec {
     out.split("\n").count(_.contains("graft>")) should be >= 1
   }
 
+  test("cli shell: condition VALUE completion from the secondary index") {
+    val base = tmpDir("clishellval")
+    Ktk.store(spark, base, "sh",
+      Seq((1, "alpha", 10.0), (1, "beta", 20.0), (2, "alto", 30.0)).toDF("p", "v", "x"),
+      partitionOn = Seq("p"))
+    Ktk.addIndex(spark, base, "sh", "v")
+    val script =
+      """complete cond v ==
+        |complete cond v == al
+        |complete cond x ==
+        |complete cond p == 1 & v == b
+        |quit
+        |""".stripMargin
+    val in = new java.io.BufferedReader(new java.io.StringReader(script))
+    val bos = new java.io.ByteArrayOutputStream()
+    graft.tools.Cli.shell(spark, base, "sh", in,
+      new java.io.PrintStream(bos, true, "UTF-8"))
+    // the prompt prints without a newline, so a completion's first
+    // candidate lands on the prompt line — strip the prompt prefix
+    val lines = bos.toString("UTF-8").split("\n")
+      .map(_.replace("graft>", "").trim).toSeq
+    // `v == <Tab>` offers every indexed value; a partial narrows it; an
+    // UNINDEXED column (x) offers nothing (values would need a data scan);
+    // the value position is found mid-condition too
+    lines.count(_ == "alpha") shouldBe 2 // bare + 'al' prefix
+    lines.count(_ == "alto") shouldBe 2
+    lines.count(_ == "beta") shouldBe 2 // bare + mid-condition 'b' prefix
+    lines.filter(_.startsWith("score")) shouldBe empty
+  }
+
   test("alltypes roundtrip: normalized schema, values preserved") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._

@@ -17,6 +17,44 @@ class VersioningSpec extends SparkSpec {
   private def df1 = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
   private def df2 = Seq((3L, "c")).toDF("k", "v")
 
+  test("distributed history matches the driver walk row for row") {
+    // churned fixture covering every metrics edge: partitioned store,
+    // update that ADDS and REPLACES labels, delete_scope removals, a DV
+    // commit (tombstone fragments), a rollback (re-adds old-seq labels),
+    // multibyte labels, and a gc'd prefix (oldest retained version's
+    // parent unknown -> null metrics)
+    val base = tmpDir("histdist")
+    Ktk.store(spark, base, "ds",
+      Seq((1L, "café", 1.0), (2L, "b", 2.0), (3L, "東京", 3.0)).toDF("k", "p", "v"),
+      partitionOn = Seq("p"))
+    Ktk.update(spark, base, "ds",
+      Some(Seq((4L, "café", 4.0), (5L, "d", 5.0)).toDF("k", "p", "v")))
+    Ktk.update(spark, base, "ds", None,
+      deleteScope = graft.core.Predicates.of(Seq(("p", "==", "b"))))
+    Ktk.deleteRows(spark, base, "ds",
+      predicates = graft.core.Predicates.of(Seq(("k", "==", 3))))
+    Ktk.rollback(spark, base, "ds", 2L)
+    Ktk.update(spark, base, "ds", Some(Seq((6L, "e", 6.0)).toDF("k", "p", "v")))
+    Ktk.garbageCollect(spark, base, "ds", retainVersions = 4, sidecarGraceMs = 0)
+    def hist(threshold: Int): Seq[String] = {
+      val h = Ktk.history(spark, base, "ds", diffThreshold = threshold)
+      h.columns.toSeq shouldBe Seq("version", "committed_at", "operation",
+        "files", "bytes", "files_added", "files_removed", "bytes_added",
+        "tombstone_fragments", "is_rollback", "rollback_of")
+      h.collect().map(_.toString).toSeq
+    }
+    val driver = hist(Int.MaxValue)
+    Ktk.lastAuditDistributed.get() shouldBe false
+    val dist = hist(0)
+    Ktk.lastAuditDistributed.get() shouldBe true
+    dist shouldBe driver
+    // the gc'd-prefix head reports unknown-parent metrics (nulls)
+    val head = Ktk.history(spark, base, "ds", diffThreshold = 0)
+      .orderBy("version").collect().head
+    head.isNullAt(5) shouldBe true // files_added
+    head.isNullAt(6) shouldBe true // files_removed
+  }
+
   test("commits bump versions and snapshots accumulate") {
     val base = tmpDir("ver")
     val md1 = Ktk.store(spark, base, "ds", df1)

@@ -799,7 +799,11 @@ class MultimodalSpec extends SparkSpec {
     val feats = Multimodal.extractFeatures(withMeta, "id", "blob")
     val f1 = feats.filter($"id" === 1).select("features").as[Seq[Double]].head()
     f1.length shouldBe 8
-    f1 shouldBe Multimodal.decodeFeaturesStub(Array[Byte](1, 2, 3, 4, 5, 6, 7, 8, 9, 10)).toSeq
+    f1 shouldBe Multimodal.decodeFeatures(Array[Byte](1, 2, 3, 4, 5, 6, 7, 8, 9, 10)).toSeq
+    // opaque payload (no codec): byte-value histogram — bytes 1..10 all
+    // land in bin 0 (values < 32), fractions sum to 1
+    f1.head shouldBe 1.0
+    f1.drop(1).foreach(_ shouldBe 0.0)
 
     val frames = Multimodal.frameSamplePlan(withMeta, everyMs = 10, maxFrames = 4)
     frames.filter($"id" === 1)
@@ -807,6 +811,40 @@ class MultimodalSpec extends SparkSpec {
 
     val resized = Multimodal.resizePlan(withMeta, 224, 224)
     resized.select($"media_meta.width").as[Int].head() shouldBe 224
+  }
+
+  test("decodeFeatures: grayscale histogram from REAL decoded pixels") {
+    // a 16x16 gray PNG needs no resampling, so the 8-bin histogram is an
+    // exact pixel-value count: 128 pixels of 10 (bin 0) + 128 of 200
+    // (bin 6), each bin = 0.5
+    val pixels = Array.tabulate(256)(i => if (i < 128) 10.toByte else 200.toByte)
+    val png = Multimodal.encodeGrayPng(pixels, 16, 16)
+    val f = Multimodal.decodeFeatures(png)
+    f(0) shouldBe 0.5
+    f(6) shouldBe 0.5
+    f.sum shouldBe 1.0 +- 1e-9
+    // WAV: RMS energy envelope over the real PCM samples — a half-silent,
+    // half-full-scale clip has ~0 energy in windows 0-3 and ~1 in 4-7
+    val sr = 8000
+    val n = 1600
+    val samples = Array.tabulate[Short](n)(i =>
+      if (i < n / 2) 0 else if (i % 2 == 0) 32767 else -32767)
+    val bytes = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      bytes(2 * i) = (samples(i) & 0xff).toByte
+      bytes(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(sr.toFloat, 16, 1, true, false)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(bytes), fmt, n.toLong),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    val wf = Multimodal.decodeFeatures(out.toByteArray)
+    wf.take(4).foreach(_ shouldBe 0.0 +- 1e-6)
+    wf.drop(4).foreach(_ shouldBe 1.0 +- 1e-3)
   }
 
   test("real PNG codec: lossless gray round-trip, byte-exact mean luma") {

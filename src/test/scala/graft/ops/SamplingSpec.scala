@@ -307,4 +307,25 @@ class SamplingSpec extends SparkSpec {
     // here: max tok 449 < 512)
     loads.foreach(_ should be <= 512L)
   }
+
+  test("packGreedyDeterministic: partition-count independent, budget-safe") {
+    val df = ids.limit(500).withColumn("tok", col("id") % 400 + 50)
+    def run(parts: Int): Map[Long, Long] =
+      Sampling.packGreedyDeterministic(df.repartition(parts), "id", "tok",
+          budget = 512, numGroups = 8, seed = "s")
+        .as[(Long, Long, Long)].collect().map(r => r._1 -> r._3).toMap
+    val a = run(1)
+    // bin ids are a pure function of the id — identical on ANY layout
+    run(7) shouldBe a
+    run(32) shouldBe a
+    a.size shouldBe 500
+    val out = Sampling.packGreedyDeterministic(df, "id", "tok",
+        budget = 512, numGroups = 8, seed = "s")
+      .as[(Long, Long, Long)].collect()
+    out.groupBy(_._3).values.map(_.map(_._2).sum).foreach(_ should be <= 512L)
+    // a different seed re-shuffles the grouping (sanity that seed matters)
+    run(4) should not be Sampling.packGreedyDeterministic(df, "id", "tok",
+      budget = 512, numGroups = 8, seed = "s2")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r._3).toMap
+  }
 }

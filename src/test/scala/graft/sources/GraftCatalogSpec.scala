@@ -100,6 +100,29 @@ class GraftCatalogSpec extends SparkSpec {
       val plan = spark.sql(
         s"CALL $gk.system.gc(table => 't6', dry_run => true)").as[String].collect().toSet
       plan should not be empty
+      // diff_threshold forces the distributed record-scan mode from SQL
+      // with an identical plan; gc_report carries the full count + a
+      // bounded list (the DataFrame-returning incident-scale variant)
+      val planDist = spark.sql(
+        s"CALL $gk.system.gc(table => 't6', dry_run => true, diff_threshold => 0)")
+        .as[String].collect().toSet
+      planDist shouldBe plan
+      graft.ktk.Ktk.lastAuditDistributed.get() shouldBe true
+      val rep = spark.sql(
+        s"CALL $gk.system.gc_report(table => 't6', dry_run => true, report_limit => 1)")
+        .as[(String, Long, Boolean)].collect()
+      rep.length shouldBe 1
+      rep.head._2 shouldBe plan.size.toLong
+      rep.head._3 shouldBe (plan.size > 1)
+      plan should contain(rep.head._1)
+      // a clean table's salvage_report returns the zero-count summary row
+      val srep = spark.sql(
+        s"CALL $gk.system.salvage_report(table => 't6', dry_run => true)")
+        .collect()
+      srep.length shouldBe 1
+      srep.head.isNullAt(0) shouldBe true
+      srep.head.getLong(2) shouldBe 0L
+      srep.head.getBoolean(3) shouldBe false
       val real = spark.sql(s"CALL $gk.system.gc(table => 't6')").as[String].collect().toSet
       real shouldBe plan
       // zorder rewrites the layout; content intact

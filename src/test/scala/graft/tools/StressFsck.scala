@@ -172,6 +172,31 @@ object StressFsck {
     require(drvRows.map(_.toString).toSeq == distRows.map(_.toString).toSeq,
       "driver and distributed modes must emit identical ordered reports")
 
+    // ---- deep history served from the record scan (r12 directive #2):
+    // at this width DESCRIBE HISTORY must NOT replay snapshots through the
+    // driver cache — record reads stay at chain probes + ONE estimate
+    // snapshot, and the rows match the driver walk exactly
+    DatasetMetadata.invalidateCache(base, "ds")
+    val hReads0 = DatasetMetadata.recordReads.get()
+    val h6 = retainedHeapMb()
+    val (histDist, tHist) = time { Ktk.history(spark, base, "ds").collect() }
+    val histReads = DatasetMetadata.recordReads.get() - hReads0
+    val h7 = retainedHeapMb()
+    println(f"distributed history: $tHist%.1f s, ${histDist.length} rows, " +
+      s"driver record reads $histReads, retained heap $h6 -> $h7 MB (delta ${h7 - h6})")
+    require(Ktk.lastAuditDistributed.get(), "history should auto-pick the scan here")
+    require(histReads <= versions.size + 3,
+      s"distributed history read $histReads records on the driver — snapshots leaking?")
+    require(h7 - h6 < 300,
+      s"distributed history retained ${h7 - h6} MB — snapshot cache should hold ~1 entry")
+    DatasetMetadata.invalidateCache(base, "ds")
+    val (histDrv, tHistDrv) = time {
+      Ktk.history(spark, base, "ds", diffThreshold = Int.MaxValue).collect()
+    }
+    println(f"driver-mode history: $tHistDrv%.1f s, ${histDrv.length} rows")
+    require(histDist.map(_.toString).toSeq == histDrv.map(_.toString).toSeq,
+      "driver and distributed history must emit identical ordered rows")
+
     // salvage dry-run audits the CURRENT snapshot only (120k pairs):
     // exactly the two vanished labels, no commit
     val v0 = DatasetMetadata.load(spark, base, "ds").version
@@ -190,6 +215,59 @@ object StressFsck {
     }
     println(f"gc dry-run (distributed): $tGc%.1f s, ${gcRep.size} rows")
     require(gcRep.size == 1 && gcRep.head.endsWith(orphan), s"gc dry-run: $gcRep")
+
+    // ---- million-orphan reap through the BOUNDED report path ----
+    // the r12 "what's wrong" #1: the Seq-returning gc API is O(orphans)
+    // on the driver by contract; garbageCollectReport must keep the
+    // driver at reportLimit names no matter how many orphans exist —
+    // counted distributed, sampled via sorted limit, deleted via
+    // foreachPartition. ~1M planted orphans, retained heap pinned.
+    val oDirs = 500; val oPer = 2000
+    val orphanLabels: Seq[(Int, Int)] =
+      for (d <- 0 until oDirs; f <- 0 until oPer) yield (d, f)
+    val (_, tOrph) = time {
+      spark.sparkContext.parallelize(orphanLabels, 32).foreachPartition { it =>
+        it.foreach { case (d, f) =>
+          val file = new java.io.File(
+            f"$tableDir/p=orph$d%04d/junk-$f%05d.parquet")
+          file.getParentFile.mkdirs()
+          file.createNewFile()
+          ()
+        }
+      }
+    }
+    val nOrphans = oDirs.toLong * oPer + 1 // + the earlier stray
+    println(f"planted ${oDirs * oPer} extra orphan files in $tOrph%.1f s")
+    DatasetMetadata.invalidateCache(base, "ds")
+    val h4 = retainedHeapMb(); resetPeaks()
+    val (dryRep, tDryRep) = time {
+      Ktk.garbageCollectReport(spark, base, "ds", retainVersions = 25,
+        sidecarGraceMs = 0, dryRun = true, reportLimit = 1000)
+    }
+    val h5 = retainedHeapMb()
+    println(f"gc_report dry-run: $tDryRep%.1f s, count ${dryRep.reclaimedCount}, " +
+      s"listed ${dryRep.reclaimed.size}, truncated ${dryRep.truncated}, " +
+      s"retained heap $h4 -> $h5 MB (delta ${h5 - h4})")
+    require(dryRep.reclaimedCount == nOrphans,
+      s"expected $nOrphans orphans, counted ${dryRep.reclaimedCount}")
+    require(dryRep.reclaimed.size == 1000 && dryRep.truncated,
+      s"driver-side return must be capped at reportLimit: ${dryRep.reclaimed.size}")
+    require(h5 - h4 < 300,
+      s"bounded gc report retained ${h5 - h4} MB — orphan names leaking to the driver?")
+    // the real bounded run reclaims all of them without ever returning
+    // (or holding) the million names, and the table audits clean after
+    val (realRep, tRealRep) = time {
+      Ktk.garbageCollectReport(spark, base, "ds", retainVersions = 25,
+        sidecarGraceMs = 0, reportLimit = 1000)
+    }
+    println(f"gc_report real run: $tRealRep%.1f s, count ${realRep.reclaimedCount}")
+    require(realRep.reclaimedCount == nOrphans, s"real reap: ${realRep.reclaimedCount}")
+    val (postRows, tPost) = time { Ktk.fsck(spark, base, "ds").collect() }
+    val postKinds = postRows.map(_.getString(0)).toSet
+    println(f"post-reap fsck: $tPost%.1f s, ${postRows.length} rows ($postKinds)")
+    // the two vanished victims remain storage faults; every orphan is gone
+    require(!postKinds.contains("orphan_file"),
+      s"orphans survived the bounded reap: ${postRows.mkString(", ")}")
 
     println("OK")
     spark.stop()
