@@ -3956,7 +3956,11 @@ object Ktk extends org.apache.spark.internal.Logging {
     *    the stranded commit, `path` the MISSING record that severed it
     *    (the one an operator can restore);
     *  - `orphan_file` — present under `table/`, referenced by NO retained
-    *    version (gc-candidate preview, not a fault).
+    *    version (gc-candidate preview, not a fault). The ONE unbounded
+    *    fault class (O(garbage), not O(damage)): listed rows cap at
+    *    `spark.graft.fsck.orphanLimit` (sorted, deterministic), with an
+    *    `orphan_overflow` row carrying the FULL count in `version` when
+    *    truncated — a million-orphan table audits with a bounded driver.
     *
     * Output order is deterministic in BOTH diff modes: the final
     * `(kind, path, version)` sort normalizes whatever order the
@@ -4012,9 +4016,11 @@ object Ktk extends org.apache.spark.internal.Logging {
         referenced.toSeq.sorted.foreach { case (label, v) =>
           if (!present.contains(label)) issues += (("missing_data_file", v, label))
         }
-        present.toSeq.sorted.foreach { l =>
-          if (!referenced.contains(l)) issues += (("orphan_file", -1L, l))
-        }
+        val orphans = present.toSeq.sorted.filterNot(referenced.contains)
+        val cap = orphanLimit(spark)
+        orphans.take(cap).foreach(l => issues += (("orphan_file", -1L, l)))
+        if (orphans.size > cap)
+          issues += (("orphan_overflow", orphans.size.toLong, overflowMsg(orphans.size.toLong, cap)))
         loaded.flatMap { case (v, md) =>
           md.deleteFragments.map(("missing_dv_fragment", v, _)) ++
             Option(md.indices).getOrElse(Map.empty[String, String]).values
@@ -4054,8 +4060,8 @@ object Ktk extends org.apache.spark.internal.Logging {
           issues += ((kind, v, s"${sidecarDirs(kind)}/$name"))
       }
     val order = Seq("missing_dv_fragment", "missing_data_file", "missing_index",
-      "missing_bloom", "missing_zone", "broken_replay_chain", "orphan_file")
-      .zipWithIndex.toMap
+      "missing_bloom", "missing_zone", "broken_replay_chain", "orphan_file",
+      "orphan_overflow").zipWithIndex.toMap
     issues.result().sortBy { case (k, v, p) => (order(k), p, v) }
       .toDF("kind", "version", "path")
   }
@@ -4099,6 +4105,27 @@ object Ktk extends org.apache.spark.internal.Logging {
     */
   final case class SalvageReport(droppedCount: Long, truncated: Boolean,
       dropped: Seq[(String, String)])
+
+  /** Cap on the `orphan_file` rows [[fsck]] lists (`orphan_overflow`
+    * carries the full count past it): the one fault class whose
+    * cardinality is O(garbage) rather than O(damage), so it must not
+    * return a million rows through the driver. Tunable per session.
+    */
+  private def orphanLimit(spark: SparkSession): Int = {
+    val key = "spark.graft.fsck.orphanLimit"
+    spark.conf.getOption(key).map { s =>
+      try s.trim.toInt
+      catch {
+        case e: NumberFormatException =>
+          throw new IllegalArgumentException(
+            s"invalid $key='$s': must be an integer row cap", e)
+      }
+    }.getOrElse(DefaultMaintenanceReportLimit * 10)
+  }
+
+  private def overflowMsg(total: Long, cap: Int): String =
+    s"$total orphan files total; listing the first $cap " +
+      "(raise spark.graft.fsck.orphanLimit to list more, or gc to reap)"
 
   /** Resolve the audit threshold: any explicit (non-negative) caller value
     * wins; the [[SessionDiffThreshold]] sentinel consults
@@ -4349,8 +4376,20 @@ object Ktk extends org.apache.spark.internal.Logging {
       scan.referenced.join(present, Seq("label"), "left_anti")
         .collect().foreach(r =>
           issues += (("missing_data_file", r.getLong(1), r.getString(0))))
-      present.join(scan.referenced, Seq("label"), "left_anti").as[String]
-        .collect().foreach(l => issues += (("orphan_file", -1L, l)))
+      // the orphan PREVIEW is the one fault class whose cardinality is
+      // unbounded (O(garbage), not O(damage)): cap the listed rows like
+      // gc's bounded report — sorted limit for determinism, full count on
+      // the overflow row — so a million-orphan table audits with a
+      // bounded driver, in both modes identically
+      val orphans = present.join(scan.referenced, Seq("label"), "left_anti")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val n = orphans.count()
+        val cap = orphanLimit(spark)
+        orphans.orderBy("label").as[String].limit(cap)
+          .collect().foreach(l => issues += (("orphan_file", -1L, l)))
+        if (n > cap) issues += (("orphan_overflow", n, overflowMsg(n, cap)))
+      } finally { orphans.unpersist(blocking = false); () }
       scan.sidecarRefs()
     } finally {
       present.unpersist(blocking = false)

@@ -184,6 +184,32 @@ class GcDistributedSpec extends SparkSpec {
     sRep.dropped shouldBe sFull.take(1)
   }
 
+  test("fsck caps orphan rows identically in both modes, count on overflow") {
+    val base = tmpDir("gcorphcap")
+    seed(base)
+    val fs = DatasetMetadata.fs(spark, base)
+    val md = DatasetMetadata.load(spark, base, "ds")
+    (1 to 4).foreach { i =>
+      val out = fs.create(new Path(s"${md.tableDir(base)}/p=a/junk$i.parquet"), true)
+      out.write(1); out.close()
+    }
+    try {
+      spark.conf.set("spark.graft.fsck.orphanLimit", "2")
+      def audit(threshold: Int): Seq[(String, Long, String)] =
+        Ktk.fsck(spark, base, "ds", diffThreshold = threshold).collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSeq
+      val drv = audit(Int.MaxValue)
+      audit(0) shouldBe drv
+      drv.count(_._1 == "orphan_file") shouldBe 2
+      val overflow = drv.filter(_._1 == "orphan_overflow")
+      overflow should have size 1
+      overflow.head._2 shouldBe 5L // 4 junk + the seeded stray
+      // the listed sample is the SORTED head — deterministic across modes
+      drv.filter(_._1 == "orphan_file").map(_._3) shouldBe
+        drv.filter(_._1 == "orphan_file").map(_._3).sorted
+    } finally spark.conf.unset("spark.graft.fsck.orphanLimit")
+  }
+
   test("malformed audit-threshold conf fails loudly, naming the key") {
     val base = tmpDir("gcbadconf")
     seed(base)

@@ -254,6 +254,26 @@ object StressFsck {
       s"driver-side return must be capped at reportLimit: ${dryRep.reclaimed.size}")
     require(h5 - h4 < 300,
       s"bounded gc report retained ${h5 - h4} MB — orphan names leaking to the driver?")
+    // fsck's orphan preview is capped the same way: 1000 sorted rows + an
+    // overflow row carrying the full count, bounded driver in distributed
+    // mode at 1M orphans
+    spark.conf.set("spark.graft.fsck.orphanLimit", "1000")
+    DatasetMetadata.invalidateCache(base, "ds")
+    val h8 = retainedHeapMb()
+    val (cappedRows, tCapped) = time { Ktk.fsck(spark, base, "ds").collect() }
+    val h9 = retainedHeapMb()
+    spark.conf.unset("spark.graft.fsck.orphanLimit")
+    val nOrphRows = cappedRows.count(_.getString(0) == "orphan_file")
+    val overflow = cappedRows.filter(_.getString(0) == "orphan_overflow")
+    println(f"capped fsck: $tCapped%.1f s, ${cappedRows.length} rows " +
+      s"($nOrphRows orphan + ${overflow.length} overflow), retained heap " +
+      s"$h8 -> $h9 MB (delta ${h9 - h8})")
+    require(nOrphRows == 1000 && overflow.length == 1, "orphan cap must hold")
+    require(overflow.head.getLong(1) == nOrphans,
+      s"overflow row must carry the full count: ${overflow.head.getLong(1)}")
+    require(h9 - h8 < 300,
+      s"capped fsck retained ${h9 - h8} MB — orphan rows leaking to the driver?")
+
     // the real bounded run reclaims all of them without ever returning
     // (or holding) the million names, and the table audits clean after
     val (realRep, tRealRep) = time {
