@@ -177,8 +177,28 @@ object SparkEntry {
       case ("ivfpq", "sf0.01")  => (0.2, 0.23)
       case ("ivfpq", "sf0.1")   => (0.1, 0.16)
       case ("ivfpq", _)         => (0.1, 0.15)
+      // neardup = PAIR recall of the LSH-bucketed candidates vs the
+      // brute-force exact twin on the planted-jitter corpus (q_emb_neardup;
+      // meanFloor unused — one corpus-level recall, not per-query).
+      // Measured 2026-08-16 (r13): 0.986 / 0.98 / 0.98 at
+      // sf0.001/0.01/0.1; floors = observed − 0.1.
+      case ("neardup", "sf0.001") => (0.886, 0.886)
+      case ("neardup", "sf0.01")  => (0.88, 0.88)
+      case ("neardup", "sf0.1")   => (0.88, 0.88)
+      case ("neardup", _)         => (0.5, 0.5)
       case _                  => (0.3, 0.35)
     }
+  }
+
+  /** Embeddings corpus plus one deterministic jittered near-copy per row
+    * (`1.01f·x + 0.001f`, FLOAT arithmetic so DuckDB replays it exactly) —
+    * the shared fixture of the near-dup gates: every (v, v') pair has
+    * cosine ≈ 0.9999 while natural pairs stay ≤ ~0.51.
+    */
+  private def plantedNearDupCorpus(e0: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val e = e0.select("vec_id", "embedding")
+    e.unionByName(e.select((col("vec_id") + 1000000).as("vec_id"),
+      transform(col("embedding"), x => x * lit(1.01f) + lit(0.001f)).as("embedding")))
   }
 
   private val pqBooks = scala.collection.concurrent.TrieMap.empty[String, Similarity.PqCodebooks]
@@ -1566,9 +1586,41 @@ object SparkEntry {
     }),
 
     "q_emb_neardup" -> ((s, dir) => {
-      val e = t(s, dir, "embeddings")
-      Similarity.embeddingNearDupCandidates(e, "vec_id", "embedding", dim = 64, minCosine = 0.5, bits = 6)
-        .groupBy().agg(count(lit(1)).as("pairs"))
+      // LSH-bucketed near-dup candidates with a MEASURED differential
+      // self-oracle (the ANN-gate pattern): plant one deterministic
+      // jittered copy per embedding (1.01·v + 0.001 in FLOAT — cosine to
+      // its original ≈ 0.9999, far above any natural pair; float ops are
+      // IEEE, so DuckDB replays them bit for bit), then assert pair
+      // recall vs the brute-force exact twin in-query. Floors are the
+      // per-scale-dir observed values − 0.1 (recallFloors "neardup").
+      val corpus = plantedNearDupCorpus(t(s, dir, "embeddings"))
+      val cand = Similarity.embeddingNearDupCandidates(
+        corpus, "vec_id", "embedding", dim = 64, minCosine = 0.9, bits = 6)
+        .select("id_a", "id_b")
+      val exact = Similarity.bruteForceNearDupPairs(
+        corpus, "vec_id", "embedding", minCosine = 0.9)
+        .select("id_a", "id_b")
+      val hits = cand.join(exact, Seq("id_a", "id_b"), "left_semi").count()
+      val total = exact.count()
+      val recall = if (total == 0) 1.0 else hits.toDouble / total
+      val (minFloor, _) = recallFloors(dir, "neardup")
+      require(recall >= minFloor,
+        s"embedding near-dup pair recall regressed: $recall < floor $minFloor " +
+          s"($hits of $total exact pairs found)")
+      import s.implicits._
+      Seq((cand.count(), total, math.round(recall * 10000) / 10000.0))
+        .toDF("pairs", "exact_pairs", "recall")
+    }),
+
+    "q_emb_neardup_exact" -> ((s, dir) => {
+      // the brute-force twin as its own EXACT gate: the same planted
+      // jitter replays in DuckDB (double arithmetic both sides), so the
+      // near-dup pair SET at the threshold hash-matches — the near-dup
+      // family's semantics proven exactly, with the LSH variant carrying
+      // the recall floor above
+      val corpus = plantedNearDupCorpus(t(s, dir, "embeddings"))
+      Similarity.bruteForceNearDupPairs(corpus, "vec_id", "embedding", minCosine = 0.9)
+        .select("id_a", "id_b").orderBy("id_a", "id_b")
     }),
 
     "q_emb_dedup_cc" -> ((s, dir) => {
@@ -3627,6 +3679,23 @@ object SparkEntry {
       """SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k
         |FROM events WHERE CAST(json_extract(props, '$.k') AS BIGINT) >= 90
         |ORDER BY 1""".stripMargin,
+
+    // the brute-force near-dup twin replayed exactly: same planted double
+    // jitter, same double cosine — pair membership at 0.9 has ~0.49 of
+    // margin on both sides (planted ≈ 0.9999, natural ≤ 0.51)
+    "q_emb_neardup_exact" ->
+      """WITH c AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 1000000 AS vec_id,
+        |    CAST(list_transform(embedding,
+        |      x -> x * CAST(1.01 AS FLOAT) + CAST(0.001 AS FLOAT)) AS DOUBLE[]) AS v
+        |  FROM embeddings)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |FROM c a, c b
+        |WHERE a.vec_id < b.vec_id
+        |  AND list_cosine_similarity(a.v, b.v) >= 0.9
+        |ORDER BY 1, 2""".stripMargin,
 
     "q_ann_topk" ->
       """SELECT a.vec_id AS query_id, b.vec_id

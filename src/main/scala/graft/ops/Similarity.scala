@@ -176,6 +176,24 @@ object Similarity {
     * quadratic self-join — oversized buckets are skipped, not exploded.
     * Only (bucket, id, vector) rows shuffle, once.
     */
+  /** EXACT near-dup pairs by brute force — the recall oracle for the
+    * LSH-bucketed candidates and the DuckDB-twinnable baseline of the
+    * near-dup family (what [[recallVs]] is to top-k search). O(n²/2)
+    * cosines BY DEFINITION: run it on samples or evaluation slices; the
+    * scale path is [[embeddingNearDupCandidates]]. Self-join shape —
+    * Catalyst broadcasts the smaller side; cosine is the codegen'd
+    * [[graft.functions.CosineSimilarity]] expression.
+    */
+  def bruteForceNearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
+      minCosine: Double): DataFrame = {
+    val a = corpus.select(col(idCol).cast("long").as("id_a"), col(vecCol).as("__va"))
+    val b = corpus.select(col(idCol).cast("long").as("id_b"), col(vecCol).as("__vb"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("cos", cosine(col("__va"), col("__vb")))
+      .filter(col("cos") >= minCosine)
+      .select("id_a", "id_b", "cos")
+  }
+
   def embeddingNearDupCandidates(
       corpus: DataFrame, idCol: String, vecCol: String,
       dim: Int, minCosine: Double, bits: Int = 10, maxBucket: Int = 1000,

@@ -33,6 +33,28 @@ class AnnRecallGateSpec extends SparkSpec {
     }
   }
 
+  test("healthy near-dup gate clears its floor; degraded bucketing trips it") {
+    // healthy: the gate itself asserts in-query — collecting it proves the
+    // floor clears and surfaces the measured recall
+    val row = SparkEntry.queries("q_emb_neardup")(spark, dir).collect().head
+    val (minFloor, _) = SparkEntry.recallFloors(dir, "neardup")
+    row.getDouble(2) should be >= minFloor
+    // teeth: many more hyperplane bits split near-copies across buckets —
+    // pair recall on the SAME planted corpus must fall under the floor
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val corpus = e.unionByName(e.select((col("vec_id") + 1000000).as("vec_id"),
+      transform(col("embedding"), x => x * lit(1.01f) + lit(0.001f)).as("embedding")))
+    val cand = Similarity.embeddingNearDupCandidates(
+        corpus, "vec_id", "embedding", dim = 64, minCosine = 0.9, bits = 48)
+      .select("id_a", "id_b")
+    val exact = Similarity.bruteForceNearDupPairs(corpus, "vec_id", "embedding", 0.9)
+      .select("id_a", "id_b")
+    val hits = cand.join(exact, Seq("id_a", "id_b"), "left_semi").count()
+    val recall = hits.toDouble / exact.count()
+    recall should be < minFloor
+  }
+
   test("degraded ivfpq (nprobe=1) measures recall under the floor") {
     val e = spark.read.parquet(s"$dir/embeddings.parquet")
     val cb = Similarity.trainPq(e, "embedding", dim = 64, m = 8)
