@@ -1630,6 +1630,27 @@ object SparkEntry {
         .groupBy().agg(count(lit(1)).as("survivors"))
     }),
 
+    "q_emb_dedup_cc_exact" -> ((s, dir) => {
+      // the transitive-closure dedup proven EXACTLY: two generations of
+      // float-jittered copies per embedding (v → j(v) → j(j(v))) form
+      // 3-node components whose every edge clears cosine 0.9 by a wide
+      // margin; exact brute-force pairs feed the same GraphX closure the
+      // LSH path uses, and DuckDB replays pairs + closure with a
+      // recursive CTE — survivors hash-match (the originals, as the
+      // min-id of each component)
+      val e = t(s, dir, "embeddings").filter(col("vec_id") < 300)
+        .select("vec_id", "embedding")
+      def jitter(d: org.apache.spark.sql.DataFrame, offset: Long) =
+        d.select((col("vec_id") % 1000000 + offset).as("vec_id"),
+          transform(col("embedding"), x => x * lit(1.01f) + lit(0.001f)).as("embedding"))
+      val j1 = jitter(e, 1000000L)
+      val corpus = e.unionByName(j1).unionByName(jitter(j1, 2000000L))
+      val pairs = Similarity.bruteForceNearDupPairs(
+        corpus, "vec_id", "embedding", minCosine = 0.9)
+      Similarity.embeddingDedupCCFromPairs(corpus, "vec_id", pairs)
+        .select("vec_id").orderBy("vec_id")
+    }),
+
     "q_semantic_dedup" -> ((s, dir) => {
       // SemDeDup (Abbas et al. 2023): plant an exact copy of every 5th
       // embedding under a new id; identical vectors share a k-means cell by
@@ -2002,12 +2023,17 @@ object SparkEntry {
 
     // -------------------------------------------------- pipeline: multimodal
     "q_multimodal" -> ((s, dir) => {
-      // binary blobs derived deterministically from documents text
+      // binary blobs derived deterministically from documents text: the
+      // opaque-format path of decodeFeatures is a byte-value histogram,
+      // which DuckDB replays exactly from hex(encode(text)) — the whole
+      // 8-bin feature vector is an EXACT oracle
       val d = t(s, dir, "documents").filter(col("doc_id") < 100)
         .select(col("doc_id").as("id"), encode(col("text"), "UTF-8").as("blob"))
       val withMeta = Multimodal.attachMeta(d, "blob", "image")
       val feats = Multimodal.extractFeatures(withMeta, "id", "blob")
-      feats.select(col("id"), round(element_at(col("features"), 1), 6).as("f0"))
+      feats.select(col("id") +:
+          (0 until 8).map(i =>
+            round(element_at(col("features"), i + 1), 6).as(s"f$i")): _*)
         .orderBy("id")
     }),
 
@@ -2986,12 +3012,14 @@ object SparkEntry {
   // whose output depends on the engine's own hash family or iterative
   // seeding — the full current list (keep in sync with CORRECTNESS no_oracle
   // entries): q_dedup_minhash / _best / _cc / _incr, q_dedup_simhash,
-  // q_ann_lsh, q_ann_ivf, q_ann_pq, q_ann_ivfpq (all four carry in-gate
-  // recall floors vs their exact twins), q_emb_neardup, q_emb_dedup_cc,
-  // q_semantic_dedup, q_cluster_sample, q_quality_model, q_hash_dataset
-  // (xxhash64), q_image_dedup / q_audio_dedup / q_multimodal (stub codec
-  // fixtures), q_ktk_fsck (fault-path fixture) → rows-only check; their
-  // exact semantics are covered by ScalaTest oracles with planted data.
+  // q_ann_lsh, q_ann_ivf, q_ann_pq, q_ann_ivfpq (the four ANN gates carry
+  // in-gate recall floors vs their exact twins), q_emb_neardup (in-gate
+  // pair-recall floor vs q_emb_neardup_exact), q_emb_dedup_cc (exact twin
+  // q_emb_dedup_cc_exact), q_semantic_dedup, q_cluster_sample,
+  // q_quality_model, q_hash_dataset (xxhash64), q_image_dedup /
+  // q_audio_dedup (JDK codec fixtures), q_ktk_fsck (fault-path fixture)
+  // → rows-only check; their exact semantics are covered by ScalaTest
+  // oracles with planted data.
   // ------------------------------------------------------------------------
 
   /** DuckDB twin of [[Sampling.hashUnit]]: value of the first 8 hex chars
@@ -3679,6 +3707,54 @@ object SparkEntry {
       """SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k
         |FROM events WHERE CAST(json_extract(props, '$.k') AS BIGINT) >= 90
         |ORDER BY 1""".stripMargin,
+
+    // decodeFeatures' opaque-format byte histogram replayed from
+    // hex(encode(text)): a byte's 8-bin index is its high hex nibble >> 1,
+    // so bin b counts even-position hex chars in {2b, 2b+1}
+    "q_multimodal" -> {
+      val hexChars = "0123456789ABCDEF"
+      val bins = (0 until 8).map { b =>
+        val cs = Seq(hexChars(2 * b), hexChars(2 * b + 1))
+          .map(c => s"'$c'").mkString(", ")
+        s"round(len(list_filter(range(1, n + 1), i -> substr(hx, 2*i - 1, 1) IN ($cs))) * 1.0 / n, 6) AS f$b"
+      }.mkString(",\n  ")
+      s"""WITH b AS (
+         |  SELECT doc_id AS id, encode(text) AS blob FROM documents WHERE doc_id < 100),
+         |h AS (
+         |  SELECT id, hex(blob) AS hx, octet_length(blob) AS n FROM b)
+         |SELECT id,
+         |  $bins
+         |FROM h ORDER BY id""".stripMargin
+    },
+
+    // exact pairs (same construction as q_emb_neardup_exact, two jitter
+    // generations) + recursive-CTE connected components, the
+    // q_dedup_minhash_cc_exact pattern: survivors = component minima
+    "q_emb_dedup_cc_exact" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings WHERE vec_id < 300),
+        |j1 AS (
+        |  SELECT vec_id + 1000000 AS vec_id,
+        |    list_transform(embedding, x -> x * CAST(1.01 AS FLOAT) + CAST(0.001 AS FLOAT)) AS f
+        |  FROM embeddings WHERE vec_id < 300),
+        |c AS (
+        |  SELECT vec_id, v FROM e
+        |  UNION ALL SELECT vec_id, CAST(f AS DOUBLE[]) FROM j1
+        |  UNION ALL
+        |  SELECT vec_id % 1000000 + 2000000,
+        |    CAST(list_transform(f, x -> x * CAST(1.01 AS FLOAT) + CAST(0.001 AS FLOAT)) AS DOUBLE[])
+        |  FROM j1),
+        |p AS (
+        |  SELECT a.vec_id AS a, b.vec_id AS b FROM c a, c b
+        |  WHERE a.vec_id < b.vec_id AND list_cosine_similarity(a.v, b.v) >= 0.9),
+        |bidir AS (SELECT a, b FROM p UNION SELECT b AS a, a AS b FROM p),
+        |reach(node, rep) AS (
+        |  SELECT vec_id, vec_id FROM c
+        |  UNION
+        |  SELECT b.b, r.rep FROM reach r JOIN bidir b ON b.a = r.node),
+        |comp AS (SELECT node, min(rep) AS component FROM reach GROUP BY 1)
+        |SELECT node AS vec_id FROM comp WHERE node = component ORDER BY 1""".stripMargin,
 
     // the brute-force near-dup twin replayed exactly: same planted double
     // jitter, same double cosine — pair membership at 0.9 has ~0.49 of

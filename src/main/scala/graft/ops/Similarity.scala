@@ -367,11 +367,22 @@ object Similarity {
     */
   def embeddingDedupCC(
       corpus: DataFrame, idCol: String, vecCol: String,
-      dim: Int, minCosine: Double, bits: Int = 10, maxBucket: Int = 1000): DataFrame = {
+      dim: Int, minCosine: Double, bits: Int = 10, maxBucket: Int = 1000): DataFrame =
+    embeddingDedupCCFromPairs(corpus, idCol,
+      embeddingNearDupCandidates(corpus, idCol, vecCol, dim, minCosine, bits, maxBucket))
+
+  /** The transitive-closure keep-min-id dedup over ANY caller-supplied
+    * `(id_a, id_b)` pair frame — the LSH candidates in production
+    * ([[embeddingDedupCC]]), the brute-force exact twin in gates. GraphX
+    * connected components, survivors = every row not dominated by a
+    * smaller id in its component (isolated rows always survive).
+    */
+  def embeddingDedupCCFromPairs(
+      corpus: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
     import org.apache.spark.graphx.{Edge, Graph}
     val spark = corpus.sparkSession
     import spark.implicits._
-    val edges = embeddingNearDupCandidates(corpus, idCol, vecCol, dim, minCosine, bits, maxBucket)
+    val edges = pairs
       .select(col("id_a"), col("id_b")).rdd
       .map(r => Edge(r.getLong(0), r.getLong(1), 1))
     val components = Graph.fromEdges(edges, defaultValue = 1)

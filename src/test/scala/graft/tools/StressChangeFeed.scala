@@ -73,6 +73,28 @@ object StressChangeFeed {
     require(rows == 100L + 79L && dels == 40L,
       s"feed miscounts: inserts=$rows deletes=$dels")
 
+    // distributed planning (diffThreshold=0 forces the record-scan mode):
+    // the full-range feed must emit the SAME rows while the driver never
+    // replays snapshots — record reads stay at chain probes + the estimate
+    graft.ktk.DatasetMetadata.invalidateCache(base, "ds")
+    val reads0 = graft.ktk.DatasetMetadata.recordReads.get()
+    val (distCounts, tDist) = time {
+      Ktk.readChangeFeed(spark, base, "ds", 0, diffThreshold = 0)
+        .groupBy("_change_type").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    }
+    val distReads = graft.ktk.DatasetMetadata.recordReads.get() - reads0
+    println(f"distributed full feed: $distCounts in $tDist%.1fs, " +
+      s"driver record reads $distReads")
+    require(distCounts.getOrElse("insert", 0L) == rows &&
+      distCounts.getOrElse("delete", 0L) == dels,
+      s"distributed CDF planning diverged: $distCounts")
+    // chain resolution probes each delta's self-contained flag once (one
+    // tiny read per non-checkpoint version) + the mode-estimate snapshot;
+    // NO O(version) snapshot replays land on the driver
+    require(distReads <= 125,
+      s"distributed CDF planning read $distReads records on the driver")
+
     // bounded consumption: per-poll time must not scale with history
     val ckpt = s"${java.nio.file.Files.createTempDirectory("cdfstress-ck")}/c.v"
     val pollTimes = Iterator.continually {
