@@ -180,11 +180,11 @@ object SparkEntry {
       // neardup = PAIR recall of the LSH-bucketed candidates vs the
       // brute-force exact twin on the planted-jitter corpus (q_emb_neardup;
       // meanFloor unused — one corpus-level recall, not per-query).
-      // Measured 2026-08-16 (r13): 0.986 / 0.98 / 0.98 at
-      // sf0.001/0.01/0.1; floors = observed − 0.1.
+      // Measured 2026-08-16 (r13, 1000-vector slice): 0.986 / 0.98 /
+      // 0.976 at sf0.001/0.01/0.1; floors = observed − 0.1.
       case ("neardup", "sf0.001") => (0.886, 0.886)
       case ("neardup", "sf0.01")  => (0.88, 0.88)
-      case ("neardup", "sf0.1")   => (0.88, 0.88)
+      case ("neardup", "sf0.1")   => (0.876, 0.876)
       case ("neardup", _)         => (0.5, 0.5)
       case _                  => (0.3, 0.35)
     }
@@ -1593,23 +1593,30 @@ object SparkEntry {
       // IEEE, so DuckDB replays them bit for bit), then assert pair
       // recall vs the brute-force exact twin in-query. Floors are the
       // per-scale-dir observed values − 0.1 (recallFloors "neardup").
-      val corpus = plantedNearDupCorpus(t(s, dir, "embeddings"))
+      // the recall measurement needs a representative slice, not the full
+      // corpus — the O(n²) exact twin is capped at 1000 source vectors so
+      // the gate stays cheap at every sf; persisted so the brute-force
+      // pass runs ONCE across the three actions below
+      val corpus = plantedNearDupCorpus(
+        t(s, dir, "embeddings").filter(col("vec_id") < 1000))
       val cand = Similarity.embeddingNearDupCandidates(
         corpus, "vec_id", "embedding", dim = 64, minCosine = 0.9, bits = 6)
-        .select("id_a", "id_b")
+        .select("id_a", "id_b").persist()
       val exact = Similarity.bruteForceNearDupPairs(
         corpus, "vec_id", "embedding", minCosine = 0.9)
-        .select("id_a", "id_b")
-      val hits = cand.join(exact, Seq("id_a", "id_b"), "left_semi").count()
-      val total = exact.count()
-      val recall = if (total == 0) 1.0 else hits.toDouble / total
-      val (minFloor, _) = recallFloors(dir, "neardup")
-      require(recall >= minFloor,
-        s"embedding near-dup pair recall regressed: $recall < floor $minFloor " +
-          s"($hits of $total exact pairs found)")
-      import s.implicits._
-      Seq((cand.count(), total, math.round(recall * 10000) / 10000.0))
-        .toDF("pairs", "exact_pairs", "recall")
+        .select("id_a", "id_b").persist()
+      try {
+        val hits = cand.join(exact, Seq("id_a", "id_b"), "left_semi").count()
+        val total = exact.count()
+        val recall = if (total == 0) 1.0 else hits.toDouble / total
+        val (minFloor, _) = recallFloors(dir, "neardup")
+        require(recall >= minFloor,
+          s"embedding near-dup pair recall regressed: $recall < floor $minFloor " +
+            s"($hits of $total exact pairs found)")
+        import s.implicits._
+        Seq((cand.count(), total, math.round(recall * 10000) / 10000.0))
+          .toDF("pairs", "exact_pairs", "recall")
+      } finally { cand.unpersist(blocking = false); exact.unpersist(blocking = false); () }
     }),
 
     "q_emb_neardup_exact" -> ((s, dir) => {
@@ -1618,7 +1625,8 @@ object SparkEntry {
       // near-dup pair SET at the threshold hash-matches — the near-dup
       // family's semantics proven exactly, with the LSH variant carrying
       // the recall floor above
-      val corpus = plantedNearDupCorpus(t(s, dir, "embeddings"))
+      val corpus = plantedNearDupCorpus(
+        t(s, dir, "embeddings").filter(col("vec_id") < 1000))
       Similarity.bruteForceNearDupPairs(corpus, "vec_id", "embedding", minCosine = 0.9)
         .select("id_a", "id_b").orderBy("id_a", "id_b")
     }),
@@ -3761,12 +3769,13 @@ object SparkEntry {
     // margin on both sides (planted ≈ 0.9999, natural ≤ 0.51)
     "q_emb_neardup_exact" ->
       """WITH c AS (
-        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings WHERE vec_id < 1000
         |  UNION ALL
         |  SELECT vec_id + 1000000 AS vec_id,
         |    CAST(list_transform(embedding,
         |      x -> x * CAST(1.01 AS FLOAT) + CAST(0.001 AS FLOAT)) AS DOUBLE[]) AS v
-        |  FROM embeddings)
+        |  FROM embeddings WHERE vec_id < 1000)
         |SELECT a.vec_id AS id_a, b.vec_id AS id_b
         |FROM c a, c b
         |WHERE a.vec_id < b.vec_id
