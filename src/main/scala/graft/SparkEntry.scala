@@ -2018,6 +2018,21 @@ object SparkEntry {
         .orderBy("pack_id")
     }),
 
+    "q_decontaminate_semantic" -> ((s, dir) => {
+      // paraphrase-level benchmark leakage: the "benchmark" is a
+      // float-jittered copy of every 17th embedding (cosine ≈ 0.9999 to
+      // its source, natural pairs ≤ ~0.51), so exactly those sources must
+      // flag — the report's id/count side is EXACT in DuckDB (cosine
+      // magnitudes are covered by q_emb_neardup_exact)
+      val e = t(s, dir, "embeddings").select("vec_id", "embedding")
+      val bench = e.filter(col("vec_id") % 17 === 0)
+        .select(transform(col("embedding"),
+          x => x * lit(1.01f) + lit(0.001f)).as("embedding"))
+      Decontamination.semanticContaminationReport(
+          e, "vec_id", "embedding", bench, "embedding", minCosine = 0.9)
+        .select("vec_id", "n_matches").orderBy("vec_id")
+    }),
+
     "q_decontaminate" -> ((s, dir) => {
       // benchmark-overlap decontamination: docs sharing ≥3 distinct word
       // 5-grams with the held-out set (doc_id % 19 == 0)
@@ -4185,6 +4200,16 @@ object SparkEntry {
         |    FROM e) WHERE c <= 10000)
         |SELECT lang, count(*) AS n_docs, CAST(sum(length(text)) AS BIGINT) AS n_chars
         |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_decontaminate_semantic" ->
+      """WITH b AS (
+        |  SELECT list_transform(embedding,
+        |    x -> x * CAST(1.01 AS FLOAT) + CAST(0.001 AS FLOAT)) AS bv
+        |  FROM embeddings WHERE vec_id % 17 = 0)
+        |SELECT e.vec_id, count(*) AS n_matches
+        |FROM embeddings e, b
+        |WHERE list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(b.bv AS DOUBLE[])) >= 0.9
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_pipeline_curation" ->
       """WITH d0 AS (

@@ -70,4 +70,43 @@ object Decontamination {
       minOverlap = maxOverlap + 1).select(col(idCol))
     corpus.join(contaminated, Seq(idCol), "left_anti")
   }
+
+  /** SEMANTIC contamination report: corpus rows whose embedding is within
+    * `minCosine` of at least one benchmark embedding — the embedding-space
+    * complement of the n-gram overlap above, catching paraphrased or
+    * translated benchmark leakage that shares no literal grams.
+    * Returns (idCol, n_matches, max_cos).
+    *
+    * Scale shape: benchmark suites are small by nature, so the benchmark
+    * embeddings BROADCAST and the corpus side is one narrow pass — a
+    * broadcast nested-loop join with the codegen'd cosine as the
+    * condition, then a per-id partial aggregation. The corpus never
+    * shuffles except the hit rows (a tiny fraction), exactly like the
+    * n-gram path. Cost is corpus × bench cosines map-side: fine for
+    * eval-suite-sized benchmarks; pre-filter the benchmark, not the
+    * corpus, if it ever grows.
+    */
+  def semanticContaminationReport(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      bench: DataFrame, benchVecCol: String,
+      minCosine: Double): DataFrame = {
+    val b = broadcast(bench.select(col(benchVecCol).as("__bv")))
+    corpus.select(col(idCol), col(vecCol).as("__cv"))
+      .join(b, graft.ops.Similarity.cosine(col("__cv"), col("__bv")) >= minCosine)
+      .groupBy(idCol).agg(
+        count(lit(1)).as("n_matches"),
+        max(graft.ops.Similarity.cosine(col("__cv"), col("__bv"))).as("max_cos"))
+  }
+
+  /** Drop corpus rows the semantic report flags; pass the rest through
+    * unchanged. The anti-join side is the flagged ids only.
+    */
+  def decontaminateByEmbedding(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      bench: DataFrame, benchVecCol: String,
+      minCosine: Double): DataFrame = {
+    val flagged = semanticContaminationReport(
+      corpus, idCol, vecCol, bench, benchVecCol, minCosine).select(col(idCol))
+    corpus.join(flagged, Seq(idCol), "left_anti")
+  }
 }

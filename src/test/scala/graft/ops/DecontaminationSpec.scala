@@ -66,4 +66,27 @@ class DecontaminationSpec extends SparkSpec {
     kept.select("doc_id").as[Long].collect().toSeq shouldBe Seq(2L)
     kept.columns.toSeq shouldBe corpus.columns.toSeq
   }
+
+  test("semantic decontamination flags embedding-space leakage, no corpus shuffle") {
+    // doc 1 ≈ bench vector (paraphrase leakage: same direction), doc 2
+    // orthogonal, doc 3 anti-parallel (cosine -1: must NOT flag)
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.1f, 0.0f, 0.0f)),
+      (2L, Array(0.0f, 0.0f, 1.0f, 0.0f)),
+      (3L, Array(-1.0f, 0.0f, 0.0f, 0.0f))
+    ).toDF("doc_id", "vec")
+    val bench = Seq(Tuple1(Array(1.0f, 0.0f, 0.0f, 0.0f))).toDF("bvec")
+    val rep = Decontamination.semanticContaminationReport(
+      corpus, "doc_id", "vec", bench, "bvec", minCosine = 0.9)
+    rep.select("doc_id", "n_matches").as[(Long, Long)].collect().toSeq shouldBe
+      Seq((1L, 1L))
+    val kept = Decontamination.decontaminateByEmbedding(
+      corpus, "doc_id", "vec", bench, "bvec", minCosine = 0.9)
+    kept.select("doc_id").as[Long].collect().toSeq.sorted shouldBe Seq(2L, 3L)
+    kept.columns.toSeq shouldBe corpus.columns.toSeq
+    // scale shape: the benchmark broadcasts; the corpus side must not
+    // exchange before the join (a shuffled corpus would defeat the point)
+    val plan = rep.queryExecution.executedPlan.toString
+    plan should include("BroadcastNestedLoopJoin")
+  }
 }
