@@ -4329,12 +4329,23 @@ object Ktk extends org.apache.spark.internal.Logging {
     }
 
     /** `(label, version)` — every label some target version references,
-      * attributed to the NEWEST referencing version.
+      * attributed to the NEWEST referencing version. Deliberately NOT
+      * built on [[perVersionLabels]]: fsck/gc need neither sizes nor
+      * seqs, and keeping the argmax struct narrow prunes those 16 B/row
+      * out of the audit shuffle (the history/CDF consumers pay for the
+      * payload only when they use it).
       */
-    val referenced: DataFrame =
-      perVersionLabels
+    val referenced: DataFrame = {
+      import spark.implicits._
+      recRows.filter(col("kind") === "label")
+        .join(broadcast(windows.toDF("v", "rv")), Seq("rv"))
+        .groupBy(col("v"), col("name"))
+        .agg(max(struct(col("rv"), col("isAdd"))).as("last"))
+        .filter(col("last.isAdd"))
+        .select(col("name").as("label"), col("v").as("version"))
         .groupBy("label").agg(max("version").as("version"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
 
     /** Sidecar registries of the target versions' OWN records — what the
       * driver path reads off each loaded snapshot. Registry-sized collect:
