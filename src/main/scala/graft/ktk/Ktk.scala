@@ -4541,8 +4541,12 @@ object Ktk extends org.apache.spark.internal.Logging {
       md = DatasetMetadata.load(spark, base, uuid)
     }
     if (gcRetainVersions >= 0) {
-      garbageCollect(spark, base, uuid, gcRetainVersions,
-        consumerCheckpoints = consumerCheckpoints)
+      // the report form, not the Seq API: optimize discards the names, so
+      // a scheduler-driven pass after a compaction storm must not build a
+      // million-path Seq on the driver just to throw it away
+      garbageCollectReport(spark, base, uuid, gcRetainVersions,
+        consumerCheckpoints = consumerCheckpoints,
+        reportLimit = DefaultMaintenanceReportLimit)
       md = DatasetMetadata.load(spark, base, uuid)
     }
     md
