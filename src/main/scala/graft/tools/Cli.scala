@@ -113,15 +113,29 @@ object Cli {
     case "salvage" =>
       val acceptResurrection = args.contains("--accept-resurrection")
       val dry = args.contains("--dry-run")
-      val rep = Ktk.salvage(spark, args(1), args(2),
+      // the bounded report form: a storage incident must not stream a
+      // million damage lines through the terminal (full count reported)
+      val rep = Ktk.salvageReport(spark, args(1), args(2),
         acceptResurrection = acceptResurrection, dryRun = dry)
-      if (rep.isEmpty) println("nothing to salvage")
-      else rep.foreach { case (k, p) =>
-        println(s"${if (dry) "would drop" else "dropped"} $k $p") }
+      if (rep.droppedCount == 0) println("nothing to salvage")
+      else {
+        rep.dropped.foreach { case (k, p) =>
+          println(s"${if (dry) "would drop" else "dropped"} $k $p") }
+        if (rep.truncated)
+          println(s"... ${rep.droppedCount} references total " +
+            s"(listing the first ${rep.dropped.size})")
+      }
     case "cleanup" =>
       val dry = args.length > 3 && args(3) == "--dry-run"
-      Ktk.garbageCollect(spark, args(1), args(2), dryRun = dry)
-        .foreach(k => println(s"${if (dry) "would delete" else "deleted"} $k"))
+      // bounded report form, like salvage: counts always full, listing
+      // capped — a million-orphan reap stays a distributed job, not a
+      // million terminal lines
+      val rep = Ktk.garbageCollectReport(spark, args(1), args(2), dryRun = dry)
+      rep.reclaimed.foreach(k =>
+        println(s"${if (dry) "would delete" else "deleted"} $k"))
+      if (rep.truncated)
+        println(s"... ${rep.reclaimedCount} paths total " +
+          s"(listing the first ${rep.reclaimed.size})")
     case "compact" =>
       // optional 4th arg: condition string restricting the scope to
       // matching partitions ("p == a, q > 3")
