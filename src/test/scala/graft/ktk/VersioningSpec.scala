@@ -55,6 +55,37 @@ class VersioningSpec extends SparkSpec {
     head.isNullAt(6) shouldBe true // files_removed
   }
 
+  test("distributed history replays self-contained deltas like the driver walk") {
+    // a degraded writer's SELF-CONTAINED delta is a chain terminator that
+    // lives at the delta key: the record scan must treat its adds as the
+    // complete state (window [v, v]), exactly like loadVersion does
+    val base = tmpDir("histsc")
+    Ktk.store(spark, base, "ds", df1)        // v1 checkpoint
+    Ktk.update(spark, base, "ds", Some(df2)) // v2 delta
+    val md2 = DatasetMetadata.load(spark, base, "ds")
+    val fs = DatasetMetadata.fs(spark, base)
+    // an external vacuum destroys v1 AND v2 — the next commit degrades to
+    // a self-contained record; only v3+ remain listed
+    fs.delete(new Path(DatasetMetadata.versionKey(base, "ds", 1L)), false)
+    fs.delete(new Path(DatasetMetadata.versionDeltaKey(base, "ds", 2L)), false)
+    DatasetMetadata.invalidateCache(base, "ds")
+    DatasetMetadata.store(spark, base,
+      md2.copy(metadata = md2.metadata + ("who" -> "degraded")))
+    DatasetMetadata.invalidateCache(base, "ds")
+    Ktk.update(spark, base, "ds", Some(Seq((9L, "z")).toDF("k", "v"))) // v4 delta
+    def hist(threshold: Int): Seq[String] =
+      Ktk.history(spark, base, "ds", diffThreshold = threshold)
+        .collect().map(_.toString).toSeq
+    val driver = hist(Int.MaxValue)
+    hist(0) shouldBe driver
+    driver should have size 2 // v3 (self-contained) + v4
+    // the CDF planner rides the same scan: full-range feed parity too
+    def feed(threshold: Int): Seq[String] =
+      Ktk.readChangeFeed(spark, base, "ds", 3L, diffThreshold = threshold)
+        .collect().map(_.toString).sorted.toSeq
+    feed(0) shouldBe feed(Int.MaxValue)
+  }
+
   test("commits bump versions and snapshots accumulate") {
     val base = tmpDir("ver")
     val md1 = Ktk.store(spark, base, "ds", df1)
