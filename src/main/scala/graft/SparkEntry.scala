@@ -2816,7 +2816,12 @@ object SparkEntry {
 
     // -------------------------------------------------- maintenance ops
     "q_hash_dataset" -> ((s, dir) => {
-      Ktk.hashDataset(t(s, dir, "region"), Seq("r_regionkey"))
+      // the gate runs the PORTABLE md5 row hash so DuckDB replays the
+      // fingerprints bit-for-bit (exact oracle); the xxhash64 default is
+      // the production path, pinned by ScalaTest with planted data
+      val region = t(s, dir, "region")
+      Ktk.hashDataset(region, Seq("r_regionkey"),
+          hashExpr = Some(Ktk.md5RowHash(region)))
         .withColumn("r_regionkey", col("r_regionkey").cast("long"))
         .orderBy("r_regionkey")
     }),
@@ -3039,7 +3044,7 @@ object SparkEntry {
   // in-gate recall floors vs their exact twins), q_emb_neardup (in-gate
   // pair-recall floor vs q_emb_neardup_exact), q_emb_dedup_cc (exact twin
   // q_emb_dedup_cc_exact), q_semantic_dedup, q_cluster_sample,
-  // q_quality_model, q_hash_dataset (xxhash64), q_image_dedup /
+  // q_quality_model, q_image_dedup /
   // q_audio_dedup (JDK codec fixtures), q_ktk_fsck (fault-path fixture)
   // → rows-only check; their exact semantics are covered by ScalaTest
   // oracles with planted data.
@@ -4306,6 +4311,16 @@ object SparkEntry {
 
     "q_footer_stats" ->
       "SELECT count(*) AS total_rows FROM lineitem",
+
+    // twin of Ktk.md5RowHash + hashDataset's sum-fold: first 60 bits of
+    // md5 of the '|'-joined string casts, summed per group mod 2^63-1
+    "q_hash_dataset" ->
+      """SELECT CAST(r_regionkey AS BIGINT) AS r_regionkey,
+        |  CAST(SUM(CAST('0x' || substring(
+        |        md5(concat_ws('|', CAST(r_regionkey AS VARCHAR), r_name)),
+        |        1, 15) AS BIGINT))
+        |    % 9223372036854775807 AS BIGINT) AS hash
+        |FROM region GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_ktk_salvage" ->
       """SELECT o_orderstatus, count(*) AS cnt,

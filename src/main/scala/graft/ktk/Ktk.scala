@@ -2278,7 +2278,6 @@ object Ktk extends org.apache.spark.internal.Logging {
     val scan = new CommitRecordScan(spark, base, uuid, chainStarts,
       hasFullIn(recordNames))
     try {
-      val vMin = versions.min
       val vMax = versions.max
       val pres = scan.perVersionLabels
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -2321,12 +2320,18 @@ object Ktk extends org.apache.spark.internal.Logging {
           .collect()
         def optLong(r: Row, field: String): Option[Long] =
           Option(r.getAs[java.lang.Long](field)).map(_.toLong)
+        val retained = versions.toSet
         val rows = joined.toSeq.map { r =>
           val v = r.getAs[Long]("version")
-          // the oldest retained version after a gc has an unknown parent —
-          // its metrics report null, like the driver walk (v1 diffs
-          // against the empty dataset: all its labels count as added)
-          val parentKnown = v == 1L || v > vMin
+          // a version whose parent (v-1) is NOT retained has an unknown
+          // parent — its metrics report null, like the driver walk
+          // (`prev.filter(_.version == v - 1)`). Membership, not `> vMin`:
+          // retained versions need not be contiguous — a middle version's
+          // records can be vacuumed while a later checkpoint keeps later
+          // versions loadable, and the lag/lead diff would otherwise count
+          // every surviving label as added at the post-gap version (v1
+          // diffs against the empty dataset: all its labels count added)
+          val parentKnown = v == 1L || retained.contains(v - 1)
           val fAdd = if (parentKnown) Some(optLong(r, "files_added").getOrElse(0L)) else None
           val fDel = if (parentKnown) Some(optLong(r, "files_removed").getOrElse(0L)) else None
           val bAdd = if (parentKnown) Some(optLong(r, "bytes_added").getOrElse(0L)) else None
@@ -4114,12 +4119,19 @@ object Ktk extends org.apache.spark.internal.Logging {
   private def orphanLimit(spark: SparkSession): Int = {
     val key = "spark.graft.fsck.orphanLimit"
     spark.conf.getOption(key).map { s =>
-      try s.trim.toInt
-      catch {
-        case e: NumberFormatException =>
-          throw new IllegalArgumentException(
-            s"invalid $key='$s': must be an integer row cap", e)
-      }
+      val cap =
+        try s.trim.toInt
+        catch {
+          case e: NumberFormatException =>
+            throw new IllegalArgumentException(
+              s"invalid $key='$s': must be an integer row cap", e)
+        }
+      // zero/negative caps would make the two fsck modes diverge (the
+      // driver path previews empty; the distributed path's .limit(cap)
+      // throws mid-audit) — reject up front, same style as the parse error
+      if (cap <= 0) throw new IllegalArgumentException(
+        s"invalid $key=$cap: must be a positive row cap")
+      cap
     }.getOrElse(DefaultMaintenanceReportLimit * 10)
   }
 
@@ -4293,10 +4305,19 @@ object Ktk extends org.apache.spark.internal.Logging {
                 val d = m.readValue(in: java.io.InputStream, classOf[VersionDelta])
                 val seqs = Option(d.addSeq).getOrElse(Map.empty[String, Long])
                   .asInstanceOf[Map[String, Any]]
-                Option(d.adds).getOrElse(Map.empty[String, Long])
+                val addSizes = Option(d.adds).getOrElse(Map.empty[String, Long])
                   .asInstanceOf[Map[String, Any]]
-                  .iterator.map { case (l, s) =>
-                    (rv, "label", l, true, widen(s),
+                // applyDelta folds adds and addSeq into the snapshot
+                // INDEPENDENTLY, so the delta format permits a seq change
+                // without a size change (or vice versa) — iterate the
+                // UNION of both keysets, each side falling back to the
+                // other map or 0, so a seq-only entry still lands a label
+                // row instead of being silently dropped (which would
+                // misclassify rewrites in the distributed CDF's seq<=hwm
+                // detection if a future writer ever split the two maps)
+                (addSizes.keySet ++ seqs.keySet).iterator.map { l =>
+                    (rv, "label", l, true,
+                      addSizes.get(l).map(widen).getOrElse(0L),
                       seqs.get(l).map(widen).getOrElse(0L)) }.toSeq ++
                   Option(d.removes).getOrElse(Nil).map((rv, "label", _, false, 0L, 0L)) ++
                   sidecars(rv, Option(d.deletes).getOrElse(Nil),
@@ -4958,11 +4979,31 @@ object Ktk extends org.apache.spark.internal.Logging {
     * order-independent per-group sum of row hashes, accumulated in decimal
     * so ANSI mode cannot overflow, folded back to one long.
     */
-  def hashDataset(df: DataFrame, groupKeys: Seq[String]): DataFrame = {
+  def hashDataset(df: DataFrame, groupKeys: Seq[String],
+      hashExpr: Option[Column] = None): DataFrame = {
     val payload = df.columns.toSeq
-    val h = xxhash64(payload.map(c => col(s"`$c`")): _*).cast("decimal(38,0)")
+    // default per-row hash: codegen'd xxhash64 over the raw column values
+    // (no serialization cost). `hashExpr` swaps in any other non-negative
+    // long-valued row hash — e.g. [[md5RowHash]], whose string-serialized
+    // form replays bit-for-bit in engines without xxhash64
+    val h = hashExpr
+      .getOrElse(xxhash64(payload.map(c => col(s"`$c`")): _*))
+      .cast("decimal(38,0)")
     val folded = pmod(sum(h), lit(Long.MaxValue).cast("decimal(38,0)")).cast("long").as("hash")
     if (groupKeys.isEmpty) df.agg(folded)
     else df.groupBy(groupKeys.map(c => col(s"`$c`")): _*).agg(folded)
+  }
+
+  /** Portable per-row hash for [[hashDataset]]'s `hashExpr`: the first 60
+    * bits of `md5("|"-joined string casts of every column)` as a
+    * non-negative long. Unlike the xxhash64 default this serializes
+    * through strings, so any engine with `md5` + hex→int reproduces it
+    * exactly (DuckDB: `CAST('0x'||substring(md5(concat_ws(...)),1,15) AS
+    * BIGINT)`); the cost is the string materialization, so the default
+    * stays xxhash64 for production fingerprints.
+    */
+  def md5RowHash(df: DataFrame): Column = {
+    val s = concat_ws("|", df.columns.toSeq.map(c => col(s"`$c`").cast("string")): _*)
+    conv(substring(md5(s), 1, 15), 16, 10).cast("long")
   }
 }

@@ -210,6 +210,56 @@ class GcDistributedSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.fsck.orphanLimit")
   }
 
+  test("commit-record scan emits label rows for addSeq-only delta entries") {
+    // applyDelta folds adds and addSeq into the snapshot INDEPENDENTLY, so
+    // the delta FORMAT permits a seq change without a size change. Today's
+    // writer always pairs them (labels are immutable files), but the scan
+    // must iterate the UNION of both keysets — a seq-only entry that
+    // silently dropped would misclassify rewrites in the distributed CDF's
+    // seq<=hwm detection if a future writer ever split the maps
+    val base = tmpDir("gcseqonly")
+    Ktk.store(spark, base, "ds", Seq((1L, "x")).toDF("k", "v"))
+    val md = DatasetMetadata.load(spark, base, "ds")
+    val label = md.partitions.keys.head
+    val delta = VersionDelta(uuid = "ds", parent = 1L,
+      addSeq = Map(label -> 7L), schemaJson = md.schemaJson)
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    m.registerModule(com.fasterxml.jackson.module.scala.DefaultScalaModule)
+    val fs = DatasetMetadata.fs(spark, base)
+    val out = fs.create(
+      new Path(DatasetMetadata.versionDeltaKey(base, "ds", 2L)), false)
+    out.write(m.writeValueAsBytes(delta)); out.close()
+    DatasetMetadata.invalidateCache(base, "ds")
+    val scan = new Ktk.CommitRecordScan(spark, base, "ds",
+      chainStarts = Seq((2L, 1L)), hasFull = v => v == 1L)
+    try {
+      val rows = scan.recRows.filter("rv = 2 AND kind = 'label'").collect()
+      rows should have size 1
+      rows.head.getString(2) shouldBe label
+      rows.head.getBoolean(3) shouldBe true
+      rows.head.getLong(4) shouldBe 0L // size falls back to the other map / 0
+      rows.head.getLong(5) shouldBe 7L // the seq-only entry survives
+    } finally scan.close()
+  }
+
+  test("non-positive orphanLimit fails loudly in both modes, naming the key") {
+    // a zero/negative cap would make the modes diverge (driver previews
+    // empty; distributed .limit(cap) throws mid-audit) — reject up front
+    val base = tmpDir("gcorphneg")
+    seed(base)
+    try {
+      for (bad <- Seq("0", "-3")) {
+        spark.conf.set("spark.graft.fsck.orphanLimit", bad)
+        for (threshold <- Seq(Int.MaxValue, 0)) {
+          val err = intercept[IllegalArgumentException] {
+            Ktk.fsck(spark, base, "ds", diffThreshold = threshold).count()
+          }
+          err.getMessage should include("spark.graft.fsck.orphanLimit")
+        }
+      }
+    } finally spark.conf.unset("spark.graft.fsck.orphanLimit")
+  }
+
   test("malformed audit-threshold conf fails loudly, naming the key") {
     val base = tmpDir("gcbadconf")
     seed(base)

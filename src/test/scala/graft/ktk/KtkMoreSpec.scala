@@ -82,6 +82,26 @@ class KtkMoreSpec extends SparkSpec {
     Ktk.hashDataset(c, Nil).head.getLong(0) should not be ha
   }
 
+  test("md5RowHash reproduces the engine-portable fingerprint bit-for-bit") {
+    // the portable variant (q_hash_dataset's oracle form): first 60 bits
+    // of md5 of the '|'-joined string casts — recompute via JDK
+    // MessageDigest and match the full hashDataset fold
+    val df = Seq((1, "x"), (2, "y")).toDF("k", "v")
+    def jdk(row: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(row.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16)
+    }
+    val want = (jdk("1|x") + jdk("2|y")) % Long.MaxValue
+    val got = Ktk.hashDataset(df, Nil, hashExpr = Some(Ktk.md5RowHash(df)))
+      .head.getLong(0)
+    got shouldBe want
+    // and the variant stays order-invariant like the default
+    val rev = Seq((2, "y"), (1, "x")).toDF("k", "v")
+    Ktk.hashDataset(rev, Nil, hashExpr = Some(Ktk.md5RowHash(rev)))
+      .head.getLong(0) shouldBe want
+  }
+
   test("addZoneMaps retrofits skipping onto an existing dataset") {
     val base = tmpDir("zones")
     val df = (0 until 90).map(i => (i / 30, i.toLong, i * 2.0)).toDF("p", "k", "x")

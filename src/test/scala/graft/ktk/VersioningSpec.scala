@@ -86,6 +86,43 @@ class VersioningSpec extends SparkSpec {
     feed(0) shouldBe feed(Int.MaxValue)
   }
 
+  test("distributed history nulls metrics across a retained-version gap like the driver walk") {
+    // a MIDDLE version's records externally vacuumed while the versions on
+    // both sides stay loadable (v1 checkpoint survives; v3 degraded to a
+    // self-contained record): retained versions are {1, 3} — NOT
+    // contiguous. The driver walk diffs v3 against prev.filter(_.version
+    // == 2) = None → null metrics; the distributed path must gate on
+    // actual retained density (contains(v-1)), not v > vMin, or every
+    // surviving label would count as files_added at v3
+    val base = tmpDir("histgap")
+    Ktk.store(spark, base, "ds", df1)        // v1 checkpoint
+    Ktk.update(spark, base, "ds", Some(df2)) // v2 delta
+    val md2 = DatasetMetadata.load(spark, base, "ds")
+    val fs = DatasetMetadata.fs(spark, base)
+    // vacuum ONLY v2's record; v1 stays. The next commit finds its parent
+    // chain unreadable and degrades to a self-contained v3
+    fs.delete(new Path(DatasetMetadata.versionDeltaKey(base, "ds", 2L)), false)
+    DatasetMetadata.invalidateCache(base, "ds")
+    DatasetMetadata.store(spark, base,
+      md2.copy(metadata = md2.metadata + ("who" -> "degraded")))
+    DatasetMetadata.invalidateCache(base, "ds")
+    Ktk.listVersions(spark, base, "ds") shouldBe Seq(1L, 3L)
+    def hist(threshold: Int) =
+      Ktk.history(spark, base, "ds", diffThreshold = threshold)
+        .orderBy("version").collect().toSeq
+    val driver = hist(Int.MaxValue)
+    driver.map(_.toString) shouldBe hist(0).map(_.toString)
+    driver should have size 2
+    // v1 diffs against the empty dataset: metrics known
+    driver.head.isNullAt(5) shouldBe false
+    // v3's parent (v2) is not retained: files_added/removed/bytes_added null
+    val v3 = driver.last
+    v3.getLong(0) shouldBe 3L
+    v3.isNullAt(5) shouldBe true  // files_added
+    v3.isNullAt(6) shouldBe true  // files_removed
+    v3.isNullAt(7) shouldBe true  // bytes_added
+  }
+
   test("commits bump versions and snapshots accumulate") {
     val base = tmpDir("ver")
     val md1 = Ktk.store(spark, base, "ds", df1)
