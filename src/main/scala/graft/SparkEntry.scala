@@ -2573,6 +2573,11 @@ object SparkEntry {
           |FROM gmeta.default.lineitem.partitions ORDER BY l_returnflag""".stripMargin)
       require(parts.collect().forall(r => r.getLong(1) > 0 && r.getLong(2) > 0),
         "every listed partition carries live files and bytes")
+      // the integrity tier rides the same 4-part names: a clean dataset
+      // audits zero orphan rows through `.orphans` (bounded fsck view)
+      require(s.sql("SELECT count(*) FROM gmeta.default.lineitem.orphans")
+        .head.getLong(0) == 0L,
+        "a clean dataset must audit zero orphans through SQL")
       parts.select("l_returnflag")
     }),
 

@@ -85,14 +85,57 @@ object Decontamination {
     * n-gram path. Cost is corpus × bench cosines map-side: fine for
     * eval-suite-sized benchmarks; pre-filter the benchmark, not the
     * corpus, if it ever grows.
+    *
+    * Per-pair cost is bounded by a PREFIX-BOUND prefilter: each side
+    * precomputes (once per ROW, not per pair) its unit-normalized first
+    * `prefilterDims` components and the residual norm of the remaining
+    * dimensions. By Cauchy–Schwarz on the suffixes,
+    * `cos(a,b) <= dot(prefixA, prefixB) + residualA*residualB`, so a pair
+    * whose bound is already below `minCosine` skips the full O(d) cosine —
+    * an unrolled `prefilterDims`-term conjunct (codegen'd, short-circuit
+    * AND) ahead of it. How much it prunes depends on how much embedding
+    * energy the leading dims carry (PCA-rotated embeddings prune best);
+    * it can only cut cost, never change the answer (an epsilon guard
+    * keeps float-rounding from dropping borderline true pairs, and
+    * vectors shorter than the prefix bypass the bound entirely).
     */
   def semanticContaminationReport(
       corpus: DataFrame, idCol: String, vecCol: String,
       bench: DataFrame, benchVecCol: String,
-      minCosine: Double): DataFrame = {
-    val b = broadcast(bench.select(col(benchVecCol).as("__bv")))
-    corpus.select(col(idCol), col(vecCol).as("__cv"))
-      .join(b, graft.ops.Similarity.cosine(col("__cv"), col("__bv")) >= minCosine)
+      minCosine: Double, prefilterDims: Int = 8): DataFrame = {
+    val k = prefilterDims
+    val fullCos =
+      graft.ops.Similarity.cosine(col("__cv"), col("__bv")) >= minCosine
+    if (k <= 0) { // prefilter disabled: the bare BNLJ (the pre-r14 shape)
+      val b = broadcast(bench.select(col(benchVecCol).as("__bv")))
+      return corpus.select(col(idCol), col(vecCol).as("__cv"))
+        .join(b, fullCos)
+        .groupBy(idCol).agg(
+          count(lit(1)).as("n_matches"),
+          max(graft.ops.Similarity.cosine(col("__cv"), col("__bv"))).as("max_cos"))
+    }
+    // unit-normalized K-prefix + suffix residual, computed once per row
+    def prep(v: Column, prefix: String): Seq[Column] = {
+      val n = graft.ops.Similarity.norm(v)
+      val pre = transform(slice(v, 1, k), x => x / n)
+      val preSq = aggregate(pre, lit(0.0), (acc, x) => acc + x * x)
+      Seq(pre.as(s"__${prefix}p"),
+        sqrt(greatest(lit(0.0), lit(1.0) - preSq)).as(s"__${prefix}r"))
+    }
+    val b = broadcast(bench.select(
+      col(benchVecCol).as("__bv") +: prep(col(benchVecCol), "b"): _*))
+    val c = corpus.select(
+      col(idCol) +: col(vecCol).as("__cv") +: prep(col(vecCol), "c"): _*)
+    // unrolled prefix dot (element_at stays in whole-stage codegen; the
+    // array HOFs above are per-row precompute, not per-pair)
+    val preDot = (1 to k).map(i =>
+      element_at(col("__cp"), i) * element_at(col("__bp"), i)).reduce(_ + _)
+    val bound = preDot + col("__cr") * col("__br")
+    // short vectors carry a null/partial prefix — bypass the bound for
+    // them; 1e-6 slack keeps float rounding from dropping borderline pairs
+    val pass = (size(col("__cv")) < k) || (size(col("__bv")) < k) ||
+      (bound >= minCosine - 1e-6)
+    c.join(b, pass && fullCos)
       .groupBy(idCol).agg(
         count(lit(1)).as("n_matches"),
         max(graft.ops.Similarity.cosine(col("__cv"), col("__bv"))).as("max_cos"))

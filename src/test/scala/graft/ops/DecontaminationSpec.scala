@@ -89,4 +89,38 @@ class DecontaminationSpec extends SparkSpec {
     val plan = rep.queryExecution.executedPlan.toString
     plan should include("BroadcastNestedLoopJoin")
   }
+
+  test("semantic prefix-bound prefilter never changes the answer") {
+    // 16-dim vectors (longer than the 8-dim prefix): energy in the TAIL
+    // dims so the prefix bound is loose for true pairs (the dangerous
+    // direction — an over-tight bound would drop them), plus a borderline
+    // pair sitting near the threshold and prefix-heavy non-pairs the
+    // bound prunes early
+    val rng = new scala.util.Random(7)
+    def vec(seed: Array[Float]): Array[Float] =
+      seed ++ Array.fill(16 - seed.length)(rng.nextFloat() * 0.05f)
+    val base = Array.fill(16)(rng.nextFloat())
+    val near = base.clone(); near(15) = near(15) + 0.02f // cosine ≈ 1
+    val corpus = (Seq(
+      (1L, base), (2L, near),
+      (3L, vec(Array(1f, 0f))), (4L, vec(Array(0.9f, 0.1f)))
+    ) ++ (5L to 40L).map(i => i -> Array.fill(16)(rng.nextFloat() - 0.5f)))
+      .toDF("doc_id", "vec")
+    val bench = Seq(Tuple1(base), Tuple1(vec(Array(0f, 1f)))).toDF("bvec")
+    for (threshold <- Seq(0.5, 0.9, 0.99)) {
+      def run(k: Int) = Decontamination.semanticContaminationReport(
+          corpus, "doc_id", "vec", bench, "bvec", minCosine = threshold,
+          prefilterDims = k)
+        .orderBy("doc_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          math.round(r.getDouble(2) * 1e6))).toSeq
+      withClue(s"threshold=$threshold: ") {
+        run(8) shouldBe run(0) // prefiltered ≡ bare BNLJ, bit for bit
+      }
+    }
+    // the identical-direction pair survives the tightest threshold
+    Decontamination.semanticContaminationReport(
+        corpus, "doc_id", "vec", bench, "bvec", minCosine = 0.99)
+      .select("doc_id").as[Long].collect().toSet should contain(1L)
+  }
 }

@@ -554,4 +554,46 @@ class GraftCatalogSpec extends SparkSpec {
       intercept[Exception] { spark.sql(s"SELECT * FROM $gk.default.absent.files").collect() }
     }
   }
+
+  test("metadata tables: audit and orphans surface the bounded fsck report") {
+    withCatalog { (gk, base) =>
+      Ktk.store(spark, base, "au",
+        Seq((1L, "a"), (2L, "b")).toDF("k", "p"), partitionOn = Seq("p"))
+      // a clean tree audits clean through SQL
+      spark.sql(s"SELECT count(*) FROM $gk.default.au.audit")
+        .as[Long].head() shouldBe 0L
+      spark.sql(s"SELECT count(*) FROM $gk.default.au.orphans")
+        .as[Long].head() shouldBe 0L
+      // plant two orphan data files
+      val md = DatasetMetadata.load(spark, base, "au")
+      val fs = DatasetMetadata.fs(spark, base)
+      for (n <- Seq("stray1", "stray2")) {
+        val out = fs.create(
+          new org.apache.hadoop.fs.Path(s"${md.tableDir(base)}/p=a/$n.parquet"), true)
+        out.write(1); out.close()
+      }
+      val orph = spark.sql(
+        s"SELECT kind, path FROM $gk.default.au.orphans ORDER BY path")
+        .as[(String, String)].collect().toSeq
+      orph.map(_._1) shouldBe Seq("orphan_file", "orphan_file")
+      orph.map(_._2).forall(_.contains("stray")) shouldBe true
+      // .audit carries the same rows (it is the full report)
+      spark.sql(s"SELECT count(*) FROM $gk.default.au.audit WHERE kind = 'orphan_file'")
+        .as[Long].head() shouldBe 2L
+      // the SQL view honors the same cap + overflow contract as CALL fsck
+      try {
+        spark.conf.set("spark.graft.fsck.orphanLimit", "1")
+        val capped = spark.sql(
+          s"SELECT kind, version FROM $gk.default.au.orphans ORDER BY kind")
+          .as[(String, Long)].collect().toSeq
+        capped.map(_._1) shouldBe Seq("orphan_file", "orphan_overflow")
+        capped.last._2 shouldBe 2L // full count rides the overflow row
+      } finally spark.conf.unset("spark.graft.fsck.orphanLimit")
+      // audits run against LIVE storage: time travel is refused loudly
+      val err = intercept[Exception] {
+        spark.sql(s"SELECT * FROM $gk.default.au.orphans VERSION AS OF 1").collect()
+      }
+      err.getMessage should include("cannot time-travel")
+    }
+  }
 }

@@ -4,20 +4,30 @@ times against the checked-in bands file and emit the in-band / regressed
 table that NOTES used to hand-write.
 
 Usage:
-  python3 tools/bench_adjudicate.py BENCH_r13.json            # adjudicate
-  python3 tools/bench_adjudicate.py --rebuild BENCH_r10.json BENCH_r11.json \
-      BENCH_r12.json                                          # refresh bands
+  python3 tools/bench_adjudicate.py BENCH_r14.json            # adjudicate
+  python3 tools/bench_adjudicate.py --raw BENCH_r14.json      # no normalize
+  python3 tools/bench_adjudicate.py --rebuild run1.json run2.json ...
+      # refresh bands (quiet-window runs ONLY — see below)
 
 Band semantics (tools/bench_bands.json):
   {query: {"lo": s, "hi": s, "pin": s?, "note": str?}}
-  - lo/hi: the min/max driver-window seconds observed across the rebuild
+  - lo/hi: the min/max QUIET-WINDOW seconds observed across the rebuild
     inputs, widened to contain any quiet isolated pin ("pin", the min-of-5
     run-alone number NOTES records — the reference when host noise is
-    suspected).
-  - A query REGRESSES when its time exceeds hi * 1.2 (the threshold the
-    judge grades at); between hi and hi*1.2 it is WATCH (host noise or a
-    small real cost — compare against the pin); below lo*0.8 it IMPROVED
-    (refresh the band so future drift is visible).
+    suspected). Bands are quiet-only since r14: host-load noise is divided
+    out at adjudication time instead of being baked into wide bands.
+  - A query REGRESSES when its (load-normalized) time exceeds hi * 1.2
+    (the threshold the judge grades at); between hi and hi*1.2 it is WATCH
+    (compare against the pin); below lo*0.8 it IMPROVED (refresh the band
+    so future drift is visible).
+
+Load normalization: the host is a shared microVM whose windows inflate
+every query together (r9: untouched queries drifted 1.2-1.7x in lockstep).
+Since r14 the adjudicator estimates the window factor from CONTROL queries
+— stable, code-rarely-touched gates with quiet isolated pins — as
+median(t_control / pin_control), clamped to >= 1, and divides ALL times by
+it before band comparison. A real single-query regression survives this
+(controls don't move with it); a loaded window cancels out. --raw disables.
 
 Exit code 1 when any query regresses, so a driver/CI wrapper surfaces it.
 
@@ -25,14 +35,24 @@ BENCH files come in two shapes: the driver's wrapper
 ({"tail": "<truncated stdout>", "parsed": null, ...}) where per-query
 times must be regexed out of the (possibly mid-number truncated) tail, and
 a raw one-line {"queries": {...}} JSON. Both are handled; a query whose
-number was cut by the truncation is dropped, never misparsed.
+number was cut by the truncation is dropped, never misparsed. When the
+wrapper's tail is truncated, graft.Bench's complete sidecar
+(BENCH_FULL.json next to the wrapper) is preferred AFTER cross-checking
+that every query surviving in the tail agrees with it — a stale sidecar
+from another run never silently substitutes.
 """
 import json
+import os
 import re
+import statistics
 import sys
 
 BANDS_PATH = __file__.rsplit("/", 1)[0] + "/bench_bands.json"
 QUERY_RE = re.compile(r'"(q[_0-9a-zA-Z]+)":([0-9]+\.[0-9]+)[,}]')
+# stable scan/sort-shaped gates in files that rarely change; each carries a
+# quiet isolated pin in the bands file
+CONTROLS = ["q_sort", "q_dsv2_scan", "q_ktk_pushdown"]
+SIDECAR = "BENCH_FULL.json"
 
 
 def load_times(path):
@@ -46,7 +66,46 @@ def load_times(path):
     tail = data.get("tail", "")
     # trailing [,}] in the regex rejects numbers cut mid-digit by the
     # driver's tail truncation — a half number must drop, not misparse
-    return {m.group(1): float(m.group(2)) for m in QUERY_RE.finditer(tail)}
+    times = {m.group(1): float(m.group(2)) for m in QUERY_RE.finditer(tail)}
+    # prefer Bench's complete sidecar over the truncated tail, but only
+    # when every tail-surviving query matches it (same-run guard)
+    side = os.path.join(os.path.dirname(path) or ".", SIDECAR)
+    if os.path.exists(side):
+        try:
+            with open(side) as f:
+                full = {k: float(v)
+                        for k, v in json.load(f)["queries"].items()}
+        except (json.JSONDecodeError, KeyError, ValueError):
+            full = None
+        if full:
+            shared = set(times) & set(full)
+            agree = shared and all(
+                abs(times[q] - full[q]) <= 1e-9 * max(1.0, abs(times[q]))
+                for q in shared)
+            if agree and len(full) >= len(times):
+                print(f"(using {SIDECAR}: {len(full)} queries; tail had "
+                      f"{len(times)}, all {len(shared)} shared agree)")
+                return full
+            print(f"WARNING: {SIDECAR} disagrees with the tail or is "
+                  f"smaller — ignoring it (stale run?)")
+    return times
+
+
+def window_factor(times, bands):
+    """Host-load factor from the control queries' quiet pins; 1.0 when
+    undeterminable. Clamped to >= 1 so a fast window never inflates."""
+    ratios = []
+    for q in CONTROLS:
+        pin = bands.get(q, {}).get("pin")
+        if pin and q in times:
+            ratios.append(times[q] / pin)
+    if not ratios:
+        return 1.0, "no control pins — normalization skipped"
+    f = statistics.median(ratios)
+    detail = ", ".join(f"{q}={times[q] / bands[q]['pin']:.2f}x"
+                       for q in CONTROLS
+                       if q in times and "pin" in bands.get(q, {}))
+    return max(1.0, f), f"controls: {detail} -> factor {max(1.0, f):.3f}"
 
 
 def rebuild(paths):
@@ -77,15 +136,19 @@ def rebuild(paths):
           f"to {BANDS_PATH}")
 
 
-def adjudicate(path):
+def adjudicate(path, normalize=True):
     times = load_times(path)
     if not times:
         print(f"no per-query times parseable from {path}")
         return 2
     with open(BANDS_PATH) as f:
         bands = json.load(f)
+    factor, note = (1.0, "--raw") if not normalize \
+        else window_factor(times, bands)
+    print(f"load normalization: {note}")
     rows = []
-    for q, t in sorted(times.items()):
+    for q, raw in sorted(times.items()):
+        t = raw / factor
         b = bands.get(q)
         if b is None:
             rows.append((q, t, None, "NEW (no band — rebuild after review)"))
@@ -100,7 +163,7 @@ def adjudicate(path):
             rows.append((q, t, b, "in band"))
     order = {"R": 0, "N": 1, "w": 2, "i": 3}
     rows.sort(key=lambda r: (order.get(r[3][0], 4), r[0]))
-    print(f"| query | sec | band | verdict |")
+    print(f"| query | sec (norm) | band | verdict |")
     print(f"|---|---|---|---|")
     interesting = 0
     for q, t, b, verdict in rows:
@@ -131,4 +194,6 @@ if __name__ == "__main__":
     if args[0] == "--rebuild":
         rebuild(args[1:])
         sys.exit(0)
+    if args[0] == "--raw":
+        sys.exit(adjudicate(args[1], normalize=False))
     sys.exit(adjudicate(args[0]))
