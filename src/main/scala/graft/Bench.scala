@@ -24,7 +24,12 @@ object Bench {
     // local-iteration filter (unset for driver runs → all queries)
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty[String])
-    if (only.isEmpty) SparkEntry.warmup(spark, sfDir)
+    // filtered runs skip warmup for iteration speed — EXCEPT when taking
+    // quiet pins (SPARK_GRAFT_BENCH_WARM=1), where the number must be
+    // comparable to in-suite times (no-warmup inflates scan-shaped micro
+    // queries ~2x: q_sort 0.183 cold vs 0.111 in-suite, r14)
+    if (only.isEmpty || sys.env.get("SPARK_GRAFT_BENCH_WARM").contains("1"))
+      SparkEntry.warmup(spark, sfDir)
     val errors = scala.collection.mutable.LinkedHashSet.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.isEmpty || only(name) }

@@ -92,19 +92,23 @@ def load_times(path):
 
 
 def window_factor(times, bands):
-    """Host-load factor from the control queries' quiet pins; 1.0 when
-    undeterminable. Clamped to >= 1 so a fast window never inflates."""
-    ratios = []
-    for q in CONTROLS:
-        pin = bands.get(q, {}).get("pin")
-        if pin and q in times:
-            ratios.append(times[q] / pin)
+    """Host-load factor from the control queries, each measured against its
+    QUIET-WINDOW floor (band lo, which since r14 is built from quiet runs
+    only; an isolated pin can sit above the in-suite floor for scan-shaped
+    micro queries, so the floor is min(lo, pin)). 1.0 when undeterminable.
+    Clamped to >= 1 so a fast window never inflates anything."""
+    def floor(q):
+        b = bands.get(q, {})
+        lo = b.get("lo")
+        if lo is None:
+            return None
+        return min(lo, b["pin"]) if "pin" in b else lo
+    ratios = {q: times[q] / floor(q)
+              for q in CONTROLS if q in times and floor(q)}
     if not ratios:
-        return 1.0, "no control pins — normalization skipped"
-    f = statistics.median(ratios)
-    detail = ", ".join(f"{q}={times[q] / bands[q]['pin']:.2f}x"
-                       for q in CONTROLS
-                       if q in times and "pin" in bands.get(q, {}))
+        return 1.0, "no control bands — normalization skipped"
+    f = statistics.median(list(ratios.values()))
+    detail = ", ".join(f"{q}={r:.2f}x" for q, r in ratios.items())
     return max(1.0, f), f"controls: {detail} -> factor {max(1.0, f):.3f}"
 
 
