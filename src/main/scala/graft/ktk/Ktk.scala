@@ -2807,7 +2807,6 @@ object Ktk extends org.apache.spark.internal.Logging {
     //    failed writes); since we never list, they can never be resurrected
     //    into the commit, and commit cost is O(batch) regardless of how many
     //    historical files the dataset holds.
-    val referenced = md.partitions.keySet
     // additive evolution (Delta mergeSchema semantics): new columns append
     // as nullable — old files simply lack them and the explicit-schema read
     // fills nulls. Registered sidecar columns must still arrive: their
@@ -2861,56 +2860,135 @@ object Ktk extends org.apache.spark.internal.Logging {
             "the source rows must all match the REPLACE WHERE / PARTITION clause")
     }
 
-    // dynamic partition overwrite: drop exactly the existing files whose
-    // partition tuple the batch re-wrote (derived from the appended labels
-    // — partition-count-sized, label parsing only, no extra job)
-    val dropped: Set[String] =
-      if (!effDynamic) deleted
-      else {
-        val touched = newLabels.map(md.partitionValues)
-        referenced.filter(l => touched.contains(md.partitionValues(l)))
+    // 3. commit tail, parameterized by the PARENT snapshot: drop scope,
+    //    incremental sidecar merges, snapshot assembly, versioned store.
+    //    Parameterized so a lost PURE-APPEND race retries the metadata
+    //    commit ONLY against the freshly reloaded parent — the batch's
+    //    data files are content-complete and parent-independent, so
+    //    re-running the whole update (the withCommitRetries shape) would
+    //    rewrite the batch and orphan the first attempt: O(batch) wasted
+    //    I/O per lost race, the dominant retry cost at scale. Deletes /
+    //    overwrites still re-run wholesale — their scope is derived FROM
+    //    the parent and must be re-decided, never mechanically replayed.
+    def commitTail(parent: DatasetMetadata, deletedNow: Set[String]): DatasetMetadata = {
+      val refs = parent.partitions.keySet
+      // dynamic partition overwrite: drop exactly the existing files whose
+      // partition tuple the batch re-wrote (derived from the appended labels
+      // — partition-count-sized, label parsing only, no extra job)
+      val dropped: Set[String] =
+        if (!effDynamic) deletedNow
+        else {
+          val touched = newLabels.map(parent.partitionValues)
+          refs.filter(l => touched.contains(parent.partitionValues(l)))
+        }
+      // schema re-derived against THIS parent (a concurrent commit may
+      // have evolved it since the batch was validated pre-write); an
+      // incompatibility found on retry fails loudly like first-attempt
+      val evolvedNow: StructType = newData match {
+        case Some(df) if evolveSchema =>
+          SchemaUtil.evolveSchemas(parent.schema,
+            SchemaUtil.normalizeSchema(df.schema, parent.partitionKeys))
+        case Some(df) if parent.version != md.version =>
+          SchemaUtil.validateCompatible(parent.schema,
+            SchemaUtil.normalizeSchema(df.schema, parent.partitionKeys))
+          parent.schema
+        case _ => evolvedSchema
       }
-    val finalPartitions: Map[String, Long] =
-      referenced.filterNot(dropped.contains).map(l => l -> md.sizeOf(l)).toMap ++ newFiles
-    val nextSeq = nextMonotoneSeq(md)
-    val finalSeq = finalPartitions.keys.map { l =>
-      l -> (if (newLabels.contains(l)) nextSeq else md.seqOf(l))
-    }.toMap
+      val finalPartitions: Map[String, Long] =
+        refs.filterNot(dropped.contains).map(l => l -> parent.sizeOf(l)).toMap ++ newFiles
+      val nextSeq = nextMonotoneSeq(parent)
+      val finalSeq = finalPartitions.keys.map { l =>
+        l -> (if (newLabels.contains(l)) nextSeq else parent.seqOf(l))
+      }.toMap
+      // incremental index merge (≙ update_indices, io_components/write.py:283-309):
+      // keep surviving labels of the old index, union the new files' pairs.
+      // Zone and bloom sidecars merge the same way; canonical rewrites land
+      // in fresh version-addressed dirs whose names commit with the blob.
+      // append-only sidecar maintenance: only meaningful with no deletes —
+      // after a delete the canonical merge must drop the dead labels' rows so
+      // loadIndex/observedValues stay exact (queryLabels alone would tolerate
+      // stale labels via its live-partition intersection)
+      val appendOnly = appendSidecars && dropped.isEmpty
+      val survivingOld = finalPartitions.keys.toSeq.filter(refs.contains)
+      val idxReg = mergeIndicesIncremental(spark, base, parent, tableDir,
+        survivingOld = survivingOld, newLabels = newLabels.toSeq, appendOnly = appendOnly)
+      val bloomReg = mergeBloomsIncremental(spark, base, parent, tableDir,
+        survivingOld = survivingOld, newLabels = newLabels.toSeq, appendOnly = appendOnly)
+      val zoneReg = mergeZonesIncremental(spark, base, parent, tableDir,
+        survivingOld = survivingOld, newLabels = newLabels.toSeq, appendOnly = appendOnly)
+      val sortMeta =
+        if (sortBy.isEmpty) Map.empty[String, String]
+        else Map(DatasetMetadata.SortByKey -> sortBy.mkString(","))
+      val md1 = parent.copy(partitions = finalPartitions, partitionSeq = finalSeq,
+        schemaJson = evolvedNow.json,
+        indices = idxReg, blooms = bloomReg, zones = zoneReg,
+        // a full content replacement also sheds pending deletion vectors —
+        // every file they tombstone just left the referenced set
+        deletes = if (effReplaceAll) Nil else parent.deletes,
+        metadata = parent.metadata ++ extraMetadata ++ sortMeta +
+          (DatasetMetadata.SeqHwmKey -> nextSeq.toString))
+      DatasetMetadata.store(spark, base, md1, parentMd = Some(parent),
+        operation =
+          if (effReplaceAll) "OVERWRITE"
+          else if (newData.isEmpty) "DELETE SCOPE" else "WRITE")
+    }
 
-    // 3. incremental index merge (≙ update_indices, io_components/write.py:283-309):
-    //    keep surviving labels of the old index, union the new files' pairs.
-    //    Zone and bloom sidecars merge the same way; canonical rewrites land
-    //    in fresh version-addressed dirs whose names commit with the blob.
-    // append-only sidecar maintenance: only meaningful with no deletes —
-    // after a delete the canonical merge must drop the dead labels' rows so
-    // loadIndex/observedValues stay exact (queryLabels alone would tolerate
-    // stale labels via its live-partition intersection)
-    val appendOnly = appendSidecars && dropped.isEmpty
-    val idxReg = mergeIndicesIncremental(spark, base, md, tableDir,
-      survivingOld = finalPartitions.keys.toSeq.filter(referenced.contains),
-      newLabels = newLabels.toSeq, appendOnly = appendOnly)
-    val bloomReg = mergeBloomsIncremental(spark, base, md, tableDir,
-      survivingOld = finalPartitions.keys.toSeq.filter(referenced.contains),
-      newLabels = newLabels.toSeq, appendOnly = appendOnly)
-    val zoneReg = mergeZonesIncremental(spark, base, md, tableDir,
-      survivingOld = finalPartitions.keys.toSeq.filter(referenced.contains),
-      newLabels = newLabels.toSeq, appendOnly = appendOnly)
-    val sortMeta =
-      if (sortBy.isEmpty) Map.empty[String, String]
-      else Map(DatasetMetadata.SortByKey -> sortBy.mkString(","))
-    val md1 = md.copy(partitions = finalPartitions, partitionSeq = finalSeq,
-      schemaJson = evolvedSchema.json,
-      indices = idxReg, blooms = bloomReg, zones = zoneReg,
-      // a full content replacement also sheds pending deletion vectors —
-      // every file they tombstone just left the referenced set
-      deletes = if (effReplaceAll) Nil else md.deletes,
-      metadata = md.metadata ++ extraMetadata ++ sortMeta +
-        (DatasetMetadata.SeqHwmKey -> nextSeq.toString))
+    val pureAppend = !effReplaceAll && !effDynamic && deleteScope.isEmpty && newData.nonEmpty
+    if (!pureAppend) commitTail(md, deleted)
+    else {
+      // blind-append auto-resolution (the Delta AddFile-only rule): appends
+      // commute, so a lost claim re-commits the SAME files under the new
+      // parent. Bounded; the final failure still surfaces as
+      // ConcurrentCommitException for the caller's withCommitRetries.
+      var parent = md
+      var tries = 0
+      while (true) {
+        try return commitTail(parent, Set.empty)
+        catch {
+          case e: ConcurrentCommitException =>
+            tries += 1
+            if (tries > appendCommitRetries(spark)) throw e
+            Thread.sleep(25L * tries)
+            val reloaded = DatasetMetadata.load(spark, base, uuid)
+            // a concurrent re-layout (REPLACE TABLE changing partition
+            // keys) invalidates the written files' directory layout — the
+            // fast path cannot resolve that; let the caller re-run wholesale
+            if (reloaded.partitionKeys != md.partitionKeys) throw e
+            // the batch was constraint-checked against the OLD set; if a
+            // concurrent commit changed the constraints, re-check (rare —
+            // one predicate pass over the batch) before re-committing
+            if (constraints(reloaded) != constraints(md))
+              newData.foreach(df => enforceConstraints(reloaded,
+                SchemaUtil.normalize(df, reloaded.partitionKeys)))
+            parent = reloaded
+        }
+      }
+      throw new IllegalStateException("unreachable")
+    }
+  }
 
-    DatasetMetadata.store(spark, base, md1, parentMd = Some(md),
-      operation =
-        if (effReplaceAll) "OVERWRITE"
-        else if (newData.isEmpty) "DELETE SCOPE" else "WRITE")
+  /** Fast-retry bound for lost pure-append commit races ([[update]]'s
+    * metadata-only re-commit loop), `spark.graft.append.commitRetries`
+    * (default 8). Kept separate from the caller-level
+    * [[withCommitRetries]] budget: the fast path is cheap (no data
+    * rewrite), so it can afford more attempts than a full re-run. Raise
+    * it for high-fan-in multi-writer tables; 0 disables the fast path
+    * (every lost race surfaces to the caller).
+    */
+  private def appendCommitRetries(spark: SparkSession): Int = {
+    val key = "spark.graft.append.commitRetries"
+    spark.conf.getOption(key).map { s =>
+      val n =
+        try s.trim.toInt
+        catch {
+          case e: NumberFormatException =>
+            throw new IllegalArgumentException(
+              s"invalid $key='$s': must be a non-negative retry count", e)
+        }
+      if (n < 0) throw new IllegalArgumentException(
+        s"invalid $key=$n: must be a non-negative retry count")
+      n
+    }.getOrElse(8)
   }
 
   /** REPLACE TABLE AS SELECT: swap a dataset's entire content, SCHEMA and

@@ -441,6 +441,43 @@ class VersioningSpec extends SparkSpec {
     Ktk.listVersions(spark, base, "ds") shouldBe (1L to 13L)
   }
 
+  test("racing pure appends auto-resolve WITHOUT the caller retry wrapper, rewriting nothing") {
+    // blind-append auto-resolution (r14): a lost claim re-commits the SAME
+    // files against the reloaded parent inside update itself — no
+    // withCommitRetries needed for appends, and no batch rewrite, so the
+    // race manufactures ZERO orphan files (the cross-process probe pins
+    // the same contract across JVMs: StressConcurrentCommit)
+    val base = tmpDir("ver")
+    Ktk.store(spark, base, "ds", df1)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    try {
+      spark.conf.set("spark.graft.append.commitRetries", "40") // 4-way fan-in
+      val futures = (0 until 4).map { t =>
+        Future {
+          (0 until 3).foreach { i =>
+            Ktk.update(spark, base, "ds",
+              Some(Seq((200L + t * 10 + i, s"t$t-$i")).toDF("k", "v")))
+          }
+        }
+      }
+      Await.result(Future.sequence(futures), 120.seconds)
+    } finally {
+      spark.conf.unset("spark.graft.append.commitRetries")
+      pool.shutdown()
+    }
+    val keys = Ktk.readTable(spark, base, "ds").select("k").as[Long].collect()
+    keys.length shouldBe 14
+    keys.distinct.length shouldBe 14
+    DatasetMetadata.load(spark, base, "ds").version shouldBe 13L
+    // the fast path never rewrites the batch: zero orphans to audit
+    Ktk.fsck(spark, base, "ds")
+      .filter("kind like 'orphan%'").count() shouldBe 0L
+  }
+
   test("replaceAll racing a concurrent append stays linearizable") {
     val base = tmpDir("ver")
     Ktk.store(spark, base, "ds", df1) // keys 1, 2
