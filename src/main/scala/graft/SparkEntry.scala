@@ -2033,6 +2033,22 @@ object SparkEntry {
         .select("vec_id", "n_matches").orderBy("vec_id")
     }),
 
+    "q_decontaminate_paragraph" -> ((s, dir) => {
+      // span-level decontamination (Dolma rule): the corpus docs are split
+      // into 3-word lines (the paragraph convention the q_para_* family
+      // uses); a line sharing its word 3-gram with ANY benchmark doc
+      // (doc_id % 19 == 0) is removed, the rest of the document survives
+      // verbatim — the oracle rebuilds the exact surviving text
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"),
+          regexp_replace(col("text"), "(\\S+ \\S+ \\S+) ", "$1\n").as("text"))
+      val bench = d.filter(col("doc_id") % 19 === 0)
+      val corpus = d.filter(col("doc_id") % 19 =!= 0)
+      Decontamination.decontaminateParagraphs(
+          corpus, "doc_id", "text", bench, "text", n = 3)
+        .orderBy("doc_id")
+    }),
+
     "q_decontaminate" -> ((s, dir) => {
       // benchmark-overlap decontamination: docs sharing ≥3 distinct word
       // 5-grams with the held-out set (doc_id % 19 == 0)
@@ -4300,6 +4316,41 @@ object SparkEntry {
         |SELECT CAST(floor((run - n_tokens) / 500.0) AS BIGINT) AS pack_id,
         |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS pack_tokens
         |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // twin of Decontamination.decontaminateParagraphs: paragraphs = 3-word
+    // lines; a line is dropped when any of its word 3-grams appears in the
+    // benchmark docs' gram set; docs rebuild from surviving lines in order
+    // (a fully-contaminated doc vanishes — GROUP BY over kept rows only)
+    "q_decontaminate_paragraph" ->
+      """WITH docs AS (
+        |  SELECT doc_id,
+        |    regexp_replace(text, '(\S+ \S+ \S+) ', '\1' || chr(10), 'g') AS text
+        |  FROM documents),
+        |btok AS (
+        |  SELECT list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+        |    x -> x <> '') AS toks
+        |  FROM docs WHERE doc_id % 19 = 0),
+        |bg AS (SELECT DISTINCT gram FROM (
+        |  SELECT unnest(list_transform(range(1, len(toks) - 1),
+        |    i -> array_to_string(toks[i:i+2], ' '))) AS gram FROM btok)),
+        |paras AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(1, len(ls)+1), i -> {'pos': i, 'para': ls[i]})) AS u
+        |  FROM (SELECT doc_id, string_split(text, chr(10)) AS ls
+        |        FROM docs WHERE doc_id % 19 <> 0)),
+        |e AS (SELECT doc_id, u.pos AS pos, u.para AS para FROM paras),
+        |pg AS (
+        |  SELECT doc_id, pos,
+        |    unnest(list_transform(range(1, len(ptoks) - 1),
+        |      i -> array_to_string(ptoks[i:i+2], ' '))) AS gram
+        |  FROM (SELECT doc_id, pos,
+        |          list_filter(regexp_split_to_array(lower(trim(para)), '\s+'),
+        |            x -> x <> '') AS ptoks
+        |        FROM e)),
+        |bad AS (SELECT DISTINCT doc_id, pos FROM pg JOIN bg USING (gram))
+        |SELECT e.doc_id, string_agg(e.para, chr(10) ORDER BY e.pos) AS text
+        |FROM e ANTI JOIN bad USING (doc_id, pos)
+        |GROUP BY e.doc_id ORDER BY e.doc_id""".stripMargin,
 
     "q_decontaminate" ->
       s"""WITH tok AS (

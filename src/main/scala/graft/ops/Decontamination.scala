@@ -71,6 +71,42 @@ object Decontamination {
     corpus.join(contaminated, Seq(idCol), "left_anti")
   }
 
+  /** Paragraph-level decontamination (the Dolma/CCNet span rule — surgical
+    * where [[decontaminate]] is wholesale): remove only the PARAGRAPHS
+    * sharing at least one word `n`-gram with the benchmark set, and
+    * rebuild each document from its surviving paragraphs in original
+    * order. A document whose every paragraph is contaminated disappears
+    * entirely (consistent with the doc-level drop); paragraphs shorter
+    * than `n` tokens carry no grams and always survive, as do blank ones.
+    *
+    * Scale shape: same as [[contaminationReport]] — the benchmark gram
+    * hashes broadcast, paragraph grams explode map-side into a broadcast
+    * hash join, and only the contaminated (id, pos) hits flow onward. The
+    * one corpus shuffle is the per-document rebuild keyed on `idCol`
+    * (uniformly distributed), the same shape as
+    * [[graft.ops.Dedup.paragraphDedup]] — no stage keys on a hot gram.
+    */
+  def decontaminateParagraphs(
+      corpus: DataFrame, idCol: String, textCol: String,
+      bench: DataFrame, benchTextCol: String,
+      n: Int = 13, sep: String = "\n"): DataFrame = {
+    val benchGrams = bench
+      .select(explode(wordNgramHashes(col(benchTextCol), n)).as("gram")).distinct()
+    val paras = corpus.select(col(idCol),
+      posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+        .as(Seq("__pos", "__para")))
+    val bad = paras
+      .select(col(idCol), col("__pos"),
+        explode(wordNgramHashes(col("__para"), n)).as("gram"))
+      .join(broadcast(benchGrams), "gram")
+      .select(col(idCol), col("__pos")).distinct()
+    paras.join(bad, Seq(idCol, "__pos"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(array_sort(collect_list(struct(col("__pos"), col("__para")))).as("__arr"))
+      .select(col(idCol),
+        concat_ws(sep, transform(col("__arr"), x => x.getField("__para"))).as(textCol))
+  }
+
   /** SEMANTIC contamination report: corpus rows whose embedding is within
     * `minCosine` of at least one benchmark embedding — the embedding-space
     * complement of the n-gram overlap above, catching paraphrased or

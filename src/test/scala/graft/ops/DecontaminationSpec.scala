@@ -67,6 +67,28 @@ class DecontaminationSpec extends SparkSpec {
     kept.columns.toSeq shouldBe corpus.columns.toSeq
   }
 
+  test("paragraph decontamination drops only the leaking spans, in order") {
+    // doc 1: middle paragraph is a verbatim benchmark span -> only it drops;
+    // doc 2: clean -> survives byte-identical; doc 3: every paragraph leaks
+    // -> the whole doc vanishes; doc 4: a 2-token paragraph can't carry a
+    // 3-gram -> always survives even though its words appear in the bench
+    val corpus = Seq(
+      (1L, "alpha beta gamma\nthe secret benchmark answer is here\ndelta epsilon zeta"),
+      (2L, "totally original prose\nnothing shared at all"),
+      (3L, "the secret benchmark answer is here"),
+      (4L, "secret benchmark")
+    ).toDF("doc_id", "text")
+    val bench = Seq(Tuple1("unrelated preamble the secret benchmark answer is here and more"))
+      .toDF("btext")
+    val out = Decontamination.decontaminateParagraphs(
+        corpus, "doc_id", "text", bench, "btext", n = 3)
+      .orderBy("doc_id").as[(Long, String)].collect().toSeq
+    out shouldBe Seq(
+      (1L, "alpha beta gamma\ndelta epsilon zeta"),
+      (2L, "totally original prose\nnothing shared at all"),
+      (4L, "secret benchmark"))
+  }
+
   test("semantic decontamination flags embedding-space leakage, no corpus shuffle") {
     // doc 1 ≈ bench vector (paraphrase leakage: same direction), doc 2
     // orthogonal, doc 3 anti-parallel (cosine -1: must NOT flag)
