@@ -5078,7 +5078,11 @@ object Ktk extends org.apache.spark.internal.Logging {
     * through strings, so any engine with `md5` + hex→int reproduces it
     * exactly (DuckDB: `CAST('0x'||substring(md5(concat_ws(...)),1,15) AS
     * BIGINT)`); the cost is the string materialization, so the default
-    * stays xxhash64 for production fingerprints.
+    * stays xxhash64 for production fingerprints. Caveat of the string
+    * form: rows that serialize identically collide — a value containing
+    * the `|` separator can alias a column boundary, and `concat_ws`
+    * skips nulls entirely (null ≠ empty string is NOT preserved). The
+    * xxhash64 default hashes raw typed values and has neither ambiguity.
     */
   def md5RowHash(df: DataFrame): Column = {
     val s = concat_ws("|", df.columns.toSeq.map(c => col(s"`$c`").cast("string")): _*)

@@ -161,7 +161,11 @@ def adjudicate(path, normalize=True):
             rows.append((q, t, b, f"REGRESSED {t / b['hi']:.2f}x over band"))
         elif t > b["hi"] + 1e-3:
             rows.append((q, t, b, f"watch ({t / b['hi']:.2f}x hi)"))
-        elif t < b["lo"] * 0.8:
+        # improved only when the RAW time is also below the floor:
+        # dividing by an overestimated window factor must not manufacture
+        # phantom improvements (REGRESSED/watch stay normalized — the
+        # factor can only shrink those, never create them)
+        elif t < b["lo"] * 0.8 and raw < b["lo"] * 0.8:
             rows.append((q, t, b, "improved"))
         else:
             rows.append((q, t, b, "in band"))
