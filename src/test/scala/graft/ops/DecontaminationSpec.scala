@@ -87,6 +87,15 @@ class DecontaminationSpec extends SparkSpec {
       (1L, "alpha beta gamma\ndelta epsilon zeta"),
       (2L, "totally original prose\nnothing shared at all"),
       (4L, "secret benchmark"))
+    // scale shape: gram matching is broadcast hash joins (bench grams +
+    // the contaminated-hit set both broadcast); the corpus gram stream
+    // must never sort-merge — its only shuffles are the tiny hit set and
+    // the per-document rebuild
+    val plan = Decontamination.decontaminateParagraphs(
+        corpus, "doc_id", "text", bench, "btext", n = 3)
+      .queryExecution.executedPlan.toString
+    plan should include("BroadcastHashJoin")
+    plan should not include "SortMergeJoin"
   }
 
   test("semantic decontamination flags embedding-space leakage, no corpus shuffle") {
