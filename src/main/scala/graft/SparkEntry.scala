@@ -2049,6 +2049,20 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q_decontaminate_paragraph_report" -> ((s, dir) => {
+      // the observability half of the span rule: every contaminated
+      // paragraph with its distinct shared-gram count, exact in DuckDB
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"),
+          regexp_replace(col("text"), "(\\S+ \\S+ \\S+) ", "$1\n").as("text"))
+      val bench = d.filter(col("doc_id") % 19 === 0)
+      val corpus = d.filter(col("doc_id") % 19 =!= 0)
+      Decontamination.paragraphContaminationReport(
+          corpus, "doc_id", "text", bench, "text", n = 3)
+        .withColumn("paragraph_pos", col("paragraph_pos").cast("long"))
+        .orderBy("doc_id", "paragraph_pos")
+    }),
+
     "q_decontaminate" -> ((s, dir) => {
       // benchmark-overlap decontamination: docs sharing ≥3 distinct word
       // 5-grams with the held-out set (doc_id % 19 == 0)
@@ -4351,6 +4365,39 @@ object SparkEntry {
         |SELECT e.doc_id, string_agg(e.para, chr(10) ORDER BY e.pos) AS text
         |FROM e ANTI JOIN bad USING (doc_id, pos)
         |GROUP BY e.doc_id ORDER BY e.doc_id""".stripMargin,
+
+    // the report half: every contaminated 3-word line with its DISTINCT
+    // shared-gram count (Spark's per-paragraph grams are pre-deduped, so
+    // its plain count == DuckDB's count(DISTINCT)); pos re-based to 0
+    "q_decontaminate_paragraph_report" ->
+      """WITH docs AS (
+        |  SELECT doc_id,
+        |    regexp_replace(text, '(\S+ \S+ \S+) ', '\1' || chr(10), 'g') AS text
+        |  FROM documents),
+        |btok AS (
+        |  SELECT list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+        |    x -> x <> '') AS toks
+        |  FROM docs WHERE doc_id % 19 = 0),
+        |bg AS (SELECT DISTINCT gram FROM (
+        |  SELECT unnest(list_transform(range(1, len(toks) - 1),
+        |    i -> array_to_string(toks[i:i+2], ' '))) AS gram FROM btok)),
+        |paras AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(1, len(ls)+1), i -> {'pos': i, 'para': ls[i]})) AS u
+        |  FROM (SELECT doc_id, string_split(text, chr(10)) AS ls
+        |        FROM docs WHERE doc_id % 19 <> 0)),
+        |pg AS (
+        |  SELECT doc_id, pos,
+        |    unnest(list_transform(range(1, len(ptoks) - 1),
+        |      i -> array_to_string(ptoks[i:i+2], ' '))) AS gram
+        |  FROM (SELECT doc_id, u.pos AS pos,
+        |          list_filter(regexp_split_to_array(lower(trim(u.para)), '\s+'),
+        |            x -> x <> '') AS ptoks
+        |        FROM paras))
+        |SELECT pg.doc_id, CAST(pg.pos - 1 AS BIGINT) AS paragraph_pos,
+        |  count(DISTINCT pg.gram) AS n_contaminated
+        |FROM pg JOIN bg USING (gram)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q_decontaminate" ->
       s"""WITH tok AS (

@@ -90,21 +90,55 @@ object Decontamination {
       corpus: DataFrame, idCol: String, textCol: String,
       bench: DataFrame, benchTextCol: String,
       n: Int = 13, sep: String = "\n"): DataFrame = {
-    val benchGrams = bench
-      .select(explode(wordNgramHashes(col(benchTextCol), n)).as("gram")).distinct()
-    val paras = corpus.select(col(idCol),
-      posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
-        .as(Seq("__pos", "__para")))
-    val bad = paras
-      .select(col(idCol), col("__pos"),
-        explode(wordNgramHashes(col("__para"), n)).as("gram"))
-      .join(broadcast(benchGrams), "gram")
-      .select(col(idCol), col("__pos")).distinct()
+    val paras = splitParagraphs(corpus, idCol, textCol, sep)
+    val bad = contaminatedParagraphs(paras, idCol, bench, benchTextCol, n)
+      .select(col(idCol), col("__pos"))
     paras.join(bad, Seq(idCol, "__pos"), "left_anti")
       .groupBy(col(idCol))
       .agg(array_sort(collect_list(struct(col("__pos"), col("__para")))).as("__arr"))
       .select(col(idCol),
         concat_ws(sep, transform(col("__arr"), x => x.getField("__para"))).as(textCol))
+  }
+
+  /** Span-level observability twin of [[decontaminateParagraphs]] (what
+    * [[contaminationReport]] is to [[decontaminate]]): one row per
+    * CONTAMINATED paragraph — `(idCol, paragraph_pos, n_contaminated)`,
+    * the count of distinct benchmark grams the span shares. Feed it to a
+    * reviewer before committing a span-removal pass; same broadcast
+    * shapes, no corpus shuffle beyond the hit rows.
+    */
+  def paragraphContaminationReport(
+      corpus: DataFrame, idCol: String, textCol: String,
+      bench: DataFrame, benchTextCol: String,
+      n: Int = 13, sep: String = "\n"): DataFrame =
+    contaminatedParagraphs(
+        splitParagraphs(corpus, idCol, textCol, sep), idCol, bench, benchTextCol, n)
+      .withColumnRenamed("__pos", "paragraph_pos")
+
+  /** `(idCol, __pos, __para)` — documents split on `sep`, position kept. */
+  private def splitParagraphs(
+      corpus: DataFrame, idCol: String, textCol: String, sep: String): DataFrame =
+    corpus.select(col(idCol),
+      posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+        .as(Seq("__pos", "__para")))
+
+  /** `(idCol, __pos, n_contaminated)` for paragraphs sharing >= 1 word
+    * n-gram with the benchmark: grams explode map-side into a broadcast
+    * hash join against the distinct benchmark gram hashes (grams are
+    * distinct per paragraph already — wordNgramHashes dedups — so the
+    * count is a plain count).
+    */
+  private def contaminatedParagraphs(
+      paras: DataFrame, idCol: String,
+      bench: DataFrame, benchTextCol: String, n: Int): DataFrame = {
+    val benchGrams = bench
+      .select(explode(wordNgramHashes(col(benchTextCol), n)).as("gram")).distinct()
+    paras
+      .select(col(idCol), col("__pos"),
+        explode(wordNgramHashes(col("__para"), n)).as("gram"))
+      .join(broadcast(benchGrams), "gram")
+      .groupBy(col(idCol), col("__pos"))
+      .agg(count(lit(1)).as("n_contaminated"))
   }
 
   /** SEMANTIC contamination report: corpus rows whose embedding is within

@@ -96,6 +96,13 @@ class DecontaminationSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     plan should include("BroadcastHashJoin")
     plan should not include "SortMergeJoin"
+    // the report half names exactly the spans the removal drops, with the
+    // distinct shared-gram count (doc 1 pos 1 and doc 3 pos 0 share the
+    // same 4 three-grams of the leaked sentence)
+    val rep = Decontamination.paragraphContaminationReport(
+        corpus, "doc_id", "text", bench, "btext", n = 3)
+      .orderBy("doc_id").as[(Long, Int, Long)].collect().toSeq
+    rep shouldBe Seq((1L, 1, 4L), (3L, 0, 4L))
   }
 
   test("semantic decontamination flags embedding-space leakage, no corpus shuffle") {
