@@ -24,7 +24,7 @@ class DecontaminationSpec extends SparkSpec {
       (1L, "The quick  brown fox jumps over the lazy dog"),
       (2L, "a b"),
       (3L, "x y z x y z x y z"),
-      (4L, "Tabs\tand\nnewlines   mixed  whitespace everywhere okay")
+      (4L, "Tabs\tand\nnewlines   mixed \u000B whitespace everywhere okay")
     ).toDF("id", "text")
     val both = df.select(
       col("id"),

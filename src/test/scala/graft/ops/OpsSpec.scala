@@ -602,7 +602,7 @@ class TextAnalysisSpec extends SparkSpec {
       (2L, "server 10.0.255.7 port open"),
       (3L, "call 555-123-4567 or 555 987 6543"),
       (4L, "nothing sensitive here"),
-      (5L, "combining: é and a  bell") // NFC + control strip
+      (5L, "combining: é and a \u0007 bell") // NFC + control strip
     ).toDF("id", "text")
     val got = df.select($"id", TextAnalysis.cleanText($"text").as("t"))
       .as[(Long, String)].collect().toMap
