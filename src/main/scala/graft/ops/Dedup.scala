@@ -375,6 +375,12 @@ object Dedup {
     * plain parquet; extend it with each accepted batch's signatures).
     * Parameters must match between the table and later batch calls — the
     * hashes are deterministic, so equal parameters give equal signatures.
+    * The parameters therefore TRAVEL WITH THE TABLE: they are stamped into
+    * the `sig` column's schema metadata (Spark persists column metadata in
+    * the parquet footer, so a plain parquet/Ktk roundtrip keeps them), and
+    * [[minhashAgainstHistory]] validates its own parameters against the
+    * stamp before probing — a mismatched probe fails loudly instead of
+    * silently losing recall.
     */
   def minhashSignatures(
       df: DataFrame,
@@ -386,10 +392,40 @@ object Dedup {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val par = df.sparkSession.sparkContext.defaultParallelism
     val sigUdf = sigAndBandsUdf(shingleK, numHashes, bands)
+    val paramMeta = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong(ShingleKKey, shingleK.toLong)
+      .putLong(NumHashesKey, numHashes.toLong)
+      .putLong(BandsKey, bands.toLong)
+      .build()
     df.select(col(idCol).as("id"), col(textCol).as("__t"))
       .repartition(par)
       .select(col("id"), sigUdf(col("__t")).as("s"))
-      .select(col("id"), col("s._1").as("sig"), col("s._2").as("bands"))
+      .select(col("id"), col("s._1").as("sig", paramMeta), col("s._2").as("bands"))
+  }
+
+  private val ShingleKKey = "graft.minhash.shingleK"
+  private val NumHashesKey = "graft.minhash.numHashes"
+  private val BandsKey = "graft.minhash.bands"
+
+  /** Fail loudly when a signature table carries a parameter stamp that
+    * disagrees with the probe's parameters (a silent mismatch degrades
+    * recall to ~0: band hashes stop colliding). Unstamped tables (built
+    * before the stamp existed, or by foreign writers) pass — the caller
+    * owns the contract there, as documented on [[minhashSignatures]].
+    */
+  private def validateSignatureParams(
+      sigs: DataFrame, shingleK: Int, numHashes: Int, bands: Int): Unit = {
+    val m = sigs.schema.find(_.name == "sig").map(_.metadata)
+      .getOrElse(org.apache.spark.sql.types.Metadata.empty)
+    if (m.contains(ShingleKKey)) {
+      val (sk, nh, nb) = (m.getLong(ShingleKKey), m.getLong(NumHashesKey), m.getLong(BandsKey))
+      require(sk == shingleK && nh == numHashes && nb == bands,
+        s"minhash parameter mismatch: signature table was built with " +
+          s"(shingleK=$sk, numHashes=$nh, bands=$nb) but the probe uses " +
+          s"(shingleK=$shingleK, numHashes=$numHashes, bands=$bands) — " +
+          "band hashes would stop colliding and recall silently degrade; " +
+          "probe with the table's parameters or rebuild the table")
+    }
   }
 
   def minhashCandidates(
@@ -457,9 +493,22 @@ object Dedup {
     * no-silent-caps contract of [[minhashCandidates]].
     * `shingleK`/`numHashes`/`bands` MUST match the values the signature
     * table was built with (deterministic hashes ⇒ equal parameters give
-    * comparable signatures). A mismatch changes the band hashes, so
-    * buckets stop colliding and recall silently degrades — keep the
-    * parameters with the table (e.g. in the dataset's user metadata).
+    * comparable signatures). [[minhashSignatures]] stamps its parameters
+    * into the table's schema metadata and this probe `require`s they
+    * match — a mismatched probe fails loudly instead of silently losing
+    * recall (unstamped/foreign tables pass; the caller owns the contract).
+    *
+    * Broadcast bound: the batch side ships `batch × bands` (band, bucket)
+    * keys to every executor. Below
+    * `spark.graft.dedup.broadcastKeyLimit` (default 4M keys ≈ 64 MB —
+    * sized like [[exactAgainstHistory]]'s fpp-bound residue) the keys ride
+    * a broadcast hint and the history scan stays map-side; PAST the limit
+    * the hints drop and the (band, bucket) semi-join shuffles instead —
+    * the history side is still candidate-pruned, just not map-side, and
+    * no multi-GB broadcast can OOM the driver/executors at FineWeb-sized
+    * batches (10M docs × 32 bands = 320M keys). `expectedBatchItems`
+    * sizes the decision; 0 means count(newDf) first (one cheap
+    * column-pruned job, the [[exactAgainstHistory]] convention).
     */
   def minhashAgainstHistory(
       newDf: DataFrame,
@@ -471,8 +520,19 @@ object Dedup {
       numHashes: Int = 128,
       bands: Int = 32,
       maxBucket: Int = 100000,
-      skippedBuckets: Option[org.apache.spark.util.LongAccumulator] = None): DataFrame = {
+      skippedBuckets: Option[org.apache.spark.util.LongAccumulator] = None,
+      expectedBatchItems: Long = 0L): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
+    validateSignatureParams(historySigs, shingleK, numHashes, bands)
+    val batchItems =
+      if (expectedBatchItems > 0L) expectedBatchItems else newDf.count()
+    val keyBudget = newDf.sparkSession.conf
+      .get("spark.graft.dedup.broadcastKeyLimit", "4000000").toLong
+    val underBudget = batchItems * bands.toLong <= keyBudget
+    // below the key budget: broadcast hint (map-side history scan); above:
+    // identity — the join shuffles, which is the survivable shape at scale
+    val maybeBroadcast: DataFrame => DataFrame =
+      if (underBudget) (d: DataFrame) => broadcast(d) else identity
     val batchSigs = minhashSignatures(newDf, idCol, textCol, shingleK, numHashes, bands)
     val batchBanded = batchSigs
       .select(col("id").as("__bid"), col("sig").as("__bsig"),
@@ -482,7 +542,7 @@ object Dedup {
     val histCand = historySigs
       .select(col("id").as("__hid"), col("sig").as("__hsig"),
         posexplode(col("bands")).as(Seq("band", "bucket")))
-      .join(broadcast(bandKeys), Seq("band", "bucket"))
+      .join(maybeBroadcast(bandKeys), Seq("band", "bucket"))
     // cap pathological buckets (counted, never silent); the count runs on
     // the candidate subset, which is already batch-collision-sized. Unlike
     // bucketCapFilter there is NO >=2 floor: one history candidate plus
@@ -502,11 +562,13 @@ object Dedup {
       .filter(capKeep(col("__n").cast("int")))
       .select("band", "bucket")
     val verified = histCand
-      .join(broadcast(keptBuckets), Seq("band", "bucket"))
+      // keptBuckets ≤ the colliding (band, bucket) keys ≤ bandKeys, and
+      // matched ≤ batch ids — both obey the same key budget as bandKeys
+      .join(maybeBroadcast(keptBuckets), Seq("band", "bucket"))
       .join(batchBanded, Seq("band", "bucket"))
       .filter(sigOverlap(col("__hsig"), col("__bsig")) >= threshold)
     val matched = verified.select(col("__bid").as(idCol)).distinct()
-    newDf.join(broadcast(matched), Seq(idCol), "left_anti")
+    newDf.join(maybeBroadcast(matched), Seq(idCol), "left_anti")
   }
 
   /** Fraction of agreeing b-bit signature slots — the Jaccard estimate

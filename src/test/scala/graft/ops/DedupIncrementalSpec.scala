@@ -57,6 +57,80 @@ class DedupIncrementalSpec extends SparkSpec {
     acc.value.toLong should be > 0L
   }
 
+  test("minhashAgainstHistory rejects a parameter-mismatched signature table loudly") {
+    def doc(i: Int) = s"some reasonably long document body number $i with words " * 4
+    val history = (0 until 8).map(i => (i.toLong, doc(i))).toDF("doc_id", "text")
+    val sigs = Dedup.minhashSignatures(history, "doc_id", "text") // defaults: 5/128/32
+    val batch = Seq((100L, doc(0))).toDF("doc_id", "text")
+    // the stamp survives the PERSISTED form too (schema metadata rides the
+    // parquet footer) — validate through a roundtrip, the real-world shape
+    val p = tmpDir("sigparams")
+    sigs.write.parquet(s"$p/t")
+    val loaded = spark.read.parquet(s"$p/t")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.minhashAgainstHistory(batch, "doc_id", "text", loaded,
+        threshold = 0.6, bands = 16)
+    }
+    e.getMessage should include("parameter mismatch")
+    e.getMessage should include("bands=32")
+    // matching parameters (the defaults) pass validation and drop the dup
+    Dedup.minhashAgainstHistory(batch, "doc_id", "text", loaded, threshold = 0.6)
+      .count() shouldBe 0
+    // an UNSTAMPED table (foreign writer) still works — caller's contract
+    val stripped = spark.createDataFrame(loaded.rdd,
+      org.apache.spark.sql.types.StructType(loaded.schema.map(_.copy(
+        metadata = org.apache.spark.sql.types.Metadata.empty))))
+    Dedup.minhashAgainstHistory(batch, "doc_id", "text", stripped,
+      threshold = 0.6, bands = 16).count() shouldBe 1 // different banding, no collision
+  }
+
+  test("minhash history probe: broadcast below the key budget, shuffle above it") {
+    def doc(i: Int) = s"the quick brown fox $i jumps over the lazy dog wearing hat $i " * 5
+    val history = (0 until 40).map(i => (i.toLong, doc(i))).toDF("doc_id", "text")
+    val sigs = Dedup.minhashSignatures(history, "doc_id", "text")
+    val batch = ((0 until 5).map(i => (1000L + i, "xqzy " + doc(i))) ++
+      (0 until 5).map(i => (2000L + i, s"fresh unrelated content $i entirely new words " * 5)))
+      .toDF("doc_id", "text")
+    val conf = spark.conf
+    val savedAqe = conf.get("spark.sql.adaptive.enabled", "true")
+    val savedAuto = conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    // pin the EXPLICIT hint behavior: no auto-broadcast, no AQE re-planning,
+    // so the plan shape is exactly what the operator asked for
+    conf.set("spark.sql.adaptive.enabled", "false")
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      // below budget (10 docs × 32 bands = 320 keys << 4M default): the
+      // three key-sized sides (bandKeys, keptBuckets, matched) ride their
+      // broadcast hints; the ONE sort-merge is the signature-verification
+      // join against batchBanded, which is unhinted BY DESIGN (batch sigs
+      // are sig-payload-sized, not key-sized — broadcasting them is the
+      // OOM shape the budget exists to prevent)
+      def countOf(plan: String, op: String) = op.r.findAllIn(plan).size
+      val under = Dedup.minhashAgainstHistory(batch, "doc_id", "text", sigs, threshold = 0.6)
+      val underPlan = under.queryExecution.executedPlan.toString
+      // 4 = bandKeys (the histCand subtree prints under BOTH the
+      // keptBuckets branch and the verification branch) + keptBuckets +
+      // matched
+      countOf(underPlan, "BroadcastHashJoin") shouldBe 4
+      countOf(underPlan, "SortMergeJoin") shouldBe 1
+      under.select("doc_id").as[Long].collect().sorted.toSeq shouldBe (2000L until 2005L)
+      // above budget: hints drop, the (band, bucket) semi-join shuffles —
+      // the shape that survives a 10M-doc batch instead of OOMing on a
+      // multi-GB broadcast
+      conf.set("spark.graft.dedup.broadcastKeyLimit", "1")
+      val over = Dedup.minhashAgainstHistory(batch, "doc_id", "text", sigs, threshold = 0.6)
+      val overPlan = over.queryExecution.executedPlan.toString
+      countOf(overPlan, "BroadcastHashJoin") shouldBe 0
+      countOf(overPlan, "SortMergeJoin") should be >= 4
+      // decisions are identical either way — the budget moves bytes, not answers
+      over.select("doc_id").as[Long].collect().sorted.toSeq shouldBe (2000L until 2005L)
+    } finally {
+      conf.unset("spark.graft.dedup.broadcastKeyLimit")
+      conf.set("spark.sql.adaptive.enabled", savedAqe)
+      conf.set("spark.sql.autoBroadcastJoinThreshold", savedAuto)
+    }
+  }
+
   test("history never shuffles: broadcast joins only, no sort-merge") {
     val history = (0 until 5000).map(i => (i.toLong, s"doc body $i")).toDF("doc_id", "text")
     val dupPart = (4000 until 4200).map(i => (100000L + i, s"doc body $i"))
