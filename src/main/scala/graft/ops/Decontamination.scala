@@ -115,11 +115,18 @@ object Decontamination {
         splitParagraphs(corpus, idCol, textCol, sep), idCol, bench, benchTextCol, n)
       .withColumnRenamed("__pos", "paragraph_pos")
 
-  /** `(idCol, __pos, __para)` — documents split on `sep`, position kept. */
+  /** `(idCol, __pos, __para)` — documents split on `sep`, position kept.
+    * NULL text coalesces to "" first: split(null) is null and posexplode
+    * of null emits NO rows, which would silently DROP the document from
+    * the rebuilt output — unlike doc-level [[decontaminate]], where a
+    * null-text doc has no grams and survives the anti-join. Coalescing
+    * keeps the two levels row-preserving alike (the null doc survives as
+    * one empty paragraph, the blank-paragraph rule).
+    */
   private def splitParagraphs(
       corpus: DataFrame, idCol: String, textCol: String, sep: String): DataFrame =
     corpus.select(col(idCol),
-      posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+      posexplode(split(coalesce(col(textCol), lit("")), java.util.regex.Pattern.quote(sep)))
         .as(Seq("__pos", "__para")))
 
   /** `(idCol, __pos, n_contaminated)` for paragraphs sharing >= 1 word

@@ -19,6 +19,11 @@ class DecontaminationPropertySpec extends SparkSpec {
     Gen.chooseNum(0, 5).flatMap(n => Gen.listOfN(n, word)).map(_.mkString(" "))
   private val docGen: Gen[String] =
     Gen.chooseNum(1, 5).flatMap(n => Gen.listOfN(n, paraGen)).map(_.mkString("\n"))
+  // ~10% NULL texts: the operator must keep them (as empty docs, the
+  // blank-paragraph rule) rather than letting posexplode(split(null))
+  // silently drop the rows
+  private val docOrNullGen: Gen[String] =
+    Gen.frequency(9 -> docGen, 1 -> Gen.const(null: String))
 
   private def grams(text: String): Set[String] = {
     val toks = text.toLowerCase.trim.split("\\s+").filter(_.nonEmpty)
@@ -29,7 +34,8 @@ class DecontaminationPropertySpec extends SparkSpec {
   private def reference(corpus: Seq[(Long, String)], bench: Seq[String]): Map[Long, String] = {
     val bg = bench.flatMap(grams).toSet
     corpus.flatMap { case (id, text) =>
-      val kept = text.split("\n", -1).filter(p => grams(p).intersect(bg).isEmpty)
+      val kept = Option(text).getOrElse("")
+        .split("\n", -1).filter(p => grams(p).intersect(bg).isEmpty)
       if (kept.isEmpty) None else Some(id -> kept.mkString("\n"))
     }.toMap
   }
@@ -37,7 +43,7 @@ class DecontaminationPropertySpec extends SparkSpec {
   test("decontaminateParagraphs equals the sequential gram-set reference") {
     val caseGen = for {
       nDocs <- Gen.chooseNum(1, 10)
-      docs <- Gen.listOfN(nDocs, docGen)
+      docs <- Gen.listOfN(nDocs, docOrNullGen)
       nBench <- Gen.chooseNum(1, 3)
       bench <- Gen.listOfN(nBench, docGen)
     } yield (docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }, bench)

@@ -103,6 +103,15 @@ class DecontaminationSpec extends SparkSpec {
         corpus, "doc_id", "text", bench, "btext", n = 3)
       .orderBy("doc_id").as[(Long, Int, Long)].collect().toSeq
     rep shouldBe Seq((1L, 1, 4L), (3L, 0, 4L))
+    // NULL-text docs are row-preserving like doc-level decontaminate (they
+    // carry zero contamination): they survive as empty docs under the
+    // blank-paragraph rule instead of silently vanishing from the rebuild
+    val withNull = corpus.unionByName(
+      Seq((5L, null.asInstanceOf[String]), (6L, "")).toDF("doc_id", "text"))
+    Decontamination.decontaminateParagraphs(
+        withNull, "doc_id", "text", bench, "btext", n = 3)
+      .filter($"doc_id" >= 5L).orderBy("doc_id")
+      .as[(Long, String)].collect().toSeq shouldBe Seq((5L, ""), (6L, ""))
   }
 
   test("semantic decontamination flags embedding-space leakage, no corpus shuffle") {
