@@ -2948,7 +2948,13 @@ object Ktk extends org.apache.spark.internal.Logging {
           case e: ConcurrentCommitException =>
             tries += 1
             if (tries > appendCommitRetries(spark)) throw e
-            Thread.sleep(25L * tries)
+            // FULL-JITTER backoff (uniform in [0, 25ms * tries]): N writers
+            // that collide once must NOT reclaim in lockstep — a
+            // deterministic sleep resynchronizes the losers and burns the
+            // retry budget under fan-in (the 4x10 probe saw 3/40
+            // escalations to full re-runs before jitter)
+            Thread.sleep(java.util.concurrent.ThreadLocalRandom.current()
+              .nextLong(25L * tries + 1))
             val reloaded = DatasetMetadata.load(spark, base, uuid)
             // a concurrent re-layout (REPLACE TABLE changing partition
             // keys) invalidates the written files' directory layout — the
@@ -3691,7 +3697,10 @@ object Ktk extends org.apache.spark.internal.Logging {
         case e: ConcurrentCommitException =>
           tries += 1
           if (tries > maxRetries) throw e
-          Thread.sleep(backoffMs * tries)
+          // full-jitter, same rationale as update's append fast path:
+          // deterministic sleeps resynchronize lost racers under fan-in
+          Thread.sleep(java.util.concurrent.ThreadLocalRandom.current()
+            .nextLong(backoffMs * tries + 1))
       }
     }
     throw new IllegalStateException("unreachable")
