@@ -60,23 +60,27 @@ object Bench {
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    println(line)
     // the driver's stdout capture truncates past a few KB, losing ~100 of
     // the per-query timings — ALSO write the complete line to a sidecar
     // file so round-over-round adjudication never depends on the tail.
     // tools/bench_adjudicate.py prefers the sidecar after cross-checking
     // it against whatever survived the tail (same-run guard). Skipped for
     // filtered local runs: a partial map must never shadow a full one.
+    // The notice goes to STDOUT in plain ASCII, before the JSON line (which
+    // stays last): on stderr, sbt tagged it [error] and driver captures
+    // mangled the arrow glyph into "artifact ? BENCH_FULL.json", which
+    // read like a failure.
     if (only.isEmpty) {
       val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
       try {
         java.nio.file.Files.write(java.nio.file.Paths.get(out),
           (line + "\n").getBytes("UTF-8"))
-        System.err.println(s"[bench] full per-query artifact → $out")
+        println(s"[bench] full per-query artifact written to $out")
       } catch { case e: Exception =>
-        System.err.println(s"[bench] could not write $out: ${e.getMessage}")
+        println(s"[bench] could not write $out: ${e.getMessage}")
       }
     }
+    println(line)
     spark.stop()
   }
 }

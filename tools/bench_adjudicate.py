@@ -86,6 +86,16 @@ def load_times(path):
                 print(f"(using {SIDECAR}: {len(full)} queries; tail had "
                       f"{len(times)}, all {len(shared)} shared agree)")
                 return full
+            if not times:
+                # a tail truncated so hard that NOTHING parsed carries no
+                # evidence either way — the sidecar is the only record of
+                # the run, and rejecting it for an empty intersection would
+                # discard it exactly when it is most needed. Adopt it, but
+                # say so loudly: a stale sidecar can't be ruled out here.
+                print(f"WARNING: tail had zero parseable times — adopting "
+                      f"{SIDECAR} ({len(full)} queries) UNVERIFIED; confirm "
+                      f"it belongs to this run if anything looks off")
+                return full
             print(f"WARNING: {SIDECAR} disagrees with the tail or is "
                   f"smaller — ignoring it (stale run?)")
     return times
@@ -109,6 +119,28 @@ def window_factor(times, bands):
         return 1.0, "no control bands — normalization skipped"
     f = statistics.median(list(ratios.values()))
     detail = ", ".join(f"{q}={r:.2f}x" for q, r in ratios.items())
+    # Two of the three controls (q_dsv2_scan, q_ktk_pushdown) exercise
+    # graft's own scan kernel: a code change that broadly slows that
+    # kernel inflates them too and would be divided out as "host load".
+    # Past 1.2x the median therefore needs CORROBORATION from the one
+    # control that runs NO graft code (q_sort, pure Spark). If q_sort
+    # does not confirm the window (>= 1.15x), clamp the factor to
+    # q_sort's own ratio so a graft-wide kernel regression still
+    # surfaces as REGRESSED instead of vanishing into normalization.
+    if f > 1.2:
+        pure = ratios.get("q_sort")
+        if pure is None:
+            return 1.0, (f"controls claim {f:.2f}x but the non-graft "
+                         "control (q_sort) is missing — NOT normalizing; "
+                         "rerun in a quiet window to adjudicate")
+        if pure < 1.15:
+            capped = max(1.0, pure)
+            return capped, (
+                f"controls: {detail} -> median {f:.2f}x UNCORROBORATED "
+                f"(pure-Spark q_sort only {pure:.2f}x) — graft controls "
+                f"inflated without host load: possible shared-kernel "
+                f"regression. Factor clamped to q_sort's {capped:.3f}; "
+                f"rerun in a quiet window before trusting any 'in band'")
     return max(1.0, f), f"controls: {detail} -> factor {max(1.0, f):.3f}"
 
 
