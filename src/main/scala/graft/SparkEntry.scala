@@ -1761,21 +1761,21 @@ object SparkEntry {
     }),
 
     "q_quality_model" -> ((s, dir) => {
-      // model-based quality filtering (GPT-3/CCNet classifier stage): train
-      // a hashed-ngram logistic regression on a labeled split (label =
-      // doc is English), score the held-out split, report per-lang
-      // predicted-positive counts. No oracle — MLlib L-BFGS internals have
-      // no DuckDB twin; QualityModelSpec gates accuracy + determinism.
-      val docs = t(s, dir, "documents")
-      val train = docs.filter(col("doc_id") % 2 === 0)
-        .withColumn("label", (col("lang") === "en").cast("int"))
-      // maxIter trimmed: per-iteration job overhead dominates at gate scale
-      val model = graft.ops.QualityModel.train(train, "text", "label", maxIter = 30)
-      graft.ops.QualityModel.score(docs.filter(col("doc_id") % 2 === 1), "text", model)
-        .groupBy("lang")
-        .agg(count(when(col("quality_prob") >= 0.5, 1)).as("pred_en"),
-          count(lit(1)).as("n"))
-        .orderBy("lang")
+      // model-based quality filtering, SCORING half (the 100 TB path of
+      // the GPT-3/CCNet classifier stage): a frozen weight vector scores
+      // every document through the replayable md5 hash kernel — EXACT
+      // oracle, DuckDB replays tokenize/hash/dot/sigmoid per row (the
+      // md5RowHash playbook; weights are dyadic rationals so the float
+      // sum is order-independent-exact). Training has no DuckDB twin
+      // (MLlib L-BFGS) and stays ScalaTest-gated: QualityModelSpec gates
+      // fit accuracy/determinism AND pins scoreReplayable ≡ score on a
+      // collision-free vocabulary.
+      graft.ops.QualityModel.scoreReplayable(
+          t(s, dir, "documents").select("doc_id", "text"),
+          "text", qualityOracleWeights, intercept = 0.125)
+        .select(col("doc_id"), col("quality_prob"),
+          (col("quality_prob") >= 0.5).as("kept"))
+        .orderBy("doc_id")
     }),
 
     "q_chunk_docs" -> ((s, dir) => {
@@ -3079,8 +3079,10 @@ object SparkEntry {
   // in-gate recall floors vs their exact twins), q_emb_neardup (in-gate
   // pair-recall floor vs q_emb_neardup_exact), q_emb_dedup_cc (exact twin
   // q_emb_dedup_cc_exact), q_semantic_dedup, q_cluster_sample,
-  // q_quality_model, q_image_dedup /
+  // q_image_dedup /
   // q_audio_dedup (JDK codec fixtures), q_ktk_fsck (fault-path fixture)
+  // — q_quality_model converted to an EXACT oracle in r15 (scoring via
+  // the replayable md5 kernel; training remains ScalaTest-gated)
   // → rows-only check; their exact semantics are covered by ScalaTest
   // oracles with planted data.
   // ------------------------------------------------------------------------
@@ -3107,6 +3109,15 @@ object SparkEntry {
     s"unnest(list_transform(range(1, len(toks) - ${n - 2}), " +
       s"i -> array_to_string(toks[i:i+${n - 1}], ' ')))"
 
+  /** Frozen scoring weights for q_quality_model: 64 dyadic rationals
+    * (multiples of 2^-4, so every partial sum is exact in binary and the
+    * token-order of the fold cannot move the result) spanning [-10/16,
+    * 10/16]. Deterministic closed form — not a training artifact — because
+    * the gate proves the SCORING kernel; QualityModelSpec owns training.
+    */
+  private[graft] val qualityOracleWeights: Seq[Double] =
+    (0 until 64).map(i => ((i * 37) % 21 - 10) / 16.0)
+
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
@@ -3116,6 +3127,24 @@ object SparkEntry {
         |  round(avg(l_quantity), 6) AS avg_qty,
         |  count(*) AS count_order
         |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_quality_model" -> {
+      val warr = qualityOracleWeights.mkString("[", ",", "]")
+      // same kernel as QualityModel.scoreReplayable: lowercase whitespace
+      // tokens, feature index = bigint(md5[0:15 hex]) % 64, dot against the
+      // frozen dyadic weights, sigmoid rounded to 6 digits (absorbs exp's
+      // cross-engine last ulp; the margin itself is exact)
+      s"""WITH scored AS (
+         |  SELECT doc_id,
+         |    round(1.0/(1.0+exp(-(0.125 + coalesce(list_sum(list_transform(
+         |      list_filter(regexp_split_to_array(lower(trim(coalesce(text,''))), '\\s+'),
+         |        t -> len(t) > 0),
+         |      t -> ($warr::DOUBLE[])[(('0x'||substr(md5(t),1,15))::BIGINT % 64) + 1])),
+         |      0.0)))), 6) AS quality_prob
+         |  FROM documents)
+         |SELECT doc_id, quality_prob, quality_prob >= 0.5 AS kept
+         |FROM scored ORDER BY doc_id""".stripMargin
+    },
 
     "q_scan_projection" ->
       """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem

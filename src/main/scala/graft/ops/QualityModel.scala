@@ -53,9 +53,12 @@ object QualityModel {
 
   /** Lowercase whitespace tokens + optional fastText-style bigram tokens,
     * as a pure Column projection (no UDF on the train path's hot side).
+    * NULL text is the EMPTY token bag (scores at the intercept), not an
+    * executor NPE inside HashingTF — crawl corpora do carry null texts.
     */
   private def tokensCol(textCol: Column, useBigrams: Boolean): Column = {
-    val toks = filter(split(lower(trim(textCol)), "\\s+"), t => length(t) > 0)
+    val toks = filter(split(lower(trim(coalesce(textCol, lit("")))), "\\s+"),
+      t => length(t) > 0)
     if (!useBigrams) toks
     else concat(toks,
       // zip_with pads the shorter side with null; dropping those keeps
@@ -118,6 +121,41 @@ object QualityModel {
     tf.transform(df.withColumn("__toks", tokensCol(col(s"`$textCol`"), model.useBigrams)))
       .withColumn(probCol, dot(col("__feat")))
       .drop("__toks", "__feat")
+  }
+
+  /** REPLAYABLE scoring twin of [[score]]: the same hashed-bag-of-tokens
+    * dot product + sigmoid, but with an md5-based feature index
+    * (`bigint(md5(token)[0:15 hex]) % numFeatures`) built ENTIRELY from
+    * portable SQL functions — every stage (tokenize, hash, weight lookup,
+    * sum, sigmoid) replays bit-comparably in DuckDB, which is what makes
+    * the q_quality_model gate an exact oracle (the md5RowHash playbook).
+    * Production corpus scoring stays [[score]] (murmur3 HashingTF at 2^18
+    * features — an array literal that size would bloat the plan); this
+    * path is for oracle replay and for SMALL inlineable weight vectors,
+    * where it is also the faster shape: one codegen'd expression, no UDF,
+    * no Vector object churn.
+    *
+    * Determinism note: pick weights that are exactly representable
+    * dyadic rationals (multiples of 2^-k) and the token-order float sum
+    * is EXACT, so the only cross-engine wobble left is exp()'s last ulp —
+    * `scale`-digit rounding (default 6) absorbs it. Null text scores like
+    * the empty document (margin = intercept), matching [[score]] on the
+    * empty token bag.
+    */
+  def scoreReplayable(df: DataFrame, textCol: String, weights: Seq[Double],
+      intercept: Double, probCol: String = "quality_prob",
+      scale: Int = 6): DataFrame = {
+    require(weights.nonEmpty, "scoreReplayable needs a non-empty weight vector")
+    val nf = weights.size
+    val wArr = array(weights.map(lit): _*) // all-literal: constant-folded once
+    val toks = filter(
+      split(lower(trim(coalesce(col(s"`$textCol`"), lit("")))), "\\s+"),
+      t => length(t) > 0)
+    def widx(t: Column): Column =
+      ((conv(substring(md5(t), 1, 15), 16, 10).cast("long") % nf) + 1).cast("int")
+    val margin = lit(intercept) +
+      aggregate(toks, lit(0.0), (acc, t) => acc + element_at(wArr, widx(t)))
+    df.withColumn(probCol, round(lit(1.0) / (lit(1.0) + exp(-margin)), scale))
   }
 
   /** Keep rows scoring at least `minProb` (the GPT-3 pipeline kept a

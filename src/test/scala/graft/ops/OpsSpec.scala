@@ -780,6 +780,51 @@ class QualityModelSpec extends SparkSpec {
       .select("quality_prob").as[Double].head()
     model.scoreTokens(Seq("insightful", "study")) shouldBe one +- 1e-9
   }
+
+  test("scoreReplayable computes the same dot-product semantics as score") {
+    // a fixed vocabulary whose per-word values are planted into BOTH
+    // weight layouts — murmur3/HashingTF indices for the production path,
+    // md5 indices for the replayable path. With collision-free indices
+    // (asserted) the two scores must agree on any doc over the vocab: the
+    // only difference is WHERE each word's weight lives, not the math.
+    val vocab = Seq("alpha", "beta", "gamma", "delta", "epsilon", "zeta")
+    val value = vocab.zipWithIndex.map { case (w, i) => w -> ((i * 5) % 7 - 3) / 8.0 }.toMap
+    val nf = 512
+    val tf = new org.apache.spark.ml.feature.HashingTF().setNumFeatures(nf)
+    val murmurIdx = vocab.map(tf.indexOf)
+    murmurIdx.distinct.size shouldBe vocab.size // collision-free
+    def md5Idx(t: String): Int = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      (java.lang.Long.parseLong(d.take(15), 16) % nf).toInt
+    }
+    val md5Idxs = vocab.map(md5Idx)
+    md5Idxs.distinct.size shouldBe vocab.size // collision-free
+    val wMurmur = Array.fill(nf)(0.0)
+    vocab.zip(murmurIdx).foreach { case (w, i) => wMurmur(i) = value(w) }
+    val wMd5 = Array.fill(nf)(0.0)
+    vocab.zip(md5Idxs).foreach { case (w, i) => wMd5(i) = value(w) }
+    val intercept = 0.25
+    val prodModel = QualityModel.QualityClassifier(nf, useBigrams = false,
+      intercept, org.apache.spark.ml.linalg.Vectors.dense(wMurmur))
+    val docs = Seq(
+      (1L, "alpha beta gamma"),
+      (2L, "zeta zeta epsilon delta ALPHA"), // repeats + case folding
+      (3L, ""), (4L, null.asInstanceOf[String]), // empty bag = intercept only
+      (5L, "delta")).toDF("id", "text")
+    val prod = QualityModel.score(docs, "text", prodModel)
+      .select("id", "quality_prob").as[(Long, Double)].collect().toMap
+    val replay = QualityModel.scoreReplayable(docs, "text", wMd5.toSeq, intercept, scale = 9)
+      .select("id", "quality_prob").as[(Long, Double)].collect().toMap
+    prod.keySet shouldBe replay.keySet
+    prod.foreach { case (id, p) => replay(id) shouldBe p +- 1e-9 }
+    prod(3L) shouldBe (1.0 / (1.0 + math.exp(-intercept))) +- 1e-9
+    // the replayable path is pure codegen: no UDF node, no shuffle
+    val plan = QualityModel.scoreReplayable(docs, "text", wMd5.toSeq, intercept)
+      .queryExecution.executedPlan.toString
+    (plan should not).include("Exchange")
+    (plan.toLowerCase should not).include("batchevalpython")
+  }
 }
 
 class MultimodalSpec extends SparkSpec {
