@@ -1883,6 +1883,34 @@ object SparkEntry {
         .groupBy().agg(countDistinct(col("fp")).as("distinct_fps"))
     }),
 
+    "q_dsir_weights" -> ((s, dir) => {
+      // DSIR importance weights (Xie et al. 2023, arXiv:2302.03169):
+      // hashed-ngram bag-of-words likelihood ratio of every document
+      // against a target slice (en docs as the high-quality reference).
+      // EXACT — the md5 gram kernel, add-1-smoothed bucket counts and the
+      // per-doc log-ratio sum all replay in DuckDB (rounded to 6 digits,
+      // absorbing ln()'s cross-engine ulp).
+      val docs = t(s, dir, "documents")
+      val target = docs.filter(col("lang") === "en").select(col("text").as("ttext"))
+      graft.ops.Dsir.importanceWeights(docs.select("doc_id", "text"),
+          "doc_id", "text", target, "ttext", buckets = 4096)
+        .withColumn("log_weight", round(col("log_weight"), 6))
+        .orderBy("doc_id")
+    }),
+
+    "q_dsir_sample" -> ((s, dir) => {
+      // Gumbel-top-k importance resampling toward the target slice, with
+      // deterministic hashUnit noise — selection AND keys replay exactly
+      // in DuckDB (the Gumbel-max trick over the same weights)
+      val docs = t(s, dir, "documents")
+      val target = docs.filter(col("lang") === "en").select(col("text").as("ttext"))
+      graft.ops.Dsir.resampleTopK(docs.select("doc_id", "text", "lang"),
+          "doc_id", "text", target, "ttext", k = 200, buckets = 4096)
+        .select(col("doc_id"), col("lang"),
+          round(col("sample_key"), 6).as("sample_key"))
+        .orderBy("doc_id")
+    }),
+
     // ------------------------------------- pipeline: sampling / mixture / packing
     "q_sample_det" -> ((s, dir) => {
       // deterministic Bernoulli sample — same (seed,key) ⇒ same rows on any engine
@@ -3102,6 +3130,38 @@ object SparkEntry {
     s"(($terms) / 4294967296.0)"
   }
 
+  /** Shared CTE chain for the two DSIR oracles: per-doc hashed-gram
+    * buckets (unigrams + space-joined bigrams, md5[0:15 hex] % 4096 — the
+    * exact kernel of Dsir.gramBuckets), add-1-smoothed raw/target bucket
+    * counts, the log-ratio table, and per-doc summed `log_weight`
+    * (docs with no grams weigh 0). Target slice = lang = 'en'.
+    */
+  private val duckDsirWeightCtes: String =
+    """WITH tk AS (
+      |  SELECT doc_id, lang,
+      |    list_filter(regexp_split_to_array(lower(trim(coalesce(text,''))), '\s+'),
+      |      t -> len(t) > 0) AS toks
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id, lang, unnest(list_transform(
+      |      list_concat(toks, list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])),
+      |      t -> ('0x'||substr(md5(t),1,15))::BIGINT % 4096)) AS b
+      |  FROM tk),
+      |raw AS (SELECT b, count(*)::DOUBLE AS rc FROM g GROUP BY b),
+      |tgt AS (SELECT b, count(*)::DOUBLE AS tc FROM g WHERE lang = 'en' GROUP BY b),
+      |tot AS (SELECT (SELECT count(*) FROM g)::DOUBLE AS rt,
+      |               (SELECT count(*) FROM g WHERE lang = 'en')::DOUBLE AS tt),
+      |ratio AS (
+      |  SELECT raw.b,
+      |    ln(coalesce(tgt.tc, 0) + 1) - ln(tot.tt + 4096)
+      |      - ln(raw.rc + 1) + ln(tot.rt + 4096) AS lr
+      |  FROM raw LEFT JOIN tgt USING (b), tot),
+      |w AS (
+      |  SELECT d.doc_id, coalesce(s.lw, 0.0) AS log_weight
+      |  FROM documents d LEFT JOIN (
+      |    SELECT g.doc_id, sum(r.lr) AS lw FROM g JOIN ratio r USING (b)
+      |    GROUP BY g.doc_id) s USING (doc_id))""".stripMargin
+
   /** DuckDB word-n-gram expansion over a token-list column `toks`:
     * one row per n-gram window (space-joined), for docs with ≥ n tokens.
     */
@@ -4116,6 +4176,26 @@ object SparkEntry {
         |  SELECT regexp_replace(upper(text), ' ', '  ', 'g') AS text FROM documents)
         |SELECT count(DISTINCT lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS distinct_fps
         |FROM u""".stripMargin,
+
+    "q_dsir_weights" ->
+      s"""$duckDsirWeightCtes
+         |SELECT doc_id, round(log_weight, 6) AS log_weight
+         |FROM w ORDER BY doc_id""".stripMargin,
+
+    "q_dsir_sample" -> {
+      // Gumbel-max key over the same weights; the unit draw is the duckU
+      // md5 polynomial clamped away from 0 (same 2^-32 floor as Spark)
+      val u = duckU("CAST(doc_id AS VARCHAR)", "dsir")
+      s"""$duckDsirWeightCtes,
+         |keyed AS (
+         |  SELECT doc_id,
+         |    log_weight - ln(-ln(greatest($u, 1.0/4294967296.0))) AS sample_key
+         |  FROM w)
+         |SELECT d.doc_id, d.lang, round(k.sample_key, 6) AS sample_key
+         |FROM (SELECT * FROM keyed ORDER BY sample_key DESC LIMIT 200) k
+         |JOIN documents d USING (doc_id)
+         |ORDER BY doc_id""".stripMargin
+    },
 
     // sampling/mixture/packing/decontamination: the md5 draw and all
     // arithmetic are replicated exactly (doubles both sides), so these are
