@@ -2523,6 +2523,73 @@ object SparkEntry {
         .orderBy("o_orderkey")
     }),
 
+    "q_stream_dedup_history" -> ((s, dir) => {
+      // continuous-ingest dedup LOOP as a real streaming query
+      // (foreachBatch → KtkSink.commitBatchDeduped): three waves of
+      // documents with planted cross-wave verbatim copies; each wave
+      // dedupes against the dataset's own persisted hash column and then
+      // extends it in the same exactly-once commit. EXACT oracle: the
+      // survivor set is first-occurrence-per-normalized-content over
+      // (wave, doc_id) — DuckDB replays it with a window over the SAME
+      // normalization (the xxhash64 key never leaves the engine; ids are
+      // planted so the wave is recoverable from the id).
+      import org.apache.spark.sql.streaming.Trigger
+      import org.apache.spark.sql.types._
+      val base = scratch(dir)
+      val uuid = "stream_dedup_corpus"
+      val done = java.nio.file.Paths.get(base, s"$uuid._fixture_done")
+      if (!java.nio.file.Files.exists(done)) {
+        if (graft.ktk.DatasetMetadata.exists(s, base, uuid))
+          graft.ktk.DatasetMetadata.delete(s, base, uuid)
+        val stageDir = java.nio.file.Paths.get(base, s"${uuid}_src")
+        org.apache.commons.io.FileUtils.deleteQuietly(stageDir.toFile)
+        org.apache.commons.io.FileUtils.deleteQuietly(
+          java.nio.file.Paths.get(base, s"${uuid}_ckpt").toFile)
+        java.nio.file.Files.createDirectories(stageDir)
+        val schema = StructType(Seq(
+          StructField("doc_id", LongType), StructField("text", StringType),
+          StructField("lang", StringType)))
+        Ktk.createEmpty(s, base, uuid, StructType(
+          schema.fields :+ StructField("content_hash", LongType)))
+        val docs = t(s, dir, "documents").select("doc_id", "text", "lang")
+        def run(): Unit = {
+          val q = s.readStream.schema(schema).parquet(stageDir.toString)
+            .writeStream
+            .foreachBatch((batch: DataFrame, batchId: Long) =>
+              graft.streaming.KtkSink.commitBatchDeduped(
+                batch, base, uuid, "doc_id", "text", batchId))
+            .option("checkpointLocation", s"$base/${uuid}_ckpt")
+            .trigger(Trigger.AvailableNow()).start()
+          q.awaitTermination()
+        }
+        // one staged file per wave + one run per wave = one micro-batch
+        // per wave, deterministically ordered
+        stageDfOnce(docs.filter(col("doc_id") % 3 === 0),
+          stageDir.resolve("wave0.parquet"))
+        run()
+        stageDfOnce(
+          docs.filter(col("doc_id") % 3 === 1).unionByName(
+            docs.filter(col("doc_id") % 15 === 0)
+              .withColumn("doc_id", col("doc_id") + 1000000L)),
+          stageDir.resolve("wave1.parquet"))
+        run()
+        stageDfOnce(
+          docs.filter(col("doc_id") % 3 === 2)
+            .unionByName(docs.filter(col("doc_id") % 3 === 1 && col("doc_id") % 7 === 0)
+              .withColumn("doc_id", col("doc_id") + 2000000L))
+            .unionByName(docs.filter(col("doc_id") % 15 === 0)
+              .withColumn("doc_id", col("doc_id") + 3000000L)),
+          stageDir.resolve("wave2.parquet"))
+        run()
+        val before = graft.ktk.DatasetMetadata.load(s, base, uuid).version
+        run() // replay window: same checkpoint, no new files -> no commit
+        require(graft.ktk.DatasetMetadata.load(s, base, uuid).version == before,
+          "empty restart must not commit")
+        java.nio.file.Files.createFile(done)
+      }
+      Ktk.readTable(s, base, uuid).select("doc_id", "lang").orderBy("doc_id")
+    }),
+
     "q_stream_window" -> ((s, dir) => {
       // Structured Streaming over the events table: windowed count/sum with
       // Trigger.AvailableNow into a memory sink — the batch-incremental
@@ -3819,6 +3886,24 @@ object SparkEntry {
       """SELECT o_orderkey,
         |  round(CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1000 ELSE o_totalprice END, 2) AS price
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q_stream_dedup_history" ->
+      """WITH waves AS (
+        |  SELECT doc_id, text, lang FROM documents WHERE doc_id % 3 = 0
+        |  UNION ALL SELECT doc_id, text, lang FROM documents WHERE doc_id % 3 = 1
+        |  UNION ALL SELECT doc_id + 1000000, text, lang FROM documents WHERE doc_id % 15 = 0
+        |  UNION ALL SELECT doc_id, text, lang FROM documents WHERE doc_id % 3 = 2
+        |  UNION ALL SELECT doc_id + 2000000, text, lang FROM documents
+        |    WHERE doc_id % 3 = 1 AND doc_id % 7 = 0
+        |  UNION ALL SELECT doc_id + 3000000, text, lang FROM documents WHERE doc_id % 15 = 0),
+        |ranked AS (
+        |  SELECT doc_id, lang, row_number() OVER (
+        |      PARTITION BY lower(regexp_replace(trim(text), '\s+', ' ', 'g'))
+        |      ORDER BY CASE WHEN doc_id >= 2000000 THEN 2
+        |                    WHEN doc_id >= 1000000 THEN 1
+        |                    ELSE doc_id % 3 END, doc_id) AS rn
+        |  FROM waves)
+        |SELECT doc_id, lang FROM ranked WHERE rn = 1 ORDER BY doc_id""".stripMargin,
 
     "q_stream_window" ->
       """SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,

@@ -118,9 +118,28 @@ object Dedup {
       textCol: String,
       fpp: Double = 0.01,
       expectedHistoryItems: Long = 0L): DataFrame = {
-    require(fpp > 0 && fpp < 1, s"fpp must be in (0, 1), got $fpp")
     val h = xxhash64(col(s"`$textCol`"))
-    val histH = history.select(h.as("__h"))
+    exactAgainstHashes(newDf, h, history.select(h.as("__h")), "__h",
+      fpp, expectedHistoryItems)
+  }
+
+  /** [[exactAgainstHistory]] with PRECOMPUTED hashes on both sides — the
+    * form a continuous-ingest pipeline persists (the history table keeps
+    * an 8-byte content-hash column; probing it is one narrow column-pruned
+    * scan, never a re-read of history text). `newHash` is the batch-side
+    * hash expression and MUST be the same function that built
+    * `histHashes(hashCol)` — same bloom-screen + broadcast-confirm shape
+    * and bounds as [[exactAgainstHistory]].
+    */
+  def exactAgainstHashes(
+      newDf: DataFrame,
+      newHash: Column,
+      histHashes: DataFrame,
+      hashCol: String,
+      fpp: Double = 0.01,
+      expectedHistoryItems: Long = 0L): DataFrame = {
+    require(fpp > 0 && fpp < 1, s"fpp must be in (0, 1), got $fpp")
+    val histH = histHashes.select(col(s"`$hashCol`").as("__h"))
     // empty history short-circuits: nothing to dedup against (and Spark's
     // bloom aggregate over zero rows yields a null sketch)
     val items =
@@ -133,7 +152,7 @@ object Dedup {
     // side only (the codegen'd history scan is untouched), so the one
     // non-codegen expression sits on the small side of the pipeline
     val mightContain = udf((x: Long) => bc.value.mightContainLong(x))
-    val batch = newDf.withColumn("__h", h)
+    val batch = newDf.withColumn("__h", newHash)
     val residue = batch.filter(mightContain(col("__h")))
     val confirmed = histH
       .join(broadcast(residue.select("__h").distinct()), Seq("__h"), "left_semi")

@@ -110,6 +110,51 @@ object KtkSink {
     }
   }
 
+  /** Continuous-ingest DEDUPING sink: commit one micro-batch keeping only
+    * content not already in the target dataset — the streaming form of the
+    * FineWeb/Dolma loop (each crawl batch dedupes against everything ever
+    * ingested, then EXTENDS the ingested set), built from proven parts:
+    *
+    *  1. intra-batch: one survivor per distinct normalized content
+    *     ([[StreamDedup.contentKey]]), the least `idCol` row
+    *     ([[graft.ops.Dedup.exact]] — deterministic, replayable);
+    *  2. cross-batch/cross-run: survivors filter against the dataset's own
+    *     persisted `hashCol` column via
+    *     [[graft.ops.Dedup.exactAgainstHashes]] (bloom screen + exact
+    *     confirm; ONE narrow column-pruned scan of 8-byte hashes per
+    *     batch — history text is never re-read);
+    *  3. the accepted rows land through [[commitBatch]] CARRYING their
+    *     hash column, so the commit that admits a document atomically
+    *     extends the dedup history — and the same batch-id replay guard
+    *     makes a crash-replayed batch a no-op instead of a double-admit.
+    *
+    * The target dataset must exist with `hashCol: long` in its schema.
+    * State is the dataset itself: no separate hash store to drift, no
+    * watermark horizon — [[StreamDedup.dedupStream]] is the bounded-state
+    * WITHIN-stream complement; this is the unbounded ACROSS-runs one.
+    */
+  def commitBatchDeduped(batch: DataFrame, base: String, uuid: String,
+                         idCol: String, textCol: String, batchId: Long,
+                         hashCol: String = "content_hash",
+                         sortBy: Seq[String] = Nil, compactEvery: Int = 0,
+                         maxSidecarFragments: Int = 64,
+                         fpp: Double = 0.01): Unit = {
+    val spark = batch.sparkSession
+    val md = DatasetMetadata.load(spark, base, uuid)
+    // replay guard up front: a replayed batch must not even pay the probe
+    // (commitBatch re-checks under its own load, so the guard stays sound
+    // if another writer advances the mark between here and the commit)
+    if (md.metadata.get(batchKeyFor(spark)).exists(_.toLong >= batchId)) return
+    import org.apache.spark.sql.functions.col
+    val keyed = batch.withColumn(hashCol, StreamDedup.contentKey(col(s"`$textCol`")))
+    val intra = graft.ops.Dedup.exact(keyed, Seq(hashCol), idCol)
+    val history = Ktk.readTable(spark, base, uuid, columns = Seq(hashCol))
+    val survivors = graft.ops.Dedup.exactAgainstHashes(
+      intra, col(s"`$hashCol`"), history, hashCol, fpp)
+    commitBatch(survivors, base, uuid, batchId, sortBy, compactEvery,
+      maxSidecarFragments)
+  }
+
   /** Commit one micro-batch as an UPSERT (exactly once): rows whose `keys`
     * match live target rows replace them, the rest insert — [[Ktk.merge]]'s
     * merge-on-read shape, so each batch costs O(batch) at any table size

@@ -217,4 +217,48 @@ class KtkSinkSpec extends SparkSpec {
       .groupBy("k", "v").agg(max("ver").as("ver")), Seq("k"), "ver", None, "D")
     out2.count() shouldBe 3
   }
+
+  test("commitBatchDeduped: first occurrence wins across batches, runs, and replays") {
+    val base = tmpDir("ktkdedup")
+    val sch = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("content_hash", LongType)))
+    Ktk.createEmpty(spark, base, "corpus", sch)
+    def commit(b: Long, rows: (Long, String)*): Unit =
+      KtkSink.commitBatchDeduped(rows.toDF("doc_id", "text"), base, "corpus",
+        "doc_id", "text", batchId = b)
+    // batch 0: intra-batch dup (1,5 same text) -> least id survives;
+    // normalization folds case/whitespace (2 vs the later "  ALPHA two  ")
+    commit(0L, (1L, "alpha one"), (5L, "alpha one"), (2L, "alpha two"))
+    Ktk.readTable(spark, base, "corpus").select("doc_id")
+      .as[Long].collect().sorted.toSeq shouldBe Seq(1L, 2L)
+    // batch 1: cross-batch dup (10="alpha one", 11 normalizes to "alpha two")
+    // drops; fresh 12 admits
+    commit(1L, (10L, "alpha one"), (11L, "  ALPHA two  "), (12L, "gamma three"))
+    Ktk.readTable(spark, base, "corpus").select("doc_id")
+      .as[Long].collect().sorted.toSeq shouldBe Seq(1L, 2L, 12L)
+    // crash replay of batch 1 (guard fires before the probe): no change
+    commit(1L, (10L, "alpha one"), (11L, "ALPHA two"), (12L, "gamma three"))
+    Ktk.readTable(spark, base, "corpus").count() shouldBe 3
+    // a fully-duplicate batch commits nothing but still advances the mark
+    commit(2L, (20L, "alpha one"), (21L, "gamma three"))
+    Ktk.readTable(spark, base, "corpus").count() shouldBe 3
+    DatasetMetadata.load(spark, base, "corpus")
+      .metadata("stream.last_batch_id") shouldBe "2"
+    // the persisted hash column IS the dedup history: it matches a
+    // recomputation from the surviving text (the cross-run contract)
+    val mism = Ktk.readTable(spark, base, "corpus")
+      .filter(col("content_hash") =!= StreamDedup.contentKey(col("text")))
+      .count()
+    mism shouldBe 0L
+    // programmatic callers share the dataset-global batch key, so a batch
+    // id BELOW the mark is a replay by definition and must no-op (live
+    // streaming queries get query-scoped keys via batchKeyFor instead)
+    commit(0L, (30L, "delta four"))
+    Ktk.readTable(spark, base, "corpus").count() shouldBe 3
+    // later run continues the id line: history still holds across runs
+    commit(3L, (30L, "alpha one"), (31L, "delta four"))
+    Ktk.readTable(spark, base, "corpus").select("doc_id")
+      .as[Long].collect().sorted.toSeq shouldBe Seq(1L, 2L, 12L, 31L)
+  }
 }
