@@ -1266,7 +1266,9 @@ object SparkEntry {
       // signature table once per scale dir and read it back like the real
       // pipeline would; the measured work is the batch-side pass + the
       // banded probe, not fixture construction
-      val sigPath = java.nio.file.Paths.get(scratch(dir), "minhash_incr_sigs.parquet")
+      // the path carries the kernel version: a kernel bump must rebuild the
+      // cached fixture, not trip the (correct) loud version-mismatch check
+      val sigPath = java.nio.file.Paths.get(scratch(dir), "minhash_incr_sigs_k2.parquet")
       // gate on the _SUCCESS marker, not the directory: a crashed first
       // write leaves a partial dir that would poison every later run
       if (!java.nio.file.Files.exists(sigPath.resolve("_SUCCESS")))

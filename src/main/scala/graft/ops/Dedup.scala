@@ -328,14 +328,27 @@ object Dedup {
   /** MinHash signature: for each of `numHashes` seeded permutations, the min
     * over shingle hashes. One pass over the text, zero allocation beyond the
     * signature — duplicates need no dedup since min(multiset) == min(set).
+    *
+    * KERNEL v2 (Kirsch–Mitzenmacher, the datasketch/LSH-literature form):
+    * the `numHashes` permutations of each shingle derive from TWO mix64
+    * draws as `h1 + i*h2` (h2 forced odd ⇒ each i is a full-period affine
+    * permutation of a well-mixed value) instead of `numHashes` independent
+    * mix64 calls — ~4x less CPU on the pass that dominates corpus-scale
+    * dedup, identical collision behavior in practice. v2 signatures are
+    * INCOMPATIBLE with v1 tables; [[minhashSignatures]] stamps the kernel
+    * version and [[minhashAgainstHistory]] fails loudly on a version
+    * mismatch instead of silently losing recall.
     */
   def minhashSignature(text: String, k: Int, numHashes: Int): Array[Long] = {
     val sig = Array.fill(numHashes)(Long.MaxValue)
     def update(s: Long): Unit = {
+      val h1 = mix64(s, 2)
+      val h2 = mix64(s, 3) | 1L
+      var h = h1
       var i = 0
       while (i < numHashes) {
-        val h = mix64(s, i + 2)
         if (h < sig(i)) sig(i) = h
+        h += h2
         i += 1
       }
     }
@@ -415,6 +428,7 @@ object Dedup {
       .putLong(ShingleKKey, shingleK.toLong)
       .putLong(NumHashesKey, numHashes.toLong)
       .putLong(BandsKey, bands.toLong)
+      .putLong(KernelVersionKey, KernelVersion)
       .build()
     df.select(col(idCol).as("id"), col(textCol).as("__t"))
       .repartition(par)
@@ -425,6 +439,13 @@ object Dedup {
   private val ShingleKKey = "graft.minhash.shingleK"
   private val NumHashesKey = "graft.minhash.numHashes"
   private val BandsKey = "graft.minhash.bands"
+  private val KernelVersionKey = "graft.minhash.kernel"
+  /** Bumped whenever [[minhashSignature]]'s hash family changes (v2 =
+    * Kirsch–Mitzenmacher two-draw permutations, r15). A persisted table
+    * from another kernel version hashes DIFFERENTLY with equal parameters,
+    * so the probe must refuse it rather than silently lose recall.
+    */
+  private val KernelVersion = 2L
 
   /** Fail loudly when a signature table carries a parameter stamp that
     * disagrees with the probe's parameters (a silent mismatch degrades
@@ -444,6 +465,12 @@ object Dedup {
           s"(shingleK=$shingleK, numHashes=$numHashes, bands=$bands) — " +
           "band hashes would stop colliding and recall silently degrade; " +
           "probe with the table's parameters or rebuild the table")
+      val kv = if (m.contains(KernelVersionKey)) m.getLong(KernelVersionKey) else 1L
+      require(kv == KernelVersion,
+        s"minhash kernel mismatch: signature table was built by kernel v$kv " +
+          s"but this build hashes with v$KernelVersion — equal parameters " +
+          "hash differently across kernel versions, so recall would " +
+          "silently collapse; rebuild the signature table with this build")
     }
   }
 

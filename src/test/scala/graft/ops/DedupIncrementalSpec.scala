@@ -82,6 +82,21 @@ class DedupIncrementalSpec extends SparkSpec {
         metadata = org.apache.spark.sql.types.Metadata.empty))))
     Dedup.minhashAgainstHistory(batch, "doc_id", "text", stripped,
       threshold = 0.6, bands = 16).count() shouldBe 1 // different banding, no collision
+    // a table stamped by an OLDER kernel (params present, kernel key from
+    // v1) must refuse: equal parameters hash differently across kernels
+    val v1meta = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong("graft.minhash.shingleK", 5L)
+      .putLong("graft.minhash.numHashes", 128L)
+      .putLong("graft.minhash.bands", 32L) // no kernel key = v1
+      .build()
+    val v1table = spark.createDataFrame(loaded.rdd,
+      org.apache.spark.sql.types.StructType(loaded.schema.map(f =>
+        if (f.name == "sig") f.copy(metadata = v1meta) else f)))
+    val ek = intercept[IllegalArgumentException] {
+      Dedup.minhashAgainstHistory(batch, "doc_id", "text", v1table, threshold = 0.6)
+    }
+    ek.getMessage should include("kernel mismatch")
+    ek.getMessage should include("v1")
   }
 
   test("minhash history probe: broadcast below the key budget, shuffle above it") {
