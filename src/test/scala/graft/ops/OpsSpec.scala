@@ -78,6 +78,36 @@ class DedupSpec extends SparkSpec {
     sim13 should be < 0.2
   }
 
+  test("minhash signature overlap is an unbiased Jaccard estimator (kernel quality)") {
+    // guards the HASH FAMILY itself (bumped to Kirsch-Mitzenmacher v2 in
+    // r15): over synthetic pairs with KNOWN shingle-set Jaccard, the
+    // 128-slot signature overlap must track the true value within the
+    // binomial error envelope — a degenerate family (correlated
+    // permutations, short-period steps) fails this long before any
+    // end-to-end gate notices. Deterministic corpus, no RNG.
+    val words = (0 until 60).map(i => s"w${i}word$i")
+    def docOf(idx: Seq[Int]) = idx.map(words).mkString(" ")
+    val errs = (0 until 30).map { t =>
+      val keep = 20 + (t % 3) * 10          // shared core size
+      val aExtra = (t % 7) + 3              // a-only suffix words
+      val bExtra = (t % 5) + 3
+      val core = (0 until keep).map(i => (i * 7 + t) % 60)
+      val a = docOf(core ++ (0 until aExtra).map(i => (i * 11 + t + 1) % 60))
+      val b = docOf(core ++ (0 until bExtra).map(i => (i * 13 + t + 2) % 60))
+      val sa = Dedup.shingles(a, 5)
+      val sb = Dedup.shingles(b, 5)
+      val trueJ = sa.intersect(sb).size.toDouble / sa.union(sb).size
+      val ha = Dedup.minhashSignature(a, 5, 128)
+      val hb = Dedup.minhashSignature(b, 5, 128)
+      val est = ha.zip(hb).count { case (x, y) => x == y } / 128.0
+      math.abs(est - trueJ)
+    }
+    // per-pair binomial sd <= 0.5/sqrt(128) ~ 0.044; mean |err| over 30
+    // pairs lands well under 2 sd of a single estimate for a sound family
+    (errs.sum / errs.size) should be < 0.06
+    errs.max should be < 0.18 // ~4 sd: a broken family blows straight past
+  }
+
   test("minhashCandidates finds exact + near dup pairs, not the distinct doc") {
     val cands = Dedup.minhashCandidates(docs, "doc_id", "text", numHashes = 128, bands = 32)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
