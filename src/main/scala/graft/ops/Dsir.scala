@@ -123,4 +123,27 @@ object Dsir {
     val keyed = w.withColumn("sample_key", col("log_weight") - log(-log(u)))
     corpus.join(keyed.orderBy(col("sample_key").desc).limit(k), Seq(idCol))
   }
+
+  /** Threshold form of [[resampleTopK]] for UNBOUNDED selection sizes:
+    * keep every row whose Gumbel-perturbed key reaches `minKey` — a pure
+    * map-side filter (no top-k driver merge, no global sort), the shape
+    * that survives selecting billions of documents. Calibrate `minKey`
+    * on a sample (e.g. take the k-th key of a [[resampleTopK]] over a
+    * deterministic 1% [[Sampling.deterministicSample]]) — the classic
+    * threshold-from-quantile-estimate pattern. Same deterministic noise
+    * and keys as [[resampleTopK]]: equal inputs select equal rows.
+    */
+  def resampleByThreshold(
+      corpus: DataFrame, idCol: String, textCol: String,
+      target: DataFrame, targetTextCol: String,
+      minKey: Double, seed: String = "dsir",
+      buckets: Int = 10000, smoothing: Double = 1.0,
+      useBigrams: Boolean = true): DataFrame = {
+    val w = importanceWeights(corpus, idCol, textCol, target, targetTextCol,
+      buckets, smoothing, useBigrams)
+    val u = greatest(Sampling.hashUnit(seed, col(idCol)), lit(1.0 / 4294967296.0))
+    val keyed = w.withColumn("sample_key", col("log_weight") - log(-log(u)))
+      .filter(col("sample_key") >= minKey)
+    corpus.join(keyed, Seq(idCol))
+  }
 }

@@ -63,6 +63,21 @@ class DsirSpec extends SparkSpec {
       out.select("doc_id").as[Long].collect().sorted
   }
 
+  test("resampleByThreshold equals top-k at the k-th key, as a pure filter") {
+    val (corpus, target) = fixture(200)
+    val top = Dsir.resampleTopK(corpus, "doc_id", "text", target, "ttext",
+      k = 50, buckets = 4096)
+    val kthKey = top.agg(min(col("sample_key"))).head().getDouble(0)
+    val thr = Dsir.resampleByThreshold(corpus, "doc_id", "text", target, "ttext",
+      minKey = kthKey, buckets = 4096)
+    thr.select("doc_id").as[Long].collect().sorted shouldBe
+      top.select("doc_id").as[Long].collect().sorted
+    // the selection itself is a filter: no global sort, no limit
+    val plan = thr.queryExecution.executedPlan.toString
+    (plan should not).include("TakeOrderedAndProject")
+    (plan should not).include("GlobalLimit")
+  }
+
   test("scale shape: ratio table broadcasts, corpus gram stream never sort-merges") {
     val (corpus, target) = fixture(40)
     val conf = spark.conf
