@@ -55,6 +55,12 @@ object GraftExtensions {
         require(exprs.length == 2, "cosine_sim takes exactly 2 arguments")
         CosineSimilarity(exprs(0), exprs(1))
       }),
+    (FunctionIdentifier("sig_overlap"),
+      new ExpressionInfo(classOf[SigOverlap].getName, "sig_overlap"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2, "sig_overlap takes exactly 2 arguments")
+        SigOverlap(exprs(0), exprs(1))
+      }),
     descriptor("token_count", 1)(c => TextAnalysis.tokenCount(c.head)),
     descriptor("subword_count", 1)(c => TextAnalysis.subwordCount(c.head)),
     descriptor("punct_ratio", 1)(c => TextAnalysis.punctRatio(c.head)),

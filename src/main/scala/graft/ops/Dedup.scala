@@ -511,15 +511,12 @@ object Dedup {
       .distinct()
 
     // signature-overlap estimate only for surviving candidate pairs
-    val overlapUdf = udf((sa: Array[Byte], sb: Array[Byte]) => {
-      var m = 0; var t = 0
-      while (t < sa.length) { if (sa(t) == sb(t)) m += 1; t += 1 }
-      m.toDouble / sa.length
-    })
+    // (codegen'd native expression: the candidate set is the hot path)
     pairs
       .join(sigs.select(col("id").as("id_a"), col("sig").as("__sa")), "id_a")
       .join(sigs.select(col("id").as("id_b"), col("sig").as("__sb")), "id_b")
-      .select(col("id_a"), col("id_b"), overlapUdf(col("__sa"), col("__sb")).as("est_jaccard"))
+      .select(col("id_a"), col("id_b"),
+        graft.functions.SigOverlap(col("__sa"), col("__sb")).as("est_jaccard"))
   }
 
   /** CROSS-RUN incremental NEAR-dedup: drop batch rows whose text is a
@@ -618,16 +615,15 @@ object Dedup {
   }
 
   /** Fraction of agreeing b-bit signature slots — the Jaccard estimate
-    * used by every minhash verification stage.
+    * used by every minhash verification stage. A native codegen
+    * expression since r15 ([[graft.functions.SigOverlap]]): the
+    * verification stage runs once per candidate PAIR, the row-richest
+    * stage of the pipeline, and the Scala-UDF form it replaces broke
+    * whole-stage codegen exactly there. Length mismatches still fail
+    * loudly with the same message.
     */
-  private val sigOverlap = udf((sa: Array[Byte], sb: Array[Byte]) => {
-    require(sa.length == sb.length,
-      s"signature length mismatch (${sa.length} vs ${sb.length}): history table " +
-        "and batch were built with different numHashes")
-    var m = 0; var t = 0
-    while (t < sa.length) { if (sa(t) == sb(t)) m += 1; t += 1 }
-    m.toDouble / sa.length
-  })
+  private def sigOverlap(a: Column, b: Column): Column =
+    graft.functions.SigOverlap(a, b)
 
   /** Near-dedup via MinHash with STAR-shaped bucket verification: within
     * each LSH bucket only (minId, member) edges are scored — O(n) per bucket
@@ -772,15 +768,10 @@ object Dedup {
       .filter(col("id") =!= col("rep"))
       .select(col("rep").as("id_a"), col("id").as("id_b"))
       .distinct()
-    val overlapUdf = udf((sa: Array[Byte], sb: Array[Byte]) => {
-      var m = 0; var t = 0
-      while (t < sa.length) { if (sa(t) == sb(t)) m += 1; t += 1 }
-      m.toDouble / sa.length
-    })
     edges
       .join(sigs.select(col("id").as("id_a"), col("sig").as("__sa")), "id_a")
       .join(sigs.select(col("id").as("id_b"), col("sig").as("__sb")), "id_b")
-      .filter(overlapUdf(col("__sa"), col("__sb")) >= threshold)
+      .filter(sigOverlap(col("__sa"), col("__sb")) >= threshold)
       .select(col("id_a"), col("id_b"))
   }
 
