@@ -76,12 +76,24 @@ class DedupIncrementalSpec extends SparkSpec {
     // matching parameters (the defaults) pass validation and drop the dup
     Dedup.minhashAgainstHistory(batch, "doc_id", "text", loaded, threshold = 0.6)
       .count() shouldBe 0
-    // an UNSTAMPED table (foreign writer) still works — caller's contract
+    // an UNSTAMPED table is treated as kernel v1 and REFUSED by default —
+    // every pre-stamp table IS v1, exactly the population a kernel bump
+    // endangers (r15 ADVICE medium)
     val stripped = spark.createDataFrame(loaded.rdd,
       org.apache.spark.sql.types.StructType(loaded.schema.map(_.copy(
         metadata = org.apache.spark.sql.types.Metadata.empty))))
-    Dedup.minhashAgainstHistory(batch, "doc_id", "text", stripped,
-      threshold = 0.6, bands = 16).count() shouldBe 1 // different banding, no collision
+    val eu = intercept[IllegalArgumentException] {
+      Dedup.minhashAgainstHistory(batch, "doc_id", "text", stripped,
+        threshold = 0.6, bands = 16)
+    }
+    eu.getMessage should include("unstamped")
+    // the explicit opt-out exists for genuinely foreign tables whose
+    // builder is KNOWN to match this hash family — caller's contract
+    spark.conf.set("spark.graft.dedup.allowUnstampedSignatures", "true")
+    try {
+      Dedup.minhashAgainstHistory(batch, "doc_id", "text", stripped,
+        threshold = 0.6, bands = 16).count() shouldBe 1 // different banding, no collision
+    } finally spark.conf.unset("spark.graft.dedup.allowUnstampedSignatures")
     // a table stamped by an OLDER kernel (params present, kernel key from
     // v1) must refuse: equal parameters hash differently across kernels
     val v1meta = new org.apache.spark.sql.types.MetadataBuilder()

@@ -119,8 +119,13 @@ class DedupSpec extends SparkSpec {
   }
 
   test("minhashDedup drops near+exact dups, keeps distinct docs") {
+    // r15 judge directive: the star-edge pipeline must not cache anything
+    // (the old shared-signature persist lingered in executor memory until
+    // context shutdown). Delta-based: the session is shared across suites.
+    val before = spark.sparkContext.getPersistentRDDs.keySet
     val out = Dedup.minhashDedup(docs, "doc_id", "text", threshold = 0.6)
     out.select("doc_id").as[Long].collect().sorted.toSeq shouldBe Seq(0L, 2L)
+    (spark.sparkContext.getPersistentRDDs.keySet -- before) shouldBe empty
   }
 
   test("minhashDedupCC collapses transitive duplicate clusters to the min id") {
