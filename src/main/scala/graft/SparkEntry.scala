@@ -2554,6 +2554,16 @@ object SparkEntry {
         Ktk.createEmpty(s, base, uuid, StructType(
           schema.fields :+ StructField("content_hash", LongType)))
         val docs = t(s, dir, "documents").select("doc_id", "text", "lang")
+        // the oracle recovers the wave rank from the id magnitude (the
+        // +1M/+2M/+3M plants) — a natural doc_id at or past 1M would
+        // collide with the plants and misrank waves, so fail the fixture
+        // loudly instead (raise the plant offsets AND the oracle's
+        // thresholds together if a larger scale factor ever trips this)
+        val maxNatural = docs.agg(max(col("doc_id"))).head.getLong(0)
+        require(maxNatural < 1000000L,
+          s"q_stream_dedup_history plant convention violated: max natural " +
+            s"doc_id $maxNatural >= 1000000 would collide with the wave " +
+            "plants; raise the plant offsets and the oracle thresholds")
         def run(): Unit = {
           val q = s.readStream.schema(schema).parquet(stageDir.toString)
             .writeStream
@@ -2581,6 +2591,81 @@ object SparkEntry {
               .withColumn("doc_id", col("doc_id") + 2000000L))
             .unionByName(docs.filter(col("doc_id") % 15 === 0)
               .withColumn("doc_id", col("doc_id") + 3000000L)),
+          stageDir.resolve("wave2.parquet"))
+        run()
+        val before = graft.ktk.DatasetMetadata.load(s, base, uuid).version
+        run() // replay window: same checkpoint, no new files -> no commit
+        require(graft.ktk.DatasetMetadata.load(s, base, uuid).version == before,
+          "empty restart must not commit")
+        java.nio.file.Files.createFile(done)
+      }
+      Ktk.readTable(s, base, uuid).select("doc_id", "lang").orderBy("doc_id")
+    }),
+
+    "q_stream_neardedup_history" -> ((s, dir) => {
+      // NEAR-dup dedup-on-ingest loop as a real streaming query
+      // (foreachBatch → KtkSink.commitBatchNearDeduped): three waves with
+      // planted near-copies (5-char prefixes). The fixture's pairwise
+      // exact Jaccard is either <=0.28 (distinct originals) or >=0.9
+      // (prefix plants) — the q_dedup_minhash_exact discipline — so the
+      // deterministic b-bit estimate at τ=0.6 makes the same decisions as
+      // exact J. Each wave near-dedupes against the dataset's own
+      // persisted signature columns and EXTENDS them in the same
+      // exactly-once commit. EXACT oracle: DuckDB recomputes exact
+      // shingle Jaccard over the SAME normalized text and keeps each doc
+      // iff no earlier (wave, id) doc is a >=0.6 neighbor.
+      import org.apache.spark.sql.streaming.Trigger
+      import org.apache.spark.sql.types._
+      val base = scratch(dir)
+      val uuid = "stream_neardedup_corpus"
+      val done = java.nio.file.Paths.get(base, s"$uuid._fixture_done")
+      if (!java.nio.file.Files.exists(done)) {
+        if (graft.ktk.DatasetMetadata.exists(s, base, uuid))
+          graft.ktk.DatasetMetadata.delete(s, base, uuid)
+        val stageDir = java.nio.file.Paths.get(base, s"${uuid}_src")
+        org.apache.commons.io.FileUtils.deleteQuietly(stageDir.toFile)
+        org.apache.commons.io.FileUtils.deleteQuietly(
+          java.nio.file.Paths.get(base, s"${uuid}_ckpt").toFile)
+        java.nio.file.Files.createDirectories(stageDir)
+        val schema = StructType(Seq(
+          StructField("doc_id", LongType), StructField("text", StringType),
+          StructField("lang", StringType)))
+        Ktk.createEmpty(s, base, uuid, StructType(schema.fields ++ Seq(
+          StructField("sig", BinaryType),
+          StructField("bands", ArrayType(LongType)))))
+        val d = t(s, dir, "documents").select("doc_id", "text", "lang")
+          .filter(col("doc_id") < 40 && length(col("text")) >= 60)
+        def near(prefix: String, src: DataFrame, offset: Long): DataFrame =
+          src.withColumn("doc_id", col("doc_id") + offset)
+            .withColumn("text", concat(lit(prefix), col("text")))
+        def run(): Unit = {
+          val q = s.readStream.schema(schema).parquet(stageDir.toString)
+            .writeStream
+            .foreachBatch((batch: DataFrame, batchId: Long) =>
+              graft.streaming.KtkSink.commitBatchNearDeduped(
+                batch, base, uuid, "doc_id", "text", batchId, threshold = 0.6))
+            .option("checkpointLocation", s"$base/${uuid}_ckpt")
+            .trigger(Trigger.AvailableNow()).start()
+          q.awaitTermination()
+        }
+        stageDfOnce(d.filter(col("doc_id") % 3 === 0),
+          stageDir.resolve("wave0.parquet"))
+        run()
+        // wave 1: fresh docs + near-copies of wave-0 history
+        stageDfOnce(
+          d.filter(col("doc_id") % 3 === 1).unionByName(
+            near("xqzy ", d.filter(col("doc_id") % 3 === 0 &&
+              col("doc_id") % 2 === 0), 1000000L)),
+          stageDir.resolve("wave1.parquet"))
+        run()
+        // wave 2: fresh docs + near-copies of wave-1 history + near-copies
+        // of SAME-wave docs (intra-batch star dedup)
+        stageDfOnce(
+          d.filter(col("doc_id") % 3 === 2)
+            .unionByName(near("abqr ", d.filter(col("doc_id") % 3 === 1 &&
+              col("doc_id") % 2 === 1), 2000000L))
+            .unionByName(near("xqzy ", d.filter(col("doc_id") % 3 === 2 &&
+              col("doc_id") % 5 === 0), 3000000L)),
           stageDir.resolve("wave2.parquet"))
         run()
         val before = graft.ktk.DatasetMetadata.load(s, base, uuid).version
@@ -3906,6 +3991,56 @@ object SparkEntry {
         |                    ELSE doc_id % 3 END, doc_id) AS rn
         |  FROM waves)
         |SELECT doc_id, lang FROM ranked WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    "q_stream_neardedup_history" ->
+      """WITH fixture AS (
+        |  SELECT 0 AS wave, doc_id, lang,
+        |    trim(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS t
+        |  FROM documents WHERE doc_id < 40 AND length(text) >= 60 AND doc_id % 3 = 0
+        |  UNION ALL
+        |  SELECT 1, doc_id, lang, trim(lower(regexp_replace(text, '\s+', ' ', 'g')))
+        |  FROM documents WHERE doc_id < 40 AND length(text) >= 60 AND doc_id % 3 = 1
+        |  UNION ALL
+        |  SELECT 1, doc_id + 1000000, lang,
+        |    trim(lower(regexp_replace('xqzy ' || text, '\s+', ' ', 'g')))
+        |  FROM documents WHERE doc_id < 40 AND length(text) >= 60
+        |    AND doc_id % 3 = 0 AND doc_id % 2 = 0
+        |  UNION ALL
+        |  SELECT 2, doc_id, lang, trim(lower(regexp_replace(text, '\s+', ' ', 'g')))
+        |  FROM documents WHERE doc_id < 40 AND length(text) >= 60 AND doc_id % 3 = 2
+        |  UNION ALL
+        |  SELECT 2, doc_id + 2000000, lang,
+        |    trim(lower(regexp_replace('abqr ' || text, '\s+', ' ', 'g')))
+        |  FROM documents WHERE doc_id < 40 AND length(text) >= 60
+        |    AND doc_id % 3 = 1 AND doc_id % 2 = 1
+        |  UNION ALL
+        |  SELECT 2, doc_id + 3000000, lang,
+        |    trim(lower(regexp_replace('xqzy ' || text, '\s+', ' ', 'g')))
+        |  FROM documents WHERE doc_id < 40 AND length(text) >= 60
+        |    AND doc_id % 3 = 2 AND doc_id % 5 = 0
+        |),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, substring(t, i, 5) AS s
+        |  FROM (SELECT doc_id, t, unnest(range(1, length(t) - 3)) AS i FROM fixture)
+        |),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+        |  FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+        |  GROUP BY 1, 2
+        |),
+        |jac AS (
+        |  SELECT a, b, i * 1.0 / (na.n + nb.n - i) AS j
+        |  FROM inter JOIN sizes na ON na.doc_id = a JOIN sizes nb ON nb.doc_id = b
+        |),
+        |nbr AS (SELECT a AS x, b AS y FROM jac WHERE j >= 0.6
+        |        UNION ALL SELECT b, a FROM jac WHERE j >= 0.6)
+        |SELECT f.doc_id, f.lang FROM fixture f
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM nbr n JOIN fixture e ON e.doc_id = n.y
+        |  WHERE n.x = f.doc_id
+        |    AND (e.wave < f.wave OR (e.wave = f.wave AND e.doc_id < f.doc_id)))
+        |ORDER BY doc_id""".stripMargin,
 
     "q_stream_window" ->
       """SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,

@@ -459,7 +459,7 @@ object Dedup extends org.apache.spark.internal.Logging {
     * build's hash family (the caller owns that contract; a loud warning
     * is still logged).
     */
-  private def validateSignatureParams(
+  private[graft] def validateSignatureParams(
       sigs: DataFrame, shingleK: Int, numHashes: Int, bands: Int): Unit = {
     val m = sigs.schema.find(_.name == "sig").map(_.metadata)
       .getOrElse(org.apache.spark.sql.types.Metadata.empty)
@@ -593,14 +593,44 @@ object Dedup extends org.apache.spark.internal.Logging {
     validateSignatureParams(historySigs, shingleK, numHashes, bands)
     val batchItems =
       if (expectedBatchItems > 0L) expectedBatchItems else newDf.count()
-    val keyBudget = newDf.sparkSession.conf
-      .get("spark.graft.dedup.broadcastKeyLimit", "4000000").toLong
-    val underBudget = batchItems * bands.toLong <= keyBudget
-    // below the key budget: broadcast hint (map-side history scan); above:
-    // identity — the join shuffles, which is the survivable shape at scale
-    val maybeBroadcast: DataFrame => DataFrame =
-      if (underBudget) (d: DataFrame) => broadcast(d) else identity
     val batchSigs = minhashSignatures(newDf, idCol, textCol, shingleK, numHashes, bands)
+    val matched = matchedIdsAgainstHistorySigs(batchSigs, historySigs,
+        threshold, bands, maxBucket, skippedBuckets, batchItems)
+      .withColumnRenamed("id", idCol)
+    newDf.join(
+      broadcastIfUnderBudget(matched, batchItems, bands), Seq(idCol), "left_anti")
+  }
+
+  /** Broadcast hint iff `items × bands` fits the
+    * `spark.graft.dedup.broadcastKeyLimit` key budget (see
+    * [[minhashAgainstHistory]]'s broadcast-bound scaladoc); identity
+    * above it — the join shuffles, which is the survivable shape at scale.
+    */
+  private def broadcastIfUnderBudget(
+      d: DataFrame, items: Long, bands: Int): DataFrame = {
+    val keyBudget = d.sparkSession.conf
+      .get("spark.graft.dedup.broadcastKeyLimit", "4000000").toLong
+    if (items * bands.toLong <= keyBudget) broadcast(d) else d
+  }
+
+  /** The probe core of [[minhashAgainstHistory]]: BATCH ids (column `id`)
+    * whose signature overlaps something in `historySigs` at >= `threshold`.
+    * Takes precomputed batch signatures so callers that already hold them
+    * (e.g. [[graft.streaming.KtkSink.commitBatchNearDeduped]], which also
+    * persists them into the dataset) pay the signature UDF once.
+    * `batchItems` sizes the broadcast-budget decision. Parameter/kernel
+    * stamp validation is the CALLER's job ([[validateSignatureParams]]).
+    */
+  private[graft] def matchedIdsAgainstHistorySigs(
+      batchSigs: DataFrame,
+      historySigs: DataFrame,
+      threshold: Double,
+      bands: Int,
+      maxBucket: Int,
+      skippedBuckets: Option[org.apache.spark.util.LongAccumulator],
+      batchItems: Long): DataFrame = {
+    val maybeBroadcast: DataFrame => DataFrame =
+      broadcastIfUnderBudget(_, batchItems, bands)
     val batchBanded = batchSigs
       .select(col("id").as("__bid"), col("sig").as("__bsig"),
         posexplode(col("bands")).as(Seq("band", "bucket")))
@@ -634,9 +664,26 @@ object Dedup extends org.apache.spark.internal.Logging {
       .join(maybeBroadcast(keptBuckets), Seq("band", "bucket"))
       .join(batchBanded, Seq("band", "bucket"))
       .filter(sigOverlap(col("__hsig"), col("__bsig")) >= threshold)
-    val matched = verified.select(col("__bid").as(idCol)).distinct()
-    newDf.join(maybeBroadcast(matched), Seq(idCol), "left_anti")
+    verified.select(col("__bid").as("id")).distinct()
   }
+
+  /** Canonical `shingleK/numHashes/bands/kernel` tag for recording the
+    * signature parameters of a MANAGED dataset in its user metadata (the
+    * column-stamp complement for datasets whose schema is fixed at
+    * `createEmpty` time — [[graft.streaming.KtkSink.commitBatchNearDeduped]]
+    * records it on first commit and refuses drift thereafter).
+    */
+  private[graft] def signatureParamsTag(
+      shingleK: Int, numHashes: Int, bands: Int): String =
+    s"$shingleK/$numHashes/$bands/v$KernelVersion"
+
+  /** Loser ids (column `id`) of the greedy star near-dedup over a
+    * precomputed `(id, sig, bands)` signature frame — the intra-batch
+    * primitive for dedup-on-ingest sinks that already hold batch
+    * signatures. Same semantics as [[minhashDedup]]'s drop set.
+    */
+  private[graft] def starLoserIds(sigs: DataFrame, threshold: Double): DataFrame =
+    verifiedStarEdges(sigs, threshold).select(col("id_b").as("id")).distinct()
 
   /** Fraction of agreeing b-bit signature slots — the Jaccard estimate
     * used by every minhash verification stage. A native codegen

@@ -21,6 +21,7 @@ object KtkSink {
 
   private val BatchKey = "stream.last_batch_id"
   private val SinceCompactKey = "stream.commits_since_compact"
+  private val NearDedupParamsKey = "stream.neardedup.params"
 
   /** Replay-guard metadata key, scoped to the live streaming query when one
     * is on this thread (StreamExecution publishes the STABLE query id —
@@ -80,7 +81,8 @@ object KtkSink {
     */
   def commitBatch(batch: DataFrame, base: String, uuid: String, batchId: Long,
                   sortBy: Seq[String] = Nil, compactEvery: Int = 0,
-                  maxSidecarFragments: Int = 64): Unit = {
+                  maxSidecarFragments: Int = 64,
+                  extraMetadata: Map[String, String] = Map.empty): Unit = {
     val spark = batch.sparkSession
     val md = DatasetMetadata.load(spark, base, uuid)
     val bk = batchKeyFor(spark)
@@ -92,7 +94,7 @@ object KtkSink {
       // O(index) — at high batch rates the canonical re-merge would dominate.
       // [[Ktk.compact]] re-canonicalizes the accumulated sidecar fragments.
       Ktk.update(spark, base, uuid, Some(batch), sortBy = sortBy,
-        extraMetadata = Map(bk -> batchId.toString,
+        extraMetadata = extraMetadata ++ Map(bk -> batchId.toString,
           SinceCompactKey -> since.toString),
         appendSidecars = true)
       // The counter resets WITH the compaction commit, not before it: if
@@ -132,6 +134,16 @@ object KtkSink {
     * State is the dataset itself: no separate hash store to drift, no
     * watermark horizon — [[StreamDedup.dedupStream]] is the bounded-state
     * WITHIN-stream complement; this is the unbounded ACROSS-runs one.
+    *
+    * '''Single-writer-per-dataset assumption''': the history probe and the
+    * admitting commit are two steps, atomic only against REPLAYS of this
+    * query (the batch-id guard rides the commit). Two CONCURRENT writers
+    * ingesting the same content can both probe before either commits and
+    * both admit it, breaking the first-occurrence invariant — run exactly
+    * one deduping ingest query per dataset (the normal Structured
+    * Streaming deployment shape: one checkpoint, one sink owner). The
+    * commit itself stays safe under concurrency (optimistic retry) — only
+    * the DEDUP decision is probe-then-commit.
     */
   def commitBatchDeduped(batch: DataFrame, base: String, uuid: String,
                          idCol: String, textCol: String, batchId: Long,
@@ -153,6 +165,104 @@ object KtkSink {
       intra, col(s"`$hashCol`"), history, hashCol, fpp)
     commitBatch(survivors, base, uuid, batchId, sortBy, compactEvery,
       maxSidecarFragments)
+  }
+
+  /** Continuous-ingest NEAR-DEDUPING sink: commit one micro-batch keeping
+    * only content that is not a MinHash near-duplicate (b-bit signature
+    * overlap >= `threshold`) of anything already ingested — the near-dup
+    * complement of [[commitBatchDeduped]] and the full FineWeb/Dolma loop
+    * (each crawl snapshot near-dedupes against every prior one, then
+    * EXTENDS the history), built from proven parts:
+    *
+    *  1. intra-batch: greedy star near-dedup over the batch's signatures
+    *     ([[graft.ops.Dedup.minhashDedup]]'s drop rule — the least-id
+    *     member of each verified bucket cluster survives; deterministic,
+    *     replayable);
+    *  2. cross-batch/cross-run: survivors probe the dataset's own
+    *     persisted signature columns (`sigCol`, `bandsCol`) through the
+    *     banded broadcast-pruned history probe of
+    *     [[graft.ops.Dedup.minhashAgainstHistory]] — ONE narrow
+    *     column-pruned scan of history signatures per batch, history text
+    *     never re-read, history never shuffled below the broadcast key
+    *     budget (`spark.graft.dedup.broadcastKeyLimit`);
+    *  3. admitted rows land through [[commitBatch]] CARRYING their
+    *     signature columns, so the commit that admits a document
+    *     atomically extends the near-dup history — and the batch-id
+    *     replay guard makes a crash-replayed batch a no-op instead of a
+    *     double-admit.
+    *
+    * The batch's signature frame is computed ONCE (cached across the three
+    * consumers above, unpersisted before returning). The target dataset
+    * must exist with `sigCol: binary` and `bandsCol: array<bigint>` in its
+    * schema; the MinHash parameters and kernel version are RECORDED in
+    * the dataset's metadata on the first admitting commit
+    * (`stream.neardedup.params`) and validated on every later one, so a
+    * parameter or kernel drift across ingest runs fails loudly instead of
+    * silently losing recall (a dataset with data but no recorded params —
+    * a foreign writer — falls back to the signature-column stamp policy of
+    * [[graft.ops.Dedup.minhashAgainstHistory]]). Same
+    * '''single-writer-per-dataset''' assumption as
+    * [[commitBatchDeduped]] — the probe and the admitting commit are
+    * atomic against replays of this query, not against concurrent foreign
+    * writers.
+    */
+  def commitBatchNearDeduped(batch: DataFrame, base: String, uuid: String,
+                             idCol: String, textCol: String, batchId: Long,
+                             threshold: Double = 0.8,
+                             shingleK: Int = 5, numHashes: Int = 128,
+                             bands: Int = 32, maxBucket: Int = 100000,
+                             sigCol: String = "sig", bandsCol: String = "bands",
+                             sortBy: Seq[String] = Nil, compactEvery: Int = 0,
+                             maxSidecarFragments: Int = 64): Unit = {
+    val spark = batch.sparkSession
+    val md = DatasetMetadata.load(spark, base, uuid)
+    // replay guard up front: a replayed batch must not even pay the
+    // signature pass (commitBatch re-checks under its own load)
+    if (md.metadata.get(batchKeyFor(spark)).exists(_.toLong >= batchId)) return
+    import org.apache.spark.sql.functions.col
+    import graft.ops.Dedup
+    val tag = Dedup.signatureParamsTag(shingleK, numHashes, bands)
+    md.metadata.get(NearDedupParamsKey).foreach { prev =>
+      require(prev == tag,
+        s"minhash parameter/kernel mismatch: dataset '$uuid' was ingested " +
+          s"with signature parameters $prev (shingleK/numHashes/bands/" +
+          s"kernel) but this sink uses $tag — mismatched parameters hash " +
+          "differently and recall silently collapses; ingest with the " +
+          "recorded parameters or rebuild the dataset")
+    }
+    val batchSigs = Dedup.minhashSignatures(
+        batch, idCol, textCol, shingleK, numHashes, bands)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val batchItems = batchSigs.count() // materializes the scoped cache
+      val intraLosers = Dedup.starLoserIds(batchSigs, threshold)
+      val historyMatched =
+        if (md.partitions.isEmpty) intraLosers.limit(0)
+        else {
+          val history = Ktk.readTable(spark, base, uuid,
+              columns = Seq(idCol, sigCol, bandsCol))
+            .select(col(s"`$idCol`").as("id"), col(s"`$sigCol`").as("sig"),
+              col(s"`$bandsCol`").as("bands"))
+          // params already proven by the recorded tag above; a dataset
+          // carrying data but NO tag was written by someone else — fall
+          // back to the signature-column stamp policy (refuses unstamped
+          // unless explicitly allowed)
+          if (!md.metadata.contains(NearDedupParamsKey))
+            Dedup.validateSignatureParams(history, shingleK, numHashes, bands)
+          Dedup.matchedIdsAgainstHistorySigs(batchSigs, history, threshold,
+            bands, maxBucket, skippedBuckets = None, batchItems = batchItems)
+        }
+      val losers = intraLosers.unionByName(historyMatched).distinct()
+        .withColumnRenamed("id", idCol)
+      val survivors = batch.join(losers, Seq(idCol), "left_anti")
+      // admitted rows carry their signatures: ONE commit admits the batch
+      // AND extends the near-dup history atomically
+      val withSigs = survivors.join(
+        batchSigs.select(col("id").as(idCol), col("sig").as(sigCol),
+          col("bands").as(bandsCol)), Seq(idCol))
+      commitBatch(withSigs, base, uuid, batchId, sortBy, compactEvery,
+        maxSidecarFragments, extraMetadata = Map(NearDedupParamsKey -> tag))
+    } finally { batchSigs.unpersist(blocking = false); () }
   }
 
   /** Commit one micro-batch as an UPSERT (exactly once): rows whose `keys`

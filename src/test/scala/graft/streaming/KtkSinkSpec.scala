@@ -261,4 +261,67 @@ class KtkSinkSpec extends SparkSpec {
     Ktk.readTable(spark, base, "corpus").select("doc_id")
       .as[Long].collect().sorted.toSeq shouldBe Seq(1L, 2L, 12L, 31L)
   }
+
+  test("commitBatchNearDeduped: near-dup first occurrence across waves; stamp survives; no cache leaks") {
+    val base = tmpDir("ktkneardedup")
+    // pairwise-DISTINCT bodies (a shared template with one varying token
+    // is itself a near-dup at this threshold — the operator is right to
+    // collapse it)
+    val bodies = Map(
+      0 -> ("the quick brown fox jumps over the lazy dog wearing a hat " * 5),
+      1 -> ("completely different content with unrelated words entirely here " * 5),
+      7 -> ("another orthogonal document about streaming ingestion pipelines " * 5))
+    def doc(i: Int) = bodies(i)
+    val sch = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("sig", BinaryType),
+      StructField("bands", ArrayType(LongType))))
+    Ktk.createEmpty(spark, base, "near", sch)
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    def commit(b: Long, rows: (Long, String)*): Unit =
+      KtkSink.commitBatchNearDeduped(rows.toDF("doc_id", "text"), base, "near",
+        "doc_id", "text", batchId = b, threshold = 0.6)
+    def ids(): Seq[Long] = Ktk.readTable(spark, base, "near").select("doc_id")
+      .as[Long].collect().sorted.toSeq
+    // wave 0: 1 and 5 are NEAR copies (5-char prefix) -> least id survives
+    // the greedy star; 2 is distinct
+    commit(0L, (1L, doc(0)), (5L, "xqzy " + doc(0)), (2L, doc(1)))
+    ids() shouldBe Seq(1L, 2L)
+    // wave 1: 10 is a near copy of ingested doc(0) (drops via the history
+    // probe), 11 an EXACT copy of doc(1) (overlap 1.0 — near-dedup
+    // subsumes exact), 12 fresh
+    commit(1L, (10L, "abqr " + doc(0)), (11L, doc(1)), (12L, doc(7)))
+    ids() shouldBe Seq(1L, 2L, 12L)
+    // crash replay of wave 1: the guard fires before the signature pass
+    commit(1L, (10L, "abqr " + doc(0)), (11L, doc(1)), (12L, doc(7)))
+    ids() shouldBe Seq(1L, 2L, 12L)
+    // a fully-near-duplicate wave commits nothing but advances the mark
+    commit(2L, (20L, "zzzw " + doc(7)))
+    ids() shouldBe Seq(1L, 2L, 12L)
+    DatasetMetadata.load(spark, base, "near")
+      .metadata("stream.last_batch_id") shouldBe "2"
+    // the persisted signatures ARE the near-dup history: they match a
+    // recomputation from the surviving text (the cross-run contract)
+    val persisted = Ktk.readTable(spark, base, "near")
+    val recomputed = graft.ops.Dedup.minhashSignatures(
+      persisted.select("doc_id", "text"), "doc_id", "text")
+    persisted.select(col("doc_id").as("id"), col("sig"), col("bands"))
+      .exceptAll(recomputed).count() shouldBe 0L
+    // the parameters are recorded in the dataset's metadata by the first
+    // admitting commit: a probe with different banding refuses loudly
+    // instead of silently losing recall
+    val e = intercept[IllegalArgumentException] {
+      commitOther(base, bands = 16)
+    }
+    e.getMessage should include("mismatch")
+    // nothing of ours lingers in executor memory after the sink calls
+    (spark.sparkContext.getPersistentRDDs.keySet -- before) shouldBe empty
+  }
+
+  private def commitOther(base: String, bands: Int): Unit = {
+    import spark.implicits._
+    KtkSink.commitBatchNearDeduped(
+      Seq((100L, "some fresh text for the mismatch probe " * 5)).toDF("doc_id", "text"),
+      base, "near", "doc_id", "text", batchId = 9L, bands = bands)
+  }
 }

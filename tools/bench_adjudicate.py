@@ -89,13 +89,28 @@ def load_times(path):
             if not times:
                 # a tail truncated so hard that NOTHING parsed carries no
                 # evidence either way — the sidecar is the only record of
-                # the run, and rejecting it for an empty intersection would
-                # discard it exactly when it is most needed. Adopt it, but
-                # say so loudly: a stale sidecar can't be ruled out here.
-                print(f"WARNING: tail had zero parseable times — adopting "
-                      f"{SIDECAR} ({len(full)} queries) UNVERIFIED; confirm "
-                      f"it belongs to this run if anything looks off")
-                return full
+                # the run. Before adopting it, require a same-run signal
+                # (r15 ADVICE: a crashed run plus a stale faster sidecar
+                # would otherwise adjudicate old numbers as this run):
+                # Bench writes the sidecar moments before the driver writes
+                # its capture, so the sidecar must not be NEWER than the
+                # capture and must fall within one run-window before it.
+                try:
+                    gap = os.path.getmtime(path) - os.path.getmtime(side)
+                except OSError:
+                    gap = None
+                if gap is not None and -300 <= gap <= 6 * 3600:
+                    print(f"WARNING: tail had zero parseable times — "
+                          f"adopting {SIDECAR} ({len(full)} queries); "
+                          f"mtime gap {gap:.0f}s is consistent with the "
+                          f"same run")
+                    return full
+                print(f"REFUSING {SIDECAR}: tail had zero parseable times "
+                      f"and the sidecar's mtime gap "
+                      f"({'unknown' if gap is None else f'{gap:.0f}s'}) is "
+                      f"outside the same-run window — likely a stale "
+                      f"sidecar from an earlier run. Re-run Bench.")
+                sys.exit(3)  # distinct 'unverified' status
             print(f"WARNING: {SIDECAR} disagrees with the tail or is "
                   f"smaller — ignoring it (stale run?)")
     return times
