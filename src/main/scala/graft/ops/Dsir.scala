@@ -128,9 +128,9 @@ object Dsir {
     * keep every row whose Gumbel-perturbed key reaches `minKey` — a pure
     * map-side filter (no top-k driver merge, no global sort), the shape
     * that survives selecting billions of documents. Calibrate `minKey`
-    * on a sample (e.g. take the k-th key of a [[resampleTopK]] over a
-    * deterministic 1% [[Sampling.deterministicSample]]) — the classic
-    * threshold-from-quantile-estimate pattern. Same deterministic noise
+    * with [[calibrateThreshold]] (the k-th-key order statistic of a
+    * deterministic subsample — the classic threshold-from-quantile
+    * pattern, turnkey). Same deterministic noise
     * and keys as [[resampleTopK]]: equal inputs select equal rows.
     */
   def resampleByThreshold(
@@ -145,5 +145,48 @@ object Dsir {
     val keyed = w.withColumn("sample_key", col("log_weight") - log(-log(u)))
       .filter(col("sample_key") >= minKey)
     corpus.join(keyed, Seq(idCol))
+  }
+
+  /** Turnkey `minKey` calibration for [[resampleByThreshold]]: estimate
+    * the k-th largest Gumbel key of the FULL corpus from a deterministic
+    * id-hash subsample. Keys are computed with the run's own seed and
+    * parameters over the full-corpus importance weights, so a sampled
+    * row's key is IDENTICAL to its key in the full run — the estimator is
+    * the classic scaled order statistic: the `ceil(k·fraction)`-th largest
+    * key among rows whose calibration draw falls below `fraction`.
+    *
+    * Error bound: selecting at the returned threshold keeps a count
+    * concentrated around k with standard deviation ~ `sqrt(k/fraction)`
+    * (binomial rank noise of the sample quantile) — at k = 1e8 and a 1%
+    * sample that is ±0.1% relative. At `fraction = 1.0` the estimate is
+    * EXACT: thresholding at it reproduces [[resampleTopK]]'s selection
+    * (continuous keys make ties measure-zero). The driver merges
+    * `k·fraction` keys (TakeOrderedAndProject) — size `fraction`
+    * accordingly; a sample smaller than `k·fraction` returns its minimum
+    * key (select-everything, the right degenerate answer).
+    */
+  def calibrateThreshold(
+      corpus: DataFrame, idCol: String, textCol: String,
+      target: DataFrame, targetTextCol: String,
+      k: Int, fraction: Double = 0.01, seed: String = "dsir",
+      buckets: Int = 10000, smoothing: Double = 1.0,
+      useBigrams: Boolean = true): Double = {
+    require(k > 0, s"k must be positive, got $k")
+    require(fraction > 0 && fraction <= 1,
+      s"fraction must be in (0, 1], got $fraction")
+    val w = importanceWeights(corpus, idCol, textCol, target, targetTextCol,
+      buckets, smoothing, useBigrams)
+    val u = greatest(Sampling.hashUnit(seed, col(idCol)), lit(1.0 / 4294967296.0))
+    val keyed = w.withColumn("sample_key", col("log_weight") - log(-log(u)))
+    val sampled =
+      if (fraction >= 1.0) keyed
+      else keyed.filter(Sampling.hashUnit(s"$seed:calib", col(idCol)) < fraction)
+    val kSample = math.max(1L, math.round(k * fraction)).toInt
+    val heads = sampled.select("sample_key")
+      .orderBy(col("sample_key").desc).limit(kSample)
+      .collect().map(_.getDouble(0))
+    require(heads.nonEmpty,
+      "calibration sample is empty — raise fraction or check the corpus")
+    heads.last
   }
 }

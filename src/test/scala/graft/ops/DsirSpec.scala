@@ -78,6 +78,35 @@ class DsirSpec extends SparkSpec {
     (plan should not).include("GlobalLimit")
   }
 
+  test("calibrateThreshold: exact at fraction 1; near-k selection from a subsample") {
+    val (corpus, target) = fixture(400)
+    // fraction = 1: the calibrated threshold IS the k-th largest key, so
+    // thresholding reproduces top-k exactly (continuous keys, no ties)
+    val t1 = Dsir.calibrateThreshold(corpus, "doc_id", "text", target, "ttext",
+      k = 60, fraction = 1.0, buckets = 4096)
+    val thr = Dsir.resampleByThreshold(corpus, "doc_id", "text", target, "ttext",
+      minKey = t1, buckets = 4096)
+    val top = Dsir.resampleTopK(corpus, "doc_id", "text", target, "ttext",
+      k = 60, buckets = 4096)
+    thr.select("doc_id").as[Long].collect().sorted shouldBe
+      top.select("doc_id").as[Long].collect().sorted
+    // subsampled calibration: selected count concentrates around k
+    // (binomial rank noise ~ sqrt(k/fraction) = ~17 here; 3 sigma bound)
+    val tHalf = Dsir.calibrateThreshold(corpus, "doc_id", "text", target, "ttext",
+      k = 150, fraction = 0.5, buckets = 4096)
+    val nHalf = Dsir.resampleByThreshold(corpus, "doc_id", "text", target, "ttext",
+      minKey = tHalf, buckets = 4096).count()
+    nHalf.toDouble shouldBe 150.0 +- 52.0
+    // determinism: recalibration returns the same threshold bit-for-bit
+    Dsir.calibrateThreshold(corpus, "doc_id", "text", target, "ttext",
+      k = 150, fraction = 0.5, buckets = 4096) shouldBe tHalf
+    // degenerate sample smaller than k*fraction: min key (select all)
+    val tiny = Dsir.calibrateThreshold(corpus.limit(3), "doc_id", "text",
+      target, "ttext", k = 1000, fraction = 1.0, buckets = 4096)
+    Dsir.resampleByThreshold(corpus.limit(3), "doc_id", "text", target, "ttext",
+      minKey = tiny, buckets = 4096).count() shouldBe 3
+  }
+
   test("scale shape: ratio table broadcasts, corpus gram stream never sort-merges") {
     val (corpus, target) = fixture(40)
     val conf = spark.conf
