@@ -7,6 +7,34 @@ import org.apache.spark.sql.SparkSession
   * standard way to estimate the noise floor.
   */
 object Bench {
+
+  /** Checksum-materializing consumption (DEFAULT since r16; opt out with
+    * SPARK_GRAFT_BENCH_FULL=0): fold every output column into
+    * `bit_xor(xxhash64(struct(*)))` so value-producing gates measure REAL
+    * work (bit_xor fold: overflow-free under ANSI mode, one long per
+    * task). The old `count()` let Catalyst prune scalar projections —
+    * q_dsir_weights and q_quality_model read FLAT at 10x data because the
+    * pruned plan measured shuffle overhead, not the value pipeline.
+    * Queries whose output carries a hash-unsupported type (maps) fall
+    * back to count(), loudly.
+    */
+  private def materialize(df: org.apache.spark.sql.DataFrame): Unit = {
+    import org.apache.spark.sql.functions.{bit_xor, col, struct, xxhash64}
+    if (sys.env.get("SPARK_GRAFT_BENCH_FULL").contains("0")) { df.count(); () }
+    else {
+      val checksum =
+        try Some(df.select(
+          bit_xor(xxhash64(struct(df.columns.map(c => col(s"`$c`")): _*))).as("c")))
+        catch { case _: org.apache.spark.sql.AnalysisException => None }
+      checksum match {
+        case Some(d) => d.head(); ()
+        case None =>
+          System.err.println("[bench] output not hashable, counting instead")
+          df.count(); ()
+      }
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -45,7 +73,7 @@ object Bench {
       System.gc()
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
-        try SparkEntry.withVolatileConfs(spark) { fn(spark, sfDir).count(); () }
+        try SparkEntry.withVolatileConfs(spark) { materialize(fn(spark, sfDir)); () }
         catch { case e: Throwable =>
           errors += name
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
