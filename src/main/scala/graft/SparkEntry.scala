@@ -2565,13 +2565,10 @@ object SparkEntry {
             s"doc_id $maxNatural >= 1000000 would collide with the wave " +
             "plants; raise the plant offsets and the oracle thresholds")
         def run(): Unit = {
-          val q = s.readStream.schema(schema).parquet(stageDir.toString)
-            .writeStream
-            .foreachBatch((batch: DataFrame, batchId: Long) =>
-              graft.streaming.KtkSink.commitBatchDeduped(
-                batch, base, uuid, "doc_id", "text", batchId))
-            .option("checkpointLocation", s"$base/${uuid}_ckpt")
-            .trigger(Trigger.AvailableNow()).start()
+          val q = graft.streaming.KtkSink.dedupIngestStream(
+            s.readStream.schema(schema).parquet(stageDir.toString),
+            base, uuid, s"$base/${uuid}_ckpt", "doc_id", "text",
+            trigger = Trigger.AvailableNow())
           q.awaitTermination()
         }
         // one staged file per wave + one run per wave = one micro-batch
@@ -2639,13 +2636,10 @@ object SparkEntry {
           src.withColumn("doc_id", col("doc_id") + offset)
             .withColumn("text", concat(lit(prefix), col("text")))
         def run(): Unit = {
-          val q = s.readStream.schema(schema).parquet(stageDir.toString)
-            .writeStream
-            .foreachBatch((batch: DataFrame, batchId: Long) =>
-              graft.streaming.KtkSink.commitBatchNearDeduped(
-                batch, base, uuid, "doc_id", "text", batchId, threshold = 0.6))
-            .option("checkpointLocation", s"$base/${uuid}_ckpt")
-            .trigger(Trigger.AvailableNow()).start()
+          val q = graft.streaming.KtkSink.nearDedupIngestStream(
+            s.readStream.schema(schema).parquet(stageDir.toString),
+            base, uuid, s"$base/${uuid}_ckpt", "doc_id", "text",
+            trigger = Trigger.AvailableNow(), threshold = 0.6)
           q.awaitTermination()
         }
         stageDfOnce(d.filter(col("doc_id") % 3 === 0),

@@ -346,6 +346,53 @@ object KtkSink {
       }
       .start()
 
+  /** Attach the dataset as a DEDUPING ingest sink ([[commitBatchDeduped]]
+    * per micro-batch): each batch keeps only content not already
+    * ingested, and the admitting commit extends the dataset's persisted
+    * hash history exactly once. Single writer per dataset (see
+    * [[commitBatchDeduped]]).
+    */
+  def dedupIngestStream(df: DataFrame, base: String, uuid: String,
+                        checkpoint: String, idCol: String, textCol: String,
+                        trigger: Trigger = Trigger.AvailableNow(),
+                        hashCol: String = "content_hash",
+                        sortBy: Seq[String] = Nil, compactEvery: Int = 0,
+                        maxSidecarFragments: Int = 64,
+                        fpp: Double = 0.01): StreamingQuery =
+    df.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        commitBatchDeduped(batch, base, uuid, idCol, textCol, batchId,
+          hashCol, sortBy, compactEvery, maxSidecarFragments, fpp)
+      }
+      .start()
+
+  /** Attach the dataset as a NEAR-DEDUPING ingest sink
+    * ([[commitBatchNearDeduped]] per micro-batch): each batch keeps only
+    * content that is not a MinHash near-duplicate of anything already
+    * ingested, and the admitting commit extends the persisted signature
+    * history exactly once. Single writer per dataset.
+    */
+  def nearDedupIngestStream(df: DataFrame, base: String, uuid: String,
+                            checkpoint: String, idCol: String, textCol: String,
+                            trigger: Trigger = Trigger.AvailableNow(),
+                            threshold: Double = 0.8,
+                            shingleK: Int = 5, numHashes: Int = 128,
+                            bands: Int = 32, maxBucket: Int = 100000,
+                            sigCol: String = "sig", bandsCol: String = "bands",
+                            sortBy: Seq[String] = Nil, compactEvery: Int = 0,
+                            maxSidecarFragments: Int = 64): StreamingQuery =
+    df.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        commitBatchNearDeduped(batch, base, uuid, idCol, textCol, batchId,
+          threshold, shingleK, numHashes, bands, maxBucket, sigCol, bandsCol,
+          sortBy, compactEvery, maxSidecarFragments)
+      }
+      .start()
+
   /** Attach the dataset as a keyed UPSERT sink (CDC mirror). `opCol`
     * enables full insert/update/delete traffic: rows carrying the delete
     * marker (`deleteOp`) tombstone their keys instead of landing.
