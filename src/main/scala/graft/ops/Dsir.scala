@@ -69,8 +69,16 @@ object Dsir {
       useBigrams: Boolean = true): DataFrame = {
     require(buckets > 0, s"buckets must be positive, got $buckets")
     require(smoothing > 0, s"smoothing must be positive, got $smoothing")
+    // The gram stream feeds TWO consumers (the raw bucket counts and the
+    // per-doc ratio sum) — materialize it through ONE id-keyed exchange so
+    // Spark plans the second read as a ReusedExchange and the
+    // tokenize/gram/md5 pass (THE dominant CPU stage at corpus scale) runs
+    // once. Net-zero added shuffle: the per-doc sum's groupBy(id) needed
+    // this exact partitioning anyway, so its exchange disappears.
+    val par = corpus.sparkSession.sparkContext.defaultParallelism
     val corpusGrams = corpus.select(col(idCol),
       explode(gramBuckets(col(s"`$textCol`"), buckets, useBigrams)).as("__b"))
+      .repartition(par, col(idCol))
     val rawCounts = corpusGrams.groupBy("__b").agg(count(lit(1)).as("__rc"))
     val tgtCounts = target
       .select(explode(gramBuckets(col(s"`$targetTextCol`"), buckets, useBigrams)).as("__b"))
