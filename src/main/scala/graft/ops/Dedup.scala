@@ -593,6 +593,13 @@ object Dedup extends org.apache.spark.internal.Logging {
     validateSignatureParams(historySigs, shingleK, numHashes, bands)
     val batchItems =
       if (expectedBatchItems > 0L) expectedBatchItems else newDf.count()
+    // The batch signature UDF evaluates once per batch-side consumer (band
+    // keys + verification join) — measured CHEAPER than forcing a shared
+    // exchange at gate scale (3.18 s vs 3.43 s with the exchange, sf0.1
+    // min-of-5): the probe batch is the small side by design. Callers
+    // with many consumers or precomputed signatures (the dedup-on-ingest
+    // sink) hold batchSigs themselves and call
+    // [[matchedIdsAgainstHistorySigs]] with a scoped cache instead.
     val batchSigs = minhashSignatures(newDf, idCol, textCol, shingleK, numHashes, bands)
     val matched = matchedIdsAgainstHistorySigs(batchSigs, historySigs,
         threshold, bands, maxBucket, skippedBuckets, batchItems)
