@@ -77,12 +77,20 @@ object Dedup extends org.apache.spark.internal.Logging {
     */
   def exactKeepBest(df: DataFrame, idCol: String, textCol: String,
       score: Column): DataFrame = {
-    val slim = df.select(col(idCol), xxhash64(col(textCol)).as("__h"), score.as("__s"))
-    val best = slim.groupBy("__h").agg(max(col("__s")).as("__s"))
-    val keep = slim.join(best, Seq("__h", "__s"))
-      .groupBy("__h").agg(min(col(idCol)).as(idCol))
-      .select(idCol)
-    df.join(keep, Seq(idCol), "left_semi")
+    // ONE corpus pass (r16): max_by the full payload by (score, -id) in a
+    // single map-side-combining aggregation — the two-agg + semi-join
+    // shape this replaces scanned the corpus three times (both slim
+    // branches + the join-back), which is 3x the IO at 100 TB. Same
+    // de-skew property: a giant dup group still contributes one combined
+    // row per map partition. The struct-ordered buffer plans as a
+    // SortAggregate (like [[exact]]'s min(struct)) — a per-partition
+    // sort on the uniformly-distributed hash key, no skew funnel.
+    val payload = df.columns.toSeq
+    val won = df.groupBy(xxhash64(col(s"`$textCol`")).as("__h"))
+      .agg(max_by(
+        struct(payload.map(c => col(s"`$c`")): _*),
+        struct(score, col(s"`$idCol`") * lit(-1L))).as("__w"))
+    won.select(payload.map(c => col("__w").getField(c).as(c)): _*)
   }
 
   /** CROSS-RUN incremental dedup: keep the rows of a NEW batch whose
