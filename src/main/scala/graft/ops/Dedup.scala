@@ -53,15 +53,18 @@ object Dedup extends org.apache.spark.internal.Logging {
     }
   }
 
-  /** Content-hash exact dedup: groups by xxhash64(normalized text) so only
-    * (hash, id) pairs shuffle. Returns surviving ids joined back to rows.
+  /** Content-hash exact dedup: least-id row per xxhash64(text) group in
+    * ONE corpus pass — min(struct(id, rest)) per hash combines map-side
+    * (a giant dup group contributes one row per map partition), the same
+    * single-scan shape as [[exact]]/[[exactKeepBest]]; the old
+    * min-id + semi-join form scanned the corpus twice.
     */
   def exactByHash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val keep = df
-      .select(col(idCol), xxhash64(col(textCol)).as("__h"))
-      .groupBy("__h").agg(min(col(idCol)).as(idCol))
-      .drop("__h")
-    df.join(keep, Seq(idCol), "left_semi")
+    val payload = col(s"`$idCol`") +:
+      df.columns.filterNot(_ == idCol).map(c => col(s"`$c`")).toSeq
+    val won = df.groupBy(xxhash64(col(s"`$textCol`")).as("__h"))
+      .agg(min(struct(payload: _*)).as("__w"))
+    won.select(df.columns.map(c => col("__w").getField(c).as(c)).toSeq: _*)
   }
 
   /** Content-hash exact dedup keeping the BEST row per duplicate group
