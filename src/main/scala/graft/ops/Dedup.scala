@@ -831,13 +831,20 @@ object Dedup extends org.apache.spark.internal.Logging {
       numHashes: Int = 128,
       bands: Int = 32): DataFrame = {
     val components = componentsFor(df, idCol, textCol, threshold, shingleK, numHashes, bands)
+    // argmax in ONE aggregation (r16): max_by(id, (score, -id)) per
+    // component — highest score wins, ties to least id — replaces the
+    // two-agg + two-join chain that re-evaluated the scored frame three
+    // times (each evaluation re-scanning df for the score column).
+    // Losers then come from the GraphX-cached component frame, not
+    // another corpus scan. Map-side-combining like every argmax here: a
+    // corpus-dominating dup component contributes one combined row per
+    // map partition.
     val scored = df.select(col(idCol).cast("long").as("id"), score.as("__s"))
       .join(components, Seq("id"))
-    val best = scored.groupBy("component").agg(max(col("__s")).as("__s"))
-    val winners = scored.join(best, Seq("component", "__s"))
-      .groupBy("component").agg(min(col("id")).as("id"))
-    val losers = scored.select("id", "component")
-      .join(winners.select(col("id")), Seq("id"), "left_anti")
+    val winners = scored.groupBy("component")
+      .agg(max_by(col("id"), struct(col("__s"), col("id") * lit(-1L))).as("__win"))
+    val losers = components.join(winners, Seq("component"))
+      .filter(col("id") =!= col("__win"))
       .select(col("id").as(idCol))
     df.join(losers, Seq(idCol), "left_anti")
   }
