@@ -124,22 +124,22 @@ class PlanShapeSpec extends SparkSpec {
     out.queryExecution.sparkPlan.toString should include("rangepartitioning")
   }
 
-  test("exactKeepBest picks argmax via partial aggs, no window; rows only semi-join") {
+  test("exactKeepBest is ONE map-side-combining argmax pass — no joins, no window") {
     import graft.ops.Dedup
     val docs = (0 until 200).map(i => (i.toLong, s"body $i " * 20, i % 5))
       .toDF("doc_id", "text", "score")
     val qe = Dedup.exactKeepBest(docs, "doc_id", "text", col("score")).queryExecution
     val plan = qe.executedPlan.toString
-    // survivor selection joins back as a semi-join — duplicates are dropped
-    // without ever shuffling document bodies
-    plan should include regex "(?i)leftsemi"
-    // argmax = map-side-combining aggs, never a per-hash window sort (a
-    // giant dup group would funnel through one task)
+    // r16 single-pass shape: max_by(payload, (score, -id)) per content
+    // hash — the corpus is scanned once, with partial aggregation (one
+    // combined row per hash per map partition, so a giant dup group never
+    // funnels), and there is NO join-back and no per-hash window sort
+    plan should include("partial_max_by")
+    plan should not include "Join"
     plan should not include "Window"
-    plan should include("partial_max")
-    // the (hash, score) exchanges carry the slim projection, not the bodies
-    plan.linesIterator.filter(_.contains("hashpartitioning(__h"))
-      .foreach(_ should not include "text")
+    // exactly one exchange: the hash-keyed aggregation shuffle of
+    // already-combined rows
+    "Exchange hashpartitioning".r.findAllIn(plan).size shouldBe 1
   }
 
   test("generic exact dedup plans a struct-min agg, window only for non-orderable payloads") {
