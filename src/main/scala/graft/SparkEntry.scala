@@ -1367,6 +1367,24 @@ object SparkEntry {
         .select("doc_id").orderBy("doc_id")
     }),
 
+    "q_dedup_minhash_best_exact" -> ((s, dir) => {
+      // keep-best transitive-closure dedup cross-checked END TO END on the
+      // J-separated fixture (pairwise exact Jaccard <=0.28 or >=0.92, so
+      // the b-bit estimate makes identical τ=0.6 decisions): each o~v1~v2
+      // clique must keep its LONGEST member — the 'v2 v2 '-prefixed copy —
+      // and DuckDB replays the component build AND the (length, -id)
+      // argmax per component.
+      val d = t(s, dir, "documents")
+        .filter(col("doc_id") < 40 && length(col("text")) >= 60)
+      val m1 = d.withColumn("doc_id", col("doc_id") + 1000000)
+        .withColumn("text", concat(lit("v1 "), col("text")))
+      val m2 = d.withColumn("doc_id", col("doc_id") + 2000000)
+        .withColumn("text", concat(lit("v2 v2 "), col("text")))
+      Dedup.minhashDedupCCKeepBest(d.unionByName(m1).unionByName(m2),
+          "doc_id", "text", length(col("text")), threshold = 0.6)
+        .select("doc_id").orderBy("doc_id")
+    }),
+
     "q_dedup_simhash_exact" -> ((s, dir) => {
       // simhash candidates cross-checked against the planted truth: exact
       // copies have hamming 0 (found via every band), while the fixture's
@@ -3845,6 +3863,47 @@ object SparkEntry {
         |),
         |comp AS (SELECT node, min(rep) AS component FROM reach GROUP BY 1)
         |SELECT node AS doc_id FROM comp WHERE node = component ORDER BY 1""".stripMargin,
+
+    "q_dedup_minhash_best_exact" ->
+      """WITH RECURSIVE fixture AS (
+        |  SELECT doc_id, length(text) AS len,
+        |    trim(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS t
+        |  FROM documents WHERE doc_id < 40 AND length(text) >= 60
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, length('v1 ' || text),
+        |    trim(lower(regexp_replace('v1 ' || text, '\s+', ' ', 'g')))
+        |  FROM documents WHERE doc_id < 40 AND length(text) >= 60
+        |  UNION ALL
+        |  SELECT doc_id + 2000000, length('v2 v2 ' || text),
+        |    trim(lower(regexp_replace('v2 v2 ' || text, '\s+', ' ', 'g')))
+        |  FROM documents WHERE doc_id < 40 AND length(text) >= 60
+        |),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, substring(t, i, 5) AS s
+        |  FROM (SELECT doc_id, t, unnest(range(1, length(t) - 3)) AS i FROM fixture)
+        |),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+        |  FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id GROUP BY 1, 2
+        |),
+        |edges AS (
+        |  SELECT a, b FROM inter JOIN sizes na ON na.doc_id = a JOIN sizes nb ON nb.doc_id = b
+        |  WHERE i * 1.0 / (na.n + nb.n - i) >= 0.6
+        |),
+        |bidir AS (SELECT a, b FROM edges UNION SELECT b AS a, a AS b FROM edges),
+        |reach(node, rep) AS (
+        |  SELECT doc_id, doc_id FROM fixture
+        |  UNION
+        |  SELECT b.b, r.rep FROM reach r JOIN bidir b ON b.a = r.node
+        |),
+        |comp AS (SELECT node, min(rep) AS component FROM reach GROUP BY 1),
+        |ranked AS (
+        |  SELECT c.component, f.doc_id,
+        |    row_number() OVER (PARTITION BY c.component
+        |      ORDER BY f.len DESC, f.doc_id) AS rn
+        |  FROM comp c JOIN fixture f ON f.doc_id = c.node)
+        |SELECT doc_id FROM ranked WHERE rn = 1 ORDER BY 1""".stripMargin,
 
     "q_dedup_simhash_exact" ->
       """SELECT doc_id AS id_a, doc_id + 1000000 AS id_b, 0 AS hamming
