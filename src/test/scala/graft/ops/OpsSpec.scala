@@ -78,6 +78,45 @@ class DedupSpec extends SparkSpec {
     sim13 should be < 0.2
   }
 
+  test("normalizeWs and the simhash tokenizer are bit-equal to their regex forms") {
+    // r16 perf: the per-row regexes in the signature/simhash kernels were
+    // replaced by single-pass loops; persisted signature tables and gate
+    // fixtures depend on EXACT equality with the old regex forms, so pin
+    // it with a control-char-heavy fuzz (covers every \s member, non-\s
+    // controls that only trim() strips, and multi-char runs at both ends)
+    val rnd = new scala.util.Random(7)
+    val alphabet: IndexedSeq[Char] =
+      "aBz  \t\n\r\f" + 11.toChar + 1.toChar + 0.toChar + " eZ "
+    def mix64Ref(x0: Long, seed: Long): Long = {
+      var x = x0 ^ (seed * 0x9E3779B97F4A7C15L)
+      x ^= (x >>> 30); x *= 0xBF58476D1CE4E5B9L
+      x ^= (x >>> 27); x *= 0x94D049BB133111EBL
+      x ^ (x >>> 31)
+    }
+    def simhashRef(text: String): Long = { // the pre-r16 split-based form
+      val counts = new Array[Int](64)
+      (if (text == null) "" else text).toLowerCase.split("\\s+").foreach { tok =>
+        if (tok.nonEmpty) {
+          val h = mix64Ref(tok.hashCode.toLong, 7)
+          var b = 0
+          while (b < 64) { if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1; b += 1 }
+        }
+      }
+      var out = 0L
+      var b = 0
+      while (b < 64) { if (counts(b) > 0) out |= (1L << b); b += 1 }
+      out
+    }
+    for (_ <- 0 until 20000) {
+      val s = (0 until rnd.nextInt(40)).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+      withClue(s"input=${s.toCharArray.map(_.toInt).mkString(",")}: ") {
+        Dedup.normalizeWs(s) shouldBe s.replaceAll("\\s+", " ").trim
+        Dedup.simhash64(s) shouldBe simhashRef(s)
+      }
+    }
+    Dedup.simhash64(null) shouldBe simhashRef(null)
+  }
+
   test("minhash signature overlap is an unbiased Jaccard estimator (kernel quality)") {
     // guards the HASH FAMILY itself (bumped to Kirsch-Mitzenmacher v2 in
     // r15): over synthetic pairs with KNOWN shingle-set Jaccard, the
