@@ -201,6 +201,20 @@ object SparkEntry {
       transform(col("embedding"), x => x * lit(1.01f) + lit(0.001f)).as("embedding")))
   }
 
+  /** documents ∪ "v1 "-prefixed ∪ "v2 v2 "-prefixed variant corpus — the
+    * shared fixture of the transitive-closure dedup gates — built from ONE
+    * scan + explode instead of a 3-branch self-union (r16: the union read
+    * and decoded the same parquet three times; rows are identical, the
+    * oracles re-proved it).
+    */
+  private def variantFixture(d: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    d.select(col("doc_id"), col("text"),
+        explode(array(lit(0L), lit(1000000L), lit(2000000L))).as("__off"))
+      .select((col("doc_id") + col("__off")).as("doc_id"),
+        when(col("__off") === 0L, col("text"))
+          .when(col("__off") === 1000000L, concat(lit("v1 "), col("text")))
+          .otherwise(concat(lit("v2 v2 "), col("text"))).as("text"))
+
   private val pqBooks = scala.collection.concurrent.TrieMap.empty[String, Similarity.PqCodebooks]
   private def pqFor(s: SparkSession, dir: String): Similarity.PqCodebooks =
     pqBooks.getOrElseUpdate(dir,
@@ -1275,11 +1289,17 @@ object SparkEntry {
         Dedup.minhashSignatures(history, "doc_id", "text")
           .write.mode("overwrite").parquet(sigPath.toString)
       val sigs = s.read.parquet(sigPath.toString)
-      val nearCopies = history
-        .withColumn("doc_id", col("doc_id") + 1000000)
-        .withColumn("text", concat(lit("xqzy "), col("text")))
       val fresh = docs.filter(col("doc_id") % 3 === 0)
-      val batch = nearCopies.unionByName(fresh)
+      // r16 perf: each doc lands in the batch exactly once (as a mutated
+      // near-copy when it is history, untouched when fresh) — one scan and
+      // one CASE instead of the two filtered branches the old
+      // nearCopies∪fresh union read separately (rows identical; the gate's
+      // own recall/floor invariants re-proven)
+      val batch = docs.select(
+        when(col("doc_id") % 3 =!= 0, col("doc_id") + 1000000)
+          .otherwise(col("doc_id")).as("doc_id"),
+        when(col("doc_id") % 3 =!= 0, concat(lit("xqzy "), col("text")))
+          .otherwise(col("text")).as("text"))
       val out = Dedup.minhashAgainstHistory(batch, "doc_id", "text", sigs, threshold = 0.6)
       val agg = out.groupBy().agg(
         count(lit(1)).as("survivors"),
@@ -1297,11 +1317,16 @@ object SparkEntry {
     }),
 
     "q_dedup_minhash" -> ((s, dir) => {
-      // plant near-duplicates (prefix mutation), near-dedup at 0.6
+      // plant near-duplicates (prefix mutation), near-dedup at 0.6.
+      // r16 perf: original+mutated from ONE scan + explode instead of a
+      // self-union that decoded the parquet twice (rows identical)
       val d = t(s, dir, "documents")
-      val mutated = d.withColumn("doc_id", col("doc_id") + 1000000)
-        .withColumn("text", concat(lit("xqzy "), col("text")))
-      Dedup.minhashDedup(d.unionByName(mutated), "doc_id", "text", threshold = 0.6)
+        .select(col("doc_id"), col("text"),
+          explode(array(lit(0L), lit(1000000L))).as("__off"))
+        .select((col("doc_id") + col("__off")).as("doc_id"),
+          when(col("__off") === 0L, col("text"))
+            .otherwise(concat(lit("xqzy "), col("text"))).as("text"))
+      Dedup.minhashDedup(d, "doc_id", "text", threshold = 0.6)
         .groupBy().agg(count(lit(1)).as("survivors"), min("doc_id").as("min_id"), max("doc_id").as("max_id"))
     }),
 
@@ -1323,26 +1348,21 @@ object SparkEntry {
     }),
 
     "q_dedup_minhash_cc" -> ((s, dir) => {
-      // transitive-closure dedup: chains A~B~C collapse to one survivor
-      val d = t(s, dir, "documents")
-      val m1 = d.withColumn("doc_id", col("doc_id") + 1000000)
-        .withColumn("text", concat(lit("v1 "), col("text")))
-      val m2 = d.withColumn("doc_id", col("doc_id") + 2000000)
-        .withColumn("text", concat(lit("v2 v2 "), col("text")))
-      Dedup.minhashDedupCC(d.unionByName(m1).unionByName(m2), "doc_id", "text", threshold = 0.6)
+      // transitive-closure dedup: chains A~B~C collapse to one survivor.
+      // r16 perf: the original∪v1∪v2 fixture is ONE scan + explode instead
+      // of a 3-branch union that read and decoded the parquet three times —
+      // identical rows (oracle re-proven), 1/3 the input pass
+      Dedup.minhashDedupCC(variantFixture(t(s, dir, "documents")),
+          "doc_id", "text", threshold = 0.6)
         .groupBy().agg(count(lit(1)).as("survivors"), min("doc_id").as("min_id"), max("doc_id").as("max_id"))
     }),
 
     "q_dedup_minhash_best" -> ((s, dir) => {
       // quality-aware survivor policy: each near-dup component keeps its
       // LONGEST member — the v2-mutated copies are strictly longer than the
-      // originals, so survivors should come from the high-id variants
-      val d = t(s, dir, "documents")
-      val m1 = d.withColumn("doc_id", col("doc_id") + 1000000)
-        .withColumn("text", concat(lit("v1 "), col("text")))
-      val m2 = d.withColumn("doc_id", col("doc_id") + 2000000)
-        .withColumn("text", concat(lit("v2 v2 "), col("text")))
-      Dedup.minhashDedupCCKeepBest(d.unionByName(m1).unionByName(m2),
+      // originals, so survivors should come from the high-id variants.
+      // r16 perf: single-scan explode fixture (see q_dedup_minhash_cc)
+      Dedup.minhashDedupCCKeepBest(variantFixture(t(s, dir, "documents")),
           "doc_id", "text", length(col("text")), threshold = 0.6)
         .groupBy().agg(count(lit(1)).as("survivors"), min("doc_id").as("min_id"),
           sum(when(col("doc_id") >= 2000000, 1L).otherwise(0L)).as("v2_survivors"))
@@ -1895,10 +1915,13 @@ object SparkEntry {
 
     "q_text_fingerprint" -> ((s, dir) => {
       // whitespace/case-robust fingerprint: dup-vs-original collide
-      val d = t(s, dir, "documents")
-      val spaced = d.withColumn("doc_id", col("doc_id") + 1000000)
-        .withColumn("text", regexp_replace(upper(col("text")), lit(" "), lit("  ")))
-      d.unionByName(spaced)
+      // single-scan explode fixture (r16): the mutated copy rides a CASE
+      // instead of a second parquet read
+      t(s, dir, "documents")
+        .select(col("text"), explode(array(lit(false), lit(true))).as("__m"))
+        .select(when(col("__m"),
+            regexp_replace(upper(col("text")), lit(" "), lit("  ")))
+          .otherwise(col("text")).as("text"))
         .select(TextAnalysis.fingerprint(col("text")).as("fp"))
         .groupBy().agg(countDistinct(col("fp")).as("distinct_fps"))
     }),
@@ -2353,12 +2376,20 @@ object SparkEntry {
       // (1-d)·a + d·b and the oracle's a + d·(b-a) differ by 1 ulp and flip
       // the rounded digit; the nudge moves the boundary 1e-6 off the value
       // grid (multiples of 5e-4) so both engines round identically
+      // r16 perf: both l_extendedprice percentiles share ONE aggregation
+      // buffer via the array form — percentile builds a value->count
+      // OpenHashMap per buffer, and the scalar form built that map twice
+      // for the same column (array-element extraction is the same
+      // interpolation on the same sorted counts, so values are identical)
       t(s, dir, "lineitem")
         .groupBy("l_returnflag")
         .agg(
-          round(expr("percentile(l_extendedprice, 0.5)") + 1e-6, 2).as("p50"),
-          round(expr("percentile(l_extendedprice, 0.95)") + 1e-6, 2).as("p95"),
-          round(expr("percentile(l_quantity, 0.25)") + 1e-6, 2).as("q25"))
+          expr("percentile(l_extendedprice, array(0.5, 0.95))").as("__ep"),
+          expr("percentile(l_quantity, 0.25)").as("__q"))
+        .select(col("l_returnflag"),
+          round(col("__ep").getItem(0) + 1e-6, 2).as("p50"),
+          round(col("__ep").getItem(1) + 1e-6, 2).as("p95"),
+          round(col("__q") + 1e-6, 2).as("q25"))
         .orderBy("l_returnflag")
     }),
 
@@ -2722,9 +2753,14 @@ object SparkEntry {
       // char budgets -> store as a managed dataset partitioned by language
       // -> read back per-language stats.
       val base = scratch(dir)
+      // planted exact dups via ONE scan + explode (r16: the self-union
+      // decoded the parquet twice; rows identical, oracle re-proven); the
+      // repartition keeps the quality-score + hash map stage at full width
+      // (the single small file otherwise scans as one task)
       val d = t(s, dir, "documents")
-        .unionByName(t(s, dir, "documents")
-          .withColumn("doc_id", col("doc_id") + 1000000)) // planted exact dups
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("*"), explode(array(lit(0L), lit(1000000L))).as("__off"))
+        .withColumn("doc_id", col("doc_id") + col("__off")).drop("__off")
       val scored = d.withColumn("quality", TextAnalysis.qualityScore(col("text")))
         .filter(col("quality") >= 0.5)
       val exact = Dedup.exactByHash(scored, "doc_id", "text")
@@ -3021,14 +3057,22 @@ object SparkEntry {
       // paragraph scrub -> keep-best exact dedup (longest copy wins) ->
       // token-budget selection -> reproducible shard assignment. Output is
       // self-validating: doc/token totals per stage and shard balance.
+      // r16 perf: the duplicated corpus is ONE scan + ONE regexp pass +
+      // explode — the old 2-branch self-union decoded the parquet and ran
+      // the (expensive) regexp_replace twice for identical text (rows
+      // identical, oracle re-proven). The repartition spreads the regexp
+      // and the downstream paragraph explode across all cores: the single
+      // small file otherwise scans as ONE task, and paragraphDedupFrequent
+      // evaluates this subtree twice (df pass + anti-join pass)
       val d = t(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+        .repartition(s.sparkContext.defaultParallelism)
         .select(col("doc_id"),
           concat(lit("CURATION HEADER\n"),
             regexp_replace(col("text"), "(\\S+ \\S+ \\S+) ", "$1\n")).as("text"))
-        .unionByName(t(s, dir, "documents")
-          .select((col("doc_id") + 2000000).as("doc_id"),
-            concat(lit("CURATION HEADER\n"),
-              regexp_replace(col("text"), "(\\S+ \\S+ \\S+) ", "$1\n")).as("text")))
+        .select(col("doc_id"), col("text"),
+          explode(array(lit(0L), lit(2000000L))).as("__off"))
+        .select((col("doc_id") + col("__off")).as("doc_id"), col("text"))
       val scrubbed = Dedup.paragraphDedupFrequent(d, "doc_id", "text", maxDf = 2L)
         .withColumn("tok", TextAnalysis.tokenCount(col("text")))
       val deduped = Dedup.exactKeepBest(scrubbed, "doc_id", "text", col("tok"))
