@@ -398,13 +398,10 @@ object Multimodal {
     * member. Components are tiny; Pregel rounds bound by their diameter.
     */
   private def dropCcLosers(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
-    import org.apache.spark.graphx.{Edge, Graph}
-    val spark = df.sparkSession
-    import spark.implicits._
-    val edgeRdd = pairs.select(col("id_a"), col("id_b")).rdd
-      .map(r => Edge(r.getLong(0), r.getLong(1), 1))
-    val graph = Graph.fromEdges(edgeRdd, defaultValue = 1)
-    val losers = graph.connectedComponents().vertices.toDF("id", "component")
+    // shared adaptive CC kernel (r16): duplicate-graph-sized edge lists
+    // solve on the driver, past-budget ones through GraphX — see
+    // Dedup.connectedComponentsOf
+    val losers = Dedup.connectedComponentsOf(pairs)
       .filter(col("id") =!= col("component"))
       .select(col("id").as(idCol))
     df.join(losers, Seq(idCol), "left_anti")

@@ -271,9 +271,7 @@ object Similarity {
       keepBest: Option[Column] = None, seed: Long = 42L,
       trainFraction: Double = 1.0,
       skippedCells: Option[org.apache.spark.util.LongAccumulator] = None): DataFrame = {
-    import org.apache.spark.graphx.{Edge, Graph}
     val spark = corpus.sparkSession
-    import spark.implicits._
     // quantizer training must NOT iterate over the full corpus at scale —
     // set trainFraction so the k-means sample is ~10⁵–10⁶ rows (Bernoulli
     // sample, deterministic under the seed); assignment below still covers
@@ -288,11 +286,9 @@ object Similarity {
         explode(nearestCidsUdf(ivf.centroids, 1)(col(s"`$vecCol`"))))
       .select(col(s"`$idCol`").cast("long").as("id"), col(s"`$vecCol`").as("v"),
         col("__bucket"))
-    val edges = withinBucketPairs(celled, maxCell, skippedCells)
-      .filter(col("cos") >= minCosine)
-      .select("id_a", "id_b").rdd.map(r => Edge(r.getLong(0), r.getLong(1), 1))
-    val components = Graph.fromEdges(edges, defaultValue = 1)
-      .connectedComponents().vertices.toDF("id", "component")
+    val components = Dedup.connectedComponentsOf(
+      withinBucketPairs(celled, maxCell, skippedCells)
+        .filter(col("cos") >= minCosine))
     keepBest match {
       case None =>
         val losers = components.filter(col("id") =!= col("component"))
@@ -379,15 +375,8 @@ object Similarity {
     */
   def embeddingDedupCCFromPairs(
       corpus: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
-    import org.apache.spark.graphx.{Edge, Graph}
-    val spark = corpus.sparkSession
-    import spark.implicits._
-    val edges = pairs
-      .select(col("id_a"), col("id_b")).rdd
-      .map(r => Edge(r.getLong(0), r.getLong(1), 1))
-    val components = Graph.fromEdges(edges, defaultValue = 1)
-      .connectedComponents().vertices.toDF("id", "component")
-    val losers = components.filter(col("id") =!= col("component"))
+    val losers = Dedup.connectedComponentsOf(pairs)
+      .filter(col("id") =!= col("component"))
       .select(col("id").as(idCol))
     corpus.join(losers, Seq(idCol), "left_anti")
   }

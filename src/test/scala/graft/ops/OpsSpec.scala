@@ -78,6 +78,26 @@ class DedupSpec extends SparkSpec {
     sim13 should be < 0.2
   }
 
+  test("local union-find CC equals the GraphX path (adaptive kernel, r16)") {
+    // chains, a cycle, an out-of-order union, self-loops and duplicate
+    // edges — the local path (under budget) and the forced GraphX path
+    // (budget 1) must produce the identical (id, component) labeling
+    val edges = Seq(
+      (3L, 2L), (2L, 1L), (10L, 11L), (11L, 12L), (12L, 10L),
+      (7L, 7L), (20L, 5L), (5L, 4L), (30L, 31L), (3L, 2L)
+    ).toDF("id_a", "id_b")
+    val local = Dedup.connectedComponentsOf(edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    spark.conf.set("spark.graft.dedup.localCcEdgeLimit", "1")
+    val viaGraphx =
+      try Dedup.connectedComponentsOf(edges)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+      finally spark.conf.unset("spark.graft.dedup.localCcEdgeLimit")
+    local.toSeq shouldBe viaGraphx.toSeq
+    local.toMap.apply(20L) shouldBe 4L // transitive min through 5
+    local.toMap.apply(10L) shouldBe 10L // cycle keeps its min
+  }
+
   test("normalizeWs and the simhash tokenizer are bit-equal to their regex forms") {
     // r16 perf: the per-row regexes in the signature/simhash kernels were
     // replaced by single-pass loops; persisted signature tables and gate
