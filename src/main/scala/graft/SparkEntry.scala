@@ -1305,15 +1305,17 @@ object SparkEntry {
         count(lit(1)).as("survivors"),
         sum(when(col("doc_id") >= 1000000, 1L).otherwise(0L)).as("near_copy_survivors"),
         min("doc_id").as("min_id"))
-      val (survivors, nearSurvivors) = {
-        val r = agg.collect()(0); (r.getLong(0), r.getLong(1))
-      }
+      val row = agg.collect()(0)
+      val (survivors, nearSurvivors) = (row.getLong(0), row.getLong(1))
       val freshCount = fresh.count()
       require(nearSurvivors == 0 && survivors <= freshCount &&
           survivors >= (0.9 * freshCount).toLong,
         s"incremental minhash regressed: $nearSurvivors near-copies survived, " +
           s"$survivors survivors vs $freshCount fresh docs (floor 90%)")
-      agg
+      // the invariant collect above already executed the probe — return its
+      // row instead of a plan that would re-run the whole pipeline when the
+      // caller materializes (r16: the gate computed everything TWICE)
+      s.createDataFrame(java.util.List.of(row), agg.schema)
     }),
 
     "q_dedup_minhash" -> ((s, dir) => {
@@ -1726,10 +1728,19 @@ object SparkEntry {
       val out = Similarity.clusterBalancedSample(e, "vec_id", "embedding",
         perClusterCap = cap, nlist = 16)
       val counts = out.groupBy("cluster").agg(count(lit(1)).as("n"))
-      val overCap = counts.filter(col("n") > cap).count()
+      // ONE execution of the k-means + capping pipeline: collect the
+      // nlist-sized count table and derive both the cap invariant and the
+      // returned 1-row summary from it locally (r16 — the old
+      // filter.count + agg pair ran clusterBalancedSample twice)
+      val rows = counts.collect()
+      val overCap = rows.count(_.getLong(1) > cap)
       require(overCap == 0, s"cluster sample regressed: $overCap clusters over cap")
-      counts.agg(count(lit(1)).as("clusters"), sum("n").as("rows_kept"),
-        max("n").as("max_cell"))
+      val summary = org.apache.spark.sql.Row(rows.length.toLong,
+        if (rows.isEmpty) null else rows.map(_.getLong(1)).sum,
+        if (rows.isEmpty) null else rows.map(_.getLong(1)).max)
+      s.createDataFrame(java.util.List.of(summary),
+        counts.agg(count(lit(1)).as("clusters"), sum("n").as("rows_kept"),
+          max("n").as("max_cell")).schema)
     }),
 
     // -------------------------------------------------- pipeline: text
@@ -2237,7 +2248,14 @@ object SparkEntry {
       require(keptIds.sameElements(expIds),
         s"survivors must be exactly the least id per planted class " +
           s"(got ${keptIds.length}, expected ${expIds.length})")
-      kept.select("doc_id", "cls").orderBy("doc_id")
+      // the invariant collect above already ran the dedup — rebuild the
+      // tiny survivor frame from it (cls is the same deterministic id->
+      // class map the fixture used) instead of returning a plan that
+      // re-executes the whole decode+CC pipeline on materialization (r16)
+      s.createDataFrame(
+        java.util.Arrays.asList(keptIds.map(id => org.apache.spark.sql.Row(
+          id, classes((id % classes.length).toInt))): _*),
+        kept.select(col("doc_id"), col("cls")).schema)
     }),
 
     "q_audio_dedup" -> ((s, dir) => {
@@ -2304,7 +2322,14 @@ object SparkEntry {
       require(keptIds.sameElements(expIds),
         s"survivors must be exactly the least id per planted class " +
           s"(got ${keptIds.length}, expected ${expIds.length})")
-      kept.select("doc_id", "cls").orderBy("doc_id")
+      // the invariant collect above already ran the dedup — rebuild the
+      // tiny survivor frame from it (cls is the same deterministic id->
+      // class map the fixture used) instead of returning a plan that
+      // re-executes the whole decode+CC pipeline on materialization (r16)
+      s.createDataFrame(
+        java.util.Arrays.asList(keptIds.map(id => org.apache.spark.sql.Row(
+          id, classes((id % classes.length).toInt))): _*),
+        kept.select(col("doc_id"), col("cls")).schema)
     }),
 
     // -------------------------------------------------- more relational ops
