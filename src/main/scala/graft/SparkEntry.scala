@@ -1745,12 +1745,17 @@ object SparkEntry {
 
     // -------------------------------------------------- pipeline: text
     "q_text_stats" -> ((s, dir) => {
+      // r16 perf: token arrays staged once per row — the single-column
+      // metric forms re-split per metric (no codegen CSE for HOFs)
       val d = t(s, dir, "documents")
-      d.select(col("doc_id"),
-        TextAnalysis.tokenCount(col("text")).as("n_tokens"),
-        length(col("text")).as("len_chars"),
-        round(TextAnalysis.meanTokenLength(col("text")), 6).as("mean_token_len"),
-        round(TextAnalysis.stopwordRatio(col("text")), 6).as("stopword_ratio"))
+      d.select(col("doc_id"), col("text"),
+          TextAnalysis.tokens(col("text")).as("__toks"),
+          TextAnalysis.tokens(lower(col("text"))).as("__ltoks"))
+        .select(col("doc_id"),
+          size(col("__toks")).as("n_tokens"),
+          length(col("text")).as("len_chars"),
+          round(TextAnalysis.meanTokenLengthOf(col("__toks")), 6).as("mean_token_len"),
+          round(TextAnalysis.stopwordRatioOf(col("__ltoks")), 6).as("stopword_ratio"))
         .orderBy("doc_id")
     }),
 
@@ -1762,8 +1767,12 @@ object SparkEntry {
     }),
 
     "q_text_quality" -> ((s, dir) => {
+      // r16 perf: staged token array (see q_text_stats)
       val d = t(s, dir, "documents")
-      d.select(col("doc_id"), TextAnalysis.qualityScore(col("text")).as("quality"))
+      d.select(col("doc_id"), col("text"),
+          TextAnalysis.tokens(col("text")).as("__toks"))
+        .select(col("doc_id"),
+          TextAnalysis.qualityScoreOf(col("text"), col("__toks")).as("quality"))
         .orderBy("doc_id")
     }),
 
@@ -1880,10 +1889,14 @@ object SparkEntry {
       // oracle side) to give the line metrics real duplicates to find.
       val d = t(s, dir, "documents")
       val lined = regexp_replace(col("text"), "(\\S+ \\S+ \\S+) ", "$1\n")
-      d.select(col("doc_id"),
-        round(TextAnalysis.dupLineFraction(lined), 6).as("dup_line_frac"),
-        round(TextAnalysis.dupLineCharFraction(lined), 6).as("dup_line_char_frac"),
-        round(TextAnalysis.dupBigramFraction(col("text")), 6).as("dup_bigram_frac"))
+      // r16 perf: the staged one-pass form — the per-metric columns
+      // re-derived the line/bigram arrays (no codegen CSE for
+      // higher-order functions), paying the regexp + split up to 3x/row
+      TextAnalysis.repetitionMetrics(d, "doc_id", lined, col("text"))
+        .select(col("doc_id"),
+          round(col("dup_line_frac"), 6).as("dup_line_frac"),
+          round(col("dup_line_char_frac"), 6).as("dup_line_char_frac"),
+          round(col("dup_bigram_frac"), 6).as("dup_bigram_frac"))
         .orderBy("doc_id")
     }),
 

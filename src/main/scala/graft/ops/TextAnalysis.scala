@@ -14,6 +14,27 @@ object TextAnalysis {
   def tokenCount(text: Column): Column =
     size(filter(split(text, "\\s+"), t => length(t) > 0))
 
+  /** Non-empty whitespace tokens — stage this ONCE per row (as its own
+    * projection alias) when several metrics below consume it: Spark gives
+    * higher-order array functions no codegen subexpression elimination, so
+    * the single-column metric forms re-split per metric (r16, see
+    * [[repetitionMetrics]]).
+    */
+  def tokens(text: Column): Column =
+    filter(split(text, "\\s+"), t => length(t) > 0)
+
+  /** [[meanTokenLength]] over a pre-staged [[tokens]] array (same values). */
+  def meanTokenLengthOf(toks: Column): Column =
+    when(size(toks) === 0, lit(0.0))
+      .otherwise(aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") / size(toks))
+
+  /** [[stopwordRatio]] over pre-staged tokens of the LOWERCASED text. */
+  def stopwordRatioOf(lowerToks: Column): Column = {
+    val stops = filter(lowerToks, t => t.isin(EnglishStopwords.map(lit(_)): _*))
+    when(size(lowerToks) === 0, lit(0.0))
+      .otherwise(size(stops).cast("double") / size(lowerToks))
+  }
+
   /** BPE-ish subword count estimate: word-pieces + digits + punctuation
     * runs, via one regexp extraction — a cheap proxy for tokenizer cost.
     */
@@ -51,13 +72,18 @@ object TextAnalysis {
     * mean-token-length sanity. Deterministic and cheap — the shape of a
     * C4/Gopher-style rule filter.
     */
-  def qualityScore(text: Column): Column = {
-    val n = tokenCount(text)
+  def qualityScore(text: Column): Column = qualityScoreOf(text, tokens(text))
+
+  /** [[qualityScore]] over a pre-staged [[tokens]] array (same values) —
+    * the scalar form derives the token array twice per row (count + mean
+    * length). */
+  def qualityScoreOf(text: Column, toks: Column): Column = {
+    val n = size(toks)
     val lenScore = when(n >= 10 && n <= 10000, lit(1.0))
       .when(n >= 3, lit(0.5)).otherwise(lit(0.0))
     val punct = punctRatio(text)
     val punctScore = when(punct <= 0.2, lit(1.0)).when(punct <= 0.4, lit(0.5)).otherwise(lit(0.0))
-    val mtl = meanTokenLength(text)
+    val mtl = meanTokenLengthOf(toks)
     val mtlScore = when(mtl >= 3.0 && mtl <= 12.0, lit(1.0)).otherwise(lit(0.5))
     round((lenScore + punctScore + mtlScore) / 3.0, 4)
   }
@@ -344,6 +370,40 @@ object TextAnalysis {
     val gs = wordBigrams(text)
     when(size(gs) === 0, lit(0.0))
       .otherwise(lit(1.0) - size(array_distinct(gs)).cast("double") / size(gs))
+  }
+
+  /** All three Gopher repetition metrics computed from ONE evaluation of
+    * the line / bigram arrays (r16 perf). The single-column forms above
+    * re-derive the arrays per metric, and Spark gives higher-order array
+    * functions no codegen subexpression elimination — so the split/regexp
+    * and array_distinct work ran up to 3x per row. Here the arrays and
+    * their distinct forms stage through separate projections whose aliases
+    * are multi-referenced and non-cheap, which CollapseProject keeps (it
+    * only inlines cheap or singly-referenced aliases). Values are
+    * bit-identical to the single-column forms; `lineText` and `bigramText`
+    * may differ (the Gopher line metrics usually run on a re-lined view).
+    */
+  def repetitionMetrics(df: DataFrame, idCol: String,
+      lineText: Column, bigramText: Column): DataFrame = {
+    val total = aggregate(col("__ls"), lit(0L), (acc, l) => acc + length(l))
+    val distinctChars = aggregate(col("__dls"), lit(0L), (acc, l) => acc + length(l))
+    df.select(col(s"`$idCol`"),
+        docLines(lineText).as("__ls"), wordBigrams(bigramText).as("__gs"))
+      .select(col(s"`$idCol`"), col("__ls"), col("__gs"),
+        array_distinct(col("__ls")).as("__dls"),
+        array_distinct(col("__gs")).as("__dgs"))
+      .select(col(s"`$idCol`"),
+        when(size(col("__ls")) === 0, lit(0.0))
+          .otherwise(lit(1.0) -
+            size(col("__dls")).cast("double") / size(col("__ls")))
+          .as("dup_line_frac"),
+        when(total === 0L, lit(0.0))
+          .otherwise(lit(1.0) - distinctChars.cast("double") / total)
+          .as("dup_line_char_frac"),
+        when(size(col("__gs")) === 0, lit(0.0))
+          .otherwise(lit(1.0) -
+            size(col("__dgs")).cast("double") / size(col("__gs")))
+          .as("dup_bigram_frac"))
   }
 
   /** One-pass document statistics frame: id, token/char counts, ratios,
