@@ -83,11 +83,27 @@ object Bench {
       name -> times.min
     }.toMap
     if (errors.nonEmpty) System.err.println(s"[bench] FAILED queries: ${errors.mkString(",")}")
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // r17 (VERDICT item 2): the driver's stdout tail capture is ~4 KB and
+    // the raw-double line for 170 queries was ~7 KB — every PERF_r*.json
+    // since r14 has parsed:null. Per-query seconds now print rounded to 3
+    // decimals with trailing zeros stripped and the redundant "unit" field
+    // dropped (driver reads value+queries; VERDICT sanctioned the drop),
+    // which brings the full line under ~4 KB so it survives the capture.
+    // Full-precision doubles still go to the BENCH_FULL.json sidecar.
+    def fmt(v: Double): String = {
+      val s = f"$v%.3f"
+      val t = s.reverse.dropWhile(_ == '0').reverse
+      if (t.endsWith(".")) t.dropRight(1) else t
+    }
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
+    val qsFull = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"queries":$qs,"sf":"$sfDir"}"""
+    val lineFull =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"sf":"$sfDir"}"""
     // the driver's stdout capture truncates past a few KB, losing ~100 of
     // the per-query timings — ALSO write the complete line to a sidecar
     // file so round-over-round adjudication never depends on the tail.
@@ -102,7 +118,7 @@ object Bench {
       val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
       try {
         java.nio.file.Files.write(java.nio.file.Paths.get(out),
-          (line + "\n").getBytes("UTF-8"))
+          (lineFull + "\n").getBytes("UTF-8"))
         println(s"[bench] full per-query artifact written to $out")
       } catch { case e: Exception =>
         println(s"[bench] could not write $out: ${e.getMessage}")

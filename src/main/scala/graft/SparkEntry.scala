@@ -2255,19 +2255,23 @@ object SparkEntry {
         .withColumn("cls", clsUdf(col("doc_id")))
         .withColumn("img", imgUdf(col("cls"), col("doc_id") % 3 === 0))
       val kept = Multimodal.dedupImagesNearDup(docs, "doc_id", "img", maxHamming = 3)
-      val keptIds = kept.select("doc_id").collect().map(_.getLong(0)).sorted
+      // r17: collect BOTH output columns so the returned frame is the
+      // pipeline's own rows (r16 rebuilt cls from the fixture's id->class
+      // formula — identical values, but nothing pinned cls THROUGH the
+      // dedup; one fixture edit away from silent divergence)
+      val keptRows = kept.select(col("doc_id"), col("cls")).collect()
+        .map(r => (r.getLong(0), r.getInt(1))).sortBy(_._1)
+      val keptIds = keptRows.map(_._1)
       val expIds = docs.groupBy("cls").agg(min("doc_id").as("m"))
         .select("m").collect().map(_.getLong(0)).sorted
       require(keptIds.sameElements(expIds),
         s"survivors must be exactly the least id per planted class " +
           s"(got ${keptIds.length}, expected ${expIds.length})")
-      // the invariant collect above already ran the dedup — rebuild the
-      // tiny survivor frame from it (cls is the same deterministic id->
-      // class map the fixture used) instead of returning a plan that
-      // re-executes the whole decode+CC pipeline on materialization (r16)
+      // the invariant collect above already ran the dedup — the returned
+      // frame IS those rows (no second pipeline execution, r16)
       s.createDataFrame(
-        java.util.Arrays.asList(keptIds.map(id => org.apache.spark.sql.Row(
-          id, classes((id % classes.length).toInt))): _*),
+        java.util.Arrays.asList(keptRows.map { case (id, cls) =>
+          org.apache.spark.sql.Row(id, cls) }: _*),
         kept.select(col("doc_id"), col("cls")).schema)
     }),
 
@@ -2329,19 +2333,22 @@ object SparkEntry {
         .withColumn("cls", clsUdf(col("doc_id")))
         .withColumn("wav", wavUdf(col("cls"), (col("doc_id") % 3).cast("int")))
       val kept = Multimodal.dedupAudioNearDup(docs, "doc_id", "wav", maxHamming = 3)
-      val keptIds = kept.select("doc_id").collect().map(_.getLong(0)).sorted
+      // r17: collect BOTH output columns — same cls-pinning fix as
+      // q_image_dedup (the returned frame is the pipeline's own rows, not
+      // a formula-recomputed cls)
+      val keptRows = kept.select(col("doc_id"), col("cls")).collect()
+        .map(r => (r.getLong(0), r.getInt(1))).sortBy(_._1)
+      val keptIds = keptRows.map(_._1)
       val expIds = docs.groupBy("cls").agg(min("doc_id").as("m"))
         .select("m").collect().map(_.getLong(0)).sorted
       require(keptIds.sameElements(expIds),
         s"survivors must be exactly the least id per planted class " +
           s"(got ${keptIds.length}, expected ${expIds.length})")
-      // the invariant collect above already ran the dedup — rebuild the
-      // tiny survivor frame from it (cls is the same deterministic id->
-      // class map the fixture used) instead of returning a plan that
-      // re-executes the whole decode+CC pipeline on materialization (r16)
+      // the invariant collect above already ran the dedup — the returned
+      // frame IS those rows (no second pipeline execution, r16)
       s.createDataFrame(
-        java.util.Arrays.asList(keptIds.map(id => org.apache.spark.sql.Row(
-          id, classes((id % classes.length).toInt))): _*),
+        java.util.Arrays.asList(keptRows.map { case (id, cls) =>
+          org.apache.spark.sql.Row(id, cls) }: _*),
         kept.select(col("doc_id"), col("cls")).schema)
     }),
 
